@@ -1,0 +1,26 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Central parquet loaders for the test star schema.
+  *
+  * One place to later swap in bucketed / partitioned reads on a real
+  * cluster. Loaders take the scale-factor directory so the same code
+  * runs at any SF. Column pruning + filter pushdown are left to
+  * Catalyst — callers `select` early and the scan shrinks accordingly.
+  */
+object Tables {
+  def region(spark: SparkSession, dir: String): DataFrame    = load(spark, dir, "region")
+  def nation(spark: SparkSession, dir: String): DataFrame    = load(spark, dir, "nation")
+  def customer(spark: SparkSession, dir: String): DataFrame  = load(spark, dir, "customer")
+  def supplier(spark: SparkSession, dir: String): DataFrame  = load(spark, dir, "supplier")
+  def part(spark: SparkSession, dir: String): DataFrame      = load(spark, dir, "part")
+  def orders(spark: SparkSession, dir: String): DataFrame    = load(spark, dir, "orders")
+  def lineitem(spark: SparkSession, dir: String): DataFrame  = load(spark, dir, "lineitem")
+  def events(spark: SparkSession, dir: String): DataFrame    = load(spark, dir, "events")
+  def documents(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "documents")
+  def embeddings(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "embeddings")
+
+  private def load(spark: SparkSession, dir: String, name: String): DataFrame =
+    spark.read.parquet(s"$dir/$name.parquet")
+}
