@@ -17,7 +17,19 @@ object Tables {
   def part(spark: SparkSession, dir: String): DataFrame      = load(spark, dir, "part")
   def orders(spark: SparkSession, dir: String): DataFrame    = load(spark, dir, "orders")
   def lineitem(spark: SparkSession, dir: String): DataFrame  = load(spark, dir, "lineitem")
-  def events(spark: SparkSession, dir: String): DataFrame    = load(spark, dir, "events")
+
+  /** events.parquet carries TIMESTAMP(NANOS) which Spark's vectorized
+    * reader rejects; read nanos as long and normalize to a `ts_us`
+    * BIGINT (epoch microseconds) column — the same truncation DuckDB
+    * applies when it loads ns into its µs TIMESTAMP, so oracle SQL uses
+    * `epoch_us(ts)` and the two engines see identical values.
+    */
+  def events(spark: SparkSession, dir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    load(spark, dir, "events")
+      .withColumn("ts_us", org.apache.spark.sql.functions.expr("ts div 1000"))
+      .drop("ts")
+  }
   def documents(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "documents")
   def embeddings(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "embeddings")
 
