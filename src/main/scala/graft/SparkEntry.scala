@@ -16,12 +16,34 @@ object SparkEntry {
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_etl_json_route" -> (Etl.qEtlJsonRoute _),
+    "q_new_user_fix" -> (Etl.qNewUserFix _),
+    "q_unique_visitors_daily" -> (Sessions.qUniqueVisitorsDaily _),
+    "q_user_jump" -> (Sessions.qUserJump _),
+    "q_visitor_stats" -> (Stats.qVisitorStats _),
+    "q_product_stats" -> (Stats.qProductStats _),
+    "q_province_stats" -> (Stats.qProvinceStats _),
+    "q_keyword_stats" -> (Stats.qKeywordStats _),
+    "q_config_route" -> (Etl.qConfigRoute _),
+    "q_sessionize" -> (Sessions.qSessionize _),
+    "q_event_funnel" -> (Sessions.qEventFunnel _),
     "q1_pricing_summary" -> (Olap.q1PricingSummary _)
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] = Map(
+    "q_etl_json_route" -> Etl.qEtlJsonRouteSql,
+    "q_new_user_fix" -> Etl.qNewUserFixSql,
+    "q_unique_visitors_daily" -> Sessions.qUniqueVisitorsDailySql,
+    "q_user_jump" -> Sessions.qUserJumpSql,
+    "q_visitor_stats" -> Stats.qVisitorStatsSql,
+    "q_product_stats" -> Stats.qProductStatsSql,
+    "q_province_stats" -> Stats.qProvinceStatsSql,
+    "q_keyword_stats" -> Stats.qKeywordStatsSql,
+    "q_config_route" -> Etl.qConfigRouteSql,
+    "q_sessionize" -> Sessions.qSessionizeSql,
+    "q_event_funnel" -> Sessions.qEventFunnelSql,
     "q1_pricing_summary" -> Olap.q1Sql
   )
 }

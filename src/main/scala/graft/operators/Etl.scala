@@ -1,0 +1,96 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** Log-ETL operators (SURVEY.md §2.1 #1, #2, #13).
+  *
+  * Reference semantics: BaseLogApp.java:33-116 (JSON parse with dirty
+  * side-output, keyed-state is-new correction, stream routing) and
+  * BaseDBApp.java:32-75 (broadcast-config dynamic routing).
+  *
+  * Scale notes: #1/#13 are embarrassingly parallel map-side transforms
+  * (no shuffle; the config join broadcasts a tiny dim). #2 shuffles
+  * once on user_id — the same key every downstream per-user operator
+  * reuses.
+  */
+object Etl {
+
+  /** #1 — parse the JSON props payload, validate, and route each event
+    * to its target stream (BaseLogApp page/start routing with a dirty
+    * side-output: BaseLogApp.java:32-75). Pure projection: no shuffle
+    * beyond the final presentation sort.
+    */
+  def qEtlJsonRoute(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+    ev.withColumn("k", get_json_object(col("props"), "$.k").cast("long"))
+      .withColumn("route",
+        when(col("k").isNull || col("user_id").isNull, "dirty")
+          .when(col("event_type") === "error", "dirty")
+          .when(col("event_type") === "signup", "start")
+          .otherwise("page"))
+      .select("event_id", "user_id", "event_type", "route", "k")
+      .orderBy("event_id")
+  }
+
+  val qEtlJsonRouteSql: String =
+    """SELECT event_id, user_id, event_type,
+      |  CASE WHEN CAST(json_extract(props, '$.k') AS BIGINT) IS NULL OR user_id IS NULL THEN 'dirty'
+      |       WHEN event_type = 'error' THEN 'dirty'
+      |       WHEN event_type = 'signup' THEN 'start'
+      |       ELSE 'page' END AS route,
+      |  CAST(json_extract(props, '$.k') AS BIGINT) AS k
+      |FROM events ORDER BY event_id""".stripMargin
+
+  /** #2 — is-new correction: only a user's first-ever event keeps
+    * is_new=1 (BaseLogApp.java:54-67 ValueState fix). One shuffle on
+    * user_id; ties broken by event_id for determinism.
+    */
+  def qNewUserFix(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+    Tables.events(spark, dir)
+      .withColumn("is_new",
+        when(row_number().over(w) === 1, 1L).otherwise(0L))
+      .select("event_id", "user_id", "is_new")
+      .orderBy("event_id")
+  }
+
+  val qNewUserFixSql: String =
+    """SELECT event_id, user_id,
+      |  CAST(CASE WHEN ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY epoch_us(ts), event_id) = 1
+      |       THEN 1 ELSE 0 END AS BIGINT) AS is_new
+      |FROM events ORDER BY event_id""".stripMargin
+
+  /** #13 — broadcast-config dynamic routing (BaseDBApp.java:32-75 +
+    * TableProcessFunction): a tiny in-memory routing table decides each
+    * event's sink. The config side is broadcast — zero shuffle on the
+    * fact stream at any scale.
+    */
+  def qConfigRoute(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val config = Seq(
+      ("view", "dwd_page_log", "kafka"),
+      ("click", "dwd_page_log", "kafka"),
+      ("signup", "dwd_start_log", "kafka"),
+      ("purchase", "dwd_order_info", "hbase"),
+      ("error", "dwd_dirty", "none")
+    ).toDF("event_type", "sink_table", "sink_type")
+    Tables.events(spark, dir)
+      .join(broadcast(config), Seq("event_type"), "left")
+      .select("event_id", "event_type", "sink_table", "sink_type")
+      .orderBy("event_id")
+  }
+
+  val qConfigRouteSql: String =
+    """WITH config(event_type, sink_table, sink_type) AS (VALUES
+      |  ('view', 'dwd_page_log', 'kafka'),
+      |  ('click', 'dwd_page_log', 'kafka'),
+      |  ('signup', 'dwd_start_log', 'kafka'),
+      |  ('purchase', 'dwd_order_info', 'hbase'),
+      |  ('error', 'dwd_dirty', 'none'))
+      |SELECT e.event_id, e.event_type, c.sink_table, c.sink_type
+      |FROM events e LEFT JOIN config c USING (event_type)
+      |ORDER BY e.event_id""".stripMargin
+}

@@ -1,0 +1,154 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** Per-user behavioral operators: dedup, jump detection, sessionization,
+  * funnel (SURVEY.md §2.1 #3, #4, #14, #15).
+  *
+  * Reference semantics: UniqueVisitApp.java:37-71 (daily first-visit
+  * dedup via keyed ValueState + TTL), UserJumpDetailApp.java:54-104
+  * (CEP jump pattern), and the page-flow analysis implicit in
+  * BaseLogApp's page stream.
+  *
+  * Scale notes: everything here shuffles exactly once on user_id (the
+  * window-function partition key); daily UV additionally does a
+  * partial-agg count-distinct which Spark plans as two-level hash agg.
+  */
+object Sessions {
+
+  private val TenMinUs = 10L * 60 * 1000 * 1000
+  private val GapUs    = 30L * 60 * 1000 * 1000 // session gap: 30 min
+
+  private def dayCol = date_format(timestamp_micros(col("ts_us")), "yyyy-MM-dd")
+
+  /** #3 — daily unique visitors (UniqueVisitApp.java:37-71). At scale
+    * this is one hash-partitioned exact count-distinct per day; the
+    * 100 TB variant swaps in approx_count_distinct.
+    */
+  def qUniqueVisitorsDaily(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .groupBy(dayCol.as("day"))
+      .agg(countDistinct(col("user_id")).as("uv"))
+      .orderBy("day")
+
+  val qUniqueVisitorsDailySql: String =
+    """SELECT strftime(ts, '%Y-%m-%d') AS day,
+      |  CAST(COUNT(DISTINCT user_id) AS BIGINT) AS uv
+      |FROM events GROUP BY 1 ORDER BY 1""".stripMargin
+
+  /** #4 — jump detection (UserJumpDetailApp.java:54-104 CEP): an entry
+    * ("view") event whose user emits no further event within 10 min is
+    * a jump. CEP re-expressed as lead() over the per-user timeline.
+    */
+  def qUserJump(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+    Tables.events(spark, dir)
+      .withColumn("next_ts_us", lead("ts_us", 1).over(w))
+      .filter(col("event_type") === "view" &&
+        (col("next_ts_us").isNull || col("next_ts_us") - col("ts_us") > TenMinUs))
+      .select("event_id", "user_id")
+      .orderBy("event_id")
+  }
+
+  val qUserJumpSql: String =
+    """WITH t AS (
+      |  SELECT event_id, user_id, event_type, epoch_us(ts) AS ts_us,
+      |    LEAD(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY epoch_us(ts), event_id) AS next_ts_us
+      |  FROM events)
+      |SELECT event_id, user_id FROM t
+      |WHERE event_type = 'view'
+      |  AND (next_ts_us IS NULL OR next_ts_us - ts_us > 600000000)
+      |ORDER BY event_id""".stripMargin
+
+  /** #14 — gap-based sessionization (30 min inactivity): lag + running
+    * sum of session-start flags, then per-session stats. Both window
+    * passes share the user_id partitioning — one shuffle total.
+    */
+  def qSessionize(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+    Tables.events(spark, dir)
+      .withColumn("prev_ts_us", lag("ts_us", 1).over(w))
+      .withColumn("new_sess",
+        when(col("prev_ts_us").isNull || col("ts_us") - col("prev_ts_us") > GapUs, 1L)
+          .otherwise(0L))
+      .withColumn("session_seq", sum("new_sess").over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy("user_id", "session_seq")
+      .agg(
+        min("ts_us").as("session_start_us"),
+        count(lit(1)).as("n_events"),
+        (max("ts_us") - min("ts_us")).as("duration_us"))
+      .orderBy("user_id", "session_seq")
+  }
+
+  val qSessionizeSql: String =
+    """WITH t AS (
+      |  SELECT user_id, event_id, epoch_us(ts) AS ts_us,
+      |    LAG(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY epoch_us(ts), event_id) AS prev_ts_us
+      |  FROM events),
+      |flagged AS (
+      |  SELECT *, CASE WHEN prev_ts_us IS NULL OR ts_us - prev_ts_us > 1800000000 THEN 1 ELSE 0 END AS new_sess
+      |  FROM t),
+      |numbered AS (
+      |  SELECT *, SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_seq
+      |  FROM flagged)
+      |SELECT user_id, CAST(session_seq AS BIGINT) AS session_seq,
+      |  MIN(ts_us) AS session_start_us,
+      |  CAST(COUNT(*) AS BIGINT) AS n_events,
+      |  MAX(ts_us) - MIN(ts_us) AS duration_us
+      |FROM numbered GROUP BY user_id, session_seq
+      |ORDER BY user_id, session_seq""".stripMargin
+
+  /** #15 — view→click→purchase funnel per user-day: stage timestamps
+    * must be strictly increasing. Three aggs joined on the same
+    * (user_id, day) key — the shuffle partitioning is reused across
+    * all three stages.
+    */
+  def qEventFunnel(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir).withColumn("day", dayCol)
+    val views = ev.filter(col("event_type") === "view")
+      .groupBy("user_id", "day").agg(min("ts_us").as("v_ts"))
+    val clicks = ev.filter(col("event_type") === "click")
+      .join(views, Seq("user_id", "day"))
+      .filter(col("ts_us") > col("v_ts"))
+      .groupBy("user_id", "day").agg(min("ts_us").as("c_ts"))
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .join(clicks, Seq("user_id", "day"))
+      .filter(col("ts_us") > col("c_ts"))
+      .groupBy("user_id", "day").agg(min("ts_us").as("p_ts"))
+    views.join(clicks, Seq("user_id", "day"), "left")
+      .join(purchases, Seq("user_id", "day"), "left")
+      .groupBy("day")
+      .agg(
+        count(col("v_ts")).as("view_users"),
+        count(col("c_ts")).as("click_users"),
+        count(col("p_ts")).as("purchase_users"))
+      .orderBy("day")
+  }
+
+  val qEventFunnelSql: String =
+    """WITH ev AS (
+      |  SELECT user_id, event_type, epoch_us(ts) AS ts_us, strftime(ts, '%Y-%m-%d') AS day FROM events),
+      |views AS (
+      |  SELECT user_id, day, MIN(ts_us) AS v_ts FROM ev WHERE event_type = 'view' GROUP BY 1, 2),
+      |clicks AS (
+      |  SELECT e.user_id, e.day, MIN(e.ts_us) AS c_ts FROM ev e
+      |  JOIN views v ON e.user_id = v.user_id AND e.day = v.day
+      |  WHERE e.event_type = 'click' AND e.ts_us > v.v_ts GROUP BY 1, 2),
+      |purchases AS (
+      |  SELECT e.user_id, e.day, MIN(e.ts_us) AS p_ts FROM ev e
+      |  JOIN clicks c ON e.user_id = c.user_id AND e.day = c.day
+      |  WHERE e.event_type = 'purchase' AND e.ts_us > c.c_ts GROUP BY 1, 2)
+      |SELECT v.day,
+      |  CAST(COUNT(v.v_ts) AS BIGINT) AS view_users,
+      |  CAST(COUNT(c.c_ts) AS BIGINT) AS click_users,
+      |  CAST(COUNT(p.p_ts) AS BIGINT) AS purchase_users
+      |FROM views v
+      |LEFT JOIN clicks c ON v.user_id = c.user_id AND v.day = c.day
+      |LEFT JOIN purchases p ON v.user_id = p.user_id AND v.day = p.day
+      |GROUP BY v.day ORDER BY v.day""".stripMargin
+}

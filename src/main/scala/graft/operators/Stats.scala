@@ -1,0 +1,176 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** DWS-layer windowed multi-measure statistics (SURVEY.md §2.1 #9-12).
+  *
+  * Reference semantics: VisitorStatsApp.java:41-152 (union-of-streams →
+  * keyed tumbling window → measure sums), ProductStatsApp.java:67-319
+  * (per-sku multi-measure with count-distinct order sets),
+  * ProvinceStatsSqlApp.java:34-53, KeywordStatsApp.java:30-59.
+  *
+  * Scale notes: the visitor-stats union computes all per-user derived
+  * measures over ONE user_id shuffle (shared window spec), then one
+  * hash agg on the small (hour, cohort) key. Product/province stats are
+  * fact-side partial aggs + broadcast dim joins. Sums over money go
+  * through DECIMAL so results are partitioning-independent.
+  */
+object Stats {
+
+  private val TenMinUs = 10L * 60 * 1000 * 1000
+  private val GapUs    = 30L * 60 * 1000 * 1000
+
+  /** #9 — visitor stats: union of 4 derived measure-frames (pv, daily
+    * uv, session starts, jumps) keyed by (hour, channel cohort), then
+    * one summing agg (VisitorStatsApp.java:41-152).
+    */
+  def qVisitorStats(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+    val base = Tables.events(spark, dir)
+      .withColumn("stt", date_format(timestamp_micros(col("ts_us")), "yyyy-MM-dd HH"))
+      .withColumn("ch", concat(lit("ch"), col("user_id") % 3))
+      .withColumn("day", date_format(timestamp_micros(col("ts_us")), "yyyy-MM-dd"))
+    val zero = lit(0L)
+    val zeroD = lit(BigDecimal(0).setScale(2)).cast("decimal(12,2)")
+
+    val pv = base.filter(col("event_type") === "view")
+      .select(col("stt"), col("ch"), zero.as("uv"), lit(1L).as("pv"),
+        zero.as("sv"), zero.as("uj"), col("value").cast("decimal(12,2)").as("dur"))
+    val uv = base
+      .withColumn("rn", row_number().over(Window.partitionBy("user_id", "day").orderBy("ts_us", "event_id")))
+      .filter(col("rn") === 1)
+      .select(col("stt"), col("ch"), lit(1L).as("uv"), zero.as("pv"),
+        zero.as("sv"), zero.as("uj"), zeroD.as("dur"))
+    val sv = base
+      .withColumn("prev_ts_us", lag("ts_us", 1).over(w))
+      .filter(col("prev_ts_us").isNull || col("ts_us") - col("prev_ts_us") > GapUs)
+      .select(col("stt"), col("ch"), zero.as("uv"), zero.as("pv"),
+        lit(1L).as("sv"), zero.as("uj"), zeroD.as("dur"))
+    val uj = base
+      .withColumn("next_ts_us", lead("ts_us", 1).over(w))
+      .filter(col("event_type") === "view" &&
+        (col("next_ts_us").isNull || col("next_ts_us") - col("ts_us") > TenMinUs))
+      .select(col("stt"), col("ch"), zero.as("uv"), zero.as("pv"),
+        zero.as("sv"), lit(1L).as("uj"), zeroD.as("dur"))
+
+    pv.unionAll(uv).unionAll(sv).unionAll(uj)
+      .groupBy("stt", "ch")
+      .agg(sum("uv").as("uv_ct"), sum("pv").as("pv_ct"),
+        sum("sv").as("sv_ct"), sum("uj").as("uj_ct"),
+        sum("dur").cast("double").as("dur_sum"))
+      .orderBy("stt", "ch")
+  }
+
+  val qVisitorStatsSql: String =
+    """WITH base AS (
+      |  SELECT event_id, user_id, event_type, epoch_us(ts) AS ts_us,
+      |    strftime(ts, '%Y-%m-%d %H') AS stt,
+      |    'ch' || CAST(user_id % 3 AS VARCHAR) AS ch,
+      |    strftime(ts, '%Y-%m-%d') AS day, "value" AS v
+      |  FROM events),
+      |pv AS (
+      |  SELECT stt, ch, 0 AS uv, 1 AS pv, 0 AS sv, 0 AS uj, CAST(v AS DECIMAL(12,2)) AS dur
+      |  FROM base WHERE event_type = 'view'),
+      |uv AS (
+      |  SELECT stt, ch, 1, 0, 0, 0, CAST(0 AS DECIMAL(12,2)) FROM (
+      |    SELECT stt, ch, ROW_NUMBER() OVER (PARTITION BY user_id, day ORDER BY ts_us, event_id) AS rn
+      |    FROM base) WHERE rn = 1),
+      |sv AS (
+      |  SELECT stt, ch, 0, 0, 1, 0, CAST(0 AS DECIMAL(12,2)) FROM (
+      |    SELECT stt, ch, ts_us, LAG(ts_us) OVER (PARTITION BY user_id ORDER BY ts_us, event_id) AS prev_ts_us
+      |    FROM base) WHERE prev_ts_us IS NULL OR ts_us - prev_ts_us > 1800000000),
+      |uj AS (
+      |  SELECT stt, ch, 0, 0, 0, 1, CAST(0 AS DECIMAL(12,2)) FROM (
+      |    SELECT stt, ch, event_type, ts_us,
+      |      LEAD(ts_us) OVER (PARTITION BY user_id ORDER BY ts_us, event_id) AS next_ts_us
+      |    FROM base) WHERE event_type = 'view' AND (next_ts_us IS NULL OR next_ts_us - ts_us > 600000000)),
+      |unioned AS (
+      |  SELECT * FROM pv UNION ALL SELECT * FROM uv UNION ALL SELECT * FROM sv UNION ALL SELECT * FROM uj)
+      |SELECT stt, ch, CAST(SUM(uv) AS BIGINT) AS uv_ct, CAST(SUM(pv) AS BIGINT) AS pv_ct,
+      |  CAST(SUM(sv) AS BIGINT) AS sv_ct, CAST(SUM(uj) AS BIGINT) AS uj_ct,
+      |  CAST(SUM(dur) AS DOUBLE) AS dur_sum
+      |FROM unioned GROUP BY stt, ch ORDER BY stt, ch""".stripMargin
+
+  /** #10 — per-product multi-measure stats with exact count-distinct
+    * order ids + broadcast dim enrichment (ProductStatsApp.java:209-319).
+    */
+  def qProductStats(spark: SparkSession, dir: String): DataFrame = {
+    val l = Tables.lineitem(spark, dir)
+    val o = Tables.orders(spark, dir).select("o_orderkey", "o_orderstatus")
+    val p = Tables.part(spark, dir).select("p_partkey", "p_brand")
+    val dPrice = col("l_extendedprice").cast("decimal(12,2)")
+    l.join(o, col("l_orderkey") === col("o_orderkey"))
+      .groupBy("l_partkey")
+      .agg(
+        countDistinct(col("l_orderkey")).as("order_ct"),
+        count(lit(1)).as("item_ct"),
+        sum(col("l_quantity").cast("decimal(12,2)")).cast("double").as("quantity_sum"),
+        sum(dPrice).cast("double").as("amount_sum"),
+        sum(when(col("o_orderstatus") === "F", dPrice)).cast("double").as("paid_amount"))
+      .join(broadcast(p), col("l_partkey") === col("p_partkey"))
+      .select("l_partkey", "p_brand", "order_ct", "item_ct",
+        "quantity_sum", "amount_sum", "paid_amount")
+      .orderBy("l_partkey")
+  }
+
+  val qProductStatsSql: String =
+    """SELECT l_partkey, p_brand,
+      |  CAST(COUNT(DISTINCT l_orderkey) AS BIGINT) AS order_ct,
+      |  CAST(COUNT(*) AS BIGINT) AS item_ct,
+      |  CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS quantity_sum,
+      |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS amount_sum,
+      |  CAST(SUM(CASE WHEN o_orderstatus = 'F' THEN CAST(l_extendedprice AS DECIMAL(12,2)) END) AS DOUBLE) AS paid_amount
+      |FROM lineitem
+      |JOIN orders ON l_orderkey = o_orderkey
+      |JOIN part ON l_partkey = p_partkey
+      |GROUP BY l_partkey, p_brand
+      |ORDER BY l_partkey""".stripMargin
+
+  /** #11 — per-province (≈nation) per-day order stats
+    * (ProvinceStatsSqlApp.java:34-53): count-distinct orders + exact
+    * decimal money sum, dims broadcast.
+    */
+  def qProvinceStats(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(spark, dir)
+    val c = Tables.customer(spark, dir).select("c_custkey", "c_nationkey")
+    val n = Tables.nation(spark, dir).select("n_nationkey", "n_name")
+    o.join(broadcast(c), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
+      .groupBy(col("n_name"), date_format(col("o_orderdate"), "yyyy-MM-dd").as("day"))
+      .agg(
+        countDistinct(col("o_orderkey")).as("order_ct"),
+        sum(col("o_totalprice").cast("decimal(12,2)")).cast("double").as("amount"))
+      .orderBy("n_name", "day")
+  }
+
+  val qProvinceStatsSql: String =
+    """SELECT n_name, strftime(o_orderdate, '%Y-%m-%d') AS day,
+      |  CAST(COUNT(DISTINCT o_orderkey) AS BIGINT) AS order_ct,
+      |  CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS amount
+      |FROM orders
+      |JOIN customer ON o_custkey = c_custkey
+      |JOIN nation ON c_nationkey = n_nationkey
+      |GROUP BY n_name, day
+      |ORDER BY n_name, day""".stripMargin
+
+  /** #12 — keyword split-and-count (KeywordStatsApp.java:30-59 +
+    * KeywordUtil tokenizer UDTF): explode(split) is a map-side
+    * generator; the only shuffle is the final (word, source) agg.
+    */
+  def qKeywordStats(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(explode(split(col("text"), " ")).as("word"), col("source"))
+      .filter(length(col("word")) > 0)
+      .groupBy("word", "source")
+      .agg(count(lit(1)).as("ct"))
+      .orderBy("word", "source")
+
+  val qKeywordStatsSql: String =
+    """SELECT word, source, CAST(COUNT(*) AS BIGINT) AS ct FROM (
+      |  SELECT unnest(string_split(text, ' ')) AS word, source FROM documents)
+      |WHERE length(word) > 0
+      |GROUP BY word, source ORDER BY word, source""".stripMargin
+}
