@@ -27,7 +27,14 @@ object SparkEntry {
     "q_config_route" -> (Etl.qConfigRoute _),
     "q_sessionize" -> (Sessions.qSessionize _),
     "q_event_funnel" -> (Sessions.qEventFunnel _),
-    "q1_pricing_summary" -> (Olap.q1PricingSummary _)
+    "q_order_wide" -> (Joins.qOrderWide _),
+    "q_event_interval_join" -> (Joins.qEventIntervalJoin _),
+    "q_payment_wide" -> (Joins.qPaymentWide _),
+    "q_order_enriched" -> (Joins.qOrderEnriched _),
+    "q1_pricing_summary" -> (Olap.q1PricingSummary _),
+    "q3_shipping_priority" -> (Olap.q3ShippingPriority _),
+    "q5_local_supplier" -> (Olap.q5LocalSupplier _),
+    "q_topn_per_group" -> (Olap.qTopnPerGroup _)
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -44,6 +51,13 @@ object SparkEntry {
     "q_config_route" -> Etl.qConfigRouteSql,
     "q_sessionize" -> Sessions.qSessionizeSql,
     "q_event_funnel" -> Sessions.qEventFunnelSql,
-    "q1_pricing_summary" -> Olap.q1Sql
+    "q_order_wide" -> Joins.qOrderWideSql,
+    "q_event_interval_join" -> Joins.qEventIntervalJoinSql,
+    "q_payment_wide" -> Joins.qPaymentWideSql,
+    "q_order_enriched" -> Joins.qOrderEnrichedSql,
+    "q1_pricing_summary" -> Olap.q1Sql,
+    "q3_shipping_priority" -> Olap.q3Sql,
+    "q5_local_supplier" -> Olap.q5Sql,
+    "q_topn_per_group" -> Olap.qTopnPerGroupSql
   )
 }

@@ -43,6 +43,105 @@ object Olap {
       .orderBy("l_returnflag", "l_linestatus")
   }
 
+  /** TPC-H Q3 shipping priority: dim-filtered 3-way join, top-10 by
+    * revenue. Customer side broadcasts; orders⋈lineitem sort-merges on
+    * the order key. The top-N is a global sort of an already-aggregated
+    * (small) frame.
+    */
+  def q3ShippingPriority(spark: SparkSession, dir: String): DataFrame = {
+    val cutoff = "1998-03-15"
+    val c = Tables.customer(spark, dir)
+      .filter(col("c_mktsegment") === "BUILDING").select("c_custkey")
+    val o = Tables.orders(spark, dir)
+      .filter(col("o_orderdate") < lit(cutoff).cast("timestamp_ntz"))
+    val l = Tables.lineitem(spark, dir)
+      .filter(col("l_shipdate") > lit(cutoff).cast("timestamp_ntz"))
+    o.join(broadcast(c), col("o_custkey") === col("c_custkey"))
+      .join(l, col("o_orderkey") === col("l_orderkey"))
+      .groupBy(col("o_orderkey"),
+        date_format(col("o_orderdate"), "yyyy-MM-dd").as("orderdate"),
+        col("o_orderpriority"))
+      .agg(sum(dPrice * (one - dDisc)).cast("double").as("revenue"))
+      .orderBy(col("revenue").desc, col("o_orderkey"))
+      .limit(10)
+      .select("o_orderkey", "revenue", "orderdate", "o_orderpriority")
+  }
+
+  val q3Sql: String =
+    """SELECT o_orderkey,
+      |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(4,2)) - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE) AS revenue,
+      |  strftime(o_orderdate, '%Y-%m-%d') AS orderdate, o_orderpriority
+      |FROM customer
+      |JOIN orders ON c_custkey = o_custkey
+      |JOIN lineitem ON l_orderkey = o_orderkey
+      |WHERE c_mktsegment = 'BUILDING'
+      |  AND o_orderdate < TIMESTAMP '1998-03-15'
+      |  AND l_shipdate > TIMESTAMP '1998-03-15'
+      |GROUP BY o_orderkey, orderdate, o_orderpriority
+      |ORDER BY revenue DESC, o_orderkey LIMIT 10""".stripMargin
+
+  /** TPC-H Q5 local-supplier volume: 6-way join where every dim
+    * (customer, supplier, nation, region) broadcasts and the only big
+    * shuffle is orders⋈lineitem on the order key.
+    */
+  def q5LocalSupplier(spark: SparkSession, dir: String): DataFrame = {
+    val c = Tables.customer(spark, dir).select("c_custkey", "c_nationkey")
+    val o = Tables.orders(spark, dir)
+      .filter(col("o_orderdate") >= lit("1996-01-01").cast("timestamp_ntz") &&
+        col("o_orderdate") < lit("1997-01-01").cast("timestamp_ntz"))
+      .select("o_orderkey", "o_custkey")
+    val l = Tables.lineitem(spark, dir)
+      .select("l_orderkey", "l_suppkey", "l_extendedprice", "l_discount")
+    val s = Tables.supplier(spark, dir).select("s_suppkey", "s_nationkey")
+    val n = Tables.nation(spark, dir).select("n_nationkey", "n_name", "n_regionkey")
+    val r = Tables.region(spark, dir)
+      .filter(col("r_name") === "ASIA").select("r_regionkey")
+    o.join(l, col("o_orderkey") === col("l_orderkey"))
+      .join(broadcast(c), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(s), col("l_suppkey") === col("s_suppkey") &&
+        col("c_nationkey") === col("s_nationkey"))
+      .join(broadcast(n), col("s_nationkey") === col("n_nationkey"))
+      .join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
+      .groupBy(col("n_name"))
+      .agg(sum(dPrice * (one - dDisc)).cast("double").as("revenue"))
+      .orderBy(col("revenue").desc, col("n_name"))
+  }
+
+  val q5Sql: String =
+    """SELECT n_name,
+      |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(4,2)) - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE) AS revenue
+      |FROM customer, orders, lineitem, supplier, nation, region
+      |WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey
+      |  AND l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+      |  AND s_nationkey = n_nationkey AND n_regionkey = r_regionkey
+      |  AND r_name = 'ASIA'
+      |  AND o_orderdate >= TIMESTAMP '1996-01-01'
+      |  AND o_orderdate < TIMESTAMP '1997-01-01'
+      |GROUP BY n_name ORDER BY revenue DESC, n_name""".stripMargin
+
+  /** #24 — top-N (3) orders per customer by total price: one shuffle on
+    * the partition key, rank inside each partition. At 100 TB the same
+    * plan holds — no global sort, no collect.
+    */
+  def qTopnPerGroup(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("o_custkey")
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+    Tables.orders(spark, dir)
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 3)
+      .select(col("o_custkey"), col("rn").cast("long").as("rn"),
+        col("o_orderkey"), col("o_totalprice"))
+      .orderBy("o_custkey", "rn")
+  }
+
+  val qTopnPerGroupSql: String =
+    """SELECT o_custkey, CAST(rn AS BIGINT) AS rn, o_orderkey, o_totalprice FROM (
+      |  SELECT o_custkey, o_orderkey, o_totalprice,
+      |    ROW_NUMBER() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS rn
+      |  FROM orders)
+      |WHERE rn <= 3 ORDER BY o_custkey, rn""".stripMargin
+
   val q1Sql: String =
     """SELECT l_returnflag, l_linestatus,
       |  CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty,
