@@ -34,7 +34,11 @@ object SparkEntry {
     "q1_pricing_summary" -> (Olap.q1PricingSummary _),
     "q3_shipping_priority" -> (Olap.q3ShippingPriority _),
     "q5_local_supplier" -> (Olap.q5LocalSupplier _),
-    "q_topn_per_group" -> (Olap.qTopnPerGroup _)
+    "q_topn_per_group" -> (Olap.qTopnPerGroup _),
+    "q_text_langid" -> (Text.qTextLangid _),
+    "q_text_quality" -> (Text.qTextQuality _),
+    "q_token_count" -> (Text.qTokenCount _),
+    "q_doc_fingerprint" -> (Text.qDocFingerprint _)
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -58,6 +62,10 @@ object SparkEntry {
     "q1_pricing_summary" -> Olap.q1Sql,
     "q3_shipping_priority" -> Olap.q3Sql,
     "q5_local_supplier" -> Olap.q5Sql,
-    "q_topn_per_group" -> Olap.qTopnPerGroupSql
+    "q_topn_per_group" -> Olap.qTopnPerGroupSql,
+    "q_text_langid" -> Text.qTextLangidSql,
+    "q_text_quality" -> Text.qTextQualitySql,
+    "q_token_count" -> Text.qTokenCountSql,
+    "q_doc_fingerprint" -> Text.qDocFingerprintSql
   )
 }

@@ -1,0 +1,83 @@
+package graft.functions
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, ExpressionInfo}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType}
+
+/** Codegen'd cosine similarity over two double arrays (SURVEY.md §4:
+  * the one place built-ins can't express the semantics efficiently —
+  * `aggregate(zip_with(...))` builds an intermediate array per row;
+  * this expression is a single fused loop inside whole-stage codegen).
+  *
+  * Accumulation is an ascending-index left fold (dot, ‖a‖², ‖b‖² as
+  * independent accumulators), so results are bit-identical to any
+  * engine that folds left-to-right — which is what the DuckDB oracle
+  * does via `list_reduce(list_prepend(0.0, ...))`.
+  */
+case class CosineSimilarity(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = {
+    def ok(dt: DataType) = dt match {
+      case ArrayType(DoubleType, _) => true
+      case _ => false
+    }
+    if (ok(left.dataType) && ok(right.dataType)) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"cosine_sim expects (array<double>, array<double>), got " +
+        s"(${left.dataType.simpleString}, ${right.dataType.simpleString})")
+  }
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "cosine_sim"
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val n = math.min(x.numElements(), y.numElements())
+    var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+    while (i < n) {
+      val xi = x.getDouble(i); val yi = y.getDouble(i)
+      dot += xi * yi; na += xi * xi; nb += yi * yi
+      i += 1
+    }
+    dot / (math.sqrt(na) * math.sqrt(nb))
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val n = ctx.freshName("n")
+      val dot = ctx.freshName("dot")
+      val na = ctx.freshName("na")
+      val nb = ctx.freshName("nb")
+      val i = ctx.freshName("i")
+      val xi = ctx.freshName("xi")
+      val yi = ctx.freshName("yi")
+      s"""
+         |int $n = Math.min($a.numElements(), $b.numElements());
+         |double $dot = 0.0, $na = 0.0, $nb = 0.0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  double $xi = $a.getDouble($i);
+         |  double $yi = $b.getDouble($i);
+         |  $dot += $xi * $yi; $na += $xi * $xi; $nb += $yi * $yi;
+         |}
+         |${ev.value} = $dot / (Math.sqrt($na) * Math.sqrt($nb));
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): CosineSimilarity =
+    copy(left = newLeft, right = newRight)
+}
+
+object CosineSimilarity {
+  /** Registers `cosine_sim(a, b)` so operators can use it via expr(). */
+  def register(spark: SparkSession): Unit =
+    spark.sessionState.functionRegistry.registerFunction(
+      FunctionIdentifier("cosine_sim"),
+      new ExpressionInfo(classOf[CosineSimilarity].getName, "cosine_sim"),
+      (exprs: Seq[Expression]) => CosineSimilarity(exprs.head, exprs(1)))
+}

@@ -1,0 +1,143 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** Text-analysis operators for training-data pipelines (SURVEY.md §2.3
+  * #32-35): language-ID heuristic, quality scoring, token counting,
+  * document fingerprinting.
+  *
+  * Scale notes: every operator here is a pure per-row projection —
+  * zero shuffles beyond the presentation sort, fully inside whole-stage
+  * codegen (higher-order functions on split arrays, no UDFs). At
+  * 100 TB these run at parquet-scan speed.
+  */
+object Text {
+
+  /** Shared stopword list (tiny; inlined as a literal in both engines). */
+  private val Stopwords = Seq("the", "a", "of", "and", "to", "in", "is")
+  private val stopSqlList = Stopwords.map(w => s"'$w'").mkString(", ")
+
+  private def tokens = split(col("text"), " ")
+
+  /** #32 — n-gram/stopword language-ID heuristic: English stopword
+    * density over the token stream, thresholded against the labeled
+    * `lang` column.
+    */
+  def qTextLangid(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .withColumn("n_tokens",
+        size(filter(tokens, t => t =!= "")).cast("long"))
+      .withColumn("stop_ct",
+        size(filter(tokens, t => t.isin(Stopwords: _*))).cast("long"))
+      .withColumn("stop_ratio",
+        col("stop_ct").cast("double") / col("n_tokens"))
+      .withColumn("lang_pred",
+        when(col("stop_ratio") >= 0.04, "en").otherwise("unknown"))
+      .select("doc_id", "lang", "n_tokens", "stop_ratio", "lang_pred")
+      .orderBy("doc_id")
+
+  val qTextLangidSql: String =
+    s"""WITH t AS (
+       |  SELECT doc_id, lang,
+       |    CAST(len(list_filter(string_split(text, ' '), t -> t <> '')) AS BIGINT) AS n_tokens,
+       |    CAST(len(list_filter(string_split(text, ' '), t -> t IN ($stopSqlList))) AS BIGINT) AS stop_ct
+       |  FROM documents)
+       |SELECT doc_id, lang, n_tokens,
+       |  CAST(stop_ct AS DOUBLE) / n_tokens AS stop_ratio,
+       |  CASE WHEN CAST(stop_ct AS DOUBLE) / n_tokens >= 0.04 THEN 'en' ELSE 'unknown' END AS lang_pred
+       |FROM t ORDER BY doc_id""".stripMargin
+
+  /** #33 — quality score: token count, mean word length, punctuation
+    * ratio, stopword ratio combined into a bounded [0,1] score.
+    */
+  def qTextQuality(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .withColumn("n", length(col("text")).cast("long"))
+      .withColumn("n_tokens",
+        size(filter(tokens, t => t =!= "")).cast("long"))
+      .withColumn("stop_ct",
+        size(filter(tokens, t => t.isin(Stopwords: _*))).cast("long"))
+      .withColumn("mean_word_len",
+        length(regexp_replace(col("text"), " ", "")).cast("double") / col("n_tokens"))
+      .withColumn("punct_ratio",
+        (col("n") - length(regexp_replace(col("text"), "[^a-zA-Z0-9 ]", ""))).cast("double") / col("n"))
+      .withColumn("stopword_ratio",
+        col("stop_ct").cast("double") / col("n_tokens"))
+      .withColumn("quality_score",
+        lit(0.3) * least(lit(1.0), col("n_tokens") / 200.0) +
+          lit(0.4) * (lit(1.0) - col("punct_ratio")) +
+          lit(0.3) * least(lit(1.0), col("stopword_ratio") * 10.0))
+      .select("doc_id", "n_tokens", "mean_word_len", "punct_ratio",
+        "stopword_ratio", "quality_score")
+      .orderBy("doc_id")
+
+  val qTextQualitySql: String =
+    s"""WITH t AS (
+       |  SELECT doc_id, CAST(length(text) AS BIGINT) AS n,
+       |    CAST(len(list_filter(string_split(text, ' '), t -> t <> '')) AS BIGINT) AS n_tokens,
+       |    CAST(len(list_filter(string_split(text, ' '), t -> t IN ($stopSqlList))) AS BIGINT) AS stop_ct,
+       |    CAST(length(replace(text, ' ', '')) AS BIGINT) AS n_nospace,
+       |    CAST(length(regexp_replace(text, '[^a-zA-Z0-9 ]', '', 'g')) AS BIGINT) AS n_clean
+       |  FROM documents),
+       |m AS (
+       |  SELECT doc_id, n_tokens,
+       |    CAST(n_nospace AS DOUBLE) / n_tokens AS mean_word_len,
+       |    CAST(n - n_clean AS DOUBLE) / n AS punct_ratio,
+       |    CAST(stop_ct AS DOUBLE) / n_tokens AS stopword_ratio
+       |  FROM t)
+       |SELECT doc_id, n_tokens, mean_word_len, punct_ratio, stopword_ratio,
+       |  0.3 * least(1.0, n_tokens / 200.0) + 0.4 * (1.0 - punct_ratio)
+       |    + 0.3 * least(1.0, stopword_ratio * 10.0) AS quality_score
+       |FROM m ORDER BY doc_id""".stripMargin
+
+  /** #34 — token counting: whitespace tokens, a BPE-ish regex token
+    * count (letter runs / digit runs / single punctuation), and the
+    * chars/4 approximation.
+    */
+  def qTokenCount(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .withColumn("ws_tokens",
+        size(filter(tokens, t => t =!= "")).cast("long"))
+      .withColumn("bpe_tokens",
+        regexp_count(col("text"), lit("[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9 ]")).cast("long"))
+      .withColumn("approx_tokens",
+        ceil(length(col("text")) / 4.0).cast("long"))
+      .select("doc_id", "ws_tokens", "bpe_tokens", "approx_tokens")
+      .orderBy("doc_id")
+
+  val qTokenCountSql: String =
+    """SELECT doc_id,
+      |  CAST(len(list_filter(string_split(text, ' '), t -> t <> '')) AS BIGINT) AS ws_tokens,
+      |  CAST(len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9 ]')) AS BIGINT) AS bpe_tokens,
+      |  CAST(ceil(length(text) / 4.0) AS BIGINT) AS approx_tokens
+      |FROM documents ORDER BY doc_id""".stripMargin
+
+  /** #35 — document fingerprinting: md5 of the normalized text plus a
+    * 31-polynomial rolling hash mod 1e9+7 over the character stream
+    * (a left fold, same order both engines).
+    */
+  def qDocFingerprint(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .withColumn("norm",
+        trim(regexp_replace(lower(col("text")), " +", " ")))
+      .withColumn("fp_md5", md5(col("norm")))
+      .withColumn("rolling_hash",
+        aggregate(
+          transform(split(col("norm"), ""), c => ascii(c).cast("long")),
+          lit(0L),
+          (acc, x) => (acc * 31 + x) % 1000000007L))
+      .select("doc_id", "fp_md5", "rolling_hash")
+      .orderBy("doc_id")
+
+  val qDocFingerprintSql: String =
+    """WITH t AS (
+      |  SELECT doc_id, trim(regexp_replace(lower(text), ' +', ' ', 'g')) AS norm FROM documents)
+      |SELECT doc_id, md5(norm) AS fp_md5,
+      |  list_reduce(
+      |    list_prepend(CAST(0 AS BIGINT),
+      |      list_transform(string_split(norm, ''), c -> CAST(ascii(c) AS BIGINT))),
+      |    (acc, x) -> (acc * 31 + x) % 1000000007) AS rolling_hash
+      |FROM t ORDER BY doc_id""".stripMargin
+}
