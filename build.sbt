@@ -11,6 +11,10 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Forked run output passes straight through to sbt's stdout WITHOUT the
+// "[info] " line prefix — the bench driver greps stdout for a raw
+// {"metric":...} JSON line and the prefix broke its parse in round 2.
+run / outputStrategy := Some(OutputStrategy.StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().
