@@ -38,7 +38,11 @@ object SparkEntry {
     "q_text_langid" -> (Text.qTextLangid _),
     "q_text_quality" -> (Text.qTextQuality _),
     "q_token_count" -> (Text.qTokenCount _),
-    "q_doc_fingerprint" -> (Text.qDocFingerprint _)
+    "q_doc_fingerprint" -> (Text.qDocFingerprint _),
+    "q_dedup_exact" -> (Dedup.qDedupExact _),
+    "q_dedup_ngram_jaccard" -> (Dedup.qDedupNgramJaccard _),
+    "q_dedup_minhash_lsh" -> (Dedup.qDedupMinhashLsh _),
+    "q_dedup_simhash" -> (Dedup.qDedupSimhash _)
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -66,6 +70,10 @@ object SparkEntry {
     "q_text_langid" -> Text.qTextLangidSql,
     "q_text_quality" -> Text.qTextQualitySql,
     "q_token_count" -> Text.qTokenCountSql,
-    "q_doc_fingerprint" -> Text.qDocFingerprintSql
+    "q_doc_fingerprint" -> Text.qDocFingerprintSql,
+    "q_dedup_exact" -> Dedup.qDedupExactSql,
+    "q_dedup_ngram_jaccard" -> Dedup.qDedupNgramJaccardSql
+    // q_dedup_minhash_lsh / q_dedup_simhash: rows-only (seeded xxhash64
+    // signatures have no DuckDB equivalent — SURVEY.md §2.3).
   )
 }
