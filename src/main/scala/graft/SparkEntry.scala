@@ -42,7 +42,10 @@ object SparkEntry {
     "q_dedup_exact" -> (Dedup.qDedupExact _),
     "q_dedup_ngram_jaccard" -> (Dedup.qDedupNgramJaccard _),
     "q_dedup_minhash_lsh" -> (Dedup.qDedupMinhashLsh _),
-    "q_dedup_simhash" -> (Dedup.qDedupSimhash _)
+    "q_dedup_simhash" -> (Dedup.qDedupSimhash _),
+    "q_dedup_embedding" -> (Similarity.qDedupEmbedding _),
+    "q_ann_cosine_topk" -> (Similarity.qAnnCosineTopk _),
+    "q_ann_ivf" -> (Similarity.qAnnIvf _)
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -72,8 +75,12 @@ object SparkEntry {
     "q_token_count" -> Text.qTokenCountSql,
     "q_doc_fingerprint" -> Text.qDocFingerprintSql,
     "q_dedup_exact" -> Dedup.qDedupExactSql,
-    "q_dedup_ngram_jaccard" -> Dedup.qDedupNgramJaccardSql
+    "q_dedup_ngram_jaccard" -> Dedup.qDedupNgramJaccardSql,
     // q_dedup_minhash_lsh / q_dedup_simhash: rows-only (seeded xxhash64
     // signatures have no DuckDB equivalent — SURVEY.md §2.3).
+    "q_dedup_embedding" -> Similarity.qDedupEmbeddingSql,
+    "q_ann_cosine_topk" -> Similarity.qAnnCosineTopkSql
+    // q_ann_ivf: rows-only (SURVEY.md §2.3 #31); recall vs the exact
+    // baseline is asserted in AnnSpec instead.
   )
 }

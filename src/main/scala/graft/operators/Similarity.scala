@@ -1,0 +1,207 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.functions.CosineSimilarity
+
+/** Embedding similarity operators (SURVEY.md §2.3 #29-31): near-dup
+  * detection, brute-force cosine top-k ANN, and IVF ANN.
+  *
+  * All cosine math goes through the codegen'd [[CosineSimilarity]]
+  * expression — a single fused ascending-index loop whose result is
+  * bit-identical to the DuckDB oracle's `list_reduce` left folds, so
+  * float outputs need no rounding to hash-match.
+  *
+  * Scale design (SURVEY.md §5):
+  * - #29 is candidate-join shaped: deterministic random-hyperplane LSH
+  *   buckets (8 bands × 4 sign bits) are the only pair-producing join
+  *   key; exact cosine verification touches candidates only. Band/bit
+  *   counts are parameters — at 100 TB you raise bits-per-band so
+  *   bucket occupancy stays bounded; recall near τ here is ≈80%
+  *   (identical, deterministically, in both engines).
+  * - #30 brute top-k broadcasts the small query set (never the corpus)
+  *   and keeps a per-query heap via window rank — one corpus scan, one
+  *   shuffle on q_id. It is the exact baseline; #31 is the scale path.
+  * - #31 IVF bounds the scanned fraction: nearest-of-10-centroids cell
+  *   assignment (broadcast centroids), probe the top-2 cells per query
+  *   → ~20% of the corpus scanned per query at any scale.
+  */
+object Similarity {
+
+  private val CosineTau = 0.45
+  private val Dim = 64
+  private val Planes = 32           // 8 bands × 4 sign bits
+  private val Bands = 8
+  private val BitsPerBand = Planes / Bands
+  private val TopK = 5
+  private val NQueries = 10
+
+  /** Deterministic LCG "random" hyperplanes, exactly representable as
+    * doubles (denominator 2^31) so the literal values embedded in the
+    * oracle SQL round-trip bit-identically.
+    */
+  private val hyperplanes: Array[Array[Double]] =
+    Array.tabulate(Planes, Dim) { (p, d) =>
+      ((1103515245L * (p * Dim + d) + 12345L) % 2147483648L).toDouble / 2147483648.0 - 0.5
+    }
+
+  /** The codegen'd expression, via the session registry (public API). */
+  private def cosine(a: Column, b: Column): Column =
+    call_function("cosine_sim", a, b)
+
+  /** embeddings with the float vector cast to array<double> (column v);
+    * also (idempotently) registers the cosine_sim expression.
+    */
+  private def emb(spark: SparkSession, dir: String): DataFrame = {
+    CosineSimilarity.register(spark)
+    Tables.embeddings(spark, dir)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+  }
+
+  /** Ascending left-fold dot product with a literal hyperplane —
+    * matches the oracle's list_reduce(list_prepend(0.0, ...)).
+    */
+  private def planeDot(v: Column, p: Int): Column =
+    aggregate(
+      zip_with(v, array(hyperplanes(p).map(lit).toSeq: _*), (x, h) => x * h),
+      lit(0.0), (acc, x) => acc + x)
+
+  /** Per-band integer bucket from the sign bits of 4 plane dots. */
+  private def bandBucket(v: Column, band: Int): Column =
+    (0 until BitsPerBand).map { r =>
+      when(planeDot(v, band * BitsPerBand + r) > 0, lit(1 << r)).otherwise(lit(0))
+    }.reduce(_ + _)
+
+  /** #29 — embedding near-dup pairs: sign-LSH candidates, exact cosine
+    * ≥ τ verification on candidates only.
+    */
+  def qDedupEmbedding(spark: SparkSession, dir: String): DataFrame = {
+    val e = emb(spark, dir)
+    val buckets = e.select(col("vec_id"), col("v"),
+      posexplode(array((0 until Bands).map(b => bandBucket(col("v"), b)): _*))
+        .as(Seq("band", "bucket")))
+    val cand = buckets.select(col("vec_id").as("vec_a"), col("v").as("va"),
+        col("band"), col("bucket"))
+      .join(buckets.select(col("vec_id").as("vec_b"), col("v").as("vb"),
+        col("band"), col("bucket")), Seq("band", "bucket"))
+      .where(col("vec_a") < col("vec_b"))
+      .groupBy("vec_a", "vec_b")
+      .agg(first(col("va")).as("va"), first(col("vb")).as("vb"))
+    cand
+      .withColumn("cos", cosine(col("va"), col("vb")))
+      .where(col("cos") >= CosineTau)
+      .select("vec_a", "vec_b", "cos")
+      .orderBy("vec_a", "vec_b")
+  }
+
+  /** Oracle-side SQL fragments: hyperplane literals + identical folds. */
+  private def hpSqlLiteral(p: Int): String =
+    hyperplanes(p).mkString("[", ", ", "]")
+
+  private def planeDotSql(v: String, p: Int): String =
+    s"list_reduce(list_prepend(0.0, list_transform(range(1, ${Dim + 1}), i -> $v[i] * (${hpSqlLiteral(p)})[i])), (acc, x) -> acc + x)"
+
+  private def bandBucketSql(v: String, band: Int): String =
+    (0 until BitsPerBand).map { r =>
+      s"(CASE WHEN ${planeDotSql(v, band * BitsPerBand + r)} > 0 THEN ${1 << r} ELSE 0 END)"
+    }.mkString(" + ")
+
+  private val cosineSqlAB =
+    s"""list_reduce(list_prepend(0.0, list_transform(range(1, ${Dim + 1}), i -> va[i] * vb[i])), (acc, x) -> acc + x)
+       | / (sqrt(list_reduce(list_prepend(0.0, list_transform(range(1, ${Dim + 1}), i -> va[i] * va[i])), (acc, x) -> acc + x))
+       |    * sqrt(list_reduce(list_prepend(0.0, list_transform(range(1, ${Dim + 1}), i -> vb[i] * vb[i])), (acc, x) -> acc + x)))""".stripMargin
+
+  val qDedupEmbeddingSql: String = {
+    val bucketRows = (0 until Bands).map(b =>
+      s"SELECT vec_id, v, $b AS band, ${bandBucketSql("v", b)} AS bucket FROM e")
+      .mkString("\nUNION ALL\n")
+    s"""WITH e AS (
+       |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+       |  FROM embeddings),
+       |buckets AS (
+       |$bucketRows),
+       |cand AS (
+       |  SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
+       |  FROM buckets a JOIN buckets b
+       |    ON a.band = b.band AND a.bucket = b.bucket AND a.vec_id < b.vec_id),
+       |scored AS (
+       |  SELECT vec_a, vec_b, $cosineSqlAB AS cos
+       |  FROM (SELECT vec_a, vec_b, ea.v AS va, eb.v AS vb
+       |        FROM cand JOIN e ea ON vec_a = ea.vec_id JOIN e eb ON vec_b = eb.vec_id))
+       |SELECT vec_a, vec_b, cos FROM scored
+       |WHERE cos >= $CosineTau ORDER BY vec_a, vec_b""".stripMargin
+  }
+
+  /** #30 — brute-force cosine top-k: broadcast the 10-query set against
+    * the corpus (BroadcastNestedLoopJoin — linear in corpus size, the
+    * exact-answer baseline), rank per query, keep k=5.
+    */
+  def qAnnCosineTopk(spark: SparkSession, dir: String): DataFrame = {
+    val e = emb(spark, dir)
+    val q = e.where(col("vec_id") < NQueries)
+      .select(col("vec_id").as("q_id"), col("v").as("qv"))
+    val w = Window.partitionBy("q_id").orderBy(col("cos").desc, col("vec_id"))
+    e.crossJoin(broadcast(q))
+      .where(col("vec_id") =!= col("q_id"))
+      .withColumn("cos", cosine(col("qv"), col("v")))
+      .withColumn("rank", row_number().over(w))
+      .where(col("rank") <= TopK)
+      .select("q_id", "rank", "vec_id", "cos")
+      .orderBy("q_id", "rank")
+  }
+
+  val qAnnCosineTopkSql: String =
+    s"""WITH e AS (
+       |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+       |  FROM embeddings),
+       |q AS (SELECT vec_id AS q_id, v AS qv FROM e WHERE vec_id < $NQueries),
+       |scored AS (
+       |  SELECT q_id, vec_id,
+       |    list_reduce(list_prepend(0.0, list_transform(range(1, ${Dim + 1}), i -> qv[i] * v[i])), (acc, x) -> acc + x)
+       |     / (sqrt(list_reduce(list_prepend(0.0, list_transform(range(1, ${Dim + 1}), i -> qv[i] * qv[i])), (acc, x) -> acc + x))
+       |        * sqrt(list_reduce(list_prepend(0.0, list_transform(range(1, ${Dim + 1}), i -> v[i] * v[i])), (acc, x) -> acc + x))) AS cos
+       |  FROM q JOIN e ON vec_id <> q_id),
+       |ranked AS (
+       |  SELECT q_id, vec_id, cos,
+       |    row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, vec_id) AS rank
+       |  FROM scored)
+       |SELECT q_id, rank, vec_id, cos FROM ranked
+       |WHERE rank <= $TopK ORDER BY q_id, rank""".stripMargin
+
+  /** #31 — deterministic IVF ANN (rows-only gate): centroids = the 10
+    * vectors with vec_id % 50 == 0; every vector is assigned to its
+    * nearest centroid (broadcast argmax); each query probes its top-2
+    * centroid cells and scans only those cells (~20% of the corpus).
+    * The spec checks recall against the #30 exact baseline.
+    */
+  def qAnnIvf(spark: SparkSession, dir: String): DataFrame = {
+    val NProbe = 2
+    val e = emb(spark, dir)
+    val cents = e.where(col("vec_id") % 50 === 0)
+      .select(col("vec_id").as("cent_id"), col("v").as("cv"))
+    val wAssign = Window.partitionBy("vec_id").orderBy(col("ccos").desc, col("cent_id"))
+    val assigned = e.crossJoin(broadcast(cents))
+      .withColumn("ccos", cosine(col("cv"), col("v")))
+      .withColumn("crank", row_number().over(wAssign))
+      .where(col("crank") === 1)
+      .select(col("vec_id"), col("v"), col("cent_id").as("cell"))
+    val q = e.where(col("vec_id") < NQueries)
+      .select(col("vec_id").as("q_id"), col("v").as("qv"))
+    val wProbe = Window.partitionBy("q_id").orderBy(col("ccos").desc, col("cent_id"))
+    val probes = q.crossJoin(broadcast(cents))
+      .withColumn("ccos", cosine(col("cv"), col("qv")))
+      .withColumn("crank", row_number().over(wProbe))
+      .where(col("crank") <= NProbe)
+      .select(col("q_id"), col("qv"), col("cent_id").as("cell"))
+    val wTop = Window.partitionBy("q_id").orderBy(col("cos").desc, col("vec_id"))
+    probes.join(assigned, "cell")
+      .where(col("vec_id") =!= col("q_id"))
+      .withColumn("cos", cosine(col("qv"), col("v")))
+      .withColumn("rank", row_number().over(wTop))
+      .where(col("rank") <= TopK)
+      .select("q_id", "rank", "vec_id", "cos")
+      .orderBy("q_id", "rank")
+  }
+}
