@@ -45,7 +45,8 @@ object SparkEntry {
     "q_dedup_simhash" -> (Dedup.qDedupSimhash _),
     "q_dedup_embedding" -> (Similarity.qDedupEmbedding _),
     "q_ann_cosine_topk" -> (Similarity.qAnnCosineTopk _),
-    "q_ann_ivf" -> (Similarity.qAnnIvf _)
+    "q_ann_ivf" -> (Similarity.qAnnIvf _),
+    "q_multimodal_meta" -> (Multimodal.qMultimodalMeta _)
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -79,8 +80,9 @@ object SparkEntry {
     // q_dedup_minhash_lsh / q_dedup_simhash: rows-only (seeded xxhash64
     // signatures have no DuckDB equivalent — SURVEY.md §2.3).
     "q_dedup_embedding" -> Similarity.qDedupEmbeddingSql,
-    "q_ann_cosine_topk" -> Similarity.qAnnCosineTopkSql
+    "q_ann_cosine_topk" -> Similarity.qAnnCosineTopkSql,
     // q_ann_ivf: rows-only (SURVEY.md §2.3 #31); recall vs the exact
     // baseline is asserted in AnnSpec instead.
+    "q_multimodal_meta" -> Multimodal.qMultimodalMetaSql
   )
 }
