@@ -1,0 +1,59 @@
+package graft
+
+/** Physical-plan assertions (SURVEY.md §5): dims broadcast, no
+  * accidental cartesian products, candidate joins stay equi-keyed.
+  * These guard the 100 TB properties that row-count gates can't see.
+  */
+class PlanSpec extends SparkSpec {
+
+  private def plan(name: String): String =
+    SparkEntry.queries(name)(spark, sf).queryExecution.executedPlan.toString
+
+  test("order enrichment broadcasts all six dimension joins") {
+    val p = plan("q_order_enriched")
+    val broadcasts = "BroadcastHashJoin".r.findAllIn(p).size
+    assert(broadcasts >= 6, s"expected >=6 broadcast joins, got $broadcasts:\n$p")
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("interval joins plan as equi-joins with range residuals, not cartesian") {
+    Seq("q_order_wide", "q_payment_wide", "q_event_interval_join").foreach { q =>
+      val p = plan(q)
+      assert(!p.contains("CartesianProduct"), s"$q degenerated to cartesian:\n$p")
+      assert(!p.contains("BroadcastNestedLoopJoin") || q == "q_event_interval_join",
+        s"$q uses nested-loop join")
+    }
+  }
+
+  test("no registered query degenerates to CartesianProduct") {
+    SparkEntry.queries.keys.foreach { q =>
+      val p = plan(q)
+      assert(!p.contains("CartesianProduct"), s"$q contains CartesianProduct")
+    }
+  }
+
+  test("ANN brute force broadcasts the query side, never the corpus") {
+    // BroadcastNestedLoopJoin is the sanctioned plan here (10-row query
+    // set against the corpus — linear, not quadratic); the broadcast
+    // must be the small side.
+    val p = plan("q_ann_cosine_topk")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"),
+      s"expected broadcast of the query set:\n$p")
+  }
+
+  test("candidate dedup joins shuffle on the candidate key (equi join)") {
+    Seq("q_dedup_ngram_jaccard", "q_dedup_minhash_lsh", "q_dedup_simhash",
+      "q_dedup_embedding").foreach { q =>
+      val p = plan(q)
+      assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+        s"$q is not candidate-join shaped:\n$p")
+    }
+  }
+
+  test("parquet scans push filters down (events filtered by event_type)") {
+    val p = SparkEntry.queries("q_event_interval_join")(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(p.contains("PushedFilters") && p.contains("event_type"),
+      s"event_type filter not pushed to scan:\n$p")
+  }
+}

@@ -1,0 +1,29 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Shared local SparkSession for all specs (one JVM-wide session — sbt
+  * forks a single test JVM, so suites reuse it via getOrCreate).
+  */
+trait SparkSpec extends AnyFunSuite with BeforeAndAfterAll {
+  lazy val spark: SparkSession = SparkSpec.session
+  /** sf0.01: large enough that every operator produces rows. */
+  val sf: String = "/root/testdata/sf0.01"
+  val sfTiny: String = "/root/testdata/sf0.001"
+}
+
+object SparkSpec {
+  lazy val session: SparkSession = {
+    val s = SparkSession.builder()
+      .master("local[4]")
+      .appName("graft-test")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    s.sparkContext.setLogLevel("WARN")
+    s
+  }
+}
