@@ -1,0 +1,197 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** A behavior-log event as seen by the streaming layer (`ts` is the
+  * event-time column watermarks attach to; `ts_us` the epoch-micros
+  * mirror used for arithmetic).
+  */
+case class LogEvent(
+    event_id: Long,
+    user_id: Long,
+    event_type: String,
+    ts: java.sql.Timestamp,
+    ts_us: Long,
+    value: Double,
+    props: String)
+
+case class FirstVisit(user_id: Long, day: String, event_id: Long, ts_us: Long)
+
+case class Jump(user_id: Long, event_id: Long, ts_us: Long)
+
+/** Per-user state for daily-first-visit dedup: the days already
+  * emitted (bounded by the state TTL / event-time timeout).
+  */
+case class DayState(days: Seq[String])
+
+/** Per-user state for jump detection: the view event awaiting its
+  * follow-up (sentinel ids when empty).
+  */
+case class PendingView(event_id: Long, ts_us: Long)
+
+/** Structured Streaming equivalents of the reference's streaming apps
+  * (SURVEY.md §2.1 #16-20). Each op is a pure stream→stream transform
+  * (readStream → op → writeStream), so specs drive them with
+  * MemoryStream and production wires them to any source/sink.
+  *
+  * Scale notes: every stateful op keys by user_id — state is
+  * hash-partitioned across executors and bounded via watermark-driven
+  * event-time timeouts (the Spark-native replacement for the
+  * reference's keyed-state TTLs, UniqueVisitApp.java:44-50). Windowed
+  * aggregation state is bounded by the watermark; the interval join
+  * buffers only the watermark-deep tail of each side.
+  */
+object Streams {
+
+  /** #16 — BaseLogApp (BaseLogApp.java:33-116): validity-check + route
+    * one log stream into page / start / dirty. Pure per-row projection
+    * (stateless — runs at source parallelism; identical semantics to
+    * the batch q_etl_json_route).
+    */
+  def routeLogs(events: DataFrame): DataFrame =
+    events
+      .withColumn("k", get_json_object(col("props"), "$.k").cast("long"))
+      .withColumn("route",
+        when(col("k").isNull || col("user_id").isNull, "dirty")
+          .when(col("event_type") === "error", "dirty")
+          .when(col("event_type") === "signup", "start")
+          .otherwise("page"))
+
+  /** Multi-sink side of #16: one parquet dir per route (the side-output
+    * pattern — dirty records get a dead-letter sink instead of being
+    * dropped, BaseLogApp.java:32-45).
+    */
+  def writeRouted(routed: DataFrame, outDir: String, checkpointDir: String) =
+    routed.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .outputMode(OutputMode.Append)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        batch.persist()
+        Seq("page", "start", "dirty").foreach { r =>
+          batch.filter(col("route") === r)
+            .write.mode("append").parquet(s"$outDir/route=$r")
+        }
+        batch.unpersist(); ()
+      }
+
+  /** #17 — UniqueVisitApp (UniqueVisitApp.java:37-71): per-user daily
+    * first-visit dedup. Keyed state = the set of days already emitted,
+    * expired by event-time timeout once the watermark passes the last
+    * day (the ValueState + 24h TTL of the reference).
+    */
+  def uniqueVisits(events: Dataset[LogEvent]): Dataset[FirstVisit] = {
+    import events.sparkSession.implicits._
+    events
+      .withWatermark("ts", "1 day")
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[DayState, FirstVisit](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (userId: Long, it: Iterator[LogEvent], state: GroupState[DayState]) =>
+          if (state.hasTimedOut) {
+            state.remove()
+            Iterator.empty
+          } else {
+            val seen = state.getOption.map(_.days.toSet).getOrElse(Set.empty)
+            val sorted = it.toSeq.sortBy(e => (e.ts_us, e.event_id))
+            val out = Vector.newBuilder[FirstVisit]
+            var days = seen
+            var maxTs = 0L
+            sorted.foreach { e =>
+              val day = java.time.Instant.ofEpochMilli(e.ts_us / 1000)
+                .toString.substring(0, 10)
+              if (!days.contains(day)) {
+                days += day
+                out += FirstVisit(userId, day, e.event_id, e.ts_us)
+              }
+              maxTs = math.max(maxTs, e.ts_us)
+            }
+            state.update(DayState(days.toSeq.sorted))
+            // expire the whole key one day after its newest event
+            state.setTimeoutTimestamp(maxTs / 1000 + 24L * 3600 * 1000)
+            out.result().iterator
+          }
+      }
+  }
+
+  /** #18 — OrderWideApp/PaymentWideApp interval join
+    * (OrderWideApp.java:84-90): views joined to the same user's
+    * purchases within the following 10 minutes. Stream-stream inner
+    * join; watermarks bound both buffers, the time-range condition
+    * bounds the state the engine retains per side.
+    */
+  def intervalJoin(views: DataFrame, purchases: DataFrame): DataFrame = {
+    val v = views
+      .select(col("event_id").as("view_id"), col("user_id"),
+        col("ts").as("v_ts"), col("ts_us").as("v_ts_us"))
+      .withWatermark("v_ts", "10 minutes")
+    val p = purchases
+      .select(col("event_id").as("purchase_id"), col("user_id").as("p_user"),
+        col("ts").as("p_ts"), col("ts_us").as("p_ts_us"))
+      .withWatermark("p_ts", "10 minutes")
+    v.join(p,
+      col("user_id") === col("p_user") &&
+        col("p_ts") > col("v_ts") &&
+        col("p_ts") <= col("v_ts") + expr("INTERVAL 10 MINUTES"))
+      .select(col("view_id"), col("purchase_id"), col("user_id"),
+        (col("p_ts_us") - col("v_ts_us")).as("gap_us"))
+  }
+
+  /** #19 — VisitorStatsApp (VisitorStatsApp.java:41-152): event-time
+    * tumbling-window multi-measure aggregation per cohort dimension.
+    * Exact distincts are not available incrementally — the streaming
+    * path uses HLL (approx_count_distinct), the documented trade vs the
+    * batch q_visitor_stats.
+    */
+  def visitorStats(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "1 hour")
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(
+        count(lit(1)).as("pv"),
+        approx_count_distinct("user_id").as("uv_approx"),
+        sum("value").as("value_sum"))
+      .select(col("window.start").as("window_start"), col("event_type"),
+        col("pv"), col("uv_approx"), col("value_sum"))
+
+  /** #20 — UserJumpDetailApp CEP (UserJumpDetailApp.java:54-104): a
+    * view with no follow-up event within 10 minutes is a jump. The
+    * two-pattern CEP is re-expressed as keyed state: the last view
+    * waits either for the next event (gap check) or for the event-time
+    * timeout (the reference's `within(10s)` timer).
+    */
+  def userJumps(events: Dataset[LogEvent]): Dataset[Jump] = {
+    import events.sparkSession.implicits._
+    val TenMinUs = 10L * 60 * 1000 * 1000
+    events
+      .withWatermark("ts", "10 minutes")
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[PendingView, Jump](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (userId: Long, it: Iterator[LogEvent], state: GroupState[PendingView]) =>
+          if (state.hasTimedOut) {
+            val p = state.get
+            state.remove()
+            Iterator.single(Jump(userId, p.event_id, p.ts_us))
+          } else {
+            val sorted = it.toSeq.sortBy(e => (e.ts_us, e.event_id))
+            val out = Vector.newBuilder[Jump]
+            var pending = state.getOption
+            sorted.foreach { e =>
+              pending.foreach { p =>
+                if (e.ts_us - p.ts_us > TenMinUs) out += Jump(userId, p.event_id, p.ts_us)
+              }
+              pending = if (e.event_type == "view") Some(PendingView(e.event_id, e.ts_us)) else None
+            }
+            pending match {
+              case Some(p) =>
+                state.update(p)
+                state.setTimeoutTimestamp(p.ts_us / 1000 + TenMinUs / 1000 + 1)
+              case None => if (state.exists) state.remove()
+            }
+            out.result().iterator
+          }
+      }
+  }
+}

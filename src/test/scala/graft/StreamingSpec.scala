@@ -1,0 +1,162 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import graft.streaming._
+
+/** MemoryStream-driven specs for the Structured Streaming equivalents
+  * (SURVEY.md §2.1 #16-20). The driver's batch gate can't execute
+  * these; consistency with the batch operators on the same events is
+  * asserted here instead.
+  */
+class StreamingSpec extends SparkSpec {
+
+  /** sf0.001 events as LogEvent rows (null users mapped to the -1
+    * sentinel the routing marks dirty; stateful ops key by user).
+    */
+  private lazy val logEvents: Seq[LogEvent] = {
+    val rows = Tables.events(spark, sfTiny)
+      .select("event_id", "user_id", "event_type", "ts_us", "value", "props")
+      .collect()
+    rows.toIndexedSeq.map { r =>
+      val tsUs =
+        if (r.isNullAt(3)) 0L else r.getLong(3)
+      LogEvent(
+        event_id = r.getLong(0),
+        user_id = if (r.isNullAt(1)) -1L else r.getLong(1),
+        event_type = r.getString(2),
+        ts = new java.sql.Timestamp(tsUs / 1000),
+        ts_us = tsUs,
+        value = if (r.isNullAt(4)) 0.0 else r.getDouble(4),
+        props = if (r.isNullAt(5)) null else r.getString(5))
+    }
+  }
+
+  private def runAppend[T](stream: MemoryStream[LogEvent],
+      out: Dataset[T], name: String,
+      batches: Seq[Seq[LogEvent]]): DataFrame = {
+    val q = out.writeStream.format("memory").queryName(name)
+      .outputMode("append").start()
+    try {
+      batches.foreach { b => stream.addData(b); q.processAllAvailable() }
+    } finally q.stop()
+    spark.table(name)
+  }
+
+  test("stream_base_log routes identically to the batch ETL") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val ms = MemoryStream[LogEvent]
+    val routed = Streams.routeLogs(
+      ms.toDF().withColumn("user_id", when(col("user_id") === -1L, lit(null)).otherwise(col("user_id"))))
+    val q = routed.writeStream.format("memory").queryName("base_log")
+      .outputMode("append").start()
+    try { ms.addData(logEvents); q.processAllAvailable() } finally q.stop()
+    val streamCounts = spark.table("base_log")
+      .groupBy("route").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val batchCounts = SparkEntry.queries("q_etl_json_route")(spark, sfTiny)
+      .groupBy("route").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(streamCounts == batchCounts)
+  }
+
+  test("stream_base_log multi-sink writes one dir per route") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val tmp = java.nio.file.Files.createTempDirectory("graft_route_").toString
+    val ms = MemoryStream[LogEvent]
+    val q = Streams.writeRouted(Streams.routeLogs(ms.toDF()),
+      s"$tmp/out", s"$tmp/ckpt").start()
+    try { ms.addData(logEvents.take(100)); q.processAllAvailable() } finally q.stop()
+    val total = Seq("page", "start", "dirty").map { r =>
+      spark.read.parquet(s"$tmp/out/route=$r").count()
+    }.sum
+    assert(total == 100, s"multi-sink lost rows: $total/100")
+  }
+
+  test("stream_unique_visit matches batch per-user daily first events") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val ms = MemoryStream[LogEvent]
+    val events = logEvents.filter(_.user_id >= 0)
+    // two batches to exercise state carried across triggers
+    val (b1, b2) = events.splitAt(events.length / 2)
+    val out = runAppend(ms, Streams.uniqueVisits(ms.toDS()), "uv", Seq(b1, b2))
+    val got = out.select("user_id", "day").distinct()
+    val want = Tables.events(spark, sfTiny)
+      .where(col("user_id").isNotNull)
+      .select(col("user_id"),
+        date_format(timestamp_micros(col("ts_us")), "yyyy-MM-dd").as("day"))
+      .distinct()
+    assert(got.exceptAll(want).count() == 0 && want.exceptAll(got).count() == 0,
+      "stream UV (user, day) set differs from batch")
+  }
+
+  test("stream_interval_join matches the batch interval join") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val msV = MemoryStream[LogEvent]
+    val msP = MemoryStream[LogEvent]
+    val joined = Streams.intervalJoin(
+      msV.toDF().where(col("event_type") === "view"),
+      msP.toDF().where(col("event_type") === "purchase"))
+    val q = joined.writeStream.format("memory").queryName("ij")
+      .outputMode("append").start()
+    try {
+      val evs = logEvents.filter(_.user_id >= 0)
+      msV.addData(evs); msP.addData(evs)
+      q.processAllAvailable()
+    } finally q.stop()
+    val got = spark.table("ij").select("view_id", "purchase_id", "gap_us")
+    val want = SparkEntry.queries("q_event_interval_join")(spark, sfTiny)
+      .select("view_id", "purchase_id", "gap_us")
+    assert(got.exceptAll(want).count() == 0 && want.exceptAll(got).count() == 0,
+      "stream interval join differs from batch")
+  }
+
+  test("stream_visitor_stats: windowed multi-measure agg (complete mode)") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val ms = MemoryStream[LogEvent]
+    val stats = Streams.visitorStats(ms.toDF())
+    val q = stats.writeStream.format("memory").queryName("vs")
+      .outputMode("complete").start()
+    try { ms.addData(logEvents.filter(_.user_id >= 0)); q.processAllAvailable() } finally q.stop()
+    val got = spark.table("vs")
+    val want = Tables.events(spark, sfTiny)
+      .where(col("user_id").isNotNull)
+      .withColumn("ts", timestamp_micros(col("ts_us")))
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("pv"),
+        approx_count_distinct("user_id").as("uv_approx"),
+        sum(coalesce(col("value"), lit(0.0))).as("value_sum"))
+      .select(col("window.start").as("window_start"), col("event_type"),
+        col("pv"), col("uv_approx"), col("value_sum"))
+    assert(got.exceptAll(want).count() == 0 && want.exceptAll(got).count() == 0,
+      "stream visitor stats differ from the batch equivalent")
+  }
+
+  test("stream_user_jump matches the batch lead()-based jump detection") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val ms = MemoryStream[LogEvent]
+    val events = logEvents.filter(_.user_id >= 0)
+    // flush sentinel per user, far in the future: forces every trailing
+    // pending view to see a next event > 10 min later (same effect the
+    // batch lead()=NULL branch has), without relying on timeout timing.
+    val maxTs = events.map(_.ts_us).max
+    val flush = events.map(_.user_id).distinct.zipWithIndex.map { case (u, i) =>
+      LogEvent(10_000_000L + i, u, "flush",
+        new java.sql.Timestamp((maxTs + 3600L * 1000 * 1000) / 1000),
+        maxTs + 3600L * 1000 * 1000, 0.0, null)
+    }
+    val out = runAppend(ms, Streams.userJumps(ms.toDS()), "uj",
+      Seq(events, flush))
+    val got = out.select("event_id")
+    val want = SparkEntry.queries("q_user_jump")(spark, sfTiny).select("event_id")
+    assert(got.exceptAll(want).count() == 0 && want.exceptAll(got).count() == 0,
+      "stream jump set differs from batch")
+  }
+}
