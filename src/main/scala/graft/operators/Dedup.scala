@@ -61,6 +61,15 @@ object Dedup {
   /** Per-doc distinct word-3-gram shingle sets: (doc_id, shingles,
     * n_shingles). Both engines generate shingles with the identical
     * 1-based sliding window over non-empty whitespace tokens.
+    *
+    * Persisted: the higher-order shingling expressions are interpreted
+    * (no codegen), and every consumer references this frame 2-3 times
+    * (both sides of the candidate self-join + the verification set
+    * join) — without the cache each reference re-shingles the corpus,
+    * which dominated the bench (≈10 s per reference at sf0.1). Spark's
+    * CacheManager keys on the canonical plan, so ngram-jaccard and
+    * minhash-LSH share one cached copy. Same pattern Spark MLlib's
+    * MinHashLSH applies to its input.
     */
   private def shingleSets(spark: SparkSession, dir: String): DataFrame =
     Tables.documents(spark, dir)
@@ -71,6 +80,7 @@ object Dedup {
           |         i -> concat_ws(' ', toks[i-1], toks[i], toks[i+1])))
           |  ELSE CAST(array() AS ARRAY<STRING>) END""".stripMargin).as("shingles"))
       .withColumn("n_shingles", size(col("shingles")).cast("long"))
+      .persist()
 
   private def shingleExploded(spark: SparkSession, dir: String): DataFrame =
     shingleSets(spark, dir)
@@ -83,15 +93,20 @@ object Dedup {
     */
   def qDedupNgramJaccard(spark: SparkSession, dir: String): DataFrame = {
     val ex = shingleExploded(spark, dir)
-    val cnt = shingleSets(spark, dir).select("doc_id", "n_shingles")
     val a = ex.select(col("doc_id").as("doc_a"), col("shingle"))
     val b = ex.select(col("doc_id").as("doc_b"), col("shingle"))
+    // |∩| via the codegen'd hash aggregate on the (long, long) pair key
+    // — after the shingle join no string array crosses a shuffle; the
+    // per-doc sizes re-attach as two broadcast joins of a tiny frame.
     val inter = a.join(b, "shingle")
       .where(col("doc_a") < col("doc_b"))
       .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("inter"))
+    val cnt = shingleSets(spark, dir).select("doc_id", "n_shingles")
     inter
-      .join(cnt.select(col("doc_id").as("doc_a"), col("n_shingles").as("na")), "doc_a")
-      .join(cnt.select(col("doc_id").as("doc_b"), col("n_shingles").as("nb")), "doc_b")
+      .join(broadcast(cnt.select(col("doc_id").as("doc_a"),
+        col("n_shingles").as("na"))), "doc_a")
+      .join(broadcast(cnt.select(col("doc_id").as("doc_b"),
+        col("n_shingles").as("nb"))), "doc_b")
       .withColumn("jaccard",
         col("inter").cast("double") / (col("na") + col("nb") - col("inter")))
       .where(col("jaccard") >= JaccardTau)
@@ -147,16 +162,17 @@ object Dedup {
     val bands = sigs
       .select(col("doc_id"), col("sig"),
         posexplode(array(bandCols: _*)).as(Seq("band", "bucket")))
+    // est_jaccard is computed inline on the band join (signatures never
+    // survive a shuffle); only (pair, est) reaches the distinct.
     val cand = bands.select(col("doc_id").as("doc_a"), col("sig").as("sig_a"),
         col("band"), col("bucket"))
       .join(bands.select(col("doc_id").as("doc_b"), col("sig").as("sig_b"),
         col("band"), col("bucket")), Seq("band", "bucket"))
       .where(col("doc_a") < col("doc_b"))
-      .groupBy("doc_a", "doc_b")
-      .agg(first(col("sig_a")).as("sig_a"), first(col("sig_b")).as("sig_b"))
       .withColumn("est_jaccard",
         size(filter(zip_with(col("sig_a"), col("sig_b"), (x, y) => x === y),
           b => b)).cast("double") / K)
+      .select("doc_a", "doc_b", "est_jaccard").distinct()
     val sets = shingleSets(spark, dir)
     cand
       .join(sets.select(col("doc_id").as("doc_a"), col("shingles").as("sh_a"),

@@ -82,17 +82,18 @@ object Similarity {
     val buckets = e.select(col("vec_id"), col("v"),
       posexplode(array((0 until Bands).map(b => bandBucket(col("v"), b)): _*))
         .as(Seq("band", "bucket")))
-    val cand = buckets.select(col("vec_id").as("vec_a"), col("v").as("va"),
+    // cosine is verified INLINE on the band-join output — candidate rows
+    // (and their vectors) stay pipelined inside the stage and only the
+    // tiny ≥τ survivor set reaches the distinct shuffle. No vector ever
+    // crosses a pair-keyed shuffle.
+    buckets.select(col("vec_id").as("vec_a"), col("v").as("va"),
         col("band"), col("bucket"))
       .join(buckets.select(col("vec_id").as("vec_b"), col("v").as("vb"),
         col("band"), col("bucket")), Seq("band", "bucket"))
       .where(col("vec_a") < col("vec_b"))
-      .groupBy("vec_a", "vec_b")
-      .agg(first(col("va")).as("va"), first(col("vb")).as("vb"))
-    cand
       .withColumn("cos", cosine(col("va"), col("vb")))
       .where(col("cos") >= CosineTau)
-      .select("vec_a", "vec_b", "cos")
+      .select("vec_a", "vec_b", "cos").distinct()
       .orderBy("vec_a", "vec_b")
   }
 
