@@ -1,0 +1,25 @@
+package graft
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+import graft.functions.{CosineSimilarity, WordShingles}
+
+/** Library entry point for `spark.sql.extensions=graft.GraftExtensions`:
+  * installs graft's custom Catalyst expressions into every session built
+  * with the config, so SQL users get `cosine_sim` / `word_shingles`
+  * without touching the Scala API. The operator objects also register
+  * on demand for sessions created without the extension.
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit = {
+    ext.injectFunction((
+      FunctionIdentifier("cosine_sim"),
+      new ExpressionInfo(classOf[CosineSimilarity].getName, "cosine_sim"),
+      (exprs: Seq[Expression]) => CosineSimilarity(exprs.head, exprs(1))))
+    ext.injectFunction((
+      FunctionIdentifier("word_shingles"),
+      new ExpressionInfo(classOf[WordShingles].getName, "word_shingles"),
+      (exprs: Seq[Expression]) => WordShingles(exprs.head, exprs(1))))
+  }
+}

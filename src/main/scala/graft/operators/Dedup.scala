@@ -62,25 +62,22 @@ object Dedup {
     * n_shingles). Both engines generate shingles with the identical
     * 1-based sliding window over non-empty whitespace tokens.
     *
-    * Persisted: the higher-order shingling expressions are interpreted
-    * (no codegen), and every consumer references this frame 2-3 times
-    * (both sides of the candidate self-join + the verification set
-    * join) — without the cache each reference re-shingles the corpus,
-    * which dominated the bench (≈10 s per reference at sf0.1). Spark's
+    * Shingling runs through the codegen'd [[graft.functions.WordShingles]]
+    * expression (the built-in HOF pipeline interpreted at ~1.8 ms/doc and
+    * dominated the dedup bench). Persisted because every consumer
+    * references the frame 2-3 times (both sides of the candidate
+    * self-join + verification) and Spark re-executes each reference;
     * CacheManager keys on the canonical plan, so ngram-jaccard and
-    * minhash-LSH share one cached copy. Same pattern Spark MLlib's
+    * minhash-LSH share one cached copy — the same pattern Spark MLlib's
     * MinHashLSH applies to its input.
     */
-  private def shingleSets(spark: SparkSession, dir: String): DataFrame =
+  private def shingleSets(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.WordShingles.register(spark)
     Tables.documents(spark, dir)
-      .select(col("doc_id"), expr("filter(split(text, ' '), t -> t <> '')").as("toks"))
-      .select(col("doc_id"), expr(
-        """CASE WHEN size(toks) >= 3
-          |  THEN array_distinct(transform(sequence(1, size(toks) - 2),
-          |         i -> concat_ws(' ', toks[i-1], toks[i], toks[i+1])))
-          |  ELSE CAST(array() AS ARRAY<STRING>) END""".stripMargin).as("shingles"))
+      .select(col("doc_id"), expr("word_shingles(text, 3)").as("shingles"))
       .withColumn("n_shingles", size(col("shingles")).cast("long"))
       .persist()
+  }
 
   private def shingleExploded(spark: SparkSession, dir: String): DataFrame =
     shingleSets(spark, dir)
