@@ -138,6 +138,52 @@ class StreamingSpec extends SparkSpec {
       "stream visitor stats differ from the batch equivalent")
   }
 
+  test("stream_user_jump emits via event-time timeout when a user goes silent") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val ms = MemoryStream[LogEvent]
+    def ev(id: Long, user: Long, typ: String, tsUs: Long) =
+      LogEvent(id, user, typ, new java.sql.Timestamp(tsUs / 1000), tsUs, 0.0, null)
+    val hourUs = 3600L * 1000 * 1000
+    val out = runAppend(ms, Streams.userJumps(ms.toDS()), "uj_timeout", Seq(
+      // user 1 views and then goes silent forever
+      Seq(ev(1, 1, "view", hourUs)),
+      // OTHER users' traffic advances the watermark past 1's timeout;
+      // a third batch lets the timed-out state fire
+      Seq(ev(2, 2, "click", 3 * hourUs)),
+      Seq(ev(3, 2, "click", 4 * hourUs))))
+    val jumps = out.select("event_id").collect().map(_.getLong(0)).toSet
+    assert(jumps.contains(1L),
+      s"silent user's pending view must surface as a timeout jump, got $jumps")
+  }
+
+  test("stream_visitor_stats append mode drops late data past the watermark") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val ms = MemoryStream[LogEvent]
+    def ev(id: Long, user: Long, tsUs: Long) =
+      LogEvent(id, user, "view", new java.sql.Timestamp(tsUs / 1000), tsUs, 1.0, null)
+    val hourUs = 3600L * 1000 * 1000
+    val q = Streams.visitorStats(ms.toDF()).writeStream
+      .format("memory").queryName("vs_late").outputMode("append").start()
+    try {
+      ms.addData(Seq(ev(1, 1, hourUs), ev(2, 2, hourUs + 1))); q.processAllAvailable()
+      // watermark (1h delay) moves past the first window's end → finalize
+      ms.addData(Seq(ev(3, 3, 4 * hourUs))); q.processAllAvailable()
+      val afterFinalize = spark.table("vs_late").where(col("pv") === 2).count()
+      assert(afterFinalize == 1, "first window must finalize with pv=2")
+      // an hours-late event for the closed window must be dropped
+      ms.addData(Seq(ev(4, 4, hourUs + 2))); q.processAllAvailable()
+      ms.addData(Seq(ev(5, 3, 6 * hourUs))); q.processAllAvailable()
+      val rows = spark.table("vs_late")
+        .select("window_start", "pv").collect()
+        .map(r => (r.getTimestamp(0).getTime, r.getLong(1))).toSet
+      assert(!rows.exists { case (_, pv) => pv == 3 } &&
+        rows.count(_._2 == 2L) == 1,
+        s"late event must not reopen or re-emit the closed window: $rows")
+    } finally q.stop()
+  }
+
   test("stream_user_jump matches the batch lead()-based jump detection") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
