@@ -1,0 +1,63 @@
+package graft
+
+import java.nio.file.Files
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import graft.sinks.Sinks
+import graft.streaming.LogEvent
+
+/** The serving (exactly-once parquet) and dimension (keyed upsert)
+  * sinks.
+  */
+class SinksSpec extends SparkSpec {
+
+  private def ev(id: Long, user: Long, tsUs: Long) =
+    LogEvent(id, user, "view", new java.sql.Timestamp(tsUs / 1000), tsUs, 1.0, null)
+
+  test("serving sink: partitioned, exactly-once across restart from checkpoint") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val base = Files.createTempDirectory("graft_serve_").toString
+    val ms = MemoryStream[LogEvent]
+    val withDay = ms.toDF()
+      .withColumn("day", date_format(col("ts"), "yyyy-MM-dd"))
+    val q1 = Sinks.servingSink(withDay, s"$base/out", s"$base/ckpt", "day")
+    ms.addData(Seq(ev(1, 1, 1_000_000L), ev(2, 2, 90_000_000_000_000L)))
+    q1.processAllAvailable(); q1.stop()
+    // restart from the same checkpoint: nothing replays into the sink
+    val q2 = Sinks.servingSink(withDay, s"$base/out", s"$base/ckpt", "day")
+    ms.addData(Seq(ev(3, 3, 2_000_000L)))
+    q2.processAllAvailable(); q2.stop()
+    val out = spark.read.parquet(s"$base/out")
+    assert(out.count() == 3, "restart must not duplicate committed batches")
+    // day partitioning materialized as directories (pruning surface)
+    assert(out.select("day").distinct().count() == 2)
+    val dirs = new java.io.File(s"$base/out").listFiles().map(_.getName)
+    assert(dirs.exists(_.startsWith("day=")), dirs.mkString(","))
+  }
+
+  test("dim upsert sink: snapshot keeps the latest version per key") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val base = Files.createTempDirectory("graft_dim_").toString
+    val ms = MemoryStream[LogEvent]
+    // key = user_id, version = ts_us, value carried in event_type slot
+    val dims = ms.toDF().select(
+      col("user_id").as("dim_key"), col("ts_us").as("version"),
+      col("event_id").as("payload"))
+    val q = Sinks.dimUpsertSink(dims, s"$base/dim", s"$base/ckpt",
+      Seq("dim_key"), "version").start()
+    try {
+      ms.addData(Seq(ev(10, 1, 100), ev(20, 2, 100)))
+      q.processAllAvailable()
+      // second batch: newer version for key 1, older (stale) for key 2
+      ms.addData(Seq(ev(11, 1, 200), ev(19, 2, 50)))
+      q.processAllAvailable()
+    } finally q.stop()
+    val snap = spark.read.parquet(s"$base/dim")
+      .select("dim_key", "payload").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(snap == Map(1L -> 11L, 2L -> 20L),
+      s"expected latest-version rows only, got $snap")
+  }
+}
