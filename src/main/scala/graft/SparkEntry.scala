@@ -46,7 +46,9 @@ object SparkEntry {
     "q_dedup_embedding" -> (Similarity.qDedupEmbedding _),
     "q_ann_cosine_topk" -> (Similarity.qAnnCosineTopk _),
     "q_ann_ivf" -> (Similarity.qAnnIvf _),
-    "q_multimodal_meta" -> (Multimodal.qMultimodalMeta _)
+    "q_multimodal_meta" -> (Multimodal.qMultimodalMeta _),
+    "q_sample_stratified" -> (Corpus.qSampleStratified _),
+    "q_ngram_stats" -> (Corpus.qNgramStats _)
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -83,6 +85,8 @@ object SparkEntry {
     "q_ann_cosine_topk" -> Similarity.qAnnCosineTopkSql,
     // q_ann_ivf: rows-only (SURVEY.md §2.3 #31); recall vs the exact
     // baseline is asserted in AnnSpec instead.
-    "q_multimodal_meta" -> Multimodal.qMultimodalMetaSql
+    "q_multimodal_meta" -> Multimodal.qMultimodalMetaSql,
+    "q_sample_stratified" -> Corpus.qSampleStratifiedSql,
+    "q_ngram_stats" -> Corpus.qNgramStatsSql
   )
 }

