@@ -116,6 +116,32 @@ class StreamingSpec extends SparkSpec {
       "stream interval join differs from batch")
   }
 
+  test("stream_interval_join holds state across chronological triggers") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val msV = MemoryStream[LogEvent]
+    val msP = MemoryStream[LogEvent]
+    val joined = Streams.intervalJoin(
+      msV.toDF().where(col("event_type") === "view"),
+      msP.toDF().where(col("event_type") === "purchase"))
+    val q = joined.writeStream.format("memory").queryName("ij_multi")
+      .outputMode("append").start()
+    try {
+      // chronological thirds: pairs spanning a batch boundary must be
+      // found via buffered join state, and the watermark never outruns
+      // a still-matchable view
+      val evs = logEvents.filter(_.user_id >= 0).sortBy(e => (e.ts_us, e.event_id))
+      evs.grouped(math.max(evs.size / 3, 1)).foreach { chunk =>
+        msV.addData(chunk); msP.addData(chunk); q.processAllAvailable()
+      }
+    } finally q.stop()
+    val got = spark.table("ij_multi").select("view_id", "purchase_id", "gap_us")
+    val want = SparkEntry.queries("q_event_interval_join")(spark, sfTiny)
+      .select("view_id", "purchase_id", "gap_us")
+    assert(got.exceptAll(want).count() == 0 && want.exceptAll(got).count() == 0,
+      "multi-trigger stream interval join diverged from batch")
+  }
+
   test("stream_visitor_stats: windowed multi-measure agg (complete mode)") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
