@@ -23,6 +23,8 @@ object SparkEntry {
     "q_visitor_stats" -> (Stats.qVisitorStats _),
     "q_product_stats" -> (Stats.qProductStats _),
     "q_province_stats" -> (Stats.qProvinceStats _),
+    // rows-only: HLL sketch values have no DuckDB oracle (SURVEY §5)
+    "q_province_stats_approx" -> (Stats.qProvinceStatsApprox _),
     "q_keyword_stats" -> (Stats.qKeywordStats _),
     "q_config_route" -> (Etl.qConfigRoute _),
     "q_sessionize" -> (Sessions.qSessionize _),

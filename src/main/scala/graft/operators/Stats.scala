@@ -156,6 +156,25 @@ object Stats {
       |GROUP BY n_name, day
       |ORDER BY n_name, day""".stripMargin
 
+  /** #11b — the 100 TB flavor of province stats (SURVEY.md §5
+    * "count-distinct"): HLL distinct (single-pass, mergeable sketch,
+    * no expand) in place of the exact two-phase distinct. Offered
+    * alongside the exact query; rows-only gate — HLL values are
+    * implementation-specific and have no DuckDB oracle.
+    */
+  def qProvinceStatsApprox(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(spark, dir)
+    val c = Tables.customer(spark, dir).select("c_custkey", "c_nationkey")
+    val n = Tables.nation(spark, dir).select("n_nationkey", "n_name")
+    o.join(broadcast(c), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
+      .groupBy(col("n_name"), date_format(col("o_orderdate"), "yyyy-MM-dd").as("day"))
+      .agg(
+        approx_count_distinct(col("o_orderkey")).as("order_ct_approx"),
+        sum(col("o_totalprice").cast("decimal(12,2)")).cast("double").as("amount"))
+      .orderBy("n_name", "day")
+  }
+
   /** #12 — keyword split-and-count (KeywordStatsApp.java:30-59 +
     * KeywordUtil tokenizer UDTF): explode(split) is a map-side
     * generator; the only shuffle is the final (word, source) agg.

@@ -57,6 +57,17 @@ class OperatorsSpec extends SparkSpec {
     assert(bad == 0)
   }
 
+  test("approx province stats track the exact distincts within HLL error") {
+    val exact = SparkEntry.queries("q_province_stats")(spark, sf)
+      .select(col("n_name"), col("day"), col("order_ct"))
+    val approx = SparkEntry.queries("q_province_stats_approx")(spark, sf)
+      .select(col("n_name"), col("day"), col("order_ct_approx"))
+    val bad = exact.join(approx, Seq("n_name", "day"))
+      .where(abs(col("order_ct_approx") - col("order_ct")) >
+        greatest(col("order_ct") * 0.15, lit(2.0))).count()
+    assert(bad == 0, "HLL estimate strayed beyond 15% of the exact count")
+  }
+
   test("user-jump events have no follow-up within 10 minutes") {
     // every flagged jump must be a view event; re-derive the count from
     // the raw table as an independent check
