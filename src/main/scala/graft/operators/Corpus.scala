@@ -29,7 +29,7 @@ object Corpus {
     Tables.documents(spark, dir)
       .select(col("doc_id"), col("source"), col("lang"), h.as("h"))
       .withColumn("stratum_n", count(lit(1)).over(n))
-      .withColumn("rk", row_number().over(w))
+      .withColumn("rk", row_number().over(w).cast("long"))
       .where(col("rk") <= ceil(col("stratum_n") / 10.0))
       .select("doc_id", "source", "lang", "stratum_n", "rk")
       .orderBy("doc_id")
@@ -63,7 +63,7 @@ object Corpus {
         // statistic both engines compute)
         explode(expr("word_shingles(text, 2)")).as("bigram"))
       .groupBy("source", "bigram").agg(count(lit(1)).as("cnt"))
-      .withColumn("rk", row_number().over(w))
+      .withColumn("rk", row_number().over(w).cast("long"))
       .where(col("rk") <= 10)
       .select("source", "rk", "bigram", "cnt")
       .orderBy("source", "rk")

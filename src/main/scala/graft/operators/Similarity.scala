@@ -147,7 +147,7 @@ object Similarity {
     e.crossJoin(broadcast(q))
       .where(col("vec_id") =!= col("q_id"))
       .withColumn("cos", cosine(col("qv"), col("v")))
-      .withColumn("rank", row_number().over(w))
+      .withColumn("rank", row_number().over(w).cast("long"))
       .where(col("rank") <= TopK)
       .select("q_id", "rank", "vec_id", "cos")
       .orderBy("q_id", "rank")
