@@ -49,6 +49,7 @@ object SparkEntry {
     "q_ann_cosine_topk" -> (Similarity.qAnnCosineTopk _),
     "q_ann_ivf" -> (Similarity.qAnnIvf _),
     "q_multimodal_meta" -> (Multimodal.qMultimodalMeta _),
+    "q_multimodal_frames" -> (Multimodal.qMultimodalFrames _),
     "q_sample_stratified" -> (Corpus.qSampleStratified _),
     "q_ngram_stats" -> (Corpus.qNgramStats _)
   )
@@ -88,6 +89,7 @@ object SparkEntry {
     // q_ann_ivf: rows-only (SURVEY.md §2.3 #31); recall vs the exact
     // baseline is asserted in AnnSpec instead.
     "q_multimodal_meta" -> Multimodal.qMultimodalMetaSql,
+    "q_multimodal_frames" -> Multimodal.qMultimodalFramesSql,
     "q_sample_stratified" -> Corpus.qSampleStratifiedSql,
     "q_ngram_stats" -> Corpus.qNgramStatsSql
   )

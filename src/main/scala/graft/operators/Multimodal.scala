@@ -27,6 +27,13 @@ case class MediaFeatures(
     payload_md5: String,
     byte_sum: Long)
 
+/** Output of the frame-sampling stage. */
+case class FrameStats(
+    doc_id: Long,
+    n_frames: Long,
+    n_sampled: Long,
+    sampled_byte_sum: Long)
+
 /** Multimodal column plumbing: typed metadata + binary payload +
   * a partition-batched decode/feature-extract stage.
   *
@@ -95,6 +102,51 @@ object Multimodal {
       .toDF()
       .select("doc_id", "format", "width", "height", "payload_len", "payload_md5")
       .orderBy("doc_id")
+
+  /** Frame-sampling stage: chunk the payload into fixed 64-byte
+    * "frames" (stand-in for video frame boundaries) and keep every
+    * 4th — the decimation a vision pipeline applies before feature
+    * extraction. Same partition-batched shape as [[decodeFeatures]];
+    * the per-frame byte work is the stubbed codec step.
+    */
+  def frameSample(media: Dataset[MediaRecord],
+      frameBytes: Int = 64, every: Int = 4): Dataset[FrameStats] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { records =>
+      records.map { r =>
+        val nFrames = (r.payload.length + frameBytes - 1) / frameBytes
+        var sampled = 0L
+        var byteSum = 0L
+        var f = 0
+        while (f < nFrames) {
+          if (f % every == 0) {
+            sampled += 1
+            var i = f * frameBytes
+            val end = math.min(i + frameBytes, r.payload.length)
+            while (i < end) { byteSum += r.payload(i) & 0xff; i += 1 }
+          }
+          f += 1
+        }
+        FrameStats(r.doc_id, nFrames.toLong, sampled, byteSum)
+      }
+    }
+  }
+
+  /** #36b gate query — frame/sample counts are oracle-checkable from
+    * the payload length alone; sampled_byte_sum is spec-verified
+    * (DuckDB cannot fold over blob bytes).
+    */
+  def qMultimodalFrames(spark: SparkSession, dir: String): DataFrame =
+    frameSample(mediaTable(spark, dir))
+      .toDF()
+      .select("doc_id", "n_frames", "n_sampled")
+      .orderBy("doc_id")
+
+  val qMultimodalFramesSql: String =
+    """SELECT doc_id,
+      |  CAST(ceil(octet_length(encode(text)) / 64.0) AS BIGINT) AS n_frames,
+      |  CAST(ceil(ceil(octet_length(encode(text)) / 64.0) / 4.0) AS BIGINT) AS n_sampled
+      |FROM documents ORDER BY doc_id""".stripMargin
 
   val qMultimodalMetaSql: String =
     """SELECT doc_id,

@@ -33,6 +33,21 @@ class MultimodalSpec extends SparkSpec {
     assert(bad == 0)
   }
 
+  test("frame sampling: sampled byte sum is consistent and deterministic") {
+    val media = Multimodal.mediaTable(spark, sf)
+    val a = Multimodal.frameSample(media).toDF()
+    val b = Multimodal.frameSample(media.repartition(5)).toDF()
+    assert(a.exceptAll(b).count() == 0 && b.exceptAll(a).count() == 0)
+    // sampling every frame (every=1) must reproduce the full byte_sum
+    val full = Multimodal.frameSample(media, every = 1).toDF()
+      .select(col("doc_id"), col("sampled_byte_sum"))
+    val ref = Multimodal.decodeFeatures(media).toDF()
+      .select(col("doc_id"), col("byte_sum"))
+    val bad = full.join(ref, "doc_id")
+      .where(col("sampled_byte_sum") =!= col("byte_sum")).count()
+    assert(bad == 0, "every=1 frame sampling lost bytes")
+  }
+
   test("byte_sum matches an independent aggregate of the payload bytes") {
     val feats = Multimodal.decodeFeatures(Multimodal.mediaTable(spark, sf)).toDF()
     // independent derivation via SQL aggregate over the unpacked bytes
