@@ -22,9 +22,12 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // Warm up codegen / parquet readers / shuffle machinery once so the
-    // alphabetically-first query doesn't absorb session start-up cost.
-    try SparkEntry.entry(spark).write.format("noop").mode("overwrite").save()
-    catch { case _: Throwable => () }
+    // alphabetically-first query doesn't absorb session start-up cost —
+    // against the SAME sfDir the bench runs on, so the warm-up can't
+    // silently no-op on hosts without the default test data.
+    try SparkEntry.queries("q1_pricing_summary")(spark, sfDir)
+      .write.format("noop").mode("overwrite").save()
+    catch { case e: Throwable => System.err.println(s"[bench] warmup failed: $e") }
     var times = Vector.empty[(String, Double)]
     var errors = Vector.empty[(String, String)]
     SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
@@ -36,6 +39,10 @@ object Bench {
         case e: Throwable =>
           errors :+= name -> Option(e.getMessage).getOrElse(e.getClass.getName)
       }
+      // operators may persist() staging frames (e.g. shingle sets);
+      // dropping them between queries keeps each timing self-contained
+      // and stops storage memory from leaking into later queries
+      spark.catalog.clearCache()
     }
     def jstr(s: String): String = "\"" + s.flatMap {
       case '"' => "\\\""; case '\\' => "\\\\"; case '\n' => "\\n"

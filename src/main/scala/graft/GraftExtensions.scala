@@ -16,10 +16,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction((
       FunctionIdentifier("cosine_sim"),
       new ExpressionInfo(classOf[CosineSimilarity].getName, "cosine_sim"),
-      (exprs: Seq[Expression]) => CosineSimilarity(exprs.head, exprs(1))))
+      (exprs: Seq[Expression]) => CosineSimilarity.build(exprs)))
     ext.injectFunction((
       FunctionIdentifier("word_shingles"),
       new ExpressionInfo(classOf[WordShingles].getName, "word_shingles"),
-      (exprs: Seq[Expression]) => WordShingles(exprs.head, exprs(1))))
+      (exprs: Seq[Expression]) => WordShingles.build(exprs)))
   }
 }

@@ -74,10 +74,17 @@ case class CosineSimilarity(left: Expression, right: Expression)
 }
 
 object CosineSimilarity {
+  /** Builder with a clean arity error instead of an index crash. */
+  def build(exprs: Seq[Expression]): CosineSimilarity = exprs match {
+    case Seq(a, b) => CosineSimilarity(a, b)
+    case _ => throw new IllegalArgumentException(
+      s"cosine_sim expects exactly 2 arguments, got ${exprs.length}")
+  }
+
   /** Registers `cosine_sim(a, b)` so operators can use it via expr(). */
   def register(spark: SparkSession): Unit =
     spark.sessionState.functionRegistry.registerFunction(
       FunctionIdentifier("cosine_sim"),
       new ExpressionInfo(classOf[CosineSimilarity].getName, "cosine_sim"),
-      (exprs: Seq[Expression]) => CosineSimilarity(exprs.head, exprs(1)))
+      (exprs: Seq[Expression]) => build(exprs))
 }

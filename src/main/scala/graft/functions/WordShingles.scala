@@ -79,10 +79,17 @@ object WordShingles {
     new GenericArrayData(out)
   }
 
+  /** Builder with a clean arity error instead of an index crash. */
+  def build(exprs: Seq[Expression]): WordShingles = exprs match {
+    case Seq(a, b) => WordShingles(a, b)
+    case _ => throw new IllegalArgumentException(
+      s"word_shingles expects exactly 2 arguments, got ${exprs.length}")
+  }
+
   /** Idempotent session registration (mirrors CosineSimilarity.register). */
   def register(spark: SparkSession): Unit =
     spark.sessionState.functionRegistry.registerFunction(
       FunctionIdentifier("word_shingles"),
       new ExpressionInfo(classOf[WordShingles].getName, "word_shingles"),
-      (exprs: Seq[Expression]) => WordShingles(exprs.head, exprs(1)))
+      (exprs: Seq[Expression]) => build(exprs))
 }

@@ -18,12 +18,16 @@ import graft.Tables
 object Corpus {
 
   /** Exact 10%-per-stratum sample, deterministic: docs rank within
-    * their (source, lang) stratum by a Knuth multiplicative hash of
-    * doc_id (reproducible in any engine with 64-bit integer math —
-    * no RNG, no seed drift) and the top ceil(n/10) survive.
+    * their (source, lang) stratum by an LCG-style multiplicative hash
+    * of doc_id (reproducible in any engine with 64-bit integer math —
+    * no RNG, no seed drift) and the top ceil(n/10) survive. The
+    * operands are reduced mod 2^31 BEFORE the multiply so the product
+    * stays below 2^62 for any doc_id — no engine-dependent overflow
+    * wrapping at billion-document scale.
     */
   def qSampleStratified(spark: SparkSession, dir: String): DataFrame = {
-    val h = pmod(col("doc_id") * lit(2654435761L), lit(4294967296L))
+    val h = pmod(pmod(col("doc_id"), lit(2147483648L)) * lit(1103515245L),
+      lit(2147483648L))
     val w = Window.partitionBy("source", "lang").orderBy(col("h"), col("doc_id"))
     val n = Window.partitionBy("source", "lang")
     Tables.documents(spark, dir)
@@ -38,19 +42,21 @@ object Corpus {
   val qSampleStratifiedSql: String =
     """WITH t AS (
       |  SELECT doc_id, source, lang,
-      |    (doc_id * 2654435761) % 4294967296 AS h,
+      |    ((doc_id % 2147483648) * 1103515245) % 2147483648 AS h,
       |    count(*) OVER (PARTITION BY source, lang) AS stratum_n,
       |    row_number() OVER (PARTITION BY source, lang
-      |      ORDER BY (doc_id * 2654435761) % 4294967296, doc_id) AS rk
+      |      ORDER BY ((doc_id % 2147483648) * 1103515245) % 2147483648, doc_id) AS rk
       |  FROM documents)
       |SELECT doc_id, source, lang, stratum_n, CAST(rk AS BIGINT) AS rk
       |FROM t WHERE rk <= ceil(stratum_n / 10.0) ORDER BY doc_id""".stripMargin
 
-  /** Top-10 word bigrams per source (count desc, bigram asc): corpus
-    * n-gram stats for LM data curation. Bigrams come from the
-    * codegen'd word_shingles expression; DISTINCT per doc is NOT
-    * applied (true frequency counts need multiplicity) so the shingle
-    * path is re-derived with n=2 over the raw token stream.
+  /** Top-10 word bigrams per source by DOCUMENT frequency (count desc,
+    * bigram asc): corpus n-gram stats for LM data curation. Bigrams
+    * come from the codegen'd word_shingles expression, which dedupes
+    * within each doc — so `cnt` is the number of documents containing
+    * the bigram, the df statistic both engines compute identically
+    * (a multiplicity-weighted term-frequency variant would explode raw
+    * sliding bigrams instead).
     */
   def qNgramStats(spark: SparkSession, dir: String): DataFrame = {
     graft.functions.WordShingles.register(spark)
@@ -58,9 +64,6 @@ object Corpus {
       .orderBy(col("cnt").desc, col("bigram"))
     Tables.documents(spark, dir)
       .select(col("source"),
-        // word_shingles dedupes within a doc; per-doc distinct bigram
-        // counts are the document-frequency flavor used here (the same
-        // statistic both engines compute)
         explode(expr("word_shingles(text, 2)")).as("bigram"))
       .groupBy("source", "bigram").agg(count(lit(1)).as("cnt"))
       .withColumn("rk", row_number().over(w).cast("long"))

@@ -182,12 +182,18 @@ object Similarity {
     val e = emb(spark, dir)
     val cents = e.where(col("vec_id") % 50 === 0)
       .select(col("vec_id").as("cent_id"), col("v").as("cv"))
-    val wAssign = Window.partitionBy("vec_id").orderBy(col("ccos").desc, col("cent_id"))
+    // nearest-centroid assignment WITHOUT shuffling the corpus: the 10
+    // centroid cosines evaluate inline per row and max_by picks the
+    // cell inside a map-side-combinable aggregate (ties → lowest
+    // cent_id via the negated id in the ordering struct). The corpus
+    // vector rides along as first() — constant within its group.
     val assigned = e.crossJoin(broadcast(cents))
       .withColumn("ccos", cosine(col("cv"), col("v")))
-      .withColumn("crank", row_number().over(wAssign))
-      .where(col("crank") === 1)
-      .select(col("vec_id"), col("v"), col("cent_id").as("cell"))
+      .groupBy("vec_id")
+      .agg(
+        first(col("v")).as("v"),
+        max_by(col("cent_id"),
+          struct(col("ccos"), (-col("cent_id")).as("tie"))).as("cell"))
     val q = e.where(col("vec_id") < NQueries)
       .select(col("vec_id").as("q_id"), col("v").as("qv"))
     val wProbe = Window.partitionBy("q_id").orderBy(col("ccos").desc, col("cent_id"))

@@ -49,6 +49,11 @@ object Sinks {
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
     val target = new Path(path)
     val staging = new Path(path + "__staging")
+    val retired = new Path(path + "__old")
+    // crash recovery: an interrupted swap leaves target renamed aside —
+    // restore it before merging; a stale staging dir is always garbage
+    if (!fs.exists(target) && fs.exists(retired)) fs.rename(retired, target)
+    if (fs.exists(staging)) fs.delete(staging, true)
     val current: DataFrame =
       if (fs.exists(target)) spark.read.parquet(path) else batch.limit(0)
     val w = Window.partitionBy(keys.map(col): _*)
@@ -60,9 +65,16 @@ object Sinks {
       .where(col("_rn") === 1)
       .drop("_rn", "_src")
     merged.write.mode(SaveMode.Overwrite).parquet(staging.toString)
-    fs.delete(target, true)
-    if (!fs.rename(staging, target))
+    // swap without a lose-everything window: the old snapshot is moved
+    // aside (recoverable) before staging takes its place
+    if (fs.exists(retired)) fs.delete(retired, true)
+    if (fs.exists(target) && !fs.rename(target, retired))
+      throw new java.io.IOException(s"dim upsert: cannot retire $path")
+    if (!fs.rename(staging, target)) {
+      fs.rename(retired, target) // roll back
       throw new java.io.IOException(s"dim upsert swap failed for $path")
+    }
+    fs.delete(retired, true)
   }
 
   /** Streaming dim store: every micro-batch upserts into the snapshot

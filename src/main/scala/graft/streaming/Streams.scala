@@ -61,17 +61,21 @@ object Streams {
 
   /** Multi-sink side of #16: one parquet dir per route (the side-output
     * pattern — dirty records get a dead-letter sink instead of being
-    * dropped, BaseLogApp.java:32-45).
+    * dropped, BaseLogApp.java:32-45). Each route write lands in a
+    * batch-id-scoped subdirectory with overwrite semantics, so a
+    * replayed micro-batch (crash before checkpoint commit) rewrites the
+    * same directories instead of appending duplicates — idempotent
+    * without a transactional sink.
     */
   def writeRouted(routed: DataFrame, outDir: String, checkpointDir: String) =
     routed.writeStream
       .option("checkpointLocation", checkpointDir)
       .outputMode(OutputMode.Append)
-      .foreachBatch { (batch: DataFrame, _: Long) =>
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
         batch.persist()
         Seq("page", "start", "dirty").foreach { r =>
           batch.filter(col("route") === r)
-            .write.mode("append").parquet(s"$outDir/route=$r")
+            .write.mode("overwrite").parquet(s"$outDir/route=$r/batch=$batchId")
         }
         batch.unpersist(); ()
       }
@@ -107,7 +111,14 @@ object Streams {
               }
               maxTs = math.max(maxTs, e.ts_us)
             }
-            state.update(DayState(days.toSeq.sorted))
+            // bound state for continuously-active users: days below the
+            // watermark horizon can never re-emit (older events are
+            // filtered before reaching this function), so keep only the
+            // last two days instead of an ever-growing set
+            val horizon = java.time.Instant.ofEpochMilli(maxTs / 1000)
+              .minus(java.time.Duration.ofDays(1))
+              .toString.substring(0, 10)
+            state.update(DayState(days.filter(_ >= horizon).toSeq.sorted))
             // expire the whole key one day after its newest event
             state.setTimeoutTimestamp(maxTs / 1000 + 24L * 3600 * 1000)
             out.result().iterator
@@ -179,10 +190,15 @@ object Streams {
             val out = Vector.newBuilder[Jump]
             var pending = state.getOption
             sorted.foreach { e =>
-              pending.foreach { p =>
-                if (e.ts_us - p.ts_us > TenMinUs) out += Jump(userId, p.event_id, p.ts_us)
+              // a late event older than the pending view is not its
+              // follow-up (in event-time order it PRECEDES the view) —
+              // it must neither satisfy nor cancel the pending state
+              if (!pending.exists(p => e.ts_us < p.ts_us)) {
+                pending.foreach { p =>
+                  if (e.ts_us - p.ts_us > TenMinUs) out += Jump(userId, p.event_id, p.ts_us)
+                }
+                pending = if (e.event_type == "view") Some(PendingView(e.event_id, e.ts_us)) else None
               }
-              pending = if (e.event_type == "view") Some(PendingView(e.event_id, e.ts_us)) else None
             }
             pending match {
               case Some(p) =>

@@ -36,6 +36,33 @@ class SinksSpec extends SparkSpec {
     assert(dirs.exists(_.startsWith("day=")), dirs.mkString(","))
   }
 
+  test("dim upsert recovers a snapshot left renamed aside by a crashed swap") {
+    import spark.implicits._
+    val base = Files.createTempDirectory("graft_dimrec_").toString
+    val mk = (k: Long, v: Long, p: Long) =>
+      (k, v, p)
+    // seed a snapshot, then simulate a crash mid-swap: target renamed to
+    // __old, stale __staging left behind
+    Seq(mk(1, 100, 10), mk(2, 100, 20)).toDF("dim_key", "version", "payload")
+      .write.parquet(s"$base/dim")
+    val fs = new org.apache.hadoop.fs.Path(base)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.rename(new org.apache.hadoop.fs.Path(s"$base/dim"),
+      new org.apache.hadoop.fs.Path(s"$base/dim__old"))
+    Seq(mk(9, 1, 99)).toDF("dim_key", "version", "payload")
+      .write.parquet(s"$base/dim__staging")
+    // next upsert must restore __old (not lose keys 1 and 2)
+    Sinks.upsert(Seq(mk(1, 200, 11)).toDF("dim_key", "version", "payload"),
+      s"$base/dim", Seq("dim_key"), "version")
+    val snap = spark.read.parquet(s"$base/dim")
+      .select("dim_key", "payload").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(snap == Map(1L -> 11L, 2L -> 20L),
+      s"crash recovery lost the retired snapshot: $snap")
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$base/dim__staging")))
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$base/dim__old")))
+  }
+
   test("dim upsert sink: snapshot keeps the latest version per key") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext

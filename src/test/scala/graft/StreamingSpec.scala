@@ -183,6 +183,27 @@ class StreamingSpec extends SparkSpec {
       s"silent user's pending view must surface as a timeout jump, got $jumps")
   }
 
+  test("stream_user_jump: a late pre-view event neither satisfies nor cancels the pending view") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val ms = MemoryStream[LogEvent]
+    def ev(id: Long, user: Long, typ: String, tsUs: Long) =
+      LogEvent(id, user, typ, new java.sql.Timestamp(tsUs / 1000), tsUs, 0.0, null)
+    val minUs = 60L * 1000 * 1000
+    val out = runAppend(ms, Streams.userJumps(ms.toDS()), "uj_late", Seq(
+      // view at t=60min becomes pending
+      Seq(ev(1, 1, "view", 60 * minUs)),
+      // batch 2: a LATE click from t=55min (before the view; within the
+      // 10-min watermark allowance so it is not dropped) — must be
+      // ignored by the pending-state machine
+      Seq(ev(2, 1, "click", 55 * minUs)),
+      // the real follow-up arrives 20min after the view → jump
+      Seq(ev(3, 1, "click", 80 * minUs))))
+    val jumps = out.select("event_id").collect().map(_.getLong(0)).toSet
+    assert(jumps == Set(1L),
+      s"late pre-view event corrupted pending-view state: $jumps")
+  }
+
   test("stream_visitor_stats append mode drops late data past the watermark") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
