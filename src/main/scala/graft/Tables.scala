@@ -23,6 +23,13 @@ object Tables {
     * BIGINT (epoch microseconds) column — the same truncation DuckDB
     * applies when it loads ns into its µs TIMESTAMP, so oracle SQL uses
     * `epoch_us(ts)` and the two engines see identical values.
+    *
+    * The nanosAsLong flag is session-wide; graft's own entry points
+    * (Verify/Bench/Plans and the test base) set it at session build.
+    * The defensive set below keeps this loader self-sufficient for
+    * sessions built elsewhere — note the documented side effect: AFTER
+    * the first events read, any nanos-parquet read in the same session
+    * also surfaces longs.
     */
   def events(spark: SparkSession, dir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")

@@ -34,14 +34,21 @@ object Etl {
       .orderBy("event_id")
   }
 
+  // json_valid + TRY_CAST mirror Spark's forgiving get_json_object
+  // semantics: malformed props or a non-numeric k must route the row to
+  // 'dirty', not abort the whole oracle query with a cast error.
   val qEtlJsonRouteSql: String =
-    """SELECT event_id, user_id, event_type,
-      |  CASE WHEN CAST(json_extract(props, '$.k') AS BIGINT) IS NULL OR user_id IS NULL THEN 'dirty'
+    """WITH t AS (
+      |  SELECT event_id, user_id, event_type,
+      |    CASE WHEN props IS NOT NULL AND json_valid(props)
+      |         THEN TRY_CAST(json_extract(props, '$.k') AS BIGINT) END AS k
+      |  FROM events)
+      |SELECT event_id, user_id, event_type,
+      |  CASE WHEN k IS NULL OR user_id IS NULL THEN 'dirty'
       |       WHEN event_type = 'error' THEN 'dirty'
       |       WHEN event_type = 'signup' THEN 'start'
-      |       ELSE 'page' END AS route,
-      |  CAST(json_extract(props, '$.k') AS BIGINT) AS k
-      |FROM events ORDER BY event_id""".stripMargin
+      |       ELSE 'page' END AS route, k
+      |FROM t ORDER BY event_id""".stripMargin
 
   /** #2 — is-new correction: only a user's first-ever event keeps
     * is_new=1 (BaseLogApp.java:54-67 ValueState fix). One shuffle on

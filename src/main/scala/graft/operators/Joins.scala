@@ -21,25 +21,14 @@ import graft.Tables
   */
 object Joins {
 
-  private def revenue =
-    (col("l_extendedprice").cast("decimal(12,2)") *
-      (lit(BigDecimal(1).setScale(2)).cast("decimal(4,2)") -
-        col("l_discount").cast("decimal(4,2)"))).cast("double")
+  private def revenue = Money.lineRevenue
 
   /** #5 — order wide table: orders⋈lineitem on the order key with the
     * ship date inside [orderdate, orderdate+90d] (OrderWideApp.java:
     * 84-90 `between(-5s, +5s)` rescaled to the batch data's granularity).
     */
-  def qOrderWide(spark: SparkSession, dir: String): DataFrame = {
-    val o = Tables.orders(spark, dir)
-    val l = Tables.lineitem(spark, dir)
-    o.join(l, col("o_orderkey") === col("l_orderkey") &&
-        col("l_shipdate") >= col("o_orderdate") &&
-        col("l_shipdate") <= col("o_orderdate") + expr("INTERVAL 90 DAYS"))
-      .select(col("o_orderkey"), col("l_linenumber"), col("o_custkey"),
-        col("l_partkey"), col("l_suppkey"), revenue.as("revenue"))
-      .orderBy("o_orderkey", "l_linenumber")
-  }
+  def qOrderWide(spark: SparkSession, dir: String): DataFrame =
+    qOrderWideBase(spark, dir).orderBy("o_orderkey", "l_linenumber")
 
   val qOrderWideSql: String =
     """SELECT o_orderkey, l_linenumber, o_custkey, l_partkey, l_suppkey,
@@ -126,8 +115,8 @@ object Joins {
       .orderBy("o_orderkey", "l_linenumber")
   }
 
-  /** Unsorted order-wide (the enrichment input — skips the
-    * presentation sort).
+  /** The one definition of an "order wide" row — qOrderWide adds only
+    * the presentation sort; qOrderEnriched joins dims onto it unsorted.
     */
   private def qOrderWideBase(spark: SparkSession, dir: String): DataFrame = {
     val o = Tables.orders(spark, dir)

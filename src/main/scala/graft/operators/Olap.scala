@@ -16,12 +16,7 @@ import graft.Tables
   */
 object Olap {
 
-  /** Exact decimal views of the double money columns. */
-  private def dQty   = col("l_quantity").cast("decimal(12,2)")
-  private def dPrice = col("l_extendedprice").cast("decimal(12,2)")
-  private def dDisc  = col("l_discount").cast("decimal(4,2)")
-  private def dTax   = col("l_tax").cast("decimal(4,2)")
-  private val one    = lit(BigDecimal(1).setScale(2)).cast("decimal(4,2)")
+  import Money.{dQty, dPrice, dDisc, dTax, one}
 
   /** TPC-H Q1 pricing summary — full-scan aggregate.
     * Reference semantics: the DWS-layer "sum everything by a small key"

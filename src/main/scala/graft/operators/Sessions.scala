@@ -19,8 +19,11 @@ import graft.Tables
   */
 object Sessions {
 
-  private val TenMinUs = 10L * 60 * 1000 * 1000
-  private val GapUs    = 30L * 60 * 1000 * 1000 // session gap: 30 min
+  /** Shared with Stats.qVisitorStats — its uj_ct/sv_ct measures must
+    * stay in lockstep with q_user_jump / q_sessionize.
+    */
+  private[operators] val TenMinUs = 10L * 60 * 1000 * 1000
+  private[operators] val GapUs    = 30L * 60 * 1000 * 1000 // session gap: 30 min
 
   private def dayCol = date_format(timestamp_micros(col("ts_us")), "yyyy-MM-dd")
 

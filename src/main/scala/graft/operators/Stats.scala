@@ -12,16 +12,20 @@ import graft.Tables
   * (per-sku multi-measure with count-distinct order sets),
   * ProvinceStatsSqlApp.java:34-53, KeywordStatsApp.java:30-59.
   *
-  * Scale notes: the visitor-stats union computes all per-user derived
-  * measures over ONE user_id shuffle (shared window spec), then one
-  * hash agg on the small (hour, cohort) key. Product/province stats are
-  * fact-side partial aggs + broadcast dim joins. Sums over money go
+  * Scale notes: the visitor-stats sv/uj branches share the user_id
+  * window shuffle (same window spec → one exchange feeds both); the uv
+  * branch keys by (user_id, day) — a second exchange — and each union
+  * branch re-scans the (column-pruned) events subtree. The final agg is
+  * one hash agg on the small (hour, cohort) key. Product/province stats
+  * are fact-side partial aggs + broadcast dim joins. Sums over money go
   * through DECIMAL so results are partitioning-independent.
   */
 object Stats {
 
-  private val TenMinUs = 10L * 60 * 1000 * 1000
-  private val GapUs    = 30L * 60 * 1000 * 1000
+  // thresholds shared with the standalone operators so the union's
+  // uj/sv measures can never drift from q_user_jump / q_sessionize
+  private def TenMinUs = Sessions.TenMinUs
+  private def GapUs    = Sessions.GapUs
 
   /** #9 — visitor stats: union of 4 derived measure-frames (pv, daily
     * uv, session starts, jumps) keyed by (hour, channel cohort), then
@@ -101,7 +105,7 @@ object Stats {
     val l = Tables.lineitem(spark, dir)
     val o = Tables.orders(spark, dir).select("o_orderkey", "o_orderstatus")
     val p = Tables.part(spark, dir).select("p_partkey", "p_brand")
-    val dPrice = col("l_extendedprice").cast("decimal(12,2)")
+    val dPrice = Money.dPrice
     l.join(o, col("l_orderkey") === col("o_orderkey"))
       .groupBy("l_partkey")
       .agg(
@@ -130,27 +134,34 @@ object Stats {
       |ORDER BY l_partkey""".stripMargin
 
   /** #11 — per-province (≈nation) per-day order stats
-    * (ProvinceStatsSqlApp.java:34-53): count-distinct orders + exact
-    * decimal money sum, dims broadcast.
+    * (ProvinceStatsSqlApp.java:34-53): the reference counts DISTINCT
+    * order ids over the line-grain order-wide stream, so the distinct
+    * is computed where it is meaningful — at lineitem grain, where an
+    * order contributes many rows. Dims broadcast; money = exact decimal
+    * line revenue.
     */
   def qProvinceStats(spark: SparkSession, dir: String): DataFrame = {
-    val o = Tables.orders(spark, dir)
+    val o = Tables.orders(spark, dir).select("o_orderkey", "o_custkey", "o_orderdate")
+    val l = Tables.lineitem(spark, dir)
+      .select("l_orderkey", "l_extendedprice", "l_discount")
     val c = Tables.customer(spark, dir).select("c_custkey", "c_nationkey")
     val n = Tables.nation(spark, dir).select("n_nationkey", "n_name")
-    o.join(broadcast(c), col("o_custkey") === col("c_custkey"))
+    o.join(l, col("o_orderkey") === col("l_orderkey"))
+      .join(broadcast(c), col("o_custkey") === col("c_custkey"))
       .join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
       .groupBy(col("n_name"), date_format(col("o_orderdate"), "yyyy-MM-dd").as("day"))
       .agg(
         countDistinct(col("o_orderkey")).as("order_ct"),
-        sum(col("o_totalprice").cast("decimal(12,2)")).cast("double").as("amount"))
+        sum(Money.dPrice * (Money.one - Money.dDisc)).cast("double").as("amount"))
       .orderBy("n_name", "day")
   }
 
   val qProvinceStatsSql: String =
     """SELECT n_name, strftime(o_orderdate, '%Y-%m-%d') AS day,
       |  CAST(COUNT(DISTINCT o_orderkey) AS BIGINT) AS order_ct,
-      |  CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS amount
+      |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(4,2)) - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE) AS amount
       |FROM orders
+      |JOIN lineitem ON o_orderkey = l_orderkey
       |JOIN customer ON o_custkey = c_custkey
       |JOIN nation ON c_nationkey = n_nationkey
       |GROUP BY n_name, day
@@ -158,20 +169,23 @@ object Stats {
 
   /** #11b — the 100 TB flavor of province stats (SURVEY.md §5
     * "count-distinct"): HLL distinct (single-pass, mergeable sketch,
-    * no expand) in place of the exact two-phase distinct. Offered
-    * alongside the exact query; rows-only gate — HLL values are
-    * implementation-specific and have no DuckDB oracle.
+    * no expand) over the same line-grain rows the exact #11 dedupes.
+    * Offered alongside the exact query; rows-only gate — HLL values
+    * are implementation-specific and have no DuckDB oracle.
     */
   def qProvinceStatsApprox(spark: SparkSession, dir: String): DataFrame = {
-    val o = Tables.orders(spark, dir)
+    val o = Tables.orders(spark, dir).select("o_orderkey", "o_custkey", "o_orderdate")
+    val l = Tables.lineitem(spark, dir)
+      .select("l_orderkey", "l_extendedprice", "l_discount")
     val c = Tables.customer(spark, dir).select("c_custkey", "c_nationkey")
     val n = Tables.nation(spark, dir).select("n_nationkey", "n_name")
-    o.join(broadcast(c), col("o_custkey") === col("c_custkey"))
+    o.join(l, col("o_orderkey") === col("l_orderkey"))
+      .join(broadcast(c), col("o_custkey") === col("c_custkey"))
       .join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
       .groupBy(col("n_name"), date_format(col("o_orderdate"), "yyyy-MM-dd").as("day"))
       .agg(
         approx_count_distinct(col("o_orderkey")).as("order_ct_approx"),
-        sum(col("o_totalprice").cast("decimal(12,2)")).cast("double").as("amount"))
+        sum(Money.dPrice * (Money.one - Money.dDisc)).cast("double").as("amount"))
       .orderBy("n_name", "day")
   }
 
