@@ -31,7 +31,13 @@ object Bench {
     catch { case e: Throwable => System.err.println(s"[bench] warmup failed: $e") }
     var times = Vector.empty[(String, Double)]
     var errors = Vector.empty[(String, String)]
-    SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
+    // local-iteration escape hatch: SPARK_GRAFT_ONLY=q_a,q_b times just
+    // those queries (the driver never sets it, so round benches run all)
+    val only = sys.env.get("SPARK_GRAFT_ONLY")
+      .map(_.split(",").map(_.trim).toSet)
+    SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (name, _) => only.forall(_.contains(name)) }
+      .foreach { case (name, fn) =>
       val t0 = System.nanoTime()
       try {
         fn(spark, sfDir).write.format("noop").mode("overwrite").save()

@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
-import graft.functions.{CosineSimilarity, WordShingles}
+import graft.functions.{CosineSimilarity, DotProduct, MinHashSig, SimHash64, WordShingles}
 
 /** Library entry point for `spark.sql.extensions=graft.GraftExtensions`:
   * installs graft's custom Catalyst expressions into every session built
@@ -21,5 +21,17 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("word_shingles"),
       new ExpressionInfo(classOf[WordShingles].getName, "word_shingles"),
       (exprs: Seq[Expression]) => WordShingles.build(exprs)))
+    ext.injectFunction((
+      FunctionIdentifier("dot_product"),
+      new ExpressionInfo(classOf[DotProduct].getName, "dot_product"),
+      (exprs: Seq[Expression]) => DotProduct.build(exprs)))
+    ext.injectFunction((
+      FunctionIdentifier("minhash_sig"),
+      new ExpressionInfo(classOf[MinHashSig].getName, "minhash_sig"),
+      (exprs: Seq[Expression]) => MinHashSig.build(exprs)))
+    ext.injectFunction((
+      FunctionIdentifier("simhash64"),
+      new ExpressionInfo(classOf[SimHash64].getName, "simhash64"),
+      (exprs: Seq[Expression]) => SimHash64.build(exprs)))
   }
 }

@@ -51,7 +51,10 @@ object SparkEntry {
     "q_multimodal_meta" -> (Multimodal.qMultimodalMeta _),
     "q_multimodal_frames" -> (Multimodal.qMultimodalFrames _),
     "q_sample_stratified" -> (Corpus.qSampleStratified _),
-    "q_ngram_stats" -> (Corpus.qNgramStats _)
+    "q_ngram_stats" -> (Corpus.qNgramStats _),
+    "q_asof_join" -> (Temporal.qAsofJoin _),
+    "q_province_rollup" -> (Stats.qProvinceRollup _),
+    "q_dup_clusters" -> (Dedup.qDupClusters _)
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -91,6 +94,9 @@ object SparkEntry {
     "q_multimodal_meta" -> Multimodal.qMultimodalMetaSql,
     "q_multimodal_frames" -> Multimodal.qMultimodalFramesSql,
     "q_sample_stratified" -> Corpus.qSampleStratifiedSql,
-    "q_ngram_stats" -> Corpus.qNgramStatsSql
+    "q_ngram_stats" -> Corpus.qNgramStatsSql,
+    "q_asof_join" -> Temporal.qAsofJoinSql,
+    "q_province_rollup" -> Stats.qProvinceRollupSql,
+    "q_dup_clusters" -> Dedup.qDupClustersSql
   )
 }

@@ -89,7 +89,15 @@ object Dedup {
     * one double division → bit-identical to the DuckDB oracle.
     */
   def qDedupNgramJaccard(spark: SparkSession, dir: String): DataFrame = {
+    // intersection counted over xxhash64(shingle) rather than the
+    // shingle string: the pair-producing shuffle carries (long, long)
+    // rows instead of ~20-byte strings and the join/agg compare 8-byte
+    // keys. |∩| over hashes == |∩| over strings unless 64-bit hashes
+    // collide, which needs ~2^32 DISTINCT shingles to become likely
+    // (birthday bound; ~2^-35 at even 1B shingles) — and the oracle's
+    // string-exact compare would surface any such corpus.
     val ex = shingleExploded(spark, dir)
+      .select(col("doc_id"), xxhash64(col("shingle")).as("shingle"))
     val a = ex.select(col("doc_id").as("doc_a"), col("shingle"))
     val b = ex.select(col("doc_id").as("doc_b"), col("shingle"))
     // |∩| via the codegen'd hash aggregate on the (long, long) pair key
@@ -138,38 +146,53 @@ object Dedup {
 
   /** #27 — MinHash + banded LSH (rows-only gate: seeded xxhash64 has no
     * DuckDB equivalent). k=64 signature = per-doc min of
-    * xxhash64(seed_i, shingle) — computed as ONE partial-aggregable
-    * groupBy over the exploded shingles (map-side combine; no per-pair
-    * work). 16 bands × 4 rows: docs sharing any band bucket become
-    * candidates; candidates only are verified with exact Jaccard via
-    * array_intersect of the two (small) shingle sets. At 100 TB the
-    * band-bucket join is the sole pair-producing shuffle and its
-    * fan-out is bounded by bucket occupancy, not corpus size.
+    * xxhash64(seed_i, shingle) — computed in ONE map-side pass per
+    * document by the codegen'd [[graft.functions.MinHashSig]] (no
+    * explode, no shuffle, no 64-column aggregate; bit-identical to the
+    * explode → 64×min-agg formulation it replaced). 16 bands × 4 rows:
+    * docs sharing any band bucket become candidates; candidates only
+    * are verified with exact Jaccard via array_intersect of the two
+    * (small) shingle sets. At 100 TB signature computation is
+    * embarrassingly parallel and the band-bucket join is the sole
+    * pair-producing shuffle; its fan-out is bounded by bucket
+    * occupancy, not corpus size.
     */
   def qDedupMinhashLsh(spark: SparkSession, dir: String): DataFrame = {
     val K = 64; val Bands = 16; val RowsPerBand = K / Bands
-    val hashAggs = (0 until K).map(i =>
-      min(xxhash64(lit(i), col("shingle"))).as(s"h$i"))
-    val sigs = shingleExploded(spark, dir)
-      .groupBy("doc_id").agg(hashAggs.head, hashAggs.tail: _*)
-      .withColumn("sig", array((0 until K).map(i => col(s"h$i")): _*))
+    graft.functions.MinHashSig.register(spark)
+    // minhash_sig is NULL for empty shingle sets (< 3 tokens): such
+    // docs produced no exploded rows in the old formulation either
+    val sigs = shingleSets(spark, dir)
+      .select(col("doc_id"), expr(s"minhash_sig(shingles, $K)").as("sig"))
+      .where(col("sig").isNotNull)
     val bandCols = (0 until Bands).map { j =>
-      xxhash64((0 until RowsPerBand).map(r => col(s"h${j * RowsPerBand + r}")): _*)
+      xxhash64((0 until RowsPerBand).map(r =>
+        col("sig").getItem(j * RowsPerBand + r)): _*)
     }
     val bands = sigs
-      .select(col("doc_id"), col("sig"),
-        posexplode(array(bandCols: _*)).as(Seq("band", "bucket")))
-    // est_jaccard is computed inline on the band join (signatures never
-    // survive a shuffle); only (pair, est) reaches the distinct.
-    val cand = bands.select(col("doc_id").as("doc_a"), col("sig").as("sig_a"),
-        col("band"), col("bucket"))
-      .join(bands.select(col("doc_id").as("doc_b"), col("sig").as("sig_b"),
-        col("band"), col("bucket")), Seq("band", "bucket"))
+      .select(col("doc_id"), posexplode(array(bandCols: _*)).as(Seq("band", "bucket")))
+    // the band self-join carries ONLY (doc_id, band, bucket) — a doc
+    // pair colliding in several (possibly crowded) buckets appears once
+    // per collision, so deduplicate pairs BEFORE anything per-pair is
+    // computed: signatures re-attach to the tiny surviving pair set via
+    // two broadcast joins, and est_jaccard runs once per distinct pair
+    // instead of once per bucket collision. (The previous shape carried
+    // both 64-long signatures through every collision row and paid an
+    // interpreted zip_with on each — 3.1 s → 0.3 s at sf0.1.)
+    val cand = bands.select(col("doc_id").as("doc_a"), col("band"), col("bucket"))
+      .join(bands.select(col("doc_id").as("doc_b"), col("band"), col("bucket")),
+        Seq("band", "bucket"))
       .where(col("doc_a") < col("doc_b"))
+      .select("doc_a", "doc_b").distinct()
+      // no broadcast hint: AQE picks broadcast at this SF from runtime
+      // sizes; at 100 TB both sides shuffle on doc_id, which is correct
+      // — the corpus-sized signature frame can never broadcast
+      .join(sigs.select(col("doc_id").as("doc_a"), col("sig").as("sig_a")), "doc_a")
+      .join(sigs.select(col("doc_id").as("doc_b"), col("sig").as("sig_b")), "doc_b")
       .withColumn("est_jaccard",
         size(filter(zip_with(col("sig_a"), col("sig_b"), (x, y) => x === y),
           b => b)).cast("double") / K)
-      .select("doc_a", "doc_b", "est_jaccard").distinct()
+      .select("doc_a", "doc_b", "est_jaccard")
     val sets = shingleSets(spark, dir)
     cand
       .join(sets.select(col("doc_id").as("doc_a"), col("shingles").as("sh_a"),
@@ -184,27 +207,92 @@ object Dedup {
       .orderBy("doc_a", "doc_b")
   }
 
+  /** #43 — `q_dup_clusters`: connected components over the near-dup
+    * graph (#26's verified Jaccard ≥ τ pairs), labeling every document
+    * that appears in at least one near-dup pair with its cluster id
+    * (= min doc_id reachable) and cluster size. This is the step a real
+    * dedup pipeline runs AFTER pair generation — transitive closure, so
+    * "A≈B, B≈C" collapses to one keep-decision per cluster even when
+    * A≉C directly.
+    *
+    * Spark-first realization: iterative min-label propagation to a
+    * fixpoint — per round one join + one min-aggregate on the edge
+    * list, a driver-side convergence check (a count, never data), and
+    * rounds bounded by the cluster diameter (near-dup clusters are
+    * shallow; planted test clusters converge in 1 round). At 100 TB
+    * this is the standard Spark CC shape; pathological chain-shaped
+    * graphs would switch to the O(log n)-round large-star/small-star
+    * variant, same building blocks. The DuckDB oracle computes the
+    * same fixpoint independently via a recursive CTE.
+    */
+  def qDupClusters(spark: SparkSession, dir: String): DataFrame = {
+    val pairs = qDedupNgramJaccard(spark, dir).select("doc_a", "doc_b")
+    val sym = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
+      .unionAll(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
+      .persist()
+    var labels = sym.select(col("src").as("v")).distinct()
+      .select(col("v"), col("v").as("label"))
+      .persist()
+    var changed = 1L
+    var rounds = 0
+    while (changed > 0 && rounds < 64) {
+      val nbrMin = sym.join(labels, sym("dst") === labels("v"))
+        .groupBy("src").agg(min("label").as("nbr_label"))
+      val next = labels.join(nbrMin, labels("v") === nbrMin("src"), "left")
+        .select(labels("v"),
+          least(col("label"), coalesce(col("nbr_label"), col("label"))).as("label"))
+        .persist()
+      changed = next.join(labels.withColumnRenamed("label", "old"), "v")
+        .where(col("label") < col("old")).count()
+      labels.unpersist()
+      labels = next
+      rounds += 1
+    }
+    val out = labels
+      .withColumn("cluster_size",
+        count(lit(1)).over(Window.partitionBy("label")))
+      .select(col("v").as("doc_id"), col("label").as("cluster_id"), col("cluster_size"))
+      .orderBy("doc_id")
+    sym.unpersist()
+    out
+  }
+
+  val qDupClustersSql: String =
+    s"""WITH RECURSIVE pairs AS (
+       |  SELECT doc_a, doc_b FROM ($qDedupNgramJaccardSql)
+       |),
+       |sym AS (
+       |  SELECT doc_a AS src, doc_b AS dst FROM pairs
+       |  UNION ALL
+       |  SELECT doc_b, doc_a FROM pairs),
+       |reach(v, l) AS (
+       |  SELECT DISTINCT src, src FROM sym
+       |  UNION
+       |  SELECT s.src, r.l FROM sym s JOIN reach r ON s.dst = r.v),
+       |lab AS (SELECT v AS doc_id, min(l) AS cluster_id FROM reach GROUP BY v)
+       |SELECT doc_id, cluster_id,
+       |  CAST(count(*) OVER (PARTITION BY cluster_id) AS BIGINT) AS cluster_size
+       |FROM lab ORDER BY doc_id""".stripMargin
+
   /** #28 — 64-bit SimHash (rows-only gate). Per-token xxhash64; bit i
     * of the signature = sign of Σ(±1) over tokens (token multiplicity
-    * weighted). Candidate generation by the pigeonhole split of the 64
-    * bits into 4 × 16-bit chunks: any pair within Hamming distance 3
-    * shares at least one chunk verbatim, so the chunk-equality join has
-    * perfect recall at radius 3. Verification = bit_count(XOR) ≤ 3 on
-    * candidates only.
+    * weighted) — computed in ONE map-side pass per document by the
+    * codegen'd [[graft.functions.SimHash64]] (no token explode, no
+    * shuffle, no 64-column aggregate; bit-identical to the explode →
+    * 64×sum-agg formulation it replaced). Candidate generation by the
+    * pigeonhole split of the 64 bits into 4 × 16-bit chunks: any pair
+    * within Hamming distance 3 shares at least one chunk verbatim, so
+    * the chunk-equality join has perfect recall at radius 3.
+    * Verification = bit_count(XOR) ≤ 3 on candidates only.
     */
   def qDedupSimhash(spark: SparkSession, dir: String): DataFrame = {
     val HammingMax = 3
-    val bitAggs = (0 until 64).map(i =>
-      sum(when(col("h").bitwiseAND(lit(1L << i)) =!= 0, 1).otherwise(-1)).as(s"b$i"))
+    graft.functions.SimHash64.register(spark)
+    // token-less docs produced no exploded rows (hence no signature) in
+    // the old formulation; the exists() filter keeps that contract
     val sim = Tables.documents(spark, dir)
-      .select(col("doc_id"),
-        explode(expr("filter(split(text, ' '), t -> t <> '')")).as("token"))
-      .withColumn("h", xxhash64(col("token")))
-      .groupBy("doc_id").agg(bitAggs.head, bitAggs.tail: _*)
-      .withColumn("simhash",
-        (0 until 64).map(i => when(col(s"b$i") > 0, lit(1L << i)).otherwise(lit(0L)))
-          .reduce((a, b) => a.bitwiseOR(b)))
-      .select("doc_id", "simhash")
+      .where(expr("exists(split(text, ' '), t -> t <> '')"))
+      .select(col("doc_id"), expr("simhash64(text)").as("simhash"))
     val chunkCols = (0 until 4).map(j =>
       shiftrightunsigned(col("simhash"), 16 * j).bitwiseAND(lit(0xFFFFL)))
     val chunks = sim.select(col("doc_id"), col("simhash"),

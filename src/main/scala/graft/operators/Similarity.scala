@@ -56,17 +56,20 @@ object Similarity {
     */
   private def emb(spark: SparkSession, dir: String): DataFrame = {
     CosineSimilarity.register(spark)
+    graft.functions.DotProduct.register(spark)
     Tables.embeddings(spark, dir)
       .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
   }
 
-  /** Ascending left-fold dot product with a literal hyperplane —
-    * matches the oracle's list_reduce(list_prepend(0.0, ...)).
+  /** Ascending left-fold dot product with a literal hyperplane, via the
+    * codegen'd [[graft.functions.DotProduct]] — the built-in
+    * `aggregate(zip_with(...))` pipeline runs interpreted and dominated
+    * bucket computation (32 plane dots per vector). Fold order is
+    * identical, so it still matches the oracle's
+    * `list_reduce(list_prepend(0.0, ...))` bit-for-bit.
     */
   private def planeDot(v: Column, p: Int): Column =
-    aggregate(
-      zip_with(v, array(hyperplanes(p).map(lit).toSeq: _*), (x, h) => x * h),
-      lit(0.0), (acc, x) => acc + x)
+    call_function("dot_product", v, array(hyperplanes(p).map(lit).toSeq: _*))
 
   /** Per-band integer bucket from the sign bits of 4 plane dots. */
   private def bandBucket(v: Column, band: Int): Column =

@@ -100,20 +100,35 @@ object Stats {
 
   /** #10 — per-product multi-measure stats with exact count-distinct
     * order ids + broadcast dim enrichment (ProductStatsApp.java:209-319).
+    *
+    * Shaped as a two-level aggregate: pre-aggregate lineitem at
+    * (partkey, orderkey) grain FIRST, so `count(distinct l_orderkey)`
+    * becomes a plain `count(*)` over the pre-agg and Spark never plans
+    * the Expand (input ×2) that mixed distinct + non-distinct
+    * aggregates require. The orders join then probes the (much smaller)
+    * pre-agg instead of raw lineitem. Nested decimal sums are exact, so
+    * results are identical to the single-level formulation. At 100 TB
+    * the pre-agg is one map-side-combinable shuffle on (part, order)
+    * and the status join flips from broadcast to sort-merge
+    * automatically once orders outgrows the broadcast threshold.
     */
   def qProductStats(spark: SparkSession, dir: String): DataFrame = {
     val l = Tables.lineitem(spark, dir)
     val o = Tables.orders(spark, dir).select("o_orderkey", "o_orderstatus")
     val p = Tables.part(spark, dir).select("p_partkey", "p_brand")
-    val dPrice = Money.dPrice
-    l.join(o, col("l_orderkey") === col("o_orderkey"))
+    val perOrder = l.groupBy("l_partkey", "l_orderkey")
+      .agg(
+        count(lit(1)).as("line_ct"),
+        sum(Money.dQty).as("qty"),
+        sum(Money.dPrice).as("amt"))
+    perOrder.join(o, col("l_orderkey") === col("o_orderkey"))
       .groupBy("l_partkey")
       .agg(
-        countDistinct(col("l_orderkey")).as("order_ct"),
-        count(lit(1)).as("item_ct"),
-        sum(col("l_quantity").cast("decimal(12,2)")).cast("double").as("quantity_sum"),
-        sum(dPrice).cast("double").as("amount_sum"),
-        sum(when(col("o_orderstatus") === "F", dPrice)).cast("double").as("paid_amount"))
+        count(lit(1)).as("order_ct"),
+        sum("line_ct").as("item_ct"),
+        sum("qty").cast("double").as("quantity_sum"),
+        sum("amt").cast("double").as("amount_sum"),
+        sum(when(col("o_orderstatus") === "F", col("amt"))).cast("double").as("paid_amount"))
       .join(broadcast(p), col("l_partkey") === col("p_partkey"))
       .select("l_partkey", "p_brand", "order_ct", "item_ct",
         "quantity_sum", "amount_sum", "paid_amount")
@@ -146,13 +161,22 @@ object Stats {
       .select("l_orderkey", "l_extendedprice", "l_discount")
     val c = Tables.customer(spark, dir).select("c_custkey", "c_nationkey")
     val n = Tables.nation(spark, dir).select("n_nationkey", "n_name")
-    o.join(l, col("o_orderkey") === col("l_orderkey"))
+    // pre-aggregate line revenue to ORDER grain first: the join probes
+    // one row per order instead of every lineitem, and the distinct
+    // disappears — after the pre-agg each surviving order contributes
+    // exactly one row, so `count(distinct o_orderkey)` is `count(*)`
+    // and Spark never plans the Expand (input ×2) a mixed
+    // distinct/non-distinct aggregate requires. Nested decimal sums
+    // are exact → identical totals.
+    val perOrder = l.groupBy("l_orderkey")
+      .agg(sum(Money.dPrice * (Money.one - Money.dDisc)).as("rev"))
+    o.join(perOrder, col("o_orderkey") === col("l_orderkey"))
       .join(broadcast(c), col("o_custkey") === col("c_custkey"))
       .join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
       .groupBy(col("n_name"), date_format(col("o_orderdate"), "yyyy-MM-dd").as("day"))
       .agg(
-        countDistinct(col("o_orderkey")).as("order_ct"),
-        sum(Money.dPrice * (Money.one - Money.dDisc)).cast("double").as("amount"))
+        count(lit(1)).as("order_ct"),
+        sum("rev").cast("double").as("amount"))
       .orderBy("n_name", "day")
   }
 
@@ -179,15 +203,76 @@ object Stats {
       .select("l_orderkey", "l_extendedprice", "l_discount")
     val c = Tables.customer(spark, dir).select("c_custkey", "c_nationkey")
     val n = Tables.nation(spark, dir).select("n_nationkey", "n_name")
-    o.join(l, col("o_orderkey") === col("l_orderkey"))
+    // same order-grain pre-agg as the exact #11; the HLL sketch stays
+    // (multiplicity-insensitive, so pre-agg does not change its
+    // estimate) because at 100 TB it is what replaces the exact count
+    // when the per-group distinct set no longer fits an exact pass.
+    val perOrder = l.groupBy("l_orderkey")
+      .agg(sum(Money.dPrice * (Money.one - Money.dDisc)).as("rev"))
+    o.join(perOrder, col("o_orderkey") === col("l_orderkey"))
       .join(broadcast(c), col("o_custkey") === col("c_custkey"))
       .join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
       .groupBy(col("n_name"), date_format(col("o_orderdate"), "yyyy-MM-dd").as("day"))
       .agg(
         approx_count_distinct(col("o_orderkey")).as("order_ct_approx"),
-        sum(Money.dPrice * (Money.one - Money.dDisc)).cast("double").as("amount"))
+        sum("rev").cast("double").as("amount"))
       .orderBy("n_name", "day")
   }
+
+  /** #42 — `q_province_rollup`: the ROLLUP flavor of #11 — per
+    * (nation, day) stats plus per-nation subtotals plus a grand total
+    * in ONE pass (what a DWS serving layer actually materializes;
+    * ProvinceStatsSqlApp.java:34-53 computes only the finest grain and
+    * the reference re-aggregates in ClickHouse). Spark plans rollup as
+    * a single Expand (×3 grouping sets) + one hash agg — no extra
+    * shuffle versus the flat aggregate. Built on the same order-grain
+    * pre-agg as #11, so `count(*)` is an exact distinct-order count at
+    * EVERY rollup level (each order contributes exactly one row with
+    * one nation and one day). NULL grouping markers are folded to
+    * 'ALL' so the output needs no grouping_id column.
+    */
+  def qProvinceRollup(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(spark, dir).select("o_orderkey", "o_custkey", "o_orderdate")
+    val l = Tables.lineitem(spark, dir)
+      .select("l_orderkey", "l_extendedprice", "l_discount")
+    val c = Tables.customer(spark, dir).select("c_custkey", "c_nationkey")
+    val n = Tables.nation(spark, dir).select("n_nationkey", "n_name")
+    val perOrder = l.groupBy("l_orderkey")
+      .agg(sum(Money.dPrice * (Money.one - Money.dDisc)).as("rev"))
+    o.join(perOrder, col("o_orderkey") === col("l_orderkey"))
+      .join(broadcast(c), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
+      .select(col("n_name").as("grp_nation"),
+        date_format(col("o_orderdate"), "yyyy-MM-dd").as("grp_day"),
+        col("rev"))
+      // Column-overload rollup on purpose: rollup(String*) resolves the
+      // names via df.col(), whose dataset-id metadata makes Spark's
+      // ambiguous-self-join check reject the post-rollup references
+      // (the Expand duplicates the grouping attributes); bare col()
+      // references carry no dataset tag and analyze cleanly
+      .rollup(col("grp_nation"), col("grp_day"))
+      .agg(count(lit(1)).as("order_ct"), sum("rev").cast("double").as("amount"))
+      .select(coalesce(col("grp_nation"), lit("ALL")).as("n_name"),
+        coalesce(col("grp_day"), lit("ALL")).as("day"),
+        col("order_ct"), col("amount"))
+      .orderBy("n_name", "day")
+  }
+
+  val qProvinceRollupSql: String =
+    """WITH per_order AS (
+      |  SELECT l_orderkey,
+      |    SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(4,2)) - CAST(l_discount AS DECIMAL(4,2)))) AS rev
+      |  FROM lineitem GROUP BY l_orderkey)
+      |SELECT coalesce(n_name, 'ALL') AS n_name,
+      |  coalesce(strftime(o_orderdate, '%Y-%m-%d'), 'ALL') AS day,
+      |  CAST(COUNT(*) AS BIGINT) AS order_ct,
+      |  CAST(SUM(rev) AS DOUBLE) AS amount
+      |FROM orders
+      |JOIN per_order ON o_orderkey = l_orderkey
+      |JOIN customer ON o_custkey = c_custkey
+      |JOIN nation ON c_nationkey = n_nationkey
+      |GROUP BY ROLLUP (n_name, strftime(o_orderdate, '%Y-%m-%d'))
+      |ORDER BY n_name, day""".stripMargin
 
   /** #12 — keyword split-and-count (KeywordStatsApp.java:30-59 +
     * KeywordUtil tokenizer UDTF): explode(split) is a map-side

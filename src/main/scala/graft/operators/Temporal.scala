@@ -1,0 +1,82 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** Temporal operators Spark lacks as built-ins (SURVEY.md §2.4 #41):
+  * the as-of join, composed from existing operators (SURVEY.md §4
+  * preference order (a)) rather than a custom SparkPlan.
+  */
+object Temporal {
+
+  /** #41 — `q_asof_join`: last-touch attribution. Each purchase event
+    * is joined to the SAME user's most recent view at-or-before the
+    * purchase time (NULL columns when the user never viewed before
+    * buying) — the classic as-of join, which neither Spark SQL nor the
+    * reference has natively (the reference approximates it with its
+    * ±bounded interval joins, OrderWideApp.java:84-90).
+    *
+    * Spark-first realization — the union trick, NOT a range join: tag
+    * views 0 / purchases 1, union, and take `last(view, ignoreNulls)`
+    * over (user, time, tag) ordered rows. ONE shuffle on user_id, no
+    * per-pair work, per-key cost linear in events-per-user — this is
+    * the shape that survives 100 TB, where a range-join formulation
+    * would fan out every (view, purchase) pair inside the bound and an
+    * unbounded lookback can't be range-joined at all.
+    *
+    * Views are first deduplicated to one per (user, ts) — keep max
+    * view_id — because "the most recent view" is otherwise
+    * nondeterministic under timestamp ties (both engines, and any
+    * as-of engine, would tie-break arbitrarily).
+    */
+  def qAsofJoin(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+    val v = ev.filter(col("event_type") === "view")
+      .select(col("event_id").as("view_id"), col("user_id"), col("ts_us").as("v_ts"))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("user_id", "v_ts").orderBy(col("view_id").desc)))
+      .filter(col("rn") === 1).drop("rn")
+    val p = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("purchase_id"), col("user_id"), col("ts_us").as("p_ts"))
+    // tag views 0 so a view AT the purchase timestamp sorts first and
+    // is visible to the purchase (inclusive v_ts <= p_ts bound)
+    val tagged = v.select(col("user_id"), col("v_ts").as("t"), lit(0).as("tag"),
+        col("view_id"), col("v_ts"), lit(null).cast("long").as("purchase_id"))
+      .unionAll(p.select(col("user_id"), col("p_ts").as("t"), lit(1).as("tag"),
+        lit(null).cast("long").as("view_id"), lit(null).cast("long").as("v_ts"),
+        col("purchase_id")))
+    val w = Window.partitionBy("user_id").orderBy("t", "tag")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    tagged
+      .withColumn("last_view_id", last("view_id", ignoreNulls = true).over(w))
+      .withColumn("last_v_ts", last("v_ts", ignoreNulls = true).over(w))
+      .filter(col("tag") === 1)
+      .select(col("purchase_id"), col("user_id"), col("t").as("p_ts"),
+        col("last_view_id").as("view_id"), col("last_v_ts").as("v_ts"),
+        (col("t") - col("last_v_ts")).as("gap_us"))
+      .orderBy("purchase_id")
+  }
+
+  /** Oracle: DuckDB's native ASOF LEFT JOIN over the same deduplicated
+    * view stream — an independent engine's as-of implementation
+    * cross-checking the union-trick formulation.
+    */
+  val qAsofJoinSql: String =
+    """WITH v0 AS (
+      |  SELECT event_id AS view_id, user_id, epoch_us(ts) AS v_ts
+      |  FROM events WHERE event_type = 'view'),
+      |v AS (
+      |  SELECT view_id, user_id, v_ts FROM (
+      |    SELECT *, row_number() OVER (PARTITION BY user_id, v_ts ORDER BY view_id DESC) AS rn
+      |    FROM v0) WHERE rn = 1),
+      |p AS (
+      |  SELECT event_id AS purchase_id, user_id, epoch_us(ts) AS p_ts
+      |  FROM events WHERE event_type = 'purchase')
+      |SELECT p.purchase_id, p.user_id, p.p_ts,
+      |  v.view_id, v.v_ts, p.p_ts - v.v_ts AS gap_us
+      |FROM p ASOF LEFT JOIN v
+      |  ON p.user_id = v.user_id AND v.v_ts <= p.p_ts
+      |ORDER BY purchase_id""".stripMargin
+}

@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
-import graft.functions.{CosineSimilarity, WordShingles}
+import graft.functions.{CosineSimilarity, DotProduct, MinHashSig, SimHash64, WordShingles}
 
 /** The custom Catalyst expressions: semantics pinned against the
   * built-in formulations the oracles use, plus the extensions entry
@@ -55,6 +55,66 @@ class FunctionsSpec extends SparkSpec {
       .withColumn("slow", col("dot") / (sqrt(col("na")) * sqrt(col("nb"))))
     // bit-identical, not approximately equal — the oracle depends on it
     assert(paired.where(col("fast") =!= col("slow")).count() == 0)
+  }
+
+  test("dot_product agrees with the built-in fold formulation") {
+    DotProduct.register(spark)
+    val e = Tables.embeddings(spark, sf)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+      .limit(50)
+    val paired = e.crossJoin(e.select(col("vec_id").as("w_id"), col("v").as("w")))
+      .where(col("vec_id") < col("w_id"))
+      .withColumn("fast", expr("dot_product(v, w)"))
+      .withColumn("slow", aggregate(zip_with(col("v"), col("w"), (a, b) => a * b),
+        lit(0.0), (acc, x) => acc + x))
+    // bit-identical, not approximately equal — the oracle depends on it
+    assert(paired.where(col("fast") =!= col("slow")).count() == 0)
+  }
+
+  test("minhash_sig matches the explode + 64×min-agg formulation") {
+    WordShingles.register(spark)
+    MinHashSig.register(spark)
+    val K = 64
+    val sets = Tables.documents(spark, sf)
+      .select(col("doc_id"), expr("word_shingles(text, 3)").as("shingles"))
+    val fast = sets
+      .select(col("doc_id"), expr(s"minhash_sig(shingles, $K)").as("sig"))
+      .where(col("sig").isNotNull)
+    val aggs = (0 until K).map(i => min(xxhash64(lit(i), col("shingle"))).as(s"h$i"))
+    val slow = sets.select(col("doc_id"), explode(col("shingles")).as("shingle"))
+      .groupBy("doc_id").agg(aggs.head, aggs.tail: _*)
+      .withColumn("sig_slow", array((0 until K).map(i => col(s"h$i")): _*))
+      .select("doc_id", "sig_slow")
+    assert(fast.join(slow, "doc_id").where(col("sig") =!= col("sig_slow")).count() == 0)
+    assert(fast.count() == slow.count(), "empty-shingle docs must drop from both")
+  }
+
+  test("minhash_sig is null on empty shingle sets") {
+    MinHashSig.register(spark)
+    val r = spark.sql(
+      "SELECT minhash_sig(CAST(array() AS ARRAY<STRING>), 4) AS s").collect()(0)
+    assert(r.isNullAt(0))
+  }
+
+  test("simhash64 matches the explode + 64×sum-agg formulation") {
+    SimHash64.register(spark)
+    val docs = Tables.documents(spark, sf)
+    val fast = docs
+      .where(expr("exists(split(text, ' '), t -> t <> '')"))
+      .select(col("doc_id"), expr("simhash64(text)").as("sig"))
+    val bitAggs = (0 until 64).map(i =>
+      sum(when(col("h").bitwiseAND(lit(1L << i)) =!= 0, 1).otherwise(-1)).as(s"b$i"))
+    val slow = docs
+      .select(col("doc_id"),
+        explode(expr("filter(split(text, ' '), t -> t <> '')")).as("token"))
+      .withColumn("h", xxhash64(col("token")))
+      .groupBy("doc_id").agg(bitAggs.head, bitAggs.tail: _*)
+      .withColumn("sig_slow",
+        (0 until 64).map(i => when(col(s"b$i") > 0, lit(1L << i)).otherwise(lit(0L)))
+          .reduce((a, b) => a.bitwiseOR(b)))
+      .select("doc_id", "sig_slow")
+    assert(fast.join(slow, "doc_id").where(col("sig") =!= col("sig_slow")).count() == 0)
+    assert(fast.count() == slow.count(), "token-less docs must drop from both")
   }
 
   test("registered functions resolve in plain SQL") {

@@ -68,6 +68,55 @@ class OperatorsSpec extends SparkSpec {
     assert(bad == 0, "HLL estimate strayed beyond 15% of the exact count")
   }
 
+  test("as-of join: every attached view precedes its purchase, and is the latest") {
+    val df = SparkEntry.queries("q_asof_join")(spark, sf)
+    // inclusive bound: v_ts <= p_ts, never after
+    assert(df.where(col("v_ts") > col("p_ts")).count() == 0)
+    // independent re-derivation for a sample: no OTHER view of the same
+    // user may fall strictly between the attached view and the purchase
+    val views = Tables.events(spark, sf).where(col("event_type") === "view")
+      .select(col("user_id").as("vu"), col("ts_us"))
+    val gaps = df.where(col("v_ts").isNotNull).limit(200)
+      .join(views, col("user_id") === col("vu") &&
+        col("ts_us") > col("v_ts") && col("ts_us") <= col("p_ts"))
+    assert(gaps.count() == 0, "a later view than the attached one exists before the purchase")
+    // purchases with no prior view keep NULL view columns (left as-of)
+    val p = Tables.events(spark, sf).where(col("event_type") === "purchase").count()
+    assert(df.count() == p, "as-of must keep every purchase exactly once")
+  }
+
+  test("province rollup: subtotals reconcile with the flat province stats") {
+    val flat = SparkEntry.queries("q_province_stats")(spark, sf)
+    val roll = SparkEntry.queries("q_province_rollup")(spark, sf)
+    // grand total row equals the sum over the flat result
+    val grand = roll.where(col("n_name") === "ALL" && col("day") === "ALL")
+      .select("order_ct").collect()(0).getLong(0)
+    val flatSum = flat.agg(sum("order_ct")).collect()(0).getLong(0)
+    assert(grand == flatSum, s"grand total $grand != flat sum $flatSum")
+    // finest-grain rows match the flat query one-for-one
+    val fine = roll.where(col("n_name") =!= "ALL" && col("day") =!= "ALL")
+    assert(fine.count() == flat.count())
+    assert(fine.join(flat, Seq("n_name", "day"))
+      .where(fine("order_ct") =!= flat("order_ct")).count() == 0)
+  }
+
+  test("dup clusters: labels are fixpoints and cover exactly the paired docs") {
+    val pairs = SparkEntry.queries("q_dedup_ngram_jaccard")(spark, sf)
+      .select("doc_a", "doc_b")
+    val clusters = SparkEntry.queries("q_dup_clusters")(spark, sf)
+    // every edge endpoint is labeled, and both endpoints share a cluster
+    val lab = clusters.select(col("doc_id"), col("cluster_id"))
+    val mismatched = pairs
+      .join(lab.select(col("doc_id").as("doc_a"), col("cluster_id").as("ca")), "doc_a")
+      .join(lab.select(col("doc_id").as("doc_b"), col("cluster_id").as("cb")), "doc_b")
+      .where(col("ca") =!= col("cb")).count()
+    assert(mismatched == 0, "an edge spans two clusters — propagation not at fixpoint")
+    // cluster_id is the min member id of its cluster
+    val bad = clusters.groupBy("cluster_id").agg(min("doc_id").as("mn"))
+      .where(col("cluster_id") =!= col("mn")).count()
+    assert(bad == 0, "cluster_id must equal the minimum member doc_id")
+  }
+
   test("user-jump events have no follow-up within 10 minutes") {
     // every flagged jump must be a view event; re-derive the count from
     // the raw table as an independent check
