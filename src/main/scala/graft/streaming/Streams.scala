@@ -166,6 +166,25 @@ object Streams {
       .select(col("window.start").as("window_start"), col("event_type"),
         col("pv"), col("uv_approx"), col("value_sum"))
 
+  /** #44 — streaming exact dedup: the streaming twin of
+    * q_dedup_exact (content-identity dedup, same normalized-text md5
+    * fingerprint), for ingest pipelines that must drop duplicate
+    * documents as they arrive rather than in a batch pass.
+    *
+    * `dropDuplicatesWithinWatermark` rather than `dropDuplicates`: the
+    * unbounded variant retains every fingerprint ever seen — state
+    * grows with corpus size and cannot survive 100 TB of ingest. The
+    * watermark-bounded variant keeps only the fingerprints inside the
+    * watermark horizon, trading re-admission of duplicates that arrive
+    * further apart than the horizon (callers compact periodically with
+    * the batch q_dedup_exact — the classic lambda repair).
+    */
+  def dedupDocs(docs: DataFrame): DataFrame =
+    docs
+      .withColumn("fp", md5(trim(regexp_replace(lower(col("text")), " +", " "))))
+      .withWatermark("ts", "1 hour")
+      .dropDuplicatesWithinWatermark("fp")
+
   /** #20 — UserJumpDetailApp CEP (UserJumpDetailApp.java:54-104): a
     * view with no follow-up event within 10 minutes is a jump. The
     * two-pattern CEP is re-expressed as keyed state: the last view

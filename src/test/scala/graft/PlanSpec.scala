@@ -50,6 +50,35 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("as-of join plans with zero joins — one window pass, one shuffle") {
+    // the union trick means the plan must contain a Window over the
+    // user_id exchange and NO join operator at all; a join-shaped as-of
+    // would fan out pairs and die at 100 TB
+    val p = plan("q_asof_join")
+    assert(!p.contains("Join"), s"as-of must not plan any join:\n$p")
+    assert(p.contains("Window"), s"expected the union-trick window pass:\n$p")
+  }
+
+  test("count-distinct stats plan without Expand (order-grain pre-agg)") {
+    // q_product_stats / q_province_stats pre-aggregate at order grain,
+    // so the mixed distinct+non-distinct Expand (input ×2) must be gone
+    Seq("q_product_stats", "q_province_stats", "q_province_rollup").foreach { q =>
+      val p = plan(q)
+      val expands = "Expand".r.findAllIn(p).size
+      val allowed = if (q == "q_province_rollup") 1 else 0 // rollup's own grouping-set Expand
+      assert(expands <= allowed, s"$q plans $expands Expand nodes (allowed $allowed):\n$p")
+    }
+  }
+
+  test("signature computation stays map-side: no shuffle before LSH banding") {
+    // minhash_sig/simhash64 replaced explode+groupBy signature builds;
+    // the only aggregates left in the simhash plan are the final
+    // pair-grouping, so the plan must not contain a per-token Generate
+    val p = plan("q_dedup_simhash")
+    assert(!p.contains("Generate explode"),
+      s"simhash should not explode tokens any more:\n$p")
+  }
+
   test("parquet scans push filters down (events filtered by event_type)") {
     val p = SparkEntry.queries("q_event_interval_join")(spark, sf)
       .queryExecution.executedPlan.toString

@@ -231,6 +231,36 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("stream_dedup_exact drops in-horizon duplicates and re-admits expired fingerprints") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    def ts(min: Long) = new java.sql.Timestamp(min * 60 * 1000)
+    val ms = MemoryStream[(Long, String, java.sql.Timestamp)]
+    val out = Streams.dedupDocs(ms.toDF().toDF("doc_id", "text", "ts"))
+    val q = out.writeStream.format("memory").queryName("dedup_docs")
+      .outputMode("append").start()
+    try {
+      // t0: "a b" and its normalization-equal twin "A  b" + distinct "c"
+      ms.addData((0L, "a b", ts(600)), (1L, "A  b", ts(605)), (2L, "c", ts(610)))
+      q.processAllAvailable()
+      // t1: same fingerprint again, still inside the 1 h horizon
+      ms.addData((3L, "a b", ts(630)))
+      q.processAllAvailable()
+      // t2: watermark advancer (unique text, far ahead)
+      ms.addData((4L, "zzz", ts(780)))
+      q.processAllAvailable()
+      // t3: watermark is now 780-60=720 > first-seen 600+60 — the old
+      // fingerprint's state has expired, so the duplicate re-admits
+      // (the documented trade of bounded state; batch dedup compacts)
+      ms.addData((5L, "a b", ts(785)))
+      q.processAllAvailable()
+      val ids = spark.table("dedup_docs").select("doc_id").collect()
+        .map(_.getLong(0)).toSet
+      assert(ids == Set(0L, 2L, 4L, 5L),
+        s"expected first-in wins within horizon, re-admit after expiry; got $ids")
+    } finally q.stop()
+  }
+
   test("stream_user_jump matches the batch lead()-based jump detection") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
