@@ -20,7 +20,10 @@ import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType}
   * The fold order (0.0 + a0*b0) + a1*b1 + … is identical to the
   * interpreted pipeline above and to the DuckDB oracle's
   * `list_reduce(list_prepend(0.0, list_transform(...)))`, so double
-  * outputs stay bit-identical across all three formulations.
+  * outputs stay bit-identical across all three formulations. NULL
+  * semantics also match the pipeline: mismatched lengths (zip_with
+  * null-pads the shorter side) or a NULL element (null propagates
+  * through the fold) yield NULL, not a silently truncated sum.
   */
 case class DotProduct(left: Expression, right: Expression)
     extends BinaryExpression {
@@ -36,14 +39,19 @@ case class DotProduct(left: Expression, right: Expression)
         s"(${left.dataType.simpleString}, ${right.dataType.simpleString})")
   }
   override def dataType: DataType = DoubleType
+  override def nullable: Boolean = true
   override def prettyName: String = "dot_product"
 
   override def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
-    val n = math.min(x.numElements(), y.numElements())
+    val n = x.numElements()
+    if (n != y.numElements()) return null
     var dot = 0.0; var i = 0
-    while (i < n) { dot += x.getDouble(i) * y.getDouble(i); i += 1 }
+    while (i < n) {
+      if (x.isNullAt(i) || y.isNullAt(i)) return null
+      dot += x.getDouble(i) * y.getDouble(i); i += 1
+    }
     dot
   }
 
@@ -52,12 +60,16 @@ case class DotProduct(left: Expression, right: Expression)
       val n = ctx.freshName("n")
       val dot = ctx.freshName("dot")
       val i = ctx.freshName("i")
+      val bad = ctx.freshName("bad")
       s"""
-         |int $n = Math.min($a.numElements(), $b.numElements());
+         |int $n = $a.numElements();
          |double $dot = 0.0;
-         |for (int $i = 0; $i < $n; $i++) {
+         |boolean $bad = $n != $b.numElements();
+         |for (int $i = 0; !$bad && $i < $n; $i++) {
+         |  if ($a.isNullAt($i) || $b.isNullAt($i)) { $bad = true; break; }
          |  $dot += $a.getDouble($i) * $b.getDouble($i);
          |}
+         |${ev.isNull} = $bad;
          |${ev.value} = $dot;
        """.stripMargin
     })

@@ -70,12 +70,23 @@ object MinHashSig {
     val mins = Array.fill(k)(Long.MaxValue)
     var j = 0
     while (j < n) {
-      val s = shingles.getUTF8String(j)
-      var i2 = 0
-      while (i2 < k) {
-        val h = XXH64.hashUTF8String(s, seeds(i2))
-        if (h < mins(i2)) mins(i2) = h
-        i2 += 1
+      if (shingles.isNullAt(j)) {
+        // a NULL shingle contributes the seed itself, exactly like the
+        // explode formulation (xxhash64 skips null children, leaving
+        // the state after hashInt(i)) — and never NPEs
+        var i2 = 0
+        while (i2 < k) {
+          if (seeds(i2) < mins(i2)) mins(i2) = seeds(i2)
+          i2 += 1
+        }
+      } else {
+        val s = shingles.getUTF8String(j)
+        var i2 = 0
+        while (i2 < k) {
+          val h = XXH64.hashUTF8String(s, seeds(i2))
+          if (h < mins(i2)) mins(i2) = h
+          i2 += 1
+        }
       }
       j += 1
     }

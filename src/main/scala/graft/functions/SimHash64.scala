@@ -45,22 +45,32 @@ object SimHash64 {
   private val Seed = 42L // Spark SQL xxhash64's fixed seed
 
   /** Single-pass simhash; called from generated code via the static
-    * forwarder. Tokenization matches `filter(split(text, ' '), t -> t <> '')`.
+    * forwarder. Tokenization matches `filter(split(text, ' '), t -> t <> '')`
+    * — implemented as a scan over the raw UTF-8 bytes (0x20 is a
+    * single-byte code point that cannot occur inside a multi-byte
+    * sequence, so byte-splitting on it is exact) with each token's byte
+    * range hashed in place: no String decode, no per-token allocation.
     */
   def compute(text: UTF8String): Long = {
     val counters = new Array[Int](64)
-    val toks = text.toString.split(' ')
-    var t = 0
-    while (t < toks.length) {
-      if (toks(t).nonEmpty) {
-        val h = XXH64.hashUTF8String(UTF8String.fromString(toks(t)), Seed)
-        var i = 0
-        while (i < 64) {
-          if (((h >>> i) & 1L) != 0L) counters(i) += 1 else counters(i) -= 1
-          i += 1
+    val base = text.getBaseObject
+    val offset = text.getBaseOffset
+    val len = text.numBytes
+    var start = 0
+    var p = 0
+    while (p <= len) {
+      if (p == len || org.apache.spark.unsafe.Platform.getByte(base, offset + p) == 0x20.toByte) {
+        if (p > start) {
+          val h = XXH64.hashUnsafeBytes(base, offset + start, p - start, Seed)
+          var i = 0
+          while (i < 64) {
+            if (((h >>> i) & 1L) != 0L) counters(i) += 1 else counters(i) -= 1
+            i += 1
+          }
         }
+        start = p + 1
       }
-      t += 1
+      p += 1
     }
     var sig = 0L
     var i = 0

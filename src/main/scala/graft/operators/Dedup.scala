@@ -224,6 +224,11 @@ object Dedup {
     * graphs would switch to the O(log n)-round large-star/small-star
     * variant, same building blocks. The DuckDB oracle computes the
     * same fixpoint independently via a recursive CTE.
+    *
+    * NOTE: unlike the other query builders, invoking this one runs the
+    * iterative computation eagerly (the way an MLlib `fit` does) — the
+    * fixpoint cannot be expressed as a single lazy plan. The returned
+    * frame is the small materialized label set.
     */
   def qDupClusters(spark: SparkSession, dir: String): DataFrame = {
     val pairs = qDedupNgramJaccard(spark, dir).select("doc_a", "doc_b")
@@ -248,13 +253,22 @@ object Dedup {
       labels = next
       rounds += 1
     }
-    val out = labels
+    // fail loudly rather than emit silently-split clusters: a component
+    // whose propagation distance exceeds the cap means this data wants
+    // the O(log n)-round large-star/small-star variant, not wrong labels
+    if (changed > 0) throw new IllegalStateException(
+      s"q_dup_clusters did not converge after $rounds label-propagation rounds")
+    // truncate the N-round join lineage before releasing the caches —
+    // the returned frame must stay executable (and cheap) for the
+    // caller even if it runs after these unpersists
+    val finalLabels = labels.localCheckpoint(true)
+    labels.unpersist()
+    sym.unpersist()
+    finalLabels
       .withColumn("cluster_size",
         count(lit(1)).over(Window.partitionBy("label")))
       .select(col("v").as("doc_id"), col("label").as("cluster_id"), col("cluster_size"))
       .orderBy("doc_id")
-    sym.unpersist()
-    out
   }
 
   val qDupClustersSql: String =

@@ -155,30 +155,40 @@ object Stats {
     * order contributes many rows. Dims broadcast; money = exact decimal
     * line revenue.
     */
-  def qProvinceStats(spark: SparkSession, dir: String): DataFrame = {
+  /** Shared order-grain base for the #11 family: line revenue
+    * pre-aggregated to ORDER grain, then joined to orders + broadcast
+    * dims. The pre-agg is why none of the consumers needs a distinct:
+    * each surviving order contributes exactly ONE row (with one nation
+    * and one day), so `count(distinct o_orderkey)` becomes `count(*)`
+    * at every grouping level and Spark never plans the Expand
+    * (input ×2) a mixed distinct/non-distinct aggregate requires.
+    * Nested decimal sums are exact → totals identical to the
+    * line-grain formulation the oracles use. Columns: o_orderkey,
+    * n_name, day, rev (consumers that ignore o_orderkey get it pruned
+    * out of the scan by Catalyst).
+    */
+  private def provinceOrderGrain(spark: SparkSession, dir: String): DataFrame = {
     val o = Tables.orders(spark, dir).select("o_orderkey", "o_custkey", "o_orderdate")
     val l = Tables.lineitem(spark, dir)
       .select("l_orderkey", "l_extendedprice", "l_discount")
     val c = Tables.customer(spark, dir).select("c_custkey", "c_nationkey")
     val n = Tables.nation(spark, dir).select("n_nationkey", "n_name")
-    // pre-aggregate line revenue to ORDER grain first: the join probes
-    // one row per order instead of every lineitem, and the distinct
-    // disappears — after the pre-agg each surviving order contributes
-    // exactly one row, so `count(distinct o_orderkey)` is `count(*)`
-    // and Spark never plans the Expand (input ×2) a mixed
-    // distinct/non-distinct aggregate requires. Nested decimal sums
-    // are exact → identical totals.
     val perOrder = l.groupBy("l_orderkey")
       .agg(sum(Money.dPrice * (Money.one - Money.dDisc)).as("rev"))
     o.join(perOrder, col("o_orderkey") === col("l_orderkey"))
       .join(broadcast(c), col("o_custkey") === col("c_custkey"))
       .join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
-      .groupBy(col("n_name"), date_format(col("o_orderdate"), "yyyy-MM-dd").as("day"))
+      .select(col("o_orderkey"), col("n_name"),
+        date_format(col("o_orderdate"), "yyyy-MM-dd").as("day"), col("rev"))
+  }
+
+  def qProvinceStats(spark: SparkSession, dir: String): DataFrame =
+    provinceOrderGrain(spark, dir)
+      .groupBy("n_name", "day")
       .agg(
         count(lit(1)).as("order_ct"),
         sum("rev").cast("double").as("amount"))
       .orderBy("n_name", "day")
-  }
 
   val qProvinceStatsSql: String =
     """SELECT n_name, strftime(o_orderdate, '%Y-%m-%d') AS day,
@@ -197,27 +207,18 @@ object Stats {
     * Offered alongside the exact query; rows-only gate — HLL values
     * are implementation-specific and have no DuckDB oracle.
     */
-  def qProvinceStatsApprox(spark: SparkSession, dir: String): DataFrame = {
-    val o = Tables.orders(spark, dir).select("o_orderkey", "o_custkey", "o_orderdate")
-    val l = Tables.lineitem(spark, dir)
-      .select("l_orderkey", "l_extendedprice", "l_discount")
-    val c = Tables.customer(spark, dir).select("c_custkey", "c_nationkey")
-    val n = Tables.nation(spark, dir).select("n_nationkey", "n_name")
-    // same order-grain pre-agg as the exact #11; the HLL sketch stays
-    // (multiplicity-insensitive, so pre-agg does not change its
-    // estimate) because at 100 TB it is what replaces the exact count
-    // when the per-group distinct set no longer fits an exact pass.
-    val perOrder = l.groupBy("l_orderkey")
-      .agg(sum(Money.dPrice * (Money.one - Money.dDisc)).as("rev"))
-    o.join(perOrder, col("o_orderkey") === col("l_orderkey"))
-      .join(broadcast(c), col("o_custkey") === col("c_custkey"))
-      .join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
-      .groupBy(col("n_name"), date_format(col("o_orderdate"), "yyyy-MM-dd").as("day"))
+  def qProvinceStatsApprox(spark: SparkSession, dir: String): DataFrame =
+    // same order-grain base as the exact #11, but the count stays an
+    // HLL sketch over o_orderkey (multiplicity-insensitive, so the
+    // pre-agg does not change its estimate): at 100 TB this is what
+    // replaces the exact count when the per-group distinct set no
+    // longer fits an exact pass.
+    provinceOrderGrain(spark, dir)
+      .groupBy("n_name", "day")
       .agg(
         approx_count_distinct(col("o_orderkey")).as("order_ct_approx"),
         sum("rev").cast("double").as("amount"))
       .orderBy("n_name", "day")
-  }
 
   /** #42 — `q_province_rollup`: the ROLLUP flavor of #11 — per
     * (nation, day) stats plus per-nation subtotals plus a grand total
@@ -232,19 +233,8 @@ object Stats {
     * 'ALL' so the output needs no grouping_id column.
     */
   def qProvinceRollup(spark: SparkSession, dir: String): DataFrame = {
-    val o = Tables.orders(spark, dir).select("o_orderkey", "o_custkey", "o_orderdate")
-    val l = Tables.lineitem(spark, dir)
-      .select("l_orderkey", "l_extendedprice", "l_discount")
-    val c = Tables.customer(spark, dir).select("c_custkey", "c_nationkey")
-    val n = Tables.nation(spark, dir).select("n_nationkey", "n_name")
-    val perOrder = l.groupBy("l_orderkey")
-      .agg(sum(Money.dPrice * (Money.one - Money.dDisc)).as("rev"))
-    o.join(perOrder, col("o_orderkey") === col("l_orderkey"))
-      .join(broadcast(c), col("o_custkey") === col("c_custkey"))
-      .join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
-      .select(col("n_name").as("grp_nation"),
-        date_format(col("o_orderdate"), "yyyy-MM-dd").as("grp_day"),
-        col("rev"))
+    provinceOrderGrain(spark, dir)
+      .select(col("n_name").as("grp_nation"), col("day").as("grp_day"), col("rev"))
       // Column-overload rollup on purpose: rollup(String*) resolves the
       // names via df.col(), whose dataset-id metadata makes Spark's
       // ambiguous-self-join check reject the post-rollup references

@@ -20,11 +20,15 @@ object Temporal {
     *
     * Spark-first realization — the union trick, NOT a range join: tag
     * views 0 / purchases 1, union, and take `last(view, ignoreNulls)`
-    * over (user, time, tag) ordered rows. ONE shuffle on user_id, no
-    * per-pair work, per-key cost linear in events-per-user — this is
-    * the shape that survives 100 TB, where a range-join formulation
-    * would fan out every (view, purchase) pair inside the bound and an
-    * unbounded lookback can't be range-joined at all.
+    * over (user, time, tag) ordered rows. No join in the plan, no
+    * per-pair work, per-key cost linear in events-per-user. Shuffle
+    * budget: one exchange on (user_id, v_ts) for the view tie-break
+    * window, one on user_id for the as-of window, plus the final
+    * orderBy's range exchange — each moves the event stream once,
+    * never a pair fan-out. That is the shape that survives 100 TB,
+    * where a range-join formulation would fan out every (view,
+    * purchase) pair inside the bound and an unbounded lookback can't
+    * be range-joined at all.
     *
     * Views are first deduplicated to one per (user, ts) — keep max
     * view_id — because "the most recent view" is otherwise
