@@ -25,10 +25,18 @@ object Bench {
     // Warm up codegen / parquet readers / shuffle machinery once so the
     // alphabetically-first query doesn't absorb session start-up cost —
     // against the SAME sfDir the bench runs on, so the warm-up can't
-    // silently no-op on hosts without the default test data.
-    try SparkEntry.queries("q1_pricing_summary")(spark, sfDir)
-      .write.format("noop").mode("overwrite").save()
-    catch { case e: Throwable => System.err.println(s"[bench] warmup failed: $e") }
+    // silently no-op on hosts without the default test data. One real
+    // query for the join/agg machinery, plus a first touch of every
+    // table family (documents/embeddings/events readers initialize on
+    // first contact and would otherwise bill the first dedup/ANN/ETL
+    // query for it).
+    try {
+      SparkEntry.queries("q1_pricing_summary")(spark, sfDir)
+        .write.format("noop").mode("overwrite").save()
+      Seq(Tables.documents(spark, sfDir), Tables.embeddings(spark, sfDir),
+        Tables.events(spark, sfDir))
+        .foreach(_.limit(32).write.format("noop").mode("overwrite").save())
+    } catch { case e: Throwable => System.err.println(s"[bench] warmup failed: $e") }
     var times = Vector.empty[(String, Double)]
     var errors = Vector.empty[(String, String)]
     // local-iteration escape hatch: SPARK_GRAFT_ONLY=q_a,q_b times just

@@ -238,17 +238,26 @@ object Dedup {
     var labels = sym.select(col("src").as("v")).distinct()
       .select(col("v"), col("v").as("label"))
       .persist()
-    var changed = 1L
+    // convergence check without a join: labels only ever decrease, so
+    // the label sum strictly decreases iff any label changed (decimal
+    // sum — a corpus-scale sum of 64-bit ids could overflow a long)
+    def labelSum(df: DataFrame): BigDecimal = {
+      val r = df.agg(sum(col("label").cast("decimal(38,0)"))).collect()(0)
+      if (r.isNullAt(0)) BigDecimal(0) else BigDecimal(r.getDecimal(0))
+    }
+    var total = labelSum(labels)
+    var changed = true
     var rounds = 0
-    while (changed > 0 && rounds < 64) {
+    while (changed && rounds < 64) {
       val nbrMin = sym.join(labels, sym("dst") === labels("v"))
         .groupBy("src").agg(min("label").as("nbr_label"))
       val next = labels.join(nbrMin, labels("v") === nbrMin("src"), "left")
         .select(labels("v"),
           least(col("label"), coalesce(col("nbr_label"), col("label"))).as("label"))
         .persist()
-      changed = next.join(labels.withColumnRenamed("label", "old"), "v")
-        .where(col("label") < col("old")).count()
+      val newTotal = labelSum(next)
+      changed = newTotal < total
+      total = newTotal
       labels.unpersist()
       labels = next
       rounds += 1
@@ -256,7 +265,7 @@ object Dedup {
     // fail loudly rather than emit silently-split clusters: a component
     // whose propagation distance exceeds the cap means this data wants
     // the O(log n)-round large-star/small-star variant, not wrong labels
-    if (changed > 0) throw new IllegalStateException(
+    if (changed) throw new IllegalStateException(
       s"q_dup_clusters did not converge after $rounds label-propagation rounds")
     // truncate the N-round join lineage before releasing the caches —
     // the returned frame must stay executable (and cheap) for the

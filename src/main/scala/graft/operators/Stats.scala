@@ -27,40 +27,40 @@ object Stats {
   private def TenMinUs = Sessions.TenMinUs
   private def GapUs    = Sessions.GapUs
 
-  /** #9 — visitor stats: union of 4 derived measure-frames (pv, daily
-    * uv, session starts, jumps) keyed by (hour, channel cohort), then
-    * one summing agg (VisitorStatsApp.java:41-152).
+  /** #9 — visitor stats: the four measures (pv, daily uv, session
+    * starts, jumps) keyed by (hour, channel cohort), one summing agg
+    * (VisitorStatsApp.java:41-152).
+    *
+    * Computed in a SINGLE events pass: each row carries its own
+    * measure flags (row_number over (user, day) for uv; lag/lead over
+    * user for sv/uj) and one aggregate sums them — where the previous
+    * union-of-4-frames formulation re-scanned the (pruned) events
+    * subtree four times and ran three separate window stages. Two
+    * window exchanges (user_id, day) and (user_id), then the final
+    * small (hour, cohort) agg — per-measure results identical row for
+    * row, so the oracle keeps its union formulation.
     */
   def qVisitorStats(spark: SparkSession, dir: String): DataFrame = {
     val w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
-    val base = Tables.events(spark, dir)
+    val wDay = Window.partitionBy("user_id", "day").orderBy("ts_us", "event_id")
+    val zeroD = lit(BigDecimal(0).setScale(2)).cast("decimal(12,2)")
+    Tables.events(spark, dir)
       .withColumn("stt", date_format(timestamp_micros(col("ts_us")), "yyyy-MM-dd HH"))
       .withColumn("ch", concat(lit("ch"), col("user_id") % 3))
       .withColumn("day", date_format(timestamp_micros(col("ts_us")), "yyyy-MM-dd"))
-    val zero = lit(0L)
-    val zeroD = lit(BigDecimal(0).setScale(2)).cast("decimal(12,2)")
-
-    val pv = base.filter(col("event_type") === "view")
-      .select(col("stt"), col("ch"), zero.as("uv"), lit(1L).as("pv"),
-        zero.as("sv"), zero.as("uj"), col("value").cast("decimal(12,2)").as("dur"))
-    val uv = base
-      .withColumn("rn", row_number().over(Window.partitionBy("user_id", "day").orderBy("ts_us", "event_id")))
-      .filter(col("rn") === 1)
-      .select(col("stt"), col("ch"), lit(1L).as("uv"), zero.as("pv"),
-        zero.as("sv"), zero.as("uj"), zeroD.as("dur"))
-    val sv = base
+      .withColumn("rn_day", row_number().over(wDay))
       .withColumn("prev_ts_us", lag("ts_us", 1).over(w))
-      .filter(col("prev_ts_us").isNull || col("ts_us") - col("prev_ts_us") > GapUs)
-      .select(col("stt"), col("ch"), zero.as("uv"), zero.as("pv"),
-        lit(1L).as("sv"), zero.as("uj"), zeroD.as("dur"))
-    val uj = base
       .withColumn("next_ts_us", lead("ts_us", 1).over(w))
-      .filter(col("event_type") === "view" &&
-        (col("next_ts_us").isNull || col("next_ts_us") - col("ts_us") > TenMinUs))
-      .select(col("stt"), col("ch"), zero.as("uv"), zero.as("pv"),
-        zero.as("sv"), lit(1L).as("uj"), zeroD.as("dur"))
-
-    pv.unionAll(uv).unionAll(sv).unionAll(uj)
+      .select(col("stt"), col("ch"),
+        when(col("rn_day") === 1, 1L).otherwise(0L).as("uv"),
+        when(col("event_type") === "view", 1L).otherwise(0L).as("pv"),
+        when(col("prev_ts_us").isNull || col("ts_us") - col("prev_ts_us") > GapUs, 1L)
+          .otherwise(0L).as("sv"),
+        when(col("event_type") === "view" &&
+          (col("next_ts_us").isNull || col("next_ts_us") - col("ts_us") > TenMinUs), 1L)
+          .otherwise(0L).as("uj"),
+        when(col("event_type") === "view", col("value").cast("decimal(12,2)"))
+          .otherwise(zeroD).as("dur"))
       .groupBy("stt", "ch")
       .agg(sum("uv").as("uv_ct"), sum("pv").as("pv_ct"),
         sum("sv").as("sv_ct"), sum("uj").as("uj_ct"),
