@@ -264,6 +264,25 @@ object Stats {
       |GROUP BY ROLLUP (n_name, strftime(o_orderdate, '%Y-%m-%d'))
       |ORDER BY n_name, day""".stripMargin
 
+  /** Salted exact count-distinct — the documented skew remedy
+    * (SURVEY.md §5) as a reusable operator. A single hot key (one
+    * event_type, one sku) funnels its whole distinct set through one
+    * task under plain `count(distinct)`; salting by `hash(id) % n`
+    * splits each key's id space into n DISJOINT shards, counts exact
+    * distincts per (key, shard) — n-way parallel, each holding 1/n of
+    * the key's set — and sums the shard counts, which is exact because
+    * the shards partition the id space. Two map-side-combinable
+    * shuffles, no Expand, works for any skew ratio by raising n.
+    */
+  def distinctPerKeySalted(df: DataFrame, keyCol: String, idCol: String,
+      salts: Int): DataFrame =
+    df.select(col(keyCol), col(idCol))
+      .withColumn("salt", pmod(hash(col(idCol)), lit(salts)))
+      .groupBy(col(keyCol), col("salt"))
+      .agg(countDistinct(col(idCol)).as("part_ct"))
+      .groupBy(col(keyCol))
+      .agg(sum("part_ct").as("distinct_ct"))
+
   /** #12 — keyword split-and-count (KeywordStatsApp.java:30-59 +
     * KeywordUtil tokenizer UDTF): explode(split) is a map-side
     * generator; the only shuffle is the final (word, source) agg.

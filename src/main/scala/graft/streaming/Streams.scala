@@ -185,6 +185,31 @@ object Streams {
       .withWatermark("ts", "1 hour")
       .dropDuplicatesWithinWatermark("fp")
 
+  /** #45 — streaming sessionization, the streaming twin of the batch
+    * q_sessionize: Spark's native `session_window` merges events into
+    * gap-bounded event-time windows incrementally, with state bounded
+    * by the watermark (an open session older than the watermark
+    * horizon finalizes and evicts).
+    *
+    * Boundary nuance, documented rather than papered over: session
+    * windows merge on strict overlap, so an event arriving EXACTLY at
+    * the 30-minute gap opens a new session here, while the batch
+    * lag()-based formulation (`gap > 30 min` starts a session) keeps
+    * it in the old one. At microsecond event-time resolution the tie
+    * is a measure-zero case; the spec asserts exact agreement on the
+    * test events (which contain no exact-gap tie).
+    */
+  def sessionize(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "30 minutes")
+      .groupBy(col("user_id"), session_window(col("ts"), "30 minutes"))
+      .agg(
+        min("ts_us").as("session_start_us"),
+        count(lit(1)).as("n_events"),
+        (max("ts_us") - min("ts_us")).as("duration_us"))
+      .select(col("user_id"), col("session_start_us"),
+        col("n_events"), col("duration_us"))
+
   /** #20 — UserJumpDetailApp CEP (UserJumpDetailApp.java:54-104): a
     * view with no follow-up event within 10 minutes is a jump. The
     * two-pattern CEP is re-expressed as keyed state: the last view

@@ -2,7 +2,8 @@ package graft
 
 import org.apache.spark.sql.functions._
 
-/** Co-located fact-fact joins via bucketing: at 100 TB the
+/** Scale-technique proofs: co-located fact-fact joins via bucketing,
+  * and salted exact count-distinct for skewed keys. At 100 TB the
   * orders⋈lineitem family shuffles both facts on every run unless the
   * tables are bucket-stored on the join key. This spec proves the
   * mechanics end-to-end: bucket both facts on the order key, join, and
@@ -10,6 +11,21 @@ import org.apache.spark.sql.functions._
   * is structured to adopt (one loader to switch to bucketed reads).
   */
 class BucketingSpec extends SparkSpec {
+
+  test("salted count-distinct is exact for every skewed key") {
+    // event_type is the skewed key here (a handful of values over the
+    // whole table — the shape that funnels a plain count(distinct)
+    // through one task per hot key at scale)
+    val ev = Tables.events(spark, sf)
+    val direct = ev.groupBy("event_type")
+      .agg(countDistinct("user_id").as("direct_ct"))
+    val salted = graft.operators.Stats.distinctPerKeySalted(
+      ev, "event_type", "user_id", salts = 16)
+    val joined = direct.join(salted, "event_type")
+    assert(joined.count() == direct.count(), "a key went missing")
+    assert(joined.where(col("direct_ct") =!= col("distinct_ct")).count() == 0,
+      "salted distinct diverged from the direct count")
+  }
 
   test("bucketed orders join lineitem with zero shuffle exchanges") {
     val wh = java.nio.file.Files.createTempDirectory("graft_bt_").toString

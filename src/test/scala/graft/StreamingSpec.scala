@@ -261,6 +261,36 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("stream_sessionize matches the batch gap sessionization") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val ms = MemoryStream[LogEvent]
+    val events = logEvents.filter(_.user_id >= 0)
+    // flush sentinel per user far in the future: advances the watermark
+    // past every real session's close so append mode emits them all
+    val maxTs = events.map(_.ts_us).max
+    val flushTs = maxTs + 48L * 3600 * 1000 * 1000
+    val flush = events.map(_.user_id).distinct.map { u =>
+      LogEvent(20_000_000L + u, u, "flush",
+        new java.sql.Timestamp(flushTs / 1000), flushTs, 0.0, null)
+    }
+    val out = Streams.sessionize(ms.toDF())
+    val q = out.writeStream.format("memory").queryName("sessions")
+      .outputMode("append").start()
+    try {
+      ms.addData(events); q.processAllAvailable()
+      ms.addData(flush); q.processAllAvailable()
+    } finally q.stop()
+    val got = spark.table("sessions")
+      .where(col("session_start_us") =!= flushTs) // drop the flush sessions
+      .select("user_id", "session_start_us", "n_events", "duration_us")
+    val want = SparkEntry.queries("q_sessionize")(spark, sfTiny)
+      .where(col("user_id").isNotNull)
+      .select("user_id", "session_start_us", "n_events", "duration_us")
+    assert(got.exceptAll(want).count() == 0 && want.exceptAll(got).count() == 0,
+      "streaming sessions differ from the batch gap sessionization")
+  }
+
   test("stream_user_jump matches the batch lead()-based jump detection") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
