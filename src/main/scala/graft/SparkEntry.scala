@@ -53,6 +53,7 @@ object SparkEntry {
     "q_sample_stratified" -> (Corpus.qSampleStratified _),
     "q_ngram_stats" -> (Corpus.qNgramStats _),
     "q_asof_join" -> (Temporal.qAsofJoin _),
+    "q_dedup_ngram_jaccard_capped" -> (Dedup.qDedupNgramJaccardCapped _),
     "q_province_rollup" -> (Stats.qProvinceRollup _),
     "q_dup_clusters" -> (Dedup.qDupClusters _)
   )
@@ -96,6 +97,7 @@ object SparkEntry {
     "q_sample_stratified" -> Corpus.qSampleStratifiedSql,
     "q_ngram_stats" -> Corpus.qNgramStatsSql,
     "q_asof_join" -> Temporal.qAsofJoinSql,
+    "q_dedup_ngram_jaccard_capped" -> Dedup.qDedupNgramJaccardCappedSql,
     "q_province_rollup" -> Stats.qProvinceRollupSql,
     "q_dup_clusters" -> Dedup.qDupClustersSql
   )

@@ -107,11 +107,15 @@ object Dedup {
       .where(col("doc_a") < col("doc_b"))
       .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("inter"))
     val cnt = shingleSets(spark, dir).select("doc_id", "n_shingles")
+    // no broadcast hint: the per-doc size frame is tiny at test SF (AQE
+    // broadcasts it from runtime stats) but corpus-sized at 100 TB,
+    // where these joins must shuffle on doc id — a hard-coded hint
+    // would force the whole corpus through the driver
     inter
-      .join(broadcast(cnt.select(col("doc_id").as("doc_a"),
-        col("n_shingles").as("na"))), "doc_a")
-      .join(broadcast(cnt.select(col("doc_id").as("doc_b"),
-        col("n_shingles").as("nb"))), "doc_b")
+      .join(cnt.select(col("doc_id").as("doc_a"),
+        col("n_shingles").as("na")), "doc_a")
+      .join(cnt.select(col("doc_id").as("doc_b"),
+        col("n_shingles").as("nb")), "doc_b")
       .withColumn("jaccard",
         col("inter").cast("double") / (col("na") + col("nb") - col("inter")))
       .where(col("jaccard") >= JaccardTau)
@@ -206,6 +210,93 @@ object Dedup {
       .select("doc_a", "doc_b", "est_jaccard", "jaccard")
       .orderBy("doc_a", "doc_b")
   }
+
+  /** Document-frequency cap for the capped candidate join (#47): a
+    * shingle occurring in more than this many documents is dropped
+    * from CANDIDATE GENERATION (verification still uses full sets).
+    * Far above anything in the test corpora (max df 25 at sf0.01), so
+    * the capped query returns exactly the uncapped result there — the
+    * cap exists for corpora with boilerplate shingles, where an
+    * ultra-common shingle alone contributes df² candidate pairs.
+    */
+  private val DfCap = 64
+
+  /** #47 — `q_dedup_ngram_jaccard_capped`: #26 with the standard
+    * web-scale guard, as its own oracle-checked operator. Shingles
+    * with document frequency > [[DfCap]] are excluded from the
+    * OPERATOR'S VOCABULARY: candidates come only from the remaining
+    * rare shingles (per-shingle pair fan-out bounded by DfCap²
+    * regardless of corpus shape — measured: prepending one identical
+    * 12-token boilerplate header to every sf0.1 document sends the
+    * uncapped candidate join from ~2.5 s to ~34 s, all C(n,2) pairs
+    * via the df=5000 header shingles, while this variant stays at
+    * ~3 s; the gap grows as n²), and Jaccard is
+    * scored over the same df≤cap sub-vocabulary (boilerplate shingles
+    * do not inflate similarity — for dedup purposes a feature, and the
+    * property that keeps per-pair work O(1): similarity comes from the
+    * candidate join's own counts, never an array intersection). The
+    * trade, stated exactly: a pair similar ONLY through over-cap
+    * boilerplate is not reported. The oracle applies the identical cap
+    * to both stages, so the gate stays a hash-match; on the test
+    * corpora (max df 25 < 64) output is identical to #26.
+    */
+  def qDedupNgramJaccardCapped(spark: SparkSession, dir: String): DataFrame = {
+    val ex = shingleExploded(spark, dir)
+      .select(col("doc_id"), xxhash64(col("shingle")).as("shingle"))
+    val rare = ex.groupBy("shingle").agg(count(lit(1)).as("df"))
+      .where(col("df") <= DfCap)
+      .select("shingle")
+    // persisted: both sides of the candidate self-join consume this
+    // frame, and without the cache each side would re-run the explode
+    // AND the df aggregation (the uncapped #26 only re-runs the cheap
+    // explode off the cached shingle sets)
+    val exRare = ex.join(rare, "shingle").persist()
+    val cntRare = exRare.groupBy("doc_id").agg(count(lit(1)).as("n_rare"))
+    val a = exRare.select(col("doc_id").as("doc_a"), col("shingle"))
+    val b = exRare.select(col("doc_id").as("doc_b"), col("shingle"))
+    val inter = a.join(b, "shingle")
+      .where(col("doc_a") < col("doc_b"))
+      .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("inter"))
+    // no broadcast hint, same reasoning as #26: corpus-sized frame at
+    // 100 TB; AQE broadcasts it at test SF from runtime stats
+    inter
+      .join(cntRare.select(col("doc_id").as("doc_a"),
+        col("n_rare").as("na")), "doc_a")
+      .join(cntRare.select(col("doc_id").as("doc_b"),
+        col("n_rare").as("nb")), "doc_b")
+      .withColumn("jaccard",
+        col("inter").cast("double") / (col("na") + col("nb") - col("inter")))
+      .where(col("jaccard") >= JaccardTau)
+      .select("doc_a", "doc_b", "inter", "jaccard")
+      .orderBy("doc_a", "doc_b")
+  }
+
+  val qDedupNgramJaccardCappedSql: String =
+    s"""WITH toks AS (
+       |  SELECT doc_id, list_filter(string_split(text, ' '), t -> t <> '') AS t
+       |  FROM documents),
+       |sh AS (
+       |  SELECT doc_id,
+       |    CASE WHEN len(t) >= 3
+       |      THEN list_distinct(list_transform(range(1, len(t) - 1),
+       |             i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]))
+       |      ELSE CAST([] AS VARCHAR[]) END AS shingles
+       |  FROM toks),
+       |ex AS (SELECT doc_id, unnest(shingles) AS shingle FROM sh),
+       |rare AS (SELECT shingle FROM ex GROUP BY shingle HAVING count(*) <= 64),
+       |exr AS (SELECT doc_id, ex.shingle FROM ex JOIN rare ON ex.shingle = rare.shingle),
+       |cnt AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n FROM exr GROUP BY doc_id),
+       |pairs AS (
+       |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
+       |  FROM exr a JOIN exr b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+       |  GROUP BY 1, 2)
+       |SELECT doc_a, doc_b, inter,
+       |  CAST(inter AS DOUBLE) / (ca.n + cb.n - inter) AS jaccard
+       |FROM pairs
+       |JOIN cnt ca ON doc_a = ca.doc_id
+       |JOIN cnt cb ON doc_b = cb.doc_id
+       |WHERE CAST(inter AS DOUBLE) / (ca.n + cb.n - inter) >= $JaccardTau
+       |ORDER BY doc_a, doc_b""".stripMargin
 
   /** #43 — `q_dup_clusters`: connected components over the near-dup
     * graph (#26's verified Jaccard ≥ τ pairs), labeling every document
@@ -302,11 +393,24 @@ object Dedup {
     * weighted) — computed in ONE map-side pass per document by the
     * codegen'd [[graft.functions.SimHash64]] (no token explode, no
     * shuffle, no 64-column aggregate; bit-identical to the explode →
-    * 64×sum-agg formulation it replaced). Candidate generation by the
-    * pigeonhole split of the 64 bits into 4 × 16-bit chunks: any pair
-    * within Hamming distance 3 shares at least one chunk verbatim, so
-    * the chunk-equality join has perfect recall at radius 3.
-    * Verification = bit_count(XOR) ≤ 3 on candidates only.
+    * 64×sum-agg formulation it replaced).
+    *
+    * Candidate generation: the 64 bits split into 7 chunks (10+9×6
+    * bits); candidates key on each of the C(7,4) = 35 four-chunk
+    * combinations (an xxhash64 of the subset id + the 4 chunk values).
+    * Recall at radius 3 is PERFECT by pigeonhole — Hamming distance
+    * ≤ 3 corrupts at most 3 chunks, so at least one 4-subset is
+    * intact on both sides and collides. Why not the classic 4 × 16-bit
+    * chunk-equality (which also has perfect recall): its bucket space
+    * per chunk is only 2^16, so RANDOM collisions grow as n²/65536 —
+    * the 1×/4×/16× corpus probe showed the superlinear step (3.3 s →
+    * 19.8 s from 4× to 16×), and at 10^9+ docs it is catastrophic.
+    * The 4-subset keys span ~37 bits of signature, so random
+    * collisions stay negligible at any corpus size; the 35× key
+    * explosion is linear, the scale-safe side of the trade.
+    * Verification = bit_count(XOR) ≤ 3 on deduplicated candidate
+    * pairs only (signatures re-attach AFTER the pair distinct, so
+    * nothing per-pair is computed on multi-band collisions).
     */
   def qDedupSimhash(spark: SparkSession, dir: String): DataFrame = {
     val HammingMax = 3
@@ -316,17 +420,24 @@ object Dedup {
     val sim = Tables.documents(spark, dir)
       .where(expr("exists(split(text, ' '), t -> t <> '')"))
       .select(col("doc_id"), expr("simhash64(text)").as("simhash"))
-    val chunkCols = (0 until 4).map(j =>
-      shiftrightunsigned(col("simhash"), 16 * j).bitwiseAND(lit(0xFFFFL)))
-    val chunks = sim.select(col("doc_id"), col("simhash"),
-      posexplode(array(chunkCols: _*)).as(Seq("chunk_idx", "chunk_val")))
-    chunks.select(col("doc_id").as("doc_a"), col("simhash").as("sim_a"),
-        col("chunk_idx"), col("chunk_val"))
-      .join(chunks.select(col("doc_id").as("doc_b"), col("simhash").as("sim_b"),
-        col("chunk_idx"), col("chunk_val")), Seq("chunk_idx", "chunk_val"))
+    val bounds = Array(0, 10, 19, 28, 37, 46, 55, 64)
+    val chunkCols = (0 until 7).map { j =>
+      shiftrightunsigned(col("simhash"), bounds(j))
+        .bitwiseAND(lit((1L << (bounds(j + 1) - bounds(j))) - 1))
+    }
+    val keyCols = (0 until 7).combinations(4).toSeq.zipWithIndex.map {
+      case (subset, idx) => xxhash64((lit(idx) +: subset.map(chunkCols)): _*)
+    }
+    val keyed = sim.select(col("doc_id"),
+      posexplode(array(keyCols: _*)).as(Seq("band", "bucket")))
+    val pairs = keyed.select(col("doc_id").as("doc_a"), col("band"), col("bucket"))
+      .join(keyed.select(col("doc_id").as("doc_b"), col("band"), col("bucket")),
+        Seq("band", "bucket"))
       .where(col("doc_a") < col("doc_b"))
-      .groupBy("doc_a", "doc_b")
-      .agg(first(col("sim_a")).as("sim_a"), first(col("sim_b")).as("sim_b"))
+      .select("doc_a", "doc_b").distinct()
+    pairs
+      .join(sim.select(col("doc_id").as("doc_a"), col("simhash").as("sim_a")), "doc_a")
+      .join(sim.select(col("doc_id").as("doc_b"), col("simhash").as("sim_b")), "doc_b")
       .withColumn("hamming", bit_count(col("sim_a").bitwiseXOR(col("sim_b"))))
       .where(col("hamming") <= HammingMax)
       .select("doc_a", "doc_b", "hamming")

@@ -61,6 +61,11 @@ object Stats {
           .otherwise(0L).as("uj"),
         when(col("event_type") === "view", col("value").cast("decimal(12,2)"))
           .otherwise(zeroD).as("dur"))
+      // an event that is no view, no daily first, no session start and
+      // no jump contributed NO row in the union formulation — without
+      // this filter a (stt, ch) bucket of only such events would emit
+      // a spurious all-zero group (5 of them at sf0.001)
+      .where(col("uv") + col("pv") + col("sv") + col("uj") > 0)
       .groupBy("stt", "ch")
       .agg(sum("uv").as("uv_ct"), sum("pv").as("pv_ct"),
         sum("sv").as("sv_ct"), sum("uj").as("uj_ct"),
