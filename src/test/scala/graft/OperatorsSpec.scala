@@ -100,6 +100,17 @@ class OperatorsSpec extends SparkSpec {
       .where(fine("order_ct") =!= flat("order_ct")).count() == 0)
   }
 
+  test("capped jaccard equals the uncapped operator wherever the cap does not bind") {
+    // max shingle df at test SF is 25 < 64, so the two operators must
+    // agree exactly — the cap only changes behavior on corpora with
+    // boilerplate shingles (docs/SCALING.md probe 3)
+    val capped = SparkEntry.queries("q_dedup_ngram_jaccard_capped")(spark, sf)
+    val plain = SparkEntry.queries("q_dedup_ngram_jaccard")(spark, sf)
+    assert(capped.exceptAll(plain).count() == 0 &&
+      plain.exceptAll(capped).count() == 0,
+      "capped jaccard diverged from #26 although the cap does not bind here")
+  }
+
   test("dup clusters: labels are fixpoints and cover exactly the paired docs") {
     val pairs = SparkEntry.queries("q_dedup_ngram_jaccard")(spark, sf)
       .select("doc_a", "doc_b")
