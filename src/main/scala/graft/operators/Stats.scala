@@ -51,16 +51,25 @@ object Stats {
       .withColumn("rn_day", row_number().over(wDay))
       .withColumn("prev_ts_us", lag("ts_us", 1).over(w))
       .withColumn("next_ts_us", lead("ts_us", 1).over(w))
-      .select(col("stt"), col("ch"),
+      .select(col("stt"), col("ch"), col("event_type"), col("value"),
         when(col("rn_day") === 1, 1L).otherwise(0L).as("uv"),
         when(col("event_type") === "view", 1L).otherwise(0L).as("pv"),
         when(col("prev_ts_us").isNull || col("ts_us") - col("prev_ts_us") > GapUs, 1L)
           .otherwise(0L).as("sv"),
         when(col("event_type") === "view" &&
           (col("next_ts_us").isNull || col("next_ts_us") - col("ts_us") > TenMinUs), 1L)
-          .otherwise(0L).as("uj"),
-        when(col("event_type") === "view", col("value").cast("decimal(12,2)"))
-          .otherwise(zeroD).as("dur"))
+          .otherwise(0L).as("uj"))
+      // union-exact dur contribution: a view contributes its value
+      // (NULL stays NULL — SQL SUM skips it), and every uv/sv/uj flag
+      // contributed a 0.00 row in the union formulation, which matters
+      // ONLY for SUM's null-ness: a group whose sole view has NULL
+      // value must still sum to 0.0 when that row carries a flag, and
+      // to NULL when it does not
+      .withColumn("dur",
+        when(col("event_type") === "view" && col("value").isNotNull,
+          col("value").cast("decimal(12,2)"))
+          .otherwise(when(col("uv") + col("sv") + col("uj") > 0, zeroD)
+            .otherwise(lit(null).cast("decimal(12,2)"))))
       // an event that is no view, no daily first, no session start and
       // no jump contributed NO row in the union formulation — without
       // this filter a (stt, ch) bucket of only such events would emit
