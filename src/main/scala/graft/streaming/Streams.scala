@@ -185,6 +185,62 @@ object Streams {
       .withWatermark("ts", "1 hour")
       .dropDuplicatesWithinWatermark("fp")
 
+  /** #48 — KeywordStatsApp as a stream (KeywordStatsApp.java:30-59):
+    * tokenize → event-time tumbling window → per-(word, source)
+    * counts. The split/explode is a stateless generator running at
+    * source parallelism; the only state is the windowed count, bounded
+    * by the watermark.
+    */
+  def keywordStats(docs: DataFrame): DataFrame =
+    docs
+      .withWatermark("ts", "1 hour")
+      .select(col("ts"), col("source"),
+        explode(split(col("text"), " ")).as("word"))
+      .where(length(col("word")) > 0)
+      .groupBy(window(col("ts"), "1 hour"), col("word"), col("source"))
+      .agg(count(lit(1)).as("ct"))
+      .select(col("window.start").as("window_start"),
+        col("word"), col("source"), col("ct"))
+
+  /** #49 — ProductStatsApp as a stream (ProductStatsApp.java:67-319):
+    * per-product windowed multi-measure sums with dimension
+    * enrichment. The dim attach is a stream-STATIC broadcast join
+    * (stateless — the Spark-native form of the reference's async dim
+    * lookup) applied BEFORE the windowed aggregate; money sums stay
+    * DECIMAL so emitted results are partitioning-independent.
+    */
+  def productStats(lines: DataFrame, part: DataFrame): DataFrame =
+    lines
+      .withWatermark("ts", "30 days")
+      .join(broadcast(part.select("p_partkey", "p_brand")),
+        col("l_partkey") === col("p_partkey"))
+      .groupBy(window(col("ts"), "90 days"), col("l_partkey"), col("p_brand"))
+      .agg(
+        count(lit(1)).as("item_ct"),
+        sum(col("l_quantity").cast("decimal(12,2)")).as("quantity_sum"),
+        sum(col("l_extendedprice").cast("decimal(12,2)")).as("amount_sum"))
+      .select(col("window.start").as("window_start"), col("l_partkey"),
+        col("p_brand"), col("item_ct"), col("quantity_sum"), col("amount_sum"))
+
+  /** #50 — ProvinceStatsSqlApp as a stream
+    * (ProvinceStatsSqlApp.java:34-53): per-nation windowed order count
+    * + revenue over an ORDER-GRAIN stream (the same pre-aggregated
+    * grain the batch #11 uses, so the distinct-order count is a plain
+    * count), dims attached via stream-static broadcast joins.
+    */
+  def provinceStats(orders: DataFrame, customer: DataFrame,
+      nation: DataFrame): DataFrame =
+    orders
+      .withWatermark("ts", "30 days")
+      .join(broadcast(customer.select("c_custkey", "c_nationkey")),
+        col("o_custkey") === col("c_custkey"))
+      .join(broadcast(nation.select("n_nationkey", "n_name")),
+        col("c_nationkey") === col("n_nationkey"))
+      .groupBy(window(col("ts"), "90 days"), col("n_name"))
+      .agg(count(lit(1)).as("order_ct"), sum(col("rev")).as("amount"))
+      .select(col("window.start").as("window_start"), col("n_name"),
+        col("order_ct"), col("amount"))
+
   /** #45 — streaming sessionization, the streaming twin of the batch
     * q_sessionize: Spark's native `session_window` merges events into
     * gap-bounded event-time windows incrementally, with state bounded

@@ -291,6 +291,102 @@ class StreamingSpec extends SparkSpec {
       "streaming sessions differ from the batch gap sessionization")
   }
 
+  test("stream_keyword_stats window counts match a batch run of the same tokenizer") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    def ts(h: Long) = new java.sql.Timestamp(h * 3600 * 1000)
+    val docs = Tables.documents(spark, sfTiny)
+      .select("doc_id", "text", "source").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2),
+        ts(r.getLong(0) % 24))) // spread docs across 24 hourly windows
+    val ms = MemoryStream[(Long, String, String, java.sql.Timestamp)]
+    val out = Streams.keywordStats(
+      ms.toDF().toDF("doc_id", "text", "source", "ts"))
+    val q = out.writeStream.format("memory").queryName("kw")
+      .outputMode("append").start()
+    try {
+      ms.addData(docs.toIndexedSeq); q.processAllAvailable()
+      // flush far ahead so every hourly window closes
+      ms.addData((-1L, "flushword", "flush", ts(1000))); q.processAllAvailable()
+    } finally q.stop()
+    val got = spark.table("kw").where(col("source") =!= "flush")
+    val want = docs.toIndexedSeq.toDF("doc_id", "text", "source", "ts")
+      .select(col("ts"), col("source"), explode(split(col("text"), " ")).as("word"))
+      .where(length(col("word")) > 0)
+      .groupBy(window(col("ts"), "1 hour"), col("word"), col("source"))
+      .agg(count(lit(1)).as("ct"))
+      .select(col("window.start").as("window_start"), col("word"),
+        col("source"), col("ct"))
+    assert(got.exceptAll(want).count() == 0 && want.exceptAll(got).count() == 0,
+      "streaming keyword window counts differ from the batch computation")
+  }
+
+  test("stream_product_stats enriches via stream-static broadcast and sums exactly") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val lines = Tables.lineitem(spark, sfTiny)
+      .select("l_partkey", "l_quantity", "l_extendedprice", "l_shipdate")
+      .collect()
+      .map(r => (r.getLong(0), r.getDouble(1), r.getDouble(2),
+        java.sql.Timestamp.valueOf(r.getAs[java.time.LocalDateTime](3))))
+    val part = Tables.part(spark, sfTiny)
+    val ms = MemoryStream[(Long, Double, Double, java.sql.Timestamp)]
+    val out = Streams.productStats(
+      ms.toDF().toDF("l_partkey", "l_quantity", "l_extendedprice", "ts"), part)
+    val q = out.writeStream.format("memory").queryName("ps")
+      .outputMode("append").start()
+    try {
+      ms.addData(lines.toIndexedSeq); q.processAllAvailable()
+      // flush: a real partkey far in the future closes all windows
+      ms.addData((lines.head._1, 0.0, 0.0,
+        java.sql.Timestamp.valueOf("2100-01-01 00:00:00")))
+      q.processAllAvailable()
+    } finally q.stop()
+    val got = spark.table("ps")
+      .where(col("window_start") < java.sql.Timestamp.valueOf("2099-01-01 00:00:00"))
+    val want = lines.toIndexedSeq
+      .toDF("l_partkey", "l_quantity", "l_extendedprice", "ts")
+      .join(broadcast(part.select("p_partkey", "p_brand")),
+        col("l_partkey") === col("p_partkey"))
+      .groupBy(window(col("ts"), "90 days"), col("l_partkey"), col("p_brand"))
+      .agg(count(lit(1)).as("item_ct"),
+        sum(col("l_quantity").cast("decimal(12,2)")).as("quantity_sum"),
+        sum(col("l_extendedprice").cast("decimal(12,2)")).as("amount_sum"))
+      .select(col("window.start").as("window_start"), col("l_partkey"),
+        col("p_brand"), col("item_ct"), col("quantity_sum"), col("amount_sum"))
+    assert(got.exceptAll(want).count() == 0 && want.exceptAll(got).count() == 0,
+      "streaming product stats differ from the batch computation")
+  }
+
+  test("stream_province_stats counts orders exactly at order grain") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val orders = Tables.orders(spark, sfTiny)
+      .select("o_orderkey", "o_custkey", "o_totalprice", "o_orderdate")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2),
+        java.sql.Timestamp.valueOf(r.getAs[java.time.LocalDateTime](3))))
+    val ms = MemoryStream[(Long, Long, Double, java.sql.Timestamp)]
+    val out = Streams.provinceStats(
+      ms.toDF().toDF("o_orderkey", "o_custkey", "rev", "ts"),
+      Tables.customer(spark, sfTiny), Tables.nation(spark, sfTiny))
+    val q = out.writeStream.format("memory").queryName("pvs")
+      .outputMode("append").start()
+    try {
+      ms.addData(orders.toIndexedSeq); q.processAllAvailable()
+      ms.addData((orders.head._1, orders.head._2, 0.0,
+        java.sql.Timestamp.valueOf("2100-01-01 00:00:00")))
+      q.processAllAvailable()
+    } finally q.stop()
+    val got = spark.table("pvs")
+      .where(col("window_start") < java.sql.Timestamp.valueOf("2099-01-01 00:00:00"))
+    // per-window-and-nation order counts must total the order count of
+    // every customer with a nation (orders stream at order grain)
+    val totalGot = got.agg(sum("order_ct")).collect()(0).getLong(0)
+    assert(totalGot == orders.length,
+      s"order-grain stream must count each order once: $totalGot vs ${orders.length}")
+  }
+
   test("stream_user_jump matches the batch lead()-based jump detection") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
