@@ -85,6 +85,45 @@ object Dedup {
     shingleSets(spark, dir)
       .select(col("doc_id"), explode(col("shingles")).as("shingle"))
 
+  /** Shared tail of the Jaccard family (#26, #47): self-join the
+    * exploded (doc_id, shingle-hash) frame on the shingle key, count
+    * |∩| per pair via the codegen'd hash aggregate, re-attach the
+    * per-doc set sizes from `cnt` (columns doc_id, n — deliberately NO
+    * broadcast hint: tiny at test SF where AQE broadcasts it from
+    * runtime stats, corpus-sized at 100 TB where it must shuffle on
+    * doc id), and keep pairs at Jaccard ≥ τ.
+    */
+  private def jaccardPairs(ex: DataFrame, cnt: DataFrame): DataFrame = {
+    val a = ex.select(col("doc_id").as("doc_a"), col("shingle"))
+    val b = ex.select(col("doc_id").as("doc_b"), col("shingle"))
+    val inter = a.join(b, "shingle")
+      .where(col("doc_a") < col("doc_b"))
+      .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("inter"))
+    inter
+      .join(cnt.select(col("doc_id").as("doc_a"), col("n").as("na")), "doc_a")
+      .join(cnt.select(col("doc_id").as("doc_b"), col("n").as("nb")), "doc_b")
+      .withColumn("jaccard",
+        col("inter").cast("double") / (col("na") + col("nb") - col("inter")))
+      .where(col("jaccard") >= JaccardTau)
+      .select("doc_a", "doc_b", "inter", "jaccard")
+      .orderBy("doc_a", "doc_b")
+  }
+
+  /** Shared oracle CTE text: tokenize + distinct word-3-gram shingles
+    * (identical across the #26 / #47 / #43 oracles).
+    */
+  private val shingleCteSql: String =
+    """toks AS (
+      |  SELECT doc_id, list_filter(string_split(text, ' '), t -> t <> '') AS t
+      |  FROM documents),
+      |sh AS (
+      |  SELECT doc_id,
+      |    CASE WHEN len(t) >= 3
+      |      THEN list_distinct(list_transform(range(1, len(t) - 1),
+      |             i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]))
+      |      ELSE CAST([] AS VARCHAR[]) END AS shingles
+      |  FROM toks)""".stripMargin
+
   /** #26 — n-gram Jaccard near-dup: docs sharing ≥1 shingle are
     * candidates (join on the shingle key — the only shuffle); exact
     * Jaccard = |∩| / (|A|+|B|−|∩|) filtered at τ. Integer counts →
@@ -97,46 +136,16 @@ object Dedup {
     // keys. |∩| over hashes == |∩| over strings unless 64-bit hashes
     // collide, which needs ~2^32 DISTINCT shingles to become likely
     // (birthday bound; ~2^-35 at even 1B shingles) — and the oracle's
-    // string-exact compare would surface any such corpus. Per-doc
-    // sizes re-attach after the pair aggregate (see the no-hint note
-    // below on why that join is deliberately left to AQE).
+    // string-exact compare would surface any such corpus.
     val ex = shingleExploded(spark, dir)
       .select(col("doc_id"), xxhash64(col("shingle")).as("shingle"))
-    val a = ex.select(col("doc_id").as("doc_a"), col("shingle"))
-    val b = ex.select(col("doc_id").as("doc_b"), col("shingle"))
-    // |∩| via the codegen'd hash aggregate on the (long, long) pair key
-    // — after the shingle join no string array crosses a shuffle.
-    val inter = a.join(b, "shingle")
-      .where(col("doc_a") < col("doc_b"))
-      .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("inter"))
-    val cnt = shingleSets(spark, dir).select("doc_id", "n_shingles")
-    // no broadcast hint: the per-doc size frame is tiny at test SF (AQE
-    // broadcasts it from runtime stats) but corpus-sized at 100 TB,
-    // where these joins must shuffle on doc id — a hard-coded hint
-    // would force the whole corpus through the driver
-    inter
-      .join(cnt.select(col("doc_id").as("doc_a"),
-        col("n_shingles").as("na")), "doc_a")
-      .join(cnt.select(col("doc_id").as("doc_b"),
-        col("n_shingles").as("nb")), "doc_b")
-      .withColumn("jaccard",
-        col("inter").cast("double") / (col("na") + col("nb") - col("inter")))
-      .where(col("jaccard") >= JaccardTau)
-      .select("doc_a", "doc_b", "inter", "jaccard")
-      .orderBy("doc_a", "doc_b")
+    val cnt = shingleSets(spark, dir)
+      .select(col("doc_id"), col("n_shingles").as("n"))
+    jaccardPairs(ex, cnt)
   }
 
   val qDedupNgramJaccardSql: String =
-    s"""WITH toks AS (
-       |  SELECT doc_id, list_filter(string_split(text, ' '), t -> t <> '') AS t
-       |  FROM documents),
-       |sh AS (
-       |  SELECT doc_id,
-       |    CASE WHEN len(t) >= 3
-       |      THEN list_distinct(list_transform(range(1, len(t) - 1),
-       |             i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]))
-       |      ELSE CAST([] AS VARCHAR[]) END AS shingles
-       |  FROM toks),
+    s"""WITH $shingleCteSql,
        |cnt AS (SELECT doc_id, CAST(len(shingles) AS BIGINT) AS n FROM sh),
        |ex AS (SELECT doc_id, unnest(shingles) AS shingle FROM sh),
        |pairs AS (
@@ -254,37 +263,12 @@ object Dedup {
     // AND the df aggregation (the uncapped #26 only re-runs the cheap
     // explode off the cached shingle sets)
     val exRare = ex.join(rare, "shingle").persist()
-    val cntRare = exRare.groupBy("doc_id").agg(count(lit(1)).as("n_rare"))
-    val a = exRare.select(col("doc_id").as("doc_a"), col("shingle"))
-    val b = exRare.select(col("doc_id").as("doc_b"), col("shingle"))
-    val inter = a.join(b, "shingle")
-      .where(col("doc_a") < col("doc_b"))
-      .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("inter"))
-    // no broadcast hint, same reasoning as #26: corpus-sized frame at
-    // 100 TB; AQE broadcasts it at test SF from runtime stats
-    inter
-      .join(cntRare.select(col("doc_id").as("doc_a"),
-        col("n_rare").as("na")), "doc_a")
-      .join(cntRare.select(col("doc_id").as("doc_b"),
-        col("n_rare").as("nb")), "doc_b")
-      .withColumn("jaccard",
-        col("inter").cast("double") / (col("na") + col("nb") - col("inter")))
-      .where(col("jaccard") >= JaccardTau)
-      .select("doc_a", "doc_b", "inter", "jaccard")
-      .orderBy("doc_a", "doc_b")
+    val cntRare = exRare.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    jaccardPairs(exRare, cntRare)
   }
 
   val qDedupNgramJaccardCappedSql: String =
-    s"""WITH toks AS (
-       |  SELECT doc_id, list_filter(string_split(text, ' '), t -> t <> '') AS t
-       |  FROM documents),
-       |sh AS (
-       |  SELECT doc_id,
-       |    CASE WHEN len(t) >= 3
-       |      THEN list_distinct(list_transform(range(1, len(t) - 1),
-       |             i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]))
-       |      ELSE CAST([] AS VARCHAR[]) END AS shingles
-       |  FROM toks),
+    s"""WITH $shingleCteSql,
        |ex AS (SELECT doc_id, unnest(shingles) AS shingle FROM sh),
        |rare AS (SELECT shingle FROM ex GROUP BY shingle HAVING count(*) <= $DfCap),
        |exr AS (SELECT doc_id, ex.shingle FROM ex JOIN rare ON ex.shingle = rare.shingle),
