@@ -1,9 +1,10 @@
 package graft
 
+import org.apache.spark.sql.catalyst.expressions.XXH64
 import org.apache.spark.sql.catalyst.util.GenericArrayData
 import org.apache.spark.unsafe.types.UTF8String
 import org.scalatest.funsuite.AnyFunSuite
-import graft.functions.{CosineSimilarity, WordShingles}
+import graft.functions.{CosineSimilarity, DotProduct, MinHashSig, SimHash64, WordShingles}
 
 /** Randomized property tests for the custom expressions' eval paths —
   * pure JVM, no Spark jobs, fixed seed for reproducibility.
@@ -43,6 +44,81 @@ class PropertiesSpec extends AnyFunSuite {
     val zh = WordShingles.compute(UTF8String.fromString("中文 字 符 测试"), 3)
       .toArray[UTF8String](org.apache.spark.sql.types.StringType).map(_.toString)
     assert(zh.toSeq == Seq("中文 字 符", "字 符 测试"))
+  }
+
+  /** Random text mixing ASCII words, multibyte unicode words, and
+    * space runs — the byte-scanning simhash tokenizer must agree with
+    * String.split on all of it.
+    */
+  private def randomUnicodeText(): String = {
+    val pool = Seq("alpha", "beta", "中文测试", "русский", "emoji🙂x", "añejo", "ß")
+    Seq.fill(rnd.nextInt(10))(
+      pool(rnd.nextInt(pool.length)) + " " * (1 + rnd.nextInt(3)))
+      .mkString + (" " * rnd.nextInt(2))
+  }
+
+  /** Straight-line reference simhash: per-token xxhash64(seed 42),
+    * ±1 per bit over token multiplicity, sign → bit.
+    */
+  private def referenceSimhash(text: String): Long = {
+    val counters = new Array[Int](64)
+    text.split(' ').filter(_.nonEmpty).foreach { tok =>
+      val h = XXH64.hashUTF8String(UTF8String.fromString(tok), 42L)
+      for (i <- 0 until 64)
+        if (((h >>> i) & 1L) != 0L) counters(i) += 1 else counters(i) -= 1
+    }
+    (0 until 64).foldLeft(0L)((acc, i) =>
+      if (counters(i) > 0) acc | (1L << i) else acc)
+  }
+
+  test("simhash64.compute == reference on 500 random unicode texts") {
+    for (_ <- 1 to 500) {
+      val text = randomUnicodeText()
+      val got = SimHash64.compute(UTF8String.fromString(text))
+      assert(got == referenceSimhash(text), s"text=<$text>")
+    }
+  }
+
+  test("minhash_sig.compute == per-slot min of chained xxhash64") {
+    for (_ <- 1 to 200) {
+      val k = 1 + rnd.nextInt(64)
+      val shingles = Seq.fill(1 + rnd.nextInt(20))(randomText().trim)
+        .filter(_.nonEmpty).distinct
+      if (shingles.nonEmpty) {
+        val arr = new GenericArrayData(
+          shingles.map(s => UTF8String.fromString(s): Any).toArray)
+        val got = MinHashSig.compute(arr, k)
+          .toLongArray()
+        val want = (0 until k).map { i =>
+          val seed = XXH64.hashInt(i, 42L)
+          shingles.map(s => XXH64.hashUTF8String(UTF8String.fromString(s), seed)).min
+        }
+        assert(got.toSeq == want, s"k=$k shingles=$shingles")
+      }
+    }
+    assert(MinHashSig.compute(new GenericArrayData(Array.empty[Any]), 8) == null)
+  }
+
+  test("dot_product eval matches the scalar left fold and nulls on mismatch") {
+    val expr = DotProduct(null, null) // eval path only
+    for (_ <- 1 to 200) {
+      val d = 1 + rnd.nextInt(64)
+      val a = Array.fill(d)(rnd.nextDouble() * 2 - 1)
+      val b = Array.fill(d)(rnd.nextDouble() * 2 - 1)
+      val got = expr.nullSafeEval(
+        new GenericArrayData(a.map(x => x: Any)),
+        new GenericArrayData(b.map(x => x: Any))).asInstanceOf[Double]
+      var dot = 0.0
+      for (i <- 0 until d) dot += a(i) * b(i)
+      assert(java.lang.Double.compare(got, dot) == 0, s"got=$got want=$dot")
+    }
+    // length mismatch and NULL element both yield NULL (zip_with parity)
+    assert(expr.nullSafeEval(
+      new GenericArrayData(Array[Any](1.0, 2.0)),
+      new GenericArrayData(Array[Any](1.0))) == null)
+    assert(expr.nullSafeEval(
+      new GenericArrayData(Array[Any](1.0, null)),
+      new GenericArrayData(Array[Any](1.0, 2.0))) == null)
   }
 
   test("cosine_sim eval is bit-identical to the scalar left fold") {
