@@ -32,18 +32,28 @@ object Similarity {
 
   private val CosineTau = 0.45
   private val Dim = 64
-  private val Planes = 32           // 8 bands × 4 sign bits
   private val Bands = 8
-  private val BitsPerBand = Planes / Bands
+  /** Sign bits per band = log2(buckets per band). 4 (16 buckets/band)
+    * is tuned for the small test corpus: random bucket collisions grow
+    * as n²/2^bits per band, so at 10^6+ vectors this knob RISES to
+    * keep occupancy bounded (docs/SCALING.md probe 4 measures the
+    * cliff and the remedy). Raising it trades recall near τ for
+    * bounded candidate counts — the standard sign-LSH dial; both the
+    * operator and its generated oracle derive from the same constant,
+    * so they can never drift apart.
+    */
+  private val BitsPerBand = 4
   private val TopK = 5
   private val NQueries = 10
 
   /** Deterministic LCG "random" hyperplanes, exactly representable as
     * doubles (denominator 2^31) so the literal values embedded in the
-    * oracle SQL round-trip bit-identically.
+    * oracle SQL round-trip bit-identically. Generated on demand for
+    * any (band, bit) index, so probe variants with more bits per band
+    * draw from the same family.
     */
-  private val hyperplanes: Array[Array[Double]] =
-    Array.tabulate(Planes, Dim) { (p, d) =>
+  private def hyperplane(p: Int): Array[Double] =
+    Array.tabulate(Dim) { d =>
       ((1103515245L * (p * Dim + d) + 12345L) % 2147483648L).toDouble / 2147483648.0 - 0.5
     }
 
@@ -69,21 +79,29 @@ object Similarity {
     * `list_reduce(list_prepend(0.0, ...))` bit-for-bit.
     */
   private def planeDot(v: Column, p: Int): Column =
-    call_function("dot_product", v, array(hyperplanes(p).map(lit).toSeq: _*))
+    call_function("dot_product", v, array(hyperplane(p).map(lit).toSeq: _*))
 
   /** Per-band integer bucket from the sign bits of 4 plane dots. */
-  private def bandBucket(v: Column, band: Int): Column =
-    (0 until BitsPerBand).map { r =>
-      when(planeDot(v, band * BitsPerBand + r) > 0, lit(1 << r)).otherwise(lit(0))
+  private def bandBucket(v: Column, band: Int, bits: Int = BitsPerBand): Column =
+    (0 until bits).map { r =>
+      when(planeDot(v, band * bits + r) > 0, lit(1 << r)).otherwise(lit(0))
     }.reduce(_ + _)
 
   /** #29 — embedding near-dup pairs: sign-LSH candidates, exact cosine
     * ≥ τ verification on candidates only.
     */
-  def qDedupEmbedding(spark: SparkSession, dir: String): DataFrame = {
+  def qDedupEmbedding(spark: SparkSession, dir: String): DataFrame =
+    dedupEmbeddingWithBits(spark, dir, BitsPerBand)
+
+  /** #29 generalized over the bits-per-band dial — the scale knob the
+    * scaladoc on [[BitsPerBand]] describes, exposed so probes/specs can
+    * measure the occupancy-vs-recall trade (docs/SCALING.md probe 4)
+    * without touching the oracle-checked default.
+    */
+  def dedupEmbeddingWithBits(spark: SparkSession, dir: String, bits: Int): DataFrame = {
     val e = emb(spark, dir)
     val buckets = e.select(col("vec_id"), col("v"),
-      posexplode(array((0 until Bands).map(b => bandBucket(col("v"), b)): _*))
+      posexplode(array((0 until Bands).map(b => bandBucket(col("v"), b, bits)): _*))
         .as(Seq("band", "bucket")))
     // cosine is verified INLINE on the band-join output — candidate rows
     // (and their vectors) stay pipelined inside the stage and only the
@@ -102,7 +120,7 @@ object Similarity {
 
   /** Oracle-side SQL fragments: hyperplane literals + identical folds. */
   private def hpSqlLiteral(p: Int): String =
-    hyperplanes(p).mkString("[", ", ", "]")
+    hyperplane(p).mkString("[", ", ", "]")
 
   private def planeDotSql(v: String, p: Int): String =
     s"list_reduce(list_prepend(0.0, list_transform(range(1, ${Dim + 1}), i -> $v[i] * (${hpSqlLiteral(p)})[i])), (acc, x) -> acc + x)"
