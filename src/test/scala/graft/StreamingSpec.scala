@@ -231,6 +231,41 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("stream_unique_visit state survives a restart from checkpoint") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    def ev(id: Long, user: Long, tsUs: Long) =
+      LogEvent(id, user, "view", new java.sql.Timestamp(tsUs / 1000), tsUs, 0.0, null)
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_uv_ckpt_").toString
+    val outDir = java.nio.file.Files.createTempDirectory("graft_uv_out_").toString
+    val hourUs = 3600L * 1000 * 1000
+    val ms = MemoryStream[LogEvent]
+    // parquet sink, not memory: the memory sink refuses checkpoint
+    // recovery (it is not fault-tolerant), and recovery is the point
+    def start() = Streams.uniqueVisits(ms.toDS())
+      .writeStream.format("parquet")
+      .option("path", outDir)
+      .option("checkpointLocation", ckpt)
+      .outputMode("append").start()
+    // first incarnation: user 1's first visit of the day emits
+    val q1 = start()
+    try { ms.addData(ev(1, 1L, hourUs)); q1.processAllAvailable() }
+    finally q1.stop()
+    // second incarnation, same checkpoint: a LATER event of the same
+    // user on the same day must be recognized as a duplicate — the
+    // per-user day set has to come back from the state store, not from
+    // memory of the first incarnation
+    val q2 = start()
+    try {
+      ms.addData(ev(2, 1L, hourUs * 2), ev(3, 2L, hourUs * 2))
+      q2.processAllAvailable()
+    } finally q2.stop()
+    val out = spark.read.parquet(outDir).select("user_id", "event_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(out == Set((1L, 1L), (2L, 3L)),
+      s"restart must keep user 1's day state and emit only user 2's first: $out")
+  }
+
   test("stream_dedup_exact drops in-horizon duplicates and re-admits expired fingerprints") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
