@@ -99,6 +99,9 @@ object Similarity {
     * without touching the oracle-checked default.
     */
   def dedupEmbeddingWithBits(spark: SparkSession, dir: String, bits: Int): DataFrame = {
+    // bucket values are built from Int bit flags (1 << r); past 31 the
+    // shift overflows to colliding/negative buckets SILENTLY
+    require(bits > 0 && bits <= 31, s"bits-per-band must be in [1, 31], got $bits")
     val e = emb(spark, dir)
     val buckets = e.select(col("vec_id"), col("v"),
       posexplode(array((0 until Bands).map(b => bandBucket(col("v"), b, bits)): _*))

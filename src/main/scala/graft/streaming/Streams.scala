@@ -237,7 +237,10 @@ object Streams {
       .join(broadcast(nation.select("n_nationkey", "n_name")),
         col("c_nationkey") === col("n_nationkey"))
       .groupBy(window(col("ts"), "90 days"), col("n_name"))
-      .agg(count(lit(1)).as("order_ct"), sum(col("rev")).as("amount"))
+      // money through DECIMAL like every other op — a raw double sum
+      // would make `amount` depend on accumulation order
+      .agg(count(lit(1)).as("order_ct"),
+        sum(col("rev").cast("decimal(12,2)")).as("amount"))
       .select(col("window.start").as("window_start"), col("n_name"),
         col("order_ct"), col("amount"))
 

