@@ -201,8 +201,16 @@ object Similarity {
     * centroid cells and scans only those cells (~20% of the corpus).
     * The spec checks recall against the #30 exact baseline.
     */
-  def qAnnIvf(spark: SparkSession, dir: String): DataFrame = {
-    val NProbe = 2
+  def qAnnIvf(spark: SparkSession, dir: String): DataFrame =
+    annIvfWithProbes(spark, dir, nprobe = 2)
+
+  /** #31 generalized over the nprobe dial — the IVF recall/cost knob
+    * (scan fraction ≈ nprobe / n_cells), exposed so AnnSpec can sweep
+    * recall against the exact baseline without touching the gated
+    * default. */
+  def annIvfWithProbes(spark: SparkSession, dir: String, nprobe: Int): DataFrame = {
+    require(nprobe > 0, s"nprobe must be positive, got $nprobe")
+    val NProbe = nprobe
     val e = emb(spark, dir)
     val cents = e.where(col("vec_id") % 50 === 0)
       .select(col("vec_id").as("cent_id"), col("v").as("cv"))

@@ -41,6 +41,26 @@ class AnnSpec extends SparkSpec {
     ivf.unpersist()
   }
 
+  test("IVF recall rises monotonically with nprobe and reaches 100% at all cells") {
+    val brute = SparkEntry.queries("q_ann_cosine_topk")(spark, sf)
+      .select("q_id", "vec_id").cache()
+    val total = brute.count()
+    val nCells = Tables.embeddings(spark, sf)
+      .where(col("vec_id") % 50 === 0).count().toInt
+    val recalls = Seq(1, 2, nCells).map { np =>
+      val hits = graft.operators.Similarity.annIvfWithProbes(spark, sf, np)
+        .select("q_id", "vec_id").intersect(brute).count()
+      np -> hits.toDouble / total
+    }
+    recalls.sliding(2).foreach { case Seq((npA, rA), (npB, rB)) =>
+      assert(rB >= rA, s"recall fell raising nprobe $npA→$npB: $rA → $rB")
+    }
+    // probing every cell scans the whole corpus — must equal exact top-k
+    assert(recalls.last._2 == 1.0,
+      s"nprobe=$nCells (all cells) must reproduce the exact baseline: $recalls")
+    brute.unpersist()
+  }
+
   test("IVF cosine scores match the exact scores for overlapping pairs") {
     val ivf = SparkEntry.queries("q_ann_ivf")(spark, sf)
       .select(col("q_id"), col("vec_id"), col("cos").as("ivf_cos"))
