@@ -87,4 +87,52 @@ object Sinks {
       .foreachBatch { (batch: DataFrame, _: Long) =>
         upsert(batch, path, keys, versionCol)
       }
+
+  /** Compact a parquet directory's small files into ~`targetBytes`
+    * files — the maintenance job every streaming parquet sink needs at
+    * scale: each micro-batch writes at least one file per partition,
+    * so a day of minute-cadence triggers leaves thousands of tiny
+    * files whose open/footer overhead then dominates every read.
+    *
+    * File count = ceil(input bytes / targetBytes), data redistributed
+    * by repartition (no skew carry-over), and the rewritten directory
+    * replaces the original via the same retire-then-swap protocol the
+    * dim upsert uses — readers never observe a half-written mix, and a
+    * crash mid-swap is recoverable (the retired dir survives until the
+    * new one is in place). Returns (files before, files after).
+    *
+    * NOTE: meant for plain parquet directories (e.g. a retired serving
+    * partition); a LIVE file-sink output with `_spark_metadata` should
+    * be compacted per closed partition, not at the sink root, because
+    * the sink's commit log references the original files.
+    */
+  def compactParquet(spark: org.apache.spark.sql.SparkSession, path: String,
+      targetBytes: Long = 128L * 1024 * 1024): (Int, Int) = {
+    require(targetBytes > 0, s"targetBytes must be positive, got $targetBytes")
+    val fs = new Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val target = new Path(path)
+    val dataFiles = fs.listStatus(target)
+      .filter(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
+    val totalBytes = dataFiles.map(_.getLen).sum
+    val nOut = math.max(1, math.ceil(totalBytes.toDouble / targetBytes).toInt)
+    if (dataFiles.length <= nOut) return (dataFiles.length, dataFiles.length)
+    val staging = new Path(path + "__compact_staging")
+    val retired = new Path(path + "__compact_old")
+    if (!fs.exists(target) && fs.exists(retired)) fs.rename(retired, target)
+    if (fs.exists(staging)) fs.delete(staging, true)
+    spark.read.parquet(path).repartition(nOut)
+      .write.mode(SaveMode.Overwrite).parquet(staging.toString)
+    if (fs.exists(retired)) fs.delete(retired, true)
+    if (!fs.rename(target, retired))
+      throw new java.io.IOException(s"compact: cannot retire $path")
+    if (!fs.rename(staging, target)) {
+      fs.rename(retired, target) // roll back
+      throw new java.io.IOException(s"compact swap failed for $path")
+    }
+    fs.delete(retired, true)
+    val after = fs.listStatus(target)
+      .count(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
+    (dataFiles.length, after)
+  }
 }

@@ -63,6 +63,32 @@ class SinksSpec extends SparkSpec {
     assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$base/dim__old")))
   }
 
+  test("compaction collapses small files, preserves rows, leaves no residue") {
+    val base = Files.createTempDirectory("graft_compact_").toString
+    val dir = s"$base/t"
+    // 40 one-row files — the shape a minute-cadence streaming sink leaves
+    val df = Tables.nation(spark, sfTiny).limit(10)
+    (0 until 4).foreach { _ =>
+      df.repartition(10).write.mode("append").parquet(dir)
+    }
+    val before = spark.read.parquet(dir)
+    val beforeRows = before.count()
+    val beforeSum = before.agg(sum("n_nationkey")).collect()(0).getLong(0)
+    val (nBefore, nAfter) = Sinks.compactParquet(spark, dir)
+    assert(nBefore >= 40 && nAfter == 1,
+      s"expected 40+ files -> 1, got $nBefore -> $nAfter")
+    val after = spark.read.parquet(dir)
+    assert(after.count() == beforeRows)
+    assert(after.agg(sum("n_nationkey")).collect()(0).getLong(0) == beforeSum,
+      "compaction changed the data")
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(s"${dir}__compact_staging")))
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(s"${dir}__compact_old")))
+    // second run is a no-op: already at/below the target file count
+    assert(Sinks.compactParquet(spark, dir) == (1, 1))
+  }
+
   test("dim upsert sink: snapshot keeps the latest version per key") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
