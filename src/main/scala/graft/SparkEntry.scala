@@ -55,7 +55,9 @@ object SparkEntry {
     "q_asof_join" -> (Temporal.qAsofJoin _),
     "q_dedup_ngram_jaccard_capped" -> (Dedup.qDedupNgramJaccardCapped _),
     "q_province_rollup" -> (Stats.qProvinceRollup _),
-    "q_dup_clusters" -> (Dedup.qDupClusters _)
+    "q_dup_clusters" -> (Dedup.qDupClusters _),
+    "q_dup_rate_by_source" -> (Corpus.qDupRateBySource _),
+    "q_length_histogram" -> (Corpus.qLengthHistogram _)
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -99,6 +101,8 @@ object SparkEntry {
     "q_asof_join" -> Temporal.qAsofJoinSql,
     "q_dedup_ngram_jaccard_capped" -> Dedup.qDedupNgramJaccardCappedSql,
     "q_province_rollup" -> Stats.qProvinceRollupSql,
-    "q_dup_clusters" -> Dedup.qDupClustersSql
+    "q_dup_clusters" -> Dedup.qDupClustersSql,
+    "q_dup_rate_by_source" -> Corpus.qDupRateBySourceSql,
+    "q_length_histogram" -> Corpus.qLengthHistogramSql
   )
 }

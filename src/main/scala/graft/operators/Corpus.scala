@@ -91,4 +91,77 @@ object Corpus {
       |  FROM cnts)
       |SELECT source, CAST(rk AS BIGINT) AS rk, bigram, cnt
       |FROM ranked WHERE rk <= 10 ORDER BY source, rk""".stripMargin
+
+  /** #52 — `q_dup_rate_by_source`: the curation health metric every
+    * dedup run reports — per source: docs, exact-duplicate docs
+    * (non-canonical members of a fingerprint group, same identity as
+    * #25), and the dup rate. Composes the #25 fingerprint grouping
+    * with one count aggregate; the rate is an exact integer ratio cast
+    * once to double (deterministic under any partitioning).
+    */
+  def qDupRateBySource(spark: SparkSession, dir: String): DataFrame = {
+    val normText = trim(regexp_replace(lower(col("text")), " +", " "))
+    val w = Window.partitionBy("fp")
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), col("source"), md5(normText).as("fp"))
+      .withColumn("is_dup",
+        (col("doc_id") =!= min("doc_id").over(w)).cast("long"))
+      .groupBy("source")
+      .agg(
+        count(lit(1)).as("docs"),
+        sum("is_dup").as("dup_docs"))
+      .withColumn("dup_rate",
+        col("dup_docs").cast("double") / col("docs"))
+      .orderBy("source")
+  }
+
+  val qDupRateBySourceSql: String =
+    """WITH t AS (
+      |  SELECT doc_id, source,
+      |    md5(trim(regexp_replace(lower(text), ' +', ' ', 'g'))) AS fp
+      |  FROM documents),
+      |flagged AS (
+      |  SELECT source,
+      |    CAST(doc_id <> min(doc_id) OVER (PARTITION BY fp) AS BIGINT) AS is_dup
+      |  FROM t)
+      |SELECT source, CAST(COUNT(*) AS BIGINT) AS docs,
+      |  CAST(SUM(is_dup) AS BIGINT) AS dup_docs,
+      |  CAST(SUM(is_dup) AS DOUBLE) / COUNT(*) AS dup_rate
+      |FROM flagged GROUP BY source ORDER BY source""".stripMargin
+
+  /** #53 — `q_length_histogram`: document-length distribution per
+    * source in power-of-two buckets (bucket = bit length of the token
+    * count = floor(log2(n)) + 1; empty docs land in bucket 0) — the
+    * quick-look histogram curation dashboards plot. The bit length
+    * comes from `length(bin(n))`, INTEGER-exact in both engines — a
+    * floating `floor(log2(n))` can land on either side of an exact
+    * power of two depending on the engine's log implementation.
+    */
+  def qLengthHistogram(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(col("source"),
+        size(expr("filter(split(text, ' '), t -> t <> '')")).cast("long").as("n_tokens"))
+      .withColumn("bucket",
+        when(col("n_tokens") <= 0, 0L)
+          .otherwise(length(bin(col("n_tokens"))).cast("long")))
+      .groupBy("source", "bucket")
+      .agg(
+        count(lit(1)).as("docs"),
+        min("n_tokens").as("min_tokens"),
+        max("n_tokens").as("max_tokens"))
+      .orderBy("source", "bucket")
+
+  val qLengthHistogramSql: String =
+    """WITH t AS (
+      |  SELECT source,
+      |    CAST(len(list_filter(string_split(text, ' '), x -> x <> '')) AS BIGINT) AS n_tokens
+      |  FROM documents),
+      |b AS (
+      |  SELECT source, n_tokens,
+      |    CASE WHEN n_tokens <= 0 THEN 0
+      |         ELSE length(bin(n_tokens)) END AS bucket
+      |  FROM t)
+      |SELECT source, bucket, CAST(COUNT(*) AS BIGINT) AS docs,
+      |  MIN(n_tokens) AS min_tokens, MAX(n_tokens) AS max_tokens
+      |FROM b GROUP BY source, bucket ORDER BY source, bucket""".stripMargin
 }
