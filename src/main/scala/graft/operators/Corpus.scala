@@ -100,10 +100,9 @@ object Corpus {
     * once to double (deterministic under any partitioning).
     */
   def qDupRateBySource(spark: SparkSession, dir: String): DataFrame = {
-    val normText = trim(regexp_replace(lower(col("text")), " +", " "))
     val w = Window.partitionBy("fp")
     Tables.documents(spark, dir)
-      .select(col("doc_id"), col("source"), md5(normText).as("fp"))
+      .select(col("doc_id"), col("source"), Dedup.contentFp.as("fp"))
       .withColumn("is_dup",
         (col("doc_id") =!= min("doc_id").over(w)).cast("long"))
       .groupBy("source")
@@ -116,9 +115,9 @@ object Corpus {
   }
 
   val qDupRateBySourceSql: String =
-    """WITH t AS (
+    s"""WITH t AS (
       |  SELECT doc_id, source,
-      |    md5(trim(regexp_replace(lower(text), ' +', ' ', 'g'))) AS fp
+      |    ${Dedup.contentFpSql} AS fp
       |  FROM documents),
       |flagged AS (
       |  SELECT source,
@@ -139,8 +138,7 @@ object Corpus {
     */
   def qLengthHistogram(spark: SparkSession, dir: String): DataFrame =
     Tables.documents(spark, dir)
-      .select(col("source"),
-        size(expr("filter(split(text, ' '), t -> t <> '')")).cast("long").as("n_tokens"))
+      .select(col("source"), Text.wsTokenCount.as("n_tokens"))
       .withColumn("bucket",
         when(col("n_tokens") <= 0, 0L)
           .otherwise(length(bin(col("n_tokens"))).cast("long")))
@@ -152,9 +150,9 @@ object Corpus {
       .orderBy("source", "bucket")
 
   val qLengthHistogramSql: String =
-    """WITH t AS (
+    s"""WITH t AS (
       |  SELECT source,
-      |    CAST(len(list_filter(string_split(text, ' '), x -> x <> '')) AS BIGINT) AS n_tokens
+      |    ${Text.wsTokenCountSql} AS n_tokens
       |  FROM documents),
       |b AS (
       |  SELECT source, n_tokens,

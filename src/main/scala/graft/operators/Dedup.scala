@@ -30,7 +30,14 @@ object Dedup {
     */
   private val JaccardTau = 0.8
 
-  private val normText = trim(regexp_replace(lower(col("text")), " +", " "))
+  /** Content-identity fingerprint shared by #25 and #52 — the one
+    * definition of "the same document"; its SQL twin must change in
+    * lockstep.
+    */
+  private[operators] val contentFp =
+    md5(trim(regexp_replace(lower(col("text")), " +", " ")))
+  private[operators] val contentFpSql =
+    "md5(trim(regexp_replace(lower(text), ' +', ' ', 'g')))"
 
   /** #25 — exact dedup: canonical doc (min doc_id) per normalized-text
     * md5 group. Reference analogue: UniqueVisitApp's keyed first-wins
@@ -42,7 +49,7 @@ object Dedup {
   def qDedupExact(spark: SparkSession, dir: String): DataFrame = {
     val w = Window.partitionBy("fp")
     Tables.documents(spark, dir)
-      .select(col("doc_id"), md5(normText).as("fp"))
+      .select(col("doc_id"), contentFp.as("fp"))
       .withColumn("canonical_id", min("doc_id").over(w))
       .withColumn("group_size", count(lit(1)).over(w))
       .withColumn("is_dup", col("doc_id") =!= col("canonical_id"))
@@ -51,8 +58,8 @@ object Dedup {
   }
 
   val qDedupExactSql: String =
-    """WITH t AS (
-      |  SELECT doc_id, md5(trim(regexp_replace(lower(text), ' +', ' ', 'g'))) AS fp
+    s"""WITH t AS (
+      |  SELECT doc_id, $contentFpSql AS fp
       |  FROM documents)
       |SELECT doc_id, fp,
       |  min(doc_id) OVER (PARTITION BY fp) AS canonical_id,

@@ -21,6 +21,14 @@ object Text {
 
   private def tokens = split(col("text"), " ")
 
+  /** Whitespace token count shared by #34 and #53 — one definition of
+    * "how many tokens"; its SQL twin must change in lockstep.
+    */
+  private[operators] def wsTokenCount =
+    size(filter(tokens, t => t =!= "")).cast("long")
+  private[operators] val wsTokenCountSql =
+    "CAST(len(list_filter(string_split(text, ' '), t -> t <> '')) AS BIGINT)"
+
   /** #32 — n-gram/stopword language-ID heuristic: English stopword
     * density over the token stream, thresholded against the labeled
     * `lang` column.
@@ -98,8 +106,7 @@ object Text {
     */
   def qTokenCount(spark: SparkSession, dir: String): DataFrame =
     Tables.documents(spark, dir)
-      .withColumn("ws_tokens",
-        size(filter(tokens, t => t =!= "")).cast("long"))
+      .withColumn("ws_tokens", wsTokenCount)
       .withColumn("bpe_tokens",
         regexp_count(col("text"), lit("[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9 ]")).cast("long"))
       .withColumn("approx_tokens",
@@ -108,8 +115,8 @@ object Text {
       .orderBy("doc_id")
 
   val qTokenCountSql: String =
-    """SELECT doc_id,
-      |  CAST(len(list_filter(string_split(text, ' '), t -> t <> '')) AS BIGINT) AS ws_tokens,
+    s"""SELECT doc_id,
+      |  $wsTokenCountSql AS ws_tokens,
       |  CAST(len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9 ]')) AS BIGINT) AS bpe_tokens,
       |  CAST(ceil(length(text) / 4.0) AS BIGINT) AS approx_tokens
       |FROM documents ORDER BY doc_id""".stripMargin

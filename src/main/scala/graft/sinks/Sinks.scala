@@ -38,6 +38,49 @@ object Sinks {
       .outputMode("append")
       .start()
 
+  /** The retire-then-swap protocol shared by every directory-replacing
+    * sink operation. Derives sibling staging/retired dirs from the
+    * target via the parent/child Path API (string concatenation would
+    * turn a trailing slash in `path` into CHILD dirs of the target,
+    * breaking the swap), recovers from a crash that left the target
+    * renamed aside, clears stale staging, then hands the dirs to
+    * `write`, and finally swaps: retire target → promote staging →
+    * roll back on failure → drop the retired copy.
+    */
+  private final case class SwapDirs(fs: org.apache.hadoop.fs.FileSystem,
+      target: Path, staging: Path, retired: Path)
+
+  /** `write` stages the replacement into `dirs.staging` and returns
+    * true to proceed with the swap, or false to leave the target
+    * untouched (a no-op pass).
+    */
+  private def withSwap(spark: org.apache.spark.sql.SparkSession, path: String,
+      suffix: String)(write: SwapDirs => Boolean): Unit = {
+    val fs = new Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // normalize away a trailing separator so staging/retired are
+    // SIBLINGS of the target, never children
+    val target = new Path(new Path(path).toUri.getPath)
+    def sibling(tag: String) =
+      new Path(Option(target.getParent).getOrElse(new Path("/")),
+        target.getName + suffix + tag)
+    val staging = sibling("_staging")
+    val retired = sibling("_old")
+    // crash recovery FIRST — before anything lists or reads the target:
+    // an interrupted swap leaves the data renamed aside
+    if (!fs.exists(target) && fs.exists(retired)) fs.rename(retired, target)
+    if (fs.exists(staging)) fs.delete(staging, true)
+    if (!write(SwapDirs(fs, target, staging, retired))) return
+    if (fs.exists(retired)) fs.delete(retired, true)
+    if (fs.exists(target) && !fs.rename(target, retired))
+      throw new java.io.IOException(s"swap: cannot retire $target")
+    if (!fs.rename(staging, target)) {
+      fs.rename(retired, target) // roll back
+      throw new java.io.IOException(s"swap failed for $target")
+    }
+    fs.delete(retired, true)
+  }
+
   /** Keyed upsert: merge `batch` into the snapshot at `path`, keeping
     * the highest `versionCol` row per key (ties broken by the later
     * batch). Runs inside foreachBatch.
@@ -45,36 +88,21 @@ object Sinks {
   def upsert(batch: DataFrame, path: String,
       keys: Seq[String], versionCol: String): Unit = {
     val spark = batch.sparkSession
-    val fs = new Path(path)
-      .getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val target = new Path(path)
-    val staging = new Path(path + "__staging")
-    val retired = new Path(path + "__old")
-    // crash recovery: an interrupted swap leaves target renamed aside —
-    // restore it before merging; a stale staging dir is always garbage
-    if (!fs.exists(target) && fs.exists(retired)) fs.rename(retired, target)
-    if (fs.exists(staging)) fs.delete(staging, true)
-    val current: DataFrame =
-      if (fs.exists(target)) spark.read.parquet(path) else batch.limit(0)
-    val w = Window.partitionBy(keys.map(col): _*)
-      .orderBy(col(versionCol).desc, col("_src").desc)
-    val merged = current
-      .withColumn("_src", lit(0)) // on a version tie the new batch wins
-      .unionByName(batch.withColumn("_src", lit(1)))
-      .withColumn("_rn", row_number().over(w))
-      .where(col("_rn") === 1)
-      .drop("_rn", "_src")
-    merged.write.mode(SaveMode.Overwrite).parquet(staging.toString)
-    // swap without a lose-everything window: the old snapshot is moved
-    // aside (recoverable) before staging takes its place
-    if (fs.exists(retired)) fs.delete(retired, true)
-    if (fs.exists(target) && !fs.rename(target, retired))
-      throw new java.io.IOException(s"dim upsert: cannot retire $path")
-    if (!fs.rename(staging, target)) {
-      fs.rename(retired, target) // roll back
-      throw new java.io.IOException(s"dim upsert swap failed for $path")
+    withSwap(spark, path, "_") { dirs =>
+      val current: DataFrame =
+        if (dirs.fs.exists(dirs.target)) spark.read.parquet(dirs.target.toString)
+        else batch.limit(0)
+      val w = Window.partitionBy(keys.map(col): _*)
+        .orderBy(col(versionCol).desc, col("_src").desc)
+      val merged = current
+        .withColumn("_src", lit(0)) // on a version tie the new batch wins
+        .unionByName(batch.withColumn("_src", lit(1)))
+        .withColumn("_rn", row_number().over(w))
+        .where(col("_rn") === 1)
+        .drop("_rn", "_src")
+      merged.write.mode(SaveMode.Overwrite).parquet(dirs.staging.toString)
+      true
     }
-    fs.delete(retired, true)
   }
 
   /** Streaming dim store: every micro-batch upserts into the snapshot
@@ -109,30 +137,26 @@ object Sinks {
   def compactParquet(spark: org.apache.spark.sql.SparkSession, path: String,
       targetBytes: Long = 128L * 1024 * 1024): (Int, Int) = {
     require(targetBytes > 0, s"targetBytes must be positive, got $targetBytes")
-    val fs = new Path(path)
-      .getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val target = new Path(path)
-    val dataFiles = fs.listStatus(target)
-      .filter(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
-    val totalBytes = dataFiles.map(_.getLen).sum
-    val nOut = math.max(1, math.ceil(totalBytes.toDouble / targetBytes).toInt)
-    if (dataFiles.length <= nOut) return (dataFiles.length, dataFiles.length)
-    val staging = new Path(path + "__compact_staging")
-    val retired = new Path(path + "__compact_old")
-    if (!fs.exists(target) && fs.exists(retired)) fs.rename(retired, target)
-    if (fs.exists(staging)) fs.delete(staging, true)
-    spark.read.parquet(path).repartition(nOut)
-      .write.mode(SaveMode.Overwrite).parquet(staging.toString)
-    if (fs.exists(retired)) fs.delete(retired, true)
-    if (!fs.rename(target, retired))
-      throw new java.io.IOException(s"compact: cannot retire $path")
-    if (!fs.rename(staging, target)) {
-      fs.rename(retired, target) // roll back
-      throw new java.io.IOException(s"compact swap failed for $path")
+    var before = 0
+    var after = 0
+    // withSwap runs crash recovery BEFORE this body, so the listing
+    // below always sees a restored target even after a mid-swap crash
+    withSwap(spark, path, "__compact") { dirs =>
+      val dataFiles = dirs.fs.listStatus(dirs.target)
+        .filter(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
+      before = dataFiles.length
+      val totalBytes = dataFiles.map(_.getLen).sum
+      val nOut = math.max(1, math.ceil(totalBytes.toDouble / targetBytes).toInt)
+      if (before <= nOut) {
+        after = before
+        false // already at/below the target file count — no-op
+      } else {
+        spark.read.parquet(dirs.target.toString).repartition(nOut)
+          .write.mode(SaveMode.Overwrite).parquet(dirs.staging.toString)
+        after = nOut
+        true
+      }
     }
-    fs.delete(retired, true)
-    val after = fs.listStatus(target)
-      .count(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
-    (dataFiles.length, after)
+    (before, after)
   }
 }
