@@ -24,15 +24,20 @@ object Tables {
     * applies when it loads ns into its µs TIMESTAMP, so oracle SQL uses
     * `epoch_us(ts)` and the two engines see identical values.
     *
-    * The nanosAsLong flag is session-wide; graft's own entry points
-    * (Verify/Bench/Plans and the test base) set it at session build.
-    * The defensive set below keeps this loader self-sufficient for
-    * sessions built elsewhere — note the documented side effect: AFTER
-    * the first events read, any nanos-parquet read in the same session
-    * also surfaces longs.
+    * The nanosAsLong flag is session-wide, so a library loader must
+    * not set it as a read side effect (r4 advice: a surprising
+    * mutation — after it, EVERY nanos-parquet read in the session
+    * surfaces longs). Instead the loader REQUIRES the flag at session
+    * build and fails loudly with the fix; graft's own entry points
+    * (Verify/Bench/Plans and the test base) all set it there.
     */
   def events(spark: SparkSession, dir: String): DataFrame = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    if (!spark.conf.getOption("spark.sql.legacy.parquet.nanosAsLong").contains("true"))
+      throw new IllegalStateException(
+        "Tables.events requires spark.sql.legacy.parquet.nanosAsLong=true " +
+          "(events.parquet carries TIMESTAMP(NANOS)); set it on the " +
+          "SparkSession builder — the loader deliberately does not mutate " +
+          "session conf")
     load(spark, dir, "events")
       .withColumn("ts_us", org.apache.spark.sql.functions.expr("ts div 1000"))
       .drop("ts")

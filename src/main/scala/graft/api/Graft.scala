@@ -44,6 +44,20 @@ object Graft {
     * pair aggregate). `dfCap` bounds per-shingle pair fan-out at
     * dfCap² — set it on corpora with boilerplate (docs/SCALING.md
     * probe 3); `Int.MaxValue` disables it.
+    *
+    * Similarity is computed over xxhash64'd shingles (the candidate
+    * shuffle carries 8-byte keys, not strings); a cross-document
+    * 64-bit collision could inflate a pair's intersection, with
+    * probability ~2⁻⁶⁴ per pair — negligible below ~2³² DISTINCT
+    * shingles (birthday bound).
+    *
+    * Caching: persists shingle-set (and, when `dfCap` binds, rare-
+    * shingle) frames for the multi-reference self-join, and does not
+    * unpersist them — the returned frame stays lazy and re-executes on
+    * each action. Long-lived sessions issuing many calls over
+    * different inputs should release them afterwards via
+    * `df.sparkSession.catalog.clearCache()` (or track and `unpersist`
+    * specific entries).
     */
   def ngramJaccardPairs(docs: DataFrame, idCol: String, textCol: String,
       n: Int = 3, tau: Double = 0.8, dfCap: Int = Int.MaxValue): DataFrame = {
@@ -77,48 +91,137 @@ object Graft {
 
   /** Connected components over an undirected edge list: every vertex
     * appearing in `edges` labeled with its component's min vertex id
-    * and component size. Iterative min-label propagation — EAGER (like
-    * an MLlib fit): rounds = component diameter, one join + one
-    * aggregate per round, loud failure at the round cap.
+    * and component size. EAGER (like an MLlib fit): the fixpoint runs
+    * at call time; the returned frame is the materialized label set.
+    * Works for any orderable id type (long, string, …) — convergence
+    * is an exact did-any-label-change test computed inside each round,
+    * never a numeric summary of the labels.
+    *
+    * Two algorithms behind one signature:
+    *  - `"minlabel"` (default): min-label propagation — one join + one
+    *    min-aggregate per round; rounds = component DIAMETER. The
+    *    right shape for shallow components (near-dup clusters converge
+    *    in 1-2 rounds); throws at `maxRounds` rather than emit
+    *    silently-split clusters.
+    *  - `"star"`: alternating large-star/small-star (Kiveris et al.,
+    *    "Connected Components in MapReduce and Beyond", SoCC 2014) —
+    *    O(log n) rounds on ANY graph shape, each round two grouped
+    *    min-aggregates over a distinct-bounded edge set. Choose for
+    *    high-diameter graphs (chains, meshes), where minlabel's
+    *    diameter-bounded loop would blow the round cap.
     */
   def connectedComponents(edges: DataFrame, srcCol: String, dstCol: String,
-      maxRounds: Int = 64): DataFrame = {
-    val sym = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
-      .unionAll(edges.select(col(dstCol).as("src"), col(srcCol).as("dst")))
+      maxRounds: Int = 64, algorithm: String = "minlabel"): DataFrame = {
+    val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
+    val labels = algorithm match {
+      case "minlabel" => minLabelComponents(e, maxRounds)
+      case "star"     => starComponents(e, maxRounds)
+      case other => throw new IllegalArgumentException(
+        s"unknown connectedComponents algorithm '$other' " +
+          "(expected \"minlabel\" or \"star\")")
+    }
+    labels
+      .withColumn("component_size", count(lit(1)).over(Window.partitionBy("label")))
+      .select(col("v").as("id"), col("label").as("component_id"),
+        col("component_size"))
+  }
+
+  /** Min-label propagation to a fixpoint; returns (v, label).
+    *
+    * Every round ends in an eager `localCheckpoint`: the next round's
+    * plan references materialized partitions, not the previous round's
+    * plan — without the truncation the logical plan TRIPLES per round
+    * (labels feeds both the neighbor-min aggregate and the join) and
+    * explodes exponentially. Old round RDDs are freed by the
+    * ContextCleaner once unreferenced — the MLlib/GraphFrames
+    * iterative pattern.
+    */
+  private def minLabelComponents(e: DataFrame, maxRounds: Int): DataFrame = {
+    val sym = e.unionAll(e.select(col("dst").as("src"), col("src").as("dst")))
       .persist()
     var labels = sym.select(col("src").as("v")).distinct()
       .select(col("v"), col("v").as("label"))
-      .persist()
-    def labelSum(df: DataFrame): BigDecimal = {
-      val r = df.agg(sum(col("label").cast("decimal(38,0)"))).collect()(0)
-      if (r.isNullAt(0)) BigDecimal(0) else BigDecimal(r.getDecimal(0))
-    }
-    var total = labelSum(labels)
+      .localCheckpoint(true)
     var changed = true
     var rounds = 0
     while (changed && rounds < maxRounds) {
       val nbrMin = sym.join(labels, sym("dst") === labels("v"))
         .groupBy("src").agg(min("label").as("nbr_label"))
+      // the change flag rides the round's own projection and is checked
+      // exactly — type-generic, unlike the decimal label-sum shortcut
+      // this replaces (NULL→0 for string ids, which silently reported
+      // convergence after one round on under-propagated labels)
       val next = labels.join(nbrMin, labels("v") === nbrMin("src"), "left")
         .select(labels("v"),
-          least(col("label"), coalesce(col("nbr_label"), col("label"))).as("label"))
-        .persist()
-      val newTotal = labelSum(next)
-      changed = newTotal < total
-      total = newTotal
-      labels.unpersist()
-      labels = next
+          least(col("label"), coalesce(col("nbr_label"), col("label"))).as("label"),
+          coalesce(col("nbr_label") < col("label"), lit(false)).as("chg"))
+        .localCheckpoint(true)
+      changed = !next.where(col("chg")).isEmpty
+      labels = next.select("v", "label")
       rounds += 1
     }
     if (changed) throw new IllegalStateException(
-      s"connectedComponents did not converge after $rounds rounds")
-    val finalLabels = labels.localCheckpoint(true)
-    labels.unpersist()
+      s"connectedComponents did not converge after $rounds rounds; " +
+        "high-diameter graphs want algorithm=\"star\"")
     sym.unpersist()
-    finalLabels
-      .withColumn("component_size", count(lit(1)).over(Window.partitionBy("label")))
-      .select(col("v").as("id"), col("label").as("component_id"),
-        col("component_size"))
+    labels
+  }
+
+  /** Alternating large-star/small-star to a fixpoint; returns
+    * (v, label). Edges live canonically as (u, v) with u > v;
+    * large-star links every strictly-larger neighbor of a node to the
+    * min of its closed neighborhood, small-star links the node and its
+    * smaller neighbors there. Both halve long paths, hence O(log n)
+    * rounds; the fixpoint is a union of stars centered at component
+    * minima (SoCC 2014, Thm 2).
+    */
+  private def starComponents(e0: DataFrame, maxRounds: Int): DataFrame = {
+    val verts = e0.select(col("src").as("id"))
+      .unionAll(e0.select(col("dst").as("id")))
+      .distinct()
+    // per-round localCheckpoint for the same reason as minlabel, with
+    // higher stakes: each round references the previous edge set ~8×
+    // (two symmetrizing unions, two self-aggregate joins), so an
+    // un-truncated plan grows 8^rounds
+    var edges = e0.where(col("src") =!= col("dst"))
+      .select(greatest(col("src"), col("dst")).as("u"),
+        least(col("src"), col("dst")).as("v"))
+      .distinct().localCheckpoint(true)
+    var n = edges.count()
+    var converged = false
+    var rounds = 0
+    while (!converged && rounds < maxRounds) {
+      // large-star over the SYMMETRIC neighborhood
+      val symN = edges.unionAll(edges.select(col("v").as("u"), col("u").as("v")))
+      val minN = symN.groupBy("u").agg(min("v").as("mn"))
+        .select(col("u").as("c"), least(col("mn"), col("u")).as("m"))
+      val large = symN.join(minN, symN("u") === minN("c"))
+        .where(col("v") > col("u"))
+        .select(col("v").as("u"), col("m").as("v"))
+        .distinct()
+      // small-star over the canonical orientation (all neighbors < u)
+      val minS = large.groupBy("u").agg(min("v").as("m"))
+      val small = large.join(minS, "u")
+        .select(col("v").as("u"), col("m").as("v"))
+        .unionAll(minS.select(col("u"), col("m").as("v")))
+        .where(col("u") =!= col("v"))
+        .distinct()
+        .localCheckpoint(true)
+      val nNew = small.count()
+      // fixpoint = the edge set is stable under a full large+small pass
+      converged = nNew == n && small.exceptAll(edges).isEmpty
+      edges = small
+      n = nNew
+      rounds += 1
+    }
+    if (!converged) throw new IllegalStateException(
+      s"connectedComponents(star) did not converge after $rounds rounds")
+    // stars: every non-root has exactly one edge (v, root); roots and
+    // isolated-in-the-fixpoint vertices label themselves
+    val roots = edges.select(col("u").as("rv"), col("v").as("rl"))
+    verts.join(roots, verts("id") === roots("rv"), "left")
+      .select(verts("id").as("v"), coalesce(col("rl"), verts("id")).as("label"))
+      .localCheckpoint(true)
   }
 
   /** As-of join via the union trick: each `left` row gains the columns

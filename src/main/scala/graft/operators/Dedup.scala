@@ -293,12 +293,22 @@ object Dedup {
        |ORDER BY doc_a, doc_b""".stripMargin
 
   /** #43 — `q_dup_clusters`: connected components over the near-dup
-    * graph (#26's verified Jaccard ≥ τ pairs), labeling every document
-    * that appears in at least one near-dup pair with its cluster id
-    * (= min doc_id reachable) and cluster size. This is the step a real
-    * dedup pipeline runs AFTER pair generation — transitive closure, so
-    * "A≈B, B≈C" collapses to one keep-decision per cluster even when
-    * A≉C directly.
+    * graph, labeling every document that appears in at least one
+    * near-dup pair with its cluster id (= min doc_id reachable) and
+    * cluster size. This is the step a real dedup pipeline runs AFTER
+    * pair generation — transitive closure, so "A≈B, B≈C" collapses to
+    * one keep-decision per cluster even when A≉C directly.
+    *
+    * Edges come from the DF-CAPPED pair generator (#47), not the
+    * uncapped #26: clustering is the one operator a dedup pipeline
+    * must run end-to-end, so its upstream must be the variant that
+    * survives boilerplate corpora (docs/SCALING.md probe 3 measured
+    * the uncapped candidate join going quadratic; probe 5 measures
+    * this composed path staying linear). The trade is #47's, stated
+    * there: pairs similar ONLY through over-cap boilerplate shingles
+    * do not form edges. On the test corpora (max df 25 < 64) the edge
+    * set — and therefore the clustering — is identical to #26's. The
+    * oracle composes the capped SQL so the gate stays a hash-match.
     *
     * Spark-first realization: iterative min-label propagation to a
     * fixpoint — per round one join + one min-aggregate on the edge
@@ -316,58 +326,16 @@ object Dedup {
     * frame is the small materialized label set.
     */
   def qDupClusters(spark: SparkSession, dir: String): DataFrame = {
-    val pairs = qDedupNgramJaccard(spark, dir).select("doc_a", "doc_b")
-    val sym = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
-      .unionAll(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
-      .persist()
-    var labels = sym.select(col("src").as("v")).distinct()
-      .select(col("v"), col("v").as("label"))
-      .persist()
-    // convergence check without a join: labels only ever decrease, so
-    // the label sum strictly decreases iff any label changed (decimal
-    // sum — a corpus-scale sum of 64-bit ids could overflow a long)
-    def labelSum(df: DataFrame): BigDecimal = {
-      val r = df.agg(sum(col("label").cast("decimal(38,0)"))).collect()(0)
-      if (r.isNullAt(0)) BigDecimal(0) else BigDecimal(r.getDecimal(0))
-    }
-    var total = labelSum(labels)
-    var changed = true
-    var rounds = 0
-    while (changed && rounds < 64) {
-      val nbrMin = sym.join(labels, sym("dst") === labels("v"))
-        .groupBy("src").agg(min("label").as("nbr_label"))
-      val next = labels.join(nbrMin, labels("v") === nbrMin("src"), "left")
-        .select(labels("v"),
-          least(col("label"), coalesce(col("nbr_label"), col("label"))).as("label"))
-        .persist()
-      val newTotal = labelSum(next)
-      changed = newTotal < total
-      total = newTotal
-      labels.unpersist()
-      labels = next
-      rounds += 1
-    }
-    // fail loudly rather than emit silently-split clusters: a component
-    // whose propagation distance exceeds the cap means this data wants
-    // the O(log n)-round large-star/small-star variant, not wrong labels
-    if (changed) throw new IllegalStateException(
-      s"q_dup_clusters did not converge after $rounds label-propagation rounds")
-    // truncate the N-round join lineage before releasing the caches —
-    // the returned frame must stay executable (and cheap) for the
-    // caller even if it runs after these unpersists
-    val finalLabels = labels.localCheckpoint(true)
-    labels.unpersist()
-    sym.unpersist()
-    finalLabels
-      .withColumn("cluster_size",
-        count(lit(1)).over(Window.partitionBy("label")))
-      .select(col("v").as("doc_id"), col("label").as("cluster_id"), col("cluster_size"))
+    val pairs = qDedupNgramJaccardCapped(spark, dir).select("doc_a", "doc_b")
+    graft.api.Graft.connectedComponents(pairs, "doc_a", "doc_b")
+      .select(col("id").as("doc_id"), col("component_id").as("cluster_id"),
+        col("component_size").as("cluster_size"))
       .orderBy("doc_id")
   }
 
   val qDupClustersSql: String =
     s"""WITH RECURSIVE pairs AS (
-       |  SELECT doc_a, doc_b FROM ($qDedupNgramJaccardSql)
+       |  SELECT doc_a, doc_b FROM ($qDedupNgramJaccardCappedSql)
        |),
        |sym AS (
        |  SELECT doc_a AS src, doc_b AS dst FROM pairs

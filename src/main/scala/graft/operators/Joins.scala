@@ -27,8 +27,14 @@ object Joins {
     * ship date inside [orderdate, orderdate+90d] (OrderWideApp.java:
     * 84-90 `between(-5s, +5s)` rescaled to the batch data's granularity).
     */
+  // the presentation sort keys on EVERY output column: the generator
+  // emits duplicate (l_orderkey, l_linenumber) pairs (11785 at sf0.01),
+  // so the natural key alone leaves tie order engine-dependent and the
+  // driver's hash gate at the mercy of tie luck; full-column sort is
+  // deterministic because full output rows are distinct
   def qOrderWide(spark: SparkSession, dir: String): DataFrame =
-    qOrderWideBase(spark, dir).orderBy("o_orderkey", "l_linenumber")
+    qOrderWideBase(spark, dir).orderBy("o_orderkey", "l_linenumber",
+      "o_custkey", "l_partkey", "l_suppkey", "revenue")
 
   val qOrderWideSql: String =
     """SELECT o_orderkey, l_linenumber, o_custkey, l_partkey, l_suppkey,
@@ -36,7 +42,7 @@ object Joins {
       |FROM orders JOIN lineitem ON o_orderkey = l_orderkey
       |  AND l_shipdate >= o_orderdate
       |  AND l_shipdate <= o_orderdate + INTERVAL 90 DAY
-      |ORDER BY o_orderkey, l_linenumber""".stripMargin
+      |ORDER BY o_orderkey, l_linenumber, o_custkey, l_partkey, l_suppkey, revenue""".stripMargin
 
   /** #6 — pure event-stream interval join: each view joined to the same
     * user's purchases within the following 10 minutes. Equi key =
@@ -76,7 +82,11 @@ object Joins {
         col("l_shipdate") <= col("o_orderdate") + expr("INTERVAL 5 DAYS"))
       .select(col("o_orderkey"), col("l_linenumber"), col("o_custkey"),
         col("o_totalprice"), revenue.as("revenue"))
-      .orderBy("o_orderkey", "l_linenumber")
+      // full-column sort: duplicate (orderkey, linenumber) pairs exist
+      // in the data (see qOrderWide) — identical remaining rows are the
+      // only possible ties, for which order is immaterial to the hash
+      .orderBy("o_orderkey", "l_linenumber", "o_custkey", "o_totalprice",
+        "revenue")
   }
 
   val qPaymentWideSql: String =
@@ -85,7 +95,7 @@ object Joins {
       |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
       |  AND l_shipdate >= o_orderdate - INTERVAL 15 DAY
       |  AND l_shipdate <= o_orderdate + INTERVAL 5 DAY
-      |ORDER BY o_orderkey, l_linenumber""".stripMargin
+      |ORDER BY o_orderkey, l_linenumber, o_custkey, o_totalprice, revenue""".stripMargin
 
   /** #8 — six-dimension enrichment of the order-wide table
     * (DimAsyncFunction.java; OrderWideApp.java:96-195): customer,
@@ -112,7 +122,10 @@ object Joins {
       .select(col("o_orderkey"), col("l_linenumber"), col("c_name"),
         col("n_name"), col("r_name"), col("p_brand"), col("s_name"),
         col("s_nation"), col("revenue"))
-      .orderBy("o_orderkey", "l_linenumber")
+      // full-column sort — duplicate (orderkey, linenumber) pairs in
+      // the data make the natural key non-unique (see qOrderWide)
+      .orderBy("o_orderkey", "l_linenumber", "c_name", "n_name", "r_name",
+        "p_brand", "s_name", "s_nation", "revenue")
   }
 
   /** The one definition of an "order wide" row — qOrderWide adds only
@@ -143,5 +156,6 @@ object Joins {
       |JOIN part ON l_partkey = p_partkey
       |JOIN supplier ON l_suppkey = s_suppkey
       |JOIN nation sn ON s_nationkey = sn.n_nationkey
-      |ORDER BY o_orderkey, l_linenumber""".stripMargin
+      |ORDER BY o_orderkey, l_linenumber, c_name, n_name, r_name, p_brand,
+      |  s_name, s_nation, revenue""".stripMargin
 }

@@ -46,6 +46,16 @@ object Sinks {
     * renamed aside, clears stale staging, then hands the dirs to
     * `write`, and finally swaps: retire target → promote staging →
     * roll back on failure → drop the retired copy.
+    *
+    * Concurrency contract (r4 advice): SINGLE WRITER, and readers must
+    * tolerate a brief missing-directory window — between
+    * rename(target→retired) and rename(staging→target) the target path
+    * does not exist, so a concurrent reader can observe "no such
+    * directory" (never a half-written mix; a retry covers it). Two
+    * concurrent swaps on the same path can interleave destructively —
+    * serialize them (one maintenance job per sink, the deployment
+    * shape compaction assumes); crash recovery likewise assumes the
+    * single writer.
     */
   private final case class SwapDirs(fs: org.apache.hadoop.fs.FileSystem,
       target: Path, staging: Path, retired: Path)
@@ -125,9 +135,12 @@ object Sinks {
     * File count = ceil(input bytes / targetBytes), data redistributed
     * by repartition (no skew carry-over), and the rewritten directory
     * replaces the original via the same retire-then-swap protocol the
-    * dim upsert uses — readers never observe a half-written mix, and a
-    * crash mid-swap is recoverable (the retired dir survives until the
-    * new one is in place). Returns (files before, files after).
+    * dim upsert uses — readers never observe a half-written MIX
+    * (though they can hit the protocol's brief missing-directory
+    * window; see [[withSwap]] for the single-writer/reader-retry
+    * contract), and a crash mid-swap is recoverable (the retired dir
+    * survives until the new one is in place). Returns (files before,
+    * files after).
     *
     * NOTE: meant for plain parquet directories (e.g. a retired serving
     * partition); a LIVE file-sink output with `_spark_metadata` should

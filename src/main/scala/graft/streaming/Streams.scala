@@ -295,7 +295,12 @@ object Streams {
             sorted.foreach { e =>
               // a late event older than the pending view is not its
               // follow-up (in event-time order it PRECEDES the view) —
-              // it must neither satisfy nor cancel the pending state
+              // it must neither satisfy nor cancel the pending state.
+              // Accepted approximation: such a late-yet-within-watermark
+              // VIEW is also discarded — it never becomes a jump
+              // candidate itself (a recall gap for out-of-order data;
+              // exact event-time CEP would buffer per-key events until
+              // the watermark, trading state for completeness)
               if (!pending.exists(p => e.ts_us < p.ts_us)) {
                 pending.foreach { p =>
                   if (e.ts_us - p.ts_us > TenMinUs) out += Jump(userId, p.event_id, p.ts_us)

@@ -38,6 +38,10 @@ class GraftApiSpec extends SparkSpec {
   }
 
   test("connectedComponents over the jaccard pairs reproduces q_dup_clusters") {
+    // the gated query clusters the CAPPED pairs (r4 verdict: the
+    // end-to-end dedup path must not contain the uncapped generator);
+    // at this SF the cap does not bind, so the uncapped pairs cluster
+    // identically — both pins hold
     val pairs = SparkEntry.queries("q_dedup_ngram_jaccard")(spark, sf)
       .select("doc_a", "doc_b")
     val api = Graft.connectedComponents(pairs, "doc_a", "doc_b")
@@ -45,6 +49,44 @@ class GraftApiSpec extends SparkSpec {
         col("component_size").as("cluster_size"))
     same(api, SparkEntry.queries("q_dup_clusters")(spark, sf),
       "connectedComponents")
+    // the star algorithm must label the same graph identically
+    val star = Graft.connectedComponents(pairs, "doc_a", "doc_b",
+        algorithm = "star")
+      .select(col("id").as("doc_id"), col("component_id").as("cluster_id"),
+        col("component_size").as("cluster_size"))
+    same(star, SparkEntry.queries("q_dup_clusters")(spark, sf),
+      "connectedComponents(star)")
+  }
+
+  test("connectedComponents converges on string vertex ids") {
+    import spark.implicits._
+    // a 5-node chain of string ids needs 4 propagation rounds; the r4
+    // decimal-sum convergence check cast string labels to NULL, summed
+    // to 0, and reported convergence after ONE round — returning
+    // under-propagated labels (e → "d"). The changed-flag check is
+    // type-generic.
+    val edges = Seq(("b", "c"), ("c", "d"), ("d", "e"), ("a", "b"),
+      ("x", "y")).toDF("s", "d")
+    val got = Graft.connectedComponents(edges, "s", "d")
+      .orderBy("id").as[(String, String, Long)].collect().toSeq
+    assert(got == Seq(("a", "a", 5L), ("b", "a", 5L), ("c", "a", 5L),
+      ("d", "a", 5L), ("e", "a", 5L), ("x", "x", 2L), ("y", "x", 2L)))
+  }
+
+  test("star CC labels a 200-chain in O(log n) rounds where minlabel throws") {
+    import spark.implicits._
+    val edges = (1 until 200).map(i => (i.toLong, (i + 1).toLong))
+      .toDF("s", "d")
+    // diameter 199 ≫ the round budget: minlabel fails LOUDLY…
+    intercept[IllegalStateException] {
+      Graft.connectedComponents(edges, "s", "d", maxRounds = 8)
+    }
+    // …while large-star/small-star needs only ~log2(200) rounds
+    val got = Graft.connectedComponents(edges, "s", "d", maxRounds = 20,
+      algorithm = "star")
+    assert(got.count() == 200)
+    assert(got.where(col("component_id") =!= 1L
+      || col("component_size") =!= 200L).isEmpty)
   }
 
   test("asofJoin reproduces q_asof_join") {
