@@ -57,7 +57,10 @@ object SparkEntry {
     "q_province_rollup" -> (Stats.qProvinceRollup _),
     "q_dup_clusters" -> (Dedup.qDupClusters _),
     "q_dup_rate_by_source" -> (Corpus.qDupRateBySource _),
-    "q_length_histogram" -> (Corpus.qLengthHistogram _)
+    "q_length_histogram" -> (Corpus.qLengthHistogram _),
+    "q_keyword_stats_cjk" -> (Stats.qKeywordStatsCjk _),
+    "q_cdc_route" -> (Etl.qCdcRoute _),
+    "q_sample_hash" -> (Corpus.qSampleHash _)
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -103,6 +106,9 @@ object SparkEntry {
     "q_province_rollup" -> Stats.qProvinceRollupSql,
     "q_dup_clusters" -> Dedup.qDupClustersSql,
     "q_dup_rate_by_source" -> Corpus.qDupRateBySourceSql,
-    "q_length_histogram" -> Corpus.qLengthHistogramSql
+    "q_length_histogram" -> Corpus.qLengthHistogramSql,
+    "q_keyword_stats_cjk" -> Stats.qKeywordStatsCjkSql,
+    "q_cdc_route" -> Etl.qCdcRouteSql,
+    "q_sample_hash" -> Corpus.qSampleHashSql
   )
 }

@@ -290,6 +290,21 @@ object Graft {
         Window.partitionBy(groupCols.map(col): _*).orderBy(orderCols: _*)).cast("long"))
       .where(col("rank") <= k)
 
+  /** Deterministic map-only sample: keeps rows whose 31-bit
+    * multiplicative hash of the integral `idCol` falls under
+    * frac · 2³¹. ZERO shuffles — a pure filter every partition applies
+    * independently; each stratum of any grouping retains ~frac in
+    * expectation. The scale-safe default over exact-rank stratified
+    * sampling (see [[graft.operators.Corpus.qSampleStratified]] for
+    * the trade).
+    */
+  def hashSample(df: DataFrame, idCol: String, frac: Double): DataFrame = {
+    require(frac >= 0.0 && frac <= 1.0, s"frac must be in [0,1], got $frac")
+    val h = pmod(pmod(col(idCol), lit(2147483648L)) * lit(1103515245L),
+      lit(2147483648L))
+    df.where(h < lit((frac * 2147483648.0).toLong))
+  }
+
   /** Salted exact count-distinct per key (see
     * [[graft.operators.Stats.distinctPerKeySalted]]). */
   def saltedDistinct(df: DataFrame, keyCol: String, idCol: String,

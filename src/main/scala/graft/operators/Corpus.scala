@@ -24,6 +24,16 @@ object Corpus {
     * operands are reduced mod 2^31 BEFORE the multiply so the product
     * stays below 2^62 for any doc_id — no engine-dependent overflow
     * wrapping at billion-document scale.
+    *
+    * WHEN TO USE WHICH (the exact/approx pairing #11/#40 also
+    * follows): this exact-rank variant funnels each stratum through
+    * one task (two whole-stratum windows) — fine while every stratum
+    * fits one executor, a straggler/OOM shape at 100 TB with a few
+    * huge strata. [[qSampleHash]] (#56) is the corpus-scale default:
+    * map-only, ZERO shuffles, same determinism, per-stratum fraction
+    * holds in expectation rather than exactly. Pick exact-rank when
+    * the contract is "exactly ceil(n/10) per stratum", hash-threshold
+    * when it is "~10% of everything, cheaply, at any scale".
     */
   def qSampleStratified(spark: SparkSession, dir: String): DataFrame = {
     val h = pmod(pmod(col("doc_id"), lit(2147483648L)) * lit(1103515245L),
@@ -49,6 +59,39 @@ object Corpus {
       |  FROM documents)
       |SELECT doc_id, source, lang, stratum_n, CAST(rk AS BIGINT) AS rk
       |FROM t WHERE rk <= ceil(stratum_n / 10.0) ORDER BY doc_id""".stripMargin
+
+  /** Threshold the shared multiplicative hash keeps a row under; the
+    * SQL twin embeds the same literal. floor(0.10 · 2³¹) — the sample
+    * fraction, expressed exactly in integers.
+    */
+  private val HashSampleThreshold = 214748364L
+
+  /** #56 — `q_sample_hash`: the map-only companion to #37 — keep a doc
+    * iff its multiplicative hash lands under 10% of the 2³¹ hash
+    * space. ZERO shuffles (the gate's presentation sort is the only
+    * exchange in the gated form; the facade form is a pure scan +
+    * filter — plan-asserted in PlanSpec): no window, no stratum state,
+    * every partition filters independently — the shape that survives
+    * any stratum skew at 100 TB. Deterministic: same integer hash as
+    * #37, so the kept set is stable across engines and runs; each
+    * stratum retains ~10% in expectation (the fraction is exact only
+    * corpus-wide as n → ∞, the documented trade vs #37's exact ranks).
+    */
+  def qSampleHash(spark: SparkSession, dir: String): DataFrame = {
+    val h = pmod(pmod(col("doc_id"), lit(2147483648L)) * lit(1103515245L),
+      lit(2147483648L))
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), col("source"), col("lang"), h.as("h"))
+      .where(col("h") < HashSampleThreshold)
+      .orderBy("doc_id")
+  }
+
+  val qSampleHashSql: String =
+    s"""SELECT doc_id, source, lang,
+      |  ((doc_id % 2147483648) * 1103515245) % 2147483648 AS h
+      |FROM documents
+      |WHERE ((doc_id % 2147483648) * 1103515245) % 2147483648 < $HashSampleThreshold
+      |ORDER BY doc_id""".stripMargin
 
   /** Top-10 word bigrams per source by DOCUMENT frequency (count desc,
     * bigram asc): corpus n-gram stats for LM data curation. Bigrams

@@ -100,4 +100,59 @@ object Etl {
       |SELECT e.event_id, e.event_type, c.sink_table, c.sink_type
       |FROM events e LEFT JOIN config c USING (event_type)
       |ORDER BY e.event_id""".stripMargin
+
+  /** #55 — `q_cdc_route`: CDC operation-type semantics on top of #13's
+    * dynamic routing. The reference's CDC pipeline carries an op type
+    * with before/after images (CustomerDeserialization.java:30-65) and
+    * DROPS DELETE records before routing (BaseDBApp.java:31-33 — the
+    * business rule that deletes don't propagate to sinks); survivors
+    * route by the broadcast config with the op preserved so downstream
+    * upserts can distinguish insert from update.
+    *
+    * The test schema has no CDC feed, so the op derives
+    * deterministically from the event id with plain integer math both
+    * engines evaluate identically (~10% delete / 20% update / 70%
+    * insert). The modeled semantics — an op column, the delete-drop
+    * rule, routing with op preserved — are the reference's; the
+    * derivation is a stand-in for a real change stream's op field.
+    * Map-side only: a filter plus the broadcast config join, zero
+    * shuffle on the fact stream at any scale.
+    */
+  def qCdcRoute(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val config = Seq(
+      ("view", "dwd_page_log", "kafka"),
+      ("click", "dwd_page_log", "kafka"),
+      ("signup", "dwd_start_log", "kafka"),
+      ("purchase", "dwd_order_info", "hbase"),
+      ("error", "dwd_dirty", "none")
+    ).toDF("event_type", "sink_table", "sink_type")
+    Tables.events(spark, dir)
+      .withColumn("op",
+        when(pmod(col("event_id"), lit(10L)) === 0, "delete")
+          .when(pmod(col("event_id"), lit(10L)) <= 2, "update")
+          .otherwise("insert"))
+      .where(col("op") =!= "delete")
+      .join(broadcast(config), Seq("event_type"), "left")
+      .select("event_id", "event_type", "op", "sink_table", "sink_type")
+      .orderBy("event_id")
+  }
+
+  val qCdcRouteSql: String =
+    """WITH config(event_type, sink_table, sink_type) AS (VALUES
+      |  ('view', 'dwd_page_log', 'kafka'),
+      |  ('click', 'dwd_page_log', 'kafka'),
+      |  ('signup', 'dwd_start_log', 'kafka'),
+      |  ('purchase', 'dwd_order_info', 'hbase'),
+      |  ('error', 'dwd_dirty', 'none')),
+      |cdc AS (
+      |  SELECT event_id, event_type,
+      |    CASE WHEN event_id % 10 = 0 THEN 'delete'
+      |         WHEN event_id % 10 <= 2 THEN 'update'
+      |         ELSE 'insert' END AS op
+      |  FROM events)
+      |SELECT e.event_id, e.event_type, e.op, c.sink_table, c.sink_type
+      |FROM cdc e LEFT JOIN config c USING (event_type)
+      |WHERE e.op <> 'delete'
+      |ORDER BY e.event_id""".stripMargin
 }

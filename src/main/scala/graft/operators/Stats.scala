@@ -314,4 +314,65 @@ object Stats {
       |  SELECT unnest(string_split(text, ' ')) AS word, source FROM documents)
       |WHERE length(word) > 0
       |GROUP BY word, source ORDER BY word, source""".stripMargin
+
+  /** #54 — `q_keyword_stats_cjk`: #12 with CJK-aware tokenization. The
+    * reference tokenizes search keywords with a CJK segmenter
+    * (KeywordUtil.java:12-14 + SplitFunction.java) because its domain
+    * is Chinese e-commerce — whitespace splitting turns a CJK sentence
+    * into one giant "word". This operator applies the standard
+    * PUBLIC-algorithm fallback, character-bigram segmentation (the
+    * classic CJK indexing unit in IR systems): within each whitespace
+    * token, maximal Han runs (U+4E00–U+9FFF) expand to their
+    * overlapping character bigrams (a lone Han char stays itself);
+    * non-Han runs pass through whole. Mixed tokens like "abc中文def"
+    * yield "abc", "中文", "def"-style units. The identical rule is
+    * expressible in DuckDB (RE2 run-split + substr bigrams), so unlike
+    * a dictionary segmenter this stays hash-gated.
+    *
+    * All three explodes are map-side generators; the only shuffle is
+    * the final (word, source) aggregate — same scale shape as #12.
+    */
+  /** The CJK word-unit explode shared by #54 and its spec: `textCol` →
+    * one `word` row per unit, `carry` columns preserved. Escaped range
+    * = U+4E00–U+9FFF (CJK Unified Ideographs; the literal chars ARE
+    * those codepoints).
+    */
+  private[graft] def explodeCjkWords(df: DataFrame, textCol: String,
+      carry: Seq[String]): DataFrame = {
+    val han = "一-鿿"
+    val runPattern = s"[$han]+|[^$han]+"
+    val cols = carry.map(col)
+    val bigrams = transform(
+      sequence(lit(1), length(col("run")) - 1),
+      i => col("run").substr(i, lit(2)))
+    df.select(explode(split(col(textCol), " ")).as("tok") +: cols: _*)
+      .filter(length(col("tok")) > 0)
+      .select(explode(regexp_extract_all(col("tok"), lit(runPattern), lit(0)))
+        .as("run") +: cols: _*)
+      .select(explode(
+        when(col("run").rlike(s"^[$han]") && length(col("run")) >= 2, bigrams)
+          .otherwise(array(col("run")))).as("word") +: cols: _*)
+  }
+
+  def qKeywordStatsCjk(spark: SparkSession, dir: String): DataFrame =
+    explodeCjkWords(Tables.documents(spark, dir), "text", Seq("source"))
+      .groupBy("word", "source")
+      .agg(count(lit(1)).as("ct"))
+      .orderBy("word", "source")
+
+  val qKeywordStatsCjkSql: String =
+    """WITH toks AS (
+      |  SELECT source, unnest(list_filter(string_split(text, ' '), t -> t <> '')) AS tok
+      |  FROM documents),
+      |runs AS (
+      |  SELECT source, unnest(regexp_extract_all(tok, '[\x{4e00}-\x{9fff}]+|[^\x{4e00}-\x{9fff}]+')) AS run
+      |  FROM toks),
+      |words AS (
+      |  SELECT source,
+      |    unnest(CASE WHEN regexp_matches(run, '^[\x{4e00}-\x{9fff}]') AND length(run) >= 2
+      |      THEN list_transform(range(1, length(run)), i -> substr(run, i, 2))
+      |      ELSE [run] END) AS word
+      |  FROM runs)
+      |SELECT word, source, CAST(COUNT(*) AS BIGINT) AS ct
+      |FROM words GROUP BY word, source ORDER BY word, source""".stripMargin
 }

@@ -128,6 +128,63 @@ class OperatorsSpec extends SparkSpec {
     assert(bad == 0, "cluster_id must equal the minimum member doc_id")
   }
 
+  test("CJK keyword tokenization: Han runs expand to character bigrams") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "深度学习模型 训练"),
+      (2L, "abc中文def"),
+      (3L, "山 hello world"),
+      (4L, "AI赋能2024")
+    ).toDF("doc_id", "text")
+    val words = graft.operators.Stats
+      .explodeCjkWords(docs, "text", Seq("doc_id"))
+      .select("doc_id", "word").as[(Long, String)]
+      .collect().toSeq.sorted
+    val expect = (
+      Seq("深度", "度学", "学习", "习模", "模型", "训练").map(1L -> _) ++
+      Seq("abc", "中文", "def").map(2L -> _) ++
+      Seq("山", "hello", "world").map(3L -> _) ++
+      Seq("AI", "赋能", "2024").map(4L -> _)).sorted
+    assert(words == expect)
+  }
+
+  test("CJK keyword stats equal #12 on the Han-free test corpus") {
+    // the corpus has zero Han chars (checked in generation), so every
+    // token is a single non-Han run passing through whole — the CJK
+    // variant must reduce exactly to whitespace tokenization
+    val cjk = SparkEntry.queries("q_keyword_stats_cjk")(spark, sf)
+    val plain = SparkEntry.queries("q_keyword_stats")(spark, sf)
+    assert(cjk.exceptAll(plain).count() == 0 &&
+      plain.exceptAll(cjk).count() == 0)
+  }
+
+  test("cdc route drops deletes and routes survivors like #13") {
+    val cdc = SparkEntry.queries("q_cdc_route")(spark, sf)
+    assert(cdc.where(col("op") === "delete").isEmpty, "deletes must not propagate")
+    assert(cdc.where(!col("op").isin("insert", "update")).isEmpty)
+    val cfg = SparkEntry.queries("q_config_route")(spark, sf)
+      .where(pmod(col("event_id"), lit(10L)) =!= 0)
+    assert(cdc.select("event_id", "event_type", "sink_table", "sink_type")
+      .exceptAll(cfg.select("event_id", "event_type", "sink_table", "sink_type"))
+      .isEmpty && cdc.count() == cfg.count(),
+      "non-delete records must route exactly as q_config_route")
+  }
+
+  test("hash sample: ~10% kept, deterministic, and per-stratum unbiased") {
+    val docs = Tables.documents(spark, sf)
+    val samp = SparkEntry.queries("q_sample_hash")(spark, sf)
+    val frac = samp.count().toDouble / docs.count()
+    assert(math.abs(frac - 0.10) < 0.02, s"corpus-wide fraction $frac")
+    // deterministic: a second invocation keeps the identical set
+    assert(samp.exceptAll(SparkEntry.queries("q_sample_hash")(spark, sf)).isEmpty)
+    // no stratum is wildly over/under-sampled (hash independent of stratum)
+    val bad = samp.groupBy("source").count()
+      .join(docs.groupBy("source").agg(count(lit(1)).as("n")), "source")
+      .where(col("count").cast("double") / col("n") > 0.25 ||
+        col("count").cast("double") / col("n") < 0.02)
+    assert(bad.isEmpty, "a stratum's sample fraction left [2%, 25%]")
+  }
+
   test("user-jump events have no follow-up within 10 minutes") {
     // every flagged jump must be a view event; re-derive the count from
     // the raw table as an independent check

@@ -85,4 +85,18 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("PushedFilters") && p.contains("event_type"),
       s"event_type filter not pushed to scan:\n$p")
   }
+
+  test("hash sample plans with zero exchanges (map-only)") {
+    val p = graft.api.Graft.hashSample(Tables.documents(spark, sf), "doc_id", 0.10)
+      .queryExecution.executedPlan.toString
+    assert(!p.contains("Exchange"),
+      s"the map-only sample must not shuffle:\n$p")
+  }
+
+  test("cdc route keeps the fact side shuffle-free (broadcast config)") {
+    val p = SparkEntry.queries("q_cdc_route")(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(p.contains("BroadcastHashJoin"), s"config join must broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin"), s"fact stream must not shuffle-join:\n$p")
+  }
 }
