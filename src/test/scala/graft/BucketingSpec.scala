@@ -37,15 +37,19 @@ class BucketingSpec extends SparkSpec {
         .write.bucketBy(8, "o_orderkey").sortBy("o_orderkey")
         .option("path", s"$wh/b_orders").saveAsTable("b_orders")
       Tables.lineitem(spark, sfTiny)
-        .select("l_orderkey", "l_linenumber", "l_extendedprice")
+        .select("l_orderkey", "l_linenumber", "l_extendedprice", "l_shipdate")
         .write.bucketBy(8, "l_orderkey").sortBy("l_orderkey")
         .option("path", s"$wh/b_lineitem").saveAsTable("b_lineitem")
 
-      // bucketed scans satisfy the join's distribution requirement
+      // bucketed scans satisfy the join's distribution requirement —
+      // exercised with the EXACT #5 (q_order_wide) join shape: equi
+      // key + ship-date range residual, which rides the SMJ unchanged
       spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
       val joined = spark.table("b_orders")
         .join(spark.table("b_lineitem"),
-          col("o_orderkey") === col("l_orderkey"))
+          col("o_orderkey") === col("l_orderkey") &&
+            col("l_shipdate") >= col("o_orderdate") &&
+            col("l_shipdate") <= col("o_orderdate") + expr("INTERVAL 90 DAYS"))
       val plan = joined.queryExecution.executedPlan.toString
       assert(plan.contains("SortMergeJoin"), s"expected SMJ:\n$plan")
       assert(!plan.contains("Exchange"),
@@ -54,7 +58,10 @@ class BucketingSpec extends SparkSpec {
       spark.conf.set("spark.sql.autoBroadcastJoinThreshold", 10L * 1024 * 1024)
       val expected = Tables.orders(spark, sfTiny)
         .join(Tables.lineitem(spark, sfTiny),
-          col("o_orderkey") === col("l_orderkey")).count()
+          col("o_orderkey") === col("l_orderkey") &&
+            col("l_shipdate") >= col("o_orderdate") &&
+            col("l_shipdate") <= col("o_orderdate") + expr("INTERVAL 90 DAYS"))
+        .count()
       assert(joined.count() == expected)
     } finally {
       spark.conf.set("spark.sql.autoBroadcastJoinThreshold", 10L * 1024 * 1024)
