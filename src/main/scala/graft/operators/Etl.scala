@@ -75,20 +75,27 @@ object Etl {
     * event's sink. The config side is broadcast — zero shuffle on the
     * fact stream at any scale.
     */
-  def qConfigRoute(spark: SparkSession, dir: String): DataFrame = {
+  /** The routing table #13/#55 (and the streaming twin) broadcast —
+    * the reference's TableProcess config rows (BaseDBApp's broadcast
+    * state, TableProcessFunction.java). One definition so batch,
+    * CDC, and streaming routing cannot drift.
+    */
+  private[graft] def routingConfig(spark: SparkSession): DataFrame = {
     import spark.implicits._
-    val config = Seq(
+    Seq(
       ("view", "dwd_page_log", "kafka"),
       ("click", "dwd_page_log", "kafka"),
       ("signup", "dwd_start_log", "kafka"),
       ("purchase", "dwd_order_info", "hbase"),
       ("error", "dwd_dirty", "none")
     ).toDF("event_type", "sink_table", "sink_type")
+  }
+
+  def qConfigRoute(spark: SparkSession, dir: String): DataFrame =
     Tables.events(spark, dir)
-      .join(broadcast(config), Seq("event_type"), "left")
+      .join(broadcast(routingConfig(spark)), Seq("event_type"), "left")
       .select("event_id", "event_type", "sink_table", "sink_type")
       .orderBy("event_id")
-  }
 
   val qConfigRouteSql: String =
     """WITH config(event_type, sink_table, sink_type) AS (VALUES
@@ -118,25 +125,24 @@ object Etl {
     * Map-side only: a filter plus the broadcast config join, zero
     * shuffle on the fact stream at any scale.
     */
-  def qCdcRoute(spark: SparkSession, dir: String): DataFrame = {
-    import spark.implicits._
-    val config = Seq(
-      ("view", "dwd_page_log", "kafka"),
-      ("click", "dwd_page_log", "kafka"),
-      ("signup", "dwd_start_log", "kafka"),
-      ("purchase", "dwd_order_info", "hbase"),
-      ("error", "dwd_dirty", "none")
-    ).toDF("event_type", "sink_table", "sink_type")
-    Tables.events(spark, dir)
+  /** The op-derivation + delete-drop + route transform shared by #55
+    * and its streaming twin (works on any frame with event_id +
+    * event_type — batch table or stream).
+    */
+  private[graft] def cdcRouted(events: DataFrame): DataFrame = {
+    val spark = events.sparkSession
+    events
       .withColumn("op",
         when(pmod(col("event_id"), lit(10L)) === 0, "delete")
           .when(pmod(col("event_id"), lit(10L)) <= 2, "update")
           .otherwise("insert"))
       .where(col("op") =!= "delete")
-      .join(broadcast(config), Seq("event_type"), "left")
+      .join(broadcast(routingConfig(spark)), Seq("event_type"), "left")
       .select("event_id", "event_type", "op", "sink_table", "sink_type")
-      .orderBy("event_id")
   }
+
+  def qCdcRoute(spark: SparkSession, dir: String): DataFrame =
+    cdcRouted(Tables.events(spark, dir)).orderBy("event_id")
 
   val qCdcRouteSql: String =
     """WITH config(event_type, sink_table, sink_type) AS (VALUES

@@ -80,6 +80,19 @@ object Streams {
         batch.unpersist(); ()
       }
 
+  /** #57 — BaseDBApp's CDC routing as a stream transform: the
+    * reference applies the op-type rule IN-STREAM (BaseDBApp.java:
+    * 31-33 filters `type == "delete"` off the CDC stream before the
+    * broadcast-config route). Stateless per-row transform + stream-
+    * static broadcast join — runs at source parallelism, zero state.
+    * Identical semantics to the batch `q_cdc_route`
+    * ([[graft.operators.Etl.cdcRouted]] is the SAME function;
+    * StreamingSpec pins stream output == batch output on the same
+    * events).
+    */
+  def cdcRoute(events: DataFrame): DataFrame =
+    graft.operators.Etl.cdcRouted(events)
+
   /** #17 — UniqueVisitApp (UniqueVisitApp.java:37-71): per-user daily
     * first-visit dedup. Keyed state = the set of days already emitted,
     * expired by event-time timeout once the watermark passes the last

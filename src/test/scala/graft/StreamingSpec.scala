@@ -76,6 +76,25 @@ class StreamingSpec extends SparkSpec {
     assert(total == 100, s"multi-sink lost rows: $total/100")
   }
 
+  test("stream_cdc_route matches the batch CDC routing exactly") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val ms = MemoryStream[LogEvent]
+    val q = Streams.cdcRoute(ms.toDF()).writeStream.format("memory")
+      .queryName("cdc_route").outputMode("append").start()
+    try {
+      // two micro-batches: the rule must not depend on batch boundaries
+      ms.addData(logEvents.take(200)); q.processAllAvailable()
+      ms.addData(logEvents.drop(200)); q.processAllAvailable()
+    } finally q.stop()
+    val got = spark.table("cdc_route")
+    val want = SparkEntry.queries("q_cdc_route")(spark, sfTiny)
+    assert(got.where(col("op") === "delete").isEmpty)
+    assert(got.exceptAll(want).count() == 0 &&
+      want.exceptAll(got).count() == 0,
+      "stream CDC routing diverged from batch q_cdc_route")
+  }
+
   test("stream_unique_visit matches batch per-user daily first events") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
