@@ -310,4 +310,15 @@ object Graft {
   def saltedDistinct(df: DataFrame, keyCol: String, idCol: String,
       salts: Int): DataFrame =
     graft.operators.Stats.distinctPerKeySalted(df, keyCol, idCol, salts)
+
+  /** CJK-aware word-unit explode: one `word` row per unit of `textCol`
+    * (whitespace tokens; maximal Han runs expand to overlapping
+    * character bigrams — the classic CJK indexing unit), `carry`
+    * columns preserved. Entirely map-side (three codegen'd generators,
+    * zero shuffles) — aggregate downstream as needed. Same function
+    * the gated `q_keyword_stats_cjk` wraps.
+    */
+  def cjkWords(df: DataFrame, textCol: String,
+      carry: Seq[String] = Nil): DataFrame =
+    graft.operators.Stats.explodeCjkWords(df, textCol, carry)
 }

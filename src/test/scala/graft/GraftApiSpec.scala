@@ -89,6 +89,19 @@ class GraftApiSpec extends SparkSpec {
       || col("component_size") =!= 200L).isEmpty)
   }
 
+  test("cjkWords aggregated reproduces q_keyword_stats_cjk") {
+    val api = Graft.cjkWords(Tables.documents(spark, sf), "text", Seq("source"))
+      .groupBy("word", "source").agg(count(lit(1)).as("ct"))
+    same(api, SparkEntry.queries("q_keyword_stats_cjk")(spark, sf), "cjkWords")
+  }
+
+  test("hashSample reproduces q_sample_hash") {
+    val api = Graft.hashSample(Tables.documents(spark, sf), "doc_id", 0.10)
+      .select("doc_id", "source", "lang")
+    same(api, SparkEntry.queries("q_sample_hash")(spark, sf)
+      .select("doc_id", "source", "lang"), "hashSample")
+  }
+
   test("asofJoin reproduces q_asof_join") {
     val ev = Tables.events(spark, sf)
     val purchases = ev.filter(col("event_type") === "purchase")
