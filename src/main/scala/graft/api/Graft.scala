@@ -99,20 +99,28 @@ object Graft {
     *
     * Two algorithms behind one signature:
     *  - `"minlabel"` (default): min-label propagation — one join + one
-    *    min-aggregate per round; rounds = component DIAMETER. The
-    *    right shape for shallow components (near-dup clusters converge
-    *    in 1-2 rounds); throws at `maxRounds` rather than emit
-    *    silently-split clusters.
+    *    min-aggregate per round; rounds needed = component DIAMETER
+    *    + 1 (the final round only confirms no label changed — size
+    *    `maxRounds` accordingly). The right shape for shallow
+    *    components (near-dup clusters converge in 2-3 rounds); throws
+    *    at `maxRounds` rather than emit silently-split clusters.
     *  - `"star"`: alternating large-star/small-star (Kiveris et al.,
     *    "Connected Components in MapReduce and Beyond", SoCC 2014) —
     *    O(log n) rounds on ANY graph shape, each round two grouped
     *    min-aggregates over a distinct-bounded edge set. Choose for
     *    high-diameter graphs (chains, meshes), where minlabel's
     *    diameter-bounded loop would blow the round cap.
+    *
+    * The input edge plan is materialized ONCE (eager localCheckpoint)
+    * before either algorithm derives from it — both consume it through
+    * multiple branches (symmetrize unions, vertex projection), which
+    * would otherwise re-execute an expensive upstream pipeline (e.g.
+    * the capped jaccard pair generator) once per branch.
     */
   def connectedComponents(edges: DataFrame, srcCol: String, dstCol: String,
       maxRounds: Int = 64, algorithm: String = "minlabel"): DataFrame = {
     val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
+      .localCheckpoint(true)
     val labels = algorithm match {
       case "minlabel" => minLabelComponents(e, maxRounds)
       case "star"     => starComponents(e, maxRounds)
@@ -139,32 +147,33 @@ object Graft {
   private def minLabelComponents(e: DataFrame, maxRounds: Int): DataFrame = {
     val sym = e.unionAll(e.select(col("dst").as("src"), col("src").as("dst")))
       .persist()
-    var labels = sym.select(col("src").as("v")).distinct()
-      .select(col("v"), col("v").as("label"))
-      .localCheckpoint(true)
-    var changed = true
-    var rounds = 0
-    while (changed && rounds < maxRounds) {
-      val nbrMin = sym.join(labels, sym("dst") === labels("v"))
-        .groupBy("src").agg(min("label").as("nbr_label"))
-      // the change flag rides the round's own projection and is checked
-      // exactly — type-generic, unlike the decimal label-sum shortcut
-      // this replaces (NULL→0 for string ids, which silently reported
-      // convergence after one round on under-propagated labels)
-      val next = labels.join(nbrMin, labels("v") === nbrMin("src"), "left")
-        .select(labels("v"),
-          least(col("label"), coalesce(col("nbr_label"), col("label"))).as("label"),
-          coalesce(col("nbr_label") < col("label"), lit(false)).as("chg"))
+    try {
+      var labels = sym.select(col("src").as("v")).distinct()
+        .select(col("v"), col("v").as("label"))
         .localCheckpoint(true)
-      changed = !next.where(col("chg")).isEmpty
-      labels = next.select("v", "label")
-      rounds += 1
-    }
-    if (changed) throw new IllegalStateException(
-      s"connectedComponents did not converge after $rounds rounds; " +
-        "high-diameter graphs want algorithm=\"star\"")
-    sym.unpersist()
-    labels
+      var changed = true
+      var rounds = 0
+      while (changed && rounds < maxRounds) {
+        val nbrMin = sym.join(labels, sym("dst") === labels("v"))
+          .groupBy("src").agg(min("label").as("nbr_label"))
+        // the change flag rides the round's own projection and is checked
+        // exactly — type-generic, unlike the decimal label-sum shortcut
+        // this replaces (NULL→0 for string ids, which silently reported
+        // convergence after one round on under-propagated labels)
+        val next = labels.join(nbrMin, labels("v") === nbrMin("src"), "left")
+          .select(labels("v"),
+            least(col("label"), coalesce(col("nbr_label"), col("label"))).as("label"),
+            coalesce(col("nbr_label") < col("label"), lit(false)).as("chg"))
+          .localCheckpoint(true)
+        changed = !next.where(col("chg")).isEmpty
+        labels = next.select("v", "label")
+        rounds += 1
+      }
+      if (changed) throw new IllegalStateException(
+        s"connectedComponents did not converge after $rounds rounds; " +
+          "high-diameter graphs want algorithm=\"star\"")
+      labels
+    } finally sym.unpersist()
   }
 
   /** Alternating large-star/small-star to a fixpoint; returns
@@ -300,9 +309,8 @@ object Graft {
     */
   def hashSample(df: DataFrame, idCol: String, frac: Double): DataFrame = {
     require(frac >= 0.0 && frac <= 1.0, s"frac must be in [0,1], got $frac")
-    val h = pmod(pmod(col(idCol), lit(2147483648L)) * lit(1103515245L),
-      lit(2147483648L))
-    df.where(h < lit((frac * 2147483648.0).toLong))
+    df.where(graft.operators.Corpus.hash31(col(idCol)) <
+      lit((frac * 2147483648.0).toLong))
   }
 
   /** Salted exact count-distinct per key (see

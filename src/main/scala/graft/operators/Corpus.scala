@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.Tables
@@ -16,6 +16,25 @@ import graft.Tables
   * pure integer/string math — deterministic under any partitioning.
   */
 object Corpus {
+
+  /** THE sampling hash — one definition for #37, #56, and the facade's
+    * `hashSample`, so the "same integer hash" contract between the
+    * exact and approximate samplers cannot drift. LCG-style
+    * multiplicative hash into [0, 2³¹): operands are pmod-reduced
+    * BEFORE the multiply so the product stays below 2⁶² (no
+    * engine-dependent overflow), and the result is non-negative for
+    * ANY id including negatives (pmod, not %).
+    */
+  private[graft] def hash31(id: Column): Column =
+    pmod(pmod(id, lit(2147483648L)) * lit(1103515245L), lit(2147483648L))
+
+  /** SQL twin of [[hash31]]. `%` is NOT pmod in DuckDB (negative ids
+    * yield negative residues there, while Spark's pmod never does), so
+    * the twin folds each reduction to the non-negative residue
+    * explicitly — bit-identical to [[hash31]] for any BIGINT id.
+    */
+  private[graft] def hash31Sql(idExpr: String): String =
+    s"((((($idExpr % 2147483648) + 2147483648) % 2147483648) * 1103515245) % 2147483648)"
 
   /** Exact 10%-per-stratum sample, deterministic: docs rank within
     * their (source, lang) stratum by an LCG-style multiplicative hash
@@ -36,12 +55,11 @@ object Corpus {
     * when it is "~10% of everything, cheaply, at any scale".
     */
   def qSampleStratified(spark: SparkSession, dir: String): DataFrame = {
-    val h = pmod(pmod(col("doc_id"), lit(2147483648L)) * lit(1103515245L),
-      lit(2147483648L))
     val w = Window.partitionBy("source", "lang").orderBy(col("h"), col("doc_id"))
     val n = Window.partitionBy("source", "lang")
     Tables.documents(spark, dir)
-      .select(col("doc_id"), col("source"), col("lang"), h.as("h"))
+      .select(col("doc_id"), col("source"), col("lang"),
+        hash31(col("doc_id")).as("h"))
       .withColumn("stratum_n", count(lit(1)).over(n))
       .withColumn("rk", row_number().over(w).cast("long"))
       .where(col("rk") <= ceil(col("stratum_n") / 10.0))
@@ -50,12 +68,12 @@ object Corpus {
   }
 
   val qSampleStratifiedSql: String =
-    """WITH t AS (
+    s"""WITH t AS (
       |  SELECT doc_id, source, lang,
-      |    ((doc_id % 2147483648) * 1103515245) % 2147483648 AS h,
+      |    ${hash31Sql("doc_id")} AS h,
       |    count(*) OVER (PARTITION BY source, lang) AS stratum_n,
       |    row_number() OVER (PARTITION BY source, lang
-      |      ORDER BY ((doc_id % 2147483648) * 1103515245) % 2147483648, doc_id) AS rk
+      |      ORDER BY ${hash31Sql("doc_id")}, doc_id) AS rk
       |  FROM documents)
       |SELECT doc_id, source, lang, stratum_n, CAST(rk AS BIGINT) AS rk
       |FROM t WHERE rk <= ceil(stratum_n / 10.0) ORDER BY doc_id""".stripMargin
@@ -77,20 +95,18 @@ object Corpus {
     * stratum retains ~10% in expectation (the fraction is exact only
     * corpus-wide as n → ∞, the documented trade vs #37's exact ranks).
     */
-  def qSampleHash(spark: SparkSession, dir: String): DataFrame = {
-    val h = pmod(pmod(col("doc_id"), lit(2147483648L)) * lit(1103515245L),
-      lit(2147483648L))
+  def qSampleHash(spark: SparkSession, dir: String): DataFrame =
     Tables.documents(spark, dir)
-      .select(col("doc_id"), col("source"), col("lang"), h.as("h"))
+      .select(col("doc_id"), col("source"), col("lang"),
+        hash31(col("doc_id")).as("h"))
       .where(col("h") < HashSampleThreshold)
       .orderBy("doc_id")
-  }
 
   val qSampleHashSql: String =
     s"""SELECT doc_id, source, lang,
-      |  ((doc_id % 2147483648) * 1103515245) % 2147483648 AS h
+      |  ${hash31Sql("doc_id")} AS h
       |FROM documents
-      |WHERE ((doc_id % 2147483648) * 1103515245) % 2147483648 < $HashSampleThreshold
+      |WHERE ${hash31Sql("doc_id")} < $HashSampleThreshold
       |ORDER BY doc_id""".stripMargin
 
   /** Top-10 word bigrams per source by DOCUMENT frequency (count desc,

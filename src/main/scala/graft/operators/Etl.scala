@@ -97,13 +97,19 @@ object Etl {
       .select("event_id", "event_type", "sink_table", "sink_type")
       .orderBy("event_id")
 
-  val qConfigRouteSql: String =
-    """WITH config(event_type, sink_table, sink_type) AS (VALUES
+  /** SQL twin of [[routingConfig]] — composed into both routing
+    * oracles so the config rows have ONE definition per language.
+    */
+  private val configCteSql: String =
+    """config(event_type, sink_table, sink_type) AS (VALUES
       |  ('view', 'dwd_page_log', 'kafka'),
       |  ('click', 'dwd_page_log', 'kafka'),
       |  ('signup', 'dwd_start_log', 'kafka'),
       |  ('purchase', 'dwd_order_info', 'hbase'),
-      |  ('error', 'dwd_dirty', 'none'))
+      |  ('error', 'dwd_dirty', 'none'))""".stripMargin
+
+  val qConfigRouteSql: String =
+    s"""WITH $configCteSql
       |SELECT e.event_id, e.event_type, c.sink_table, c.sink_type
       |FROM events e LEFT JOIN config c USING (event_type)
       |ORDER BY e.event_id""".stripMargin
@@ -144,17 +150,15 @@ object Etl {
   def qCdcRoute(spark: SparkSession, dir: String): DataFrame =
     cdcRouted(Tables.events(spark, dir)).orderBy("event_id")
 
+  // ((x % 10) + 10) % 10 is DuckDB's pmod: the two engines' % disagree
+  // on negative ids (Spark pmod(-3,10)=7, DuckDB -3%10=-3), so the
+  // oracle folds to the non-negative residue explicitly
   val qCdcRouteSql: String =
-    """WITH config(event_type, sink_table, sink_type) AS (VALUES
-      |  ('view', 'dwd_page_log', 'kafka'),
-      |  ('click', 'dwd_page_log', 'kafka'),
-      |  ('signup', 'dwd_start_log', 'kafka'),
-      |  ('purchase', 'dwd_order_info', 'hbase'),
-      |  ('error', 'dwd_dirty', 'none')),
+    s"""WITH $configCteSql,
       |cdc AS (
       |  SELECT event_id, event_type,
-      |    CASE WHEN event_id % 10 = 0 THEN 'delete'
-      |         WHEN event_id % 10 <= 2 THEN 'update'
+      |    CASE WHEN ((event_id % 10) + 10) % 10 = 0 THEN 'delete'
+      |         WHEN ((event_id % 10) + 10) % 10 <= 2 THEN 'update'
       |         ELSE 'insert' END AS op
       |  FROM events)
       |SELECT e.event_id, e.event_type, e.op, c.sink_table, c.sink_type

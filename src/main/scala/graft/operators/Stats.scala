@@ -339,19 +339,26 @@ object Stats {
     */
   private[graft] def explodeCjkWords(df: DataFrame, textCol: String,
       carry: Seq[String]): DataFrame = {
+    // internal stage columns are underscore-prefixed so a user frame
+    // carrying plausible names ('tok', 'run') cannot collide; 'word'
+    // is the documented output name, so a carry of that is rejected
+    // instead of silently shadowed
+    require(!carry.contains("word"),
+      "explodeCjkWords emits a 'word' column; rename the carried column")
     val han = "一-鿿"
     val runPattern = s"[$han]+|[^$han]+"
     val cols = carry.map(col)
     val bigrams = transform(
-      sequence(lit(1), length(col("run")) - 1),
-      i => col("run").substr(i, lit(2)))
-    df.select(explode(split(col(textCol), " ")).as("tok") +: cols: _*)
-      .filter(length(col("tok")) > 0)
-      .select(explode(regexp_extract_all(col("tok"), lit(runPattern), lit(0)))
-        .as("run") +: cols: _*)
+      sequence(lit(1), length(col("_cjk_run")) - 1),
+      i => col("_cjk_run").substr(i, lit(2)))
+    df.select(explode(split(col(textCol), " ")).as("_cjk_tok") +: cols: _*)
+      .filter(length(col("_cjk_tok")) > 0)
+      .select(explode(regexp_extract_all(col("_cjk_tok"), lit(runPattern), lit(0)))
+        .as("_cjk_run") +: cols: _*)
       .select(explode(
-        when(col("run").rlike(s"^[$han]") && length(col("run")) >= 2, bigrams)
-          .otherwise(array(col("run")))).as("word") +: cols: _*)
+        when(col("_cjk_run").rlike(s"^[$han]") && length(col("_cjk_run")) >= 2,
+          bigrams)
+          .otherwise(array(col("_cjk_run")))).as("word") +: cols: _*)
   }
 
   def qKeywordStatsCjk(spark: SparkSession, dir: String): DataFrame =
