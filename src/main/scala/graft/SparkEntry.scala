@@ -60,7 +60,9 @@ object SparkEntry {
     "q_length_histogram" -> (Corpus.qLengthHistogram _),
     "q_keyword_stats_cjk" -> (Stats.qKeywordStatsCjk _),
     "q_cdc_route" -> (Etl.qCdcRoute _),
-    "q_sample_hash" -> (Corpus.qSampleHash _)
+    "q_sample_hash" -> (Corpus.qSampleHash _),
+    "q_contamination" -> (Corpus.qContamination _),
+    "q_pii_scrub" -> (Text.qPiiScrub _)
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -109,6 +111,8 @@ object SparkEntry {
     "q_length_histogram" -> Corpus.qLengthHistogramSql,
     "q_keyword_stats_cjk" -> Stats.qKeywordStatsCjkSql,
     "q_cdc_route" -> Etl.qCdcRouteSql,
-    "q_sample_hash" -> Corpus.qSampleHashSql
+    "q_sample_hash" -> Corpus.qSampleHashSql,
+    "q_contamination" -> Corpus.qContaminationSql,
+    "q_pii_scrub" -> Text.qPiiScrubSql
   )
 }

@@ -319,6 +319,30 @@ object Graft {
       salts: Int): DataFrame =
     graft.operators.Stats.distinctPerKeySalted(df, keyCol, idCol, salts)
 
+  /** Benchmark decontamination: for every corpus row sharing at least
+    * one word-n-gram shingle with `benchmark`, its distinct-shingle
+    * overlap count and the ≥ `minOverlap` contamination verdict. The
+    * benchmark VOCABULARY (distinct shingle hashes) broadcasts — eval
+    * sets are small by design at any corpus scale — so the corpus side
+    * is one map-side join + per-id count: no corpus-sized shuffle.
+    * Overlap is counted over xxhash64'd shingles (~2⁻⁶⁴ per-pair
+    * collision bound, as [[ngramJaccardPairs]]).
+    */
+  def contamination(corpus: DataFrame, benchmark: DataFrame, idCol: String,
+      textCol: String, n: Int = 3, minOverlap: Long = 5): DataFrame = {
+    graft.functions.WordShingles.register(corpus.sparkSession)
+    val sh = corpus
+      .select(col(idCol).as("id"),
+        explode(expr(s"word_shingles($textCol, $n)")).as("shingle"))
+      .select(col("id"), xxhash64(col("shingle")).as("shingle"))
+    val vocab = benchmark
+      .select(explode(expr(s"word_shingles($textCol, $n)")).as("shingle"))
+      .select(xxhash64(col("shingle")).as("shingle")).distinct()
+    sh.join(broadcast(vocab), Seq("shingle"))
+      .groupBy("id").agg(count(lit(1)).as("n_overlap"))
+      .withColumn("contaminated", col("n_overlap") >= minOverlap)
+  }
+
   /** CJK-aware word-unit explode: one `word` row per unit of `textCol`
     * (whitespace tokens; maximal Han runs expand to overlapping
     * character bigrams — the classic CJK indexing unit), `carry`

@@ -151,6 +151,56 @@ object Corpus {
       |SELECT source, CAST(rk AS BIGINT) AS rk, bigram, cnt
       |FROM ranked WHERE rk <= 10 ORDER BY source, rk""".stripMargin
 
+  /** Minimum shared distinct shingles for a doc to count as
+    * contaminated; the SQL twin embeds the same literal. */
+  private val ContaminationK = 5L
+
+  /** #58 — `q_contamination`: benchmark decontamination — the check a
+    * training-data pipeline runs before training: which corpus
+    * documents share enough word-3-gram shingles with an evaluation
+    * benchmark to leak it. The benchmark here is the deterministic
+    * ~1% doc_id slice (pmod 97 == 0) standing in for a real eval set;
+    * the shape is what matters: the benchmark VOCABULARY is small by
+    * design at any corpus scale, so it broadcasts, and the corpus side
+    * is one map-side semi-join + per-doc count — no corpus-sized
+    * shuffle anywhere (candidate keys are xxhash64(shingle), the same
+    * 8-byte-key discipline as #26; |overlap| over hashes == over
+    * strings modulo the ~2⁻⁶⁴ collision bound, and the string-exact
+    * oracle would surface any collision). Output: every non-benchmark
+    * doc with ≥1 overlapping shingle, its overlap count, and the
+    * ≥ K contamination verdict.
+    */
+  def qContamination(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.WordShingles.register(spark)
+    val sh = Tables.documents(spark, dir)
+      .select(col("doc_id"), explode(expr("word_shingles(text, 3)")).as("shingle"))
+      .select(col("doc_id"), xxhash64(col("shingle")).as("shingle"))
+    val isBench = pmod(col("doc_id"), lit(97L)) === 0
+    val benchVocab = sh.where(isBench).select("shingle").distinct()
+    sh.where(!isBench)
+      .join(broadcast(benchVocab), Seq("shingle"))
+      // word_shingles dedupes within a doc, so count(*) IS the distinct
+      // overlap count
+      .groupBy("doc_id").agg(count(lit(1)).as("n_overlap"))
+      .withColumn("contaminated", col("n_overlap") >= ContaminationK)
+      .orderBy("doc_id")
+  }
+
+  val qContaminationSql: String =
+    s"""WITH ${Dedup.shingleCteSql},
+      |ex AS (SELECT doc_id, unnest(shingles) AS shingle FROM sh),
+      |bench AS (
+      |  SELECT DISTINCT shingle FROM ex
+      |  WHERE ((doc_id % 97) + 97) % 97 = 0),
+      |hits AS (
+      |  SELECT e.doc_id, count(*) AS n_overlap
+      |  FROM ex e JOIN bench b ON e.shingle = b.shingle
+      |  WHERE ((e.doc_id % 97) + 97) % 97 <> 0
+      |  GROUP BY e.doc_id)
+      |SELECT doc_id, CAST(n_overlap AS BIGINT) AS n_overlap,
+      |  n_overlap >= $ContaminationK AS contaminated
+      |FROM hits ORDER BY doc_id""".stripMargin
+
   /** #52 — `q_dup_rate_by_source`: the curation health metric every
     * dedup run reports — per source: docs, exact-duplicate docs
     * (non-canonical members of a fingerprint group, same identity as

@@ -117,9 +117,9 @@ object Dedup {
   }
 
   /** Shared oracle CTE text: tokenize + distinct word-3-gram shingles
-    * (identical across the #26 / #47 / #43 oracles).
+    * (identical across the #26 / #47 / #43 / #58 oracles).
     */
-  private val shingleCteSql: String =
+  private[operators] val shingleCteSql: String =
     """toks AS (
       |  SELECT doc_id, list_filter(string_split(text, ' '), t -> t <> '') AS t
       |  FROM documents),

@@ -147,4 +147,57 @@ object Text {
       |      list_transform(string_split(norm, ''), c -> CAST(ascii(c) AS BIGINT))),
       |    (acc, x) -> (acc * 31 + x) % 1000000007) AS rolling_hash
       |FROM t ORDER BY doc_id""".stripMargin
+
+  /** PII patterns shared by #59 and its spec. Written in the common
+    * subset of Java regex (Spark) and RE2 (DuckDB): explicit [0-9]
+    * classes, no lookaround, no backreferences — both engines match
+    * identical spans.
+    */
+  private[graft] val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  private[graft] val PhoneRe = "\\+?[0-9][0-9-]{7,}[0-9]"
+
+  /** The #59 transform on any frame with an id + text column: counts
+    * and the redacted text (email pass first, then phone on the
+    * already-redacted string — the order is part of the contract and
+    * mirrored in the oracle).
+    */
+  private[graft] def piiScrubbed(df: DataFrame, idCol: String,
+      textCol: String): DataFrame = {
+    val emailRedacted = regexp_replace(col(textCol), EmailRe, "<EMAIL>")
+    df.select(col(idCol),
+      size(regexp_extract_all(col(textCol), lit(EmailRe), lit(0)))
+        .cast("long").as("n_emails"),
+      size(regexp_extract_all(emailRedacted, lit(PhoneRe), lit(0)))
+        .cast("long").as("n_phones"),
+      regexp_replace(emailRedacted, PhoneRe, "<PHONE>").as("redacted"))
+  }
+
+  /** #59 — `q_pii_scrub`: PII redaction, the curation pass a
+    * training-data pipeline runs before anything ships — emails and
+    * phone-number-like digit runs replaced by typed tokens, with
+    * per-document counts (the scrub-rate health metric). Pure map-side
+    * projection: zero shuffles beyond the presentation sort, codegen'd
+    * regexp machinery, same scale shape as the other text ops. The
+    * gate hashes md5(redacted) rather than the full text (compact
+    * output; any divergence in match spans changes the hash). On the
+    * clean test corpus every count is 0 and redacted == text — the
+    * planted-corpus parity check and the golden spec pin the firing
+    * path (same discipline as #54's CJK rule).
+    */
+  def qPiiScrub(spark: SparkSession, dir: String): DataFrame =
+    piiScrubbed(Tables.documents(spark, dir), "doc_id", "text")
+      .select(col("doc_id"), col("n_emails"), col("n_phones"),
+        md5(col("redacted")).as("redacted_fp"))
+      .orderBy("doc_id")
+
+  val qPiiScrubSql: String =
+    s"""WITH t AS (
+      |  SELECT doc_id, text,
+      |    regexp_replace(text, '$EmailRe', '<EMAIL>', 'g') AS email_red
+      |  FROM documents)
+      |SELECT doc_id,
+      |  CAST(len(regexp_extract_all(text, '$EmailRe')) AS BIGINT) AS n_emails,
+      |  CAST(len(regexp_extract_all(email_red, '$PhoneRe')) AS BIGINT) AS n_phones,
+      |  md5(regexp_replace(email_red, '$PhoneRe', '<PHONE>', 'g')) AS redacted_fp
+      |FROM t ORDER BY doc_id""".stripMargin
 }

@@ -102,6 +102,15 @@ class GraftApiSpec extends SparkSpec {
       .select("doc_id", "source", "lang"), "hashSample")
   }
 
+  test("contamination reproduces q_contamination") {
+    val docs = Tables.documents(spark, sf)
+    val isBench = pmod(col("doc_id"), lit(97L)) === 0
+    val api = Graft.contamination(docs.where(!isBench), docs.where(isBench),
+        "doc_id", "text")
+      .select(col("id").as("doc_id"), col("n_overlap"), col("contaminated"))
+    same(api, SparkEntry.queries("q_contamination")(spark, sf), "contamination")
+  }
+
   test("asofJoin reproduces q_asof_join") {
     val ev = Tables.events(spark, sf)
     val purchases = ev.filter(col("event_type") === "purchase")

@@ -185,6 +185,31 @@ class OperatorsSpec extends SparkSpec {
     assert(bad.isEmpty, "a stratum's sample fraction left [2%, 25%]")
   }
 
+  test("pii scrub: planted emails and phones redact with exact counts") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "contact alice.smith+spam@example.co.uk or call +1-555-123-4567 now"),
+      (2L, "two mails a@b.io c.d@e.org and digits 123456789 plus 1234-5678-90"),
+      (3L, "clean text with no pii at all"),
+      (4L, "edge: not-an-email @@ and short 1234567")
+    ).toDF("doc_id", "text")
+    val got = graft.operators.Text.piiScrubbed(docs, "doc_id", "text")
+      .orderBy("doc_id").as[(Long, Long, Long, String)].collect().toSeq
+    assert(got == Seq(
+      (1L, 1L, 1L, "contact <EMAIL> or call <PHONE> now"),
+      (2L, 2L, 2L, "two mails <EMAIL> <EMAIL> and digits <PHONE> plus <PHONE>"),
+      (3L, 0L, 0L, "clean text with no pii at all"),
+      (4L, 0L, 0L, "edge: not-an-email @@ and short 1234567")))
+  }
+
+  test("contamination: no benchmark doc reported, verdicts match counts") {
+    val cont = SparkEntry.queries("q_contamination")(spark, sf)
+    assert(cont.where(pmod(col("doc_id"), lit(97L)) === 0).isEmpty,
+      "benchmark docs must not appear in the contamination report")
+    assert(cont.where(col("contaminated") =!= (col("n_overlap") >= 5)).isEmpty)
+    assert(cont.where(col("n_overlap") < 1).isEmpty)
+  }
+
   test("user-jump events have no follow-up within 10 minutes") {
     // every flagged jump must be a view event; re-derive the count from
     // the raw table as an independent check

@@ -93,6 +93,13 @@ class PlanSpec extends SparkSpec {
       s"the map-only sample must not shuffle:\n$p")
   }
 
+  test("contamination broadcasts the benchmark vocabulary") {
+    val p = SparkEntry.queries("q_contamination")(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(p.contains("BroadcastHashJoin"),
+      s"benchmark vocab must broadcast, corpus side must stream:\n$p")
+  }
+
   test("cdc route keeps the fact side shuffle-free (broadcast config)") {
     val p = SparkEntry.queries("q_cdc_route")(spark, sf)
       .queryExecution.executedPlan.toString
