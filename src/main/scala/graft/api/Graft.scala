@@ -119,15 +119,16 @@ object Graft {
     */
   def connectedComponents(edges: DataFrame, srcCol: String, dstCol: String,
       maxRounds: Int = 64, algorithm: String = "minlabel"): DataFrame = {
+    // validate BEFORE the eager checkpoint: a typo'd algorithm must not
+    // pay a corpus-scale pair-generation job first
+    require(algorithm == "minlabel" || algorithm == "star",
+      s"unknown connectedComponents algorithm '$algorithm' " +
+        "(expected \"minlabel\" or \"star\")")
     val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
       .localCheckpoint(true)
-    val labels = algorithm match {
-      case "minlabel" => minLabelComponents(e, maxRounds)
-      case "star"     => starComponents(e, maxRounds)
-      case other => throw new IllegalArgumentException(
-        s"unknown connectedComponents algorithm '$other' " +
-          "(expected \"minlabel\" or \"star\")")
-    }
+    val labels =
+      if (algorithm == "minlabel") minLabelComponents(e, maxRounds)
+      else starComponents(e, maxRounds)
     labels
       .withColumn("component_size", count(lit(1)).over(Window.partitionBy("label")))
       .select(col("v").as("id"), col("label").as("component_id"),
@@ -329,19 +330,9 @@ object Graft {
     * collision bound, as [[ngramJaccardPairs]]).
     */
   def contamination(corpus: DataFrame, benchmark: DataFrame, idCol: String,
-      textCol: String, n: Int = 3, minOverlap: Long = 5): DataFrame = {
-    graft.functions.WordShingles.register(corpus.sparkSession)
-    val sh = corpus
-      .select(col(idCol).as("id"),
-        explode(expr(s"word_shingles($textCol, $n)")).as("shingle"))
-      .select(col("id"), xxhash64(col("shingle")).as("shingle"))
-    val vocab = benchmark
-      .select(explode(expr(s"word_shingles($textCol, $n)")).as("shingle"))
-      .select(xxhash64(col("shingle")).as("shingle")).distinct()
-    sh.join(broadcast(vocab), Seq("shingle"))
-      .groupBy("id").agg(count(lit(1)).as("n_overlap"))
-      .withColumn("contaminated", col("n_overlap") >= minOverlap)
-  }
+      textCol: String, n: Int = 3, minOverlap: Long = 5): DataFrame =
+    graft.operators.Corpus.contaminated(corpus, benchmark, idCol, textCol,
+      n, minOverlap)
 
   /** CJK-aware word-unit explode: one `word` row per unit of `textCol`
     * (whitespace tokens; maximal Han runs expand to overlapping

@@ -170,19 +170,35 @@ object Corpus {
     * doc with ≥1 overlapping shingle, its overlap count, and the
     * ≥ K contamination verdict.
     */
-  def qContamination(spark: SparkSession, dir: String): DataFrame = {
-    graft.functions.WordShingles.register(spark)
-    val sh = Tables.documents(spark, dir)
-      .select(col("doc_id"), explode(expr("word_shingles(text, 3)")).as("shingle"))
-      .select(col("doc_id"), xxhash64(col("shingle")).as("shingle"))
-    val isBench = pmod(col("doc_id"), lit(97L)) === 0
-    val benchVocab = sh.where(isBench).select("shingle").distinct()
-    sh.where(!isBench)
-      .join(broadcast(benchVocab), Seq("shingle"))
+  /** The contamination transform shared by #58 and the facade's
+    * `contamination` (same one-core-transform discipline as
+    * `Etl.cdcRouted` / `Text.piiScrubbed` — the hash choice, count
+    * discipline, and broadcast side cannot drift between the gated
+    * query and the user-facing API).
+    */
+  private[graft] def contaminated(corpus: DataFrame, benchmark: DataFrame,
+      idCol: String, textCol: String, n: Int, minOverlap: Long): DataFrame = {
+    graft.functions.WordShingles.register(corpus.sparkSession)
+    val sh = corpus
+      .select(col(idCol).as("id"),
+        explode(expr(s"word_shingles($textCol, $n)")).as("shingle"))
+      .select(col("id"), xxhash64(col("shingle")).as("shingle"))
+    val vocab = benchmark
+      .select(explode(expr(s"word_shingles($textCol, $n)")).as("shingle"))
+      .select(xxhash64(col("shingle")).as("shingle")).distinct()
+    sh.join(broadcast(vocab), Seq("shingle"))
       // word_shingles dedupes within a doc, so count(*) IS the distinct
       // overlap count
-      .groupBy("doc_id").agg(count(lit(1)).as("n_overlap"))
-      .withColumn("contaminated", col("n_overlap") >= ContaminationK)
+      .groupBy("id").agg(count(lit(1)).as("n_overlap"))
+      .withColumn("contaminated", col("n_overlap") >= minOverlap)
+  }
+
+  def qContamination(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val isBench = pmod(col("doc_id"), lit(97L)) === 0
+    contaminated(docs.where(!isBench), docs.where(isBench),
+        "doc_id", "text", n = 3, minOverlap = ContaminationK)
+      .select(col("id").as("doc_id"), col("n_overlap"), col("contaminated"))
       .orderBy("doc_id")
   }
 
