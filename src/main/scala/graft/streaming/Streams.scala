@@ -93,6 +93,16 @@ object Streams {
   def cdcRoute(events: DataFrame): DataFrame =
     graft.operators.Etl.cdcRouted(events)
 
+  /** #60 — PII scrub-on-ingest: the #59 redaction as a stream
+    * transform, so a pipeline can scrub BEFORE anything lands in a
+    * sink (the usual compliance requirement — raw PII never at rest).
+    * Stateless per-row regex projection, source parallelism, zero
+    * state; [[graft.operators.Text.piiScrubbed]] is the SAME function,
+    * StreamingSpec pins stream == batch on the same rows.
+    */
+  def piiScrub(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    graft.operators.Text.piiScrubbed(docs, idCol, textCol)
+
   /** #17 — UniqueVisitApp (UniqueVisitApp.java:37-71): per-user daily
     * first-visit dedup. Keyed state = the set of days already emitted,
     * expired by event-time timeout once the watermark passes the last

@@ -95,6 +95,29 @@ class StreamingSpec extends SparkSpec {
       "stream CDC routing diverged from batch q_cdc_route")
   }
 
+  test("stream_pii_scrub redacts identically to the batch transform") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val rows = Seq(
+      (1L, "contact alice.smith+spam@example.co.uk or call +1-555-123-4567"),
+      (2L, "clean text"),
+      (3L, "mail a@b.io digits 123456789"))
+    val ms = MemoryStream[(Long, String)]
+    val q = Streams.piiScrub(ms.toDF().toDF("doc_id", "text"), "doc_id", "text")
+      .writeStream.format("memory").queryName("pii_scrub")
+      .outputMode("append").start()
+    try {
+      ms.addData(rows.take(2)); q.processAllAvailable()
+      ms.addData(rows.drop(2)); q.processAllAvailable()
+    } finally q.stop()
+    val got = spark.table("pii_scrub")
+    val want = graft.operators.Text.piiScrubbed(
+      rows.toDF("doc_id", "text"), "doc_id", "text")
+    assert(got.exceptAll(want).count() == 0 &&
+      want.exceptAll(got).count() == 0,
+      "stream PII scrub diverged from the batch transform")
+  }
+
   test("stream_unique_visit matches batch per-user daily first events") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
