@@ -310,6 +310,11 @@ object Graft {
     */
   def hashSample(df: DataFrame, idCol: String, frac: Double): DataFrame = {
     require(frac >= 0.0 && frac <= 1.0, s"frac must be in [0,1], got $frac")
+    // an implicit cast of a non-integral id would hash NULL and yield a
+    // silently empty sample, so reject anything but integer types here
+    val dt = df.schema(idCol).dataType
+    require(Seq("byte", "short", "integer", "long").contains(dt.typeName),
+      s"hashSample needs an integral id column; '$idCol' is ${dt.simpleString}")
     df.where(graft.operators.Corpus.hash31(col(idCol)) <
       lit((frac * 2147483648.0).toLong))
   }
@@ -330,7 +335,8 @@ object Graft {
     * collision bound, as [[ngramJaccardPairs]]).
     */
   def contamination(corpus: DataFrame, benchmark: DataFrame, idCol: String,
-      textCol: String, n: Int = 3, minOverlap: Long = 5): DataFrame =
+      textCol: String, n: Int = 3,
+      minOverlap: Long = graft.operators.Corpus.ContaminationK): DataFrame =
     graft.operators.Corpus.contaminated(corpus, benchmark, idCol, textCol,
       n, minOverlap)
 

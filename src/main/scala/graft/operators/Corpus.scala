@@ -20,21 +20,31 @@ object Corpus {
   /** THE sampling hash — one definition for #37, #56, and the facade's
     * `hashSample`, so the "same integer hash" contract between the
     * exact and approximate samplers cannot drift. LCG-style
-    * multiplicative hash into [0, 2³¹): operands are pmod-reduced
-    * BEFORE the multiply so the product stays below 2⁶² (no
-    * engine-dependent overflow), and the result is non-negative for
-    * ANY id including negatives (pmod, not %).
+    * multiplicative hash into [0, 2³¹): the id's high bits are folded
+    * into the low ones first (`id ^ (id >> 31)`) so 64-bit ids
+    * differing only above bit 30 don't share a hash class — without
+    * the fold, ids differing by a multiple of 2³¹ would always land in
+    * the same keep/drop decision at billion-document scale. The folded
+    * operand is pmod-reduced BEFORE the multiply so the product stays
+    * below 2⁶² (no engine-dependent overflow), and the result is
+    * non-negative for ANY id including negatives (pmod, not %). For
+    * ids in [0, 2³¹) the fold is the identity, so small-id corpora
+    * hash exactly as before.
     */
-  private[graft] def hash31(id: Column): Column =
-    pmod(pmod(id, lit(2147483648L)) * lit(1103515245L), lit(2147483648L))
+  private[graft] def hash31(id: Column): Column = {
+    val folded = id.bitwiseXOR(shiftright(id, 31))
+    pmod(pmod(folded, lit(2147483648L)) * lit(1103515245L), lit(2147483648L))
+  }
 
   /** SQL twin of [[hash31]]. `%` is NOT pmod in DuckDB (negative ids
     * yield negative residues there, while Spark's pmod never does), so
     * the twin folds each reduction to the non-negative residue
-    * explicitly — bit-identical to [[hash31]] for any BIGINT id.
+    * explicitly; DuckDB's `>>` on BIGINT is the same arithmetic shift
+    * as Spark's `shiftright` — parity verified on negative and
+    * boundary ids. Bit-identical to [[hash31]] for any BIGINT id.
     */
   private[graft] def hash31Sql(idExpr: String): String =
-    s"((((($idExpr % 2147483648) + 2147483648) % 2147483648) * 1103515245) % 2147483648)"
+    s"(((((xor($idExpr, $idExpr >> 31) % 2147483648) + 2147483648) % 2147483648) * 1103515245) % 2147483648)"
 
   /** Exact 10%-per-stratum sample, deterministic: docs rank within
     * their (source, lang) stratum by an LCG-style multiplicative hash
@@ -152,24 +162,11 @@ object Corpus {
       |FROM ranked WHERE rk <= 10 ORDER BY source, rk""".stripMargin
 
   /** Minimum shared distinct shingles for a doc to count as
-    * contaminated; the SQL twin embeds the same literal. */
-  private val ContaminationK = 5L
+    * contaminated; the SQL twin embeds the same literal, and the
+    * facade's `contamination` takes it as its default so the two
+    * cannot drift. */
+  private[graft] val ContaminationK = 5L
 
-  /** #58 — `q_contamination`: benchmark decontamination — the check a
-    * training-data pipeline runs before training: which corpus
-    * documents share enough word-3-gram shingles with an evaluation
-    * benchmark to leak it. The benchmark here is the deterministic
-    * ~1% doc_id slice (pmod 97 == 0) standing in for a real eval set;
-    * the shape is what matters: the benchmark VOCABULARY is small by
-    * design at any corpus scale, so it broadcasts, and the corpus side
-    * is one map-side semi-join + per-doc count — no corpus-sized
-    * shuffle anywhere (candidate keys are xxhash64(shingle), the same
-    * 8-byte-key discipline as #26; |overlap| over hashes == over
-    * strings modulo the ~2⁻⁶⁴ collision bound, and the string-exact
-    * oracle would surface any collision). Output: every non-benchmark
-    * doc with ≥1 overlapping shingle, its overlap count, and the
-    * ≥ K contamination verdict.
-    */
   /** The contamination transform shared by #58 and the facade's
     * `contamination` (same one-core-transform discipline as
     * `Etl.cdcRouted` / `Text.piiScrubbed` — the hash choice, count
@@ -193,6 +190,21 @@ object Corpus {
       .withColumn("contaminated", col("n_overlap") >= minOverlap)
   }
 
+  /** #58 — `q_contamination`: benchmark decontamination — the check a
+    * training-data pipeline runs before training: which corpus
+    * documents share enough word-3-gram shingles with an evaluation
+    * benchmark to leak it. The benchmark here is the deterministic
+    * ~1% doc_id slice (pmod 97 == 0) standing in for a real eval set;
+    * the shape is what matters: the benchmark VOCABULARY is small by
+    * design at any corpus scale, so it broadcasts, and the corpus side
+    * is one map-side semi-join + per-doc count — no corpus-sized
+    * shuffle anywhere (candidate keys are xxhash64(shingle), the same
+    * 8-byte-key discipline as #26; |overlap| over hashes == over
+    * strings modulo the ~2⁻⁶⁴ collision bound, and the string-exact
+    * oracle would surface any collision). Output: every non-benchmark
+    * doc with ≥1 overlapping shingle, its overlap count, and the
+    * ≥ K contamination verdict.
+    */
   def qContamination(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(spark, dir)
     val isBench = pmod(col("doc_id"), lit(97L)) === 0

@@ -114,6 +114,22 @@ object Etl {
       |FROM events e LEFT JOIN config c USING (event_type)
       |ORDER BY e.event_id""".stripMargin
 
+  /** The op-derivation + delete-drop + route transform shared by #55
+    * and its streaming twin (works on any frame with event_id +
+    * event_type — batch table or stream).
+    */
+  private[graft] def cdcRouted(events: DataFrame): DataFrame = {
+    val spark = events.sparkSession
+    events
+      .withColumn("op",
+        when(pmod(col("event_id"), lit(10L)) === 0, "delete")
+          .when(pmod(col("event_id"), lit(10L)) <= 2, "update")
+          .otherwise("insert"))
+      .where(col("op") =!= "delete")
+      .join(broadcast(routingConfig(spark)), Seq("event_type"), "left")
+      .select("event_id", "event_type", "op", "sink_table", "sink_type")
+  }
+
   /** #55 — `q_cdc_route`: CDC operation-type semantics on top of #13's
     * dynamic routing. The reference's CDC pipeline carries an op type
     * with before/after images (CustomerDeserialization.java:30-65) and
@@ -131,22 +147,6 @@ object Etl {
     * Map-side only: a filter plus the broadcast config join, zero
     * shuffle on the fact stream at any scale.
     */
-  /** The op-derivation + delete-drop + route transform shared by #55
-    * and its streaming twin (works on any frame with event_id +
-    * event_type — batch table or stream).
-    */
-  private[graft] def cdcRouted(events: DataFrame): DataFrame = {
-    val spark = events.sparkSession
-    events
-      .withColumn("op",
-        when(pmod(col("event_id"), lit(10L)) === 0, "delete")
-          .when(pmod(col("event_id"), lit(10L)) <= 2, "update")
-          .otherwise("insert"))
-      .where(col("op") =!= "delete")
-      .join(broadcast(routingConfig(spark)), Seq("event_type"), "left")
-      .select("event_id", "event_type", "op", "sink_table", "sink_type")
-  }
-
   def qCdcRoute(spark: SparkSession, dir: String): DataFrame =
     cdcRouted(Tables.events(spark, dir)).orderBy("event_id")
 

@@ -315,23 +315,6 @@ object Stats {
       |WHERE length(word) > 0
       |GROUP BY word, source ORDER BY word, source""".stripMargin
 
-  /** #54 — `q_keyword_stats_cjk`: #12 with CJK-aware tokenization. The
-    * reference tokenizes search keywords with a CJK segmenter
-    * (KeywordUtil.java:12-14 + SplitFunction.java) because its domain
-    * is Chinese e-commerce — whitespace splitting turns a CJK sentence
-    * into one giant "word". This operator applies the standard
-    * PUBLIC-algorithm fallback, character-bigram segmentation (the
-    * classic CJK indexing unit in IR systems): within each whitespace
-    * token, maximal Han runs (U+4E00–U+9FFF) expand to their
-    * overlapping character bigrams (a lone Han char stays itself);
-    * non-Han runs pass through whole. Mixed tokens like "abc中文def"
-    * yield "abc", "中文", "def"-style units. The identical rule is
-    * expressible in DuckDB (RE2 run-split + substr bigrams), so unlike
-    * a dictionary segmenter this stays hash-gated.
-    *
-    * All three explodes are map-side generators; the only shuffle is
-    * the final (word, source) aggregate — same scale shape as #12.
-    */
   /** The CJK word-unit explode shared by #54 and its spec: `textCol` →
     * one `word` row per unit, `carry` columns preserved. Escaped range
     * = U+4E00–U+9FFF (CJK Unified Ideographs; the literal chars ARE
@@ -361,6 +344,23 @@ object Stats {
           .otherwise(array(col("_cjk_run")))).as("word") +: cols: _*)
   }
 
+  /** #54 — `q_keyword_stats_cjk`: #12 with CJK-aware tokenization. The
+    * reference tokenizes search keywords with a CJK segmenter
+    * (KeywordUtil.java:12-14 + SplitFunction.java) because its domain
+    * is Chinese e-commerce — whitespace splitting turns a CJK sentence
+    * into one giant "word". This operator applies the standard
+    * PUBLIC-algorithm fallback, character-bigram segmentation (the
+    * classic CJK indexing unit in IR systems): within each whitespace
+    * token, maximal Han runs (U+4E00–U+9FFF) expand to their
+    * overlapping character bigrams (a lone Han char stays itself);
+    * non-Han runs pass through whole. Mixed tokens like "abc中文def"
+    * yield "abc", "中文", "def"-style units. The identical rule is
+    * expressible in DuckDB (RE2 run-split + substr bigrams), so unlike
+    * a dictionary segmenter this stays hash-gated.
+    *
+    * All three explodes are map-side generators; the only shuffle is
+    * the final (word, source) aggregate — same scale shape as #12.
+    */
   def qKeywordStatsCjk(spark: SparkSession, dir: String): DataFrame =
     explodeCjkWords(Tables.documents(spark, dir), "text", Seq("source"))
       .groupBy("word", "source")

@@ -102,6 +102,27 @@ class GraftApiSpec extends SparkSpec {
       .select("doc_id", "source", "lang"), "hashSample")
   }
 
+  test("hashSample folds high id bits and rejects non-integral ids") {
+    import spark.implicits._
+    // ids differing by 2^31 must NOT share a keep/drop class (the
+    // pre-fold hash aliased them); the fold is the identity below 2^31
+    val ids = Seq(1L, 5L, 12345L, (1L << 31) + 1L, (1L << 31) + 5L,
+      (1L << 40) + 12345L, -7L).toDF("id")
+    val hashed = ids.select(col("id"),
+      graft.operators.Corpus.hash31(col("id")).as("h")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(hashed.values.forall(h => h >= 0 && h < (1L << 31)))
+    assert(hashed(1L) != hashed((1L << 31) + 1L))
+    assert(hashed(5L) != hashed((1L << 31) + 5L))
+    assert(hashed(12345L) != hashed((1L << 40) + 12345L))
+    // identity below 2^31: matches the plain LCG the oracles pin
+    assert(hashed(12345L) == (12345L * 1103515245L) % (1L << 31))
+    val err = intercept[IllegalArgumentException] {
+      Graft.hashSample(Seq("a").toDF("id"), "id", 0.5)
+    }
+    assert(err.getMessage.contains("integral"))
+  }
+
   test("contamination reproduces q_contamination") {
     val docs = Tables.documents(spark, sf)
     val isBench = pmod(col("doc_id"), lit(97L)) === 0
