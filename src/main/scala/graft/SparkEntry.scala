@@ -54,6 +54,7 @@ object SparkEntry {
     "q_ngram_stats" -> (Corpus.qNgramStats _),
     "q_asof_join" -> (Temporal.qAsofJoin _),
     "q_dedup_ngram_jaccard_capped" -> (Dedup.qDedupNgramJaccardCapped _),
+    "q_dedup_incremental" -> (Dedup.qDedupIncremental _),
     "q_province_rollup" -> (Stats.qProvinceRollup _),
     "q_dup_clusters" -> (Dedup.qDupClusters _),
     "q_dup_rate_by_source" -> (Corpus.qDupRateBySource _),
@@ -105,6 +106,7 @@ object SparkEntry {
     "q_ngram_stats" -> Corpus.qNgramStatsSql,
     "q_asof_join" -> Temporal.qAsofJoinSql,
     "q_dedup_ngram_jaccard_capped" -> Dedup.qDedupNgramJaccardCappedSql,
+    "q_dedup_incremental" -> Dedup.qDedupIncrementalSql,
     "q_province_rollup" -> Stats.qProvinceRollupSql,
     "q_dup_clusters" -> Dedup.qDupClustersSql,
     "q_dup_rate_by_source" -> Corpus.qDupRateBySourceSql,

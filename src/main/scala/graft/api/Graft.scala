@@ -89,6 +89,26 @@ object Graft {
       .select("id_a", "id_b", "inter", "jaccard")
   }
 
+  /** Incremental near-dup dedup: pairs a NEW batch (`delta`) against
+    * an existing corpus (`base`) plus earlier-id delta docs — never
+    * base against itself. Output: (id_new, id_old, inter, jaccard) at
+    * Jaccard ≥ tau over the (optionally df-capped) shingle vocabulary.
+    * Candidate volume is linear in |delta| at steady state — the shape
+    * a continuously-fed corpus runs instead of re-pairing everything
+    * (see the gated `q_dedup_incremental`). Same caching caveat as
+    * [[ngramJaccardPairs]].
+    */
+  def incrementalDedupPairs(base: DataFrame, delta: DataFrame, idCol: String,
+      textCol: String, n: Int = 3, tau: Double = 0.8,
+      dfCap: Int = Int.MaxValue): DataFrame = {
+    val flagged = base.select(col(idCol), col(textCol))
+      .withColumn("_is_delta", lit(false))
+      .unionByName(delta.select(col(idCol), col(textCol))
+        .withColumn("_is_delta", lit(true)))
+    graft.operators.Dedup.incrementalJaccard(flagged, idCol, textCol,
+      "_is_delta", n, tau, dfCap)
+  }
+
   /** Connected components over an undirected edge list: every vertex
     * appearing in `edges` labeled with its component's min vertex id
     * and component size. EAGER (like an MLlib fit): the fixpoint runs

@@ -350,6 +350,106 @@ object Dedup {
        |  CAST(count(*) OVER (PARTITION BY cluster_id) AS BIGINT) AS cluster_size
        |FROM lab ORDER BY doc_id""".stripMargin
 
+  /** Deterministic "today's ingest batch" stand-in for #61: the test
+    * schema has no arrival timestamp, so membership derives from the
+    * doc id with integer math both engines evaluate identically
+    * (~1/3 of docs). The SQL twin embeds the same literals.
+    */
+  private val DeltaMod = 3L
+  private val DeltaRes = 1L
+
+  /** The delta-vs-base near-dup transform shared by #61 and the
+    * facade's `incrementalDedupPairs`: `docs` carries a boolean
+    * `deltaCol` marking the new batch; output is one row per
+    * (new doc, earlier doc) pair at Jaccard ≥ tau over the df≤cap
+    * shingle vocabulary, where "earlier" = any base doc, or a delta
+    * doc with a smaller id (arrival order within the batch).
+    */
+  private[graft] def incrementalJaccard(docs: DataFrame, idCol: String,
+      textCol: String, deltaCol: String, n: Int, tau: Double,
+      dfCap: Int): DataFrame = {
+    graft.functions.WordShingles.register(docs.sparkSession)
+    val ex0 = docs
+      .select(col(idCol).as("id"), col(deltaCol).as("is_delta"),
+        explode(expr(s"word_shingles($textCol, $n)")).as("shingle"))
+      .select(col("id"), col("is_delta"), xxhash64(col("shingle")).as("shingle"))
+    // persisted: the delta and earlier sides of the candidate join plus
+    // the per-doc counts all consume this frame (same lifecycle note as
+    // ngramJaccardPairs — long-lived sessions clear the cache)
+    val ex =
+      if (dfCap == Int.MaxValue) ex0.persist()
+      else {
+        val rare = ex0.groupBy("shingle").agg(count(lit(1)).as("df"))
+          .where(col("df") <= dfCap).select("shingle")
+        ex0.join(rare, "shingle").persist()
+      }
+    val cnt = ex.groupBy("id").agg(count(lit(1)).as("n"))
+    val newSide = ex.where(col("is_delta"))
+      .select(col("id").as("id_new"), col("shingle"))
+    val earlier = ex.select(col("id").as("id_old"),
+      col("is_delta").as("old_is_delta"), col("shingle"))
+    newSide.join(earlier, Seq("shingle"))
+      .where(!col("old_is_delta") || col("id_old") < col("id_new"))
+      .groupBy("id_new", "id_old").agg(count(lit(1)).as("inter"))
+      .join(cnt.select(col("id").as("id_new"), col("n").as("nn")), "id_new")
+      .join(cnt.select(col("id").as("id_old"), col("n").as("no")), "id_old")
+      .withColumn("jaccard",
+        col("inter").cast("double") / (col("nn") + col("no") - col("inter")))
+      .where(col("jaccard") >= tau)
+      .select("id_new", "id_old", "inter", "jaccard")
+  }
+
+  /** #61 — `q_dedup_incremental`: dedup a NEW ingest batch against an
+    * already-deduped base without re-pairing the base against itself —
+    * the shape a continuously-fed training corpus actually runs (a
+    * full #26/#47 re-run re-derives every base×base pair on every
+    * ingest; this derives none). One row per (new doc, earlier doc)
+    * near-dup pair at Jaccard ≥ τ over the df≤[[DfCap]] vocabulary,
+    * "earlier" = any base doc or a smaller-id delta doc — so within
+    * the batch each doc is checked against those before it, exactly
+    * the keep-first discipline of #25.
+    *
+    * Scale shape: the candidate join keys delta-side rows against the
+    * full exploded index, so each shingle bucket contributes
+    * |delta ∩ bucket| × |bucket| pairs instead of |bucket|² — with
+    * |delta| ≪ |base| at steady state, candidate volume is linear in
+    * the batch size, not the corpus. The df cap bounds the worst
+    * bucket; base shingles would be a persisted index in production
+    * (re-derived here because the gate owns no state between runs).
+    * Agrees with #47 restricted to delta-touching pairs (orientation
+    * aside) — the trade it inherits is #47's, stated there.
+    */
+  def qDedupIncremental(spark: SparkSession, dir: String): DataFrame =
+    incrementalJaccard(
+      Tables.documents(spark, dir).withColumn("is_delta",
+        pmod(col("doc_id"), lit(DeltaMod)) === DeltaRes),
+      "doc_id", "text", "is_delta", n = 3, tau = JaccardTau, dfCap = DfCap)
+      .select(col("id_new").as("doc_new"), col("id_old").as("doc_old"),
+        col("inter"), col("jaccard"))
+      .orderBy("doc_new", "doc_old")
+
+  // ((x % m) + m) % m folds DuckDB's % to Spark's pmod (negative ids)
+  val qDedupIncrementalSql: String =
+    s"""WITH $shingleCteSql,
+       |ex AS (SELECT doc_id, unnest(shingles) AS shingle FROM sh),
+       |rare AS (SELECT shingle FROM ex GROUP BY shingle HAVING count(*) <= $DfCap),
+       |exr AS (SELECT doc_id, ex.shingle FROM ex JOIN rare ON ex.shingle = rare.shingle),
+       |cnt AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n FROM exr GROUP BY doc_id),
+       |pairs AS (
+       |  SELECT b.doc_id AS doc_new, a.doc_id AS doc_old, count(*) AS inter
+       |  FROM exr b JOIN exr a ON a.shingle = b.shingle
+       |  WHERE ((b.doc_id % $DeltaMod) + $DeltaMod) % $DeltaMod = $DeltaRes
+       |    AND (((a.doc_id % $DeltaMod) + $DeltaMod) % $DeltaMod <> $DeltaRes
+       |         OR a.doc_id < b.doc_id)
+       |  GROUP BY 1, 2)
+       |SELECT doc_new, doc_old, inter,
+       |  CAST(inter AS DOUBLE) / (cn.n + co.n - inter) AS jaccard
+       |FROM pairs
+       |JOIN cnt cn ON doc_new = cn.doc_id
+       |JOIN cnt co ON doc_old = co.doc_id
+       |WHERE CAST(inter AS DOUBLE) / (cn.n + co.n - inter) >= $JaccardTau
+       |ORDER BY doc_new, doc_old""".stripMargin
+
   /** #28 — 64-bit SimHash (rows-only gate). Per-token xxhash64; bit i
     * of the signature = sign of Σ(±1) over tokens (token multiplicity
     * weighted) — computed in ONE map-side pass per document by the

@@ -37,6 +37,18 @@ class GraftApiSpec extends SparkSpec {
       "ngramJaccardPairs(dfCap)")
   }
 
+  test("incrementalDedupPairs reproduces q_dedup_incremental") {
+    val docs = Tables.documents(spark, sf)
+    val isDelta = pmod(col("doc_id"), lit(3L)) === 1L
+    val api = Graft.incrementalDedupPairs(
+        docs.where(!isDelta), docs.where(isDelta), "doc_id", "text",
+        dfCap = 64)
+      .select(col("id_new").as("doc_new"), col("id_old").as("doc_old"),
+        col("inter"), col("jaccard"))
+    same(api, SparkEntry.queries("q_dedup_incremental")(spark, sf),
+      "incrementalDedupPairs")
+  }
+
   test("connectedComponents over the jaccard pairs reproduces q_dup_clusters") {
     // the gated query clusters the CAPPED pairs (r4 verdict: the
     // end-to-end dedup path must not contain the uncapped generator);

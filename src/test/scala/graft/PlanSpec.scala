@@ -43,7 +43,7 @@ class PlanSpec extends SparkSpec {
 
   test("candidate dedup joins shuffle on the candidate key (equi join)") {
     Seq("q_dedup_ngram_jaccard", "q_dedup_minhash_lsh", "q_dedup_simhash",
-      "q_dedup_embedding").foreach { q =>
+      "q_dedup_embedding", "q_dedup_incremental").foreach { q =>
       val p = plan(q)
       assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
         s"$q is not candidate-join shaped:\n$p")
