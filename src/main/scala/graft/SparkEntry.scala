@@ -62,6 +62,8 @@ object SparkEntry {
     "q_keyword_stats_cjk" -> (Stats.qKeywordStatsCjk _),
     "q_cdc_route" -> (Etl.qCdcRoute _),
     "q_sample_hash" -> (Corpus.qSampleHash _),
+    "q_token_quantiles" -> (Corpus.qTokenQuantiles _),
+    "q_token_quantiles_approx" -> (Corpus.qTokenQuantilesApprox _),
     "q_contamination" -> (Corpus.qContamination _),
     "q_pii_scrub" -> (Text.qPiiScrub _)
   )
@@ -114,6 +116,7 @@ object SparkEntry {
     "q_keyword_stats_cjk" -> Stats.qKeywordStatsCjkSql,
     "q_cdc_route" -> Etl.qCdcRouteSql,
     "q_sample_hash" -> Corpus.qSampleHashSql,
+    "q_token_quantiles" -> Corpus.qTokenQuantilesSql,
     "q_contamination" -> Corpus.qContaminationSql,
     "q_pii_scrub" -> Text.qPiiScrubSql
   )

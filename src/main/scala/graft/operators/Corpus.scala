@@ -299,4 +299,61 @@ object Corpus {
       |SELECT source, bucket, CAST(COUNT(*) AS BIGINT) AS docs,
       |  MIN(n_tokens) AS min_tokens, MAX(n_tokens) AS max_tokens
       |FROM b GROUP BY source, bucket ORDER BY source, bucket""".stripMargin
+
+  /** #62 — `q_token_quantiles`: per-source token-length quantiles
+    * (p25/p50/p75/p90) — the distribution summary a curation dashboard
+    * reports next to #53's histogram. EXACT percentiles via Spark's
+    * `percentile` aggregate, which linearly interpolates at rank
+    * p·(n−1) exactly as DuckDB's `quantile_cont` — integer inputs, one
+    * multiply-add per quantile, bit-identical across engines.
+    *
+    * Scale note: exact percentile buffers each group's values — fine
+    * for bounded groups (sources), the skew/OOM shape if a group
+    * reaches billions of rows. The 100 TB path is
+    * [[qTokenQuantilesApprox]]: `approx_percentile` (a mergeable
+    * KLL-style sketch, map-side combinable, bounded memory at any
+    * cardinality) — the same exact/approx pairing as #11/#40.
+    */
+  def qTokenQuantiles(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(col("source"), Text.wsTokenCount.as("n_tokens"))
+      .groupBy("source")
+      .agg(
+        count(lit(1)).as("docs"),
+        expr("percentile(n_tokens, array(0.25D, 0.5D, 0.75D, 0.9D))").as("q"))
+      .select(col("source"), col("docs"),
+        col("q").getItem(0).as("p25"), col("q").getItem(1).as("p50"),
+        col("q").getItem(2).as("p75"), col("q").getItem(3).as("p90"))
+      .orderBy("source")
+
+  val qTokenQuantilesSql: String =
+    s"""WITH t AS (
+      |  SELECT source, ${Text.wsTokenCountSql} AS n_tokens
+      |  FROM documents)
+      |SELECT source, CAST(COUNT(*) AS BIGINT) AS docs,
+      |  quantile_cont(n_tokens, 0.25) AS p25,
+      |  quantile_cont(n_tokens, 0.50) AS p50,
+      |  quantile_cont(n_tokens, 0.75) AS p75,
+      |  quantile_cont(n_tokens, 0.90) AS p90
+      |FROM t GROUP BY source ORDER BY source""".stripMargin
+
+  /** #63 — `q_token_quantiles_approx`: the sketch flavor of #62
+    * (rows-only gate — sketch quantiles are implementation-specific,
+    * no cross-engine oracle). `approx_percentile` keeps a bounded
+    * mergeable summary per group: map-side partials combine like any
+    * algebraic aggregate, memory is O(accuracy), not O(group size) —
+    * what replaces #62 when a group no longer fits one task.
+    */
+  def qTokenQuantilesApprox(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(col("source"), Text.wsTokenCount.as("n_tokens"))
+      .groupBy("source")
+      .agg(
+        count(lit(1)).as("docs"),
+        expr("approx_percentile(n_tokens, array(0.25D, 0.5D, 0.75D, 0.9D), 10000)")
+          .as("q"))
+      .select(col("source"), col("docs"),
+        col("q").getItem(0).as("p25"), col("q").getItem(1).as("p50"),
+        col("q").getItem(2).as("p75"), col("q").getItem(3).as("p90"))
+      .orderBy("source")
 }
