@@ -103,6 +103,45 @@ object Streams {
   def piiScrub(docs: DataFrame, idCol: String, textCol: String): DataFrame =
     graft.operators.Text.piiScrubbed(docs, idCol, textCol)
 
+  /** #64 — contamination-check-on-ingest: the #58 benchmark-overlap
+    * verdict as a stream transform, so an ingest pipeline can flag (or
+    * drop) eval-set leaks BEFORE they land in the training corpus —
+    * the decontamination analogue of [[piiScrub]]'s scrub-at-ingest.
+    *
+    * The batch core counts overlap with an explode + join + per-doc
+    * aggregate; a streaming aggregate would force watermark semantics
+    * onto what is logically a PER-ROW verdict (each doc arrives once,
+    * its overlap depends on nothing else in the stream). So the stream
+    * form restates it aggregation-free: the benchmark vocabulary
+    * (distinct xxhash64'd shingles — small by design, it broadcasts in
+    * #58 too) rides in as a one-row static frame, and each doc's
+    * overlap is `size(array_intersect(its shingle hashes, vocab))` —
+    * stateless, source parallelism, zero state, batch boundaries
+    * cannot matter. Both sides dedupe within-doc shingles
+    * (word_shingles + array_intersect), so the count is the same
+    * distinct-overlap statistic; StreamingSpec pins stream output ==
+    * batch `q_contamination` on the same rows. Same output contract as
+    * #58: docs with ≥1 overlap, their count, and the ≥ `minOverlap`
+    * verdict.
+    */
+  def contaminationCheck(docs: DataFrame, benchmark: DataFrame,
+      idCol: String, textCol: String, n: Int = 3,
+      minOverlap: Long = graft.operators.Corpus.ContaminationK): DataFrame = {
+    graft.functions.WordShingles.register(docs.sparkSession)
+    val vocab = benchmark
+      .select(explode(expr(s"word_shingles($textCol, $n)")).as("s"))
+      .agg(collect_set(xxhash64(col("s"))).as("_vocab"))
+    docs
+      .crossJoin(broadcast(vocab))
+      .withColumn("n_overlap",
+        size(array_intersect(
+          expr(s"transform(word_shingles($textCol, $n), s -> xxhash64(s))"),
+          col("_vocab"))).cast("long"))
+      .where(col("n_overlap") >= 1)
+      .select(col(idCol).as("id"), col("n_overlap"),
+        (col("n_overlap") >= minOverlap).as("contaminated"))
+  }
+
   /** #17 — UniqueVisitApp (UniqueVisitApp.java:37-71): per-user daily
     * first-visit dedup. Keyed state = the set of days already emitted,
     * expired by event-time timeout once the watermark passes the last

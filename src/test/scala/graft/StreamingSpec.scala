@@ -118,6 +118,32 @@ class StreamingSpec extends SparkSpec {
       "stream PII scrub diverged from the batch transform")
   }
 
+  test("stream_contamination matches the batch q_contamination exactly") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val docs = Tables.documents(spark, sfTiny)
+    val isBench = pmod(col("doc_id"), lit(97L)) === 0
+    val corpus = docs.where(!isBench).select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val ms = MemoryStream[(Long, String)]
+    val out = Streams.contaminationCheck(
+      ms.toDF().toDF("doc_id", "text"), docs.where(isBench),
+      "doc_id", "text")
+    val q = out.writeStream.format("memory").queryName("contam")
+      .outputMode("append").start()
+    try {
+      // two micro-batches: the verdict is per-row, boundaries must not matter
+      ms.addData(corpus.take(100).toIndexedSeq); q.processAllAvailable()
+      ms.addData(corpus.drop(100).toIndexedSeq); q.processAllAvailable()
+    } finally q.stop()
+    val got = spark.table("contam")
+      .select(col("id").as("doc_id"), col("n_overlap"), col("contaminated"))
+    val want = SparkEntry.queries("q_contamination")(spark, sfTiny)
+    assert(got.exceptAll(want).count() == 0 &&
+      want.exceptAll(got).count() == 0,
+      "stream contamination check diverged from batch q_contamination")
+  }
+
   test("stream_unique_visit matches batch per-user daily first events") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
