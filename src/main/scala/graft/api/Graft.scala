@@ -89,6 +89,38 @@ object Graft {
       .select("id_a", "id_b", "inter", "jaccard")
   }
 
+  /** Point-in-interval range join WITHOUT an equi key: each `points`
+    * row pairs with every `intervals` row whose `[loCol, hiCol]`
+    * (inclusive) contains its `pointCol`. All three columns must be
+    * integral (quantize timestamps/dates to a unit first).
+    *
+    * Spark plans a bare non-equi join as BroadcastNestedLoopJoin or
+    * CartesianProduct — fine only while one side broadcasts. This is
+    * the standard bucketed reformulation: the domain splits into
+    * `bucketWidth`-sized buckets, each interval explodes to the
+    * buckets it overlaps (fan-out = span/width + 1 — pick the width
+    * near the TYPICAL interval span so it stays O(1)), each point maps
+    * to its one containing bucket, and the join becomes an EQUI join
+    * on the bucket id plus the exact bounds as a residual filter —
+    * shuffle-partitionable with both sides large. Each (point,
+    * interval) pair meets in exactly one bucket (the point's), so the
+    * output needs no dedup. Floor-division is exact integer math
+    * (`(x − pmod(x, w)) / w`), correct for negative values too —
+    * no double rounding at any magnitude.
+    */
+  def rangeJoin(points: DataFrame, pointCol: String, intervals: DataFrame,
+      loCol: String, hiCol: String, bucketWidth: Long): DataFrame = {
+    require(bucketWidth > 0, s"bucketWidth must be positive, got $bucketWidth")
+    def fdiv(c: Column): Column = (c - pmod(c, lit(bucketWidth))) / bucketWidth
+    val pt = points.withColumn("_bucket", fdiv(col(pointCol)).cast("long"))
+    val iv = intervals.withColumn("_bucket",
+      explode(sequence(fdiv(col(loCol)).cast("long"),
+        fdiv(col(hiCol)).cast("long"))))
+    pt.join(iv, Seq("_bucket"))
+      .where(col(pointCol) >= col(loCol) && col(pointCol) <= col(hiCol))
+      .drop("_bucket")
+  }
+
   /** Incremental near-dup dedup: pairs a NEW batch (`delta`) against
     * an existing corpus (`base`) plus earlier-id delta docs — never
     * base against itself. Output: (id_new, id_old, inter, jaccard) at

@@ -83,4 +83,60 @@ object Temporal {
       |FROM p ASOF LEFT JOIN v
       |  ON p.user_id = v.user_id AND v.v_ts <= p.p_ts
       |ORDER BY purchase_id""".stripMargin
+
+  /** Every 199th order opens a 7-day promotion window (inclusive day
+    * span, label = the order key) — the deterministic interval table
+    * #65 range-joins lineitem ship dates into. The SQL twin embeds the
+    * same literals.
+    */
+  private val PromoMod = 199L
+  private val PromoSpanDays = 6L
+
+  /** #65 — `q_range_join`: point-in-interval join with NO equi key —
+    * which lineitem ship dates fall inside which promotion windows.
+    * Spark has no native range join: the naive `ON p BETWEEN lo AND
+    * hi` plans as BroadcastNestedLoopJoin (dies when neither side
+    * broadcasts) or CartesianProduct. This is the published bucketed
+    * formulation ([[graft.api.Graft.rangeJoin]]): quantize the domain
+    * into fixed-width buckets, explode each interval to the buckets it
+    * overlaps, map each point to its single containing bucket, then
+    * EQUI-join on the bucket id and keep pairs passing the exact
+    * bounds — a shuffle-partitionable join at any scale. Each
+    * (point, interval) pair meets in exactly one bucket (the point's),
+    * so no post-join dedup exists. Bucket width = the 7-day window
+    * span: each interval lands in ≤ 2 buckets, fan-out bounded at 2×.
+    *
+    * The DuckDB oracle runs the same predicate as a native
+    * inequality join (IEJoin) — an independent engine's range-join
+    * implementation cross-checking the bucketed one.
+    */
+  def qRangeJoin(spark: SparkSession, dir: String): DataFrame = {
+    val epoch = to_date(lit("1970-01-01"))
+    val iv = Tables.orders(spark, dir)
+      .where(pmod(col("o_orderkey"), lit(PromoMod)) === 0)
+      .select(col("o_orderkey").as("promo_id"),
+        datediff(col("o_orderdate"), epoch).cast("long").as("lo"))
+      .withColumn("hi", col("lo") + PromoSpanDays)
+    val pt = Tables.lineitem(spark, dir)
+      .select(col("l_orderkey"), col("l_linenumber"),
+        datediff(col("l_shipdate"), epoch).cast("long").as("ship_day"))
+    graft.api.Graft.rangeJoin(pt, "ship_day", iv, "lo", "hi",
+        bucketWidth = PromoSpanDays + 1)
+      .select(col("l_orderkey"), col("l_linenumber"), col("promo_id"),
+        col("ship_day"))
+      .orderBy("l_orderkey", "l_linenumber", "promo_id", "ship_day")
+  }
+
+  val qRangeJoinSql: String =
+    s"""WITH iv AS (
+      |  SELECT o_orderkey AS promo_id,
+      |    CAST(datediff('day', DATE '1970-01-01', o_orderdate) AS BIGINT) AS lo
+      |  FROM orders WHERE ((o_orderkey % $PromoMod) + $PromoMod) % $PromoMod = 0),
+      |pt AS (
+      |  SELECT l_orderkey, l_linenumber,
+      |    CAST(datediff('day', DATE '1970-01-01', l_shipdate) AS BIGINT) AS ship_day
+      |  FROM lineitem)
+      |SELECT l_orderkey, l_linenumber, promo_id, ship_day
+      |FROM pt JOIN iv ON ship_day BETWEEN lo AND lo + $PromoSpanDays
+      |ORDER BY l_orderkey, l_linenumber, promo_id, ship_day""".stripMargin
 }

@@ -37,6 +37,27 @@ class GraftApiSpec extends SparkSpec {
       "ngramJaccardPairs(dfCap)")
   }
 
+  test("rangeJoin matches the naive non-equi join for any bucket width") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(7)
+    // negative domain values and interval spans from 0 to far beyond
+    // any bucket width on trial — the fan-out and floor-div edge cases
+    val intervals = Seq.tabulate(60) { i =>
+      val lo = rnd.nextLong(2000) - 1000
+      (i.toLong, lo, lo + rnd.nextLong(120))
+    }.toDF("iv_id", "lo", "hi")
+    val points = Seq.tabulate(300)(i => (i.toLong, rnd.nextLong(2400) - 1200))
+      .toDF("pt_id", "p")
+    val naive = points.join(intervals,
+      col("p") >= col("lo") && col("p") <= col("hi"))
+      .select("pt_id", "iv_id")
+    for (w <- Seq(1L, 3L, 64L, 1000L)) {
+      val bucketed = Graft.rangeJoin(points, "p", intervals, "lo", "hi", w)
+        .select("pt_id", "iv_id")
+      same(bucketed, naive, s"rangeJoin width=$w")
+    }
+  }
+
   test("incrementalDedupPairs reproduces q_dedup_incremental") {
     val docs = Tables.documents(spark, sf)
     val isDelta = pmod(col("doc_id"), lit(3L)) === 1L

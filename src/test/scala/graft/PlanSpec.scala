@@ -86,6 +86,12 @@ class PlanSpec extends SparkSpec {
       s"event_type filter not pushed to scan:\n$p")
   }
 
+  test("range join plans as an equi join on the bucket, never nested-loop") {
+    val p = plan("q_range_join")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"bucketed range join degenerated to a non-equi plan:\n$p")
+  }
+
   test("hash sample plans with zero exchanges (map-only)") {
     val p = graft.api.Graft.hashSample(Tables.documents(spark, sf), "doc_id", 0.10)
       .queryExecution.executedPlan.toString
