@@ -385,6 +385,16 @@ object Graft {
     * is one map-side join + per-id count: no corpus-sized shuffle.
     * Overlap is counted over xxhash64'd shingles (~2⁻⁶⁴ per-pair
     * collision bound, as [[ngramJaccardPairs]]).
+    *
+    * `n` is the precision dial: published decontamination pipelines
+    * use LONG shingles — 8-grams (Gopher / MassiveText, Rae et al.
+    * 2021) up to 13-grams (GPT-3, Brown et al. 2020 appendix C) — so
+    * incidental phrase overlap can't flag a clean document; short
+    * n-grams trade toward recall. The default 3 suits short test
+    * documents; production corpora should run 8+. ContaminationSpec
+    * pins this core against the independent aggregation-free
+    * formulation ([[graft.streaming.Streams.contaminationCheck]]) at
+    * n ∈ {3, 8}.
     */
   def contamination(corpus: DataFrame, benchmark: DataFrame, idCol: String,
       textCol: String, n: Int = 3,
