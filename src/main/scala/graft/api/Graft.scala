@@ -371,6 +371,32 @@ object Graft {
       lit((frac * 2147483648.0).toLong))
   }
 
+  /** Skew-safe fact⋈dim equi join — the join-side companion to
+    * [[saltedDistinct]]'s aggregate remedy. A heavy-tailed key funnels
+    * all its fact rows through one task in a plain shuffle join; here
+    * each dim row replicates `salts` ways and each fact row picks ONE
+    * replica by a deterministic hash of `saltBy` (any well-distributed
+    * fact column — typically its primary key), so a hot key's rows
+    * spread across `salts` tasks. Exact: every fact row still meets
+    * every dim row of its key exactly once (spec-pinned against the
+    * plain join). Cost: the dim shuffles `salts`× — size `salts` to
+    * the observed skew, not higher.
+    *
+    * Reach for this only where AQE's skew-join split can't help:
+    * stream-static joins (no runtime re-plan), downstream operators
+    * that must stay co-partitioned on (key, salt), or a dim too big to
+    * broadcast yet small enough to replicate.
+    */
+  def saltedJoin(fact: DataFrame, dim: DataFrame, keyCol: String,
+      saltBy: String, salts: Int): DataFrame = {
+    require(salts > 0, s"salts must be positive, got $salts")
+    val fs = fact.withColumn("_salt",
+      pmod(hash(col(saltBy)), lit(salts)))
+    val ds = dim.withColumn("_salt",
+      explode(sequence(lit(0), lit(salts - 1))))
+    fs.join(ds, Seq(keyCol, "_salt")).drop("_salt")
+  }
+
   /** Salted exact count-distinct per key (see
     * [[graft.operators.Stats.distinctPerKeySalted]]). */
   def saltedDistinct(df: DataFrame, keyCol: String, idCol: String,

@@ -142,6 +142,24 @@ object Streams {
         (col("n_overlap") >= minOverlap).as("contaminated"))
   }
 
+  /** #66 — range-join-on-ingest: tag each streamed point row with the
+    * static intervals containing it — the stream form of
+    * [[graft.api.Graft.rangeJoin]] (enriching an event stream against
+    * a campaign/maintenance-window table, where the window table has
+    * no equi key to join on). The bucketed reformulation is stateless
+    * DataFrame algebra, so it runs unchanged on a stream: the static
+    * interval side explodes to its buckets per micro-batch, the join
+    * is stream-static equi on the bucket id, exact bounds filter as a
+    * residual — zero streaming state, no watermark, batch boundaries
+    * cannot matter (StreamingSpec pins stream == batch on the same
+    * rows). Intervals must be static (a stream-stream range join needs
+    * watermarked interval state — a different operator).
+    */
+  def rangeJoin(points: DataFrame, pointCol: String, intervals: DataFrame,
+      loCol: String, hiCol: String, bucketWidth: Long): DataFrame =
+    graft.api.Graft.rangeJoin(points, pointCol, intervals, loCol, hiCol,
+      bucketWidth)
+
   /** #17 — UniqueVisitApp (UniqueVisitApp.java:37-71): per-user daily
     * first-visit dedup. Keyed state = the set of days already emitted,
     * expired by event-time timeout once the watermark passes the last

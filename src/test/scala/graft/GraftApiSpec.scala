@@ -37,6 +37,22 @@ class GraftApiSpec extends SparkSpec {
       "ngramJaccardPairs(dfCap)")
   }
 
+  test("saltedJoin is exact vs the plain join on a skewed key") {
+    import spark.implicits._
+    // event_type is the skewed key (a handful of values over the whole
+    // table); dim carries one payload row per key
+    val ev = Tables.events(spark, sf).select("event_id", "event_type")
+    val dim = ev.select("event_type").distinct()
+      .withColumn("payload", concat(lit("p_"), col("event_type")))
+    val plain = ev.join(dim, Seq("event_type"))
+    for (salts <- Seq(1, 8)) {
+      val salted = Graft.saltedJoin(ev, dim, "event_type", "event_id", salts)
+      same(salted.select("event_id", "event_type", "payload"),
+        plain.select("event_id", "event_type", "payload"),
+        s"saltedJoin salts=$salts")
+    }
+  }
+
   test("rangeJoin matches the naive non-equi join for any bucket width") {
     import spark.implicits._
     val rnd = new scala.util.Random(7)

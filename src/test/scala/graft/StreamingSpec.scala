@@ -144,6 +144,32 @@ class StreamingSpec extends SparkSpec {
       "stream contamination check diverged from batch q_contamination")
   }
 
+  test("stream_range_join matches the batch bucketed range join") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val rnd = new scala.util.Random(11)
+    val intervals = Seq.tabulate(40) { i =>
+      val lo = rnd.nextLong(1000)
+      (i.toLong, lo, lo + rnd.nextLong(50))
+    }.toDF("iv_id", "lo", "hi")
+    val points = Seq.tabulate(200)(i => (i.toLong, rnd.nextLong(1100)))
+    val ms = MemoryStream[(Long, Long)]
+    val out = Streams.rangeJoin(ms.toDF().toDF("pt_id", "p"), "p",
+      intervals, "lo", "hi", bucketWidth = 32L)
+    val q = out.writeStream.format("memory").queryName("rj")
+      .outputMode("append").start()
+    try {
+      ms.addData(points.take(90)); q.processAllAvailable()
+      ms.addData(points.drop(90)); q.processAllAvailable()
+    } finally q.stop()
+    val got = spark.table("rj").select("pt_id", "iv_id")
+    val want = graft.api.Graft.rangeJoin(points.toDF("pt_id", "p"), "p",
+      intervals, "lo", "hi", 32L).select("pt_id", "iv_id")
+    assert(got.exceptAll(want).count() == 0 &&
+      want.exceptAll(got).count() == 0,
+      "stream range join diverged from the batch operator")
+  }
+
   test("stream_unique_visit matches batch per-user daily first events") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
