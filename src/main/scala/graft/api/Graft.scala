@@ -105,17 +105,22 @@ object Graft {
     * shuffle-partitionable with both sides large. Each (point,
     * interval) pair meets in exactly one bucket (the point's), so the
     * output needs no dedup. Floor-division is exact integer math
-    * (`(x − pmod(x, w)) / w`), correct for negative values too —
-    * no double rounding at any magnitude.
+    * (`(x − pmod(x, w)) div w` — `div`, not `/`, which casts through
+    * a double and rounds above 2⁵³), correct for negative values too.
+    * Inverted intervals (`hi < lo`) match NOTHING — the naive
+    * non-equi semantics — instead of exploding the descending bucket
+    * sequence `sequence(lo', hi')` would otherwise produce (one
+    * corrupt interval row could generate a giant bucket array).
     */
   def rangeJoin(points: DataFrame, pointCol: String, intervals: DataFrame,
       loCol: String, hiCol: String, bucketWidth: Long): DataFrame = {
     require(bucketWidth > 0, s"bucketWidth must be positive, got $bucketWidth")
-    def fdiv(c: Column): Column = (c - pmod(c, lit(bucketWidth))) / bucketWidth
-    val pt = points.withColumn("_bucket", fdiv(col(pointCol)).cast("long"))
-    val iv = intervals.withColumn("_bucket",
-      explode(sequence(fdiv(col(loCol)).cast("long"),
-        fdiv(col(hiCol)).cast("long"))))
+    def fdiv(name: String): Column =
+      expr(s"(`$name` - pmod(`$name`, ${bucketWidth}L)) div ${bucketWidth}L")
+    val pt = points.withColumn("_bucket", fdiv(pointCol))
+    val iv = intervals
+      .where(col(loCol) <= col(hiCol))
+      .withColumn("_bucket", explode(sequence(fdiv(loCol), fdiv(hiCol))))
     pt.join(iv, Seq("_bucket"))
       .where(col(pointCol) >= col(loCol) && col(pointCol) <= col(hiCol))
       .drop("_bucket")

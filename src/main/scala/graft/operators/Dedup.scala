@@ -369,13 +369,21 @@ object Dedup {
       textCol: String, deltaCol: String, n: Int, tau: Double,
       dfCap: Int): DataFrame = {
     graft.functions.WordShingles.register(docs.sparkSession)
-    val ex0 = docs
+    // the shingle SETS persist before anything fans out: in the capped
+    // branch both the df aggregate and the rare-join scan the exploded
+    // frame, and without this cache each scan would re-run the
+    // shingling itself — the measured dominant cost (same pre-persist
+    // discipline as ngramJaccardPairs and shingleSets)
+    val sets = docs
       .select(col(idCol).as("id"), col(deltaCol).as("is_delta"),
-        explode(expr(s"word_shingles($textCol, $n)")).as("shingle"))
+        expr(s"word_shingles($textCol, $n)").as("shingles"))
+      .persist()
+    val ex0 = sets
+      .select(col("id"), col("is_delta"), explode(col("shingles")).as("shingle"))
       .select(col("id"), col("is_delta"), xxhash64(col("shingle")).as("shingle"))
-    // persisted: the delta and earlier sides of the candidate join plus
-    // the per-doc counts all consume this frame (same lifecycle note as
-    // ngramJaccardPairs — long-lived sessions clear the cache)
+    // persisted too: the delta and earlier sides of the candidate join
+    // plus the per-doc counts all consume this frame (same lifecycle
+    // note as ngramJaccardPairs — long-lived sessions clear the cache)
     val ex =
       if (dfCap == Int.MaxValue) ex0.persist()
       else {

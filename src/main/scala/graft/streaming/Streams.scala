@@ -128,9 +128,14 @@ object Streams {
       idCol: String, textCol: String, n: Int = 3,
       minOverlap: Long = graft.operators.Corpus.ContaminationK): DataFrame = {
     graft.functions.WordShingles.register(docs.sparkSession)
+    // persisted: the static side of a stream-static join re-executes
+    // every micro-batch — without the cache a long-running ingest
+    // stream would re-shingle and re-aggregate the whole benchmark per
+    // batch, dominating small batches
     val vocab = benchmark
       .select(explode(expr(s"word_shingles($textCol, $n)")).as("s"))
       .agg(collect_set(xxhash64(col("s"))).as("_vocab"))
+      .persist()
     docs
       .crossJoin(broadcast(vocab))
       .withColumn("n_overlap",

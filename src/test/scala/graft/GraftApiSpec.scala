@@ -58,10 +58,14 @@ class GraftApiSpec extends SparkSpec {
     val rnd = new scala.util.Random(7)
     // negative domain values and interval spans from 0 to far beyond
     // any bucket width on trial — the fan-out and floor-div edge cases
-    val intervals = Seq.tabulate(60) { i =>
+    // the last two rows are INVERTED (hi < lo): they must match
+    // nothing — like the naive join — not explode a descending bucket
+    // sequence (one far-inverted corrupt row would otherwise build a
+    // huge bucket array)
+    val intervals = (Seq.tabulate(60) { i =>
       val lo = rnd.nextLong(2000) - 1000
       (i.toLong, lo, lo + rnd.nextLong(120))
-    }.toDF("iv_id", "lo", "hi")
+    } ++ Seq((60L, 500L, 400L), (61L, 4000000000000L, 0L))).toDF("iv_id", "lo", "hi")
     val points = Seq.tabulate(300)(i => (i.toLong, rnd.nextLong(2400) - 1200))
       .toDF("pt_id", "p")
     val naive = points.join(intervals,
