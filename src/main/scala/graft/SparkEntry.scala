@@ -55,6 +55,7 @@ object SparkEntry {
     "q_asof_join" -> (Temporal.qAsofJoin _),
     "q_dedup_ngram_jaccard_capped" -> (Dedup.qDedupNgramJaccardCapped _),
     "q_dedup_incremental" -> (Dedup.qDedupIncremental _),
+    "q_dedup_exact_incremental" -> (Dedup.qDedupExactIncremental _),
     "q_range_join" -> (Temporal.qRangeJoin _),
     "q_province_rollup" -> (Stats.qProvinceRollup _),
     "q_dup_clusters" -> (Dedup.qDupClusters _),
@@ -110,6 +111,7 @@ object SparkEntry {
     "q_asof_join" -> Temporal.qAsofJoinSql,
     "q_dedup_ngram_jaccard_capped" -> Dedup.qDedupNgramJaccardCappedSql,
     "q_dedup_incremental" -> Dedup.qDedupIncrementalSql,
+    "q_dedup_exact_incremental" -> Dedup.qDedupExactIncrementalSql,
     "q_range_join" -> Temporal.qRangeJoinSql,
     "q_province_rollup" -> Stats.qProvinceRollupSql,
     "q_dup_clusters" -> Dedup.qDupClustersSql,

@@ -358,6 +358,52 @@ object Dedup {
   private val DeltaMod = 3L
   private val DeltaRes = 1L
 
+  /** #68 — `q_dedup_exact_incremental`: the EXACT twin of #61 — flag
+    * each new-batch doc whose content fingerprint already exists in
+    * the base (or in an earlier-id batch member), with the id it
+    * duplicates. This is the cheapest and most common continuous-
+    * ingest dedup: one shuffle on the fingerprint (the #25 shape), no
+    * candidate join at all. Per delta doc: `dup_of` = the least of
+    * (min base id with the same fp, min smaller delta id with the same
+    * fp) — the keep-first discipline of #25 applied batch-over-base.
+    * Both windows are fp-partitioned; at 100 TB the base fingerprint
+    * set would be a persisted index and this becomes a semi-join of
+    * the batch against it — same logical contract.
+    */
+  def qDedupExactIncremental(spark: SparkSession, dir: String): DataFrame = {
+    val wFp = Window.partitionBy("fp")
+    val wEarlier = Window.partitionBy("fp", "is_delta").orderBy("doc_id")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), contentFp.as("fp"),
+        (pmod(col("doc_id"), lit(DeltaMod)) === DeltaRes).as("is_delta"))
+      .withColumn("base_min",
+        min(when(!col("is_delta"), col("doc_id"))).over(wFp))
+      .withColumn("earlier_delta_min", min("doc_id").over(wEarlier))
+      .where(col("is_delta"))
+      .select(col("doc_id"), col("fp"),
+        least(col("base_min"), col("earlier_delta_min")).as("dup_of"),
+        least(col("base_min"), col("earlier_delta_min")).isNotNull.as("is_dup"))
+      .orderBy("doc_id")
+  }
+
+  val qDedupExactIncrementalSql: String =
+    s"""WITH t AS (
+       |  SELECT doc_id, $contentFpSql AS fp,
+       |    ((doc_id % $DeltaMod) + $DeltaMod) % $DeltaMod = $DeltaRes AS is_delta
+       |  FROM documents),
+       |w AS (
+       |  SELECT doc_id, fp, is_delta,
+       |    min(CASE WHEN NOT is_delta THEN doc_id END)
+       |      OVER (PARTITION BY fp) AS base_min,
+       |    min(doc_id) OVER (PARTITION BY fp, is_delta ORDER BY doc_id
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS earlier_delta_min
+       |  FROM t)
+       |SELECT doc_id, fp,
+       |  least(base_min, earlier_delta_min) AS dup_of,
+       |  least(base_min, earlier_delta_min) IS NOT NULL AS is_dup
+       |FROM w WHERE is_delta ORDER BY doc_id""".stripMargin
+
   /** The delta-vs-base near-dup transform shared by #61 and the
     * facade's `incrementalDedupPairs`: `docs` carries a boolean
     * `deltaCol` marking the new batch; output is one row per
