@@ -109,18 +109,37 @@ object Graft {
     * a double and rounds above 2⁵³), correct for negative values too.
     * Inverted intervals (`hi < lo`) match NOTHING — the naive
     * non-equi semantics — instead of exploding the descending bucket
-    * sequence `sequence(lo', hi')` would otherwise produce (one
-    * corrupt interval row could generate a giant bucket array).
+    * sequence `sequence(lo', hi')` would otherwise produce.
+    *
+    * `maxBucketsPerInterval` guards the other blowup shape: a VALID
+    * but huge interval (an open-ended window encoded with a far-future
+    * sentinel hi, or timestamps quantized finer than intended)
+    * explodes to span/width buckets — millions of rows per sentinel,
+    * or an over-max-array-length failure deep in the job. The guard
+    * fails FAST with an actionable message instead; raise it (and the
+    * bucket width) deliberately for genuinely wide interval tables.
     */
   def rangeJoin(points: DataFrame, pointCol: String, intervals: DataFrame,
-      loCol: String, hiCol: String, bucketWidth: Long): DataFrame = {
+      loCol: String, hiCol: String, bucketWidth: Long,
+      maxBucketsPerInterval: Long = 4096): DataFrame = {
     require(bucketWidth > 0, s"bucketWidth must be positive, got $bucketWidth")
+    require(maxBucketsPerInterval > 0,
+      s"maxBucketsPerInterval must be positive, got $maxBucketsPerInterval")
     def fdiv(name: String): Column =
       expr(s"(`$name` - pmod(`$name`, ${bucketWidth}L)) div ${bucketWidth}L")
     val pt = points.withColumn("_bucket", fdiv(pointCol))
+    // assert_true rides inside the sequence operand so the guard can't
+    // be pruned: it is NULL (a no-op) on every in-bound row and raises
+    // on the first too-wide one
+    val spanOk = assert_true(
+      fdiv(hiCol) - fdiv(loCol) < lit(maxBucketsPerInterval),
+      lit(s"rangeJoin: an interval spans >= $maxBucketsPerInterval buckets " +
+        s"at bucketWidth=$bucketWidth; widen bucketWidth, clean sentinel " +
+        "hi values, or raise maxBucketsPerInterval deliberately"))
     val iv = intervals
       .where(col(loCol) <= col(hiCol))
-      .withColumn("_bucket", explode(sequence(fdiv(loCol), fdiv(hiCol))))
+      .withColumn("_bucket",
+        explode(sequence(fdiv(loCol), when(spanOk.isNull, fdiv(hiCol)))))
     pt.join(iv, Seq("_bucket"))
       .where(col(pointCol) >= col(loCol) && col(pointCol) <= col(hiCol))
       .drop("_bucket")

@@ -415,15 +415,18 @@ object Dedup {
       textCol: String, deltaCol: String, n: Int, tau: Double,
       dfCap: Int): DataFrame = {
     graft.functions.WordShingles.register(docs.sparkSession)
-    // the shingle SETS persist before anything fans out: in the capped
-    // branch both the df aggregate and the rare-join scan the exploded
-    // frame, and without this cache each scan would re-run the
-    // shingling itself — the measured dominant cost (same pre-persist
-    // discipline as ngramJaccardPairs and shingleSets)
-    val sets = docs
+    // in the CAPPED branch the shingle sets persist before anything
+    // fans out: both the df aggregate and the rare-join scan the
+    // exploded frame, and without this cache each scan would re-run
+    // the shingling itself — the measured dominant cost (same
+    // pre-persist discipline as ngramJaccardPairs and shingleSets).
+    // Uncapped, ex0's own persist below is the only cache: sets would
+    // be read once, and pinning a second corpus-scale copy only adds
+    // eviction pressure.
+    val sets0 = docs
       .select(col(idCol).as("id"), col(deltaCol).as("is_delta"),
         expr(s"word_shingles($textCol, $n)").as("shingles"))
-      .persist()
+    val sets = if (dfCap == Int.MaxValue) sets0 else sets0.persist()
     val ex0 = sets
       .select(col("id"), col("is_delta"), explode(col("shingles")).as("shingle"))
       .select(col("id"), col("is_delta"), xxhash64(col("shingle")).as("shingle"))

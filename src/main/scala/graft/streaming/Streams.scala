@@ -161,9 +161,16 @@ object Streams {
     * watermarked interval state — a different operator).
     */
   def rangeJoin(points: DataFrame, pointCol: String, intervals: DataFrame,
-      loCol: String, hiCol: String, bucketWidth: Long): DataFrame =
+      loCol: String, hiCol: String, bucketWidth: Long): DataFrame = {
+    // a streaming interval side would silently become a stream-stream
+    // join Spark accepts WITHOUT watermarks — unbounded state, arrival-
+    // order-dependent output; fail fast instead
+    require(!intervals.isStreaming,
+      "Streams.rangeJoin needs a STATIC intervals frame; a stream-stream " +
+        "range join requires watermarked interval state (different operator)")
     graft.api.Graft.rangeJoin(points, pointCol, intervals, loCol, hiCol,
       bucketWidth)
+  }
 
   /** #17 — UniqueVisitApp (UniqueVisitApp.java:37-71): per-user daily
     * first-visit dedup. Keyed state = the set of days already emitted,

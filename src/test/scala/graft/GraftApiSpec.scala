@@ -78,6 +78,23 @@ class GraftApiSpec extends SparkSpec {
     }
   }
 
+  test("rangeJoin fails fast on an interval wider than the bucket guard") {
+    import spark.implicits._
+    // a sentinel-hi "open-ended" interval: valid (lo <= hi) but 600k
+    // buckets wide — must raise the guard's message, not explode
+    val iv = Seq((1L, 0L, 600000000L)).toDF("iv_id", "lo", "hi")
+    val pts = Seq((1L, 5L)).toDF("pt_id", "p")
+    val e = intercept[Exception] {
+      Graft.rangeJoin(pts, "p", iv, "lo", "hi", 1000L).count()
+    }
+    val chain = Iterator.iterate[Throwable](e)(_.getCause)
+      .takeWhile(_ != null).map(_.getMessage).mkString(" | ")
+    assert(chain.contains("buckets"), s"unexpected failure: $chain")
+    // and the same table passes when the caller raises the guard
+    assert(Graft.rangeJoin(pts, "p", iv, "lo", "hi", 1000L,
+      maxBucketsPerInterval = 1000000L).count() == 1)
+  }
+
   test("incrementalDedupPairs reproduces q_dedup_incremental") {
     val docs = Tables.documents(spark, sf)
     val isDelta = pmod(col("doc_id"), lit(3L)) === 1L
