@@ -165,6 +165,65 @@ object Graft {
       "_is_delta", n, tau, dfCap)
   }
 
+  /** The persistable shingle index for
+    * [[incrementalDedupPairsIndexed]]: one (id, shingle) row per
+    * distinct word-n-gram of each doc, shingles xxhash64'd to 8-byte
+    * keys. Write the base corpus's index out ONCE (ideally bucketed —
+    * [[writeShingleIndex]]); per ingest, build only the delta's index,
+    * pair it against the stored base, and append it. Probe 9
+    * (docs/SCALING.md) measured that the shingling CPU itself is NOT
+    * what the index saves (a raw index scan costs the same as
+    * re-shingling) — the savings are the plan shape the stored form
+    * unlocks: no corpus-sized cache, no corpus groupBy, and with
+    * bucketing no base-side shuffle.
+    */
+  def shingleIndex(docs: DataFrame, idCol: String, textCol: String,
+      n: Int = 3): DataFrame = {
+    graft.functions.WordShingles.register(docs.sparkSession)
+    docs
+      .select(col(idCol).as("id"),
+        explode(expr(s"word_shingles($textCol, $n)")).as("shingle"))
+      .select(col("id"), xxhash64(col("shingle")).as("shingle"))
+  }
+
+  /** Writes a [[shingleIndex]] frame as a parquet table BUCKETED by
+    * shingle — the storage layout that makes the steady-state ingest
+    * plan exchange-free on the base side: a bucketed scan already
+    * satisfies the hash distribution the df aggregate and the
+    * candidate join require, so per ingest only the (small) delta
+    * shuffles, never the corpus. Append each ingest's delta index
+    * after pairing (`overwrite = false`, the default) and the table
+    * stays the full corpus index. Default 32 buckets to match the
+    * recommended `spark.sql.shuffle.partitions`; at cluster scale set
+    * buckets so one bucket's shingle rows fit an executor's working
+    * memory (buckets ≈ index rows × 16 B / 256 MB).
+    */
+  def writeShingleIndex(index: DataFrame, table: String,
+      buckets: Int = 32, overwrite: Boolean = false): Unit =
+    index.write.mode(if (overwrite) "overwrite" else "append")
+      .bucketBy(buckets, "shingle").sortBy("shingle")
+      .format("parquet").saveAsTable(table)
+
+  /** [[incrementalDedupPairs]] over PRE-BUILT shingle indexes (see
+    * [[shingleIndex]] / [[writeShingleIndex]]) — the steady-state
+    * form: the base side is a stored table scan, so per-ingest cost is
+    * the candidate join + verification, linear in the batch. Same
+    * output columns and semantics as the from-text form (spec-pinned
+    * equal, including through a bucketed-table round-trip); the df cap
+    * is computed over base+delta together, exactly as from text. Base
+    * and delta id sets must be disjoint (a re-ingested id would pair
+    * with itself). Unlike the from-text form this never caches or
+    * re-groups the corpus-sized side — see
+    * [[graft.operators.Dedup.incrementalPairsStored]] for the plan
+    * shape — so it is the variant to use when the base index no longer
+    * fits executor storage memory.
+    */
+  def incrementalDedupPairsIndexed(baseIndex: DataFrame,
+      deltaIndex: DataFrame, tau: Double = 0.8,
+      dfCap: Int = Int.MaxValue): DataFrame =
+    graft.operators.Dedup.incrementalPairsStored(baseIndex, deltaIndex,
+      tau, dfCap)
+
   /** Connected components over an undirected edge list: every vertex
     * appearing in `edges` labeled with its component's min vertex id
     * and component size. EAGER (like an MLlib fit): the fixpoint runs

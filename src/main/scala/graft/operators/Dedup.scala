@@ -415,30 +415,37 @@ object Dedup {
       textCol: String, deltaCol: String, n: Int, tau: Double,
       dfCap: Int): DataFrame = {
     graft.functions.WordShingles.register(docs.sparkSession)
-    // in the CAPPED branch the shingle sets persist before anything
-    // fans out: both the df aggregate and the rare-join scan the
-    // exploded frame, and without this cache each scan would re-run
-    // the shingling itself — the measured dominant cost (same
-    // pre-persist discipline as ngramJaccardPairs and shingleSets).
-    // Uncapped, ex0's own persist below is the only cache: sets would
-    // be read once, and pinning a second corpus-scale copy only adds
-    // eviction pressure.
-    val sets0 = docs
+    val ex0 = docs
       .select(col(idCol).as("id"), col(deltaCol).as("is_delta"),
-        expr(s"word_shingles($textCol, $n)").as("shingles"))
-    val sets = if (dfCap == Int.MaxValue) sets0 else sets0.persist()
-    val ex0 = sets
-      .select(col("id"), col("is_delta"), explode(col("shingles")).as("shingle"))
+        explode(expr(s"word_shingles($textCol, $n)")).as("shingle"))
       .select(col("id"), col("is_delta"), xxhash64(col("shingle")).as("shingle"))
-    // persisted too: the delta and earlier sides of the candidate join
-    // plus the per-doc counts all consume this frame (same lifecycle
-    // note as ngramJaccardPairs — long-lived sessions clear the cache)
+    incrementalPairsFromExploded(ex0, tau, dfCap)
+  }
+
+  /** The candidate-join tail of the incremental family, starting from
+    * the already-exploded flagged frame (id, is_delta, shingle-hash) —
+    * shared by the from-text path ([[incrementalJaccard]]) and the
+    * facade's persisted-index path
+    * ([[graft.api.Graft.incrementalDedupPairsIndexed]]), so the cap,
+    * orientation, and jaccard discipline cannot drift between them.
+    */
+  private[graft] def incrementalPairsFromExploded(ex0: DataFrame,
+      tau: Double, dfCap: Int): DataFrame = {
+    // every downstream branch re-references its input frame, so the
+    // input is materialized ONCE here and all fan-out reads the cache
+    // (same lifecycle note as ngramJaccardPairs — long-lived sessions
+    // clear the cache). Capped: ex0 is scanned by the df aggregate AND
+    // the rare-join — without this persist each scan re-runs whatever
+    // produced ex0 (the shingling from text, the index scan from
+    // parquet: probe 8 measured both). The capped result persists too
+    // (three consumers: counts + both join sides).
     val ex =
       if (dfCap == Int.MaxValue) ex0.persist()
       else {
-        val rare = ex0.groupBy("shingle").agg(count(lit(1)).as("df"))
+        val ex0p = ex0.persist()
+        val rare = ex0p.groupBy("shingle").agg(count(lit(1)).as("df"))
           .where(col("df") <= dfCap).select("shingle")
-        ex0.join(rare, "shingle").persist()
+        ex0p.join(rare, "shingle").persist()
       }
     val cnt = ex.groupBy("id").agg(count(lit(1)).as("n"))
     val newSide = ex.where(col("is_delta"))
@@ -450,6 +457,66 @@ object Dedup {
       .groupBy("id_new", "id_old").agg(count(lit(1)).as("inter"))
       .join(cnt.select(col("id").as("id_new"), col("n").as("nn")), "id_new")
       .join(cnt.select(col("id").as("id_old"), col("n").as("no")), "id_old")
+      .withColumn("jaccard",
+        col("inter").cast("double") / (col("nn") + col("no") - col("inter")))
+      .where(col("jaccard") >= tau)
+      .select("id_new", "id_old", "inter", "jaccard")
+  }
+
+  /** The steady-state incremental tail over a STORED base shingle
+    * index ([[graft.api.Graft.incrementalDedupPairsIndexed]]) — same
+    * output as [[incrementalPairsFromExploded]] on disjoint base/delta
+    * id sets (spec-pinned), but shaped for a base that does not fit
+    * any cache:
+    *
+    *   - the base index is never persisted and never union'd with the
+    *     delta, so a bucketed-by-shingle stored index keeps its scan
+    *     partitioning through every step — zero base-side Exchange;
+    *   - the df cap is applied as a broadcast ANTI join against the
+    *     over-cap shingle set (distinct shingles with df > cap are few
+    *     by construction — they are the heavy ones) instead of an
+    *     inner join against the corpus-sized rare set;
+    *   - jaccard denominators are counted only for docs that appear in
+    *     a candidate pair (inner joins discard the rest anyway), so
+    *     there is no corpus-wide groupBy(id) — base rows fold through
+    *     a broadcast semi join on the involved-id set first.
+    *
+    * Per ingest the base index is scanned at most 3× (df aggregate —
+    * skipped uncapped — candidate join, denominators); everything
+    * retained across steps (delta, over-cap set, candidate pairs) is
+    * O(batch), not O(corpus).
+    */
+  private[graft] def incrementalPairsStored(base: DataFrame,
+      delta0: DataFrame, tau: Double, dfCap: Int): DataFrame = {
+    val delta = delta0.select(col("id"), col("shingle")).persist()
+    val (baseR, deltaR) =
+      if (dfCap == Int.MaxValue) (base.select(col("id"), col("shingle")), delta)
+      else {
+        val baseDf = base.groupBy("shingle").agg(count(lit(1)).as("bdf"))
+        val deltaDf = delta.groupBy("shingle").agg(count(lit(1)).as("ddf"))
+        val over = baseDf.join(deltaDf, Seq("shingle"), "full_outer")
+          .where(coalesce(col("bdf"), lit(0L)) +
+            coalesce(col("ddf"), lit(0L)) > dfCap)
+          .select("shingle").persist()
+        (base.join(broadcast(over), Seq("shingle"), "left_anti"),
+          delta.join(broadcast(over), Seq("shingle"), "left_anti").persist())
+      }
+    val newSide = deltaR.select(col("id").as("id_new"), col("shingle"))
+    val candBase = newSide
+      .join(baseR.select(col("id").as("id_old"), col("shingle")), Seq("shingle"))
+    val candDelta = newSide
+      .join(deltaR.select(col("id").as("id_old"), col("shingle")), Seq("shingle"))
+      .where(col("id_old") < col("id_new"))
+    val inter = candBase.unionByName(candDelta)
+      .groupBy("id_new", "id_old").agg(count(lit(1)).as("inter")).persist()
+    val involvedOld = inter.select(col("id_old").as("id")).distinct()
+    val cntNew = deltaR.groupBy("id").agg(count(lit(1)).as("n"))
+    val cntOld = cntNew.unionByName(
+      baseR.join(broadcast(involvedOld), Seq("id"), "left_semi")
+        .groupBy("id").agg(count(lit(1)).as("n")))
+    inter
+      .join(cntNew.select(col("id").as("id_new"), col("n").as("nn")), "id_new")
+      .join(cntOld.select(col("id").as("id_old"), col("n").as("no")), "id_old")
       .withColumn("jaccard",
         col("inter").cast("double") / (col("nn") + col("no") - col("inter")))
       .where(col("jaccard") >= tau)

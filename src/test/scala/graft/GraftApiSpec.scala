@@ -107,6 +107,45 @@ class GraftApiSpec extends SparkSpec {
       "incrementalDedupPairs")
   }
 
+  test("indexed incremental dedup == from-text, through a parquet round-trip") {
+    val docs = Tables.documents(spark, sf)
+    val isDelta = pmod(col("doc_id"), lit(3L)) === 1L
+    val base = docs.where(!isDelta)
+    val delta = docs.where(isDelta)
+    // the index is a STORED artifact: write the base's index out and
+    // read it back, as a real pipeline would between ingests
+    val dir = java.nio.file.Files.createTempDirectory("graft_idx_").toString
+    Graft.shingleIndex(base, "doc_id", "text").write
+      .mode("overwrite").parquet(s"$dir/base_index")
+    val storedBase = spark.read.parquet(s"$dir/base_index")
+    val indexed = Graft.incrementalDedupPairsIndexed(
+      storedBase, Graft.shingleIndex(delta, "doc_id", "text"), dfCap = 64)
+    val fromText = Graft.incrementalDedupPairs(
+      base, delta, "doc_id", "text", dfCap = 64)
+    same(indexed, fromText, "indexed incremental dedup")
+
+    // and through a BUCKETED catalog table — the production layout:
+    // same pairs, and the base side of the plan carries the bucketed
+    // scan (no exchange between the base scan and its joins)
+    Graft.writeShingleIndex(Graft.shingleIndex(base, "doc_id", "text"),
+      "graft_test_base_idx", buckets = 4, overwrite = true)
+    val bucketed = Graft.incrementalDedupPairsIndexed(
+      spark.table("graft_test_base_idx"),
+      Graft.shingleIndex(delta, "doc_id", "text"), dfCap = 64)
+    same(bucketed, fromText, "bucketed-index incremental dedup")
+    val plan = bucketed.queryExecution.executedPlan.toString
+    assert(plan.contains("Bucketed: true"),
+      s"base scan should be bucketed:\n$plan")
+    // uncapped stored form (skips the df machinery entirely): pin it
+    // against the uncapped from-text twin
+    same(
+      Graft.incrementalDedupPairsIndexed(
+        spark.table("graft_test_base_idx"),
+        Graft.shingleIndex(delta, "doc_id", "text")),
+      Graft.incrementalDedupPairs(base, delta, "doc_id", "text"),
+      "uncapped stored incremental dedup")
+  }
+
   test("connectedComponents over the jaccard pairs reproduces q_dup_clusters") {
     // the gated query clusters the CAPPED pairs (r4 verdict: the
     // end-to-end dedup path must not contain the uncapped generator);
