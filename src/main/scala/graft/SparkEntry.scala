@@ -67,7 +67,8 @@ object SparkEntry {
     "q_token_quantiles" -> (Corpus.qTokenQuantiles _),
     "q_token_quantiles_approx" -> (Corpus.qTokenQuantilesApprox _),
     "q_contamination" -> (Corpus.qContamination _),
-    "q_pii_scrub" -> (Text.qPiiScrub _)
+    "q_pii_scrub" -> (Text.qPiiScrub _),
+    "q_dup_clusters_incremental" -> (Dedup.qDupClustersIncremental _)
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -122,6 +123,7 @@ object SparkEntry {
     "q_sample_hash" -> Corpus.qSampleHashSql,
     "q_token_quantiles" -> Corpus.qTokenQuantilesSql,
     "q_contamination" -> Corpus.qContaminationSql,
-    "q_pii_scrub" -> Text.qPiiScrubSql
+    "q_pii_scrub" -> Text.qPiiScrubSql,
+    "q_dup_clusters_incremental" -> Dedup.qDupClustersIncrementalSql
   )
 }

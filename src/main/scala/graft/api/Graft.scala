@@ -270,6 +270,102 @@ object Graft {
         col("component_size"))
   }
 
+  /** Incremental connected-components maintenance: fold a batch of NEW
+    * edges into an EXISTING labeling without re-running CC over the
+    * whole graph. `labels` is a prior [[connectedComponents]] result
+    * (`id`, `component_id`, `component_size`); `newEdges` is the new
+    * edge batch (e.g. [[incrementalDedupPairs]] output on ingest).
+    * Output has the same schema and equals
+    * `connectedComponents(oldEdges ∪ newEdges)` exactly (spec-pinned on
+    * random graphs): an existing labeling is connectivity-equivalent to
+    * its star edge set (member → label), so contracting each new-edge
+    * endpoint to its current label — new vertices keep their own id —
+    * and running CC over the CONTRACTED batch-sized graph yields the
+    * merged components; labels are min ids, so the min over merged
+    * labels and new vertex ids is the merged component's true min.
+    *
+    * Scale shape — per ingest, every frame derived here is O(batch),
+    * never O(graph):
+    *  - the old labeling is scanned map-side twice (semi-join against
+    *    the broadcast endpoint set; final broadcast-relabel join) and
+    *    never shuffled;
+    *  - CC runs on the contracted graph only: |new edges| edges, with
+    *    whole merged chains of old clusters collapsing to single
+    *    vertices;
+    *  - sizes update incrementally (merged old sizes + new members per
+    *    changed component) — unchanged components keep their stored
+    *    size and are never re-counted.
+    *
+    * Self-edges (src = dst after contraction, i.e. both endpoints
+    * already share a component) contribute nothing and are dropped —
+    * the pair-generator contract (`doc_a < doc_b`) never produces
+    * literal self-edges.
+    */
+  def mergeComponents(labels: DataFrame, newEdges: DataFrame,
+      srcCol: String, dstCol: String, maxRounds: Int = 64,
+      algorithm: String = "minlabel"): DataFrame = {
+    val lab = labels.select(col("id"), col("component_id"),
+      col("component_size"))
+    // the batch edge plan may be expensive (a candidate-join pair
+    // generator); materialize once, every downstream branch reads it
+    val e = newEdges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
+      .localCheckpoint(true)
+    val endpoints = e.select(col("src").as("id"))
+      .unionAll(e.select(col("dst").as("id"))).distinct()
+    // old-label rows for batch endpoints only: map-side semi-join scan
+    // of the labeling against the broadcast endpoint set — O(batch) out
+    val touched = lab
+      .join(broadcast(endpoints), Seq("id"), "left_semi")
+      .localCheckpoint(true)
+    val asSrc = touched.select(col("id").as("src"),
+      col("component_id").as("src_l"))
+    val asDst = touched.select(col("id").as("dst"),
+      col("component_id").as("dst_l"))
+    val contracted = e
+      .join(broadcast(asSrc), Seq("src"), "left")
+      .join(broadcast(asDst), Seq("dst"), "left")
+      .select(coalesce(col("src_l"), col("src")).as("src"),
+        coalesce(col("dst_l"), col("dst")).as("dst"))
+      .where(col("src") =!= col("dst"))
+    val cc = connectedComponents(contracted, "src", "dst", maxRounds,
+      algorithm).select(col("id"), col("component_id").as("new_label"))
+      .localCheckpoint(true)
+    // contracted vertices split cleanly: old labels (∈ labels.id, they
+    // label themselves) vs brand-new vertices (∉ labels.id) — the old
+    // label set is exactly touched's distinct component ids
+    val oldLabelIds = touched.select(col("component_id").as("id")).distinct()
+    val mOld = cc.join(broadcast(oldLabelIds), Seq("id"), "left_semi")
+      .select(col("id").as("component_id"), col("new_label"))
+    val mNew = cc.join(broadcast(oldLabelIds), Seq("id"), "left_anti")
+      .select(col("id"), col("new_label").as("component_id"))
+    // incremental sizes: each changed component = Σ sizes of the old
+    // clusters merged into it + its count of new vertices
+    val sizeOld = touched.select(col("component_id"), col("component_size"))
+      .distinct()
+      .join(broadcast(mOld), Seq("component_id"))
+      .groupBy("new_label").agg(sum("component_size").as("s_old"))
+    val sizeNew = mNew.groupBy(col("component_id").as("new_label"))
+      .agg(count(lit(1)).as("s_new"))
+    val newSizes = sizeOld.join(sizeNew, Seq("new_label"), "full_outer")
+      .select(col("new_label").as("component_id"),
+        (coalesce(col("s_old"), lit(0L)) +
+          coalesce(col("s_new"), lit(0L))).as("merged_size"))
+    // relabel: map-side broadcast joins against the O(batch) mappings;
+    // rows of untouched components pass through with label + size kept
+    val relabeledOld = lab
+      .join(broadcast(mOld.withColumnRenamed("new_label", "nl")),
+        Seq("component_id"), "left")
+      .select(col("id"),
+        coalesce(col("nl"), col("component_id")).as("component_id"),
+        col("component_size"))
+    relabeledOld
+      .unionByName(mNew.withColumn("component_size", lit(null).cast("long")))
+      .join(broadcast(newSizes.withColumnRenamed("merged_size", "ms")),
+        Seq("component_id"), "left")
+      .select(col("id"), col("component_id"),
+        coalesce(col("ms"), col("component_size")).as("component_size"))
+  }
+
   /** Min-label propagation to a fixpoint; returns (v, label).
     *
     * Every round ends in an eager `localCheckpoint`: the next round's

@@ -574,6 +574,92 @@ object Dedup {
        |WHERE CAST(inter AS DOUBLE) / (cn.n + co.n - inter) >= $JaccardTau
        |ORDER BY doc_new, doc_old""".stripMargin
 
+  /** The #47 capped-pair discipline as composable SQL over an
+    * arbitrary documents-shaped relation — #69's oracle restricts it
+    * to the base corpus. Pair columns only (the consumer is an edge
+    * list); cap + τ literals shared with the Spark side.
+    */
+  private def cappedPairsSqlFrom(rel: String): String =
+    s"""WITH toks AS (
+       |  SELECT doc_id, list_filter(string_split(text, ' '), t -> t <> '') AS t
+       |  FROM $rel),
+       |sh AS (
+       |  SELECT doc_id,
+       |    CASE WHEN len(t) >= 3
+       |      THEN list_distinct(list_transform(range(1, len(t) - 1),
+       |             i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]))
+       |      ELSE CAST([] AS VARCHAR[]) END AS shingles
+       |  FROM toks),
+       |ex AS (SELECT doc_id, unnest(shingles) AS shingle FROM sh),
+       |rare AS (SELECT shingle FROM ex GROUP BY shingle HAVING count(*) <= $DfCap),
+       |exr AS (SELECT doc_id, ex.shingle FROM ex JOIN rare ON ex.shingle = rare.shingle),
+       |cnt AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n FROM exr GROUP BY doc_id),
+       |pairs AS (
+       |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
+       |  FROM exr a JOIN exr b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+       |  GROUP BY 1, 2)
+       |SELECT doc_a, doc_b FROM pairs
+       |JOIN cnt ca ON doc_a = ca.doc_id
+       |JOIN cnt cb ON doc_b = cb.doc_id
+       |WHERE CAST(inter AS DOUBLE) / (ca.n + cb.n - inter) >= $JaccardTau""".stripMargin
+
+  /** #69 — `q_dup_clusters_incremental`: cluster MAINTENANCE on
+    * ingest — the composition a continuously-fed corpus actually runs.
+    * The base corpus (doc_id % 3 ≠ 1, #61's split) arrives already
+    * clustered (capped pairs over the base only → CC, both re-derived
+    * here because the gate owns no state between runs); the new batch
+    * contributes only its delta-vs-earlier pairs (#61 — no base×base
+    * re-pairing); [[graft.api.Graft.mergeComponents]] folds those new
+    * edges into the existing labeling by contracting endpoints to
+    * their current cluster ids and running CC over the batch-sized
+    * contracted graph only. Same output shape as #43.
+    *
+    * Equality contract (the oracle checks it): the result is EXACTLY
+    * CC over (base pairs ∪ incremental pairs) — maintenance loses
+    * nothing vs a full re-cluster over that edge set. Note the edge
+    * set itself is not #43's: #43 caps df over the whole corpus in one
+    * pass, while continuous ingest caps the base vocabulary at base
+    * time and the batch vocabulary at ingest time (#61) — the same
+    * already-documented #47 cap trade, applied per arrival epoch.
+    *
+    * Like #43, invoking this runs the (batch-sized) fixpoint eagerly.
+    */
+  def qDupClustersIncremental(spark: SparkSession, dir: String): DataFrame = {
+    val base = Tables.documents(spark, dir)
+      .where(pmod(col("doc_id"), lit(DeltaMod)) =!= DeltaRes)
+    val basePairs = graft.api.Graft.ngramJaccardPairs(base, "doc_id", "text",
+      n = 3, tau = JaccardTau, dfCap = DfCap)
+    val baseLabels = graft.api.Graft.connectedComponents(basePairs,
+      "id_a", "id_b")
+    val incPairs = qDedupIncremental(spark, dir).select("doc_new", "doc_old")
+    graft.api.Graft.mergeComponents(baseLabels, incPairs,
+      "doc_new", "doc_old")
+      .select(col("id").as("doc_id"), col("component_id").as("cluster_id"),
+        col("component_size").as("cluster_size"))
+      .orderBy("doc_id")
+  }
+
+  val qDupClustersIncrementalSql: String =
+    s"""WITH RECURSIVE edges AS (
+       |  SELECT doc_a AS src, doc_b AS dst FROM (
+       |${cappedPairsSqlFrom(s"(SELECT * FROM documents WHERE ((doc_id % $DeltaMod) + $DeltaMod) % $DeltaMod <> $DeltaRes)")}
+       |  )
+       |  UNION ALL
+       |  SELECT doc_new, doc_old FROM ($qDedupIncrementalSql)
+       |),
+       |sym AS (
+       |  SELECT src, dst FROM edges
+       |  UNION ALL
+       |  SELECT dst, src FROM edges),
+       |reach(v, l) AS (
+       |  SELECT DISTINCT src, src FROM sym
+       |  UNION
+       |  SELECT s.src, r.l FROM sym s JOIN reach r ON s.dst = r.v),
+       |lab AS (SELECT v AS doc_id, min(l) AS cluster_id FROM reach GROUP BY v)
+       |SELECT doc_id, cluster_id,
+       |  CAST(count(*) OVER (PARTITION BY cluster_id) AS BIGINT) AS cluster_size
+       |FROM lab ORDER BY doc_id""".stripMargin
+
   /** #28 — 64-bit SimHash (rows-only gate). Per-token xxhash64; bit i
     * of the signature = sign of Σ(±1) over tokens (token multiplicity
     * weighted) — computed in ONE map-side pass per document by the

@@ -198,6 +198,34 @@ class GraftApiSpec extends SparkSpec {
       || col("component_size") =!= 200L).isEmpty)
   }
 
+  test("mergeComponents equals full CC over the union edge set") {
+    import spark.implicits._
+    // seeded random graphs; the new batch draws from twice the base id
+    // space so it covers every endpoint class: already-labeled nodes,
+    // base-id-space nodes no old edge touched (unlabeled), and brand-new
+    // ids — plus chains that merge several old clusters at once
+    val rnd = new scala.util.Random(42)
+    val n = 300
+    val e1 = Seq.fill(250)((rnd.nextInt(n).toLong, rnd.nextInt(n).toLong))
+      .filter { case (a, b) => a != b }.toDF("src", "dst")
+    val e2 = Seq.fill(120)(
+      (rnd.nextInt(2 * n).toLong, rnd.nextInt(2 * n).toLong))
+      .filter { case (a, b) => a != b }.toDF("src", "dst")
+    val merged = Graft.mergeComponents(
+      Graft.connectedComponents(e1, "src", "dst"), e2, "src", "dst")
+    val full = Graft.connectedComponents(e1.unionByName(e2), "src", "dst")
+    same(merged, full, "mergeComponents")
+  }
+
+  test("mergeComponents: batch edges inside existing clusters are a no-op") {
+    import spark.implicits._
+    val e1 = Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("src", "dst")
+    val labels = Graft.connectedComponents(e1, "src", "dst")
+    val inside = Seq((1L, 3L), (10L, 11L)).toDF("src", "dst")
+    same(Graft.mergeComponents(labels, inside, "src", "dst"), labels,
+      "mergeComponents(no-op)")
+  }
+
   test("cjkWords aggregated reproduces q_keyword_stats_cjk") {
     val api = Graft.cjkWords(Tables.documents(spark, sf), "text", Seq("source"))
       .groupBy("word", "source").agg(count(lit(1)).as("ct"))
