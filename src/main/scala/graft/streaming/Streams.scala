@@ -1,6 +1,6 @@
 package graft.streaming
 
-import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.{Column, DataFrame, Dataset}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
 
@@ -166,10 +166,76 @@ object Streams {
     // join Spark accepts WITHOUT watermarks — unbounded state, arrival-
     // order-dependent output; fail fast instead
     require(!intervals.isStreaming,
-      "Streams.rangeJoin needs a STATIC intervals frame; a stream-stream " +
-        "range join requires watermarked interval state (different operator)")
+      "Streams.rangeJoin needs a STATIC intervals frame; for a streaming " +
+        "intervals side use rangeJoinStream (watermarked interval state)")
     graft.api.Graft.rangeJoin(points, pointCol, intervals, loCol, hiCol,
       bucketWidth)
+  }
+
+  /** #70 — STREAM-STREAM range join: both the point stream and the
+    * interval stream are unbounded (ad impressions joined to campaign
+    * windows that are themselves announced on a stream). The batch
+    * reformulation carries over — intervals explode to fixed-width
+    * buckets, points key to one bucket, exact bounds as residual — but
+    * the join becomes a watermarked stream-stream equi join and the
+    * interval buffer becomes engine-managed state, so two extra
+    * contracts are needed to keep that state BOUNDED:
+    *
+    *  - both sides carry event-time columns derived from the integral
+    *    domain (`timestamp_micros` — the domain unit is declared to be
+    *    microseconds by the caller choosing `maxSpanMicros`), each
+    *    watermarked with its caller-chosen lateness;
+    *  - every interval must span ≤ `maxSpanMicros` (fail-fast
+    *    `assert_true` riding inside the explode operand, the batch
+    *    operator's guard pattern) — this is what turns containment
+    *    into the two-sided event-time range condition
+    *    `iv_ts ≤ pt_ts ≤ iv_ts + maxSpan` the engine needs to compute
+    *    a state watermark for BOTH buffers: interval state older than
+    *    the point watermark minus the span is evicted, point state is
+    *    evicted by the interval watermark symmetrically.
+    *
+    * A point pairs with every interval containing it exactly once (it
+    * lives in one bucket), so no dedup — same as batch. Output equals
+    * the batch [[graft.api.Graft.rangeJoin]] on the union of all
+    * micro-batches for rows inside the watermark (StreamingSpec pins
+    * it); rows later than the lateness budgets are dropped, which is
+    * the streaming contract, not a defect.
+    */
+  def rangeJoinStream(points: DataFrame, pointCol: String,
+      intervals: DataFrame, loCol: String, hiCol: String,
+      bucketWidth: Long, maxSpanMicros: Long,
+      pointsLateness: String = "10 seconds",
+      intervalsLateness: String = "10 seconds"): DataFrame = {
+    require(points.isStreaming && intervals.isStreaming,
+      "rangeJoinStream is the stream-stream form; use Streams.rangeJoin " +
+        "for a static intervals side")
+    require(bucketWidth > 0, s"bucketWidth must be positive, got $bucketWidth")
+    require(maxSpanMicros > 0,
+      s"maxSpanMicros must be positive, got $maxSpanMicros")
+    def fdiv(name: String): Column =
+      expr(s"(`$name` - pmod(`$name`, ${bucketWidth}L)) div ${bucketWidth}L")
+    val spanOk = assert_true(
+      col(hiCol) - col(loCol) <= lit(maxSpanMicros),
+      lit(s"rangeJoinStream: an interval spans > $maxSpanMicros micros; " +
+        "widen maxSpanMicros deliberately or clean sentinel hi values " +
+        "(unbounded spans would make the join state unbounded)"))
+    val pt = points
+      .withColumn("_bucket_pt", fdiv(pointCol))
+      .withColumn("_pt_ts", timestamp_micros(col(pointCol)))
+      .withWatermark("_pt_ts", pointsLateness)
+    val iv = intervals
+      .where(col(loCol) <= col(hiCol))
+      .withColumn("_bucket_iv",
+        explode(sequence(fdiv(loCol), when(spanOk.isNull, fdiv(hiCol)))))
+      .withColumn("_iv_ts", timestamp_micros(col(loCol)))
+      .withWatermark("_iv_ts", intervalsLateness)
+    pt.join(iv,
+      col("_bucket_pt") === col("_bucket_iv") &&
+        col("_pt_ts") >= col("_iv_ts") &&
+        col("_pt_ts") <= col("_iv_ts") +
+          expr(s"INTERVAL $maxSpanMicros MICROSECONDS") &&
+        col(pointCol) >= col(loCol) && col(pointCol) <= col(hiCol))
+      .drop("_bucket_pt", "_bucket_iv", "_pt_ts", "_iv_ts")
   }
 
   /** #17 — UniqueVisitApp (UniqueVisitApp.java:37-71): per-user daily

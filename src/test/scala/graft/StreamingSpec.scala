@@ -170,6 +170,43 @@ class StreamingSpec extends SparkSpec {
       "stream range join diverged from the batch operator")
   }
 
+  test("stream-stream range join matches the batch operator") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val rnd = new scala.util.Random(13)
+    val intervals = Seq.tabulate(40) { i =>
+      val lo = rnd.nextLong(1000)
+      (i.toLong, lo, lo + rnd.nextLong(50))
+    }
+    val points = Seq.tabulate(200)(i => (i.toLong, rnd.nextLong(1100)))
+    val msP = MemoryStream[(Long, Long)]
+    val msI = MemoryStream[(Long, Long, Long)]
+    // generous lateness: the spec asserts JOIN correctness across
+    // interleaved micro-batches, not watermark drops — nothing may be
+    // late here so stream == batch exactly
+    val out = Streams.rangeJoinStream(
+      msP.toDF().toDF("pt_id", "p"), "p",
+      msI.toDF().toDF("iv_id", "lo", "hi"), "lo", "hi",
+      bucketWidth = 32L, maxSpanMicros = 64L,
+      pointsLateness = "1 hour", intervalsLateness = "1 hour")
+    val q = out.writeStream.format("memory").queryName("rjss")
+      .outputMode("append").start()
+    try {
+      // interleave arrivals: points before their interval and after
+      msI.addData(intervals.take(20)); q.processAllAvailable()
+      msP.addData(points.take(120)); q.processAllAvailable()
+      msI.addData(intervals.drop(20)); q.processAllAvailable()
+      msP.addData(points.drop(120)); q.processAllAvailable()
+    } finally q.stop()
+    val got = spark.table("rjss").select("pt_id", "iv_id")
+    val want = graft.api.Graft.rangeJoin(points.toDF("pt_id", "p"), "p",
+      intervals.toDF("iv_id", "lo", "hi"), "lo", "hi", 32L)
+      .select("pt_id", "iv_id")
+    assert(got.exceptAll(want).count() == 0 &&
+      want.exceptAll(got).count() == 0,
+      "stream-stream range join diverged from the batch operator")
+  }
+
   test("stream_unique_visit matches batch per-user daily first events") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
