@@ -68,7 +68,8 @@ object SparkEntry {
     "q_token_quantiles_approx" -> (Corpus.qTokenQuantilesApprox _),
     "q_contamination" -> (Corpus.qContamination _),
     "q_pii_scrub" -> (Text.qPiiScrub _),
-    "q_dup_clusters_incremental" -> (Dedup.qDupClustersIncremental _)
+    "q_dup_clusters_incremental" -> (Dedup.qDupClustersIncremental _),
+    "q_intradoc_repetition" -> (Text.qIntradocRepetition _)
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -124,6 +125,7 @@ object SparkEntry {
     "q_token_quantiles" -> Corpus.qTokenQuantilesSql,
     "q_contamination" -> Corpus.qContaminationSql,
     "q_pii_scrub" -> Text.qPiiScrubSql,
-    "q_dup_clusters_incremental" -> Dedup.qDupClustersIncrementalSql
+    "q_dup_clusters_incremental" -> Dedup.qDupClustersIncrementalSql,
+    "q_intradoc_repetition" -> Text.qIntradocRepetitionSql
   )
 }

@@ -148,6 +148,63 @@ object Text {
       |    (acc, x) -> (acc * 31 + x) % 1000000007) AS rolling_hash
       |FROM t ORDER BY doc_id""".stripMargin
 
+  /** Repetition flag threshold (#71): duplicate-3-gram fraction above
+    * which a document is marked repetitive. 0.02 separates the test
+    * corpus cleanly (27/500 docs have ANY internal repeat, 4 exceed
+    * this); production corpora tune it per the published repetition-
+    * filter recipes (duplicate n-gram fractions are one of the
+    * standard web-scale quality rules).
+    */
+  private val RepetitionTau = 0.02
+
+  /** #71 — `q_intradoc_repetition`: WITHIN-document repetition — the
+    * quality rule that catches boilerplate-padded and loop-generated
+    * pages cross-doc dedup (#25-28) cannot see. Per doc: total word
+    * 3-grams (tokens − 2), DISTINCT 3-grams (the `word_shingles`
+    * vocabulary, one definition shared with the whole dedup family),
+    * and the duplicate fraction 1 − distinct/total, flagged at
+    * [[RepetitionTau]]. Pure map-side projection — the shingle set
+    * never explodes and nothing shuffles; at 100 TB this runs at
+    * parquet-scan speed like the rest of this file.
+    */
+  def qIntradocRepetition(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.WordShingles.register(spark)
+    Tables.documents(spark, dir)
+      .withColumn("n_tokens", wsTokenCount)
+      .withColumn("n_grams", greatest(col("n_tokens") - 2, lit(0L)))
+      .withColumn("n_distinct",
+        size(expr("word_shingles(text, 3)")).cast("long"))
+      .withColumn("dup_fraction",
+        when(col("n_grams") === 0, lit(0.0))
+          .otherwise(lit(1.0) -
+            col("n_distinct").cast("double") / col("n_grams")))
+      .withColumn("is_repetitive", col("dup_fraction") > RepetitionTau)
+      .select("doc_id", "n_grams", "n_distinct", "dup_fraction",
+        "is_repetitive")
+      .orderBy("doc_id")
+  }
+
+  val qIntradocRepetitionSql: String =
+    s"""WITH toks AS (
+       |  SELECT doc_id, list_filter(string_split(text, ' '), t -> t <> '') AS t
+       |  FROM documents),
+       |g AS (
+       |  SELECT doc_id,
+       |    CAST(CASE WHEN len(t) >= 3 THEN len(t) - 2 ELSE 0 END AS BIGINT) AS n_grams,
+       |    CAST(CASE WHEN len(t) >= 3
+       |      THEN len(list_distinct(list_transform(range(1, len(t) - 1),
+       |             i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])))
+       |      ELSE 0 END AS BIGINT) AS n_distinct
+       |  FROM toks),
+       |f AS (
+       |  SELECT doc_id, n_grams, n_distinct,
+       |    CASE WHEN n_grams = 0 THEN 0.0
+       |      ELSE 1.0 - CAST(n_distinct AS DOUBLE) / n_grams END AS dup_fraction
+       |  FROM g)
+       |SELECT doc_id, n_grams, n_distinct, dup_fraction,
+       |  dup_fraction > $RepetitionTau AS is_repetitive
+       |FROM f ORDER BY doc_id""".stripMargin
+
   /** PII patterns shared by #59 and its spec. Written in the common
     * subset of Java regex (Spark) and RE2 (DuckDB): explicit [0-9]
     * classes, no lookaround, no backreferences — both engines match
