@@ -69,7 +69,8 @@ object SparkEntry {
     "q_contamination" -> (Corpus.qContamination _),
     "q_pii_scrub" -> (Text.qPiiScrub _),
     "q_dup_clusters_incremental" -> (Dedup.qDupClustersIncremental _),
-    "q_intradoc_repetition" -> (Text.qIntradocRepetition _)
+    "q_intradoc_repetition" -> (Text.qIntradocRepetition _),
+    "q_curation_funnel" -> (Corpus.qCurationFunnel _)
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -126,6 +127,7 @@ object SparkEntry {
     "q_contamination" -> Corpus.qContaminationSql,
     "q_pii_scrub" -> Text.qPiiScrubSql,
     "q_dup_clusters_incremental" -> Dedup.qDupClustersIncrementalSql,
-    "q_intradoc_repetition" -> Text.qIntradocRepetitionSql
+    "q_intradoc_repetition" -> Text.qIntradocRepetitionSql,
+    "q_curation_funnel" -> Corpus.qCurationFunnelSql
   )
 }

@@ -356,4 +356,94 @@ object Corpus {
         col("q").getItem(0).as("p25"), col("q").getItem(1).as("p50"),
         col("q").getItem(2).as("p75"), col("q").getItem(3).as("p90"))
       .orderBy("source")
+
+  /** Quality-score cut for the funnel's quality stage (#72): keeps
+    * ~73% of the test corpus; production pipelines tune it against
+    * their classifier calibration.
+    */
+  private val FunnelQualityTau = 0.6
+
+  /** #72 — `q_curation_funnel`: the END-TO-END curation pipeline as
+    * one operator — the composition a training-data run actually
+    * executes, with the per-stage survivor counts every curation
+    * report leads with. Stages (nested conjunctions, each reusing the
+    * EXACT shared definition of its standalone operator):
+    *
+    *   0 all → 1 lang = en → 2 quality_score ≥ τ (#33's score) →
+    *   3 not repetitive (#71) → 4 exact-dedup canonical among stage-3
+    *   survivors (#25's fingerprint) → 5 not in / not contaminated by
+    *   the benchmark slice (#58).
+    *
+    * Scale shape — this is ONE corpus scan, not six: quality,
+    * repetition, and the fingerprint are map-side projections fused
+    * into the scan; contamination verdicts are a TINY frame (docs
+    * overlapping the benchmark) broadcast back; the only corpus-scale
+    * exchange is the fingerprint window the dedup stage needs anyway;
+    * the stage counts are one scalar aggregate of predicate sums
+    * (stage k's predicate = stage k−1's ∧ its own rule), unpivoted to
+    * rows driver-side by `stack`. A naive materialize-each-stage
+    * funnel re-scans and re-shuffles per stage — this shape does not.
+    */
+  def qCurationFunnel(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val isBench = pmod(col("doc_id"), lit(97L)) === 0
+    val contam = contaminated(docs.where(!isBench), docs.where(isBench),
+        "doc_id", "text", n = 3, minOverlap = ContaminationK)
+      .where(col("contaminated"))
+      .select(col("id").as("doc_id"), col("contaminated"))
+    val flagged = Text.withRepetition(Text.withQuality(docs))
+      .withColumn("fp", Dedup.contentFp)
+      .join(broadcast(contam), Seq("doc_id"), "left")
+      .withColumn("p1", col("lang") === "en")
+      .withColumn("p2", col("p1") && col("quality_score") >= FunnelQualityTau)
+      .withColumn("p3", col("p2") && !col("is_repetitive"))
+      .withColumn("keep_id",
+        min(when(col("p3"), col("doc_id"))).over(Window.partitionBy("fp")))
+      .withColumn("p4", col("p3") && col("doc_id") === col("keep_id"))
+      .withColumn("p5", col("p4") && !isBench &&
+        coalesce(col("contaminated"), lit(false)) === false)
+    flagged
+      .agg(
+        count(lit(1)).as("c0"),
+        sum(col("p1").cast("long")).as("c1"),
+        sum(col("p2").cast("long")).as("c2"),
+        sum(col("p3").cast("long")).as("c3"),
+        sum(col("p4").cast("long")).as("c4"),
+        sum(col("p5").cast("long")).as("c5"))
+      .selectExpr(
+        """stack(6,
+          |  CAST(0 AS BIGINT), 'all',            c0,
+          |  CAST(1 AS BIGINT), 'lang_en',        c1,
+          |  CAST(2 AS BIGINT), 'quality',        c2,
+          |  CAST(3 AS BIGINT), 'repetition',     c3,
+          |  CAST(4 AS BIGINT), 'exact_dedup',    c4,
+          |  CAST(5 AS BIGINT), 'decontaminated', c5
+          |) AS (stage, stage_name, survivors)""".stripMargin)
+      .orderBy("stage")
+  }
+
+  val qCurationFunnelSql: String =
+    s"""WITH q AS (SELECT doc_id, quality_score FROM (${Text.qTextQualitySql})),
+       |r AS (SELECT doc_id, is_repetitive FROM (${Text.qIntradocRepetitionSql})),
+       |c AS (SELECT doc_id FROM ($qContaminationSql) WHERE contaminated),
+       |d AS (SELECT doc_id, lang, ${Dedup.contentFpSql} AS fp FROM documents),
+       |s1 AS (SELECT d.doc_id, d.fp FROM d WHERE lang = 'en'),
+       |s2 AS (SELECT s1.doc_id, s1.fp FROM s1 JOIN q ON s1.doc_id = q.doc_id
+       |       WHERE q.quality_score >= $FunnelQualityTau),
+       |s3 AS (SELECT s2.doc_id, s2.fp FROM s2 JOIN r ON s2.doc_id = r.doc_id
+       |       WHERE NOT r.is_repetitive),
+       |s4 AS (SELECT doc_id FROM (
+       |         SELECT doc_id, min(doc_id) OVER (PARTITION BY fp) AS mn FROM s3)
+       |       WHERE doc_id = mn),
+       |s5 AS (SELECT s4.doc_id FROM s4 LEFT JOIN c ON s4.doc_id = c.doc_id
+       |       WHERE ((s4.doc_id % 97) + 97) % 97 <> 0 AND c.doc_id IS NULL)
+       |SELECT * FROM (
+       |  SELECT CAST(0 AS BIGINT) AS stage, 'all' AS stage_name,
+       |    (SELECT count(*) FROM documents) AS survivors
+       |  UNION ALL SELECT 1, 'lang_en',        (SELECT count(*) FROM s1)
+       |  UNION ALL SELECT 2, 'quality',        (SELECT count(*) FROM s2)
+       |  UNION ALL SELECT 3, 'repetition',     (SELECT count(*) FROM s3)
+       |  UNION ALL SELECT 4, 'exact_dedup',    (SELECT count(*) FROM s4)
+       |  UNION ALL SELECT 5, 'decontaminated', (SELECT count(*) FROM s5)
+       |) ORDER BY stage""".stripMargin
 }

@@ -60,8 +60,14 @@ object Text {
   /** #33 — quality score: token count, mean word length, punctuation
     * ratio, stopword ratio combined into a bounded [0,1] score.
     */
-  def qTextQuality(spark: SparkSession, dir: String): DataFrame =
-    Tables.documents(spark, dir)
+  /** The #33 quality columns on any frame with a `text` column — the
+    * one definition of the score, shared by the gated query and the
+    * curation funnel (#72) so the two cannot drift. Adds `n`,
+    * `n_tokens`, `stop_ct`, `mean_word_len`, `punct_ratio`,
+    * `stopword_ratio`, `quality_score`; pure map-side projection.
+    */
+  private[operators] def withQuality(df: DataFrame): DataFrame =
+    df
       .withColumn("n", length(col("text")).cast("long"))
       .withColumn("n_tokens",
         size(filter(tokens, t => t =!= "")).cast("long"))
@@ -77,6 +83,9 @@ object Text {
         lit(0.3) * least(lit(1.0), col("n_tokens") / 200.0) +
           lit(0.4) * (lit(1.0) - col("punct_ratio")) +
           lit(0.3) * least(lit(1.0), col("stopword_ratio") * 10.0))
+
+  def qTextQuality(spark: SparkSession, dir: String): DataFrame =
+    withQuality(Tables.documents(spark, dir))
       .select("doc_id", "n_tokens", "mean_word_len", "punct_ratio",
         "stopword_ratio", "quality_score")
       .orderBy("doc_id")
@@ -167,11 +176,14 @@ object Text {
     * never explodes and nothing shuffles; at 100 TB this runs at
     * parquet-scan speed like the rest of this file.
     */
-  def qIntradocRepetition(spark: SparkSession, dir: String): DataFrame = {
-    graft.functions.WordShingles.register(spark)
-    Tables.documents(spark, dir)
-      .withColumn("n_tokens", wsTokenCount)
-      .withColumn("n_grams", greatest(col("n_tokens") - 2, lit(0L)))
+  /** The #71 repetition columns on any frame with a `text` column —
+    * shared by the gated query and the curation funnel (#72). Adds
+    * `n_grams`, `n_distinct`, `dup_fraction`, `is_repetitive`.
+    */
+  private[operators] def withRepetition(df: DataFrame): DataFrame = {
+    graft.functions.WordShingles.register(df.sparkSession)
+    df
+      .withColumn("n_grams", greatest(wsTokenCount - 2, lit(0L)))
       .withColumn("n_distinct",
         size(expr("word_shingles(text, 3)")).cast("long"))
       .withColumn("dup_fraction",
@@ -179,10 +191,13 @@ object Text {
           .otherwise(lit(1.0) -
             col("n_distinct").cast("double") / col("n_grams")))
       .withColumn("is_repetitive", col("dup_fraction") > RepetitionTau)
+  }
+
+  def qIntradocRepetition(spark: SparkSession, dir: String): DataFrame =
+    withRepetition(Tables.documents(spark, dir))
       .select("doc_id", "n_grams", "n_distinct", "dup_fraction",
         "is_repetitive")
       .orderBy("doc_id")
-  }
 
   val qIntradocRepetitionSql: String =
     s"""WITH toks AS (
