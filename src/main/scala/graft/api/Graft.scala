@@ -224,6 +224,83 @@ object Graft {
     graft.operators.Dedup.incrementalPairsStored(baseIndex, deltaIndex,
       tau, dfCap)
 
+  /** Build an IVF (inverted-file) ANN index: every vector assigned to
+    * its nearest centroid by cosine (ties → lowest centroid id;
+    * centroid ids must be numeric). Returns `(id, cell, vec)` —
+    * the stored form queries probe ([[ivfQuery]]) so the corpus is
+    * assigned ONCE, not per query batch. Assignment never shuffles
+    * the corpus: centroids broadcast, the per-row nearest-cell pick
+    * folds through a map-side-combinable `max_by` aggregate.
+    */
+  def ivfIndex(embeddings: DataFrame, idCol: String, vecCol: String,
+      centroids: DataFrame, centIdCol: String,
+      centVecCol: String): DataFrame = {
+    graft.functions.CosineSimilarity.register(embeddings.sparkSession)
+    val e = embeddings.select(col(idCol).as("id"),
+      col(vecCol).cast("array<double>").as("vec"))
+    val c = centroids.select(col(centIdCol).as("cent_id"),
+      col(centVecCol).cast("array<double>").as("cv"))
+    e.crossJoin(broadcast(c))
+      .withColumn("ccos", call_function("cosine_sim", col("cv"), col("vec")))
+      .groupBy("id")
+      .agg(first(col("vec")).as("vec"),
+        max_by(col("cent_id"),
+          struct(col("ccos"), (-col("cent_id")).as("tie"))).as("cell"))
+      .select("id", "cell", "vec")
+  }
+
+  /** Writes an [[ivfIndex]] frame as a parquet table BUCKETED by cell —
+    * the layout that makes serving exchange-free on the corpus side:
+    * the probe join keys on `cell`, and a bucketed scan already
+    * satisfies that distribution, so per query batch only the (tiny)
+    * probe frame moves (IvfIndexSpec asserts the no-Exchange plan).
+    * Append re-ingested vectors' assignments (`overwrite = false`) and
+    * the table stays the full corpus index.
+    */
+  def writeIvfIndex(index: DataFrame, table: String, buckets: Int = 32,
+      overwrite: Boolean = false): Unit =
+    index.write.mode(if (overwrite) "overwrite" else "append")
+      .bucketBy(buckets, "cell").sortBy("cell")
+      .format("parquet").saveAsTable(table)
+
+  /** Serve ANN queries against a stored [[ivfIndex]]: per query, rank
+    * centroids by cosine, probe the top `nprobe` cells, re-rank the
+    * probed cells' vectors exactly, keep the top `k` (ties → lowest
+    * id). `excludeSelf` drops index rows whose id equals the query id
+    * (queries drawn from the indexed corpus). The scan fraction — and
+    * the recall trade — is nprobe / n_cells, the dial the gated
+    * `q_ann_ivf`'s AnnSpec sweeps; the index side is read bucketed and
+    * never re-assigned, so serving cost is probes × cell size.
+    */
+  def ivfQuery(index: DataFrame, centroids: DataFrame, centIdCol: String,
+      centVecCol: String, queries: DataFrame,
+      qIdCol: String, qVecCol: String, k: Int, nprobe: Int,
+      excludeSelf: Boolean = false): DataFrame = {
+    require(k > 0, s"k must be positive, got $k")
+    require(nprobe > 0, s"nprobe must be positive, got $nprobe")
+    graft.functions.CosineSimilarity.register(index.sparkSession)
+    val c = centroids.select(col(centIdCol).as("cent_id"),
+      col(centVecCol).cast("array<double>").as("cv"))
+    val q = queries.select(col(qIdCol).as("q_id"),
+      col(qVecCol).cast("array<double>").as("qv"))
+    val wProbe = Window.partitionBy("q_id")
+      .orderBy(col("ccos").desc, col("cent_id"))
+    val probes = q.crossJoin(broadcast(c))
+      .withColumn("ccos", call_function("cosine_sim", col("cv"), col("qv")))
+      .withColumn("crank", row_number().over(wProbe))
+      .where(col("crank") <= nprobe)
+      .select(col("q_id"), col("qv"), col("cent_id").as("cell"))
+    val wTop = Window.partitionBy("q_id").orderBy(col("cos").desc, col("id"))
+    val cand = probes.join(index, "cell")
+    val filtered =
+      if (excludeSelf) cand.where(col("id") =!= col("q_id")) else cand
+    filtered
+      .withColumn("cos", call_function("cosine_sim", col("qv"), col("vec")))
+      .withColumn("rank", row_number().over(wTop))
+      .where(col("rank") <= k)
+      .select("q_id", "rank", "id", "cos")
+  }
+
   /** Connected components over an undirected edge list: every vertex
     * appearing in `edges` labeled with its component's min vertex id
     * and component size. EAGER (like an MLlib fit): the fixpoint runs

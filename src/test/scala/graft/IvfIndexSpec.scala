@@ -1,0 +1,73 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.api.Graft
+
+/** IVF index persistence (#73): build the corpus assignment ONCE,
+  * store it bucketed by cell, and serve ANN queries against the stored
+  * table. Pins (a) stored-index serving == the gated `q_ann_ivf`
+  * path, (b) the bucketed round-trip changes nothing, and (c) the
+  * bucketed layout removes the index-side shuffle a plain stored
+  * frame would pay under a sort-merge probe join.
+  */
+class IvfIndexSpec extends SparkSpec {
+
+  private def emb = Tables.embeddings(spark, sf)
+    .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+
+  /** The gated query's deterministic centroid rule (vec_id % 50). */
+  private def cents = emb.where(col("vec_id") % 50 === 0)
+    .select(col("vec_id").as("cent_id"), col("v").as("cv"))
+
+  private def queries = emb.where(col("vec_id") < 10)
+
+  test("stored-shape ivfQuery reproduces the gated q_ann_ivf") {
+    val idx = Graft.ivfIndex(emb, "vec_id", "v", cents, "cent_id", "cv")
+    val got = Graft.ivfQuery(idx, cents, "cent_id", "cv", queries,
+        "vec_id", "v", k = 5, nprobe = 2, excludeSelf = true)
+      .select(col("q_id"), col("rank"), col("id").as("vec_id"), col("cos"))
+    val want = SparkEntry.queries("q_ann_ivf")(spark, sf)
+    assert(got.exceptAll(want).count() == 0 &&
+      want.exceptAll(got).count() == 0,
+      "index-then-serve diverged from the gated single-pass q_ann_ivf")
+  }
+
+  test("bucketed round-trip: equal results, one fewer exchange to probe") {
+    spark.sql("DROP TABLE IF EXISTS ivf_idx")
+    spark.sql("DROP TABLE IF EXISTS ivf_idx_plain")
+    try {
+      val idx = Graft.ivfIndex(emb, "vec_id", "v", cents, "cent_id", "cv")
+      Graft.writeIvfIndex(idx, "ivf_idx", buckets = 8, overwrite = true)
+      idx.write.mode("overwrite").format("parquet").saveAsTable("ivf_idx_plain")
+      val stored = spark.table("ivf_idx")
+      val inMem = Graft.ivfQuery(idx, cents, "cent_id", "cv", queries,
+        "vec_id", "v", k = 5, nprobe = 2, excludeSelf = true)
+      val fromDisk = Graft.ivfQuery(stored, cents, "cent_id", "cv", queries,
+        "vec_id", "v", k = 5, nprobe = 2, excludeSelf = true)
+      assert(fromDisk.exceptAll(inMem).count() == 0 &&
+        inMem.exceptAll(fromDisk).count() == 0,
+        "bucketed round-trip changed the served results")
+      // force the probe join onto the sort-merge path and compare the
+      // SAME stored query against a bucketed vs a plain table: the
+      // bucketed scan satisfies the cell distribution, the plain one
+      // must add exactly the index-side shuffle
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      try {
+        def nShuffles(df: org.apache.spark.sql.DataFrame): Int =
+          "Exchange hashpartitioning".r
+            .findAllIn(df.queryExecution.executedPlan.toString).size
+        val b = nShuffles(Graft.ivfQuery(stored, cents, "cent_id", "cv",
+          queries, "vec_id", "v", k = 5, nprobe = 2))
+        val p = nShuffles(Graft.ivfQuery(spark.table("ivf_idx_plain"),
+          cents, "cent_id", "cv", queries, "vec_id", "v", k = 5, nprobe = 2))
+        assert(b == p - 1,
+          s"bucketed index should save exactly the index-side shuffle " +
+            s"(bucketed=$b, plain=$p)")
+      } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold",
+        10L * 1024 * 1024)
+    } finally {
+      spark.sql("DROP TABLE IF EXISTS ivf_idx")
+      spark.sql("DROP TABLE IF EXISTS ivf_idx_plain")
+    }
+  }
+}
