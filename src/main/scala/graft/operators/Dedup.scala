@@ -623,17 +623,32 @@ object Dedup {
     * already-documented #47 cap trade, applied per arrival epoch.
     *
     * Like #43, invoking this runs the (batch-sized) fixpoint eagerly.
+    * Both pair generators read ONE persisted exploded-shingle pass
+    * over the corpus (shingling is the dominant map-side cost; the
+    * base generator caps df over the base subset, the incremental one
+    * over base+delta — each per its own contract).
     */
   def qDupClustersIncremental(spark: SparkSession, dir: String): DataFrame = {
-    val base = Tables.documents(spark, dir)
-      .where(pmod(col("doc_id"), lit(DeltaMod)) =!= DeltaRes)
-    val basePairs = graft.api.Graft.ngramJaccardPairs(base, "doc_id", "text",
-      n = 3, tau = JaccardTau, dfCap = DfCap)
+    graft.functions.WordShingles.register(spark)
+    val ex0 = Tables.documents(spark, dir)
+      .select(col("doc_id").as("id"),
+        (pmod(col("doc_id"), lit(DeltaMod)) === DeltaRes).as("is_delta"),
+        explode(expr("word_shingles(text, 3)")).as("shingle"))
+      .select(col("id"), col("is_delta"), xxhash64(col("shingle")).as("shingle"))
+      .persist()
+    val exB0 = ex0.where(!col("is_delta"))
+      .select(col("id").as("doc_id"), col("shingle"))
+    val rareB = exB0.groupBy("shingle").agg(count(lit(1)).as("df"))
+      .where(col("df") <= DfCap).select("shingle")
+    val exB = exB0.join(rareB, "shingle").persist()
+    val cntB = exB.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    val basePairs = jaccardPairs(exB, cntB)
     val baseLabels = graft.api.Graft.connectedComponents(basePairs,
-      "id_a", "id_b")
-    val incPairs = qDedupIncremental(spark, dir).select("doc_new", "doc_old")
+      "doc_a", "doc_b")
+    val incPairs = incrementalPairsFromExploded(ex0, JaccardTau, DfCap)
+      .select("id_new", "id_old")
     graft.api.Graft.mergeComponents(baseLabels, incPairs,
-      "doc_new", "doc_old")
+      "id_new", "id_old")
       .select(col("id").as("doc_id"), col("component_id").as("cluster_id"),
         col("component_size").as("cluster_size"))
       .orderBy("doc_id")
