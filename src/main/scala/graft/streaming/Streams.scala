@@ -31,6 +31,26 @@ case class DayState(days: Seq[String])
   */
 case class PendingView(event_id: Long, ts_us: Long)
 
+/** One row of the unioned, tagged as-of input stream (#74): rights are
+  * the reference series (dim updates / views), lefts the events to
+  * enrich (facts / purchases). `ts` is the watermark column, `ts_us`
+  * its epoch-micros mirror.
+  */
+case class AsofEvent(key: Long, ts: java.sql.Timestamp, ts_us: Long,
+    is_right: Boolean, id: Long, value: Double)
+
+/** Per-key as-of state: buffered rights (ts_us, id, value) and lefts
+  * (ts_us, id) not yet finalized by the watermark.
+  */
+case class AsofBuf(rights: Seq[(Long, Long, Double)],
+    lefts: Seq[(Long, Long)])
+
+/** A finalized left with its as-of right (sentinels −1/−1/0.0 when the
+  * key had no right at-or-before the left's time).
+  */
+case class AsofOut(key: Long, id: Long, ts_us: Long,
+    right_id: Long, right_ts_us: Long, right_value: Double)
+
 /** Structured Streaming equivalents of the reference's streaming apps
   * (SURVEY.md §2.1 #16-20). Each op is a pure stream→stream transform
   * (readStream → op → writeStream), so specs drive them with
@@ -236,6 +256,85 @@ object Streams {
           expr(s"INTERVAL $maxSpanMicros MICROSECONDS") &&
         col(pointCol) >= col(loCol) && col(pointCol) <= col(hiCol))
       .drop("_bucket_pt", "_bucket_iv", "_pt_ts", "_iv_ts")
+  }
+
+  /** #74 — STREAMING as-of join: enrich each left event with the same
+    * key's most recent right event at-or-before it, on unbounded
+    * streams — the temporal/last-touch join the batch
+    * [[graft.api.Graft.asofJoin]] provides, which Structured Streaming
+    * has no native form of (its stream-stream joins need a BOUNDED
+    * time-range condition; as-of lookback is unbounded).
+    *
+    * Input is the two streams unioned and tagged ([[AsofEvent]]) —
+    * the same union trick as the batch operator, moved into keyed
+    * state: per key, `flatMapGroupsWithState` buffers rights and
+    * pending lefts; a left is FINALIZED (emitted exactly once, with
+    * the latest right ≤ its time, ties inclusive and broken by max
+    * id exactly as the batch tie-break) only when the watermark has
+    * passed it, so no earlier right can still arrive. An event-time
+    * timeout re-fires the key when the watermark passes its earliest
+    * pending left, so quiet keys flush without new input.
+    *
+    * State is bounded on both sides: rights before the watermark
+    * collapse to ONE row (the newest — the only one any future left
+    * can see, since future lefts are ≥ the watermark); pending lefts
+    * drain at the watermark by construction; a key with no pending
+    * lefts keeps its carried right for `rightTtlMs` and is then
+    * dropped whole (the dim-cache TTL of the reference's async dim
+    * lookup).
+    */
+  def asofJoinStream(events: Dataset[AsofEvent],
+      lateness: String = "10 seconds",
+      rightTtlMs: Long = 24L * 3600 * 1000): Dataset[AsofOut] = {
+    import events.sparkSession.implicits._
+    events
+      .withWatermark("ts", lateness)
+      .groupByKey(_.key)
+      .flatMapGroupsWithState[AsofBuf, AsofOut](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (key: Long, it: Iterator[AsofEvent], state: GroupState[AsofBuf]) =>
+          val wmUs = state.getCurrentWatermarkMs() * 1000
+          val st = state.getOption.getOrElse(AsofBuf(Nil, Nil))
+          val arrivals = it.toVector
+          val rights0 = (st.rights ++ arrivals.filter(_.is_right)
+            .map(e => (e.ts_us, e.id, e.value))).distinct
+            .sortBy(r => (r._1, r._2))
+          val lefts = (st.lefts ++ arrivals.filterNot(_.is_right)
+            .map(e => (e.ts_us, e.id))).distinct.sorted
+          // finalize lefts STRICTLY below the watermark: a right that
+          // could still change them would be at-or-before their time,
+          // hence strictly late, hence dropped by the engine
+          val (ready, pending) = lefts.partition(_._1 < wmUs)
+          val out = ready.map { case (lts, lid) =>
+            rights0.foldLeft(Option.empty[(Long, Long, Double)]) {
+              (acc, r) => if (r._1 <= lts) Some(r) else acc
+            } match {
+              case Some((rts, rid, rv)) => AsofOut(key, lid, lts, rid, rts, rv)
+              case None => AsofOut(key, lid, lts, -1L, -1L, 0.0)
+            }
+          }
+          // rights before the watermark collapse to the newest one
+          val keepIdx = rights0.lastIndexWhere(_._1 <= wmUs)
+          val rights = if (keepIdx <= 0) rights0 else rights0.drop(keepIdx)
+          if (state.hasTimedOut && arrivals.isEmpty && ready.isEmpty &&
+              pending.isEmpty) {
+            // PURE idle wake (the TTL registered when nothing was
+            // pending): drop the carried right. A timeout that flushed
+            // lefts must NOT land here — its key keeps the carried
+            // right for lefts still to come
+            state.remove()
+          } else if (pending.isEmpty && rights.isEmpty) {
+            state.remove()
+          } else {
+            state.update(AsofBuf(rights, pending))
+            val wake = pending.headOption
+              .map(_._1 / 1000 + 1)
+              .getOrElse(state.getCurrentWatermarkMs() + rightTtlMs)
+            state.setTimeoutTimestamp(
+              math.max(wake, state.getCurrentWatermarkMs() + 1))
+          }
+          out.iterator
+      }
   }
 
   /** #17 — UniqueVisitApp (UniqueVisitApp.java:37-71): per-user daily

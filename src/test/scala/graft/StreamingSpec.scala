@@ -207,6 +207,64 @@ class StreamingSpec extends SparkSpec {
       "stream-stream range join diverged from the batch operator")
   }
 
+  test("asofJoinStream matches the batch as-of join") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val rnd = new scala.util.Random(7)
+    // whole-millisecond event times (the watermark is ms-grained) with
+    // distinct (key, ts) rights so tie-break rules never engage
+    def times(n: Int) =
+      rnd.shuffle((1 until 2000).toVector).take(n).map(_ * 1000000L)
+    val rights = for {
+      k <- 0L until 8L
+      (ts, i) <- times(20).zipWithIndex
+    } yield (k, ts, k * 1000 + i, rnd.nextDouble())
+    val lefts = for {
+      k <- 0L until 8L
+      (ts, i) <- times(40).zipWithIndex
+    } yield (k, ts, k * 10000 + i)
+    def ev(k: Long, ts: Long, isRight: Boolean, id: Long, v: Double) =
+      AsofEvent(k, new java.sql.Timestamp(ts / 1000), ts, isRight, id, v)
+    // batches are consecutive time chunks (shuffled within each): the
+    // engine drops rows older than the watermark before the stateful
+    // operator, so cross-batch disorder must stay within the lateness
+    val all = (rights.map(r => ev(r._1, r._2, isRight = true, r._3, r._4)) ++
+      lefts.map(l => ev(l._1, l._2, isRight = false, l._3, 0.0)))
+      .sortBy(_.ts_us)
+    val ms = MemoryStream[AsofEvent]
+    val q = Streams.asofJoinStream(ms.toDS(), lateness = "1 second")
+      .writeStream.format("memory").queryName("asof_s")
+      .outputMode("append").start()
+    try {
+      val third = all.length / 3
+      ms.addData(rnd.shuffle(all.take(third))); q.processAllAvailable()
+      ms.addData(rnd.shuffle(all.slice(third, 2 * third))); q.processAllAvailable()
+      ms.addData(rnd.shuffle(all.drop(2 * third))); q.processAllAvailable()
+      // far-future right on an unused key pushes the watermark past
+      // every left; pending keys flush via their event-time timeouts
+      ms.addData(Seq(ev(999L, 10000000000L, isRight = true, -5L, 0.0)))
+      q.processAllAvailable()
+      ms.addData(Seq(ev(999L, 10000001000L, isRight = true, -6L, 0.0)))
+      q.processAllAvailable()
+    } finally q.stop()
+    val got = spark.table("asof_s")
+    val want = graft.api.Graft.asofJoin(
+        lefts.toDF("key", "l_ts", "id"),
+        rights.toDF("key", "r_ts", "right_id", "right_value")
+          .withColumn("right_ts_us", col("r_ts")),
+        "key", "l_ts", "r_ts", Seq("right_id", "right_ts_us", "right_value"))
+      .select(col("key"), col("id"), col("l_ts").as("ts_us"),
+        coalesce(col("right_id"), lit(-1L)).as("right_id"),
+        coalesce(col("right_ts_us"), lit(-1L)).as("right_ts_us"),
+        coalesce(col("right_value"), lit(0.0)).as("right_value"))
+    val extra = got.exceptAll(want).collect()
+    val missing = want.exceptAll(got).collect()
+    assert(extra.isEmpty && missing.isEmpty,
+      s"streaming as-of join diverged from the batch as-of join; " +
+        s"extra=${extra.take(5).mkString("; ")} " +
+        s"missing=${missing.take(5).mkString("; ")}")
+  }
+
   test("stream_unique_visit matches batch per-user daily first events") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
