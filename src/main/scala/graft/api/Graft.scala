@@ -249,6 +249,61 @@ object Graft {
       .select("id", "cell", "vec")
   }
 
+  /** Deterministic spherical k-means (Lloyd) over an embedding column —
+    * the centroid FIT that feeds [[ivfIndex]] on a real corpus (the
+    * gated `q_ann_ivf` pins correctness with a deterministic id-rule
+    * centroid set; production indexes fit centroids instead). EAGER
+    * like an MLlib fit; returns `(cent_id, cv)` with `cent_id` = the
+    * 0-based seed rank. Seeds = the `k` lowest-id vectors (documented
+    * determinism over randomness: same input → same index, across
+    * runs and engines); `iters` fixed Lloyd rounds, no tolerance test.
+    *
+    * Scale shape per round — nothing corpus-sized crosses the wire:
+    * assignment is the [[ivfIndex]] broadcast + map-side `max_by`;
+    * the mean recompute pos-explodes to (cell, dim) keys whose partial
+    * aggregation collapses BEFORE the exchange, so shuffle volume is
+    * partitions × k × dim regardless of corpus size; only k×dim
+    * doubles ever reach the driver (the MLlib fit pattern). Empty
+    * cells keep their previous centroid.
+    */
+  def kmeansCentroids(embeddings: DataFrame, idCol: String, vecCol: String,
+      k: Int, iters: Int = 5): DataFrame = {
+    require(k > 0, s"k must be positive, got $k")
+    require(iters >= 0, s"iters must be non-negative, got $iters")
+    val spark = embeddings.sparkSession
+    graft.functions.CosineSimilarity.register(spark)
+    import spark.implicits._
+    val e = embeddings.select(col(idCol).as("id"),
+      col(vecCol).cast("array<double>").as("vec"))
+      .persist()
+    try {
+      var cents: Seq[(Long, Seq[Double])] = e.orderBy("id").limit(k)
+        .select(col("vec")).collect()
+        .zipWithIndex
+        .map { case (r, i) => (i.toLong, r.getSeq[Double](0)) }.toSeq
+      for (_ <- 0 until iters) {
+        val cDf = cents.toDF("cent_id", "cv")
+        val assigned = e.crossJoin(broadcast(cDf))
+          .withColumn("ccos",
+            call_function("cosine_sim", col("cv"), col("vec")))
+          .groupBy("id")
+          .agg(first(col("vec")).as("vec"),
+            max_by(col("cent_id"),
+              struct(col("ccos"), (-col("cent_id")).as("tie"))).as("cell"))
+        val means = assigned
+          .select(col("cell"), posexplode(col("vec")).as(Seq("pos", "x")))
+          .groupBy("cell", "pos").agg(sum("x").as("s"), count(lit(1)).as("n"))
+          .groupBy("cell")
+          .agg(transform(array_sort(
+            collect_list(struct(col("pos"), (col("s") / col("n")).as("m")))),
+            s => s.getField("m")).as("cv"))
+          .as[(Long, Seq[Double])].collect().toMap
+        cents = cents.map { case (cid, cv) => (cid, means.getOrElse(cid, cv)) }
+      }
+      cents.toDF("cent_id", "cv")
+    } finally { e.unpersist(); () }
+  }
+
   /** Writes an [[ivfIndex]] frame as a parquet table BUCKETED by cell —
     * the layout that makes serving exchange-free on the corpus side:
     * the probe join keys on `cell`, and a bucketed scan already

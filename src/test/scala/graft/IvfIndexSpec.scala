@@ -32,6 +32,29 @@ class IvfIndexSpec extends SparkSpec {
       "index-then-serve diverged from the gated single-pass q_ann_ivf")
   }
 
+  test("kmeansCentroids: deterministic fit, full coverage, serviceable recall") {
+    val c1 = Graft.kmeansCentroids(emb, "vec_id", "v", k = 10, iters = 3)
+    val c2 = Graft.kmeansCentroids(emb, "vec_id", "v", k = 10, iters = 3)
+    assert(c1.exceptAll(c2).count() == 0 && c2.exceptAll(c1).count() == 0,
+      "k-means fit must be deterministic run-to-run")
+    assert(c1.count() == 10)
+    // every cell of the fitted index is non-empty (no dead centroids
+    // on this corpus) …
+    val idx = Graft.ivfIndex(emb, "vec_id", "v", c1, "cent_id", "cv")
+    assert(idx.select("cell").distinct().count() == 10,
+      "fitted centroids left empty cells")
+    // … and serving against fitted centroids reaches the brute-force
+    // baseline's neighbors well before scanning every cell
+    val got = Graft.ivfQuery(idx, c1, "cent_id", "cv", queries,
+      "vec_id", "v", k = 5, nprobe = 3, excludeSelf = true)
+    val brute = SparkEntry.queries("q_ann_cosine_topk")(spark, sf)
+      .select(col("q_id"), col("vec_id").as("id"))
+    val hits = got.select("q_id", "id").intersect(brute).count()
+    val total = brute.count()
+    assert(hits >= (total * 0.5).toLong,
+      s"recall@5 with nprobe=3/10 fitted cells too low: $hits/$total")
+  }
+
   test("bucketed round-trip: equal results, one fewer exchange to probe") {
     spark.sql("DROP TABLE IF EXISTS ivf_idx")
     spark.sql("DROP TABLE IF EXISTS ivf_idx_plain")
