@@ -432,10 +432,18 @@ object Graft {
     * already share a component) contribute nothing and are dropped —
     * the pair-generator contract (`doc_a < doc_b`) never produces
     * literal self-edges.
+    *
+    * `changedOnly = true` returns ONLY the rows that differ from the
+    * prior labeling (new vertices, relabeled members, members of
+    * grown components) — the batch-sized delta a production store
+    * upserts instead of rewriting the graph-sized labeling
+    * (docs/SCALING.md probe 9; spec-pinned == full output minus
+    * unchanged rows).
     */
   def mergeComponents(labels: DataFrame, newEdges: DataFrame,
       srcCol: String, dstCol: String, maxRounds: Int = 64,
-      algorithm: String = "minlabel"): DataFrame = {
+      algorithm: String = "minlabel",
+      changedOnly: Boolean = false): DataFrame = {
     val lab = labels.select(col("id"), col("component_id"),
       col("component_size"))
     // the batch edge plan may be expensive (a candidate-join pair
@@ -490,10 +498,14 @@ object Graft {
       .select(col("id"),
         coalesce(col("nl"), col("component_id")).as("component_id"),
         col("component_size"))
-    relabeledOld
+    val joined = relabeledOld
       .unionByName(mNew.withColumn("component_size", lit(null).cast("long")))
       .join(broadcast(newSizes.withColumnRenamed("merged_size", "ms")),
         Seq("component_id"), "left")
+    // every affected component appears in newSizes under its FINAL
+    // label (merges strictly grow membership), so ms != null marks
+    // exactly the rows that differ from the prior labeling
+    (if (changedOnly) joined.where(col("ms").isNotNull) else joined)
       .select(col("id"), col("component_id"),
         coalesce(col("ms"), col("component_size")).as("component_size"))
   }

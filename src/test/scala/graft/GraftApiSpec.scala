@@ -211,10 +211,15 @@ class GraftApiSpec extends SparkSpec {
     val e2 = Seq.fill(120)(
       (rnd.nextInt(2 * n).toLong, rnd.nextInt(2 * n).toLong))
       .filter { case (a, b) => a != b }.toDF("src", "dst")
-    val merged = Graft.mergeComponents(
-      Graft.connectedComponents(e1, "src", "dst"), e2, "src", "dst")
+    val labels = Graft.connectedComponents(e1, "src", "dst")
+    val merged = Graft.mergeComponents(labels, e2, "src", "dst")
     val full = Graft.connectedComponents(e1.unionByName(e2), "src", "dst")
     same(merged, full, "mergeComponents")
+    // the changed-rows view is exactly the full output minus the rows
+    // already present (unchanged) in the prior labeling
+    val changed = Graft.mergeComponents(labels, e2, "src", "dst",
+      changedOnly = true)
+    same(changed, merged.exceptAll(labels), "mergeComponents(changedOnly)")
   }
 
   test("mergeComponents: batch edges inside existing clusters are a no-op") {
