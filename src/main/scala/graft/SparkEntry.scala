@@ -70,7 +70,8 @@ object SparkEntry {
     "q_pii_scrub" -> (Text.qPiiScrub _),
     "q_dup_clusters_incremental" -> (Dedup.qDupClustersIncremental _),
     "q_intradoc_repetition" -> (Text.qIntradocRepetition _),
-    "q_curation_funnel" -> (Corpus.qCurationFunnel _)
+    "q_curation_funnel" -> (Corpus.qCurationFunnel _),
+    "q_retention_cohorts" -> (Sessions.qRetentionCohorts _)
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -128,6 +129,7 @@ object SparkEntry {
     "q_pii_scrub" -> Text.qPiiScrubSql,
     "q_dup_clusters_incremental" -> Dedup.qDupClustersIncrementalSql,
     "q_intradoc_repetition" -> Text.qIntradocRepetitionSql,
-    "q_curation_funnel" -> Corpus.qCurationFunnelSql
+    "q_curation_funnel" -> Corpus.qCurationFunnelSql,
+    "q_retention_cohorts" -> Sessions.qRetentionCohortsSql
   )
 }

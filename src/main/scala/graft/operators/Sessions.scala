@@ -133,6 +133,47 @@ object Sessions {
       .orderBy("day")
   }
 
+  /** #76 — cohort retention matrix: users grouped by their first active
+    * day (the cohort), counted on each later active day they return.
+    * The classic growth-analytics readout over the reference's page
+    * stream (BaseLogApp page semantics; the "is_new + return visit"
+    * question its DWS layer answers per-day, here answered per-cohort).
+    *
+    * Shaped as ONE user_id shuffle: `collect_set(day)` per user (the
+    * map-side partial agg already dedupes, and per-user state is
+    * bounded by distinct active DAYS — ≤366/year regardless of event
+    * volume), then cohort = array_min and one explode; the final
+    * (cohort, offset) agg is a second, tiny shuffle. Each user lands
+    * exactly once per (cohort_day, day_offset) cell, so COUNT(*) IS
+    * the distinct-user count — no count-distinct at the matrix grain.
+    */
+  def qRetentionCohorts(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .select(col("user_id"), dayCol.as("day"))
+      .groupBy("user_id")
+      .agg(collect_set("day").as("days"))
+      // yyyy-MM-dd sorts lexicographically as dates, so array_min is
+      // the earliest active day
+      .select(array_min(col("days")).as("cohort_day"),
+        explode(col("days")).as("day"))
+      .select(col("cohort_day"),
+        datediff(to_date(col("day")), to_date(col("cohort_day")))
+          .cast("long").as("day_offset"))
+      .groupBy("cohort_day", "day_offset")
+      .agg(count(lit(1)).as("active_users"))
+      .orderBy("cohort_day", "day_offset")
+
+  val qRetentionCohortsSql: String =
+    """WITH active AS (
+      |  SELECT DISTINCT user_id, strftime(ts, '%Y-%m-%d') AS day FROM events),
+      |cohort AS (
+      |  SELECT user_id, MIN(day) AS cohort_day FROM active GROUP BY user_id)
+      |SELECT c.cohort_day,
+      |  date_diff('day', CAST(c.cohort_day AS DATE), CAST(a.day AS DATE)) AS day_offset,
+      |  CAST(COUNT(*) AS BIGINT) AS active_users
+      |FROM active a JOIN cohort c ON a.user_id = c.user_id
+      |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
   val qEventFunnelSql: String =
     """WITH ev AS (
       |  SELECT user_id, event_type, epoch_us(ts) AS ts_us, strftime(ts, '%Y-%m-%d') AS day FROM events),

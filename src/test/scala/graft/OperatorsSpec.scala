@@ -57,6 +57,24 @@ class OperatorsSpec extends SparkSpec {
     assert(bad == 0)
   }
 
+  test("retention: offset-0 diagonal is the cohort size and bounds every later cell") {
+    val df = SparkEntry.queries("q_retention_cohorts")(spark, sf).cache()
+    try {
+      // every user is active on their own cohort day, so the offset-0
+      // column partitions the user base exactly
+      val day0Total = df.where(col("day_offset") === 0)
+        .agg(sum("active_users")).first().getLong(0)
+      val users = Tables.events(spark, sf).select("user_id").distinct().count()
+      assert(day0Total == users, s"offset-0 sum $day0Total != $users distinct users")
+      // a cohort can never retain more users than it started with
+      val sizes = df.where(col("day_offset") === 0)
+        .select(col("cohort_day"), col("active_users").as("cohort_size"))
+      val bad = df.join(sizes, "cohort_day")
+        .where(col("active_users") > col("cohort_size")).count()
+      assert(bad == 0, "a retention cell exceeds its cohort size")
+    } finally df.unpersist()
+  }
+
   test("approx province stats track the exact distincts within HLL error") {
     val exact = SparkEntry.queries("q_province_stats")(spark, sf)
       .select(col("n_name"), col("day"), col("order_ct"))
