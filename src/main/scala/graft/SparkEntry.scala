@@ -71,7 +71,8 @@ object SparkEntry {
     "q_dup_clusters_incremental" -> (Dedup.qDupClustersIncremental _),
     "q_intradoc_repetition" -> (Text.qIntradocRepetition _),
     "q_curation_funnel" -> (Corpus.qCurationFunnel _),
-    "q_retention_cohorts" -> (Sessions.qRetentionCohorts _)
+    "q_retention_cohorts" -> (Sessions.qRetentionCohorts _),
+    "q_sliding_window" -> (Stats.qSlidingWindow _)
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -130,6 +131,7 @@ object SparkEntry {
     "q_dup_clusters_incremental" -> Dedup.qDupClustersIncrementalSql,
     "q_intradoc_repetition" -> Text.qIntradocRepetitionSql,
     "q_curation_funnel" -> Corpus.qCurationFunnelSql,
-    "q_retention_cohorts" -> Sessions.qRetentionCohortsSql
+    "q_retention_cohorts" -> Sessions.qRetentionCohortsSql,
+    "q_sliding_window" -> Stats.qSlidingWindowSql
   )
 }

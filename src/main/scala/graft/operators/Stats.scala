@@ -112,6 +112,48 @@ object Stats {
       |  CAST(SUM(dur) AS DOUBLE) AS dur_sum
       |FROM unioned GROUP BY stt, ch ORDER BY stt, ch""".stripMargin
 
+  /** #77 — HOPPING-window visitor stats: 1 h windows sliding every
+    * 30 min, per event type — the overlapping-window flavor the
+    * reference reserves for its sliding Flink windows (VisitorStatsApp
+    * uses tumbling; the hop is the other native window kind). Each
+    * event lands in exactly windowLen/slide = 2 windows.
+    *
+    * Spark plans `window(ts, len, slide)` as a 2-row generator (an
+    * Expand, map-side — NOT a join against a window table) feeding one
+    * hash agg: the shuffle carries pre-aggregated (window, type)
+    * partials, so doubling via overlap happens before the exchange,
+    * not across it. The exact per-window count-distinct is the small-
+    * cohort readout; at 100 TB the user count swaps to HLL exactly as
+    * #11→#40.
+    */
+  def qSlidingWindow(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .withColumn("tsm", timestamp_micros(col("ts_us")))
+      .groupBy(window(col("tsm"), "1 hour", "30 minutes").as("win"),
+        col("event_type"))
+      .agg(count(lit(1)).as("events"),
+        countDistinct(col("user_id")).as("users"))
+      .select(date_format(col("win.start"), "yyyy-MM-dd HH:mm").as("win_start"),
+        col("event_type"), col("events"), col("users"))
+      .orderBy("win_start", "event_type")
+
+  /** Epoch-aligned hop starts, restated for DuckDB: the two windows
+    * containing ts start at (ts_us div slide − k)·slide for k ∈ {0,1}
+    * (every point is inside both — ts − ws < 30 min + 30 min = len).
+    */
+  val qSlidingWindowSql: String =
+    """WITH t AS (
+      |  SELECT user_id, event_type, epoch_us(ts) AS ts_us FROM events),
+      |w AS (
+      |  SELECT user_id, event_type,
+      |    (ts_us // 1800000000 - k.k) * 1800000000 AS ws_us
+      |  FROM t CROSS JOIN (SELECT UNNEST([0, 1]) AS k) k)
+      |SELECT strftime(make_timestamp(ws_us), '%Y-%m-%d %H:%M') AS win_start,
+      |  event_type,
+      |  CAST(COUNT(*) AS BIGINT) AS events,
+      |  CAST(COUNT(DISTINCT user_id) AS BIGINT) AS users
+      |FROM w GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
   /** #10 — per-product multi-measure stats with exact count-distinct
     * order ids + broadcast dim enrichment (ProductStatsApp.java:209-319).
     *

@@ -423,6 +423,23 @@ object Streams {
       .select(col("window.start").as("window_start"), col("event_type"),
         col("pv"), col("uv_approx"), col("value_sum"))
 
+  /** #84 — hopping-window visitor stats, the streaming twin of
+    * q_sliding_window (#77): 1 h windows sliding every 30 min. The
+    * overlap factor (len/slide = 2) multiplies STATE, not input — each
+    * event updates two window groups and the watermark retires both on
+    * the same horizon, so state stays 2× the tumbling form's, still
+    * watermark-bounded. Exact per-window distincts are not available
+    * incrementally; HLL is the documented trade (as #19, #40).
+    */
+  def slidingVisitorStats(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "1 hour")
+      .groupBy(window(col("ts"), "1 hour", "30 minutes"), col("event_type"))
+      .agg(count(lit(1)).as("events"),
+        approx_count_distinct("user_id").as("users_approx"))
+      .select(col("window.start").as("window_start"), col("event_type"),
+        col("events"), col("users_approx"))
+
   /** #44 — streaming exact dedup: the streaming twin of
     * q_dedup_exact (content-identity dedup, same normalized-text md5
     * fingerprint), for ingest pipelines that must drop duplicate

@@ -353,6 +353,32 @@ class StreamingSpec extends SparkSpec {
       "stream visitor stats differ from the batch equivalent")
   }
 
+  test("stream_sliding_window: hopping-window agg matches batch, 2 windows per event") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val ms = MemoryStream[LogEvent]
+    val stats = Streams.slidingVisitorStats(ms.toDF())
+    val q = stats.writeStream.format("memory").queryName("svs")
+      .outputMode("complete").start()
+    val input = logEvents.filter(_.user_id >= 0)
+    try { ms.addData(input); q.processAllAvailable() } finally q.stop()
+    val got = spark.table("svs")
+    // every event lands in exactly len/slide = 2 windows
+    val total = got.agg(sum("events")).first().getLong(0)
+    assert(total == 2L * input.size,
+      s"hop overlap drifted: $total != ${2 * input.size}")
+    val want = Tables.events(spark, sfTiny)
+      .where(col("user_id").isNotNull)
+      .withColumn("ts", timestamp_micros(col("ts_us")))
+      .groupBy(window(col("ts"), "1 hour", "30 minutes"), col("event_type"))
+      .agg(count(lit(1)).as("events"),
+        approx_count_distinct("user_id").as("users_approx"))
+      .select(col("window.start").as("window_start"), col("event_type"),
+        col("events"), col("users_approx"))
+    assert(got.exceptAll(want).count() == 0 && want.exceptAll(got).count() == 0,
+      "stream hopping-window stats differ from the batch equivalent")
+  }
+
   test("stream_user_jump emits via event-time timeout when a user goes silent") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
