@@ -72,7 +72,9 @@ object SparkEntry {
     "q_intradoc_repetition" -> (Text.qIntradocRepetition _),
     "q_curation_funnel" -> (Corpus.qCurationFunnel _),
     "q_retention_cohorts" -> (Sessions.qRetentionCohorts _),
-    "q_sliding_window" -> (Stats.qSlidingWindow _)
+    "q_sliding_window" -> (Stats.qSlidingWindow _),
+    "q_cube_stats" -> (Stats.qCubeStats _),
+    "q_pivot_revenue" -> (Olap.qPivotRevenue _)
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -132,6 +134,8 @@ object SparkEntry {
     "q_intradoc_repetition" -> Text.qIntradocRepetitionSql,
     "q_curation_funnel" -> Corpus.qCurationFunnelSql,
     "q_retention_cohorts" -> Sessions.qRetentionCohortsSql,
-    "q_sliding_window" -> Stats.qSlidingWindowSql
+    "q_sliding_window" -> Stats.qSlidingWindowSql,
+    "q_cube_stats" -> Stats.qCubeStatsSql,
+    "q_pivot_revenue" -> Olap.qPivotRevenueSql
   )
 }

@@ -137,6 +137,57 @@ object Olap {
       |  FROM orders)
       |WHERE rn <= 3 ORDER BY o_custkey, rn""".stripMargin
 
+  /** #79 — monthly revenue pivoted into one column per region: the
+    * BI-style wide readout (`.pivot` with EXPLICIT values — the
+    * values-less overload runs a driver-side distinct scan to discover
+    * columns, which is a collect in disguise and non-deterministic
+    * column order besides). Pivot compiles to a single hash agg whose
+    * map-side partials carry one slot per declared region — no Expand,
+    * no join, one exchange on the (tiny) month key. MIDDLE EAST is
+    * aliased with an underscore because a space is illegal in a
+    * parquet column name (the driver persists results as parquet).
+    */
+  def qPivotRevenue(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(spark, dir).select("o_orderkey", "o_custkey", "o_orderdate")
+    val l = Tables.lineitem(spark, dir).select("l_orderkey", "l_extendedprice", "l_discount")
+    val c = Tables.customer(spark, dir).select("c_custkey", "c_nationkey")
+    val n = Tables.nation(spark, dir).select("n_nationkey", "n_regionkey")
+    val r = Tables.region(spark, dir).select("r_regionkey", "r_name")
+    val perOrder = l.groupBy("l_orderkey")
+      .agg(sum(dPrice * (one - dDisc)).as("rev"))
+    o.join(perOrder, col("o_orderkey") === col("l_orderkey"))
+      .join(broadcast(c), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
+      .select(date_format(col("o_orderdate"), "yyyy-MM").as("month"),
+        col("r_name"), col("rev"))
+      .groupBy("month")
+      .pivot("r_name", Seq("AFRICA", "AMERICA", "ASIA", "EUROPE", "MIDDLE EAST"))
+      .agg(sum(col("rev")).cast("double"))
+      .withColumnRenamed("MIDDLE EAST", "MIDDLE_EAST")
+      .orderBy("month")
+  }
+
+  val qPivotRevenueSql: String =
+    """WITH per_order AS (
+      |  SELECT l_orderkey,
+      |    SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(4,2)) - CAST(l_discount AS DECIMAL(4,2)))) AS rev
+      |  FROM lineitem GROUP BY l_orderkey),
+      |grain AS (
+      |  SELECT strftime(o_orderdate, '%Y-%m') AS month, r_name, rev
+      |  FROM orders
+      |  JOIN per_order ON o_orderkey = l_orderkey
+      |  JOIN customer ON o_custkey = c_custkey
+      |  JOIN nation ON c_nationkey = n_nationkey
+      |  JOIN region ON n_regionkey = r_regionkey)
+      |SELECT month,
+      |  CAST(SUM(CASE WHEN r_name = 'AFRICA' THEN rev END) AS DOUBLE) AS "AFRICA",
+      |  CAST(SUM(CASE WHEN r_name = 'AMERICA' THEN rev END) AS DOUBLE) AS "AMERICA",
+      |  CAST(SUM(CASE WHEN r_name = 'ASIA' THEN rev END) AS DOUBLE) AS "ASIA",
+      |  CAST(SUM(CASE WHEN r_name = 'EUROPE' THEN rev END) AS DOUBLE) AS "EUROPE",
+      |  CAST(SUM(CASE WHEN r_name = 'MIDDLE EAST' THEN rev END) AS DOUBLE) AS "MIDDLE_EAST"
+      |FROM grain GROUP BY month ORDER BY month""".stripMargin
+
   val q1Sql: String =
     """SELECT l_returnflag, l_linestatus,
       |  CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty,

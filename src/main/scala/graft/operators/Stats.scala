@@ -320,6 +320,60 @@ object Stats {
       |GROUP BY ROLLUP (n_name, strftime(o_orderdate, '%Y-%m-%d'))
       |ORDER BY n_name, day""".stripMargin
 
+  /** #78 — CUBE over (region, nation) on the same order-grain pre-agg
+    * as #42's rollup: all four grouping sets — (r,n), (r), (n), () —
+    * in ONE pass. The gid column is the portable grouping id
+    * (grouping(region)·2 + grouping(nation)), which disambiguates a
+    * real 'ALL' value from a subtotal row without relying on either
+    * engine's native GROUPING_ID bit order.
+    *
+    * Scale shape: Spark plans cube as a 4-row Expand over the
+    * pre-aggregated order grain — the fact-side join tree collapses to
+    * order rows BEFORE the Expand multiplies anything, and the partial
+    * agg then collapses each grouping set map-side, so the exchange
+    * carries ≤ 4× the (tiny) group-key cardinality, never 4× the
+    * corpus.
+    */
+  def qCubeStats(spark: SparkSession, dir: String): DataFrame = {
+    val n = Tables.nation(spark, dir).select("n_nationkey", "n_name", "n_regionkey")
+    val r = Tables.region(spark, dir).select("r_regionkey", "r_name")
+    provinceOrderGrain(spark, dir)
+      .join(broadcast(n.join(broadcast(r),
+          col("n_regionkey") === col("r_regionkey"))
+        .select(col("n_name").as("nn"), col("r_name"))),
+        col("n_name") === col("nn"))
+      .select(col("r_name").as("grp_region"), col("n_name").as("grp_nation"),
+        col("rev"))
+      .cube(col("grp_region"), col("grp_nation"))
+      .agg(
+        (grouping(col("grp_region")) * 2 + grouping(col("grp_nation")))
+          .cast("long").as("gid"),
+        count(lit(1)).as("order_ct"),
+        sum("rev").cast("double").as("amount"))
+      .select(coalesce(col("grp_region"), lit("ALL")).as("r_name"),
+        coalesce(col("grp_nation"), lit("ALL")).as("n_name"),
+        col("gid"), col("order_ct"), col("amount"))
+      .orderBy("gid", "r_name", "n_name")
+  }
+
+  val qCubeStatsSql: String =
+    """WITH per_order AS (
+      |  SELECT l_orderkey,
+      |    SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(4,2)) - CAST(l_discount AS DECIMAL(4,2)))) AS rev
+      |  FROM lineitem GROUP BY l_orderkey)
+      |SELECT coalesce(r_name, 'ALL') AS r_name,
+      |  coalesce(n_name, 'ALL') AS n_name,
+      |  CAST(GROUPING(r_name) * 2 + GROUPING(n_name) AS BIGINT) AS gid,
+      |  CAST(COUNT(*) AS BIGINT) AS order_ct,
+      |  CAST(SUM(rev) AS DOUBLE) AS amount
+      |FROM orders
+      |JOIN per_order ON o_orderkey = l_orderkey
+      |JOIN customer ON o_custkey = c_custkey
+      |JOIN nation ON c_nationkey = n_nationkey
+      |JOIN region ON n_regionkey = r_regionkey
+      |GROUP BY CUBE (r_name, n_name)
+      |ORDER BY gid, r_name, n_name""".stripMargin
+
   /** Salted exact count-distinct — the documented skew remedy
     * (SURVEY.md §5) as a reusable operator. A single hot key (one
     * event_type, one sku) funnels its whole distinct set through one

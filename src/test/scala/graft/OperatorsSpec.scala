@@ -75,6 +75,26 @@ class OperatorsSpec extends SparkSpec {
     } finally df.unpersist()
   }
 
+  test("cube grand total reconciles with its leaves and with the pivot matrix") {
+    val cube = SparkEntry.queries("q_cube_stats")(spark, sf).cache()
+    try {
+      val grand = cube.where(col("gid") === 3).select("order_ct", "amount")
+        .first()
+      val leafCt = cube.where(col("gid") === 0)
+        .agg(sum("order_ct")).first().getLong(0)
+      assert(grand.getLong(0) == leafCt,
+        s"cube leaves sum to $leafCt but the grand total says ${grand.getLong(0)}")
+      // the pivot spreads the same order-grain revenue over (month ×
+      // region) cells — its cell total must equal the cube's grand total
+      val pivot = SparkEntry.queries("q_pivot_revenue")(spark, sf)
+      val cells = pivot.columns.filter(_ != "month")
+        .map(c => coalesce(col(c), lit(0.0))).reduce(_ + _)
+      val pivotTotal = pivot.agg(sum(cells)).first().getDouble(0)
+      assert(math.abs(pivotTotal - grand.getDouble(1)) < 1e-4,
+        s"pivot total $pivotTotal != cube grand total ${grand.getDouble(1)}")
+    } finally cube.unpersist()
+  }
+
   test("approx province stats track the exact distincts within HLL error") {
     val exact = SparkEntry.queries("q_province_stats")(spark, sf)
       .select(col("n_name"), col("day"), col("order_ct"))
