@@ -74,7 +74,8 @@ object SparkEntry {
     "q_retention_cohorts" -> (Sessions.qRetentionCohorts _),
     "q_sliding_window" -> (Stats.qSlidingWindow _),
     "q_cube_stats" -> (Stats.qCubeStats _),
-    "q_pivot_revenue" -> (Olap.qPivotRevenue _)
+    "q_pivot_revenue" -> (Olap.qPivotRevenue _),
+    "q_customers_inactive" -> (Olap.qCustomersInactive _)
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -136,6 +137,7 @@ object SparkEntry {
     "q_retention_cohorts" -> Sessions.qRetentionCohortsSql,
     "q_sliding_window" -> Stats.qSlidingWindowSql,
     "q_cube_stats" -> Stats.qCubeStatsSql,
-    "q_pivot_revenue" -> Olap.qPivotRevenueSql
+    "q_pivot_revenue" -> Olap.qPivotRevenueSql,
+    "q_customers_inactive" -> Olap.qCustomersInactiveSql
   )
 }

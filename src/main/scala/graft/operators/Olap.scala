@@ -137,6 +137,61 @@ object Olap {
       |  FROM orders)
       |WHERE rn <= 3 ORDER BY o_custkey, rn""".stripMargin
 
+  /** #80 — churned high-balance customers per nation (TPC-H Q22
+    * flavor, recast as the churn question this data can answer —
+    * every synthetic customer has SOME order, so "never ordered" is
+    * empty by construction): customers whose balance beats the
+    * positive-balance average and who placed no order on/after the
+    * cutoff. The no-recent-orders test is a LEFT ANTI join — the date
+    * predicate pushes into the orders parquet scan, the scan prunes to
+    * the single 8-byte key column, and the join shuffles once on
+    * c_custkey opposite the (much smaller) filtered customer side.
+    *
+    * The average-balance gate is restated multiply-through —
+    * `bal·N > S` with S an exact DECIMAL sum — because `bal > S/N` in
+    * DOUBLE puts engine-specific FP summation order on a comparison
+    * boundary; products of exact decimals tie out bit-for-bit on any
+    * partitioning. The 1-row threshold frame broadcasts (no collect).
+    */
+  def qCustomersInactive(spark: SparkSession, dir: String): DataFrame = {
+    val c = Tables.customer(spark, dir)
+    val dBal = col("c_acctbal").cast("decimal(12,2)")
+    val thresh = c.where(col("c_acctbal") > 0)
+      .agg(sum(dBal).as("s"), count(lit(1)).as("cnt"))
+    val n = Tables.nation(spark, dir).select("n_nationkey", "n_name")
+    c.crossJoin(broadcast(thresh))
+      .where(dBal * col("cnt") > col("s"))
+      .join(Tables.orders(spark, dir)
+        .where(col("o_orderdate") >= lit(ChurnCutoff).cast("timestamp_ntz"))
+        .select("o_custkey"),
+        col("c_custkey") === col("o_custkey"), "left_anti")
+      .join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
+      .groupBy("n_name")
+      .agg(count(lit(1)).as("numcust"),
+        sum(dBal).cast("double").as("totacctbal"))
+      .orderBy("n_name")
+  }
+
+  /** Last order date on/after this = still active. The test corpus
+    * spans 1995-01..2001-08; the cutoff leaves a real churn cohort at
+    * every SF.
+    */
+  private val ChurnCutoff = "2001-01-01"
+
+  val qCustomersInactiveSql: String =
+    s"""WITH t AS (
+      |  SELECT SUM(CAST(c_acctbal AS DECIMAL(12,2))) AS s, COUNT(*) AS cnt
+      |  FROM customer WHERE c_acctbal > 0)
+      |SELECT n_name, CAST(COUNT(*) AS BIGINT) AS numcust,
+      |  CAST(SUM(CAST(c_acctbal AS DECIMAL(12,2))) AS DOUBLE) AS totacctbal
+      |FROM customer, nation, t
+      |WHERE c_nationkey = n_nationkey
+      |  AND CAST(c_acctbal AS DECIMAL(12,2)) * cnt > s
+      |  AND NOT EXISTS (SELECT 1 FROM orders o
+      |    WHERE o.o_custkey = customer.c_custkey
+      |      AND o.o_orderdate >= TIMESTAMP '$ChurnCutoff')
+      |GROUP BY n_name ORDER BY n_name""".stripMargin
+
   /** #79 — monthly revenue pivoted into one column per region: the
     * BI-style wide readout (`.pivot` with EXPLICIT values — the
     * values-less overload runs a driver-side distinct scan to discover

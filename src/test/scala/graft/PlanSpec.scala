@@ -50,6 +50,25 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("churn anti-join pushes the date cutoff into the orders scan") {
+    val p = plan("q_customers_inactive")
+    assert(p.contains("LeftAnti"), s"expected a left anti join:\n$p")
+    assert("PushedFilters:[^\\]]*GreaterThanOrEqual\\(o_orderdate".r
+      .findFirstIn(p).isDefined,
+      s"date cutoff must reach the orders parquet scan:\n$p")
+  }
+
+  test("cube expands AFTER the order-grain pre-agg, not over the fact rows") {
+    // HashAggregate(keys=[l_orderkey...]) below Expand in the tree =
+    // the 4-way grouping-set multiply sees order grain, never lineitem
+    val p = plan("q_cube_stats")
+    assert(p.contains("Expand"), s"cube must plan an Expand:\n$p")
+    val expandIdx = p.indexOf("Expand")
+    val preAggIdx = p.indexOf("l_orderkey", expandIdx)
+    assert(preAggIdx > 0,
+      s"expected the per-order pre-agg beneath the Expand:\n$p")
+  }
+
   test("as-of join plans with zero joins — one window pass, one shuffle") {
     // the union trick means the plan must contain a Window over the
     // user_id exchange and NO join operator at all; a join-shaped as-of
