@@ -89,6 +89,79 @@ class SinksSpec extends SparkSpec {
     assert(Sinks.compactParquet(spark, dir) == (1, 1))
   }
 
+  test("cdc apply: latest wins, deletes drop, untouched buckets are not rewritten") {
+    import spark.implicits._
+    val base = Files.createTempDirectory("graft_cdc_").toString
+    val t = s"$base/t"
+    val n = 8
+    def cdc(rows: Seq[(Long, Long, String, Long)]) =
+      rows.toDF("k", "ver", "op", "payload")
+    // the table's own routing function, evaluated per key
+    val bucketOf = (1L to 20L).map { k =>
+      k -> spark.range(1).select(pmod(hash(lit(k)), lit(n))).first().getInt(0)
+    }.toMap
+    val byBucket = (1L to 20L).groupBy(bucketOf)
+    val Seq(kA, kDel) = byBucket.values.find(_.size >= 2).get.take(2).toSeq
+    val kQuiet = byBucket.collectFirst {
+      case (b, ks) if b != bucketOf(kA) => ks.head
+    }.get
+    Sinks.cdcApply(cdc((1L to 20L).map(k => (k, 1L, "insert", k * 10))),
+      t, Seq("k"), "ver", "op", n)
+    val quietDir = new java.io.File(s"$t/bucket=${bucketOf(kQuiet)}")
+    def fingerprint = quietDir.listFiles().map(f =>
+      (f.getName, f.lastModified, f.length)).sortBy(_._1).toSeq
+    val before = fingerprint
+    // batch 2 touches ONLY kA's bucket: update kA, delete kDel
+    val batch2 = cdc(Seq((kA, 2L, "update", 777L), (kDel, 2L, "delete", 0L)))
+    Sinks.cdcApply(batch2, t, Seq("k"), "ver", "op", n)
+    assert(fingerprint == before,
+      "a bucket with no batch keys was rewritten")
+    def snap = Sinks.cdcSnapshot(spark, t).select("k", "payload")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val expected = (1L to 20L).filter(_ != kDel)
+      .map(k => k -> (if (k == kA) 777L else k * 10)).toMap
+    assert(snap == expected, s"merge state drifted: $snap")
+    // replaying the same batch is a no-op (foreachBatch at-least-once)
+    Sinks.cdcApply(batch2, t, Seq("k"), "ver", "op", n)
+    assert(snap == expected, "replay was not idempotent")
+    // a different bucket count must fail loudly, not mis-route silently
+    intercept[IllegalArgumentException] {
+      Sinks.cdcApply(batch2, t, Seq("k"), "ver", "op", n * 2)
+    }
+    // no swap residue anywhere under the root
+    val residue = new java.io.File(t).listFiles()
+      .map(_.getName).filter(_.contains("_cdc_"))
+    assert(residue.isEmpty, s"swap residue: ${residue.mkString(",")}")
+  }
+
+  test("cdc apply sink: a micro-batched change stream lands as final per-key state") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val base = Files.createTempDirectory("graft_cdcs_").toString
+    val ms = MemoryStream[(Long, Long, String, Long)]
+    val cdc = ms.toDF().toDF("k", "ver", "op", "payload")
+    val q = Sinks.cdcApplySink(cdc, s"$base/t", s"$base/ckpt",
+      Seq("k"), "ver", "op", numBuckets = 4).start()
+    val batches = Seq(
+      Seq((1L, 1L, "insert", 10L), (2L, 1L, "insert", 20L), (3L, 1L, "insert", 30L)),
+      Seq((1L, 2L, "update", 11L), (2L, 2L, "delete", 0L)),
+      Seq((2L, 3L, "insert", 22L), (4L, 1L, "insert", 40L)))
+    try {
+      batches.foreach { b => ms.addData(b); q.processAllAvailable() }
+    } finally q.stop()
+    // oracle: window over the whole change log
+    val all = batches.flatten.toDF("k", "ver", "op", "payload")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("k").orderBy(col("ver").desc)
+    val want = all.withColumn("_rn", row_number().over(w))
+      .where(col("_rn") === 1 && col("op") =!= "delete")
+      .select("k", "payload")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val got = Sinks.cdcSnapshot(spark, s"$base/t").select("k", "payload")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == want, s"stream CDC state $got != change-log oracle $want")
+  }
+
   test("dim upsert sink: snapshot keeps the latest version per key") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
