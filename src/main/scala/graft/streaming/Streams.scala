@@ -592,4 +592,112 @@ object Streams {
           }
       }
   }
+
+  /** #83 — streaming dup-cluster MAINTENANCE: each micro-batch of
+    * documents pairs against the corpus ingested so far
+    * ([[graft.api.Graft.incrementalDedupPairs]] — candidate volume
+    * linear in the batch) and the new edges contract onto the stored
+    * labeling ([[graft.api.Graft.mergeComponents]] — CC over the
+    * batch-sized contracted graph only). The labeling state after N
+    * batches equals `connectedComponents` over every pair the full
+    * corpus generates (spec-pinned), without any batch ever re-pairing
+    * or re-clustering the whole corpus — the ingest-time form of the
+    * batch `q_dup_clusters`/`q_dup_clusters_incremental` pipeline.
+    *
+    * State layout under `statePath` (both writes keyed by batch id, so
+    * foreachBatch replays OVERWRITE their own output instead of
+    * duplicating — crash anywhere, replay converges):
+    *  - `corpus/batch=<id>/` — each ingested batch (the pair
+    *    generator's base side reads `batch < id`, so a replayed batch
+    *    never pairs against its own half-written copy);
+    *  - `labels/v=<id>/` — the labeling AFTER batch id; the latest
+    *    version is current, older ones are pruned after a successful
+    *    write. Re-merging a replayed batch is a fixpoint: its edges
+    *    contract to self-loops on the already-merged labeling.
+    *
+    * With a finite `dfCap` the capped vocabulary is evaluated against
+    * the corpus AS OF each batch (exactly like the gated
+    * `q_dedup_incremental`), so a pair admitted early stays in the
+    * labeling even if its shingle later exceeds the cap — the
+    * documented drift vs a from-scratch capped re-cluster, repaired by
+    * a periodic batch rebuild (the same lambda-repair contract as
+    * `stream_dedup_exact`).
+    */
+  def dupClusterSink(docs: DataFrame, statePath: String,
+      checkpointDir: String, idCol: String = "doc_id",
+      textCol: String = "text", n: Int = 3, tau: Double = 0.8,
+      dfCap: Int = Int.MaxValue)
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    docs.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        applyDupClusterBatch(batch, batchId, statePath, idCol, textCol,
+          n, tau, dfCap)
+      }
+
+  /** One maintenance step of [[dupClusterSink]] (package-visible so the
+    * spec can drive replay scenarios directly).
+    */
+  private[graft] def applyDupClusterBatch(batch: DataFrame, batchId: Long,
+      statePath: String, idCol: String, textCol: String, n: Int,
+      tau: Double, dfCap: Int): Unit = {
+    import org.apache.hadoop.fs.Path
+    val spark = batch.sparkSession
+    val root = new Path(new Path(statePath).toUri.getPath)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val corpusRoot = new Path(root, "corpus")
+    val labelsRoot = new Path(root, "labels")
+    val b = batch.select(col(idCol), col(textCol)).persist()
+    try {
+      if (b.isEmpty) return
+      val base =
+        if (fs.exists(corpusRoot))
+          spark.read.parquet(corpusRoot.toString)
+            .where(col("batch") < batchId).select(col(idCol), col(textCol))
+        else b.limit(0)
+      val pairs = graft.api.Graft
+        .incrementalDedupPairs(base, b, idCol, textCol, n, tau, dfCap)
+        .select("id_new", "id_old")
+      val merged = latestLabels(spark, fs, labelsRoot) match {
+        case Some(lab) =>
+          graft.api.Graft.mergeComponents(lab, pairs, "id_new", "id_old")
+        case None =>
+          graft.api.Graft.connectedComponents(pairs, "id_new", "id_old")
+      }
+      // merged derives from labels/v=<prior> which the prune below
+      // deletes — materialize before any state is touched
+      val out = merged.localCheckpoint(true)
+      b.write.mode("overwrite")
+        .parquet(new Path(corpusRoot, s"batch=$batchId").toString)
+      out.write.mode("overwrite")
+        .parquet(new Path(labelsRoot, s"v=$batchId").toString)
+      fs.listStatus(labelsRoot)
+        .filter { s =>
+          val v = versionOf(s.getPath.getName)
+          s.isDirectory && v.exists(_ < batchId)
+        }
+        .foreach(s => fs.delete(s.getPath, true))
+    } finally b.unpersist()
+  }
+
+  /** The labeling after the last completed batch, if any. */
+  def dupClusterState(spark: org.apache.spark.sql.SparkSession,
+      statePath: String): Option[DataFrame] = {
+    import org.apache.hadoop.fs.Path
+    val labelsRoot = new Path(new Path(statePath).toUri.getPath, "labels")
+    val fs = labelsRoot.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    latestLabels(spark, fs, labelsRoot)
+  }
+
+  private def versionOf(dirName: String): Option[Long] =
+    if (dirName.startsWith("v=")) dirName.drop(2).toLongOption else None
+
+  private def latestLabels(spark: org.apache.spark.sql.SparkSession,
+      fs: org.apache.hadoop.fs.FileSystem,
+      labelsRoot: org.apache.hadoop.fs.Path): Option[DataFrame] =
+    if (!fs.exists(labelsRoot)) None
+    else fs.listStatus(labelsRoot).toSeq
+      .flatMap(s => versionOf(s.getPath.getName).map(_ -> s.getPath))
+      .sortBy(_._1).lastOption
+      .map { case (_, p) => spark.read.parquet(p.toString) }
 }

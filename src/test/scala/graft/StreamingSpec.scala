@@ -379,6 +379,42 @@ class StreamingSpec extends SparkSpec {
       "stream hopping-window stats differ from the batch equivalent")
   }
 
+  test("stream_dup_clusters: maintained labeling equals full-corpus batch CC") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val base = java.nio.file.Files.createTempDirectory("graft_dupc_").toString
+    val docs = Tables.documents(spark, sfTiny).select("doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getString(1))).toIndexedSeq
+    val ms = MemoryStream[(Long, String)]
+    val stream = ms.toDF().toDF("doc_id", "text")
+    val q = Streams.dupClusterSink(stream, s"$base/state", s"$base/ckpt")
+      .start()
+    try {
+      docs.grouped((docs.size + 2) / 3).foreach { chunk =>
+        ms.addData(chunk); q.processAllAvailable()
+      }
+    } finally q.stop()
+    val got = Streams.dupClusterState(spark, s"$base/state").get
+    val want = graft.api.Graft.connectedComponents(
+      graft.api.Graft.ngramJaccardPairs(
+        Tables.documents(spark, sfTiny), "doc_id", "text"),
+      "id_a", "id_b")
+    assert(got.count() > 0, "no clusters maintained — corpus has near-dups")
+    assert(got.exceptAll(want).count() == 0 && want.exceptAll(got).count() == 0,
+      "incrementally maintained labeling != batch CC over the full corpus")
+    // replaying the LAST maintenance step (foreachBatch at-least-once)
+    // must be a fixpoint
+    val lastId = new java.io.File(s"$base/state/labels").listFiles()
+      .map(_.getName.stripPrefix("v=").toLong).max
+    val beforeReplay = got.collect().toSet
+    Streams.applyDupClusterBatch(
+      spark.read.parquet(s"$base/state/corpus/batch=$lastId"), lastId,
+      s"$base/state", "doc_id", "text", 3, 0.8, Int.MaxValue)
+    val afterReplay = Streams.dupClusterState(spark, s"$base/state").get
+      .collect().toSet
+    assert(afterReplay == beforeReplay, "replayed batch mutated the labeling")
+  }
+
   test("stream_user_jump emits via event-time timeout when a user goes silent") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
