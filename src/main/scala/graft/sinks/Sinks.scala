@@ -65,21 +65,15 @@ object Sinks {
     * untouched (a no-op pass).
     */
   private def withSwap(spark: org.apache.spark.sql.SparkSession, path: String,
-      suffix: String, hidden: Boolean = false)(write: SwapDirs => Boolean): Unit = {
+      suffix: String)(write: SwapDirs => Boolean): Unit = {
     val fs = new Path(path)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
     // normalize away a trailing separator so staging/retired are
     // SIBLINGS of the target, never children
     val target = new Path(new Path(path).toUri.getPath)
-    // `hidden` dot-prefixes the staging/retired names: required when
-    // the target is a partition directory (bucket=N) inside a table
-    // root — an unhidden sibling like `bucket=3_cdc_staging` would be
-    // picked up by Spark's partition discovery on the ROOT and corrupt
-    // (or fail) whole-table reads mid-swap; dot-names are skipped by
-    // the file index
     def sibling(tag: String) =
       new Path(Option(target.getParent).getOrElse(new Path("/")),
-        (if (hidden) "." else "") + target.getName + suffix + tag)
+        target.getName + suffix + tag)
     val staging = sibling("_staging")
     val retired = sibling("_old")
     // crash recovery FIRST — before anything lists or reads the target:
@@ -160,48 +154,69 @@ object Sinks {
     * re-drop), which is what makes foreachBatch's at-least-once
     * delivery exactly-once in effect.
     *
-    * Atomicity is PER BUCKET (the same crash-recoverable
-    * retire-then-swap as compaction, dot-hidden so partition discovery
-    * never sees staging): a reader during an apply can observe some
-    * buckets new and some old — single writer, snapshot-consistent
-    * readers come from the serving layer above (as with the
-    * reference's ClickHouse final-state reads).
+    * The apply is ONE Spark job regardless of how many buckets the
+    * batch touches (dynamic partition overwrite replaces exactly the
+    * written `bucket=N` dirs) — a per-bucket loop would serialize
+    * touched-bucket-many jobs and die on the uniform-key batches real
+    * CDC feeds produce. Atomicity is per bucket: the commit moves
+    * partition dirs one by one, so a reader during an apply (or after
+    * a mid-commit crash) can observe some buckets new and some old —
+    * single writer; a replay converges the mix because the merge is
+    * idempotent. Buckets emptied by deletes are swept explicitly
+    * (dynamic overwrite only replaces partitions that receive rows).
     */
   def cdcApply(batch: DataFrame, path: String, keys: Seq[String],
       versionCol: String, opCol: String = "op", numBuckets: Int = 64): Unit = {
     require(keys.nonEmpty, "cdcApply needs at least one key column")
     require(numBuckets > 0, s"numBuckets must be positive, got $numBuckets")
+    require(!batch.columns.contains("bucket"),
+      "cdcApply reserves the column name 'bucket' for the table layout")
     val spark = batch.sparkSession
     val root = new Path(new Path(path).toUri.getPath)
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val n = ensureBuckets(fs, root, numBuckets)
     val keyCols = keys.map(col)
-    val cached = batch.withColumn("_bucket", pmod(hash(keyCols: _*), lit(n)))
+    val routed = batch.withColumn("bucket", pmod(hash(keyCols: _*), lit(n)))
       .persist()
     try {
       // ≤ n values by construction — a driver-side list of bucket ids,
       // not data
-      val touched = cached.select("_bucket").distinct()
+      val touched = routed.select("bucket").distinct()
         .collect().map(_.getInt(0)).sorted
-      touched.foreach { b =>
-        val slice = cached.where(col("_bucket") === b).drop("_bucket")
-        withSwap(spark, s"$path/bucket=$b", "_cdc", hidden = true) { dirs =>
-          val current =
-            if (dirs.fs.exists(dirs.target))
-              spark.read.parquet(dirs.target.toString)
-            else slice.limit(0)
-          val w = Window.partitionBy(keyCols: _*)
-            .orderBy(col(versionCol).desc, col("_src").desc)
-          current.withColumn("_src", lit(0))
-            .unionByName(slice.withColumn("_src", lit(1)))
-            .withColumn("_rn", row_number().over(w))
-            .where(col("_rn") === 1 && col(opCol) =!= "delete")
-            .drop("_rn", "_src")
-            .write.mode(SaveMode.Overwrite).parquet(dirs.staging.toString)
-          true
-        }
+      if (touched.isEmpty) return
+      val hasData = fs.exists(root) &&
+        fs.listStatus(root).exists(_.getPath.getName.startsWith("bucket="))
+      // partition pruning: only the touched buckets' files are read
+      val current =
+        if (hasData) spark.read.parquet(root.toString)
+          .where(col("bucket").isin(touched.map(Integer.valueOf): _*))
+        else routed.limit(0)
+      val w = Window.partitionBy(keyCols: _*)
+        .orderBy(col(versionCol).desc, col("_src").desc)
+      // eager checkpoint, not persist: the write below OVERWRITES the
+      // very files `current` reads, so merged must never be
+      // recomputable from its lineage (a cache eviction mid-apply
+      // would re-read clobbered parquet)
+      val merged = current.withColumn("_src", lit(0))
+        .unionByName(routed.withColumn("_src", lit(1)))
+        .withColumn("_rn", row_number().over(w))
+        .where(col("_rn") === 1 && col(opCol) =!= "delete")
+        .drop("_rn", "_src")
+        .localCheckpoint(true)
+      // one file per bucket (all rows of a bucket hash to one task)
+      merged.repartition(col("bucket"))
+        .write.mode(SaveMode.Overwrite)
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("bucket")
+        .parquet(root.toString)
+      // a bucket whose every key was deleted produced no rows, so the
+      // dynamic overwrite left its old dir in place — sweep it
+      val remaining = merged.select("bucket").distinct()
+        .collect().map(_.getInt(0)).toSet
+      touched.filterNot(remaining).foreach { b =>
+        fs.delete(new Path(root, s"bucket=$b"), true)
       }
-    } finally cached.unpersist()
+    } finally routed.unpersist()
   }
 
   /** The current table state: all buckets, minus the layout column. */

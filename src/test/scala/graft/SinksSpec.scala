@@ -128,10 +128,15 @@ class SinksSpec extends SparkSpec {
     intercept[IllegalArgumentException] {
       Sinks.cdcApply(batch2, t, Seq("k"), "ver", "op", n * 2)
     }
-    // no swap residue anywhere under the root
-    val residue = new java.io.File(t).listFiles()
-      .map(_.getName).filter(_.contains("_cdc_"))
-    assert(residue.isEmpty, s"swap residue: ${residue.mkString(",")}")
+    // deleting EVERY key of a bucket must remove the bucket dir too —
+    // dynamic overwrite alone would leave the stale dir in place
+    val bucketA = bucketOf(kA)
+    val allOfA = byBucket(bucketA).filter(_ != kDel)
+    Sinks.cdcApply(cdc(allOfA.map(k => (k, 9L, "delete", 0L))),
+      t, Seq("k"), "ver", "op", n)
+    assert(!new java.io.File(s"$t/bucket=$bucketA").exists(),
+      "an emptied bucket left a stale directory")
+    assert(snap == (expected -- allOfA), s"post-sweep state drifted: $snap")
   }
 
   test("cdc apply sink: a micro-batched change stream lands as final per-key state") {
