@@ -75,7 +75,13 @@ object SparkEntry {
     "q_sliding_window" -> (Stats.qSlidingWindow _),
     "q_cube_stats" -> (Stats.qCubeStats _),
     "q_pivot_revenue" -> (Olap.qPivotRevenue _),
-    "q_customers_inactive" -> (Olap.qCustomersInactive _)
+    "q_customers_inactive" -> (Olap.qCustomersInactive _),
+    "q4_order_priority" -> (Olap.q4OrderPriority _),
+    "q13_cust_distribution" -> (Olap.q13CustDistribution _),
+    "q17_small_qty_revenue" -> (Olap.q17SmallQtyRevenue _),
+    "q18_large_orders" -> (Olap.q18LargeOrders _),
+    "q7_nation_volume" -> (Olap.q7NationVolume _),
+    "q_vocab_coverage" -> (Corpus.qVocabCoverage _)
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -138,6 +144,12 @@ object SparkEntry {
     "q_sliding_window" -> Stats.qSlidingWindowSql,
     "q_cube_stats" -> Stats.qCubeStatsSql,
     "q_pivot_revenue" -> Olap.qPivotRevenueSql,
-    "q_customers_inactive" -> Olap.qCustomersInactiveSql
+    "q_customers_inactive" -> Olap.qCustomersInactiveSql,
+    "q4_order_priority" -> Olap.q4Sql,
+    "q13_cust_distribution" -> Olap.q13Sql,
+    "q17_small_qty_revenue" -> Olap.q17Sql,
+    "q18_large_orders" -> Olap.q18Sql,
+    "q7_nation_volume" -> Olap.q7Sql,
+    "q_vocab_coverage" -> Corpus.qVocabCoverageSql
   )
 }

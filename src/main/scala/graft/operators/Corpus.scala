@@ -422,6 +422,46 @@ object Corpus {
       .orderBy("stage")
   }
 
+  /** #90 — vocabulary coverage: the top-20 words by occurrence count
+    * with each prefix's cumulative share of ALL token occurrences —
+    * the readout that decides how large a tokenizer vocabulary must be
+    * to cover X% of a corpus. Counting is the usual two-phase hash
+    * aggregate (map-side partials, one exchange on the word); the
+    * top-20 is a distributed TakeOrdered, NOT a global sort — only
+    * after the frame is 20 rows does the single-task running-total
+    * window run (a global-window cumsum over the full vocabulary would
+    * be the straggler shape this avoids). The grand total arrives as a
+    * 1-row broadcast, so the fraction needs no collect; one integer
+    * division per output row keeps the double deterministic.
+    */
+  def qVocabCoverage(spark: SparkSession, dir: String): DataFrame = {
+    val words = Tables.documents(spark, dir)
+      .select(explode(split(col("text"), " ")).as("word"))
+      .filter(length(col("word")) > 0)
+    val rank = Window.orderBy(col("cnt").desc, col("word"))
+    words.groupBy("word").agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("word")).limit(20)
+      .crossJoin(broadcast(words.agg(count(lit(1)).as("total"))))
+      .withColumn("rk", row_number().over(rank).cast("long"))
+      .withColumn("cum_cnt", sum(col("cnt")).over(rank))
+      .select(col("rk"), col("word"), col("cnt"), col("cum_cnt"),
+        (col("cum_cnt").cast("double") / col("total")).as("coverage"))
+      .orderBy("rk")
+  }
+
+  val qVocabCoverageSql: String =
+    """WITH w2 AS (
+      |  SELECT w FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+      |  WHERE length(w) > 0),
+      |cnts AS (SELECT w AS word, CAST(COUNT(*) AS BIGINT) AS cnt FROM w2 GROUP BY 1),
+      |top AS (
+      |  SELECT word, cnt, ROW_NUMBER() OVER (ORDER BY cnt DESC, word) AS rk
+      |  FROM cnts QUALIFY rk <= 20)
+      |SELECT CAST(rk AS BIGINT) AS rk, word, cnt,
+      |  CAST(SUM(cnt) OVER (ORDER BY rk) AS BIGINT) AS cum_cnt,
+      |  CAST(SUM(cnt) OVER (ORDER BY rk) AS DOUBLE) / (SELECT COUNT(*) FROM w2) AS coverage
+      |FROM top ORDER BY rk""".stripMargin
+
   val qCurationFunnelSql: String =
     s"""WITH q AS (SELECT doc_id, quality_score FROM (${Text.qTextQualitySql})),
        |r AS (SELECT doc_id, is_repetitive FROM (${Text.qIntradocRepetitionSql})),

@@ -243,6 +243,194 @@ object Olap {
       |  CAST(SUM(CASE WHEN r_name = 'MIDDLE EAST' THEN rev END) AS DOUBLE) AS "MIDDLE_EAST"
       |FROM grain GROUP BY month ORDER BY month""".stripMargin
 
+  /** #85 — TPC-H Q4 flavor (order-priority checking): orders from one
+    * quarter that had at least one late-shipped line (shipped > 60 days
+    * after the order date), counted per priority. The existential test
+    * is a LEFT SEMI join — lineitem contributes at most one match per
+    * order, nothing from the right side is carried, and the range
+    * predicate rides as the residual condition on the o_orderkey
+    * sort-merge. At 100 TB both sides shuffle once on the order key;
+    * the quarter filter pushes into the orders scan first.
+    */
+  def q4OrderPriority(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(spark, dir)
+      .filter(col("o_orderdate") >= lit("1996-01-01").cast("timestamp_ntz") &&
+        col("o_orderdate") < lit("1996-04-01").cast("timestamp_ntz"))
+      .select("o_orderkey", "o_orderdate", "o_orderpriority")
+    val l = Tables.lineitem(spark, dir).select("l_orderkey", "l_shipdate")
+    o.join(l, col("l_orderkey") === col("o_orderkey") &&
+        col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 60 DAYS"),
+        "left_semi")
+      .groupBy("o_orderpriority")
+      .agg(count(lit(1)).as("order_count"))
+      .orderBy("o_orderpriority")
+  }
+
+  val q4Sql: String =
+    """SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS order_count
+      |FROM orders
+      |WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+      |  AND o_orderdate < TIMESTAMP '1996-04-01'
+      |  AND EXISTS (SELECT 1 FROM lineitem
+      |    WHERE l_orderkey = o_orderkey
+      |      AND l_shipdate > o_orderdate + INTERVAL 60 DAY)
+      |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin
+
+  /** #86 — TPC-H Q13 flavor (customer order-count distribution): how
+    * many customers placed exactly k non-urgent orders, INCLUDING the
+    * zero bucket — which forces a LEFT OUTER join (a semi/inner join
+    * cannot see customers with no match; the filter must live in the
+    * join condition, not a WHERE, or the zero bucket vanishes).
+    * Customer scales with the corpus, so neither side broadcasts: one
+    * shuffle pair on c_custkey, then the histogram re-agg on the tiny
+    * count key. `count(o_orderkey)` (not count(*)) makes the unmatched
+    * rows count 0.
+    */
+  def q13CustDistribution(spark: SparkSession, dir: String): DataFrame = {
+    val c = Tables.customer(spark, dir).select("c_custkey")
+    val o = Tables.orders(spark, dir)
+      .select("o_custkey", "o_orderkey", "o_orderpriority")
+    c.join(o, col("c_custkey") === col("o_custkey") &&
+        col("o_orderpriority") =!= "1-URGENT", "left_outer")
+      .groupBy("c_custkey")
+      .agg(count(col("o_orderkey")).as("c_count"))
+      .groupBy("c_count")
+      .agg(count(lit(1)).as("custdist"))
+      .orderBy(col("custdist").desc, col("c_count").desc)
+  }
+
+  val q13Sql: String =
+    """SELECT c_count, CAST(COUNT(*) AS BIGINT) AS custdist FROM (
+      |  SELECT c_custkey, CAST(COUNT(o_orderkey) AS BIGINT) AS c_count
+      |  FROM customer
+      |  LEFT OUTER JOIN orders ON c_custkey = o_custkey
+      |    AND o_orderpriority <> '1-URGENT'
+      |  GROUP BY c_custkey)
+      |GROUP BY c_count ORDER BY custdist DESC, c_count DESC""".stripMargin
+
+  /** #87 — TPC-H Q17 flavor (small-quantity revenue): revenue from
+    * lines of one brand whose quantity is below 20% of that part's
+    * average. The correlated scalar subquery decorrelates to a
+    * per-part aggregate — realized here as whole-partition window
+    * sums over l_partkey, so the brand slice shuffles ONCE and there
+    * is no self-join at all (per-part row counts are bounded by the
+    * lines-per-part constant, so the window buffer is bounded). The
+    * brand filter broadcasts part keys into the lineitem scan first;
+    * only the brand's slice ever reaches the exchange.
+    *
+    * The 20%-of-average gate is multiplied through
+    * (`qty·cnt·5 < sum`) over exact decimals — `qty < 0.2·sum/cnt`
+    * in DOUBLE puts FP division on a comparison boundary.
+    */
+  def q17SmallQtyRevenue(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val bparts = Tables.part(spark, dir)
+      .filter(col("p_brand") === "Brand#1").select("p_partkey")
+    val l = Tables.lineitem(spark, dir)
+      .select("l_partkey", "l_quantity", "l_extendedprice")
+      .join(broadcast(bparts), col("l_partkey") === col("p_partkey"))
+    val w = Window.partitionBy("l_partkey")
+    l.withColumn("s", sum(dQty).over(w))
+      .withColumn("cnt", count(lit(1)).over(w))
+      .filter(dQty * col("cnt") * lit(5) < col("s"))
+      .agg((sum(dPrice).cast("double") / lit(7.0)).as("avg_yearly"),
+        count(lit(1)).as("n_lines"))
+  }
+
+  val q17Sql: String =
+    """WITH pa AS (
+      |  SELECT l_partkey AS pk, SUM(CAST(l_quantity AS DECIMAL(12,2))) AS s,
+      |    COUNT(*) AS cnt
+      |  FROM lineitem JOIN part ON p_partkey = l_partkey
+      |  WHERE p_brand = 'Brand#1' GROUP BY l_partkey)
+      |SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) / 7.0 AS avg_yearly,
+      |  CAST(COUNT(*) AS BIGINT) AS n_lines
+      |FROM lineitem JOIN part ON p_partkey = l_partkey
+      |JOIN pa ON pa.pk = l_partkey
+      |WHERE p_brand = 'Brand#1'
+      |  AND CAST(l_quantity AS DECIMAL(12,2)) * cnt * 5 < s""".stripMargin
+
+  /** #88 — TPC-H Q18 flavor (large-volume orders): orders whose total
+    * quantity exceeds 250, with their customer. The HAVING-filtered
+    * per-order aggregate acts as the probe side of the subsequent
+    * joins — after the having gate it is a sliver of the order count,
+    * so AQE turns both joins into broadcasts at runtime without being
+    * told (at planning time the sizes are unknowable; this is exactly
+    * the dynamic re-plan AQE exists for). Top-100 by price is a
+    * distributed TakeOrdered, not a global sort.
+    */
+  def q18LargeOrders(spark: SparkSession, dir: String): DataFrame = {
+    val big = Tables.lineitem(spark, dir)
+      .groupBy("l_orderkey")
+      .agg(sum(dQty).as("sq"))
+      .filter(col("sq") > lit(BigDecimal(250).setScale(2)))
+    val o = Tables.orders(spark, dir)
+      .select("o_orderkey", "o_custkey", "o_orderdate", "o_totalprice")
+    val c = Tables.customer(spark, dir).select("c_custkey", "c_name")
+    big.join(o, col("o_orderkey") === col("l_orderkey"))
+      .join(c, col("o_custkey") === col("c_custkey"))
+      .select(col("c_name"), col("o_custkey"), col("o_orderkey"),
+        date_format(col("o_orderdate"), "yyyy-MM-dd").as("orderdate"),
+        col("o_totalprice"), col("sq").cast("double").as("sum_qty"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      .limit(100)
+  }
+
+  val q18Sql: String =
+    """SELECT c_name, o_custkey, o_orderkey,
+      |  strftime(o_orderdate, '%Y-%m-%d') AS orderdate, o_totalprice,
+      |  CAST(sq AS DOUBLE) AS sum_qty
+      |FROM (SELECT l_orderkey, SUM(CAST(l_quantity AS DECIMAL(12,2))) AS sq
+      |      FROM lineitem GROUP BY l_orderkey HAVING sq > 250)
+      |JOIN orders ON o_orderkey = l_orderkey
+      |JOIN customer ON o_custkey = c_custkey
+      |ORDER BY o_totalprice DESC, o_orderkey LIMIT 100""".stripMargin
+
+  /** #89 — TPC-H Q7 flavor (cross-nation volume): revenue shipped
+    * between every DISTINCT (supplier nation, customer nation) pair by
+    * ship year. The nation dim plays two roles — joined twice under
+    * different aliases, both broadcast (role-playing dims cost two
+    * broadcasts, never two shuffles). The corpus-scale work is the
+    * same two exchanges as every order-grain query: orders⋈customer
+    * on c_custkey, then ⋈lineitem on the order key; supplier and both
+    * nation roles ride along map-side.
+    */
+  def q7NationVolume(spark: SparkSession, dir: String): DataFrame = {
+    val n1 = Tables.nation(spark, dir)
+      .select(col("n_nationkey").as("nk1"), col("n_name").as("supp_nation"))
+    val n2 = Tables.nation(spark, dir)
+      .select(col("n_nationkey").as("nk2"), col("n_name").as("cust_nation"))
+    val s = Tables.supplier(spark, dir).select("s_suppkey", "s_nationkey")
+    val c = Tables.customer(spark, dir).select("c_custkey", "c_nationkey")
+    val o = Tables.orders(spark, dir).select("o_orderkey", "o_custkey")
+    val l = Tables.lineitem(spark, dir)
+      .select("l_orderkey", "l_suppkey", "l_extendedprice", "l_discount", "l_shipdate")
+    o.join(c, col("o_custkey") === col("c_custkey"))
+      .join(l, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(s), col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(n1), col("s_nationkey") === col("nk1"))
+      .join(broadcast(n2), col("c_nationkey") === col("nk2"))
+      .filter(col("supp_nation") =!= col("cust_nation"))
+      .groupBy(col("supp_nation"), col("cust_nation"),
+        year(col("l_shipdate")).as("l_year"))
+      .agg(sum(dPrice * (one - dDisc)).cast("double").as("revenue"))
+      .orderBy("supp_nation", "cust_nation", "l_year")
+  }
+
+  val q7Sql: String =
+    """SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+      |  CAST(year(l_shipdate) AS INT) AS l_year,
+      |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(4,2)) - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE) AS revenue
+      |FROM lineitem
+      |JOIN orders ON l_orderkey = o_orderkey
+      |JOIN customer ON o_custkey = c_custkey
+      |JOIN supplier ON l_suppkey = s_suppkey
+      |JOIN nation n1 ON s_nationkey = n1.n_nationkey
+      |JOIN nation n2 ON c_nationkey = n2.n_nationkey
+      |WHERE n1.n_name <> n2.n_name
+      |GROUP BY supp_nation, cust_nation, l_year
+      |ORDER BY supp_nation, cust_nation, l_year""".stripMargin
+
   val q1Sql: String =
     """SELECT l_returnflag, l_linestatus,
       |  CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty,

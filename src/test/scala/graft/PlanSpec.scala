@@ -125,6 +125,48 @@ class PlanSpec extends SparkSpec {
       s"benchmark vocab must broadcast, corpus side must stream:\n$p")
   }
 
+  test("existential order check plans as a LEFT SEMI join") {
+    // q4: EXISTS must become a semi join (right side never widens the
+    // output), with the late-ship range riding as the residual on the
+    // o_orderkey equi condition — not a full join + distinct
+    val p = plan("q4_order_priority")
+    assert(p.contains("LeftSemi"), s"expected a left semi join:\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"existential check degenerated to a non-equi plan:\n$p")
+  }
+
+  test("customer distribution keeps the zero bucket via LEFT OUTER") {
+    val p = plan("q13_cust_distribution")
+    assert(p.contains("LeftOuter"), s"expected a left outer join:\n$p")
+  }
+
+  test("small-qty revenue decorrelates to one window pass, no self-join") {
+    // q17: the correlated per-part average must become whole-partition
+    // window sums — exactly one join (the broadcast brand filter), no
+    // lineitem self-join
+    val p = plan("q17_small_qty_revenue")
+    assert(p.contains("Window"), s"expected the decorrelated window pass:\n$p")
+    assert(!p.contains("SortMergeJoin"),
+      s"the brand slice must not self-join or shuffle-join:\n$p")
+  }
+
+  test("nation volume broadcasts both role-playing nation dims") {
+    val p = plan("q7_nation_volume")
+    val broadcasts = "BroadcastHashJoin".r.findAllIn(p).size
+    assert(broadcasts >= 3, s"supplier + both nation roles must broadcast:\n$p")
+  }
+
+  test("vocab coverage takes top-k before the single-task cumsum window") {
+    // TakeOrderedAndProject must sit BELOW the Window in the tree —
+    // a global-window cumsum over the full vocabulary is the straggler
+    // shape this query exists to avoid
+    val p = plan("q_vocab_coverage")
+    val take = p.indexOf("TakeOrderedAndProject")
+    val win = p.indexOf("Window")
+    assert(take >= 0 && win >= 0 && take > win,
+      s"expected TakeOrdered beneath the Window (top-k first):\n$p")
+  }
+
   test("cdc route keeps the fact side shuffle-free (broadcast config)") {
     val p = SparkEntry.queries("q_cdc_route")(spark, sf)
       .queryExecution.executedPlan.toString
