@@ -81,7 +81,9 @@ object SparkEntry {
     "q17_small_qty_revenue" -> (Olap.q17SmallQtyRevenue _),
     "q18_large_orders" -> (Olap.q18LargeOrders _),
     "q7_nation_volume" -> (Olap.q7NationVolume _),
-    "q_vocab_coverage" -> (Corpus.qVocabCoverage _)
+    "q_vocab_coverage" -> (Corpus.qVocabCoverage _),
+    "q_sample_weighted" -> (Corpus.qSampleWeighted _),
+    "q_shard_assign" -> (Corpus.qShardAssign _)
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -150,6 +152,8 @@ object SparkEntry {
     "q17_small_qty_revenue" -> Olap.q17Sql,
     "q18_large_orders" -> Olap.q18Sql,
     "q7_nation_volume" -> Olap.q7Sql,
-    "q_vocab_coverage" -> Corpus.qVocabCoverageSql
+    "q_vocab_coverage" -> Corpus.qVocabCoverageSql,
+    "q_sample_weighted" -> Corpus.qSampleWeightedSql,
+    "q_shard_assign" -> Corpus.qShardAssignSql
   )
 }

@@ -694,6 +694,31 @@ object Graft {
       lit((frac * 2147483648.0).toLong))
   }
 
+  /** Mixture sampling — the per-stratum generalization of
+    * [[hashSample]]: each stratum keeps the fraction `ratesBp` assigns
+    * it (basis points; 10000 = keep all). The rates frame broadcasts;
+    * the corpus side stays a map-only filter with a per-row integer
+    * threshold (`h < bp·2³¹ div 10⁴` — no float at the keep/drop
+    * boundary). Strata ABSENT from the config are dropped (the config
+    * is a whitelist — the fail-safe default for a training mix).
+    * Spec-pinned to the gated `q_sample_weighted`.
+    */
+  def mixtureSample(df: DataFrame, idCol: String, stratumCol: String,
+      ratesBp: Map[String, Long]): DataFrame = {
+    require(ratesBp.values.forall(bp => bp >= 0L && bp <= 10000L),
+      "rates are basis points in [0, 10000]")
+    val dt = df.schema(idCol).dataType
+    require(Seq("byte", "short", "integer", "long").contains(dt.typeName),
+      s"mixtureSample needs an integral id column; '$idCol' is ${dt.simpleString}")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val w = ratesBp.toSeq.sorted.toDF(stratumCol, "_graft_rate_bp")
+    df.join(broadcast(w), stratumCol)
+      .where(graft.operators.Corpus.hash31(col(idCol)) <
+        expr("_graft_rate_bp * 2147483648 div 10000"))
+      .drop("_graft_rate_bp")
+  }
+
   /** Skew-safe fact⋈dim equi join — the join-side companion to
     * [[saltedDistinct]]'s aggregate remedy. A heavy-tailed key funnels
     * all its fact rows through one task in a plain shuffle join; here

@@ -119,6 +119,78 @@ object Corpus {
       |WHERE ${hash31Sql("doc_id")} < $HashSampleThreshold
       |ORDER BY doc_id""".stripMargin
 
+  /** Per-source mixture rates in basis points (10000 = keep all).
+    * THE config both #91 forms share: the oracle SQL's VALUES literal
+    * is generated from this Seq, so the Spark config frame and the
+    * DuckDB twin cannot drift. Rates slope down with the source index
+    * so every rate class (keep-all, majority, minority) is exercised.
+    */
+  private[graft] val MixRatesBp: Seq[(String, Long)] =
+    (0 until 20).map(i => (s"src$i", 10000L - 450L * i))
+
+  /** #91 — `q_sample_weighted`: MIXTURE sampling — each source keeps
+    * the fraction a weights config assigns it (the data-mixing step
+    * that turns raw corpora into a training mix). The config is a
+    * 20-row frame that BROADCASTS; the corpus side stays map-only —
+    * same zero-shuffle shape as #56, with the keep threshold now per
+    * row: `h < rate_bp·2³¹ div 10⁴`, all in 64-bit integer math (the
+    * product tops out near 2⁴⁵ — no overflow, no float rounding at
+    * the keep/drop boundary). Sources absent from the config are
+    * dropped by the inner join: the mix config is a whitelist, which
+    * is the fail-safe default for a training mix (an unlisted source
+    * silently kept at 100% would poison the mix; one dropped is
+    * visible in the per-source counts).
+    */
+  def qSampleWeighted(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val weights = MixRatesBp.toDF("source", "rate_bp")
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), col("source"), col("lang"),
+        hash31(col("doc_id")).as("h"))
+      .join(broadcast(weights), "source")
+      .where(col("h") < expr("rate_bp * 2147483648 div 10000"))
+      .select("doc_id", "source", "lang", "h", "rate_bp")
+      .orderBy("doc_id")
+  }
+
+  val qSampleWeightedSql: String = {
+    val values = MixRatesBp
+      .map { case (s, bp) => s"('$s', CAST($bp AS BIGINT))" }.mkString(", ")
+    s"""WITH w(source, rate_bp) AS (VALUES $values)
+       |SELECT doc_id, d.source, lang, ${hash31Sql("doc_id")} AS h, rate_bp
+       |FROM documents d JOIN w ON d.source = w.source
+       |WHERE ${hash31Sql("doc_id")} < (rate_bp * 2147483648) // 10000
+       |ORDER BY doc_id""".stripMargin
+  }
+
+  /** Shard count for #92; the SQL twin embeds the same literal. */
+  private[graft] val NumShards = 16L
+
+  /** #92 — `q_shard_assign`: deterministic training-shard layout
+    * readout — every doc lands in shard `hash31(doc_id) mod 16`, and
+    * the output is the per-shard balance (doc count, character total)
+    * a pipeline checks BEFORE writing shards, because one oversized
+    * shard becomes the straggler of every downstream training epoch.
+    * Map-side projection + one 16-group aggregate; the assignment is
+    * pure integer math, so the same doc lands in the same shard on
+    * any engine, any run, any partitioning — re-sharding is
+    * reproducible. Writing is one `partitionBy("shard")` away; this
+    * query is the decision input, not the write.
+    */
+  def qShardAssign(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(pmod(hash31(col("doc_id")), lit(NumShards)).as("shard"),
+        col("n_chars"))
+      .groupBy("shard")
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("sum_chars"))
+      .orderBy("shard")
+
+  val qShardAssignSql: String =
+    s"""SELECT ${hash31Sql("doc_id")} % $NumShards AS shard,
+       |  CAST(COUNT(*) AS BIGINT) AS n_docs,
+       |  CAST(SUM(n_chars) AS BIGINT) AS sum_chars
+       |FROM documents GROUP BY shard ORDER BY shard""".stripMargin
+
   /** Top-10 word bigrams per source by DOCUMENT frequency (count desc,
     * bigram asc): corpus n-gram stats for LM data curation. Bigrams
     * come from the codegen'd word_shingles expression, which dedupes

@@ -244,6 +244,24 @@ class GraftApiSpec extends SparkSpec {
       .select("doc_id", "source", "lang"), "hashSample")
   }
 
+  test("mixtureSample reproduces q_sample_weighted and whitelists strata") {
+    val docs = Tables.documents(spark, sf)
+    val api = Graft.mixtureSample(docs, "doc_id", "source",
+      graft.operators.Corpus.MixRatesBp.toMap)
+      .select("doc_id", "source", "lang")
+    same(api, SparkEntry.queries("q_sample_weighted")(spark, sf)
+      .select("doc_id", "source", "lang"), "mixtureSample")
+    // a stratum absent from the config is dropped, not kept at 100%
+    val partial = Graft.mixtureSample(docs, "doc_id", "source",
+      Map("src0" -> 10000L))
+    assert(partial.select("source").distinct().collect()
+      .map(_.getString(0)).toSet == Set("src0"))
+    val err = intercept[IllegalArgumentException] {
+      Graft.mixtureSample(docs, "doc_id", "source", Map("src0" -> 10001L))
+    }
+    assert(err.getMessage.contains("basis points"))
+  }
+
   test("hashSample folds high id bits and rejects non-integral ids") {
     import spark.implicits._
     // ids differing by 2^31 must NOT share a keep/drop class (the

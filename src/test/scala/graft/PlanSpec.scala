@@ -167,6 +167,13 @@ class PlanSpec extends SparkSpec {
       s"expected TakeOrdered beneath the Window (top-k first):\n$p")
   }
 
+  test("mixture sample broadcasts the rates config, corpus stays map-only") {
+    val p = plan("q_sample_weighted")
+    assert(p.contains("BroadcastHashJoin"), s"rates config must broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin"),
+      s"the corpus side must not shuffle-join against a 20-row config:\n$p")
+  }
+
   test("cdc route keeps the fact side shuffle-free (broadcast config)") {
     val p = SparkEntry.queries("q_cdc_route")(spark, sf)
       .queryExecution.executedPlan.toString
