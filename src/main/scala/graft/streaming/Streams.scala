@@ -123,6 +123,20 @@ object Streams {
   def piiScrub(docs: DataFrame, idCol: String, textCol: String): DataFrame =
     graft.operators.Text.piiScrubbed(docs, idCol, textCol)
 
+  /** #93 — mixture-sampling-on-ingest: the #91 data-mixing step as a
+    * stream transform, so a pipeline can apply the training-mix rates
+    * AT ingest instead of materializing the raw corpus first. The
+    * rates config is a static 20-row frame, so this is a stream-static
+    * broadcast join + per-row integer-threshold filter — stateless,
+    * source parallelism, zero state; keep/drop depends only on
+    * (id, stratum), so micro-batch boundaries cannot matter.
+    * [[graft.api.Graft.mixtureSample]] is the SAME function;
+    * StreamingSpec pins stream == batch on the same rows.
+    */
+  def mixtureSample(docs: DataFrame, idCol: String, stratumCol: String,
+      ratesBp: Map[String, Long]): DataFrame =
+    graft.api.Graft.mixtureSample(docs, idCol, stratumCol, ratesBp)
+
   /** #64 — contamination-check-on-ingest: the #58 benchmark-overlap
     * verdict as a stream transform, so an ingest pipeline can flag (or
     * drop) eval-set leaks BEFORE they land in the training corpus —

@@ -118,6 +118,35 @@ class StreamingSpec extends SparkSpec {
       "stream PII scrub diverged from the batch transform")
   }
 
+  test("stream mixture sample matches the batch Graft.mixtureSample exactly") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val rates = Map("a" -> 10000L, "b" -> 5000L) // 'c' absent: whitelist drop
+    // ids straddle the keep/drop boundary for the 50% class; split the
+    // rows across micro-batches so batch boundaries are exercised
+    val rows = (1L to 40L).map(i => (i, if (i % 3 == 0) "b" else if (i % 7 == 0) "c" else "a"))
+    val ms = MemoryStream[(Long, String)]
+    val q = Streams.mixtureSample(ms.toDF().toDF("doc_id", "source"),
+        "doc_id", "source", rates)
+      .writeStream.format("memory").queryName("mix_sample")
+      .outputMode("append").start()
+    try {
+      ms.addData(rows.take(15)); q.processAllAvailable()
+      ms.addData(rows.drop(15)); q.processAllAvailable()
+    } finally q.stop()
+    val got = spark.table("mix_sample")
+    val want = graft.api.Graft.mixtureSample(
+      rows.toDF("doc_id", "source"), "doc_id", "source", rates)
+    assert(got.exceptAll(want).count() == 0 &&
+      want.exceptAll(got).count() == 0,
+      "stream mixture sample diverged from the batch transform")
+    // the whitelist must have dropped 'c' and kept a strict subset of 'b'
+    val kept = got.collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[String]("source")))
+    assert(!kept.exists(_._2 == "c"))
+    assert(kept.count(_._2 == "b") < rows.count(_._2 == "b"))
+  }
+
   test("stream_contamination matches the batch q_contamination exactly") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
