@@ -83,7 +83,8 @@ object SparkEntry {
     "q7_nation_volume" -> (Olap.q7NationVolume _),
     "q_vocab_coverage" -> (Corpus.qVocabCoverage _),
     "q_sample_weighted" -> (Corpus.qSampleWeighted _),
-    "q_shard_assign" -> (Corpus.qShardAssign _)
+    "q_shard_assign" -> (Corpus.qShardAssign _),
+    "q2_min_cost_supplier" -> (Olap.q2MinCostSupplier _)
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -154,6 +155,7 @@ object SparkEntry {
     "q7_nation_volume" -> Olap.q7Sql,
     "q_vocab_coverage" -> Corpus.qVocabCoverageSql,
     "q_sample_weighted" -> Corpus.qSampleWeightedSql,
-    "q_shard_assign" -> Corpus.qShardAssignSql
+    "q_shard_assign" -> Corpus.qShardAssignSql,
+    "q2_min_cost_supplier" -> Olap.q2Sql
   )
 }

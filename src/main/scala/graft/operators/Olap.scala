@@ -431,6 +431,54 @@ object Olap {
       |GROUP BY supp_nation, cust_nation, l_year
       |ORDER BY supp_nation, cust_nation, l_year""".stripMargin
 
+  /** #94 — TPC-H Q2 flavor (min-cost supplier): for every size-10
+    * part, the supplier that shipped it cheapest (lowest observed line
+    * price; ties → lowest suppkey). The correlated `= (SELECT min …)`
+    * decorrelates to ARGMIN VIA STRUCT-MIN: `min(struct(cost, supp))`
+    * is a lexicographic min — an ordinary mergeable aggregate that
+    * partial-aggregates map-side, unlike the row_number window (#24's
+    * shape) which must buffer and sort each group in one task. At
+    * 100 TB with a hot part key, struct-min keeps collapsing partials;
+    * the window would funnel the hot group through one buffer. The
+    * oracle states the SAME semantics through the window formulation —
+    * two independent expressions of argmin agreeing is the gate.
+    * No float ties exist to worry about: equal costs fall back to the
+    * suppkey component, so the argmin is total either way.
+    */
+  def q2MinCostSupplier(spark: SparkSession, dir: String): DataFrame = {
+    val p10 = Tables.part(spark, dir)
+      .filter(col("p_size") === 10).select("p_partkey", "p_name")
+    val s = Tables.supplier(spark, dir).select("s_suppkey", "s_name", "s_nationkey")
+    val n = Tables.nation(spark, dir).select("n_nationkey", "n_name")
+    Tables.lineitem(spark, dir)
+      .select("l_partkey", "l_suppkey", "l_extendedprice")
+      .join(broadcast(p10), col("l_partkey") === col("p_partkey"))
+      .groupBy("p_partkey", "p_name", "l_suppkey")
+      .agg(min(col("l_extendedprice")).as("cost"))
+      .groupBy("p_partkey", "p_name")
+      .agg(min(struct(col("cost"), col("l_suppkey"))).as("b"))
+      .select(col("p_partkey"), col("p_name"),
+        col("b.l_suppkey").as("s_suppkey"), col("b.cost").as("cost"))
+      .join(broadcast(s), "s_suppkey")
+      .join(broadcast(n), col("s_nationkey") === col("n_nationkey"))
+      .select("p_partkey", "p_name", "s_name", "n_name", "cost")
+      .orderBy("p_partkey")
+  }
+
+  val q2Sql: String =
+    """WITH ps AS (
+      |  SELECT p_partkey, p_name, l_suppkey, MIN(l_extendedprice) AS cost
+      |  FROM lineitem JOIN part ON p_partkey = l_partkey
+      |  WHERE p_size = 10 GROUP BY 1, 2, 3),
+      |r AS (
+      |  SELECT *, row_number() OVER (PARTITION BY p_partkey
+      |    ORDER BY cost, l_suppkey) AS rk
+      |  FROM ps)
+      |SELECT p_partkey, p_name, s_name, n_name, cost
+      |FROM r JOIN supplier ON l_suppkey = s_suppkey
+      |JOIN nation ON s_nationkey = n_nationkey
+      |WHERE rk = 1 ORDER BY p_partkey""".stripMargin
+
   val q1Sql: String =
     """SELECT l_returnflag, l_linestatus,
       |  CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty,

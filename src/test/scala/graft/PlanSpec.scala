@@ -167,6 +167,15 @@ class PlanSpec extends SparkSpec {
       s"expected TakeOrdered beneath the Window (top-k first):\n$p")
   }
 
+  test("min-cost supplier plans argmin as mergeable aggregates, no window") {
+    // struct-min partial-aggregates map-side; a Window here would mean
+    // the plan regressed to the buffer-one-group-per-task shape
+    val p = plan("q2_min_cost_supplier")
+    assert(!p.contains("Window"), s"argmin must not plan a window:\n$p")
+    assert("HashAggregate".r.findAllIn(p).size >= 2,
+      s"expected the two-level partial-aggregated argmin:\n$p")
+  }
+
   test("mixture sample broadcasts the rates config, corpus stays map-only") {
     val p = plan("q_sample_weighted")
     assert(p.contains("BroadcastHashJoin"), s"rates config must broadcast:\n$p")
