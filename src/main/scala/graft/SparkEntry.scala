@@ -84,7 +84,8 @@ object SparkEntry {
     "q_vocab_coverage" -> (Corpus.qVocabCoverage _),
     "q_sample_weighted" -> (Corpus.qSampleWeighted _),
     "q_shard_assign" -> (Corpus.qShardAssign _),
-    "q2_min_cost_supplier" -> (Olap.q2MinCostSupplier _)
+    "q2_min_cost_supplier" -> (Olap.q2MinCostSupplier _),
+    "q_profile_orders" -> (Profile.qProfileOrders _)
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -156,6 +157,7 @@ object SparkEntry {
     "q_vocab_coverage" -> Corpus.qVocabCoverageSql,
     "q_sample_weighted" -> Corpus.qSampleWeightedSql,
     "q_shard_assign" -> Corpus.qShardAssignSql,
-    "q2_min_cost_supplier" -> Olap.q2Sql
+    "q2_min_cost_supplier" -> Olap.q2Sql,
+    "q_profile_orders" -> Profile.qProfileOrdersSql
   )
 }

@@ -694,6 +694,18 @@ object Graft {
       lit((frac * 2147483648.0).toLong))
   }
 
+  /** One-pass data profile of `cols`: per column, row/non-null/
+    * distinct counts and numeric min/max (strings profile null
+    * min/max). `approx = false` is the gate-exact flavor and plans
+    * the multi-distinct Expand (input ×k); `approx = true` swaps the
+    * distincts for HLL sketches — single pass, NO Expand, mergeable
+    * partials, the 100 TB default. Spec-pinned to the gated
+    * `q_profile_orders`; the approx flavor's plan and error bound are
+    * spec'd in GraftApiSpec/PlanSpec.
+    */
+  def profile(df: DataFrame, cols: Seq[String], approx: Boolean = false): DataFrame =
+    graft.operators.Profile.profile(df, cols, approx)
+
   /** Mixture sampling — the per-stratum generalization of
     * [[hashSample]]: each stratum keeps the fraction `ratesBp` assigns
     * it (basis points; 10000 = keep all). The rates frame broadcasts;

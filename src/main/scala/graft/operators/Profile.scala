@@ -1,0 +1,89 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** Data profiling (SURVEY.md §2.3 #95): the per-column health readout
+  * every curation run starts from — row/non-null/distinct counts and
+  * numeric min/max, ONE pass over the table.
+  *
+  * Scale notes: the exact flavor plans Spark's multi-distinct Expand
+  * (input ×k for k profiled columns) — the right gate semantics, and
+  * fine while the table fits a ×k scan. The approx flavor swaps every
+  * `count(distinct)` for an HLL sketch: single pass, NO Expand,
+  * mergeable partials — the 100 TB default (the #11/#40 and #62/#63
+  * exact/approx pairing again). Min/max cast through DOUBLE: exact
+  * for integers below 2⁵³ and all dates-as-day-numbers; strings
+  * profile as null min/max (count/distinct still meaningful).
+  */
+object Profile {
+
+  /** One-pass profile of `cols`: (col_name, n_rows, n_nonnull,
+    * n_distinct, min_v, max_v) — one output row per column. The
+    * single aggregate row is unpivoted by `stack`, so the plan is one
+    * aggregate + a constant-width projection, never a per-column scan.
+    */
+  def profile(df: DataFrame, cols: Seq[String], approx: Boolean = false): DataFrame = {
+    require(cols.nonEmpty, "profile needs at least one column")
+    cols.foreach(c => require(df.columns.contains(c), s"no such column: $c"))
+    val aggs = cols.zipWithIndex.flatMap { case (c, i) =>
+      Seq(
+        count(col(c)).as(s"_nn$i"),
+        (if (approx) approx_count_distinct(col(c)).cast("long")
+         else countDistinct(col(c))).as(s"_nd$i"),
+        // try_cast, not cast: under ANSI (the Spark 4 default) a plain
+        // cast of a non-numeric string would throw instead of nulling
+        min(expr(s"try_cast(`$c` AS DOUBLE)")).as(s"_mn$i"),
+        max(expr(s"try_cast(`$c` AS DOUBLE)")).as(s"_mx$i"))
+    }
+    val one = df.agg(count(lit(1)).as("_rows"), aggs: _*)
+    val stackArgs = cols.zipWithIndex
+      .map { case (c, i) => s"'$c', _rows, _nn$i, _nd$i, _mn$i, _mx$i" }
+      .mkString(", ")
+    one.selectExpr(s"stack(${cols.length}, $stackArgs) AS " +
+      "(col_name, n_rows, n_nonnull, n_distinct, min_v, max_v)")
+  }
+
+  /** #95 — `q_profile_orders`: the exact profile of the orders table.
+    * The date column profiles as its day number (exact integer both
+    * engines agree on — a raw timestamp min/max would be a float/tz
+    * minefield, SURVEY §6c); string columns carry null min/max by the
+    * cast-to-double rule.
+    */
+  def qProfileOrders(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(spark, dir).select(
+      col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
+      col("o_totalprice"),
+      datediff(col("o_orderdate").cast("date"),
+        lit("1970-01-01").cast("date")).as("o_orderdate_day"),
+      col("o_orderpriority"))
+    profile(o, Seq("o_orderkey", "o_custkey", "o_orderstatus",
+        "o_totalprice", "o_orderdate_day", "o_orderpriority"))
+      .orderBy("col_name")
+  }
+
+  val qProfileOrdersSql: String = {
+    def numeric(c: String, expr: String) =
+      s"""SELECT '$c' AS col_name, CAST(COUNT(*) AS BIGINT) AS n_rows,
+         |  CAST(COUNT($expr) AS BIGINT) AS n_nonnull,
+         |  CAST(COUNT(DISTINCT $expr) AS BIGINT) AS n_distinct,
+         |  CAST(MIN($expr) AS DOUBLE) AS min_v,
+         |  CAST(MAX($expr) AS DOUBLE) AS max_v FROM orders""".stripMargin
+    def str(c: String) =
+      s"""SELECT '$c' AS col_name, CAST(COUNT(*) AS BIGINT) AS n_rows,
+         |  CAST(COUNT($c) AS BIGINT) AS n_nonnull,
+         |  CAST(COUNT(DISTINCT $c) AS BIGINT) AS n_distinct,
+         |  CAST(NULL AS DOUBLE) AS min_v,
+         |  CAST(NULL AS DOUBLE) AS max_v FROM orders""".stripMargin
+    Seq(
+      numeric("o_orderkey", "o_orderkey"),
+      numeric("o_custkey", "o_custkey"),
+      str("o_orderstatus"),
+      numeric("o_totalprice", "o_totalprice"),
+      numeric("o_orderdate_day",
+        "date_diff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE))"),
+      str("o_orderpriority")
+    ).mkString("", "\nUNION ALL\n", "\nORDER BY col_name")
+  }
+}

@@ -262,6 +262,32 @@ class GraftApiSpec extends SparkSpec {
     assert(err.getMessage.contains("basis points"))
   }
 
+  test("profile reproduces q_profile_orders; approx tracks exact distincts") {
+    import org.apache.spark.sql.functions.datediff
+    val o = Tables.orders(spark, sf).select(
+      col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
+      col("o_totalprice"),
+      datediff(col("o_orderdate").cast("date"),
+        lit("1970-01-01").cast("date")).as("o_orderdate_day"),
+      col("o_orderpriority"))
+    val cols = Seq("o_orderkey", "o_custkey", "o_orderstatus",
+      "o_totalprice", "o_orderdate_day", "o_orderpriority")
+    same(Graft.profile(o, cols).orderBy("col_name"),
+      SparkEntry.queries("q_profile_orders")(spark, sf), "profile")
+    // the HLL flavor must land within 10% of every exact distinct and
+    // agree exactly on everything that is not a distinct count
+    val exact = Graft.profile(o, cols).collect()
+      .map(r => r.getString(0) -> r).toMap
+    Graft.profile(o, cols, approx = true).collect().foreach { r =>
+      val e = exact(r.getString(0))
+      assert(r.getLong(1) == e.getLong(1) && r.getLong(2) == e.getLong(2),
+        s"${r.getString(0)}: row/non-null counts must be exact")
+      val (ad, ed) = (r.getLong(3).toDouble, e.getLong(3).toDouble)
+      assert(math.abs(ad - ed) <= 0.10 * ed,
+        s"${r.getString(0)}: approx distinct $ad vs exact $ed")
+    }
+  }
+
   test("hashSample folds high id bits and rejects non-integral ids") {
     import spark.implicits._
     // ids differing by 2^31 must NOT share a keep/drop class (the

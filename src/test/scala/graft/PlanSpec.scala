@@ -176,6 +176,19 @@ class PlanSpec extends SparkSpec {
       s"expected the two-level partial-aggregated argmin:\n$p")
   }
 
+  test("approx profile plans a single pass with no Expand") {
+    // the exact flavor's multi-distinct Expand (input ×k) is the
+    // documented gate trade; the HLL flavor must NOT pay it
+    val o = Tables.orders(spark, sf)
+    val cols = Seq("o_orderkey", "o_custkey", "o_totalprice")
+    val pExact = graft.api.Graft.profile(o, cols)
+      .queryExecution.executedPlan.toString
+    val pApprox = graft.api.Graft.profile(o, cols, approx = true)
+      .queryExecution.executedPlan.toString
+    assert(pExact.contains("Expand"), s"exact profile should multi-distinct:\n$pExact")
+    assert(!pApprox.contains("Expand"), s"approx profile must not Expand:\n$pApprox")
+  }
+
   test("mixture sample broadcasts the rates config, corpus stays map-only") {
     val p = plan("q_sample_weighted")
     assert(p.contains("BroadcastHashJoin"), s"rates config must broadcast:\n$p")
