@@ -409,6 +409,47 @@ object Corpus {
       |  quantile_cont(n_tokens, 0.90) AS p90
       |FROM t GROUP BY source ORDER BY source""".stripMargin
 
+  /** #96 — `q_outlier_docs`: per-source LENGTH-OUTLIER flagging — docs
+    * whose token count falls outside their source's [p05, p95] band
+    * (the standard too-short/too-long curation cut, computed per
+    * source because a code corpus's p95 is a chat corpus's p5). The
+    * per-source bounds frame is tiny (one row per source) and
+    * BROADCASTS back, so the corpus side is one scan + a map-side
+    * band test — the thresholds never force a corpus-keyed shuffle.
+    * Token counts are integers and the interpolated bounds are the
+    * same doubles in both engines (#62 pins `percentile` ==
+    * `quantile_cont`), so the strict comparisons cannot straddle
+    * engines. Exact percentile buffers each source's counts in one
+    * task — the gate flavor; at 100 TB swap `approx_percentile` into
+    * the bounds frame (the #62/#63 pairing) and the band test is
+    * unchanged.
+    */
+  def qOutlierDocs(spark: SparkSession, dir: String): DataFrame = {
+    val toks = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("source"), Text.wsTokenCount.as("n_tokens"))
+    val bounds = toks.groupBy("source")
+      .agg(expr("percentile(n_tokens, array(0.05D, 0.95D))").as("q"))
+      .select(col("source").as("b_source"),
+        col("q").getItem(0).as("lo"), col("q").getItem(1).as("hi"))
+    toks.join(broadcast(bounds), col("source") === col("b_source"))
+      .where(col("n_tokens") < col("lo") || col("n_tokens") > col("hi"))
+      .select("doc_id", "source", "n_tokens", "lo", "hi")
+      .orderBy("doc_id")
+  }
+
+  val qOutlierDocsSql: String =
+    s"""WITH t AS (
+       |  SELECT doc_id, source, ${Text.wsTokenCountSql} AS n_tokens
+       |  FROM documents),
+       |b AS (
+       |  SELECT source, quantile_cont(n_tokens, 0.05) AS lo,
+       |    quantile_cont(n_tokens, 0.95) AS hi
+       |  FROM t GROUP BY source)
+       |SELECT doc_id, t.source, n_tokens, lo, hi
+       |FROM t JOIN b ON t.source = b.source
+       |WHERE n_tokens < lo OR n_tokens > hi
+       |ORDER BY doc_id""".stripMargin
+
   /** #63 — `q_token_quantiles_approx`: the sketch flavor of #62
     * (rows-only gate — sketch quantiles are implementation-specific,
     * no cross-engine oracle). `approx_percentile` keeps a bounded

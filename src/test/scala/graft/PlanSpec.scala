@@ -176,6 +176,14 @@ class PlanSpec extends SparkSpec {
       s"expected the two-level partial-aggregated argmin:\n$p")
   }
 
+  test("outlier bounds broadcast back; corpus never shuffles on source") {
+    val p = plan("q_outlier_docs")
+    assert(p.contains("BroadcastHashJoin"),
+      s"per-source bounds must broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin"),
+      s"the corpus must not shuffle-join a per-source bounds frame:\n$p")
+  }
+
   test("approx profile plans a single pass with no Expand") {
     // the exact flavor's multi-distinct Expand (input ×k) is the
     // documented gate trade; the HLL flavor must NOT pay it
