@@ -248,6 +248,56 @@ class OperatorsSpec extends SparkSpec {
     assert(cont.where(col("n_overlap") < 1).isEmpty)
   }
 
+  test("struct-min argmin equals the window argmin on random data with ties") {
+    // #94's decorrelation claim, on data the gate never sees: heavy
+    // value ties (10 distinct v over 2000 rows) force the suppkey-style
+    // tie-break to decide, and both formulations must land on the same
+    // row for every group
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val rnd = new scala.util.Random(7)
+    val df = Seq.fill(2000)((rnd.nextInt(50).toLong, rnd.nextInt(20).toLong,
+      rnd.nextInt(10).toDouble)).toDF("grp", "id", "v")
+    val viaAgg = df.groupBy("grp")
+      .agg(min(struct(col("v"), col("id"))).as("b"))
+      .select(col("grp"), col("b.v").as("v"), col("b.id").as("id"))
+    val w = Window.partitionBy("grp").orderBy(col("v"), col("id"))
+    val viaWin = df.withColumn("rk", row_number().over(w))
+      .where(col("rk") === 1).select("grp", "v", "id")
+    assert(viaAgg.exceptAll(viaWin).isEmpty && viaWin.exceptAll(viaAgg).isEmpty,
+      "struct-min and window argmin disagree")
+  }
+
+  test("profile counts nulls correctly (the orders gate has none)") {
+    import spark.implicits._
+    val df = Seq[(Option[Long], String)](
+      (Some(1L), "a"), (None, "b"), (Some(3L), null),
+      (Some(3L), "a"), (None, null)).toDF("x", "s")
+    val rows = graft.api.Graft.profile(df, Seq("x", "s")).collect()
+      .map(r => r.getString(0) -> r).toMap
+    val x = rows("x"); val s = rows("s")
+    assert(x.getLong(1) == 5 && x.getLong(2) == 3 && x.getLong(3) == 2,
+      s"x: rows/nonnull/distinct ${x.toSeq}")
+    assert(x.getDouble(4) == 1.0 && x.getDouble(5) == 3.0)
+    assert(s.getLong(1) == 5 && s.getLong(2) == 3 && s.getLong(3) == 2,
+      s"s: rows/nonnull/distinct ${s.toSeq}")
+    assert(s.isNullAt(4) && s.isNullAt(5),
+      "string columns must profile null min/max")
+  }
+
+  test("mixture sample keeps ~bp/10000 of a large stratum") {
+    import spark.implicits._
+    val n = 100000L
+    val df = spark.range(n).select(col("id"), lit("a").as("src"))
+    for (bp <- Seq(1000L, 2500L, 9000L)) {
+      val kept = graft.api.Graft
+        .mixtureSample(df, "id", "src", Map("a" -> bp)).count()
+      val want = n * bp / 10000.0
+      assert(math.abs(kept - want) <= 0.02 * n,
+        s"bp=$bp kept $kept, want ~$want")
+    }
+  }
+
   test("user-jump events have no follow-up within 10 minutes") {
     // every flagged jump must be a view event; re-derive the count from
     // the raw table as an independent check
