@@ -137,6 +137,21 @@ object Streams {
       ratesBp: Map[String, Long]): DataFrame =
     graft.api.Graft.mixtureSample(docs, idCol, stratumCol, ratesBp)
 
+  /** #97 — streaming data profile: the #95 readout maintained over an
+    * ingest stream (complete-mode aggregate — the profile is one row
+    * per column, so "state" is k fixed-size sketch buffers, bounded
+    * forever). The EXACT flavor is structurally impossible here
+    * (distinct aggregates are unsupported on streams — they would
+    * need unbounded per-value state); the HLL flavor is THE streaming
+    * form, and because HLL merge is commutative and associative with
+    * the estimate a pure function of the merged registers, the
+    * streaming result equals the batch `approx = true` profile
+    * EXACTLY — not approximately — however the rows were split into
+    * micro-batches. StreamingSpec pins that equality.
+    */
+  def profile(docs: DataFrame, cols: Seq[String]): DataFrame =
+    graft.operators.Profile.profile(docs, cols, approx = true)
+
   /** #64 — contamination-check-on-ingest: the #58 benchmark-overlap
     * verdict as a stream transform, so an ingest pipeline can flag (or
     * drop) eval-set leaks BEFORE they land in the training corpus —

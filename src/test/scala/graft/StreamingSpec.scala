@@ -147,6 +147,31 @@ class StreamingSpec extends SparkSpec {
     assert(kept.count(_._2 == "b") < rows.count(_._2 == "b"))
   }
 
+  test("streaming profile equals the batch approx profile exactly") {
+    // HLL merge is commutative/associative and the estimate depends
+    // only on the merged registers — so stream == batch EXACTLY, for
+    // any micro-batch split
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val rnd = new scala.util.Random(11)
+    val rows = Seq.fill(500)((rnd.nextInt(200).toLong,
+      rnd.nextInt(40).toDouble))
+    val ms = MemoryStream[(Long, Double)]
+    val q = Streams.profile(ms.toDF().toDF("k", "v"), Seq("k", "v"))
+      .writeStream.format("memory").queryName("stream_profile")
+      .outputMode("complete").start()
+    try {
+      ms.addData(rows.take(123)); q.processAllAvailable()
+      ms.addData(rows.drop(123)); q.processAllAvailable()
+    } finally q.stop()
+    val got = spark.table("stream_profile")
+    val want = graft.operators.Profile.profile(
+      rows.toDF("k", "v"), Seq("k", "v"), approx = true)
+    assert(got.exceptAll(want).count() == 0 &&
+      want.exceptAll(got).count() == 0,
+      "streaming profile diverged from the batch approx profile")
+  }
+
   test("stream_contamination matches the batch q_contamination exactly") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
