@@ -450,6 +450,53 @@ object Corpus {
        |WHERE n_tokens < lo OR n_tokens > hi
        |ORDER BY doc_id""".stripMargin
 
+  /** #98 — `q_quality_dup_calibration`: does low quality predict
+    * duplication? Docs bucket into quality-score DECILES (thresholds =
+    * the corpus's own p10..p90, so the buckets are equal-population by
+    * construction) and each decile reports its exact-dup rate — the
+    * calibration readout that justifies (or kills) a quality cutoff
+    * before a curation run commits to one. Composes the SHARED stage
+    * definitions: #33's quality score, #25's fingerprint-dup rule —
+    * so this analytic cannot drift from the gated operators it
+    * explains. Shape: one fp window (the dup flag), one 9-value
+    * percentile aggregate whose 1-row frame BROADCASTS back, decile
+    * assignment as a map-side 9-element array scan, final 10-group
+    * aggregate. The percentile buffers scores in one task — the gate
+    * flavor; at 100 TB swap `approx_percentile` (the #62/#63 pairing),
+    * assignment unchanged.
+    */
+  def qQualityDupCalibration(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("fp")
+    val flagged = Text.withQuality(Tables.documents(spark, dir))
+      .select(col("doc_id"), col("quality_score"), Dedup.contentFp.as("fp"))
+      .withColumn("is_dup",
+        (col("doc_id") =!= min("doc_id").over(w)).cast("long"))
+    val th = flagged.agg(expr(
+      "percentile(quality_score, array(0.1D,0.2D,0.3D,0.4D,0.5D,0.6D,0.7D,0.8D,0.9D))").as("q"))
+    flagged.crossJoin(broadcast(th))
+      .withColumn("decile",
+        (lit(1) + size(filter(col("q"), t => col("quality_score") > t))).cast("long"))
+      .groupBy("decile")
+      .agg(count(lit(1)).as("docs"), sum("is_dup").as("dup_docs"))
+      .withColumn("dup_rate", col("dup_docs").cast("double") / col("docs"))
+      .orderBy("decile")
+  }
+
+  val qQualityDupCalibrationSql: String =
+    s"""WITH s AS (
+       |  SELECT t.doc_id, q.quality_score,
+       |    CAST(t.doc_id <> min(t.doc_id) OVER (PARTITION BY fp) AS BIGINT) AS is_dup
+       |  FROM (SELECT doc_id, ${Dedup.contentFpSql} AS fp FROM documents) t
+       |  JOIN (${Text.qTextQualitySql}) q ON t.doc_id = q.doc_id),
+       |th AS (
+       |  SELECT quantile_cont(quality_score,
+       |    [0.1, 0.2, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9]) AS q FROM s)
+       |SELECT CAST(1 + len(list_filter(q, t -> quality_score > t)) AS BIGINT) AS decile,
+       |  CAST(COUNT(*) AS BIGINT) AS docs,
+       |  CAST(SUM(is_dup) AS BIGINT) AS dup_docs,
+       |  CAST(SUM(is_dup) AS DOUBLE) / COUNT(*) AS dup_rate
+       |FROM s, th GROUP BY decile ORDER BY decile""".stripMargin
+
   /** #63 — `q_token_quantiles_approx`: the sketch flavor of #62
     * (rows-only gate — sketch quantiles are implementation-specific,
     * no cross-engine oracle). `approx_percentile` keeps a bounded
