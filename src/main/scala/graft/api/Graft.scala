@@ -706,6 +706,29 @@ object Graft {
   def profile(df: DataFrame, cols: Seq[String], approx: Boolean = false): DataFrame =
     graft.operators.Profile.profile(df, cols, approx)
 
+  /** Per-stratum percentile-band outlier filter: rows whose `valueCol`
+    * falls outside their stratum's [pLo, pHi] band. The one-row-per-
+    * stratum bounds frame broadcasts back; the data side stays one
+    * scan + a map-side band test. Exact percentile buffers each
+    * stratum in one task (gate flavor); at 100 TB swap the bounds agg
+    * to `approx_percentile` — the band test is unchanged. Spec-pinned
+    * to the gated `q_outlier_docs`.
+    */
+  def outliers(df: DataFrame, valueCol: String, stratumCol: String,
+      pLo: Double = 0.05, pHi: Double = 0.95): DataFrame = {
+    require(pLo >= 0 && pHi <= 1 && pLo < pHi,
+      s"need 0 <= pLo < pHi <= 1, got ($pLo, $pHi)")
+    val bounds = df.groupBy(stratumCol)
+      .agg(expr(s"percentile(`$valueCol`, array(${pLo}D, ${pHi}D))").as("_q"))
+      .select(col(stratumCol).as("_graft_stratum"),
+        col("_q").getItem(0).as("_graft_lo"), col("_q").getItem(1).as("_graft_hi"))
+    df.join(broadcast(bounds), col(stratumCol) === col("_graft_stratum"))
+      .where(col(valueCol) < col("_graft_lo") || col(valueCol) > col("_graft_hi"))
+      .drop("_graft_stratum")
+      .withColumnRenamed("_graft_lo", "lo")
+      .withColumnRenamed("_graft_hi", "hi")
+  }
+
   /** Mixture sampling — the per-stratum generalization of
     * [[hashSample]]: each stratum keeps the fraction `ratesBp` assigns
     * it (basis points; 10000 = keep all). The rates frame broadcasts;

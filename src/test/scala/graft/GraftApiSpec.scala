@@ -288,6 +288,16 @@ class GraftApiSpec extends SparkSpec {
     }
   }
 
+  test("outliers reproduces q_outlier_docs") {
+    val toks = Tables.documents(spark, sf)
+      .select(col("doc_id"), col("source"),
+        size(filter(split(col("text"), " "), t => t =!= ""))
+          .cast("long").as("n_tokens"))
+    val api = Graft.outliers(toks, "n_tokens", "source")
+      .select("doc_id", "source", "n_tokens", "lo", "hi")
+    same(api, SparkEntry.queries("q_outlier_docs")(spark, sf), "outliers")
+  }
+
   test("hashSample folds high id bits and rejects non-integral ids") {
     import spark.implicits._
     // ids differing by 2^31 must NOT share a keep/drop class (the
