@@ -471,6 +471,11 @@ object Corpus {
       .select(col("doc_id"), col("quality_score"), Dedup.contentFp.as("fp"))
       .withColumn("is_dup",
         (col("doc_id") =!= min("doc_id").over(w)).cast("long"))
+      // empty/whitespace-only docs carry a NULL score (no quality
+      // verdict exists for them — they are length-filter material, not
+      // decile material); excluded explicitly in BOTH engines rather
+      // than letting null-comparison semantics park them in decile 1
+      .where(col("quality_score").isNotNull)
     val th = flagged.agg(expr(
       "percentile(quality_score, array(0.1D,0.2D,0.3D,0.4D,0.5D,0.6D,0.7D,0.8D,0.9D))").as("q"))
     flagged.crossJoin(broadcast(th))
@@ -483,11 +488,12 @@ object Corpus {
   }
 
   val qQualityDupCalibrationSql: String =
-    s"""WITH s AS (
+    s"""WITH s0 AS (
        |  SELECT t.doc_id, q.quality_score,
        |    CAST(t.doc_id <> min(t.doc_id) OVER (PARTITION BY fp) AS BIGINT) AS is_dup
        |  FROM (SELECT doc_id, ${Dedup.contentFpSql} AS fp FROM documents) t
        |  JOIN (${Text.qTextQualitySql}) q ON t.doc_id = q.doc_id),
+       |s AS (SELECT * FROM s0 WHERE quality_score IS NOT NULL),
        |th AS (
        |  SELECT quantile_cont(quality_score,
        |    [0.1, 0.2, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9]) AS q FROM s)

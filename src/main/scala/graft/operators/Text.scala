@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.Tables
 
@@ -21,6 +21,18 @@ object Text {
 
   private def tokens = split(col("text"), " ")
 
+  /** Null-guarded denominator: a zero-token (empty/whitespace-only)
+    * or zero-char document must yield NULL ratios, not kill the whole
+    * job — under ANSI (the Spark 4 default) a plain `x / 0` THROWS
+    * [DIVIDE_BY_ZERO], so one empty doc in a 100 TB corpus would fail
+    * the entire quality pass and everything composed on it (#72, #98).
+    * DuckDB returns NULL for double division by zero, so the NULL
+    * convention is also exactly what the oracles already compute —
+    * verified by the planted-corpus parity probe (empty, whitespace-
+    * only, and single-token docs).
+    */
+  private def nz(c: Column): Column = when(c === 0, lit(null)).otherwise(c)
+
   /** Whitespace token count shared by #34 and #53 — one definition of
     * "how many tokens"; its SQL twin must change in lockstep.
     */
@@ -40,7 +52,7 @@ object Text {
       .withColumn("stop_ct",
         size(filter(tokens, t => t.isin(Stopwords: _*))).cast("long"))
       .withColumn("stop_ratio",
-        col("stop_ct").cast("double") / col("n_tokens"))
+        col("stop_ct").cast("double") / nz(col("n_tokens")))
       .withColumn("lang_pred",
         when(col("stop_ratio") >= 0.04, "en").otherwise("unknown"))
       .select("doc_id", "lang", "n_tokens", "stop_ratio", "lang_pred")
@@ -74,11 +86,11 @@ object Text {
       .withColumn("stop_ct",
         size(filter(tokens, t => t.isin(Stopwords: _*))).cast("long"))
       .withColumn("mean_word_len",
-        length(regexp_replace(col("text"), " ", "")).cast("double") / col("n_tokens"))
+        length(regexp_replace(col("text"), " ", "")).cast("double") / nz(col("n_tokens")))
       .withColumn("punct_ratio",
-        (col("n") - length(regexp_replace(col("text"), "[^a-zA-Z0-9 ]", ""))).cast("double") / col("n"))
+        (col("n") - length(regexp_replace(col("text"), "[^a-zA-Z0-9 ]", ""))).cast("double") / nz(col("n")))
       .withColumn("stopword_ratio",
-        col("stop_ct").cast("double") / col("n_tokens"))
+        col("stop_ct").cast("double") / nz(col("n_tokens")))
       .withColumn("quality_score",
         lit(0.3) * least(lit(1.0), col("n_tokens") / 200.0) +
           lit(0.4) * (lit(1.0) - col("punct_ratio")) +

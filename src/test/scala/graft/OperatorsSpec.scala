@@ -298,6 +298,30 @@ class OperatorsSpec extends SparkSpec {
     }
   }
 
+  test("quality and langid survive empty and whitespace-only docs") {
+    // under ANSI an unguarded ratio would throw DIVIDE_BY_ZERO and one
+    // empty doc would kill the whole 100 TB quality pass; the guarded
+    // form yields NULL ratios (= what DuckDB computes for x/0)
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_empty").toString
+    Seq((0L, "", "en", "src0", 0L), (1L, "   ", "en", "src0", 3L),
+      (2L, "real text here now", "en", "src0", 18L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(dir + "/documents.parquet")
+    val q = SparkEntry.queries("q_text_quality")(spark, dir).collect()
+    val byId = q.map(r => r.getLong(0) -> r).toMap
+    assert(byId(0L).isNullAt(2) && byId(1L).isNullAt(2),
+      "zero-token docs must carry null mean_word_len")
+    assert(byId(0L).isNullAt(5), "empty doc must carry a null score")
+    // the whitespace-only doc DOES score (0.4·(1−punct) + least-skipped
+    // null stopword term — both engines skip nulls in least identically)
+    assert(!byId(1L).isNullAt(5) && !byId(2L).isNullAt(5))
+    assert(SparkEntry.queries("q_text_langid")(spark, dir).count() == 3)
+    // the calibration analytic must drop the null-score doc, not bucket it
+    assert(SparkEntry.queries("q_quality_dup_calibration")(spark, dir)
+      .agg(sum("docs")).collect().head.getLong(0) == 2)
+  }
+
   test("user-jump events have no follow-up within 10 minutes") {
     // every flagged jump must be a view event; re-derive the count from
     // the raw table as an independent check
