@@ -150,6 +150,12 @@ object Sessions {
   def qRetentionCohorts(spark: SparkSession, dir: String): DataFrame =
     Tables.events(spark, dir)
       .select(col("user_id"), dayCol.as("day"))
+      // dirty-record rule (reference: BaseLogApp's side-output): an
+      // event without a user or a timestamp belongs to no cohort cell.
+      // EXPLICIT in both formulations — otherwise Spark's null-skipping
+      // collect_set and SQL's null GROUP BY key diverge on dirty data
+      // (caught by the planted nasty-events parity probe)
+      .where(col("user_id").isNotNull && col("day").isNotNull)
       .groupBy("user_id")
       .agg(collect_set("day").as("days"))
       // yyyy-MM-dd sorts lexicographically as dates, so array_min is
@@ -165,7 +171,8 @@ object Sessions {
 
   val qRetentionCohortsSql: String =
     """WITH active AS (
-      |  SELECT DISTINCT user_id, strftime(ts, '%Y-%m-%d') AS day FROM events),
+      |  SELECT DISTINCT user_id, strftime(ts, '%Y-%m-%d') AS day FROM events
+      |  WHERE user_id IS NOT NULL AND ts IS NOT NULL),
       |cohort AS (
       |  SELECT user_id, MIN(day) AS cohort_day FROM active GROUP BY user_id)
       |SELECT c.cohort_day,

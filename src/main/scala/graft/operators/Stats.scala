@@ -128,6 +128,11 @@ object Stats {
     */
   def qSlidingWindow(spark: SparkSession, dir: String): DataFrame =
     Tables.events(spark, dir)
+      // explicit dirty-record rule: window() silently drops a null
+      // timestamp while the oracle's hop arithmetic would emit a null
+      // window row — state the filter in BOTH so the twins agree on
+      // dirty data (caught by the planted nasty-events parity probe)
+      .where(col("ts_us").isNotNull)
       .withColumn("tsm", timestamp_micros(col("ts_us")))
       .groupBy(window(col("tsm"), "1 hour", "30 minutes").as("win"),
         col("event_type"))
@@ -143,7 +148,8 @@ object Stats {
     */
   val qSlidingWindowSql: String =
     """WITH t AS (
-      |  SELECT user_id, event_type, epoch_us(ts) AS ts_us FROM events),
+      |  SELECT user_id, event_type, epoch_us(ts) AS ts_us FROM events
+      |  WHERE ts IS NOT NULL),
       |w AS (
       |  SELECT user_id, event_type,
       |    (ts_us // 1800000000 - k.k) * 1800000000 AS ws_us
