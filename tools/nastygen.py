@@ -1,0 +1,122 @@
+#!/usr/bin/env python3
+"""Regenerate the planted NASTY corpora behind SURVEY.md §6(g)-(h).
+
+Each corpus is a sibling of /root/testdata/sf0.001 with ONE table
+replaced by a poisoned variant; everything else symlinks. Run the
+normal gate against them:
+
+    python3 tools/nastygen.py /tmp/nasty
+    SPARK_GRAFT_ONLY=q_text_quality,... \
+      sbt "runMain graft.Verify /tmp/nasty/docs /tmp/verify_nasty"
+    python3 tools/crosscheck.py /tmp/nasty/docs /tmp/verify_nasty ...
+
+Corpora:
+  <out>/docs  — documents.parquet: empty / whitespace-only /
+                single-token / CJK / punctuation-only / long-repeat
+                docs (caught the ANSI DIVIDE_BY_ZERO in the quality
+                ratios).
+  <out>/ev    — events.parquet: null user_id, null ts, null and
+                malformed props (caught the two null-semantics
+                divergences in retention + sliding window).
+  <out>/star  — orders/lineitem with null dates, keys, prices,
+                quantities and orphan FKs (OLAP battery passed with
+                no fixes needed).
+"""
+import sys, os, glob, datetime as dt
+
+SRC = "/root/testdata/sf0.001"
+
+
+def link_all(dst, skip):
+    os.makedirs(dst, exist_ok=True)
+    for f in glob.glob(f"{SRC}/*.parquet"):
+        name = os.path.basename(f)
+        target = os.path.join(dst, name)
+        if os.path.lexists(target):
+            os.remove(target)
+        if name not in skip:
+            os.symlink(f, target)
+
+
+def gen_docs(out):
+    import duckdb
+    d = os.path.join(out, "docs")
+    link_all(d, {"documents.parquet"})
+    duckdb.connect().execute(f"""
+COPY (
+  SELECT * FROM (VALUES
+    (0::BIGINT, '', 'en', 'src0', 0::BIGINT),
+    (1::BIGINT, '   ', 'en', 'src0', 3::BIGINT),
+    (2::BIGINT, 'one', 'en', 'src0', 3::BIGINT),
+    (3::BIGINT, 'two tokens', 'en', 'src1', 10::BIGINT),
+    (4::BIGINT, '中文 测试 文本 中文 测试', 'zh', 'src1', 12::BIGINT),
+    (5::BIGINT, 'the quick brown fox jumps over the lazy dog', 'en', 'src1', 43::BIGINT),
+    (6::BIGINT, 'the quick brown fox jumps over the lazy dog', 'en', 'src2', 43::BIGINT),
+    (7::BIGINT, repeat('word ', 500), 'en', 'src2', 2500::BIGINT),
+    (8::BIGINT, 'a!!! b??? c... d,,, e;;;', 'en', 'src2', 24::BIGINT),
+    (9::BIGINT, 'Ünïcödé tëst ströng  with   runs', 'de', 'src3', 32::BIGINT),
+    (10::BIGINT, 'singleverylongtokenwithoutanyspacesatallinit', 'en', 'src3', 44::BIGINT),
+    (11::BIGINT, 'the the the the the the the the', 'en', 'src3', 31::BIGINT)
+  ) t(doc_id, text, lang, source, n_chars)
+) TO '{d}/documents.parquet' (FORMAT PARQUET)""")
+
+
+def gen_events(out):
+    import pyarrow as pa, pyarrow.parquet as pq
+    d = os.path.join(out, "ev")
+    link_all(d, {"events.parquet"})
+    ts = dt.datetime.fromisoformat
+    rows = [
+        (1, ts("1996-03-01T10:00:00"), 1, "view", 1.0, '{"page":"home","valid":true}'),
+        (2, ts("1996-03-01T10:01:00"), 1, "click", 2.0, '{"page":"item","valid":true}'),
+        (3, ts("1996-03-01T10:02:00"), 1, "purchase", 9.9, '{"page":"pay","valid":true}'),
+        (4, ts("1996-03-01T11:00:00"), None, "view", 1.0, '{"page":"home"}'),
+        (5, ts("1996-03-01T12:00:00"), 2, "view", 1.0, None),
+        (6, ts("1996-03-01T12:01:00"), 2, "click", None, "{not json at all"),
+        (7, None, 3, "view", 1.0, '{"page":"home"}'),
+        (8, ts("1996-03-01T13:00:00"), 2, "view", 1.0, '{"page":"home"}'),
+    ]
+    cols = list(zip(*rows))
+    pq.write_table(pa.table({
+        "event_id": pa.array(cols[0], pa.int64()),
+        "ts": pa.array(cols[1], pa.timestamp("ns")),
+        "user_id": pa.array(cols[2], pa.int64()),
+        "event_type": pa.array(cols[3], pa.string()),
+        "value": pa.array(cols[4], pa.float64()),
+        "props": pa.array(cols[5], pa.string()),
+    }), f"{d}/events.parquet")
+
+
+def gen_star(out):
+    import duckdb
+    d = os.path.join(out, "star")
+    link_all(d, {"orders.parquet", "lineitem.parquet"})
+    con = duckdb.connect()
+    con.execute(f"""
+COPY (
+  SELECT o_orderkey,
+    CASE WHEN o_orderkey % 97 = 0 THEN NULL ELSE o_custkey END AS o_custkey,
+    o_orderstatus,
+    CASE WHEN o_orderkey % 89 = 0 THEN NULL ELSE o_totalprice END AS o_totalprice,
+    CASE WHEN o_orderkey % 83 = 0 THEN NULL ELSE o_orderdate END AS o_orderdate,
+    o_orderpriority
+  FROM read_parquet('{SRC}/orders.parquet')
+) TO '{d}/orders.parquet' (FORMAT PARQUET)""")
+    con.execute(f"""
+COPY (
+  SELECT CASE WHEN l_orderkey % 101 = 0 THEN NULL ELSE l_orderkey END AS l_orderkey,
+    l_partkey, l_suppkey, l_linenumber,
+    CASE WHEN l_orderkey % 97 = 0 THEN NULL ELSE l_quantity END AS l_quantity,
+    CASE WHEN l_orderkey % 89 = 0 THEN NULL ELSE l_extendedprice END AS l_extendedprice,
+    l_discount, l_tax, l_returnflag, l_linestatus,
+    CASE WHEN l_orderkey % 83 = 0 THEN NULL ELSE l_shipdate END AS l_shipdate
+  FROM read_parquet('{SRC}/lineitem.parquet')
+) TO '{d}/lineitem.parquet' (FORMAT PARQUET)""")
+
+
+if __name__ == "__main__":
+    out = sys.argv[1] if len(sys.argv) > 1 else "/tmp/nasty"
+    gen_docs(out)
+    gen_events(out)
+    gen_star(out)
+    print(f"nasty corpora written under {out}/{{docs,ev,star}}")
