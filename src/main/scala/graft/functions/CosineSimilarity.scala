@@ -34,17 +34,34 @@ case class CosineSimilarity(left: Expression, right: Expression)
   override def dataType: DataType = DoubleType
   override def prettyName: String = "cosine_sim"
 
+  /** NULL, not NaN, for undefined cosines — the dirty-embedding rule.
+    * A zero-norm vector (failed upstream embedding job) used to yield
+    * NaN, which Spark's descending sort ranks ABOVE every real score:
+    * one dead vector would sit atop every query's top-k at 100 TB.
+    * NULL instead ranks last / drops from τ-filters in BOTH engines,
+    * and matches what the DuckDB oracles already compute for the same
+    * rows (0/0 → NULL; fixed-dim indexing off a short vector → NULL).
+    * Length mismatch is NULL for the same reason (DotProduct's
+    * documented rule). NaN-poisoned ELEMENTS also collapse to NULL
+    * here; the oracles cannot express that case (DuckDB arithmetic
+    * keeps NaN and sorts it greatest), so element-level NaN stays out
+    * of the planted-corpus contract — validate upstream.
+    */
+  override def nullable: Boolean = true
+
   override def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
-    val n = math.min(x.numElements(), y.numElements())
+    val n = x.numElements()
+    if (n != y.numElements()) return null
     var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
     while (i < n) {
       val xi = x.getDouble(i); val yi = y.getDouble(i)
       dot += xi * yi; na += xi * xi; nb += yi * yi
       i += 1
     }
-    dot / (math.sqrt(na) * math.sqrt(nb))
+    val r = dot / (math.sqrt(na) * math.sqrt(nb))
+    if (java.lang.Double.isNaN(r)) null else r
   }
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
@@ -56,15 +73,21 @@ case class CosineSimilarity(left: Expression, right: Expression)
       val i = ctx.freshName("i")
       val xi = ctx.freshName("xi")
       val yi = ctx.freshName("yi")
+      val r = ctx.freshName("r")
       s"""
-         |int $n = Math.min($a.numElements(), $b.numElements());
-         |double $dot = 0.0, $na = 0.0, $nb = 0.0;
-         |for (int $i = 0; $i < $n; $i++) {
-         |  double $xi = $a.getDouble($i);
-         |  double $yi = $b.getDouble($i);
-         |  $dot += $xi * $yi; $na += $xi * $xi; $nb += $yi * $yi;
+         |int $n = $a.numElements();
+         |if ($n != $b.numElements()) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  double $dot = 0.0, $na = 0.0, $nb = 0.0;
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    double $xi = $a.getDouble($i);
+         |    double $yi = $b.getDouble($i);
+         |    $dot += $xi * $yi; $na += $xi * $xi; $nb += $yi * $yi;
+         |  }
+         |  double $r = $dot / (Math.sqrt($na) * Math.sqrt($nb));
+         |  if (Double.isNaN($r)) { ${ev.isNull} = true; } else { ${ev.value} = $r; }
          |}
-         |${ev.value} = $dot / (Math.sqrt($na) * Math.sqrt($nb));
        """.stripMargin
     })
 

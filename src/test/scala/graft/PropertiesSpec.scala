@@ -137,4 +137,22 @@ class PropertiesSpec extends AnyFunSuite {
         (got.isNaN && want.isNaN), s"got=$got want=$want")
     }
   }
+
+  test("cosine_sim nulls undefined inputs: zero norm, mismatch, NaN poison") {
+    // NULL, not NaN: a NaN cosine sorts ABOVE every real score in a
+    // descending top-k, so one dead vector would head every query's
+    // result; NULL drops/ranks-last identically in both engines
+    val expr = CosineSimilarity(null, null)
+    def arr(xs: Double*) = new GenericArrayData(xs.toArray.map(x => x: Any))
+    assert(expr.nullSafeEval(arr(0.0, 0.0), arr(1.0, 2.0)) == null,
+      "zero-norm left must be null")
+    assert(expr.nullSafeEval(arr(1.0, 2.0), arr(0.0, 0.0)) == null,
+      "zero-norm right must be null")
+    assert(expr.nullSafeEval(arr(1.0, 2.0), arr(1.0)) == null,
+      "length mismatch must be null")
+    assert(expr.nullSafeEval(arr(Double.NaN, 1.0), arr(1.0, 1.0)) == null,
+      "NaN-poisoned vector must be null")
+    val ok = expr.nullSafeEval(arr(1.0, 0.0), arr(1.0, 0.0))
+    assert(ok.asInstanceOf[Double] == 1.0)
+  }
 }

@@ -21,6 +21,10 @@ Corpora:
   <out>/star  — orders/lineitem with null dates, keys, prices,
                 quantities and orphan FKs (OLAP battery passed with
                 no fixes needed).
+  <out>/emb   — embeddings.parquet with a zero-norm vector, a NULL
+                embedding, and a dim-mismatched vector (caught the
+                NaN-vs-NULL cosine divergence: a NaN cosine ranks
+                above every real score in a descending top-k).
 """
 import sys, os, glob, datetime as dt
 
@@ -114,9 +118,27 @@ COPY (
 ) TO '{d}/lineitem.parquet' (FORMAT PARQUET)""")
 
 
+def gen_emb(out):
+    import pyarrow as pa, pyarrow.parquet as pq
+    d = os.path.join(out, "emb")
+    link_all(d, {"embeddings.parquet"})
+    t = pq.read_table(f"{SRC}/embeddings.parquet").to_pydict()
+    ids, embs, labels = t["vec_id"], t["embedding"], t["label"]
+    for i, vid in enumerate(ids):
+        if vid == 20: embs[i] = [0.0] * 64   # zero norm
+        if vid == 21: embs[i] = None         # null embedding
+        if vid == 22: embs[i] = embs[i][:32] # dim mismatch
+    pq.write_table(pa.table({
+        "vec_id": pa.array(ids, pa.int64()),
+        "embedding": pa.array(embs, pa.list_(pa.float32())),
+        "label": pa.array(labels, pa.int32()),
+    }), f"{d}/embeddings.parquet")
+
+
 if __name__ == "__main__":
     out = sys.argv[1] if len(sys.argv) > 1 else "/tmp/nasty"
     gen_docs(out)
     gen_events(out)
     gen_star(out)
-    print(f"nasty corpora written under {out}/{{docs,ev,star}}")
+    gen_emb(out)
+    print(f"nasty corpora written under {out}/{{docs,ev,star,emb}}")
