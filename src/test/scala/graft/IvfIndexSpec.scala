@@ -32,6 +32,32 @@ class IvfIndexSpec extends SparkSpec {
       "index-then-serve diverged from the gated single-pass q_ann_ivf")
   }
 
+  test("serving path tolerates dirty vectors; no dead vector heads a top-k") {
+    // zero-norm / null / dim-mismatched vectors (failed upstream
+    // embedding jobs) must neither crash the fit-index-serve pipeline
+    // nor appear in any query's results — their cosines are NULL by
+    // the cosine_sim dirty-embedding rule, so they rank out everywhere
+    import spark.implicits._
+    val dirty = Seq(
+      (9000L, Some(Seq.fill(64)(0.0))),      // zero norm
+      (9001L, None: Option[Seq[Double]]),    // null embedding
+      (9002L, Some(Seq.fill(32)(0.5)))       // dim mismatch
+    ).toDF("vec_id", "v")
+    val mixed = emb.unionByName(dirty)
+    val fitted = Graft.kmeansCentroids(mixed, "vec_id", "v", k = 10, iters = 2)
+    assert(fitted.count() == 10)
+    val idx = Graft.ivfIndex(mixed, "vec_id", "v", fitted, "cent_id", "cv")
+    assert(idx.count() == mixed.count(), "index must carry every row")
+    val res = Graft.ivfQuery(idx, fitted, "cent_id", "cv", queries,
+      "vec_id", "v", k = 5, nprobe = 3, excludeSelf = true)
+    assert(res.groupBy("q_id").count().where(col("count") =!= 5).isEmpty,
+      "every query must still get k results")
+    assert(res.where(col("id") >= 9000L).isEmpty,
+      "a dead vector must never appear in a top-k")
+    assert(res.where(col("cos").isNull || isnan(col("cos"))).isEmpty,
+      "served scores must be real numbers")
+  }
+
   test("kmeansCentroids: deterministic fit, full coverage, serviceable recall") {
     val c1 = Graft.kmeansCentroids(emb, "vec_id", "v", k = 10, iters = 3)
     val c2 = Graft.kmeansCentroids(emb, "vec_id", "v", k = 10, iters = 3)
