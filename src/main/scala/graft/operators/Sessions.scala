@@ -169,6 +169,46 @@ object Sessions {
       .agg(count(lit(1)).as("active_users"))
       .orderBy("cohort_day", "day_offset")
 
+  /** #99 — `q_event_transitions`: the page-flow TRANSITION MATRIX (the
+    * reference's page-flow question, UserJumpDetailApp/BaseLogApp page
+    * semantics, generalized): per (prev event type → event type) pair,
+    * the transition count and row-normalized probability — the Markov
+    * readout funnel design starts from. One user_id window pass (the
+    * same exchange every Sessions op reuses), one tiny type-pair
+    * aggregate; the probability window runs over |types|² rows, never
+    * the corpus. Dirty-record rule applied explicitly (events without
+    * a user or timestamp order nothing). The probability is ONE
+    * integer-over-integer division per output row — deterministic
+    * under any partitioning, identical in DuckDB.
+    */
+  def qEventTransitions(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+    val p = Window.partitionBy("prev")
+    Tables.events(spark, dir)
+      .where(col("user_id").isNotNull && col("ts_us").isNotNull)
+      .withColumn("prev", lag("event_type", 1).over(w))
+      .where(col("prev").isNotNull)
+      .groupBy("prev", "event_type")
+      .agg(count(lit(1)).as("ct"))
+      .withColumn("p", col("ct").cast("double") / sum("ct").over(p))
+      .orderBy("prev", "event_type")
+  }
+
+  val qEventTransitionsSql: String =
+    """WITH e AS (
+      |  SELECT user_id, event_id, event_type, epoch_us(ts) AS ts_us
+      |  FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL),
+      |t AS (
+      |  SELECT event_type,
+      |    lag(event_type) OVER (PARTITION BY user_id ORDER BY ts_us, event_id) AS prev
+      |  FROM e),
+      |c AS (
+      |  SELECT prev, event_type, CAST(COUNT(*) AS BIGINT) AS ct
+      |  FROM t WHERE prev IS NOT NULL GROUP BY 1, 2)
+      |SELECT prev, event_type, ct,
+      |  CAST(ct AS DOUBLE) / SUM(ct) OVER (PARTITION BY prev) AS p
+      |FROM c ORDER BY prev, event_type""".stripMargin
+
   val qRetentionCohortsSql: String =
     """WITH active AS (
       |  SELECT DISTINCT user_id, strftime(ts, '%Y-%m-%d') AS day FROM events
