@@ -111,7 +111,12 @@ object Sessions {
     * (user_id, day) key — the shuffle partitioning is reused across
     * all three stages.
     */
-  def qEventFunnel(spark: SparkSession, dir: String): DataFrame = {
+  /** The funnel's per-(user, day) stage frames — ONE definition shared
+    * by #15 (stage counts) and #100 (conversion latency), so the stage
+    * semantics cannot drift between the two readouts.
+    */
+  private def funnelStages(spark: SparkSession, dir: String)
+      : (DataFrame, DataFrame, DataFrame) = {
     val ev = Tables.events(spark, dir).withColumn("day", dayCol)
     val views = ev.filter(col("event_type") === "view")
       .groupBy("user_id", "day").agg(min("ts_us").as("v_ts"))
@@ -123,6 +128,11 @@ object Sessions {
       .join(clicks, Seq("user_id", "day"))
       .filter(col("ts_us") > col("c_ts"))
       .groupBy("user_id", "day").agg(min("ts_us").as("p_ts"))
+    (views, clicks, purchases)
+  }
+
+  def qEventFunnel(spark: SparkSession, dir: String): DataFrame = {
+    val (views, clicks, purchases) = funnelStages(spark, dir)
     views.join(clicks, Seq("user_id", "day"), "left")
       .join(purchases, Seq("user_id", "day"), "left")
       .groupBy("day")
@@ -130,6 +140,29 @@ object Sessions {
         count(col("v_ts")).as("view_users"),
         count(col("c_ts")).as("click_users"),
         count(col("p_ts")).as("purchase_users"))
+      .orderBy("day")
+  }
+
+  /** #100 — `q_conversion_latency`: how long the funnel takes — per
+    * day, the count of fully-converting (user, day) pairs and the
+    * p50/p90 of first-view→first-purchase latency in event-time
+    * micros. Composes #15's SHARED stage frames (the latency is
+    * between the same `v_ts`/`p_ts` the funnel counts, by
+    * construction); exact `percentile` interpolates identically to
+    * DuckDB `quantile_cont` (pinned by #62). Latencies are exact
+    * integer micros until the final interpolation — no float drift.
+    * At 100 TB the per-day quantile groups swap to
+    * `approx_percentile` (the #62/#63 pairing) unchanged elsewhere.
+    */
+  def qConversionLatency(spark: SparkSession, dir: String): DataFrame = {
+    val (views, _, purchases) = funnelStages(spark, dir)
+    purchases.join(views, Seq("user_id", "day"))
+      .withColumn("lat_us", col("p_ts") - col("v_ts"))
+      .groupBy("day")
+      .agg(count(lit(1)).as("conversions"),
+        expr("percentile(lat_us, array(0.5D, 0.9D))").as("q"))
+      .select(col("day"), col("conversions"),
+        col("q").getItem(0).as("p50_us"), col("q").getItem(1).as("p90_us"))
       .orderBy("day")
   }
 
@@ -221,7 +254,8 @@ object Sessions {
       |FROM active a JOIN cohort c ON a.user_id = c.user_id
       |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
 
-  val qEventFunnelSql: String =
+  /** SQL twin of [[funnelStages]] — the CTE prefix #15 and #100 share. */
+  private val funnelCtesSql: String =
     """WITH ev AS (
       |  SELECT user_id, event_type, epoch_us(ts) AS ts_us, strftime(ts, '%Y-%m-%d') AS day FROM events),
       |views AS (
@@ -233,7 +267,10 @@ object Sessions {
       |purchases AS (
       |  SELECT e.user_id, e.day, MIN(e.ts_us) AS p_ts FROM ev e
       |  JOIN clicks c ON e.user_id = c.user_id AND e.day = c.day
-      |  WHERE e.event_type = 'purchase' AND e.ts_us > c.c_ts GROUP BY 1, 2)
+      |  WHERE e.event_type = 'purchase' AND e.ts_us > c.c_ts GROUP BY 1, 2)""".stripMargin
+
+  val qEventFunnelSql: String = funnelCtesSql +
+    """
       |SELECT v.day,
       |  CAST(COUNT(v.v_ts) AS BIGINT) AS view_users,
       |  CAST(COUNT(c.c_ts) AS BIGINT) AS click_users,
@@ -242,4 +279,12 @@ object Sessions {
       |LEFT JOIN clicks c ON v.user_id = c.user_id AND v.day = c.day
       |LEFT JOIN purchases p ON v.user_id = p.user_id AND v.day = p.day
       |GROUP BY v.day ORDER BY v.day""".stripMargin
+
+  val qConversionLatencySql: String = funnelCtesSql +
+    """
+      |SELECT p.day, CAST(COUNT(*) AS BIGINT) AS conversions,
+      |  quantile_cont(p.p_ts - v.v_ts, 0.50) AS p50_us,
+      |  quantile_cont(p.p_ts - v.v_ts, 0.90) AS p90_us
+      |FROM purchases p JOIN views v ON p.user_id = v.user_id AND p.day = v.day
+      |GROUP BY p.day ORDER BY p.day""".stripMargin
 }
