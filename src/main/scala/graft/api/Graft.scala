@@ -695,8 +695,9 @@ object Graft {
   }
 
   /** One-pass data profile of `cols`: per column, row/non-null/
-    * distinct counts and numeric min/max (strings profile null
-    * min/max). `approx = false` is the gate-exact flavor and plans
+    * distinct counts and numeric min/max (non-numeric strings profile
+    * null min/max via try_cast; digit-strings get a real range).
+    * `approx = false` is the gate-exact flavor and plans
     * the multi-distinct Expand (input ×k); `approx = true` swaps the
     * distincts for HLL sketches — single pass, NO Expand, mergeable
     * partials, the 100 TB default. Spec-pinned to the gated
@@ -711,8 +712,10 @@ object Graft {
     * stratum bounds frame broadcasts back; the data side stays one
     * scan + a map-side band test. Exact percentile buffers each
     * stratum in one task (gate flavor); at 100 TB swap the bounds agg
-    * to `approx_percentile` — the band test is unchanged. Spec-pinned
-    * to the gated `q_outlier_docs`.
+    * to `approx_percentile` — the band test is unchanged. Both the
+    * bounds aggregate and the band test consume `df` — persist it
+    * first if it is expensive to recompute (the gated query does).
+    * Spec-pinned to the gated `q_outlier_docs`.
     */
   def outliers(df: DataFrame, valueCol: String, stratumCol: String,
       pLo: Double = 0.05, pHi: Double = 0.95): DataFrame = {

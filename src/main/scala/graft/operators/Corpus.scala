@@ -425,8 +425,11 @@ object Corpus {
     * unchanged.
     */
   def qOutlierDocs(spark: SparkSession, dir: String): DataFrame = {
+    // consumed twice (bounds agg + band test) — cached so the corpus
+    // is tokenized once, not once per branch
     val toks = Tables.documents(spark, dir)
       .select(col("doc_id"), col("source"), Text.wsTokenCount.as("n_tokens"))
+      .persist()
     val bounds = toks.groupBy("source")
       .agg(expr("percentile(n_tokens, array(0.05D, 0.95D))").as("q"))
       .select(col("source").as("b_source"),
@@ -476,6 +479,11 @@ object Corpus {
       // decile material); excluded explicitly in BOTH engines rather
       // than letting null-comparison semantics park them in decile 1
       .where(col("quality_score").isNotNull)
+      // consumed twice (threshold agg + decile side) — cached so the
+      // scan + score + fp-window subtree runs once, not once per
+      // branch (the shingleSets precedent; Bench clears cache between
+      // queries)
+      .persist()
     val th = flagged.agg(expr(
       "percentile(quality_score, array(0.1D,0.2D,0.3D,0.4D,0.5D,0.6D,0.7D,0.8D,0.9D))").as("q"))
     flagged.crossJoin(broadcast(th))

@@ -452,6 +452,12 @@ object Olap {
     val n = Tables.nation(spark, dir).select("n_nationkey", "n_name")
     Tables.lineitem(spark, dir)
       .select("l_partkey", "l_suppkey", "l_extendedprice")
+      // "lowest OBSERVED price": a supplier whose every line carries a
+      // null price has no observation and must not win the argmin —
+      // without this filter a null cost sorts FIRST in Spark's struct
+      // ordering but LAST in the oracle's ORDER BY (DuckDB defaults
+      // nulls last), a latent divergence on dirty data
+      .where(col("l_extendedprice").isNotNull)
       .join(broadcast(p10), col("l_partkey") === col("p_partkey"))
       .groupBy("p_partkey", "p_name", "l_suppkey")
       .agg(min(col("l_extendedprice")).as("cost"))
@@ -469,7 +475,8 @@ object Olap {
     """WITH ps AS (
       |  SELECT p_partkey, p_name, l_suppkey, MIN(l_extendedprice) AS cost
       |  FROM lineitem JOIN part ON p_partkey = l_partkey
-      |  WHERE p_size = 10 GROUP BY 1, 2, 3),
+      |  WHERE p_size = 10 AND l_extendedprice IS NOT NULL
+      |  GROUP BY 1, 2, 3),
       |r AS (
       |  SELECT *, row_number() OVER (PARTITION BY p_partkey
       |    ORDER BY cost, l_suppkey) AS rk

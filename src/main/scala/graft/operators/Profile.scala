@@ -13,9 +13,12 @@ import graft.Tables
   * fine while the table fits a ×k scan. The approx flavor swaps every
   * `count(distinct)` for an HLL sketch: single pass, NO Expand,
   * mergeable partials — the 100 TB default (the #11/#40 and #62/#63
-  * exact/approx pairing again). Min/max cast through DOUBLE: exact
-  * for integers below 2⁵³ and all dates-as-day-numbers; strings
-  * profile as null min/max (count/distinct still meaningful).
+  * exact/approx pairing again). Min/max go through `try_cast(…AS
+  * DOUBLE)`: exact for integers below 2⁵³ and dates-as-day-numbers;
+  * NON-NUMERIC strings profile as null min/max (count/distinct still
+  * meaningful), while digit-string columns DO get a numeric range —
+  * try_cast succeeds on them, which is the useful answer for e.g. a
+  * zip-code column stored as text.
   */
 object Profile {
 

@@ -106,14 +106,12 @@ object Sessions {
       |FROM numbered GROUP BY user_id, session_seq
       |ORDER BY user_id, session_seq""".stripMargin
 
-  /** #15 — view→click→purchase funnel per user-day: stage timestamps
-    * must be strictly increasing. Three aggs joined on the same
-    * (user_id, day) key — the shuffle partitioning is reused across
-    * all three stages.
-    */
   /** The funnel's per-(user, day) stage frames — ONE definition shared
     * by #15 (stage counts) and #100 (conversion latency), so the stage
-    * semantics cannot drift between the two readouts.
+    * semantics cannot drift between the two readouts. Stage
+    * timestamps strictly increase; three aggs joined on the same
+    * (user_id, day) key — the shuffle partitioning is reused across
+    * all three stages.
     */
   private def funnelStages(spark: SparkSession, dir: String)
       : (DataFrame, DataFrame, DataFrame) = {
@@ -131,6 +129,9 @@ object Sessions {
     (views, clicks, purchases)
   }
 
+  /** #15 — view→click→purchase funnel per user-day: the per-stage
+    * user counts over [[funnelStages]]'s frames.
+    */
   def qEventFunnel(spark: SparkSession, dir: String): DataFrame = {
     val (views, clicks, purchases) = funnelStages(spark, dir)
     views.join(clicks, Seq("user_id", "day"), "left")

@@ -53,7 +53,7 @@ COPY (
     (1::BIGINT, '   ', 'en', 'src0', 3::BIGINT),
     (2::BIGINT, 'one', 'en', 'src0', 3::BIGINT),
     (3::BIGINT, 'two tokens', 'en', 'src1', 10::BIGINT),
-    (4::BIGINT, '中文 测试 文本 中文 测试', 'zh', 'src1', 12::BIGINT),
+    (4::BIGINT, '中文 测试 文本 中文 测试', 'zh', 'src1', 14::BIGINT),
     (5::BIGINT, 'the quick brown fox jumps over the lazy dog', 'en', 'src1', 43::BIGINT),
     (6::BIGINT, 'the quick brown fox jumps over the lazy dog', 'en', 'src2', 43::BIGINT),
     (7::BIGINT, repeat('word ', 500), 'en', 'src2', 2500::BIGINT),
