@@ -707,6 +707,29 @@ object Graft {
   def profile(df: DataFrame, cols: Seq[String], approx: Boolean = false): DataFrame =
     graft.operators.Profile.profile(df, cols, approx)
 
+  /** Sequence transition matrix: per (previous `stateCol` → current)
+    * pair within each `seqCol` partition ordered by `orderCol` (+
+    * `tieCol` for total order), the transition count and the
+    * row-normalized probability — the Markov readout over any
+    * event-sequence frame. One window pass on the sequence key, a
+    * state-pair aggregate, and a probability window over |states|²
+    * rows only. Rows with a null sequence key or order value are
+    * excluded (the dirty-record rule). Spec-pinned to the gated
+    * `q_event_transitions`.
+    */
+  def transitions(df: DataFrame, seqCol: String, orderCol: String,
+      tieCol: String, stateCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(seqCol).orderBy(orderCol, tieCol)
+    val p = Window.partitionBy("prev")
+    df.where(col(seqCol).isNotNull && col(orderCol).isNotNull)
+      .withColumn("prev", lag(col(stateCol), 1).over(w))
+      .where(col("prev").isNotNull)
+      .groupBy(col("prev"), col(stateCol))
+      .agg(count(lit(1)).as("ct"))
+      .withColumn("p", col("ct").cast("double") / sum("ct").over(p))
+  }
+
   /** Per-stratum percentile-band outlier filter: rows whose `valueCol`
     * falls outside their stratum's [pLo, pHi] band. The one-row-per-
     * stratum bounds frame broadcasts back; the data side stays one

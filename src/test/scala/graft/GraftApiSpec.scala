@@ -288,6 +288,14 @@ class GraftApiSpec extends SparkSpec {
     }
   }
 
+  test("transitions reproduces q_event_transitions") {
+    val api = Graft.transitions(Tables.events(spark, sf),
+        "user_id", "ts_us", "event_id", "event_type")
+      .select("prev", "event_type", "ct", "p")
+    same(api.orderBy("prev", "event_type"),
+      SparkEntry.queries("q_event_transitions")(spark, sf), "transitions")
+  }
+
   test("outliers reproduces q_outlier_docs") {
     val toks = Tables.documents(spark, sf)
       .select(col("doc_id"), col("source"),
