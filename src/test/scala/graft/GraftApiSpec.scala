@@ -288,6 +288,14 @@ class GraftApiSpec extends SparkSpec {
     }
   }
 
+  test("saltedDistinct equals the plain per-key distinct") {
+    val ev = Tables.events(spark, sf)
+    val api = Graft.saltedDistinct(ev, "event_type", "user_id", salts = 8)
+    val want = ev.groupBy("event_type")
+      .agg(countDistinct("user_id").as("distinct_ct"))
+    same(api, want, "saltedDistinct")
+  }
+
   test("transitions reproduces q_event_transitions") {
     val api = Graft.transitions(Tables.events(spark, sf),
         "user_id", "ts_us", "event_id", "event_type")
