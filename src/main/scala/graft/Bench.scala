@@ -67,7 +67,20 @@ object Bench {
     val errs = errors.map { case (k, v) => s"${jstr(k)}:${jstr(v.take(200))}" }
       .mkString("{", ",", "}")
     val total = times.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"sf":"$sfDir"}""")
+    val json =
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"sf":"$sfDir"}"""
+    println(json)
+    // Also persist to a stable file: the driver's stdout-tail capture has a
+    // bounded window, and at 73+ queries the leading entries (and the
+    // "metric":"total" line) fell out of it in round 8 (VERDICT r8 item 2).
+    // The file survives regardless of how much log preamble precedes it.
+    try {
+      val out = java.nio.file.Paths.get(
+        sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "target/bench.json"))
+      Option(out.getParent).foreach(java.nio.file.Files.createDirectories(_))
+      java.nio.file.Files.write(out,
+        (json + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    } catch { case e: Throwable => System.err.println(s"[bench] file write failed: $e") }
     spark.stop()
   }
 }

@@ -104,10 +104,14 @@ object CosineSimilarity {
       s"cosine_sim expects exactly 2 arguments, got ${exprs.length}")
   }
 
-  /** Registers `cosine_sim(a, b)` so operators can use it via expr(). */
-  def register(spark: SparkSession): Unit =
-    spark.sessionState.functionRegistry.registerFunction(
-      FunctionIdentifier("cosine_sim"),
-      new ExpressionInfo(classOf[CosineSimilarity].getName, "cosine_sim"),
-      (exprs: Seq[Expression]) => build(exprs))
+  /** Registers `cosine_sim(a, b)` so operators can use it via expr();
+    * guarded so repeat calls don't emit re-registration WARNs. */
+  def register(spark: SparkSession): Unit = {
+    val id = FunctionIdentifier("cosine_sim")
+    if (!spark.sessionState.functionRegistry.functionExists(id))
+      spark.sessionState.functionRegistry.registerFunction(
+        id,
+        new ExpressionInfo(classOf[CosineSimilarity].getName, "cosine_sim"),
+        (exprs: Seq[Expression]) => build(exprs))
+  }
 }

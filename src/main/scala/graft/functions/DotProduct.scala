@@ -87,10 +87,14 @@ object DotProduct {
       s"dot_product expects exactly 2 arguments, got ${exprs.length}")
   }
 
-  /** Registers `dot_product(a, b)` (idempotent, mirrors CosineSimilarity). */
-  def register(spark: SparkSession): Unit =
-    spark.sessionState.functionRegistry.registerFunction(
-      FunctionIdentifier("dot_product"),
-      new ExpressionInfo(classOf[DotProduct].getName, "dot_product"),
-      (exprs: Seq[Expression]) => build(exprs))
+  /** Registers `dot_product(a, b)` (idempotent, mirrors CosineSimilarity);
+    * guarded so repeat calls don't emit re-registration WARNs. */
+  def register(spark: SparkSession): Unit = {
+    val id = FunctionIdentifier("dot_product")
+    if (!spark.sessionState.functionRegistry.functionExists(id))
+      spark.sessionState.functionRegistry.registerFunction(
+        id,
+        new ExpressionInfo(classOf[DotProduct].getName, "dot_product"),
+        (exprs: Seq[Expression]) => build(exprs))
+  }
 }

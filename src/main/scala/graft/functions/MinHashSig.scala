@@ -100,10 +100,14 @@ object MinHashSig {
       s"minhash_sig expects exactly 2 arguments, got ${exprs.length}")
   }
 
-  /** Idempotent session registration (mirrors CosineSimilarity.register). */
-  def register(spark: SparkSession): Unit =
-    spark.sessionState.functionRegistry.registerFunction(
-      FunctionIdentifier("minhash_sig"),
-      new ExpressionInfo(classOf[MinHashSig].getName, "minhash_sig"),
-      (exprs: Seq[Expression]) => build(exprs))
+  /** Idempotent session registration (mirrors CosineSimilarity.register);
+    * guarded so repeat calls don't emit re-registration WARNs. */
+  def register(spark: SparkSession): Unit = {
+    val id = FunctionIdentifier("minhash_sig")
+    if (!spark.sessionState.functionRegistry.functionExists(id))
+      spark.sessionState.functionRegistry.registerFunction(
+        id,
+        new ExpressionInfo(classOf[MinHashSig].getName, "minhash_sig"),
+        (exprs: Seq[Expression]) => build(exprs))
+  }
 }

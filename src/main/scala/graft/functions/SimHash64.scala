@@ -88,10 +88,14 @@ object SimHash64 {
       s"simhash64 expects exactly 1 argument, got ${exprs.length}")
   }
 
-  /** Idempotent session registration (mirrors CosineSimilarity.register). */
-  def register(spark: SparkSession): Unit =
-    spark.sessionState.functionRegistry.registerFunction(
-      FunctionIdentifier("simhash64"),
-      new ExpressionInfo(classOf[SimHash64].getName, "simhash64"),
-      (exprs: Seq[Expression]) => build(exprs))
+  /** Idempotent session registration (mirrors CosineSimilarity.register);
+    * guarded so repeat calls don't emit re-registration WARNs. */
+  def register(spark: SparkSession): Unit = {
+    val id = FunctionIdentifier("simhash64")
+    if (!spark.sessionState.functionRegistry.functionExists(id))
+      spark.sessionState.functionRegistry.registerFunction(
+        id,
+        new ExpressionInfo(classOf[SimHash64].getName, "simhash64"),
+        (exprs: Seq[Expression]) => build(exprs))
+  }
 }

@@ -86,10 +86,17 @@ object WordShingles {
       s"word_shingles expects exactly 2 arguments, got ${exprs.length}")
   }
 
-  /** Idempotent session registration (mirrors CosineSimilarity.register). */
-  def register(spark: SparkSession): Unit =
-    spark.sessionState.functionRegistry.registerFunction(
-      FunctionIdentifier("word_shingles"),
-      new ExpressionInfo(classOf[WordShingles].getName, "word_shingles"),
-      (exprs: Seq[Expression]) => build(exprs))
+  /** Idempotent session registration (mirrors CosineSimilarity.register).
+    * The functionExists guard makes repeat calls a true no-op — re-registering
+    * logs a "replaced a previously registered function" WARN per call, which
+    * at 73 bench queries floods the driver's log-tail capture window.
+    */
+  def register(spark: SparkSession): Unit = {
+    val id = FunctionIdentifier("word_shingles")
+    if (!spark.sessionState.functionRegistry.functionExists(id))
+      spark.sessionState.functionRegistry.registerFunction(
+        id,
+        new ExpressionInfo(classOf[WordShingles].getName, "word_shingles"),
+        (exprs: Seq[Expression]) => build(exprs))
+  }
 }
