@@ -51,13 +51,15 @@ object Graft {
     * probability ~2⁻⁶⁴ per pair — negligible below ~2³² DISTINCT
     * shingles (birthday bound).
     *
-    * Caching: persists shingle-set (and, when `dfCap` binds, rare-
-    * shingle) frames for the multi-reference self-join, and does not
-    * unpersist them — the returned frame stays lazy and re-executes on
-    * each action. Long-lived sessions issuing many calls over
-    * different inputs should release them afterwards via
-    * `df.sparkSession.catalog.clearCache()` (or track and `unpersist`
-    * specific entries).
+    * EAGER, like an MLlib fit (and [[kmeansCentroids]]): the pair set
+    * is materialized before returning (`localCheckpoint`, memory+disk,
+    * lineage truncated — pair output is O(near-dup pairs), far smaller
+    * than the corpus) and the staging caches the self-join needs are
+    * released in a `finally` — no cached entries outlive the call, so
+    * long-lived sessions can invoke it freely without `clearCache()`
+    * bookkeeping. At cluster scale, callers keeping pairs around
+    * should still write them to a table rather than hold the
+    * checkpoint.
     */
   def ngramJaccardPairs(docs: DataFrame, idCol: String, textCol: String,
       n: Int = 3, tau: Double = 0.8, dfCap: Int = Int.MaxValue): DataFrame = {
@@ -66,27 +68,33 @@ object Graft {
       .select(col(idCol).as("id"),
         expr(s"word_shingles($textCol, $n)").as("shingles"))
       .persist()
-    val ex0 = sets.select(col("id"), explode(col("shingles")).as("shingle"))
-      .select(col("id"), xxhash64(col("shingle")).as("shingle"))
-    val ex =
-      if (dfCap == Int.MaxValue) ex0
-      else {
-        val rare = ex0.groupBy("shingle").agg(count(lit(1)).as("df"))
-          .where(col("df") <= dfCap).select("shingle")
-        ex0.join(rare, "shingle").persist()
-      }
-    val cnt = ex.groupBy("id").agg(count(lit(1)).as("n"))
-    val a = ex.select(col("id").as("id_a"), col("shingle"))
-    val b = ex.select(col("id").as("id_b"), col("shingle"))
-    a.join(b, "shingle")
-      .where(col("id_a") < col("id_b"))
-      .groupBy("id_a", "id_b").agg(count(lit(1)).as("inter"))
-      .join(cnt.select(col("id").as("id_a"), col("n").as("na")), "id_a")
-      .join(cnt.select(col("id").as("id_b"), col("n").as("nb")), "id_b")
-      .withColumn("jaccard",
-        col("inter").cast("double") / (col("na") + col("nb") - col("inter")))
-      .where(col("jaccard") >= tau)
-      .select("id_a", "id_b", "inter", "jaccard")
+    var staged: List[DataFrame] = List(sets)
+    try {
+      val ex0 = sets.select(col("id"), explode(col("shingles")).as("shingle"))
+        .select(col("id"), xxhash64(col("shingle")).as("shingle"))
+      val ex =
+        if (dfCap == Int.MaxValue) ex0
+        else {
+          val rare = ex0.groupBy("shingle").agg(count(lit(1)).as("df"))
+            .where(col("df") <= dfCap).select("shingle")
+          val exp = ex0.join(rare, "shingle").persist()
+          staged ::= exp
+          exp
+        }
+      val cnt = ex.groupBy("id").agg(count(lit(1)).as("n"))
+      val a = ex.select(col("id").as("id_a"), col("shingle"))
+      val b = ex.select(col("id").as("id_b"), col("shingle"))
+      a.join(b, "shingle")
+        .where(col("id_a") < col("id_b"))
+        .groupBy("id_a", "id_b").agg(count(lit(1)).as("inter"))
+        .join(cnt.select(col("id").as("id_a"), col("n").as("na")), "id_a")
+        .join(cnt.select(col("id").as("id_b"), col("n").as("nb")), "id_b")
+        .withColumn("jaccard",
+          col("inter").cast("double") / (col("na") + col("nb") - col("inter")))
+        .where(col("jaccard") >= tau)
+        .select("id_a", "id_b", "inter", "jaccard")
+        .localCheckpoint(true)
+    } finally staged.foreach(_.unpersist())
   }
 
   /** Point-in-interval range join WITHOUT an equi key: each `points`
@@ -354,6 +362,33 @@ object Graft {
       .withColumn("rank", row_number().over(wTop))
       .where(col("rank") <= k)
       .select("q_id", "rank", "id", "cos")
+  }
+
+  /** Embedding validity audit — the executable form of "validate
+    * upstream" that every similarity/ANN op's dirty-vector rule points
+    * at. Returns ONLY the invalid rows, each with an `issue` column:
+    * `null_vec` (no vector), `bad_dim` (when `expectedDim` is given),
+    * `nan_element` (any NaN component — the one corruption the cosine
+    * NULL rule silently absorbs but the DuckDB oracles cannot see),
+    * `zero_norm` (all-zero vector, an undefined cosine). First match
+    * wins in that order. Map-side and shuffle-free — one scan with
+    * per-row array lambdas, no join, no aggregate — so it composes
+    * into any ingest path for free; an empty result certifies the
+    * corpus for [[ivfIndex]]/[[kmeansCentroids]]/top-k.
+    */
+  def validateEmbeddings(df: DataFrame, vecCol: String,
+      expectedDim: Option[Int] = None): DataFrame = {
+    require(!df.columns.contains("issue"),
+      "validateEmbeddings emits an 'issue' column; rename the input's first")
+    val v = col(vecCol).cast("array<double>")
+    val dimBad = expectedDim
+      .map(d => size(v) =!= lit(d)).getOrElse(lit(false))
+    df.withColumn("issue",
+        when(col(vecCol).isNull, "null_vec")
+          .when(dimBad, "bad_dim")
+          .when(exists(v, x => isnan(x)), "nan_element")
+          .when(!exists(v, x => x =!= lit(0.0)), "zero_norm"))
+      .where(col("issue").isNotNull)
   }
 
   /** Connected components over an undirected edge list: every vertex
@@ -714,11 +749,16 @@ object Graft {
     * event-sequence frame. One window pass on the sequence key, a
     * state-pair aggregate, and a probability window over |states|²
     * rows only. Rows with a null sequence key or order value are
-    * excluded (the dirty-record rule). Spec-pinned to the gated
-    * `q_event_transitions`.
+    * excluded (the dirty-record rule). Output columns `prev`/`ct`/`p`
+    * are part of the contract, so the input must not already carry
+    * them (a pre-existing `prev` would be silently clobbered by the
+    * lag column) — guarded with a loud `require` instead.
+    * Spec-pinned to the gated `q_event_transitions`.
     */
   def transitions(df: DataFrame, seqCol: String, orderCol: String,
       tieCol: String, stateCol: String): DataFrame = {
+    Seq("prev", "ct", "p").foreach(r => require(!df.columns.contains(r),
+      s"transitions emits a '$r' column; rename the input's '$r' first"))
     import org.apache.spark.sql.expressions.Window
     val w = Window.partitionBy(seqCol).orderBy(orderCol, tieCol)
     val p = Window.partitionBy("prev")
@@ -744,8 +784,14 @@ object Graft {
       pLo: Double = 0.05, pHi: Double = 0.95): DataFrame = {
     require(pLo >= 0 && pHi <= 1 && pLo < pHi,
       s"need 0 <= pLo < pHi <= 1, got ($pLo, $pHi)")
+    // the output appends band columns `lo`/`hi`; an input already
+    // carrying either would yield duplicate names and AMBIGUOUS_REFERENCE
+    // on any downstream select — fail loudly instead
+    Seq("lo", "hi").foreach(r => require(!df.columns.contains(r),
+      s"outliers emits a '$r' band column; rename the input's '$r' first"))
+    val vq = "`" + valueCol.replace("`", "``") + "`"
     val bounds = df.groupBy(stratumCol)
-      .agg(expr(s"percentile(`$valueCol`, array(${pLo}D, ${pHi}D))").as("_q"))
+      .agg(expr(s"percentile($vq, array(${pLo}D, ${pHi}D))").as("_q"))
       .select(col(stratumCol).as("_graft_stratum"),
         col("_q").getItem(0).as("_graft_lo"), col("_q").getItem(1).as("_graft_hi"))
     df.join(broadcast(bounds), col(stratumCol) === col("_graft_stratum"))

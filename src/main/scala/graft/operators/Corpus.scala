@@ -412,7 +412,13 @@ object Corpus {
   /** #96 — `q_outlier_docs`: per-source LENGTH-OUTLIER flagging — docs
     * whose token count falls outside their source's [p05, p95] band
     * (the standard too-short/too-long curation cut, computed per
-    * source because a code corpus's p95 is a chat corpus's p5). The
+    * source because a code corpus's p95 is a chat corpus's p5).
+    * CACHING CONTRACT: persists the tokenized corpus for the two
+    * consuming branches and relies on the gate harness clearing the
+    * cache after each query; long-lived callers should use the facade
+    * [[graft.api.Graft.outliers]] (which persists nothing) or
+    * `clearCache()` afterwards. The
+    * per-source bounds frame is tiny (one row per source) and
     * per-source bounds frame is tiny (one row per source) and
     * BROADCASTS back, so the corpus side is one scan + a map-side
     * band test — the thresholds never force a corpus-keyed shuffle.
@@ -458,7 +464,11 @@ object Corpus {
     * the corpus's own p10..p90, so the buckets are equal-population by
     * construction) and each decile reports its exact-dup rate — the
     * calibration readout that justifies (or kills) a quality cutoff
-    * before a curation run commits to one. Composes the SHARED stage
+    * before a curation run commits to one. CACHING CONTRACT: persists
+    * the scored+flagged corpus for the threshold/decile branches and
+    * relies on the gate harness clearing the cache after each query;
+    * long-lived callers should `clearCache()` afterwards.
+    * Composes the SHARED stage
     * definitions: #33's quality score, #25's fingerprint-dup rule —
     * so this analytic cannot drift from the gated operators it
     * explains. Shape: one fp window (the dup flag), one 9-value

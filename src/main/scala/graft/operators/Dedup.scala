@@ -432,35 +432,42 @@ object Dedup {
   private[graft] def incrementalPairsFromExploded(ex0: DataFrame,
       tau: Double, dfCap: Int): DataFrame = {
     // every downstream branch re-references its input frame, so the
-    // input is materialized ONCE here and all fan-out reads the cache
-    // (same lifecycle note as ngramJaccardPairs — long-lived sessions
-    // clear the cache). Capped: ex0 is scanned by the df aggregate AND
-    // the rare-join — without this persist each scan re-runs whatever
-    // produced ex0 (the shingling from text, the index scan from
-    // parquet: probe 8 measured both). The capped result persists too
-    // (three consumers: counts + both join sides).
-    val ex =
-      if (dfCap == Int.MaxValue) ex0.persist()
-      else {
-        val ex0p = ex0.persist()
-        val rare = ex0p.groupBy("shingle").agg(count(lit(1)).as("df"))
-          .where(col("df") <= dfCap).select("shingle")
-        ex0p.join(rare, "shingle").persist()
-      }
-    val cnt = ex.groupBy("id").agg(count(lit(1)).as("n"))
-    val newSide = ex.where(col("is_delta"))
-      .select(col("id").as("id_new"), col("shingle"))
-    val earlier = ex.select(col("id").as("id_old"),
-      col("is_delta").as("old_is_delta"), col("shingle"))
-    newSide.join(earlier, Seq("shingle"))
-      .where(!col("old_is_delta") || col("id_old") < col("id_new"))
-      .groupBy("id_new", "id_old").agg(count(lit(1)).as("inter"))
-      .join(cnt.select(col("id").as("id_new"), col("n").as("nn")), "id_new")
-      .join(cnt.select(col("id").as("id_old"), col("n").as("no")), "id_old")
-      .withColumn("jaccard",
-        col("inter").cast("double") / (col("nn") + col("no") - col("inter")))
-      .where(col("jaccard") >= tau)
-      .select("id_new", "id_old", "inter", "jaccard")
+    // input is materialized ONCE here and all fan-out reads the cache.
+    // Capped: ex0 is scanned by the df aggregate AND the rare-join —
+    // without this persist each scan re-runs whatever produced ex0
+    // (the shingling from text, the index scan from parquet: probe 8
+    // measured both). The capped result persists too (three consumers:
+    // counts + both join sides). EAGER result (localCheckpoint) so the
+    // staging caches can be released in the finally — no cached
+    // entries outlive the call (the kmeansCentroids lifecycle).
+    var staged: List[DataFrame] = Nil
+    try {
+      val ex =
+        if (dfCap == Int.MaxValue) {
+          val ex0p = ex0.persist(); staged ::= ex0p; ex0p
+        } else {
+          val ex0p = ex0.persist(); staged ::= ex0p
+          val rare = ex0p.groupBy("shingle").agg(count(lit(1)).as("df"))
+            .where(col("df") <= dfCap).select("shingle")
+          val exp = ex0p.join(rare, "shingle").persist(); staged ::= exp
+          exp
+        }
+      val cnt = ex.groupBy("id").agg(count(lit(1)).as("n"))
+      val newSide = ex.where(col("is_delta"))
+        .select(col("id").as("id_new"), col("shingle"))
+      val earlier = ex.select(col("id").as("id_old"),
+        col("is_delta").as("old_is_delta"), col("shingle"))
+      newSide.join(earlier, Seq("shingle"))
+        .where(!col("old_is_delta") || col("id_old") < col("id_new"))
+        .groupBy("id_new", "id_old").agg(count(lit(1)).as("inter"))
+        .join(cnt.select(col("id").as("id_new"), col("n").as("nn")), "id_new")
+        .join(cnt.select(col("id").as("id_old"), col("n").as("no")), "id_old")
+        .withColumn("jaccard",
+          col("inter").cast("double") / (col("nn") + col("no") - col("inter")))
+        .where(col("jaccard") >= tau)
+        .select("id_new", "id_old", "inter", "jaccard")
+        .localCheckpoint(true)
+    } finally staged.foreach(_.unpersist())
   }
 
   /** The steady-state incremental tail over a STORED base shingle
@@ -488,18 +495,42 @@ object Dedup {
     */
   private[graft] def incrementalPairsStored(base: DataFrame,
       delta0: DataFrame, tau: Double, dfCap: Int): DataFrame = {
-    val delta = delta0.select(col("id"), col("shingle")).persist()
+    // O(batch) frames persist (delta, over-cap set, candidate pairs);
+    // the base index NEVER does. EAGER result + finally-unpersist so
+    // no cached entries outlive the call (the kmeansCentroids
+    // lifecycle) — per-ingest callers in a long-lived session need no
+    // cache bookkeeping.
+    var staged: List[DataFrame] = Nil
+    def stage(df: DataFrame): DataFrame = {
+      val p = df.persist(); staged ::= p; p
+    }
+    try incrementalPairsStoredPlan(base, delta0, tau, dfCap, stage)
+      .localCheckpoint(true)
+    finally staged.foreach(_.unpersist())
+  }
+
+  /** The lazy plan behind [[incrementalPairsStored]], with the
+    * O(batch)-frame persists injected via `stage` — `identity` yields
+    * the pure plan (what GraftApiSpec inspects for the bucketed,
+    * exchange-free base scan; the eager wrapper's checkpoint hides the
+    * executed plan behind a Scan ExistingRDD).
+    */
+  private[graft] def incrementalPairsStoredPlan(base: DataFrame,
+      delta0: DataFrame, tau: Double, dfCap: Int,
+      stage: DataFrame => DataFrame): DataFrame = {
+    val delta = stage(delta0.select(col("id"), col("shingle")))
     val (baseR, deltaR) =
-      if (dfCap == Int.MaxValue) (base.select(col("id"), col("shingle")), delta)
+      if (dfCap == Int.MaxValue)
+        (base.select(col("id"), col("shingle")), delta)
       else {
         val baseDf = base.groupBy("shingle").agg(count(lit(1)).as("bdf"))
         val deltaDf = delta.groupBy("shingle").agg(count(lit(1)).as("ddf"))
-        val over = baseDf.join(deltaDf, Seq("shingle"), "full_outer")
+        val over = stage(baseDf.join(deltaDf, Seq("shingle"), "full_outer")
           .where(coalesce(col("bdf"), lit(0L)) +
             coalesce(col("ddf"), lit(0L)) > dfCap)
-          .select("shingle").persist()
-        (base.join(broadcast(over), Seq("shingle"), "left_anti"),
-          delta.join(broadcast(over), Seq("shingle"), "left_anti").persist())
+          .select("shingle"))
+        val dR = stage(delta.join(broadcast(over), Seq("shingle"), "left_anti"))
+        (base.join(broadcast(over), Seq("shingle"), "left_anti"), dR)
       }
     val newSide = deltaR.select(col("id").as("id_new"), col("shingle"))
     val candBase = newSide
@@ -507,8 +538,8 @@ object Dedup {
     val candDelta = newSide
       .join(deltaR.select(col("id").as("id_old"), col("shingle")), Seq("shingle"))
       .where(col("id_old") < col("id_new"))
-    val inter = candBase.unionByName(candDelta)
-      .groupBy("id_new", "id_old").agg(count(lit(1)).as("inter")).persist()
+    val inter = stage(candBase.unionByName(candDelta)
+      .groupBy("id_new", "id_old").agg(count(lit(1)).as("inter")))
     val involvedOld = inter.select(col("id_old").as("id")).distinct()
     val cntNew = deltaR.groupBy("id").agg(count(lit(1)).as("n"))
     val cntOld = cntNew.unionByName(

@@ -31,21 +31,32 @@ object Profile {
     require(cols.nonEmpty, "profile needs at least one column")
     cols.foreach(c => require(df.columns.contains(c), s"no such column: $c"))
     val aggs = cols.zipWithIndex.flatMap { case (c, i) =>
+      // backticks in the identifier are escaped by doubling — col()
+      // itself parses backticks, so every reference (not only the one
+      // expr() try_cast still needs: it has no Column-API form, and
+      // under ANSI — the Spark 4 default — a plain cast of a
+      // non-numeric string would throw instead of nulling) goes
+      // through the quoted name, or a hostile column name breaks the
+      // reference
+      val q = "`" + c.replace("`", "``") + "`"
       Seq(
-        count(col(c)).as(s"_nn$i"),
-        (if (approx) approx_count_distinct(col(c)).cast("long")
-         else countDistinct(col(c))).as(s"_nd$i"),
-        // try_cast, not cast: under ANSI (the Spark 4 default) a plain
-        // cast of a non-numeric string would throw instead of nulling
-        min(expr(s"try_cast(`$c` AS DOUBLE)")).as(s"_mn$i"),
-        max(expr(s"try_cast(`$c` AS DOUBLE)")).as(s"_mx$i"))
+        count(col(q)).as(s"_nn$i"),
+        (if (approx) approx_count_distinct(col(q)).cast("long")
+         else countDistinct(col(q))).as(s"_nd$i"),
+        min(expr(s"try_cast($q AS DOUBLE)")).as(s"_mn$i"),
+        max(expr(s"try_cast($q AS DOUBLE)")).as(s"_mx$i"))
     }
     val one = df.agg(count(lit(1)).as("_rows"), aggs: _*)
-    val stackArgs = cols.zipWithIndex
-      .map { case (c, i) => s"'$c', _rows, _nn$i, _nd$i, _mn$i, _mx$i" }
-      .mkString(", ")
-    one.selectExpr(s"stack(${cols.length}, $stackArgs) AS " +
-      "(col_name, n_rows, n_nonnull, n_distinct, min_v, max_v)")
+    // unpivot via explode-of-structs (Column API, same Generate node
+    // as `stack` but with the column names carried as lit()s — no
+    // string interpolation for a quote in a name to break)
+    one.select(explode(array(cols.zipWithIndex.map { case (c, i) =>
+        struct(lit(c).as("col_name"), col("_rows").as("n_rows"),
+          col(s"_nn$i").as("n_nonnull"), col(s"_nd$i").as("n_distinct"),
+          col(s"_mn$i").as("min_v"), col(s"_mx$i").as("max_v"))
+      }: _*)).as("_s"))
+      .select(col("_s.col_name"), col("_s.n_rows"), col("_s.n_nonnull"),
+        col("_s.n_distinct"), col("_s.min_v"), col("_s.max_v"))
   }
 
   /** #95 — `q_profile_orders`: the exact profile of the orders table.
@@ -63,6 +74,29 @@ object Profile {
       col("o_orderpriority"))
     profile(o, Seq("o_orderkey", "o_custkey", "o_orderstatus",
         "o_totalprice", "o_orderdate_day", "o_orderpriority"))
+      .orderBy("col_name")
+  }
+
+  /** #101 — `q_profile_orders_approx`: the HLL flavor of #95 on the
+    * same columns — rows-only gate (sketch distincts are
+    * implementation-specific, no cross-engine oracle; the #40/#63
+    * pairing again). This is the 100 TB default: single pass, NO
+    * Expand (plan-pinned in PlanSpec), mergeable partials; probe 11
+    * measured it 10-13× cheaper than the exact gate flavor. Everything
+    * except `n_distinct` is identical to #95 by construction (same
+    * aggregate, same unpivot), and GraftApiSpec pins the sketch
+    * estimates within HLL's documented error on the gate table.
+    */
+  def qProfileOrdersApprox(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(spark, dir).select(
+      col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
+      col("o_totalprice"),
+      datediff(col("o_orderdate").cast("date"),
+        lit("1970-01-01").cast("date")).as("o_orderdate_day"),
+      col("o_orderpriority"))
+    profile(o, Seq("o_orderkey", "o_custkey", "o_orderstatus",
+        "o_totalprice", "o_orderdate_day", "o_orderpriority"),
+        approx = true)
       .orderBy("col_name")
   }
 

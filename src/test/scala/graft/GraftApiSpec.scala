@@ -133,7 +133,14 @@ class GraftApiSpec extends SparkSpec {
       spark.table("graft_test_base_idx"),
       Graft.shingleIndex(delta, "doc_id", "text"), dfCap = 64)
     same(bucketed, fromText, "bucketed-index incremental dedup")
-    val plan = bucketed.queryExecution.executedPlan.toString
+    // the eager result is a checkpoint scan; the bucketed-base-scan
+    // property lives in the LAZY plan the wrapper materialized —
+    // rebuild it via the plan hook (identity = no persists) and assert
+    // there
+    val plan = graft.operators.Dedup.incrementalPairsStoredPlan(
+        spark.table("graft_test_base_idx"),
+        Graft.shingleIndex(delta, "doc_id", "text"), 0.8, 64, identity)
+      .queryExecution.executedPlan.toString
     assert(plan.contains("Bucketed: true"),
       s"base scan should be bucketed:\n$plan")
     // uncapped stored form (skips the df machinery entirely): pin it
@@ -378,5 +385,83 @@ class GraftApiSpec extends SparkSpec {
       .select(col("o_custkey"), col("rank").as("rn"),
         col("o_orderkey"), col("o_totalprice"))
     same(api, SparkEntry.queries("q_topn_per_group")(spark, sf), "topKPerGroup")
+  }
+
+  test("facade pair generators leave no cached entries behind") {
+    // the VERDICT r8 footgun: staging persists used to outlive the
+    // call, leaking storage in long-lived sessions. Now the results
+    // are eager (localCheckpoint) and every persist is released in a
+    // finally — the session cache must be empty the moment each call
+    // returns, with outputs unchanged (pinned by the tests above).
+    def cacheEmpty: Boolean =
+      spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+        .sharedState.cacheManager.isEmpty
+    val docs = Tables.documents(spark, sf)
+    val isBase = pmod(col("doc_id"), lit(10L)) =!= 0
+    spark.catalog.clearCache()
+    Graft.ngramJaccardPairs(docs, "doc_id", "text")
+    assert(cacheEmpty, "ngramJaccardPairs leaked cached entries")
+    Graft.ngramJaccardPairs(docs, "doc_id", "text", dfCap = 64)
+    assert(cacheEmpty, "ngramJaccardPairs(dfCap) leaked cached entries")
+    Graft.incrementalDedupPairs(docs.where(isBase), docs.where(!isBase),
+      "doc_id", "text")
+    assert(cacheEmpty, "incrementalDedupPairs leaked cached entries")
+    Graft.incrementalDedupPairsIndexed(
+      Graft.shingleIndex(docs.where(isBase), "doc_id", "text"),
+      Graft.shingleIndex(docs.where(!isBase), "doc_id", "text"), dfCap = 64)
+    assert(cacheEmpty, "incrementalDedupPairsIndexed leaked cached entries")
+  }
+
+  test("validateEmbeddings flags exactly the invalid rows") {
+    import spark.implicits._
+    val rows = Seq(
+      (1L, Some(Seq(1.0, 2.0, 3.0))),            // valid
+      (2L, None),                                 // null_vec
+      (3L, Some(Seq(1.0, 2.0))),                  // bad_dim (vs 3)
+      (4L, Some(Seq(1.0, Double.NaN, 3.0))),      // nan_element
+      (5L, Some(Seq(0.0, 0.0, 0.0))),             // zero_norm
+      (6L, Some(Seq(0.0, -2.0, 0.0)))             // valid (negative ok)
+    ).toDF("id", "vec")
+    val got = Graft.validateEmbeddings(rows, "vec", expectedDim = Some(3))
+      .select("id", "issue").as[(Long, String)].collect().toMap
+    assert(got == Map(2L -> "null_vec", 3L -> "bad_dim",
+      4L -> "nan_element", 5L -> "zero_norm"))
+    // without a dim contract the short vector is structurally fine
+    val noDim = Graft.validateEmbeddings(rows, "vec")
+      .select("id").as[Long].collect().toSet
+    assert(noDim == Set(2L, 4L, 5L))
+    // a clean corpus certifies empty — the executable "validate
+    // upstream" the cosine NULL rule points at
+    assert(Graft.validateEmbeddings(
+      Tables.embeddings(spark, sf), "embedding").isEmpty)
+  }
+
+  test("transitions and outliers fail loudly on reserved-column collisions") {
+    import spark.implicits._
+    val withPrev = Seq((1L, 1L, "a", "x")).toDF("u", "ts", "prev", "state")
+    val e1 = intercept[IllegalArgumentException] {
+      Graft.transitions(withPrev, "u", "ts", "ts", "state")
+    }
+    assert(e1.getMessage.contains("prev"))
+    val withHi = Seq((1L, "s", 2.0)).toDF("id", "stratum", "hi")
+    val e2 = intercept[IllegalArgumentException] {
+      Graft.outliers(withHi, "hi", "stratum")
+    }
+    assert(e2.getMessage.contains("hi"))
+  }
+
+  test("profile survives hostile column names (quotes and backticks)") {
+    import spark.implicits._
+    val nasty = Seq((1.0, "x"), (2.0, "y"), (2.0, null))
+      .toDF("a`b", "c'd; drop")
+    val got = Graft.profile(nasty, Seq("a`b", "c'd; drop"))
+      .orderBy("col_name").collect()
+    assert(got.map(_.getString(0)).toSeq == Seq("a`b", "c'd; drop"))
+    val byName = got.map(r => r.getString(0) -> r).toMap
+    assert(byName("a`b").getLong(1) == 3 && byName("a`b").getLong(2) == 3 &&
+      byName("a`b").getLong(3) == 2 && byName("a`b").getDouble(4) == 1.0 &&
+      byName("a`b").getDouble(5) == 2.0)
+    assert(byName("c'd; drop").getLong(2) == 2 &&
+      byName("c'd; drop").isNullAt(4))
   }
 }

@@ -41,6 +41,23 @@ class PlanSpec extends SparkSpec {
       s"expected broadcast of the query set:\n$p")
   }
 
+  test("rank top-k prunes map-side before the exchange (WindowGroupLimit)") {
+    // docs/SCALING.md claims the `rank <= k` filter bounds the rank
+    // shuffle to k rows per group per map task — pin the optimizer
+    // actually planting WindowGroupLimit in both the gated ANN top-k
+    // and the generic facade, instead of trusting the claim
+    val p1 = plan("q_ann_cosine_topk")
+    assert(p1.contains("WindowGroupLimit"),
+      s"q_ann_cosine_topk must prune map-side before the rank exchange:\n$p1")
+    val p2 = graft.api.Graft.topKPerGroup(
+        Tables.events(spark, sf), 3, Seq("event_type"),
+        Seq(org.apache.spark.sql.functions.col("ts_us").desc,
+          org.apache.spark.sql.functions.col("event_id")))
+      .queryExecution.executedPlan.toString
+    assert(p2.contains("WindowGroupLimit"),
+      s"topKPerGroup must prune map-side before the rank exchange:\n$p2")
+  }
+
   test("candidate dedup joins shuffle on the candidate key (equi join)") {
     Seq("q_dedup_ngram_jaccard", "q_dedup_minhash_lsh", "q_dedup_simhash",
       "q_dedup_embedding", "q_dedup_incremental").foreach { q =>
