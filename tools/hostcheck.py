@@ -1,0 +1,56 @@
+#!/usr/bin/env python3
+"""Host-quietness canary: measure fresh-page fault throughput.
+
+This box is a VM on a memory-oversubscribed host. Under host pressure,
+first-touch page faults go to the hypervisor and cost 0.1-1 ms EACH —
+measured in round 9: touching 1 GiB of fresh pages took >300 s versus
+~0.3 s on a quiet host, while a no-allocation CPU spin slowed only
+1.7x. That makes allocation-heavy phases (a growing JVM heap,
+BigDecimal churn in decimal aggregates, shuffle buffers) randomly
+10-100x slower, which is the root cause of every "regression" that
+vanished on re-measure in rounds 4/7/8 (and of round 8's
+q_province_rollup 15.4 s outlier).
+
+Run this BEFORE any benchmark you intend to trust:
+
+    python3 tools/hostcheck.py        # exit 0 = quiet, 1 = pressured
+
+Quiet threshold: >=1000 MB/s fresh-touch (a healthy VM does >3000).
+Also prints steal%% over a 2 s window (steal ~= busy means the
+hypervisor is taking half the cycles).
+"""
+import sys
+import time
+
+MB = 256
+
+def touch_rate():
+    t0 = time.time()
+    buf = bytearray(MB << 20)
+    step = 4096
+    for i in range(0, len(buf), step):
+        buf[i] = 1
+    return MB / (time.time() - t0)
+
+def steal_pct():
+    def snap():
+        with open("/proc/stat") as fh:
+            f = fh.readline().split()
+        vals = list(map(int, f[1:]))
+        busy = vals[0] + vals[2]          # user + system
+        steal = vals[7] if len(vals) > 7 else 0
+        return busy, steal
+    b0, s0 = snap()
+    time.sleep(2)
+    b1, s1 = snap()
+    db, ds = b1 - b0, s1 - s0
+    return 100.0 * ds / max(1, db + ds)
+
+if __name__ == "__main__":
+    rate = touch_rate()
+    st = steal_pct()
+    quiet = rate >= 1000
+    print(f"fresh-page touch: {rate:.0f} MB/s ({MB} MiB probe); "
+          f"steal {st:.0f}% of busy+steal -> "
+          f"{'QUIET - timings trustworthy' if quiet else 'PRESSURED - do not trust timings'}")
+    sys.exit(0 if quiet else 1)

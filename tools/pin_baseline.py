@@ -1,0 +1,90 @@
+#!/usr/bin/env python3
+"""Compose BASELINE_LOCAL.md from steady-state bench captures.
+
+Reads every target/bench_baseline_*.json (full-surface REPS=2 runs) plus
+target/bench_probe*.json (isolated fresh-JVM probes of queries whose
+full-run minima looked inflated), takes the per-query MINIMUM, and
+writes the committed baseline table.
+
+Min — not median — is the right statistic here: this VM sits on a
+memory-oversubscribed host, and under host pressure FIRST-TOUCH PAGE
+FAULTS cost 0.1-1 ms each (measured: 1 GiB of fresh pages took 158 s
+to touch versus ~0.3 s quiet — tools/hostcheck.py is the canary).
+That makes allocation-heavy phases (growing JVM heap, BigDecimal
+aggregate churn, shuffle buffers) randomly 10-100x slower — three
+full-surface runs on identical code summed to 691/449/193 s — and
+interference only ever inflates a timing. The minimum across >=3
+independent JVMs is the reproducible steady-state cost; a future
+regression shows up as a min that will not come back down.
+"""
+import glob
+import json
+import sys
+
+files = sorted(glob.glob("target/bench_baseline_*.json")) + sorted(
+    glob.glob("target/bench_probe*.json"))
+if not files:
+    sys.exit("no bench captures found under target/")
+
+per_query = {}   # name -> list[(seconds, source)]
+for f in files:
+    with open(f) as fh:
+        d = json.load(fh)
+    tag = f.split("bench_")[-1].removesuffix(".json")
+    for q, s in d["queries"].items():
+        per_query.setdefault(q, []).append((s, tag))
+
+rows = []
+for q in sorted(per_query):
+    samples = sorted(per_query[q])
+    mn, src = samples[0]
+    rows.append((q, mn, src, len(samples)))
+
+total = sum(r[1] for r in rows)
+out = ["# BASELINE_LOCAL — pinned per-query steady-state times",
+       "",
+       "sf0.1, `local[32]`, `SPARK_GRAFT_REPS=2` (rep-2 = steady state:",
+       "rep 1 absorbs plan compilation, codegen, and cold file cache),",
+       "noop-sink full materialization, JDK 17, Spark 4.1.2.",
+       "",
+       "Pinned value = per-query MINIMUM across three full-surface runs",
+       "plus isolated fresh-JVM probes (`SPARK_GRAFT_ONLY`) of any query",
+       "whose full-run minimum looked inflated. Min, not median — and",
+       "here is why, established with direct measurement in round 9:",
+       "this VM sits on a MEMORY-OVERSUBSCRIBED HOST. Under host",
+       "pressure, first-touch page faults go to the hypervisor at",
+       "0.1-1 ms each (measured: touching 1 GiB of fresh pages took",
+       "158 s vs ~0.3 s quiet; a no-allocation CPU spin slowed only",
+       "1.7x; steal time ~= busy time). Allocation-heavy phases — a",
+       "growing JVM heap, BigDecimal churn in decimal aggregates,",
+       "shuffle buffers — randomly run 10-100x slower, which is the",
+       "root cause of every transient 'regression' in rounds 4/7/8",
+       "(q_province_rollup's 15.4 s, q_order_wide's 133 s, and a",
+       "q_product_stats isolated probe that took 245 s under the storm",
+       "vs 9.7 s in a quiet full run, all on identical code).",
+       "Interference only ever inflates a timing; the minimum across",
+       "independent JVMs is the reproducible cost. Regenerate with",
+       "`tools/pin_baseline.py` after capturing runs into",
+       "`target/bench_baseline_*.json` / `target/bench_probe*.json`.",
+       "",
+       "**How to compare (the 2x gate):** first run",
+       "`python3 tools/hostcheck.py` — it measures fresh-page-touch",
+       "throughput and refuses (exit 1) when the host is pressured.",
+       "On a quiet host, re-run the query in isolation",
+       "(`SPARK_GRAFT_ONLY=<q> SPARK_GRAFT_REPS=2`, heap capped at 8g —",
+       "a large -Xmx lets G1 expand forever and maximizes fault",
+       "exposure) and compare. A single inflated number in a",
+       "full-surface run is NOT a regression; a minimum that stays >2x",
+       "pinned across repeated quiet isolated runs is.",
+       "",
+       "| query | sec (min) | runs | source of min |",
+       "|---|---|---|---|"]
+for q, mn, src, n in rows:
+    out.append(f"| {q} | {mn:.2f} | {n} | {src} |")
+out += ["",
+        f"**Pinned total: {total:.1f} s across {len(rows)} queries.**",
+        ""]
+
+with open("BASELINE_LOCAL.md", "w") as fh:
+    fh.write("\n".join(out))
+print(f"wrote BASELINE_LOCAL.md: {len(rows)} queries, total {total:.1f}s")
