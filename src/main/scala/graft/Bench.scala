@@ -11,8 +11,38 @@ import org.apache.spark.sql.SparkSession
   * instead of polluting the seconds map with sentinels.
   */
 object Bench {
+  /** Fresh-page fault throughput in MB/s: this VM's host is memory-
+    * oversubscribed, and under host pressure first-touch faults cost
+    * 0.1-1 ms EACH (measured: 1 GiB took 158 s to touch vs ~0.3 s
+    * quiet), making allocation-heavy queries randomly 10-100x slower.
+    * Recording the rate alongside the timings lets a reader judge
+    * whether a capture is trustworthy (tools/hostcheck.py is the
+    * standalone form; >=1000 MB/s = quiet).
+    */
+  private def touchRateMbS(): Double = {
+    val mb = 128
+    val buf = new Array[Byte](mb << 20)
+    val t0 = System.nanoTime()
+    var i = 0
+    while (i < buf.length) { buf(i) = 1; i += 4096 }
+    mb / ((System.nanoTime() - t0) / 1e9)
+  }
+
+  /** (busy, steal) jiffies from the aggregate /proc/stat line; steal
+    * rising in step with busy means the hypervisor is taking cycles.
+    */
+  private def cpuJiffies(): (Long, Long) =
+    try {
+      val f = scala.io.Source.fromFile("/proc/stat")
+      val cols = try f.getLines().next().trim.split("\\s+") finally f.close()
+      val v = cols.drop(1).map(_.toLong)
+      (v(0) + v(2), if (v.length > 7) v(7) else 0L)
+    } catch { case _: Throwable => (0L, 0L) }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val touchBefore = touchRateMbS()
+    val (busy0, steal0) = cpuJiffies()
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -79,8 +109,19 @@ object Bench {
     val errs = errors.map { case (k, v) => s"${jstr(k)}:${jstr(v.take(200))}" }
       .mkString("{", ",", "}")
     val total = times.map(_._2).sum
+    // host-interference telemetry: fault throughput before/after the
+    // run plus steal share across it — a capture with touch_mb_s in
+    // the hundreds or steal_pct >20 is contaminated by the host, not
+    // by any plan change (see BASELINE_LOCAL.md for the evidence)
+    val touchAfter = touchRateMbS()
+    val (busy1, steal1) = cpuJiffies()
+    val stealPct = {
+      val db = busy1 - busy0; val ds = steal1 - steal0
+      if (db + ds <= 0) 0.0 else 100.0 * ds / (db + ds)
+    }
+    val host = f"""{"touch_mb_s_before":${touchBefore.round},"touch_mb_s_after":${touchAfter.round},"steal_pct":$stealPct%.1f}"""
     val json =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"host":$host,"sf":"$sfDir"}"""
     println(json)
     // Also persist to a stable file: the driver's stdout-tail capture has a
     // bounded window, and at 73+ queries the leading entries (and the
