@@ -227,4 +227,39 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("BroadcastHashJoin"), s"config join must broadcast:\n$p")
     assert(!p.contains("SortMergeJoin"), s"fact stream must not shuffle-join:\n$p")
   }
+
+  test("large-orders top-100 is a distributed TakeOrdered, not a global sort") {
+    // docs/PLANS.md: each task keeps its local top-100 and only those
+    // merge on the driver side of the limit — a global Sort over the
+    // joined frame is the straggler shape the plan must avoid
+    val p = plan("q18_large_orders")
+    assert(p.contains("TakeOrderedAndProject"),
+      s"expected a distributed top-k:\n$p")
+  }
+
+  test("pivot compiles to one hash agg with no Expand (explicit values)") {
+    // .pivot with EXPLICIT region values plans one aggregate whose
+    // partials carry a slot per region; a values-less pivot would run
+    // a driver-side distinct scan first and an Expand-shaped plan
+    val p = plan("q_pivot_revenue")
+    assert(!p.contains("Expand"), s"pivot must not Expand:\n$p")
+    assert(p.contains("BroadcastHashJoin"), s"dims must broadcast:\n$p")
+  }
+
+  test("retention matrix plans without Expand (COUNT(*) at cell grain)") {
+    // each user lands exactly once per (cohort, offset) cell, so the
+    // matrix count is a plain count — a count-distinct here would
+    // re-plan the mixed-distinct Expand the design removed
+    val p = plan("q_retention_cohorts")
+    assert(!p.contains("Expand"),
+      s"retention must not plan a distinct Expand:\n$p")
+  }
+
+  test("sliding window assigns hops map-side — no join in the plan") {
+    // window(ts, 1h, 30m) must expand each event to its <=2 hops in
+    // the scan projection; a join-against-hop-table formulation would
+    // shuffle the corpus twice
+    val p = plan("q_sliding_window")
+    assert(!p.contains("Join"), s"hop assignment must be map-side:\n$p")
+  }
 }
