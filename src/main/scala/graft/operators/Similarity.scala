@@ -243,4 +243,74 @@ object Similarity {
       .select("q_id", "rank", "vec_id", "cos")
       .orderBy("q_id", "rank")
   }
+
+  /** Cluster count for [[qDedupSemantic]]. 8 keeps test-corpus cells
+    * at a few hundred vectors; at scale this knob RISES with the
+    * corpus (k ≈ n / target-cell-size, the published SemDeDup setting
+    * uses cells of a few thousand) so the within-cell pair work stays
+    * n²/k-bounded per cell and the whole pass is one cell-keyed
+    * exchange regardless of corpus size.
+    */
+  private val SemClusters = 8
+  private val SemIters = 3
+
+  /** #103 — `q_dedup_semantic`: SemDeDup-style cluster-then-prune
+    * (Abbas et al. 2023, "SemDeDup: Data-efficient learning at
+    * web-scale through semantic deduplication"): spherical k-means
+    * partitions the embedding space, then semantic duplicates are
+    * found by exact cosine WITHIN each cluster only — the published
+    * recipe for embedding-level dedup on web-scale corpora, where
+    * all-pairs is impossible and sign-LSH (#29) keys on bit-equality
+    * rather than neighborhood structure.
+    *
+    * Pipeline (every stage an existing gated primitive): centroids =
+    * [[graft.api.Graft.kmeansCentroids]] (deterministic lowest-id
+    * seeds, fixed Lloyd rounds, only k×dim doubles ever reach the
+    * driver); assignment = [[graft.api.Graft.ivfIndex]] (broadcast
+    * centroids + map-side max_by — the corpus never shuffles to get
+    * its cell); pairs = self-join keyed on `cell`, the ONLY
+    * corpus-sized exchange, with exact cosine verified inline and the
+    * smaller-id vector of each ≥τ pair elected keeper. Output: one
+    * row per DROPPED vector with its cell, how many kept/smaller-id
+    * semantic twins it has, and its strongest cosine — the readout a
+    * curation run consumes as a drop-list.
+    *
+    * Rows-only gate by design (like #27/#28/#31): DuckDB cannot
+    * reproduce the k-means fit; AnnSpec pins determinism, exact-dup
+    * recall (identical vectors always share a cell, so verbatim
+    * duplicates cannot escape), agreement with the brute-force pair
+    * set within cells, and null-safety on poisoned embeddings
+    * (zero-norm / NULL / dim-mismatch cosines are NULL, so poison
+    * vectors never enter the drop set).
+    */
+  def qDedupSemantic(spark: SparkSession, dir: String): DataFrame =
+    semanticDropList(emb(spark, dir), SemClusters, SemIters, CosineTau)
+
+  /** #103 generalized over (k, iters, τ) so specs can plant corpora
+    * and sweep the dials without touching the gated default. Input:
+    * `(vec_id, v)` with `v: array<double>`.
+    */
+  def semanticDropList(e: DataFrame, k: Int, iters: Int,
+      tau: Double): DataFrame = {
+    val cents = graft.api.Graft.kmeansCentroids(e, "vec_id", "v", k, iters)
+    val idx = graft.api.Graft.ivfIndex(e, "vec_id", "v",
+      cents, "cent_id", "cv")
+    val pairs = idx.select(col("cell"), col("id").as("vec_a"),
+        col("vec").as("va"))
+      .join(idx.select(col("cell"), col("id").as("vec_b"),
+        col("vec").as("vb")), Seq("cell"))
+      .where(col("vec_a") < col("vec_b"))
+      .withColumn("cos", cosine(col("va"), col("vb")))
+      .where(col("cos") >= tau)
+    // drop rule: a vector leaves the corpus iff a smaller-id semantic
+    // twin shares its cell — one tiny aggregate over the survivor
+    // pairs, no connected components needed (the keeper of each dup
+    // group is simply its minimum id, and transitive chains all point
+    // at smaller ids by construction)
+    pairs.groupBy(col("vec_b").as("vec_id"))
+      .agg(first(col("cell")).as("cell"),
+        count(lit(1)).as("dup_of_ct"),
+        max(col("cos")).cast("double").as("max_cos"))
+      .orderBy("vec_id")
+  }
 }

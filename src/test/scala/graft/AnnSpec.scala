@@ -70,4 +70,87 @@ class AnnSpec extends SparkSpec {
       .where(col("ivf_cos") =!= col("b_cos")).count()
     assert(bad == 0, "cosine computed differently between IVF and brute paths")
   }
+
+  test("semantic dedup (#103): deterministic non-empty drop list at the gated dials") {
+    val a = SparkEntry.queries("q_dedup_semantic")(spark, sf).collect()
+    val b = SparkEntry.queries("q_dedup_semantic")(spark, sf).collect()
+    assert(a.nonEmpty, "no semantic dups found on the test corpus")
+    assert(a.toSeq == b.toSeq, "drop list must be deterministic across runs")
+    // schema: (vec_id, cell, dup_of_ct, max_cos); every dropped vector
+    // has at least one smaller-id twin at or above the gated tau
+    a.foreach { r =>
+      assert(r.getLong(2) >= 1L)
+      assert(r.getDouble(3) >= 0.45)
+    }
+  }
+
+  test("semantic dedup: verbatim copies always share a cell and get dropped") {
+    // identical vectors have identical centroid cosines, so the argmax
+    // cell (ties id-broken) is the same — a verbatim duplicate cannot
+    // cross a cell boundary and escape the within-cell pair join
+    import spark.implicits._
+    val rnd = new scala.util.Random(7)
+    val base = (0L until 40L).map(i => (i, Seq.fill(8)(rnd.nextGaussian())))
+    val copies = base.take(15).map { case (i, v) => (i + 100L, v) }
+    val e = (base ++ copies).toDF("vec_id", "v")
+    val drops = graft.operators.Similarity
+      .semanticDropList(e, k = 4, iters = 2, tau = 0.9999)
+      .select("vec_id").as[Long].collect().toSet
+    copies.foreach { case (cid, _) =>
+      assert(drops.contains(cid), s"verbatim copy $cid escaped the drop list")
+    }
+    // originals keep: random gaussians have no >=0.9999 twin below them
+    base.foreach { case (i, _) =>
+      assert(!drops.contains(i), s"original $i wrongly dropped")
+    }
+  }
+
+  test("semantic dedup finds only true >=tau pairs (subset of brute force)") {
+    // cluster-then-prune may MISS cross-cell pairs (the documented
+    // recall trade) but must never invent one: every dropped vector
+    // must also be droppable under all-pairs exact cosine
+    import spark.implicits._
+    val rnd = new scala.util.Random(11)
+    val base = (0L until 60L).map(i => (i, Seq.fill(8)(rnd.nextGaussian())))
+    val near = base.take(10).map { case (i, v) =>
+      (i + 200L, v.map(x => x + rnd.nextGaussian() * 0.01))
+    }
+    val e = (base ++ near).toDF("vec_id", "v")
+    val tau = 0.98
+    graft.functions.CosineSimilarity.register(spark)
+    val bruteDrop = e.select(col("vec_id").as("a"), col("v").as("va"))
+      .crossJoin(e.select(col("vec_id").as("b"), col("v").as("vb")))
+      .where(col("a") < col("b"))
+      .withColumn("cos", call_function("cosine_sim",
+        col("va").cast("array<double>"), col("vb").cast("array<double>")))
+      .where(col("cos") >= tau)
+      .select(col("b")).as[Long].collect().toSet
+    val drops = graft.operators.Similarity.semanticDropList(e, 4, 2, tau)
+      .select("vec_id").as[Long].collect().toSet
+    assert(drops.subsetOf(bruteDrop),
+      s"false positives vs brute force: ${drops -- bruteDrop}")
+    assert(drops.nonEmpty, "planted near-dups not found at all")
+  }
+
+  test("semantic dedup: poisoned embeddings never enter the drop list") {
+    // zero-norm / NULL / dim-mismatched vectors cosine to NULL (the
+    // nasty-embeddings contract), so poison can neither drop a real
+    // vector nor be dropped itself — and the pass must not crash
+    import spark.implicits._
+    val rnd = new scala.util.Random(3)
+    val base = (0L until 30L).map(i => (i, Seq.fill(8)(rnd.nextGaussian())))
+    val dup = Seq((500L, base(5)._2))
+    val poison = Seq(
+      (600L, Seq.fill(8)(0.0)),                    // zero norm
+      (601L, Seq.fill(4)(1.0)),                    // dim mismatch
+      (602L, null.asInstanceOf[Seq[Double]]))      // NULL embedding
+    val e = (base ++ dup ++ poison).toDF("vec_id", "v")
+    val drops = graft.operators.Similarity
+      .semanticDropList(e, k = 4, iters = 2, tau = 0.9999)
+      .select("vec_id").as[Long].collect().toSet
+    assert(drops.contains(500L), "the one real verbatim dup must drop")
+    Seq(600L, 601L, 602L).foreach { p =>
+      assert(!drops.contains(p), s"poison vector $p entered the drop list")
+    }
+  }
 }
