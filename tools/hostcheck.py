@@ -44,13 +44,18 @@ def steal_pct():
     time.sleep(2)
     b1, s1 = snap()
     db, ds = b1 - b0, s1 - s0
-    return 100.0 * ds / max(1, db + ds)
+    # an idle box has a tiny denominator and the ratio is meaningless
+    # noise — steal only tells you anything while the box is working
+    if db + ds < 100:
+        return None
+    return 100.0 * ds / (db + ds)
 
 if __name__ == "__main__":
     rate = touch_rate()
     st = steal_pct()
     quiet = rate >= 1000
+    steal_txt = "steal n/a (box idle)" if st is None else f"steal {st:.0f}% of busy+steal"
     print(f"fresh-page touch: {rate:.0f} MB/s ({MB} MiB probe); "
-          f"steal {st:.0f}% of busy+steal -> "
+          f"{steal_txt} -> "
           f"{'QUIET - timings trustworthy' if quiet else 'PRESSURED - do not trust timings'}")
     sys.exit(0 if quiet else 1)
