@@ -364,6 +364,52 @@ object Graft {
       .select("q_id", "rank", "id", "cos")
   }
 
+  /** Incremental SemDeDup verdicts (the per-ingest form of
+    * `q_dedup_semantic`, #103): for a batch of NEW vectors, the drop
+    * list against a STORED [[ivfIndex]] plus within-batch smaller-id
+    * twins. A new vector drops iff it has a ≥τ cosine twin in its
+    * cell — any stored twin (the store is canon regardless of id
+    * order) or a smaller-id batch twin. Output matches
+    * `semanticDropList`: `(vec_id, cell, dup_of_ct, max_cos)`, one
+    * row per dropped NEW vector; on disjoint id ranges with the store
+    * below the batch, the verdicts equal the full-corpus run's batch
+    * slice exactly (IvfIndexSpec pins this).
+    *
+    * Scale shape: the batch assigns cells via the [[ivfIndex]]
+    * broadcast argmax (no corpus contact), and the store joins keyed
+    * on `cell` — a [[writeIvfIndex]] bucketed table satisfies that
+    * distribution from the scan, so the store side never shuffles
+    * (spec-asserted bucketed-vs-plain, the `incrementalPairsStored`
+    * discipline); everything that shuffles is O(batch). Per ingest
+    * the store is scanned once.
+    */
+  def semanticDedupIncremental(index: DataFrame, centroids: DataFrame,
+      centIdCol: String, centVecCol: String,
+      batch: DataFrame, idCol: String, vecCol: String,
+      tau: Double): DataFrame = {
+    graft.functions.CosineSimilarity.register(batch.sparkSession)
+    val bIdx = ivfIndex(batch, idCol, vecCol, centroids, centIdCol,
+      centVecCol)
+    val nw = bIdx.select(col("cell"), col("id").as("new_id"),
+      col("vec").as("nv"))
+    def twins(old: DataFrame, pred: Column): DataFrame = nw
+      .join(old, Seq("cell"))
+      .where(pred)
+      .withColumn("cos", call_function("cosine_sim", col("nv"), col("ov")))
+      .where(col("cos") >= tau)
+      .select(col("new_id"), col("cell"), col("cos"))
+    val vsStore = twins(index.select(col("cell"), col("id").as("old_id"),
+      col("vec").as("ov")), lit(true))
+    val vsBatch = twins(bIdx.select(col("cell"), col("id").as("old_id"),
+      col("vec").as("ov")), col("old_id") < col("new_id"))
+    vsStore.unionByName(vsBatch)
+      .groupBy(col("new_id").as("vec_id"))
+      .agg(first(col("cell")).as("cell"),
+        count(lit(1)).as("dup_of_ct"),
+        max(col("cos")).cast("double").as("max_cos"))
+      .orderBy("vec_id")
+  }
+
   /** Embedding validity audit — the executable form of "validate
     * upstream" that every similarity/ANN op's dirty-vector rule points
     * at. Returns ONLY the invalid rows, each with an `issue` column:

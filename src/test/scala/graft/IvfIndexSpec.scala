@@ -119,4 +119,58 @@ class IvfIndexSpec extends SparkSpec {
       spark.sql("DROP TABLE IF EXISTS ivf_idx_plain")
     }
   }
+
+  test("incremental semantic dedup == the full run's batch slice") {
+    // store = the lower-id half of the corpus (already indexed), batch
+    // = the upper half; with the SAME centroids the incremental
+    // verdicts must equal the full-corpus semanticDropList restricted
+    // to batch ids — same drops, same counts, same max cosines
+    val tau = 0.45
+    val k = 8; val iters = 3
+    val centsFit = Graft.kmeansCentroids(emb, "vec_id", "v", k, iters)
+    val split = 250L
+    val store = Graft.ivfIndex(emb.where(col("vec_id") < split),
+      "vec_id", "v", centsFit, "cent_id", "cv")
+    val inc = Graft.semanticDedupIncremental(store, centsFit,
+      "cent_id", "cv", emb.where(col("vec_id") >= split),
+      "vec_id", "v", tau)
+    val full = graft.operators.Similarity.semanticDropList(emb, k, iters, tau)
+      .where(col("vec_id") >= split)
+    assert(inc.exceptAll(full).count() == 0 &&
+      full.exceptAll(inc).count() == 0,
+      "incremental verdicts diverged from the full-corpus run")
+    assert(inc.count() > 0, "planted split produced no verdicts to compare")
+  }
+
+  test("incremental semantic dedup: bucketed store joins without a store-side shuffle") {
+    spark.sql("DROP TABLE IF EXISTS sem_idx")
+    spark.sql("DROP TABLE IF EXISTS sem_idx_plain")
+    try {
+      val centsFit = Graft.kmeansCentroids(emb, "vec_id", "v", 8, 2)
+      val store = Graft.ivfIndex(emb.where(col("vec_id") < 250),
+        "vec_id", "v", centsFit, "cent_id", "cv")
+      Graft.writeIvfIndex(store, "sem_idx", buckets = 8, overwrite = true)
+      store.write.mode("overwrite").format("parquet").saveAsTable("sem_idx_plain")
+      val batch = emb.where(col("vec_id") >= 250)
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      try {
+        def nShuffles(df: org.apache.spark.sql.DataFrame): Int =
+          "Exchange hashpartitioning".r
+            .findAllIn(df.queryExecution.executedPlan.toString).size
+        val b = nShuffles(Graft.semanticDedupIncremental(
+          spark.table("sem_idx"), centsFit, "cent_id", "cv",
+          batch, "vec_id", "v", 0.45))
+        val p = nShuffles(Graft.semanticDedupIncremental(
+          spark.table("sem_idx_plain"), centsFit, "cent_id", "cv",
+          batch, "vec_id", "v", 0.45))
+        assert(b == p - 1,
+          s"bucketed store should save exactly the store-side shuffle " +
+            s"(bucketed=$b, plain=$p)")
+      } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold",
+        10L * 1024 * 1024)
+    } finally {
+      spark.sql("DROP TABLE IF EXISTS sem_idx")
+      spark.sql("DROP TABLE IF EXISTS sem_idx_plain")
+    }
+  }
 }
