@@ -286,19 +286,45 @@ object Similarity {
   def qDedupSemantic(spark: SparkSession, dir: String): DataFrame =
     semanticDropList(emb(spark, dir), SemClusters, SemIters, CosineTau)
 
-  /** #103 generalized over (k, iters, τ) so specs can plant corpora
-    * and sweep the dials without touching the gated default. Input:
-    * `(vec_id, v)` with `v: array<double>`.
+  /** #103 generalized over (k, iters, τ, maxCell) so specs can plant
+    * corpora and sweep the dials without touching the gated default.
+    * Input: `(vec_id, v)` with `v: array<double>`.
+    *
+    * `maxCell` is the probe-13 imbalance guard: a skewed k-means fit
+    * can hand one cell a quadratic share of the pair work (one
+    * runaway cell owns the tail — docs/SCALING.md probe 13). Cells
+    * above the cap are SALTED into ⌈size/maxCell⌉ sub-cells keyed by
+    * a hash OF THE VECTOR, so identical vectors always co-salt — the
+    * verbatim-copy guarantee survives capping unconditionally; what
+    * the cap trades is near-dup recall between DIFFERENT vectors that
+    * land in different salts of a pathological cell (the #47 df-cap
+    * discipline: bound the quadratic term, document the recall
+    * trade). Balanced cells get salt 0 and are untouched.
     */
   def semanticDropList(e: DataFrame, k: Int, iters: Int,
-      tau: Double): DataFrame = {
+      tau: Double, maxCell: Int = Int.MaxValue): DataFrame = {
+    require(maxCell > 0, s"maxCell must be positive, got $maxCell")
     val cents = graft.api.Graft.kmeansCentroids(e, "vec_id", "v", k, iters)
-    val idx = graft.api.Graft.ivfIndex(e, "vec_id", "v",
+    val idx0 = graft.api.Graft.ivfIndex(e, "vec_id", "v",
       cents, "cent_id", "cv")
-    val pairs = idx.select(col("cell"), col("id").as("vec_a"),
+    val idx =
+      if (maxCell == Int.MaxValue) idx0.withColumn("salt", lit(0L))
+      else {
+        // the size window shuffles on cell — the same key the pair
+        // join needs, so the exchange is reused, not added
+        val wCell = Window.partitionBy("cell")
+        idx0.withColumn("csz", count(lit(1)).over(wCell))
+          .withColumn("salt",
+            when(col("csz") > maxCell,
+              pmod(hash(col("vec")).cast("long"),
+                ceil(col("csz") / maxCell).cast("long")))
+              .otherwise(lit(0L)))
+          .drop("csz")
+      }
+    val pairs = idx.select(col("cell"), col("salt"), col("id").as("vec_a"),
         col("vec").as("va"))
-      .join(idx.select(col("cell"), col("id").as("vec_b"),
-        col("vec").as("vb")), Seq("cell"))
+      .join(idx.select(col("cell"), col("salt"), col("id").as("vec_b"),
+        col("vec").as("vb")), Seq("cell", "salt"))
       .where(col("vec_a") < col("vec_b"))
       .withColumn("cos", cosine(col("va"), col("vb")))
       .where(col("cos") >= tau)

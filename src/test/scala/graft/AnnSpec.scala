@@ -132,6 +132,35 @@ class AnnSpec extends SparkSpec {
     assert(drops.nonEmpty, "planted near-dups not found at all")
   }
 
+  test("semantic dedup cell cap: verbatim copies cannot escape a salted cell") {
+    // pathological corpus: every vector points the same way, so the
+    // fit hands one runaway cell ~everything (the probe-13 imbalance
+    // case the cap exists for). Salting keys on a hash of the VECTOR,
+    // so a verbatim copy always lands in its original's salt — the
+    // cap may only lose near-dup pairs between DIFFERENT vectors
+    import spark.implicits._
+    val rnd = new scala.util.Random(13)
+    val base = (0L until 200L).map { i =>
+      (i, Seq.tabulate(8)(d =>
+        (if (d == 0) 1.0 else 0.0) + rnd.nextGaussian() * 0.05))
+    }
+    val copies = base.take(40).map { case (i, v) => (i + 1000L, v) }
+    val e = (base ++ copies).toDF("vec_id", "v")
+    val drops = graft.operators.Similarity
+      .semanticDropList(e, k = 4, iters = 2, tau = 0.9999, maxCell = 50)
+      .select("vec_id").as[Long].collect().toSet
+    copies.foreach { case (cid, _) =>
+      assert(drops.contains(cid), s"verbatim copy $cid escaped under the cap")
+    }
+    // capping only ever REMOVES pairs: the capped drop set is a
+    // subset of the uncapped one
+    val uncapped = graft.operators.Similarity
+      .semanticDropList(e, k = 4, iters = 2, tau = 0.9999)
+      .select("vec_id").as[Long].collect().toSet
+    assert(drops.subsetOf(uncapped),
+      s"cap invented drops: ${drops -- uncapped}")
+  }
+
   test("semantic dedup: poisoned embeddings never enter the drop list") {
     // zero-norm / NULL / dim-mismatched vectors cosine to NULL (the
     // nasty-embeddings contract), so poison can neither drop a real
