@@ -709,6 +709,90 @@ object Streams {
     } finally b.unpersist()
   }
 
+  /** #105 — `stream_dedup_semantic`: per-micro-batch SemDeDup ingest
+    * (the streaming twin of `q_dedup_semantic`/#103 via
+    * `Graft.semanticDedupIncremental`/#104). Centroids are FIXED —
+    * fit once on a seed corpus ([[graft.api.Graft.kmeansCentroids]]);
+    * drift against a fresher fit is repaired by a periodic batch
+    * refit, the same lambda-repair contract as `stream_dedup_exact`
+    * and `dupClusterSink`'s capped vocabulary.
+    *
+    * State layout under `statePath` (exactly-once by overwrite-by-
+    * batchId, the [[dupClusterSink]] scheme):
+    *  - `index/batch=<id>/` — the batch's cell assignments
+    *    `(id, cell, vec)`; the store side of every later ingest. The
+    *    base read takes `batch < id`, so a replayed batch never pairs
+    *    against its own half-written copy;
+    *  - `verdicts/batch=<id>/` — that batch's drop list
+    *    `(vec_id, cell, dup_of_ct, max_cos)`; replay overwrites the
+    *    same partition, so verdicts stay exactly-once downstream.
+    *
+    * Scale shape per ingest: the batch assigns cells via the
+    * broadcast argmax, the store joins keyed on cell and is scanned
+    * once; everything that shuffles is O(batch) (#104's contract —
+    * store the index with [[graft.api.Graft.writeIvfIndex]] bucketing
+    * when it outgrows plain parquet and the store side stops
+    * shuffling entirely).
+    */
+  def semanticDedupSink(vectors: DataFrame, centroids: DataFrame,
+      statePath: String, checkpointDir: String,
+      idCol: String = "vec_id", vecCol: String = "v",
+      tau: Double = 0.45)
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    vectors.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        applySemanticBatch(batch, batchId, centroids, statePath,
+          idCol, vecCol, tau)
+      }
+
+  /** One ingest step of [[semanticDedupSink]] (package-visible so the
+    * spec can drive replay directly).
+    */
+  private[graft] def applySemanticBatch(batch: DataFrame, batchId: Long,
+      centroids: DataFrame, statePath: String, idCol: String,
+      vecCol: String, tau: Double): Unit = {
+    import org.apache.hadoop.fs.Path
+    val spark = batch.sparkSession
+    val root = new Path(new Path(statePath).toUri.getPath)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val indexRoot = new Path(root, "index")
+    val b = batch.select(col(idCol), col(vecCol)).persist()
+    try {
+      if (b.isEmpty) return
+      val bIdx = graft.api.Graft.ivfIndex(b, idCol, vecCol,
+        centroids, "cent_id", "cv").localCheckpoint(true)
+      val base =
+        if (fs.exists(indexRoot))
+          spark.read.parquet(indexRoot.toString)
+            .where(col("batch") < batchId).select("id", "cell", "vec")
+        else bIdx.limit(0)
+      // verdicts against the store-as-of-this-batch plus within-batch
+      // smaller ids — the #104 contract; reusing the precomputed bIdx
+      // as the "batch" (it carries id/cell/vec, and re-assignment of
+      // an already-assigned frame is the identity)
+      val verdicts = graft.api.Graft.semanticDedupIncremental(
+        base, centroids, "cent_id", "cv",
+        bIdx.select(col("id").as(idCol), col("vec").as(vecCol)),
+        idCol, vecCol, tau).localCheckpoint(true)
+      bIdx.write.mode("overwrite")
+        .parquet(new Path(indexRoot, s"batch=$batchId").toString)
+      verdicts.write.mode("overwrite")
+        .parquet(new Path(root, s"verdicts/batch=$batchId").toString)
+    } finally b.unpersist()
+  }
+
+  /** All drop verdicts emitted so far by a [[semanticDedupSink]]. */
+  def semanticDedupVerdicts(spark: org.apache.spark.sql.SparkSession,
+      statePath: String): Option[DataFrame] = {
+    import org.apache.hadoop.fs.Path
+    val vroot = new Path(new Path(statePath).toUri.getPath, "verdicts")
+    val fs = vroot.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(vroot)) None
+    else Some(spark.read.parquet(vroot.toString)
+      .select("vec_id", "cell", "dup_of_ct", "max_cos"))
+  }
+
   /** The labeling after the last completed batch, if any. */
   def dupClusterState(spark: org.apache.spark.sql.SparkSession,
       statePath: String): Option[DataFrame] = {

@@ -469,6 +469,50 @@ class StreamingSpec extends SparkSpec {
     assert(afterReplay == beforeReplay, "replayed batch mutated the labeling")
   }
 
+  test("stream_dedup_semantic: micro-batch verdicts equal the one-shot ingest") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val base = java.nio.file.Files.createTempDirectory("graft_sem_").toString
+    val emb = Tables.embeddings(spark, sf)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+    val cents = graft.api.Graft.kmeansCentroids(emb, "vec_id", "v", 8, 2)
+    val rows = emb.orderBy("vec_id").collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1))).toIndexedSeq
+    val ms = MemoryStream[(Long, Seq[Double])]
+    val stream = ms.toDF().toDF("vec_id", "v")
+    val q = Streams.semanticDedupSink(stream, cents,
+      s"$base/state", s"$base/ckpt").start()
+    try {
+      // id-ordered micro-batches: every batch's store is exactly the
+      // ids below it, the precondition for one-shot equivalence
+      rows.grouped((rows.size + 2) / 3).foreach { chunk =>
+        ms.addData(chunk); q.processAllAvailable()
+      }
+    } finally q.stop()
+    val got = Streams.semanticDedupVerdicts(spark, s"$base/state").get
+    val emptyStore = graft.api.Graft.ivfIndex(emb.limit(0), "vec_id", "v",
+      cents, "cent_id", "cv")
+    val want = graft.api.Graft.semanticDedupIncremental(emptyStore, cents,
+      "cent_id", "cv", emb, "vec_id", "v", 0.45)
+    assert(got.count() > 0, "no verdicts emitted — corpus has semantic dups")
+    assert(got.exceptAll(want).count() == 0 &&
+      want.exceptAll(got).count() == 0,
+      "streamed verdicts != the whole corpus ingested in one batch")
+    // replaying the LAST ingest (foreachBatch at-least-once) must not
+    // change the verdict set: the base read excludes batch >= id and
+    // the writes overwrite the same partitions
+    val lastId = new java.io.File(s"$base/state/index").listFiles()
+      .map(_.getName.stripPrefix("batch=").toLong).max
+    val before = got.collect().toSet
+    Streams.applySemanticBatch(
+      spark.read.parquet(s"$base/state/index/batch=$lastId")
+        .select(col("id").as("vec_id"), col("vec").as("v")),
+      lastId, cents, s"$base/state", "vec_id", "v", 0.45)
+    val after = Streams.semanticDedupVerdicts(spark, s"$base/state").get
+      .collect().toSet
+    assert(after == before, "replayed ingest mutated the verdicts")
+  }
+
   test("stream_user_jump emits via event-time timeout when a user goes silent") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
