@@ -300,10 +300,20 @@ object Graft {
               struct(col("ccos"), (-col("cent_id")).as("tie"))).as("cell"))
         val means = assigned
           .select(col("cell"), posexplode(col("vec")).as(Seq("pos", "x")))
-          .groupBy("cell", "pos").agg(sum("x").as("s"), count(lit(1)).as("n"))
+          // the mean SUM is exact decimal, not double: double summation
+          // order depends on the partitioning, so a double fold here
+          // would let the fitted centroids — and through them every
+          // cell assignment — drift with parallelism. decimal(38,18)
+          // truncation is deterministic per value and the sum is
+          // exact, so the fit meets the same deterministic-under-any-
+          // partitioning rule (§6a) as the gated aggregates
+          .groupBy("cell", "pos")
+          .agg(sum(col("x").cast("decimal(38,18)")).as("s"),
+            count(lit(1)).as("n"))
           .groupBy("cell")
           .agg(transform(array_sort(
-            collect_list(struct(col("pos"), (col("s") / col("n")).as("m")))),
+            collect_list(struct(col("pos"),
+              (col("s") / col("n")).cast("double").as("m")))),
             s => s.getField("m")).as("cv"))
           .as[(Long, Seq[Double])].collect().toMap
         cents = cents.map { case (cid, cv) => (cid, means.getOrElse(cid, cv)) }

@@ -120,6 +120,19 @@ class IvfIndexSpec extends SparkSpec {
     }
   }
 
+  test("kmeansCentroids: fit is identical under any input partitioning") {
+    // the mean recompute sums in exact decimal, so the fitted
+    // centroids — and every cell assignment derived from them — must
+    // be bit-identical regardless of how the corpus is partitioned
+    // (a double fold would reorder summation with parallelism and let
+    // assignments drift; §6a discipline)
+    val a = Graft.kmeansCentroids(emb.repartition(3), "vec_id", "v",
+      k = 10, iters = 3).collect().toSet
+    val b = Graft.kmeansCentroids(emb.repartition(17), "vec_id", "v",
+      k = 10, iters = 3).collect().toSet
+    assert(a == b, "k-means fit drifted with input partitioning")
+  }
+
   test("incremental semantic dedup == the full run's batch slice") {
     // store = the lower-id half of the corpus (already indexed), batch
     // = the upper half; with the SAME centroids the incremental
