@@ -272,7 +272,12 @@ object Graft {
     * aggregation collapses BEFORE the exchange, so shuffle volume is
     * partitions × k × dim regardless of corpus size; only k×dim
     * doubles ever reach the driver (the MLlib fit pattern). Empty
-    * cells keep their previous centroid.
+    * cells keep their previous centroid. Vectors with no defined
+    * cosine against any centroid (zero-norm / NULL / NaN-element /
+    * dim-mismatched — CosineSimilarity's dirty rule) are excluded
+    * from the fit; everything else votes with its unit direction
+    * through an order-free fixed-point sum, so the fitted centroids
+    * are bit-identical under any input partitioning (spec-pinned).
     */
   def kmeansCentroids(embeddings: DataFrame, idCol: String, vecCol: String,
       k: Int, iters: Int = 5): DataFrame = {
@@ -294,21 +299,40 @@ object Graft {
         val assigned = e.crossJoin(broadcast(cDf))
           .withColumn("ccos",
             call_function("cosine_sim", col("cv"), col("vec")))
+          // a NULL cosine (zero-norm / NULL / NaN-element / dim-skew
+          // vector — CosineSimilarity's dirty-embedding rule) means the
+          // row has no usable direction: it cannot vote for a centroid,
+          // and letting it through would hand max_by an all-null
+          // ordering (arbitrary cell) and the mean a non-finite
+          // component (an ANSI cast error). One filter closes both
+          // holes — and conversely a finite cosine proves every element
+          // finite and the norm positive, so the mean below needs no
+          // further guards
+          .where(col("ccos").isNotNull)
           .groupBy("id")
           .agg(first(col("vec")).as("vec"),
             max_by(col("cent_id"),
               struct(col("ccos"), (-col("cent_id")).as("tie"))).as("cell"))
         val means = assigned
-          .select(col("cell"), posexplode(col("vec")).as(Seq("pos", "x")))
-          // the mean SUM is exact decimal, not double: double summation
-          // order depends on the partitioning, so a double fold here
-          // would let the fitted centroids — and through them every
-          // cell assignment — drift with parallelism. decimal(38,18)
-          // truncation is deterministic per value and the sum is
-          // exact, so the fit meets the same deterministic-under-any-
-          // partitioning rule (§6a) as the gated aggregates
+          // spherical k-means proper: each vector votes with its unit
+          // DIRECTION — assignment is cosine (scale-invariant), so one
+          // huge-magnitude embedding must not drag the centroid.
+          // Normalizing also bounds every summand in [-1, 1], which the
+          // deterministic fixed-point sum exploits: decimal(8,6) input
+          // keeps the sum accumulator at decimal(18,6) — inside Spark's
+          // compact-long representation (docs/SCALING.md probe 12; the
+          // wider (38,18) flavor pays BigDecimal churn on every of the
+          // n×dim updates). Per-value 1e-6 rounding is deterministic
+          // and the long addition exact and order-free, so the fit
+          // stays bit-identical under any partitioning (§6a;
+          // spec-pinned). Loud ANSI overflow past ~1e12 vectors per
+          // cell — raise the precision before fitting cells that big.
+          .withColumn("nrm", sqrt(aggregate(col("vec"), lit(0.0d),
+            (a, x) => a + x * x)))
+          .select(col("cell"), col("nrm"),
+            posexplode(col("vec")).as(Seq("pos", "x")))
           .groupBy("cell", "pos")
-          .agg(sum(col("x").cast("decimal(38,18)")).as("s"),
+          .agg(sum((col("x") / col("nrm")).cast("decimal(8,6)")).as("s"),
             count(lit(1)).as("n"))
           .groupBy("cell")
           .agg(transform(array_sort(

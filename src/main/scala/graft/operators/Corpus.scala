@@ -419,7 +419,6 @@ object Corpus {
     * [[graft.api.Graft.outliers]] (which persists nothing) or
     * `clearCache()` afterwards. The
     * per-source bounds frame is tiny (one row per source) and
-    * per-source bounds frame is tiny (one row per source) and
     * BROADCASTS back, so the corpus side is one scan + a map-side
     * band test — the thresholds never force a corpus-keyed shuffle.
     * Token counts are integers and the interpolated bounds are the

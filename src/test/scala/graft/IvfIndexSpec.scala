@@ -46,6 +46,13 @@ class IvfIndexSpec extends SparkSpec {
     val mixed = emb.unionByName(dirty)
     val fitted = Graft.kmeansCentroids(mixed, "vec_id", "v", k = 10, iters = 2)
     assert(fitted.count() == 10)
+    // vectors with no defined cosine carry no direction, so they are
+    // excluded from the fit entirely: poisoning a corpus must not
+    // move a single centroid
+    val cleanFit = Graft.kmeansCentroids(emb, "vec_id", "v", k = 10, iters = 2)
+    assert(fitted.exceptAll(cleanFit).count() == 0 &&
+      cleanFit.exceptAll(fitted).count() == 0,
+      "dirty vectors moved the fitted centroids")
     val idx = Graft.ivfIndex(mixed, "vec_id", "v", fitted, "cent_id", "cv")
     assert(idx.count() == mixed.count(), "index must carry every row")
     val res = Graft.ivfQuery(idx, fitted, "cent_id", "cv", queries,
@@ -121,11 +128,12 @@ class IvfIndexSpec extends SparkSpec {
   }
 
   test("kmeansCentroids: fit is identical under any input partitioning") {
-    // the mean recompute sums in exact decimal, so the fitted
-    // centroids — and every cell assignment derived from them — must
-    // be bit-identical regardless of how the corpus is partitioned
-    // (a double fold would reorder summation with parallelism and let
-    // assignments drift; §6a discipline)
+    // the mean recompute sums unit-direction components in fixed-point
+    // (compact-long decimal — probe 12), so the fitted centroids — and
+    // every cell assignment derived from them — must be bit-identical
+    // regardless of how the corpus is partitioned (a double fold would
+    // reorder summation with parallelism and let assignments drift;
+    // §6a discipline)
     val a = Graft.kmeansCentroids(emb.repartition(3), "vec_id", "v",
       k = 10, iters = 3).collect().toSet
     val b = Graft.kmeansCentroids(emb.repartition(17), "vec_id", "v",
