@@ -26,12 +26,26 @@ files = sorted(glob.glob("target/bench_baseline_*.json")) + sorted(
 if not files:
     sys.exit("no bench captures found under target/")
 
+# Queries whose IMPLEMENTATION changed after some captures were taken:
+# a pre-change timing measured code that no longer exists, so only
+# captures whose tag starts with one of the listed prefixes enter the
+# min pool (a stale, unreachable pin would flag the current code as a
+# phantom regression forever).
+REBASED = {
+    # round 9 (5c7ad91): the fit now excludes undefined-cosine vectors
+    # and sums unit-direction components in compact-long decimal;
+    # earlier captures timed the pre-determinism double-fold fit
+    "q_dedup_semantic": ("probe_sem9b", "probe_sem9c", "baseline_g"),
+}
+
 per_query = {}   # name -> list[(seconds, source)]
 for f in files:
     with open(f) as fh:
         d = json.load(fh)
     tag = f.split("bench_")[-1].removesuffix(".json")
     for q, s in d["queries"].items():
+        if q in REBASED and not tag.startswith(REBASED[q]):
+            continue
         per_query.setdefault(q, []).append((s, tag))
 
 rows = []
@@ -66,6 +80,9 @@ out = ["# BASELINE_LOCAL — pinned per-query steady-state times",
        "independent JVMs is the reproducible cost. Regenerate with",
        "`tools/pin_baseline.py` after capturing runs into",
        "`target/bench_baseline_*.json` / `target/bench_probe*.json`.",
+       "A query whose implementation changed is re-pinned from",
+       "post-change captures only (the `REBASED` map in the script",
+       "names the valid capture tags per query).",
        "",
        "**How to compare (the 2x gate):** first run",
        "`python3 tools/hostcheck.py` — it measures fresh-page-touch",
