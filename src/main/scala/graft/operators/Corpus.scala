@@ -191,6 +191,81 @@ object Corpus {
        |  CAST(SUM(n_chars) AS BIGINT) AS sum_chars
        |FROM documents GROUP BY shard ORDER BY shard""".stripMargin
 
+  /** Tokens per training sequence for #106; the SQL twin embeds the
+    * same literal. 512 yields multiple packs AND straddling documents
+    * per shard at the sf0.01 gate (a shard carries ~1.4-1.9 k tokens
+    * there — a 2048 budget would leave every shard in pack 0 and the
+    * boundary logic untested); production sets the model's context
+    * length.
+    */
+  private[graft] val PackBudget = 512L
+
+  /** #106 — `q_pack_sequences`: concat-and-chunk sequence packing —
+    * the step between curation and training that turns a shard's
+    * documents into fixed-budget token sequences. Documents are laid
+    * out in deterministic (shard, doc_id) order on the #92 shard
+    * layout, the token stream is cut every [[PackBudget]] tokens
+    * (documents MAY straddle a cut — the standard concat-and-chunk
+    * recipe, not bin packing), and each doc belongs to the pack its
+    * first token lands in. Output is the per-(shard, pack) readout a
+    * pipeline checks before writing sequences: docs starting in the
+    * pack, their token mass, and how many straddle into the next pack
+    * (the fraction of truncated-context documents). A pack inside a
+    * single giant document has no starting docs and no row — by
+    * design, the readout is per document start.
+    *
+    * Null/empty texts count 0 tokens ([[Text.wsTokenCount]] is null
+    * on null text; coalesced here) so a dirty doc shifts no
+    * boundaries. The running sum is integer math in deterministic
+    * order — same packs on any engine, any run, any partitioning.
+    *
+    * Scale: ONE shuffle (hash by shard), window cumsum within the
+    * shard, and the (shard, pack) aggregate reuses the window's
+    * partitioning (HashPartitioning(shard) already clusters
+    * (shard, pack_id) — no second exchange; pinned in PlanSpec). The
+    * per-shard sequential cumsum is the inherently serial part; at
+    * 100 TB you raise [[NumShards]] so each shard's window fits one
+    * executor — the layout dial #92 already exposes.
+    */
+  def qPackSequences(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("shard").orderBy("doc_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val b = lit(PackBudget)
+    Tables.documents(spark, dir)
+      .select(pmod(hash31(col("doc_id")), lit(NumShards)).as("shard"),
+        col("doc_id"),
+        coalesce(graft.operators.Text.wsTokenCount, lit(0L)).as("n_tokens"))
+      .withColumn("cum_before", sum(col("n_tokens")).over(w) - col("n_tokens"))
+      .withColumn("pack_id", floor(col("cum_before") / b).cast("long"))
+      .withColumn("is_split", col("n_tokens") > 0 &&
+        floor((col("cum_before") + col("n_tokens") - 1) / b).cast("long") >
+          col("pack_id"))
+      .groupBy("shard", "pack_id")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_tokens")).as("sum_tokens"),
+        sum(when(col("is_split"), 1L).otherwise(0L)).as("n_split"))
+      .orderBy("shard", "pack_id")
+  }
+
+  val qPackSequencesSql: String =
+    s"""WITH t AS (
+       |  SELECT ${hash31Sql("doc_id")} % $NumShards AS shard, doc_id,
+       |    COALESCE(${graft.operators.Text.wsTokenCountSql}, 0) AS n_tokens
+       |  FROM documents),
+       |c AS (
+       |  SELECT shard, doc_id, n_tokens,
+       |    SUM(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
+       |      ROWS UNBOUNDED PRECEDING) - n_tokens AS cum_before
+       |  FROM t)
+       |SELECT shard, CAST(cum_before // $PackBudget AS BIGINT) AS pack_id,
+       |  CAST(COUNT(*) AS BIGINT) AS n_docs,
+       |  CAST(SUM(n_tokens) AS BIGINT) AS sum_tokens,
+       |  CAST(SUM(CASE WHEN n_tokens > 0
+       |    AND (cum_before + n_tokens - 1) // $PackBudget
+       |        > cum_before // $PackBudget
+       |    THEN 1 ELSE 0 END) AS BIGINT) AS n_split
+       |FROM c GROUP BY shard, pack_id ORDER BY shard, pack_id""".stripMargin
+
   /** Top-10 word bigrams per source by DOCUMENT frequency (count desc,
     * bigram asc): corpus n-gram stats for LM data curation. Bigrams
     * come from the codegen'd word_shingles expression, which dedupes

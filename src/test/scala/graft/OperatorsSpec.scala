@@ -223,6 +223,54 @@ class OperatorsSpec extends SparkSpec {
     assert(bad.isEmpty, "a stratum's sample fraction left [2%, 25%]")
   }
 
+  test("pack sequences equal a straight-line reference packing") {
+    // Recompute #106 sequentially per shard on collected sf0.01 rows
+    // (sf0.01 because its shards span MULTIPLE packs with straddling
+    // docs — at sf0.001 every shard fits pack 0 and the boundary
+    // logic would pass untested): same shard hash, same whitespace
+    // token rule, same concat-and-chunk boundaries — the distributed
+    // window must reproduce it exactly.
+    val docs = Tables.documents(spark, sf)
+      .select(col("doc_id").cast("long"), col("text")).collect()
+      .map(r => (r.getLong(0), Option(r.getString(1))))
+    val b = 512L
+    def tokens(t: Option[String]): Long =
+      t.map(_.split(' ').count(_.nonEmpty).toLong).getOrElse(0L)
+    def shard(id: Long): Long = {
+      val folded = id ^ (id >> 31)
+      val m = ((folded % 2147483648L) + 2147483648L) % 2147483648L
+      (m * 1103515245L % 2147483648L) % 16L
+    }
+    val expected = docs.groupBy { case (id, _) => shard(id) }.toSeq
+      .flatMap { case (sh, rows) =>
+        var cum = 0L
+        rows.sortBy(_._1).map { case (_, t) =>
+          val n = tokens(t)
+          val pack = cum / b
+          val split = n > 0 && (cum + n - 1) / b > pack
+          cum += n
+          (sh, pack, n, split)
+        }
+      }
+      .groupBy { case (sh, pack, _, _) => (sh, pack) }.toSeq
+      .map { case ((sh, pack), rs) =>
+        (sh, pack, rs.size.toLong, rs.map(_._3).sum,
+          rs.count(_._4).toLong)
+      }.sorted
+    val got = SparkEntry.queries("q_pack_sequences")(spark, sf)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4))).toSeq.sorted
+    assert(got == expected)
+    // conservation: every doc starts in exactly one pack
+    assert(got.map(_._3).sum == docs.length.toLong)
+    assert(got.map(_._4).sum == docs.map(d => tokens(d._2)).sum)
+    // the corpus must actually exercise boundaries: multiple packs per
+    // shard and straddling docs (else this test passes vacuously)
+    assert(got.map(_._2).max > 0, "no shard spans multiple packs")
+    assert(got.map(_._5).sum > 0, "no doc straddles a pack boundary")
+  }
+
   test("pii scrub: planted emails and phones redact with exact counts") {
     import spark.implicits._
     val docs = Seq(

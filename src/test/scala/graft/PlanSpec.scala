@@ -128,6 +128,18 @@ class PlanSpec extends SparkSpec {
       s"bucketed range join degenerated to a non-equi plan:\n$p")
   }
 
+  test("pack sequences reuses the window's shard partitioning for the agg") {
+    // One hash exchange total: the window shuffles by shard, and the
+    // (shard, pack) aggregate must ride that partitioning (shard is a
+    // subset of the grouping key) instead of re-shuffling. The only
+    // other exchange is the final presentation orderBy's range
+    // partitioning.
+    val p = plan("q_pack_sequences")
+    val hashEx = "Exchange hashpartitioning".r.findAllIn(p).size
+    assert(hashEx == 1,
+      s"expected exactly one hash exchange (the shard window), got $hashEx:\n$p")
+  }
+
   test("hash sample plans with zero exchanges (map-only)") {
     val p = graft.api.Graft.hashSample(Tables.documents(spark, sf), "doc_id", 0.10)
       .queryExecution.executedPlan.toString
