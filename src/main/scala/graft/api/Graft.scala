@@ -822,6 +822,27 @@ object Graft {
   def profile(df: DataFrame, cols: Seq[String], approx: Boolean = false): DataFrame =
     graft.operators.Profile.profile(df, cols, approx)
 
+  /** Concat-and-chunk sequence packing, row-level: appends `shard`
+    * (hash31(id) mod `nShards`), `pack_id` (the pack the row's first
+    * token lands in — the shard's id-ordered token stream is cut
+    * every `budget` tokens; rows may straddle a cut, the standard
+    * GPT-style recipe, not bin packing) and `is_split` (this row
+    * straddles) to any frame with an integral id and a token-count
+    * column. Write training sequences with
+    * `.write.partitionBy("shard", "pack_id")`; the gated
+    * `q_pack_sequences` is this frame's aggregate readout
+    * (spec-pinned equal in GraftApiSpec). ONE hash exchange — the
+    * shard window; downstream (shard, pack) aggregates ride its
+    * partitioning. At 100 TB raise `nShards` until a shard's rows fit
+    * one task (the #92 layout dial). Null token counts pack as 0
+    * tokens; `budget` is the model's context length in production
+    * (512 at the gate scale factors so boundaries are exercised).
+    */
+  def packAssign(df: DataFrame, idCol: String, tokensCol: String,
+      budget: Long,
+      nShards: Long = graft.operators.Corpus.NumShards): DataFrame =
+    graft.operators.Corpus.packAssign(df, idCol, tokensCol, budget, nShards)
+
   /** Sequence transition matrix: per (previous `stateCol` → current)
     * pair within each `seqCol` partition ordered by `orderCol` (+
     * `tieCol` for total order), the transition count and the

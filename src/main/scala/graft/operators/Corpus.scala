@@ -227,24 +227,52 @@ object Corpus {
     * 100 TB you raise [[NumShards]] so each shard's window fits one
     * executor — the layout dial #92 already exposes.
     */
-  def qPackSequences(spark: SparkSession, dir: String): DataFrame = {
-    val w = Window.partitionBy("shard").orderBy("doc_id")
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val b = lit(PackBudget)
-    Tables.documents(spark, dir)
-      .select(pmod(hash31(col("doc_id")), lit(NumShards)).as("shard"),
-        col("doc_id"),
-        coalesce(graft.operators.Text.wsTokenCount, lit(0L)).as("n_tokens"))
-      .withColumn("cum_before", sum(col("n_tokens")).over(w) - col("n_tokens"))
-      .withColumn("pack_id", floor(col("cum_before") / b).cast("long"))
-      .withColumn("is_split", col("n_tokens") > 0 &&
-        floor((col("cum_before") + col("n_tokens") - 1) / b).cast("long") >
-          col("pack_id"))
+  def qPackSequences(spark: SparkSession, dir: String): DataFrame =
+    packAssign(
+      Tables.documents(spark, dir)
+        .select(col("doc_id"),
+          coalesce(graft.operators.Text.wsTokenCount, lit(0L))
+            .as("n_tokens")),
+      "doc_id", "n_tokens", PackBudget, NumShards)
       .groupBy("shard", "pack_id")
       .agg(count(lit(1)).as("n_docs"),
         sum(col("n_tokens")).as("sum_tokens"),
         sum(when(col("is_split"), 1L).otherwise(0L)).as("n_split"))
       .orderBy("shard", "pack_id")
+
+  /** The #106 core, row-level: appends `shard` (hash31(id) mod
+    * `nShards`), `pack_id` (the pack the row's first token lands in —
+    * concat-and-chunk cuts every `budget` tokens of the shard's
+    * id-ordered token stream), and `is_split` (the row straddles a
+    * cut) to any frame with an integral id and a token-count column.
+    * This is the frame a writer partitions by (shard, pack_id) to lay
+    * out training sequences; the gated query is its aggregate
+    * readout. Null token counts pack as 0 tokens. One hash exchange
+    * (the shard window); the output columns are part of the contract,
+    * so the input must not already carry them — guarded loudly, the
+    * `transitions` discipline.
+    */
+  private[graft] def packAssign(df: DataFrame, idCol: String,
+      tokensCol: String, budget: Long, nShards: Long): DataFrame = {
+    require(budget > 0, s"budget must be positive, got $budget")
+    require(nShards > 0, s"nShards must be positive, got $nShards")
+    val dt = df.schema(idCol).dataType
+    require(Seq("byte", "short", "integer", "long").contains(dt.typeName),
+      s"packAssign needs an integral id column; '$idCol' is ${dt.simpleString}")
+    Seq("shard", "pack_id", "is_split", "_graft_cum").foreach(r =>
+      require(!df.columns.contains(r),
+        s"packAssign emits a '$r' column; rename the input's '$r' first"))
+    val w = Window.partitionBy("shard").orderBy(idCol)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val b = lit(budget)
+    val n = coalesce(col(tokensCol).cast("long"), lit(0L))
+    df.withColumn("shard", pmod(hash31(col(idCol)), lit(nShards)))
+      .withColumn("_graft_cum", sum(n).over(w) - n)
+      .withColumn("pack_id", floor(col("_graft_cum") / b).cast("long"))
+      .withColumn("is_split", n > 0 &&
+        floor((col("_graft_cum") + n - 1) / b).cast("long") >
+          col("pack_id"))
+      .drop("_graft_cum")
   }
 
   val qPackSequencesSql: String =

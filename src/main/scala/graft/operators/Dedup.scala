@@ -350,6 +350,76 @@ object Dedup {
        |  CAST(count(*) OVER (PARTITION BY cluster_id) AS BIGINT) AS cluster_size
        |FROM lab ORDER BY doc_id""".stripMargin
 
+  /** Split-bin count for #107; bins 0/1 are test/val, the rest train.
+    * The SQL twin embeds the same literal.
+    */
+  private val SplitBins = 10L
+
+  /** #107 — `q_split_assign`: LEAKAGE-FREE train/val/test assignment —
+    * the split is keyed on the #43 dup-CLUSTER label (singletons key
+    * on their own id), so near-duplicate documents can never straddle
+    * a split: a doc's eval-set membership is decided by
+    * `hash31(cluster key) mod 10` (0 → test, 1 → val, else train),
+    * and every member of a cluster shares that key BY CONSTRUCTION.
+    * Splitting on `hash31(doc_id)` instead would scatter a cluster's
+    * members across sets — the classic eval-contamination mistake the spec
+    * proves this operator cannot make (and proves the naive split
+    * WOULD, on the same corpus). Output is the per-split readout a
+    * pipeline checks before writing: docs, distinct assignment
+    * groups, and members of multi-doc clusters.
+    *
+    * Scale: the label set is bounded by docs-with-a-dup (eager #43
+    * fixpoint, its documented cost); the assignment itself is one
+    * doc_id-keyed left join (broadcast when the label set is small,
+    * SMJ otherwise — Spark flips automatically) + integer hash math;
+    * the final aggregate is 3 rows. The same recipe at 100 TB keys on
+    * the persisted incremental labeling (#69) instead of refitting.
+    */
+  def qSplitAssign(spark: SparkSession, dir: String): DataFrame = {
+    import graft.operators.Corpus.hash31
+    val labels = qDupClusters(spark, dir).select("doc_id", "cluster_id")
+    Tables.documents(spark, dir).select("doc_id")
+      .join(labels, Seq("doc_id"), "left")
+      .withColumn("ckey", coalesce(col("cluster_id"), col("doc_id")))
+      .withColumn("split",
+        when(pmod(hash31(col("ckey")), lit(SplitBins)) === 0, "test")
+          .when(pmod(hash31(col("ckey")), lit(SplitBins)) === 1, "val")
+          .otherwise("train"))
+      .groupBy("split")
+      .agg(count(lit(1)).as("n_docs"),
+        countDistinct(col("ckey")).as("n_groups"),
+        sum(when(col("cluster_id").isNotNull, 1L).otherwise(0L))
+          .as("n_dup_docs"))
+      .orderBy("split")
+  }
+
+  val qSplitAssignSql: String = {
+    val ckey = "COALESCE(l.cluster_id, d.doc_id)"
+    s"""WITH RECURSIVE pairs AS (
+       |  SELECT doc_a, doc_b FROM ($qDedupNgramJaccardCappedSql)
+       |),
+       |sym AS (
+       |  SELECT doc_a AS src, doc_b AS dst FROM pairs
+       |  UNION ALL
+       |  SELECT doc_b, doc_a FROM pairs),
+       |reach(v, l) AS (
+       |  SELECT DISTINCT src, src FROM sym
+       |  UNION
+       |  SELECT s.src, r.l FROM sym s JOIN reach r ON s.dst = r.v),
+       |lab AS (SELECT v AS doc_id, min(l) AS cluster_id FROM reach GROUP BY v),
+       |assign AS (
+       |  SELECT d.doc_id, l.cluster_id, $ckey AS ckey,
+       |    CASE ${graft.operators.Corpus.hash31Sql(ckey)} % $SplitBins
+       |      WHEN 0 THEN 'test' WHEN 1 THEN 'val'
+       |      ELSE 'train' END AS split
+       |  FROM documents d LEFT JOIN lab l ON d.doc_id = l.doc_id)
+       |SELECT split, CAST(COUNT(*) AS BIGINT) AS n_docs,
+       |  CAST(COUNT(DISTINCT ckey) AS BIGINT) AS n_groups,
+       |  CAST(SUM(CASE WHEN cluster_id IS NOT NULL THEN 1 ELSE 0 END)
+       |    AS BIGINT) AS n_dup_docs
+       |FROM assign GROUP BY split ORDER BY split""".stripMargin
+  }
+
   /** Deterministic "today's ingest batch" stand-in for #61: the test
     * schema has no arrival timestamp, so membership derives from the
     * doc id with integer math both engines evaluate identically

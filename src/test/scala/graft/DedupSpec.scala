@@ -16,6 +16,34 @@ class DedupSpec extends SparkSpec {
     assert(bad == 0)
   }
 
+  test("split assignment never separates a dup cluster; a doc-keyed split would") {
+    import graft.operators.Corpus.hash31
+    // re-derive the per-doc split with #107's formula, then check the
+    // actual near-dup pair list: no pair may straddle a split
+    val labels = SparkEntry.queries("q_dup_clusters")(spark, sf)
+      .select(col("doc_id"), col("cluster_id"))
+    val assigned = Tables.documents(spark, sf).select("doc_id")
+      .join(labels, Seq("doc_id"), "left")
+      .withColumn("bin",
+        pmod(hash31(coalesce(col("cluster_id"), col("doc_id"))), lit(10L)))
+    val pairs = SparkEntry.queries("q_dedup_ngram_jaccard_capped")(spark, sf)
+      .select("doc_a", "doc_b")
+    def leaks(a: org.apache.spark.sql.DataFrame): Long = pairs
+      .join(a.select(col("doc_id").as("doc_a"), col("bin").as("bin_a")), "doc_a")
+      .join(a.select(col("doc_id").as("doc_b"), col("bin").as("bin_b")), "doc_b")
+      .where(col("bin_a") =!= col("bin_b")).count()
+    assert(leaks(assigned) == 0L, "a near-dup pair crossed a split boundary")
+    // non-vacuous: the naive doc-id-keyed split DOES leak on this corpus
+    val naive = Tables.documents(spark, sf)
+      .select(col("doc_id"), pmod(hash31(col("doc_id")), lit(10L)).as("bin"))
+    assert(leaks(naive) > 0L,
+      "corpus cannot distinguish cluster-keyed from doc-keyed splits")
+    // the readout accounts for every document exactly once
+    val out = SparkEntry.queries("q_split_assign")(spark, sf)
+    assert(out.agg(sum("n_docs")).head.getLong(0) ==
+      Tables.documents(spark, sf).count())
+  }
+
   test("minhash-LSH recovers exactly the exact-jaccard near-dup pairs") {
     // On this corpus the planted near-dups sit at jaccard >= 0.97 with a
     // wide gap to background — 16x4 banding must recover all of them.

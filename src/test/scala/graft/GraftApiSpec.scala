@@ -436,6 +436,41 @@ class GraftApiSpec extends SparkSpec {
       Tables.embeddings(spark, sf), "embedding").isEmpty)
   }
 
+  test("packAssign aggregates to the gated readout; guards its contract") {
+    import spark.implicits._
+    // the facade's row-level frame, aggregated, must equal #106 exactly
+    val docs = Tables.documents(spark, sf)
+      .select(col("doc_id"),
+        coalesce(size(filter(split(col("text"), " "), t => t =!= ""))
+          .cast("long"), lit(0L)).as("toks"))
+    val agg = Graft.packAssign(docs, "doc_id", "toks", 512L)
+      .groupBy("shard", "pack_id")
+      .agg(count(lit(1)).as("n_docs"), sum("toks").as("sum_tokens"),
+        sum(when(col("is_split"), 1L).otherwise(0L)).as("n_split"))
+    val gated = SparkEntry.queries("q_pack_sequences")(spark, sf)
+    assert(agg.exceptAll(gated).isEmpty && gated.exceptAll(agg).isEmpty)
+    // null token counts pack as 0: they join a pack, shift no boundary
+    // (single shard so the id-ordered stream is 300, 0, 300 tokens:
+    // doc 3 spans 300..599 and must straddle the 512 cut; the null
+    // doc sits at offset 300 in pack 0, splitting nothing)
+    val withNull = Seq((1L, Some(300L)), (2L, None), (3L, Some(300L)))
+      .toDF("id", "t")
+    val r = Graft.packAssign(withNull, "id", "t", 512L, nShards = 1L)
+      .select("id", "pack_id", "is_split").as[(Long, Long, Boolean)]
+      .collect().sortBy(_._1).toSeq
+    assert(r == Seq((1L, 0L, false), (2L, 0L, false), (3L, 0L, true)), r)
+    // reserved columns and non-integral ids are loud errors
+    val e1 = intercept[IllegalArgumentException] {
+      Graft.packAssign(Seq((1L, 1L, 0L)).toDF("id", "t", "pack_id"),
+        "id", "t", 512L)
+    }
+    assert(e1.getMessage.contains("pack_id"))
+    val e2 = intercept[IllegalArgumentException] {
+      Graft.packAssign(Seq(("a", 1L)).toDF("id", "t"), "id", "t", 512L)
+    }
+    assert(e2.getMessage.contains("integral"))
+  }
+
   test("transitions and outliers fail loudly on reserved-column collisions") {
     import spark.implicits._
     val withPrev = Seq((1L, 1L, "a", "x")).toDF("u", "ts", "prev", "state")
