@@ -370,16 +370,20 @@ object Dedup {
     *
     * Scale: the label set is bounded by docs-with-a-dup (eager #43
     * fixpoint, its documented cost); the assignment itself is one
-    * doc_id-keyed left join (broadcast when the label set is small,
-    * SMJ otherwise — Spark flips automatically) + integer hash math;
-    * the final aggregate is 3 rows. The same recipe at 100 TB keys on
-    * the persisted incremental labeling (#69) instead of refitting.
+    * doc_id-keyed left join + integer hash math; the final aggregate
+    * is 3 rows. The fixpoint result is an in-memory frame with NO
+    * size statistics, so the planner would default it to
+    * corpus-sized and sort-merge — shuffling every doc_id — hence
+    * the explicit broadcast hint (PlanSpec pins it). At 100 TB the
+    * labels come from the persisted incremental store (#69) instead
+    * of a refit; a parquet-backed label side carries real stats and
+    * Spark picks broadcast vs SMJ on its own there.
     */
   def qSplitAssign(spark: SparkSession, dir: String): DataFrame = {
     import graft.operators.Corpus.hash31
     val labels = qDupClusters(spark, dir).select("doc_id", "cluster_id")
     Tables.documents(spark, dir).select("doc_id")
-      .join(labels, Seq("doc_id"), "left")
+      .join(broadcast(labels), Seq("doc_id"), "left")
       .withColumn("ckey", coalesce(col("cluster_id"), col("doc_id")))
       .withColumn("split",
         when(pmod(hash31(col("ckey")), lit(SplitBins)) === 0, "test")

@@ -128,6 +128,16 @@ class PlanSpec extends SparkSpec {
       s"bucketed range join degenerated to a non-equi plan:\n$p")
   }
 
+  test("split assignment broadcasts the dup-label side") {
+    // the label set is bounded by docs-with-a-dup and already
+    // materialized by the eager fixpoint — the corpus-side scan must
+    // stream past a broadcast of it, not sort-merge against it
+    val p = plan("q_split_assign")
+    assert(p.contains("BroadcastHashJoin"),
+      s"dup-label join must broadcast at gate scale:\n$p")
+    assert(!p.contains("SortMergeJoin"), s"unexpected SMJ:\n$p")
+  }
+
   test("pack sequences reuses the window's shard partitioning for the agg") {
     // One hash exchange total: the window shuffles by shard, and the
     // (shard, pack) aggregate must ride that partitioning (shard is a

@@ -36,6 +36,9 @@ REBASED = {
     # and sums unit-direction components in compact-long decimal;
     # earlier captures timed the pre-determinism double-fold fit
     "q_dedup_semantic": ("probe_sem9b", "probe_sem9c", "baseline_g"),
+    # round 9: probe_split9 timed the pre-broadcast-hint SMJ plan the
+    # PlanSpec pin then eliminated
+    "q_split_assign": ("probe_split9b", "baseline_i"),
 }
 
 per_query = {}   # name -> list[(seconds, source)]
