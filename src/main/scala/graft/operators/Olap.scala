@@ -486,6 +486,154 @@ object Olap {
       |JOIN nation ON s_nationkey = n_nationkey
       |WHERE rk = 1 ORDER BY p_partkey""".stripMargin
 
+  /** #108 — TPC-H Q6 (forecast revenue change): the scan-only shape.
+    * All three range predicates reach the parquet reader as
+    * PushedFilters (raw-column comparisons, no casts in the way), no
+    * join exists, and the ungrouped aggregate collapses map-side so
+    * the exchange carries one partial row per task regardless of
+    * corpus size — the 100 TB cost is exactly one pruned columnar
+    * scan (4 of 11 lineitem columns read; PlanSpec pins pushdown,
+    * pruning, and zero joins). The discount bounds compare the STORED
+    * doubles against the same literals in both engines — no
+    * arithmetic touches the comparison, so no FP boundary can
+    * straddle engines (the discount domain is 0.01-stepped).
+    */
+  def q6RevenueChange(spark: SparkSession, dir: String): DataFrame = {
+    Tables.lineitem(spark, dir)
+      .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp_ntz") &&
+        col("l_shipdate") < lit("1997-01-01").cast("timestamp_ntz") &&
+        col("l_discount").between(0.05, 0.07) && col("l_quantity") < 24)
+      .agg(sum(dPrice * dDisc).cast("double").as("revenue"),
+        count(lit(1)).as("n_lines"))
+  }
+
+  val q6Sql: String =
+    """SELECT
+      |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(l_discount AS DECIMAL(4,2))) AS DOUBLE) AS revenue,
+      |  CAST(COUNT(*) AS BIGINT) AS n_lines
+      |FROM lineitem
+      |WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+      |  AND l_shipdate < TIMESTAMP '1997-01-01'
+      |  AND l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24""".stripMargin
+
+  /** #109 — TPC-H Q10 (returned-item reporting): top-20 customers by
+    * revenue lost to returns in a quarter. Customer scales with the
+    * corpus, so the plan is the q7 discipline: the date-pruned orders
+    * slice joins the 'R'-filtered lineitem slice on the order key,
+    * THEN shuffles once on c_custkey against customer; only the tiny
+    * nation dim broadcasts. The top-20 is a distributed TakeOrdered
+    * over the grouped frame (never a global sort), tie-broken on
+    * c_custkey so the cutoff is total.
+    */
+  def q10ReturnedItems(spark: SparkSession, dir: String): DataFrame = {
+    val c = Tables.customer(spark, dir)
+      .select("c_custkey", "c_name", "c_acctbal", "c_nationkey")
+    val o = Tables.orders(spark, dir)
+      .filter(col("o_orderdate") >= lit("1996-10-01").cast("timestamp_ntz") &&
+        col("o_orderdate") < lit("1997-01-01").cast("timestamp_ntz"))
+      .select("o_orderkey", "o_custkey")
+    val l = Tables.lineitem(spark, dir)
+      .filter(col("l_returnflag") === "R")
+      .select("l_orderkey", "l_extendedprice", "l_discount")
+    val n = Tables.nation(spark, dir).select("n_nationkey", "n_name")
+    o.join(l, col("l_orderkey") === col("o_orderkey"))
+      .join(c, col("o_custkey") === col("c_custkey"))
+      .join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
+      .groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
+      .agg(sum(dPrice * (one - dDisc)).cast("double").as("revenue"))
+      .orderBy(col("revenue").desc, col("c_custkey"))
+      .limit(20)
+      .select("c_custkey", "c_name", "revenue", "c_acctbal", "n_name")
+  }
+
+  val q10Sql: String =
+    """SELECT c_custkey, c_name,
+      |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(4,2)) - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE) AS revenue,
+      |  c_acctbal, n_name
+      |FROM customer
+      |JOIN orders ON c_custkey = o_custkey
+      |JOIN lineitem ON l_orderkey = o_orderkey
+      |JOIN nation ON c_nationkey = n_nationkey
+      |WHERE o_orderdate >= TIMESTAMP '1996-10-01'
+      |  AND o_orderdate < TIMESTAMP '1997-01-01'
+      |  AND l_returnflag = 'R'
+      |GROUP BY c_custkey, c_name, c_acctbal, n_name
+      |ORDER BY revenue DESC, c_custkey LIMIT 20""".stripMargin
+
+  /** #110 — TPC-H Q14 (promo revenue share): the conditional-ratio
+    * aggregate. One month of lineitem joins part on the part key to
+    * classify each line, then BOTH sums come out of a single grouped-
+    * less aggregate pass (promo sum via a null-passing CASE — no
+    * second scan, no self-join). The part side carries parquet stats,
+    * so the planner broadcasts it unhinted at gate scale and flips to
+    * a shuffle join when part outgrows the threshold at 100 TB
+    * (PlanSpec pins the gate-scale broadcast). The ratio divides two
+    * exact-decimal sums cast to double, NULL-guarded on both engines
+    * (`NULLIF` / `when`) so an all-returns month cannot divide by
+    * zero under ANSI.
+    */
+  def q14PromoRevenue(spark: SparkSession, dir: String): DataFrame = {
+    val p = Tables.part(spark, dir).select("p_partkey", "p_type")
+    val l = Tables.lineitem(spark, dir)
+      .filter(col("l_shipdate") >= lit("1996-09-01").cast("timestamp_ntz") &&
+        col("l_shipdate") < lit("1996-10-01").cast("timestamp_ntz"))
+      .select("l_partkey", "l_extendedprice", "l_discount")
+    val rev = dPrice * (one - dDisc)
+    l.join(p, col("l_partkey") === col("p_partkey"))
+      .agg(sum(when(col("p_type") === "PROMO", rev)).cast("double").as("_p"),
+        sum(rev).cast("double").as("_t"))
+      .select(
+        (lit(100.0) * col("_p") / when(col("_t") =!= 0.0, col("_t"))).as("promo_pct"),
+        col("_t").as("total_revenue"))
+  }
+
+  val q14Sql: String =
+    """SELECT
+      |  100.0 * CAST(SUM(CASE WHEN p_type = 'PROMO' THEN CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(4,2)) - CAST(l_discount AS DECIMAL(4,2))) END) AS DOUBLE)
+      |    / NULLIF(CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(4,2)) - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE), 0) AS promo_pct,
+      |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(4,2)) - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE) AS total_revenue
+      |FROM lineitem JOIN part ON p_partkey = l_partkey
+      |WHERE l_shipdate >= TIMESTAMP '1996-09-01'
+      |  AND l_shipdate < TIMESTAMP '1996-10-01'""".stripMargin
+
+  /** #111 — TPC-H Q19 flavor (disjunctive-predicate revenue): an
+    * OR-of-ANDs spanning both join sides, placed IN the join
+    * condition so Catalyst can extract the per-side implications —
+    * the brand/size disjunction (part-only columns) and the quantity
+    * disjunction (lineitem-only) each push below the join into their
+    * scans, and only the pre-filtered slivers meet at the part key.
+    * Writing it as a post-join WHERE would compute the full join
+    * first; this shape is WHY Q19 is the canonical pushdown test.
+    * Quantities are integral doubles compared against int literals —
+    * identical comparisons both engines.
+    */
+  def q19DiscountedRevenue(spark: SparkSession, dir: String): DataFrame = {
+    val p = Tables.part(spark, dir).select("p_partkey", "p_brand", "p_size")
+    val l = Tables.lineitem(spark, dir)
+      .select("l_partkey", "l_quantity", "l_extendedprice", "l_discount")
+    l.join(p, col("l_partkey") === col("p_partkey") && (
+        (col("p_brand") === "Brand#1" && col("p_size").between(1, 15) &&
+          col("l_quantity").between(1, 11)) ||
+        (col("p_brand") === "Brand#2" && col("p_size").between(1, 25) &&
+          col("l_quantity").between(10, 20)) ||
+        (col("p_brand") === "Brand#3" && col("p_size").between(1, 35) &&
+          col("l_quantity").between(20, 30))))
+      .agg(sum(dPrice * (one - dDisc)).cast("double").as("revenue"),
+        count(lit(1)).as("n_lines"))
+  }
+
+  val q19Sql: String =
+    """SELECT
+      |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(4,2)) - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE) AS revenue,
+      |  CAST(COUNT(*) AS BIGINT) AS n_lines
+      |FROM lineitem JOIN part ON p_partkey = l_partkey
+      |WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 15
+      |       AND l_quantity BETWEEN 1 AND 11)
+      |   OR (p_brand = 'Brand#2' AND p_size BETWEEN 1 AND 25
+      |       AND l_quantity BETWEEN 10 AND 20)
+      |   OR (p_brand = 'Brand#3' AND p_size BETWEEN 1 AND 35
+      |       AND l_quantity BETWEEN 20 AND 30)""".stripMargin
+
   val q1Sql: String =
     """SELECT l_returnflag, l_linestatus,
       |  CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty,

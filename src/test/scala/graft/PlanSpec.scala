@@ -284,4 +284,55 @@ class PlanSpec extends SparkSpec {
     val p = plan("q_sliding_window")
     assert(!p.contains("Join"), s"hop assignment must be map-side:\n$p")
   }
+
+  test("Q6 is scan-only: predicates pushed, columns pruned, zero joins") {
+    // the whole 100 TB cost of Q6 is one pruned columnar scan — all
+    // three range predicates must reach the reader and the ReadSchema
+    // must carry only the 4 referenced lineitem columns
+    val p = plan("q6_revenue_change")
+    assert(!p.contains("Join"), s"Q6 must not join:\n$p")
+    assert("PushedFilters:[^\\]]*l_shipdate".r.findFirstIn(p).isDefined &&
+      "PushedFilters:[^\\]]*l_discount".r.findFirstIn(p).isDefined &&
+      "PushedFilters:[^\\]]*l_quantity".r.findFirstIn(p).isDefined,
+      s"all three Q6 predicates must push into the scan:\n$p")
+    val read = "ReadSchema:[^\\n]*".r.findFirstIn(p).getOrElse("")
+    Seq("l_orderkey", "l_partkey", "l_returnflag", "l_comment").foreach { c =>
+      assert(!read.contains(c), s"Q6 scan must prune $c:\n$read")
+    }
+  }
+
+  test("Q10 broadcasts only nation; top-20 is a distributed TakeOrdered") {
+    // customer scales with the corpus, so it must NOT broadcast — the
+    // q7 discipline: fact-fact shuffle joins, tiny dim broadcast, and
+    // the limit as TakeOrdered instead of a global sort
+    val p = plan("q10_returned_items")
+    val broadcasts = "BroadcastHashJoin".r.findAllIn(p).size
+    assert(broadcasts >= 1, s"nation must broadcast:\n$p")
+    assert(p.contains("TakeOrderedAndProject"),
+      s"top-20 must be a distributed TakeOrdered, not Sort+Limit:\n$p")
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("Q14 classifies lines via a broadcast part join at gate scale") {
+    // part carries parquet stats, so the planner broadcasts it
+    // unhinted here and flips to shuffle when part outgrows the
+    // threshold at 100 TB — the flexibility the hint-free form keeps
+    val p = plan("q14_promo_revenue")
+    assert(p.contains("BroadcastHashJoin"),
+      s"part side must broadcast at gate scale:\n$p")
+  }
+
+  test("Q19 pushes each side's disjunction below the join into its scan") {
+    // the OR-of-ANDs lives IN the join condition so Catalyst extracts
+    // the per-side implications: the brand/size disjunction must reach
+    // the part scan and the quantity disjunction the lineitem scan
+    val p = plan("q19_discounted_revenue")
+    assert("PushedFilters:[^\\]]*p_brand".r.findFirstIn(p).isDefined,
+      s"brand disjunction must push into the part scan:\n$p")
+    assert("PushedFilters:[^\\]]*l_quantity".r.findFirstIn(p).isDefined,
+      s"quantity disjunction must push into the lineitem scan:\n$p")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"),
+      s"Q19 must stay an equi join with residuals:\n$p")
+  }
 }
