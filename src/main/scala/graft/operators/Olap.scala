@@ -634,6 +634,281 @@ object Olap {
       |   OR (p_brand = 'Brand#3' AND p_size BETWEEN 1 AND 35
       |       AND l_quantity BETWEEN 20 AND 30)""".stripMargin
 
+  /** #112 — TPC-H Q8 flavor (market share): of the ECONOMY-part
+    * revenue ASIA-region customers ordered in 1996-97, what share did
+    * suppliers from NATION_7 ship, per year? The heaviest OLAP shape
+    * in the surface: a 6-table join where BOTH nation roles appear —
+    * the customer's nation exists only to reach the region filter
+    * (broadcast, then dropped), the supplier's nation feeds the
+    * conditional numerator — and the share is the #110 one-pass
+    * conditional-ratio (CASE inside sum, no second scan). Corpus-scale
+    * work is the standard exchanges (l⋈o on orderkey, ⋈c on custkey);
+    * every dim broadcasts; a year with no NATION_7 lines yields NULL
+    * share in both engines (null-passing CASE sum over a non-empty
+    * group), and the denominator cannot be zero because prices are
+    * positive and the group exists only if a line does.
+    */
+  def q8MarketShare(spark: SparkSession, dir: String): DataFrame = {
+    val r = Tables.region(spark, dir)
+      .filter(col("r_name") === "ASIA").select("r_regionkey")
+    val nC = Tables.nation(spark, dir)
+      .select(col("n_nationkey").as("cn_key"), col("n_regionkey"))
+    val nS = Tables.nation(spark, dir)
+      .select(col("n_nationkey").as("sn_key"), col("n_name").as("supp_nation"))
+    val c = Tables.customer(spark, dir).select("c_custkey", "c_nationkey")
+    val s = Tables.supplier(spark, dir).select("s_suppkey", "s_nationkey")
+    val p = Tables.part(spark, dir)
+      .filter(col("p_type") === "ECONOMY").select("p_partkey")
+    val o = Tables.orders(spark, dir)
+      .filter(col("o_orderdate") >= lit("1996-01-01").cast("timestamp_ntz") &&
+        col("o_orderdate") < lit("1998-01-01").cast("timestamp_ntz"))
+      .select("o_orderkey", "o_custkey", "o_orderdate")
+    val l = Tables.lineitem(spark, dir)
+      .select("l_orderkey", "l_partkey", "l_suppkey",
+        "l_extendedprice", "l_discount")
+    val rev = dPrice * (one - dDisc)
+    l.join(p, col("l_partkey") === col("p_partkey"))
+      .join(o, col("l_orderkey") === col("o_orderkey"))
+      .join(c, col("o_custkey") === col("c_custkey"))
+      .join(broadcast(nC), col("c_nationkey") === col("cn_key"))
+      .join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
+      .join(s, col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(nS), col("s_nationkey") === col("sn_key"))
+      .groupBy(year(col("o_orderdate")).as("o_year"))
+      .agg(
+        (sum(when(col("supp_nation") === "NATION_7", rev)).cast("double") /
+          sum(rev).cast("double")).as("mkt_share"),
+        sum(rev).cast("double").as("total_volume"))
+      .orderBy("o_year")
+  }
+
+  val q8Sql: String =
+    """SELECT CAST(EXTRACT(YEAR FROM o_orderdate) AS INTEGER) AS o_year,
+      |  CAST(SUM(CASE WHEN ns.n_name = 'NATION_7' THEN CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(4,2)) - CAST(l_discount AS DECIMAL(4,2))) END) AS DOUBLE)
+      |    / CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(4,2)) - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE) AS mkt_share,
+      |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(4,2)) - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE) AS total_volume
+      |FROM lineitem
+      |JOIN part ON l_partkey = p_partkey
+      |JOIN orders ON l_orderkey = o_orderkey
+      |JOIN customer ON o_custkey = c_custkey
+      |JOIN nation nc ON c_nationkey = nc.n_nationkey
+      |JOIN region ON nc.n_regionkey = r_regionkey
+      |JOIN supplier ON l_suppkey = s_suppkey
+      |JOIN nation ns ON s_nationkey = ns.n_nationkey
+      |WHERE p_type = 'ECONOMY' AND r_name = 'ASIA'
+      |  AND o_orderdate >= TIMESTAMP '1996-01-01'
+      |  AND o_orderdate < TIMESTAMP '1998-01-01'
+      |GROUP BY 1 ORDER BY o_year""".stripMargin
+
+  /** #113 — TPC-H Q12 flavor (late-shipment priority mix): among 1996
+    * lines shipped more than 90 days after their order date, how many
+    * came from high- vs low-priority orders, per line status. The
+    * two-way conditional count (both columns out of ONE pass — the Q12
+    * signature) over a fact-fact equi join whose date predicate prunes
+    * the lineitem scan (PushedFilters) while the lateness comparison —
+    * spanning both sides — rides as the join residual. Neither side
+    * broadcasts at scale; one exchange pair on the order key, then the
+    * re-agg on the 2-value status key.
+    */
+  def q12LatePriority(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(spark, dir)
+      .select("o_orderkey", "o_orderdate", "o_orderpriority")
+    val l = Tables.lineitem(spark, dir)
+      .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp_ntz") &&
+        col("l_shipdate") < lit("1997-01-01").cast("timestamp_ntz"))
+      .select("l_orderkey", "l_shipdate", "l_linestatus")
+    val high = col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    l.join(o, col("l_orderkey") === col("o_orderkey") &&
+        col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 90 DAYS"))
+      .groupBy("l_linestatus")
+      .agg(sum(when(high, 1L).otherwise(0L)).as("high_line_count"),
+        sum(when(high, 0L).otherwise(1L)).as("low_line_count"))
+      .orderBy("l_linestatus")
+  }
+
+  val q12Sql: String =
+    """SELECT l_linestatus,
+      |  CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+      |  CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
+      |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      |WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+      |  AND l_shipdate < TIMESTAMP '1997-01-01'
+      |  AND l_shipdate > o_orderdate + INTERVAL 90 DAY
+      |GROUP BY l_linestatus ORDER BY l_linestatus""".stripMargin
+
+  /** #114 — TPC-H Q15 (top supplier): the supplier(s) whose 1996-H1
+    * shipped revenue equals the global maximum. The GLOBAL-SCALAR
+    * pattern: one shuffle aggregates revenue per supplier, the 1-row
+    * max broadcasts back onto that same frame (an equi join ON the
+    * revenue value — never a window over all suppliers, which would
+    * sort a corpus-scaled frame to keep one row), and only the winner
+    * sliver (ties only, explicitly broadcast — the post-filter frame
+    * is stats-less, the #107 lesson) meets the supplier dim. The
+    * equality compares DECIMAL aggregates computed by the same engine
+    * that filters on them — never a cross-engine float comparison;
+    * each engine casts to double only in the final projection.
+    */
+  def q15TopSupplier(spark: SparkSession, dir: String): DataFrame = {
+    val l = Tables.lineitem(spark, dir)
+      .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp_ntz") &&
+        col("l_shipdate") < lit("1996-07-01").cast("timestamp_ntz"))
+      .select("l_suppkey", "l_extendedprice", "l_discount")
+    // the per-supplier aggregate feeds BOTH the winner side and the
+    // global max — persisted so the corpus is scanned and shuffled
+    // once, not twice (supplier-sized, tiny relative to lineitem; the
+    // bench harness clears the cache between queries, matching the
+    // #96/#98 shared-subtree contract)
+    val rev = l.groupBy("l_suppkey")
+      .agg(sum(dPrice * (one - dDisc)).as("total_rev"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val mx = rev.agg(max(col("total_rev")).as("mx"))
+    val winners = rev.join(broadcast(mx), col("total_rev") === col("mx"))
+    Tables.supplier(spark, dir).select("s_suppkey", "s_name")
+      .join(broadcast(winners), col("s_suppkey") === col("l_suppkey"))
+      .select(col("s_suppkey"), col("s_name"),
+        col("total_rev").cast("double").as("total_revenue"))
+      .orderBy("s_suppkey")
+  }
+
+  val q15Sql: String =
+    """WITH rev AS (
+      |  SELECT l_suppkey,
+      |    SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(4,2)) - CAST(l_discount AS DECIMAL(4,2)))) AS total_rev
+      |  FROM lineitem
+      |  WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+      |    AND l_shipdate < TIMESTAMP '1996-07-01'
+      |  GROUP BY l_suppkey)
+      |SELECT s_suppkey, s_name, CAST(total_rev AS DOUBLE) AS total_revenue
+      |FROM supplier JOIN rev ON s_suppkey = l_suppkey
+      |WHERE total_rev = (SELECT MAX(total_rev) FROM rev)
+      |ORDER BY s_suppkey""".stripMargin
+
+  /** #115 — TPC-H Q11 flavor (important positions): parts whose 1996
+    * shipped value exceeds 1/10000 of the global total — the
+    * grouped-HAVING-vs-GLOBAL-SCALAR shape (Q15 resolves an equality
+    * argmax; this resolves a threshold fraction). One shuffle builds
+    * the per-part values; the SAME frame re-aggregates to the 1-row
+    * total that broadcasts back as the filter bound. The fraction
+    * test is cross-multiplied (`value * 10000 > total`) so both
+    * engines compare exact decimals — a decimal division would round
+    * differently under Spark's and DuckDB's result-scale rules.
+    */
+  def q11ImportantPositions(spark: SparkSession, dir: String): DataFrame = {
+    val l = Tables.lineitem(spark, dir)
+      .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp_ntz") &&
+        col("l_shipdate") < lit("1997-01-01").cast("timestamp_ntz"))
+      .select("l_partkey", "l_extendedprice", "l_discount")
+    // the per-part aggregate feeds BOTH the kept side and the global
+    // total — persisted so the corpus is scanned and shuffled once
+    // (part-sized; the bench harness clears the cache between
+    // queries, matching the #96/#98 shared-subtree contract)
+    val byPart = l.groupBy("l_partkey")
+      .agg(sum(dPrice * (one - dDisc)).as("val_d"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val total = byPart.agg(sum(col("val_d")).as("total_d"))
+    byPart.join(broadcast(total),
+        col("val_d") * lit(10000L) > col("total_d"))
+      .select(col("l_partkey"),
+        col("val_d").cast("double").as("part_value"))
+      .orderBy(col("part_value").desc, col("l_partkey"))
+  }
+
+  val q11Sql: String =
+    """WITH byp AS (
+      |  SELECT l_partkey,
+      |    SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(4,2)) - CAST(l_discount AS DECIMAL(4,2)))) AS val_d
+      |  FROM lineitem
+      |  WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+      |    AND l_shipdate < TIMESTAMP '1997-01-01'
+      |  GROUP BY l_partkey)
+      |SELECT l_partkey, CAST(val_d AS DOUBLE) AS part_value
+      |FROM byp
+      |WHERE val_d * 10000 > (SELECT SUM(val_d) FROM byp)
+      |ORDER BY part_value DESC, l_partkey""".stripMargin
+
+  /** #116 — TPC-H Q16 flavor (supplier variety): how many DISTINCT
+    * suppliers shipped each (brand, type, size) in 1996, excluding
+    * blacklisted suppliers (negative account balance — the
+    * s_comment-complaints stand-in). The NOT-IN-subquery shape plans
+    * as a LEFT ANTI join (PlanSpec-pinned): the tiny blacklist
+    * broadcasts, so the exclusion is map-side; then one exchange on
+    * the part key attaches attributes and the single-column
+    * count(DISTINCT) plans the standard two-phase aggregate — no
+    * Expand (only MIXED distincts expand, the #95 trade).
+    */
+  def q16SupplierVariety(spark: SparkSession, dir: String): DataFrame = {
+    val bad = Tables.supplier(spark, dir)
+      .filter(col("s_acctbal") < 0.0).select("s_suppkey")
+    val p = Tables.part(spark, dir)
+      .select("p_partkey", "p_brand", "p_type", "p_size")
+    val l = Tables.lineitem(spark, dir)
+      .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp_ntz") &&
+        col("l_shipdate") < lit("1997-01-01").cast("timestamp_ntz"))
+      .select("l_partkey", "l_suppkey")
+    l.join(broadcast(bad), col("l_suppkey") === col("s_suppkey"), "left_anti")
+      .join(p, col("l_partkey") === col("p_partkey"))
+      .groupBy("p_brand", "p_type", "p_size")
+      .agg(countDistinct(col("l_suppkey")).as("supplier_cnt"))
+      .orderBy(col("supplier_cnt").desc, col("p_brand"), col("p_type"),
+        col("p_size"))
+  }
+
+  val q16Sql: String =
+    """SELECT p_brand, p_type, p_size,
+      |  CAST(COUNT(DISTINCT l_suppkey) AS BIGINT) AS supplier_cnt
+      |FROM lineitem JOIN part ON l_partkey = p_partkey
+      |WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+      |  AND l_shipdate < TIMESTAMP '1997-01-01'
+      |  AND l_suppkey NOT IN (
+      |    SELECT s_suppkey FROM supplier WHERE s_acctbal < 0.0)
+      |GROUP BY p_brand, p_type, p_size
+      |ORDER BY supplier_cnt DESC, p_brand, p_type, p_size""".stripMargin
+
+  /** #117 — TPC-H Q22 flavor (idle rich customers): per market
+    * segment, the count and balance mass of customers who hold an
+    * above-average positive balance yet placed no RECENT order (none
+    * since 2000 — every customer in this corpus has SOME order, so
+    * the classic lifetime predicate would gate on an empty set).
+    * Three canonical pieces in one query: a global scalar (the
+    * average, broadcast back), an anti-join against a corpus-scaled
+    * fact (the recency test — shuffles on the key, unlike #116's
+    * broadcast blacklist, with the date bound pruning the orders
+    * scan), and the final tiny-key aggregate. The average test is
+    * cross-multiplied (`bal * n_pos > sum_pos`) so both engines
+    * compare exact decimals — never an engine-computed double average
+    * whose summation order differs under partitioning.
+    */
+  def q22IdleRich(spark: SparkSession, dir: String): DataFrame = {
+    val dBal = col("c_acctbal").cast("decimal(12,2)")
+    val c = Tables.customer(spark, dir)
+      .select(col("c_custkey"), col("c_mktsegment"), dBal.as("bal_d"))
+    val avgPos = c.filter(col("bal_d") > 0)
+      .agg(sum(col("bal_d")).as("sum_pos"), count(lit(1)).as("n_pos"))
+    val o = Tables.orders(spark, dir)
+      .filter(col("o_orderdate") >= lit("2000-01-01").cast("timestamp_ntz"))
+      .select("o_custkey")
+    c.join(broadcast(avgPos), col("bal_d") * col("n_pos") > col("sum_pos"))
+      .join(o, col("c_custkey") === col("o_custkey"), "left_anti")
+      .groupBy("c_mktsegment")
+      .agg(count(lit(1)).as("numcust"),
+        sum(col("bal_d")).cast("double").as("totacctbal"))
+      .orderBy("c_mktsegment")
+  }
+
+  val q22Sql: String =
+    """WITH pos AS (
+      |  SELECT SUM(CAST(c_acctbal AS DECIMAL(12,2))) AS sum_pos,
+      |    COUNT(*) AS n_pos
+      |  FROM customer WHERE CAST(c_acctbal AS DECIMAL(12,2)) > 0)
+      |SELECT c_mktsegment, CAST(COUNT(*) AS BIGINT) AS numcust,
+      |  CAST(SUM(CAST(c_acctbal AS DECIMAL(12,2))) AS DOUBLE) AS totacctbal
+      |FROM customer, pos
+      |WHERE CAST(c_acctbal AS DECIMAL(12,2)) * n_pos > sum_pos
+      |  AND NOT EXISTS (
+      |    SELECT 1 FROM orders WHERE o_custkey = c_custkey
+      |      AND o_orderdate >= TIMESTAMP '2000-01-01')
+      |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin
+
   val q1Sql: String =
     """SELECT l_returnflag, l_linestatus,
       |  CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty,

@@ -322,6 +322,70 @@ class PlanSpec extends SparkSpec {
       s"part side must broadcast at gate scale:\n$p")
   }
 
+  test("Q8 broadcasts every dim including both nation roles") {
+    // region, both nation aliases, and the filtered part/supplier
+    // sides must all broadcast at gate scale — corpus-scale work is
+    // only the l⋈o and ⋈c exchanges
+    val p = plan("q8_market_share")
+    val broadcasts = "BroadcastHashJoin".r.findAllIn(p).size
+    assert(broadcasts >= 3, s"expected >=3 broadcast joins, got $broadcasts:\n$p")
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("Q12 prunes the lineitem scan by shipdate; lateness is a residual") {
+    // the single-side date range must reach the parquet reader while
+    // the cross-side comparison stays in the join
+    val p = plan("q12_late_priority")
+    assert("PushedFilters:[^\\]]*l_shipdate".r.findFirstIn(p).isDefined,
+      s"shipdate range must push into the lineitem scan:\n$p")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"),
+      s"Q12 must stay an equi join with the lateness residual:\n$p")
+  }
+
+  test("Q15 resolves the global max without a Window over suppliers") {
+    // the 1-row max and the winner sliver broadcast back; a window
+    // formulation would sort the whole per-supplier frame in one task
+    val p = plan("q15_top_supplier")
+    assert(!p.contains("Window"), s"Q15 must not plan a Window:\n$p")
+    val broadcasts = "BroadcastHashJoin".r.findAllIn(p).size
+    assert(broadcasts >= 2,
+      s"max scalar + winner sliver must broadcast, got $broadcasts:\n$p")
+  }
+
+  test("Q11 aggregates the corpus once — both consumers read the cache") {
+    // the per-part frame feeds the kept side AND the global total;
+    // without the persist the lineitem scan + partkey shuffle run
+    // twice. The 1-row total joins as a broadcast (nested-loop is
+    // correct: the bound is an inequality, and the build side is one
+    // row by construction)
+    val p = plan("q11_important_positions")
+    assert(p.contains("InMemoryTableScan"),
+      s"shared per-part agg must be reused via cache:\n$p")
+    assert(p.contains("BroadcastNestedLoopJoin"),
+      s"1-row total must broadcast:\n$p")
+    spark.catalog.clearCache()
+  }
+
+  test("Q16 plans the blacklist as a broadcast LEFT ANTI, no Expand") {
+    // NOT IN → LeftAnti on the tiny negative-balance sliver (map-side
+    // exclusion); the single-column count(DISTINCT) must plan the
+    // two-phase aggregate, not the mixed-distinct Expand
+    val p = plan("q16_supplier_variety")
+    assert(p.contains("LeftAnti"), s"NOT IN must plan as anti join:\n$p")
+    assert(!p.contains("Expand"),
+      s"single-column distinct must not Expand:\n$p")
+  }
+
+  test("Q22 anti-joins recent orders with the date bound pushed down") {
+    val p = plan("q22_idle_rich")
+    assert(p.contains("LeftAnti"),
+      s"the no-recent-orders test must plan as anti join:\n$p")
+    assert("PushedFilters:[^\\]]*GreaterThanOrEqual\\(o_orderdate".r
+      .findFirstIn(p).isDefined,
+      s"recency bound must prune the orders scan:\n$p")
+  }
+
   test("Q19 pushes each side's disjunction below the join into its scan") {
     // the OR-of-ANDs lives IN the join condition so Catalyst extracts
     // the per-side implications: the brand/size disjunction must reach
