@@ -909,6 +909,165 @@ object Olap {
       |      AND o_orderdate >= TIMESTAMP '2000-01-01')
       |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin
 
+  /** #118 — TPC-H Q9 flavor (product profit): per supplier nation and
+    * order year, profit on red parts — revenue minus a 10%-of-retail
+    * carrying cost (the ps_supplycost stand-in on this schema, which
+    * has no partsupp). The widest SUBSTRING-pushdown join: the
+    * `p_name LIKE '%red%'` contains-filter reaches the part scan as a
+    * PushedFilters StringContains (PlanSpec-pinned), so only the red
+    * sliver of part ever joins; corpus-scale work is the l⋈o
+    * order-key exchange; supplier/nation/part broadcast at gate scale.
+    * All profit arithmetic stays in exact DECIMAL until the final
+    * double cast — subtraction alignment is exact in both engines.
+    */
+  def q9ProductProfit(spark: SparkSession, dir: String): DataFrame = {
+    val p = Tables.part(spark, dir)
+      .filter(col("p_name").contains("red"))
+      .select("p_partkey", "p_retailprice")
+    val s = Tables.supplier(spark, dir).select("s_suppkey", "s_nationkey")
+    val n = Tables.nation(spark, dir).select("n_nationkey", "n_name")
+    val o = Tables.orders(spark, dir).select("o_orderkey", "o_orderdate")
+    val l = Tables.lineitem(spark, dir)
+      .select("l_orderkey", "l_partkey", "l_suppkey", "l_quantity",
+        "l_extendedprice", "l_discount")
+    val dRetail = col("p_retailprice").cast("decimal(12,2)")
+    val cost = dRetail * dQty * lit(BigDecimal("0.10")).cast("decimal(4,2)")
+    val amount = dPrice * (one - dDisc) - cost
+    l.join(p, col("l_partkey") === col("p_partkey"))
+      .join(s, col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(n), col("s_nationkey") === col("n_nationkey"))
+      .join(o, col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("n_name").as("nation"),
+        year(col("o_orderdate")).as("o_year"))
+      .agg(sum(amount).cast("double").as("sum_profit"))
+      .orderBy(col("nation"), col("o_year").desc)
+  }
+
+  val q9Sql: String =
+    """SELECT n_name AS nation,
+      |  CAST(EXTRACT(YEAR FROM o_orderdate) AS INTEGER) AS o_year,
+      |  CAST(SUM(
+      |    CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(4,2)) - CAST(l_discount AS DECIMAL(4,2)))
+      |    - CAST(p_retailprice AS DECIMAL(12,2)) * CAST(l_quantity AS DECIMAL(12,2)) * CAST(0.10 AS DECIMAL(4,2))
+      |  ) AS DOUBLE) AS sum_profit
+      |FROM lineitem
+      |JOIN part ON l_partkey = p_partkey
+      |JOIN supplier ON l_suppkey = s_suppkey
+      |JOIN nation ON s_nationkey = n_nationkey
+      |JOIN orders ON l_orderkey = o_orderkey
+      |WHERE p_name LIKE '%red%'
+      |GROUP BY 1, 2 ORDER BY nation, o_year DESC""".stripMargin
+
+  /** #119 — TPC-H Q20 flavor (dominant suppliers): suppliers who in
+    * 1996 shipped MORE THAN HALF of some small-part's total quantity.
+    * The chained-reduction shape: the corpus contracts to
+    * (part, supplier) quantity grain in one shuffle (persisted — the
+    * per-part total is a RE-aggregation of that same frame, the #115
+    * discipline), the dominance test cross-multiplies in exact
+    * decimal (`qty_ps * 2 > qty_p`), and the surviving supplier-key
+    * sliver SEMI-joins the supplier dim (a semi join never widens —
+    * the #85 lesson — so no distinct is needed even when one supplier
+    * dominates many parts... the distinct below keeps the sliver
+    * minimal before the broadcast instead). The `p_name LIKE
+    * 'small%'` prefix reaches the part scan as a StringStartsWith.
+    */
+  def q20DominantSuppliers(spark: SparkSession, dir: String): DataFrame = {
+    val p = Tables.part(spark, dir)
+      .filter(col("p_name").startsWith("small")).select("p_partkey")
+    val l = Tables.lineitem(spark, dir)
+      .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp_ntz") &&
+        col("l_shipdate") < lit("1997-01-01").cast("timestamp_ntz"))
+      .select("l_partkey", "l_suppkey", "l_quantity")
+    val perPS = l.join(p, col("l_partkey") === col("p_partkey"))
+      .groupBy("l_partkey", "l_suppkey")
+      .agg(sum(dQty).as("qty_ps"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val perP = perPS.groupBy(col("l_partkey").as("pk"))
+      .agg(sum(col("qty_ps")).as("qty_p"))
+    val dominant = perPS
+      .join(perP, col("l_partkey") === col("pk") &&
+        col("qty_ps") * lit(2L) > col("qty_p"))
+      .select("l_suppkey").distinct()
+    Tables.supplier(spark, dir).select("s_suppkey", "s_name")
+      .join(broadcast(dominant), col("s_suppkey") === col("l_suppkey"),
+        "left_semi")
+      .orderBy("s_suppkey")
+  }
+
+  val q20Sql: String =
+    """WITH ps AS (
+      |  SELECT l_partkey, l_suppkey,
+      |    SUM(CAST(l_quantity AS DECIMAL(12,2))) AS qty_ps
+      |  FROM lineitem JOIN part ON l_partkey = p_partkey
+      |  WHERE p_name LIKE 'small%'
+      |    AND l_shipdate >= TIMESTAMP '1996-01-01'
+      |    AND l_shipdate < TIMESTAMP '1997-01-01'
+      |  GROUP BY l_partkey, l_suppkey),
+      |tot AS (
+      |  SELECT l_partkey, SUM(qty_ps) AS qty_p FROM ps GROUP BY l_partkey)
+      |SELECT s_suppkey, s_name FROM supplier
+      |WHERE s_suppkey IN (
+      |  SELECT l_suppkey FROM ps JOIN tot USING (l_partkey)
+      |  WHERE qty_ps * 2 > qty_p)
+      |ORDER BY s_suppkey""".stripMargin
+
+  /** #120 — TPC-H Q21 flavor (sole late supplier): suppliers whose
+    * late line (shipped >90 days after the order date) was the ONLY
+    * late one in a multi-supplier order. The classic formulation is
+    * two SELF-joins on the fact (EXISTS another supplier / NOT EXISTS
+    * another late supplier) — at 100 TB that's three corpus-scale
+    * shuffle joins. This plans the AGGREGATE REWRITE instead: ONE
+    * l⋈o exchange, contraction to (order, supplier) grain in the
+    * same pass, then a window over the CONTRACTED frame (per-order
+    * groups are bounded by order width, so no skew) computes
+    * supplier-count and late-supplier-count per order; the waiting
+    * predicate is a map-side filter on those counts. The DuckDB
+    * oracle states the classic EXISTS/NOT-EXISTS form — the gate
+    * proves the rewrite IS the classic semantics (the #94
+    * two-independent-expressions pattern). Top-100 is a distributed
+    * TakeOrdered, tie-broken on s_name (unique per supplier).
+    */
+  def q21SoleLateSupplier(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val o = Tables.orders(spark, dir).select("o_orderkey", "o_orderdate")
+    val l = Tables.lineitem(spark, dir)
+      .select("l_orderkey", "l_suppkey", "l_shipdate")
+    val late = (col("l_shipdate") >
+      col("o_orderdate") + expr("INTERVAL 90 DAYS")).cast("long")
+    val g1 = l.join(o, col("l_orderkey") === col("o_orderkey"))
+      .groupBy("l_orderkey", "l_suppkey")
+      .agg(sum(late).as("n_late"))
+    val w = Window.partitionBy("l_orderkey")
+    val g2 = g1
+      .withColumn("n_supp", count(lit(1)).over(w))
+      .withColumn("n_late_supp",
+        sum(when(col("n_late") > 0, 1L).otherwise(0L)).over(w))
+    val s = Tables.supplier(spark, dir).select("s_suppkey", "s_name")
+    g2.filter(col("n_late") > 0 && col("n_supp") > 1 &&
+        col("n_late_supp") === 1)
+      .join(s, col("l_suppkey") === col("s_suppkey"))
+      .groupBy("s_name")
+      .agg(sum(col("n_late")).as("numwait"))
+      .orderBy(col("numwait").desc, col("s_name"))
+      .limit(100)
+  }
+
+  val q21Sql: String =
+    """WITH wide AS (
+      |  SELECT l_orderkey, l_suppkey,
+      |    (l_shipdate > o_orderdate + INTERVAL 90 DAY) AS late
+      |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey)
+      |SELECT s_name, CAST(COUNT(*) AS BIGINT) AS numwait
+      |FROM wide w1 JOIN supplier ON w1.l_suppkey = s_suppkey
+      |WHERE w1.late
+      |  AND EXISTS (SELECT 1 FROM wide w2
+      |    WHERE w2.l_orderkey = w1.l_orderkey
+      |      AND w2.l_suppkey <> w1.l_suppkey)
+      |  AND NOT EXISTS (SELECT 1 FROM wide w3
+      |    WHERE w3.l_orderkey = w1.l_orderkey
+      |      AND w3.l_suppkey <> w1.l_suppkey AND w3.late)
+      |GROUP BY s_name ORDER BY numwait DESC, s_name LIMIT 100""".stripMargin
+
   val q1Sql: String =
     """SELECT l_returnflag, l_linestatus,
       |  CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty,

@@ -386,6 +386,39 @@ class PlanSpec extends SparkSpec {
       s"recency bound must prune the orders scan:\n$p")
   }
 
+  test("Q9 pushes the name contains-filter into the part scan") {
+    // only the red sliver of part may ever reach the join
+    val p = plan("q9_product_profit")
+    assert(p.contains("StringContains(p_name,red)"),
+      s"LIKE '%red%' must push as StringContains:\n$p")
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("Q20 contracts once and semi-joins the supplier dim") {
+    // the (part, supplier) grain is aggregated once and re-read from
+    // cache for the per-part total; the dominant-key sliver must
+    // reduce supplier via LEFT SEMI (never widening)
+    val p = plan("q20_dominant_suppliers")
+    assert(p.contains("InMemoryTableScan"),
+      s"shared (part,supplier) agg must be reused via cache:\n$p")
+    assert(p.contains("LeftSemi"), s"supplier filter must be a semi join:\n$p")
+    spark.catalog.clearCache()
+  }
+
+  test("Q21 plans the aggregate rewrite: two joins, no self-join") {
+    // the classic EXISTS/NOT-EXISTS form would self-join the fact
+    // twice (4 joins); the rewrite allows only l⋈o and ⋈supplier,
+    // with the per-order counts coming from Windows over the
+    // CONTRACTED (order, supplier) frame
+    val p = plan("q21_sole_late_supplier")
+    val joins = "(BroadcastHashJoin|SortMergeJoin|ShuffledHashJoin)".r
+      .findAllIn(p).size
+    assert(joins <= 2, s"expected <=2 joins (no self-joins), got $joins:\n$p")
+    assert(p.contains("Window"), s"per-order counts must be windowed:\n$p")
+    assert(p.contains("TakeOrderedAndProject"),
+      s"top-100 must be a distributed TakeOrdered:\n$p")
+  }
+
   test("Q19 pushes each side's disjunction below the join into its scan") {
     // the OR-of-ANDs lives IN the join condition so Catalyst extracts
     // the per-side implications: the brand/size disjunction must reach
