@@ -1026,6 +1026,18 @@ object Olap {
     * proves the rewrite IS the classic semantics (the #94
     * two-independent-expressions pattern). Top-100 is a distributed
     * TakeOrdered, tie-broken on s_name (unique per supplier).
+    *
+    * The l⋈o join is PINNED to sort-merge (probe 14): SMJ output is
+    * hash(l_orderkey)-partitioned, which satisfies the clustered
+    * distribution of BOTH the (order, supplier) contraction (subset
+    * rule) and the per-order window — so everything after the join
+    * runs in place and the whole query moves the fact through exactly
+    * ONE exchange at every scale. Letting orders broadcast (the
+    * default below the threshold) leaves the fact in scan
+    * partitioning and costs TWO fact-grain exchanges instead
+    * (groupBy(ok, sk), then the window's re-exchange by ok) — the
+    * probe measured that two-exchange shape 1.3-1.8x slower at 50M
+    * lines than the single-exchange shape pinned here.
     */
   def q21SoleLateSupplier(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
@@ -1034,7 +1046,7 @@ object Olap {
       .select("l_orderkey", "l_suppkey", "l_shipdate")
     val late = (col("l_shipdate") >
       col("o_orderdate") + expr("INTERVAL 90 DAYS")).cast("long")
-    val g1 = l.join(o, col("l_orderkey") === col("o_orderkey"))
+    val g1 = l.join(o.hint("merge"), col("l_orderkey") === col("o_orderkey"))
       .groupBy("l_orderkey", "l_suppkey")
       .agg(sum(late).as("n_late"))
     val w = Window.partitionBy("l_orderkey")

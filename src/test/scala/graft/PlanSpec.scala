@@ -417,6 +417,15 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("Window"), s"per-order counts must be windowed:\n$p")
     assert(p.contains("TakeOrderedAndProject"),
       s"top-100 must be a distributed TakeOrdered:\n$p")
+    // probe 14: the l⋈o join is pinned to SMJ so the fact crosses
+    // exactly one exchange — the (order, supplier) contraction and the
+    // per-order window must both run IN PLACE on the join's
+    // hash(l_orderkey) partitioning, never re-exchanging the fact
+    assert(p.contains("SortMergeJoin"),
+      s"l⋈o must be SMJ so downstream runs on its partitioning:\n$p")
+    assert("hashpartitioning\\(l_orderkey#\\d+, l_suppkey".r
+      .findFirstIn(p).isEmpty,
+      s"contraction must reuse the join partitioning, not re-exchange:\n$p")
   }
 
   test("Q19 pushes each side's disjunction below the join into its scan") {

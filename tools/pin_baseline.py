@@ -39,6 +39,10 @@ REBASED = {
     # round 9: probe_split9 timed the pre-broadcast-hint SMJ plan the
     # PlanSpec pin then eliminated
     "q_split_assign": ("probe_split9b", "baseline_i"),
+    # round 9 (probe 14): l⋈o pinned to SMJ so the contraction and the
+    # per-order window run on the join partitioning (one fact exchange
+    # instead of two); earlier captures timed the broadcast-join plan
+    "q21_sole_late_supplier": ("probe_q21smj",),
 }
 
 per_query = {}   # name -> list[(seconds, source)]
