@@ -163,27 +163,31 @@ object Stats {
   /** #10 — per-product multi-measure stats with exact count-distinct
     * order ids + broadcast dim enrichment (ProductStatsApp.java:209-319).
     *
-    * Shaped as a two-level aggregate: pre-aggregate lineitem at
-    * (partkey, orderkey) grain FIRST, so `count(distinct l_orderkey)`
-    * becomes a plain `count(*)` over the pre-agg and Spark never plans
-    * the Expand (input ×2) that mixed distinct + non-distinct
-    * aggregates require. The orders join then probes the (much smaller)
-    * pre-agg instead of raw lineitem. Nested decimal sums are exact, so
-    * results are identical to the single-level formulation. At 100 TB
-    * the pre-agg is one map-side-combinable shuffle on (part, order)
-    * and the status join flips from broadcast to sort-merge
-    * automatically once orders outgrows the broadcast threshold.
+    * Shaped as a two-level aggregate over a MERGE-PINNED status join
+    * (probe 14's discipline, the Q21 shape): the l⋈o SMJ output is
+    * hash(orderkey)-partitioned, which satisfies the clustered
+    * distribution of the (partkey, orderkey, status) contraction via
+    * the subset rule — so the pre-agg that turns
+    * `count(distinct l_orderkey)` into a plain `count(*)` (no Expand)
+    * runs IN PLACE and the fact crosses exactly ONE exchange at every
+    * scale. The (partkey, orderkey) grain contracts lineitem by
+    * ~nothing (a part appears once per order), so pre-aggregating
+    * BEFORE the join bought no combine — it just cost the fact a
+    * second exchange once orders outgrew the broadcast threshold.
+    * Status rides in the contraction keys (constant per order — same
+    * groups), the final per-part agg exchanges only the contracted
+    * frame, and nested decimal sums keep results exact.
     */
   def qProductStats(spark: SparkSession, dir: String): DataFrame = {
     val l = Tables.lineitem(spark, dir)
     val o = Tables.orders(spark, dir).select("o_orderkey", "o_orderstatus")
     val p = Tables.part(spark, dir).select("p_partkey", "p_brand")
-    val perOrder = l.groupBy("l_partkey", "l_orderkey")
+    l.join(o.hint("merge"), col("l_orderkey") === col("o_orderkey"))
+      .groupBy("l_partkey", "l_orderkey", "o_orderstatus")
       .agg(
         count(lit(1)).as("line_ct"),
         sum(Money.dQty).as("qty"),
         sum(Money.dPrice).as("amt"))
-    perOrder.join(o, col("l_orderkey") === col("o_orderkey"))
       .groupBy("l_partkey")
       .agg(
         count(lit(1)).as("order_ct"),

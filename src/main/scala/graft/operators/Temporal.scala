@@ -20,28 +20,27 @@ object Temporal {
     *
     * Spark-first realization — the union trick, NOT a range join: tag
     * views 0 / purchases 1, union, and take `last(view, ignoreNulls)`
-    * over (user, time, tag) ordered rows. No join in the plan, no
-    * per-pair work, per-key cost linear in events-per-user. Shuffle
-    * budget: one exchange on (user_id, v_ts) for the view tie-break
-    * window, one on user_id for the as-of window, plus the final
-    * orderBy's range exchange — each moves the event stream once,
+    * over (user, time, tag, view_id) ordered rows. No join in the
+    * plan, no per-pair work, per-key cost linear in events-per-user.
+    * Shuffle budget: ONE exchange on user_id for the as-of window plus
+    * the final orderBy's range exchange — the event stream moves once,
     * never a pair fan-out. That is the shape that survives 100 TB,
     * where a range-join formulation would fan out every (view,
     * purchase) pair inside the bound and an unbounded lookback can't
     * be range-joined at all.
     *
-    * Views are first deduplicated to one per (user, ts) — keep max
-    * view_id — because "the most recent view" is otherwise
-    * nondeterministic under timestamp ties (both engines, and any
-    * as-of engine, would tie-break arbitrarily).
+    * "Most recent view" needs a tie-break under equal timestamps
+    * (both engines, and any as-of engine, would otherwise pick
+    * arbitrarily): the window ORDERS views at the same instant by
+    * view_id ascending, so `last(..., ignoreNulls)` lands on the MAX
+    * view_id — fused into the one as-of pass (probe 14's discipline;
+    * a separate (user, ts) dedup window would cost the view stream a
+    * second fact-grain exchange for the same answer).
     */
   def qAsofJoin(spark: SparkSession, dir: String): DataFrame = {
     val ev = Tables.events(spark, dir)
     val v = ev.filter(col("event_type") === "view")
       .select(col("event_id").as("view_id"), col("user_id"), col("ts_us").as("v_ts"))
-      .withColumn("rn", row_number().over(
-        Window.partitionBy("user_id", "v_ts").orderBy(col("view_id").desc)))
-      .filter(col("rn") === 1).drop("rn")
     val p = ev.filter(col("event_type") === "purchase")
       .select(col("event_id").as("purchase_id"), col("user_id"), col("ts_us").as("p_ts"))
     // tag views 0 so a view AT the purchase timestamp sorts first and
@@ -51,7 +50,7 @@ object Temporal {
       .unionAll(p.select(col("user_id"), col("p_ts").as("t"), lit(1).as("tag"),
         lit(null).cast("long").as("view_id"), lit(null).cast("long").as("v_ts"),
         col("purchase_id")))
-    val w = Window.partitionBy("user_id").orderBy("t", "tag")
+    val w = Window.partitionBy("user_id").orderBy("t", "tag", "view_id")
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     tagged
       .withColumn("last_view_id", last("view_id", ignoreNulls = true).over(w))

@@ -89,10 +89,30 @@ class PlanSpec extends SparkSpec {
   test("as-of join plans with zero joins — one window pass, one shuffle") {
     // the union trick means the plan must contain a Window over the
     // user_id exchange and NO join operator at all; a join-shaped as-of
-    // would fan out pairs and die at 100 TB
+    // would fan out pairs and die at 100 TB. The view tie-break is
+    // fused into the as-of window's ordering (probe 14), so the event
+    // stream crosses exactly ONE hash exchange.
     val p = plan("q_asof_join")
     assert(!p.contains("Join"), s"as-of must not plan any join:\n$p")
     assert(p.contains("Window"), s"expected the union-trick window pass:\n$p")
+    val shuffles = "Exchange hashpartitioning".r.findAllIn(p).size
+    assert(shuffles == 1, s"expected exactly 1 hash exchange, got $shuffles:\n$p")
+  }
+
+  test("funnel and conversion latency plan one scan, one fact exchange, no joins") {
+    // funnelStages chains the three stage firsts as same-partition
+    // window aggregates over a single events pass (probe 14): the
+    // branch-and-join form scanned events 3x and exchanged each stage
+    // separately. Pin: no join, one (user, day) fact exchange plus the
+    // tiny day agg — 2 hash exchanges total.
+    Seq("q_event_funnel", "q_conversion_latency").foreach { q =>
+      val p = plan(q)
+      assert(!p.contains("Join"), s"$q must not plan any join:\n$p")
+      val shuffles = "Exchange hashpartitioning".r.findAllIn(p).size
+      assert(shuffles == 2, s"$q: expected 2 hash exchanges, got $shuffles:\n$p")
+      val scans = "Scan parquet".r.findAllIn(p).size
+      assert(scans == 1, s"$q: expected a single events scan, got $scans:\n$p")
+    }
   }
 
   test("count-distinct stats plan without Expand (order-grain pre-agg)") {

@@ -43,6 +43,18 @@ REBASED = {
     # per-order window run on the join partitioning (one fact exchange
     # instead of two); earlier captures timed the broadcast-join plan
     "q21_sole_late_supplier": ("probe_q21smj",),
+    # round 9 (probe 14 follow-ups): single-scan single-exchange
+    # reshapes — product stats joins at line grain under a merge pin;
+    # funnel/latency chain window aggregates over one events pass
+    # (was 3 scans + 3 fact exchanges + joins); as-of fuses the view
+    # tie-break into the as-of window (was a second fact exchange).
+    # funnel/latency/asof trade ~1.2-1.5x local wall (sort-dominated
+    # at sf0.1) for the scan/shuffle shape that wins at scale —
+    # documented in docs/SCALING.md probe 14.
+    "q_product_stats": ("probe_p14",),
+    "q_event_funnel": ("probe_p14d",),
+    "q_conversion_latency": ("probe_p14d",),
+    "q_asof_join": ("probe_p14",),
 }
 
 per_query = {}   # name -> list[(seconds, source)]
