@@ -994,4 +994,49 @@ object Graft {
   def cjkWords(df: DataFrame, textCol: String,
       carry: Seq[String] = Nil): DataFrame =
     graft.operators.Stats.explodeCjkWords(df, textCol, carry)
+
+  /** Snapshot diff between two versions of a corpus: per id, the old
+    * and new content fingerprints and a `status` of `added` /
+    * `removed` / `changed` / `unchanged` (null-safe fp compare: a doc
+    * with a null fp on both sides is `unchanged`). `carry` columns
+    * ride along, new-side value winning (`coalesce(new, old)`).
+    *
+    * Shaped as tag-union + one aggregate, NOT the textbook full outer
+    * join (probe 14's discipline): both snapshots union with a side
+    * tag and contract per id in a SINGLE exchange of |old|+|new| rows
+    * — the join form exchanges the same rows and then merges two
+    * sorted streams for an output this one aggregate already is. The
+    * DuckDB oracle behind `q_corpus_diff` states the full-outer-join
+    * form, proving the union-agg IS the classic diff. Null ids are
+    * excluded (a diff keyed on null is meaningless, and join-form
+    * null keys would never match anyway); ids must be unique within
+    * each snapshot (the join form would fan out duplicates, this one
+    * lumps them — both wrong, so require uniqueness upstream).
+    */
+  def corpusDiff(oldSnap: DataFrame, newSnap: DataFrame, idCol: String,
+      fpCol: String, carry: Seq[String] = Nil): DataFrame = {
+    Seq("fp_old", "fp_new", "status").foreach(r =>
+      require(!carry.contains(r) && r != idCol,
+        s"corpusDiff emits a '$r' column; rename the input's '$r' first"))
+    def side(df: DataFrame, tag: Int) = df.select(
+      col(idCol) +: col(fpCol).as("_fp") +: lit(tag).as("_side") +:
+        carry.map(col): _*)
+    side(oldSnap, 0).unionAll(side(newSnap, 1))
+      .where(col(idCol).isNotNull)
+      .groupBy(idCol)
+      .agg(
+        max(when(col("_side") === 0, lit(1))).as("_in_old"),
+        (max(when(col("_side") === 1, lit(1))).as("_in_new") +:
+          max(when(col("_side") === 0, col("_fp"))).as("fp_old") +:
+          max(when(col("_side") === 1, col("_fp"))).as("fp_new") +:
+          carry.map(c => coalesce(
+            max(when(col("_side") === 1, col(c))),
+            max(when(col("_side") === 0, col(c)))).as(c))): _*)
+      .withColumn("status",
+        when(col("_in_old").isNull, "added")
+          .when(col("_in_new").isNull, "removed")
+          .when(col("fp_old") <=> col("fp_new"), "unchanged")
+          .otherwise("changed"))
+      .drop("_in_old", "_in_new")
+  }
 }

@@ -772,4 +772,62 @@ object Corpus {
        |  UNION ALL SELECT 4, 'exact_dedup',    (SELECT count(*) FROM s4)
        |  UNION ALL SELECT 5, 'decontaminated', (SELECT count(*) FROM s5)
        |) ORDER BY stage""".stripMargin
+
+  /** #121 — `q_corpus_diff`: what changed between two corpus
+    * snapshots — per (source, status) doc counts, status ∈ added /
+    * removed / changed / unchanged. The versioning readout every
+    * training-data pipeline runs before promoting a new crawl: how
+    * much of the corpus moved, and where.
+    *
+    * The two snapshots are DETERMINISTIC slices of the one test
+    * corpus (the driver ships a single documents table): the old
+    * snapshot drops ids with hash31 ≡ 0 (mod 20) — those become
+    * `added` — the new drops ≡ 0 (mod 17) — `removed` — and
+    * re-crawls ids ≡ 0 (mod 13) with a version marker appended to
+    * the normalized text before fingerprinting — `changed`. Both
+    * engines compute the same slices from the same integer hash
+    * ([[hash31]]/[[hash31Sql]]), so the gate compares the DIFF
+    * OPERATOR, not the simulation: Spark runs [[graft.api.Graft
+    * .corpusDiff]]'s union-agg (one exchange), the oracle the
+    * textbook FULL OUTER JOIN — hash equality proves they are the
+    * same diff.
+    */
+  def qCorpusDiff(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(spark, dir)
+      .where(col("doc_id").isNotNull)
+      .withColumn("h", hash31(col("doc_id")))
+    val oldSnap = d.where(pmod(col("h"), lit(20)) =!= 0)
+      .select(col("doc_id"), col("source"), Dedup.contentFp.as("fp"))
+    val newSnap = d.where(pmod(col("h"), lit(17)) =!= 0)
+      .select(col("doc_id"), col("source"),
+        when(pmod(col("h"), lit(13)) === 0,
+          md5(concat(Dedup.contentNorm, lit("v2"))))
+          .otherwise(Dedup.contentFp).as("fp"))
+    graft.api.Graft.corpusDiff(oldSnap, newSnap, "doc_id", "fp",
+        carry = Seq("source"))
+      .groupBy("source", "status")
+      .agg(count(lit(1)).as("docs"))
+      .orderBy("source", "status")
+  }
+
+  val qCorpusDiffSql: String = {
+    val h = hash31Sql("doc_id")
+    s"""WITH d AS (
+       |  SELECT doc_id, source, ${Dedup.contentFpSql} AS fp,
+       |    md5(${Dedup.contentNormSql} || 'v2') AS fp_v2, $h AS h
+       |  FROM documents WHERE doc_id IS NOT NULL),
+       |a AS (SELECT doc_id, source, fp FROM d WHERE h % 20 <> 0),
+       |b AS (SELECT doc_id, source,
+       |        CASE WHEN h % 13 = 0 THEN fp_v2 ELSE fp END AS fp
+       |      FROM d WHERE h % 17 <> 0),
+       |j AS (SELECT
+       |        COALESCE(b.source, a.source) AS source,
+       |        CASE WHEN a.doc_id IS NULL THEN 'added'
+       |             WHEN b.doc_id IS NULL THEN 'removed'
+       |             WHEN a.fp IS NOT DISTINCT FROM b.fp THEN 'unchanged'
+       |             ELSE 'changed' END AS status
+       |      FROM a FULL JOIN b ON a.doc_id = b.doc_id)
+       |SELECT source, status, CAST(COUNT(*) AS BIGINT) AS docs
+       |FROM j GROUP BY source, status ORDER BY source, status""".stripMargin
+  }
 }

@@ -30,14 +30,18 @@ object Dedup {
     */
   private val JaccardTau = 0.8
 
-  /** Content-identity fingerprint shared by #25 and #52 — the one
-    * definition of "the same document"; its SQL twin must change in
-    * lockstep.
+  /** Content-identity fingerprint shared by #25, #52, and #121 — the
+    * one definition of "the same document"; its SQL twin must change
+    * in lockstep. The normalized-text form is exposed separately so
+    * #121 can fingerprint a SIMULATED re-crawl (normalized text + a
+    * version marker) with the same normalization.
     */
-  private[operators] val contentFp =
-    md5(trim(regexp_replace(lower(col("text")), " +", " ")))
-  private[operators] val contentFpSql =
-    "md5(trim(regexp_replace(lower(text), ' +', ' ', 'g')))"
+  private[operators] val contentNorm =
+    trim(regexp_replace(lower(col("text")), " +", " "))
+  private[operators] val contentNormSql =
+    "trim(regexp_replace(lower(text), ' +', ' ', 'g'))"
+  private[operators] val contentFp = md5(contentNorm)
+  private[operators] val contentFpSql = s"md5($contentNormSql)"
 
   /** #25 — exact dedup: canonical doc (min doc_id) per normalized-text
     * md5 group. Reference analogue: UniqueVisitApp's keyed first-wins

@@ -485,6 +485,37 @@ class GraftApiSpec extends SparkSpec {
     assert(e2.getMessage.contains("hi"))
   }
 
+  test("corpusDiff classifies added/removed/changed/unchanged; carry prefers new side") {
+    import spark.implicits._
+    val oldSnap = Seq(
+      (1L, "fa", "s1"), (2L, "fb", "s1"), (3L, "fc", "s2"),
+      (4L, null.asInstanceOf[String], "s2")).toDF("id", "fp", "src")
+    val newSnap = Seq(
+      (2L, "fb", "s1x"), (3L, "fZ", "s2"),
+      (4L, null.asInstanceOf[String], "s2"), (5L, "fe", "s3"))
+      .toDF("id", "fp", "src")
+    val got = Graft.corpusDiff(oldSnap, newSnap, "id", "fp", Seq("src"))
+      .orderBy("id")
+      .select("id", "status", "src").as[(Long, String, String)].collect()
+    assert(got.toSeq == Seq(
+      (1L, "removed", "s1"),   // carry falls back to the old side
+      (2L, "unchanged", "s1x"), // carry prefers the new side
+      (3L, "changed", "s2"),
+      (4L, "unchanged", "s2"),  // null fp on both sides: unchanged
+      (5L, "added", "s3")))
+    // null ids are excluded from the diff entirely
+    val withNull = oldSnap.unionAll(
+      Seq((null.asInstanceOf[java.lang.Long], "fx", "s9"))
+        .toDF("id", "fp", "src").select(
+          col("id").cast("long"), col("fp"), col("src")))
+    assert(Graft.corpusDiff(withNull, newSnap, "id", "fp").count() == 5)
+    // reserved output names guard
+    val e = intercept[IllegalArgumentException] {
+      Graft.corpusDiff(oldSnap, newSnap, "id", "fp", Seq("status"))
+    }
+    assert(e.getMessage.contains("status"))
+  }
+
   test("profile survives hostile column names (quotes and backticks)") {
     import spark.implicits._
     val nasty = Seq((1.0, "x"), (2.0, "y"), (2.0, null))

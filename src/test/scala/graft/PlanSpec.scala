@@ -115,6 +115,18 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("corpus diff plans the union-agg, not a join: one id exchange") {
+    // Graft.corpusDiff unions the snapshots and contracts per id in a
+    // single exchange; a full-outer-join shape (what the oracle runs)
+    // would exchange the same rows AND merge two sorted streams. Pin:
+    // no Join operator, exactly 2 hash exchanges (id, then the tiny
+    // (source, status) readout agg).
+    val p = plan("q_corpus_diff")
+    assert(!p.contains("Join"), s"corpus diff must not plan a join:\n$p")
+    val shuffles = "Exchange hashpartitioning".r.findAllIn(p).size
+    assert(shuffles == 2, s"expected 2 hash exchanges, got $shuffles:\n$p")
+  }
+
   test("count-distinct stats plan without Expand (order-grain pre-agg)") {
     // q_product_stats / q_province_stats pre-aggregate at order grain,
     // so the mixed distinct+non-distinct Expand (input ×2) must be gone
