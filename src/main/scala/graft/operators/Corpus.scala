@@ -830,4 +830,114 @@ object Corpus {
        |SELECT source, status, CAST(COUNT(*) AS BIGINT) AS docs
        |FROM j GROUP BY source, status ORDER BY source, status""".stripMargin
   }
+
+  /** #122 — `q_corpus_drift`: DISTRIBUTION drift between the same two
+    * snapshots #121 diffs — per source, old/new doc counts, old/new
+    * mean token length, and the L1 distance (total variation ×2)
+    * between the snapshots' length-bucket distributions (#53's
+    * power-of-two buckets). #121 answers "which docs moved"; this
+    * answers "did the corpus SHAPE move" — the crawl-regression check
+    * a pipeline runs before promoting a snapshot (a new crawl that
+    * doubles the short-doc mass has high drift even if every doc is
+    * `added`/`unchanged`).
+    *
+    * Determinism discipline: the L1 is CROSS-MULTIPLIED to integers —
+    * `|n_b_old·N_new − n_b_new·N_old|` summed in DECIMAL(38,0)
+    * (HUGEINT in the oracle), ONE double division at the end — so no
+    * per-bucket float ratio ever sums in partition order (the #115
+    * rule; a float `Σ|p_old−p_new|` would be bit-nondeterministic
+    * under repartitioning). Products stay < 10³⁸ for any corpus
+    * (counts ≤ 10¹⁹ each). Means are exact long sums with one guarded
+    * final division (a source empty in a snapshot yields NULL, not an
+    * ANSI divide-by-zero).
+    *
+    * Shape: ONE documents scan (both snapshot memberships are
+    * per-row hash tests), one contracted (source, bucket) exchange,
+    * a per-source window + final agg over the contracted frame only.
+    */
+  def qCorpusDrift(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(spark, dir)
+      .where(col("doc_id").isNotNull)
+      .withColumn("h", hash31(col("doc_id")))
+      .select(col("source"),
+        (pmod(col("h"), lit(20)) =!= 0).as("in_old"),
+        (pmod(col("h"), lit(17)) =!= 0).as("in_new"),
+        Text.wsTokenCount.as("n_tokens"))
+      .withColumn("bucket",
+        when(col("n_tokens") <= 0, 0L)
+          .otherwise(length(bin(col("n_tokens"))).cast("long")))
+    val w = Window.partitionBy("source")
+    d.groupBy("source", "bucket")
+      .agg(
+        sum(when(col("in_old"), 1L).otherwise(0L)).as("n_old"),
+        sum(when(col("in_new"), 1L).otherwise(0L)).as("n_new"),
+        sum(when(col("in_old"), col("n_tokens"))).as("tok_old"),
+        sum(when(col("in_new"), col("n_tokens"))).as("tok_new"))
+      .withColumn("big_n_old", sum("n_old").over(w))
+      .withColumn("big_n_new", sum("n_new").over(w))
+      .withColumn("term", abs(
+        col("n_old").cast("decimal(38,0)") * col("big_n_new") -
+          col("n_new").cast("decimal(38,0)") * col("big_n_old")))
+      .groupBy("source")
+      .agg(
+        max("big_n_old").as("docs_old"),
+        max("big_n_new").as("docs_new"),
+        sum("tok_old").as("sum_tok_old"),
+        sum("tok_new").as("sum_tok_new"),
+        sum("term").as("l1_num"))
+      .select(col("source"),
+        col("docs_old"), col("docs_new"),
+        when(col("docs_old") > 0,
+          col("sum_tok_old").cast("double") / col("docs_old").cast("double"))
+          .as("mean_tokens_old"),
+        when(col("docs_new") > 0,
+          col("sum_tok_new").cast("double") / col("docs_new").cast("double"))
+          .as("mean_tokens_new"),
+        when(col("docs_old") > 0 && col("docs_new") > 0,
+          col("l1_num").cast("double") /
+            (col("docs_old").cast("double") * col("docs_new").cast("double")))
+          .as("len_l1_drift"))
+      .orderBy("source")
+  }
+
+  val qCorpusDriftSql: String = {
+    val h = hash31Sql("doc_id")
+    s"""WITH d AS (
+       |  SELECT source, ${Text.wsTokenCountSql} AS n_tokens, $h AS h
+       |  FROM documents WHERE doc_id IS NOT NULL),
+       |b AS (
+       |  SELECT source,
+       |    CASE WHEN n_tokens <= 0 THEN 0
+       |         ELSE length(bin(n_tokens)) END AS bucket,
+       |    CASE WHEN h % 20 <> 0 THEN 1 ELSE 0 END AS in_old,
+       |    CASE WHEN h % 17 <> 0 THEN 1 ELSE 0 END AS in_new,
+       |    n_tokens
+       |  FROM d),
+       |pb AS (
+       |  SELECT source, bucket,
+       |    SUM(in_old) AS n_old, SUM(in_new) AS n_new,
+       |    SUM(CASE WHEN in_old = 1 THEN n_tokens END) AS tok_old,
+       |    SUM(CASE WHEN in_new = 1 THEN n_tokens END) AS tok_new
+       |  FROM b GROUP BY source, bucket),
+       |t AS (
+       |  SELECT source, n_old, n_new, tok_old, tok_new,
+       |    SUM(n_old) OVER (PARTITION BY source) AS big_n_old,
+       |    SUM(n_new) OVER (PARTITION BY source) AS big_n_new
+       |  FROM pb)
+       |SELECT source,
+       |  CAST(MAX(big_n_old) AS BIGINT) AS docs_old,
+       |  CAST(MAX(big_n_new) AS BIGINT) AS docs_new,
+       |  CASE WHEN MAX(big_n_old) > 0
+       |    THEN CAST(SUM(tok_old) AS DOUBLE) / CAST(MAX(big_n_old) AS DOUBLE)
+       |  END AS mean_tokens_old,
+       |  CASE WHEN MAX(big_n_new) > 0
+       |    THEN CAST(SUM(tok_new) AS DOUBLE) / CAST(MAX(big_n_new) AS DOUBLE)
+       |  END AS mean_tokens_new,
+       |  CASE WHEN MAX(big_n_old) > 0 AND MAX(big_n_new) > 0
+       |    THEN CAST(SUM(abs(CAST(n_old AS HUGEINT) * big_n_new
+       |                      - CAST(n_new AS HUGEINT) * big_n_old)) AS DOUBLE)
+       |      / (CAST(MAX(big_n_old) AS DOUBLE) * CAST(MAX(big_n_new) AS DOUBLE))
+       |  END AS len_l1_drift
+       |FROM t GROUP BY source ORDER BY source""".stripMargin
+  }
 }

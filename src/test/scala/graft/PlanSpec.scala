@@ -125,6 +125,15 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("Join"), s"corpus diff must not plan a join:\n$p")
     val shuffles = "Exchange hashpartitioning".r.findAllIn(p).size
     assert(shuffles == 2, s"expected 2 hash exchanges, got $shuffles:\n$p")
+    // drift: one scan (both snapshot memberships are per-row hash
+    // tests), one contracted (source, bucket) exchange, per-source
+    // window + final agg over the contracted frame only
+    val p2 = plan("q_corpus_drift")
+    assert(!p2.contains("Join"), s"corpus drift must not plan a join:\n$p2")
+    val scans2 = "Scan parquet".r.findAllIn(p2).size
+    assert(scans2 == 1, s"drift must scan documents once, got $scans2:\n$p2")
+    val shuffles2 = "Exchange hashpartitioning".r.findAllIn(p2).size
+    assert(shuffles2 == 2, s"expected 2 hash exchanges, got $shuffles2:\n$p2")
   }
 
   test("count-distinct stats plan without Expand (order-grain pre-agg)") {
