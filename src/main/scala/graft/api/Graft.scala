@@ -1013,6 +1013,21 @@ object Graft {
     * each snapshot (the join form would fan out duplicates, this one
     * lumps them — both wrong, so require uniqueness upstream).
     */
+  /** Writes a corpus snapshot as a parquet table BUCKETED by the id —
+    * the storage layout that keeps the stored side of every
+    * snapshot-diff join exchange-free (the [[writeShingleIndex]] /
+    * [[writeIvfIndex]] discipline): a bucketed scan already satisfies
+    * the hash distribution the per-batch status join and the final
+    * removed-sweep anti-join require, so only the (small) arriving
+    * batch ever shuffles, never the stored corpus. Used by
+    * [[graft.streaming.Streams.corpusDiffSink]]'s steady-state path.
+    */
+  def writeSnapshot(snap: DataFrame, table: String, idCol: String,
+      buckets: Int = 32, overwrite: Boolean = false): Unit =
+    snap.write.mode(if (overwrite) "overwrite" else "append")
+      .bucketBy(buckets, idCol).sortBy(idCol)
+      .format("parquet").saveAsTable(table)
+
   def corpusDiff(oldSnap: DataFrame, newSnap: DataFrame, idCol: String,
       fpCol: String, carry: Seq[String] = Nil): DataFrame = {
     Seq("fp_old", "fp_new", "status").foreach(r =>

@@ -782,6 +782,78 @@ object Streams {
     } finally b.unpersist()
   }
 
+  /** #123 — streaming corpus-diff maintenance: the #121 snapshot diff
+    * as the NEW snapshot arrives in micro-batches (the shape of a
+    * re-crawl landing over hours). The stored OLD snapshot is a
+    * bucketed table ([[graft.api.Graft.writeSnapshot]]), so the
+    * per-batch status join scans it exchange-free and only the
+    * arriving batch shuffles — per-batch cost linear in the batch,
+    * never the corpus. Each batch's `added` / `changed` / `unchanged`
+    * statuses land replay-safely under `status/batch=<id>` (overwrite;
+    * foreachBatch is at-least-once). `removed` is only decidable once
+    * the new snapshot is complete: [[corpusDiffSweep]] anti-joins the
+    * stored snapshot against every seen id and returns the FULL diff
+    * frame — spec-pinned equal to the one-shot
+    * [[graft.api.Graft.corpusDiff]] over the same snapshots. Ids must
+    * be unique across the whole new-snapshot stream (the #121
+    * uniqueness contract, batch-shaped).
+    */
+  def corpusDiffSink(newRows: DataFrame, snapshotTable: String,
+      statePath: String, checkpointDir: String,
+      idCol: String = "doc_id", fpCol: String = "fp")
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    newRows.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        applyCorpusDiffBatch(batch, batchId, snapshotTable, statePath,
+          idCol, fpCol)
+      }
+
+  /** One status step of [[corpusDiffSink]] (package-visible so the
+    * spec can drive replay directly).
+    */
+  private[graft] def applyCorpusDiffBatch(batch: DataFrame, batchId: Long,
+      snapshotTable: String, statePath: String, idCol: String,
+      fpCol: String): Unit = {
+    import org.apache.hadoop.fs.Path
+    val spark = batch.sparkSession
+    val root = new Path(new Path(statePath).toUri.getPath)
+    val b = batch.select(col(idCol).as("id"), col(fpCol).as("fp_new"))
+      .where(col("id").isNotNull)
+    if (b.isEmpty) return
+    val old = spark.table(snapshotTable)
+      .select(col(idCol).as("_old_id"), col(fpCol).as("fp_old"))
+    b.join(old, col("id") === col("_old_id"), "left")
+      .select(col("id"), col("fp_old"), col("fp_new"),
+        when(col("_old_id").isNull, "added")
+          .when(col("fp_old") <=> col("fp_new"), "unchanged")
+          .otherwise("changed").as("status"))
+      .write.mode("overwrite")
+      .parquet(new Path(root, s"status/batch=$batchId").toString)
+  }
+
+  /** End-of-snapshot sweep for [[corpusDiffSink]]: `removed` = stored
+    * ids no batch delivered (LEFT ANTI over the bucketed snapshot —
+    * the stored side still never shuffles). Returns the COMPLETE diff
+    * frame (per-batch statuses ∪ removed), column-compatible with
+    * [[graft.api.Graft.corpusDiff]] minus carry.
+    */
+  def corpusDiffSweep(spark: org.apache.spark.sql.SparkSession,
+      snapshotTable: String, statePath: String,
+      idCol: String = "doc_id", fpCol: String = "fp"): DataFrame = {
+    import org.apache.hadoop.fs.Path
+    val root = new Path(new Path(statePath).toUri.getPath)
+    val statuses = spark.read.parquet(new Path(root, "status").toString)
+      .select("id", "fp_old", "fp_new", "status")
+    val old = spark.table(snapshotTable)
+      .select(col(idCol).as("id"), col(fpCol).as("fp_old"))
+    val removed = old.join(statuses.select("id"), Seq("id"), "left_anti")
+      .select(col("id"), col("fp_old"),
+        lit(null).cast(old.schema("fp_old").dataType).as("fp_new"),
+        lit("removed").as("status"))
+    statuses.unionAll(removed)
+  }
+
   /** All drop verdicts emitted so far by a [[semanticDedupSink]]. */
   def semanticDedupVerdicts(spark: org.apache.spark.sql.SparkSession,
       statePath: String): Option[DataFrame] = {

@@ -469,6 +469,71 @@ class StreamingSpec extends SparkSpec {
     assert(afterReplay == beforeReplay, "replayed batch mutated the labeling")
   }
 
+  test("stream_corpus_diff: batched statuses + sweep equal the one-shot diff") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val base = java.nio.file.Files.createTempDirectory("graft_cdiff_").toString
+    spark.sql("DROP TABLE IF EXISTS cdiff_old_snap")
+    val docs = Tables.documents(spark, sfTiny)
+      .select(col("doc_id"), md5(col("text")).as("fp"))
+    // old snapshot: ids not ≡0 (mod 5); new: not ≡0 (mod 7), with
+    // ids ≡0 (mod 3) re-crawled to a different fingerprint
+    val oldSnap = docs.where(pmod(col("doc_id"), lit(5)) =!= 0)
+    val newSnap = docs.where(pmod(col("doc_id"), lit(7)) =!= 0)
+      .select(col("doc_id"),
+        when(pmod(col("doc_id"), lit(3)) === 0, md5(concat(col("fp"), lit("x"))))
+          .otherwise(col("fp")).as("fp"))
+    graft.api.Graft.writeSnapshot(oldSnap, "cdiff_old_snap", "doc_id",
+      buckets = 4, overwrite = true)
+    val rows = newSnap.orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toIndexedSeq
+    val ms = MemoryStream[(Long, String)]
+    val stream = ms.toDF().toDF("doc_id", "fp")
+    val q = Streams.corpusDiffSink(stream, "cdiff_old_snap",
+      s"$base/state", s"$base/ckpt").start()
+    try {
+      rows.grouped((rows.size + 2) / 3).foreach { chunk =>
+        ms.addData(chunk); q.processAllAvailable()
+      }
+    } finally q.stop()
+    val got = Streams.corpusDiffSweep(spark, "cdiff_old_snap", s"$base/state")
+    val want = graft.api.Graft.corpusDiff(oldSnap, newSnap, "doc_id", "fp")
+      .select(col("doc_id").as("id"), col("fp_old"), col("fp_new"),
+        col("status"))
+    assert(got.where(col("status") =!= "unchanged").count() > 0,
+      "diff is vacuous — the snapshot slices overlap completely")
+    assert(got.exceptAll(want).count() == 0 && want.exceptAll(got).count() == 0,
+      "streamed statuses + sweep != the one-shot corpusDiff")
+    // the stored snapshot side of the status join must scan
+    // exchange-free (the bucketed layout's point): only the batch
+    // side shuffles
+    val joinPlan = spark.table("cdiff_old_snap")
+      .select(col("doc_id").as("_old_id"), col("fp").as("fp_old"))
+      .join(newSnap.limit(10).select(col("doc_id").as("id")),
+        col("id") === col("_old_id"), "right")
+      .queryExecution.executedPlan.toString
+    val shuffles = "Exchange hashpartitioning".r.findAllIn(joinPlan).size
+    assert(shuffles <= 1,
+      s"bucketed snapshot scan must not exchange, got $shuffles:\n$joinPlan")
+    // replaying the LAST batch (foreachBatch at-least-once) must be a
+    // fixpoint: the status partition is overwritten in place
+    val lastId = new java.io.File(s"$base/state/status").listFiles()
+      .map(_.getName.stripPrefix("batch=").toLong).max
+    val before = got.collect().toSet
+    // materialize the replay input before apply overwrites the very
+    // directory it is being read from (the real sink feeds from the
+    // stream's own micro-batch, not its output)
+    Streams.applyCorpusDiffBatch(
+      spark.read.parquet(s"$base/state/status/batch=$lastId")
+        .select(col("id").as("doc_id"), col("fp_new").as("fp"))
+        .localCheckpoint(true),
+      lastId, "cdiff_old_snap", s"$base/state", "doc_id", "fp")
+    val after = Streams.corpusDiffSweep(spark, "cdiff_old_snap",
+      s"$base/state").collect().toSet
+    assert(after == before, "replayed batch mutated the diff")
+    spark.sql("DROP TABLE IF EXISTS cdiff_old_snap")
+  }
+
   test("stream_dedup_semantic: micro-batch verdicts equal the one-shot ingest") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
