@@ -995,24 +995,6 @@ object Graft {
       carry: Seq[String] = Nil): DataFrame =
     graft.operators.Stats.explodeCjkWords(df, textCol, carry)
 
-  /** Snapshot diff between two versions of a corpus: per id, the old
-    * and new content fingerprints and a `status` of `added` /
-    * `removed` / `changed` / `unchanged` (null-safe fp compare: a doc
-    * with a null fp on both sides is `unchanged`). `carry` columns
-    * ride along, new-side value winning (`coalesce(new, old)`).
-    *
-    * Shaped as tag-union + one aggregate, NOT the textbook full outer
-    * join (probe 14's discipline): both snapshots union with a side
-    * tag and contract per id in a SINGLE exchange of |old|+|new| rows
-    * — the join form exchanges the same rows and then merges two
-    * sorted streams for an output this one aggregate already is. The
-    * DuckDB oracle behind `q_corpus_diff` states the full-outer-join
-    * form, proving the union-agg IS the classic diff. Null ids are
-    * excluded (a diff keyed on null is meaningless, and join-form
-    * null keys would never match anyway); ids must be unique within
-    * each snapshot (the join form would fan out duplicates, this one
-    * lumps them — both wrong, so require uniqueness upstream).
-    */
   /** Writes a corpus snapshot as a parquet table BUCKETED by the id —
     * the storage layout that keeps the stored side of every
     * snapshot-diff join exchange-free (the [[writeShingleIndex]] /
@@ -1028,30 +1010,45 @@ object Graft {
       .bucketBy(buckets, idCol).sortBy(idCol)
       .format("parquet").saveAsTable(table)
 
+  /** Snapshot diff between two versions of a corpus: per id, the old
+    * and new content fingerprints and a `status` of `added` /
+    * `removed` / `changed` / `unchanged` (null-safe fp compare: a doc
+    * with a null fp on both sides is `unchanged`). `carry` columns
+    * ride along, new-side value winning (`coalesce(new, old)`).
+    *
+    * Shaped as the textbook FULL OUTER join on the id — measured, not
+    * assumed (docs/SCALING.md probe 15): the tag-union + one-aggregate
+    * alternative exchanges the SAME |old|+|new| rows but contracts
+    * them through a corpus-sized hash aggregate (one group per id,
+    * five buffers each), which probe 15 measured 1.2-1.8× SLOWER at
+    * 50M docs than the join's two sorts + merge; with identical
+    * shuffle volume there is no scale argument to offset that, and
+    * the join form takes the [[writeSnapshot]] bucketed layout for
+    * free (a stored side joins exchange-free — the streaming sink's
+    * steady-state path). Null ids are excluded (a diff keyed on null
+    * is meaningless, and join null keys would never match anyway);
+    * ids must be unique within each snapshot (duplicates would fan
+    * out, as in any keyed diff).
+    */
   def corpusDiff(oldSnap: DataFrame, newSnap: DataFrame, idCol: String,
       fpCol: String, carry: Seq[String] = Nil): DataFrame = {
     Seq("fp_old", "fp_new", "status").foreach(r =>
       require(!carry.contains(r) && r != idCol,
         s"corpusDiff emits a '$r' column; rename the input's '$r' first"))
-    def side(df: DataFrame, tag: Int) = df.select(
-      col(idCol) +: col(fpCol).as("_fp") +: lit(tag).as("_side") +:
-        carry.map(col): _*)
-    side(oldSnap, 0).unionAll(side(newSnap, 1))
-      .where(col(idCol).isNotNull)
-      .groupBy(idCol)
-      .agg(
-        max(when(col("_side") === 0, lit(1))).as("_in_old"),
-        (max(when(col("_side") === 1, lit(1))).as("_in_new") +:
-          max(when(col("_side") === 0, col("_fp"))).as("fp_old") +:
-          max(when(col("_side") === 1, col("_fp"))).as("fp_new") +:
-          carry.map(c => coalesce(
-            max(when(col("_side") === 1, col(c))),
-            max(when(col("_side") === 0, col(c)))).as(c))): _*)
-      .withColumn("status",
-        when(col("_in_old").isNull, "added")
-          .when(col("_in_new").isNull, "removed")
-          .when(col("fp_old") <=> col("fp_new"), "unchanged")
-          .otherwise("changed"))
-      .drop("_in_old", "_in_new")
+    val a = oldSnap.where(col(idCol).isNotNull).select(
+      col(idCol).as("_a_id") +: col(fpCol).as("fp_old") +:
+        carry.map(c => col(c).as(s"_a_$c")): _*)
+    val b = newSnap.where(col(idCol).isNotNull).select(
+      col(idCol).as("_b_id") +: col(fpCol).as("fp_new") +:
+        carry.map(c => col(c).as(s"_b_$c")): _*)
+    a.join(b, col("_a_id") === col("_b_id"), "full_outer")
+      .select(
+        coalesce(col("_b_id"), col("_a_id")).as(idCol) +:
+          col("fp_old") +: col("fp_new") +:
+          when(col("_a_id").isNull, "added")
+            .when(col("_b_id").isNull, "removed")
+            .when(col("fp_old") <=> col("fp_new"), "unchanged")
+            .otherwise("changed").as("status") +:
+          carry.map(c => coalesce(col(s"_b_$c"), col(s"_a_$c")).as(c)): _*)
   }
 }

@@ -115,16 +115,20 @@ class PlanSpec extends SparkSpec {
     }
   }
 
-  test("corpus diff plans the union-agg, not a join: one id exchange") {
-    // Graft.corpusDiff unions the snapshots and contracts per id in a
-    // single exchange; a full-outer-join shape (what the oracle runs)
-    // would exchange the same rows AND merge two sorted streams. Pin:
-    // no Join operator, exactly 2 hash exchanges (id, then the tiny
-    // (source, status) readout agg).
+  test("corpus diff plans the full-outer SMJ (probe 15), drift stays join-free") {
+    // Graft.corpusDiff is the textbook full-outer sort-merge join on
+    // the id — probe 15 measured the tag-union + corpus-sized hash
+    // aggregate alternative 1.2-1.8x slower at the same shuffle
+    // volume. Pin: a FullOuter SMJ, no BroadcastNestedLoop/Cartesian,
+    // 3 hash exchanges (two snapshot sides + the (source, status)
+    // readout agg).
     val p = plan("q_corpus_diff")
-    assert(!p.contains("Join"), s"corpus diff must not plan a join:\n$p")
+    assert(p.contains("SortMergeJoin") && p.contains("FullOuter"),
+      s"corpus diff must plan a full-outer SMJ:\n$p")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"))
     val shuffles = "Exchange hashpartitioning".r.findAllIn(p).size
-    assert(shuffles == 2, s"expected 2 hash exchanges, got $shuffles:\n$p")
+    assert(shuffles == 3, s"expected 3 hash exchanges, got $shuffles:\n$p")
     // drift: one scan (both snapshot memberships are per-row hash
     // tests), one contracted (source, bucket) exchange, per-source
     // window + final agg over the contracted frame only
