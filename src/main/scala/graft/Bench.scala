@@ -30,13 +30,18 @@ object Bench {
 
   /** (busy, steal) jiffies from the aggregate /proc/stat line; steal
     * rising in step with busy means the hypervisor is taking cycles.
+    * Busy = every non-idle, non-steal bucket (user nice system iowait
+    * irq softirq guest…) — counting only user+system would overstate
+    * steal% whenever nice/iowait/irq carry load.
     */
   private def cpuJiffies(): (Long, Long) =
     try {
       val f = scala.io.Source.fromFile("/proc/stat")
       val cols = try f.getLines().next().trim.split("\\s+") finally f.close()
       val v = cols.drop(1).map(_.toLong)
-      (v(0) + v(2), if (v.length > 7) v(7) else 0L)
+      val idle = if (v.length > 3) v(3) else 0L
+      val steal = if (v.length > 7) v(7) else 0L
+      (v.sum - idle - steal, steal)
     } catch { case _: Throwable => (0L, 0L) }
 
   def main(args: Array[String]): Unit = {

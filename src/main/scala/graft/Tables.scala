@@ -18,29 +18,49 @@ object Tables {
   def orders(spark: SparkSession, dir: String): DataFrame    = load(spark, dir, "orders")
   def lineitem(spark: SparkSession, dir: String): DataFrame  = load(spark, dir, "lineitem")
 
-  /** events.parquet carries TIMESTAMP(NANOS) which Spark's vectorized
-    * reader rejects; read nanos as long and normalize to a `ts_us`
-    * BIGINT (epoch microseconds) column — the same truncation DuckDB
-    * applies when it loads ns into its µs TIMESTAMP, so oracle SQL uses
-    * `epoch_us(ts)` and the two engines see identical values.
+  /** Normalizes `events.ts` to a `ts_us` BIGINT (epoch microseconds)
+    * column whatever the file's physical encoding — the rest of the
+    * engine works in integer micros only, so the gate's time math is
+    * engine- and timezone-independent. Three encodings seen across
+    * testdata generations, branched on the LOADED schema:
     *
-    * The nanosAsLong flag is session-wide, so a library loader must
-    * not set it as a read side effect (r4 advice: a surprising
-    * mutation — after it, EVERY nanos-parquet read in the session
-    * surfaces longs). Instead the loader REQUIRES the flag at session
-    * build and fails loudly with the fix; graft's own entry points
-    * (Verify/Bench/Plans and the test base) all set it there.
+    *  - TIMESTAMP(NANOS): Spark's reader rejects it unless
+    *    `spark.sql.legacy.parquet.nanosAsLong=true`, which surfaces a
+    *    BIGINT of nanos → `ts div 1000`, the same truncation DuckDB
+    *    applies loading ns into its µs TIMESTAMP. The flag is
+    *    session-wide, so the loader must not set it as a read side
+    *    effect (r4 advice) — graft's entry points (Verify/Bench/Plans,
+    *    the test base) set it at session build, and a nanos file read
+    *    without it fails loudly below.
+    *  - TIMESTAMP(MICROS, isAdjustedToUTC=false) → TIMESTAMP_NTZ:
+    *    `timestampdiff(MICROSECOND, epoch, ts)` — an NTZ−NTZ
+    *    difference, no session-timezone dependence; DuckDB's
+    *    `epoch_us(ts)` yields the identical integer.
+    *  - TIMESTAMP(MICROS, adjusted) → TIMESTAMP: `unix_micros`.
     */
   def events(spark: SparkSession, dir: String): DataFrame = {
-    if (!spark.conf.getOption("spark.sql.legacy.parquet.nanosAsLong").contains("true"))
-      throw new IllegalStateException(
-        "Tables.events requires spark.sql.legacy.parquet.nanosAsLong=true " +
-          "(events.parquet carries TIMESTAMP(NANOS)); set it on the " +
-          "SparkSession builder — the loader deliberately does not mutate " +
-          "session conf")
-    load(spark, dir, "events")
-      .withColumn("ts_us", org.apache.spark.sql.functions.expr("ts div 1000"))
-      .drop("ts")
+    import org.apache.spark.sql.functions.{col, expr, unix_micros}
+    import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
+    val raw =
+      try load(spark, dir, "events")
+      catch {
+        case e: Exception if e.getMessage != null &&
+            e.getMessage.contains("NANOS") =>
+          throw new IllegalStateException(
+            "events.parquet carries TIMESTAMP(NANOS); set " +
+              "spark.sql.legacy.parquet.nanosAsLong=true on the SparkSession " +
+              "builder — the loader deliberately does not mutate session conf",
+            e)
+      }
+    val tsUs = raw.schema("ts").dataType match {
+      case LongType         => expr("ts div 1000")
+      case TimestampNTZType =>
+        expr("timestampdiff(MICROSECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00', ts)")
+      case TimestampType    => unix_micros(col("ts"))
+      case other => throw new IllegalStateException(
+        s"events.ts has unsupported type ${other.simpleString}")
+    }
+    raw.withColumn("ts_us", tsUs).drop("ts")
   }
   def documents(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "documents")
   def embeddings(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "embeddings")

@@ -448,8 +448,11 @@ object Graft {
     * upstream" that every similarity/ANN op's dirty-vector rule points
     * at. Returns ONLY the invalid rows, each with an `issue` column:
     * `null_vec` (no vector), `bad_dim` (when `expectedDim` is given),
-    * `nan_element` (any NaN component — the one corruption the cosine
-    * NULL rule silently absorbs but the DuckDB oracles cannot see),
+    * `null_element` (an array slot holding NULL — it nulls every
+    * cosine the row touches), `nan_element` (any NaN component — the
+    * one corruption the cosine NULL rule silently absorbs but the
+    * DuckDB oracles cannot see), `inf_element` (±Infinity — isnan is
+    * false for it, yet it poisons dot products to ±Inf/NaN), and
     * `zero_norm` (all-zero vector, an undefined cosine). First match
     * wins in that order. Map-side and shuffle-free — one scan with
     * per-row array lambdas, no join, no aggregate — so it composes
@@ -466,7 +469,10 @@ object Graft {
     df.withColumn("issue",
         when(col(vecCol).isNull, "null_vec")
           .when(dimBad, "bad_dim")
+          .when(exists(v, x => x.isNull), "null_element")
           .when(exists(v, x => isnan(x)), "nan_element")
+          .when(exists(v, x => abs(x) === lit(Double.PositiveInfinity)),
+            "inf_element")
           .when(!exists(v, x => x =!= lit(0.0)), "zero_norm"))
       .where(col("issue").isNotNull)
   }
@@ -837,6 +843,9 @@ object Graft {
     * one task (the #92 layout dial). Null token counts pack as 0
     * tokens; `budget` is the model's context length in production
     * (512 at the gate scale factors so boundaries are exercised).
+    * Ids must be UNIQUE (the [[corpusDiff]] contract): the cumulative
+    * sum orders by id alone, so duplicate ids within a shard make
+    * `pack_id`/`is_split` nondeterministic across partitionings.
     */
   def packAssign(df: DataFrame, idCol: String, tokensCol: String,
       budget: Long,

@@ -250,7 +250,10 @@ object Corpus {
     * readout. Null token counts pack as 0 tokens. One hash exchange
     * (the shard window); the output columns are part of the contract,
     * so the input must not already carry them — guarded loudly, the
-    * `transitions` discipline.
+    * `transitions` discipline. Ids must be UNIQUE (the #121 corpusDiff
+    * contract): the cumulative sum orders by id alone, so duplicate
+    * ids within a shard make `pack_id`/`is_split` nondeterministic
+    * across partitionings.
     */
   private[graft] def packAssign(df: DataFrame, idCol: String,
       tokensCol: String, budget: Long, nShards: Long): DataFrame = {

@@ -818,18 +818,24 @@ object Streams {
     import org.apache.hadoop.fs.Path
     val spark = batch.sparkSession
     val root = new Path(new Path(statePath).toUri.getPath)
+    // Persist before the isEmpty action: foreachBatch frames re-execute
+    // their whole micro-batch plan per action, so an unpersisted batch
+    // would be computed twice per ingest (the applySemanticBatch rule).
     val b = batch.select(col(idCol).as("id"), col(fpCol).as("fp_new"))
       .where(col("id").isNotNull)
-    if (b.isEmpty) return
-    val old = spark.table(snapshotTable)
-      .select(col(idCol).as("_old_id"), col(fpCol).as("fp_old"))
-    b.join(old, col("id") === col("_old_id"), "left")
-      .select(col("id"), col("fp_old"), col("fp_new"),
-        when(col("_old_id").isNull, "added")
-          .when(col("fp_old") <=> col("fp_new"), "unchanged")
-          .otherwise("changed").as("status"))
-      .write.mode("overwrite")
-      .parquet(new Path(root, s"status/batch=$batchId").toString)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      if (b.isEmpty) return
+      val old = spark.table(snapshotTable)
+        .select(col(idCol).as("_old_id"), col(fpCol).as("fp_old"))
+      b.join(old, col("id") === col("_old_id"), "left")
+        .select(col("id"), col("fp_old"), col("fp_new"),
+          when(col("_old_id").isNull, "added")
+            .when(col("fp_old") <=> col("fp_new"), "unchanged")
+            .otherwise("changed").as("status"))
+        .write.mode("overwrite")
+        .parquet(new Path(root, s"status/batch=$batchId").toString)
+    } finally b.unpersist()
   }
 
   /** End-of-snapshot sweep for [[corpusDiffSink]]: `removed` = stored
@@ -843,10 +849,22 @@ object Streams {
       idCol: String = "doc_id", fpCol: String = "fp"): DataFrame = {
     import org.apache.hadoop.fs.Path
     val root = new Path(new Path(statePath).toUri.getPath)
-    val statuses = spark.read.parquet(new Path(root, "status").toString)
-      .select("id", "fp_old", "fp_new", "status")
     val old = spark.table(snapshotTable)
       .select(col(idCol).as("id"), col(fpCol).as("fp_old"))
+    // A stream that delivered no batches writes no status/ dir; the
+    // empty new snapshot is still a valid diff — every stored id is
+    // `removed` (the semanticDedupVerdicts missing-dir convention).
+    val statusRoot = new Path(root, "status")
+    val fs = statusRoot.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val statuses =
+      if (!fs.exists(statusRoot))
+        spark.emptyDataFrame
+          .select(lit(null).cast(old.schema("id").dataType).as("id"),
+            lit(null).cast(old.schema("fp_old").dataType).as("fp_old"),
+            lit(null).cast(old.schema("fp_old").dataType).as("fp_new"),
+            lit(null).cast("string").as("status"))
+      else spark.read.parquet(statusRoot.toString)
+        .select("id", "fp_old", "fp_new", "status")
     val removed = old.join(statuses.select("id"), Seq("id"), "left_anti")
       .select(col("id"), col("fp_old"),
         lit(null).cast(old.schema("fp_old").dataType).as("fp_new"),

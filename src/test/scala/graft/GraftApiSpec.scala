@@ -420,16 +420,33 @@ class GraftApiSpec extends SparkSpec {
       (3L, Some(Seq(1.0, 2.0))),                  // bad_dim (vs 3)
       (4L, Some(Seq(1.0, Double.NaN, 3.0))),      // nan_element
       (5L, Some(Seq(0.0, 0.0, 0.0))),             // zero_norm
-      (6L, Some(Seq(0.0, -2.0, 0.0)))             // valid (negative ok)
+      (6L, Some(Seq(0.0, -2.0, 0.0))),            // valid (negative ok)
+      (7L, Some(Seq(1.0, Double.PositiveInfinity, 0.0))), // inf_element
+      (8L, Some(Seq(1.0, Double.NegativeInfinity, 0.0)))  // inf_element
     ).toDF("id", "vec")
     val got = Graft.validateEmbeddings(rows, "vec", expectedDim = Some(3))
       .select("id", "issue").as[(Long, String)].collect().toMap
     assert(got == Map(2L -> "null_vec", 3L -> "bad_dim",
-      4L -> "nan_element", 5L -> "zero_norm"))
+      4L -> "nan_element", 5L -> "zero_norm",
+      7L -> "inf_element", 8L -> "inf_element"))
     // without a dim contract the short vector is structurally fine
     val noDim = Graft.validateEmbeddings(rows, "vec")
       .select("id").as[Long].collect().toSet
-    assert(noDim == Set(2L, 4L, 5L))
+    assert(noDim == Set(2L, 4L, 5L, 7L, 8L))
+    // a NULL array slot (Seq of boxed nulls survives toDF as a
+    // nullable-element array) is its own verdict, ahead of NaN
+    val withNullElem = spark.createDataFrame(
+      spark.sparkContext.parallelize(Seq(
+        org.apache.spark.sql.Row(9L, Seq[java.lang.Double](1.0, null, 2.0)))),
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("id",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("vec",
+          org.apache.spark.sql.types.ArrayType(
+            org.apache.spark.sql.types.DoubleType, containsNull = true)))))
+    assert(Graft.validateEmbeddings(withNullElem, "vec")
+      .select("id", "issue").as[(Long, String)].collect().toMap ==
+      Map(9L -> "null_element"))
     // a clean corpus certifies empty — the executable "validate
     // upstream" the cosine NULL rule points at
     assert(Graft.validateEmbeddings(

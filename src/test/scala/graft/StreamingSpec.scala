@@ -485,6 +485,14 @@ class StreamingSpec extends SparkSpec {
           .otherwise(col("fp")).as("fp"))
     graft.api.Graft.writeSnapshot(oldSnap, "cdiff_old_snap", "doc_id",
       buckets = 4, overwrite = true)
+    // a stream that never delivered a batch wrote no status/ dir: the
+    // sweep must not throw — the empty new snapshot is a valid diff
+    // where every stored id is `removed` (ADVICE r9)
+    val zeroBatch = Streams.corpusDiffSweep(spark, "cdiff_old_snap",
+      s"$base/never_started")
+    assert(zeroBatch.where(col("status") =!= "removed").count() == 0 &&
+      zeroBatch.count() == oldSnap.count(),
+      "zero-batch sweep must return exactly the stored ids as removed")
     val rows = newSnap.orderBy("doc_id").collect()
       .map(r => (r.getLong(0), r.getString(1))).toIndexedSeq
     val ms = MemoryStream[(Long, String)]

@@ -37,8 +37,12 @@ def steal_pct():
         with open("/proc/stat") as fh:
             f = fh.readline().split()
         vals = list(map(int, f[1:]))
-        busy = vals[0] + vals[2]          # user + system
+        idle = vals[3] if len(vals) > 3 else 0
         steal = vals[7] if len(vals) > 7 else 0
+        # busy = every non-idle, non-steal bucket (user nice system
+        # iowait irq softirq guest...) -- user+system alone overstates
+        # steal%% when nice/iowait/irq carry load (mirrors Bench.scala)
+        busy = sum(vals) - idle - steal
         return busy, steal
     b0, s0 = snap()
     time.sleep(2)
