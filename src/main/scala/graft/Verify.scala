@@ -5,7 +5,9 @@ import java.nio.file.{Files, Paths}
   * plus oracle_sql.json, for the driver's DuckDB compare. */
 object Verify {
   def main(args: Array[String]): Unit = {
-    val Array(sfDir, outDir) = args
+    require(args.length >= 2,
+      "usage: graft.Verify <sfDir> <outDir> [query ...]")
+    val Array(sfDir, outDir) = args.take(2)
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -16,10 +18,15 @@ object Verify {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
-    // local-iteration escape hatch, mirroring Bench: the driver never
-    // sets it, so round verifies always dump the full surface
-    val only = sys.env.get("SPARK_GRAFT_ONLY")
-      .map(_.split(",").map(_.trim).toSet)
+    // local-iteration escape hatches, mirroring crosscheck.py: trailing
+    // query-name args or SPARK_GRAFT_ONLY. The driver passes neither,
+    // so round verifies always dump the full surface.
+    val only = (args.drop(2) ++
+        sys.env.get("SPARK_GRAFT_ONLY").toSeq
+          .flatMap(_.split(",")).map(_.trim)) match {
+      case Array() => None
+      case names   => Some(names.toSet)
+    }
     SparkEntry.queries
       .filter { case (name, _) => only.forall(_.contains(name)) }
       .foreach { case (name, fn) =>

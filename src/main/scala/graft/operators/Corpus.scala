@@ -711,6 +711,69 @@ object Corpus {
       .orderBy("stage")
   }
 
+  /** #125 — per-source TF-IDF characteristic terms: the top-10 words
+    * of each source by `tf · ln(N/df)` (tf = occurrences in the
+    * source, df = corpus docs containing the word, N = corpus docs) —
+    * the "what is this slice about" readout a curation run reads
+    * before deciding a source's mixture weight; words every source
+    * shares (df → N) score → 0, words concentrated in one source rank
+    * first. Three exchanges, all on vocabulary- or word-grain keys:
+    * the (source, word) tf aggregate, the per-word df aggregate (doc
+    * distinct first — count(*) after a distinct, never a
+    * count-distinct Expand), and the vocabulary-sized tf⋈df join; N
+    * rides as a 1-row broadcast. Ranking happens on the ROUNDED score
+    * (6 dp, word tie-break) in BOTH engines, so the two engines'
+    * last-ulp `ln` differences cannot reorder the cut; the per-source
+    * top-10 is WindowGroupLimit-pruned map-side, never a global sort.
+    * At 100 TB every exchange is vocabulary-bounded except the
+    * word-explosion scan itself, which is map-side.
+    */
+  def qTfidfTerms(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val words = docs
+      .select(col("doc_id"), col("source"),
+        explode(split(col("text"), " ")).as("word"))
+      .filter(length(col("word")) > 0)
+    val tf = words.groupBy("source", "word").agg(count(lit(1)).as("tf"))
+    val dfreq = words.select("doc_id", "word").distinct()
+      .groupBy("word").agg(count(lit(1)).as("df"))
+    val n = docs.agg(count(lit(1)).as("n_docs"))
+    val scored = tf.join(dfreq, "word")
+      .crossJoin(broadcast(n))
+      .withColumn("tfidf",
+        round(col("tf").cast("double") *
+          log(col("n_docs").cast("double") / col("df").cast("double")), 6))
+    val w = Window.partitionBy("source")
+      .orderBy(col("tfidf").desc, col("word"))
+    scored.withColumn("rk", row_number().over(w).cast("long"))
+      .where(col("rk") <= 10)
+      .select("source", "rk", "word", "tf", "df", "tfidf")
+      .orderBy("source", "rk")
+  }
+
+  val qTfidfTermsSql: String =
+    """WITH w2 AS (
+      |  SELECT doc_id, source, w AS word FROM (
+      |    SELECT doc_id, source, unnest(string_split(text, ' ')) AS w
+      |    FROM documents)
+      |  WHERE length(w) > 0),
+      |tf AS (SELECT source, word, CAST(count(*) AS BIGINT) AS tf
+      |       FROM w2 GROUP BY 1, 2),
+      |dfq AS (SELECT word, CAST(count(*) AS BIGINT) AS df
+      |        FROM (SELECT DISTINCT doc_id, word FROM w2) GROUP BY 1),
+      |scored AS (
+      |  SELECT source, word, tf, df,
+      |    round(tf * ln((SELECT count(*) FROM documents) * 1.0 / df), 6)
+      |      AS tfidf
+      |  FROM tf JOIN dfq USING (word)),
+      |top AS (
+      |  SELECT source, word, tf, df, tfidf,
+      |    ROW_NUMBER() OVER (PARTITION BY source
+      |                       ORDER BY tfidf DESC, word) AS rk
+      |  FROM scored QUALIFY rk <= 10)
+      |SELECT source, CAST(rk AS BIGINT) AS rk, word, tf, df, tfidf
+      |FROM top ORDER BY source, rk""".stripMargin
+
   /** #90 — vocabulary coverage: the top-20 words by occurrence count
     * with each prefix's cumulative share of ALL token occurrences —
     * the readout that decides how large a tokenizer vocabulary must be

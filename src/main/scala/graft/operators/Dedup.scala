@@ -171,6 +171,71 @@ object Dedup {
        |WHERE CAST(inter AS DOUBLE) / (ca.n + cb.n - inter) >= $JaccardTau
        |ORDER BY doc_a, doc_b""".stripMargin
 
+  /** Containment threshold as an exact rational (num/den = 0.9) and
+    * the short-doc guard: sets smaller than `ContainmentMinShingles`
+    * are skipped — a 1-shingle doc is "contained" in anything that
+    * quotes three of its words, which is noise, not duplication (the
+    * standard guard in the containment literature; Broder 1997 defines
+    * containment alongside resemblance for exactly this asymmetric
+    * case).
+    */
+  private val ContainmentNum = 9L
+  private val ContainmentDen = 10L
+  private val ContainmentMinShingles = 3L
+
+  /** #124 — n-gram CONTAINMENT near-dup: pairs where the SMALLER
+    * shingle set is mostly inside the larger — C(A,B) =
+    * |S(A)∩S(B)| / min(|S(A)|,|S(B)|) ≥ 0.9. The doc-in-doc detector
+    * Jaccard structurally misses: a short document quoted verbatim
+    * inside a long one has C = 1.0 but Jaccard ≈ |A|/|B| → 0 as the
+    * host grows, so a τ=0.8 resemblance filter never fires (DedupSpec
+    * plants exactly this pair and asserts the split). Same machinery
+    * as #26 — one persisted shingle pass shared with the whole dedup
+    * family, candidates from the shared-shingle join (the only
+    * corpus-scale shuffle, same df-cap dial as #47 at 100 TB), counts
+    * over xxhash64 keys — only the acceptance test differs, and it is
+    * CROSS-MULTIPLIED (`inter·10 ≥ 9·min(na,nb)`) so both engines
+    * compare exact integers; the emitted `containment` double is one
+    * division, bit-identical across engines.
+    */
+  def qDedupContainment(spark: SparkSession, dir: String): DataFrame = {
+    val ex = shingleExploded(spark, dir)
+      .select(col("doc_id"), xxhash64(col("shingle")).as("shingle"))
+    val cnt = shingleSets(spark, dir)
+      .select(col("doc_id"), col("n_shingles").as("n"))
+    val a = ex.select(col("doc_id").as("doc_a"), col("shingle"))
+    val b = ex.select(col("doc_id").as("doc_b"), col("shingle"))
+    val inter = a.join(b, "shingle")
+      .where(col("doc_a") < col("doc_b"))
+      .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("inter"))
+    inter
+      .join(cnt.select(col("doc_id").as("doc_a"), col("n").as("na")), "doc_a")
+      .join(cnt.select(col("doc_id").as("doc_b"), col("n").as("nb")), "doc_b")
+      .withColumn("n_min", least(col("na"), col("nb")))
+      .where(col("n_min") >= ContainmentMinShingles &&
+        col("inter") * ContainmentDen >= lit(ContainmentNum) * col("n_min"))
+      .withColumn("containment", col("inter").cast("double") / col("n_min"))
+      .select("doc_a", "doc_b", "inter", "n_min", "containment")
+      .orderBy("doc_a", "doc_b")
+  }
+
+  val qDedupContainmentSql: String =
+    s"""WITH $shingleCteSql,
+       |cnt AS (SELECT doc_id, CAST(len(shingles) AS BIGINT) AS n FROM sh),
+       |ex AS (SELECT doc_id, unnest(shingles) AS shingle FROM sh),
+       |pairs AS (
+       |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
+       |  FROM ex a JOIN ex b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+       |  GROUP BY 1, 2)
+       |SELECT doc_a, doc_b, inter, least(ca.n, cb.n) AS n_min,
+       |  CAST(inter AS DOUBLE) / least(ca.n, cb.n) AS containment
+       |FROM pairs
+       |JOIN cnt ca ON doc_a = ca.doc_id
+       |JOIN cnt cb ON doc_b = cb.doc_id
+       |WHERE least(ca.n, cb.n) >= $ContainmentMinShingles
+       |  AND inter * $ContainmentDen >= $ContainmentNum * least(ca.n, cb.n)
+       |ORDER BY doc_a, doc_b""".stripMargin
+
   /** #27 — MinHash + banded LSH (rows-only gate: seeded xxhash64 has no
     * DuckDB equivalent). k=64 signature = per-doc min of
     * xxhash64(seed_i, shingle) — computed in ONE map-side pass per

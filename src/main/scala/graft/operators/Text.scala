@@ -284,4 +284,78 @@ object Text {
       |  CAST(len(regexp_extract_all(email_red, '$PhoneRe')) AS BIGINT) AS n_phones,
       |  md5(regexp_replace(email_red, '$PhoneRe', '<PHONE>', 'g')) AS redacted_fp
       |FROM t ORDER BY doc_id""".stripMargin
+
+  /** #126 — unigram-LM quality score: each document's mean token
+    * log-probability under the corpus's OWN unigram distribution —
+    * the public proxy for the perplexity filter every published
+    * curation pipeline runs (CCNet and its descendants score docs
+    * with a small LM and cut the tail; with no external model
+    * shippable, the corpus-self-trained unigram model is the
+    * deterministic, oracle-checkable stand-in). Rare-token-heavy docs
+    * (gibberish, encoding damage, boilerplate code) score far more
+    * negative than running prose; the cut is a percentile downstream.
+    *
+    * Determinism is the design constraint: a double `sum` over ln
+    * values would be partition-order-dependent (float addition is not
+    * associative — the §6a rule). So each DISTINCT word's log-prob is
+    * rounded ONCE to 6 dp and fixed as DECIMAL(18,6); per-doc mass is
+    * `tf · lp` summed in exact decimal (associative, any
+    * partitioning), and only the final per-doc mean becomes a double.
+    * Engines agree because both round the same IEEE `ln` input at a
+    * vocabulary-sized number of points (a last-ulp flip would need to
+    * straddle a 5e-7 boundary — ~2e-9 per word).
+    *
+    * Scale: the word scan is map-side; the (doc, word) tf aggregate
+    * and the vocabulary-sized cnt aggregate are the only corpus-scale
+    * exchanges; the corpus total rides as a 1-row broadcast and the
+    * tf⋈lp join keys on the word. Token-less docs surface with
+    * n_tokens = 0 and NULL score (the dirty-record rule — they are
+    * the quality filter's first victims and must stay visible).
+    */
+  def qQualityLm(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val words = docs
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("word"))
+      .filter(length(col("word")) > 0)
+    val tf = words.groupBy("doc_id", "word").agg(count(lit(1)).as("tf"))
+    val cnt = words.groupBy("word").agg(count(lit(1)).as("cnt"))
+    val total = words.agg(count(lit(1)).as("total"))
+    val lp = cnt.crossJoin(broadcast(total))
+      .select(col("word"),
+        round(log(col("cnt").cast("double") / col("total").cast("double")), 6)
+          .cast("decimal(18,6)").as("lp"))
+    val perDoc = tf.join(lp, "word")
+      .groupBy("doc_id").agg(
+        sum(col("tf")).as("n_toks"),
+        sum(col("lp") * col("tf")).as("lp_sum"))
+    docs.select("doc_id").join(perDoc, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_toks"), lit(0L)).as("n_tokens"),
+        round(col("lp_sum").cast("double") / col("n_toks"), 6)
+          .as("avg_logprob"))
+      .orderBy("doc_id")
+  }
+
+  val qQualityLmSql: String =
+    """WITH w2 AS (
+      |  SELECT doc_id, w AS word FROM (
+      |    SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents)
+      |  WHERE length(w) > 0),
+      |tf AS (SELECT doc_id, word, CAST(count(*) AS BIGINT) AS tf
+      |       FROM w2 GROUP BY 1, 2),
+      |cnt AS (SELECT word, CAST(count(*) AS BIGINT) AS cnt FROM w2 GROUP BY 1),
+      |lp AS (
+      |  SELECT word,
+      |    CAST(round(ln(cnt * 1.0 / (SELECT count(*) FROM w2)), 6)
+      |      AS DECIMAL(18,6)) AS lp
+      |  FROM cnt),
+      |per AS (
+      |  SELECT doc_id, CAST(sum(tf) AS BIGINT) AS n_toks,
+      |    sum(lp * tf) AS lp_sum
+      |  FROM tf JOIN lp USING (word) GROUP BY 1)
+      |SELECT d.doc_id,
+      |  COALESCE(per.n_toks, 0) AS n_tokens,
+      |  round(CAST(lp_sum AS DOUBLE) / per.n_toks, 6) AS avg_logprob
+      |FROM documents d LEFT JOIN per ON d.doc_id = per.doc_id
+      |ORDER BY d.doc_id""".stripMargin
 }

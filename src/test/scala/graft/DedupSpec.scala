@@ -72,4 +72,41 @@ class DedupSpec extends SparkSpec {
     val df = SparkEntry.queries("q_dedup_ngram_jaccard")(spark, sf)
     assert(df.where(col("inter") < 1).count() == 0)
   }
+
+  test("containment catches doc-in-doc inclusion that jaccard misses") {
+    import spark.implicits._
+    // doc 2 is quoted VERBATIM inside the much longer doc 1: its
+    // shingle set is a strict subset of doc 1's, so containment = 1.0
+    // while jaccard ≈ |A|/|B| sits far below the 0.8 resemblance τ —
+    // the asymmetric case #124 exists for (Broder's containment vs
+    // resemblance split). doc 3 is background noise sharing nothing.
+    val quoted = "alpha beta gamma delta epsilon zeta"
+    val host = ("intro words before the quote begins here " + quoted +
+      " and then a long tail of unrelated filler text keeps going " +
+      "with many more words to dilute the resemblance far below " +
+      "any reasonable jaccard threshold for near duplicate pairs")
+    val dir = java.nio.file.Files.createTempDirectory("graft_cont_").toString
+    Seq(
+      (1L, host, "en", "src1", host.length.toLong),
+      (2L, quoted, "en", "src1", quoted.length.toLong),
+      (3L, "completely different content about other topics entirely " +
+        "nothing shared with either document above at all", "en", "src2", 100L)
+    ).toDF("doc_id", "text", "lang", "source", "n_chars")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val cont = SparkEntry.queries("q_dedup_containment")(spark, dir)
+      .select("doc_a", "doc_b", "containment")
+      .as[(Long, Long, Double)].collect()
+    assert(cont.map(p => (p._1, p._2)).toSet == Set((1L, 2L)),
+      s"containment must report exactly the quoted pair, got ${cont.toSeq}")
+    assert(cont.head._3 == 1.0, "a verbatim quote has containment 1.0")
+    val jac = SparkEntry.queries("q_dedup_ngram_jaccard")(spark, dir)
+    assert(jac.where((col("doc_a") === 1 && col("doc_b") === 2) ||
+      (col("doc_a") === 2 && col("doc_b") === 1)).count() == 0,
+      "the quoted pair must sit below the jaccard τ for the split to be real")
+    // thresholds hold on the real corpus too
+    val df = SparkEntry.queries("q_dedup_containment")(spark, sf)
+    assert(df.where(col("containment") < 0.9 || col("containment") > 1.0)
+      .count() == 0)
+    assert(df.where(col("doc_a") >= col("doc_b")).count() == 0)
+  }
 }

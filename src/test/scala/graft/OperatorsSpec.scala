@@ -370,6 +370,65 @@ class OperatorsSpec extends SparkSpec {
       .agg(sum("docs")).collect().head.getLong(0) == 2)
   }
 
+  test("unigram-LM quality ranks common prose above rare gibberish") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_lm").toString
+    // "the cat sat" words repeat across docs (high corpus probability);
+    // doc 2's tokens are corpus-unique (probability 1/T each); doc 3
+    // is empty and must surface with n_tokens=0 and a NULL score
+    Seq(
+      (0L, "the cat sat on the mat the cat sat again", "en", "s0", 40L),
+      (1L, "the cat sat on the mat once more today yes", "en", "s0", 42L),
+      (2L, "zq9x kvw7 jjplm qqqzz wxyzt", "en", "s0", 27L),
+      (3L, "", "en", "s0", 0L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(dir + "/documents.parquet")
+    val rows = SparkEntry.queries("q_quality_lm")(spark, dir).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    assert(rows.size == 4, "every document must surface exactly once")
+    assert(rows(3L).getLong(1) == 0L && rows(3L).isNullAt(2),
+      "token-less doc must carry n_tokens=0 and NULL score")
+    val common = rows(0L).getDouble(2)
+    val gibberish = rows(2L).getDouble(2)
+    assert(common > gibberish,
+      s"common prose ($common) must outscore corpus-unique gibberish ($gibberish)")
+    // partitioning-independence of the decimal sum: 3-way repartition
+    // of the same corpus must give bit-identical scores (the §6a claim)
+    val base = SparkEntry.queries("q_quality_lm")(spark, sf).collect().toSeq
+    val p = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "3")
+    try {
+      val alt = SparkEntry.queries("q_quality_lm")(spark, sf).collect().toSeq
+      assert(alt == base, "avg_logprob drifted under a different partitioning")
+    } finally spark.conf.set("spark.sql.shuffle.partitions", p)
+  }
+
+  test("tfidf surfaces source-concentrated terms, never universal ones") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_tfidf").toString
+    // "shared" appears in EVERY doc -> ln(N/df)=ln(1)=0 -> can never
+    // rank; "alpha" is concentrated in src_a and must head its list
+    Seq(
+      (0L, "shared alpha alpha alpha words here", "en", "src_a", 35L),
+      (1L, "shared alpha alpha other words too", "en", "src_a", 34L),
+      (2L, "shared beta beta beta words here", "en", "src_b", 32L),
+      (3L, "shared beta gamma other words too", "en", "src_b", 33L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(dir + "/documents.parquet")
+    val out = SparkEntry.queries("q_tfidf_terms")(spark, dir)
+    assert(out.where(col("word") === "shared" && col("tfidf") > 0.0)
+      .count() == 0, "a word in every doc has idf 0 and must not score")
+    val topA = out.where(col("source") === "src_a" && col("rk") === 1)
+      .select("word").as[String].collect()
+    assert(topA.toSeq == Seq("alpha"),
+      s"src_a's top term must be its concentrated word, got ${topA.toSeq}")
+    // rank is dense 1..k per source on the real corpus
+    val bad = SparkEntry.queries("q_tfidf_terms")(spark, sf)
+      .groupBy("source").agg(max("rk").as("mx"), count(lit(1)).as("n"))
+      .where(col("mx") =!= col("n")).count()
+    assert(bad == 0, "rk must be dense per source")
+  }
+
   test("user-jump events have no follow-up within 10 minutes") {
     // every flagged jump must be a view event; re-derive the count from
     // the raw table as an independent check
