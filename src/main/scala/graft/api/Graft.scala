@@ -993,6 +993,23 @@ object Graft {
     graft.operators.Corpus.contaminated(corpus, benchmark, idCol, textCol,
       n, minOverlap)
 
+  /** The Bloom-prefiltered [[contamination]] (#127) — identical
+    * verdicts (spec-pinned), built for the benchmark whose vocabulary
+    * outgrows an exact broadcast: a fixed `numBits`-bit sketch of the
+    * benchmark shingles rides into every corpus task and drops
+    * non-overlapping shingles map-side (no false negatives — the
+    * sketch can only over-admit, and the exact confirm join removes
+    * the leakage); only the surviving sliver joins the exact
+    * vocabulary. Size the sketch at ~10 bits per expected distinct
+    * benchmark shingle for ~1% false-positive leakage.
+    */
+  def contaminationBloom(corpus: DataFrame, benchmark: DataFrame,
+      idCol: String, textCol: String, n: Int = 3,
+      minOverlap: Long = graft.operators.Corpus.ContaminationK,
+      estItems: Long = 1L << 16, numBits: Long = 1L << 20): DataFrame =
+    graft.operators.Corpus.contaminatedBloom(corpus, benchmark, idCol,
+      textCol, n, minOverlap, estItems, numBits)
+
   /** CJK-aware word-unit explode: one `word` row per unit of `textCol`
     * (whitespace tokens; maximal Han runs expand to overlapping
     * character bigrams — the classic CJK indexing unit), `carry`
@@ -1060,4 +1077,27 @@ object Graft {
             .otherwise("changed").as("status") +:
           carry.map(c => coalesce(col(s"_b_$c"), col(s"_a_$c")).as(c)): _*)
   }
+
+  /** One snapshot's contracted (source, length-bucket) histogram —
+    * the additive state behind streaming drift (#128): per source and
+    * power-of-two token bucket (the `q_length_histogram` rule; null
+    * token counts keep a NULL bucket), the doc count `n` and token
+    * mass `tok`. Integer sums → partials over ANY partition of the
+    * corpus add up to the one-shot histogram exactly, which is why
+    * [[graft.streaming.Streams.corpusDriftSink]] can accumulate it
+    * per micro-batch.
+    */
+  def driftHistogram(df: DataFrame, sourceCol: String,
+      tokensCol: String): DataFrame =
+    graft.operators.Corpus.driftHistogram(df, sourceCol, tokensCol)
+
+  /** The `q_corpus_drift` readout (#122) from a PAIR of
+    * [[driftHistogram]] frames — per source: old/new doc counts,
+    * old/new mean token length, and the cross-multiplied integer L1
+    * between the two length distributions. Spec-pinned equal to the
+    * gated single-scan form; the shape the streaming sweep consumes.
+    */
+  def corpusDriftFromHistograms(oldHist: DataFrame,
+      newHist: DataFrame): DataFrame =
+    graft.operators.Corpus.corpusDriftFromHistograms(oldHist, newHist)
 }

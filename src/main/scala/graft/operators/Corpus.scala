@@ -368,6 +368,77 @@ object Corpus {
       .withColumn("contaminated", col("n_overlap") >= minOverlap)
   }
 
+  /** The Bloom-prefiltered form of [[contaminated]] (#127) — the
+    * 100 TB shape for when the benchmark VOCABULARY outgrows an exact
+    * broadcast (eval suites at web scale carry 10⁸+ long shingles:
+    * ~1 GB of exact 8-byte keys vs a fixed `numBits/8`-byte sketch).
+    * Three stages:
+    *
+    *  1. BUILD: one aggregate pass over the (distinct) benchmark
+    *     shingle hashes into Spark's own BloomFilterAggregate sketch —
+    *     mergeable partials, result size fixed by `numBits` whatever
+    *     the benchmark size. The bytes land on the driver like a
+    *     k-means centroid set: bounded by construction.
+    *  2. PREFILTER: `bloom_might_contain(sketch, shingle)` rides into
+    *     every corpus task as a literal and drops non-benchmark
+    *     shingles MAP-SIDE (codegen'd, no shuffle, no join). No false
+    *     negatives by construction, so nothing an exact join would
+    *     keep is lost; false positives (rate set by numBits/items)
+    *     merely leak extra rows into stage 3.
+    *  3. CONFIRM: the surviving sliver — benchmark-hit-rate-sized, not
+    *     corpus-sized — joins the exact vocabulary (unhinted: AQE
+    *     broadcasts it at gate scale, it shuffles at 100 TB) and the
+    *     per-doc overlap count applies the same ≥ K verdict as #58.
+    *
+    * Verdicts are therefore EXACTLY #58's — the hash gate runs this
+    * flavor against the same oracle — only the join volume changes.
+    * An empty benchmark yields the empty verdict set (the aggregate
+    * returns a NULL sketch; #58's join form agrees).
+    */
+  private[graft] def contaminatedBloom(corpus: DataFrame,
+      benchmark: DataFrame, idCol: String, textCol: String, n: Int,
+      minOverlap: Long, estItems: Long, numBits: Long): DataFrame = {
+    val spark = corpus.sparkSession
+    graft.functions.WordShingles.register(spark)
+    graft.functions.BloomFunctions.register(spark)
+    val sh = corpus
+      .select(col(idCol).as("id"),
+        explode(expr(s"word_shingles($textCol, $n)")).as("shingle"))
+      .select(col("id"), xxhash64(col("shingle")).as("shingle"))
+    // materialized once (localCheckpoint, the connectedComponents
+    // discipline): the bloom build is an eager action over this frame
+    // and the confirm join reads it again after return
+    val vocab = benchmark
+      .select(explode(expr(s"word_shingles($textCol, $n)")).as("shingle"))
+      .select(xxhash64(col("shingle")).as("shingle")).distinct()
+      .localCheckpoint(true)
+    val sketch = vocab
+      .agg(expr(s"bloom_agg(shingle, ${estItems}L, ${numBits}L)")).head
+    val pre =
+      if (sketch.isNullAt(0)) sh.where(lit(false))
+      else sh.where(call_function("bloom_might_contain",
+        lit(sketch.getAs[Array[Byte]](0)), col("shingle")))
+    pre.join(vocab, Seq("shingle"))
+      .groupBy("id").agg(count(lit(1)).as("n_overlap"))
+      .withColumn("contaminated", col("n_overlap") >= minOverlap)
+  }
+
+  /** #127 — `q_contamination_bloom`: #58's verdicts through the
+    * Bloom-prefiltered pipeline (same slices, same K, same output —
+    * the driver gates it against the SAME oracle, which is the
+    * equality claim). Gate-scale sketch: 2²⁰ bits (128 KiB) for 2¹⁶
+    * expected shingles; production dials both with the benchmark.
+    */
+  def qContaminationBloom(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val isBench = pmod(col("doc_id"), lit(97L)) === 0
+    contaminatedBloom(docs.where(!isBench), docs.where(isBench),
+        "doc_id", "text", n = 3, minOverlap = ContaminationK,
+        estItems = 1L << 16, numBits = 1L << 20)
+      .select(col("id").as("doc_id"), col("n_overlap"), col("contaminated"))
+      .orderBy("doc_id")
+  }
+
   /** #58 — `q_contamination`: benchmark decontamination — the check a
     * training-data pipeline runs before training: which corpus
     * documents share enough word-3-gram shingles with an evaluation
@@ -932,13 +1003,24 @@ object Corpus {
       .withColumn("bucket",
         when(col("n_tokens") <= 0, 0L)
           .otherwise(length(bin(col("n_tokens"))).cast("long")))
-    val w = Window.partitionBy("source")
-    d.groupBy("source", "bucket")
+    driftTail(d.groupBy("source", "bucket")
       .agg(
         sum(when(col("in_old"), 1L).otherwise(0L)).as("n_old"),
         sum(when(col("in_new"), 1L).otherwise(0L)).as("n_new"),
         sum(when(col("in_old"), col("n_tokens"))).as("tok_old"),
-        sum(when(col("in_new"), col("n_tokens"))).as("tok_new"))
+        sum(when(col("in_new"), col("n_tokens"))).as("tok_new")))
+  }
+
+  /** The drift readout's shared tail (#122 / #128): from a contracted
+    * (source, bucket, n_old, n_new, tok_old, tok_new) frame to the
+    * per-source drift row — per-source totals via window, the
+    * cross-multiplied integer L1, one final double division per
+    * output column. One definition, so the batch query and the
+    * streaming sweep cannot disagree on what "drift" means.
+    */
+  private[graft] def driftTail(hist: DataFrame): DataFrame = {
+    val w = Window.partitionBy("source")
+    hist
       .withColumn("big_n_old", sum("n_old").over(w))
       .withColumn("big_n_new", sum("n_new").over(w))
       .withColumn("term", abs(
@@ -964,6 +1046,44 @@ object Corpus {
             (col("docs_old").cast("double") * col("docs_new").cast("double")))
           .as("len_l1_drift"))
       .orderBy("source")
+  }
+
+  /** One snapshot's contracted length-histogram — the additive state
+    * behind #128's streaming drift: per (source, power-of-two token
+    * bucket — #53's rule, null tokens keep a NULL bucket), the doc
+    * count and token mass. Additive under union (integer sums), so
+    * micro-batch partials sum to exactly the one-shot histogram
+    * whatever the batch boundaries.
+    */
+  private[graft] def driftHistogram(df: DataFrame, sourceCol: String,
+      tokensCol: String): DataFrame =
+    df.select(col(sourceCol).as("source"),
+        col(tokensCol).cast("long").as("n_tokens"))
+      .withColumn("bucket",
+        when(col("n_tokens") <= 0, 0L)
+          .otherwise(length(bin(col("n_tokens"))).cast("long")))
+      .groupBy("source", "bucket")
+      .agg(count(lit(1)).as("n"), sum("n_tokens").as("tok"))
+
+  /** #122's readout from a PAIR of [[driftHistogram]] frames (old,
+    * new) — the form the streaming sweep uses once the new snapshot's
+    * partials are summed. Null-safe join keys: a NULL bucket (null
+    * token counts) or NULL source must merge into ONE row, as the
+    * single-scan groupBy form does.
+    */
+  private[graft] def corpusDriftFromHistograms(oldHist: DataFrame,
+      newHist: DataFrame): DataFrame = {
+    val a = oldHist.select(col("source").as("os"), col("bucket").as("ob"),
+      col("n").as("n_old"), col("tok").as("tok_old"))
+    val b = newHist.select(col("source").as("ns"), col("bucket").as("nb"),
+      col("n").as("n_new"), col("tok").as("tok_new"))
+    driftTail(a.join(b,
+        a("os") <=> b("ns") && a("ob") <=> b("nb"), "full_outer")
+      .select(coalesce(col("os"), col("ns")).as("source"),
+        coalesce(col("ob"), col("nb")).as("bucket"),
+        coalesce(col("n_old"), lit(0L)).as("n_old"),
+        coalesce(col("n_new"), lit(0L)).as("n_new"),
+        col("tok_old"), col("tok_new")))
   }
 
   val qCorpusDriftSql: String = {

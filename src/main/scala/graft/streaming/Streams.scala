@@ -872,6 +872,66 @@ object Streams {
     statuses.unionAll(removed)
   }
 
+  /** #128 — streaming DISTRIBUTION drift: `q_corpus_drift`'s readout
+    * maintained while the new snapshot ARRIVES. Each micro-batch
+    * contracts to its (source, length-bucket) histogram
+    * ([[graft.api.Graft.driftHistogram]] — doc count + token mass,
+    * integer-additive) and lands replay-safely under
+    * `drift/batch=<id>` (overwrite; foreachBatch is at-least-once).
+    * Nothing corpus-sized is ever held: per-batch state is the
+    * batch's own |sources|×|buckets| rows. [[corpusDriftSweep]] sums
+    * the partials — additivity makes the sum EXACTLY the one-shot
+    * histogram whatever the batch boundaries — and applies the #122
+    * tail against the old snapshot's histogram (spec-pinned equal to
+    * the batch readout, replay-fixpoint-pinned against re-delivery).
+    */
+  def corpusDriftSink(newRows: DataFrame, statePath: String,
+      checkpointDir: String, sourceCol: String = "source",
+      tokensCol: String = "n_tokens")
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    newRows.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        applyCorpusDriftBatch(batch, batchId, statePath, sourceCol, tokensCol)
+      }
+
+  /** One histogram step of [[corpusDriftSink]] (package-visible so
+    * the spec can drive replay directly).
+    */
+  private[graft] def applyCorpusDriftBatch(batch: DataFrame, batchId: Long,
+      statePath: String, sourceCol: String, tokensCol: String): Unit = {
+    import org.apache.hadoop.fs.Path
+    val root = new Path(new Path(statePath).toUri.getPath)
+    graft.api.Graft.driftHistogram(batch, sourceCol, tokensCol)
+      .write.mode("overwrite")
+      .parquet(new Path(root, s"drift/batch=$batchId").toString)
+  }
+
+  /** The full drift readout once the new snapshot's stream is done:
+    * micro-batch partials summed (exact — integer additivity), then
+    * the #122 tail against `oldHist` (a [[graft.api.Graft
+    * .driftHistogram]] of the OLD snapshot). A stream that delivered
+    * no batches is an empty new snapshot: every old source reads as
+    * docs_new = 0 (the [[corpusDiffSweep]] missing-dir convention).
+    */
+  def corpusDriftSweep(spark: org.apache.spark.sql.SparkSession,
+      oldHist: DataFrame, statePath: String): DataFrame = {
+    import org.apache.hadoop.fs.Path
+    val root = new Path(new Path(statePath).toUri.getPath, "drift")
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val newHist =
+      if (!fs.exists(root))
+        spark.emptyDataFrame.select(
+          lit(null).cast(oldHist.schema("source").dataType).as("source"),
+          lit(null).cast("long").as("bucket"),
+          lit(null).cast("long").as("n"),
+          lit(null).cast("long").as("tok"))
+      else spark.read.parquet(root.toString)
+        .groupBy("source", "bucket")
+        .agg(sum("n").as("n"), sum("tok").as("tok"))
+    graft.api.Graft.corpusDriftFromHistograms(oldHist, newHist)
+  }
+
   /** All drop verdicts emitted so far by a [[semanticDedupSink]]. */
   def semanticDedupVerdicts(spark: org.apache.spark.sql.SparkSession,
       statePath: String): Option[DataFrame] = {

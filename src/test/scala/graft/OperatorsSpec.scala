@@ -296,6 +296,32 @@ class OperatorsSpec extends SparkSpec {
     assert(cont.where(col("n_overlap") < 1).isEmpty)
   }
 
+  test("bloom contamination verdicts equal the exact-broadcast flavor") {
+    import spark.implicits._
+    // the no-false-negatives claim, end to end: prefilter + confirm
+    // must reproduce #58 row for row
+    val exact = SparkEntry.queries("q_contamination")(spark, sf)
+    val bloom = SparkEntry.queries("q_contamination_bloom")(spark, sf)
+    assert(bloom.exceptAll(exact).isEmpty && exact.exceptAll(bloom).isEmpty,
+      "bloom-prefiltered verdicts diverged from the exact pipeline")
+    // an empty benchmark yields the empty verdict set, not a crash
+    // (the aggregate's NULL sketch path)
+    val empty = graft.api.Graft.contaminationBloom(
+      Tables.documents(spark, sfTiny),
+      Tables.documents(spark, sfTiny).where(lit(false)),
+      "doc_id", "text")
+    assert(empty.isEmpty, "empty benchmark must contaminate nothing")
+    // facade == gated query on the same slices
+    val docs = Tables.documents(spark, sfTiny)
+    val isBench = pmod(col("doc_id"), lit(97L)) === 0
+    val viaFacade = graft.api.Graft.contaminationBloom(
+      docs.where(!isBench), docs.where(isBench), "doc_id", "text")
+      .select(col("id").as("doc_id"), col("n_overlap"), col("contaminated"))
+    val gated = SparkEntry.queries("q_contamination_bloom")(spark, sfTiny)
+    assert(viaFacade.exceptAll(gated).isEmpty &&
+      gated.exceptAll(viaFacade).isEmpty)
+  }
+
   test("struct-min argmin equals the window argmin on random data with ties") {
     // #94's decorrelation claim, on data the gate never sees: heavy
     // value ties (10 distinct v over 2000 rows) force the suppkey-style

@@ -486,4 +486,21 @@ class PlanSpec extends SparkSpec {
       !p.contains("BroadcastNestedLoopJoin"),
       s"Q19 must stay an equi join with residuals:\n$p")
   }
+
+  test("bloom contamination probes map-side, before the confirm join") {
+    // the sketch probe must be a Filter on the corpus-shingle side —
+    // rows drop BEFORE any exchange or join, the whole point of the
+    // prefilter; the exact confirm join still exists downstream
+    val p = plan("q_contamination_bloom")
+    // (prettyName of BloomFilterMightContain is "might_contain")
+    assert(p.contains("Filter might_contain("),
+      "prefilter expression missing from the executed plan")
+    val probeAt = p.indexOf("Filter might_contain(")
+    val joinAt = p.lastIndexOf("HashJoin")
+    assert(joinAt >= 0, "confirm join missing")
+    assert(probeAt > joinAt,
+      // executedPlan prints top-down: a LARGER index = deeper in the
+      // tree = earlier in dataflow; the probe must sit below the join
+      "bloom probe must run below (before) the confirm join")
+  }
 }

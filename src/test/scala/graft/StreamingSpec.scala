@@ -542,6 +542,60 @@ class StreamingSpec extends SparkSpec {
     spark.sql("DROP TABLE IF EXISTS cdiff_old_snap")
   }
 
+  test("stream_corpus_drift: summed micro-batch histograms equal the batch readout") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val base = java.nio.file.Files.createTempDirectory("graft_drift_").toString
+    // the same snapshot slices the gated #122 computes (hash31 mod
+    // 20 / 17), tokens by the same whitespace rule
+    val toks = size(filter(split(col("text"), " "), t => t =!= "")).cast("long")
+    val d = Tables.documents(spark, sfTiny)
+      .where(col("doc_id").isNotNull)
+      .withColumn("h", graft.operators.Corpus.hash31(col("doc_id")))
+      .select(col("doc_id"), col("source"), col("h"), toks.as("n_tokens"))
+    val oldSnap = d.where(pmod(col("h"), lit(20)) =!= 0)
+    val newSnap = d.where(pmod(col("h"), lit(17)) =!= 0)
+    val oldHist = graft.api.Graft.driftHistogram(oldSnap, "source", "n_tokens")
+    // zero-batch sweep: an empty new snapshot, not a crash
+    val zero = Streams.corpusDriftSweep(spark, oldHist, s"$base/never")
+    assert(zero.agg(sum("docs_new")).head.getLong(0) == 0L &&
+      zero.where(col("len_l1_drift").isNotNull).count() == 0,
+      "zero-batch sweep must read as an empty new snapshot")
+    // the histogram-pair form IS the gated single-scan readout
+    val expected = SparkEntry.queries("q_corpus_drift")(spark, sfTiny)
+      .collect().toSet
+    val pairForm = graft.api.Graft.corpusDriftFromHistograms(oldHist,
+      graft.api.Graft.driftHistogram(newSnap, "source", "n_tokens"))
+      .collect().toSet
+    assert(pairForm == expected,
+      "histogram-pair drift diverged from the gated single-scan form")
+    // stream the new snapshot in 3 chunks; sweep must equal the batch
+    val rows = newSnap.orderBy("doc_id")
+      .select("source", "n_tokens").collect()
+      .map(r => (r.getString(0), r.getLong(1))).toIndexedSeq
+    val ms = MemoryStream[(String, Long)]
+    val stream = ms.toDF().toDF("source", "n_tokens")
+    val q = Streams.corpusDriftSink(stream, s"$base/state", s"$base/ckpt")
+      .start()
+    try {
+      rows.grouped((rows.size + 2) / 3).foreach { chunk =>
+        ms.addData(chunk); q.processAllAvailable()
+      }
+    } finally q.stop()
+    val swept = Streams.corpusDriftSweep(spark, oldHist, s"$base/state")
+    assert(swept.collect().toSet == expected,
+      "streamed drift sweep != the batch q_corpus_drift readout")
+    // replaying the LAST batch (at-least-once) must be a fixpoint
+    val lastId = new java.io.File(s"$base/state/drift").listFiles()
+      .map(_.getName.stripPrefix("batch=").toLong).max
+    val lastChunk = rows.grouped((rows.size + 2) / 3).toSeq.last
+    Streams.applyCorpusDriftBatch(
+      lastChunk.toDF("source", "n_tokens"), lastId,
+      s"$base/state", "source", "n_tokens")
+    assert(Streams.corpusDriftSweep(spark, oldHist, s"$base/state")
+      .collect().toSet == expected, "replayed batch mutated the drift")
+  }
+
   test("stream_dedup_semantic: micro-batch verdicts equal the one-shot ingest") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
