@@ -31,31 +31,14 @@ if not files:
 # captures whose tag starts with one of the listed prefixes enter the
 # min pool (a stale, unreachable pin would flag the current code as a
 # phantom regression forever).
-REBASED = {
-    # round 9 (5c7ad91): the fit now excludes undefined-cosine vectors
-    # and sums unit-direction components in compact-long decimal;
-    # earlier captures timed the pre-determinism double-fold fit
-    "q_dedup_semantic": ("probe_sem9b", "probe_sem9c", "baseline_g"),
-    # round 9: probe_split9 timed the pre-broadcast-hint SMJ plan the
-    # PlanSpec pin then eliminated
-    "q_split_assign": ("probe_split9b", "baseline_i"),
-    # round 9 (probe 14): l⋈o pinned to SMJ so the contraction and the
-    # per-order window run on the join partitioning (one fact exchange
-    # instead of two); earlier captures timed the broadcast-join plan
-    "q21_sole_late_supplier": ("probe_q21smj",),
-    # round 9 (probe 14 follow-ups): single-scan single-exchange
-    # reshapes — product stats joins at line grain under a merge pin;
-    # funnel/latency chain window aggregates over one events pass
-    # (was 3 scans + 3 fact exchanges + joins); as-of fuses the view
-    # tie-break into the as-of window (was a second fact exchange).
-    # funnel/latency/asof trade ~1.2-1.5x local wall (sort-dominated
-    # at sf0.1) for the scan/shuffle shape that wins at scale —
-    # documented in docs/SCALING.md probe 14.
-    "q_product_stats": ("probe_p14",),
-    "q_event_funnel": ("probe_p14d",),
-    "q_conversion_latency": ("probe_p14d",),
-    "q_asof_join": ("probe_p14",),
-}
+# Round 10 reset the capture pool: the driver regenerated testdata
+# with events.ts as timestamp[us] (was TIMESTAMP(NANOS)), so EVERY
+# events-family query now runs a different (NTZ-normalizing) scan
+# expression and every round-9 capture timed data files that no
+# longer exist. All r10+ captures are post-change for the whole
+# surface; re-populate this map only when an implementation changes
+# AFTER some r10 capture was taken.
+REBASED = {}
 
 per_query = {}   # name -> list[(seconds, source)]
 for f in files:
