@@ -1078,6 +1078,28 @@ object Graft {
           carry.map(c => coalesce(col(s"_b_$c"), col(s"_a_$c")).as(c)): _*)
   }
 
+  /** The corpus-self-trained unigram model behind the LM quality
+    * score (#126/#130): per word, a 6-dp-fixed DECIMAL(18,6)
+    * log-probability. Vocabulary-sized — persist or
+    * [[writeSnapshot]] it and score later ingest against the FROZEN
+    * model with [[scoreQualityLm]] (re-fit on a cadence, the
+    * streaming-centroid lambda rule).
+    */
+  def unigramModel(df: DataFrame, textCol: String): DataFrame =
+    graft.operators.Text.unigramModel(df, textCol)
+
+  /** Scores any frame against a [[unigramModel]]: per row, token
+    * count and mean token log-prob (exact decimal summation —
+    * partitioning-independent; OOV words dropped from mass and
+    * count; token-less rows keep n_tokens = 0 and a NULL score).
+    * Stateless per document, so the streaming twin
+    * ([[graft.streaming.Streams.qualityLmSink]]) is batch-boundary-
+    * proof by construction.
+    */
+  def scoreQualityLm(df: DataFrame, model: DataFrame, idCol: String,
+      textCol: String): DataFrame =
+    graft.operators.Text.scoreQualityLm(df, model, idCol, textCol)
+
   /** One snapshot's contracted (source, length-bucket) histogram —
     * the additive state behind streaming drift (#128): per source and
     * power-of-two token bucket (the `q_length_histogram` rule; null

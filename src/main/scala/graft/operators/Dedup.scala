@@ -419,6 +419,59 @@ object Dedup {
        |  CAST(count(*) OVER (PARTITION BY cluster_id) AS BIGINT) AS cluster_size
        |FROM lab ORDER BY doc_id""".stripMargin
 
+  /** #129 — `q_keeper_quality`: QUALITY-AWARE keeper election per dup
+    * cluster — the doc a production dedup actually keeps. #25/#43
+    * elect the MIN-ID canonical (deterministic, cheap, and what the
+    * pair-drop rule needs); a curation pipeline keeps the BEST copy
+    * instead: near-dup clusters mix crawls of different cleanliness,
+    * and dropping the high-quality copy because it has a larger id
+    * throws away exactly the text the corpus wanted. Composes the
+    * SHARED stage definitions — #43's cluster labeling and #33's
+    * quality projection — so the election cannot drift from the gated
+    * operators it builds on.
+    *
+    * The argmax is the #94 STRUCT-MAX (a mergeable aggregate:
+    * map-side partials, no per-cluster row buffering), with the sort
+    * key `(coalesce(score, −1), −doc_id)` making NULL-scored docs
+    * lose to any scored one and ties break to the SMALLER id — both
+    * rules stated identically in the oracle's window formulation (the
+    * two-independent-expressions gate). Cluster labels are bounded by
+    * docs-with-a-dup; everything here is cluster-grain, corpus-scale
+    * work ended at the pair generator.
+    */
+  def qKeeperQuality(spark: SparkSession, dir: String): DataFrame = {
+    val clusters = qDupClusters(spark, dir)
+      .select("doc_id", "cluster_id", "cluster_size")
+    val quality = Text.withQuality(Tables.documents(spark, dir))
+      .select(col("doc_id"), col("quality_score"))
+    clusters.join(quality, "doc_id")
+      .groupBy("cluster_id")
+      .agg(
+        max(struct(
+          coalesce(col("quality_score"), lit(-1.0)).as("k"),
+          (-col("doc_id")).as("t"),
+          col("doc_id").as("keeper_id"),
+          col("quality_score").as("keeper_score"))).as("w"),
+        max("cluster_size").as("cluster_size"))
+      .select(col("cluster_id"), col("w.keeper_id").as("keeper_id"),
+        col("w.keeper_score").as("keeper_score"), col("cluster_size"),
+        (col("cluster_size") - 1).as("n_dropped"))
+      .orderBy("cluster_id")
+  }
+
+  val qKeeperQualitySql: String =
+    s"""WITH clusters AS (SELECT * FROM ($qDupClustersSql)),
+       |q AS (SELECT doc_id, quality_score
+       |      FROM (${Text.qTextQualitySql})),
+       |ranked AS (
+       |  SELECT c.cluster_id, c.doc_id, c.cluster_size, q.quality_score,
+       |    ROW_NUMBER() OVER (PARTITION BY c.cluster_id
+       |      ORDER BY COALESCE(q.quality_score, -1) DESC, c.doc_id) AS rk
+       |  FROM clusters c JOIN q ON c.doc_id = q.doc_id)
+       |SELECT cluster_id, doc_id AS keeper_id, quality_score AS keeper_score,
+       |  cluster_size, cluster_size - 1 AS n_dropped
+       |FROM ranked WHERE rk = 1 ORDER BY cluster_id""".stripMargin
+
   /** Split-bin count for #107; bins 0/1 are test/val, the rest train.
     * The SQL twin embeds the same literal.
     */

@@ -314,26 +314,53 @@ object Text {
     */
   def qQualityLm(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(spark, dir)
-    val words = docs
-      .select(col("doc_id"), explode(split(col("text"), " ")).as("word"))
+    scoreQualityLm(docs, unigramModel(docs, "text"), "doc_id", "text")
+      .orderBy("doc_id")
+  }
+
+  /** The corpus-self-trained unigram model behind #126/#130: per
+    * word, its 6-dp-fixed DECIMAL(18,6) log-probability (the one
+    * rounding point — see [[qQualityLm]]'s determinism note).
+    * Vocabulary-sized; persist or snapshot it to score later ingest
+    * against a FROZEN model (the #130 deployment).
+    */
+  private[graft] def unigramModel(df: DataFrame, textCol: String): DataFrame = {
+    val words = df
+      .select(explode(split(col(textCol), " ")).as("word"))
       .filter(length(col("word")) > 0)
-    val tf = words.groupBy("doc_id", "word").agg(count(lit(1)).as("tf"))
     val cnt = words.groupBy("word").agg(count(lit(1)).as("cnt"))
-    val total = words.agg(count(lit(1)).as("total"))
-    val lp = cnt.crossJoin(broadcast(total))
+    cnt.crossJoin(broadcast(words.agg(count(lit(1)).as("total"))))
       .select(col("word"),
         round(log(col("cnt").cast("double") / col("total").cast("double")), 6)
           .cast("decimal(18,6)").as("lp"))
-    val perDoc = tf.join(lp, "word")
-      .groupBy("doc_id").agg(
+  }
+
+  /** Scores any frame against a [[unigramModel]] — the shared core of
+    * #126 (model == corpus) and #130 (frozen model, streamed docs):
+    * per doc, token count and mean log-prob in exact decimal
+    * summation. Stateless per document — a doc's score depends only
+    * on its own text and the model — which is what makes the
+    * streaming twin batch-boundary-proof. Out-of-vocabulary words
+    * (absent from the model) are DROPPED from both the mass and the
+    * token count, stated identically in both flavors; token-less docs
+    * surface with n_tokens = 0 and NULL score.
+    */
+  private[graft] def scoreQualityLm(df: DataFrame, model: DataFrame,
+      idCol: String, textCol: String): DataFrame = {
+    val words = df
+      .select(col(idCol).as("_qid"),
+        explode(split(col(textCol), " ")).as("word"))
+      .filter(length(col("word")) > 0)
+    val tf = words.groupBy("_qid", "word").agg(count(lit(1)).as("tf"))
+    val perDoc = tf.join(model, "word")
+      .groupBy("_qid").agg(
         sum(col("tf")).as("n_toks"),
         sum(col("lp") * col("tf")).as("lp_sum"))
-    docs.select("doc_id").join(perDoc, Seq("doc_id"), "left")
-      .select(col("doc_id"),
+    df.select(col(idCol).as("_qid")).join(perDoc, Seq("_qid"), "left")
+      .select(col("_qid").as(idCol),
         coalesce(col("n_toks"), lit(0L)).as("n_tokens"),
         round(col("lp_sum").cast("double") / col("n_toks"), 6)
           .as("avg_logprob"))
-      .orderBy("doc_id")
   }
 
   val qQualityLmSql: String =

@@ -932,6 +932,52 @@ object Streams {
     graft.api.Graft.corpusDriftFromHistograms(oldHist, newHist)
   }
 
+  /** #130 — LM quality scoring AT INGEST: each arriving micro-batch
+    * scored against a FROZEN [[graft.api.Graft.unigramModel]] (fit on
+    * a seed corpus, re-fit on a cadence — the streaming-centroid
+    * lambda rule), scores landing replay-safely under
+    * `scores/batch=<id>`. A doc's score depends only on its own text
+    * and the model (stateless — [[graft.api.Graft.scoreQualityLm]] is
+    * literally the batch function), so micro-batch boundaries cannot
+    * change any score and replay is a pure overwrite.
+    */
+  def qualityLmSink(docs: DataFrame, model: DataFrame, statePath: String,
+      checkpointDir: String, idCol: String = "doc_id",
+      textCol: String = "text")
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    docs.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        applyQualityLmBatch(batch, batchId, model, statePath, idCol, textCol)
+      }
+
+  /** One scoring step of [[qualityLmSink]] (package-visible so the
+    * spec can drive replay directly).
+    */
+  private[graft] def applyQualityLmBatch(batch: DataFrame, batchId: Long,
+      model: DataFrame, statePath: String, idCol: String,
+      textCol: String): Unit = {
+    import org.apache.hadoop.fs.Path
+    val root = new Path(new Path(statePath).toUri.getPath)
+    graft.api.Graft.scoreQualityLm(batch, model, idCol, textCol)
+      .write.mode("overwrite")
+      .parquet(new Path(root, s"scores/batch=$batchId").toString)
+  }
+
+  /** All scores emitted so far by a [[qualityLmSink]] (None before the
+    * first completed batch — the [[semanticDedupVerdicts]] convention).
+    */
+  def qualityLmScores(spark: org.apache.spark.sql.SparkSession,
+      statePath: String): Option[DataFrame] = {
+    import org.apache.hadoop.fs.Path
+    val sroot = new Path(new Path(statePath).toUri.getPath, "scores")
+    val fs = sroot.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(sroot)) None
+    // drop the batch=<id> partition-discovery column — replay
+    // provenance, not part of the score contract
+    else Some(spark.read.parquet(sroot.toString).drop("batch"))
+  }
+
   /** All drop verdicts emitted so far by a [[semanticDedupSink]]. */
   def semanticDedupVerdicts(spark: org.apache.spark.sql.SparkSession,
       statePath: String): Option[DataFrame] = {

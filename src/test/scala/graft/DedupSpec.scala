@@ -73,6 +73,27 @@ class DedupSpec extends SparkSpec {
     assert(df.where(col("inter") < 1).count() == 0)
   }
 
+  test("keeper election picks the max-quality member of every cluster") {
+    val keepers = SparkEntry.queries("q_keeper_quality")(spark, sf)
+    val clusters = SparkEntry.queries("q_dup_clusters")(spark, sf)
+    val quality = SparkEntry.queries("q_text_quality")(spark, sf)
+      .select(col("doc_id"), col("quality_score"))
+    assert(keepers.count() ==
+      clusters.select("cluster_id").distinct().count(),
+      "exactly one keeper per cluster")
+    // the keeper is a member, and no member outscores it
+    val joined = clusters.join(quality, "doc_id")
+      .join(keepers.select(col("cluster_id"), col("keeper_id"),
+        col("keeper_score")), "cluster_id")
+    assert(joined.join(clusters.select(col("doc_id").as("keeper_id"),
+        col("cluster_id")), Seq("cluster_id", "keeper_id"), "left_anti")
+      .isEmpty, "keeper must be a member of its cluster")
+    val beaten = joined.where(
+      coalesce(col("quality_score"), lit(-1.0)) >
+        coalesce(col("keeper_score"), lit(-1.0))).count()
+    assert(beaten == 0, s"$beaten members outscore their keeper")
+  }
+
   test("containment catches doc-in-doc inclusion that jaccard misses") {
     import spark.implicits._
     // doc 2 is quoted VERBATIM inside the much longer doc 1: its

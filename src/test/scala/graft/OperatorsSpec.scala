@@ -455,6 +455,30 @@ class OperatorsSpec extends SparkSpec {
     assert(bad == 0, "rk must be dense per source")
   }
 
+  test("events loader normalizes every ts encoding to the same ts_us") {
+    import spark.implicits._
+    // the driver's current files (timestamp[us] NTZ) already gate the
+    // NTZ branch and the nasty ev corpus the nanos branch; this pins
+    // the third — adjusted-UTC micros (TimestampType) — and that the
+    // three agree on the same instant
+    val dir = java.nio.file.Files.createTempDirectory("graft_tsenc").toString
+    val usec = 1704067207179575L // 2024-01-01T00:00:07.179575Z
+    Seq((1L, new java.sql.Timestamp(usec / 1000), 7L, "view", 1.0, "{}"))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      // java.sql.Timestamp keeps millis; restore the micros precision
+      .withColumn("ts", timestamp_micros(lit(usec)))
+      .write.mode("overwrite").parquet(dir + "/events.parquet")
+    val got = Tables.events(spark, dir).select("ts_us").as[Long].head()
+    assert(got == usec, s"adjusted-micros branch: got $got, want $usec")
+    // and the NTZ branch on the real corpus yields epoch micros that
+    // DuckDB's epoch_us(ts) reproduces (spot-pinned value range)
+    val sample = Tables.events(spark, sfTiny)
+      .agg(min("ts_us"), max("ts_us")).head
+    assert(sample.getLong(0) > 1500000000000000L &&
+      sample.getLong(1) < 2000000000000000L,
+      "NTZ branch must land in the epoch-micros range")
+  }
+
   test("user-jump events have no follow-up within 10 minutes") {
     // every flagged jump must be a view event; re-derive the count from
     // the raw table as an independent check

@@ -487,6 +487,19 @@ class PlanSpec extends SparkSpec {
       s"Q19 must stay an equi join with residuals:\n$p")
   }
 
+  test("tfidf and quality-lm aggregate without Expand") {
+    // both df aggregates are the distinct-then-count / single-pass
+    // shapes — a count(DISTINCT) Expand here would multiply the
+    // word-exploded corpus stream (the #95 trade, refused)
+    Seq("q_tfidf_terms", "q_quality_lm").foreach { q =>
+      val p = plan(q)
+      assert(!p.contains("Expand"), s"$q must not Expand the word stream")
+    }
+    // the per-source top-10 prunes map-side before its exchange
+    assert(plan("q_tfidf_terms").contains("WindowGroupLimit"),
+      "tfidf top-k must prune via WindowGroupLimit")
+  }
+
   test("bloom contamination probes map-side, before the confirm join") {
     // the sketch probe must be a Filter on the corpus-shingle side —
     // rows drop BEFORE any exchange or join, the whole point of the

@@ -542,6 +542,48 @@ class StreamingSpec extends SparkSpec {
     spark.sql("DROP TABLE IF EXISTS cdiff_old_snap")
   }
 
+  test("stream_quality_lm: frozen-model scores equal the batch scorer") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val base = java.nio.file.Files.createTempDirectory("graft_qlm_").toString
+    val docs = Tables.documents(spark, sfTiny)
+    // model frozen from the even-id seed slice; the odd-id "ingest"
+    // half carries OOV words relative to it — the rule must hold
+    val seed = docs.where(pmod(col("doc_id"), lit(2)) === 0)
+    val model = graft.api.Graft.unigramModel(seed, "text")
+      .persist()
+    model.count()
+    val ingest = docs.where(pmod(col("doc_id"), lit(2)) === 1)
+    val expected = graft.api.Graft.scoreQualityLm(
+      ingest, model, "doc_id", "text").collect().toSet
+    assert(expected.nonEmpty)
+    val rows = ingest.orderBy("doc_id").select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toIndexedSeq
+    val ms = MemoryStream[(Long, String)]
+    val stream = ms.toDF().toDF("doc_id", "text")
+    val q = Streams.qualityLmSink(stream, model, s"$base/state",
+      s"$base/ckpt").start()
+    try {
+      rows.grouped((rows.size + 2) / 3).foreach { chunk =>
+        ms.addData(chunk); q.processAllAvailable()
+      }
+    } finally q.stop()
+    val got = Streams.qualityLmScores(spark, s"$base/state").get
+    assert(got.collect().toSet == expected,
+      "streamed frozen-model scores != the batch scorer on the same model")
+    // replaying the LAST batch must be a fixpoint (pure overwrite)
+    val lastId = new java.io.File(s"$base/state/scores").listFiles()
+      .map(_.getName.stripPrefix("batch=").toLong).max
+    Streams.applyQualityLmBatch(
+      rows.grouped((rows.size + 2) / 3).toSeq.last.toDF("doc_id", "text"),
+      lastId, model, s"$base/state", "doc_id", "text")
+    assert(Streams.qualityLmScores(spark, s"$base/state").get
+      .collect().toSet == expected, "replayed batch mutated the scores")
+    // no scores before any batch
+    assert(Streams.qualityLmScores(spark, s"$base/none").isEmpty)
+    model.unpersist()
+  }
+
   test("stream_corpus_drift: summed micro-batch histograms equal the batch readout") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext

@@ -38,7 +38,13 @@ if not files:
 # longer exist. All r10+ captures are post-change for the whole
 # surface; re-populate this map only when an implementation changes
 # AFTER some r10 capture was taken.
-REBASED = {}
+REBASED = {
+    # round 10 (#130): qQualityLm refactored onto the shared
+    # unigramModel/scoreQualityLm core (the frozen-model stream twin's
+    # functions) — the r10a-c captures timed the pre-refactor fused
+    # form, which scanned the word explode once less
+    "q_quality_lm": ("probe_r10d",),
+}
 
 per_query = {}   # name -> list[(seconds, source)]
 for f in files:
