@@ -198,11 +198,12 @@ object Dedup {
     * compare exact integers; the emitted `containment` double is one
     * division, bit-identical across engines.
     */
-  def qDedupContainment(spark: SparkSession, dir: String): DataFrame = {
-    val ex = shingleExploded(spark, dir)
-      .select(col("doc_id"), xxhash64(col("shingle")).as("shingle"))
-    val cnt = shingleSets(spark, dir)
-      .select(col("doc_id"), col("n_shingles").as("n"))
+  /** Shared tail of the containment family (#124, #131) — the
+    * [[jaccardPairs]] skeleton with the containment acceptance:
+    * cross-multiplied `inter·den ≥ num·min(na,nb)` plus the
+    * min-shingle guard.
+    */
+  private def containmentPairs(ex: DataFrame, cnt: DataFrame): DataFrame = {
     val a = ex.select(col("doc_id").as("doc_a"), col("shingle"))
     val b = ex.select(col("doc_id").as("doc_b"), col("shingle"))
     val inter = a.join(b, "shingle")
@@ -217,6 +218,14 @@ object Dedup {
       .withColumn("containment", col("inter").cast("double") / col("n_min"))
       .select("doc_a", "doc_b", "inter", "n_min", "containment")
       .orderBy("doc_a", "doc_b")
+  }
+
+  def qDedupContainment(spark: SparkSession, dir: String): DataFrame = {
+    val ex = shingleExploded(spark, dir)
+      .select(col("doc_id"), xxhash64(col("shingle")).as("shingle"))
+    val cnt = shingleSets(spark, dir)
+      .select(col("doc_id"), col("n_shingles").as("n"))
+    containmentPairs(ex, cnt)
   }
 
   val qDedupContainmentSql: String =
@@ -235,6 +244,7 @@ object Dedup {
        |WHERE least(ca.n, cb.n) >= $ContainmentMinShingles
        |  AND inter * $ContainmentDen >= $ContainmentNum * least(ca.n, cb.n)
        |ORDER BY doc_a, doc_b""".stripMargin
+
 
   /** #27 — MinHash + banded LSH (rows-only gate: seeded xxhash64 has no
     * DuckDB equivalent). k=64 signature = per-doc min of
@@ -361,6 +371,44 @@ object Dedup {
        |WHERE CAST(inter AS DOUBLE) / (ca.n + cb.n - inter) >= $JaccardTau
        |ORDER BY doc_a, doc_b""".stripMargin
 
+  /** #131 — `q_dedup_containment_capped`: #124 under the #47 df≤64
+    * cap — the boilerplate-corpus form, with per-shingle fan-out
+    * bounded at df² whatever the corpus (probe 3's dial). The #47
+    * discipline carries over exactly: set sizes are counted over the
+    * RARE-shingle universe (a doc "contained" via boilerplate alone
+    * should not fire — its rare-shingle set is what must be covered),
+    * mirrored in the oracle.
+    */
+  def qDedupContainmentCapped(spark: SparkSession, dir: String): DataFrame = {
+    val ex = shingleExploded(spark, dir)
+      .select(col("doc_id"), xxhash64(col("shingle")).as("shingle"))
+    val rare = ex.groupBy("shingle").agg(count(lit(1)).as("df"))
+      .where(col("df") <= DfCap)
+      .select("shingle")
+    val exRare = ex.join(rare, "shingle").persist()
+    val cntRare = exRare.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    containmentPairs(exRare, cntRare)
+  }
+
+  val qDedupContainmentCappedSql: String =
+    s"""WITH $shingleCteSql,
+       |ex AS (SELECT doc_id, unnest(shingles) AS shingle FROM sh),
+       |rare AS (SELECT shingle FROM ex GROUP BY shingle HAVING count(*) <= $DfCap),
+       |exr AS (SELECT doc_id, ex.shingle FROM ex JOIN rare ON ex.shingle = rare.shingle),
+       |cnt AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n FROM exr GROUP BY doc_id),
+       |pairs AS (
+       |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
+       |  FROM exr a JOIN exr b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+       |  GROUP BY 1, 2)
+       |SELECT doc_a, doc_b, inter, least(ca.n, cb.n) AS n_min,
+       |  CAST(inter AS DOUBLE) / least(ca.n, cb.n) AS containment
+       |FROM pairs
+       |JOIN cnt ca ON doc_a = ca.doc_id
+       |JOIN cnt cb ON doc_b = cb.doc_id
+       |WHERE least(ca.n, cb.n) >= $ContainmentMinShingles
+       |  AND inter * $ContainmentDen >= $ContainmentNum * least(ca.n, cb.n)
+       |ORDER BY doc_a, doc_b""".stripMargin
+
   /** #43 — `q_dup_clusters`: connected components over the near-dup
     * graph, labeling every document that appears in at least one
     * near-dup pair with its cluster id (= min doc_id reachable) and
@@ -437,7 +485,10 @@ object Dedup {
     * rules stated identically in the oracle's window formulation (the
     * two-independent-expressions gate). Cluster labels are bounded by
     * docs-with-a-dup; everything here is cluster-grain, corpus-scale
-    * work ended at the pair generator.
+    * work ended at the pair generator. At 100 TB, key the election on
+    * the PERSISTED #69 labeling instead of refitting (the #107 rule —
+    * the gate-scale refit here is the probe-measured cold-fit cost,
+    * not the election's).
     */
   def qKeeperQuality(spark: SparkSession, dir: String): DataFrame = {
     val clusters = qDupClusters(spark, dir)

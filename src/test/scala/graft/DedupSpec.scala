@@ -73,6 +73,17 @@ class DedupSpec extends SparkSpec {
     assert(df.where(col("inter") < 1).count() == 0)
   }
 
+  test("capped containment equals uncapped where the cap never binds") {
+    // at gate SF no shingle reaches df=64, so the rare-universe sizes
+    // equal the full sizes and the two flavors must agree bit-for-bit
+    // (the #47 discipline, restated for containment)
+    val capped = SparkEntry.queries("q_dedup_containment_capped")(spark, sf)
+    val uncapped = SparkEntry.queries("q_dedup_containment")(spark, sf)
+    assert(capped.exceptAll(uncapped).isEmpty &&
+      uncapped.exceptAll(capped).isEmpty,
+      "capped flavor diverged where the df cap cannot bind")
+  }
+
   test("keeper election picks the max-quality member of every cluster") {
     val keepers = SparkEntry.queries("q_keeper_quality")(spark, sf)
     val clusters = SparkEntry.queries("q_dup_clusters")(spark, sf)
