@@ -944,12 +944,17 @@ object Streams {
   def qualityLmSink(docs: DataFrame, model: DataFrame, statePath: String,
       checkpointDir: String, idCol: String = "doc_id",
       textCol: String = "text")
-      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] = {
+    require(idCol != "batch",
+      "qualityLmSink stores scores under batch=<id> partitions; an id " +
+        "column named 'batch' would collide with partition discovery — " +
+        "rename it first")
     docs.writeStream
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         applyQualityLmBatch(batch, batchId, model, statePath, idCol, textCol)
       }
+  }
 
   /** One scoring step of [[qualityLmSink]] (package-visible so the
     * spec can drive replay directly).
