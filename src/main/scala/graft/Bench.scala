@@ -31,8 +31,12 @@ object Bench {
   /** (busy, steal) jiffies from the aggregate /proc/stat line; steal
     * rising in step with busy means the hypervisor is taking cycles.
     * Busy = every non-idle, non-steal bucket (user nice system iowait
-    * irq softirq guest…) — counting only user+system would overstate
-    * steal% whenever nice/iowait/irq carry load.
+    * irq softirq) — counting only user+system would overstate steal%
+    * whenever nice/iowait/irq carry load. Only the first 8 columns
+    * enter the sum: proc(5) documents guest/guest_nice (cols 8-9) as
+    * ALREADY INCLUDED in user/nice, so summing them would double-count
+    * guest time and understate steal% exactly when the host is
+    * busiest (review r10).
     */
   private def cpuJiffies(): (Long, Long) =
     try {
@@ -41,7 +45,7 @@ object Bench {
       val v = cols.drop(1).map(_.toLong)
       val idle = if (v.length > 3) v(3) else 0L
       val steal = if (v.length > 7) v(7) else 0L
-      (v.sum - idle - steal, steal)
+      (v.take(8).sum - idle - steal, steal)
     } catch { case _: Throwable => (0L, 0L) }
 
   def main(args: Array[String]): Unit = {

@@ -31,6 +31,8 @@ object ProbeBloom {
       .select("shingle").distinct().persist()
     val nCorpus = corpusSh.count()
     val nVocab = vocab.count()
+    require(nVocab > 0,
+      s"benchmark slice of $dir has no shingles — nothing to probe")
     val sketch = vocab
       .agg(expr(s"bloom_agg(shingle, ${nVocab}L, ${numBits}L)")).head
       .getAs[Array[Byte]](0)

@@ -328,8 +328,13 @@ object Text {
     val words = df
       .select(explode(split(col(textCol), " ")).as("word"))
       .filter(length(col("word")) > 0)
+    // ONE corpus pass: the vocabulary-sized counts persist (the
+    // shingleSets discipline), so total ≡ Σcnt and the lp projection
+    // both read the cached frame instead of re-running the
+    // corpus-scale explode per reference (review r10)
     val cnt = words.groupBy("word").agg(count(lit(1)).as("cnt"))
-    cnt.crossJoin(broadcast(words.agg(count(lit(1)).as("total"))))
+      .persist()
+    cnt.crossJoin(broadcast(cnt.agg(sum("cnt").as("total"))))
       .select(col("word"),
         round(log(col("cnt").cast("double") / col("total").cast("double")), 6)
           .cast("decimal(18,6)").as("lp"))

@@ -964,9 +964,15 @@ object Streams {
       textCol: String): Unit = {
     import org.apache.hadoop.fs.Path
     val root = new Path(new Path(statePath).toUri.getPath)
-    graft.api.Graft.scoreQualityLm(batch, model, idCol, textCol)
-      .write.mode("overwrite")
-      .parquet(new Path(root, s"scores/batch=$batchId").toString)
+    // Persist: the scorer's plan references the micro-batch twice (the
+    // word explode and the keep-every-id left join), and foreachBatch
+    // re-executes the batch per reference (the applyCorpusDiffBatch rule)
+    val b = batch.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try
+      graft.api.Graft.scoreQualityLm(b, model, idCol, textCol)
+        .write.mode("overwrite")
+        .parquet(new Path(root, s"scores/batch=$batchId").toString)
+    finally b.unpersist()
   }
 
   /** All scores emitted so far by a [[qualityLmSink]] (None before the

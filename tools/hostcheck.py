@@ -39,10 +39,13 @@ def steal_pct():
         vals = list(map(int, f[1:]))
         idle = vals[3] if len(vals) > 3 else 0
         steal = vals[7] if len(vals) > 7 else 0
-        # busy = every non-idle, non-steal bucket (user nice system
-        # iowait irq softirq guest...) -- user+system alone overstates
-        # steal%% when nice/iowait/irq carry load (mirrors Bench.scala)
-        busy = sum(vals) - idle - steal
+        # busy = every non-idle, non-steal bucket among the first 8
+        # columns (user nice system iowait irq softirq). guest/
+        # guest_nice (cols 8-9) are already included in user/nice per
+        # proc(5) -- summing them double-counts guest time and
+        # understates steal%% when the host is busiest (mirrors
+        # Bench.scala)
+        busy = sum(vals[:8]) - idle - steal
         return busy, steal
     b0, s0 = snap()
     time.sleep(2)

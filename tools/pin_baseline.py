@@ -39,11 +39,13 @@ if not files:
 # surface; re-populate this map only when an implementation changes
 # AFTER some r10 capture was taken.
 REBASED = {
-    # round 10 (#130): qQualityLm refactored onto the shared
-    # unigramModel/scoreQualityLm core (the frozen-model stream twin's
-    # functions) — the r10a-c captures timed the pre-refactor fused
-    # form, which scanned the word explode once less
-    "q_quality_lm": ("probe_r10d",),
+    # round 10 review: both queries reshaped to ONE corpus scan with a
+    # persisted contraction (unigramModel shares its cnt frame; tfidf
+    # aggregates a cached (doc, source, word) frame) — earlier
+    # captures timed the multi-scan forms; docs/PLANS.md prices the
+    # local-wall-for-scan-count trade
+    "q_quality_lm": ("probe_r10k",),
+    "q_tfidf_terms": ("probe_r10k",),
 }
 
 per_query = {}   # name -> list[(seconds, source)]
