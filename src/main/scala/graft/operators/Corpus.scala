@@ -805,17 +805,16 @@ object Corpus {
       .select(col("doc_id"), col("source"),
         explode(split(col("text"), " ")).as("word"))
       .filter(length(col("word")) > 0)
-    // ONE corpus-scale pass: contract the word stream to (doc, source,
-    // word) grain and persist the contraction (the shingleSets
-    // discipline — review r10); tf and df are then re-aggregates of
-    // the cached frame, not second and third corpus explodes. N's
-    // count(*) reads parquet row-group metadata only.
-    val docWord = words
-      .groupBy(col("doc_id"), col("source"), col("word"))
-      .agg(count(lit(1)).as("c"))
-      .persist()
-    val tf = docWord.groupBy("source", "word").agg(sum("c").as("tf"))
-    val dfreq = docWord.groupBy("word").agg(count(lit(1)).as("df"))
+    // Two explode branches ON PURPOSE (probe 16): the reviewed
+    // alternative — contract once to a persisted (doc, source, word)
+    // frame and re-aggregate — measured 0.73-0.83x of this form at
+    // x16-x64 corpus scale and trending WORSE with size: the codegen'd
+    // scan→explode→partial-agg pipeline is cheaper to run twice than a
+    // (doc, word)-grain cache is to materialize and re-read (a word-
+    // exploded contraction is not much smaller than the text itself).
+    val tf = words.groupBy("source", "word").agg(count(lit(1)).as("tf"))
+    val dfreq = words.select("doc_id", "word").distinct()
+      .groupBy("word").agg(count(lit(1)).as("df"))
     val n = docs.agg(count(lit(1)).as("n_docs"))
     val scored = tf.join(dfreq, "word")
       .crossJoin(broadcast(n))

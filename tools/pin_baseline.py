@@ -39,13 +39,17 @@ if not files:
 # surface; re-populate this map only when an implementation changes
 # AFTER some r10 capture was taken.
 REBASED = {
-    # round 10 review: both queries reshaped to ONE corpus scan with a
-    # persisted contraction (unigramModel shares its cnt frame; tfidf
-    # aggregates a cached (doc, source, word) frame) — earlier
-    # captures timed the multi-scan forms; docs/PLANS.md prices the
-    # local-wall-for-scan-count trade
-    "q_quality_lm": ("probe_r10k",),
-    "q_tfidf_terms": ("probe_r10k",),
+    # round 10 (#130 + review): qQualityLm refactored onto the shared
+    # unigramModel/scoreQualityLm core with a persisted vocab-count
+    # frame — r10a-c timed the faster pre-refactor fused form, which
+    # no longer exists (probe-measured: the shared-core variants are
+    # equal to each other within noise; the old fused form amortized
+    # one explode the shared core pays for composability with the
+    # frozen-model stream twin)
+    "q_quality_lm": ("probe_r10k", "probe_r10n"),
+    # q_tfidf_terms needs no entry: the shipped code IS the r10a-g
+    # form (the probe-16 contraction experiment was reverted), and the
+    # slower intermediate captures can only lose the min
 }
 
 per_query = {}   # name -> list[(seconds, source)]
