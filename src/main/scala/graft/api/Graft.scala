@@ -232,6 +232,24 @@ object Graft {
     graft.operators.Dedup.incrementalPairsStored(baseIndex, deltaIndex,
       tau, dfCap)
 
+  /** Ingest-time CONTAINMENT (#132) — "is this arriving doc a quote
+    * of something already stored": [[incrementalDedupPairsIndexed]]'s
+    * candidate machinery (delta-vs-stored-index join, O(batch)
+    * shuffles, base side exchange-free off a bucketed
+    * [[writeShingleIndex]] table, df-cappable) with the #124
+    * containment acceptance instead of resemblance — min-side
+    * coverage ≥ 0.9, cross-multiplied, short sets guarded. Catches
+    * the partial-dup ingest Jaccard structurally misses: a tweet
+    * quoted inside an arriving article fires here at C = 1.0 while
+    * its resemblance is ≈ 0. Spec-pinned equal to the batch
+    * [[graft.operators.Dedup.qDedupContainment]] restricted to
+    * delta-involving pairs.
+    */
+  def incrementalContainmentPairsIndexed(baseIndex: DataFrame,
+      deltaIndex: DataFrame, dfCap: Int = Int.MaxValue): DataFrame =
+    graft.operators.Dedup.incrementalPairsStored(baseIndex, deltaIndex,
+      tau = 0.0, dfCap, containment = true)
+
   /** Build an IVF (inverted-file) ANN index: every vector assigned to
     * its nearest centroid by cosine (ties → lowest centroid id;
     * centroid ids must be numeric). Returns `(id, cell, vec)` —

@@ -741,7 +741,8 @@ object Dedup {
     * O(batch), not O(corpus).
     */
   private[graft] def incrementalPairsStored(base: DataFrame,
-      delta0: DataFrame, tau: Double, dfCap: Int): DataFrame = {
+      delta0: DataFrame, tau: Double, dfCap: Int,
+      containment: Boolean = false): DataFrame = {
     // O(batch) frames persist (delta, over-cap set, candidate pairs);
     // the base index NEVER does. EAGER result + finally-unpersist so
     // no cached entries outlive the call (the kmeansCentroids
@@ -751,7 +752,8 @@ object Dedup {
     def stage(df: DataFrame): DataFrame = {
       val p = df.persist(); staged ::= p; p
     }
-    try incrementalPairsStoredPlan(base, delta0, tau, dfCap, stage)
+    try incrementalPairsStoredPlan(base, delta0, tau, dfCap, stage,
+        containment)
       .localCheckpoint(true)
     finally staged.foreach(_.unpersist())
   }
@@ -764,7 +766,8 @@ object Dedup {
     */
   private[graft] def incrementalPairsStoredPlan(base: DataFrame,
       delta0: DataFrame, tau: Double, dfCap: Int,
-      stage: DataFrame => DataFrame): DataFrame = {
+      stage: DataFrame => DataFrame,
+      containment: Boolean = false): DataFrame = {
     val delta = stage(delta0.select(col("id"), col("shingle")))
     val (baseR, deltaR) =
       if (dfCap == Int.MaxValue)
@@ -792,13 +795,27 @@ object Dedup {
     val cntOld = cntNew.unionByName(
       baseR.join(broadcast(involvedOld), Seq("id"), "left_semi")
         .groupBy("id").agg(count(lit(1)).as("n")))
-    inter
+    val scored = inter
       .join(cntNew.select(col("id").as("id_new"), col("n").as("nn")), "id_new")
       .join(cntOld.select(col("id").as("id_old"), col("n").as("no")), "id_old")
-      .withColumn("jaccard",
-        col("inter").cast("double") / (col("nn") + col("no") - col("inter")))
-      .where(col("jaccard") >= tau)
-      .select("id_new", "id_old", "inter", "jaccard")
+    if (containment)
+      // the #124 acceptance on the incremental candidates: min-side
+      // coverage, cross-multiplied, with the short-set guard —
+      // "is this new doc (or one of its docs) a quote of something
+      // already stored". tau is unused here: the containment
+      // threshold is the fixed #124 rational, as in the batch flavor.
+      scored
+        .withColumn("n_min", least(col("nn"), col("no")))
+        .where(col("n_min") >= ContainmentMinShingles &&
+          col("inter") * ContainmentDen >= lit(ContainmentNum) * col("n_min"))
+        .withColumn("containment", col("inter").cast("double") / col("n_min"))
+        .select("id_new", "id_old", "inter", "n_min", "containment")
+    else
+      scored
+        .withColumn("jaccard",
+          col("inter").cast("double") / (col("nn") + col("no") - col("inter")))
+        .where(col("jaccard") >= tau)
+        .select("id_new", "id_old", "inter", "jaccard")
   }
 
   /** #61 — `q_dedup_incremental`: dedup a NEW ingest batch against an

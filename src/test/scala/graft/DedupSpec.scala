@@ -73,6 +73,21 @@ class DedupSpec extends SparkSpec {
     assert(df.where(col("inter") < 1).count() == 0)
   }
 
+  test("containment dominates resemblance: every high-jaccard pair appears") {
+    // C = |∩|/min ≥ |∩|/union = J for every pair, so any pair at
+    // J ≥ 0.9 with a non-trivial overlap (inter ≥ 3 ⟹ n_min ≥ 3)
+    // MUST be in the containment output — a mathematical invariant
+    // between the two operators, checked on the real corpus
+    val jac = SparkEntry.queries("q_dedup_ngram_jaccard")(spark, sf)
+      .where(col("jaccard") >= 0.9 && col("inter") >= 3)
+      .select("doc_a", "doc_b")
+    val cont = SparkEntry.queries("q_dedup_containment")(spark, sf)
+      .select("doc_a", "doc_b")
+    assert(jac.exceptAll(cont).isEmpty,
+      "a high-jaccard pair is missing from containment — C ≥ J violated")
+    assert(jac.count() > 0, "vacuous: no pairs at jaccard ≥ 0.9")
+  }
+
   test("capped containment equals uncapped where the cap never binds") {
     // at gate SF no shingle reaches df=64, so the rare-universe sizes
     // equal the full sizes and the two flavors must agree bit-for-bit

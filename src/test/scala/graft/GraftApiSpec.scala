@@ -153,6 +153,28 @@ class GraftApiSpec extends SparkSpec {
       "uncapped stored incremental dedup")
   }
 
+  test("incremental containment == batch containment on delta-involving pairs") {
+    import spark.implicits._
+    val docs = Tables.documents(spark, sfTiny)
+    val isDelta = pmod(col("doc_id"), lit(3L)) === 1L
+    val inc = Graft.incrementalContainmentPairsIndexed(
+        Graft.shingleIndex(docs.where(!isDelta), "doc_id", "text"),
+        Graft.shingleIndex(docs.where(isDelta), "doc_id", "text"))
+      // unordered pair key for the compare (id_new is the delta side)
+      .select(least(col("id_new"), col("id_old")).as("doc_a"),
+        greatest(col("id_new"), col("id_old")).as("doc_b"),
+        col("inter"), col("n_min"), col("containment"))
+    val deltaIds = docs.where(isDelta).select(col("doc_id")).as[Long]
+      .collect().toSet
+    val batch = SparkEntry.queries("q_dedup_containment")(spark, sfTiny)
+      .where(col("doc_a").isInCollection(deltaIds) ||
+        col("doc_b").isInCollection(deltaIds))
+    assert(inc.exceptAll(batch).isEmpty && batch.exceptAll(inc).isEmpty,
+      "incremental containment diverged from the batch flavor's " +
+        "delta-involving slice")
+    assert(inc.count() > 0, "vacuous: no containment pairs involve the delta")
+  }
+
   test("connectedComponents over the jaccard pairs reproduces q_dup_clusters") {
     // the gated query clusters the CAPPED pairs (r4 verdict: the
     // end-to-end dedup path must not contain the uncapped generator);
