@@ -204,6 +204,20 @@ object Similarity {
   def qAnnIvf(spark: SparkSession, dir: String): DataFrame =
     annIvfWithProbes(spark, dir, nprobe = 2)
 
+  /** The gated query's deterministic centroid rule, sized for scale:
+    * seeds are ids ≡ 0 (mod this), so cells ≈ n / mod. The mod is
+    * n / ⌈√n⌉ (⟹ ~√n cells — the standard IVF sizing: assignment
+    * cost n·√n, never n²) FLOORED AT 50 so gate-SF behavior is
+    * unchanged (500 vectors → 10 cells at sf0.01, where AnnSpec's
+    * recall pins live). Probe 17 caught the unsized rule: a fixed
+    * mod ties cell count to n LINEARLY, making assignment n²/50 —
+    * 142× for a 16× corpus; √n sizing restores sub-quadratic growth.
+    * (The SERVING path — ivfIndex/kmeansCentroids — always took k
+    * from the caller and never had this flaw.)
+    */
+  private[graft] def centroidMod(n: Long): Long =
+    math.max(50L, n / math.max(1L, math.ceil(math.sqrt(n.toDouble)).toLong))
+
   /** #31 generalized over the nprobe dial — the IVF recall/cost knob
     * (scan fraction ≈ nprobe / n_cells), exposed so AnnSpec can sweep
     * recall against the exact baseline without touching the gated
@@ -212,7 +226,7 @@ object Similarity {
     require(nprobe > 0, s"nprobe must be positive, got $nprobe")
     val NProbe = nprobe
     val e = emb(spark, dir)
-    val cents = e.where(col("vec_id") % 50 === 0)
+    val cents = e.where(col("vec_id") % centroidMod(e.count()) === 0)
       .select(col("vec_id").as("cent_id"), col("v").as("cv"))
     // nearest-centroid assignment WITHOUT shuffling the corpus: the 10
     // centroid cosines evaluate inline per row and max_by picks the

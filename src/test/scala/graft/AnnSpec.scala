@@ -45,8 +45,10 @@ class AnnSpec extends SparkSpec {
     val brute = SparkEntry.queries("q_ann_cosine_topk")(spark, sf)
       .select("q_id", "vec_id").cache()
     val total = brute.count()
+    val nEmb = Tables.embeddings(spark, sf).count()
     val nCells = Tables.embeddings(spark, sf)
-      .where(col("vec_id") % 50 === 0).count().toInt
+      .where(col("vec_id") %
+        graft.operators.Similarity.centroidMod(nEmb) === 0).count().toInt
     val recalls = Seq(1, 2, nCells).map { np =>
       val hits = graft.operators.Similarity.annIvfWithProbes(spark, sf, np)
         .select("q_id", "vec_id").intersect(brute).count()
