@@ -41,11 +41,17 @@ object Tables {
   def events(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.functions.{col, expr, unix_micros}
     import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
+    // the NANOS marker may sit on a wrapped cause (Spark surfaces
+    // PARQUET_TYPE_ILLEGAL via AnalysisException but can re-wrap it in
+    // SparkException layers), so walk the cause chain rather than
+    // matching the top-level message only (review r11)
+    def mentionsNanos(t: Throwable): Boolean =
+      Iterator.iterate(t)(_.getCause).takeWhile(_ != null).take(8)
+        .exists(c => c.getMessage != null && c.getMessage.contains("NANOS"))
     val raw =
       try load(spark, dir, "events")
       catch {
-        case e: Exception if e.getMessage != null &&
-            e.getMessage.contains("NANOS") =>
+        case e: Exception if mentionsNanos(e) =>
           throw new IllegalStateException(
             "events.parquet carries TIMESTAMP(NANOS); set " +
               "spark.sql.legacy.parquet.nanosAsLong=true on the SparkSession " +

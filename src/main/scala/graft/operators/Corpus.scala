@@ -394,11 +394,29 @@ object Corpus {
     * flavor against the same oracle — only the join volume changes.
     * An empty benchmark yields the empty verdict set (the aggregate
     * returns a NULL sketch; #58's join form agrees).
+    *
+    * SIZING CONSTRAINT (review r11): BloomFilterAggregate's analysis
+    * check caps `estItems` at spark.sql.optimizer.runtime.bloomFilter.
+    * maxNumItems (default 4M) and `numBits` at …maxNumBits (default
+    * ~67M ≈ 8 MB). The 10⁸-shingle/10-bits-per-item sizing the 100 TB
+    * deployment needs EXCEEDS both defaults, so a production session
+    * must raise those two confs before calling; arguments above the
+    * session's caps fail fast here with the dial names rather than as
+    * an opaque analysis error inside the aggregate.
     */
   private[graft] def contaminatedBloom(corpus: DataFrame,
       benchmark: DataFrame, idCol: String, textCol: String, n: Int,
       minOverlap: Long, estItems: Long, numBits: Long): DataFrame = {
     val spark = corpus.sparkSession
+    val maxItems = spark.conf
+      .get("spark.sql.optimizer.runtime.bloomFilter.maxNumItems", "4000000").toLong
+    val maxBits = spark.conf
+      .get("spark.sql.optimizer.runtime.bloomFilter.maxNumBits", "67108864").toLong
+    require(estItems <= maxItems && numBits <= maxBits,
+      s"bloom sketch sized estItems=$estItems/numBits=$numBits exceeds the " +
+        s"session caps ($maxItems/$maxBits); raise " +
+        "spark.sql.optimizer.runtime.bloomFilter.maxNumItems / .maxNumBits " +
+        "on the SparkSession before sizing for a web-scale benchmark")
     graft.functions.WordShingles.register(spark)
     graft.functions.BloomFunctions.register(spark)
     val sh = corpus

@@ -328,14 +328,20 @@ object Text {
     val words = df
       .select(explode(split(col(textCol), " ")).as("word"))
       .filter(length(col("word")) > 0)
-    // ONE corpus pass: the vocabulary-sized counts persist and both
-    // consumers (total ≡ Σcnt and the lp projection) read the cache.
-    // Measured equal to the two-pass form at sf0.1 (isolated probes
-    // within noise either way — unlike probe 16's corpus-sized
-    // contraction, a vocab-sized cache costs nothing to materialize),
-    // so the fewer-scans shape wins on structure.
+    // ONE corpus pass: the vocabulary-sized counts materialize once and
+    // both consumers (total ≡ Σcnt and the lp projection) read the
+    // result. Measured equal to the two-pass form at sf0.1 (isolated
+    // probes within noise either way — unlike probe 16's corpus-sized
+    // contraction, a vocab-sized frame costs nothing to materialize),
+    // so the fewer-scans shape wins on structure. localCheckpoint — not
+    // persist(): a long-lived session re-fitting the model on a cadence
+    // (the #130 frozen-model deployment) would accumulate one cache
+    // entry per refit for the life of the driver, since each refit is a
+    // new plan the old entry can never serve. Checkpoint blocks are
+    // reclaimed by the ContextCleaner once the returned frame is
+    // unreachable — the incrementalPairsStored discipline (review r11).
     val cnt = words.groupBy("word").agg(count(lit(1)).as("cnt"))
-      .persist()
+      .localCheckpoint(true)
     cnt.crossJoin(broadcast(cnt.agg(sum("cnt").as("total"))))
       .select(col("word"),
         round(log(col("cnt").cast("double") / col("total").cast("double")), 6)

@@ -38,14 +38,17 @@ def steal_pct():
             f = fh.readline().split()
         vals = list(map(int, f[1:]))
         idle = vals[3] if len(vals) > 3 else 0
+        iowait = vals[4] if len(vals) > 4 else 0
         steal = vals[7] if len(vals) > 7 else 0
-        # busy = every non-idle, non-steal bucket among the first 8
-        # columns (user nice system iowait irq softirq). guest/
+        # busy = user nice system irq softirq. iowait is excluded like
+        # idle: proc(5) calls it time the CPU was IDLE waiting on I/O,
+        # and counting it busy would deflate steal%% on I/O-bound hosts
+        # exactly where the gate should be wary (review r11). guest/
         # guest_nice (cols 8-9) are already included in user/nice per
         # proc(5) -- summing them double-counts guest time and
         # understates steal%% when the host is busiest (mirrors
         # Bench.scala)
-        busy = sum(vals[:8]) - idle - steal
+        busy = sum(vals[:8]) - idle - iowait - steal
         return busy, steal
     b0, s0 = snap()
     time.sleep(2)

@@ -21,8 +21,18 @@ import glob
 import json
 import sys
 
-files = sorted(glob.glob("target/bench_baseline_*.json")) + sorted(
-    glob.glob("target/bench_probe*.json"))
+# bench_evidence/ is the COMMITTED home of the captures (target/ is
+# gitignored; VERDICT r10 item 2 asked for provenance that survives a
+# clean checkout) — read both, dedup by basename preferring target/'s
+# fresher copy when a file exists in both places.
+_by_base = {}
+for pat in ("bench_evidence/bench_baseline_*.json",
+            "bench_evidence/bench_probe*.json",
+            "target/bench_baseline_*.json",
+            "target/bench_probe*.json"):
+    for f in sorted(glob.glob(pat)):
+        _by_base[f.split("/")[-1]] = f
+files = [f for _, f in sorted(_by_base.items())]
 if not files:
     sys.exit("no bench captures found under target/")
 
