@@ -11,6 +11,11 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// One-shot measurement mains (ProbeQ21, ProbeIdx, ...) are diagnostic
+// code cited by SCALING.md, not shipped library — they compile under
+// the Test scope from probes/ (run with `sbt "Test/runMain graft.ProbeX"`)
+// so src/main LoC means shipped surface (VERDICT r10).
+Test / unmanagedSourceDirectories += baseDirectory.value / "probes"
 // Forked run output passes straight through to sbt's stdout WITHOUT the
 // "[info] " line prefix — the bench driver greps stdout for a raw
 // {"metric":...} JSON line and the prefix broke its parse in round 2.

@@ -532,6 +532,82 @@ object Corpus {
       |  CAST(SUM(is_dup) AS DOUBLE) / COUNT(*) AS dup_rate
       |FROM flagged GROUP BY source ORDER BY source""".stripMargin
 
+  /** Blocked domains for #135 — the broadcastable drop-list a real
+    * curation run maintains (spam/SEO-farm/adult domains in CCNet and
+    * RefinedWeb). Deterministic literals here; production swaps in a
+    * million-row frame, and the join shape below is built for that.
+    */
+  private val DomainBlocklist = Seq("src4", "src11", "src17")
+  private val DomainBlocklistSql = DomainBlocklist.map(d => s"'$d'").mkString(", ")
+
+  /** Quality gate for #135's pass-rate column: the per-row
+    * [[Text.withQuality]] score thresholded — counting docs past a
+    * gate keeps the rollup integer-exact (an avg over per-row doubles
+    * would be partition-order-dependent at the last ulp).
+    */
+  private val DomainQualityTau = 0.5
+
+  /** #135 — `q_domain_stats`: the per-domain curation dashboard
+    * (CCNet/RefinedWeb report corpus composition at registrable-domain
+    * grain before anything trains): per domain, document and token
+    * volume, exact-dup share, and quality-gate pass rate — AFTER
+    * dropping blocklisted domains. The documents table's `source`
+    * column is the provenance/domain key (a web corpus would fill it
+    * with the URL's registrable domain at ingest).
+    *
+    * Scale shape: the blocklist is a broadcast LEFT ANTI join — the
+    * drop rides map-side into every scan task and prunes before any
+    * shuffle, which is the point: at 100 TB the blocklist (millions of
+    * domains, still MBs) broadcasts while the corpus never moves for
+    * it. Then one fingerprint window for dup flags (the #25/#52
+    * content-identity definition) and one contracted-grain rollup on
+    * the domain. Quality is [[Text.withQuality]]'s map-side score; all
+    * aggregates are integer counts, ratios derived at the end.
+    */
+  def qDomainStats(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val blocklist = DomainBlocklist.toDF("source")
+    val docs = Tables.documents(spark, dir)
+      .join(broadcast(blocklist), Seq("source"), "left_anti")
+    val w = Window.partitionBy("fp")
+    Text.withQuality(docs)
+      .withColumn("fp", Dedup.contentFp)
+      .withColumn("is_dup",
+        (col("doc_id") =!= min("doc_id").over(w)).cast("long"))
+      .groupBy(col("source").as("domain"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum("n_tokens").as("n_tokens"),
+        sum("is_dup").as("dup_docs"),
+        sum((col("quality_score") > DomainQualityTau).cast("long"))
+          .as("quality_pass"))
+      .withColumn("dup_rate", col("dup_docs").cast("double") / col("n_docs"))
+      .withColumn("quality_pass_rate",
+        col("quality_pass").cast("double") / col("n_docs"))
+      .orderBy("domain")
+  }
+
+  val qDomainStatsSql: String =
+    s"""WITH ${Text.qualityCtesSql(
+         s"documents WHERE source NOT IN ($DomainBlocklistSql)")},
+       |f AS (
+       |  SELECT doc_id, source, n_tokens, quality_score,
+       |    ${Dedup.contentFpSql} AS fp
+       |  FROM q),
+       |d AS (
+       |  SELECT source, n_tokens, quality_score,
+       |    CAST(doc_id <> min(doc_id) OVER (PARTITION BY fp) AS BIGINT) AS is_dup
+       |  FROM f)
+       |SELECT source AS domain, CAST(count(*) AS BIGINT) AS n_docs,
+       |  CAST(sum(n_tokens) AS BIGINT) AS n_tokens,
+       |  CAST(sum(is_dup) AS BIGINT) AS dup_docs,
+       |  CAST(sum(CASE WHEN quality_score > $DomainQualityTau THEN 1 ELSE 0 END) AS BIGINT)
+       |    AS quality_pass,
+       |  CAST(sum(is_dup) AS DOUBLE) / count(*) AS dup_rate,
+       |  CAST(sum(CASE WHEN quality_score > $DomainQualityTau THEN 1 ELSE 0 END) AS DOUBLE)
+       |    / count(*) AS quality_pass_rate
+       |FROM d GROUP BY source ORDER BY domain""".stripMargin
+
   /** #53 — `q_length_histogram`: document-length distribution per
     * source in power-of-two buckets (bucket = bit length of the token
     * count = floor(log2(n)) + 1; empty docs land in bucket 0) — the

@@ -102,24 +102,39 @@ object Text {
         "stopword_ratio", "quality_score")
       .orderBy("doc_id")
 
-  val qTextQualitySql: String =
-    s"""WITH t AS (
-       |  SELECT doc_id, CAST(length(text) AS BIGINT) AS n,
+  /** The #33 quality pipeline as composable SQL CTEs (`tq`/`mq`/`q`)
+    * over a documents-shaped relation (`rel` may carry a WHERE
+    * clause) — the SQL twin of [[withQuality]], shared by the #33
+    * oracle and the per-domain rollup oracle (#135) so the score
+    * definition cannot drift. The final CTE `q` exposes doc_id,
+    * source, text, n_tokens, the three ratios, and quality_score.
+    */
+  private[operators] def qualityCtesSql(rel: String): String =
+    s"""tq AS (
+       |  SELECT doc_id, source, text, CAST(length(text) AS BIGINT) AS n,
        |    CAST(len(list_filter(string_split(text, ' '), t -> t <> '')) AS BIGINT) AS n_tokens,
        |    CAST(len(list_filter(string_split(text, ' '), t -> t IN ($stopSqlList))) AS BIGINT) AS stop_ct,
        |    CAST(length(replace(text, ' ', '')) AS BIGINT) AS n_nospace,
        |    CAST(length(regexp_replace(text, '[^a-zA-Z0-9 ]', '', 'g')) AS BIGINT) AS n_clean
-       |  FROM documents),
-       |m AS (
-       |  SELECT doc_id, n_tokens,
+       |  FROM $rel),
+       |mq AS (
+       |  SELECT doc_id, source, text, n_tokens,
        |    CAST(n_nospace AS DOUBLE) / n_tokens AS mean_word_len,
        |    CAST(n - n_clean AS DOUBLE) / n AS punct_ratio,
        |    CAST(stop_ct AS DOUBLE) / n_tokens AS stopword_ratio
-       |  FROM t)
+       |  FROM tq),
+       |q AS (
+       |  SELECT doc_id, source, text, n_tokens, mean_word_len, punct_ratio,
+       |    stopword_ratio,
+       |    0.3 * least(1.0, n_tokens / 200.0) + 0.4 * (1.0 - punct_ratio)
+       |      + 0.3 * least(1.0, stopword_ratio * 10.0) AS quality_score
+       |  FROM mq)""".stripMargin
+
+  val qTextQualitySql: String =
+    s"""WITH ${qualityCtesSql("documents")}
        |SELECT doc_id, n_tokens, mean_word_len, punct_ratio, stopword_ratio,
-       |  0.3 * least(1.0, n_tokens / 200.0) + 0.4 * (1.0 - punct_ratio)
-       |    + 0.3 * least(1.0, stopword_ratio * 10.0) AS quality_score
-       |FROM m ORDER BY doc_id""".stripMargin
+       |  quality_score
+       |FROM q ORDER BY doc_id""".stripMargin
 
   /** #34 — token counting: whitespace tokens, a BPE-ish regex token
     * count (letter runs / digit runs / single punctuation), and the

@@ -156,4 +156,91 @@ class DedupSpec extends SparkSpec {
       .count() == 0)
     assert(df.where(col("doc_a") >= col("doc_b")).count() == 0)
   }
+
+  private def writeDocs(rows: Seq[(Long, String)]): String = {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_sub_").toString
+    rows.map { case (id, t) => (id, t, "en", "src1", t.length.toLong) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    dir
+  }
+
+  test("substring dedup recovers exactly the planted extents, merged") {
+    import spark.implicits._
+    // Two shared runs planted VERBATIM in docs 1 and 2, separated by
+    // unique filler: X (10 tokens -> 3 overlapping W=8 windows that
+    // must MERGE into one extent) and Y (exactly 8 tokens -> a single
+    // window). Every boundary-spanning window mixes unique filler and
+    // so exists in one doc only. Expected per planted doc: coverage
+    // 10 + 8 = 18 tokens in exactly 2 extents.
+    val x = (1 to 10).map(i => s"x$i").mkString(" ")
+    val y = (1 to 8).map(i => s"y$i").mkString(" ")
+    def filler(p: String, n: Int) = (1 to n).map(i => s"$p$i").mkString(" ")
+    val dir = writeDocs(Seq(
+      1L -> s"${filler("u", 5)} $x ${filler("v", 5)} $y ${filler("w", 5)}",
+      2L -> s"${filler("a", 3)} $x ${filler("b", 3)} $y ${filler("c", 3)}",
+      3L -> filler("z", 40)))
+    val out = SparkEntry.queries("q_dedup_substring")(spark, dir)
+      .select("doc_id", "n_tokens", "n_dup_tokens", "n_extents")
+      .as[(Long, Long, Long, Long)].collect().sortBy(_._1)
+    assert(out.toSeq == Seq((1L, 33L, 18L, 2L), (2L, 27L, 18L, 2L),
+      (3L, 40L, 0L, 0L)),
+      s"planted extents not recovered exactly: ${out.toSeq}")
+    // dup_frac follows the coverage
+    val frac = SparkEntry.queries("q_dedup_substring")(spark, dir)
+      .where(col("doc_id") === 1L).select("dup_frac").as[Double].head()
+    assert(math.abs(frac - 18.0 / 33.0) < 1e-6)
+  }
+
+  test("substring dedup df-cap: corpus-wide boilerplate does not flag") {
+    // The same 8-token run planted in EVERY doc of the corpus, with
+    // unique filler around it. At 10 docs (df <= cap) the run flags in
+    // all of them; at 70 docs (df = 70 > DfCap = 64) the identical
+    // construction flags NOTHING — the boilerplate dial, and the
+    // proof it is non-vacuous.
+    val z = (1 to 8).map(i => s"z$i").mkString(" ")
+    def corpus(n: Int) = writeDocs((0 until n).map { i =>
+      (i + 1).toLong -> s"f$i g$i h$i $z p$i q$i r$i"
+    })
+    val small = SparkEntry.queries("q_dedup_substring")(spark, corpus(10))
+    assert(small.where(col("n_dup_tokens") === 8 && col("n_extents") === 1)
+      .count() == 10, "below the cap the shared run must flag everywhere")
+    val big = SparkEntry.queries("q_dedup_substring")(spark, corpus(70))
+    assert(big.where(col("n_dup_tokens") > 0).count() == 0,
+      "an over-cap boilerplate window must not flag any document")
+  }
+
+  test("line dedup drops cross-doc lines only; trim and within-doc repeats honored") {
+    import spark.implicits._
+    val shared = "this exact boilerplate line repeats across documents"
+    val dir = writeDocs(Seq(
+      1L -> s"unique opening line\n$shared\nunique closing line",
+      // trailing/leading whitespace must not defeat the match
+      2L -> s"different first line\n  $shared  \nanother different line",
+      // a line repeated WITHIN one doc is not corpus-duplicated
+      // (df counts DISTINCT docs)
+      3L -> "repeated inside\nrepeated inside\nits own third line",
+      4L -> ""))
+    val out = SparkEntry.queries("q_dedup_lines")(spark, dir)
+      .select("doc_id", "n_lines", "n_dup_lines", "retained_frac")
+      .as[(Long, Long, Long, Option[Double])].collect().sortBy(_._1).toSeq
+    val d1 = out(0); val d2 = out(1); val d3 = out(2); val d4 = out(3)
+    assert(d1 == (1L, 3L, 1L, Some {
+      val kept = "unique opening line".length + "unique closing line".length
+      val total = kept + shared.length
+      BigDecimal(kept.toDouble / total)
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    }), s"doc 1 readout wrong: $d1")
+    assert(d2._2 == 3L && d2._3 == 1L, s"trimmed match missed: $d2")
+    assert(d3 == (3L, 3L, 0L, Some(1.0)),
+      s"within-doc repeat must not flag: $d3")
+    assert(d4 == (4L, 0L, 0L, None),
+      s"empty doc keeps the dirty-record rule: $d4")
+    // and on the real corpus every doc survives intact (no newlines,
+    // no exact dups at this SF) — the rows-exist sanity
+    val real = SparkEntry.queries("q_dedup_lines")(spark, sf)
+    assert(real.count() == Tables.documents(spark, sf).count())
+    assert(real.where(col("retained_frac") =!= 1.0).count() == 0)
+  }
 }

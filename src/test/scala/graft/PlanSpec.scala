@@ -25,6 +25,24 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("domain stats drops the blocklist via broadcast ANTI join, map-side") {
+    val p = plan("q_domain_stats")
+    assert(p.contains("BroadcastHashJoin") && p.contains("LeftAnti"),
+      s"blocklist drop must be a broadcast left-anti join:\n$p")
+    // the corpus side must not shuffle FOR THE DROP: the only exchanges
+    // are the fingerprint window + the domain rollup
+    assert(!p.contains("SortMergeJoin"), s"blocklist drop shuffled the corpus:\n$p")
+  }
+
+  test("substring dedup never forms a pair grain: joins are flag-lookups") {
+    val p = plan("q_dedup_substring")
+    // window-hash flag join + the two per-doc rollup joins; no
+    // corpus×corpus self-join shape (that would be the df² pair grain
+    // this operator exists to avoid)
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"substring dedup degenerated to an all-pairs shape:\n$p")
+  }
+
   test("no registered query degenerates to CartesianProduct") {
     SparkEntry.queries.keys.foreach { q =>
       val p = plan(q)

@@ -60,7 +60,24 @@ COPY (
     (8::BIGINT, 'a!!! b??? c... d,,, e;;;', 'en', 'src2', 24::BIGINT),
     (9::BIGINT, 'Ünïcödé tëst ströng  with   runs', 'de', 'src3', 32::BIGINT),
     (10::BIGINT, 'singleverylongtokenwithoutanyspacesatallinit', 'en', 'src3', 44::BIGINT),
-    (11::BIGINT, 'the the the the the the the the', 'en', 'src3', 31::BIGINT)
+    (11::BIGINT, 'the the the the the the the the', 'en', 'src3', 31::BIGINT),
+    -- multi-line docs sharing one boilerplate line (q_dedup_lines must
+    -- flag it in 12 and 13 — whitespace-padded in 13 to exercise trim —
+    -- and must NOT flag 16's within-doc-only repeat)
+    (12::BIGINT, 'intro line twelve' || chr(10) ||
+      'shared cookie banner text here' || chr(10) || 'outro line twelve',
+      'en', 'src4', 65::BIGINT),
+    (13::BIGINT, 'different intro thirteen' || chr(10) ||
+      '  shared cookie banner text here  ' || chr(10) || 'different outro',
+      'en', 'src4', 73::BIGINT),
+    (16::BIGINT, 'repeat inside' || chr(10) || 'repeat inside' || chr(10) ||
+      'own third line', 'en', 'src5', 42::BIGINT),
+    -- a 10-token verbatim run copied across two otherwise-unique docs
+    -- (q_dedup_substring must report one merged extent in each)
+    (14::BIGINT, 'u1 u2 u3 u4 u5 x1 x2 x3 x4 x5 x6 x7 x8 x9 x10 w1 w2 w3 w4 w5',
+      'en', 'src5', 60::BIGINT),
+    (15::BIGINT, 'a1 a2 a3 x1 x2 x3 x4 x5 x6 x7 x8 x9 x10 b1 b2 b3',
+      'en', 'src5', 48::BIGINT)
   ) t(doc_id, text, lang, source, n_chars)
 ) TO '{d}/documents.parquet' (FORMAT PARQUET)""")
 
