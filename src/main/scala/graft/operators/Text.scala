@@ -78,7 +78,7 @@ object Text {
     * `n_tokens`, `stop_ct`, `mean_word_len`, `punct_ratio`,
     * `stopword_ratio`, `quality_score`; pure map-side projection.
     */
-  private[operators] def withQuality(df: DataFrame): DataFrame =
+  private[graft] def withQuality(df: DataFrame): DataFrame =
     df
       .withColumn("n", length(col("text")).cast("long"))
       .withColumn("n_tokens",

@@ -709,6 +709,113 @@ object Streams {
     } finally b.unpersist()
   }
 
+  /** #136 — `stream_keeper_quality`: #129's keeper election AT
+    * INGEST — the per-cluster best-quality keeper maintained across
+    * micro-batches on top of [[dupClusterSink]]'s cluster state.
+    * Reference analogue: the keyed first-wins ValueState dedup
+    * (UniqueVisitApp.java:37) lifted to cluster grain with a quality
+    * key instead of arrival order.
+    *
+    * Each non-empty batch: (1) the [[dupClusterSink]] maintenance step
+    * VERBATIM (the shared code path — the two sinks cannot drift);
+    * (2) the batch's #33 quality scores land map-side under
+    * `quality/batch=<id>` (overwrite-by-batchId = replay-safe);
+    * (3) keepers are re-elected from the latest labeling ⋈ the quality
+    * store with #129's struct-max — `(coalesce(score,−1), −id)` keys:
+    * NULL-scored docs lose, ties go to the smaller id — written to
+    * `keepers/v=<id>`, older versions pruned after the write.
+    *
+    * Replay (at-least-once foreachBatch) is a fixpoint on the CONSUMED
+    * state: the cluster step contracts to self-loops on the merged
+    * labeling, the quality overwrite is content-identical, and
+    * re-election over unchanged (labels, quality) state yields
+    * unchanged content — a replayed OLDER batch writes a content-equal
+    * `keepers/v=<old>` below the current version, which stays latest.
+    *
+    * Scale: the election joins labels (cluster members only) against a
+    * two-narrow-column quality store — strictly below the pair-
+    * generation text scan the cluster step already pays per batch. A
+    * doc re-ingested under the same id competes with each of its
+    * scores (no upsert at this grain; re-crawl versioning is #121's
+    * job).
+    */
+  def keeperQualitySink(docs: DataFrame, statePath: String,
+      checkpointDir: String, idCol: String = "doc_id",
+      textCol: String = "text", n: Int = 3, tau: Double = 0.8,
+      dfCap: Int = Int.MaxValue)
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    docs.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        applyKeeperQualityBatch(batch, batchId, statePath, idCol, textCol,
+          n, tau, dfCap)
+      }
+
+  /** One maintenance step of [[keeperQualitySink]] (package-visible so
+    * the spec can drive replay scenarios directly).
+    */
+  private[graft] def applyKeeperQualityBatch(batch: DataFrame,
+      batchId: Long, statePath: String, idCol: String, textCol: String,
+      n: Int, tau: Double, dfCap: Int): Unit = {
+    import org.apache.hadoop.fs.Path
+    val spark = batch.sparkSession
+    val b = batch.select(col(idCol).as("doc_id"), col(textCol).as("text"))
+      .persist()
+    try {
+      if (b.isEmpty) return
+      applyDupClusterBatch(b, batchId, statePath, "doc_id", "text",
+        n, tau, dfCap)
+      val root = new Path(new Path(statePath).toUri.getPath)
+      val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val qualityRoot = new Path(root, "quality")
+      graft.operators.Text.withQuality(b)
+        .select(col("doc_id"), col("quality_score"))
+        .write.mode("overwrite")
+        .parquet(new Path(qualityRoot, s"batch=$batchId").toString)
+      val labels = latestLabels(spark, fs, new Path(root, "labels"))
+        .getOrElse(return)
+      val quality = spark.read.parquet(qualityRoot.toString)
+        .select(col("doc_id"), col("quality_score"))
+      val keepers = labels
+        .join(quality, labels("id") === quality("doc_id"))
+        .groupBy("component_id")
+        .agg(
+          max(struct(
+            coalesce(col("quality_score"), lit(-1.0)).as("k"),
+            (-col("id")).as("t"),
+            col("id").as("keeper_id"),
+            col("quality_score").as("keeper_score"))).as("w"),
+          max("component_size").as("cluster_size"))
+        .select(col("component_id").as("cluster_id"),
+          col("w.keeper_id").as("keeper_id"),
+          col("w.keeper_score").as("keeper_score"), col("cluster_size"),
+          (col("cluster_size") - 1).as("n_dropped"))
+        // derives from labels/v=<prior> and the store this step also
+        // mutates — materialize before touching keeper state
+        .localCheckpoint(true)
+      val keepersRoot = new Path(root, "keepers")
+      keepers.write.mode("overwrite")
+        .parquet(new Path(keepersRoot, s"v=$batchId").toString)
+      fs.listStatus(keepersRoot)
+        .filter { s =>
+          val v = versionOf(s.getPath.getName)
+          s.isDirectory && v.exists(_ < batchId)
+        }
+        .foreach(s => fs.delete(s.getPath, true))
+    } finally b.unpersist()
+  }
+
+  /** Latest keeper election maintained by [[keeperQualitySink]]
+    * (None before the first non-empty batch).
+    */
+  def keeperState(spark: org.apache.spark.sql.SparkSession,
+      statePath: String): Option[DataFrame] = {
+    import org.apache.hadoop.fs.Path
+    val root = new Path(new Path(statePath).toUri.getPath)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    latestLabels(spark, fs, new Path(root, "keepers"))
+  }
+
   /** #105 — `stream_dedup_semantic`: per-micro-batch SemDeDup ingest
     * (the streaming twin of `q_dedup_semantic`/#103 via
     * `Graft.semanticDedupIncremental`/#104). Centroids are FIXED —

@@ -469,6 +469,41 @@ class StreamingSpec extends SparkSpec {
     assert(afterReplay == beforeReplay, "replayed batch mutated the labeling")
   }
 
+  test("stream_keeper_quality: maintained election equals batch #129; replay is a fixpoint") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val base = java.nio.file.Files.createTempDirectory("graft_keep_").toString
+    val docs = Tables.documents(spark, sfTiny).select("doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getString(1))).toIndexedSeq
+    val ms = MemoryStream[(Long, String)]
+    val stream = ms.toDF().toDF("doc_id", "text")
+    val q = Streams.keeperQualitySink(stream, s"$base/state", s"$base/ckpt")
+      .start()
+    try {
+      docs.grouped((docs.size + 2) / 3).foreach { chunk =>
+        ms.addData(chunk); q.processAllAvailable()
+      }
+    } finally q.stop()
+    val got = Streams.keeperState(spark, s"$base/state").get
+    val want = SparkEntry.queries("q_keeper_quality")(spark, sfTiny)
+    assert(got.count() > 0, "no keepers elected — corpus has near-dup clusters")
+    assert(got.exceptAll(want).count() == 0 && want.exceptAll(got).count() == 0,
+      "incrementally maintained keepers != batch #129 over the full corpus")
+    // at-least-once: replaying BOTH an old batch and the last batch
+    // must leave the consumed state (latest keepers version) unchanged
+    val ids = new java.io.File(s"$base/state/corpus").listFiles()
+      .map(_.getName.stripPrefix("batch=").toLong).sorted
+    val before = got.collect().toSet
+    Seq(ids.head, ids.last).foreach { id =>
+      Streams.applyKeeperQualityBatch(
+        spark.read.parquet(s"$base/state/corpus/batch=$id"), id,
+        s"$base/state", "doc_id", "text", 3, 0.8, Int.MaxValue)
+      val after = Streams.keeperState(spark, s"$base/state").get
+        .collect().toSet
+      assert(after == before, s"replaying batch $id mutated the election")
+    }
+  }
+
   test("stream_corpus_diff: batched statuses + sweep equal the one-shot diff") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
