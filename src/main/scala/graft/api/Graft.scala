@@ -280,9 +280,17 @@ object Graft {
     * gated `q_ann_ivf` pins correctness with a deterministic id-rule
     * centroid set; production indexes fit centroids instead). EAGER
     * like an MLlib fit; returns `(cent_id, cv)` with `cent_id` = the
-    * 0-based seed rank. Seeds = the `k` lowest-id vectors (documented
-    * determinism over randomness: same input → same index, across
-    * runs and engines); `iters` fixed Lloyd rounds, no tolerance test.
+    * 0-based seed rank. Seeds = the `k` USABLE vectors with the lowest
+    * `(xxhash64(id), id)` — deterministic like an id sort (same input
+    * → same index, across runs and engines) but id-DECORRELATED: the
+    * first k ids of a corpus are typically one crawl slice / one
+    * shard, and seeding there biases every Lloyd round toward that
+    * slice's region (review r11; lowest-id seeding was the previous
+    * rule). The hash spread is a uniform draw without randomness.
+    * "Usable" = has a defined self-cosine (the dirty-embedding rule
+    * below) — a NULL/zero-norm/NaN seed would be a centroid nothing
+    * can vote for, frozen for the whole fit. `iters` fixed Lloyd
+    * rounds, no tolerance test.
     *
     * Scale shape per round — nothing corpus-sized crosses the wire:
     * assignment is the [[ivfIndex]] broadcast + map-side `max_by`;
@@ -308,7 +316,9 @@ object Graft {
       col(vecCol).cast("array<double>").as("vec"))
       .persist()
     try {
-      var cents: Seq[(Long, Seq[Double])] = e.orderBy("id").limit(k)
+      var cents: Seq[(Long, Seq[Double])] = e
+        .where(call_function("cosine_sim", col("vec"), col("vec")).isNotNull)
+        .orderBy(xxhash64(col("id")), col("id")).limit(k)
         .select(col("vec")).collect()
         .zipWithIndex
         .map { case (r, i) => (i.toLong, r.getSeq[Double](0)) }.toSeq
