@@ -496,6 +496,149 @@ object Corpus {
       |  n_overlap >= $ContaminationK AS contaminated
       |FROM hits ORDER BY doc_id""".stripMargin
 
+  /** Window width (tokens) for #140's verbatim-run contamination rule.
+    * GPT-3's decontamination used 13-gram collisions; the gate corpus's
+    * synthetic docs share no verbatim run past 5 tokens across the
+    * benchmark boundary (measured: W=4 flags 8/8/727 docs at
+    * sf0.001/0.01/0.1, W=6 flags zero anywhere), so the operator width
+    * is 4 here and production dials it to the paper's 13 — the #133
+    * width rationale.
+    */
+  private val ContamW = 4
+
+  /** #140 — `q_contamination_ngram`: VERBATIM-window decontamination —
+    * the GPT-3-style rule (Brown et al. 2020 Appendix C; Llama and
+    * PaLM publish variants): a corpus doc is contaminated when it
+    * shares any ≥[[ContamW]]-token verbatim run with the benchmark,
+    * regardless of how small the overall shingle-set overlap is. The
+    * complement of #58: #58's set-overlap (≥K distinct 3-grams) fires
+    * on topical similarity, this fires only on literal quotation — a
+    * doc quoting one benchmark sentence inside ten thousand original
+    * tokens passes #58 yet leaks the answer string. Same benchmark
+    * slice as #58 (pmod 97), same hits-only output convention.
+    *
+    * Scale shape: the benchmark's window vocabulary is small by
+    * design at any corpus scale (it is the EVAL set), so the join
+    * broadcasts at gate SF (AQE) and shuffles only the corpus's
+    * 8-byte window hashes at 100 TB; window fingerprints are the #133
+    * map-side `transform`+xxhash64 — no UDF, no pair grain anywhere.
+    */
+  def qContaminationNgram(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val isBench = pmod(col("doc_id"), lit(97L)) === 0
+    def wins(df: DataFrame): DataFrame = df
+      .select(col("doc_id"),
+        filter(split(col("text"), " "), w => length(w) > 0).as("t"))
+      .withColumn("n_windows", size(col("t")).cast("long") - ContamW + 1)
+      .where(col("n_windows") >= 1)
+      .select(col("doc_id"), col("n_windows"),
+        explode(transform(
+          sequence(lit(1), col("n_windows").cast("int")),
+          i => xxhash64(concat_ws(" ", slice(col("t"), i, lit(ContamW))))))
+          .as("win"))
+    val bench = wins(docs.where(isBench)).select("win").distinct()
+    wins(docs.where(!isBench))
+      .join(bench, "win")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_hit_windows"), max("n_windows").as("n_windows"))
+      .select(col("doc_id"), col("n_windows"), col("n_hit_windows"),
+        round(col("n_hit_windows").cast("double") / col("n_windows"), 6)
+          .as("hit_frac"))
+      .orderBy("doc_id")
+  }
+
+  val qContaminationNgramSql: String =
+    s"""WITH toks AS (
+       |  SELECT doc_id, list_filter(string_split(text, ' '), w -> length(w) > 0) AS t
+       |  FROM documents),
+       |base AS (
+       |  SELECT doc_id, t, CAST(len(t) AS BIGINT) - ${ContamW - 1} AS n_windows
+       |  FROM toks WHERE len(t) >= $ContamW),
+       |wins AS (
+       |  SELECT doc_id, n_windows,
+       |    array_to_string(t[pos0:pos0 + ${ContamW - 1}], ' ') AS win
+       |  FROM (SELECT doc_id, t, n_windows,
+       |          unnest(range(1, len(t) - ${ContamW - 2})) AS pos0
+       |        FROM base)),
+       |bench AS (
+       |  SELECT DISTINCT win FROM wins WHERE ((doc_id % 97) + 97) % 97 = 0),
+       |hits AS (
+       |  SELECT w.doc_id,
+       |    CAST(count(*) AS BIGINT) AS n_hit_windows,
+       |    max(w.n_windows) AS n_windows
+       |  FROM wins w JOIN bench b ON w.win = b.win
+       |  WHERE ((w.doc_id % 97) + 97) % 97 <> 0
+       |  GROUP BY w.doc_id)
+       |SELECT doc_id, n_windows, n_hit_windows,
+       |  round(CAST(n_hit_windows AS DOUBLE) / n_windows, 6) AS hit_frac
+       |FROM hits ORDER BY doc_id""".stripMargin
+
+  /** Token budget for the #141 mixture plan — 2²⁰ at the gate SFs;
+    * production passes the real training budget.
+    */
+  private val MixBudgetTokens = 1L << 20
+
+  /** #141 — `q_mix_plan`: the source-mixture plan a training run is
+    * configured from (the UniMax/LLaMA-style recipe: sampling weight
+    * ∝ size^α with α = 1/2, damping the biggest crawls so small
+    * high-quality sources are not drowned): per source, token totals,
+    * the √-damped normalized weight, the planned token draw under a
+    * fixed budget, and the implied epoch count (planned/available —
+    * the over-sampling multiplier; >1 means that source repeats).
+    *
+    * Determinism is the only subtlety: α = 1/2 is computed via
+    * `sqrt` — IEEE-correctly-rounded in BOTH engines, unlike `pow`,
+    * whose libm implementations may differ in the last ulp — each
+    * source's damped size is rounded once to 6 dp and fixed as
+    * DECIMAL, the normalizer is an EXACT decimal sum (associative,
+    * any partitioning — the #126 discipline), and the final ratios
+    * are divisions of bit-identical doubles. Source-grain all the
+    * way: one contracted aggregate, then literally 20 rows.
+    */
+  def qMixPlan(spark: SparkSession, dir: String): DataFrame = {
+    val bySource = Tables.documents(spark, dir)
+      .select(col("source"), Text.wsTokenCount.as("n_tokens"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("docs"), sum("n_tokens").as("tokens"))
+      .withColumn("damped",
+        round(sqrt(col("tokens").cast("double")), 6).cast("decimal(18,6)"))
+      // source-grain (tens of rows) but consumed twice (normalizer +
+      // projection): materialize once so the corpus scans once — the
+      // unigramModel localCheckpoint discipline, ContextCleaner-reclaimed
+      .localCheckpoint(true)
+    bySource
+      .crossJoin(broadcast(bySource.agg(sum("damped").as("dtot"))))
+      .select(col("source"), col("docs"), col("tokens"),
+        round(col("damped").cast("double") / col("dtot").cast("double"), 6)
+          .as("weight"))
+      .withColumn("planned_tokens",
+        floor(lit(MixBudgetTokens.toDouble) * col("weight")).cast("long"))
+      .withColumn("epochs",
+        when(col("tokens") === 0, lit(null).cast("double"))
+          .otherwise(round(
+            col("planned_tokens").cast("double") / col("tokens"), 6)))
+      .orderBy("source")
+  }
+
+  val qMixPlanSql: String =
+    s"""WITH t AS (
+       |  SELECT source, ${Text.wsTokenCountSql} AS n_tokens FROM documents),
+       |s AS (
+       |  SELECT source, CAST(count(*) AS BIGINT) AS docs,
+       |    CAST(sum(n_tokens) AS BIGINT) AS tokens,
+       |    CAST(round(sqrt(CAST(sum(n_tokens) AS DOUBLE)), 6) AS DECIMAL(18,6)) AS damped
+       |  FROM t GROUP BY source),
+       |w AS (
+       |  SELECT source, docs, tokens,
+       |    round(CAST(damped AS DOUBLE) / CAST((SELECT sum(damped) FROM s) AS DOUBLE), 6) AS weight
+       |  FROM s)
+       |SELECT source, docs, tokens, weight,
+       |  CAST(floor($MixBudgetTokens.0 * weight) AS BIGINT) AS planned_tokens,
+       |  CASE WHEN tokens = 0 THEN NULL
+       |    ELSE round(CAST(floor($MixBudgetTokens.0 * weight) AS DOUBLE) / tokens, 6)
+       |  END AS epochs
+       |FROM w ORDER BY source""".stripMargin
+
   /** #52 — `q_dup_rate_by_source`: the curation health metric every
     * dedup run reports — per source: docs, exact-duplicate docs
     * (non-canonical members of a fingerprint group, same identity as

@@ -391,8 +391,12 @@ object Text {
           .as("avg_logprob"))
   }
 
-  val qQualityLmSql: String =
-    """WITH w2 AS (
+  /** The #126 pipeline as shared SQL CTEs (`w2`/`tf`/`cnt`/`lp`/`per`)
+    * — one definition of the unigram-LM score, consumed by the #126
+    * oracle and the #139 bucketing oracle so the score cannot drift.
+    */
+  private val lmCtesSql: String =
+    """w2 AS (
       |  SELECT doc_id, w AS word FROM (
       |    SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents)
       |  WHERE length(w) > 0),
@@ -407,10 +411,275 @@ object Text {
       |per AS (
       |  SELECT doc_id, CAST(sum(tf) AS BIGINT) AS n_toks,
       |    sum(lp * tf) AS lp_sum
-      |  FROM tf JOIN lp USING (word) GROUP BY 1)
+      |  FROM tf JOIN lp USING (word) GROUP BY 1)""".stripMargin
+
+  val qQualityLmSql: String =
+    s"""WITH $lmCtesSql
       |SELECT d.doc_id,
       |  COALESCE(per.n_toks, 0) AS n_tokens,
       |  round(CAST(lp_sum AS DOUBLE) / per.n_toks, 6) AS avg_logprob
       |FROM documents d LEFT JOIN per ON d.doc_id = per.doc_id
       |ORDER BY d.doc_id""".stripMargin
+
+  /** Minimum retained lines for the #137 page verdict (C4 keeps pages
+    * with at least 3 retained sentences/lines) and minimum words per
+    * retained line (C4's 5-word line rule).
+    */
+  private val C4MinKeptLines = 3L
+  private val C4MinLineWords = 5L
+
+  /** #137 — `q_c4_rules`: the C4 cleaning heuristics (Raffel et al.
+    * 2020, §2.2 — the public rule set behind the C4 corpus), applied
+    * WITHIN each document: a line (trimmed `\n`-segment) is RETAINED
+    * iff it ends in terminal punctuation (`.` `!` `?` `"`), carries at
+    * least [[C4MinLineWords]] whitespace words, and does not mention
+    * "javascript" (case-insensitive); the PAGE is kept iff at least
+    * [[C4MinKeptLines]] lines survive and the raw text contains
+    * neither a curly brace (code markup) nor "lorem ipsum" (template
+    * filler). The per-doc readout — line counts, retained-character
+    * fraction, the three page flags, and the verdict — is what the
+    * strip/drop decision consumes; #134 covers the CROSS-document
+    * line rule, this is its within-doc sibling. Reference analogue:
+    * none (the LLM-curation extension the brief asks for).
+    *
+    * Scale: pure per-row projection over higher-order functions on
+    * the split array — zero shuffles, fully codegen, parquet-scan
+    * speed at 100 TB. Docs with no non-blank lines keep the
+    * dirty-record rule: visible, zero counts, NULL `kept_char_frac`,
+    * `keep` = false.
+    */
+  def qC4Rules(spark: SparkSession, dir: String): DataFrame = {
+    val lines = filter(
+      transform(split(col("text"), "\n"), l => trim(l)),
+      l => length(l) > 0)
+    val kept = filter(lines, l =>
+      substring(l, -1, 1).isin(".", "!", "?", "\"") &&
+        size(filter(split(l, " "), w => w =!= "")) >= C4MinLineWords.toInt &&
+        !lower(l).contains("javascript"))
+    def chars(arr: Column): Column =
+      aggregate(arr, lit(0L), (acc, l) => acc + length(l).cast("long"))
+    Tables.documents(spark, dir)
+      .withColumn("n_lines", size(lines).cast("long"))
+      .withColumn("n_kept_lines", size(kept).cast("long"))
+      .withColumn("line_chars", chars(lines))
+      .withColumn("kept_chars", chars(kept))
+      .withColumn("has_brace", col("text").contains("{"))
+      .withColumn("has_lorem", lower(col("text")).contains("lorem ipsum"))
+      .select(col("doc_id"), col("n_lines"), col("n_kept_lines"),
+        when(col("line_chars") === 0, lit(null).cast("double"))
+          .otherwise(round(col("kept_chars").cast("double") / col("line_chars"), 6))
+          .as("kept_char_frac"),
+        col("has_brace"), col("has_lorem"),
+        (col("n_kept_lines") >= C4MinKeptLines &&
+          !col("has_brace") && !col("has_lorem")).as("keep"))
+      .orderBy("doc_id")
+  }
+
+  val qC4RulesSql: String =
+    s"""WITH t AS (
+       |  SELECT doc_id, text,
+       |    list_filter(list_transform(string_split(text, chr(10)), l -> trim(l)),
+       |                l -> length(l) > 0) AS lines
+       |  FROM documents),
+       |k AS (
+       |  SELECT doc_id, text, lines,
+       |    list_filter(lines, l ->
+       |      right(l, 1) IN ('.', '!', '?', '"')
+       |      AND len(list_filter(string_split(l, ' '), w -> w <> '')) >= $C4MinLineWords
+       |      AND NOT contains(lower(l), 'javascript')) AS kept
+       |  FROM t),
+       |c AS (
+       |  SELECT doc_id,
+       |    CAST(len(lines) AS BIGINT) AS n_lines,
+       |    CAST(len(kept) AS BIGINT) AS n_kept_lines,
+       |    COALESCE(list_sum(list_transform(lines, l -> CAST(length(l) AS BIGINT))), 0) AS line_chars,
+       |    COALESCE(list_sum(list_transform(kept, l -> CAST(length(l) AS BIGINT))), 0) AS kept_chars,
+       |    contains(text, '{') AS has_brace,
+       |    contains(lower(text), 'lorem ipsum') AS has_lorem
+       |  FROM k)
+       |SELECT doc_id, n_lines, n_kept_lines,
+       |  CASE WHEN line_chars = 0 THEN NULL
+       |    ELSE round(CAST(kept_chars AS DOUBLE) / line_chars, 6) END AS kept_char_frac,
+       |  has_brace, has_lorem,
+       |  (n_kept_lines >= $C4MinKeptLines AND NOT has_brace AND NOT has_lorem) AS keep
+       |FROM c ORDER BY doc_id""".stripMargin
+
+  /** The Gopher rule battery's stopword list (Rae et al. 2021 list the
+    * eight; a doc must contain at least two DISTINCT of them).
+    */
+  private val GopherStops = Seq("the", "be", "to", "of", "and", "that", "have", "with")
+  private val gopherStopsSql = GopherStops.map(w => s"'$w'").mkString(", ")
+
+  /** #138 — `q_gopher_rules`: the Gopher quality-filter rule battery
+    * (Rae et al. 2021, Table A1 — the most-cited public heuristic set,
+    * reused by MassiveText descendants): word count in [50, 100000],
+    * mean word length in [3, 10], symbol-to-word ratio (`#` chars +
+    * `...` runs per word) ≤ 0.1, ≤ 90% of lines bullet-started
+    * (`-`/`*`/`•`), ≤ 30% of lines ellipsis-ended (`...`/`…`), ≥ 80%
+    * of words containing an alphabetic character, and ≥ 2 distinct
+    * stopwords from the canonical eight. Output: the per-doc measures,
+    * one boolean per rule, and the conjunction `pass` — per-rule
+    * flags (not just the verdict) because a curation dashboard reports
+    * WHICH rule fires, and the thresholds get re-tuned per corpus.
+    *
+    * Scale: pure map-side projection like the rest of this file (the
+    * gate SF corpus fails mostly on word count — synthetic docs are
+    * short — which is the rule that SHOULD fire there). Zero-word and
+    * zero-line docs yield NULL ratios and per-rule NULL flags (the
+    * dirty-record rule: the measure is undefined, stated identically
+    * in both engines), while `pass` treats an undefined rule as a
+    * failure — both engines coalesce each flag to false inside the
+    * conjunction.
+    */
+  def qGopherRules(spark: SparkSession, dir: String): DataFrame = {
+    val words = filter(split(col("text"), " "), w => w =!= "")
+    val lines = filter(
+      transform(split(col("text"), "\n"), l => trim(l)),
+      l => length(l) > 0)
+    def fb(c: Column): Column = coalesce(c, lit(false))
+    Tables.documents(spark, dir)
+      .withColumn("n_words", size(words).cast("long"))
+      .withColumn("n_lines", size(lines).cast("long"))
+      .withColumn("mean_word_len",
+        aggregate(words, lit(0L), (a, w) => a + length(w).cast("long"))
+          .cast("double") / nz(col("n_words")))
+      .withColumn("symbol_ratio",
+        (regexp_count(col("text"), lit("#")) +
+          regexp_count(col("text"), lit("\\.\\.\\.")))
+          .cast("double") / nz(col("n_words")))
+      .withColumn("bullet_frac",
+        size(filter(lines, l => substring(l, 1, 1).isin("-", "*", "•")))
+          .cast("double") / nz(col("n_lines")))
+      .withColumn("ellipsis_frac",
+        size(filter(lines, l => l.endsWith("...") || l.endsWith("…")))
+          .cast("double") / nz(col("n_lines")))
+      .withColumn("alpha_frac",
+        size(filter(words, w => w.rlike("[A-Za-z]")))
+          .cast("double") / nz(col("n_words")))
+      .withColumn("n_stops",
+        size(array_intersect(transform(words, w => lower(w)),
+          array(GopherStops.map(lit): _*))).cast("long"))
+      .withColumn("r_word_count", col("n_words").between(50L, 100000L))
+      .withColumn("r_word_len", col("mean_word_len").between(3.0, 10.0))
+      .withColumn("r_symbols", col("symbol_ratio") <= 0.1)
+      .withColumn("r_bullets", col("bullet_frac") <= 0.9)
+      .withColumn("r_ellipsis", col("ellipsis_frac") <= 0.3)
+      .withColumn("r_alpha", col("alpha_frac") >= 0.8)
+      .withColumn("r_stops", col("n_stops") >= 2L)
+      .withColumn("pass",
+        fb(col("r_word_count")) && fb(col("r_word_len")) &&
+          fb(col("r_symbols")) && fb(col("r_bullets")) &&
+          fb(col("r_ellipsis")) && fb(col("r_alpha")) && fb(col("r_stops")))
+      .select("doc_id", "n_words", "mean_word_len", "symbol_ratio",
+        "bullet_frac", "ellipsis_frac", "alpha_frac", "n_stops",
+        "r_word_count", "r_word_len", "r_symbols", "r_bullets",
+        "r_ellipsis", "r_alpha", "r_stops", "pass")
+      .orderBy("doc_id")
+  }
+
+  val qGopherRulesSql: String =
+    s"""WITH t AS (
+       |  SELECT doc_id,
+       |    list_filter(string_split(text, ' '), w -> w <> '') AS words,
+       |    list_filter(list_transform(string_split(text, chr(10)), l -> trim(l)),
+       |                l -> length(l) > 0) AS lines,
+       |    CAST(len(regexp_extract_all(text, '#')) AS BIGINT)
+       |      + CAST(len(regexp_extract_all(text, '\\.\\.\\.')) AS BIGINT) AS symbols
+       |  FROM documents),
+       |m AS (
+       |  SELECT doc_id,
+       |    CAST(len(words) AS BIGINT) AS n_words,
+       |    CAST(len(lines) AS BIGINT) AS n_lines,
+       |    CAST(COALESCE(list_sum(list_transform(words, w -> CAST(length(w) AS BIGINT))), 0) AS DOUBLE)
+       |      / nullif(len(words), 0) AS mean_word_len,
+       |    CAST(symbols AS DOUBLE) / nullif(len(words), 0) AS symbol_ratio,
+       |    CAST(len(list_filter(lines, l -> left(l, 1) IN ('-', '*', '•'))) AS DOUBLE)
+       |      / nullif(len(lines), 0) AS bullet_frac,
+       |    CAST(len(list_filter(lines, l -> ends_with(l, '...') OR ends_with(l, '…'))) AS DOUBLE)
+       |      / nullif(len(lines), 0) AS ellipsis_frac,
+       |    CAST(len(list_filter(words, w -> regexp_matches(w, '[A-Za-z]'))) AS DOUBLE)
+       |      / nullif(len(words), 0) AS alpha_frac,
+       |    CAST(len(list_distinct(list_intersect(
+       |      list_transform(words, w -> lower(w)),
+       |      [$gopherStopsSql]))) AS BIGINT) AS n_stops
+       |  FROM t),
+       |f AS (
+       |  SELECT doc_id, n_words, mean_word_len, symbol_ratio, bullet_frac,
+       |    ellipsis_frac, alpha_frac, n_stops,
+       |    n_words BETWEEN 50 AND 100000 AS r_word_count,
+       |    mean_word_len BETWEEN 3.0 AND 10.0 AS r_word_len,
+       |    symbol_ratio <= 0.1 AS r_symbols,
+       |    bullet_frac <= 0.9 AS r_bullets,
+       |    ellipsis_frac <= 0.3 AS r_ellipsis,
+       |    alpha_frac >= 0.8 AS r_alpha,
+       |    n_stops >= 2 AS r_stops
+       |  FROM m)
+       |SELECT doc_id, n_words, mean_word_len, symbol_ratio, bullet_frac,
+       |  ellipsis_frac, alpha_frac, n_stops,
+       |  r_word_count, r_word_len, r_symbols, r_bullets, r_ellipsis,
+       |  r_alpha, r_stops,
+       |  (COALESCE(r_word_count, false) AND COALESCE(r_word_len, false)
+       |    AND COALESCE(r_symbols, false) AND COALESCE(r_bullets, false)
+       |    AND COALESCE(r_ellipsis, false) AND COALESCE(r_alpha, false)
+       |    AND COALESCE(r_stops, false)) AS pass
+       |FROM f ORDER BY doc_id""".stripMargin
+
+  /** #139 — `q_lm_buckets`: CCNet-style LM-score bucketing (Wenzek et
+    * al. 2020 — score every doc with a small LM, split each language
+    * into head/middle/tail thirds, train preferentially on the head):
+    * per-language tercile CUTOFFS over the #126 unigram-LM score, then
+    * a map-side bucket assignment. Head = the top-scoring (least
+    * negative) third; ties exactly at a cutoff fall to the lower
+    * bucket in both engines (strict `>`).
+    *
+    * Scale shape — deliberately NOT a per-language ntile window (one
+    * task would sort a whole language at 100 TB): the cutoff frame is
+    * LANGUAGE-grain (a handful of rows) and broadcasts; the corpus
+    * never shuffles to learn its bucket. This is CCNet's own
+    * deployment shape — cutoffs from the score distribution, then a
+    * streaming re-scan assigns buckets. The exact `percentile`
+    * aggregate buffers each language's scores (the #62 caveat); the
+    * 100 TB path swaps in `approx_percentile`, the same exact/approx
+    * pairing as #62/#63. Cutoffs are rounded once to 6 dp (on
+    * 6-dp-rounded score inputs) so both engines compare bit-identical
+    * doubles; unscored (token-less) docs keep the dirty-record rule:
+    * visible, NULL bucket.
+    */
+  def qLmBuckets(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val scored = scoreQualityLm(docs, unigramModel(docs, "text"), "doc_id", "text")
+      .join(docs.select("doc_id", "lang"), "doc_id")
+    val cuts = scored.where(col("avg_logprob").isNotNull)
+      .groupBy("lang")
+      .agg(expr("percentile(avg_logprob, array(1.0D/3, 2.0D/3))").as("c"))
+      .select(col("lang"),
+        round(col("c").getItem(0), 6).as("c_lo"),
+        round(col("c").getItem(1), 6).as("c_hi"))
+    scored.join(broadcast(cuts), Seq("lang"), "left")
+      .select(col("doc_id"), col("lang"), col("avg_logprob"),
+        when(col("avg_logprob").isNull, lit(null).cast("string"))
+          .when(col("avg_logprob") > col("c_hi"), "head")
+          .when(col("avg_logprob") > col("c_lo"), "middle")
+          .otherwise("tail").as("bucket"))
+      .orderBy("doc_id")
+  }
+
+  val qLmBucketsSql: String =
+    s"""WITH $lmCtesSql,
+      |scored AS (
+      |  SELECT d.doc_id, d.lang,
+      |    round(CAST(lp_sum AS DOUBLE) / per.n_toks, 6) AS avg_logprob
+      |  FROM documents d LEFT JOIN per ON d.doc_id = per.doc_id),
+      |cuts AS (
+      |  SELECT lang,
+      |    round(quantile_cont(avg_logprob, 1.0/3), 6) AS c_lo,
+      |    round(quantile_cont(avg_logprob, 2.0/3), 6) AS c_hi
+      |  FROM scored WHERE avg_logprob IS NOT NULL GROUP BY lang)
+      |SELECT s.doc_id, s.lang, s.avg_logprob,
+      |  CASE WHEN s.avg_logprob IS NULL THEN NULL
+      |       WHEN s.avg_logprob > c.c_hi THEN 'head'
+      |       WHEN s.avg_logprob > c.c_lo THEN 'middle'
+      |       ELSE 'tail' END AS bucket
+      |FROM scored s LEFT JOIN cuts c ON s.lang = c.lang
+      |ORDER BY s.doc_id""".stripMargin
 }

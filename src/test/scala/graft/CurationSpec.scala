@@ -1,0 +1,162 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Planted-corpus proofs for the heuristic-filter / decontamination /
+  * mixture operators (#137-141): each rule fires exactly where the
+  * construction says it must, and nowhere else.
+  */
+class CurationSpec extends SparkSpec {
+
+  /** A documents.parquet-shaped planted corpus with per-doc source. */
+  private def writeDocs(rows: Seq[(Long, String, String)]): String = {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_cur_").toString
+    rows.map { case (id, t, src) => (id, t, "en", src, t.length.toLong) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    dir
+  }
+
+  test("C4 rules: each line/page heuristic fires exactly as planted") {
+    import spark.implicits._
+    val keptLine = "This line has five good words."
+    val dir = writeDocs(Seq(
+      // 4 lines, only the first survives (short / no punctuation /
+      // javascript) -> page dropped at the 3-kept-line rule
+      (1L, s"$keptLine\nshort line.\nNo terminal punctuation in this line\n" +
+        "The javascript keyword kills this long line.", "s"),
+      // 3 surviving lines, no page flags -> kept
+      (2L, s"$keptLine\n$keptLine\n$keptLine", "s"),
+      // surviving lines but a brace on the page -> dropped
+      (3L, s"$keptLine\n$keptLine\n$keptLine\n{", "s"),
+      // lorem ipsum, case-insensitive -> dropped
+      (4L, s"$keptLine\n$keptLine\n$keptLine Lorem IPSUM tail.", "s"),
+      (5L, "", "s")))
+    val out = SparkEntry.queries("q_c4_rules")(spark, dir)
+      .select("doc_id", "n_lines", "n_kept_lines", "has_brace", "has_lorem", "keep")
+      .as[(Long, Long, Long, Boolean, Boolean, Boolean)].collect().sortBy(_._1).toSeq
+    assert(out == Seq(
+      (1L, 4L, 1L, false, false, false),
+      (2L, 3L, 3L, false, false, true),
+      (3L, 4L, 3L, true, false, false),
+      (4L, 3L, 3L, false, true, false),
+      (5L, 0L, 0L, false, false, false)), s"C4 verdicts drifted: $out")
+    // the retained-character fraction follows the kept lines exactly
+    val f1 = SparkEntry.queries("q_c4_rules")(spark, dir)
+      .where(col("doc_id") === 1L).select("kept_char_frac").as[Double].head()
+    val lines1 = Seq(keptLine, "short line.",
+      "No terminal punctuation in this line",
+      "The javascript keyword kills this long line.")
+    assert(math.abs(f1 - keptLine.length.toDouble / lines1.map(_.length).sum) < 1e-6)
+    // empty doc: dirty-record rule — visible with NULL fraction
+    assert(SparkEntry.queries("q_c4_rules")(spark, dir)
+      .where(col("doc_id") === 5L && col("kept_char_frac").isNull).count() == 1)
+  }
+
+  test("Gopher rules: each rule fails exactly on its planted violator") {
+    import spark.implicits._
+    // 60 words, clean prose shape: every rule passes
+    val good = Array.fill(6)("the quick brown foxes jumped over that lazy dogs with")
+      .mkString(" ")
+    // >= 50 words but every line bullet-started
+    val bullets = Array.fill(10)("- item alpha beta gamma delta epsilon zeta")
+      .mkString("\n")
+    // >= 50 words with a #-symbol per word planted
+    val symbols = good + " " + Array.fill(12)("#").mkString(" ")
+    // >= 50 words, all numeric -> alpha fraction 0; also kills stopwords
+    val numeric = (1 to 60).map(_.toString).mkString(" ")
+    val dir = writeDocs(Seq(
+      (1L, good, "s"), (2L, bullets, "s"), (3L, symbols, "s"),
+      (4L, numeric, "s"), (5L, "", "s")))
+    val out = SparkEntry.queries("q_gopher_rules")(spark, dir)
+      .select("doc_id", "r_word_count", "r_bullets", "r_symbols", "r_alpha",
+        "r_stops", "pass")
+      .as[(Long, Option[Boolean], Option[Boolean], Option[Boolean],
+        Option[Boolean], Boolean, Boolean)]
+      .collect().sortBy(_._1).toSeq
+    assert(out(0) == (1L, Some(true), Some(true), Some(true), Some(true), true, true),
+      s"clean doc must pass every rule: ${out(0)}")
+    assert(out(1)._3 == Some(false) && out(1)._2 == Some(true),
+      s"all-bullet doc must fail r_bullets only there: ${out(1)}")
+    assert(out(2)._4 == Some(false), s"symbol-heavy doc must fail r_symbols: ${out(2)}")
+    assert(out(3)._5 == Some(false) && !out(3)._6,
+      s"numeric doc must fail r_alpha and r_stops: ${out(3)}")
+    // empty doc: word-grain ratios undefined (NULL), verdict still false
+    assert(out(4)._2 == Some(false) && out(4)._4.isEmpty && !out(4)._7,
+      s"empty doc: NULL ratios, pass=false: ${out(4)}")
+    assert(out.count(_._7) == 1, "exactly the clean doc passes")
+  }
+
+  test("LM buckets: cutoffs order the buckets strictly, per language") {
+    val out = SparkEntry.queries("q_lm_buckets")(spark, sf).cache()
+    try {
+      // every scored doc lands in a bucket; unscored docs stay NULL
+      assert(out.where(col("avg_logprob").isNotNull && col("bucket").isNull)
+        .count() == 0)
+      assert(out.where(col("avg_logprob").isNull && col("bucket").isNotNull)
+        .count() == 0)
+      // per lang: min(head) > max(middle) and min(middle) > max(tail) —
+      // the strict-cutoff ordering that defines the terciles
+      val b = out.where(col("bucket").isNotNull)
+        .groupBy("lang").pivot("bucket", Seq("head", "middle", "tail"))
+        .agg(min("avg_logprob").as("mn"), max("avg_logprob").as("mx"))
+      b.collect().foreach { r =>
+        val headMin = r.getAs[Double]("head_mn")
+        val midMax = r.getAs[Double]("middle_mx")
+        val midMin = r.getAs[Double]("middle_mn")
+        val tailMax = r.getAs[Double]("tail_mx")
+        assert(headMin > midMax && midMin > tailMax,
+          s"bucket ordering violated for ${r.getString(0)}: $r")
+      }
+      // all five languages split into three non-empty buckets at this SF
+      val langs = out.where(col("bucket").isNotNull)
+        .select("lang", "bucket").distinct().groupBy("lang").count()
+      assert(langs.where(col("count") =!= 3).count() == 0,
+        "every language must populate head/middle/tail at sf0.01")
+    } finally out.unpersist()
+  }
+
+  test("ngram contamination: a verbatim 4-run fires, a 3-run does not") {
+    import spark.implicits._
+    val dir = writeDocs(Seq(
+      // benchmark doc (97 % 97 == 0)
+      (97L, "alpha beta gamma delta unique benchmark tail words", "s"),
+      // quotes a 4-token run -> exactly one hit window
+      (1L, "opening words here alpha beta gamma delta closing words", "s"),
+      // shares only a 3-token run -> silent
+      (2L, "opening words here alpha beta gamma OTHER closing words", "s"),
+      (3L, "totally unrelated content with no overlap at all", "s")))
+    val out = SparkEntry.queries("q_contamination_ngram")(spark, dir)
+      .select("doc_id", "n_windows", "n_hit_windows")
+      .as[(Long, Long, Long)].collect().toSeq
+    assert(out == Seq((1L, 6L, 1L)),
+      s"exactly doc 1's single 4-window must hit: $out")
+    // and the benchmark side never reports itself
+    assert(!out.exists(_._1 == 97L))
+  }
+
+  test("mix plan: sqrt damping, normalization, and budget accounting") {
+    import spark.implicits._
+    // srcA holds 400 tokens, srcB 100 -> damped weights 2:1
+    val a = (1 to 50).map(i => (i.toLong, (1 to 8).map(j => s"a${i}w$j").mkString(" "), "srcA"))
+    val b = (51 to 75).map(i => (i.toLong, (1 to 4).map(j => s"b${i}w$j").mkString(" "), "srcB"))
+    val out = SparkEntry.queries("q_mix_plan")(spark, writeDocs(a ++ b))
+      .select("source", "tokens", "weight", "planned_tokens", "epochs")
+      .as[(String, Long, Double, Long, Double)].collect().sortBy(_._1).toSeq
+    assert(out.map(r => (r._1, r._2)) == Seq(("srcA", 400L), ("srcB", 100L)))
+    val (wa, wb) = (out(0)._3, out(1)._3)
+    assert(math.abs(wa / wb - 2.0) < 1e-4, s"sqrt damping: 400 vs 100 tokens must weigh 2:1, got $wa/$wb")
+    assert(math.abs(wa + wb - 1.0) < 1e-5, "weights normalize")
+    assert(out.map(_._4).sum <= (1L << 20), "planned draws never exceed the budget")
+    out.foreach { r =>
+      assert(math.abs(r._5 - r._4.toDouble / r._2) < 1e-4,
+        s"epochs = planned/available for $r")
+    }
+    // on the real corpus: 20 sources, weights normalize to ~1
+    val real = SparkEntry.queries("q_mix_plan")(spark, sf)
+    assert(real.count() == 20)
+    val wsum = real.agg(sum("weight")).head().getDouble(0)
+    assert(math.abs(wsum - 1.0) < 1e-4, s"real-corpus weights sum to $wsum")
+  }
+}

@@ -43,6 +43,33 @@ class PlanSpec extends SparkSpec {
       s"substring dedup degenerated to an all-pairs shape:\n$p")
   }
 
+  test("C4 and Gopher rule batteries stay map-only: no hash exchange, no join") {
+    Seq("q_c4_rules", "q_gopher_rules").foreach { q =>
+      val p = plan(q)
+      assert(!p.contains("Exchange hashpartitioning"),
+        s"$q must not shuffle (per-row projection):\n$p")
+      assert(!p.contains("Join"), s"$q must not join:\n$p")
+    }
+  }
+
+  test("LM buckets assign map-side from broadcast cutoffs, never a per-lang window") {
+    val p = plan("q_lm_buckets")
+    // the scale trap this operator avoids: an ntile window over a
+    // language partition would sort a whole language in ONE task at
+    // 100 TB ("Window" = the exec node; percentile the AGGREGATE is
+    // the sanctioned lang-grain shape)
+    assert(!p.contains("Window"),
+      s"bucket assignment must not be a window function:\n$p")
+    assert(p.contains("BroadcastHashJoin"),
+      s"lang-grain cutoffs must broadcast:\n$p")
+  }
+
+  test("ngram contamination joins on window hashes, never a pair grain") {
+    val p = plan("q_contamination_ngram")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"contamination degenerated to an all-pairs shape:\n$p")
+  }
+
   test("no registered query degenerates to CartesianProduct") {
     SparkEntry.queries.keys.foreach { q =>
       val p = plan(q)
