@@ -680,7 +680,7 @@ object Corpus {
     * RefinedWeb). Deterministic literals here; production swaps in a
     * million-row frame, and the join shape below is built for that.
     */
-  private val DomainBlocklist = Seq("src4", "src11", "src17")
+  private[graft] val DomainBlocklist = Seq("src4", "src11", "src17")
   private val DomainBlocklistSql = DomainBlocklist.map(d => s"'$d'").mkString(", ")
 
   /** Quality gate for #135's pass-rate column: the per-row
@@ -688,7 +688,7 @@ object Corpus {
     * gate keeps the rollup integer-exact (an avg over per-row doubles
     * would be partition-order-dependent at the last ulp).
     */
-  private val DomainQualityTau = 0.5
+  private[graft] val DomainQualityTau = 0.5
 
   /** #135 — `q_domain_stats`: the per-domain curation dashboard
     * (CCNet/RefinedWeb report corpus composition at registrable-domain

@@ -40,7 +40,7 @@ object Dedup {
     trim(regexp_replace(lower(col("text")), " +", " "))
   private[operators] val contentNormSql =
     "trim(regexp_replace(lower(text), ' +', ' ', 'g'))"
-  private[operators] val contentFp = md5(contentNorm)
+  private[graft] val contentFp = md5(contentNorm)
   private[operators] val contentFpSql = s"md5($contentNormSql)"
 
   /** #25 — exact dedup: canonical doc (min doc_id) per normalized-text
@@ -1164,7 +1164,22 @@ object Dedup {
     * corpus-duplicated when its exact trimmed content appears in at
     * least this many DISTINCT documents.
     */
-  private val LineMinDocs = 2L
+  private[graft] val LineMinDocs = 2L
+
+  /** The #134 line grain on any frame with an id + text column —
+    * trimmed non-blank `\n`-segments keyed by codegen'd xxhash64 (8
+    * bytes shuffled per line, never the text), shared by the gated
+    * query and its streaming twin (#142) so the grain cannot drift.
+    * Columns: `doc_id`, `line_chars`, `lk`.
+    */
+  private[graft] def lineGrain(df: DataFrame, idCol: String,
+      textCol: String): DataFrame =
+    df.select(col(idCol).as("doc_id"),
+        explode(split(col(textCol), "\n")).as("raw"))
+      .select(col("doc_id"), trim(col("raw")).as("line"))
+      .where(length(col("line")) > 0)
+      .select(col("doc_id"), length(col("line")).cast("long").as("line_chars"),
+        xxhash64(col("line")).as("lk"))
 
   /** #134 — `q_dedup_lines`: cross-document LINE dedup — the
     * C4/CCNet/RefinedWeb curation rule "remove lines duplicated across
@@ -1189,12 +1204,7 @@ object Dedup {
   def qDedupLines(spark: SparkSession, dir: String): DataFrame = {
     // persisted: the df aggregate and the per-doc rollup both read the
     // exploded line grain
-    val lines = Tables.documents(spark, dir)
-      .select(col("doc_id"), explode(split(col("text"), "\n")).as("raw"))
-      .select(col("doc_id"), trim(col("raw")).as("line"))
-      .where(length(col("line")) > 0)
-      .select(col("doc_id"), length(col("line")).cast("long").as("line_chars"),
-        xxhash64(col("line")).as("lk"))
+    val lines = lineGrain(Tables.documents(spark, dir), "doc_id", "text")
       .persist()
     val flagged = lines.groupBy("lk")
       .agg(countDistinct("doc_id").as("df"))

@@ -1107,6 +1107,211 @@ object Streams {
       .select("vec_id", "cell", "dup_of_ct", "max_cos"))
   }
 
+  /** #142 — `stream_dedup_lines`: #134's cross-document LINE dedup AT
+    * INGEST. Each arriving micro-batch (a) contracts to its line-grain
+    * document-frequency partial — `(lk, docs)`, distinct docs per line
+    * hash WITHIN the batch; docs are globally unique across batches,
+    * so partials are integer-ADDITIVE like the #128 histograms — landed
+    * replay-safely under `lines/batch=<id>`, and (b) emits per-doc
+    * verdicts for the ARRIVING docs against the accumulated df store
+    * UP TO this batch (`batch <= id` — what makes old-batch replay a
+    * fixpoint rather than a verdict rewrite), under
+    * `verdicts/batch=<id>`. Verdicts are PROVISIONAL in the #61/#68
+    * incremental sense: a line becomes corpus-duplicated only when its
+    * second distinct doc ARRIVES, so the earlier doc's verdict stays
+    * clean — flagged-at-ingest is always a SUBSET of batch-#134-flagged
+    * (df only grows), with equality when duplicates co-arrive
+    * (spec-pinned: single-batch delivery == the gated query exactly).
+    *
+    * Scale: per-batch work is the batch's own line grain plus one
+    * line-keyed join against the store (8-byte keys, never text); the
+    * store itself is line-vocabulary-sized, bucketed by parquet
+    * partition — nothing corpus-sized is ever re-shuffled per batch.
+    */
+  def lineDedupSink(docs: DataFrame, statePath: String,
+      checkpointDir: String, idCol: String = "doc_id",
+      textCol: String = "text")
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] = {
+    require(idCol != "batch",
+      "lineDedupSink stores state under batch=<id> partitions; an id " +
+        "column named 'batch' would collide with partition discovery — " +
+        "rename it first")
+    docs.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        applyLineDedupBatch(batch, batchId, statePath, idCol, textCol)
+      }
+  }
+
+  /** One ingest step of [[lineDedupSink]] (package-visible so the spec
+    * can drive replay directly).
+    */
+  private[graft] def applyLineDedupBatch(batch: DataFrame, batchId: Long,
+      statePath: String, idCol: String, textCol: String): Unit = {
+    import org.apache.hadoop.fs.Path
+    val spark = batch.sparkSession
+    val root = new Path(new Path(statePath).toUri.getPath)
+    val b = batch.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val lines = graft.operators.Dedup.lineGrain(b, idCol, textCol)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      try {
+        lines.groupBy("lk").agg(countDistinct("doc_id").as("docs"))
+          .write.mode("overwrite")
+          .parquet(new Path(root, s"lines/batch=$batchId").toString)
+        // df so far = partials with batch <= id: includes the partial
+        // just written, excludes later batches on old-batch replay
+        val flagged = spark.read
+          .parquet(new Path(root, "lines").toString)
+          .where(col("batch") <= batchId)
+          .groupBy("lk").agg(sum("docs").as("df"))
+          .where(col("df") >= graft.operators.Dedup.LineMinDocs)
+          .select(col("lk"), lit(1L).as("is_dup"))
+        val perDoc = lines
+          .join(flagged, Seq("lk"), "left")
+          .groupBy("doc_id").agg(
+            count(lit(1)).as("n_lines"),
+            sum(coalesce(col("is_dup"), lit(0L))).as("n_dup_lines"),
+            sum(col("line_chars")).as("chars"),
+            sum(col("line_chars") * coalesce(col("is_dup"), lit(0L)))
+              .as("dup_chars"))
+        b.select(col(idCol).as("doc_id")).distinct()
+          .join(perDoc, Seq("doc_id"), "left")
+          .select(col("doc_id"),
+            coalesce(col("n_lines"), lit(0L)).as("n_lines"),
+            coalesce(col("n_dup_lines"), lit(0L)).as("n_dup_lines"),
+            when(coalesce(col("chars"), lit(0L)) === 0,
+              lit(null).cast("double"))
+              .otherwise(round(
+                (col("chars") - col("dup_chars")).cast("double") / col("chars"),
+                6))
+              .as("retained_frac"))
+          .write.mode("overwrite")
+          .parquet(new Path(root, s"verdicts/batch=$batchId").toString)
+      } finally lines.unpersist()
+    } finally b.unpersist()
+  }
+
+  /** All per-doc line verdicts emitted so far by a [[lineDedupSink]]
+    * (None before the first completed batch).
+    */
+  def lineDedupVerdicts(spark: org.apache.spark.sql.SparkSession,
+      statePath: String): Option[DataFrame] = {
+    import org.apache.hadoop.fs.Path
+    val vroot = new Path(new Path(statePath).toUri.getPath, "verdicts")
+    val fs = vroot.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(vroot)) None
+    else Some(spark.read.parquet(vroot.toString).drop("batch"))
+  }
+
+  /** #143 — `stream_domain_stats`: #135's per-domain curation
+    * dashboard maintained while the corpus ARRIVES. Each micro-batch
+    * drops blocklisted domains MAP-SIDE (an `isin` literal filter —
+    * the broadcast-anti's streaming twin, pruning before anything is
+    * stored), then lands two replay-safe contractions: the
+    * domain-grain integer partial (docs, tokens, quality-gate passes
+    * — additive across batches like the #128 histograms) under
+    * `stats/batch=<id>`, and the `(domain, fp, cnt, min_id)`
+    * fingerprint contraction under `fps/batch=<id>` — the minimal
+    * state from which CROSS-batch exact-dup counts are recoverable
+    * (a dup is a non-canonical member of a fingerprint group, and
+    * canonical = the globally smallest doc id, which min() preserves
+    * under any batch split). [[domainStatsState]] folds the partials
+    * into EXACTLY the batch #135 readout whatever the boundaries
+    * (spec-pinned), so the dashboard is always current at the cost of
+    * two batch-sized contractions per micro-batch.
+    */
+  def domainStatsSink(docs: DataFrame, blocklist: Seq[String],
+      statePath: String, checkpointDir: String, idCol: String = "doc_id",
+      textCol: String = "text", domainCol: String = "source",
+      qualityTau: Double = graft.operators.Corpus.DomainQualityTau)
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] = {
+    require(idCol != "batch" && domainCol != "batch",
+      "domainStatsSink stores state under batch=<id> partitions; a " +
+        "column named 'batch' would collide with partition discovery — " +
+        "rename it first")
+    docs.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        applyDomainStatsBatch(batch, batchId, blocklist, statePath,
+          idCol, textCol, domainCol, qualityTau)
+      }
+  }
+
+  /** One maintenance step of [[domainStatsSink]] (package-visible so
+    * the spec can drive replay directly).
+    */
+  private[graft] def applyDomainStatsBatch(batch: DataFrame, batchId: Long,
+      blocklist: Seq[String], statePath: String, idCol: String,
+      textCol: String, domainCol: String, qualityTau: Double): Unit = {
+    import org.apache.hadoop.fs.Path
+    val root = new Path(new Path(statePath).toUri.getPath)
+    val kept = batch.where(
+      if (blocklist.isEmpty) lit(true)
+      else !col(domainCol).isin(blocklist: _*))
+    // withQuality wants a `text` column; contract to the columns the
+    // two stores need, at the batch's own size, persisted because the
+    // two writes below would otherwise re-execute the micro-batch
+    val scored = graft.operators.Text.withQuality(
+        kept.select(col(idCol).as("doc_id"), col(textCol).as("text"),
+          col(domainCol).as("domain")))
+      .select(col("domain"), col("doc_id"), col("n_tokens"),
+        (col("quality_score") > qualityTau).cast("long").as("pass"),
+        graft.operators.Dedup.contentFp.as("fp"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      scored.groupBy("domain").agg(
+          count(lit(1)).as("n_docs"),
+          sum("n_tokens").as("n_tokens"),
+          sum("pass").as("quality_pass"))
+        .write.mode("overwrite")
+        .parquet(new Path(root, s"stats/batch=$batchId").toString)
+      scored.groupBy("domain", "fp").agg(
+          count(lit(1)).as("cnt"),
+          min("doc_id").as("min_id"))
+        .write.mode("overwrite")
+        .parquet(new Path(root, s"fps/batch=$batchId").toString)
+    } finally scored.unpersist()
+  }
+
+  /** The per-domain dashboard after the last completed batch: partials
+    * summed (exact — integer additivity), cross-batch dup counts
+    * recovered from the fingerprint contractions (per fingerprint, the
+    * globally-smallest doc id is canonical; every other member counts
+    * against its own domain), ratios derived last — column-for-column
+    * the batch `q_domain_stats` readout. None before the first batch.
+    */
+  def domainStatsState(spark: org.apache.spark.sql.SparkSession,
+      statePath: String): Option[DataFrame] = {
+    import org.apache.hadoop.fs.Path
+    val sroot = new Path(new Path(statePath).toUri.getPath, "stats")
+    val fs = sroot.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(sroot)) return None
+    val stats = spark.read.parquet(sroot.toString)
+      .groupBy("domain").agg(
+        sum("n_docs").as("n_docs"),
+        sum("n_tokens").as("n_tokens"),
+        sum("quality_pass").as("quality_pass"))
+    val fps = spark.read
+      .parquet(new Path(new Path(statePath).toUri.getPath, "fps").toString)
+      .groupBy("domain", "fp").agg(
+        sum("cnt").as("cnt"), min("min_id").as("min_id"))
+    val canon = fps.groupBy("fp").agg(min("min_id").as("gmin"))
+    val dups = fps.join(canon, "fp")
+      .withColumn("dup",
+        col("cnt") - (col("min_id") === col("gmin")).cast("long"))
+      .groupBy("domain").agg(sum("dup").as("dup_docs"))
+    Some(stats
+      .join(dups, Seq("domain"), "left")
+      .select(col("domain").as("domain"), col("n_docs"), col("n_tokens"),
+        coalesce(col("dup_docs"), lit(0L)).as("dup_docs"),
+        col("quality_pass"),
+        (coalesce(col("dup_docs"), lit(0L)).cast("double") / col("n_docs"))
+          .as("dup_rate"),
+        (col("quality_pass").cast("double") / col("n_docs"))
+          .as("quality_pass_rate")))
+  }
+
   /** The labeling after the last completed batch, if any. */
   def dupClusterState(spark: org.apache.spark.sql.SparkSession,
       statePath: String): Option[DataFrame] = {

@@ -1027,4 +1027,117 @@ class StreamingSpec extends SparkSpec {
     assert(got.exceptAll(want).count() == 0 && want.exceptAll(got).count() == 0,
       "stream jump set differs from batch")
   }
+
+  test("stream_dedup_lines: single-batch == batch #134; split delivery is provisional; replay fixpoint") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val shared = "this exact boilerplate line repeats across documents"
+    val rows = Seq(
+      1L -> s"unique opening one\n$shared\nunique closing one",
+      2L -> s"unique opening two\n$shared\nunique closing two",
+      3L -> "entirely original document\nwith two original lines")
+    def plantDir(): String = {
+      val dir = java.nio.file.Files.createTempDirectory("graft_sline_").toString
+      rows.map { case (id, t) => (id, t, "en", "src1", t.length.toLong) }
+        .toDF("doc_id", "text", "lang", "source", "n_chars")
+        .coalesce(1).write.mode("overwrite").parquet(s"$dir/documents.parquet")
+      dir
+    }
+    val planted = plantDir()
+    // 1) whole corpus in ONE batch: verdicts == the gated batch query
+    val one = java.nio.file.Files.createTempDirectory("graft_sl1_").toString
+    val ms1 = MemoryStream[(Long, String)]
+    val q1 = Streams.lineDedupSink(ms1.toDF().toDF("doc_id", "text"),
+      s"$one/state", s"$one/ckpt").start()
+    try { ms1.addData(rows); q1.processAllAvailable() } finally q1.stop()
+    val got1 = Streams.lineDedupVerdicts(spark, s"$one/state").get
+    val want = SparkEntry.queries("q_dedup_lines")(spark, planted)
+      .select("doc_id", "n_lines", "n_dup_lines", "retained_frac")
+    assert(got1.exceptAll(want).count() == 0 && want.exceptAll(got1).count() == 0,
+      "co-arriving duplicates must reproduce the batch readout exactly")
+    // 2) split delivery: doc 1 (batch 0) is judged before doc 2 exists —
+    // provisional-clean; doc 2 (batch 1) sees the stored line and flags
+    val two = java.nio.file.Files.createTempDirectory("graft_sl2_").toString
+    val ms2 = MemoryStream[(Long, String)]
+    val q2 = Streams.lineDedupSink(ms2.toDF().toDF("doc_id", "text"),
+      s"$two/state", s"$two/ckpt").start()
+    try {
+      ms2.addData(Seq(rows(0))); q2.processAllAvailable()
+      ms2.addData(Seq(rows(1), rows(2))); q2.processAllAvailable()
+    } finally q2.stop()
+    val got2 = Streams.lineDedupVerdicts(spark, s"$two/state").get
+      .select("doc_id", "n_dup_lines").as[(Long, Long)].collect().toMap
+    assert(got2(1L) == 0L, "the FIRST copy is provisional-clean at ingest")
+    assert(got2(2L) == 1L, "the second copy must flag against the store")
+    assert(got2(3L) == 0L)
+    // ingest-flagged is a SUBSET of batch-flagged (df only grows)
+    val batchDup = want.select("doc_id", "n_dup_lines").as[(Long, Long)]
+      .collect().toMap
+    got2.foreach { case (id, n) =>
+      assert(n <= batchDup(id), s"ingest flagged more than batch for doc $id")
+    }
+    // 3) replay (at-least-once): both an OLD batch and the LAST batch
+    // must leave every verdict partition unchanged
+    def allVerdicts() = Streams.lineDedupVerdicts(spark, s"$two/state").get
+      .collect().toSet
+    val before = allVerdicts()
+    Seq(0L -> Seq(rows(0)), 1L -> Seq(rows(1), rows(2))).foreach {
+      case (id, chunk) =>
+        Streams.applyLineDedupBatch(
+          chunk.toDF("doc_id", "text"), id, s"$two/state", "doc_id", "text")
+        assert(allVerdicts() == before, s"replaying batch $id mutated verdicts")
+    }
+  }
+
+  test("stream_domain_stats: folded partials equal batch #135; replay fixpoint") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val base = java.nio.file.Files.createTempDirectory("graft_sdom_").toString
+    // sfTiny has no exact dups, so plant a dup PAIR that will arrive in
+    // DIFFERENT batches — the cross-batch recovery this sink exists for
+    val dupText = "planted duplicate document body for the domain fold"
+    val planted = Seq((1000001L, dupText, "src1"), (1000002L, dupText, "src2"))
+    val real = Tables.documents(spark, sfTiny)
+      .select("doc_id", "text", "source")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+      .toIndexedSeq
+    val combinedDir = java.nio.file.Files.createTempDirectory("graft_sdomc_").toString
+    (real ++ planted)
+      .map { case (id, t, src) => (id, t, "en", src, t.length.toLong) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .coalesce(1).write.mode("overwrite")
+      .parquet(s"$combinedDir/documents.parquet")
+    val ms = MemoryStream[(Long, String, String)]
+    val q = Streams.domainStatsSink(
+      ms.toDF().toDF("doc_id", "text", "source"),
+      graft.operators.Corpus.DomainBlocklist,
+      s"$base/state", s"$base/ckpt").start()
+    val split = real.grouped((real.size + 1) / 2).toSeq
+    val chunks = Seq(split.head :+ planted.head, split.last :+ planted.last)
+    try {
+      chunks.foreach { c => ms.addData(c); q.processAllAvailable() }
+    } finally q.stop()
+    val got = Streams.domainStatsState(spark, s"$base/state").get
+    val want = SparkEntry.queries("q_domain_stats")(spark, combinedDir)
+    assert(got.count() > 0)
+    assert(got.exceptAll(want).count() == 0 && want.exceptAll(got).count() == 0,
+      "folded per-batch partials != the one-shot domain dashboard")
+    // the dup fold is non-vacuous AND allocated to the non-canonical
+    // domain: the planted copy in src2 counts, the src1 original doesn't
+    assert(want.agg(sum("dup_docs")).head().getLong(0) > 0)
+    assert(got.where(col("domain") === "src2" && col("dup_docs") >= 1L)
+      .count() == 1, "cross-batch dup must count against the later domain")
+    // replay: old batch and last batch both leave the dashboard unchanged
+    val before = got.collect().toSet
+    Seq(0 -> chunks.head, (chunks.size - 1) -> chunks.last).foreach {
+      case (id, chunk) =>
+        Streams.applyDomainStatsBatch(
+          chunk.toDF("doc_id", "text", "source"), id.toLong,
+          graft.operators.Corpus.DomainBlocklist, s"$base/state",
+          "doc_id", "text", "source", graft.operators.Corpus.DomainQualityTau)
+        val after = Streams.domainStatsState(spark, s"$base/state").get
+          .collect().toSet
+        assert(after == before, s"replaying batch $id mutated the dashboard")
+    }
+  }
 }
