@@ -1128,6 +1128,62 @@ object Graft {
       textCol: String): DataFrame =
     graft.operators.Text.scoreQualityLm(df, model, idCol, textCol)
 
+  /** CCNet-style LM-score bucketing (#139): per-`langCol` tercile
+    * cutoffs over the [[scoreQualityLm]] score under `model`, then a
+    * map-side head/middle/tail assignment (head = least negative
+    * third; ties at a cutoff fall to the lower bucket; unscored rows
+    * keep a NULL bucket). The cutoff frame is language-grain and
+    * broadcasts — deliberately NOT a per-language ntile window, which
+    * would sort a whole language in one task at corpus scale. Pass a
+    * frozen model to bucket later ingest against a fixed scorer (the
+    * [[scoreQualityLm]] composition).
+    */
+  def lmBuckets(df: DataFrame, model: DataFrame, idCol: String,
+      textCol: String, langCol: String): DataFrame =
+    graft.operators.Text.lmBuckets(df, model, idCol, textCol, langCol)
+
+  /** The C4 cleaning heuristics (#137, Raffel et al. 2020 §2.2) on
+    * any frame with an id + text column: per row, line counts under
+    * the terminal-punctuation / ≥5-word / no-"javascript" line rule,
+    * the retained-character fraction, the brace and "lorem ipsum"
+    * page flags, and the ≥3-kept-lines page verdict. Pure map-side
+    * projection — parquet-scan speed at any size.
+    */
+  def c4Rules(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    graft.operators.Text.c4Rules(df, idCol, textCol)
+
+  /** The Gopher quality-rule battery (#138, Rae et al. 2021 Table
+    * A1) on any frame with an id + text column: the seven per-row
+    * measures, one boolean per rule, and the conjunction `pass`
+    * (undefined rules — zero-word/zero-line rows — read NULL and
+    * fail the conjunction). Pure map-side projection.
+    */
+  def gopherRules(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    graft.operators.Text.gopherRules(df, idCol, textCol)
+
+  /** Cross-document LINE dedup (#134, the C4/CCNet/RefinedWeb rule)
+    * on any frame with an id + text column: per row, trimmed-line
+    * counts, lines whose content occurs in ≥2 distinct rows, and the
+    * retained-character fraction (NULL for line-less rows). Linear —
+    * line keys are codegen'd xxhash64 (8 bytes shuffled per line),
+    * one df aggregate, one ≤1-match join back; no pair grain. The
+    * ingest twin is [[graft.streaming.Streams.lineDedupSink]].
+    */
+  def lineDedup(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    graft.operators.Dedup.lineDedup(df, idCol, textCol)
+
+  /** The source-mixture plan (#141, weight ∝ √tokens — the
+    * UniMax/LLaMA-style damping) over any (stratum, token-count) row
+    * grain: per stratum — row and token totals, normalized weight,
+    * the planned token draw under `budget`, and the implied epoch
+    * count. One contracted aggregate; deterministic under any
+    * partitioning (√ is correctly-rounded, the normalizer sums in
+    * exact decimal).
+    */
+  def mixPlan(df: DataFrame, stratumCol: String, tokensCol: String,
+      budget: Long): DataFrame =
+    graft.operators.Corpus.mixPlan(df, stratumCol, tokensCol, budget)
+
   /** One snapshot's contracted (source, length-bucket) histogram —
     * the additive state behind streaming drift (#128): per source and
     * power-of-two token bucket (the `q_length_histogram` rule; null

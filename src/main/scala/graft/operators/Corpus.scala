@@ -595,30 +595,39 @@ object Corpus {
     * are divisions of bit-identical doubles. Source-grain all the
     * way: one contracted aggregate, then literally 20 rows.
     */
-  def qMixPlan(spark: SparkSession, dir: String): DataFrame = {
-    val bySource = Tables.documents(spark, dir)
-      .select(col("source"), Text.wsTokenCount.as("n_tokens"))
-      .groupBy("source")
-      .agg(count(lit(1)).as("docs"), sum("n_tokens").as("tokens"))
+  /** The #141 plan on any (stratum, token-count) row grain — shared by
+    * the gated query and the [[graft.api.Graft.mixPlan]] facade.
+    */
+  private[graft] def mixPlan(df: DataFrame, stratumCol: String,
+      tokensCol: String, budget: Long): DataFrame = {
+    val byStratum = df
+      .groupBy(stratumCol)
+      .agg(count(lit(1)).as("docs"), sum(tokensCol).as("tokens"))
       .withColumn("damped",
         round(sqrt(col("tokens").cast("double")), 6).cast("decimal(18,6)"))
-      // source-grain (tens of rows) but consumed twice (normalizer +
+      // stratum-grain (tens of rows) but consumed twice (normalizer +
       // projection): materialize once so the corpus scans once — the
       // unigramModel localCheckpoint discipline, ContextCleaner-reclaimed
       .localCheckpoint(true)
-    bySource
-      .crossJoin(broadcast(bySource.agg(sum("damped").as("dtot"))))
-      .select(col("source"), col("docs"), col("tokens"),
+    byStratum
+      .crossJoin(broadcast(byStratum.agg(sum("damped").as("dtot"))))
+      .select(col(stratumCol), col("docs"), col("tokens"),
         round(col("damped").cast("double") / col("dtot").cast("double"), 6)
           .as("weight"))
       .withColumn("planned_tokens",
-        floor(lit(MixBudgetTokens.toDouble) * col("weight")).cast("long"))
+        floor(lit(budget.toDouble) * col("weight")).cast("long"))
       .withColumn("epochs",
         when(col("tokens") === 0, lit(null).cast("double"))
           .otherwise(round(
             col("planned_tokens").cast("double") / col("tokens"), 6)))
-      .orderBy("source")
   }
+
+  def qMixPlan(spark: SparkSession, dir: String): DataFrame =
+    mixPlan(
+      Tables.documents(spark, dir)
+        .select(col("source"), Text.wsTokenCount.as("n_tokens")),
+      "source", "n_tokens", MixBudgetTokens)
+      .orderBy("source")
 
   val qMixPlanSql: String =
     s"""WITH t AS (

@@ -1201,11 +1201,14 @@ object Dedup {
     * keep the dirty-record rule: visible, zero counts, NULL
     * `retained_frac`.
     */
-  def qDedupLines(spark: SparkSession, dir: String): DataFrame = {
+  /** The #134 readout on any frame with an id + text column — shared
+    * by the gated query and the [[graft.api.Graft.lineDedup]] facade.
+    */
+  private[graft] def lineDedup(df: DataFrame, idCol: String,
+      textCol: String): DataFrame = {
     // persisted: the df aggregate and the per-doc rollup both read the
     // exploded line grain
-    val lines = lineGrain(Tables.documents(spark, dir), "doc_id", "text")
-      .persist()
+    val lines = lineGrain(df, idCol, textCol).persist()
     val flagged = lines.groupBy("lk")
       .agg(countDistinct("doc_id").as("df"))
       .where(col("df") >= LineMinDocs)
@@ -1217,17 +1220,20 @@ object Dedup {
         sum(coalesce(col("is_dup"), lit(0L))).as("n_dup_lines"),
         sum(col("line_chars")).as("chars"),
         sum(col("line_chars") * coalesce(col("is_dup"), lit(0L))).as("dup_chars"))
-    Tables.documents(spark, dir).select("doc_id")
+    df.select(col(idCol).as("doc_id"))
       .join(perDoc, Seq("doc_id"), "left")
-      .select(col("doc_id"),
+      .select(col("doc_id").as(idCol),
         coalesce(col("n_lines"), lit(0L)).as("n_lines"),
         coalesce(col("n_dup_lines"), lit(0L)).as("n_dup_lines"),
         when(coalesce(col("chars"), lit(0L)) === 0, lit(null).cast("double"))
           .otherwise(round(
             (col("chars") - col("dup_chars")).cast("double") / col("chars"), 6))
           .as("retained_frac"))
-      .orderBy("doc_id")
   }
+
+  def qDedupLines(spark: SparkSession, dir: String): DataFrame =
+    lineDedup(Tables.documents(spark, dir), "doc_id", "text")
+      .orderBy("doc_id")
 
   val qDedupLinesSql: String =
     s"""WITH l0 AS (

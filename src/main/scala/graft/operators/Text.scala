@@ -448,9 +448,13 @@ object Text {
     * dirty-record rule: visible, zero counts, NULL `kept_char_frac`,
     * `keep` = false.
     */
-  def qC4Rules(spark: SparkSession, dir: String): DataFrame = {
+  /** The #137 readout on any frame with an id + text column — shared
+    * by the gated query and the [[graft.api.Graft.c4Rules]] facade.
+    */
+  private[graft] def c4Rules(df: DataFrame, idCol: String,
+      textCol: String): DataFrame = {
     val lines = filter(
-      transform(split(col("text"), "\n"), l => trim(l)),
+      transform(split(col(textCol), "\n"), l => trim(l)),
       l => length(l) > 0)
     val kept = filter(lines, l =>
       substring(l, -1, 1).isin(".", "!", "?", "\"") &&
@@ -458,22 +462,25 @@ object Text {
         !lower(l).contains("javascript"))
     def chars(arr: Column): Column =
       aggregate(arr, lit(0L), (acc, l) => acc + length(l).cast("long"))
-    Tables.documents(spark, dir)
+    df
       .withColumn("n_lines", size(lines).cast("long"))
       .withColumn("n_kept_lines", size(kept).cast("long"))
       .withColumn("line_chars", chars(lines))
       .withColumn("kept_chars", chars(kept))
-      .withColumn("has_brace", col("text").contains("{"))
-      .withColumn("has_lorem", lower(col("text")).contains("lorem ipsum"))
-      .select(col("doc_id"), col("n_lines"), col("n_kept_lines"),
+      .withColumn("has_brace", col(textCol).contains("{"))
+      .withColumn("has_lorem", lower(col(textCol)).contains("lorem ipsum"))
+      .select(col(idCol), col("n_lines"), col("n_kept_lines"),
         when(col("line_chars") === 0, lit(null).cast("double"))
           .otherwise(round(col("kept_chars").cast("double") / col("line_chars"), 6))
           .as("kept_char_frac"),
         col("has_brace"), col("has_lorem"),
         (col("n_kept_lines") >= C4MinKeptLines &&
           !col("has_brace") && !col("has_lorem")).as("keep"))
-      .orderBy("doc_id")
   }
+
+  def qC4Rules(spark: SparkSession, dir: String): DataFrame =
+    c4Rules(Tables.documents(spark, dir), "doc_id", "text")
+      .orderBy("doc_id")
 
   val qC4RulesSql: String =
     s"""WITH t AS (
@@ -531,21 +538,25 @@ object Text {
     * failure — both engines coalesce each flag to false inside the
     * conjunction.
     */
-  def qGopherRules(spark: SparkSession, dir: String): DataFrame = {
-    val words = filter(split(col("text"), " "), w => w =!= "")
+  /** The #138 battery on any frame with an id + text column — shared
+    * by the gated query and the [[graft.api.Graft.gopherRules]] facade.
+    */
+  private[graft] def gopherRules(df: DataFrame, idCol: String,
+      textCol: String): DataFrame = {
+    val words = filter(split(col(textCol), " "), w => w =!= "")
     val lines = filter(
-      transform(split(col("text"), "\n"), l => trim(l)),
+      transform(split(col(textCol), "\n"), l => trim(l)),
       l => length(l) > 0)
     def fb(c: Column): Column = coalesce(c, lit(false))
-    Tables.documents(spark, dir)
+    df
       .withColumn("n_words", size(words).cast("long"))
       .withColumn("n_lines", size(lines).cast("long"))
       .withColumn("mean_word_len",
         aggregate(words, lit(0L), (a, w) => a + length(w).cast("long"))
           .cast("double") / nz(col("n_words")))
       .withColumn("symbol_ratio",
-        (regexp_count(col("text"), lit("#")) +
-          regexp_count(col("text"), lit("\\.\\.\\.")))
+        (regexp_count(col(textCol), lit("#")) +
+          regexp_count(col(textCol), lit("\\.\\.\\.")))
           .cast("double") / nz(col("n_words")))
       .withColumn("bullet_frac",
         size(filter(lines, l => substring(l, 1, 1).isin("-", "*", "•")))
@@ -570,12 +581,15 @@ object Text {
         fb(col("r_word_count")) && fb(col("r_word_len")) &&
           fb(col("r_symbols")) && fb(col("r_bullets")) &&
           fb(col("r_ellipsis")) && fb(col("r_alpha")) && fb(col("r_stops")))
-      .select("doc_id", "n_words", "mean_word_len", "symbol_ratio",
+      .select(idCol, "n_words", "mean_word_len", "symbol_ratio",
         "bullet_frac", "ellipsis_frac", "alpha_frac", "n_stops",
         "r_word_count", "r_word_len", "r_symbols", "r_bullets",
         "r_ellipsis", "r_alpha", "r_stops", "pass")
-      .orderBy("doc_id")
   }
+
+  def qGopherRules(spark: SparkSession, dir: String): DataFrame =
+    gopherRules(Tables.documents(spark, dir), "doc_id", "text")
+      .orderBy("doc_id")
 
   val qGopherRulesSql: String =
     s"""WITH t AS (
@@ -645,22 +659,32 @@ object Text {
     * doubles; unscored (token-less) docs keep the dirty-record rule:
     * visible, NULL bucket.
     */
-  def qLmBuckets(spark: SparkSession, dir: String): DataFrame = {
-    val docs = Tables.documents(spark, dir)
-    val scored = scoreQualityLm(docs, unigramModel(docs, "text"), "doc_id", "text")
-      .join(docs.select("doc_id", "lang"), "doc_id")
+  /** The #139 bucketing on any frame against any (possibly FROZEN)
+    * [[unigramModel]] — shared by the gated query (model == corpus)
+    * and the [[graft.api.Graft.lmBuckets]] facade, which composes
+    * with a persisted model the way #130 does for plain scoring.
+    */
+  private[graft] def lmBuckets(df: DataFrame, model: DataFrame,
+      idCol: String, textCol: String, langCol: String): DataFrame = {
+    val scored = scoreQualityLm(df, model, idCol, textCol)
+      .join(df.select(col(idCol), col(langCol)), Seq(idCol))
     val cuts = scored.where(col("avg_logprob").isNotNull)
-      .groupBy("lang")
+      .groupBy(langCol)
       .agg(expr("percentile(avg_logprob, array(1.0D/3, 2.0D/3))").as("c"))
-      .select(col("lang"),
+      .select(col(langCol),
         round(col("c").getItem(0), 6).as("c_lo"),
         round(col("c").getItem(1), 6).as("c_hi"))
-    scored.join(broadcast(cuts), Seq("lang"), "left")
-      .select(col("doc_id"), col("lang"), col("avg_logprob"),
+    scored.join(broadcast(cuts), Seq(langCol), "left")
+      .select(col(idCol), col(langCol), col("avg_logprob"),
         when(col("avg_logprob").isNull, lit(null).cast("string"))
           .when(col("avg_logprob") > col("c_hi"), "head")
           .when(col("avg_logprob") > col("c_lo"), "middle")
           .otherwise("tail").as("bucket"))
+  }
+
+  def qLmBuckets(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    lmBuckets(docs, unigramModel(docs, "text"), "doc_id", "text", "lang")
       .orderBy("doc_id")
   }
 

@@ -569,4 +569,51 @@ class GraftApiSpec extends SparkSpec {
     assert(byName("c'd; drop").getLong(2) == 2 &&
       byName("c'd; drop").isNullAt(4))
   }
+
+  test("c4Rules / gopherRules / lineDedup reproduce their gated queries") {
+    val docs = Tables.documents(spark, sf)
+    same(Graft.c4Rules(docs, "doc_id", "text"),
+      SparkEntry.queries("q_c4_rules")(spark, sf), "c4Rules")
+    same(Graft.gopherRules(docs, "doc_id", "text"),
+      SparkEntry.queries("q_gopher_rules")(spark, sf), "gopherRules")
+    same(Graft.lineDedup(docs, "doc_id", "text"),
+      SparkEntry.queries("q_dedup_lines")(spark, sf), "lineDedup")
+  }
+
+  test("lmBuckets reproduces the gated query; a frozen model re-buckets later ingest") {
+    val docs = Tables.documents(spark, sf)
+    val model = Graft.unigramModel(docs, "text")
+    same(Graft.lmBuckets(docs, model, "doc_id", "text", "lang"),
+      SparkEntry.queries("q_lm_buckets")(spark, sf), "lmBuckets")
+    // frozen-model composition: bucketing a SLICE against the full
+    // corpus's model still buckets every scored row (the #130 shape)
+    val slice = docs.where(pmod(col("doc_id"), lit(7L)) === 0)
+    val out = Graft.lmBuckets(slice, model, "doc_id", "text", "lang")
+    assert(out.count() == slice.count())
+    assert(out.where(col("avg_logprob").isNotNull && col("bucket").isNull)
+      .count() == 0)
+  }
+
+  test("mixPlan reproduces the gated query and honors the budget dial") {
+    val grain = Tables.documents(spark, sf)
+      .select(col("source"),
+        size(split(col("text"), " ")).cast("long").as("n_tokens"))
+    // the gated query counts non-empty tokens; reuse its exact grain
+    val exact = Tables.documents(spark, sf)
+      .select(col("source"),
+        size(org.apache.spark.sql.functions.filter(
+          split(col("text"), " "), w => w =!= "")).cast("long").as("n_tokens"))
+    same(Graft.mixPlan(exact, "source", "n_tokens", 1L << 20),
+      SparkEntry.queries("q_mix_plan")(spark, sf), "mixPlan")
+    // doubling the budget doubles every planned draw (±1 from floor)
+    val w1 = Graft.mixPlan(grain, "source", "n_tokens", 1L << 20)
+      .select("source", "planned_tokens").collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val w2 = Graft.mixPlan(grain, "source", "n_tokens", 1L << 21)
+      .select("source", "planned_tokens").collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    w1.foreach { case (s, p) =>
+      assert(math.abs(w2(s) - 2 * p) <= 1, s"budget dial broken for $s")
+    }
+  }
 }
