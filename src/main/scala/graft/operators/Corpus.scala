@@ -648,6 +648,119 @@ object Corpus {
        |  END AS epochs
        |FROM w ORDER BY source""".stripMargin
 
+  /** #146's dials: the hashed-feature space (DSIR's hashing trick —
+    * collisions are part of the method, not a defect) and the target
+    * slice the importance weights steer toward. At the gate the
+    * target is the `lang = 'en'` slice (the corpus's majority class,
+    * so both models are well-populated); a production run points this
+    * at its curated seed set.
+    */
+  private[graft] val DsirBuckets = 256
+  private[graft] val DsirTargetLang = "en"
+
+  /** Hashed-unigram feature bucket: two md5 hex digits → 0..255. md5
+    * is the one string hash both engines compute identically (the #25
+    * fingerprint precedent); the oracle reconstructs the integer with
+    * an instr() digit table since DuckDB has no hex conv().
+    */
+  private def dsirBucket(w: Column): Column =
+    conv(substring(md5(w), 7, 2), 16, 10).cast("long")
+  private val dsirBucketSql: String =
+    "((instr('0123456789abcdef', substr(md5(word), 7, 1)) - 1) * 16" +
+      " + (instr('0123456789abcdef', substr(md5(word), 8, 1)) - 1))"
+
+  /** #146 — `q_dsir_weights`: Data Selection via Importance Resampling
+    * (Xie et al. 2023) — the published recipe for steering a raw
+    * corpus toward a target distribution without a trained classifier:
+    * fit two bag-of-hashed-unigram generative models (target slice vs
+    * the whole corpus), score every document with its total
+    * log-likelihood RATIO, and keep/resample by that weight. Docs
+    * that look more like the target than like the average corpus get
+    * `llr > 0` and are `selected`; the threshold-at-zero decision is
+    * map-side (no global sort — a production run resamples by weight,
+    * it never ranks 100 TB in one task).
+    *
+    * Determinism is the #126 discipline end-to-end: each bucket's two
+    * log-probs (add-1 smoothing over the [[DsirBuckets]]-cell feature
+    * space) are rounded ONCE to 6 dp and fixed as DECIMAL(18,6); the
+    * per-doc weight is tf·Δlp summed in exact decimal (associative —
+    * any partitioning), compared against zero in DECIMAL, and cast
+    * once to double for the report — no division, no re-rounding.
+    * Hashed features mean NO out-of-vocabulary tokens: every
+    * word has a bucket, so `n_tokens` is the #34 whitespace count.
+    *
+    * Scale: one corpus pass fits BOTH models (a single 256-row
+    * aggregate carrying (raw, target) counts per bucket); the model
+    * broadcasts; the (doc, bucket) tf aggregate is the only
+    * corpus-scale exchange beyond it. Token-less docs keep the
+    * dirty-record rule: n_tokens = 0, NULL llr, selected = false.
+    */
+  def qDsirWeights(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val words = docs
+      .select(col("doc_id"), col("lang"),
+        explode(split(col("text"), " ")).as("word"))
+      .filter(length(col("word")) > 0)
+      .withColumn("b", dsirBucket(col("word")))
+    val cnts = words.groupBy("b").agg(
+      count(lit(1)).as("cr"),
+      sum(when(col("lang") === DsirTargetLang, 1L).otherwise(0L)).as("ct"))
+    val totals = cnts.agg(sum("cr").as("tr"), sum("ct").as("tt"))
+    def lp(cnt: Column, total: Column): Column =
+      round(log((cnt + lit(1)).cast("double") /
+        (total + lit(DsirBuckets)).cast("double")), 6).cast("decimal(18,6)")
+    val model = cnts.crossJoin(broadcast(totals))
+      .select(col("b"),
+        (lp(col("ct"), col("tt")) - lp(col("cr"), col("tr"))).as("dlp"))
+    val perDoc = words.groupBy("doc_id", "b").agg(count(lit(1)).as("tf"))
+      .join(broadcast(model), "b")
+      .groupBy("doc_id").agg(
+        sum("tf").as("n_toks"),
+        sum(col("dlp") * col("tf")).as("mass"))
+    // The TOTAL log-ratio (the paper's importance weight), not a
+    // per-token mean: the selection decision compares the EXACT
+    // decimal against zero (no double ever enters the verdict), and
+    // the reported weight is one decimal→double cast — no division,
+    // no re-rounding, so both engines emit bit-identical values (a
+    // rounded near-zero mean sat exactly on a 5e-7 boundary at sf0.1
+    // and flipped between the engines' round() implementations).
+    docs.select("doc_id").join(perDoc, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_toks"), lit(0L)).as("n_tokens"),
+        col("mass").cast("double").as("llr"),
+        coalesce(col("mass") > 0, lit(false)).as("selected"))
+      .orderBy("doc_id")
+  }
+
+  val qDsirWeightsSql: String =
+    s"""WITH w AS (
+      |  SELECT doc_id, lang, $dsirBucketSql AS b
+      |  FROM (SELECT doc_id, lang, unnest(string_split(text, ' ')) AS word
+      |        FROM documents)
+      |  WHERE length(word) > 0),
+      |c AS (
+      |  SELECT b, CAST(count(*) AS BIGINT) AS cr,
+      |    CAST(count(*) FILTER (WHERE lang = '$DsirTargetLang') AS BIGINT) AS ct
+      |  FROM w GROUP BY 1),
+      |tot AS (SELECT CAST(sum(cr) AS BIGINT) AS tr,
+      |               CAST(sum(ct) AS BIGINT) AS tt FROM c),
+      |m AS (
+      |  SELECT b,
+      |    CAST(round(ln((ct + 1.0) / (tt + $DsirBuckets)), 6) AS DECIMAL(18,6))
+      |  - CAST(round(ln((cr + 1.0) / (tr + $DsirBuckets)), 6) AS DECIMAL(18,6)) AS dlp
+      |  FROM c CROSS JOIN tot),
+      |tf AS (SELECT doc_id, b, CAST(count(*) AS BIGINT) AS tf
+      |       FROM w GROUP BY 1, 2),
+      |per AS (
+      |  SELECT doc_id, CAST(sum(tf) AS BIGINT) AS n_toks,
+      |    sum(dlp * tf) AS mass
+      |  FROM tf JOIN m USING (b) GROUP BY 1)
+      |SELECT d.doc_id, COALESCE(per.n_toks, 0) AS n_tokens,
+      |  CAST(mass AS DOUBLE) AS llr,
+      |  COALESCE(mass > 0, false) AS selected
+      |FROM documents d LEFT JOIN per ON d.doc_id = per.doc_id
+      |ORDER BY d.doc_id""".stripMargin
+
   /** #52 — `q_dup_rate_by_source`: the curation health metric every
     * dedup run reports — per source: docs, exact-duplicate docs
     * (non-canonical members of a fingerprint group, same identity as
@@ -683,6 +796,81 @@ object Corpus {
       |  CAST(SUM(is_dup) AS BIGINT) AS dup_docs,
       |  CAST(SUM(is_dup) AS DOUBLE) / COUNT(*) AS dup_rate
       |FROM flagged GROUP BY source ORDER BY source""".stripMargin
+
+  /** #145 — `q_source_overlap`: the cross-source duplication MATRIX —
+    * for every ordered source pair (a, b), how many of a's documents
+    * have an exact content twin (the #25 fingerprint identity) in b,
+    * and what fraction of a that is. #52 reports each source's dup
+    * rate against the WHOLE corpus; this factors that number into
+    * where the copies come from — the readout that decides which
+    * crawl to drop when two snapshots overlap (a RefinedWeb-style
+    * multi-dump curation run reports exactly this before picking dump
+    * precedence). The diagonal (a, a) counts docs with a twin INSIDE
+    * their own source and is ALWAYS emitted (it is the per-source
+    * self-dup readout a dashboard plots even when zero); off-diagonal
+    * cells are hits-only (at 100 TB the matrix is sources²,
+    * overwhelmingly zeros — the #58 convention).
+    *
+    * Scale shape: ONE corpus exchange — fingerprints contract to fp
+    * grain (`collect_list` of sources per fp; group sizes are dup-
+    * cluster sizes, bounded by the #25 contract, and the per-fp pair
+    * expansion is (distinct sources in the group)², not docs²), pairs
+    * explode map-side from that contracted grain, and the pair
+    * aggregate + per-source totals are source²-sized (tiny at any
+    * scale; totals broadcast). The corpus is never joined to itself
+    * at doc grain. The oracle computes the same contract as a
+    * fp-grain SELF-JOIN — the relational shape this operator
+    * deliberately avoids.
+    */
+  def qSourceOverlap(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val perFp = docs
+      .select(col("source"), Dedup.contentFp.as("fp"))
+      .groupBy("fp").agg(collect_list("source").as("ss"))
+    // Per fp: for each source a in the group, every one of its ca
+    // members has a twin in source b if b also appears (a ≠ b), and a
+    // twin within a itself iff ca >= 2. Diagonal structs survive even
+    // at zero mass — every source owns ≥1 fingerprint, so the (a, a)
+    // cell aggregates into existence without a second corpus pass.
+    val pairs = perFp
+      .select(explode(flatten(transform(array_distinct(col("ss")), a => {
+        val ca = size(filter(col("ss"), s => s === a)).cast("long")
+        filter(
+          transform(array_distinct(col("ss")), b =>
+            struct(a.as("source_a"), b.as("source_b"),
+              when(a === b, when(ca >= 2L, ca).otherwise(lit(0L)))
+                .otherwise(ca).as("m"))),
+          p => p.getField("m") > 0 ||
+            p.getField("source_a") === p.getField("source_b"))
+      }))).as("p"))
+      .select(col("p.source_a"), col("p.source_b"), col("p.m"))
+      .groupBy("source_a", "source_b").agg(sum("m").as("n_docs"))
+    val totals = docs.groupBy(col("source").as("source_a"))
+      .agg(count(lit(1)).as("t"))
+    pairs.join(broadcast(totals), "source_a")
+      .select(col("source_a"), col("source_b"), col("n_docs"),
+        (col("n_docs").cast("double") / col("t")).as("overlap_frac"))
+      .orderBy("source_a", "source_b")
+  }
+
+  val qSourceOverlapSql: String =
+    s"""WITH fs AS (
+      |  SELECT ${Dedup.contentFpSql} AS fp, source,
+      |    CAST(count(*) AS BIGINT) AS c
+      |  FROM documents GROUP BY 1, 2),
+      |tot AS (SELECT source, CAST(sum(c) AS BIGINT) AS t FROM fs GROUP BY 1),
+      |pairs AS (
+      |  SELECT a.source AS source_a, b.source AS source_b,
+      |    CAST(sum(CASE WHEN a.source = b.source
+      |          THEN CASE WHEN a.c >= 2 THEN a.c ELSE 0 END
+      |          ELSE a.c END) AS BIGINT) AS n_docs
+      |  FROM fs a JOIN fs b ON a.fp = b.fp
+      |  GROUP BY 1, 2)
+      |SELECT source_a, source_b, n_docs,
+      |  CAST(n_docs AS DOUBLE) / t AS overlap_frac
+      |FROM pairs JOIN tot ON pairs.source_a = tot.source
+      |WHERE source_a = source_b OR n_docs > 0
+      |ORDER BY source_a, source_b""".stripMargin
 
   /** Blocked domains for #135 — the broadcastable drop-list a real
     * curation run maintains (spam/SEO-farm/adult domains in CCNet and

@@ -706,4 +706,266 @@ object Text {
       |       ELSE 'tail' END AS bucket
       |FROM scored s LEFT JOIN cuts c ON s.lang = c.lang
       |ORDER BY s.doc_id""".stripMargin
+
+  /** #144 thresholds — Rae et al. 2021 Table A1's repetition column,
+    * verbatim: duplicate line/paragraph fraction ≤ 0.30, duplicate
+    * line/paragraph CHARACTER fraction ≤ 0.20, top {2,3,4}-gram
+    * character fraction ≤ {0.20, 0.18, 0.16}, duplicate {5..10}-gram
+    * character fraction ≤ {0.15, 0.14, 0.13, 0.12, 0.11, 0.10}.
+    */
+  private[graft] val RepLineTau = 0.30
+  private[graft] val RepLineCharTau = 0.20
+  private[graft] val TopGramTaus = Map(2 -> 0.20, 3 -> 0.18, 4 -> 0.16)
+  private[graft] val DupGramTaus =
+    Map(5 -> 0.15, 6 -> 0.14, 7 -> 0.13, 8 -> 0.12, 9 -> 0.11, 10 -> 0.10)
+
+  /** #144 — `q_gopher_repetition`: the Gopher REPETITION battery (Rae
+    * et al. 2021 Table A1's second column — the within-document
+    * repetition signals every MassiveText descendant reuses, distinct
+    * from #138's quality rules and from #71's single distinct-3-gram
+    * measure): duplicate line and paragraph fractions, duplicate
+    * line/paragraph character fractions, the character mass of the
+    * MOST COMMON {2,3,4}-gram, and the character mass of ALL
+    * duplicated {5..10}-grams — thirteen measures plus the verdict.
+    *
+    * Contract (each choice mirrors the most-used public
+    * implementation and is fixed here so both engines agree):
+    * lines are trimmed `\n`-segments, paragraphs trimmed `\n\n`-
+    * segments, blanks dropped; "duplicate characters" count every
+    * occurrence AFTER the first — Σ(c−1)·len over values with count
+    * c ≥ 2 — over the segment character total; n-gram fractions are
+    * over the RAW text length; the top n-gram is the (count, gram)
+    * struct maximum (ties break to the lexicographically larger
+    * gram) and contributes c·len only when c ≥ 2; duplicated-n-gram
+    * mass is the same Σ(c−1)·len rule (overlapping occurrences each
+    * count — the positional-union refinement of the original paper
+    * is NOT applied, stated here). Zero-word docs keep the
+    * dirty-record rule: NULL measures, `pass` = false.
+    *
+    * Scale: pure per-row projection — every measure is computed from
+    * the doc's OWN sorted token/segment arrays (run lengths via the
+    * sorted-adjacency rule, the array twin of #133's lag rule), so
+    * the operator never shuffles, never forms a (doc, gram) grain,
+    * and runs at parquet-scan speed at 100 TB (PlanSpec pins no
+    * exchange, no join). The oracle computes the same contract
+    * relationally (explode → group-by → pivot), which is exactly the
+    * shape this operator exists to avoid at scale.
+    */
+  private[graft] def gopherRepetition(df: DataFrame, idCol: String,
+      textCol: String): DataFrame = {
+    val topNs = TopGramTaus.keys.toSeq.sorted
+    val dupNs = DupGramTaus.keys.toSeq.sorted
+
+    // Staged selects on purpose: every sorted array is materialized as
+    // a COLUMN before any lambda touches it. A lambda re-evaluates
+    // captured NON-attribute expressions per element, so nesting
+    // `array_sort(...)` inside `aggregate` would re-sort per scanned
+    // element (measured: minutes per 500 docs); an attribute reference
+    // is O(1). CollapseProject keeps the stages apart because the
+    // sorted arrays are non-cheap and multiply-referenced.
+
+    // Stage 1: token/segment arrays.
+    val s1 = df.select(
+      col(idCol), col(textCol).as("_text"),
+      filter(split(col(textCol), " "), w => w =!= "").as("_toks"),
+      filter(transform(split(col(textCol), "\n"), l => trim(l)),
+        l => length(l) > 0).as("_lines"),
+      filter(transform(split(col(textCol), "\n\n"), l => trim(l)),
+        l => length(l) > 0).as("_paras"))
+
+    // Stage 2: sorted arrays (the run-length substrate).
+    def grams(n: Int): Column =
+      when(size(col("_toks")) < n, array().cast("array<string>"))
+        .otherwise(transform(sequence(lit(1), size(col("_toks")) - n + 1),
+          i => concat_ws(" ", slice(col("_toks"), i, lit(n)))))
+    val s2 = s1.select(Seq(
+      col(idCol),
+      length(col("_text")).cast("long").as("_nchars"),
+      size(col("_toks")).cast("long").as("_nwords"),
+      col("_lines"), col("_paras"),
+      array_sort(col("_lines")).as("_ls"),
+      array_sort(col("_paras")).as("_ps")) ++
+      (topNs ++ dupNs).map(n => array_sort(grams(n)).as(s"_s$n")): _*)
+
+    // Stage 3: integer masses, each a single linear scan-accumulator
+    // over one sorted-array column. Adjacency gives Σ(c−1)·len (a run
+    // of c equal values has c−1 positions equal to their neighbor);
+    // the top-gram scan carries (prev, current run, best) and the
+    // ascending order makes count-ties resolve to the lexicographically
+    // larger gram — the documented tie-break.
+    def dupScan(s: Column): Column =
+      aggregate(s,
+        struct(lit(null).cast("string").as("prev"), lit(0L).as("dup")),
+        (acc, x) => struct(x.as("prev"),
+          when(x === acc.getField("prev"),
+            acc.getField("dup") + length(x).cast("long"))
+            .otherwise(acc.getField("dup")).as("dup")),
+        acc => acc.getField("dup"))
+    def topScan(s: Column): Column =
+      aggregate(s,
+        struct(lit(null).cast("string").as("prev"), lit(0L).as("cur"),
+          lit(0L).as("bc"), lit(null).cast("string").as("bg")),
+        (acc, x) => {
+          val cur2 = when(x === acc.getField("prev"),
+            acc.getField("cur") + 1L).otherwise(lit(1L))
+          val better = cur2 > acc.getField("bc") ||
+            (cur2 === acc.getField("bc") && x > acc.getField("bg"))
+          struct(x.as("prev"), cur2.as("cur"),
+            when(better, cur2).otherwise(acc.getField("bc")).as("bc"),
+            when(better, x).otherwise(acc.getField("bg")).as("bg"))
+        },
+        acc => when(acc.getField("bc") >= 2L,
+          acc.getField("bc") * length(acc.getField("bg")).cast("long"))
+          .otherwise(lit(0L)))
+    def charSum(arr: Column): Column =
+      aggregate(arr, lit(0L), (a, s) => a + length(s).cast("long"))
+    val s3 = s2.select(Seq(
+      col(idCol), col("_nchars"), col("_nwords"),
+      size(col("_lines")).cast("long").as("_nl"),
+      size(array_distinct(col("_lines"))).cast("long").as("_dl"),
+      charSum(col("_lines")).as("_lc"),
+      dupScan(col("_ls")).as("_ldup"),
+      size(col("_paras")).cast("long").as("_np"),
+      size(array_distinct(col("_paras"))).cast("long").as("_dp"),
+      charSum(col("_paras")).as("_pc"),
+      dupScan(col("_ps")).as("_pdup")) ++
+      topNs.map(n => topScan(col(s"_s$n")).as(s"_m$n")) ++
+      dupNs.map(n => dupScan(col(s"_s$n")).as(s"_m$n")): _*)
+
+    // Stage 4: fractions (single integer/integer division each) + the
+    // verdict. A doc with tokens but an empty gram set has ZERO
+    // repeated mass (defined, passes); only zero-word docs are NULL.
+    def gramFrac(n: Int): Column =
+      when(col("_nwords") === 0L, lit(null).cast("double"))
+        .otherwise(col(s"_m$n").cast("double") / nz(col("_nchars")))
+    val measures: Seq[(String, Column)] =
+      Seq(
+        "dup_line_frac" ->
+          ((col("_nl") - col("_dl")).cast("double") / nz(col("_nl"))),
+        "dup_line_char_frac" ->
+          (col("_ldup").cast("double") / nz(col("_lc"))),
+        "dup_para_frac" ->
+          ((col("_np") - col("_dp")).cast("double") / nz(col("_np"))),
+        "dup_para_char_frac" ->
+          (col("_pdup").cast("double") / nz(col("_pc")))) ++
+        topNs.map(n => s"top_${n}gram_char_frac" -> gramFrac(n)) ++
+        dupNs.map(n => s"dup_${n}gram_char_frac" -> gramFrac(n))
+    val taus: Seq[Double] =
+      Seq(RepLineTau, RepLineCharTau, RepLineTau, RepLineCharTau) ++
+        topNs.map(TopGramTaus) ++ dupNs.map(DupGramTaus)
+    val s4 = s3.select(
+      col(idCol) +: measures.map { case (name, c) => c.as(name) }: _*)
+    val pass = measures.map(_._1).zip(taus).map { case (name, t) =>
+      coalesce(col(name) <= t, lit(false))
+    }.reduce(_ && _)
+    s4.select(col(idCol) +: measures.map { case (n, _) => col(n) } :+
+      pass.as("pass"): _*)
+  }
+
+  def qGopherRepetition(spark: SparkSession, dir: String): DataFrame =
+    gopherRepetition(Tables.documents(spark, dir), "doc_id", "text")
+      .orderBy("doc_id")
+
+  /** Oracle twin of [[gopherRepetition]] — the RELATIONAL formulation
+    * of the same contract (explode to (doc, value) grains, group,
+    * pivot back), kept deliberately different in shape from the
+    * map-side engine so the gate checks semantics, not shared code.
+    */
+  val qGopherRepetitionSql: String = {
+    def segCte(src: String, alias: String): String =
+      s"""${alias}g AS (
+         |  SELECT doc_id, unnest($src) AS v FROM t),
+         |${alias}c AS (
+         |  SELECT doc_id, v, CAST(count(*) AS BIGINT) AS c,
+         |    CAST(length(v) AS BIGINT) AS L
+         |  FROM ${alias}g GROUP BY 1, 2),
+         |${alias}s AS (
+         |  SELECT doc_id, sum(c) AS n, count(*) AS d, sum(c*L) AS total,
+         |    sum(CASE WHEN c >= 2 THEN (c-1)*L ELSE 0 END) AS dup
+         |  FROM ${alias}c GROUP BY 1)""".stripMargin
+    val topNs = TopGramTaus.keys.toSeq.sorted
+    val dupNs = DupGramTaus.keys.toSeq.sorted
+    val gramCtes =
+      s"""nv AS (SELECT unnest([${(topNs ++ dupNs).mkString(", ")}]) AS n),
+         |gr AS (
+         |  SELECT doc_id, n,
+         |    unnest(CASE WHEN len(toks) < n THEN CAST([] AS VARCHAR[])
+         |      ELSE list_transform(range(1, len(toks) - n + 2),
+         |             i -> array_to_string(list_slice(toks, i, i + n - 1), ' '))
+         |      END) AS gram
+         |  FROM t CROSS JOIN nv),
+         |gc AS (
+         |  SELECT doc_id, n, gram, CAST(count(*) AS BIGINT) AS c,
+         |    CAST(length(gram) AS BIGINT) AS L
+         |  FROM gr GROUP BY 1, 2, 3),
+         |topm AS (
+         |  SELECT doc_id, n, CASE WHEN c >= 2 THEN c * L ELSE 0 END AS mass
+         |  FROM (SELECT doc_id, n, c, L, row_number() OVER (
+         |          PARTITION BY doc_id, n ORDER BY c DESC, gram DESC) AS rk
+         |        FROM gc) AS q WHERE rk = 1),
+         |dupm AS (
+         |  SELECT doc_id, n,
+         |    sum(CASE WHEN c >= 2 THEN (c-1)*L ELSE 0 END) AS mass
+         |  FROM gc GROUP BY 1, 2),
+         |tp AS (
+         |  SELECT doc_id,
+         |${topNs.map(n => s"    max(CASE WHEN n = $n THEN mass END) AS t$n").mkString(",\n")}
+         |  FROM topm GROUP BY 1),
+         |dp AS (
+         |  SELECT doc_id,
+         |${dupNs.map(n => s"    max(CASE WHEN n = $n THEN mass END) AS d$n").mkString(",\n")}
+         |  FROM dupm GROUP BY 1)""".stripMargin
+    val topSel = topNs.map(n =>
+      s"""  CASE WHEN m.n_words = 0 THEN NULL ELSE
+         |    CAST(COALESCE(tp.t$n, 0) AS DOUBLE)
+         |    / nullif(m.n_chars, 0) END AS top_${n}gram_char_frac""".stripMargin).mkString(",\n")
+    val dupSel = dupNs.map(n =>
+      s"""  CASE WHEN m.n_words = 0 THEN NULL ELSE
+         |    CAST(COALESCE(dp.d$n, 0) AS DOUBLE)
+         |    / nullif(m.n_chars, 0) END AS dup_${n}gram_char_frac""".stripMargin).mkString(",\n")
+    val passTerms = (Seq(
+      s"COALESCE(dup_line_frac <= $RepLineTau, false)",
+      s"COALESCE(dup_line_char_frac <= $RepLineCharTau, false)",
+      s"COALESCE(dup_para_frac <= $RepLineTau, false)",
+      s"COALESCE(dup_para_char_frac <= $RepLineCharTau, false)") ++
+      topNs.map(n => s"COALESCE(top_${n}gram_char_frac <= ${TopGramTaus(n)}, false)") ++
+      dupNs.map(n => s"COALESCE(dup_${n}gram_char_frac <= ${DupGramTaus(n)}, false)"))
+      .mkString(" AND ")
+    s"""WITH t AS (
+       |  SELECT doc_id, text,
+       |    list_filter(string_split(text, ' '), w -> w <> '') AS toks,
+       |    list_filter(list_transform(string_split(text, chr(10)), l -> trim(l)),
+       |                l -> length(l) > 0) AS lines,
+       |    list_filter(list_transform(string_split(text, chr(10)||chr(10)), l -> trim(l)),
+       |                l -> length(l) > 0) AS paras
+       |  FROM documents),
+       |${segCte("lines", "l")},
+       |${segCte("paras", "p")},
+       |$gramCtes,
+       |m AS (
+       |  SELECT t.doc_id,
+       |    CAST(len(t.toks) AS BIGINT) AS n_words,
+       |    CAST(length(t.text) AS BIGINT) AS n_chars,
+       |    CAST(ls.n - ls.d AS DOUBLE) / nullif(ls.n, 0) AS dup_line_frac,
+       |    CAST(ls.dup AS DOUBLE) / nullif(ls.total, 0) AS dup_line_char_frac,
+       |    CAST(ps.n - ps.d AS DOUBLE) / nullif(ps.n, 0) AS dup_para_frac,
+       |    CAST(ps.dup AS DOUBLE) / nullif(ps.total, 0) AS dup_para_char_frac
+       |  FROM t
+       |  LEFT JOIN ls ON t.doc_id = ls.doc_id
+       |  LEFT JOIN ps ON t.doc_id = ps.doc_id),
+       |f AS (
+       |  SELECT m.doc_id, m.dup_line_frac, m.dup_line_char_frac,
+       |    m.dup_para_frac, m.dup_para_char_frac,
+       |$topSel,
+       |$dupSel
+       |  FROM m
+       |  LEFT JOIN tp ON m.doc_id = tp.doc_id
+       |  LEFT JOIN dp ON m.doc_id = dp.doc_id)
+       |SELECT doc_id, dup_line_frac, dup_line_char_frac, dup_para_frac,
+       |  dup_para_char_frac,
+       |${topNs.map(n => s"  top_${n}gram_char_frac").mkString(",\n")},
+       |${dupNs.map(n => s"  dup_${n}gram_char_frac").mkString(",\n")},
+       |  ($passTerms) AS pass
+       |FROM f ORDER BY doc_id""".stripMargin
+  }
 }

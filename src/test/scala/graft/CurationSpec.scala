@@ -159,4 +159,119 @@ class CurationSpec extends SparkSpec {
     val wsum = real.agg(sum("weight")).head().getDouble(0)
     assert(math.abs(wsum - 1.0) < 1e-4, s"real-corpus weights sum to $wsum")
   }
+
+  /** Like writeDocs but with per-doc language (the DSIR target key). */
+  private def writeDocsLang(rows: Seq[(Long, String, String, String)]): String = {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_cur_").toString
+    rows.map { case (id, t, lang, src) => (id, t, lang, src, t.length.toLong) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    dir
+  }
+
+  test("source overlap: twins count into the right cells, diagonal always present") {
+    import spark.implicits._
+    // srcA: 3 docs, one content-twin pair with srcB, one internal pair
+    val dir = writeDocs(Seq(
+      (1L, "shared text alpha", "srcA"),
+      (2L, "internal twin beta", "srcA"),
+      (3L, "internal twin beta", "srcA"),
+      (4L, "shared text alpha", "srcB"),
+      (5L, "only in b", "srcB")))
+    val out = SparkEntry.queries("q_source_overlap")(spark, dir)
+      .select("source_a", "source_b", "n_docs")
+      .as[(String, String, Long)].collect().toSet
+    // diagonal: srcA's internal pair = 2 docs with an in-source twin;
+    // srcB has none but its diagonal row still exists
+    assert(out.contains(("srcA", "srcA", 2L)), s"got $out")
+    assert(out.contains(("srcB", "srcB", 0L)), s"got $out")
+    // cross cells: ONE doc each way shares the fingerprint
+    assert(out.contains(("srcA", "srcB", 1L)) && out.contains(("srcB", "srcA", 1L)),
+      s"got $out")
+    assert(out.size == 4, s"no other cells: $out")
+    // fraction = n_docs / |source_a|
+    val fr = SparkEntry.queries("q_source_overlap")(spark, dir)
+      .where(col("source_a") === "srcA" && col("source_b") === "srcA")
+      .select("overlap_frac").as[Double].head()
+    assert(fr == 2.0 / 3)
+  }
+
+  test("DSIR weights: target-like docs score positive, off-target negative") {
+    import spark.implicits._
+    // target (en) vocabulary disjoint from the off-target (xx) one;
+    // enough tokens that the counts dominate the 256-bucket add-1
+    // smoothing mass (a 40-token corpus would drown in it)
+    val enWords = Seq("alpha", "beta", "gamma", "delta",
+      "epsilon", "zeta", "eta", "theta")
+    val xxWords = Seq("uno", "dos", "tres", "cuatro",
+      "cinco", "seis", "siete", "ocho")
+    val mk = (ws: Seq[String]) => Array.fill(50)(ws.mkString(" ")).mkString(" ")
+    val dir = writeDocsLang(Seq(
+      (1L, mk(enWords), "en", "s"), (2L, mk(enWords), "en", "s"),
+      (3L, mk(xxWords), "xx", "s"), (4L, mk(xxWords), "xx", "s"),
+      // an unlabeled doc written in the target vocabulary still selects
+      (5L, mk(enWords), "xx", "s"),
+      (6L, "", "en", "s")))
+    val out = SparkEntry.queries("q_dsir_weights")(spark, dir)
+      .collect().map(r => r.getLong(0) -> r).toMap
+    assert(out(1).getAs[Double]("llr") > 0 && out(1).getAs[Boolean]("selected"))
+    assert(out(3).getAs[Double]("llr") < 0 && !out(3).getAs[Boolean]("selected"),
+      s"off-target doc must score negative: ${out(3)}")
+    // selection follows CONTENT, not the label: doc 5 is en-vocab text
+    assert(out(5).getAs[Boolean]("selected"), s"content decides: ${out(5)}")
+    // dirty-record rule: token-less doc visible, NULL weight, not selected
+    assert(out(6).getAs[Long]("n_tokens") == 0L)
+    assert(out(6).isNullAt(out(6).fieldIndex("llr")))
+    assert(!out(6).getAs[Boolean]("selected"))
+  }
+
+  test("Gopher repetition: line, paragraph, and n-gram masses as planted") {
+    import spark.implicits._
+    val dupLine = "dup line one."
+    val uniq = "unique tail line."
+    val para = "para one text."
+    val dir = writeDocs(Seq(
+      // repeated line: 3 lines, 2 distinct
+      (1L, s"$dupLine\n$dupLine\n$uniq", "s"),
+      // repeated paragraph (blank-separated)
+      (2L, s"$para\n\n$para\n\ndifferent para.", "s"),
+      // 2-gram "a b" x3 (mass 9), 3-gram tie broken to "b a b" (mass 10)
+      (3L, "a b a b a b", "s"),
+      // one 5-token phrase repeated once, apart
+      (4L, "one two three four five x one two three four five", "s"),
+      // clean prose, no repetition at any grain
+      (5L, "each word appears exactly once in this clean doc.", "s"),
+      (6L, "", "s")))
+    val out = SparkEntry.queries("q_gopher_repetition")(spark, dir)
+      .collect().map(r => r.getLong(0) -> r).toMap
+
+    def d(id: Long, c: String): Double =
+      out(id).getAs[Double](c)
+    // doc 1: dup_line_frac = 1/3; dup chars = one extra copy of dupLine
+    assert(d(1, "dup_line_frac") == 1.0 / 3)
+    assert(d(1, "dup_line_char_frac") ==
+      dupLine.length.toDouble / (2 * dupLine.length + uniq.length))
+    assert(!out(1).getAs[Boolean]("pass"), "1/3 dup lines exceeds 0.30")
+    // doc 2: paragraph grain fires; its \n-line grain sees the same dup
+    assert(d(2, "dup_para_frac") == 1.0 / 3)
+    assert(d(2, "dup_para_char_frac") ==
+      para.length.toDouble / (2 * para.length + "different para.".length))
+    // doc 3: top 2-gram mass 3*len("a b"); 3-gram tie -> "b a b" (larger)
+    val t3 = "a b a b a b"
+    assert(d(3, "top_2gram_char_frac") == 9.0 / t3.length)
+    assert(d(3, "top_3gram_char_frac") == 10.0 / t3.length)
+    // doc 4: the repeated 5-gram contributes (c-1)*len once
+    val t4 = "one two three four five x one two three four five"
+    assert(d(4, "dup_5gram_char_frac") ==
+      "one two three four five".length.toDouble / t4.length)
+    assert(d(4, "dup_6gram_char_frac") == 0.0, "no 6-gram repeats")
+    // doc 5: zero repetition everywhere -> passes
+    assert(out(5).getAs[Boolean]("pass"))
+    assert(d(5, "dup_line_frac") == 0.0 && d(5, "top_2gram_char_frac") == 0.0)
+    // doc 6: dirty-record rule -- NULL measures, visible, pass = false
+    assert(out(6).isNullAt(out(6).fieldIndex("dup_line_frac")))
+    assert(out(6).isNullAt(out(6).fieldIndex("top_2gram_char_frac")))
+    assert(!out(6).getAs[Boolean]("pass"))
+  }
 }

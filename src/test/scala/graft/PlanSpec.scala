@@ -44,12 +44,29 @@ class PlanSpec extends SparkSpec {
   }
 
   test("C4 and Gopher rule batteries stay map-only: no hash exchange, no join") {
-    Seq("q_c4_rules", "q_gopher_rules").foreach { q =>
+    Seq("q_c4_rules", "q_gopher_rules", "q_gopher_repetition").foreach { q =>
       val p = plan(q)
       assert(!p.contains("Exchange hashpartitioning"),
         s"$q must not shuffle (per-row projection):\n$p")
       assert(!p.contains("Join"), s"$q must not join:\n$p")
     }
+  }
+
+  test("DSIR: the 256-row bucket model broadcasts, the corpus never joins itself") {
+    val p = plan("q_dsir_weights")
+    assert(p.contains("BroadcastHashJoin"),
+      s"the bucket model must broadcast into the tf join:\n$p")
+    assert(!p.contains("CartesianProduct"), s"dsir degenerated:\n$p")
+  }
+
+  test("source overlap contracts to fp grain before pairing: two corpus scans, no doc-grain self-join") {
+    val p = plan("q_source_overlap")
+    // one scan feeds the fp contraction, one the per-source totals;
+    // a doc-grain self-join (the docs² shape this operator avoids)
+    // would show as a third corpus scan or a corpus-side SMJ
+    val scans = "Scan parquet".r.findAllIn(p).size
+    assert(scans <= 2, s"expected <=2 corpus scans, got $scans:\n$p")
+    assert(!p.contains("CartesianProduct"), s"overlap degenerated:\n$p")
   }
 
   test("LM buckets assign map-side from broadcast cutoffs, never a per-lang window") {
