@@ -1184,6 +1184,44 @@ object Graft {
       budget: Long): DataFrame =
     graft.operators.Corpus.mixPlan(df, stratumCol, tokensCol, budget)
 
+  /** The Gopher REPETITION battery (#144, Rae et al. 2021 Table A1's
+    * repetition column) on any frame with an id + text column: the
+    * thirteen within-row repetition measures (duplicate line/paragraph
+    * fractions and character masses, top 2-4-gram character mass,
+    * duplicated 5-10-gram character mass) and the conjunction `pass`
+    * against the published thresholds. Pure map-side projection over
+    * the row's own sorted arrays — zero shuffles, no (doc, gram)
+    * grain ever.
+    */
+  def gopherRepetition(df: DataFrame, idCol: String,
+      textCol: String): DataFrame =
+    graft.operators.Text.gopherRepetition(df, idCol, textCol)
+
+  /** The cross-source exact-duplication matrix (#145) over any
+    * (text, stratum) frame: per ordered stratum pair (a, b), rows of
+    * a with a content twin (the #25 fingerprint identity) in b and
+    * the fraction of a that is. Diagonal cells always present,
+    * off-diagonal hits-only. One corpus exchange (fp-grain
+    * contraction, map-side pair expansion).
+    */
+  def sourceOverlap(df: DataFrame, textCol: String,
+      sourceCol: String): DataFrame =
+    graft.operators.Corpus.sourceOverlap(df, textCol, sourceCol)
+
+  /** DSIR importance weights (#146, Xie et al. 2023) on any frame
+    * with an id + text column, toward a caller-chosen target slice
+    * (`isTarget` — any boolean Column over the frame): per row, the
+    * token count, the total log-likelihood ratio between the
+    * target-slice and whole-frame hashed-unigram models, and
+    * `selected` (ratio > 0, decided in exact decimal). The weight
+    * column is what a production run feeds to weighted resampling
+    * ([[mixtureSample]]'s per-stratum rates or a Gumbel top-k both
+    * compose on it).
+    */
+  def dsirWeights(df: DataFrame, idCol: String, textCol: String,
+      isTarget: Column): DataFrame =
+    graft.operators.Corpus.dsirWeights(df, idCol, textCol, isTarget)
+
   /** One snapshot's contracted (source, length-bucket) histogram —
     * the additive state behind streaming drift (#128): per source and
     * power-of-two token bucket (the `q_length_histogram` rule; null

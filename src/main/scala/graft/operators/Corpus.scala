@@ -695,16 +695,21 @@ object Corpus {
     * corpus-scale exchange beyond it. Token-less docs keep the
     * dirty-record rule: n_tokens = 0, NULL llr, selected = false.
     */
-  def qDsirWeights(spark: SparkSession, dir: String): DataFrame = {
-    val docs = Tables.documents(spark, dir)
-    val words = docs
-      .select(col("doc_id"), col("lang"),
-        explode(split(col("text"), " ")).as("word"))
+  /** The #146 scoring on any frame with an id + text column, against
+    * a caller-chosen target predicate (the gate's is
+    * `lang = '[[DsirTargetLang]]'`) — shared by the gated query and
+    * [[graft.api.Graft.dsirWeights]].
+    */
+  private[graft] def dsirWeights(df: DataFrame, idCol: String,
+      textCol: String, isTarget: Column): DataFrame = {
+    val words = df
+      .select(col(idCol).as("_did"), isTarget.as("_tgt"),
+        explode(split(col(textCol), " ")).as("word"))
       .filter(length(col("word")) > 0)
       .withColumn("b", dsirBucket(col("word")))
     val cnts = words.groupBy("b").agg(
       count(lit(1)).as("cr"),
-      sum(when(col("lang") === DsirTargetLang, 1L).otherwise(0L)).as("ct"))
+      sum(when(col("_tgt"), 1L).otherwise(0L)).as("ct"))
     val totals = cnts.agg(sum("cr").as("tr"), sum("ct").as("tt"))
     def lp(cnt: Column, total: Column): Column =
       round(log((cnt + lit(1)).cast("double") /
@@ -712,9 +717,9 @@ object Corpus {
     val model = cnts.crossJoin(broadcast(totals))
       .select(col("b"),
         (lp(col("ct"), col("tt")) - lp(col("cr"), col("tr"))).as("dlp"))
-    val perDoc = words.groupBy("doc_id", "b").agg(count(lit(1)).as("tf"))
+    val perDoc = words.groupBy("_did", "b").agg(count(lit(1)).as("tf"))
       .join(broadcast(model), "b")
-      .groupBy("doc_id").agg(
+      .groupBy("_did").agg(
         sum("tf").as("n_toks"),
         sum(col("dlp") * col("tf")).as("mass"))
     // The TOTAL log-ratio (the paper's importance weight), not a
@@ -724,13 +729,17 @@ object Corpus {
     // no re-rounding, so both engines emit bit-identical values (a
     // rounded near-zero mean sat exactly on a 5e-7 boundary at sf0.1
     // and flipped between the engines' round() implementations).
-    docs.select("doc_id").join(perDoc, Seq("doc_id"), "left")
-      .select(col("doc_id"),
+    df.select(col(idCol).as("_did")).join(perDoc, Seq("_did"), "left")
+      .select(col("_did").as(idCol),
         coalesce(col("n_toks"), lit(0L)).as("n_tokens"),
         col("mass").cast("double").as("llr"),
         coalesce(col("mass") > 0, lit(false)).as("selected"))
-      .orderBy("doc_id")
   }
+
+  def qDsirWeights(spark: SparkSession, dir: String): DataFrame =
+    dsirWeights(Tables.documents(spark, dir), "doc_id", "text",
+      col("lang") === DsirTargetLang)
+      .orderBy("doc_id")
 
   val qDsirWeightsSql: String =
     s"""WITH w AS (
@@ -822,8 +831,13 @@ object Corpus {
     * fp-grain SELF-JOIN — the relational shape this operator
     * deliberately avoids.
     */
-  def qSourceOverlap(spark: SparkSession, dir: String): DataFrame = {
-    val docs = Tables.documents(spark, dir)
+  /** The #145 matrix on any frame with a text + stratum column —
+    * shared by the gated query and [[graft.api.Graft.sourceOverlap]].
+    */
+  private[graft] def sourceOverlap(df: DataFrame, textCol: String,
+      sourceCol: String): DataFrame = {
+    val docs = df.select(col(sourceCol).as("source"),
+      col(textCol).as("text"))
     val perFp = docs
       .select(col("source"), Dedup.contentFp.as("fp"))
       .groupBy("fp").agg(collect_list("source").as("ss"))
@@ -852,6 +866,9 @@ object Corpus {
         (col("n_docs").cast("double") / col("t")).as("overlap_frac"))
       .orderBy("source_a", "source_b")
   }
+
+  def qSourceOverlap(spark: SparkSession, dir: String): DataFrame =
+    sourceOverlap(Tables.documents(spark, dir), "text", "source")
 
   val qSourceOverlapSql: String =
     s"""WITH fs AS (

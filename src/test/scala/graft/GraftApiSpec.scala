@@ -580,6 +580,16 @@ class GraftApiSpec extends SparkSpec {
       SparkEntry.queries("q_dedup_lines")(spark, sf), "lineDedup")
   }
 
+  test("gopherRepetition / sourceOverlap / dsirWeights reproduce their gated queries") {
+    val docs = Tables.documents(spark, sf)
+    same(Graft.gopherRepetition(docs, "doc_id", "text"),
+      SparkEntry.queries("q_gopher_repetition")(spark, sf), "gopherRepetition")
+    same(Graft.sourceOverlap(docs, "text", "source"),
+      SparkEntry.queries("q_source_overlap")(spark, sf), "sourceOverlap")
+    same(Graft.dsirWeights(docs, "doc_id", "text", col("lang") === "en"),
+      SparkEntry.queries("q_dsir_weights")(spark, sf), "dsirWeights")
+  }
+
   test("lmBuckets reproduces the gated query; a frozen model re-buckets later ingest") {
     val docs = Tables.documents(spark, sf)
     val model = Graft.unigramModel(docs, "text")
