@@ -1222,6 +1222,25 @@ object Graft {
       isTarget: Column): DataFrame =
     graft.operators.Corpus.dsirWeights(df, idCol, textCol, isTarget)
 
+  /** The frozen half of [[dsirWeights]]: the 256-row (bucket,
+    * Δlog-prob) selection model, fit in one corpus pass. Persist or
+    * snapshot it to score later ingest against a FROZEN model — the
+    * [[graft.streaming.Streams.dsirSink]] deployment (re-fit on a
+    * cadence, the [[unigramModel]] rule).
+    */
+  def dsirModel(df: DataFrame, textCol: String,
+      isTarget: Column): DataFrame =
+    graft.operators.Corpus.dsirModel(df, textCol, isTarget)
+
+  /** The stateless half of [[dsirWeights]]: score any frame against a
+    * (possibly frozen) [[dsirModel]]. A row's weight depends only on
+    * its own text and the model, so micro-batch boundaries cannot
+    * change it — [[dsirWeights]] ≡ `dsirScore(df, dsirModel(df, …))`.
+    */
+  def dsirScore(df: DataFrame, model: DataFrame, idCol: String,
+      textCol: String): DataFrame =
+    graft.operators.Corpus.dsirScore(df, model, idCol, textCol)
+
   /** One snapshot's contracted (source, length-bucket) histogram —
     * the additive state behind streaming drift (#128): per source and
     * power-of-two token bucket (the `q_length_histogram` rule; null

@@ -695,15 +695,16 @@ object Corpus {
     * corpus-scale exchange beyond it. Token-less docs keep the
     * dirty-record rule: n_tokens = 0, NULL llr, selected = false.
     */
-  /** The #146 scoring on any frame with an id + text column, against
-    * a caller-chosen target predicate (the gate's is
-    * `lang = '[[DsirTargetLang]]'`) — shared by the gated query and
-    * [[graft.api.Graft.dsirWeights]].
+  /** The frozen half of #146: the 256-row (bucket, Δlog-prob) model —
+    * ONE corpus pass fits BOTH distributions (a single aggregate
+    * carries (raw, target) counts per bucket). Persist or snapshot it
+    * to score later ingest against a FROZEN selection model — the
+    * [[graft.streaming.Streams.dsirSink]] deployment, the #130 rule.
     */
-  private[graft] def dsirWeights(df: DataFrame, idCol: String,
-      textCol: String, isTarget: Column): DataFrame = {
+  private[graft] def dsirModel(df: DataFrame, textCol: String,
+      isTarget: Column): DataFrame = {
     val words = df
-      .select(col(idCol).as("_did"), isTarget.as("_tgt"),
+      .select(isTarget.as("_tgt"),
         explode(split(col(textCol), " ")).as("word"))
       .filter(length(col("word")) > 0)
       .withColumn("b", dsirBucket(col("word")))
@@ -714,9 +715,25 @@ object Corpus {
     def lp(cnt: Column, total: Column): Column =
       round(log((cnt + lit(1)).cast("double") /
         (total + lit(DsirBuckets)).cast("double")), 6).cast("decimal(18,6)")
-    val model = cnts.crossJoin(broadcast(totals))
+    cnts.crossJoin(broadcast(totals))
       .select(col("b"),
         (lp(col("ct"), col("tt")) - lp(col("cr"), col("tr"))).as("dlp"))
+  }
+
+  /** The stateless half of #146: score any frame against a (possibly
+    * FROZEN) [[dsirModel]]. A row's weight depends only on its own
+    * text and the model — batch-boundary-proof, which is what the
+    * streaming twin leans on. Out-of-model buckets (possible only
+    * when the model was fit elsewhere) drop from both mass and count,
+    * the [[graft.operators.Text.scoreQualityLm]] convention.
+    */
+  private[graft] def dsirScore(df: DataFrame, model: DataFrame,
+      idCol: String, textCol: String): DataFrame = {
+    val words = df
+      .select(col(idCol).as("_did"),
+        explode(split(col(textCol), " ")).as("word"))
+      .filter(length(col("word")) > 0)
+      .withColumn("b", dsirBucket(col("word")))
     val perDoc = words.groupBy("_did", "b").agg(count(lit(1)).as("tf"))
       .join(broadcast(model), "b")
       .groupBy("_did").agg(
@@ -735,6 +752,15 @@ object Corpus {
         col("mass").cast("double").as("llr"),
         coalesce(col("mass") > 0, lit(false)).as("selected"))
   }
+
+  /** The #146 scoring on any frame with an id + text column, against
+    * a caller-chosen target predicate (the gate's is
+    * `lang = '[[DsirTargetLang]]'`): fit-then-score on the same frame
+    * — shared by the gated query and [[graft.api.Graft.dsirWeights]].
+    */
+  private[graft] def dsirWeights(df: DataFrame, idCol: String,
+      textCol: String, isTarget: Column): DataFrame =
+    dsirScore(df, dsirModel(df, textCol, isTarget), idCol, textCol)
 
   def qDsirWeights(spark: SparkSession, dir: String): DataFrame =
     dsirWeights(Tables.documents(spark, dir), "doc_id", "text",

@@ -150,6 +150,68 @@ object Text {
       .select("doc_id", "ws_tokens", "bpe_tokens", "approx_tokens")
       .orderBy("doc_id")
 
+  /** #148 — `q_token_fertility`: per-(lang, source) tokenizer
+    * fertility dashboard — the readout a tokenizer choice is made
+    * from (multilingual tokenizer reports measure exactly this:
+    * how many subword tokens a language needs per word, and how many
+    * bytes each token carries; a high-fertility language trains and
+    * serves more expensively at the same text volume). Composes #34's
+    * THREE token definitions (whitespace words, the BPE-ish regex,
+    * chars/4) at the stratum grain: doc count, byte/char/token
+    * totals, then `fertility` = regex tokens per whitespace word,
+    * `bytes_per_token` and `chars_per_word`.
+    *
+    * Scale: map-side counters fused into the scan, ONE contracted
+    * (lang, source) aggregate (≤ |langs|·|sources| rows — tiny at any
+    * corpus size). All sums are integers; the three ratios are single
+    * integer/integer divisions cast once to double — bit-identical in
+    * both engines, partition-order-free. Strata whose documents carry
+    * no whitespace words keep the dirty-record rule: visible, NULL
+    * ratios.
+    */
+  def qTokenFertility(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .groupBy("lang", "source")
+      .agg(
+        count(lit(1)).as("docs"),
+        sum(length(col("text"))).cast("long").as("chars"),
+        sum(octet_length(col("text"))).cast("long").as("bytes"),
+        sum(wsTokenCount).as("ws_tokens"),
+        sum(regexp_count(col("text"),
+          lit("[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9 ]")).cast("long")).as("bpe_tokens"))
+      .select(col("lang"), col("source"), col("docs"), col("chars"),
+        col("bytes"), col("ws_tokens"), col("bpe_tokens"),
+        (col("bpe_tokens").cast("double") / nz(col("ws_tokens")))
+          .as("fertility"),
+        (col("bytes").cast("double") / nz(col("bpe_tokens")))
+          .as("bytes_per_token"),
+        (col("chars").cast("double") / nz(col("ws_tokens")))
+          .as("chars_per_word"))
+      .orderBy("lang", "source")
+
+  val qTokenFertilitySql: String =
+    """WITH t AS (
+      |  SELECT lang, source,
+      |    CAST(length(text) AS BIGINT) AS chars,
+      |    CAST(strlen(text) AS BIGINT) AS bytes,
+      |    CAST(len(list_filter(string_split(text, ' '), w -> w <> '')) AS BIGINT)
+      |      AS wst,
+      |    CAST(len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9 ]')) AS BIGINT)
+      |      AS bpet
+      |  FROM documents),
+      |g AS (
+      |  SELECT lang, source, CAST(count(*) AS BIGINT) AS docs,
+      |    CAST(sum(chars) AS BIGINT) AS chars,
+      |    CAST(sum(bytes) AS BIGINT) AS bytes,
+      |    CAST(sum(wst) AS BIGINT) AS ws_tokens,
+      |    CAST(sum(bpet) AS BIGINT) AS bpe_tokens
+      |  FROM t GROUP BY 1, 2)
+      |SELECT lang, source, docs, chars, bytes, ws_tokens, bpe_tokens,
+      |  CAST(bpe_tokens AS DOUBLE) / nullif(ws_tokens, 0) AS fertility,
+      |  CAST(bytes AS DOUBLE) / nullif(bpe_tokens, 0) AS bytes_per_token,
+      |  CAST(chars AS DOUBLE) / nullif(ws_tokens, 0) AS chars_per_word
+      |FROM g ORDER BY lang, source""".stripMargin
+
   val qTokenCountSql: String =
     s"""SELECT doc_id,
       |  $wsTokenCountSql AS ws_tokens,
@@ -863,7 +925,18 @@ object Text {
   }
 
   def qGopherRepetition(spark: SparkSession, dir: String): DataFrame =
-    gopherRepetition(Tables.documents(spark, dir), "doc_id", "text")
+    // This battery is COMPUTE-bound per row (nine interpreted
+    // higher-order sorts/scans — HOFs are CodegenFallback), unlike the
+    // scan-bound #137/#138. The gate corpus is ONE parquet row group,
+    // which Spark cannot split — without the spread the whole corpus
+    // computes in a single task (measured 10.4 s vs ~1 s). A real
+    // corpus parallelizes at file grain, so the FACADE form takes the
+    // frame as-is; the round-robin exchange here moves only the gate
+    // file's bytes.
+    gopherRepetition(
+      Tables.documents(spark, dir)
+        .repartition(spark.sparkContext.defaultParallelism),
+      "doc_id", "text")
       .orderBy("doc_id")
 
   /** Oracle twin of [[gopherRepetition]] — the RELATIONAL formulation

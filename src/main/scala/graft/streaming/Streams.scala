@@ -1107,6 +1107,64 @@ object Streams {
       .select("vec_id", "cell", "dup_of_ct", "max_cos"))
   }
 
+  /** #147 — `stream_dsir` / `dsirSink`: DSIR selection weights AT
+    * INGEST (#146's deployment shape): each arriving micro-batch is
+    * scored against a FROZEN [[graft.api.Graft.dsirModel]] (fit on a
+    * seed corpus + target slice, re-fit on a cadence — the #130
+    * frozen-model rule), weights landing replay-safely under
+    * `weights/batch=<id>`. A doc's weight depends only on its own
+    * text and the model ([[graft.api.Graft.dsirScore]] is literally
+    * the batch function), so batch boundaries cannot change any
+    * weight and replay is a pure overwrite. The 256-row model
+    * broadcasts into every batch — per-batch cost is the batch's own
+    * (doc, bucket) aggregate, nothing corpus-sized.
+    */
+  def dsirSink(docs: DataFrame, model: DataFrame, statePath: String,
+      checkpointDir: String, idCol: String = "doc_id",
+      textCol: String = "text")
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] = {
+    require(idCol != "batch",
+      "dsirSink stores weights under batch=<id> partitions; an id " +
+        "column named 'batch' would collide with partition discovery — " +
+        "rename it first")
+    docs.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        applyDsirBatch(batch, batchId, model, statePath, idCol, textCol)
+      }
+  }
+
+  /** One scoring step of [[dsirSink]] (package-visible so the spec
+    * can drive replay directly).
+    */
+  private[graft] def applyDsirBatch(batch: DataFrame, batchId: Long,
+      model: DataFrame, statePath: String, idCol: String,
+      textCol: String): Unit = {
+    import org.apache.hadoop.fs.Path
+    val root = new Path(new Path(statePath).toUri.getPath)
+    // Persist: the scorer references the micro-batch twice (word
+    // explode + keep-every-id left join) and foreachBatch re-executes
+    // the batch per reference (the applyQualityLmBatch rule)
+    val b = batch.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try
+      graft.api.Graft.dsirScore(b, model, idCol, textCol)
+        .write.mode("overwrite")
+        .parquet(new Path(root, s"weights/batch=$batchId").toString)
+    finally b.unpersist()
+  }
+
+  /** All weights emitted so far by a [[dsirSink]] (None before the
+    * first completed batch — the [[semanticDedupVerdicts]] convention).
+    */
+  def dsirWeightsSoFar(spark: org.apache.spark.sql.SparkSession,
+      statePath: String): Option[DataFrame] = {
+    import org.apache.hadoop.fs.Path
+    val wroot = new Path(new Path(statePath).toUri.getPath, "weights")
+    val fs = wroot.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(wroot)) None
+    else Some(spark.read.parquet(wroot.toString).drop("batch"))
+  }
+
   /** #142 — `stream_dedup_lines`: #134's cross-document LINE dedup AT
     * INGEST. Each arriving micro-batch (a) contracts to its line-grain
     * document-frequency partial — `(lk, docs)`, distinct docs per line

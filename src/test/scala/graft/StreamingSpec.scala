@@ -577,6 +577,55 @@ class StreamingSpec extends SparkSpec {
     spark.sql("DROP TABLE IF EXISTS cdiff_old_snap")
   }
 
+  test("stream_dsir: frozen-model weights equal the batch scorer") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val base = java.nio.file.Files.createTempDirectory("graft_dsir_").toString
+    // sf0.01, not sfTiny: the 256-bucket add-1 smoothing drowns the
+    // ~1 k-token tiny corpus and every weight lands negative — the
+    // both-outcomes assert below needs the bigger corpus to be
+    // non-vacuous
+    val docs = Tables.documents(spark, sf)
+    // model frozen from the even-id seed slice (target = its en docs);
+    // the odd-id "ingest" half is scored against it
+    val seed = docs.where(pmod(col("doc_id"), lit(2)) === 0)
+    val model = graft.api.Graft.dsirModel(seed, "text",
+      col("lang") === "en").persist()
+    model.count()
+    val ingest = docs.where(pmod(col("doc_id"), lit(2)) === 1)
+    val expected = graft.api.Graft.dsirScore(
+      ingest, model, "doc_id", "text").collect().toSet
+    assert(expected.nonEmpty)
+    // both selection outcomes occur, or the equality below is vacuous
+    assert(expected.exists(_.getBoolean(3)) && expected.exists(!_.getBoolean(3)),
+      "seed model must select some ingest docs and reject others")
+    val rows = ingest.orderBy("doc_id").select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toIndexedSeq
+    val ms = MemoryStream[(Long, String)]
+    val stream = ms.toDF().toDF("doc_id", "text")
+    val q = Streams.dsirSink(stream, model, s"$base/state",
+      s"$base/ckpt").start()
+    try {
+      rows.grouped((rows.size + 2) / 3).foreach { chunk =>
+        ms.addData(chunk); q.processAllAvailable()
+      }
+    } finally q.stop()
+    val got = Streams.dsirWeightsSoFar(spark, s"$base/state").get
+    assert(got.collect().toSet == expected,
+      "streamed frozen-model weights != the batch scorer on the same model")
+    // replaying the LAST batch must be a fixpoint (pure overwrite)
+    val lastId = new java.io.File(s"$base/state/weights").listFiles()
+      .map(_.getName.stripPrefix("batch=").toLong).max
+    Streams.applyDsirBatch(
+      rows.grouped((rows.size + 2) / 3).toSeq.last.toDF("doc_id", "text"),
+      lastId, model, s"$base/state", "doc_id", "text")
+    assert(Streams.dsirWeightsSoFar(spark, s"$base/state").get
+      .collect().toSet == expected, "replayed batch mutated the weights")
+    // no weights before any batch
+    assert(Streams.dsirWeightsSoFar(spark, s"$base/none").isEmpty)
+    model.unpersist()
+  }
+
   test("stream_quality_lm: frozen-model scores equal the batch scorer") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
