@@ -860,38 +860,53 @@ object Corpus {
   /** The #145 matrix on any frame with a text + stratum column —
     * shared by the gated query and [[graft.api.Graft.sourceOverlap]].
     */
-  private[graft] def sourceOverlap(df: DataFrame, textCol: String,
-      sourceCol: String): DataFrame = {
-    val docs = df.select(col(sourceCol).as("source"),
-      col(textCol).as("text"))
-    val perFp = docs
-      .select(col("source"), Dedup.contentFp.as("fp"))
-      .groupBy("fp").agg(collect_list("source").as("ss"))
-    // Per fp: for each source a in the group, every one of its ca
-    // members has a twin in source b if b also appears (a ≠ b), and a
-    // twin within a itself iff ca >= 2. Diagonal structs survive even
-    // at zero mass — every source owns ≥1 fingerprint, so the (a, a)
-    // cell aggregates into existence without a second corpus pass.
+  /** The #145 matrix from a per-(source, fingerprint) COUNT grain —
+    * the contraction [[sourceOverlap]] produces from raw text, and
+    * exactly the state [[graft.streaming.Streams.domainStatsSink]]
+    * already stores, which is how the streaming sweep gets the matrix
+    * for free. Input columns: `source`, `fp`, `c` (> 0).
+    */
+  private[graft] def sourceOverlapFromCounts(counts: DataFrame): DataFrame = {
+    // Contract to fp grain: per fp, the (source, count) roster — list
+    // length bounded by |sources|, NOT by dup-cluster size (a viral
+    // doc duplicated millions of times still contributes one entry
+    // per source). Then pairs expand map-side: every one of a's ca
+    // members has a twin in b if b shares the fp (a ≠ b), and a twin
+    // within a itself iff ca >= 2. Diagonal structs survive even at
+    // zero mass — every source owns ≥1 fingerprint, so the (a, a)
+    // cell aggregates into existence without a second pass.
+    val perFp = counts
+      .groupBy("fp")
+      .agg(collect_list(struct(col("source"), col("c"))).as("ss"))
     val pairs = perFp
-      .select(explode(flatten(transform(array_distinct(col("ss")), a => {
-        val ca = size(filter(col("ss"), s => s === a)).cast("long")
+      .select(explode(flatten(transform(col("ss"), a =>
         filter(
-          transform(array_distinct(col("ss")), b =>
-            struct(a.as("source_a"), b.as("source_b"),
-              when(a === b, when(ca >= 2L, ca).otherwise(lit(0L)))
-                .otherwise(ca).as("m"))),
+          transform(col("ss"), b =>
+            struct(a.getField("source").as("source_a"),
+              b.getField("source").as("source_b"),
+              when(a.getField("source") === b.getField("source"),
+                when(a.getField("c") >= 2L, a.getField("c"))
+                  .otherwise(lit(0L)))
+                .otherwise(a.getField("c")).as("m"))),
           p => p.getField("m") > 0 ||
-            p.getField("source_a") === p.getField("source_b"))
-      }))).as("p"))
+            p.getField("source_a") === p.getField("source_b"))))).as("p"))
       .select(col("p.source_a"), col("p.source_b"), col("p.m"))
       .groupBy("source_a", "source_b").agg(sum("m").as("n_docs"))
-    val totals = docs.groupBy(col("source").as("source_a"))
-      .agg(count(lit(1)).as("t"))
+    val totals = counts.groupBy(col("source").as("source_a"))
+      .agg(sum("c").as("t"))
     pairs.join(broadcast(totals), "source_a")
       .select(col("source_a"), col("source_b"), col("n_docs"),
         (col("n_docs").cast("double") / col("t")).as("overlap_frac"))
       .orderBy("source_a", "source_b")
   }
+
+  private[graft] def sourceOverlap(df: DataFrame, textCol: String,
+      sourceCol: String): DataFrame =
+    sourceOverlapFromCounts(
+      df.select(col(sourceCol).as("source"),
+          col(textCol).as("text"))
+        .select(col("source"), Dedup.contentFp.as("fp"))
+        .groupBy("source", "fp").agg(count(lit(1)).cast("long").as("c")))
 
   def qSourceOverlap(spark: SparkSession, dir: String): DataFrame =
     sourceOverlap(Tables.documents(spark, dir), "text", "source")

@@ -1370,6 +1370,33 @@ object Streams {
           .as("quality_pass_rate")))
   }
 
+  /** #149 — `stream_source_overlap`: the #145 cross-source
+    * duplication MATRIX after the last completed
+    * [[domainStatsSink]] batch — for FREE from state that sink
+    * already maintains: its `fps/batch=<id>` contraction is exactly
+    * the per-(source, fingerprint) count grain the batch matrix
+    * contracts to, so the sweep folds partials (integer-additive
+    * under any batch split) and applies the SHARED
+    * [[graft.operators.Corpus.sourceOverlapFromCounts]] tail — the
+    * batch and streaming matrices literally share the pair-expansion
+    * code, so they cannot drift. Equals the one-shot
+    * `q_source_overlap` on everything delivered (modulo the sink's
+    * blocklist, which the batch comparator must also apply); replay
+    * safety is inherited from the sink's overwrite-by-batch-id
+    * stores. None before the first batch.
+    */
+  def sourceOverlapState(spark: org.apache.spark.sql.SparkSession,
+      statePath: String): Option[DataFrame] = {
+    import org.apache.hadoop.fs.Path
+    val froot = new Path(new Path(statePath).toUri.getPath, "fps")
+    val fs = froot.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(froot)) return None
+    val counts = spark.read.parquet(froot.toString)
+      .groupBy(col("domain").as("source"), col("fp"))
+      .agg(sum("cnt").as("c"))
+    Some(graft.operators.Corpus.sourceOverlapFromCounts(counts))
+  }
+
   /** The labeling after the last completed batch, if any. */
   def dupClusterState(spark: org.apache.spark.sql.SparkSession,
       statePath: String): Option[DataFrame] = {

@@ -1176,8 +1176,23 @@ class StreamingSpec extends SparkSpec {
     assert(want.agg(sum("dup_docs")).head().getLong(0) > 0)
     assert(got.where(col("domain") === "src2" && col("dup_docs") >= 1L)
       .count() == 1, "cross-batch dup must count against the later domain")
+    // #149: the cross-source overlap MATRIX folds from the same fps
+    // store — equal to the one-shot matrix over the delivered corpus
+    // (same blocklist applied on the batch side), with the planted
+    // cross-batch twin pair landing in both off-diagonal cells
+    val gotMatrix = Streams.sourceOverlapState(spark, s"$base/state").get
+    val keptDocs = Tables.documents(spark, combinedDir)
+      .where(!col("source").isin(graft.operators.Corpus.DomainBlocklist: _*))
+    val wantMatrix = graft.api.Graft.sourceOverlap(keptDocs, "text", "source")
+    assert(gotMatrix.exceptAll(wantMatrix).count() == 0 &&
+      wantMatrix.exceptAll(gotMatrix).count() == 0,
+      "folded fps store != the one-shot source-overlap matrix")
+    assert(gotMatrix.where(col("source_a") === "src1" &&
+      col("source_b") === "src2" && col("n_docs") >= 1L).count() == 1,
+      "the planted cross-batch twin must appear in the (src1, src2) cell")
     // replay: old batch and last batch both leave the dashboard unchanged
     val before = got.collect().toSet
+    val beforeMatrix = gotMatrix.collect().toSet
     Seq(0 -> chunks.head, (chunks.size - 1) -> chunks.last).foreach {
       case (id, chunk) =>
         Streams.applyDomainStatsBatch(
@@ -1187,6 +1202,9 @@ class StreamingSpec extends SparkSpec {
         val after = Streams.domainStatsState(spark, s"$base/state").get
           .collect().toSet
         assert(after == before, s"replaying batch $id mutated the dashboard")
+        assert(Streams.sourceOverlapState(spark, s"$base/state").get
+          .collect().toSet == beforeMatrix,
+          s"replaying batch $id mutated the overlap matrix")
     }
   }
 }
