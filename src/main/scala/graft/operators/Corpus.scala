@@ -1213,7 +1213,7 @@ object Corpus {
     * ~73% of the test corpus; production pipelines tune it against
     * their classifier calibration.
     */
-  private val FunnelQualityTau = 0.6
+  private[graft] val FunnelQualityTau = 0.6
 
   /** #72 — `q_curation_funnel`: the END-TO-END curation pipeline as
     * one operator — the composition a training-data run actually

@@ -269,7 +269,7 @@ object Text {
     * shared by the gated query and the curation funnel (#72). Adds
     * `n_grams`, `n_distinct`, `dup_fraction`, `is_repetitive`.
     */
-  private[operators] def withRepetition(df: DataFrame): DataFrame = {
+  private[graft] def withRepetition(df: DataFrame): DataFrame = {
     graft.functions.WordShingles.register(df.sparkSession)
     df
       .withColumn("n_grams", greatest(wsTokenCount - 2, lit(0L)))

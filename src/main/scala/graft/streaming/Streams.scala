@@ -1397,6 +1397,156 @@ object Streams {
     Some(graft.operators.Corpus.sourceOverlapFromCounts(counts))
   }
 
+  /** #150 — `stream_curation_funnel`: the #72 end-to-end curation
+    * funnel maintained while the corpus ARRIVES. Per batch, four
+    * replay-safe stores (all overwrite-by-batchId):
+    *
+    *  - `counts/batch=<id>` — the stage 0-3 predicate sums. Stages
+    *    1-3 (lang, quality, repetition) are STATELESS per-doc rules
+    *    sharing #33/#71's exact projections, so per-batch integer
+    *    partials are additive (the #128 histogram rule).
+    *  - `fps/batch=<id>` — the stage-3 survivors' (fp, cnt, min_id)
+    *    contraction; stage 4 (exact-dedup canonical) folds exactly:
+    *    canonical = globally-smallest surviving id per fingerprint,
+    *    and min() survives any batch split, so c4 = |distinct fps|.
+    *  - `bench/batch=<id>` — the arriving benchmark slice's distinct
+    *    shingle hashes (#58's pmod-97 slice and 3-gram vocabulary).
+    *  - `verdicts/batch=<id>` — contamination verdicts for the
+    *    arriving non-benchmark stage-3 survivors, judged against the
+    *    vocabulary accumulated AT `batch <= id` (what makes old-batch
+    *    replay a fixpoint rather than a verdict rewrite).
+    *
+    * Verdicts are PROVISIONAL in the #61/#142 sense: a benchmark doc
+    * arriving AFTER a survivor cannot retro-contaminate it, so the
+    * swept stage-5 count is ≥ the one-shot #72's (equality when the
+    * benchmark slice arrives no later than the docs it contaminates —
+    * in particular, single-batch delivery equals #72 exactly,
+    * spec-pinned). Per-batch cost: the batch's own map-side
+    * projections + one vocabulary-bounded broadcast intersect;
+    * nothing corpus-sized is ever re-read.
+    */
+  def curationFunnelSink(docs: DataFrame, statePath: String,
+      checkpointDir: String, idCol: String = "doc_id",
+      textCol: String = "text", langCol: String = "lang")
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] = {
+    require(idCol != "batch",
+      "curationFunnelSink stores state under batch=<id> partitions; " +
+        "an id column named 'batch' would collide with partition " +
+        "discovery — rename it first")
+    docs.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        applyCurationFunnelBatch(batch, batchId, statePath, idCol,
+          textCol, langCol)
+      }
+  }
+
+  /** One maintenance step of [[curationFunnelSink]] (package-visible
+    * so the spec can drive replay directly).
+    */
+  private[graft] def applyCurationFunnelBatch(batch: DataFrame,
+      batchId: Long, statePath: String, idCol: String, textCol: String,
+      langCol: String): Unit = {
+    import org.apache.hadoop.fs.Path
+    val spark = batch.sparkSession
+    graft.functions.WordShingles.register(spark)
+    val root = new Path(new Path(statePath).toUri.getPath)
+    val isBench = pmod(col("doc_id"), lit(97L)) === 0
+    val scored = graft.operators.Text.withRepetition(
+        graft.operators.Text.withQuality(
+          batch.select(col(idCol).as("doc_id"), col(textCol).as("text"),
+            col(langCol).as("lang"))))
+      .withColumn("fp", graft.operators.Dedup.contentFp)
+      .withColumn("p1", col("lang") === "en")
+      .withColumn("p2", col("p1") &&
+        col("quality_score") >= graft.operators.Corpus.FunnelQualityTau)
+      .withColumn("p3", col("p2") && !col("is_repetitive"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      scored.agg(
+          count(lit(1)).as("c0"),
+          coalesce(sum(col("p1").cast("long")), lit(0L)).as("c1"),
+          coalesce(sum(col("p2").cast("long")), lit(0L)).as("c2"),
+          coalesce(sum(col("p3").cast("long")), lit(0L)).as("c3"))
+        .write.mode("overwrite")
+        .parquet(new Path(root, s"counts/batch=$batchId").toString)
+      scored.where(col("p3"))
+        .groupBy("fp").agg(
+          count(lit(1)).as("cnt"), min("doc_id").as("min_id"))
+        .write.mode("overwrite")
+        .parquet(new Path(root, s"fps/batch=$batchId").toString)
+      scored.where(isBench)
+        .select(explode(expr("word_shingles(text, 3)")).as("s"))
+        .select(xxhash64(col("s")).as("lk")).distinct()
+        .write.mode("overwrite")
+        .parquet(new Path(root, s"bench/batch=$batchId").toString)
+      // vocabulary accumulated UP TO AND INCLUDING this batch (the
+      // write above landed first, so a re-run reads the same set)
+      val vocab = spark.read
+        .parquet(new Path(root, "bench").toString)
+        .where(col("batch") <= batchId)
+        .agg(collect_set(col("lk")).as("_vocab"))
+      scored.where(col("p3") && !isBench)
+        .crossJoin(broadcast(vocab))
+        .select(col("doc_id"),
+          (size(array_intersect(
+            expr("transform(word_shingles(text, 3), s -> xxhash64(s))"),
+            col("_vocab"))).cast("long") >=
+            graft.operators.Corpus.ContaminationK).as("contaminated"))
+        .write.mode("overwrite")
+        .parquet(new Path(root, s"verdicts/batch=$batchId").toString)
+    } finally scored.unpersist()
+  }
+
+  /** The funnel readout after the last completed batch — six rows,
+    * column-for-column the batch `q_curation_funnel` schema. None
+    * before the first batch.
+    */
+  def curationFunnelState(spark: org.apache.spark.sql.SparkSession,
+      statePath: String): Option[DataFrame] = {
+    import org.apache.hadoop.fs.Path
+    val root = new Path(new Path(statePath).toUri.getPath)
+    val croot = new Path(root, "counts")
+    val fs = croot.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(croot)) return None
+    val c = spark.read.parquet(croot.toString)
+      .agg(coalesce(sum("c0"), lit(0L)).as("c0"),
+        coalesce(sum("c1"), lit(0L)).as("c1"),
+        coalesce(sum("c2"), lit(0L)).as("c2"),
+        coalesce(sum("c3"), lit(0L)).as("c3"))
+    val fproot = new Path(root, "fps")
+    val canon =
+      if (!fs.exists(fproot))
+        spark.range(0).select(col("id").as("gmin"))
+      else spark.read.parquet(fproot.toString)
+        .groupBy("fp").agg(min("min_id").as("gmin"))
+        .select("gmin")
+    val vroot = new Path(root, "verdicts")
+    val verdicts =
+      if (!fs.exists(vroot))
+        spark.range(0).select(col("id").as("doc_id"),
+          lit(false).as("contaminated"))
+      else spark.read.parquet(vroot.toString)
+        .select("doc_id", "contaminated")
+    val c45 = canon
+      .join(verdicts, canon("gmin") === verdicts("doc_id"), "left")
+      .agg(count(lit(1)).as("c4"),
+        coalesce(sum((pmod(col("gmin"), lit(97L)) =!= 0 &&
+          !coalesce(col("contaminated"), lit(false))).cast("long")),
+          lit(0L)).as("c5"))
+    Some(c.crossJoin(c45)
+      .selectExpr(
+        """stack(6,
+          |  CAST(0 AS BIGINT), 'all',            c0,
+          |  CAST(1 AS BIGINT), 'lang_en',        c1,
+          |  CAST(2 AS BIGINT), 'quality',        c2,
+          |  CAST(3 AS BIGINT), 'repetition',     c3,
+          |  CAST(4 AS BIGINT), 'exact_dedup',    c4,
+          |  CAST(5 AS BIGINT), 'decontaminated', c5
+          |) AS (stage, stage_name, survivors)""".stripMargin)
+      .orderBy("stage"))
+  }
+
   /** The labeling after the last completed batch, if any. */
   def dupClusterState(spark: org.apache.spark.sql.SparkSession,
       statePath: String): Option[DataFrame] = {

@@ -577,6 +577,59 @@ class StreamingSpec extends SparkSpec {
     spark.sql("DROP TABLE IF EXISTS cdiff_old_snap")
   }
 
+  test("stream_curation_funnel: folds equal batch #72; verdicts provisional") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val rows = Tables.documents(spark, sfTiny)
+      .select("doc_id", "text", "lang")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+      .toIndexedSeq
+    val want = SparkEntry.queries("q_curation_funnel")(spark, sfTiny)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSeq
+
+    // single-batch delivery: the fold equals the one-shot funnel EXACTLY
+    // (the benchmark slice arrives with everything it contaminates)
+    val base1 = java.nio.file.Files.createTempDirectory("graft_fun1_").toString
+    val ms1 = MemoryStream[(Long, String, String)]
+    val q1 = Streams.curationFunnelSink(
+      ms1.toDF().toDF("doc_id", "text", "lang"),
+      s"$base1/state", s"$base1/ckpt").start()
+    try { ms1.addData(rows); q1.processAllAvailable() } finally q1.stop()
+    val got1 = Streams.curationFunnelState(spark, s"$base1/state").get
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSeq
+    assert(got1 == want, s"single-batch fold != batch funnel:\n$got1\n$want")
+
+    // 3-batch delivery: stages 0-4 are exact under any split; stage 5
+    // is provisional (>= the one-shot count) — and replay is a fixpoint
+    val base3 = java.nio.file.Files.createTempDirectory("graft_fun3_").toString
+    val ms3 = MemoryStream[(Long, String, String)]
+    val q3 = Streams.curationFunnelSink(
+      ms3.toDF().toDF("doc_id", "text", "lang"),
+      s"$base3/state", s"$base3/ckpt").start()
+    val chunks = rows.grouped((rows.size + 2) / 3).toSeq
+    try {
+      chunks.foreach { c => ms3.addData(c); q3.processAllAvailable() }
+    } finally q3.stop()
+    val got3 = Streams.curationFunnelState(spark, s"$base3/state").get
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSeq
+    assert(got3.take(5) == want.take(5),
+      s"stages 0-4 must fold exactly under any split:\n$got3\n$want")
+    assert(got3(5)._3 >= want(5)._3,
+      s"stage 5 is provisional: fold ${got3(5)._3} < one-shot ${want(5)._3}")
+    val before = got3.toSet
+    Seq(0 -> chunks.head, (chunks.size - 1) -> chunks.last).foreach {
+      case (id, chunk) =>
+        Streams.applyCurationFunnelBatch(
+          chunk.toDF("doc_id", "text", "lang"), id.toLong,
+          s"$base3/state", "doc_id", "text", "lang")
+        val after = Streams.curationFunnelState(spark, s"$base3/state").get
+          .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+        assert(after == before, s"replaying batch $id mutated the funnel")
+    }
+    // no state before any batch
+    assert(Streams.curationFunnelState(spark, s"$base3/none").isEmpty)
+  }
+
   test("stream_dsir: frozen-model weights equal the batch scorer") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
