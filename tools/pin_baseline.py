@@ -56,14 +56,14 @@ REBASED = {
     # equal to each other within noise; the old fused form amortized
     # one explode the shared core pays for composability with the
     # frozen-model stream twin)
-    "q_quality_lm": ("probe_r10k", "probe_r10n"),
+    "q_quality_lm": ("probe_r10k", "probe_r10n", "baseline_r11"),
     # q_tfidf_terms needs no entry: the shipped code IS the r10a-g
     # form (the probe-16 contraction experiment was reverted), and the
     # slower intermediate captures can only lose the min
     # round 10 (probe 17): the gated IVF's centroid rule re-sized from
     # n/50 cells (assignment n²/50 — 142x at a 16x corpus) to ~sqrt(n)
     # cells; earlier captures timed the old cell layout
-    "q_ann_ivf": ("probe_r10s",),
+    "q_ann_ivf": ("probe_r10s", "baseline_r11"),
 }
 
 per_query = {}   # name -> list[(seconds, source)]
