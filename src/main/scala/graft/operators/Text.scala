@@ -804,139 +804,30 @@ object Text {
     * is NOT applied, stated here). Zero-word docs keep the
     * dirty-record rule: NULL measures, `pass` = false.
     *
-    * Scale: pure per-row projection — every measure is computed from
-    * the doc's OWN sorted token/segment arrays (run lengths via the
-    * sorted-adjacency rule, the array twin of #133's lag rule), so
-    * the operator never shuffles, never forms a (doc, gram) grain,
-    * and runs at parquet-scan speed at 100 TB (PlanSpec pins no
-    * exchange, no join). The oracle computes the same contract
-    * relationally (explode → group-by → pivot), which is exactly the
-    * shape this operator exists to avoid at scale.
+    * Scale: pure per-row projection — the whole battery is ONE
+    * compiled pass per row ([[graft.functions.GopherRepMeasures]],
+    * a codegen'd Catalyst expression), so the operator never
+    * shuffles, never forms a (doc, gram) grain, and runs at
+    * parquet-scan speed at 100 TB (PlanSpec pins no exchange, no
+    * join). Two slower formulations preceded it, both measured
+    * (SCALING.md probe 18): nested HOFs re-evaluate captured
+    * expressions per element (minutes/500 docs), and even the staged
+    * sorted-array form paid ~2 ms/doc of interpreted HOF overhead —
+    * the compiled expression removes both. The oracle computes the
+    * same contract relationally (explode → group-by → pivot), which
+    * is exactly the shape this operator avoids at scale.
     */
   private[graft] def gopherRepetition(df: DataFrame, idCol: String,
       textCol: String): DataFrame = {
-    val topNs = TopGramTaus.keys.toSeq.sorted
-    val dupNs = DupGramTaus.keys.toSeq.sorted
-
-    // Staged selects on purpose: every sorted array is materialized as
-    // a COLUMN before any lambda touches it. A lambda re-evaluates
-    // captured NON-attribute expressions per element, so nesting
-    // `array_sort(...)` inside `aggregate` would re-sort per scanned
-    // element (measured: minutes per 500 docs); an attribute reference
-    // is O(1). CollapseProject keeps the stages apart because the
-    // sorted arrays are non-cheap and multiply-referenced.
-
-    // Stage 1: token/segment arrays.
-    val s1 = df.select(
-      col(idCol), col(textCol).as("_text"),
-      filter(split(col(textCol), " "), w => w =!= "").as("_toks"),
-      filter(transform(split(col(textCol), "\n"), l => trim(l)),
-        l => length(l) > 0).as("_lines"),
-      filter(transform(split(col(textCol), "\n\n"), l => trim(l)),
-        l => length(l) > 0).as("_paras"))
-
-    // Stage 2: sorted arrays (the run-length substrate).
-    def grams(n: Int): Column =
-      when(size(col("_toks")) < n, array().cast("array<string>"))
-        .otherwise(transform(sequence(lit(1), size(col("_toks")) - n + 1),
-          i => concat_ws(" ", slice(col("_toks"), i, lit(n)))))
-    val s2 = s1.select(Seq(
-      col(idCol),
-      length(col("_text")).cast("long").as("_nchars"),
-      size(col("_toks")).cast("long").as("_nwords"),
-      col("_lines"), col("_paras"),
-      array_sort(col("_lines")).as("_ls"),
-      array_sort(col("_paras")).as("_ps")) ++
-      (topNs ++ dupNs).map(n => array_sort(grams(n)).as(s"_s$n")): _*)
-
-    // Stage 3: integer masses, each a single linear scan-accumulator
-    // over one sorted-array column. Adjacency gives Σ(c−1)·len (a run
-    // of c equal values has c−1 positions equal to their neighbor);
-    // the top-gram scan carries (prev, current run, best) and the
-    // ascending order makes count-ties resolve to the lexicographically
-    // larger gram — the documented tie-break.
-    def dupScan(s: Column): Column =
-      aggregate(s,
-        struct(lit(null).cast("string").as("prev"), lit(0L).as("dup")),
-        (acc, x) => struct(x.as("prev"),
-          when(x === acc.getField("prev"),
-            acc.getField("dup") + length(x).cast("long"))
-            .otherwise(acc.getField("dup")).as("dup")),
-        acc => acc.getField("dup"))
-    def topScan(s: Column): Column =
-      aggregate(s,
-        struct(lit(null).cast("string").as("prev"), lit(0L).as("cur"),
-          lit(0L).as("bc"), lit(null).cast("string").as("bg")),
-        (acc, x) => {
-          val cur2 = when(x === acc.getField("prev"),
-            acc.getField("cur") + 1L).otherwise(lit(1L))
-          val better = cur2 > acc.getField("bc") ||
-            (cur2 === acc.getField("bc") && x > acc.getField("bg"))
-          struct(x.as("prev"), cur2.as("cur"),
-            when(better, cur2).otherwise(acc.getField("bc")).as("bc"),
-            when(better, x).otherwise(acc.getField("bg")).as("bg"))
-        },
-        acc => when(acc.getField("bc") >= 2L,
-          acc.getField("bc") * length(acc.getField("bg")).cast("long"))
-          .otherwise(lit(0L)))
-    def charSum(arr: Column): Column =
-      aggregate(arr, lit(0L), (a, s) => a + length(s).cast("long"))
-    val s3 = s2.select(Seq(
-      col(idCol), col("_nchars"), col("_nwords"),
-      size(col("_lines")).cast("long").as("_nl"),
-      size(array_distinct(col("_lines"))).cast("long").as("_dl"),
-      charSum(col("_lines")).as("_lc"),
-      dupScan(col("_ls")).as("_ldup"),
-      size(col("_paras")).cast("long").as("_np"),
-      size(array_distinct(col("_paras"))).cast("long").as("_dp"),
-      charSum(col("_paras")).as("_pc"),
-      dupScan(col("_ps")).as("_pdup")) ++
-      topNs.map(n => topScan(col(s"_s$n")).as(s"_m$n")) ++
-      dupNs.map(n => dupScan(col(s"_s$n")).as(s"_m$n")): _*)
-
-    // Stage 4: fractions (single integer/integer division each) + the
-    // verdict. A doc with tokens but an empty gram set has ZERO
-    // repeated mass (defined, passes); only zero-word docs are NULL.
-    def gramFrac(n: Int): Column =
-      when(col("_nwords") === 0L, lit(null).cast("double"))
-        .otherwise(col(s"_m$n").cast("double") / nz(col("_nchars")))
-    val measures: Seq[(String, Column)] =
-      Seq(
-        "dup_line_frac" ->
-          ((col("_nl") - col("_dl")).cast("double") / nz(col("_nl"))),
-        "dup_line_char_frac" ->
-          (col("_ldup").cast("double") / nz(col("_lc"))),
-        "dup_para_frac" ->
-          ((col("_np") - col("_dp")).cast("double") / nz(col("_np"))),
-        "dup_para_char_frac" ->
-          (col("_pdup").cast("double") / nz(col("_pc")))) ++
-        topNs.map(n => s"top_${n}gram_char_frac" -> gramFrac(n)) ++
-        dupNs.map(n => s"dup_${n}gram_char_frac" -> gramFrac(n))
-    val taus: Seq[Double] =
-      Seq(RepLineTau, RepLineCharTau, RepLineTau, RepLineCharTau) ++
-        topNs.map(TopGramTaus) ++ dupNs.map(DupGramTaus)
-    val s4 = s3.select(
-      col(idCol) +: measures.map { case (name, c) => c.as(name) }: _*)
-    val pass = measures.map(_._1).zip(taus).map { case (name, t) =>
-      coalesce(col(name) <= t, lit(false))
-    }.reduce(_ && _)
-    s4.select(col(idCol) +: measures.map { case (n, _) => col(n) } :+
-      pass.as("pass"): _*)
+    graft.functions.GopherRepMeasures.register(df.sparkSession)
+    val names = graft.functions.GopherRepMeasures.measureNames :+ "pass"
+    df.select(col(idCol),
+        expr(s"gopher_rep_measures($textCol)").as("_m"))
+      .select(col(idCol) +: names.map(n => col(s"_m.$n").as(n)): _*)
   }
 
   def qGopherRepetition(spark: SparkSession, dir: String): DataFrame =
-    // This battery is COMPUTE-bound per row (nine interpreted
-    // higher-order sorts/scans — HOFs are CodegenFallback), unlike the
-    // scan-bound #137/#138. The gate corpus is ONE parquet row group,
-    // which Spark cannot split — without the spread the whole corpus
-    // computes in a single task (measured 10.4 s vs ~1 s). A real
-    // corpus parallelizes at file grain, so the FACADE form takes the
-    // frame as-is; the round-robin exchange here moves only the gate
-    // file's bytes.
-    gopherRepetition(
-      Tables.documents(spark, dir)
-        .repartition(spark.sparkContext.defaultParallelism),
-      "doc_id", "text")
+    gopherRepetition(Tables.documents(spark, dir), "doc_id", "text")
       .orderBy("doc_id")
 
   /** Oracle twin of [[gopherRepetition]] — the RELATIONAL formulation

@@ -44,9 +44,6 @@ class PlanSpec extends SparkSpec {
   }
 
   test("C4 and Gopher rule batteries stay map-only: no hash exchange, no join") {
-    // q_gopher_repetition's round-robin spread of the single-row-group
-    // gate file is deliberate (see its docstring) — the pin is "no
-    // KEYED shuffle, no join": nothing ever aggregates across rows
     Seq("q_c4_rules", "q_gopher_rules", "q_gopher_repetition").foreach { q =>
       val p = plan(q)
       assert(!p.contains("Exchange hashpartitioning"),

@@ -64,6 +64,10 @@ REBASED = {
     # n/50 cells (assignment n²/50 — 142x at a 16x corpus) to ~sqrt(n)
     # cells; earlier captures timed the old cell layout
     "q_ann_ivf": ("probe_r10s", "baseline_r11"),
+    # round 11: the repetition battery moved from the staged-HOF form
+    # (r11a-c timed it, with the round-robin gate-file spread) to the
+    # compiled GopherRepMeasures expression — ~3x faster and spread-free
+    "q_gopher_repetition": ("probe_r11g",),
 }
 
 per_query = {}   # name -> list[(seconds, source)]
