@@ -67,7 +67,7 @@ REBASED = {
     # round 11: the repetition battery moved from the staged-HOF form
     # (r11a-c timed it, with the round-robin gate-file spread) to the
     # compiled GopherRepMeasures expression — ~3x faster and spread-free
-    "q_gopher_repetition": ("probe_r11g",),
+    "q_gopher_repetition": ("probe_r11g", "baseline_r11d"),
 }
 
 per_query = {}   # name -> list[(seconds, source)]
