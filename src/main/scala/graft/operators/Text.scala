@@ -513,8 +513,12 @@ object Text {
   /** The #137 readout on any frame with an id + text column — shared
     * by the gated query and the [[graft.api.Graft.c4Rules]] facade.
     */
-  private[graft] def c4Rules(df: DataFrame, idCol: String,
-      textCol: String): DataFrame = {
+  /** Column-PRESERVING form of the #137 battery (internal names
+    * `_c4_*`, verdict `c4_keep`) — what lets #151 fuse all three
+    * map-side batteries into ONE text scan. [[c4Rules]] is its
+    * public-name projection; the two cannot drift.
+    */
+  private[graft] def withC4(df: DataFrame, textCol: String): DataFrame = {
     val lines = filter(
       transform(split(col(textCol), "\n"), l => trim(l)),
       l => length(l) > 0)
@@ -525,20 +529,29 @@ object Text {
     def chars(arr: Column): Column =
       aggregate(arr, lit(0L), (acc, l) => acc + length(l).cast("long"))
     df
-      .withColumn("n_lines", size(lines).cast("long"))
-      .withColumn("n_kept_lines", size(kept).cast("long"))
-      .withColumn("line_chars", chars(lines))
-      .withColumn("kept_chars", chars(kept))
-      .withColumn("has_brace", col(textCol).contains("{"))
-      .withColumn("has_lorem", lower(col(textCol)).contains("lorem ipsum"))
-      .select(col(idCol), col("n_lines"), col("n_kept_lines"),
-        when(col("line_chars") === 0, lit(null).cast("double"))
-          .otherwise(round(col("kept_chars").cast("double") / col("line_chars"), 6))
-          .as("kept_char_frac"),
-        col("has_brace"), col("has_lorem"),
-        (col("n_kept_lines") >= C4MinKeptLines &&
-          !col("has_brace") && !col("has_lorem")).as("keep"))
+      .withColumn("_c4_n_lines", size(lines).cast("long"))
+      .withColumn("_c4_n_kept_lines", size(kept).cast("long"))
+      .withColumn("_c4_line_chars", chars(lines))
+      .withColumn("_c4_kept_chars", chars(kept))
+      .withColumn("_c4_has_brace", col(textCol).contains("{"))
+      .withColumn("_c4_has_lorem", lower(col(textCol)).contains("lorem ipsum"))
+      .withColumn("c4_keep",
+        col("_c4_n_kept_lines") >= C4MinKeptLines &&
+          !col("_c4_has_brace") && !col("_c4_has_lorem"))
   }
+
+  private[graft] def c4Rules(df: DataFrame, idCol: String,
+      textCol: String): DataFrame =
+    withC4(df, textCol)
+      .select(col(idCol), col("_c4_n_lines").as("n_lines"),
+        col("_c4_n_kept_lines").as("n_kept_lines"),
+        when(col("_c4_line_chars") === 0, lit(null).cast("double"))
+          .otherwise(round(col("_c4_kept_chars").cast("double") /
+            col("_c4_line_chars"), 6))
+          .as("kept_char_frac"),
+        col("_c4_has_brace").as("has_brace"),
+        col("_c4_has_lorem").as("has_lorem"),
+        col("c4_keep").as("keep"))
 
   def qC4Rules(spark: SparkSession, dir: String): DataFrame =
     c4Rules(Tables.documents(spark, dir), "doc_id", "text")
@@ -603,51 +616,70 @@ object Text {
   /** The #138 battery on any frame with an id + text column — shared
     * by the gated query and the [[graft.api.Graft.gopherRules]] facade.
     */
-  private[graft] def gopherRules(df: DataFrame, idCol: String,
-      textCol: String): DataFrame = {
+  /** Column-PRESERVING form of the #138 battery (internal names
+    * `_g_*`, verdict `gopher_pass`) — the #151 fusion core.
+    * [[gopherRules]] is its public-name projection.
+    */
+  private[graft] def withGopher(df: DataFrame, textCol: String): DataFrame = {
     val words = filter(split(col(textCol), " "), w => w =!= "")
     val lines = filter(
       transform(split(col(textCol), "\n"), l => trim(l)),
       l => length(l) > 0)
     def fb(c: Column): Column = coalesce(c, lit(false))
     df
-      .withColumn("n_words", size(words).cast("long"))
-      .withColumn("n_lines", size(lines).cast("long"))
-      .withColumn("mean_word_len",
+      .withColumn("_g_n_words", size(words).cast("long"))
+      .withColumn("_g_n_lines", size(lines).cast("long"))
+      .withColumn("_g_mean_word_len",
         aggregate(words, lit(0L), (a, w) => a + length(w).cast("long"))
-          .cast("double") / nz(col("n_words")))
-      .withColumn("symbol_ratio",
+          .cast("double") / nz(col("_g_n_words")))
+      .withColumn("_g_symbol_ratio",
         (regexp_count(col(textCol), lit("#")) +
           regexp_count(col(textCol), lit("\\.\\.\\.")))
-          .cast("double") / nz(col("n_words")))
-      .withColumn("bullet_frac",
+          .cast("double") / nz(col("_g_n_words")))
+      .withColumn("_g_bullet_frac",
         size(filter(lines, l => substring(l, 1, 1).isin("-", "*", "•")))
-          .cast("double") / nz(col("n_lines")))
-      .withColumn("ellipsis_frac",
+          .cast("double") / nz(col("_g_n_lines")))
+      .withColumn("_g_ellipsis_frac",
         size(filter(lines, l => l.endsWith("...") || l.endsWith("…")))
-          .cast("double") / nz(col("n_lines")))
-      .withColumn("alpha_frac",
+          .cast("double") / nz(col("_g_n_lines")))
+      .withColumn("_g_alpha_frac",
         size(filter(words, w => w.rlike("[A-Za-z]")))
-          .cast("double") / nz(col("n_words")))
-      .withColumn("n_stops",
+          .cast("double") / nz(col("_g_n_words")))
+      .withColumn("_g_n_stops",
         size(array_intersect(transform(words, w => lower(w)),
           array(GopherStops.map(lit): _*))).cast("long"))
-      .withColumn("r_word_count", col("n_words").between(50L, 100000L))
-      .withColumn("r_word_len", col("mean_word_len").between(3.0, 10.0))
-      .withColumn("r_symbols", col("symbol_ratio") <= 0.1)
-      .withColumn("r_bullets", col("bullet_frac") <= 0.9)
-      .withColumn("r_ellipsis", col("ellipsis_frac") <= 0.3)
-      .withColumn("r_alpha", col("alpha_frac") >= 0.8)
-      .withColumn("r_stops", col("n_stops") >= 2L)
-      .withColumn("pass",
-        fb(col("r_word_count")) && fb(col("r_word_len")) &&
-          fb(col("r_symbols")) && fb(col("r_bullets")) &&
-          fb(col("r_ellipsis")) && fb(col("r_alpha")) && fb(col("r_stops")))
-      .select(idCol, "n_words", "mean_word_len", "symbol_ratio",
-        "bullet_frac", "ellipsis_frac", "alpha_frac", "n_stops",
-        "r_word_count", "r_word_len", "r_symbols", "r_bullets",
-        "r_ellipsis", "r_alpha", "r_stops", "pass")
+      .withColumn("_g_r_word_count", col("_g_n_words").between(50L, 100000L))
+      .withColumn("_g_r_word_len", col("_g_mean_word_len").between(3.0, 10.0))
+      .withColumn("_g_r_symbols", col("_g_symbol_ratio") <= 0.1)
+      .withColumn("_g_r_bullets", col("_g_bullet_frac") <= 0.9)
+      .withColumn("_g_r_ellipsis", col("_g_ellipsis_frac") <= 0.3)
+      .withColumn("_g_r_alpha", col("_g_alpha_frac") >= 0.8)
+      .withColumn("_g_r_stops", col("_g_n_stops") >= 2L)
+      .withColumn("gopher_pass",
+        fb(col("_g_r_word_count")) && fb(col("_g_r_word_len")) &&
+          fb(col("_g_r_symbols")) && fb(col("_g_r_bullets")) &&
+          fb(col("_g_r_ellipsis")) && fb(col("_g_r_alpha")) &&
+          fb(col("_g_r_stops")))
   }
+
+  private[graft] def gopherRules(df: DataFrame, idCol: String,
+      textCol: String): DataFrame =
+    withGopher(df, textCol)
+      .select(col(idCol), col("_g_n_words").as("n_words"),
+        col("_g_mean_word_len").as("mean_word_len"),
+        col("_g_symbol_ratio").as("symbol_ratio"),
+        col("_g_bullet_frac").as("bullet_frac"),
+        col("_g_ellipsis_frac").as("ellipsis_frac"),
+        col("_g_alpha_frac").as("alpha_frac"),
+        col("_g_n_stops").as("n_stops"),
+        col("_g_r_word_count").as("r_word_count"),
+        col("_g_r_word_len").as("r_word_len"),
+        col("_g_r_symbols").as("r_symbols"),
+        col("_g_r_bullets").as("r_bullets"),
+        col("_g_r_ellipsis").as("r_ellipsis"),
+        col("_g_r_alpha").as("r_alpha"),
+        col("_g_r_stops").as("r_stops"),
+        col("gopher_pass").as("pass"))
 
   def qGopherRules(spark: SparkSession, dir: String): DataFrame =
     gopherRules(Tables.documents(spark, dir), "doc_id", "text")
@@ -829,6 +861,128 @@ object Text {
   def qGopherRepetition(spark: SparkSession, dir: String): DataFrame =
     gopherRepetition(Tables.documents(spark, dir), "doc_id", "text")
       .orderBy("doc_id")
+
+  /** Display names and keep-flag sources for the #151 agreement
+    * matrix — the four published filter batteries this engine ships.
+    */
+  private val AgreementFilters =
+    Seq("c4", "gopher_quality", "gopher_repetition", "lm_head_middle")
+
+  /** #151 — `q_filter_agreement`: the pairwise AGREEMENT matrix of
+    * the four published filter batteries (#137 C4 page rules, #138
+    * Gopher quality, #144 Gopher repetition, #139 CCNet LM bucketing
+    * with keep = head∪middle): for every filter pair, how many docs
+    * both keep, both drop, or exactly one keeps, and the agreement
+    * rate. This is the filter-ablation readout curation reports lead
+    * with (the FineWeb-style finding that published filters disagree
+    * far more than assumed — the matrix is what justifies running
+    * them in conjunction or union).
+    *
+    * Scale: ONE text scan computes the three map-side batteries (the
+    * column-preserving [[withC4]]/[[withGopher]] cores plus the
+    * compiled #144 expression fuse into a single projection — no
+    * joins between them); the LM flag is the one inherently
+    * corpus-level input (vocabulary-grain aggregates + a doc-grain
+    * score join, #139's own shape). The matrix itself is one scalar
+    * aggregate of predicate sums unpivoted by `stack` — six rows out,
+    * integer counts, one exact division each.
+    */
+  private[graft] def filterAgreement(df: DataFrame, idCol: String,
+      textCol: String, langCol: String): DataFrame = {
+    graft.functions.GopherRepMeasures.register(df.sparkSession)
+    val base = df.select(col(idCol).as("doc_id"),
+      col(textCol).as("text"), col(langCol).as("lang"))
+    val flags3 = withGopher(withC4(base, "text"), "text")
+      .withColumn("f_gopher_repetition",
+        expr("gopher_rep_measures(text).pass"))
+      .select(col("doc_id"),
+        col("c4_keep").as("f_c4"),
+        col("gopher_pass").as("f_gopher_quality"),
+        col("f_gopher_repetition"))
+    val lm = lmBuckets(base, unigramModel(base, "text"),
+        "doc_id", "text", "lang")
+      .select(col("doc_id"),
+        coalesce(col("bucket") =!= "tail", lit(false))
+          .as("f_lm_head_middle"))
+    val flags = flags3.join(lm, "doc_id")
+    val pairs = for {
+      i <- AgreementFilters.indices
+      j <- (i + 1) until AgreementFilters.size
+    } yield (AgreementFilters(i), AgreementFilters(j))
+    val aggCols = count(lit(1)).as("n") +: pairs.zipWithIndex.flatMap {
+      case ((a, b), k) =>
+        val fa = col(s"f_$a")
+        val fb = col(s"f_$b")
+        Seq(
+          sum((fa && fb).cast("long")).as(s"bk$k"),
+          sum((!fa && !fb).cast("long")).as(s"bd$k"),
+          sum((fa && !fb).cast("long")).as(s"oa$k"),
+          sum((!fa && fb).cast("long")).as(s"ob$k"))
+    }
+    val a = flags.agg(aggCols.head, aggCols.tail: _*)
+    val stackArgs = pairs.zipWithIndex.map { case ((x, y), k) =>
+      s"'$x', '$y', bk$k, bd$k, oa$k, ob$k"
+    }.mkString(",\n  ")
+    a.selectExpr("n",
+        s"""stack(${pairs.size},
+           |  $stackArgs
+           |) AS (filter_a, filter_b, both_keep, both_drop, only_a, only_b)""".stripMargin)
+      .select(col("filter_a"), col("filter_b"),
+        col("both_keep"), col("both_drop"),
+        col("only_a"), col("only_b"),
+        ((col("both_keep") + col("both_drop")).cast("double") / col("n"))
+          .as("agree_rate"))
+      .orderBy("filter_a", "filter_b")
+  }
+
+  def qFilterAgreement(spark: SparkSession, dir: String): DataFrame =
+    filterAgreement(Tables.documents(spark, dir), "doc_id", "text", "lang")
+
+  /** Oracle twin of [[filterAgreement]] — composes the four
+    * batteries' OWN oracle queries as subqueries (one definition of
+    * each flag), joins at doc grain, and unpivots the pair sums by
+    * UNION ALL.
+    */
+  // lazy: composes qGopherRepetitionSql, declared LATER in this object
+  // — an eager val would capture null at object init
+  lazy val qFilterAgreementSql: String = {
+    val pairs = for {
+      i <- AgreementFilters.indices
+      j <- (i + 1) until AgreementFilters.size
+    } yield (AgreementFilters(i), AgreementFilters(j))
+    val sums = pairs.zipWithIndex.map { case ((a, b), k) =>
+      s"""    CAST(sum(CASE WHEN f_$a AND f_$b THEN 1 ELSE 0 END) AS BIGINT) AS bk$k,
+         |    CAST(sum(CASE WHEN NOT f_$a AND NOT f_$b THEN 1 ELSE 0 END) AS BIGINT) AS bd$k,
+         |    CAST(sum(CASE WHEN f_$a AND NOT f_$b THEN 1 ELSE 0 END) AS BIGINT) AS oa$k,
+         |    CAST(sum(CASE WHEN NOT f_$a AND f_$b THEN 1 ELSE 0 END) AS BIGINT) AS ob$k""".stripMargin
+    }.mkString(",\n")
+    val rows = pairs.zipWithIndex.map { case ((x, y), k) =>
+      s"""SELECT '$x' AS filter_a, '$y' AS filter_b, bk$k AS both_keep,
+         |  bd$k AS both_drop, oa$k AS only_a, ob$k AS only_b,
+         |  CAST(bk$k + bd$k AS DOUBLE) / n AS agree_rate FROM a""".stripMargin
+    }.mkString("\nUNION ALL\n")
+    s"""WITH c4f AS (
+       |  SELECT doc_id, keep AS f_c4 FROM ($qC4RulesSql) AS c4q),
+       |gqf AS (
+       |  SELECT doc_id, pass AS f_gopher_quality FROM ($qGopherRulesSql) AS gq),
+       |grf AS (
+       |  SELECT doc_id, pass AS f_gopher_repetition
+       |  FROM ($qGopherRepetitionSql) AS grq),
+       |lmf AS (
+       |  SELECT doc_id, COALESCE(bucket <> 'tail', false) AS f_lm_head_middle
+       |  FROM ($qLmBucketsSql) AS lmq),
+       |j AS (
+       |  SELECT * FROM c4f
+       |  JOIN gqf USING (doc_id)
+       |  JOIN grf USING (doc_id)
+       |  JOIN lmf USING (doc_id)),
+       |a AS (
+       |  SELECT CAST(count(*) AS BIGINT) AS n,
+       |$sums
+       |  FROM j)
+       |$rows
+       |ORDER BY filter_a, filter_b""".stripMargin
+  }
 
   /** Oracle twin of [[gopherRepetition]] — the RELATIONAL formulation
     * of the same contract (explode to (doc, value) grains, group,

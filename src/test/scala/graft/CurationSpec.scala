@@ -226,6 +226,26 @@ class CurationSpec extends SparkSpec {
     assert(!out(6).getAs[Boolean]("selected"))
   }
 
+  test("filter agreement: cells partition the corpus, disagreement is real") {
+    import spark.implicits._
+    val out = SparkEntry.queries("q_filter_agreement")(spark, sf)
+      .select("filter_a", "filter_b", "both_keep", "both_drop",
+        "only_a", "only_b", "agree_rate")
+      .as[(String, String, Long, Long, Long, Long, Double)]
+      .collect().toSeq
+    assert(out.size == 6, s"4 filters -> 6 ordered pairs: $out")
+    val n = Tables.documents(spark, sf).count()
+    out.foreach { r =>
+      assert(r._3 + r._4 + r._5 + r._6 == n,
+        s"cells must partition the corpus for ${r._1}/${r._2}: $r")
+      assert(r._7 == (r._3 + r._4).toDouble / n, s"agree_rate identity: $r")
+    }
+    // the published filters genuinely disagree on this corpus — the
+    // readout exists because this number is NOT ~1.0
+    assert(out.exists(r => r._5 + r._6 > 0),
+      "at least one pair must disagree somewhere")
+  }
+
   test("Gopher repetition: line, paragraph, and n-gram masses as planted") {
     import spark.implicits._
     val dupLine = "dup line one."
