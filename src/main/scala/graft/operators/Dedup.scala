@@ -450,6 +450,41 @@ object Dedup {
       .orderBy("doc_id")
   }
 
+  /** #152 — `q_dup_cluster_histogram`: the dup-cluster SIZE
+    * distribution in power-of-two buckets (bucket = bit length of the
+    * cluster size, the #53 rule) — the power-law readout every dedup
+    * report plots (how much of the duplication mass sits in a few
+    * giant clusters vs many pairs decides whether exact-dedup-first
+    * composition or a df-cap is the binding mitigation). Covers the
+    * clusters the pair graph defines (size ≥ 2 — singletons never
+    * enter #43's edge list, stated here).
+    *
+    * Scale: rides #43 entirely — one cluster-grain contraction and a
+    * ≤64-bucket aggregate on top of the shared pair/label stages; the
+    * histogram itself costs nothing at any corpus size.
+    */
+  def qDupClusterHistogram(spark: SparkSession, dir: String): DataFrame =
+    qDupClusters(spark, dir)
+      .groupBy("cluster_id").agg(count(lit(1)).as("sz"))
+      .withColumn("bucket", length(bin(col("sz"))).cast("long"))
+      .groupBy("bucket").agg(
+        count(lit(1)).as("n_clusters"),
+        sum("sz").as("n_docs"),
+        min("sz").as("min_size"),
+        max("sz").as("max_size"))
+      .orderBy("bucket")
+
+  lazy val qDupClusterHistogramSql: String =
+    s"""WITH cl AS (
+       |  SELECT cluster_id, CAST(count(*) AS BIGINT) AS sz
+       |  FROM ($qDupClustersSql) AS labs GROUP BY 1),
+       |b AS (
+       |  SELECT sz, CAST(length(bin(sz)) AS BIGINT) AS bucket FROM cl)
+       |SELECT bucket, CAST(count(*) AS BIGINT) AS n_clusters,
+       |  CAST(sum(sz) AS BIGINT) AS n_docs,
+       |  MIN(sz) AS min_size, MAX(sz) AS max_size
+       |FROM b GROUP BY bucket ORDER BY bucket""".stripMargin
+
   val qDupClustersSql: String =
     s"""WITH RECURSIVE pairs AS (
        |  SELECT doc_a, doc_b FROM ($qDedupNgramJaccardCappedSql)
