@@ -34,6 +34,22 @@ case class FrameStats(
     n_sampled: Long,
     sampled_byte_sum: Long)
 
+/** Output of the resize stage (#153). */
+case class ResizedMedia(
+    doc_id: Long,
+    width: Int,
+    height: Int,
+    target_w: Int,
+    target_h: Int,
+    out_bytes: Long,
+    resized_md5: String)
+
+/** One dimension of the stub feature vector (#154). */
+case class MediaEmbedding(
+    doc_id: Long,
+    dim: Int,
+    value: Double)
+
 /** Multimodal column plumbing: typed metadata + binary payload +
   * a partition-batched decode/feature-extract stage.
   *
@@ -141,6 +157,115 @@ object Multimodal {
       .toDF()
       .select("doc_id", "n_frames", "n_sampled")
       .orderBy("doc_id")
+
+  /** #153 — resize stage. Aspect-preserving integer target under a
+    * longest-side cap (the vision-pipeline preprocessing step before
+    * feature extraction): images larger than [[.]]`maxSide` scale so
+    * the longest side equals it, integer floor division (positive
+    * dims, so JVM truncation == SQL floor division), never below 1.
+    * The resample itself is the STUBBED codec step — bytes cycle to
+    * the target RGB budget (`tw·th·3`), one "resampler" per
+    * partition — while the dimension math, byte budget, schema, and
+    * batch shape are real and oracle-checked.
+    */
+  def resizeStage(media: Dataset[MediaRecord],
+      maxSide: Int = 224): Dataset[ResizedMedia] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { records =>
+      val md = java.security.MessageDigest.getInstance("MD5")
+      records.map { r =>
+        val m = math.max(r.width, r.height)
+        val (tw, th) =
+          if (m <= maxSide) (r.width, r.height)
+          else (math.max(1, r.width * maxSide / m),
+            math.max(1, r.height * maxSide / m))
+        val outLen = tw * th * 3
+        val out = new Array[Byte](outLen)
+        if (r.payload.length > 0) {
+          var i = 0
+          while (i < outLen) { out(i) = r.payload(i % r.payload.length); i += 1 }
+        }
+        md.reset()
+        val hex = md.digest(out).map(b => f"${b & 0xff}%02x").mkString
+        ResizedMedia(r.doc_id, r.width, r.height, tw, th,
+          outLen.toLong, hex)
+      }
+    }
+  }
+
+  /** #153 gate query — the resize plan (dims + byte budget) is fully
+    * oracle-checkable from the metadata; `resized_md5` is the stub
+    * resample's determinism witness, spec-verified (DuckDB cannot run
+    * the byte cycle).
+    */
+  def qMultimodalResize(spark: SparkSession, dir: String): DataFrame =
+    resizeStage(mediaTable(spark, dir))
+      .toDF()
+      .select("doc_id", "width", "height", "target_w", "target_h",
+        "out_bytes")
+      .orderBy("doc_id")
+
+  val qMultimodalResizeSql: String =
+    """WITH m AS (
+      |  SELECT doc_id,
+      |    CAST(32 * (doc_id % 16 + 1) AS INT) AS width,
+      |    CAST(32 * (doc_id % 9 + 1) AS INT) AS height
+      |  FROM documents),
+      |t AS (
+      |  SELECT doc_id, width, height,
+      |    greatest(width, height) AS mx
+      |  FROM m)
+      |SELECT doc_id, width, height,
+      |  CAST(CASE WHEN mx <= 224 THEN width
+      |       ELSE greatest(1, (width * 224) // mx) END AS INT) AS target_w,
+      |  CAST(CASE WHEN mx <= 224 THEN height
+      |       ELSE greatest(1, (height * 224) // mx) END AS INT) AS target_h,
+      |  CAST(CAST(CASE WHEN mx <= 224 THEN width
+      |       ELSE greatest(1, (width * 224) // mx) END AS BIGINT)
+      |    * CAST(CASE WHEN mx <= 224 THEN height
+      |       ELSE greatest(1, (height * 224) // mx) END AS BIGINT) * 3
+      |    AS BIGINT) AS out_bytes
+      |FROM t ORDER BY doc_id""".stripMargin
+
+  /** #154 — the feature-EXTRACT stage the ANN family consumes: a
+    * deterministic 8-dim feature vector per media record, derived
+    * from the decode stage's payload digest (the STUB for a real
+    * vision/audio encoder — md5 bytes normalized to [0, 1]; the
+    * Spark-side plumbing — typed schema, one "encoder" per
+    * partition, row-per-dimension output — is real). Emitted at
+    * (doc_id, dim, value) grain so the oracle compares scalars, and
+    * so the array form is one `collect_list` away for
+    * `Graft.validateEmbeddings` / the ANN operators.
+    */
+  def embedStage(features: Dataset[MediaFeatures],
+      dims: Int = 8): Dataset[MediaEmbedding] = {
+    import features.sparkSession.implicits._
+    features.mapPartitions { records =>
+      records.flatMap { f =>
+        (0 until dims).iterator.map { d =>
+          val v = Integer.parseInt(f.payload_md5.substring(2 * d, 2 * d + 2), 16)
+          MediaEmbedding(f.doc_id, d, v / 255.0)
+        }
+      }
+    }
+  }
+
+  /** #154 gate query — every value reproduces in DuckDB from the md5
+    * hex digits (the #146 instr-digit table).
+    */
+  def qMultimodalEmbed(spark: SparkSession, dir: String): DataFrame =
+    embedStage(decodeFeatures(mediaTable(spark, dir)))
+      .toDF()
+      .select("doc_id", "dim", "value")
+      .orderBy("doc_id", "dim")
+
+  val qMultimodalEmbedSql: String =
+    """SELECT doc_id, CAST(d AS INT) AS dim,
+      |  ((instr('0123456789abcdef', substr(md5(text), 2*d + 1, 1)) - 1) * 16
+      |   + (instr('0123456789abcdef', substr(md5(text), 2*d + 2, 1)) - 1)) / 255.0
+      |    AS value
+      |FROM documents, (SELECT unnest(range(8)) AS d) AS ds
+      |ORDER BY doc_id, dim""".stripMargin
 
   val qMultimodalFramesSql: String =
     """SELECT doc_id,

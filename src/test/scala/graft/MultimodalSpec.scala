@@ -63,4 +63,41 @@ class MultimodalSpec extends SparkSpec {
       .where(col("byte_sum") =!= col("char_sum")).count()
     assert(bad == 0)
   }
+
+  test("resize honors the cap, preserves aspect, and resamples deterministically") {
+    val media = Multimodal.mediaTable(spark, sf)
+    val r = Multimodal.resizeStage(media).toDF().cache()
+    try {
+      // longest side never exceeds the cap; small images untouched
+      assert(r.where(greatest(col("target_w"), col("target_h")) > 224)
+        .count() == 0)
+      assert(r.where(greatest(col("width"), col("height")) <= 224 &&
+        (col("target_w") =!= col("width") || col("target_h") =!= col("height")))
+        .count() == 0, "images under the cap must pass through unchanged")
+      // byte budget identity
+      assert(r.where(col("out_bytes") =!=
+        col("target_w").cast("long") * col("target_h") * 3).count() == 0)
+      // the stub resample is deterministic under any partitioning
+      val again = Multimodal.resizeStage(media.repartition(7)).toDF()
+        .select("doc_id", "resized_md5")
+      assert(r.select("doc_id", "resized_md5").exceptAll(again).count() == 0)
+    } finally r.unpersist()
+  }
+
+  test("embed stage feeds validateEmbeddings: every vector valid, values in [0,1]") {
+    val emb = Multimodal.embedStage(
+      Multimodal.decodeFeatures(Multimodal.mediaTable(spark, sf))).toDF()
+    assert(emb.where(col("value") < 0 || col("value") > 1).count() == 0)
+    // pivot to array form and run the embedding validator end-to-end
+    val vecs = emb.groupBy("doc_id")
+      .agg(transform(array_sort(collect_list(struct(col("dim"), col("value")))),
+        s => s.getField("value").cast("float")).as("embedding"))
+      .select(col("doc_id").as("vec_id"), col("embedding"))
+    // validateEmbeddings returns ONLY the problem rows — empty = clean
+    val issues = graft.api.Graft.validateEmbeddings(
+      vecs, "embedding", Some(8))
+    assert(issues.count() == 0,
+      s"stub feature vectors must validate at dim 8: ${issues.collect().toSeq}")
+    assert(vecs.count() == Tables.documents(spark, sf).count())
+  }
 }
