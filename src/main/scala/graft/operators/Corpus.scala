@@ -598,11 +598,16 @@ object Corpus {
   /** The #141 plan on any (stratum, token-count) row grain — shared by
     * the gated query and the [[graft.api.Graft.mixPlan]] facade.
     */
-  private[graft] def mixPlan(df: DataFrame, stratumCol: String,
-      tokensCol: String, budget: Long): DataFrame = {
-    val byStratum = df
-      .groupBy(stratumCol)
-      .agg(count(lit(1)).as("docs"), sum(tokensCol).as("tokens"))
+  /** The #141 tail over a (stratum, docs, tokens) totals frame —
+    * shared by [[mixPlan]] and the streaming fold
+    * ([[graft.streaming.Streams.mixPlanState]]): totals are
+    * integer-ADDITIVE (the #128 histogram rule), so per-batch partials
+    * summed over any boundaries feed this tail to EXACTLY the batch
+    * plan — the one streaming twin with no provisional caveat at all.
+    */
+  private[graft] def mixPlanFromTotals(totals: DataFrame,
+      stratumCol: String, budget: Long): DataFrame = {
+    val byStratum = totals
       .withColumn("damped",
         round(sqrt(col("tokens").cast("double")), 6).cast("decimal(18,6)"))
       // stratum-grain (tens of rows) but consumed twice (normalizer +
@@ -621,6 +626,13 @@ object Corpus {
           .otherwise(round(
             col("planned_tokens").cast("double") / col("tokens"), 6)))
   }
+
+  private[graft] def mixPlan(df: DataFrame, stratumCol: String,
+      tokensCol: String, budget: Long): DataFrame =
+    mixPlanFromTotals(
+      df.groupBy(stratumCol)
+        .agg(count(lit(1)).as("docs"), sum(tokensCol).as("tokens")),
+      stratumCol, budget)
 
   def qMixPlan(spark: SparkSession, dir: String): DataFrame =
     mixPlan(

@@ -36,7 +36,7 @@ object Text {
   /** Whitespace token count shared by #34 and #53 — one definition of
     * "how many tokens"; its SQL twin must change in lockstep.
     */
-  private[operators] def wsTokenCount =
+  private[graft] def wsTokenCount =
     size(filter(tokens, t => t =!= "")).cast("long")
   private[operators] val wsTokenCountSql =
     "CAST(len(list_filter(string_split(text, ' '), t -> t <> '')) AS BIGINT)"

@@ -1547,6 +1547,63 @@ object Streams {
       .orderBy("stage"))
   }
 
+  /** #155 — `stream_mix_plan` / `mixPlanSink`: the #141 source-mixture
+    * plan maintained while the corpus ARRIVES. Per batch, ONE
+    * stratum-grain integer partial — (stratum, docs, tokens) — lands
+    * replay-safely under `mix/batch=<id>`; [[mixPlanState]] sums the
+    * partials (integer-additive under any batch split) and applies
+    * the SHARED [[graft.operators.Corpus.mixPlanFromTotals]] tail.
+    * Unlike the dedup-family twins there is NO provisional caveat:
+    * the fold equals the one-shot plan EXACTLY whatever the
+    * boundaries, because nothing in the plan depends on arrival
+    * order. Per-batch state is |strata| rows.
+    */
+  def mixPlanSink(docs: DataFrame, statePath: String,
+      checkpointDir: String, stratumCol: String = "source",
+      tokensCol: String = "n_tokens")
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] = {
+    require(stratumCol != "batch",
+      "mixPlanSink stores state under batch=<id> partitions; a stratum " +
+        "column named 'batch' would collide with partition discovery")
+    docs.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        applyMixPlanBatch(batch, batchId, statePath, stratumCol, tokensCol)
+      }
+  }
+
+  /** One partial step of [[mixPlanSink]] (package-visible for replay
+    * in the spec).
+    */
+  private[graft] def applyMixPlanBatch(batch: DataFrame, batchId: Long,
+      statePath: String, stratumCol: String, tokensCol: String): Unit = {
+    import org.apache.hadoop.fs.Path
+    val root = new Path(new Path(statePath).toUri.getPath)
+    batch
+      .groupBy(col(stratumCol).as("stratum"))
+      .agg(count(lit(1)).as("docs"),
+        coalesce(sum(tokensCol), lit(0L)).as("tokens"))
+      .write.mode("overwrite")
+      .parquet(new Path(root, s"mix/batch=$batchId").toString)
+  }
+
+  /** The mixture plan over everything delivered so far — EXACTLY the
+    * batch `Graft.mixPlan` on the union of all micro-batches. None
+    * before the first batch.
+    */
+  def mixPlanState(spark: org.apache.spark.sql.SparkSession,
+      statePath: String, budget: Long,
+      stratumCol: String = "source"): Option[DataFrame] = {
+    import org.apache.hadoop.fs.Path
+    val mroot = new Path(new Path(statePath).toUri.getPath, "mix")
+    val fs = mroot.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(mroot)) return None
+    val totals = spark.read.parquet(mroot.toString)
+      .groupBy(col("stratum").as(stratumCol))
+      .agg(sum("docs").as("docs"), sum("tokens").as("tokens"))
+    Some(graft.operators.Corpus.mixPlanFromTotals(totals, stratumCol, budget))
+  }
+
   /** The labeling after the last completed batch, if any. */
   def dupClusterState(spark: org.apache.spark.sql.SparkSession,
       statePath: String): Option[DataFrame] = {

@@ -630,6 +630,42 @@ class StreamingSpec extends SparkSpec {
     assert(Streams.curationFunnelState(spark, s"$base3/none").isEmpty)
   }
 
+  test("stream_mix_plan: folded totals equal the batch plan exactly") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val base = java.nio.file.Files.createTempDirectory("graft_mix_").toString
+    val budget = 1L << 20
+    val rows = Tables.documents(spark, sfTiny)
+      .select(col("doc_id"), col("source"),
+        graft.operators.Text.wsTokenCount.as("n_tokens"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+      .toIndexedSeq
+    val want = graft.api.Graft.mixPlan(
+      rows.toDF("doc_id", "source", "n_tokens"),
+      "source", "n_tokens", budget).collect().toSet
+    assert(want.nonEmpty)
+    val ms = MemoryStream[(Long, String, Long)]
+    val q = Streams.mixPlanSink(
+      ms.toDF().toDF("doc_id", "source", "n_tokens"),
+      s"$base/state", s"$base/ckpt").start()
+    val chunks = rows.grouped((rows.size + 2) / 3).toSeq
+    try {
+      chunks.foreach { c => ms.addData(c); q.processAllAvailable() }
+    } finally q.stop()
+    val got = Streams.mixPlanState(spark, s"$base/state", budget).get
+    assert(got.collect().toSet == want,
+      "folded mixture plan != the one-shot plan on the same corpus")
+    // replay fixpoint: old batch and last batch
+    Seq(0 -> chunks.head, (chunks.size - 1) -> chunks.last).foreach {
+      case (id, chunk) =>
+        Streams.applyMixPlanBatch(chunk.toDF("doc_id", "source", "n_tokens"),
+          id.toLong, s"$base/state", "source", "n_tokens")
+        assert(Streams.mixPlanState(spark, s"$base/state", budget).get
+          .collect().toSet == want, s"replaying batch $id mutated the plan")
+    }
+    assert(Streams.mixPlanState(spark, s"$base/none", budget).isEmpty)
+  }
+
   test("stream_dsir: frozen-model weights equal the batch scorer") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
