@@ -1241,6 +1241,17 @@ object Graft {
       textCol: String): DataFrame =
     graft.operators.Corpus.dsirScore(df, model, idCol, textCol)
 
+  /** The pairwise filter-agreement matrix (#151) over any frame with
+    * id + text + language columns: for each pair of the four shipped
+    * batteries (C4 page rules, Gopher quality, Gopher repetition, LM
+    * head∪middle), both-keep / both-drop / only-one counts and the
+    * agreement rate. The three map-side batteries fuse into one text
+    * scan; the LM flag is the one corpus-level input.
+    */
+  def filterAgreement(df: DataFrame, idCol: String, textCol: String,
+      langCol: String): DataFrame =
+    graft.operators.Text.filterAgreement(df, idCol, textCol, langCol)
+
   /** One snapshot's contracted (source, length-bucket) histogram —
     * the additive state behind streaming drift (#128): per source and
     * power-of-two token bucket (the `q_length_histogram` rule; null

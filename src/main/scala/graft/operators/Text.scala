@@ -169,24 +169,38 @@ object Text {
     * no whitespace words keep the dirty-record rule: visible, NULL
     * ratios.
     */
-  def qTokenFertility(spark: SparkSession, dir: String): DataFrame =
-    Tables.documents(spark, dir)
-      .groupBy("lang", "source")
+  /** The #148 per-batch contraction: one (lang, source) integer
+    * partial — ADDITIVE under any corpus split (the #128 histogram
+    * rule), which is what [[graft.streaming.Streams.tokenFertilitySink]]
+    * folds.
+    */
+  private[graft] def tokenFertilityTotals(df: DataFrame): DataFrame =
+    df.groupBy("lang", "source")
       .agg(
         count(lit(1)).as("docs"),
-        sum(length(col("text"))).cast("long").as("chars"),
-        sum(octet_length(col("text"))).cast("long").as("bytes"),
-        sum(wsTokenCount).as("ws_tokens"),
-        sum(regexp_count(col("text"),
-          lit("[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9 ]")).cast("long")).as("bpe_tokens"))
-      .select(col("lang"), col("source"), col("docs"), col("chars"),
-        col("bytes"), col("ws_tokens"), col("bpe_tokens"),
-        (col("bpe_tokens").cast("double") / nz(col("ws_tokens")))
-          .as("fertility"),
-        (col("bytes").cast("double") / nz(col("bpe_tokens")))
-          .as("bytes_per_token"),
-        (col("chars").cast("double") / nz(col("ws_tokens")))
-          .as("chars_per_word"))
+        coalesce(sum(length(col("text"))).cast("long"), lit(0L)).as("chars"),
+        coalesce(sum(octet_length(col("text"))).cast("long"), lit(0L)).as("bytes"),
+        coalesce(sum(wsTokenCount), lit(0L)).as("ws_tokens"),
+        coalesce(sum(regexp_count(col("text"),
+          lit("[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9 ]")).cast("long")), lit(0L))
+          .as("bpe_tokens"))
+
+  /** The #148 ratio tail over a totals frame — shared by the gated
+    * query and the streaming fold, so the two cannot drift.
+    */
+  private[graft] def tokenFertilityFromTotals(totals: DataFrame): DataFrame =
+    totals.select(col("lang"), col("source"), col("docs"), col("chars"),
+      col("bytes"), col("ws_tokens"), col("bpe_tokens"),
+      (col("bpe_tokens").cast("double") / nz(col("ws_tokens")))
+        .as("fertility"),
+      (col("bytes").cast("double") / nz(col("bpe_tokens")))
+        .as("bytes_per_token"),
+      (col("chars").cast("double") / nz(col("ws_tokens")))
+        .as("chars_per_word"))
+
+  def qTokenFertility(spark: SparkSession, dir: String): DataFrame =
+    tokenFertilityFromTotals(
+      tokenFertilityTotals(Tables.documents(spark, dir)))
       .orderBy("lang", "source")
 
   val qTokenFertilitySql: String =

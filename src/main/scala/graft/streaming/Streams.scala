@@ -1604,6 +1604,51 @@ object Streams {
     Some(graft.operators.Corpus.mixPlanFromTotals(totals, stratumCol, budget))
   }
 
+  /** #156 — `stream_token_fertility` / `tokenFertilitySink`: the #148
+    * tokenizer-fertility dashboard maintained at ingest. Per batch,
+    * one (lang, source) integer partial (docs, chars, bytes, ws/bpe
+    * token counts — additive) under `fert/batch=<id>`;
+    * [[tokenFertilityState]] sums the partials and applies the SHARED
+    * ratio tail. Like the mixture-plan fold, EXACT under any batch
+    * boundaries — nothing depends on arrival order. Per-batch state
+    * is |langs|·|sources| rows.
+    */
+  def tokenFertilitySink(docs: DataFrame, statePath: String,
+      checkpointDir: String)
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    docs.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        applyTokenFertilityBatch(batch, batchId, statePath)
+      }
+
+  /** One partial step of [[tokenFertilitySink]]. */
+  private[graft] def applyTokenFertilityBatch(batch: DataFrame,
+      batchId: Long, statePath: String): Unit = {
+    import org.apache.hadoop.fs.Path
+    val root = new Path(new Path(statePath).toUri.getPath)
+    graft.operators.Text.tokenFertilityTotals(batch)
+      .write.mode("overwrite")
+      .parquet(new Path(root, s"fert/batch=$batchId").toString)
+  }
+
+  /** The fertility dashboard over everything delivered — EXACTLY the
+    * batch `q_token_fertility` on the union. None before any batch.
+    */
+  def tokenFertilityState(spark: org.apache.spark.sql.SparkSession,
+      statePath: String): Option[DataFrame] = {
+    import org.apache.hadoop.fs.Path
+    val froot = new Path(new Path(statePath).toUri.getPath, "fert")
+    val fs = froot.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(froot)) return None
+    Some(graft.operators.Text.tokenFertilityFromTotals(
+      spark.read.parquet(froot.toString)
+        .groupBy("lang", "source")
+        .agg(sum("docs").as("docs"), sum("chars").as("chars"),
+          sum("bytes").as("bytes"), sum("ws_tokens").as("ws_tokens"),
+          sum("bpe_tokens").as("bpe_tokens"))))
+  }
+
   /** The labeling after the last completed batch, if any. */
   def dupClusterState(spark: org.apache.spark.sql.SparkSession,
       statePath: String): Option[DataFrame] = {

@@ -588,6 +588,8 @@ class GraftApiSpec extends SparkSpec {
       SparkEntry.queries("q_source_overlap")(spark, sf), "sourceOverlap")
     same(Graft.dsirWeights(docs, "doc_id", "text", col("lang") === "en"),
       SparkEntry.queries("q_dsir_weights")(spark, sf), "dsirWeights")
+    same(Graft.filterAgreement(docs, "doc_id", "text", "lang"),
+      SparkEntry.queries("q_filter_agreement")(spark, sf), "filterAgreement")
   }
 
   test("lmBuckets reproduces the gated query; a frozen model re-buckets later ingest") {

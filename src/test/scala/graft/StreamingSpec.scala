@@ -630,6 +630,40 @@ class StreamingSpec extends SparkSpec {
     assert(Streams.curationFunnelState(spark, s"$base3/none").isEmpty)
   }
 
+  test("stream_token_fertility: folded partials equal the batch dashboard") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val base = java.nio.file.Files.createTempDirectory("graft_fert_").toString
+    val rows = Tables.documents(spark, sfTiny)
+      .select("doc_id", "text", "lang", "source")
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getString(3)))
+      .toIndexedSeq
+    val want = SparkEntry.queries("q_token_fertility")(spark, sfTiny)
+      .collect().toSet
+    assert(want.nonEmpty)
+    val ms = MemoryStream[(Long, String, String, String)]
+    val q = Streams.tokenFertilitySink(
+      ms.toDF().toDF("doc_id", "text", "lang", "source"),
+      s"$base/state", s"$base/ckpt").start()
+    val chunks = rows.grouped((rows.size + 2) / 3).toSeq
+    try {
+      chunks.foreach { c => ms.addData(c); q.processAllAvailable() }
+    } finally q.stop()
+    val got = Streams.tokenFertilityState(spark, s"$base/state").get
+    assert(got.collect().toSet == want,
+      "folded fertility dashboard != the one-shot readout")
+    Seq(0 -> chunks.head, (chunks.size - 1) -> chunks.last).foreach {
+      case (id, chunk) =>
+        Streams.applyTokenFertilityBatch(
+          chunk.toDF("doc_id", "text", "lang", "source"), id.toLong,
+          s"$base/state")
+        assert(Streams.tokenFertilityState(spark, s"$base/state").get
+          .collect().toSet == want, s"replaying batch $id mutated the readout")
+    }
+    assert(Streams.tokenFertilityState(spark, s"$base/none").isEmpty)
+  }
+
   test("stream_mix_plan: folded totals equal the batch plan exactly") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
