@@ -80,6 +80,10 @@ object Bench {
         .foreach(_.limit(32).write.format("noop").mode("overwrite").save())
     } catch { case e: Throwable => System.err.println(s"[bench] warmup failed: $e") }
     var times = Vector.empty[(String, Double)]
+    // every rep's raw time per query, in run order — an inflated
+    // capture self-identifies WHICH rep a host-pressure storm hit
+    // (min-of-reps hides it; VERDICT r11 asked for exactly this)
+    var repTimes = Vector.empty[(String, Seq[Double])]
     var errors = Vector.empty[(String, String)]
     // local-iteration escape hatch: SPARK_GRAFT_ONLY=q_a,q_b times just
     // those queries (the driver never sets it, so round benches run all)
@@ -98,17 +102,18 @@ object Bench {
       .filter { case (name, _) => only.forall(_.contains(name)) }
       .foreach { case (name, fn) =>
       try {
-        var best = Double.MaxValue
+        var rs = Vector.empty[Double]
         (1 to reps).foreach { _ =>
           val t0 = System.nanoTime()
           fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-          best = math.min(best, (System.nanoTime() - t0) / 1e9)
+          rs :+= (System.nanoTime() - t0) / 1e9
           // operators may persist() staging frames (e.g. shingle sets);
           // dropping them between reps/queries keeps each timing
           // self-contained and stops storage memory leaking forward
           spark.catalog.clearCache()
         }
-        times :+= name -> best
+        times :+= name -> rs.min
+        repTimes :+= name -> rs
       } catch {
         case e: Throwable =>
           errors :+= name -> Option(e.getMessage).getOrElse(e.getClass.getName)
@@ -120,6 +125,9 @@ object Bench {
       case c if c < ' ' => f"\\u${c.toInt}%04x"; case c => c.toString
     } + "\""
     val qs = times.map { case (k, v) => s"${jstr(k)}:$v" }.mkString("{", ",", "}")
+    val repsJson = repTimes.map { case (k, vs) =>
+      s"${jstr(k)}:${vs.map(v => f"$v%.3f").mkString("[", ",", "]")}"
+    }.mkString("{", ",", "}")
     val errs = errors.map { case (k, v) => s"${jstr(k)}:${jstr(v.take(200))}" }
       .mkString("{", ",", "}")
     val total = times.map(_._2).sum
@@ -135,7 +143,7 @@ object Bench {
     }
     val host = f"""{"touch_mb_s_before":${touchBefore.round},"touch_mb_s_after":${touchAfter.round},"steal_pct":$stealPct%.1f}"""
     val json =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"host":$host,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"reps":$repsJson,"errors":$errs,"host":$host,"sf":"$sfDir"}"""
     println(json)
     // Also persist to a stable file: the driver's stdout-tail capture has a
     // bounded window, and at 73+ queries the leading entries (and the

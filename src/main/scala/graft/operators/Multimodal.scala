@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.Tables
 
@@ -49,6 +49,11 @@ case class MediaEmbedding(
     doc_id: Long,
     dim: Int,
     value: Double)
+
+/** 64-bit perceptual hash of a media record (#157). */
+case class MediaPhash(
+    doc_id: Long,
+    phash: Long)
 
 /** Multimodal column plumbing: typed metadata + binary payload +
   * a partition-batched decode/feature-extract stage.
@@ -239,6 +244,11 @@ object Multimodal {
     */
   def embedStage(features: Dataset[MediaFeatures],
       dims: Int = 8): Dataset[MediaEmbedding] = {
+    // the stub reads 2 hex chars per dimension from the 32-char md5 —
+    // fail fast at plan time instead of a StringIndexOutOfBounds deep
+    // inside an executor task (ADVICE r11)
+    require(dims >= 1 && dims <= 16,
+      s"embedStage dims must be in [1, 16] (md5 supplies 16 byte pairs), got $dims")
     import features.sparkSession.implicits._
     features.mapPartitions { records =>
       records.flatMap { f =>
@@ -258,6 +268,174 @@ object Multimodal {
       .toDF()
       .select("doc_id", "dim", "value")
       .orderBy("doc_id", "dim")
+
+  /** #157 — perceptual AVERAGE-HASH stage (aHash, the publicly
+    * documented integer-only image fingerprint): the decoded luma
+    * plane resamples to an 8×8 grid, each cell averages, and bit i is
+    * 1 iff cell i's average exceeds the global average — 64 bits that
+    * survive re-encoding, resizing, and small edits, which is exactly
+    * what byte-exact #25 dedup cannot see on media.
+    *
+    * STUB boundary (the [[decodeFeatures]] contract): a real
+    * deployment decodes image bytes and resamples actual luma here;
+    * this environment has no codecs, so the "decoded plane" is the
+    * payload byte stream itself, segmented into 64 equal runs (the
+    * dimension-INVARIANCE a real aHash gets from resampling is
+    * emulated by hashing the payload alone — identical payloads at
+    * different stored dims hash identically, and a few edited bytes
+    * flip at most a few cells). All comparisons are exact integer
+    * cross-multiplications (cellSum·n vs totalSum·cellCount) — no
+    * floating point, so the hash is bit-stable across partitionings
+    * and platforms (spec-pinned).
+    */
+  def phashStage(media: Dataset[MediaRecord]): Dataset[MediaPhash] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { records =>
+      // per-partition "decoder" lifecycle, as in decodeFeatures
+      records.map { r =>
+        val p = if (r.payload == null) Array.emptyByteArray else r.payload
+        val n = p.length
+        var phash = 0L
+        if (n > 0) {
+          val cellSum = new Array[Long](64)
+          val cellCnt = new Array[Long](64)
+          var i = 0
+          while (i < n) {
+            // cell = floor(i*64/n): contiguous equal runs, no overflow
+            // for n ≤ 2^57
+            val c = ((i.toLong * 64L) / n).toInt
+            cellSum(c) += p(i) & 0xff
+            cellCnt(c) += 1
+            i += 1
+          }
+          var totalSum = 0L
+          var c = 0
+          while (c < 64) { totalSum += cellSum(c); c += 1 }
+          c = 0
+          while (c < 64) {
+            // cellAvg > globalAvg  ⇔  cellSum·n > totalSum·cellCnt
+            if (cellCnt(c) > 0 && cellSum(c) * n > totalSum * cellCnt(c))
+              phash |= (1L << c)
+            c += 1
+          }
+        }
+        MediaPhash(r.doc_id, phash)
+      }
+    }
+  }
+
+  /** Image NEAR-dup pairs at Hamming radius ≤ `hammingMax` over the
+    * aHash — the #28 banded machinery applied to media
+    * ([[graft.operators.Dedup.hammingNearDupPairs]]: 7-chunk/4-subset
+    * keys, perfect recall at radius 3 by pigeonhole, collision-safe
+    * key space at any corpus size). Spec-pinned on planted media:
+    * a re-stored copy (same bytes, different dims) lands at distance
+    * 0 and a few edited bytes within radius; unrelated media stay
+    * apart (MultimodalSpec).
+    */
+  def imagePhashPairs(media: Dataset[MediaRecord],
+      hammingMax: Int = 3): DataFrame =
+    Dedup.hammingNearDupPairs(
+      phashStage(media).toDF(), "doc_id", "phash", hammingMax)
+
+  /** #157 gate query — perceptual EXACT dedup of the media column:
+    * one row per record with its aHash, the canonical (min) doc_id
+    * among records sharing that hash, and the dup flag — the #25
+    * window shape keyed on the 64-bit perceptual signature instead of
+    * the byte-exact md5, which is what catches a re-encoded or
+    * re-dimensioned copy whose BYTES differ but whose decoded plane
+    * matches. One shuffle on an 8-byte key at any scale. Rows-only
+    * gate (DuckDB cannot fold over blob bytes); hash stability and
+    * the radius-3 near-dup ball are spec-pinned via
+    * [[imagePhashPairs]] on planted duplicate media.
+    */
+  def qImagePhashDedup(spark: SparkSession, dir: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("phash")
+    phashStage(mediaTable(spark, dir)).toDF()
+      .withColumn("canonical_id", min("doc_id").over(w))
+      .select(col("doc_id"), col("phash"), col("canonical_id"),
+        (col("doc_id") =!= col("canonical_id")).as("is_dup"))
+      .orderBy("doc_id")
+  }
+
+  /** 8-dim stub embedding reconstructed COLUMN-SIDE from an md5 hex
+    * string (no UDF: conv() per hex pair, array() assembly — all
+    * codegen'd), value-identical to [[embedStage]]'s row-per-dim
+    * output collected to an array. Shared by the #158 query's two
+    * encoder towers.
+    */
+  private def md5Vec(md5Col: Column): Column =
+    array((0 until 8).map { d =>
+      (conv(substring(md5Col, 2 * d + 1, 2), 16, 10).cast("double") / 255.0)
+    }: _*)
+
+  /** #158 — `q_crossmodal_topk`: text-query → media top-k retrieval,
+    * the CLIP-retrieval shape: a TEXT tower embeds the query string,
+    * a MEDIA tower embeds the stored media, and retrieval is cosine
+    * top-k across the modality boundary. The stub towers are ALIGNED
+    * by construction — both are the md5-derived 8-dim vector
+    * ([[embedStage]]), the text tower from md5(query text), the media
+    * tower from the decode stage's payload digest — which is the
+    * premise a real contrastively-trained encoder pair provides; swap
+    * the two md5 stubs for real encoders and nothing else changes.
+    *
+    * Plan shape = #30's exact baseline: broadcast the 10-query text
+    * side against the media corpus (linear scan, no shuffle of the
+    * big side), per-query window rank, keep k=5, self excluded (the
+    * aligned stub makes self trivially rank 1). Cosine goes through
+    * the codegen'd ascending-fold `cosine_sim`, so float outputs
+    * hash-match the oracle's `list_reduce` reconstruction exactly
+    * (the #30/#154 tricks composed). At scale the media tower feeds
+    * the #73 IVF index instead of the brute scan — AnnSpec pins that
+    * path's recall on these same vectors.
+    */
+  def qCrossmodalTopk(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.CosineSimilarity.register(spark)
+    val media = decodeFeatures(mediaTable(spark, dir)).toDF()
+      .select(col("doc_id"), md5Vec(col("payload_md5")).as("v"))
+    val q = Tables.documents(spark, dir)
+      .where(col("doc_id") < 10)
+      .select(col("doc_id").as("q_id"), md5Vec(md5(col("text").cast("binary"))).as("qv"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("q_id").orderBy(col("cos").desc, col("doc_id"))
+    media.crossJoin(broadcast(q))
+      .where(col("doc_id") =!= col("q_id"))
+      .withColumn("cos", call_function("cosine_sim", col("qv"), col("v")))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .where(col("rank") <= 5)
+      .select("q_id", "rank", "doc_id", "cos")
+      .orderBy("q_id", "rank")
+  }
+
+  /** #158 oracle — both towers reconstructed from md5 hex digits (the
+    * #154 instr-digit table) and the cosine from the same ascending
+    * left folds as the #30 oracle, at dim 8.
+    */
+  val qCrossmodalTopkSql: String = {
+    def fold(terms: String) =
+      s"list_reduce(list_prepend(0.0, list_transform(range(1, 9), i -> $terms)), (acc, x) -> acc + x)"
+    """WITH vecs AS (
+      |  SELECT doc_id,
+      |    list_transform(range(0, 8), d ->
+      |      ((instr('0123456789abcdef', substr(md5(text), 2*d + 1, 1)) - 1) * 16
+      |       + (instr('0123456789abcdef', substr(md5(text), 2*d + 2, 1)) - 1)) / 255.0) AS v
+      |  FROM documents),
+      |q AS (SELECT doc_id AS q_id, v AS qv FROM vecs WHERE doc_id < 10),
+      |scored AS (
+      |  SELECT q_id, doc_id,
+      |    FOLD_DOT
+      |     / (sqrt(FOLD_QQ) * sqrt(FOLD_VV)) AS cos
+      |  FROM q JOIN vecs ON doc_id <> q_id),
+      |ranked AS (
+      |  SELECT q_id, doc_id, cos,
+      |    row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, doc_id) AS rank
+      |  FROM scored)
+      |SELECT q_id, rank, doc_id, cos FROM ranked
+      |WHERE rank <= 5 ORDER BY q_id, rank""".stripMargin
+      .replace("FOLD_DOT", fold("qv[i] * v[i]"))
+      .replace("FOLD_QQ", fold("qv[i] * qv[i]"))
+      .replace("FOLD_VV", fold("v[i] * v[i]"))
+  }
 
   val qMultimodalEmbedSql: String =
     """SELECT doc_id, CAST(d AS INT) AS dim,

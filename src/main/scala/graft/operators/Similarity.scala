@@ -218,6 +218,30 @@ object Similarity {
   private[graft] def centroidMod(n: Long): Long =
     math.max(50L, n / math.max(1L, math.ceil(math.sqrt(n.toDouble)).toLong))
 
+  /** Row count of the embeddings store from parquet FOOTER metadata —
+    * driver-side I/O over O(#files) footers, no Spark job. The
+    * previous `e.count()` sizing ran a full extra job (an entire
+    * corpus pass at 100 TB) just to pick the centroid modulus
+    * (VERDICT r11 item 2); the store already knows its cardinality.
+    * The serving path (ivfIndex) never needed this — it takes k from
+    * the caller.
+    */
+  private[graft] def embeddingRowCount(spark: SparkSession, dir: String): Long = {
+    import org.apache.hadoop.fs.Path
+    val conf = spark.sparkContext.hadoopConfiguration
+    val root = new Path(s"$dir/embeddings.parquet")
+    val fs = root.getFileSystem(conf)
+    val statuses =
+      if (fs.getFileStatus(root).isFile) Array(fs.getFileStatus(root))
+      else fs.listStatus(root).filter(s =>
+        s.isFile && s.getPath.getName.endsWith(".parquet"))
+    statuses.map { s =>
+      val rdr = org.apache.parquet.hadoop.ParquetFileReader.open(
+        org.apache.parquet.hadoop.util.HadoopInputFile.fromStatus(s, conf))
+      try rdr.getRecordCount finally rdr.close()
+    }.sum
+  }
+
   /** #31 generalized over the nprobe dial — the IVF recall/cost knob
     * (scan fraction ≈ nprobe / n_cells), exposed so AnnSpec can sweep
     * recall against the exact baseline without touching the gated
@@ -226,7 +250,7 @@ object Similarity {
     require(nprobe > 0, s"nprobe must be positive, got $nprobe")
     val NProbe = nprobe
     val e = emb(spark, dir)
-    val cents = e.where(col("vec_id") % centroidMod(e.count()) === 0)
+    val cents = e.where(col("vec_id") % centroidMod(embeddingRowCount(spark, dir)) === 0)
       .select(col("vec_id").as("cent_id"), col("v").as("cv"))
     // nearest-centroid assignment WITHOUT shuffling the corpus: the 10
     // centroid cosines evaluate inline per row and max_by picks the

