@@ -55,6 +55,25 @@ object ProbeCdc {
       java.nio.file.Files.walk(java.nio.file.Paths.get(path)).iterator().asScala
         .toSeq.reverse.foreach(p => java.nio.file.Files.deleteIfExists(p))
     }
+    // pruning payoff: a batch confined to ONE key touches one bucket;
+    // apply cost should be bucket-sized, not table-sized
+    for (nb <- Seq(16, 64)) {
+      val path = java.nio.file.Files
+        .createTempDirectory(s"probe-cdc-one-$nb").toString
+      graft.sinks.Sinks.cdcApply(batch(seedRows, 1, hot = false), path,
+        Seq("k"), "ver", numBuckets = nb)
+      for (rep <- 1 to 2) {
+        val one = spark.range(batchRows).select(lit(0L).as("k"),
+          lit("hot").as("payload"), (lit(10) + lit(rep)).as("ver"),
+          lit("upsert").as("op"))
+        val t1 = System.nanoTime()
+        graft.sinks.Sinks.cdcApply(one, path, Seq("k"), "ver", numBuckets = nb)
+        println(f"buckets=$nb onekey rep$rep apply=${(System.nanoTime() - t1) / 1e9}%.2f s")
+      }
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(java.nio.file.Paths.get(path)).iterator().asScala
+        .toSeq.reverse.foreach(p => java.nio.file.Files.deleteIfExists(p))
+    }
     spark.stop()
   }
 }
