@@ -73,6 +73,31 @@ class AnnSpec extends SparkSpec {
     assert(bad == 0, "cosine computed differently between IVF and brute paths")
   }
 
+  test("crossmodal media tower through the IVF index: recall floor vs the brute gate") {
+    // the #158 scale path: the media tower's 8-dim vectors feed the
+    // #73 serving index instead of the brute broadcast scan — pin its
+    // recall@5 against the hash-gated q_crossmodal_topk baseline
+    import graft.operators.Multimodal
+    val emb = Multimodal.embedStage(
+      Multimodal.decodeFeatures(Multimodal.mediaTable(spark, sf))).toDF()
+    val vecs = emb.groupBy("doc_id")
+      .agg(transform(array_sort(collect_list(struct(col("dim"), col("value")))),
+        s => s.getField("value")).as("v"))
+    val cents = graft.api.Graft.kmeansCentroids(vecs, "doc_id", "v", k = 8)
+    val idx = graft.api.Graft.ivfIndex(vecs, "doc_id", "v", cents, "cent_id", "cv")
+    val queries = vecs.where(col("doc_id") < 10)
+    val got = graft.api.Graft.ivfQuery(idx, cents, "cent_id", "cv",
+        queries, "doc_id", "v", k = 5, nprobe = 3, excludeSelf = true)
+      .select(col("q_id"), col("id"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val exact = SparkEntry.queries("q_crossmodal_topk")(spark, sf)
+      .select(col("q_id"), col("doc_id"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = got.intersect(exact).size.toDouble / exact.size
+    assert(recall >= 0.6,
+      f"crossmodal IVF recall@5 (nprobe=3/8 cells) too low: $recall%.2f")
+  }
+
   test("semantic dedup (#103): deterministic non-empty drop list at the gated dials") {
     val a = SparkEntry.queries("q_dedup_semantic")(spark, sf).collect()
     val b = SparkEntry.queries("q_dedup_semantic")(spark, sf).collect()
