@@ -431,7 +431,7 @@ object Corpus {
       .select(xxhash64(col("shingle")).as("shingle")).distinct()
       .localCheckpoint(true)
     val sketch = vocab
-      .agg(expr(s"bloom_agg(shingle, ${estItems}L, ${numBits}L)")).head
+      .agg(expr(s"bloom_agg(shingle, ${estItems}L, ${numBits}L)")).head()
     val pre =
       if (sketch.isNullAt(0)) sh.where(lit(false))
       else sh.where(call_function("bloom_might_contain",

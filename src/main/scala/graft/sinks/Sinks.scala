@@ -189,7 +189,8 @@ object Sinks {
       // partition pruning: only the touched buckets' files are read
       val current =
         if (hasData) spark.read.parquet(root.toString)
-          .where(col("bucket").isin(touched.map(Integer.valueOf): _*))
+          .where(col("bucket").isin(
+            touched.toIndexedSeq.map(Integer.valueOf): _*))
         else routed.limit(0)
       val w = Window.partitionBy(keyCols: _*)
         .orderBy(col(versionCol).desc, col("_src").desc)

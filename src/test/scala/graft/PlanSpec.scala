@@ -52,6 +52,27 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("crossmodal top-k broadcasts the query side; the media corpus never shuffles pre-rank") {
+    val p = plan("q_crossmodal_topk")
+    // the 10-query text tower rides a BroadcastNestedLoopJoin into the
+    // linear media scan (the #30 exact-baseline shape); a
+    // SortMergeJoin/CartesianProduct here would shuffle or square the
+    // corpus side
+    assert(p.contains("BroadcastNestedLoopJoin"),
+      s"query side must broadcast into the media scan:\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("SortMergeJoin"),
+      s"crossmodal degenerated:\n$p")
+  }
+
+  test("image phash gate is one signature-keyed window, no joins") {
+    val p = plan("q_image_phash_dedup")
+    assert(!p.contains("Join"),
+      s"the exact phash gate must not join (window on the 8-byte hash):\n$p")
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(p).size
+    assert(exchanges <= 1,
+      s"expected a single phash-keyed exchange, got $exchanges:\n$p")
+  }
+
   test("DSIR: the 256-row bucket model broadcasts, the corpus never joins itself") {
     val p = plan("q_dsir_weights")
     assert(p.contains("BroadcastHashJoin"),
