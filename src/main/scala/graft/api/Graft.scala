@@ -173,6 +173,35 @@ object Graft {
       "_is_delta", n, tau, dfCap)
   }
 
+  /** Near-dup pairs over ANY 64-bit signature column at Hamming
+    * radius ≤ `maxDist` — the banded machinery the gated text simhash
+    * (#28) and image average-hash (#157) both ride, exposed for a
+    * caller's own signatures (an audio fingerprint, a custom sketch):
+    * 7-chunk/4-subset candidate keys (perfect recall at radius 3 by
+    * pigeonhole, collision-safe ~37-bit key space at any corpus
+    * size), exact bit_count verification on deduplicated candidates
+    * only. Output (doc_a, doc_b, hamming), doc_a < doc_b.
+    */
+  def hammingPairs(sig: DataFrame, idCol: String, sigCol: String,
+      maxDist: Int = 3): DataFrame =
+    graft.operators.Dedup.hammingNearDupPairs(sig, idCol, sigCol, maxDist)
+
+  /** SimHash near-dup pairs over YOUR documents — signature
+    * computation (the codegen'd one-pass `simhash64`, no token
+    * explode) composed with [[hammingPairs]]; token-less docs carry
+    * no signature, the gated #28 contract. Spec-pinned identical to
+    * `q_dedup_simhash` on the gate corpus.
+    */
+  def simhashPairs(docs: DataFrame, idCol: String, textCol: String,
+      maxDist: Int = 3): DataFrame = {
+    graft.functions.SimHash64.register(docs.sparkSession)
+    val quoted = "`" + textCol.replace("`", "``") + "`"
+    hammingPairs(
+      docs.where(expr(s"exists(split($quoted, ' '), t -> t <> '')"))
+        .select(col(idCol), expr(s"simhash64($quoted)").as("_sig")),
+      idCol, "_sig", maxDist)
+  }
+
   /** The persistable shingle index for
     * [[incrementalDedupPairsIndexed]]: one (id, shingle) row per
     * distinct word-n-gram of each doc, shingles xxhash64'd to 8-byte

@@ -21,6 +21,12 @@ class GraftApiSpec extends SparkSpec {
     same(api, SparkEntry.queries("q_dedup_exact")(spark, sf), "exactDedup")
   }
 
+  test("simhashPairs reproduces q_dedup_simhash") {
+    val api = Graft.simhashPairs(Tables.documents(spark, sf), "doc_id", "text")
+      .select("doc_a", "doc_b", "hamming")
+    same(api, SparkEntry.queries("q_dedup_simhash")(spark, sf), "simhashPairs")
+  }
+
   test("ngramJaccardPairs reproduces both jaccard queries") {
     val docs = Tables.documents(spark, sf)
     val api = Graft.ngramJaccardPairs(docs, "doc_id", "text")
