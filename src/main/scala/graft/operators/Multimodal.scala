@@ -288,39 +288,44 @@ object Multimodal {
     * floating point, so the hash is bit-stable across partitionings
     * and platforms (spec-pinned).
     */
+  /** The aHash byte math, shared by the batch stage and the streaming
+    * ingest twin so the two can never drift. Null/empty plane → 0L.
+    */
+  private[graft] def aHash(payload: Array[Byte]): Long = {
+    val p = if (payload == null) Array.emptyByteArray else payload
+    val n = p.length
+    var phash = 0L
+    if (n > 0) {
+      val cellSum = new Array[Long](64)
+      val cellCnt = new Array[Long](64)
+      var i = 0
+      while (i < n) {
+        // cell = floor(i*64/n): contiguous equal runs, no overflow
+        // for n ≤ 2^57
+        val c = ((i.toLong * 64L) / n).toInt
+        cellSum(c) += p(i) & 0xff
+        cellCnt(c) += 1
+        i += 1
+      }
+      var totalSum = 0L
+      var c = 0
+      while (c < 64) { totalSum += cellSum(c); c += 1 }
+      c = 0
+      while (c < 64) {
+        // cellAvg > globalAvg  ⇔  cellSum·n > totalSum·cellCnt
+        if (cellCnt(c) > 0 && cellSum(c) * n > totalSum * cellCnt(c))
+          phash |= (1L << c)
+        c += 1
+      }
+    }
+    phash
+  }
+
   def phashStage(media: Dataset[MediaRecord]): Dataset[MediaPhash] = {
     import media.sparkSession.implicits._
     media.mapPartitions { records =>
       // per-partition "decoder" lifecycle, as in decodeFeatures
-      records.map { r =>
-        val p = if (r.payload == null) Array.emptyByteArray else r.payload
-        val n = p.length
-        var phash = 0L
-        if (n > 0) {
-          val cellSum = new Array[Long](64)
-          val cellCnt = new Array[Long](64)
-          var i = 0
-          while (i < n) {
-            // cell = floor(i*64/n): contiguous equal runs, no overflow
-            // for n ≤ 2^57
-            val c = ((i.toLong * 64L) / n).toInt
-            cellSum(c) += p(i) & 0xff
-            cellCnt(c) += 1
-            i += 1
-          }
-          var totalSum = 0L
-          var c = 0
-          while (c < 64) { totalSum += cellSum(c); c += 1 }
-          c = 0
-          while (c < 64) {
-            // cellAvg > globalAvg  ⇔  cellSum·n > totalSum·cellCnt
-            if (cellCnt(c) > 0 && cellSum(c) * n > totalSum * cellCnt(c))
-              phash |= (1L << c)
-            c += 1
-          }
-        }
-        MediaPhash(r.doc_id, phash)
-      }
+      records.map(r => MediaPhash(r.doc_id, aHash(r.payload)))
     }
   }
 

@@ -309,7 +309,11 @@ object Stats {
     // HLL sketch over o_orderkey (multiplicity-insensitive, so the
     // pre-agg does not change its estimate): at 100 TB this is what
     // replaces the exact count when the per-group distinct set no
-    // longer fits an exact pass.
+    // longer fits an exact pass. Known trade (probe 20): HLL is an
+    // ImperativeAggregate, so this GROUPED aggregate runs outside
+    // whole-stage codegen — the #101 two-aggregate split does not
+    // compose here without scanning the join base twice, and the
+    // group-grain row count keeps the interpreted cost bounded.
     provinceOrderGrain(spark, dir)
       .groupBy("n_name", "day")
       .agg(

@@ -488,6 +488,39 @@ object Streams {
       .withWatermark("ts", "1 hour")
       .dropDuplicatesWithinWatermark("fp")
 
+  /** #157's streaming twin — perceptual image dedup at INGEST: the
+    * aHash computed in a per-partition decoder stage (the shared
+    * [[graft.operators.Multimodal.aHash]] byte math, so batch and
+    * stream signatures can never drift), then the #44
+    * watermark-bounded drop keyed on the 8-byte hash. Same state
+    * contract as [[dedupDocs]]: only hashes inside the watermark
+    * horizon are retained (100 TB of ingest cannot grow the state),
+    * duplicates arriving further apart re-admit and the periodic
+    * batch `q_image_phash_dedup` compacts them — the lambda repair.
+    * A re-encoded or re-dimensioned copy whose BYTES differ but whose
+    * decoded plane matches is dropped; byte-exact streaming dedup
+    * (#44) cannot see those.
+    */
+  def dedupMediaPhash(media: DataFrame, idCol: String = "doc_id",
+      payloadCol: String = "payload", tsCol: String = "ts"): DataFrame = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    val hashed = media
+      .select(col(idCol).cast("long"), col(tsCol).cast("timestamp"),
+        col(payloadCol).cast("binary"))
+      .as[(Long, java.sql.Timestamp, Array[Byte])]
+      .mapPartitions { it =>
+        // per-partition decoder lifecycle (a real codec instantiates here)
+        it.map { case (id, ts, p) =>
+          (id, ts, graft.operators.Multimodal.aHash(p))
+        }
+      }
+      .toDF(idCol, tsCol, "phash")
+    hashed
+      .withWatermark(tsCol, "1 hour")
+      .dropDuplicatesWithinWatermark("phash")
+  }
+
   /** #48 — KeywordStatsApp as a stream (KeywordStatsApp.java:30-59):
     * tokenize → event-time tumbling window → per-(word, source)
     * counts. The split/explode is a stateless generator running at

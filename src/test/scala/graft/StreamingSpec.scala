@@ -1021,6 +1021,37 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("stream media phash dedup drops a re-stored copy the byte-exact dedup cannot see") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    def ts(min: Long) = new java.sql.Timestamp(min * 60 * 1000)
+    val bytesA = "the same decoded plane".getBytes("UTF-8")
+    val bytesB = "a different image entirely".getBytes("UTF-8")
+    val ms = MemoryStream[(Long, Array[Byte], java.sql.Timestamp)]
+    val out = Streams.dedupMediaPhash(
+      ms.toDF().toDF("doc_id", "payload", "ts"))
+    val q = out.writeStream.format("memory").queryName("dedup_phash")
+      .outputMode("append").start()
+    try {
+      // doc 0 and doc 1 carry the SAME plane (a re-stored copy); doc 2
+      // is unrelated. In-horizon: first-in wins on the perceptual hash.
+      ms.addData((0L, bytesA, ts(600)), (1L, bytesA.clone(), ts(605)),
+        (2L, bytesB, ts(610)))
+      q.processAllAvailable()
+      val ids = spark.table("dedup_phash").select("doc_id").collect()
+        .map(_.getLong(0)).toSet
+      assert(ids == Set(0L, 2L),
+        s"expected the perceptual twin dropped, got $ids")
+      // the emitted hash equals the batch stage's on the same bytes
+      val streamed = spark.table("dedup_phash")
+        .where(col("doc_id") === 0L).select("phash").head.getLong(0)
+      val batch = graft.operators.Multimodal.phashStage(
+        Seq(graft.operators.MediaRecord(0L, "png", 8, 8, bytesA)).toDS())
+        .head().phash
+      assert(streamed == batch, "stream and batch signatures drifted")
+    } finally q.stop()
+  }
+
   test("stream_sessionize matches the batch gap sessionization") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
