@@ -137,13 +137,36 @@ object Bench {
     // by any plan change (see BASELINE_LOCAL.md for the evidence)
     val touchAfter = touchRateMbS()
     val (busy1, steal1) = cpuJiffies()
+    // self-adjudication against the committed pins: list every query
+    // whose min-of-reps exceeded 2× its BASELINE_LOCAL.md pin, so a
+    // capture carries its own pass/fail readout next to the host
+    // telemetry that explains it (best-effort — absent/unparseable
+    // pins yield an empty map, never a failure)
+    val over2x: Seq[(String, Double)] = try {
+      // the pins are sf0.1 numbers — adjudicate only the sf the
+      // baseline was pinned at, or the flags are meaningless
+      if (!sfDir.stripSuffix("/").endsWith("sf0.1")) throw new Exception
+      val pinRe = """\|\s*(q[\w]+)\s*\|\s*([0-9.]+)\s*\|""".r
+      // explicit UTF-8: the pins file carries multiplication signs and
+      // em dashes, and the forked JVM's default charset may be POSIX
+      val pins = scala.io.Source.fromFile("BASELINE_LOCAL.md")(scala.io.Codec.UTF8)
+      val pinned = try pinRe.findAllMatchIn(pins.mkString)
+        .map(m => m.group(1) -> m.group(2).toDouble).toMap
+        finally pins.close()
+      times.collect {
+        case (q, t) if pinned.get(q).exists(p => p > 0 && t > 2 * p) =>
+          q -> BigDecimal(t / pinned(q)).setScale(1, BigDecimal.RoundingMode.HALF_UP).toDouble
+      }
+    } catch { case _: Throwable => Seq.empty }
     val stealPct = {
       val db = busy1 - busy0; val ds = steal1 - steal0
       if (db + ds <= 0) 0.0 else 100.0 * ds / (db + ds)
     }
     val host = f"""{"touch_mb_s_before":${touchBefore.round},"touch_mb_s_after":${touchAfter.round},"steal_pct":$stealPct%.1f}"""
+    val over = over2x.map { case (k, v) => s"${jstr(k)}:$v" }
+      .mkString("{", ",", "}")
     val json =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"reps":$repsJson,"errors":$errs,"host":$host,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"reps":$repsJson,"over_2x_pins":$over,"errors":$errs,"host":$host,"sf":"$sfDir"}"""
     println(json)
     // Also persist to a stable file: the driver's stdout-tail capture has a
     // bounded window, and at 73+ queries the leading entries (and the
