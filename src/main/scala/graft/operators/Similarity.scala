@@ -377,4 +377,103 @@ object Similarity {
         max(col("cos")).cast("double").as("max_cos"))
       .orderBy("vec_id")
   }
+
+  /** Probe-sample rate dial for #161: purity is estimated on the
+    * deterministic hash sample `vec_id % mod == 0` — the standard
+    * sampled-probe estimator, and the knob that keeps the exact-KNN
+    * cost at n²/mod instead of n². The SQL twin embeds the same
+    * literal.
+    */
+  private val PurityProbeMod = 10L
+
+  private val PurityK = 5
+
+  /** #161 — `q_knn_label_purity`: embedding-space LABEL CONSISTENCY —
+    * for a deterministic sample of probe vectors, the fraction of
+    * their k=5 exact nearest neighbors (cosine, self excluded)
+    * sharing the probe's label, aggregated per label. This is the
+    * standard label-noise / embedding-quality diagnostic a curation
+    * run reads before trusting a labeled embedding set (low purity
+    * for one label = mislabeled cluster or an encoder that cannot
+    * separate it), and the first consumer of the embeddings table's
+    * `label` column.
+    *
+    * Plan shape: the probe sample (1/10 of vectors) broadcasts into a
+    * LINEAR corpus scan — the #30 exact-baseline shape with a bounded
+    * probe side; the corpus side never shuffles before the per-probe
+    * rank. Vectors enter only if USABLE (dim 64, no null elements,
+    * positive norm — the validateEmbeddings convention, stated
+    * identically in the oracle), so dirty corpora cannot poison the
+    * ranking in either engine. Purity = integer match counts with ONE
+    * final division — bit-identical doubles. At 100 TB: lower the
+    * sample dial, or feed the probes through the #73 IVF index
+    * (cell-local KNN) and accept recall-bounded purity — the same
+    * exact/approx pairing as #30/#31.
+    */
+  def qKnnLabelPurity(spark: SparkSession, dir: String): DataFrame = {
+    CosineSimilarity.register(spark)
+    val e = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), col("label"),
+        col("embedding").cast("array<double>").as("v"))
+      .where(size(col("v")) === Dim &&
+        !exists(col("v"), x => x.isNull) &&
+        aggregate(transform(col("v"), x => x * x),
+          lit(0.0), (acc, x) => acc + x) > 0)
+    val q = e.where(col("vec_id") % PurityProbeMod === 0)
+      .select(col("vec_id").as("q_id"), col("label").as("q_label"),
+        col("v").as("qv"))
+    val w = Window.partitionBy("q_id").orderBy(col("cos").desc, col("vec_id"))
+    val neighbors = e.crossJoin(broadcast(q))
+      .where(col("vec_id") =!= col("q_id"))
+      .withColumn("cos", cosine(col("qv"), col("v")))
+      .withColumn("rank", row_number().over(w))
+      .where(col("rank") <= PurityK)
+    neighbors.groupBy(col("q_label").as("label"))
+      .agg(
+        countDistinct(col("q_id")).as("n_probes"),
+        count(lit(1)).as("n_neighbors"),
+        sum(when(col("label") === col("q_label"), 1L).otherwise(0L))
+          .as("knn_matches"))
+      .select(col("label"), col("n_probes"), col("n_neighbors"),
+        col("knn_matches"),
+        (col("knn_matches").cast("double") / col("n_neighbors"))
+          .as("purity"))
+      .orderBy("label")
+  }
+
+  /** #161 oracle — same usable-vector filter, probe sample, ranking,
+    * and integer-sums-then-one-division tail; cosine from the #30
+    * ascending left folds.
+    */
+  val qKnnLabelPuritySql: String = {
+    def fold(terms: String) =
+      s"list_reduce(list_prepend(0.0, list_transform(range(1, ${Dim + 1}), i -> $terms)), (acc, x) -> acc + x)"
+    s"""WITH e AS (
+       |  SELECT vec_id, label,
+       |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+       |  FROM embeddings
+       |  WHERE len(embedding) = $Dim
+       |    AND NOT EXISTS (SELECT 1 FROM unnest(embedding) AS t(x) WHERE x IS NULL)
+       |    AND ${fold("v[i] * v[i]")} > 0),
+       |q AS (
+       |  SELECT vec_id AS q_id, label AS q_label, v AS qv FROM e
+       |  WHERE ((vec_id % $PurityProbeMod) + $PurityProbeMod) % $PurityProbeMod = 0),
+       |scored AS (
+       |  SELECT q_id, q_label, e.vec_id, e.label,
+       |    ${fold("qv[i] * v[i]")}
+       |     / (sqrt(${fold("qv[i] * qv[i]")}) * sqrt(${fold("v[i] * v[i]")})) AS cos
+       |  FROM q JOIN e ON e.vec_id <> q_id),
+       |ranked AS (
+       |  SELECT q_id, q_label, label,
+       |    row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, vec_id) AS rank
+       |  FROM scored)
+       |SELECT q_label AS label,
+       |  CAST(COUNT(DISTINCT q_id) AS BIGINT) AS n_probes,
+       |  CAST(COUNT(*) AS BIGINT) AS n_neighbors,
+       |  CAST(SUM(CASE WHEN label = q_label THEN 1 ELSE 0 END) AS BIGINT) AS knn_matches,
+       |  CAST(SUM(CASE WHEN label = q_label THEN 1 ELSE 0 END) AS DOUBLE)
+       |    / COUNT(*) AS purity
+       |FROM ranked WHERE rank <= $PurityK
+       |GROUP BY q_label ORDER BY label""".stripMargin
+  }
 }

@@ -73,6 +73,14 @@ class PlanSpec extends SparkSpec {
       s"expected a single phash-keyed exchange, got $exchanges:\n$p")
   }
 
+  test("knn label purity broadcasts the probe sample; corpus scan stays linear") {
+    val p = plan("q_knn_label_purity")
+    assert(p.contains("BroadcastNestedLoopJoin"),
+      s"probe sample must broadcast into the corpus scan:\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("SortMergeJoin"),
+      s"purity scan degenerated:\n$p")
+  }
+
   test("DSIR: the 256-row bucket model broadcasts, the corpus never joins itself") {
     val p = plan("q_dsir_weights")
     assert(p.contains("BroadcastHashJoin"),
