@@ -202,6 +202,53 @@ object Graft {
       idCol, "_sig", maxDist)
   }
 
+  /** Embedding-space label purity over YOUR labeled vectors — the
+    * #161 diagnostic generalized: for the deterministic probe sample
+    * `id % sampleMod == 0`, the fraction of each probe's k exact
+    * cosine nearest neighbors (self excluded) sharing the probe's
+    * label, per label. Usable-vector filtering (declared dim, no null
+    * elements, positive norm — the [[validateEmbeddings]] convention)
+    * happens here, so poisoned vectors never enter the ranking. The
+    * probe side broadcasts into a linear corpus scan; cost is
+    * n²·k/sampleMod — lower the dial at scale, or run the probes
+    * through [[ivfQuery]] for recall-bounded purity (the exact/approx
+    * pairing AnnSpec pins).
+    */
+  def labelPurity(embeddings: DataFrame, idCol: String, vecCol: String,
+      labelCol: String, dim: Int, k: Int = 5,
+      sampleMod: Long = 10L): DataFrame = {
+    require(k > 0, s"k must be positive, got $k")
+    require(sampleMod > 0, s"sampleMod must be positive, got $sampleMod")
+    graft.functions.CosineSimilarity.register(embeddings.sparkSession)
+    val e = embeddings
+      .select(col(idCol).as("_id"), col(labelCol).as("_label"),
+        col(vecCol).cast("array<double>").as("_v"))
+      .where(size(col("_v")) === dim &&
+        !exists(col("_v"), x => x.isNull) &&
+        aggregate(transform(col("_v"), x => x * x),
+          lit(0.0), (acc, x) => acc + x) > 0)
+    val q = e.where(pmod(col("_id"), lit(sampleMod)) === 0)
+      .select(col("_id").as("_qid"), col("_label").as("_qlabel"),
+        col("_v").as("_qv"))
+    val w = Window.partitionBy("_qid").orderBy(col("_cos").desc, col("_id"))
+    e.crossJoin(broadcast(q))
+      .where(col("_id") =!= col("_qid"))
+      .withColumn("_cos", call_function("cosine_sim", col("_qv"), col("_v")))
+      .withColumn("_rank", row_number().over(w))
+      .where(col("_rank") <= k)
+      .groupBy(col("_qlabel").as("label"))
+      .agg(
+        countDistinct(col("_qid")).as("n_probes"),
+        count(lit(1)).as("n_neighbors"),
+        sum(when(col("_label") === col("_qlabel"), 1L).otherwise(0L))
+          .as("knn_matches"))
+      .select(col("label"), col("n_probes"), col("n_neighbors"),
+        col("knn_matches"),
+        (col("knn_matches").cast("double") / col("n_neighbors"))
+          .as("purity"))
+      .orderBy("label")
+  }
+
   /** The persistable shingle index for
     * [[incrementalDedupPairsIndexed]]: one (id, shingle) row per
     * distinct word-n-gram of each doc, shingles xxhash64'd to 8-byte

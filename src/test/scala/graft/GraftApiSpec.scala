@@ -21,6 +21,37 @@ class GraftApiSpec extends SparkSpec {
     same(api, SparkEntry.queries("q_dedup_exact")(spark, sf), "exactDedup")
   }
 
+  test("labelPurity reproduces q_knn_label_purity; IVF-composed purity tracks it") {
+    val api = Graft.labelPurity(Tables.embeddings(spark, sf),
+      "vec_id", "embedding", "label", dim = 64)
+    same(api, SparkEntry.queries("q_knn_label_purity")(spark, sf), "labelPurity")
+    // the documented scale path: probes through the IVF index give
+    // recall-bounded purity — per-label values must track the exact
+    // diagnostic closely (nprobe=3 of 10 fitted cells)
+    val e = Tables.embeddings(spark, sf)
+      .select(col("vec_id"), col("label"),
+        col("embedding").cast("array<double>").as("v"))
+      .where(size(col("v")) === 64)
+    val cents = Graft.kmeansCentroids(e, "vec_id", "v", k = 10)
+    val idx = Graft.ivfIndex(e, "vec_id", "v", cents, "cent_id", "cv")
+    val probes = e.where(col("vec_id") % 10 === 0)
+      .select(col("vec_id").as("p_id"), col("v").as("pv"))
+    val approxNbrs = Graft.ivfQuery(idx, cents, "cent_id", "cv",
+      probes, "p_id", "pv", k = 5, nprobe = 3, excludeSelf = true)
+    val lbl = e.select(col("vec_id"), col("label"))
+    val approxPurity = approxNbrs
+      .join(lbl.select(col("vec_id").as("q_id"), col("label").as("q_label")), "q_id")
+      .join(lbl.select(col("vec_id").as("id"), col("label").as("n_label")), "id")
+      .agg((sum(when(col("n_label") === col("q_label"), 1.0).otherwise(0.0)) /
+        count(lit(1))).as("p"))
+      .head.getDouble(0)
+    val exactPurity = api.agg(
+      (sum("knn_matches").cast("double") / sum("n_neighbors")).as("p"))
+      .head.getDouble(0)
+    assert(math.abs(approxPurity - exactPurity) < 0.15,
+      f"IVF purity $approxPurity%.3f drifted from exact $exactPurity%.3f")
+  }
+
   test("simhashPairs reproduces q_dedup_simhash") {
     val api = Graft.simhashPairs(Tables.documents(spark, sf), "doc_id", "text")
       .select("doc_a", "doc_b", "hamming")
