@@ -68,6 +68,22 @@ REBASED = {
     # (r11a-c timed it, with the round-robin gate-file spread) to the
     # compiled GopherRepMeasures expression — ~3x faster and spread-free
     "q_gopher_repetition": ("probe_r11g", "baseline_r11d"),
+    # round 12 (probe 20): the province family's money sums moved from
+    # decimal(27,4) accumulators to fixed-point longs, the approx
+    # profile split into codegen'd + HLL-only aggregates, and the five
+    # dup-cluster queries now read the memoized label store (first
+    # toucher pays the one fit per JVM) — pre-r12 captures timed
+    # implementations that no longer exist, in both directions
+    "q_province_stats": ("baseline_r12",),
+    "q_province_stats_approx": ("baseline_r12",),
+    "q_province_rollup": ("baseline_r12",),
+    "q_cube_stats": ("baseline_r12",),
+    "q_profile_orders_approx": ("baseline_r12",),
+    "q_dup_clusters": ("baseline_r12",),
+    "q_dup_cluster_histogram": ("baseline_r12",),
+    "q_dup_clusters_incremental": ("baseline_r12",),
+    "q_keeper_quality": ("baseline_r12",),
+    "q_split_assign": ("baseline_r12",),
 }
 
 per_query = {}   # name -> list[(seconds, source)]
