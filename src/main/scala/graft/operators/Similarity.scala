@@ -249,7 +249,19 @@ object Similarity {
   def annIvfWithProbes(spark: SparkSession, dir: String, nprobe: Int): DataFrame = {
     require(nprobe > 0, s"nprobe must be positive, got $nprobe")
     val NProbe = nprobe
+    // usable-vector filter (declared dim, no null elements, positive
+    // norm — the #161/validateEmbeddings convention): poisoned vectors
+    // can neither seed a centroid nor rank as neighbors, and — stated
+    // identically in the oracle — it is what lets this query carry a
+    // HASH gate on dirty corpora (null cosines order differently under
+    // the two engines' null rules; rows that never score cannot
+    // diverge). The centroid mod still derives from the RAW store
+    // cardinality (parquet footers), matching the oracle's count(*).
     val e = emb(spark, dir)
+      .where(size(col("v")) === Dim &&
+        !exists(col("v"), x => x.isNull) &&
+        aggregate(transform(col("v"), x => x * x),
+          lit(0.0), (acc, x) => acc + x) > 0)
     val cents = e.where(col("vec_id") % centroidMod(embeddingRowCount(spark, dir)) === 0)
       .select(col("vec_id").as("cent_id"), col("v").as("cv"))
     // nearest-centroid assignment WITHOUT shuffling the corpus: the 10
@@ -376,6 +388,56 @@ object Similarity {
         count(lit(1)).as("dup_of_ct"),
         max(col("cos")).cast("double").as("max_cos"))
       .orderBy("vec_id")
+  }
+
+  /** #31's oracle — the full deterministic IVF pipeline in SQL:
+    * the √n centroid rule from count(*), argmax-cosine cell
+    * assignment (ties → lowest cent_id, the max_by struct order),
+    * top-`nprobe` probe cells per query, and the per-query rank over
+    * probed cells only — every cosine from the #30 ascending left
+    * folds, every stage over the same usable-vector filter as the
+    * Spark side.
+    */
+  val qAnnIvfSql: String = {
+    def fold(a: String, b: String) =
+      s"list_reduce(list_prepend(0.0, list_transform(range(1, ${Dim + 1}), i -> $a[i] * $b[i])), (acc, x) -> acc + x)"
+    def cos(a: String, b: String) =
+      s"${fold(a, b)} / (sqrt(${fold(a, a)}) * sqrt(${fold(b, b)}))"
+    s"""WITH e AS (
+       |  SELECT vec_id,
+       |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+       |  FROM embeddings
+       |  WHERE len(embedding) = $Dim
+       |    AND NOT EXISTS (SELECT 1 FROM unnest(embedding) AS t(x) WHERE x IS NULL)
+       |    AND ${fold("v", "v")} > 0),
+       |m AS (
+       |  SELECT greatest(50, CAST(n // CAST(ceil(sqrt(n)) AS BIGINT) AS BIGINT)) AS md
+       |  FROM (SELECT CAST(count(*) AS BIGINT) AS n FROM embeddings)),
+       |cents AS (
+       |  SELECT vec_id AS cent_id, v AS cv FROM e, m
+       |  WHERE ((vec_id % md) + md) % md = 0),
+       |assigned AS (
+       |  SELECT vec_id, v, cell FROM (
+       |    SELECT e.vec_id, e.v, c.cent_id AS cell,
+       |      row_number() OVER (PARTITION BY e.vec_id
+       |        ORDER BY ${cos("c.cv", "e.v")} DESC, c.cent_id) AS ar
+       |    FROM e CROSS JOIN cents c) WHERE ar = 1),
+       |q AS (SELECT vec_id AS q_id, v AS qv FROM e WHERE vec_id < $NQueries),
+       |probes AS (
+       |  SELECT q_id, qv, cell FROM (
+       |    SELECT q.q_id, q.qv, c.cent_id AS cell,
+       |      row_number() OVER (PARTITION BY q.q_id
+       |        ORDER BY ${cos("c.cv", "q.qv")} DESC, c.cent_id) AS crank
+       |    FROM q CROSS JOIN cents c) WHERE crank <= 2),
+       |ranked AS (
+       |  SELECT q_id, vec_id, cos,
+       |    row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, vec_id) AS rank
+       |  FROM (
+       |    SELECT p.q_id, a.vec_id, ${cos("p.qv", "a.v")} AS cos
+       |    FROM probes p JOIN assigned a USING (cell)
+       |    WHERE a.vec_id <> p.q_id))
+       |SELECT q_id, rank, vec_id, cos FROM ranked
+       |WHERE rank <= $TopK ORDER BY q_id, rank""".stripMargin
   }
 
   /** Probe-sample rate dial for #161: purity is estimated on the
