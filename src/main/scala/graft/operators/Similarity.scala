@@ -260,8 +260,7 @@ object Similarity {
     val e = emb(spark, dir)
       .where(size(col("v")) === Dim &&
         !exists(col("v"), x => x.isNull) &&
-        aggregate(transform(col("v"), x => x * x),
-          lit(0.0), (acc, x) => acc + x) > 0)
+        call_function("dot_product", col("v"), col("v")) > 0)
     val cents = e.where(col("vec_id") % centroidMod(embeddingRowCount(spark, dir)) === 0)
       .select(col("vec_id").as("cent_id"), col("v").as("cv"))
     // nearest-centroid assignment WITHOUT shuffling the corpus: the 10

@@ -62,8 +62,10 @@ REBASED = {
     # slower intermediate captures can only lose the min
     # round 10 (probe 17): the gated IVF's centroid rule re-sized from
     # n/50 cells (assignment n²/50 — 142x at a 16x corpus) to ~sqrt(n)
-    # cells; earlier captures timed the old cell layout
-    "q_ann_ivf": ("probe_r10s", "baseline_r11"),
+    # cells; round 12: the hash-gate graduation added the usable-vector
+    # filter (poison immunity is part of the new contract) — earlier
+    # captures timed the unfiltered pipeline
+    "q_ann_ivf": ("probe_r12",),
     # round 11: the repetition battery moved from the staged-HOF form
     # (r11a-c timed it, with the round-robin gate-file spread) to the
     # compiled GopherRepMeasures expression — ~3x faster and spread-free
