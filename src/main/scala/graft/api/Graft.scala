@@ -956,6 +956,22 @@ object Graft {
       nShards: Long = graft.operators.Corpus.NumShards): DataFrame =
     graft.operators.Corpus.packAssign(df, idCol, tokensCol, budget, nShards)
 
+  /** Fixed-window overlapping passage chunking (#162's core): one
+    * output row per (doc, window) with the reassembled `chunk_text`,
+    * its per-doc `chunk_id` ordinal, `start_tok` offset, and actual
+    * `n_tokens` (the tail chunk may be short). Tokens are the shared
+    * whitespace-word definition (#34); adjacent chunks overlap by
+    * `window - stride` tokens (`stride = window` ⟹ non-overlapping
+    * blocks); NULL/empty/whitespace-only docs produce no chunks.
+    * Stateless map-side explode — zero shuffles, safe at ingest and
+    * embarrassingly parallel at any corpus size; fan-out is
+    * ⌈n_tokens/stride⌉ rows per doc. Spec-pinned to the gated
+    * `q_chunk_passages`.
+    */
+  def chunkPassages(df: DataFrame, idCol: String, textCol: String,
+      window: Int, stride: Int): DataFrame =
+    graft.operators.Corpus.chunkRows(df, idCol, textCol, window, stride)
+
   /** Sequence transition matrix: per (previous `stateCol` → current)
     * pair within each `seqCol` partition ordered by `orderCol` (+
     * `tieCol` for total order), the transition count and the

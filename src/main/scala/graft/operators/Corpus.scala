@@ -297,6 +297,97 @@ object Corpus {
        |    THEN 1 ELSE 0 END) AS BIGINT) AS n_split
        |FROM c GROUP BY shard, pack_id ORDER BY shard, pack_id""".stripMargin
 
+  /** Gate dials for #162 — sized so the sf0.01 corpus exercises BOTH
+    * regimes: multi-chunk docs (window boundaries + the overlap tail)
+    * and single-chunk docs shorter than one window. Production sets
+    * the retrieval/training context: 512/448 for passage retrieval,
+    * 2048/2048 for non-overlapping pretraining blocks.
+    */
+  private[graft] val ChunkWindow = 64
+  private[graft] val ChunkStride = 48
+
+  /** #162 — `q_chunk_passages`: fixed-window overlapping passage
+    * chunking — the step that turns curated documents into
+    * retrieval/training passages (the published RAG/dense-retrieval
+    * recipe: token windows of `window` words advancing by `stride`,
+    * adjacent chunks overlapping by `window - stride` so no boundary
+    * sentence is split away from all its context). Chunk starts are
+    * 0, stride, 2·stride, … while the start lands inside the doc, so
+    * every token belongs to ≥1 chunk and the tail chunk may be short
+    * (`n_tokens < window`) — the HF `return_overflowing_tokens`
+    * convention. Tokens are #34's whitespace words (the shared
+    * [[Text.wsTokenCount]] token definition), reassembled with single
+    * spaces; NULL/empty/whitespace-only docs produce no chunks (the
+    * dirty-record rule: nothing to retrieve from).
+    *
+    * Scale: stateless map-side explode — zero shuffles besides the
+    * gate's presentation sort (PlanSpec pins it); fan-out is
+    * ⌈n_tokens/stride⌉ rows per doc, linear in corpus token mass. A
+    * writer partitions the row-level [[chunkRows]] output by shard
+    * (#92) instead of sorting; chunk ids are per-doc ordinals, so the
+    * operator is embarrassingly parallel at any corpus size and safe
+    * to run at ingest (stateless ⟹ trivially streamable).
+    */
+  def qChunkPassages(spark: SparkSession, dir: String): DataFrame =
+    chunkRows(Tables.documents(spark, dir), "doc_id", "text",
+      ChunkWindow, ChunkStride)
+      .orderBy("doc_id", "chunk_id")
+
+  /** The #162 core, row-level and schema-generic: chunk any frame's
+    * text column into (id, chunk_id, start_tok, n_tokens, chunk_text)
+    * rows. Output columns are part of the contract, so the input must
+    * not already carry them (guarded loudly — the packAssign
+    * discipline). `stride ≤ window` keeps every token covered;
+    * `stride = window` is non-overlapping block chunking.
+    */
+  private[graft] def chunkRows(df: DataFrame, idCol: String,
+      textCol: String, window: Int, stride: Int): DataFrame = {
+    require(window > 0, s"window must be positive, got $window")
+    require(stride > 0 && stride <= window,
+      s"stride must be in [1, window=$window], got $stride")
+    Seq("chunk_id", "start_tok", "n_tokens", "chunk_text").foreach(r =>
+      require(!df.columns.contains(r),
+        s"chunkRows emits a '$r' column; rename the input's '$r' first"))
+    val toks = filter(split(col(textCol), " "), t => t =!= "")
+    df.where(col(textCol).isNotNull)
+      .select(col(idCol), toks.as("_graft_toks"))
+      .withColumn("_graft_n", size(col("_graft_toks")).cast("long"))
+      .where(col("_graft_n") > 0)
+      .select(col(idCol), col("_graft_toks"), col("_graft_n"),
+        explode(sequence(lit(0L),
+          floor((col("_graft_n") - 1L) / stride))).as("chunk_id"))
+      .withColumn("start_tok", col("chunk_id") * stride)
+      .select(col(idCol), col("chunk_id"), col("start_tok"),
+        least(lit(window.toLong), col("_graft_n") - col("start_tok"))
+          .cast("long").as("n_tokens"),
+        concat_ws(" ", slice(col("_graft_toks"),
+          (col("start_tok") + 1).cast("int"), window)).as("chunk_text"))
+  }
+
+  /** SQL twin of #162. DuckDB's 1-based inclusive list slice
+    * `toks[a : a+w-1]` equals Spark's `slice(toks, a, w)`; both
+    * engines reassemble with single spaces, so chunk_text is
+    * byte-identical. Engine parity of the token definition is #34's.
+    */
+  val qChunkPassagesSql: String =
+    s"""WITH t AS (
+       |  SELECT doc_id,
+       |    list_filter(string_split(text, ' '), x -> x <> '') AS toks
+       |  FROM documents WHERE text IS NOT NULL),
+       |e AS (SELECT doc_id, toks, len(toks) AS n FROM t WHERE len(toks) > 0),
+       |x AS (
+       |  SELECT doc_id, toks, n,
+       |    unnest(generate_series(0,
+       |      CAST(floor((n - 1) / $ChunkStride) AS BIGINT))) AS chunk_id
+       |  FROM e)
+       |SELECT doc_id, chunk_id,
+       |  chunk_id * $ChunkStride AS start_tok,
+       |  CAST(least($ChunkWindow, n - chunk_id * $ChunkStride) AS BIGINT)
+       |    AS n_tokens,
+       |  array_to_string(toks[chunk_id * $ChunkStride + 1 :
+       |    chunk_id * $ChunkStride + $ChunkWindow], ' ') AS chunk_text
+       |FROM x ORDER BY doc_id, chunk_id""".stripMargin
+
   /** Top-10 word bigrams per source by DOCUMENT frequency (count desc,
     * bigram asc): corpus n-gram stats for LM data curation. Bigrams
     * come from the codegen'd word_shingles expression, which dedupes
