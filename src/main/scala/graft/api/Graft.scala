@@ -965,12 +965,65 @@ object Graft {
     * blocks); NULL/empty/whitespace-only docs produce no chunks.
     * Stateless map-side explode — zero shuffles, safe at ingest and
     * embarrassingly parallel at any corpus size; fan-out is
-    * ⌈n_tokens/stride⌉ rows per doc. Spec-pinned to the gated
+    * 1+⌈max(0, n−window)/stride⌉ rows per doc. Spec-pinned to the gated
     * `q_chunk_passages`.
     */
   def chunkPassages(df: DataFrame, idCol: String, textCol: String,
       window: Int, stride: Int): DataFrame =
     graft.operators.Corpus.chunkRows(df, idCol, textCol, window, stride)
+
+  /** The curation→retrieval boundary composed end-to-end (the RAG
+    * indexing path): chunk documents into passages ([[chunkPassages]],
+    * #162), embed every passage with the deterministic stub text
+    * tower (#158's md5 tower — swap in a real encoder and nothing
+    * else changes), fit IVF centroids over the passage vectors
+    * ([[kmeansCentroids]]) and assign every passage to its cell
+    * ([[ivfIndex]]). Returns `(index, centroids)`: the index at
+    * `(id struct<doc_id, chunk_id>, cell, vec)` grain — the struct id
+    * keeps passage identity EXACT at any corpus size (no synthetic
+    * long id to overflow or collide) and groups/orders fine through
+    * the whole ANN family — ready for [[writeIvfIndex]] (bucket by
+    * `cell`) and [[chunkQuery]] serving.
+    *
+    * Scale shape: chunking is the map-side explode (#162), the tower
+    * is per-row projection, the fit and assignment are the
+    * kmeans/ivfIndex shapes (broadcast centroids, nothing corpus-
+    * sized crosses the wire). Eager like an MLlib fit (the kmeans
+    * rounds run now), so call it index-build-time, not per query.
+    */
+  def chunkIndex(docs: DataFrame, idCol: String, textCol: String,
+      window: Int, stride: Int, kCentroids: Int, iters: Int = 5)
+      : (DataFrame, DataFrame) = {
+    val passages = chunkPassages(docs, idCol, textCol, window, stride)
+      .select(
+        struct(col(idCol).as("doc_id"), col("chunk_id")).as("pid"),
+        graft.operators.Multimodal.textTowerVec(col("chunk_text")).as("v"))
+    val cents = kmeansCentroids(passages, "pid", "v", kCentroids, iters)
+    val index = ivfIndex(passages, "pid", "v", cents, "cent_id", "cv")
+    (index, cents)
+  }
+
+  /** Serve text queries against a [[chunkIndex]]: embed the query
+    * text through the SAME stub tower the passages went through
+    * (tower alignment is the whole contract — a query identical to a
+    * stored passage scores cosine 1), probe via [[ivfQuery]], return
+    * `(q_id, rank, doc_id, chunk_id, cos)` — the passage coordinates
+    * a reader joins back to [[chunkPassages]] output (or the stored
+    * passage table) for the text. nprobe/k are the ivfQuery dials;
+    * cost per query batch is probes × cell size, the index side
+    * never re-assigns.
+    */
+  def chunkQuery(index: DataFrame, centroids: DataFrame,
+      queries: DataFrame, qIdCol: String, qTextCol: String,
+      k: Int, nprobe: Int): DataFrame = {
+    val q = queries.select(col(qIdCol).as("q_id"),
+      graft.operators.Multimodal.textTowerVec(col(qTextCol)).as("qv"))
+    ivfQuery(index, centroids, "cent_id", "cv", q, "q_id", "qv",
+        k, nprobe)
+      .select(col("q_id"), col("rank"),
+        col("id.doc_id").as("doc_id"), col("id.chunk_id").as("chunk_id"),
+        col("cos"))
+  }
 
   /** Sequence transition matrix: per (previous `stateCol` → current)
     * pair within each `seqCol` partition ordered by `orderCol` (+

@@ -312,17 +312,21 @@ object Corpus {
     * recipe: token windows of `window` words advancing by `stride`,
     * adjacent chunks overlapping by `window - stride` so no boundary
     * sentence is split away from all its context). Chunk starts are
-    * 0, stride, 2·stride, … while the start lands inside the doc, so
-    * every token belongs to ≥1 chunk and the tail chunk may be short
-    * (`n_tokens < window`) — the HF `return_overflowing_tokens`
-    * convention. Tokens are #34's whitespace words (the shared
+    * 0, stride, 2·stride, … advancing while the previous window has
+    * not yet reached the end of the doc (last chunk_id =
+    * ⌈max(0, n − window)/stride⌉), so every token belongs to ≥1
+    * chunk, the tail chunk may be short (`n_tokens < window`), and no
+    * chunk is a pure suffix of its predecessor — the HF
+    * `return_overflowing_tokens` convention (a doc of exactly one
+    * window yields exactly one chunk). Tokens are #34's whitespace words (the shared
     * [[Text.wsTokenCount]] token definition), reassembled with single
     * spaces; NULL/empty/whitespace-only docs produce no chunks (the
     * dirty-record rule: nothing to retrieve from).
     *
     * Scale: stateless map-side explode — zero shuffles besides the
     * gate's presentation sort (PlanSpec pins it); fan-out is
-    * ⌈n_tokens/stride⌉ rows per doc, linear in corpus token mass. A
+    * 1+⌈max(0, n−window)/stride⌉ rows per doc, linear in corpus
+    * token mass. A
     * writer partitions the row-level [[chunkRows]] output by shard
     * (#92) instead of sorting; chunk ids are per-doc ordinals, so the
     * operator is embarrassingly parallel at any corpus size and safe
@@ -354,14 +358,22 @@ object Corpus {
       .withColumn("_graft_n", size(col("_graft_toks")).cast("long"))
       .where(col("_graft_n") > 0)
       .select(col(idCol), col("_graft_toks"), col("_graft_n"),
+        // last chunk_id = ceil(max(0, n − window) / stride): windows
+        // advance only while the previous one hasn't reached the end
+        // of the doc, so no emitted chunk is a pure suffix of its
+        // predecessor (a start of k·stride with k·stride + n_tokens ≤
+        // (k−1)·stride + window adds no new text — the convention HF
+        // overflow windows use). Double division is exact here: token
+        // counts sit far below 2^53.
         explode(sequence(lit(0L),
-          floor((col("_graft_n") - 1L) / stride))).as("chunk_id"))
+          ceil(greatest(lit(0L), col("_graft_n") - window) / stride)
+            .cast("long"))).as("chunk_id"))
       .withColumn("start_tok", col("chunk_id") * stride)
       .select(col(idCol), col("chunk_id"), col("start_tok"),
         least(lit(window.toLong), col("_graft_n") - col("start_tok"))
           .cast("long").as("n_tokens"),
         concat_ws(" ", slice(col("_graft_toks"),
-          (col("start_tok") + 1).cast("int"), window)).as("chunk_text"))
+          (col("start_tok") + 1).cast("int"), lit(window))).as("chunk_text"))
   }
 
   /** SQL twin of #162. DuckDB's 1-based inclusive list slice
@@ -378,7 +390,8 @@ object Corpus {
        |x AS (
        |  SELECT doc_id, toks, n,
        |    unnest(generate_series(0,
-       |      CAST(floor((n - 1) / $ChunkStride) AS BIGINT))) AS chunk_id
+       |      CAST(ceil(greatest(0, n - $ChunkWindow)
+       |        / CAST($ChunkStride AS DOUBLE)) AS BIGINT))) AS chunk_id
        |  FROM e)
        |SELECT doc_id, chunk_id,
        |  chunk_id * $ChunkStride AS start_tok,

@@ -457,25 +457,64 @@ object Dedup {
     * reps, surviving `spark.catalog.clearCache()` — reads the store.
     * A parquet-backed label side also carries real size stats, so
     * downstream joins get sane planning without relying on hints.
-    * Keyed by dir (the test corpora are immutable); at 100 TB the
-    * store is a real table and this registry is the catalog.
+    * Keyed by dir PLUS a cheap content fingerprint of the corpus
+    * files (paths, lengths, mtimes), so a dir whose contents change
+    * under a long-lived JVM refits instead of serving stale labels;
+    * at 100 TB the store is a real table and this registry is the
+    * catalog. Store temp dirs are registered for JVM-exit cleanup;
+    * [[invalidateLabelStores]] clears the registry on demand (e.g.
+    * if /tmp was reaped under a very long-lived JVM).
     */
   private val labelStoreByDir =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
 
+  /** Drop every memoized label store: the next clusterLabels call per
+    * dir refits. The temp parquet dirs are left for exit cleanup. */
+  def invalidateLabelStores(): Unit = labelStoreByDir.clear()
+
+  /** Fingerprint of the corpus' documents store: name+len+mtime of
+    * every file under it, order-insensitively combined. Driver-side
+    * metadata-only I/O — no data read. */
+  private def corpusFingerprint(spark: SparkSession, dir: String): Long = {
+    import org.apache.hadoop.fs.Path
+    val root = new Path(s"$dir/documents.parquet")
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(root)) 0L
+    else {
+      val it = fs.listFiles(root, /*recursive=*/ true)
+      var acc = 0L
+      while (it.hasNext) {
+        val s = it.next()
+        val h = s.getPath.toString.hashCode.toLong * 1000003L ^
+          s.getLen * 31L ^ s.getModificationTime
+        acc ^= h * -7046029254386353131L // order-insensitive XOR mix
+      }
+      acc
+    }
+  }
+
   /** The #43 labeling (doc_id, cluster_id, cluster_size), from the
-    * memoized store — fitting the fixpoint first if this dir has not
-    * been labeled yet in this JVM. Spec-pinned row-identical to a
-    * fresh refit.
+    * memoized store — fitting the fixpoint first if this dir (at its
+    * current content fingerprint) has not been labeled yet in this
+    * JVM. Spec-pinned row-identical to a fresh refit.
     */
   private[graft] def clusterLabels(spark: SparkSession, dir: String): DataFrame = {
-    val path = labelStoreByDir.computeIfAbsent(dir, d => {
-      val pairs = qDedupNgramJaccardCapped(spark, d).select("doc_a", "doc_b")
+    val key = s"$dir@${corpusFingerprint(spark, dir)}"
+    val path = labelStoreByDir.computeIfAbsent(key, _ => {
+      val pairs = qDedupNgramJaccardCapped(spark, dir).select("doc_a", "doc_b")
       val labels = graft.api.Graft.connectedComponents(pairs, "doc_a", "doc_b")
         .select(col("id").as("doc_id"), col("component_id").as("cluster_id"),
           col("component_size").as("cluster_size"))
-      val out = java.nio.file.Files
-        .createTempDirectory("graft-cc-labels-").toString
+      val outDir = java.nio.file.Files.createTempDirectory("graft-cc-labels-")
+      // best-effort exit cleanup: deepest paths first so dirs empty out
+      Runtime.getRuntime.addShutdownHook(new Thread(() => {
+        import scala.jdk.CollectionConverters._
+        try java.nio.file.Files.walk(outDir).iterator().asScala.toSeq
+          .sortBy(-_.getNameCount)
+          .foreach(p => java.nio.file.Files.deleteIfExists(p))
+        catch { case _: Exception => () }
+      }))
+      val out = outDir.toString
       labels.write.mode("overwrite").parquet(out)
       out
     })

@@ -312,9 +312,19 @@ object Multimodal {
       while (c < 64) { totalSum += cellSum(c); c += 1 }
       c = 0
       while (c < 64) {
-        // cellAvg > globalAvg  ⇔  cellSum·n > totalSum·cellCnt
-        if (cellCnt(c) > 0 && cellSum(c) * n > totalSum * cellCnt(c))
-          phash |= (1L << c)
+        // cellAvg > globalAvg  ⇔  cellSum·n > totalSum·cellCnt.
+        // Both products can exceed 2^63 once 255·n²/64 does (payloads
+        // ≳ 1.5 GB), so compare in 128 bits: signed high words first
+        // (all factors are non-negative), then unsigned low words.
+        if (cellCnt(c) > 0) {
+          val hiL = Math.multiplyHigh(cellSum(c), n.toLong)
+          val hiR = Math.multiplyHigh(totalSum, cellCnt(c))
+          val gt =
+            if (hiL != hiR) hiL > hiR
+            else java.lang.Long.compareUnsigned(
+              cellSum(c) * n, totalSum * cellCnt(c)) > 0
+          if (gt) phash |= (1L << c)
+        }
         c += 1
       }
     }
@@ -373,6 +383,17 @@ object Multimodal {
     array((0 until 8).map { d =>
       (conv(substring(md5Col, 2 * d + 1, 2), 16, 10).cast("double") / 255.0)
     }: _*)
+
+  /** The #158 stub TEXT tower as a reusable column: the md5-derived
+    * 8-dim embedding of a text column — deterministic, aligned with
+    * the media tower by construction, and the encoder stand-in the
+    * RAG composition ([[graft.api.Graft.chunkIndex]]) plugs in where
+    * a deployment plugs a real model. Identical texts embed
+    * identically (cosine 1), which is what the composition's specs
+    * exploit.
+    */
+  private[graft] def textTowerVec(textCol: Column): Column =
+    md5Vec(md5(textCol.cast("binary")))
 
   /** #158 — `q_crossmodal_topk`: text-query → media top-k retrieval,
     * the CLIP-retrieval shape: a TEXT tower embeds the query string,

@@ -44,7 +44,17 @@ object Profile {
     // split's point — keeping declarative updates inside whole-stage
     // codegen — concerns the batch gate's allocation profile; a
     // micro-batch amortizes differently)
-    val one = if (!approx || df.isStreaming) {
+    //
+    // so does a NONDETERMINISTIC plan (rand()/sample-derived frames):
+    // the split scans df twice, and two evaluations of a
+    // nondeterministic source can see different rows — yielding an
+    // internally inconsistent profile (e.g. _nd > _rows) the single
+    // mixed aggregate cannot produce. One consistent pass beats two
+    // fast inconsistent ones. (A table being overwritten concurrently
+    // by an EXTERNAL writer is undetectable here — snapshot it first.)
+    val nondet = !df.isStreaming && df.queryExecution.analyzed.exists(
+      p => p.expressions.exists(e => e.exists(!_.deterministic)))
+    val one = if (!approx || df.isStreaming || nondet) {
       val aggs = cols.zipWithIndex.flatMap { case (c, i) =>
         Seq(
           count(col(q(c))).as(s"_nn$i"),

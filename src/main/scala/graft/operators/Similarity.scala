@@ -231,10 +231,25 @@ object Similarity {
     val conf = spark.sparkContext.hadoopConfiguration
     val root = new Path(s"$dir/embeddings.parquet")
     val fs = root.getFileSystem(conf)
+    // recursive listing: a partitioned store nests part files under
+    // key=value subdirectories a top-level listStatus would miss —
+    // and a silent 0 here would quietly shrink the centroid modulus
+    // away from the oracle's count(*), so an empty store fails loudly
     val statuses =
       if (fs.getFileStatus(root).isFile) Array(fs.getFileStatus(root))
-      else fs.listStatus(root).filter(s =>
-        s.isFile && s.getPath.getName.endsWith(".parquet"))
+      else {
+        val it = fs.listFiles(root, /*recursive=*/ true)
+        val buf = scala.collection.mutable.ArrayBuffer
+          .empty[org.apache.hadoop.fs.FileStatus]
+        while (it.hasNext) {
+          val s = it.next()
+          if (s.getPath.getName.endsWith(".parquet")) buf += s
+        }
+        buf.toArray
+      }
+    require(statuses.nonEmpty,
+      s"embeddingRowCount: no parquet files under $root — " +
+        "cannot size the IVF centroid modulus from an empty store")
     statuses.map { s =>
       val rdr = org.apache.parquet.hadoop.ParquetFileReader.open(
         org.apache.parquet.hadoop.util.HadoopInputFile.fromStatus(s, conf))

@@ -1485,6 +1485,40 @@ object Streams {
       }
   }
 
+  /** The funnel's fingerprint subtree was renamed `fps/` →
+    * `funnel_fps/` (to stop colliding with [[domainStatsSink]]'s
+    * `fps/`, whose rows carry an extra `domain` column). A statePath
+    * written by the pre-rename version still holds funnel history
+    * under `fps/` — silently ignoring it would restart c4 from empty
+    * with no error, so: a legacy `fps/` subtree CARRYING THE FUNNEL
+    * SCHEMA (fp, cnt, min_id — no `domain`) is renamed in place to
+    * `funnel_fps/` (merged nothing: if `funnel_fps/` also exists the
+    * tree is ambiguous and we fail loudly instead). A `fps/` subtree
+    * WITH a `domain` column is the domain sink's — left alone.
+    */
+  private def migrateLegacyFunnelFps(
+      spark: org.apache.spark.sql.SparkSession,
+      root: org.apache.hadoop.fs.Path): Unit = {
+    import org.apache.hadoop.fs.Path
+    val legacy = new Path(root, "fps")
+    val fs = legacy.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(legacy)) return
+    val cols = spark.read.parquet(legacy.toString).schema.fieldNames.toSet
+    val isFunnelSchema = cols.contains("fp") && cols.contains("min_id") &&
+      !cols.contains("domain")
+    if (!isFunnelSchema) return // the domain sink's subtree — not ours
+    val target = new Path(root, "funnel_fps")
+    if (fs.exists(target))
+      throw new IllegalStateException(
+        s"$root holds BOTH a legacy funnel 'fps/' subtree and " +
+          "'funnel_fps/' — merging would double-count history; " +
+          "reconcile manually (move fps/batch=* into funnel_fps/ if " +
+          "the batch ids are disjoint, else drop the stale tree)")
+    if (!fs.rename(legacy, target))
+      throw new IllegalStateException(
+        s"failed to migrate legacy funnel state $legacy -> $target")
+  }
+
   /** One maintenance step of [[curationFunnelSink]] (package-visible
     * so the spec can drive replay directly).
     */
@@ -1495,6 +1529,7 @@ object Streams {
     val spark = batch.sparkSession
     graft.functions.WordShingles.register(spark)
     val root = new Path(new Path(statePath).toUri.getPath)
+    migrateLegacyFunnelFps(spark, root)
     val isBench = pmod(col("doc_id"), lit(97L)) === 0
     val scored = graft.operators.Text.withRepetition(
         graft.operators.Text.withQuality(
@@ -1550,6 +1585,7 @@ object Streams {
       statePath: String): Option[DataFrame] = {
     import org.apache.hadoop.fs.Path
     val root = new Path(new Path(statePath).toUri.getPath)
+    migrateLegacyFunnelFps(spark, root)
     val croot = new Path(root, "counts")
     val fs = croot.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(croot)) return None

@@ -209,4 +209,42 @@ class AnnSpec extends SparkSpec {
       assert(!drops.contains(p), s"poison vector $p entered the drop list")
     }
   }
+
+  test("chunkIndex→chunkQuery closes the RAG loop: a stored passage retrieves itself") {
+    import graft.api.Graft
+    // small corpus slice keeps the eager kmeans fit spec-speed
+    val docs = Tables.documents(spark, sf)
+      .where(col("text").isNotNull).orderBy("doc_id").limit(200)
+      .localCheckpoint(true)
+    val (index, cents) = Graft.chunkIndex(
+      docs, "doc_id", "text", window = 64, stride = 48,
+      kCentroids = 8, iters = 2)
+    val idx = index.localCheckpoint(true)
+    // the index covers every passage exactly once, at struct identity
+    val passages = Graft.chunkPassages(docs, "doc_id", "text", 64, 48)
+      .localCheckpoint(true)
+    assert(idx.count() == passages.count(), "index must cover all passages")
+    assert(idx.select("id").distinct().count() == idx.count())
+    assert(cents.count() == 8)
+    // queries = three stored passages' own text: the aligned tower
+    // embeds them onto their stored vectors, so with ALL cells probed
+    // each must come back at rank 1 with cosine ~1 — and the returned
+    // coordinates must point at a passage carrying the query's text
+    // (not necessarily the same doc: the corpus has verbatim dups)
+    val qs = passages.where(col("chunk_id") === 0)
+      .orderBy("doc_id").limit(3)
+      .select(col("doc_id").as("qd"), col("chunk_text").as("qt"))
+      .localCheckpoint(true)
+    val hits = Graft.chunkQuery(idx, cents, qs, "qd", "qt",
+      k = 1, nprobe = 8)
+    assert(hits.count() == 3, "each query must return its top-1")
+    assert(hits.where(col("rank") =!= 1 || col("cos") < 0.999999).count() == 0,
+      "a stored passage must retrieve at cosine ~1")
+    val wrongText = hits
+      .join(passages, Seq("doc_id", "chunk_id"))
+      .join(qs, col("q_id") === col("qd"))
+      .where(col("chunk_text") =!= col("qt"))
+    assert(wrongText.count() == 0,
+      "retrieved passage must carry the query's text")
+  }
 }

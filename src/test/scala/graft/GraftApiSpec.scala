@@ -665,4 +665,21 @@ class GraftApiSpec extends SparkSpec {
       assert(math.abs(w2(s) - 2 * p) <= 1, s"budget dial broken for $s")
     }
   }
+
+  test("chunkPassages reproduces q_chunk_passages") {
+    val gated = SparkEntry.queries("q_chunk_passages")(spark, sf)
+    val facade = Graft.chunkPassages(
+      Tables.documents(spark, sf), "doc_id", "text", 64, 48)
+      .select(gated.columns.map(col): _*)
+    same(facade, gated, "chunkPassages")
+    // token-mass conservation against #34's shared token definition:
+    // with stride == window every token lands in exactly one chunk
+    val blocks = Graft.chunkPassages(
+      Tables.documents(spark, sf), "doc_id", "text", 64, 64)
+      .agg(sum("n_tokens")).head.getLong(0)
+    val mass = SparkEntry.queries("q_token_count")(spark, sf)
+      .agg(sum("ws_tokens")).head.getLong(0)
+    assert(blocks == mass,
+      s"block chunking must conserve token mass: $blocks != $mass")
+  }
 }

@@ -487,4 +487,56 @@ class OperatorsSpec extends SparkSpec {
       .where(col("event_type") === "view").select("event_id")
     assert(jumps.join(views, "event_id").count() == jumps.count())
   }
+
+  test("chunkRows boundary cases: short doc, exact boundary, tail, dirty rows") {
+    import spark.implicits._
+    def chunks(text: String, window: Int, stride: Int) =
+      operators.Corpus.chunkRows(
+        Seq((1L, text)).toDF("doc_id", "text"), "doc_id", "text",
+        window, stride)
+        .orderBy("chunk_id")
+        .select("chunk_id", "start_tok", "n_tokens", "chunk_text")
+        .as[(Long, Long, Long, String)].collect().toSeq
+    val words = (1 to 100).map(i => s"w$i")
+    def doc(n: Int) = words.take(n).mkString(" ")
+
+    // doc shorter than one window: exactly one full-doc chunk
+    assert(chunks(doc(10), 64, 48) ==
+      Seq((0L, 0L, 10L, doc(10))))
+    // exactly one window: still one chunk (no empty tail at start=stride)
+    assert(chunks(doc(64), 64, 48) == Seq((0L, 0L, 64L, doc(64))))
+    // one past a stride boundary: second chunk starts at 48, tail short
+    val c65 = chunks(doc(65), 64, 48)
+    assert(c65.map(c => (c._1, c._2, c._3)) ==
+      Seq((0L, 0L, 64L), (1L, 48L, 17L)))
+    assert(c65(1)._4 == words.slice(48, 65).mkString(" "))
+    // overlap contract: chunk k covers [k*stride, k*stride+window),
+    // and chunking stops once a window reaches the end of the doc —
+    // start 96 would be a pure suffix of chunk 1 and must not emit
+    val c100 = chunks(doc(100), 64, 48)
+    assert(c100.map(c => (c._1, c._2, c._3)) ==
+      Seq((0L, 0L, 64L), (1L, 48L, 52L)))
+    assert(c100(1)._4 == words.slice(48, 100).mkString(" "))
+    // stride == window: non-overlapping blocks, every token exactly once
+    val blocks = chunks(doc(100), 40, 40)
+    assert(blocks.map(c => (c._2, c._3)) ==
+      Seq((0L, 40L), (40L, 40L), (80L, 20L)))
+    assert(blocks.map(_._4).mkString(" ") == doc(100))
+    // dirty rows: NULL / empty / whitespace-only produce no chunks;
+    // runs of spaces don't make empty tokens
+    val dirty = Seq((1L, null: String), (2L, ""), (3L, "   "),
+      (4L, "  a   b  ")).toDF("doc_id", "text")
+    val got = operators.Corpus.chunkRows(dirty, "doc_id", "text", 4, 4)
+      .select("doc_id", "n_tokens", "chunk_text")
+      .as[(Long, Long, String)].collect().toSeq
+    assert(got == Seq((4L, 2L, "a b")))
+    // loud guards: bad dials and reserved output columns
+    intercept[IllegalArgumentException] {
+      operators.Corpus.chunkRows(dirty, "doc_id", "text", 0, 1) }
+    intercept[IllegalArgumentException] {
+      operators.Corpus.chunkRows(dirty, "doc_id", "text", 4, 5) }
+    intercept[IllegalArgumentException] {
+      operators.Corpus.chunkRows(
+        dirty.withColumn("chunk_id", lit(1)), "doc_id", "text", 4, 4) }
+  }
 }

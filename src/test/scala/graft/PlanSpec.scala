@@ -607,4 +607,21 @@ class PlanSpec extends SparkSpec {
       // tree = earlier in dataflow; the probe must sit below the join
       "bloom probe must run below (before) the confirm join")
   }
+
+  test("passage chunking is a map-side explode: no shuffle, no join") {
+    // the row-level core (what a writer runs at 100 TB — the gated
+    // query only adds a presentation sort) must be a stateless
+    // scan→project→explode pipeline: any Exchange or Join here would
+    // mean the fan-out stopped being embarrassingly parallel
+    val core = graft.api.Graft.chunkPassages(
+      Tables.documents(spark, sf), "doc_id", "text", 64, 48)
+    val p = core.queryExecution.executedPlan.toString
+    assert(!p.contains("Exchange"), s"chunking must not shuffle:\n$p")
+    assert(!p.contains("Join"), s"chunking must not join:\n$p")
+    assert(p.contains("Generate explode"), s"explode missing:\n$p")
+    // and the gated query adds exactly the presentation sort on top
+    val pg = plan("q_chunk_passages")
+    assert("Exchange".r.findAllIn(pg).size == 1,
+      s"gated chunking should shuffle once (the sort only):\n$pg")
+  }
 }
