@@ -1361,4 +1361,32 @@ class StreamingSpec extends SparkSpec {
           s"replaying batch $id mutated the overlap matrix")
     }
   }
+
+  test("chunkPassages runs UNCHANGED on a stream: ingest chunking equals batch") {
+    // the #162 scaladoc claims "stateless ⟹ trivially streamable" —
+    // prove it by running the SAME facade call on a MemoryStream in
+    // append mode (no state, no watermark) across 3 arbitrary batch
+    // splits, including the corpus' dirty rows
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val docs = Tables.documents(spark, sfTiny).select("doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getString(1))).toIndexedSeq
+    val ms = MemoryStream[(Long, String)]
+    val chunked = graft.api.Graft.chunkPassages(
+      ms.toDF().toDF("doc_id", "text"), "doc_id", "text", 64, 48)
+    val q = chunked.writeStream.format("memory")
+      .queryName("chunk_stream_twin").outputMode("append").start()
+    try {
+      docs.grouped((docs.size + 2) / 3).foreach { c =>
+        ms.addData(c); q.processAllAvailable()
+      }
+    } finally q.stop()
+    val got = spark.table("chunk_stream_twin")
+    val want = graft.api.Graft.chunkPassages(
+      Tables.documents(spark, sfTiny), "doc_id", "text", 64, 48)
+      .select(got.columns.map(col): _*)
+    assert(got.count() > 0, "tiny corpus must chunk")
+    assert(got.exceptAll(want).count() == 0 && want.exceptAll(got).count() == 0,
+      "streamed chunking differs from the batch run")
+  }
 }
