@@ -464,6 +464,36 @@ object Graft {
       .bucketBy(buckets, "cell").sortBy("cell")
       .format("parquet").saveAsTable(table)
 
+  /** Per-cell population of an [[ivfIndex]]-shaped frame (needs `id`,
+    * `cell`): `(cell, n_vecs, share)` — the balance readout behind
+    * the gated `q_ivf_cell_balance` (spec-pinned to it on the gate
+    * assignment). One contraction to ≤ #cells rows; point it at a
+    * stored index table to audit a serving index without
+    * re-assigning. */
+  def ivfCellBalance(index: DataFrame): DataFrame =
+    graft.operators.Similarity.cellBalance(index.select("id", "cell"))
+
+  /** The FAISS-style imbalance factor of an [[ivfIndex]]-shaped
+    * frame, one row: `(n_cells, n_vecs, min_cell, max_cell,
+    * imbalance)` with `imbalance` = k·Σ(nᵢ/n)² — 1.0 is perfectly
+    * balanced; expected probe cost scales by this factor, so a value
+    * ≫1 means the fitted centroids are mis-sized for the corpus and
+    * IVF serving will silently approach a full scan (refit with
+    * better k or seeds before trusting latency numbers). Exact
+    * integer moments with ONE final double division. */
+  def ivfImbalance(index: DataFrame): DataFrame =
+    index.select("id", "cell")
+      .groupBy("cell").agg(count(lit(1)).as("n"))
+      .agg(count(lit(1)).as("n_cells"),
+        sum("n").as("n_vecs"),
+        min("n").as("min_cell"),
+        max("n").as("max_cell"),
+        (sum(col("n") * col("n")) * count(lit(1))).as("_num"),
+        (sum("n") * sum("n")).as("_den"))
+      .select(col("n_cells"), col("n_vecs"), col("min_cell"),
+        col("max_cell"),
+        (col("_num").cast("double") / col("_den")).as("imbalance"))
+
   /** Serve ANN queries against a stored [[ivfIndex]]: per query, rank
     * centroids by cosine, probe the top `nprobe` cells, re-rank the
     * probed cells' vectors exactly, keep the top `k` (ties → lowest
@@ -1013,6 +1043,20 @@ object Graft {
     * cost per query batch is probes × cell size, the index side
     * never re-assigns.
     */
+  /** Exact dedup at the PASSAGE grain ([[chunkPassages]] composed
+    * with #25's content rule): one row per chunk whose normalized
+    * text already appears at a lower (doc_id, chunk_id) —
+    * `(doc_id, chunk_id, keep_doc_id, keep_chunk_id, group_size)`.
+    * Run it between chunking and [[chunkIndex]] so verbatim-duplicate
+    * passages (copied docs, boilerplate windows) enter a retrieval
+    * index or training mix once. Spec-pinned to the gated
+    * `q_chunk_dedup`. One fingerprint-keyed shuffle of
+    * (ids + 32-byte hash) — chunk text never crosses the wire.
+    */
+  def chunkDedup(df: DataFrame, idCol: String, textCol: String,
+      window: Int, stride: Int): DataFrame =
+    graft.operators.Corpus.chunkDedupRows(df, idCol, textCol, window, stride)
+
   def chunkQuery(index: DataFrame, centroids: DataFrame,
       queries: DataFrame, qIdCol: String, qTextCol: String,
       k: Int, nprobe: Int): DataFrame = {

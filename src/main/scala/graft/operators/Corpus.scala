@@ -381,8 +381,13 @@ object Corpus {
     * engines reassemble with single spaces, so chunk_text is
     * byte-identical. Engine parity of the token definition is #34's.
     */
-  val qChunkPassagesSql: String =
-    s"""WITH t AS (
+  /** The chunk CTE chain shared by #162's oracle and every oracle that
+    * composes over the passage grain (#165): yields a `chunks` CTE at
+    * the [[chunkRows]] schema. Kept as ONE definition so the chunk
+    * rule cannot drift between the queries that gate on it.
+    */
+  private val chunkRowsCteSql: String =
+    s"""t AS (
        |  SELECT doc_id,
        |    list_filter(string_split(text, ' '), x -> x <> '') AS toks
        |  FROM documents WHERE text IS NOT NULL),
@@ -392,14 +397,89 @@ object Corpus {
        |    unnest(generate_series(0,
        |      CAST(ceil(greatest(0, n - $ChunkWindow)
        |        / CAST($ChunkStride AS DOUBLE)) AS BIGINT))) AS chunk_id
-       |  FROM e)
-       |SELECT doc_id, chunk_id,
-       |  chunk_id * $ChunkStride AS start_tok,
-       |  CAST(least($ChunkWindow, n - chunk_id * $ChunkStride) AS BIGINT)
-       |    AS n_tokens,
-       |  array_to_string(toks[chunk_id * $ChunkStride + 1 :
-       |    chunk_id * $ChunkStride + $ChunkWindow], ' ') AS chunk_text
-       |FROM x ORDER BY doc_id, chunk_id""".stripMargin
+       |  FROM e),
+       |chunks AS (
+       |  SELECT doc_id, chunk_id,
+       |    chunk_id * $ChunkStride AS start_tok,
+       |    CAST(least($ChunkWindow, n - chunk_id * $ChunkStride) AS BIGINT)
+       |      AS n_tokens,
+       |    array_to_string(toks[chunk_id * $ChunkStride + 1 :
+       |      chunk_id * $ChunkStride + $ChunkWindow], ' ') AS chunk_text
+       |  FROM x)""".stripMargin
+
+  val qChunkPassagesSql: String =
+    s"""WITH $chunkRowsCteSql
+       |SELECT doc_id, chunk_id, start_tok, n_tokens, chunk_text
+       |FROM chunks ORDER BY doc_id, chunk_id""".stripMargin
+
+  /** #165 — `q_chunk_dedup`: exact dedup AT THE PASSAGE GRAIN — the
+    * step between #162's chunking and #163's indexing that keeps
+    * verbatim-duplicated passages (copied docs, boilerplate windows)
+    * from entering a retrieval index or training mix more than once
+    * (duplicate passages both waste index space and let one document
+    * dominate a query's top-k with identical hits). #25's content
+    * rule applied per chunk: fingerprint = md5 of the SHARED
+    * normalization (lower, space-collapse, trim — one definition, so
+    * doc-grain and chunk-grain dedup can never disagree about what
+    * "the same text" is); keeper = lowest (doc_id, chunk_id); output
+    * = one row per DROPPED passage with its keeper's coordinates and
+    * the group size.
+    *
+    * Scale: the #162 map-side explode, then ONE shuffle on the
+    * fingerprint — and what shuffles is (ids + 32-byte hash) only,
+    * never chunk text (column pruning drops `chunk_text` after the
+    * map-side md5). Both window reads share the fp partitioning, so
+    * it is one exchange total; output is bounded by the duplicate
+    * count, not the corpus.
+    */
+  def qChunkDedup(spark: SparkSession, dir: String): DataFrame =
+    chunkDedupRows(Tables.documents(spark, dir), "doc_id", "text",
+      ChunkWindow, ChunkStride)
+      .orderBy("doc_id", "chunk_id")
+
+  /** The #165 core over any frame — [[chunkRows]] composed with the
+    * per-chunk fingerprint window. Output columns are fixed
+    * (`doc_id`/`chunk_id` keep the [[chunkRows]] id naming plus the
+    * keeper coordinates and group size); the input id column lands as
+    * `doc_id` whatever its name.
+    */
+  private[graft] def chunkDedupRows(df: DataFrame, idCol: String,
+      textCol: String, window: Int, stride: Int): DataFrame = {
+    val chunks = chunkRows(df, idCol, textCol, window, stride)
+    val wOrd = Window.partitionBy("fp").orderBy("doc_id", "chunk_id")
+    val wAll = Window.partitionBy("fp")
+    chunks
+      .select(col(idCol).as("doc_id"), col("chunk_id"),
+        md5(Dedup.contentNormOf(col("chunk_text"))).as("fp"))
+      .withColumn("keep_doc_id", first("doc_id").over(wOrd))
+      .withColumn("keep_chunk_id", first("chunk_id").over(wOrd))
+      .withColumn("group_size", count(lit(1)).over(wAll))
+      .where(col("doc_id") =!= col("keep_doc_id") ||
+        col("chunk_id") =!= col("keep_chunk_id"))
+      .select("doc_id", "chunk_id", "keep_doc_id", "keep_chunk_id",
+        "group_size")
+  }
+
+  /** SQL twin of #165 — the shared chunk CTE + the shared content
+    * normalization, keeper elected by the same (doc_id, chunk_id)
+    * window order. */
+  val qChunkDedupSql: String =
+    s"""WITH $chunkRowsCteSql,
+       |f AS (
+       |  SELECT doc_id, chunk_id,
+       |    md5(${Dedup.contentNormSqlOf("chunk_text")}) AS fp
+       |  FROM chunks)
+       |SELECT doc_id, chunk_id, keep_doc_id, keep_chunk_id, group_size
+       |FROM (
+       |  SELECT doc_id, chunk_id,
+       |    first_value(doc_id) OVER w AS keep_doc_id,
+       |    first_value(chunk_id) OVER w AS keep_chunk_id,
+       |    CAST(count(*) OVER (PARTITION BY fp) AS BIGINT) AS group_size
+       |  FROM f
+       |  WINDOW w AS (PARTITION BY fp ORDER BY doc_id, chunk_id
+       |    ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING))
+       |WHERE doc_id <> keep_doc_id OR chunk_id <> keep_chunk_id
+       |ORDER BY doc_id, chunk_id""".stripMargin
 
   /** Top-10 word bigrams per source by DOCUMENT frequency (count desc,
     * bigram asc): corpus n-gram stats for LM data curation. Bigrams

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.Tables
@@ -36,10 +36,12 @@ object Dedup {
     * #121 can fingerprint a SIMULATED re-crawl (normalized text + a
     * version marker) with the same normalization.
     */
-  private[operators] val contentNorm =
-    trim(regexp_replace(lower(col("text")), " +", " "))
-  private[operators] val contentNormSql =
-    "trim(regexp_replace(lower(text), ' +', ' ', 'g'))"
+  private[operators] def contentNormOf(c: Column): Column =
+    trim(regexp_replace(lower(c), " +", " "))
+  private[operators] val contentNorm = contentNormOf(col("text"))
+  private[operators] def contentNormSqlOf(c: String): String =
+    s"trim(regexp_replace(lower($c), ' +', ' ', 'g'))"
+  private[operators] val contentNormSql = contentNormSqlOf("text")
   private[graft] val contentFp = md5(contentNorm)
   private[operators] val contentFpSql = s"md5($contentNormSql)"
 

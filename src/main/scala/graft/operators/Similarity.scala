@@ -257,32 +257,35 @@ object Similarity {
     }.sum
   }
 
-  /** #31 generalized over the nprobe dial — the IVF recall/cost knob
-    * (scan fraction ≈ nprobe / n_cells), exposed so AnnSpec can sweep
-    * recall against the exact baseline without touching the gated
-    * default. */
-  def annIvfWithProbes(spark: SparkSession, dir: String, nprobe: Int): DataFrame = {
-    require(nprobe > 0, s"nprobe must be positive, got $nprobe")
-    val NProbe = nprobe
-    // usable-vector filter (declared dim, no null elements, positive
-    // norm — the #161/validateEmbeddings convention): poisoned vectors
-    // can neither seed a centroid nor rank as neighbors, and — stated
-    // identically in the oracle — it is what lets this query carry a
-    // HASH gate on dirty corpora (null cosines order differently under
-    // the two engines' null rules; rows that never score cannot
-    // diverge). The centroid mod still derives from the RAW store
-    // cardinality (parquet footers), matching the oracle's count(*).
+  /** The gate IVF's usable-vector frame and its deterministic
+    * cell assignment, shared by #31 and the #164 balance readout so
+    * the two can never disagree about what "the index" is. Returns
+    * (usable frame `(vec_id, v)`, centroid frame `(cent_id, cv)`,
+    * assigned frame `(vec_id, v, cell)`).
+    *
+    * Usable-vector filter (declared dim, no null elements, positive
+    * norm — the #161/validateEmbeddings convention): poisoned vectors
+    * can neither seed a centroid nor rank as neighbors, and — stated
+    * identically in the oracle — it is what lets these queries carry
+    * a HASH gate on dirty corpora (null cosines order differently
+    * under the two engines' null rules; rows that never score cannot
+    * diverge). The centroid mod still derives from the RAW store
+    * cardinality (parquet footers), matching the oracle's count(*).
+    *
+    * Assignment never shuffles the corpus: the ~√n centroid cosines
+    * evaluate inline per row and max_by picks the cell inside a
+    * map-side-combinable aggregate (ties → lowest cent_id via the
+    * negated id in the ordering struct). The corpus vector rides
+    * along as first() — constant within its group.
+    */
+  private def ivfGateAssigned(spark: SparkSession,
+      dir: String): (DataFrame, DataFrame, DataFrame) = {
     val e = emb(spark, dir)
       .where(size(col("v")) === Dim &&
         !exists(col("v"), x => x.isNull) &&
         call_function("dot_product", col("v"), col("v")) > 0)
     val cents = e.where(col("vec_id") % centroidMod(embeddingRowCount(spark, dir)) === 0)
       .select(col("vec_id").as("cent_id"), col("v").as("cv"))
-    // nearest-centroid assignment WITHOUT shuffling the corpus: the 10
-    // centroid cosines evaluate inline per row and max_by picks the
-    // cell inside a map-side-combinable aggregate (ties → lowest
-    // cent_id via the negated id in the ordering struct). The corpus
-    // vector rides along as first() — constant within its group.
     val assigned = e.crossJoin(broadcast(cents))
       .withColumn("ccos", cosine(col("cv"), col("v")))
       .groupBy("vec_id")
@@ -290,6 +293,85 @@ object Similarity {
         first(col("v")).as("v"),
         max_by(col("cent_id"),
           struct(col("ccos"), (-col("cent_id")).as("tie"))).as("cell"))
+    (e, cents, assigned)
+  }
+
+  /** #164 — `q_ivf_cell_balance`: the per-cell population of the gate
+    * IVF index — `(cell, n_vecs, share)` with `share` the cell's
+    * fraction of usable vectors (integer ratio, ONE final double
+    * division → bit-identical across engines). This is the balance
+    * readout an ANN deployment checks BEFORE serving: IVF probe cost
+    * is `nprobe × E[cell size | probed]`, so a skewed assignment
+    * silently turns a 2-probe query into a near-full scan (the FAISS
+    * imbalance-factor diagnostic; [[graft.api.Graft.ivfImbalance]]
+    * contracts this frame to the scalar k·Σshare²). Composes the
+    * SHARED [[ivfGateAssigned]] stage, so the readout describes
+    * exactly the index #31 serves from.
+    *
+    * Scale: the assignment's broadcast argmax (no corpus shuffle) +
+    * ONE contraction to ≤ √n cell rows; the share window runs on the
+    * contracted frame only. At 100 TB the same readout runs off a
+    * stored [[graft.api.Graft.ivfIndex]] table via the facade form
+    * instead of re-assigning.
+    */
+  def qIvfCellBalance(spark: SparkSession, dir: String): DataFrame = {
+    val (_, _, assigned) = ivfGateAssigned(spark, dir)
+    cellBalance(assigned.select(col("vec_id").as("id"), col("cell")))
+      .orderBy("cell")
+  }
+
+  /** #164 over any `(id, cell)` assignment — the form a deployment
+    * points at its stored index table. */
+  private[graft] def cellBalance(index: DataFrame): DataFrame = {
+    val perCell = index.groupBy("cell").agg(count(lit(1)).as("n_vecs"))
+    // global total as a broadcast 1-row cross join over the CONTRACTED
+    // frame (≤ #cells rows) — a global window here would fold the cell
+    // rows into one partition and warn; the broadcast keeps the share
+    // projection map-side whatever the cell count
+    perCell
+      .crossJoin(broadcast(perCell.agg(sum("n_vecs").as("n_total"))))
+      .select(col("cell"), col("n_vecs"),
+        (col("n_vecs").cast("double") / col("n_total")).as("share"))
+  }
+
+  val qIvfCellBalanceSql: String = {
+    def fold(a: String, b: String) =
+      s"list_reduce(list_prepend(0.0, list_transform(range(1, ${Dim + 1}), i -> $a[i] * $b[i])), (acc, x) -> acc + x)"
+    def cos(a: String, b: String) =
+      s"${fold(a, b)} / (sqrt(${fold(a, a)}) * sqrt(${fold(b, b)}))"
+    s"""WITH e AS (
+       |  SELECT vec_id,
+       |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+       |  FROM embeddings
+       |  WHERE len(embedding) = $Dim
+       |    AND NOT EXISTS (SELECT 1 FROM unnest(embedding) AS t(x) WHERE x IS NULL)
+       |    AND ${fold("v", "v")} > 0),
+       |m AS (
+       |  SELECT greatest(50, CAST(n // CAST(ceil(sqrt(n)) AS BIGINT) AS BIGINT)) AS md
+       |  FROM (SELECT CAST(count(*) AS BIGINT) AS n FROM embeddings)),
+       |cents AS (
+       |  SELECT vec_id AS cent_id, v AS cv FROM e, m
+       |  WHERE ((vec_id % md) + md) % md = 0),
+       |assigned AS (
+       |  SELECT vec_id, cell FROM (
+       |    SELECT e.vec_id, c.cent_id AS cell,
+       |      row_number() OVER (PARTITION BY e.vec_id
+       |        ORDER BY ${cos("c.cv", "e.v")} DESC, c.cent_id) AS ar
+       |    FROM e CROSS JOIN cents c) WHERE ar = 1)
+       |SELECT cell, CAST(count(*) AS BIGINT) AS n_vecs,
+       |  CAST(count(*) AS DOUBLE)
+       |    / (SELECT count(*) FROM assigned) AS share
+       |FROM assigned GROUP BY cell ORDER BY cell""".stripMargin
+  }
+
+  /** #31 generalized over the nprobe dial — the IVF recall/cost knob
+    * (scan fraction ≈ nprobe / n_cells), exposed so AnnSpec can sweep
+    * recall against the exact baseline without touching the gated
+    * default. */
+  def annIvfWithProbes(spark: SparkSession, dir: String, nprobe: Int): DataFrame = {
+    require(nprobe > 0, s"nprobe must be positive, got $nprobe")
+    val NProbe = nprobe
+    val (e, cents, assigned) = ivfGateAssigned(spark, dir)
     val q = e.where(col("vec_id") < NQueries)
       .select(col("vec_id").as("q_id"), col("v").as("qv"))
     val wProbe = Window.partitionBy("q_id").orderBy(col("ccos").desc, col("cent_id"))

@@ -210,6 +210,39 @@ class AnnSpec extends SparkSpec {
     }
   }
 
+  test("cell balance partitions the served index; imbalance contracts it exactly") {
+    import graft.api.Graft
+    val bal = SparkEntry.queries("q_ivf_cell_balance")(spark, sf)
+      .localCheckpoint(true)
+    // the balance must partition the usable corpus: every clean sf0.01
+    // vector is usable, and shares are exact integer ratios summing to 1
+    val total = bal.agg(sum("n_vecs")).head.getLong(0)
+    assert(total == Tables.embeddings(spark, sf).count(),
+      "balance must cover every usable vector exactly once")
+    val shareSum = bal.agg(sum("share")).head.getDouble(0)
+    assert(math.abs(shareSum - 1.0) < 1e-9, s"shares sum to $shareSum")
+    val badShare = bal.where(
+      col("share") =!= col("n_vecs").cast("double") / lit(total)).count()
+    assert(badShare == 0, "share must be the exact n_vecs/total ratio")
+    // the facade contraction on a planted assignment: cells {a:3, b:1}
+    // → IF = k·Σ(nᵢ/n)² = 2·(9+1)/16 = 1.25, extremes 1 and 3
+    import spark.implicits._
+    val planted = Seq((1L, "a"), (2L, "a"), (3L, "a"), (4L, "b"))
+      .toDF("id", "cell")
+    val imb = Graft.ivfImbalance(planted).head
+    assert((imb.getLong(0), imb.getLong(1), imb.getLong(2), imb.getLong(3),
+      imb.getDouble(4)) == ((2L, 4L, 1L, 3L, 1.25)))
+    // and a perfectly balanced assignment scores exactly 1.0
+    val even = Seq((1L, "a"), (2L, "a"), (3L, "b"), (4L, "b"))
+      .toDF("id", "cell")
+    assert(Graft.ivfImbalance(even).head.getDouble(4) == 1.0)
+    // facade per-cell form equals the gated query on the same frame
+    val viaFacade = Graft.ivfCellBalance(
+      planted).select("cell", "n_vecs", "share").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(viaFacade == Set(("a", 3L, 0.75), ("b", 1L, 0.25)))
+  }
+
   test("chunkIndex→chunkQuery closes the RAG loop: a stored passage retrieves itself") {
     import graft.api.Graft
     // small corpus slice keeps the eager kmeans fit spec-speed

@@ -666,6 +666,14 @@ class GraftApiSpec extends SparkSpec {
     }
   }
 
+  test("chunkDedup reproduces q_chunk_dedup") {
+    val gated = SparkEntry.queries("q_chunk_dedup")(spark, sf)
+    val facade = Graft.chunkDedup(
+      Tables.documents(spark, sf), "doc_id", "text", 64, 48)
+      .select(gated.columns.map(col): _*)
+    same(facade, gated, "chunkDedup")
+  }
+
   test("chunkPassages reproduces q_chunk_passages") {
     val gated = SparkEntry.queries("q_chunk_passages")(spark, sf)
     val facade = Graft.chunkPassages(

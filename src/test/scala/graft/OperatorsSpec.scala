@@ -539,4 +539,26 @@ class OperatorsSpec extends SparkSpec {
       operators.Corpus.chunkRows(
         dirty.withColumn("chunk_id", lit(1)), "doc_id", "text", 4, 4) }
   }
+
+  test("chunk dedup: copies drop to the lowest keeper; case folds; within-doc repeats drop") {
+    import spark.implicits._
+    val text = (1 to 100).map(i => s"tok$i").mkString(" ")
+    val df = Seq((10L, text), (20L, text), (30L, text.toUpperCase))
+      .toDF("doc_id", "text")
+    val drops = operators.Corpus.chunkDedupRows(df, "doc_id", "text", 64, 48)
+      .orderBy("doc_id", "chunk_id")
+      .as[(Long, Long, Long, Long, Long)].collect().toSeq
+    // 100 tokens at 64/48 → 2 chunks per doc; docs 20 and 30 (the
+    // upper-cased copy — normalization folds case) drop every chunk
+    // onto doc 10's matching chunk, in groups of 3
+    assert(drops == Seq(
+      (20L, 0L, 10L, 0L, 3L), (20L, 1L, 10L, 1L, 3L),
+      (30L, 0L, 10L, 0L, 3L), (30L, 1L, 10L, 1L, 3L)))
+    // a repeated block INSIDE one doc dedups against itself: with
+    // stride = window = 4 both chunks read "a b c d"
+    val rep = Seq((5L, "a b c d a b c d")).toDF("doc_id", "text")
+    val d2 = operators.Corpus.chunkDedupRows(rep, "doc_id", "text", 4, 4)
+      .as[(Long, Long, Long, Long, Long)].collect().toSeq
+    assert(d2 == Seq((5L, 1L, 5L, 0L, 2L)))
+  }
 }

@@ -624,4 +624,18 @@ class PlanSpec extends SparkSpec {
     assert("Exchange".r.findAllIn(pg).size == 1,
       s"gated chunking should shuffle once (the sort only):\n$pg")
   }
+
+  test("chunk dedup: one fingerprint exchange, no join, chunk text pruned pre-shuffle") {
+    val p = plan("q_chunk_dedup")
+    val hashEx = "Exchange hashpartitioning".r.findAllIn(p).size
+    assert(hashEx == 1,
+      s"chunk dedup must shuffle exactly once, on the fingerprint:\n$p")
+    assert(!p.contains("Join"), s"chunk dedup must not join:\n$p")
+    // what crosses the wire is (ids + fp) — the reassembled chunk
+    // text must be consumed map-side by the md5 and never partition
+    val exAt = p.indexOf("Exchange hashpartitioning")
+    assert(exAt >= 0 && !p.substring(exAt, p.indexOf("]", exAt) + 1)
+      .contains("chunk_text"),
+      s"chunk_text leaked into the shuffle key/schema:\n$p")
+  }
 }
