@@ -993,10 +993,13 @@ object Graft {
     * whitespace-word definition (#34); adjacent chunks overlap by
     * `window - stride` tokens (`stride = window` ⟹ non-overlapping
     * blocks); NULL/empty/whitespace-only docs produce no chunks.
-    * Stateless map-side explode — zero shuffles, safe at ingest and
-    * embarrassingly parallel at any corpus size; fan-out is
-    * 1+⌈max(0, n−window)/stride⌉ rows per doc. Spec-pinned to the gated
-    * `q_chunk_passages`.
+    * Every input column except the consumed text rides through to
+    * the chunk grain (source/lang/event-time — what lets the
+    * streaming ingest twin watermark chunk rows and a writer
+    * partition by any carried key). Stateless map-side explode —
+    * zero shuffles, safe at ingest and embarrassingly parallel at
+    * any corpus size; fan-out is 1+⌈max(0, n−window)/stride⌉ rows
+    * per doc. Spec-pinned to the gated `q_chunk_passages`.
     */
   def chunkPassages(df: DataFrame, idCol: String, textCol: String,
       window: Int, stride: Int): DataFrame =

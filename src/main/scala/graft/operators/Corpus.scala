@@ -335,6 +335,7 @@ object Corpus {
   def qChunkPassages(spark: SparkSession, dir: String): DataFrame =
     chunkRows(Tables.documents(spark, dir), "doc_id", "text",
       ChunkWindow, ChunkStride)
+      .select("doc_id", "chunk_id", "start_tok", "n_tokens", "chunk_text")
       .orderBy("doc_id", "chunk_id")
 
   /** The #162 core, row-level and schema-generic: chunk any frame's
@@ -352,12 +353,17 @@ object Corpus {
     Seq("chunk_id", "start_tok", "n_tokens", "chunk_text").foreach(r =>
       require(!df.columns.contains(r),
         s"chunkRows emits a '$r' column; rename the input's '$r' first"))
+    // every input column EXCEPT the consumed text rides through (the
+    // id, but also source/lang/event-time — what lets the streaming
+    // ingest twin watermark the chunk rows and a writer partition by
+    // any carried key); chunk_text replaces the text at chunk grain
+    val carried = df.columns.filterNot(_ == textCol).map(col).toSeq
     val toks = filter(split(col(textCol), " "), t => t =!= "")
     df.where(col(textCol).isNotNull)
-      .select(col(idCol), toks.as("_graft_toks"))
+      .select(carried :+ toks.as("_graft_toks"): _*)
       .withColumn("_graft_n", size(col("_graft_toks")).cast("long"))
       .where(col("_graft_n") > 0)
-      .select(col(idCol), col("_graft_toks"), col("_graft_n"),
+      .select(carried ++ Seq(col("_graft_toks"), col("_graft_n"),
         // last chunk_id = ceil(max(0, n − window) / stride): windows
         // advance only while the previous one hasn't reached the end
         // of the doc, so no emitted chunk is a pure suffix of its
@@ -367,13 +373,13 @@ object Corpus {
         // counts sit far below 2^53.
         explode(sequence(lit(0L),
           ceil(greatest(lit(0L), col("_graft_n") - window) / stride)
-            .cast("long"))).as("chunk_id"))
+            .cast("long"))).as("chunk_id")): _*)
       .withColumn("start_tok", col("chunk_id") * stride)
-      .select(col(idCol), col("chunk_id"), col("start_tok"),
+      .select(carried ++ Seq(col("chunk_id"), col("start_tok"),
         least(lit(window.toLong), col("_graft_n") - col("start_tok"))
           .cast("long").as("n_tokens"),
         concat_ws(" ", slice(col("_graft_toks"),
-          (col("start_tok") + 1).cast("int"), lit(window))).as("chunk_text"))
+          (col("start_tok") + 1).cast("int"), lit(window))).as("chunk_text")): _*)
   }
 
   /** SQL twin of #162. DuckDB's 1-based inclusive list slice

@@ -36,7 +36,7 @@ object Dedup {
     * #121 can fingerprint a SIMULATED re-crawl (normalized text + a
     * version marker) with the same normalization.
     */
-  private[operators] def contentNormOf(c: Column): Column =
+  private[graft] def contentNormOf(c: Column): Column =
     trim(regexp_replace(lower(c), " +", " "))
   private[operators] val contentNorm = contentNormOf(col("text"))
   private[operators] def contentNormSqlOf(c: String): String =

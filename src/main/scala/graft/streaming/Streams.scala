@@ -488,6 +488,32 @@ object Streams {
       .withWatermark("ts", "1 hour")
       .dropDuplicatesWithinWatermark("fp")
 
+  /** #165's streaming twin — passage-grain exact dedup at INGEST:
+    * chunk each arriving doc with the SHARED
+    * [[graft.operators.Corpus.chunkRows]] (stateless generator; the
+    * event-time column rides through the explode, which is what lets
+    * the chunk rows watermark), fingerprint each chunk with the
+    * SHARED #25 content normalization, then the #44
+    * watermark-bounded first-arrival drop keyed on the chunk
+    * fingerprint. Emits the SURVIVING chunk rows — what flows on to
+    * an index writer ([[graft.api.Graft.chunkIndex]]'s grain).
+    *
+    * Same state contract as [[dedupDocs]]: only fingerprints inside
+    * the watermark horizon are retained (ingest volume cannot grow
+    * state), far-apart duplicate passages re-admit, and the periodic
+    * batch `q_chunk_dedup` compacts them — the lambda repair. With
+    * in-order arrival the survivors equal the batch keeper set
+    * exactly (spec-pinned).
+    */
+  def dedupChunks(docs: DataFrame, window: Int, stride: Int,
+      idCol: String = "doc_id", textCol: String = "text",
+      tsCol: String = "ts"): DataFrame =
+    graft.operators.Corpus.chunkRows(docs, idCol, textCol, window, stride)
+      .withColumn("fp",
+        md5(graft.operators.Dedup.contentNormOf(col("chunk_text"))))
+      .withWatermark(tsCol, "1 hour")
+      .dropDuplicatesWithinWatermark("fp")
+
   /** #157's streaming twin — perceptual image dedup at INGEST: the
     * aHash computed in a per-partition decoder stage (the shared
     * [[graft.operators.Multimodal.aHash]] byte math, so batch and

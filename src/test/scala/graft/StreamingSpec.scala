@@ -1362,6 +1362,43 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("stream_chunk_dedup: one survivor per passage fingerprint, horizon-bounded") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val docs = Tables.documents(spark, sfTiny).select("doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getString(1))).toIndexedSeq
+      .sortBy(_._1)
+    val ms = MemoryStream[(Long, String)]
+    val stream = ms.toDF().toDF("doc_id", "text")
+      .withColumn("ts", timestamp_seconds(lit(1700000000L) + col("doc_id")))
+    val q = Streams.dedupChunks(stream, 64, 48)
+      .writeStream.format("memory").queryName("chunk_dedup_twin")
+      .outputMode("append").start()
+    try {
+      docs.grouped((docs.size + 2) / 3).foreach { c =>
+        ms.addData(c); q.processAllAvailable()
+      }
+    } finally q.stop()
+    val got = spark.table("chunk_dedup_twin").localCheckpoint(true)
+    // survivors carry the full chunk payload (what an index writer
+    // consumes), plus the fingerprint
+    assert(Set("doc_id", "chunk_id", "chunk_text", "fp")
+      .subsetOf(got.columns.toSet))
+    // exactly one survivor per distinct passage fingerprint — the
+    // same cardinality the batch keeper set has (identity can differ
+    // within a micro-batch: dropDuplicates keeps an arbitrary member
+    // of a same-batch group, the documented at-ingest trade; the
+    // periodic batch #165 is the lambda repair)
+    val batchChunks = graft.api.Graft.chunkPassages(
+      Tables.documents(spark, sfTiny), "doc_id", "text", 64, 48)
+    val batchDropped = graft.api.Graft.chunkDedup(
+      Tables.documents(spark, sfTiny), "doc_id", "text", 64, 48)
+    assert(got.count() == batchChunks.count() - batchDropped.count(),
+      "stream survivor count must equal the batch keeper count")
+    assert(got.select("fp").distinct().count() == got.count(),
+      "two survivors shared a fingerprint inside the horizon")
+  }
+
   test("chunkPassages runs UNCHANGED on a stream: ingest chunking equals batch") {
     // the #162 scaladoc claims "stateless ⟹ trivially streamable" —
     // prove it by running the SAME facade call on a MemoryStream in
