@@ -324,12 +324,17 @@ object Similarity {
     * points at its stored index table. */
   private[graft] def cellBalance(index: DataFrame): DataFrame = {
     val perCell = index.groupBy("cell").agg(count(lit(1)).as("n_vecs"))
-    // global total as a broadcast 1-row cross join over the CONTRACTED
-    // frame (≤ #cells rows) — a global window here would fold the cell
-    // rows into one partition and warn; the broadcast keeps the share
-    // projection map-side whatever the cell count
+    // global total via a window over the CONTRACTED frame. This DOES
+    // fold the cell rows into one partition (Spark warns) — and that
+    // is the right plan: the frame is ≤ #cells ≈ √n rows (3×10⁵ at
+    // 10¹¹ vectors), while the tempting broadcast-total cross join
+    // references perCell twice and DUPLICATES the whole upstream
+    // assignment (two full corpus scans + two broadcast argmaxes —
+    // plan-audited, round 13). One bounded single-partition window
+    // beats two corpus passes at any scale.
     perCell
-      .crossJoin(broadcast(perCell.agg(sum("n_vecs").as("n_total"))))
+      .withColumn("n_total", sum("n_vecs").over(
+        Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)))
       .select(col("cell"), col("n_vecs"),
         (col("n_vecs").cast("double") / col("n_total")).as("share"))
   }
