@@ -480,7 +480,9 @@ object Graft {
     * ≫1 means the fitted centroids are mis-sized for the corpus and
     * IVF serving will silently approach a full scan (refit with
     * better k or seeds before trusting latency numbers). Exact
-    * integer moments with ONE final double division. */
+    * moments in DECIMAL(38,0) — a Long Σn² overflows once one cell
+    * holds ~3×10⁹ vectors, exactly the scale this readout exists
+    * for — with ONE final double division. */
   def ivfImbalance(index: DataFrame): DataFrame =
     index.select("id", "cell")
       .groupBy("cell").agg(count(lit(1)).as("n"))
@@ -488,11 +490,14 @@ object Graft {
         sum("n").as("n_vecs"),
         min("n").as("min_cell"),
         max("n").as("max_cell"),
-        (sum(col("n") * col("n")) * count(lit(1))).as("_num"),
-        (sum("n") * sum("n")).as("_den"))
+        // cast BEFORE the square — a Long product would overflow
+        // before any widening could see it
+        sum(col("n").cast("decimal(19,0)") * col("n")).as("_m2"))
       .select(col("n_cells"), col("n_vecs"), col("min_cell"),
         col("max_cell"),
-        (col("_num").cast("double") / col("_den")).as("imbalance"))
+        ((col("_m2") * col("n_cells")).cast("double") /
+          (col("n_vecs").cast("decimal(38,0)") *
+            col("n_vecs")).cast("double")).as("imbalance"))
 
   /** Serve ANN queries against a stored [[ivfIndex]]: per query, rank
     * centroids by cosine, probe the top `nprobe` cells, re-rank the
@@ -1027,25 +1032,21 @@ object Graft {
   def chunkIndex(docs: DataFrame, idCol: String, textCol: String,
       window: Int, stride: Int, kCentroids: Int, iters: Int = 5)
       : (DataFrame, DataFrame) = {
+    // materialize the chunk+embed pipeline ONCE: the fit and the
+    // assignment both consume it, and the returned index is consumed
+    // again by the caller (writeIvfIndex/serving) — without the
+    // checkpoint every one of those re-chunks and re-embeds the whole
+    // corpus (plan-audited, round 13; the call is documented eager)
     val passages = chunkPassages(docs, idCol, textCol, window, stride)
       .select(
         struct(col(idCol).as("doc_id"), col("chunk_id")).as("pid"),
         graft.operators.Multimodal.textTowerVec(col("chunk_text")).as("v"))
+      .localCheckpoint(true)
     val cents = kmeansCentroids(passages, "pid", "v", kCentroids, iters)
     val index = ivfIndex(passages, "pid", "v", cents, "cent_id", "cv")
     (index, cents)
   }
 
-  /** Serve text queries against a [[chunkIndex]]: embed the query
-    * text through the SAME stub tower the passages went through
-    * (tower alignment is the whole contract — a query identical to a
-    * stored passage scores cosine 1), probe via [[ivfQuery]], return
-    * `(q_id, rank, doc_id, chunk_id, cos)` — the passage coordinates
-    * a reader joins back to [[chunkPassages]] output (or the stored
-    * passage table) for the text. nprobe/k are the ivfQuery dials;
-    * cost per query batch is probes × cell size, the index side
-    * never re-assigns.
-    */
   /** Exact dedup at the PASSAGE grain ([[chunkPassages]] composed
     * with #25's content rule): one row per chunk whose normalized
     * text already appears at a lower (doc_id, chunk_id) —
@@ -1060,6 +1061,16 @@ object Graft {
       window: Int, stride: Int): DataFrame =
     graft.operators.Corpus.chunkDedupRows(df, idCol, textCol, window, stride)
 
+  /** Serve text queries against a [[chunkIndex]]: embed the query
+    * text through the SAME stub tower the passages went through
+    * (tower alignment is the whole contract — a query identical to a
+    * stored passage scores cosine 1), probe via [[ivfQuery]], return
+    * `(q_id, rank, doc_id, chunk_id, cos)` — the passage coordinates
+    * a reader joins back to [[chunkPassages]] output (or the stored
+    * passage table) for the text. nprobe/k are the ivfQuery dials;
+    * cost per query batch is probes × cell size, the index side
+    * never re-assigns.
+    */
   def chunkQuery(index: DataFrame, centroids: DataFrame,
       queries: DataFrame, qIdCol: String, qTextCol: String,
       k: Int, nprobe: Int): DataFrame = {

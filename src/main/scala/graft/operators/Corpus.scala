@@ -350,7 +350,11 @@ object Corpus {
     require(window > 0, s"window must be positive, got $window")
     require(stride > 0 && stride <= window,
       s"stride must be in [1, window=$window], got $stride")
-    Seq("chunk_id", "start_tok", "n_tokens", "chunk_text").foreach(r =>
+    // the scratch names are reserved too: with every input column now
+    // carried through, a same-named input would make the later
+    // col("_graft_n") reference ambiguous instead of failing loudly
+    Seq("chunk_id", "start_tok", "n_tokens", "chunk_text",
+        "_graft_toks", "_graft_n").foreach(r =>
       require(!df.columns.contains(r),
         s"chunkRows emits a '$r' column; rename the input's '$r' first"))
     // every input column EXCEPT the consumed text rides through (the

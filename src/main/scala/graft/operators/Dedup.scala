@@ -476,8 +476,26 @@ object Dedup {
 
   /** Fingerprint of the corpus' documents store: name+len+mtime of
     * every file under it, order-insensitively combined. Driver-side
-    * metadata-only I/O — no data read. */
+    * metadata-only I/O — no data read. TTL-memoized per dir: the
+    * five cluster-composed queries plus bench reps call clusterLabels
+    * repeatedly, and re-listing the store on EVERY call would turn
+    * the memoization's map-lookup hot path into O(#files) LIST
+    * requests per call on an object store; 60 s keeps the staleness
+    * protection at one listing per minute per dir. */
+  private val fingerprintCache =
+    new java.util.concurrent.ConcurrentHashMap[String, (Long, Long)]()
+  private val FingerprintTtlMs = 60000L
+
   private def corpusFingerprint(spark: SparkSession, dir: String): Long = {
+    val now = System.currentTimeMillis()
+    val cached = fingerprintCache.get(dir)
+    if (cached != null && now - cached._2 < FingerprintTtlMs) return cached._1
+    val fp = corpusFingerprintUncached(spark, dir)
+    fingerprintCache.put(dir, (fp, now))
+    fp
+  }
+
+  private def corpusFingerprintUncached(spark: SparkSession, dir: String): Long = {
     import org.apache.hadoop.fs.Path
     val root = new Path(s"$dir/documents.parquet")
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)

@@ -241,9 +241,25 @@ object Similarity {
         val it = fs.listFiles(root, /*recursive=*/ true)
         val buf = scala.collection.mutable.ArrayBuffer
           .empty[org.apache.hadoop.fs.FileStatus]
+        // skip uncommitted/hidden subtrees (_temporary/.staging/...)
+        // exactly like the Spark and DuckDB table readers do — a
+        // crashed write's leftover part file must not skew the
+        // centroid modulus away from the oracle's count(*)
+        def hidden(p: org.apache.hadoop.fs.Path): Boolean = {
+          var q = p.getParent
+          var h = false
+          while (q != null && q != root && !h) {
+            val n = q.getName
+            h = n.startsWith("_") || n.startsWith(".")
+            q = q.getParent
+          }
+          h
+        }
         while (it.hasNext) {
           val s = it.next()
-          if (s.getPath.getName.endsWith(".parquet")) buf += s
+          val n = s.getPath.getName
+          if (n.endsWith(".parquet") && !n.startsWith("_") &&
+              !n.startsWith(".") && !hidden(s.getPath)) buf += s
         }
         buf.toArray
       }

@@ -1522,17 +1522,42 @@ object Streams {
     * tree is ambiguous and we fail loudly instead). A `fps/` subtree
     * WITH a `domain` column is the domain sink's — left alone.
     */
+  /** Roots already checked this JVM — the migration verdict is stable
+    * once reached (migrated, or the subtree is the domain sink's), so
+    * the per-micro-batch hot path must not re-list and re-infer the
+    * growing fps/batch=* tree forever. */
+  private val funnelFpsChecked =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+
   private def migrateLegacyFunnelFps(
       spark: org.apache.spark.sql.SparkSession,
       root: org.apache.hadoop.fs.Path): Unit = {
     import org.apache.hadoop.fs.Path
+    if (funnelFpsChecked.contains(root.toString)) return
     val legacy = new Path(root, "fps")
     val fs = legacy.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (!fs.exists(legacy)) return
+    if (!fs.exists(legacy)) { funnelFpsChecked.add(root.toString); return }
+    // schema inference needs at least one COMMITTED part file — a
+    // crashed write can leave only _temporary/_SUCCESS droppings, and
+    // read.parquet on that throws, wedging every micro-batch retry;
+    // an empty tree carries no history to migrate, so skip it (but do
+    // NOT memoize: the writer may still be filling it in)
+    val hasCommitted = {
+      val it = fs.listFiles(legacy, /*recursive=*/ true)
+      var found = false
+      while (it.hasNext && !found) {
+        val p = it.next().getPath
+        found = !p.getName.startsWith("_") && !p.getName.startsWith(".")
+      }
+      found
+    }
+    if (!hasCommitted) return
     val cols = spark.read.parquet(legacy.toString).schema.fieldNames.toSet
     val isFunnelSchema = cols.contains("fp") && cols.contains("min_id") &&
       !cols.contains("domain")
-    if (!isFunnelSchema) return // the domain sink's subtree — not ours
+    if (!isFunnelSchema) { // the domain sink's subtree — not ours
+      funnelFpsChecked.add(root.toString); return
+    }
     val target = new Path(root, "funnel_fps")
     if (fs.exists(target))
       throw new IllegalStateException(
@@ -1543,6 +1568,7 @@ object Streams {
     if (!fs.rename(legacy, target))
       throw new IllegalStateException(
         s"failed to migrate legacy funnel state $legacy -> $target")
+    funnelFpsChecked.add(root.toString)
   }
 
   /** One maintenance step of [[curationFunnelSink]] (package-visible
