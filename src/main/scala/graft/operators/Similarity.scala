@@ -338,8 +338,15 @@ object Similarity {
 
   /** #164 over any `(id, cell)` assignment — the form a deployment
     * points at its stored index table. */
-  private[graft] def cellBalance(index: DataFrame): DataFrame = {
-    val perCell = index.groupBy("cell").agg(count(lit(1)).as("n_vecs"))
+  private[graft] def cellBalance(index: DataFrame): DataFrame =
+    cellBalanceFromCounts(
+      index.groupBy("cell").agg(count(lit(1)).as("n_vecs")))
+
+  /** The share tail over an already-contracted `(cell, n_vecs)` frame —
+    * shared with the streaming fold ([[graft.streaming.Streams
+    * .ivfBalanceState]]), whose per-batch integer partials sum to
+    * exactly this input. */
+  private[graft] def cellBalanceFromCounts(perCell: DataFrame): DataFrame = {
     // global total via a window over the CONTRACTED frame. This DOES
     // fold the cell rows into one partition (Spark warns) — and that
     // is the right plan: the frame is ≤ #cells ≈ √n rows (3×10⁵ at

@@ -912,6 +912,62 @@ object Streams {
           idCol, vecCol, tau)
       }
 
+  /** #164's streaming twin — IVF index BALANCE maintained while
+    * vectors ARRIVE: per batch, ONE cell-grain integer contraction
+    * `(cell, n)` lands replay-safely under `cells/batch=<id>`
+    * (overwrite-by-batchId — the [[domainStatsSink]] scheme), where
+    * `cell` is the batch's broadcast-argmax assignment against the
+    * FROZEN serving centroids ([[graft.api.Graft.ivfIndex]], the
+    * shared stage — ingest and the periodic batch #164 cannot
+    * disagree about what cell a vector is in). Counts are
+    * integer-additive under ANY batch split, so [[ivfBalanceState]]
+    * folds partials into EXACTLY the batch per-cell readout, plus
+    * the same imbalance scalar [[graft.api.Graft.ivfImbalance]]
+    * computes — the live dial a deployment watches to decide when
+    * ingest has skewed the index enough to refit (cells only ever
+    * grow between refits; the fold stays ≤ #cells rows whatever the
+    * ingest volume).
+    */
+  def ivfBalanceSink(vectors: DataFrame, centroids: DataFrame,
+      statePath: String, checkpointDir: String,
+      idCol: String = "vec_id", vecCol: String = "v")
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    vectors.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        applyIvfBalanceBatch(batch, batchId, centroids, statePath,
+          idCol, vecCol)
+      }
+
+  /** One maintenance step of [[ivfBalanceSink]] (package-visible so
+    * the spec can drive replay directly). */
+  private[graft] def applyIvfBalanceBatch(batch: DataFrame, batchId: Long,
+      centroids: DataFrame, statePath: String, idCol: String,
+      vecCol: String): Unit = {
+    import org.apache.hadoop.fs.Path
+    val root = new Path(new Path(statePath).toUri.getPath)
+    if (batch.isEmpty) return
+    graft.api.Graft.ivfIndex(batch.select(col(idCol), col(vecCol)),
+        idCol, vecCol, centroids, "cent_id", "cv")
+      .groupBy("cell").agg(count(lit(1)).as("n"))
+      .write.mode("overwrite")
+      .parquet(new Path(root, s"cells/batch=$batchId").toString)
+  }
+
+  /** The balance readout after the last completed batch —
+    * column-for-column the batch `q_ivf_cell_balance` schema
+    * `(cell, n_vecs, share)`. None before the first batch. */
+  def ivfBalanceState(spark: org.apache.spark.sql.SparkSession,
+      statePath: String): Option[DataFrame] = {
+    import org.apache.hadoop.fs.Path
+    val croot = new Path(new Path(statePath).toUri.getPath, "cells")
+    val fs = croot.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(croot)) return None
+    Some(graft.operators.Similarity.cellBalanceFromCounts(
+      spark.read.parquet(croot.toString)
+        .groupBy("cell").agg(sum("n").as("n_vecs"))))
+  }
+
   /** One ingest step of [[semanticDedupSink]] (package-visible so the
     * spec can drive replay directly).
     */

@@ -889,6 +889,44 @@ class StreamingSpec extends SparkSpec {
     assert(after == before, "replayed ingest mutated the verdicts")
   }
 
+  test("stream_ivf_balance: folded partials equal the batch balance, replay-safe") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val base = java.nio.file.Files.createTempDirectory("graft_ivfb_").toString
+    val emb = Tables.embeddings(spark, sf)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+    val cents = graft.api.Graft.kmeansCentroids(emb, "vec_id", "v", 8, 2)
+    val rows = emb.orderBy("vec_id").collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1))).toIndexedSeq
+    val ms = MemoryStream[(Long, Seq[Double])]
+    val q = Streams.ivfBalanceSink(ms.toDF().toDF("vec_id", "v"), cents,
+      s"$base/state", s"$base/ckpt").start()
+    val chunks = rows.grouped((rows.size + 2) / 3).toSeq
+    try {
+      chunks.foreach { c => ms.addData(c); q.processAllAvailable() }
+    } finally q.stop()
+    val got = Streams.ivfBalanceState(spark, s"$base/state").get
+    // integer partials are additive under any batch split, so the fold
+    // equals the one-shot batch balance EXACTLY (shares divide the
+    // same integers — bit-identical doubles)
+    val want = graft.api.Graft.ivfCellBalance(
+      graft.api.Graft.ivfIndex(emb, "vec_id", "v", cents, "cent_id", "cv"))
+    assert(got.count() > 0)
+    assert(got.exceptAll(want).count() == 0 &&
+      want.exceptAll(got).count() == 0,
+      "maintained balance != the batch readout over the full corpus")
+    // replaying the LAST ingest (foreachBatch at-least-once) must be a
+    // fixpoint: the write overwrites its own batch partition
+    val lastId = new java.io.File(s"$base/state/cells").listFiles()
+      .map(_.getName.stripPrefix("batch=").toLong).max
+    val before = got.collect().toSet
+    Streams.applyIvfBalanceBatch(chunks.last.toDF("vec_id", "v"), lastId,
+      cents, s"$base/state", "vec_id", "v")
+    val after = Streams.ivfBalanceState(spark, s"$base/state").get
+      .collect().toSet
+    assert(after == before, "replayed ingest mutated the balance")
+  }
+
   test("stream_user_jump emits via event-time timeout when a user goes silent") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
