@@ -1442,25 +1442,38 @@ object Corpus {
     * rows driver-side by `stack`. A naive materialize-each-stage
     * funnel re-scans and re-shuffles per stage — this shape does not.
     */
-  def qCurationFunnel(spark: SparkSession, dir: String): DataFrame = {
+  /** The funnel's PER-DOC flag stage, shared by #72's counts and
+    * #169's verdict table (one definition of every gate, so the
+    * dashboard and the per-doc readout cannot disagree): cumulative
+    * stage passes p1..p5 (NULL-free — a NULL quality score fails its
+    * gate in both engines), the bench-slice marker, and the
+    * contamination verdict.
+    */
+  private def funnelFlags(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(spark, dir)
     val isBench = pmod(col("doc_id"), lit(97L)) === 0
     val contam = contaminated(docs.where(!isBench), docs.where(isBench),
         "doc_id", "text", n = 3, minOverlap = ContaminationK)
       .where(col("contaminated"))
       .select(col("id").as("doc_id"), col("contaminated"))
-    val flagged = Text.withRepetition(Text.withQuality(docs))
+    Text.withRepetition(Text.withQuality(docs))
       .withColumn("fp", Dedup.contentFp)
       .join(broadcast(contam), Seq("doc_id"), "left")
-      .withColumn("p1", col("lang") === "en")
-      .withColumn("p2", col("p1") && col("quality_score") >= FunnelQualityTau)
-      .withColumn("p3", col("p2") && !col("is_repetitive"))
+      .withColumn("is_bench", isBench)
+      .withColumn("p1", coalesce(col("lang") === "en", lit(false)))
+      .withColumn("p2", col("p1") && coalesce(
+        col("quality_score") >= FunnelQualityTau, lit(false)))
+      .withColumn("p3", col("p2") &&
+        coalesce(!col("is_repetitive"), lit(false)))
       .withColumn("keep_id",
         min(when(col("p3"), col("doc_id"))).over(Window.partitionBy("fp")))
       .withColumn("p4", col("p3") && col("doc_id") === col("keep_id"))
-      .withColumn("p5", col("p4") && !isBench &&
+      .withColumn("p5", col("p4") && !col("is_bench") &&
         coalesce(col("contaminated"), lit(false)) === false)
-    flagged
+  }
+
+  def qCurationFunnel(spark: SparkSession, dir: String): DataFrame = {
+    funnelFlags(spark, dir)
       .agg(
         count(lit(1)).as("c0"),
         sum(col("p1").cast("long")).as("c1"),
@@ -1479,6 +1492,78 @@ object Corpus {
           |) AS (stage, stage_name, survivors)""".stripMargin)
       .orderBy("stage")
   }
+
+  /** #169 — `q_curation_verdicts`: the funnel at the DOC grain — one
+    * row per document with its final `keep` verdict and, for dropped
+    * docs, the FIRST stage that rejected it (`drop_stage` 1-5,
+    * `drop_reason` ∈ lang / quality / repetition / exact_dup /
+    * benchmark / contaminated — stage 5 splits into the bench-slice
+    * exclusion vs a real contamination hit). This is the audit table
+    * a curation run actually ships next to its corpus: "why is doc X
+    * not in the training set?" answered per doc, and the funnel
+    * dashboard (#72) is exactly its contraction — both derive from
+    * the SHARED [[funnelFlags]] stage, and the spec pins the
+    * reconciliation (survivors at stage k == docs with
+    * drop_stage > k or keep).
+    *
+    * Scale: identical to #72's plan (the flags are the cost; this
+    * query just skips the final fold) — per-doc projections, one
+    * fingerprint window, the contamination candidate join. Output is
+    * corpus-sized but three thin columns beyond the id.
+    */
+  def qCurationVerdicts(spark: SparkSession, dir: String): DataFrame =
+    funnelFlags(spark, dir)
+      .select(col("doc_id"),
+        col("p5").as("keep"),
+        when(col("p5"), lit(null).cast("long"))
+          .when(!col("p1"), 1L).when(!col("p2"), 2L).when(!col("p3"), 3L)
+          .when(!col("p4"), 4L).otherwise(5L).as("drop_stage"),
+        when(col("p5"), lit(null).cast("string"))
+          .when(!col("p1"), "lang").when(!col("p2"), "quality")
+          .when(!col("p3"), "repetition").when(!col("p4"), "exact_dup")
+          .when(col("is_bench"), "benchmark").otherwise("contaminated")
+          .as("drop_reason"))
+      .orderBy("doc_id")
+
+  /** SQL twin of #169 — the funnel oracle's CTE chain kept at the doc
+    * grain, with the same NULL-fails-its-gate coalesces the Spark
+    * flags state explicitly. */
+  val qCurationVerdictsSql: String =
+    s"""WITH q AS (SELECT doc_id, quality_score FROM (${Text.qTextQualitySql})),
+       |r AS (SELECT doc_id, is_repetitive FROM (${Text.qIntradocRepetitionSql})),
+       |c AS (SELECT doc_id FROM ($qContaminationSql) WHERE contaminated),
+       |d AS (SELECT doc_id, lang, ${Dedup.contentFpSql} AS fp FROM documents),
+       |f AS (
+       |  SELECT d.doc_id, d.fp,
+       |    coalesce(d.lang = 'en', false) AS p1,
+       |    coalesce(d.lang = 'en', false)
+       |      AND coalesce(q.quality_score >= $FunnelQualityTau, false) AS p2
+       |  FROM d JOIN q ON d.doc_id = q.doc_id),
+       |g AS (
+       |  SELECT f.doc_id, f.fp, f.p1, f.p2,
+       |    f.p2 AND coalesce(NOT r.is_repetitive, false) AS p3
+       |  FROM f JOIN r ON f.doc_id = r.doc_id),
+       |k AS (
+       |  SELECT doc_id, p1, p2, p3,
+       |    p3 AND doc_id = min(CASE WHEN p3 THEN doc_id END)
+       |      OVER (PARTITION BY fp) AS p4
+       |  FROM g),
+       |v AS (
+       |  SELECT k.doc_id, k.p1, k.p2, k.p3, k.p4,
+       |    ((k.doc_id % 97) + 97) % 97 = 0 AS is_bench,
+       |    c.doc_id IS NOT NULL AS contam
+       |  FROM k LEFT JOIN c ON k.doc_id = c.doc_id)
+       |SELECT doc_id,
+       |  (p4 AND NOT is_bench AND NOT contam) AS keep,
+       |  CAST(CASE WHEN p4 AND NOT is_bench AND NOT contam THEN NULL
+       |       WHEN NOT p1 THEN 1 WHEN NOT p2 THEN 2 WHEN NOT p3 THEN 3
+       |       WHEN NOT p4 THEN 4 ELSE 5 END AS BIGINT) AS drop_stage,
+       |  CASE WHEN p4 AND NOT is_bench AND NOT contam THEN NULL
+       |       WHEN NOT p1 THEN 'lang' WHEN NOT p2 THEN 'quality'
+       |       WHEN NOT p3 THEN 'repetition' WHEN NOT p4 THEN 'exact_dup'
+       |       WHEN is_bench THEN 'benchmark' ELSE 'contaminated'
+       |       END AS drop_reason
+       |FROM v ORDER BY doc_id""".stripMargin
 
   /** #125 — per-source TF-IDF characteristic terms: the top-10 words
     * of each source by `tf · ln(N/df)` (tf = occurrences in the

@@ -540,6 +540,37 @@ class OperatorsSpec extends SparkSpec {
         dirty.withColumn("chunk_id", lit(1)), "doc_id", "text", 4, 4) }
   }
 
+  test("curation verdicts reconcile exactly with the funnel dashboard") {
+    val verdicts = SparkEntry.queries("q_curation_verdicts")(spark, sf)
+      .localCheckpoint(true)
+    val funnel = SparkEntry.queries("q_curation_funnel")(spark, sf)
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    // every doc gets exactly one verdict row
+    assert(verdicts.count() == funnel(0L))
+    // survivors at stage k == docs still alive past gate k: the
+    // dashboard is exactly the verdict table's contraction
+    (1L to 5L).foreach { k =>
+      val alive = verdicts.where(
+        col("keep") || col("drop_stage") > k).count()
+      assert(alive == funnel(k),
+        s"stage $k: verdicts say $alive alive, funnel says ${funnel(k)}")
+    }
+    // kept docs carry no reason; dropped docs carry exactly one
+    assert(verdicts.where(col("keep") &&
+      (col("drop_stage").isNotNull || col("drop_reason").isNotNull))
+      .count() == 0)
+    assert(verdicts.where(!col("keep") &&
+      (col("drop_stage").isNull || col("drop_reason").isNull))
+      .count() == 0)
+    // reason labels match their stage
+    val pairs = verdicts.where(!col("keep"))
+      .select("drop_stage", "drop_reason").distinct().collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toSet
+    val legal = Set(1L -> "lang", 2L -> "quality", 3L -> "repetition",
+      4L -> "exact_dup", 5L -> "benchmark", 5L -> "contaminated")
+    assert(pairs.subsetOf(legal), s"illegal stage/reason pairs: $pairs")
+  }
+
   test("chunk dedup: copies drop to the lowest keeper; case folds; within-doc repeats drop") {
     import spark.implicits._
     val text = (1 to 100).map(i => s"tok$i").mkString(" ")
