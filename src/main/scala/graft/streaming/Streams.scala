@@ -945,9 +945,27 @@ object Streams {
       centroids: DataFrame, statePath: String, idCol: String,
       vecCol: String): Unit = {
     import org.apache.hadoop.fs.Path
+    val spark = batch.sparkSession
+    graft.functions.CosineSimilarity.register(spark)
     val root = new Path(new Path(statePath).toUri.getPath)
     if (batch.isEmpty) return
-    graft.api.Graft.ivfIndex(batch.select(col(idCol), col(vecCol)),
+    // usable-vector filter, the #161/validateEmbeddings convention the
+    // batch #164 readout states: a vector with no defined cosine
+    // (NULL / dim-mismatched / null-element / zero-norm) must not be
+    // counted — ivfIndex's max_by would otherwise fall through its
+    // all-NULL ordering to the tie field and deterministically pile
+    // every poisoned vector into the LOWEST cent_id's cell, faking
+    // skew and spuriously triggering refits. "Usable" is tested as a
+    // non-NULL cosine against the first serving centroid (centroids
+    // share one dim and are usable by construction), so the sink needs
+    // no dim parameter and cannot drift from the cosine's own rule.
+    val cv0 = centroids.select(col("cv").cast("array<double>"))
+      .head.getSeq[Double](0)
+    val usable = batch.select(col(idCol), col(vecCol))
+      .where(call_function("cosine_sim",
+        col(vecCol).cast("array<double>"),
+        array(cv0.map(lit): _*)).isNotNull)
+    graft.api.Graft.ivfIndex(usable,
         idCol, vecCol, centroids, "cent_id", "cv")
       .groupBy("cell").agg(count(lit(1)).as("n"))
       .write.mode("overwrite")

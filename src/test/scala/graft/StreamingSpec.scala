@@ -901,9 +901,20 @@ class StreamingSpec extends SparkSpec {
     val ms = MemoryStream[(Long, Seq[Double])]
     val q = Streams.ivfBalanceSink(ms.toDF().toDF("vec_id", "v"), cents,
       s"$base/state", s"$base/ckpt").start()
+    // poisoned vectors ride the FIRST batch: zero-norm, NULL, and
+    // dim-mismatched ingest must not be counted (the usable-vector
+    // convention the batch #164 readout states) — without the sink's
+    // filter they would all pile into the lowest cent_id's cell
+    val poison = Seq(
+      (900L, Seq.fill(64)(0.0)),
+      (901L, null.asInstanceOf[Seq[Double]]),
+      (902L, Seq(1.0, 2.0)))
     val chunks = rows.grouped((rows.size + 2) / 3).toSeq
     try {
-      chunks.foreach { c => ms.addData(c); q.processAllAvailable() }
+      chunks.zipWithIndex.foreach { case (c, i) =>
+        ms.addData(if (i == 0) c ++ poison else c)
+        q.processAllAvailable()
+      }
     } finally q.stop()
     val got = Streams.ivfBalanceState(spark, s"$base/state").get
     // integer partials are additive under any batch split, so the fold
