@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-// disposable probe main (not part of the library): probe 22 — prices
+// disposable probe main (not part of the library): probe 23 — prices
 // the #162 chunking fan-out at ×N token mass and under single-doc
 // skew. Two questions the sf0.01 gate can't answer:
 //   1. is wall-time linear in corpus token mass? (the explode emits

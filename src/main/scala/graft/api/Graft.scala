@@ -1074,8 +1074,13 @@ object Graft {
   def chunkQuery(index: DataFrame, centroids: DataFrame,
       queries: DataFrame, qIdCol: String, qTextCol: String,
       k: Int, nprobe: Int): DataFrame = {
-    val q = queries.select(col(qIdCol).as("q_id"),
-      graft.operators.Multimodal.textTowerVec(col(qTextCol)).as("qv"))
+    // the dirty-record rule at the query boundary: a NULL-text query
+    // has no embedding — without this filter its all-NULL cosines
+    // would still take probe/top-k ranks over the arbitrary NULL
+    // ordering and come back as k fake retrievals with cos = NULL
+    val q = queries.where(col(qTextCol).isNotNull)
+      .select(col(qIdCol).as("q_id"),
+        graft.operators.Multimodal.textTowerVec(col(qTextCol)).as("qv"))
     ivfQuery(index, centroids, "cent_id", "cv", q, "q_id", "qv",
         k, nprobe)
       .select(col("q_id"), col("rank"),

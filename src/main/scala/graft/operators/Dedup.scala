@@ -468,11 +468,60 @@ object Dedup {
     * if /tmp was reaped under a very long-lived JVM).
     */
   private val labelStoreByDir =
-    new java.util.concurrent.ConcurrentHashMap[String, String]()
+    new java.util.concurrent.ConcurrentHashMap[String, (Long, String)]()
+
+  /** Temp store dirs awaiting JVM-exit cleanup — ONE shutdown hook
+    * drains the queue (a hook per store would grow the hook list
+    * without bound under a corpus that keeps changing). */
+  private val labelStoreCleanup =
+    new java.util.concurrent.ConcurrentLinkedQueue[String]()
+  private lazy val cleanupHookOnce: Unit =
+    Runtime.getRuntime.addShutdownHook(new Thread(() => {
+      var p = labelStoreCleanup.poll()
+      while (p != null) { deleteStoreDir(p); p = labelStoreCleanup.poll() }
+    }))
+
+  private def deleteStoreDir(path: String): Unit = try {
+    import scala.jdk.CollectionConverters._
+    java.nio.file.Files.walk(java.nio.file.Paths.get(path))
+      .iterator().asScala.toSeq
+      .sortBy(-_.getNameCount) // deepest first so dirs empty out
+      .foreach(p => java.nio.file.Files.deleteIfExists(p))
+  } catch { case _: Exception => () }
 
   /** Drop every memoized label store: the next clusterLabels call per
     * dir refits. The temp parquet dirs are left for exit cleanup. */
   def invalidateLabelStores(): Unit = labelStoreByDir.clear()
+
+  /** Fingerprint-checked memoization shared by BOTH label stores (#43
+    * whole-corpus and the incremental family's base-slice labeling):
+    * one logical entry per (dir, variant), refit when the dir's
+    * content fingerprint moves, the superseded store deleted eagerly
+    * (a corpus that keeps changing must not leak one /tmp parquet
+    * store per mutation). `fit` writes the labels to the temp dir it
+    * is handed; it runs under the map's per-key lock, so concurrent
+    * callers of the same key fit once.
+    */
+  private def memoizedLabelStore(spark: SparkSession, dir: String,
+      variant: String)(fit: String => Unit): String = {
+    cleanupHookOnce
+    val fp = corpusFingerprint(spark, dir)
+    val key = if (variant.isEmpty) dir else s"$dir:$variant"
+    var stale: String = null
+    val entry = labelStoreByDir.compute(key, (_, old) => {
+      if (old != null && old._1 == fp) old
+      else {
+        if (old != null) stale = old._2
+        val out = java.nio.file.Files
+          .createTempDirectory(s"graft-cc-labels-").toString
+        labelStoreCleanup.add(out)
+        fit(out)
+        (fp, out)
+      }
+    })
+    if (stale != null) deleteStoreDir(stale)
+    entry._2
+  }
 
   /** Fingerprint of the corpus' documents store: name+len+mtime of
     * every file under it, order-insensitively combined. Driver-side
@@ -519,25 +568,13 @@ object Dedup {
     * JVM. Spec-pinned row-identical to a fresh refit.
     */
   private[graft] def clusterLabels(spark: SparkSession, dir: String): DataFrame = {
-    val key = s"$dir@${corpusFingerprint(spark, dir)}"
-    val path = labelStoreByDir.computeIfAbsent(key, _ => {
+    val path = memoizedLabelStore(spark, dir, "") { out =>
       val pairs = qDedupNgramJaccardCapped(spark, dir).select("doc_a", "doc_b")
-      val labels = graft.api.Graft.connectedComponents(pairs, "doc_a", "doc_b")
+      graft.api.Graft.connectedComponents(pairs, "doc_a", "doc_b")
         .select(col("id").as("doc_id"), col("component_id").as("cluster_id"),
           col("component_size").as("cluster_size"))
-      val outDir = java.nio.file.Files.createTempDirectory("graft-cc-labels-")
-      // best-effort exit cleanup: deepest paths first so dirs empty out
-      Runtime.getRuntime.addShutdownHook(new Thread(() => {
-        import scala.jdk.CollectionConverters._
-        try java.nio.file.Files.walk(outDir).iterator().asScala.toSeq
-          .sortBy(-_.getNameCount)
-          .foreach(p => java.nio.file.Files.deleteIfExists(p))
-        catch { case _: Exception => () }
-      }))
-      val out = outDir.toString
-      labels.write.mode("overwrite").parquet(out)
-      out
-    })
+        .write.mode("overwrite").parquet(out)
+    }
     spark.read.parquet(path)
   }
 
@@ -1080,10 +1117,11 @@ object Dedup {
     // the base labeling is the "arrives already clustered" premise of
     // this operator — a real deployment reads it from the persisted
     // #69 store, so the gate path memoizes it the same way the #43
-    // labels are ([[clusterLabels]]'s registry, keyed dir + ":base"
+    // labels are ([[clusterLabels]]'s registry, variant "base"
     // because the base caps df over the base SUBSET, a different
-    // labeling than #43's whole-corpus cap)
-    val basePath = labelStoreByDir.computeIfAbsent(dir + ":base", _ => {
+    // labeling than #43's whole-corpus cap; same fingerprint keying,
+    // so a changed corpus refits this store too)
+    val basePath = memoizedLabelStore(spark, dir, "base") { out =>
       val exB0 = ex0.where(!col("is_delta"))
         .select(col("id").as("doc_id"), col("shingle"))
       val rareB = exB0.groupBy("shingle").agg(count(lit(1)).as("df"))
@@ -1091,14 +1129,10 @@ object Dedup {
       val exB = exB0.join(rareB, "shingle").persist()
       val cntB = exB.groupBy("doc_id").agg(count(lit(1)).as("n"))
       val basePairs = jaccardPairs(exB, cntB)
-      val labels = graft.api.Graft.connectedComponents(basePairs,
-        "doc_a", "doc_b")
-      val out = java.nio.file.Files
-        .createTempDirectory("graft-cc-base-labels-").toString
-      labels.write.mode("overwrite").parquet(out)
+      graft.api.Graft.connectedComponents(basePairs, "doc_a", "doc_b")
+        .write.mode("overwrite").parquet(out)
       exB.unpersist()
-      out
-    })
+    }
     val baseLabels = spark.read.parquet(basePath)
     val incPairs = incrementalPairsFromExploded(ex0, JaccardTau, DfCap)
       .select("id_new", "id_old")

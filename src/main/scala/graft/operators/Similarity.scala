@@ -244,11 +244,16 @@ object Similarity {
         // skip uncommitted/hidden subtrees (_temporary/.staging/...)
         // exactly like the Spark and DuckDB table readers do — a
         // crashed write's leftover part file must not skew the
-        // centroid modulus away from the oracle's count(*)
+        // centroid modulus away from the oracle's count(*). The walk
+        // stops at the QUALIFIED store root (listing paths come back
+        // scheme-qualified; comparing against the raw root would
+        // never match, and a dotted ANCESTOR of the store — e.g. a
+        // ~/.cache corpus home — would wrongly hide every file)
+        val qRoot = fs.makeQualified(root)
         def hidden(p: org.apache.hadoop.fs.Path): Boolean = {
           var q = p.getParent
           var h = false
-          while (q != null && q != root && !h) {
+          while (q != null && q != qRoot && !h) {
             val n = q.getName
             h = n.startsWith("_") || n.startsWith(".")
             q = q.getParent

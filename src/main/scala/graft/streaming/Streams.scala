@@ -951,20 +951,23 @@ object Streams {
     if (batch.isEmpty) return
     // usable-vector filter, the #161/validateEmbeddings convention the
     // batch #164 readout states: a vector with no defined cosine
-    // (NULL / dim-mismatched / null-element / zero-norm) must not be
-    // counted — ivfIndex's max_by would otherwise fall through its
-    // all-NULL ordering to the tie field and deterministically pile
-    // every poisoned vector into the LOWEST cent_id's cell, faking
-    // skew and spuriously triggering refits. "Usable" is tested as a
-    // non-NULL cosine against the first serving centroid (centroids
-    // share one dim and are usable by construction), so the sink needs
-    // no dim parameter and cannot drift from the cosine's own rule.
+    // (NULL / dim-mismatched / zero-norm) must not be counted —
+    // ivfIndex's max_by would otherwise fall through its all-NULL
+    // ordering to the tie field and deterministically pile every
+    // poisoned vector into the LOWEST cent_id's cell, faking skew and
+    // spuriously triggering refits. Tested as a non-NULL cosine
+    // against the first serving centroid (centroids share one dim and
+    // are usable by construction) PLUS an explicit null-element
+    // check: cosine_sim reads a NULL element as 0.0 and still yields
+    // a cosine, but the batch readout's filter (!exists isNull)
+    // excludes such vectors — the reconciliation demands both.
     val cv0 = centroids.select(col("cv").cast("array<double>"))
       .head.getSeq[Double](0)
+    val v = col(vecCol).cast("array<double>")
     val usable = batch.select(col(idCol), col(vecCol))
-      .where(call_function("cosine_sim",
-        col(vecCol).cast("array<double>"),
-        array(cv0.map(lit): _*)).isNotNull)
+      .where(!exists(v, x => x.isNull) &&
+        call_function("cosine_sim", v,
+          array(cv0.map(lit): _*)).isNotNull)
     graft.api.Graft.ivfIndex(usable,
         idCol, vecCol, centroids, "cent_id", "cv")
       .groupBy("cell").agg(count(lit(1)).as("n"))
@@ -1617,12 +1620,23 @@ object Streams {
     // an empty tree carries no history to migrate, so skip it (but do
     // NOT memoize: the writer may still be filling it in)
     val hasCommitted = {
+      // a part file NESTED under _temporary/.staging is not committed
+      // either — the ancestor chain up to the (qualified) legacy root
+      // must be clean, or read.parquet will ignore the file and still
+      // throw unable-to-infer-schema
+      val qLegacy = fs.makeQualified(legacy)
+      def clean(p: org.apache.hadoop.fs.Path): Boolean = {
+        var q = p
+        while (q != null && q != qLegacy) {
+          val n = q.getName
+          if (n.startsWith("_") || n.startsWith(".")) return false
+          q = q.getParent
+        }
+        true
+      }
       val it = fs.listFiles(legacy, /*recursive=*/ true)
       var found = false
-      while (it.hasNext && !found) {
-        val p = it.next().getPath
-        found = !p.getName.startsWith("_") && !p.getName.startsWith(".")
-      }
+      while (it.hasNext && !found) found = clean(it.next().getPath)
       found
     }
     if (!hasCommitted) return

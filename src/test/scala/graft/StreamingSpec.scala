@@ -898,18 +898,25 @@ class StreamingSpec extends SparkSpec {
     val cents = graft.api.Graft.kmeansCentroids(emb, "vec_id", "v", 8, 2)
     val rows = emb.orderBy("vec_id").collect()
       .map(r => (r.getLong(0), r.getSeq[Double](1))).toIndexedSeq
-    val ms = MemoryStream[(Long, Seq[Double])]
+    // the Option encoder makes v's elements nullable, so the spec can
+    // plant the null-ELEMENT poison too (cosine_sim reads a null
+    // element as 0.0, so only the sink's explicit exists-check drops it)
+    val ms = MemoryStream[(Long, Seq[Option[Double]])]
     val q = Streams.ivfBalanceSink(ms.toDF().toDF("vec_id", "v"), cents,
       s"$base/state", s"$base/ckpt").start()
-    // poisoned vectors ride the FIRST batch: zero-norm, NULL, and
-    // dim-mismatched ingest must not be counted (the usable-vector
-    // convention the batch #164 readout states) — without the sink's
-    // filter they would all pile into the lowest cent_id's cell
+    // poisoned vectors ride the FIRST batch: zero-norm, NULL,
+    // dim-mismatched, and null-element ingest must not be counted
+    // (the usable-vector convention the batch #164 readout states) —
+    // without the sink's filter they would all pile into the lowest
+    // cent_id's cell
     val poison = Seq(
-      (900L, Seq.fill(64)(0.0)),
-      (901L, null.asInstanceOf[Seq[Double]]),
-      (902L, Seq(1.0, 2.0)))
-    val chunks = rows.grouped((rows.size + 2) / 3).toSeq
+      (900L, Seq.fill(64)(Option(0.0))),
+      (901L, null.asInstanceOf[Seq[Option[Double]]]),
+      (902L, Seq(Option(1.0), Option(2.0))),
+      (903L, Seq.fill[Option[Double]](64)(Option(1.0)).updated(3, None)))
+    val chunks = rows
+      .map { case (id, v) => (id, v.map(Option(_))) }
+      .grouped((rows.size + 2) / 3).toSeq
     try {
       chunks.zipWithIndex.foreach { case (c, i) =>
         ms.addData(if (i == 0) c ++ poison else c)
