@@ -962,10 +962,14 @@ object Graft {
     * distincts for HLL sketches — single pass, NO Expand, mergeable
     * partials, the 100 TB default. Spec-pinned to the gated
     * `q_profile_orders`; the approx flavor's plan and error bound are
-    * spec'd in GraftApiSpec/PlanSpec.
+    * spec'd in GraftApiSpec/PlanSpec. `snapshot = true` materializes
+    * the source once so the approx flavor's two scans cannot see a
+    * concurrently-rewritten table inconsistently — pass it when
+    * profiling a live table an external writer may overwrite.
     */
-  def profile(df: DataFrame, cols: Seq[String], approx: Boolean = false): DataFrame =
-    graft.operators.Profile.profile(df, cols, approx)
+  def profile(df: DataFrame, cols: Seq[String], approx: Boolean = false,
+      snapshot: Boolean = false): DataFrame =
+    graft.operators.Profile.profile(df, cols, approx, snapshot)
 
   /** Concat-and-chunk sequence packing, row-level: appends `shard`
     * (hash31(id) mod `nShards`), `pack_id` (the pack the row's first
@@ -1067,9 +1071,11 @@ object Graft {
     * stored passage scores cosine 1), probe via [[ivfQuery]], return
     * `(q_id, rank, doc_id, chunk_id, cos)` — the passage coordinates
     * a reader joins back to [[chunkPassages]] output (or the stored
-    * passage table) for the text. nprobe/k are the ivfQuery dials;
-    * cost per query batch is probes × cell size, the index side
-    * never re-assigns.
+    * passage table) for the text. A NULL-text query cannot embed and
+    * returns ONE all-NULL row (rank NULL — real hits rank ≥ 1), so
+    * every input q_id is accounted for in the output. nprobe/k are
+    * the ivfQuery dials; cost per query batch is probes × cell size,
+    * the index side never re-assigns.
     */
   def chunkQuery(index: DataFrame, centroids: DataFrame,
       queries: DataFrame, qIdCol: String, qTextCol: String,
@@ -1081,11 +1087,22 @@ object Graft {
     val q = queries.where(col(qTextCol).isNotNull)
       .select(col(qIdCol).as("q_id"),
         graft.operators.Multimodal.textTowerVec(col(qTextCol)).as("qv"))
-    ivfQuery(index, centroids, "cent_id", "cv", q, "q_id", "qv",
+    val hits = ivfQuery(index, centroids, "cent_id", "cv", q, "q_id", "qv",
         k, nprobe)
       .select(col("q_id"), col("rank"),
         col("id.doc_id").as("doc_id"), col("id.chunk_id").as("chunk_id"),
         col("cos"))
+    // …but the drop must not be SILENT (r13 ADVICE): every input q_id
+    // appears in the output — a NULL-text query comes back as ONE
+    // all-NULL row (rank NULL is the marker; real hits always rank
+    // ≥ 1), so callers joining results back per q_id can tell a
+    // boundary-filtered query from one with zero hits
+    val dropped = queries.where(col(qTextCol).isNull)
+      .select(col(qIdCol).as("q_id"))
+    val droppedRows = hits.schema.fields.filter(_.name != "q_id")
+      .foldLeft(dropped)((d, f) =>
+        d.withColumn(f.name, lit(null).cast(f.dataType)))
+    hits.unionByName(droppedRows)
   }
 
   /** Sequence transition matrix: per (previous `stateCol` → current)

@@ -468,7 +468,8 @@ object Dedup {
     * if /tmp was reaped under a very long-lived JVM).
     */
   private val labelStoreByDir =
-    new java.util.concurrent.ConcurrentHashMap[String, (Long, String)]()
+    new java.util.concurrent.ConcurrentHashMap[
+      String, (Long, java.util.concurrent.FutureTask[String])]()
 
   /** Temp store dirs awaiting JVM-exit cleanup — ONE shutdown hook
     * drains the queue (a hook per store would grow the hook list
@@ -496,31 +497,47 @@ object Dedup {
   /** Fingerprint-checked memoization shared by BOTH label stores (#43
     * whole-corpus and the incremental family's base-slice labeling):
     * one logical entry per (dir, variant), refit when the dir's
-    * content fingerprint moves, the superseded store deleted eagerly
-    * (a corpus that keeps changing must not leak one /tmp parquet
-    * store per mutation). `fit` writes the labels to the temp dir it
-    * is handed; it runs under the map's per-key lock, so concurrent
-    * callers of the same key fit once.
+    * content fingerprint moves. `fit` writes the labels to the temp
+    * dir it is handed.
+    *
+    * Two lifecycle rules, both from review (r13 ADVICE):
+    *  - The fit runs OUTSIDE the map's bin lock: `compute` only swaps
+    *    in a FutureTask (cheap), and whichever caller installed it
+    *    runs it afterwards while others block on `get` — a minutes-
+    *    long Spark fit must not stall unrelated keys sharing the
+    *    hash bin (and a same-key compute re-entry no longer throws
+    *    `recursive update`). A failed fit is evicted so the next
+    *    caller retries instead of inheriting the poison entry.
+    *  - A superseded store is NOT deleted eagerly: `clusterLabels`
+    *    hands out LAZY frames over `spark.read.parquet(oldPath)`, and
+    *    a handle obtained before the corpus changed must stay
+    *    readable after another caller triggers a refit. Every store
+    *    dir is queued for JVM-exit cleanup at creation, so deferring
+    *    deletion leaks at most one bounded temp dir per refit within
+    *    one JVM — and a refit only happens when the corpus actually
+    *    changed.
     */
   private def memoizedLabelStore(spark: SparkSession, dir: String,
       variant: String)(fit: String => Unit): String = {
     cleanupHookOnce
     val fp = corpusFingerprint(spark, dir)
     val key = if (variant.isEmpty) dir else s"$dir:$variant"
-    var stale: String = null
-    val entry = labelStoreByDir.compute(key, (_, old) => {
-      if (old != null && old._1 == fp) old
-      else {
-        if (old != null) stale = old._2
-        val out = java.nio.file.Files
-          .createTempDirectory(s"graft-cc-labels-").toString
-        labelStoreCleanup.add(out)
-        fit(out)
-        (fp, out)
-      }
+    val fresh = new java.util.concurrent.FutureTask[String](() => {
+      val out = java.nio.file.Files
+        .createTempDirectory(s"graft-cc-labels-").toString
+      labelStoreCleanup.add(out)
+      fit(out)
+      out
     })
-    if (stale != null) deleteStoreDir(stale)
-    entry._2
+    val entry = labelStoreByDir.compute(key, (_, old) =>
+      if (old != null && old._1 == fp) old else (fp, fresh))
+    if (entry._2 eq fresh) fresh.run()
+    try entry._2.get()
+    catch {
+      case e: java.util.concurrent.ExecutionException =>
+        labelStoreByDir.remove(key, entry)
+        throw e.getCause
+    }
   }
 
   /** Fingerprint of the corpus' documents store: name+len+mtime of
@@ -530,12 +547,24 @@ object Dedup {
     * repeatedly, and re-listing the store on EVERY call would turn
     * the memoization's map-lookup hot path into O(#files) LIST
     * requests per call on an object store; 60 s keeps the staleness
-    * protection at one listing per minute per dir. */
+    * protection at one listing per minute per dir. The TTL applies
+    * ONLY to object-store schemes: on a local filesystem the listing
+    * is a handful of stat calls, and skipping it would reintroduce
+    * the exact staleness window the fingerprint exists to close (a
+    * dir mutated within 60 s of the last listing silently serving
+    * labels fitted on the old corpus — r13 ADVICE). */
   private val fingerprintCache =
     new java.util.concurrent.ConcurrentHashMap[String, (Long, Long)]()
   private val FingerprintTtlMs = 60000L
 
   private def corpusFingerprint(spark: SparkSession, dir: String): Long = {
+    val localFs = try {
+      val p = new org.apache.hadoop.fs.Path(dir)
+      val scheme = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        .getUri.getScheme
+      scheme == null || scheme == "file"
+    } catch { case _: Exception => false }
+    if (localFs) return corpusFingerprintUncached(spark, dir)
     val now = System.currentTimeMillis()
     val cached = fingerprintCache.get(dir)
     if (cached != null && now - cached._2 < FingerprintTtlMs) return cached._1

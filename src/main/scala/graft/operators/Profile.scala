@@ -27,7 +27,21 @@ object Profile {
     * single aggregate row is unpivoted by `stack`, so the plan is one
     * aggregate + a constant-width projection, never a per-column scan.
     */
-  def profile(df: DataFrame, cols: Seq[String], approx: Boolean = false): DataFrame = {
+  /** `snapshot = true` pins the approx flavor's TWO scans to one
+    * materialized copy of `df` (an eager `localCheckpoint`): the
+    * split's second aggregate otherwise re-reads the source, and a
+    * table being OVERWRITTEN concurrently by an external writer can
+    * serve the two scans different files — an internally inconsistent
+    * profile (or a FileNotFound mid-query) the split cannot detect
+    * (r13 verdict nit). The gate path keeps the default `false`
+    * (immutable test corpora; the checkpoint would only add a
+    * materialization); production callers profiling a live table
+    * should pass `true`. Snapshot is a no-op for the single-pass
+    * flavors (exact/streaming/nondet — one scan is consistent by
+    * construction) and for streaming frames (cannot checkpoint).
+    */
+  def profile(df: DataFrame, cols: Seq[String], approx: Boolean = false,
+      snapshot: Boolean = false): DataFrame = {
     require(cols.nonEmpty, "profile needs at least one column")
     cols.foreach(c => require(df.columns.contains(c), s"no such column: $c"))
     // backticks in the identifier are escaped by doubling — col()
@@ -88,8 +102,11 @@ object Profile {
       val hllAggs = cols.zipWithIndex.map { case (c, i) =>
         approx_count_distinct(col(q(c))).cast("long").as(s"_nd$i")
       }
-      df.agg(count(lit(1)).as("_rows"), declAggs: _*)
-        .crossJoin(df.agg(hllAggs.head, hllAggs.tail: _*))
+      // both single-row aggregates read the SAME materialized rows
+      // when snapshot is requested — see the contract above
+      val src = if (snapshot) df.localCheckpoint(true) else df
+      src.agg(count(lit(1)).as("_rows"), declAggs: _*)
+        .crossJoin(src.agg(hllAggs.head, hllAggs.tail: _*))
     }
     // unpivot via explode-of-structs (Column API, same Generate node
     // as `stack` but with the column names carried as lit()s — no

@@ -1606,24 +1606,27 @@ object Streams {
   private val funnelFpsChecked =
     java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
 
-  private def migrateLegacyFunnelFps(
+  /** `Some(fps path)` iff the state root holds a legacy `fps/`
+    * subtree that (a) exists, (b) carries at least one COMMITTED part
+    * file, and (c) infers the FUNNEL schema (fp, cnt, min_id — no
+    * `domain`). `None` otherwise — including the not-listable /
+    * still-being-written cases the migration must also skip. Pure
+    * inspection: shared by the WRITE path (which then renames) and
+    * the READ path (which must not — r13 ADVICE: a read-only readout
+    * performing renames can race a concurrent writer sharing the
+    * state root).
+    */
+  private def legacyFunnelFps(
       spark: org.apache.spark.sql.SparkSession,
-      root: org.apache.hadoop.fs.Path): Unit = {
+      root: org.apache.hadoop.fs.Path): Option[org.apache.hadoop.fs.Path] = {
     import org.apache.hadoop.fs.Path
-    if (funnelFpsChecked.contains(root.toString)) return
     val legacy = new Path(root, "fps")
     val fs = legacy.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (!fs.exists(legacy)) { funnelFpsChecked.add(root.toString); return }
+    if (!fs.exists(legacy)) return None
     // schema inference needs at least one COMMITTED part file — a
     // crashed write can leave only _temporary/_SUCCESS droppings, and
-    // read.parquet on that throws, wedging every micro-batch retry;
-    // an empty tree carries no history to migrate, so skip it (but do
-    // NOT memoize: the writer may still be filling it in)
+    // read.parquet on that throws; an empty tree carries no history
     val hasCommitted = {
-      // a part file NESTED under _temporary/.staging is not committed
-      // either — the ancestor chain up to the (qualified) legacy root
-      // must be clean, or read.parquet will ignore the file and still
-      // throw unable-to-infer-schema
       val qLegacy = fs.makeQualified(legacy)
       def clean(p: org.apache.hadoop.fs.Path): Boolean = {
         var q = p
@@ -1639,12 +1642,54 @@ object Streams {
       while (it.hasNext && !found) found = clean(it.next().getPath)
       found
     }
-    if (!hasCommitted) return
+    if (!hasCommitted) return None
     val cols = spark.read.parquet(legacy.toString).schema.fieldNames.toSet
     val isFunnelSchema = cols.contains("fp") && cols.contains("min_id") &&
       !cols.contains("domain")
-    if (!isFunnelSchema) { // the domain sink's subtree — not ours
-      funnelFpsChecked.add(root.toString); return
+    if (isFunnelSchema) Some(legacy) else None
+  }
+
+  /** The funnel-fingerprint subtree the READ path should consume:
+    * `funnel_fps/` when present, the legacy funnel-schema `fps/` when
+    * only that exists — resolved WITHOUT renaming anything (the write
+    * path migrates; a readout must not mutate a state root it may be
+    * sharing with a live writer). The both-exist case is the same
+    * ambiguity the write path refuses, stated here read-only.
+    */
+  private def resolveFunnelFps(
+      spark: org.apache.spark.sql.SparkSession,
+      root: org.apache.hadoop.fs.Path): org.apache.hadoop.fs.Path = {
+    import org.apache.hadoop.fs.Path
+    val target = new Path(root, "funnel_fps")
+    val fs = target.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val legacy = legacyFunnelFps(spark, root)
+    if (fs.exists(target)) {
+      if (legacy.isDefined)
+        throw new IllegalStateException(
+          s"$root holds BOTH a legacy funnel 'fps/' subtree and " +
+            "'funnel_fps/' — reading either alone would under-count " +
+            "history; reconcile manually (move fps/batch=* into " +
+            "funnel_fps/ if the batch ids are disjoint, else drop " +
+            "the stale tree)")
+      target
+    } else legacy.getOrElse(target)
+  }
+
+  private def migrateLegacyFunnelFps(
+      spark: org.apache.spark.sql.SparkSession,
+      root: org.apache.hadoop.fs.Path): Unit = {
+    import org.apache.hadoop.fs.Path
+    if (funnelFpsChecked.contains(root.toString)) return
+    val legacy = new Path(root, "fps")
+    val fs = legacy.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(legacy)) { funnelFpsChecked.add(root.toString); return }
+    if (legacyFunnelFps(spark, root).isEmpty) {
+      // either still being written (not memoized: the writer may be
+      // filling it in) or the domain sink's subtree (memoized)
+      val cols = try spark.read.parquet(legacy.toString)
+        .schema.fieldNames.toSet catch { case _: Exception => Set.empty[String] }
+      if (cols.contains("domain")) funnelFpsChecked.add(root.toString)
+      return
     }
     val target = new Path(root, "funnel_fps")
     if (fs.exists(target))
@@ -1725,7 +1770,6 @@ object Streams {
       statePath: String): Option[DataFrame] = {
     import org.apache.hadoop.fs.Path
     val root = new Path(new Path(statePath).toUri.getPath)
-    migrateLegacyFunnelFps(spark, root)
     val croot = new Path(root, "counts")
     val fs = croot.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(croot)) return None
@@ -1734,7 +1778,10 @@ object Streams {
         coalesce(sum("c1"), lit(0L)).as("c1"),
         coalesce(sum("c2"), lit(0L)).as("c2"),
         coalesce(sum("c3"), lit(0L)).as("c3"))
-    val fproot = new Path(root, "funnel_fps")
+    // read path: legacy funnel-schema fps/ is consumed IN PLACE (no
+    // rename — this is a readout; only applyCurationFunnelBatch,
+    // the write path, migrates)
+    val fproot = resolveFunnelFps(spark, root)
     val canon =
       if (!fs.exists(fproot))
         spark.range(0).select(col("id").as("gmin"))

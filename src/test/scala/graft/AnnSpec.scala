@@ -279,5 +279,20 @@ class AnnSpec extends SparkSpec {
       .where(col("chunk_text") =!= col("qt"))
     assert(wrongText.count() == 0,
       "retrieved passage must carry the query's text")
+    // the boundary contract: a NULL-text query is not silently
+    // dropped — it comes back as exactly one all-NULL row (rank NULL
+    // marks it; real hits rank >= 1), so a caller joining per q_id
+    // can account for every input query
+    val withNull = qs.unionByName(
+      spark.range(1).select(lit(-7L).as("qd"),
+        lit(null).cast("string").as("qt")))
+    val hits2 = Graft.chunkQuery(idx, cents, withNull, "qd", "qt",
+      k = 1, nprobe = 8).localCheckpoint(true)
+    assert(hits2.select("q_id").distinct().count() == 4,
+      "every input q_id must appear in the output")
+    val nullRow = hits2.where(col("q_id") === -7L)
+    assert(nullRow.count() == 1 &&
+      nullRow.where(col("rank").isNull && col("cos").isNull).count() == 1,
+      "a NULL-text query must surface as one rank-NULL row")
   }
 }

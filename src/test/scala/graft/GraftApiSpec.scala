@@ -354,6 +354,26 @@ class GraftApiSpec extends SparkSpec {
     }
   }
 
+  test("profile snapshot=true survives a concurrent table rewrite") {
+    // the approx flavor scans its source TWICE (decl + HLL split);
+    // snapshot=true must pin both scans to the rows present at call
+    // time even if an external writer overwrites the table in between
+    val dir = java.nio.file.Files.createTempDirectory("graft_prof_").toString
+    spark.range(100).selectExpr("id", "id % 7 AS k")
+      .write.mode("overwrite").parquet(dir)
+    val live = spark.read.parquet(dir)
+    val prof = Graft.profile(live, Seq("id", "k"), approx = true,
+      snapshot = true) // eager checkpoint happens HERE
+    // external rewrite: different row count, different files
+    spark.range(5).selectExpr("id", "id % 2 AS k")
+      .write.mode("overwrite").parquet(dir)
+    val rows = prof.collect().map(r => r.getString(0) -> r).toMap
+    assert(rows("id").getLong(1) == 100 && rows("id").getLong(2) == 100,
+      "snapshot profile must describe the pre-rewrite table")
+    assert(rows("k").getLong(3) == 7,
+      "distincts must come from the snapshotted rows")
+  }
+
   test("saltedDistinct equals the plain per-key distinct") {
     val ev = Tables.events(spark, sf)
     val api = Graft.saltedDistinct(ev, "event_type", "user_id", salts = 8)
