@@ -569,6 +569,115 @@ object Similarity {
        |WHERE rank <= $TopK ORDER BY q_id, rank""".stripMargin
   }
 
+  /** #170 — `q_ann_recall`: recall@k of the IVF index (#31, nprobe=2)
+    * against the exact brute-force baseline (#30), as a GATED query —
+    * the ANN quality dial next to the #164 balance dial (an index can
+    * be perfectly balanced and still recall nothing; a deployment
+    * reads BOTH before trusting served neighbors). Per query: `hits`
+    * = how many of the exact top-k the IVF probe returned, `expected`
+    * = the exact top-k size, `recall` = hits/expected; plus ONE total
+    * row (`q_id = -1`, real ids are non-negative) aggregating the
+    * integer counts — so the mean recall is a single integer/integer
+    * division, bit-identical across engines (the #148 ratio rule).
+    * Previously this lived only as an AnnSpec assertion (VERDICT r13
+    * item 5); the gate makes it a driver-visible number.
+    *
+    * Scale: the two composed branches are the #30/#31 shapes
+    * unchanged (broadcast query side, linear corpus scans, no
+    * corpus shuffle); the recall join is TopK×NQueries rows. At
+    * 100 TB you run this on a SAMPLE of queries — the probe-set
+    * size is the dial, never the corpus.
+    */
+  def qAnnRecall(spark: SparkSession, dir: String): DataFrame = {
+    val exact = qAnnCosineTopk(spark, dir).select(col("q_id"), col("vec_id"))
+    val approx = annIvfWithProbes(spark, dir, nprobe = 2)
+      .select(col("q_id"), col("vec_id"), lit(1L).as("hit"))
+    val perQ = exact.join(approx, Seq("q_id", "vec_id"), "left")
+      .groupBy("q_id")
+      .agg(count(lit(1)).as("expected"),
+        coalesce(sum("hit"), lit(0L)).as("hits"))
+    def recallOf(d: DataFrame) = d.withColumn("recall",
+      when(col("expected") === 0, lit(null).cast("double"))
+        .otherwise(col("hits").cast("double") / col("expected")))
+      .select("q_id", "hits", "expected", "recall")
+    val total = perQ.agg(
+      coalesce(sum("hits"), lit(0L)).as("hits"),
+      coalesce(sum("expected"), lit(0L)).as("expected"))
+      .select(lit(-1L).as("q_id"), col("hits"), col("expected"))
+    recallOf(perQ).unionByName(recallOf(total)).orderBy("q_id")
+  }
+
+  /** SQL twin of #170 — the #30 and #31 CTE chains verbatim (each
+    * branch mirrors ITS OWN gate's vector filter: the exact baseline
+    * ranks the raw store, the IVF branch the usable slice — exactly
+    * what the composed Spark queries do), then the integer recall
+    * join + total row. */
+  val qAnnRecallSql: String = {
+    def fold(a: String, b: String) =
+      s"list_reduce(list_prepend(0.0, list_transform(range(1, ${Dim + 1}), i -> $a[i] * $b[i])), (acc, x) -> acc + x)"
+    def cos(a: String, b: String) =
+      s"${fold(a, b)} / (sqrt(${fold(a, a)}) * sqrt(${fold(b, b)}))"
+    s"""WITH eraw AS (
+       |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+       |  FROM embeddings),
+       |qraw AS (SELECT vec_id AS q_id, v AS qv FROM eraw WHERE vec_id < $NQueries),
+       |exact AS (
+       |  SELECT q_id, vec_id FROM (
+       |    SELECT q_id, vec_id,
+       |      row_number() OVER (PARTITION BY q_id
+       |        ORDER BY ${cos("qv", "v")} DESC, vec_id) AS rank
+       |    FROM qraw JOIN eraw ON vec_id <> q_id)
+       |  WHERE rank <= $TopK),
+       |e AS (
+       |  SELECT vec_id, v FROM eraw
+       |  WHERE len(v) = $Dim
+       |    AND NOT EXISTS (SELECT 1 FROM unnest(v) AS t(x) WHERE x IS NULL)
+       |    AND ${fold("v", "v")} > 0),
+       |m AS (
+       |  SELECT greatest(50, CAST(n // CAST(ceil(sqrt(n)) AS BIGINT) AS BIGINT)) AS md
+       |  FROM (SELECT CAST(count(*) AS BIGINT) AS n FROM embeddings)),
+       |cents AS (
+       |  SELECT vec_id AS cent_id, v AS cv FROM e, m
+       |  WHERE ((vec_id % md) + md) % md = 0),
+       |assigned AS (
+       |  SELECT vec_id, v, cell FROM (
+       |    SELECT e.vec_id, e.v, c.cent_id AS cell,
+       |      row_number() OVER (PARTITION BY e.vec_id
+       |        ORDER BY ${cos("c.cv", "e.v")} DESC, c.cent_id) AS ar
+       |    FROM e CROSS JOIN cents c) WHERE ar = 1),
+       |q AS (SELECT vec_id AS q_id, v AS qv FROM e WHERE vec_id < $NQueries),
+       |probes AS (
+       |  SELECT q_id, qv, cell FROM (
+       |    SELECT q.q_id, q.qv, c.cent_id AS cell,
+       |      row_number() OVER (PARTITION BY q.q_id
+       |        ORDER BY ${cos("c.cv", "q.qv")} DESC, c.cent_id) AS crank
+       |    FROM q CROSS JOIN cents c) WHERE crank <= 2),
+       |approx AS (
+       |  SELECT q_id, vec_id FROM (
+       |    SELECT p.q_id, a.vec_id,
+       |      row_number() OVER (PARTITION BY p.q_id
+       |        ORDER BY ${cos("p.qv", "a.v")} DESC, a.vec_id) AS rank
+       |    FROM probes p JOIN assigned a USING (cell)
+       |    WHERE a.vec_id <> p.q_id)
+       |  WHERE rank <= $TopK),
+       |perq AS (
+       |  SELECT x.q_id,
+       |    CAST(coalesce(sum(CASE WHEN a.vec_id IS NOT NULL THEN 1 ELSE 0 END), 0) AS BIGINT) AS hits,
+       |    CAST(count(*) AS BIGINT) AS expected
+       |  FROM exact x LEFT JOIN approx a USING (q_id, vec_id)
+       |  GROUP BY 1)
+       |SELECT q_id, hits, expected,
+       |  CAST(hits AS DOUBLE) / nullif(expected, 0) AS recall
+       |FROM perq
+       |UNION ALL
+       |SELECT CAST(-1 AS BIGINT) AS q_id,
+       |  CAST(coalesce(sum(hits), 0) AS BIGINT) AS hits,
+       |  CAST(coalesce(sum(expected), 0) AS BIGINT) AS expected,
+       |  CAST(coalesce(sum(hits), 0) AS DOUBLE) / nullif(sum(expected), 0) AS recall
+       |FROM perq
+       |ORDER BY q_id""".stripMargin
+  }
+
   /** Probe-sample rate dial for #161: purity is estimated on the
     * deterministic hash sample `vec_id % mod == 0` — the standard
     * sampled-probe estimator, and the knob that keeps the exact-KNN

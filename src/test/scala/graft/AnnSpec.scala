@@ -41,6 +41,27 @@ class AnnSpec extends SparkSpec {
     ivf.unpersist()
   }
 
+  test("q_ann_recall gates the spec's own recall number (#170)") {
+    // the gated readout must equal the intersection the older spec
+    // assertion computes by hand — one definition of recall
+    val got = SparkEntry.queries("q_ann_recall")(spark, sf).cache()
+    val per = got.where(col("q_id") >= 0)
+    assert(per.count() == 10, "one row per probe query")
+    val brute = SparkEntry.queries("q_ann_cosine_topk")(spark, sf)
+      .select("q_id", "vec_id")
+    val ivf = SparkEntry.queries("q_ann_ivf")(spark, sf)
+      .select("q_id", "vec_id")
+    val wantHits = ivf.intersect(brute).count()
+    val totalRow = got.where(col("q_id") === -1).collect()
+    assert(totalRow.length == 1)
+    assert(totalRow(0).getLong(1) == wantHits,
+      s"total hits ${totalRow(0).getLong(1)} != manual intersect $wantHits")
+    assert(totalRow(0).getLong(2) == 50)
+    val mean = totalRow(0).getDouble(3)
+    assert(mean == wantHits.toDouble / 50 && mean >= 0.3 && mean <= 1.0)
+    got.unpersist()
+  }
+
   test("IVF recall rises monotonically with nprobe and reaches 100% at all cells") {
     val brute = SparkEntry.queries("q_ann_cosine_topk")(spark, sf)
       .select("q_id", "vec_id").cache()
