@@ -138,7 +138,9 @@ object Text {
 
   /** #34 — token counting: whitespace tokens, a BPE-ish regex token
     * count (letter runs / digit runs / single punctuation), and the
-    * chars/4 approximation.
+    * chars/4 approximation. These are the CHEAP estimators (map-only,
+    * no fit); the real corpus-fitted subword count is #171
+    * ([[Bpe.qBpeTokenize]]).
     */
   def qTokenCount(spark: SparkSession, dir: String): DataFrame =
     Tables.documents(spark, dir)

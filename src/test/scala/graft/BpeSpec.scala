@@ -1,0 +1,67 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.Bpe
+
+/** #171 — the BPE tokenizer: the driver-side fit (merge table), the
+  * double-replace fixpoint rule, and the dictionary-encode plan.
+  */
+class BpeSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("learnMerges: merge-all fixpoint through the double-replace rule") {
+    // " a b a b " is the replace-overlap trap: a single left-to-right
+    // pass consumes the shared boundary space and merges only the
+    // first occurrence — the documented second pass must catch the
+    // skipped one, so the chain fully contracts over two iterations
+    val merges = Bpe.learnMerges(Seq(("abab", 2L)), n = 8)
+    assert(merges == Seq(("a", "b"), ("ab", "ab")),
+      s"got $merges — the (a,b) merge must collapse BOTH occurrences " +
+        "before the next iteration counts pairs")
+  }
+
+  test("learnMerges: deterministic (count desc, pair asc) tie-break") {
+    // (b,a) and (a,b) tie at count 1 — lexicographic pair order wins
+    val merges = Bpe.learnMerges(Seq(("ba", 1L), ("ab", 1L)), n = 1)
+    assert(merges == Seq(("a", "b")))
+  }
+
+  test("learnMerges: frequency weights beat word count") {
+    // 'zz' at freq 5 outweighs three distinct words sharing (a,t)
+    val merges = Bpe.learnMerges(
+      Seq(("zz", 5L), ("at", 1L), ("bat", 1L), ("cat", 1L)), n = 1)
+    assert(merges == Seq(("z", "z")))
+  }
+
+  test("bpeTokenize end-to-end on a planted corpus") {
+    val docs = Seq(
+      (1L, "the the cat"), // three alpha words
+      (2L, "THE cat!"),    // lowercases; 'cat!' fails the alpha gate
+      (3L, null.asInstanceOf[String]), // excluded (dirty-record rule)
+      (4L, "!!! 123"))     // visible, zero alpha words
+      .toDF("doc_id", "text")
+    // fit by hand: freq the=3 cat=1 → merges (h,e)(t,he)(a,t)(c,at)
+    // → both survivors encode to ONE token per word
+    val got = Bpe.bpeTokenize(docs).orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        if (r.isNullAt(3)) -1.0 else r.getDouble(3)))
+    assert(got.toSeq == Seq(
+      (1L, 3L, 3L, 1.0),
+      (2L, 1L, 1L, 1.0),
+      (4L, 0L, 0L, -1.0)), s"got ${got.toSeq}")
+  }
+
+  test("q_bpe_tokenize: deterministic, fertility within subword bounds") {
+    val a = SparkEntry.queries("q_bpe_tokenize")(spark, sfTiny).collect()
+    val b = SparkEntry.queries("q_bpe_tokenize")(spark, sfTiny).collect()
+    assert(a.toSeq == b.toSeq, "refit must be bit-identical")
+    assert(a.nonEmpty)
+    a.filter(_.getLong(1) > 0).foreach { r =>
+      val fert = r.getDouble(3)
+      // every word is >= 1 token (fertility >= 1); merges only ever
+      // SHRINK a word's char-grain segmentation
+      assert(fert >= 1.0, s"doc ${r.getLong(0)}: fertility $fert < 1")
+      assert(r.getLong(2) >= r.getLong(1))
+    }
+  }
+}
