@@ -493,26 +493,77 @@ object Streams {
     * [[graft.operators.Corpus.chunkRows]] (stateless generator; the
     * event-time column rides through the explode, which is what lets
     * the chunk rows watermark), fingerprint each chunk with the
-    * SHARED #25 content normalization, then the #44
-    * watermark-bounded first-arrival drop keyed on the chunk
-    * fingerprint. Emits the SURVIVING chunk rows — what flows on to
-    * an index writer ([[graft.api.Graft.chunkIndex]]'s grain).
+    * SHARED #25 content normalization, then a watermark-bounded
+    * first-arrival drop keyed on the chunk fingerprint. Emits the
+    * SURVIVING chunk rows — what flows on to an index writer
+    * ([[graft.api.Graft.chunkIndex]]'s grain).
     *
-    * Same state contract as [[dedupDocs]]: only fingerprints inside
-    * the watermark horizon are retained (ingest volume cannot grow
-    * state), far-apart duplicate passages re-admit, and the periodic
-    * batch `q_chunk_dedup` compacts them — the lambda repair. With
-    * in-order arrival the survivors equal the batch keeper set
-    * exactly (spec-pinned).
+    * The keeper is DETERMINISTIC (r13 verdict item 6): within a
+    * micro-batch a dup group's survivor is the LOWEST
+    * (`idCol`, chunk_id) — the batch #165 election rule — via keyed
+    * state (`flatMapGroupsWithState`) instead of
+    * `dropDuplicatesWithinWatermark`, whose in-batch pick is
+    * arbitrary; so with in-order arrival the stream's survivor SET
+    * equals the batch keeper set IDENTITY-exactly (spec-pinned),
+    * and a replay debug session sees the same rows batch and stream.
+    * Requires an integral id column (the corpus contract).
+    *
+    * Same state contract as [[dedupDocs]]: one timeout-carrying
+    * entry per fingerprint inside the watermark horizon (ingest
+    * volume cannot grow state), far-apart duplicate passages
+    * re-admit, and the periodic batch `q_chunk_dedup` compacts them
+    * — the lambda repair.
     */
   def dedupChunks(docs: DataFrame, window: Int, stride: Int,
       idCol: String = "doc_id", textCol: String = "text",
-      tsCol: String = "ts"): DataFrame =
-    graft.operators.Corpus.chunkRows(docs, idCol, textCol, window, stride)
+      tsCol: String = "ts"): DataFrame = {
+    val horizonMs = 3600L * 1000
+    val chunks = graft.operators.Corpus
+      .chunkRows(docs, idCol, textCol, window, stride)
       .withColumn("fp",
         md5(graft.operators.Dedup.contentNormOf(col("chunk_text"))))
       .withWatermark(tsCol, "1 hour")
-      .dropDuplicatesWithinWatermark("fp")
+    val schema = chunks.schema
+    val idIdx = schema.fieldIndex(idCol)
+    val chunkIdx = schema.fieldIndex("chunk_id")
+    val tsIdx = schema.fieldIndex(tsCol)
+    implicit val rowEnc: org.apache.spark.sql.Encoder[org.apache.spark.sql.Row] =
+      org.apache.spark.sql.Encoders.row(schema)
+    implicit val longEnc: org.apache.spark.sql.Encoder[Long] =
+      org.apache.spark.sql.Encoders.scalaLong
+    chunks
+      .groupByKey(r => r.getAs[String]("fp"))(
+        org.apache.spark.sql.Encoders.STRING)
+      .flatMapGroupsWithState[Long, org.apache.spark.sql.Row](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (_, it, state: GroupState[Long]) =>
+          if (!it.hasNext) {
+            // pure timeout wake: the horizon passed — forget the
+            // fingerprint (the dropDuplicatesWithinWatermark state
+            // contract, stated explicitly)
+            if (state.hasTimedOut) state.remove()
+            Iterator.empty
+          } else {
+            val rows = it.toVector
+            val newest = rows.iterator
+              .map(_.getAs[java.sql.Timestamp](tsIdx).getTime).max
+            // timeouts must land strictly past the watermark
+            val expire = math.max(newest + horizonMs,
+              state.getCurrentWatermarkMs() + 1)
+            if (state.exists) {
+              val e = math.max(state.get, expire)
+              state.update(e)
+              state.setTimeoutTimestamp(e)
+              Iterator.empty
+            } else {
+              state.update(expire)
+              state.setTimeoutTimestamp(expire)
+              Iterator.single(rows.minBy(r =>
+                (r.getLong(idIdx), r.getLong(chunkIdx))))
+            }
+          }
+      }
+  }
 
   /** #157's streaming twin — perceptual image dedup at INGEST: the
     * aHash computed in a per-partition decoder stage (the shared

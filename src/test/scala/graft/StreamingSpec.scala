@@ -1440,17 +1440,23 @@ class StreamingSpec extends SparkSpec {
     // consumes), plus the fingerprint
     assert(Set("doc_id", "chunk_id", "chunk_text", "fp")
       .subsetOf(got.columns.toSet))
-    // exactly one survivor per distinct passage fingerprint — the
-    // same cardinality the batch keeper set has (identity can differ
-    // within a micro-batch: dropDuplicates keeps an arbitrary member
-    // of a same-batch group, the documented at-ingest trade; the
-    // periodic batch #165 is the lambda repair)
+    // survivor IDENTITY equals the batch keeper set (r14: the keyed
+    // state picks the lowest (doc_id, chunk_id) within each
+    // micro-batch — the batch #165 election rule — so with in-order
+    // arrival stream == batch exactly, not just in cardinality)
     val batchChunks = graft.api.Graft.chunkPassages(
       Tables.documents(spark, sfTiny), "doc_id", "text", 64, 48)
     val batchDropped = graft.api.Graft.chunkDedup(
       Tables.documents(spark, sfTiny), "doc_id", "text", 64, 48)
-    assert(got.count() == batchChunks.count() - batchDropped.count(),
-      "stream survivor count must equal the batch keeper count")
+    val streamIds = got.select("doc_id", "chunk_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val batchKeepers = batchChunks.select("doc_id", "chunk_id")
+      .exceptAll(batchDropped.select("doc_id", "chunk_id")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(streamIds == batchKeepers,
+      s"stream survivors != batch keepers: " +
+        s"only-stream=${(streamIds -- batchKeepers).take(5)} " +
+        s"only-batch=${(batchKeepers -- streamIds).take(5)}")
     assert(got.select("fp").distinct().count() == got.count(),
       "two survivors shared a fingerprint inside the horizon")
   }
