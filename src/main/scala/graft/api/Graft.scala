@@ -971,6 +971,28 @@ object Graft {
       snapshot: Boolean = false): DataFrame =
     graft.operators.Profile.profile(df, cols, approx, snapshot)
 
+  /** Fit a BPE merge table on any frame's `text` column — the
+    * deterministic corpus-fitted subword tokenizer (#171/#172): top
+    * words by frequency, (count desc, pair asc) argmax merges, the
+    * double-replace application rule. The returned table is the
+    * versioned artifact a deployment ships (merges.txt); feed it to
+    * [[bpeTokenize]]-style encodes or the frozen-merge ingest twin
+    * ([[graft.streaming.Streams.bpeFertilitySink]]). Eager (one
+    * aggregate + a vocab-bounded collect).
+    */
+  def bpeLearn(docs: DataFrame): Seq[(String, String)] =
+    graft.operators.Bpe.learnFromWords(docs)
+
+  /** Per-doc subword token counts + fertility over any frame with an
+    * integral id and a text column, fitting on the same frame — the
+    * gated `q_bpe_tokenize` generalized. Encode runs on the word
+    * DICTIONARY, never the occurrence stream (scale note in
+    * [[graft.operators.Bpe.bpeTokenize]]).
+    */
+  def bpeTokenize(docs: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame =
+    graft.operators.Bpe.bpeTokenize(docs, idCol, textCol)
+
   /** Concat-and-chunk sequence packing, row-level: appends `shard`
     * (hash31(id) mod `nShards`), `pack_id` (the pack the row's first
     * token lands in — the shard's id-ordered token stream is cut

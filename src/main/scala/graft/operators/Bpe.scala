@@ -204,6 +204,99 @@ object Bpe {
     bpeTokenize(Tables.documents(spark, dir))
       .orderBy("doc_id")
 
+  /** The #148 dashboard's totals at (lang, source) grain, measured
+    * with a FROZEN merge table — the per-batch partial the streaming
+    * twin ([[graft.streaming.Streams.bpeFertilitySink]]) lands:
+    * `(lang, source, docs, alpha_words, bpe_tokens)`, all integers,
+    * ADDITIVE under any corpus split (merges are frozen inputs, so
+    * nothing depends on arrival order — the #128/#156 histogram
+    * rule). Encode rides the per-slice word DICTIONARY exactly like
+    * [[bpeTokenize]]; `docs` counts every non-null-text row of the
+    * stratum.
+    */
+  private[graft] def bpeFertilityTotals(df: DataFrame,
+      merges: Seq[(String, String)]): DataFrame = {
+    val base = df.where(col("text").isNotNull)
+    val dw = base
+      .select(col("lang"), col("source"),
+        explode(alphaWords(col("text"))).as("w"))
+      .groupBy("lang", "source", "w").agg(count(lit(1)).as("cnt"))
+    val dictTok = dw.select("w").distinct()
+      .select(col("w"), encodeCount(col("w"), merges).cast("long").as("tok"))
+    val wordSide = dw.join(dictTok, "w")
+      .groupBy("lang", "source")
+      .agg(sum("cnt").as("aw"), sum(col("cnt") * col("tok")).as("bt"))
+    base.groupBy("lang", "source").agg(count(lit(1)).as("docs"))
+      .join(wordSide, Seq("lang", "source"), "left")
+      .select(col("lang"), col("source"), col("docs"),
+        coalesce(col("aw"), lit(0L)).as("alpha_words"),
+        coalesce(col("bt"), lit(0L)).as("bpe_tokens"))
+  }
+
+  /** The ratio tail over (possibly folded) totals — shared by the
+    * batch readout and the streaming fold so they cannot drift. */
+  private[graft] def bpeFertilityFromTotals(totals: DataFrame): DataFrame =
+    totals.select(col("lang"), col("source"), col("docs"),
+      col("alpha_words"), col("bpe_tokens"),
+      when(col("alpha_words") === 0, lit(null).cast("double"))
+        .otherwise(col("bpe_tokens").cast("double") / col("alpha_words"))
+        .as("fertility"))
+
+  /** #172 — `q_bpe_vocab`: the fitted MERGE TABLE itself as a gated
+    * query — `(rank, left, right, merged)`, the artifact a tokenizer
+    * ships (merges.txt in every BPE distribution) and the thing a
+    * reviewer audits when token counts look wrong. Hash-gating it
+    * pins the FIT (tie-breaks, weighting, the double-replace rule)
+    * independently of the encode: #171 could mask a fit bug with a
+    * compensating encode bug; this cannot. Same one-scan fit as
+    * #171; output is [[Merges]] rows.
+    */
+  def qBpeVocab(spark: SparkSession, dir: String): DataFrame = {
+    val merges = learnFromCorpus(spark, dir)
+    val spark2 = spark
+    import spark2.implicits._
+    merges.zipWithIndex
+      .map { case ((a, b), r) => (r.toLong, a, b, a + b) }
+      .toDF("rank", "left", "right", "merged")
+      .orderBy("rank")
+  }
+
+  /** SQL twin of #172 — the same unrolled learning stages as #171's
+    * oracle, reading out the merge rows instead of encoding. */
+  val qBpeVocabSql: String = {
+    val stages = (0 until Merges).map { i =>
+      s"""pc$i AS MATERIALIZED (
+         |  SELECT z[1] AS a, z[2] AS b, sum(freq) AS c
+         |  FROM (SELECT freq, unnest(list_zip(l, l[2:])) AS z
+         |        FROM (SELECT freq, list_filter(string_split(seg, ' '), s -> s <> '') AS l
+         |              FROM s$i))
+         |  WHERE z[2] IS NOT NULL GROUP BY 1, 2),
+         |b$i AS MATERIALIZED (SELECT a, b FROM pc$i ORDER BY c DESC, a, b LIMIT 1),
+         |s${i + 1} AS MATERIALIZED (
+         |  SELECT w, freq, replace(replace(seg,
+         |    coalesce((SELECT ' ' || a || ' ' || b || ' ' FROM b$i), chr(1)),
+         |    coalesce((SELECT ' ' || a || b || ' ' FROM b$i), chr(1))),
+         |    coalesce((SELECT ' ' || a || ' ' || b || ' ' FROM b$i), chr(1)),
+         |    coalesce((SELECT ' ' || a || b || ' ' FROM b$i), chr(1))) AS seg
+         |  FROM s$i)""".stripMargin
+    }
+    val mergeRows = (0 until Merges)
+      .map(i => s"SELECT $i AS r, a, b FROM b$i").mkString(" UNION ALL ")
+    s"""WITH w0 AS (
+       |  SELECT w, CAST(count(*) AS BIGINT) AS freq FROM (
+       |    SELECT unnest(list_filter(string_split(lower(text), ' '),
+       |      x -> regexp_full_match(x, '[a-z]+'))) AS w
+       |    FROM documents WHERE text IS NOT NULL)
+       |  GROUP BY 1),
+       |v AS (SELECT w, freq FROM w0 ORDER BY freq DESC, w LIMIT $Vocab),
+       |s0 AS MATERIALIZED (SELECT w, freq,
+       |  ' ' || array_to_string(string_split(w, ''), ' ') || ' ' AS seg FROM v),
+       |${stages.mkString(",\n")}
+       |SELECT CAST(r AS BIGINT) AS rank, a AS "left", b AS "right",
+       |  a || b AS merged
+       |FROM ($mergeRows) ORDER BY rank""".stripMargin
+  }
+
   /** SQL twin of #171: the learning loop UNROLLED as [[Merges]]
     * materialized CTE stages (pair-count → argmax → double-replace),
     * then the same fold per document — DuckDB replays the ENTIRE

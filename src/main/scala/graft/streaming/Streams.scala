@@ -1967,6 +1967,62 @@ object Streams {
           sum("bpe_tokens").as("bpe_tokens"))))
   }
 
+  /** #173 — `stream_bpe_fertility` / `bpeFertilitySink`: the REAL-
+    * tokenizer fertility dashboard maintained at ingest, with a
+    * FROZEN merge table — the #130 frozen-model pattern applied to
+    * #171: merges are fit OFFLINE (batch
+    * [[graft.operators.Bpe.learnFromCorpus]], the thing a deployment
+    * versions and ships) and serving encodes against them without
+    * refitting, so ingest and the periodic batch readout can never
+    * disagree about what a token is. Per batch ONE (lang, source)
+    * integer partial — docs, alpha words, REAL subword tokens —
+    * lands replay-safely under `bpe_fert/batch=<id>`;
+    * [[bpeFertilityState]] sums the partials (integer-additive under
+    * ANY batch split, because the frozen merges make the encode a
+    * pure per-word function) and applies the SHARED ratio tail —
+    * the fold equals the one-shot batch aggregate EXACTLY, no
+    * provisional caveat. Per-batch cost: the batch's own word
+    * dictionary encode (dictionary-sized, never occurrence-sized);
+    * state is |langs|·|sources| rows per batch.
+    */
+  def bpeFertilitySink(docs: DataFrame,
+      merges: Seq[(String, String)], statePath: String,
+      checkpointDir: String)
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    docs.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        applyBpeFertilityBatch(batch, batchId, statePath, merges)
+      }
+
+  /** One partial step of [[bpeFertilitySink]]. */
+  private[graft] def applyBpeFertilityBatch(batch: DataFrame,
+      batchId: Long, statePath: String,
+      merges: Seq[(String, String)]): Unit = {
+    import org.apache.hadoop.fs.Path
+    val root = new Path(new Path(statePath).toUri.getPath)
+    graft.operators.Bpe.bpeFertilityTotals(batch, merges)
+      .write.mode("overwrite")
+      .parquet(new Path(root, s"bpe_fert/batch=$batchId").toString)
+  }
+
+  /** The frozen-merge fertility dashboard over everything delivered —
+    * EXACTLY the batch aggregate on the union. None before any batch.
+    */
+  def bpeFertilityState(spark: org.apache.spark.sql.SparkSession,
+      statePath: String): Option[DataFrame] = {
+    import org.apache.hadoop.fs.Path
+    val froot = new Path(new Path(statePath).toUri.getPath, "bpe_fert")
+    val fs = froot.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(froot)) return None
+    Some(graft.operators.Bpe.bpeFertilityFromTotals(
+      spark.read.parquet(froot.toString)
+        .groupBy("lang", "source")
+        .agg(sum("docs").as("docs"),
+          sum("alpha_words").as("alpha_words"),
+          sum("bpe_tokens").as("bpe_tokens"))))
+  }
+
   /** The labeling after the last completed batch, if any. */
   def dupClusterState(spark: org.apache.spark.sql.SparkSession,
       statePath: String): Option[DataFrame] = {

@@ -354,6 +354,15 @@ class GraftApiSpec extends SparkSpec {
     }
   }
 
+  test("bpeTokenize facade reproduces the gated q_bpe_tokenize; bpeLearn pins the vocab query") {
+    same(Graft.bpeTokenize(Tables.documents(spark, sf)).orderBy("doc_id"),
+      SparkEntry.queries("q_bpe_tokenize")(spark, sf), "bpe facade")
+    val merges = Graft.bpeLearn(Tables.documents(spark, sf))
+    val vocabRows = SparkEntry.queries("q_bpe_vocab")(spark, sf)
+      .collect().map(r => (r.getString(1), r.getString(2))).toSeq
+    assert(merges == vocabRows, "facade fit != gated merge table")
+  }
+
   test("profile snapshot=true survives a concurrent table rewrite") {
     // the approx flavor scans its source TWICE (decl + HLL split);
     // snapshot=true must pin both scans to the rows present at call

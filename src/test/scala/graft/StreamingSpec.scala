@@ -664,6 +664,43 @@ class StreamingSpec extends SparkSpec {
     assert(Streams.tokenFertilityState(spark, s"$base/none").isEmpty)
   }
 
+  test("stream_bpe_fertility: frozen-merge fold equals the batch aggregate exactly") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val base = java.nio.file.Files.createTempDirectory("graft_bpef_").toString
+    // merges fit OFFLINE on the full corpus (the versioned artifact a
+    // deployment ships), then FROZEN for ingest — the #130 pattern
+    val merges = graft.operators.Bpe.learnFromCorpus(spark, sfTiny)
+    assert(merges.nonEmpty)
+    val docsDf = Tables.documents(spark, sfTiny)
+      .select("doc_id", "text", "lang", "source")
+    val want = graft.operators.Bpe.bpeFertilityFromTotals(
+      graft.operators.Bpe.bpeFertilityTotals(docsDf, merges))
+      .collect().toSet
+    assert(want.nonEmpty)
+    val rows = docsDf.collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getString(3)))
+      .toIndexedSeq
+    val ms = MemoryStream[(Long, String, String, String)]
+    val q = Streams.bpeFertilitySink(
+      ms.toDF().toDF("doc_id", "text", "lang", "source"), merges,
+      s"$base/state", s"$base/ckpt").start()
+    val chunks = rows.grouped((rows.size + 2) / 3).toSeq
+    try {
+      chunks.foreach { c => ms.addData(c); q.processAllAvailable() }
+    } finally q.stop()
+    val got = Streams.bpeFertilityState(spark, s"$base/state").get
+    assert(got.collect().toSet == want,
+      "frozen-merge fold != the one-shot batch aggregate")
+    // replay-safety: overwriting a batch partial is a fixpoint
+    Streams.applyBpeFertilityBatch(
+      chunks.head.toDF("doc_id", "text", "lang", "source"), 0L,
+      s"$base/state", merges)
+    assert(Streams.bpeFertilityState(spark, s"$base/state").get
+      .collect().toSet == want, "replaying batch 0 mutated the readout")
+    assert(Streams.bpeFertilityState(spark, s"$base/none").isEmpty)
+  }
+
   test("stream_mix_plan: folded totals equal the batch plan exactly") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
