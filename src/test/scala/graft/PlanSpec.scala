@@ -116,6 +116,28 @@ class PlanSpec extends SparkSpec {
       s"contamination degenerated to an all-pairs shape:\n$p")
   }
 
+  test("BPE tokenize encodes the dictionary: broadcast joins, text pruned at the scan") {
+    val p = plan("q_bpe_tokenize")
+    assert(!p.contains("CartesianProduct"))
+    // dictionary→counts and perDoc→docs rejoins both broadcast the
+    // contracted side; the corpus-sized word stream never sort-merges
+    val broadcasts = "BroadcastHashJoin".r.findAllIn(p).size
+    assert(broadcasts >= 2, s"expected >=2 broadcast joins:\n$p")
+    assert(p.contains("PushedFilters: [IsNotNull(text)]"),
+      s"text non-null filter must reach the parquet scan:\n$p")
+  }
+
+  test("ANN recall composes the gate shapes: query side broadcasts, top-k prunes map-side") {
+    val p = plan("q_ann_recall")
+    assert(!p.contains("CartesianProduct"))
+    // both branches broadcast their bounded side (probe queries /
+    // centroids) against a LINEAR corpus scan
+    assert(p.contains("BroadcastNestedLoopJoin BuildRight") ||
+      p.contains("BroadcastHashJoin"), s"bounded side must broadcast:\n$p")
+    assert(p.contains("WindowGroupLimit"),
+      s"per-query top-k must prune before the exchange:\n$p")
+  }
+
   test("no registered query degenerates to CartesianProduct") {
     SparkEntry.queries.keys.foreach { q =>
       val p = plan(q)
