@@ -17,6 +17,7 @@ Exit 0 iff every test in every suite passed.
 """
 import glob
 import json
+import os
 import sys
 import xml.etree.ElementTree as ET
 
@@ -24,6 +25,19 @@ round_n = int(sys.argv[1]) if len(sys.argv) > 1 else 0
 files = sorted(glob.glob("target/test-reports/*.xml"))
 if not files:
     sys.exit("no XML under target/test-reports — run `sbt test` first")
+
+# sbt overwrites per-suite XML but never deletes reports of suites
+# that no longer exist (a removed/renamed spec, a scratch suite) —
+# drop any report whose suite class is gone from the compiled test
+# classes, or the artifact counts ghosts
+def suite_exists(xml_path):
+    cls = os.path.basename(xml_path).removeprefix("TEST-").removesuffix(".xml")
+    return os.path.exists(
+        "target/scala-2.13/test-classes/" + cls.replace(".", "/") + ".class")
+stale = [f for f in files if not suite_exists(f)]
+for f in stale:
+    print("skipping stale report (suite no longer exists):", f, file=sys.stderr)
+files = [f for f in files if suite_exists(f)]
 
 suites = {}
 total = passed = failed = 0
