@@ -187,7 +187,13 @@ object Bpe {
       .groupBy("doc_id")
       .agg(sum("cnt").as("aw"),
         sum(col("cnt") * col("tok")).as("bt"))
-    base.select(col(idCol).as("doc_id"))
+    // the per-doc READOUT needs a usable id (the join-back key); a
+    // null-id doc still contributes its words to the dictionary and
+    // the fit above, but has no per-doc row — stated identically in
+    // the oracle. Ids must be UNIQUE (the packAssign contract): a
+    // duplicated id would fan the summed counts out to every copy.
+    base.where(col(idCol).isNotNull)
+      .select(col(idCol).as("doc_id"))
       .join(perDoc, Seq("doc_id"), "left")
       .select(col("doc_id"),
         coalesce(col("aw"), lit(0L)).as("alpha_words"),
@@ -340,7 +346,8 @@ object Bpe {
        |docw AS (
        |  SELECT doc_id, list_filter(string_split(lower(text), ' '),
        |    x -> regexp_full_match(x, '[a-z]+')) AS ws, ml
-       |  FROM documents CROSS JOIN mlist WHERE text IS NOT NULL),
+       |  FROM documents CROSS JOIN mlist
+       |  WHERE text IS NOT NULL AND doc_id IS NOT NULL),
        |enc AS (
        |  SELECT doc_id, CAST(len(ws) AS BIGINT) AS alpha_words,
        |    CAST(coalesce(list_sum(list_transform(ws, w ->

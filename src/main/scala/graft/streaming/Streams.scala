@@ -520,6 +520,10 @@ object Streams {
     val horizonMs = 3600L * 1000
     val chunks = graft.operators.Corpus
       .chunkRows(docs, idCol, textCol, window, stride)
+      // dirty-record rule at the state boundary: a null event time
+      // can neither watermark nor expire (the keeper fold below
+      // reads .getTime) — drop it here, stated, not with an NPE
+      .where(col(tsCol).isNotNull)
       .withColumn("fp",
         md5(graft.operators.Dedup.contentNormOf(col("chunk_text"))))
       .withWatermark(tsCol, "1 hour")

@@ -64,8 +64,12 @@ REBASED = {
     # n/50 cells (assignment n²/50 — 142x at a 16x corpus) to ~sqrt(n)
     # cells; round 12: the hash-gate graduation added the usable-vector
     # filter (poison immunity is part of the new contract) — earlier
-    # captures timed the unfiltered pipeline
-    "q_ann_ivf": ("probe_r12",),
+    # captures timed the unfiltered pipeline. r13/r14 captures are
+    # post-change and belong in the pool (VERDICT r13 item 2: the
+    # prefix list previously stopped at probe_r12, leaving the pin on
+    # a single run)
+    "q_ann_ivf": ("probe_r12", "baseline_r13", "probe_r13",
+                  "baseline_r14", "probe_r14"),
     # round 11: the repetition battery moved from the staged-HOF form
     # (r11a-c timed it, with the round-robin gate-file spread) to the
     # compiled GopherRepMeasures expression — ~3x faster and spread-free
