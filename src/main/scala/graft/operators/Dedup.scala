@@ -411,6 +411,134 @@ object Dedup {
        |  AND inter * $ContainmentDen >= $ContainmentNum * least(ca.n, cb.n)
        |ORDER BY doc_a, doc_b""".stripMargin
 
+  /** Winnowing dials (#176): char-k-gram width, winnow window (the
+    * guarantee: any shared substring of length ≥ K + W − 1 = 31 chars
+    * surfaces at least one shared fingerprint — Schleimer et al.
+    * 2003's (K+W−1, K) correctness property), acceptance τ over the
+    * winnowed sets, and the #47-style df cap bounding hub-fingerprint
+    * fan-out. W drives the sketch density (~2/(W+1) of the k-gram
+    * stream): W=16 keeps ~12% — document near-dup wants a sparse
+    * sketch and a long guarantee run, unlike MOSS's short-match code
+    * plagiarism dials; the candidate-join input shrinks linearly
+    * with it.
+    */
+  private[graft] val WinnowK = 16
+  private[graft] val WinnowW = 16
+  private val WinnowTau = 0.5
+  private val WinnowDfCap = 64L
+
+  /** Winnowed fingerprint sets per doc: normalize (the #25/#35 rule),
+    * then one codegen'd [[graft.functions.WinnowFps]] pass — hash every
+    * char K-gram with the #35 rolling polynomial (31-base mod 1e9+7 —
+    * already oracle-proven) over Unicode code points, keep the MINIMUM
+    * hash of each W-window of consecutive k-gram hashes, distinct.
+    * Map-side, no explode; the winnowed set is ~2/(W+1) of the k-gram
+    * stream (the paper's expected density), so the exploded join input
+    * is a fraction of the #26 shingle grain. (An earlier higher-order
+    * `transform`/`aggregate` formulation of the same math was ~100×
+    * slower: Catalyst interprets HOF lambdas element-by-element with
+    * boxing — never put a per-character loop in one.)
+    */
+  private def winnowedFps(spark: SparkSession, df: DataFrame): DataFrame = {
+    graft.functions.WinnowFps.register(spark)
+    df.withColumn("norm",
+        trim(regexp_replace(lower(col("text")), " +", " ")))
+      .select(col("doc_id"),
+        expr(s"winnow_fps(norm, $WinnowK, $WinnowW)").as("fps"))
+  }
+
+  /** #176 — `q_dedup_winnow`: WINNOWING fingerprint near-dup
+    * (Schleimer/Wilkerson/Aiken, SIGMOD 2003 — the MOSS detector).
+    * Character-grain and position-robust where the #26 word-shingle
+    * family is token-grain: any shared run of ≥ K+W−1 = 31 characters
+    * is guaranteed to leave a shared fingerprint, so reformatted /
+    * re-tokenized copies that word-3-gram Jaccard can miss still
+    * collide, while the per-doc sketch stays ~2/(W+1) of the k-gram
+    * stream — the compile-once sketch MOSS serves millions of
+    * submissions with. Pairs sharing winnowed fingerprints are
+    * candidates (the one shuffle, on the fingerprint key, under the
+    * #47 df≤64 hub cap); acceptance is Jaccard ≥ τ over the winnowed
+    * sets — integer counts, one double division, bit-identical to the
+    * oracle.
+    *
+    * Scale: fingerprinting is map-only higher-order array code (no
+    * explode before the candidate join); the join input is the
+    * winnowed grain (~12% of k-grams at W=16), df-capped so one
+    * boilerplate fingerprint cannot square. The 100 TB posture is
+    * exactly #47's: one keyed shuffle, fan-out bounded at df² per
+    * fingerprint.
+    */
+  def qDedupWinnow(spark: SparkSession, dir: String): DataFrame = {
+    val fps = winnowedFps(spark, Tables.documents(spark, dir))
+    val ex = fps.select(col("doc_id"), explode(col("fps")).as("fp"))
+    val rare = ex.groupBy("fp").agg(count(lit(1)).as("df"))
+      .where(col("df") <= WinnowDfCap)
+      .select("fp")
+    // persisted for the same reason as #47: both sides of the candidate
+    // self-join AND the per-doc count consume this frame; uncached,
+    // each would re-run the sketch explode and the df aggregation.
+    // (Deliberately NOT unpersisted here — the frame is lazy and the
+    // query executes after this method returns; an eager unpersist
+    // would silently void the cache, tripling the work.)
+    val exRare = ex.join(rare, "fp").persist()
+    val cnt = exRare.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    val a = exRare.select(col("doc_id").as("doc_a"), col("fp"))
+    val b = exRare.select(col("doc_id").as("doc_b"), col("fp"))
+    val inter = a.join(b, "fp")
+      .where(col("doc_a") < col("doc_b"))
+      .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("shared"))
+    inter
+      .join(cnt.select(col("doc_id").as("doc_a"), col("n").as("na")), "doc_a")
+      .join(cnt.select(col("doc_id").as("doc_b"), col("n").as("nb")), "doc_b")
+      .withColumn("jaccard",
+        col("shared").cast("double") /
+          (col("na") + col("nb") - col("shared")))
+      .where(col("jaccard") >= WinnowTau)
+      .select("doc_a", "doc_b", "shared", "jaccard")
+      .orderBy("doc_a", "doc_b")
+  }
+
+  val qDedupWinnowSql: String =
+    s"""WITH t AS (
+       |  SELECT doc_id, trim(regexp_replace(lower(text), ' +', ' ', 'g')) AS norm
+       |  FROM documents),
+       |cs AS (
+       |  SELECT doc_id,
+       |    list_transform(string_split(norm, ''), c -> CAST(ascii(c) AS BIGINT)) AS cs
+       |  FROM t),
+       |kh AS (
+       |  SELECT doc_id,
+       |    CASE WHEN len(cs) >= $WinnowK THEN
+       |      list_transform(range(1, len(cs) - ${WinnowK - 2}),
+       |        i -> list_reduce(
+       |          list_prepend(CAST(0 AS BIGINT), cs[i:i+${WinnowK - 1}]),
+       |          (acc, x) -> (acc * 31 + x) % 1000000007))
+       |    ELSE CAST([] AS BIGINT[]) END AS kh
+       |  FROM cs),
+       |fp AS (
+       |  SELECT doc_id,
+       |    CASE WHEN len(kh) >= $WinnowW THEN
+       |      list_distinct(list_transform(range(1, len(kh) - ${WinnowW - 2}),
+       |        j -> list_min(kh[j:j+${WinnowW - 1}])))
+       |    ELSE CAST([] AS BIGINT[]) END AS fps
+       |  FROM kh),
+       |ex AS (SELECT doc_id, unnest(fps) AS fp FROM fp),
+       |rare AS (SELECT fp FROM ex GROUP BY fp HAVING count(*) <= $WinnowDfCap),
+       |exr AS (SELECT doc_id, ex.fp FROM ex JOIN rare ON ex.fp = rare.fp),
+       |cnt AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n FROM exr GROUP BY doc_id),
+       |pairs AS (
+       |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       |    CAST(count(*) AS BIGINT) AS shared
+       |  FROM exr a JOIN exr b ON a.fp = b.fp AND a.doc_id < b.doc_id
+       |  GROUP BY 1, 2)
+       |SELECT doc_a, doc_b, shared,
+       |  CAST(shared AS DOUBLE) / (ca.n + cb.n - shared) AS jaccard
+       |FROM pairs
+       |JOIN cnt ca ON doc_a = ca.doc_id
+       |JOIN cnt cb ON doc_b = cb.doc_id
+       |WHERE CAST(shared AS DOUBLE) / (ca.n + cb.n - shared) >= $WinnowTau
+       |ORDER BY doc_a, doc_b""".stripMargin
+
   /** #43 — `q_dup_clusters`: connected components over the near-dup
     * graph, labeling every document that appears in at least one
     * near-dup pair with its cluster id (= min doc_id reachable) and

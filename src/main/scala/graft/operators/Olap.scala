@@ -1094,4 +1094,93 @@ object Olap {
       |WHERE l_shipdate <= TIMESTAMP '1998-09-02'
       |GROUP BY l_returnflag, l_linestatus
       |ORDER BY l_returnflag, l_linestatus""".stripMargin
+
+  /** #174 — `q_gmv_daily`: the reference's ADS/serving GMV readout
+    * (ProductStatsMapper.java:12 `select sum(order_amount) from
+    * product_stats where toYYYYMMDD(stt)=#{date}`, served by
+    * SugarController.java:24 `/api/sugar/gmv`) re-expressed over the
+    * raw fact tables, for EVERY day at once — the gate covers all
+    * values of the endpoint's `date` parameter in one frame instead
+    * of one point lookup. `stat_date` is the reference's yyyyMMdd
+    * integer key; `gmv` the discounted revenue of orders PLACED that
+    * day (order grain, the reference's order_amount roll-up).
+    *
+    * Scale: one fact-fact equi-join l⋈o on the order key (the #10
+    * shape), then a partial-aggregated contraction onto the tiny
+    * date key — days are bounded (~2.4k rows here), so the final
+    * shuffle is trivially small at any corpus size.
+    */
+  def qGmvDaily(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(spark, dir)
+      .select(col("o_orderkey"),
+        date_format(col("o_orderdate"), "yyyyMMdd").cast("int").as("stat_date"))
+    val l = Tables.lineitem(spark, dir)
+      .select(col("l_orderkey"), (dPrice * (one - dDisc)).as("rev"))
+    l.join(o, col("l_orderkey") === col("o_orderkey"))
+      .groupBy("stat_date")
+      .agg(sum(col("rev")).cast("double").as("gmv"))
+      .orderBy("stat_date")
+  }
+
+  val qGmvDailySql: String =
+    """SELECT CAST(strftime(o_orderdate, '%Y%m%d') AS INT) AS stat_date,
+      |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(4,2)) - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE) AS gmv
+      |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      |GROUP BY 1 ORDER BY 1""".stripMargin
+
+  /** #175 — `q_gmv_brand_topn`: the reference's second serving
+    * endpoint (ProductStatsMapper.java:15 `select tm_name,
+    * sum(order_amount) ... group by tm_name order by order_amount
+    * desc limit N`, SugarController.java:39 `/api/sugar/tm`) — GMV by
+    * BRAND, top-5 per day, for every day at once. `p_brand` stands in
+    * for the reference's trademark dim (its tm_name lookup is the #10
+    * dim join). Rank ties break by brand ascending so the served
+    * top-N is deterministic — the reference's bare `order by
+    * order_amount desc` leaves tie order to ClickHouse; a gated query
+    * cannot.
+    *
+    * Scale: the same single fact-fact exchange as #174 with the part
+    * dim BROADCAST onto the line side; the rank window runs on the
+    * already-contracted (day × brand) frame — thousands of rows, so
+    * the per-day sort is noise. Ranking compares the exact DECIMAL
+    * sums (cast to double only on output) so Spark and the oracle
+    * order identical values identically.
+    */
+  def qGmvBrandTopn(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val o = Tables.orders(spark, dir)
+      .select(col("o_orderkey"),
+        date_format(col("o_orderdate"), "yyyyMMdd").cast("int").as("stat_date"))
+    val p = Tables.part(spark, dir).select("p_partkey", "p_brand")
+    val l = Tables.lineitem(spark, dir)
+      .select(col("l_orderkey"), col("l_partkey"),
+        (dPrice * (one - dDisc)).as("rev"))
+    val byBrand = l.join(broadcast(p), col("l_partkey") === col("p_partkey"))
+      .join(o, col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("stat_date"), col("p_brand").as("brand"))
+      .agg(sum(col("rev")).as("gmv_d"))
+    byBrand
+      .withColumn("rn", row_number().over(Window.partitionBy("stat_date")
+        .orderBy(col("gmv_d").desc, col("brand"))))
+      .filter(col("rn") <= 5)
+      .select(col("stat_date"), col("rn"), col("brand"),
+        col("gmv_d").cast("double").as("gmv"))
+      .orderBy("stat_date", "rn")
+  }
+
+  val qGmvBrandTopnSql: String =
+    """WITH by_brand AS (
+      |  SELECT CAST(strftime(o_orderdate, '%Y%m%d') AS INT) AS stat_date,
+      |    p_brand AS brand,
+      |    SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(4,2)) - CAST(l_discount AS DECIMAL(4,2)))) AS gmv_d
+      |  FROM lineitem
+      |  JOIN part ON l_partkey = p_partkey
+      |  JOIN orders ON l_orderkey = o_orderkey
+      |  GROUP BY 1, 2)
+      |SELECT stat_date, rn, brand, CAST(gmv_d AS DOUBLE) AS gmv FROM (
+      |  SELECT stat_date, brand, gmv_d,
+      |    row_number() OVER (PARTITION BY stat_date
+      |      ORDER BY gmv_d DESC, brand) AS rn
+      |  FROM by_brand)
+      |WHERE rn <= 5 ORDER BY stat_date, rn""".stripMargin
 }

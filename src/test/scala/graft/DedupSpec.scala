@@ -272,4 +272,69 @@ class DedupSpec extends SparkSpec {
     assert(real.count() == Tables.documents(spark, sf).count())
     assert(real.where(col("retained_frac") =!= 1.0).count() == 0)
   }
+
+  test("winnowing sketch: the (k+w-1, k) guarantee, code-point grain, density") {
+    import org.apache.spark.unsafe.types.UTF8String
+    val K = Dedup.WinnowK // 16
+    val W = Dedup.WinnowW // 16
+    def fps(s: String): Set[Long] =
+      graft.functions.WinnowFps.compute(UTF8String.fromString(s), K, W)
+        .toLongArray().toSet
+    // Schleimer et al.'s correctness property: ANY shared substring of
+    // length >= k + w - 1 = 31 chars leaves at least one shared
+    // fingerprint, whatever surrounds it
+    val run = "the quick brown fox jumps over!" // exactly 31 chars
+    assert(run.length == K + W - 1)
+    assert((fps(s"xxxxyyyyzzzz$run") intersect fps(s"${run}aaabbbcccddd")).nonEmpty,
+      "a 31-char shared run must surface a shared fingerprint")
+    // below the guarantee floor the sketch is empty by construction
+    val g30 = "abcdefghijklmnopqrstuvwxyz0123" // 30 cps: m = 15 < w
+    assert(fps(g30.take(K - 1)).isEmpty, "< k code points must sketch empty")
+    assert(fps(g30).isEmpty, "k-gram stream shorter than w must sketch empty")
+    assert(fps(g30 + "4").size == 1, "exactly one window -> one fingerprint")
+    // code-point grain (what the DuckDB oracle hashes): an astral-plane
+    // char is ONE position, not a surrogate pair
+    assert(fps("💡" + g30).size == 1,
+      "astral char must count as a single code point")
+    // expected density ~ 2/(w+1) = 2/17 of the k-gram stream on
+    // non-repetitive text, loosely bounded
+    var x = 88172645463325252L
+    val txt = (1 to 2000).map { _ =>
+      x = x * 6364136223846793005L + 1442695040888963407L
+      (((x >>> 33) % 26) + 'a').toChar
+    }.mkString
+    val d = fps(txt).size.toDouble / (txt.length - K + 1)
+    assert(d > 0.06 && d < 0.24, s"winnow density off the 2/(w+1) expectation: $d")
+  }
+
+  test("winnow near-dup gate: thresholded, ordered, and planted copies recovered") {
+    import spark.implicits._
+    val out = SparkEntry.queries("q_dedup_winnow")(spark, sf)
+    assert(out.where(col("doc_a") >= col("doc_b")).count() == 0)
+    assert(out.where(col("jaccard") < 0.5).count() == 0)
+    // planted corpus: exact copy, case/whitespace variant, one-word
+    // edit, and an unrelated doc — char-grain winnowing must score the
+    // first two at exactly 1.0, catch the edit above tau, and stay
+    // silent on the stranger
+    val base = "the quick brown fox jumps over the lazy dog while " +
+      "seventy jugglers balance quartz vases on mossy logs beside " +
+      "a winding river that carries old letters toward the sea"
+    val dir = writeDocs(Seq(
+      1L -> base,
+      2L -> base,
+      3L -> ("THE QUICK BROWN  FOX " + base.drop(20).toUpperCase),
+      4L -> (base.take(80) + "never" + base.drop(85)),
+      5L -> ("completely unrelated content about compilers parsing " +
+        "abstract syntax trees into intermediate representations")))
+    val planted = SparkEntry.queries("q_dedup_winnow")(spark, dir)
+      .select("doc_a", "doc_b", "jaccard")
+      .as[(Long, Long, Double)].collect().map(r => (r._1, r._2) -> r._3).toMap
+    assert(planted.get((1L, 2L)).contains(1.0), s"exact copy not at 1.0: $planted")
+    assert(planted.get((1L, 3L)).contains(1.0),
+      s"case/whitespace variant must normalize to 1.0: $planted")
+    assert(planted.get((1L, 4L)).exists(_ >= 0.5),
+      s"one-word edit must stay above tau: $planted")
+    assert(!planted.keySet.exists(p => p._1 == 5L || p._2 == 5L),
+      s"unrelated doc must not pair: $planted")
+  }
 }

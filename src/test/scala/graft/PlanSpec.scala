@@ -253,6 +253,35 @@ class PlanSpec extends SparkSpec {
     assert(shuffles2 == 2, s"expected 2 hash exchanges, got $shuffles2:\n$p2")
   }
 
+  test("GMV serving readouts: map-side partials, broadcast dims, rank pushdown") {
+    // #174 q_gmv_daily: the date rollup must partial-aggregate before
+    // its (tiny, date-keyed) exchange — at 100 TB the map-side combine
+    // is what keeps the shuffle at days-grain, not line-grain
+    val pd = plan("q_gmv_daily")
+    assert(pd.contains("partial_sum"), s"daily GMV lost map-side combine:\n$pd")
+    assert(!pd.contains("CartesianProduct"))
+    // #175 q_gmv_brand_topn: part dim broadcasts; the per-day top-5 is
+    // computed map-side via WindowGroupLimit BEFORE the window exchange
+    // (rank pushdown), so only ≤5 rows per (day, partition) move
+    val pb = plan("q_gmv_brand_topn")
+    assert(pb.contains("BroadcastHashJoin"), s"part dim must broadcast:\n$pb")
+    assert("WindowGroupLimit".r.findAllIn(pb).size >= 2,
+      s"top-5 rank must push down (partial+final WindowGroupLimit):\n$pb")
+    assert(!pb.contains("CartesianProduct"))
+  }
+
+  test("winnow dedup: codegen'd fingerprint pass, no interpreted HOFs, no cartesian") {
+    // #176 q_dedup_winnow: the per-doc sketch must be the native
+    // winnow_fps expression (one primitive loop, codegen-forwarded) —
+    // the interpreted transform/aggregate HOF formulation of the same
+    // math was ~100x slower and must never come back
+    val p = plan("q_dedup_winnow")
+    assert(p.contains("winnow_fps"), s"native winnow_fps expression missing:\n$p")
+    assert(!p.contains("ArrayTransform") && !p.contains("ArrayAggregate"),
+      s"interpreted higher-order functions crept back into the sketch:\n$p")
+    assert(!p.contains("CartesianProduct"))
+  }
+
   test("count-distinct stats plan without Expand (order-grain pre-agg)") {
     // q_product_stats / q_province_stats pre-aggregate at order grain,
     // so the mixed distinct+non-distinct Expand (input ×2) must be gone
