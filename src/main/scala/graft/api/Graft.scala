@@ -537,6 +537,177 @@ object Graft {
       .select("q_id", "rank", "id", "cos")
   }
 
+  /** Fit per-subspace PRODUCT-QUANTIZATION codebooks (Jégou/Douze/
+    * Schmid, TPAMI 2011) — Euclidean Lloyd over each of `m` subvector
+    * slices, all subspaces fitted in ONE pass per round over an
+    * exploded `(id, subspace, subvector)` frame (never m separate
+    * corpus scans). Returns `(subspace, code, cw)`, m×k rows — the
+    * whole codebook is k×dim doubles, the only thing that ever
+    * reaches the driver (the [[kmeansCentroids]] convention).
+    *
+    * Seeds per subspace are the subvectors of the k USABLE vectors
+    * with the lowest `(xxhash64(id), id)` — the same id-decorrelated
+    * deterministic draw as [[kmeansCentroids]]. Assignment argmin uses
+    * the constant-dropped squared-L2 key ‖cw‖² − 2·(sv·cw) through the
+    * codegen'd dot_product; ties → lowest code. Mean recompute rounds
+    * summands to decimal(9,6) — exact, order-free long/decimal
+    * addition, so the fit is bit-identical under any input
+    * partitioning; loud ANSI overflow past |x| ≥ 1000 (embedding
+    * components beyond that: scale your vectors first). Empty codes
+    * keep their previous codeword.
+    *
+    * Usable = declared dim, no null/NaN elements. `dim` is declared by
+    * the caller (schema knowledge, like [[ivfQuery]]'s k) and must be
+    * divisible by m.
+    */
+  def pqCodebooks(embeddings: DataFrame, idCol: String, vecCol: String,
+      dim: Int, m: Int, k: Int, iters: Int = 5): DataFrame = {
+    require(m > 0, s"m must be positive, got $m")
+    require(dim > 0 && dim % m == 0, s"dim ($dim) must be a positive multiple of m ($m)")
+    require(k > 0, s"k must be positive, got $k")
+    require(iters >= 0, s"iters must be non-negative, got $iters")
+    val spark = embeddings.sparkSession
+    graft.functions.DotProduct.register(spark)
+    import spark.implicits._
+    val sub = dim / m
+    val e0 = usablePqVectors(embeddings, idCol, vecCol, dim)
+    val ev = explodeSubvectors(e0, m, sub).persist()
+    try {
+      var books: Map[(Int, Long), Seq[Double]] =
+        e0.orderBy(xxhash64(col("id")), col("id")).limit(k)
+          .select(col("vec")).collect().zipWithIndex.flatMap { case (r, i) =>
+            val v = r.getSeq[Double](0)
+            (0 until m).map(s => ((s, i.toLong), v.slice(s * sub, s * sub + sub)))
+          }.toMap
+      for (_ <- 0 until iters) {
+        val cb = books.toSeq.map { case ((s, c), cw) => (s, c, cw) }
+          .toDF("s", "code", "cw")
+        val means = ev.join(broadcast(cb), "s")
+          .withColumn("key",
+            call_function("dot_product", col("cw"), col("cw")) -
+              lit(2.0) * call_function("dot_product", col("sv"), col("cw")))
+          .groupBy("id", "s")
+          .agg(first(col("sv")).as("sv"),
+            min_by(col("code"), struct(col("key"), col("code"))).as("code"))
+          .select(col("s"), col("code"), posexplode(col("sv")).as(Seq("pos", "x")))
+          .groupBy("s", "code", "pos")
+          .agg(sum(col("x").cast("decimal(9,6)")).as("sm"), count(lit(1)).as("n"))
+          .groupBy("s", "code")
+          .agg(transform(array_sort(
+            collect_list(struct(col("pos"),
+              (col("sm") / col("n")).cast("double").as("mn")))),
+            t => t.getField("mn")).as("cw"))
+          .as[(Int, Long, Seq[Double])].collect()
+          .map { case (s, c, cw) => ((s, c), cw) }.toMap
+        books = books.map { case (key, cw) => (key, means.getOrElse(key, cw)) }
+      }
+      books.toSeq.map { case ((s, c), cw) => (s, c, cw) }
+        .sortBy { case (s, c, _) => (s, c) }
+        .toDF("subspace", "code", "cw")
+    } finally { ev.unpersist(); () }
+  }
+
+  /** Encode a corpus against fitted [[pqCodebooks]]: `(id, codes)`
+    * with `codes(s)` = the argmin-L2 codeword id of subvector s —
+    * the STORED form of a PQ index, m small ints per vector instead
+    * of dim doubles (~64× smaller at dim 64 / m 8; byte-packable at
+    * k ≤ 256), which is what lets the serving tier hold the whole
+    * corpus in memory. One broadcast join (the codebook is m×k rows)
+    * and one map-side-combinable aggregate chain — the corpus never
+    * joins anything its own size.
+    */
+  def pqEncode(embeddings: DataFrame, idCol: String, vecCol: String,
+      codebooks: DataFrame): DataFrame = {
+    val spark = embeddings.sparkSession
+    graft.functions.DotProduct.register(spark)
+    val (m, sub) = pqShape(codebooks)
+    val cb = codebooks.select(col("subspace").as("s"), col("code"), col("cw"))
+    val e0 = usablePqVectors(embeddings, idCol, vecCol, m * sub)
+    explodeSubvectors(e0, m, sub)
+      .join(broadcast(cb), "s")
+      .withColumn("key",
+        call_function("dot_product", col("cw"), col("cw")) -
+          lit(2.0) * call_function("dot_product", col("sv"), col("cw")))
+      .groupBy("id", "s")
+      .agg(min_by(col("code"), struct(col("key"), col("code"))).as("code"))
+      .groupBy("id")
+      .agg(transform(array_sort(collect_list(struct(col("s"), col("code")))),
+        t => t.getField("code")).as("codes"))
+  }
+
+  /** PQ top-k serving by ASYMMETRIC distance computation: queries stay
+    * full-precision; per query the m×k partial-dot table
+    * `tab(s, code) = q_sub(s) · cw(s, code)` is computed against the
+    * broadcast codebook, and each corpus vector scores as the SUM of
+    * its m table lookups — exactly `q · recon(v)`, without ever
+    * touching a corpus vector. Returns `(q_id, rank, id, adc)`, top-k
+    * per query (ties → lowest id).
+    *
+    * Scale shape: the scored side reads ONLY the [[pqEncode]] codes
+    * table; the query×codebook table broadcasts (queries × m × k
+    * rows); the per-(q, id) sum map-side-combines its m partials
+    * before the one aggregate exchange. At corpus scale compose with
+    * [[ivfIndex]] cell routing to make the scan sublinear — this
+    * method is the in-cell scorer.
+    */
+  def pqQuery(codes: DataFrame, codebooks: DataFrame, queries: DataFrame,
+      qIdCol: String, qVecCol: String, k: Int,
+      excludeSelf: Boolean = false): DataFrame = {
+    require(k > 0, s"k must be positive, got $k")
+    val spark = codes.sparkSession
+    graft.functions.DotProduct.register(spark)
+    val (m, sub) = pqShape(codebooks)
+    val q = queries.select(col(qIdCol).as("q_id"),
+      col(qVecCol).cast("array<double>").as("qv"))
+    val tab = q.crossJoin(codebooks)
+      .select(col("q_id"), col("subspace").as("s"), col("code"),
+        call_function("dot_product",
+          slice(col("qv"), col("subspace") * sub + 1, lit(sub)),
+          col("cw")).as("partial"))
+    val exploded = codes.select(col("id"),
+      posexplode(col("codes")).as(Seq("s", "code")))
+    val wTop = Window.partitionBy("q_id").orderBy(col("adc").desc, col("id"))
+    exploded
+      .join(broadcast(tab), Seq("s", "code"))
+      .where(if (excludeSelf) col("id") =!= col("q_id") else lit(true))
+      .groupBy("q_id", "id")
+      .agg(sum(col("partial")).as("adc"))
+      .withColumn("rank", row_number().over(wTop))
+      .where(col("rank") <= k)
+      .select("q_id", "rank", "id", "adc")
+  }
+
+  /** (m, subDim) of a fitted codebook frame — driver metadata reads
+    * over the m×k-row codebook only (the k-bounded convention).
+    */
+  private def pqShape(codebooks: DataFrame): (Int, Int) = {
+    val m = codebooks.agg(countDistinct(col("subspace"))).head.getLong(0).toInt
+    require(m > 0, "pq codebook frame is empty")
+    val sub = codebooks.select(size(col("cw"))).head.getInt(0)
+    (m, sub)
+  }
+
+  /** The PQ usable-vector rule: declared dim, no null/NaN elements
+    * (a NaN would poison every distance it touches; dim skew would
+    * slice garbage subvectors).
+    */
+  private def usablePqVectors(embeddings: DataFrame, idCol: String,
+      vecCol: String, dim: Int): DataFrame =
+    embeddings.select(col(idCol).as("id"),
+      col(vecCol).cast("array<double>").as("vec"))
+      .where(size(col("vec")) === dim &&
+        !exists(col("vec"), x => x.isNull || isnan(x)))
+
+  /** `(id, s, sv)` — one row per (vector, subspace), the grain both
+    * the fit and the encode assign codes at. The explode is a literal
+    * m-element array per row (no shuffle).
+    */
+  private def explodeSubvectors(e: DataFrame, m: Int, sub: Int): DataFrame =
+    e.select(col("id"), explode(array((0 until m).map(s =>
+        struct(lit(s).as("s"), slice(col("vec"), s * sub + 1, sub).as("sv"))): _*)).as("p"))
+      .select(col("id"), col("p").getField("s").as("s"),
+        col("p").getField("sv").as("sv"))
+
   /** Incremental SemDeDup verdicts (the per-ingest form of
     * `q_dedup_semantic`, #103): for a batch of NEW vectors, the drop
     * list against a STORED [[ivfIndex]] plus within-batch smaller-id

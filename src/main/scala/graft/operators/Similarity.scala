@@ -776,4 +776,169 @@ object Similarity {
        |FROM ranked WHERE rank <= $PurityK
        |GROUP BY q_label ORDER BY label""".stripMargin
   }
+
+  // --------------------------------------------------------------------
+  // Product quantization (#177/#178): the memory-bounded ANN serving
+  // path. A vector is split into PqM subvectors; each subvector is
+  // replaced by the id of its nearest codeword (argmin L2), so the
+  // stored index is PqM small ints per vector instead of Dim doubles —
+  // the 100 TB compression story (Jégou/Douze/Schmid, TPAMI 2011).
+  // Queries stay full-precision and score against the RECONSTRUCTED
+  // corpus (asymmetric distance computation). As with #31, the GATE
+  // flavor uses the deterministic seed rule (ids ≡ 0 mod ~n/√n) as the
+  // per-subspace codebook so the DuckDB oracle re-derives the whole
+  // index from scratch; the k-means-fitted serving flavor lives in
+  // [[graft.api.Graft.pqCodebooks]]/pqEncode/pqQuery.
+  // --------------------------------------------------------------------
+
+  /** Subspace count: 64 dims → 8 subvectors of 8. The code id per
+    * subspace fits a byte at k ≤ 256, so the encoded corpus is
+    * ~PqM bytes/vector — 64× smaller than the double store it ranks
+    * for, which is what lets an ANN tier hold the WHOLE index in
+    * memory at corpus sizes where the raw vectors cannot even fit on
+    * one machine's disk.
+    */
+  private[graft] val PqM = 8
+  private[graft] val PqSubDim = Dim / PqM
+
+  /** The gate PQ index: usable vectors (the #31 filter), the #31 seed
+    * rule as the per-subspace codebook, argmin squared-L2 assignment
+    * per subspace (tie → lowest seed id). Since ‖sub‖² is constant
+    * across codes, the argmin key is ‖cw‖² − 2·(sub·cw) — two
+    * codegen'd dot folds, stated identically in the oracle. Returns
+    * `(vec_id, v, recon, codes)` where `recon` is the concatenated
+    * chosen codewords (the decoded quantization) and `codes` the PqM
+    * code ids. One broadcast cross join + one map-side-combinable
+    * aggregate — the corpus never shuffles.
+    */
+  private def pqGateEncoded(spark: SparkSession, dir: String): DataFrame = {
+    val (e, cents, _) = ivfGateAssigned(spark, dir)
+    val picks = (0 until PqM).map { s =>
+      val sub = slice(col("v"), s * PqSubDim + 1, PqSubDim)
+      val cw = slice(col("cv"), s * PqSubDim + 1, PqSubDim)
+      val key = call_function("dot_product", cw, cw) -
+        lit(2.0) * call_function("dot_product", sub, cw)
+      min_by(struct(col("cent_id").as("code"), cw.as("cw")),
+        struct(key.as("k"), col("cent_id").as("t"))).as(s"p$s")
+    }
+    e.crossJoin(broadcast(cents))
+      .groupBy("vec_id")
+      .agg(first(col("v")).as("v"), picks: _*)
+      .select(col("vec_id"), col("v"),
+        concat((0 until PqM).map(s => col(s"p$s").getField("cw")): _*).as("recon"),
+        array((0 until PqM).map(s => col(s"p$s").getField("code")): _*).as("codes"))
+  }
+
+  /** #177 — `q_ann_pq`: PQ-compressed top-k ANN. Queries (full
+    * precision, the #30 query set) rank the corpus by the asymmetric
+    * inner product q·recon(v) — one codegen'd 64-wide fold per
+    * (query, vector), broadcast query side, per-query window top-k.
+    * rank ties break by vec_id; `adc` is a single fixed-order fold so
+    * it hashes bit-identically cross-engine.
+    *
+    * Scale: scoring reads the ENCODED corpus (PqM codes/vector +
+    * a broadcast codebook), never the raw vectors — linear scan like
+    * #30 but over a 64×-smaller operand; compose with the #31 cell
+    * routing for sublinear probes (the serving path's ivf+pq).
+    */
+  def qAnnPq(spark: SparkSession, dir: String): DataFrame = {
+    val (e, _, _) = ivfGateAssigned(spark, dir)
+    val q = e.where(col("vec_id") < NQueries)
+      .select(col("vec_id").as("q_id"), col("v").as("qv"))
+    val w = Window.partitionBy("q_id").orderBy(col("adc").desc, col("vec_id"))
+    pqGateEncoded(spark, dir)
+      .crossJoin(broadcast(q))
+      .where(col("vec_id") =!= col("q_id"))
+      .withColumn("adc", call_function("dot_product", col("qv"), col("recon")))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .where(col("rank") <= TopK)
+      .select("q_id", "rank", "vec_id", "adc")
+      .orderBy("q_id", "rank")
+  }
+
+  /** Shared oracle text: the usable frame, seed codebook, and the
+    * per-(vector, subspace) argmin-L2 pick — the PQ twin of the #31
+    * CTE stack. fold8 is the ascending 8-wide dot fold matching the
+    * codegen'd dot_product bit-for-bit.
+    */
+  private def pqPickedCteSql: String = {
+    def fold8(a: String, b: String) =
+      s"list_reduce(list_prepend(0.0, list_transform(range(1, ${PqSubDim + 1}), i -> $a[i] * $b[i])), (acc, x) -> acc + x)"
+    def fold64(a: String, b: String) =
+      s"list_reduce(list_prepend(0.0, list_transform(range(1, ${Dim + 1}), i -> $a[i] * $b[i])), (acc, x) -> acc + x)"
+    s"""e AS MATERIALIZED (
+       |  SELECT vec_id,
+       |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+       |  FROM embeddings
+       |  WHERE len(embedding) = $Dim
+       |    AND NOT EXISTS (SELECT 1 FROM unnest(embedding) AS t(x) WHERE x IS NULL)
+       |    AND ${fold64("v", "v")} > 0),
+       |m AS (
+       |  SELECT greatest(50, CAST(n // CAST(ceil(sqrt(n)) AS BIGINT) AS BIGINT)) AS md
+       |  FROM (SELECT CAST(count(*) AS BIGINT) AS n FROM embeddings)),
+       |cents AS MATERIALIZED (
+       |  SELECT vec_id AS cent_id, v AS cv FROM e, m
+       |  WHERE ((vec_id % md) + md) % md = 0),
+       |grid AS (
+       |  SELECT e.vec_id, c.cent_id, ss.s AS sub_s,
+       |    e.v[ss.s * $PqSubDim + 1 : ss.s * $PqSubDim + $PqSubDim] AS sv,
+       |    c.cv[ss.s * $PqSubDim + 1 : ss.s * $PqSubDim + $PqSubDim] AS cw
+       |  FROM e CROSS JOIN cents c
+       |  CROSS JOIN (SELECT unnest(range(0, $PqM)) AS s) ss),
+       |picked AS MATERIALIZED (
+       |  SELECT vec_id, sub_s, cent_id AS code, cw FROM (
+       |    SELECT vec_id, sub_s, cent_id, cw,
+       |      row_number() OVER (PARTITION BY vec_id, sub_s
+       |        ORDER BY ${fold8("cw", "cw")} - 2 * ${fold8("sv", "cw")}, cent_id) AS pr
+       |    FROM grid) WHERE pr = 1)""".stripMargin
+  }
+
+  val qAnnPqSql: String = {
+    def fold64(a: String, b: String) =
+      s"list_reduce(list_prepend(0.0, list_transform(range(1, ${Dim + 1}), i -> $a[i] * $b[i])), (acc, x) -> acc + x)"
+    s"""WITH $pqPickedCteSql,
+       |recon AS (
+       |  SELECT vec_id, flatten(list(cw ORDER BY sub_s)) AS rv
+       |  FROM picked GROUP BY vec_id),
+       |q AS (SELECT vec_id AS q_id, v AS qv FROM e WHERE vec_id < $NQueries),
+       |ranked AS (
+       |  SELECT q_id, vec_id, adc,
+       |    row_number() OVER (PARTITION BY q_id ORDER BY adc DESC, vec_id) AS rank
+       |  FROM (
+       |    SELECT q.q_id, r.vec_id, ${fold64("q.qv", "r.rv")} AS adc
+       |    FROM q JOIN recon r ON r.vec_id <> q.q_id))
+       |SELECT q_id, CAST(rank AS BIGINT) AS rank, vec_id, adc FROM ranked
+       |WHERE rank <= $TopK ORDER BY q_id, rank""".stripMargin
+  }
+
+  /** #178 — `q_pq_code_usage`: the codebook-health histogram —
+    * `(subspace, code, n_vecs, share)` per codeword of the gate PQ
+    * index, `share` one integer division by the usable-vector count.
+    * The PQ twin of the #164 IVF balance dial: dead codewords waste
+    * index bits and skewed usage means the quantizer is paying for
+    * resolution where the data isn't — the two numbers a deployment
+    * reads before trusting ADC scores. Integer counts → hash gate.
+    */
+  def qPqCodeUsage(spark: SparkSession, dir: String): DataFrame = {
+    val (e, _, _) = ivfGateAssigned(spark, dir)
+    val tot = e.agg(count(lit(1)).as("tot"))
+    pqGateEncoded(spark, dir)
+      .select(posexplode(col("codes")).as(Seq("subspace", "code")))
+      .groupBy("subspace", "code")
+      .agg(count(lit(1)).as("n_vecs"))
+      .crossJoin(tot)
+      .withColumn("share", col("n_vecs").cast("double") / col("tot"))
+      .select(col("subspace").cast("int").as("subspace"), col("code"),
+        col("n_vecs"), col("share"))
+      .orderBy("subspace", "code")
+  }
+
+  val qPqCodeUsageSql: String =
+    s"""WITH $pqPickedCteSql,
+       |tot AS (SELECT CAST(count(*) AS BIGINT) AS tot FROM e)
+       |SELECT CAST(sub_s AS INT) AS subspace, code,
+       |  CAST(count(*) AS BIGINT) AS n_vecs,
+       |  CAST(count(*) AS DOUBLE) / tot.tot AS share
+       |FROM picked, tot
+       |GROUP BY 1, 2, tot.tot ORDER BY 1, 2""".stripMargin
 }

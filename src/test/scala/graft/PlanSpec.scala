@@ -154,6 +154,20 @@ class PlanSpec extends SparkSpec {
       s"expected broadcast of the query set:\n$p")
   }
 
+  test("PQ gates: codebook and query sides broadcast, corpus never shuffle-joins") {
+    // #177/#178: the seed codebook and the 10-query set ride broadcast
+    // joins onto the corpus scan; the only exchanges are the encode
+    // aggregate and the per-query window — a corpus-sized join side
+    // would mean the compressed index is being shuffled for nothing
+    for (q <- Seq("q_ann_pq", "q_pq_code_usage")) {
+      val p = plan(q)
+      assert(p.contains("BroadcastNestedLoopJoin"),
+        s"$q: expected broadcast codebook/query joins:\n$p")
+      assert(!p.contains("SortMergeJoin") && !p.contains("ShuffledHashJoin"),
+        s"$q: corpus-sized shuffle join crept in:\n$p")
+    }
+  }
+
   test("rank top-k prunes map-side before the exchange (WindowGroupLimit)") {
     // docs/SCALING.md claims the `rank <= k` filter bounds the rank
     // shuffle to k rows per group per map task — pin the optimizer
