@@ -1044,6 +1044,75 @@ object Streams {
         .groupBy("cell").agg(sum("n").as("n_vecs"))))
   }
 
+  /** #180 — `stream_pq_usage`: the #178 PQ code-usage dial maintained
+    * while vectors ARRIVE, with a FROZEN codebook (the #130/#168
+    * frozen-artifact pattern: the codebook is a versioned fit
+    * artifact; ingest encodes against it without refitting, so ingest
+    * and the periodic batch readout cannot disagree about what a code
+    * means). Per batch ONE (subspace, code) integer contraction lands
+    * replay-safely under `usage/batch=<id>` (overwrite-by-batchId).
+    * Counts are integer-additive under ANY batch split — the frozen
+    * codebook makes the encode a pure per-vector function — so
+    * [[pqUsageState]] folds partials into EXACTLY the one-shot
+    * [[graft.api.Graft.pqEncode]] usage aggregate, `share` re-derived
+    * from the folded integers (one division, bit-identical). The fold
+    * stays ≤ m×k rows whatever the ingest volume; per-batch cost is
+    * the batch's broadcast encode. (The GATE #178 additionally applies
+    * the #31 zero-norm exclusion on top of the encode's dim/null/NaN
+    * rule — reconcile against the facade, as the spec does.)
+    */
+  def pqUsageSink(vectors: DataFrame, codebooks: DataFrame,
+      statePath: String, checkpointDir: String,
+      idCol: String = "vec_id", vecCol: String = "v")
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    vectors.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        applyPqUsageBatch(batch, batchId, codebooks, statePath,
+          idCol, vecCol)
+      }
+
+  /** One maintenance step of [[pqUsageSink]] (package-visible so the
+    * spec can drive replay directly). */
+  private[graft] def applyPqUsageBatch(batch: DataFrame, batchId: Long,
+      codebooks: DataFrame, statePath: String, idCol: String,
+      vecCol: String): Unit = {
+    import org.apache.hadoop.fs.Path
+    val root = new Path(new Path(statePath).toUri.getPath)
+    if (batch.isEmpty) return
+    // pqEncode applies the PQ usable rule (declared dim, no null/NaN
+    // element) itself — poisoned ingest simply produces no code row
+    graft.api.Graft.pqEncode(batch.select(col(idCol), col(vecCol)),
+        idCol, vecCol, codebooks)
+      .select(posexplode(col("codes")).as(Seq("subspace", "code")))
+      .groupBy("subspace", "code").agg(count(lit(1)).as("n"))
+      .write.mode("overwrite")
+      .parquet(new Path(root, s"usage/batch=$batchId").toString)
+  }
+
+  /** The usage readout after the last completed batch —
+    * column-for-column the batch `q_pq_code_usage` schema
+    * `(subspace, code, n_vecs, share)`. None before the first batch.
+    * The share denominator is the subspace-0 total: every encoded
+    * vector carries exactly one code per subspace.
+    */
+  def pqUsageState(spark: org.apache.spark.sql.SparkSession,
+      statePath: String): Option[DataFrame] = {
+    import org.apache.hadoop.fs.Path
+    val uroot = new Path(new Path(statePath).toUri.getPath, "usage")
+    val fs = uroot.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(uroot)) return None
+    val folded = spark.read.parquet(uroot.toString)
+      .groupBy("subspace", "code").agg(sum("n").as("n_vecs"))
+    val tot = folded.where(col("subspace") === 0)
+      .agg(sum("n_vecs").as("tot"))
+    Some(folded.crossJoin(tot)
+      .withColumn("share", col("n_vecs").cast("double") / col("tot"))
+      .select(col("subspace").cast("int").as("subspace"), col("code"),
+        col("n_vecs"), col("share"))
+      .orderBy("subspace", "code"))
+  }
+
   /** One ingest step of [[semanticDedupSink]] (package-visible so the
     * spec can drive replay directly).
     */

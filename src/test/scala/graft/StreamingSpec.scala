@@ -982,6 +982,69 @@ class StreamingSpec extends SparkSpec {
     assert(after == before, "replayed ingest mutated the balance")
   }
 
+  test("stream_pq_usage: folded partials equal the one-shot encode usage, replay-safe") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val base = java.nio.file.Files.createTempDirectory("graft_pqu_").toString
+    val emb = Tables.embeddings(spark, sf)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+    // the FROZEN artifact: a real k-means codebook fitted once offline
+    val books = graft.api.Graft.pqCodebooks(emb, "vec_id", "v",
+      dim = 64, m = 8, k = 8, iters = 2)
+    val rows = emb.orderBy("vec_id").collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1))).toIndexedSeq
+    val ms = MemoryStream[(Long, Seq[Option[Double]])]
+    val q = Streams.pqUsageSink(ms.toDF().toDF("vec_id", "v"), books,
+      s"$base/state", s"$base/ckpt").start()
+    // poisoned ingest (NULL vector, dim skew, null element) must not
+    // be counted — the encode's usable rule; zero-norm IS countable
+    // here (L2 quantization of the origin is legitimate — the gate's
+    // extra dot>0 rule is the IVF serving convention, not PQ's)
+    val poison = Seq(
+      (901L, null.asInstanceOf[Seq[Option[Double]]]),
+      (902L, Seq(Option(1.0), Option(2.0))),
+      (903L, Seq.fill[Option[Double]](64)(Option(1.0)).updated(3, None)))
+    val chunks = rows
+      .map { case (id, v) => (id, v.map(Option(_))) }
+      .grouped((rows.size + 2) / 3).toSeq
+    try {
+      chunks.zipWithIndex.foreach { case (c, i) =>
+        ms.addData(if (i == 0) c ++ poison else c)
+        q.processAllAvailable()
+      }
+    } finally q.stop()
+    val got = Streams.pqUsageState(spark, s"$base/state").get
+    // frozen codebook ⟹ the encode is a pure per-vector function ⟹
+    // integer partials are additive under any batch split: the fold
+    // equals the one-shot encode aggregate EXACTLY (shares divide the
+    // same integers — bit-identical doubles)
+    val enc = graft.api.Graft.pqEncode(emb, "vec_id", "v", books)
+    val cnt = enc.select(posexplode(col("codes")).as(Seq("subspace", "code")))
+      .groupBy("subspace", "code").agg(count(lit(1)).as("n_vecs"))
+    val tot = cnt.where(col("subspace") === 0).agg(sum("n_vecs").as("tot"))
+    val want = cnt.crossJoin(tot)
+      .withColumn("share", col("n_vecs").cast("double") / col("tot"))
+      .select(col("subspace").cast("int").as("subspace"), col("code"),
+        col("n_vecs"), col("share"))
+    assert(got.count() > 0)
+    assert(got.exceptAll(want).count() == 0 &&
+      want.exceptAll(got).count() == 0,
+      "maintained usage != the one-shot encode aggregate")
+    // replaying the LAST ingest (foreachBatch at-least-once) must be a
+    // fixpoint: the write overwrites its own batch partition
+    val lastId = new java.io.File(s"$base/state/usage").listFiles()
+      .map(_.getName.stripPrefix("batch=").toLong).max
+    val before = got.collect().toSet
+    Streams.applyPqUsageBatch(chunks.last.toDF("vec_id", "v"), lastId,
+      books, s"$base/state", "vec_id", "v")
+    val after = Streams.pqUsageState(spark, s"$base/state").get
+      .collect().toSet
+    assert(after == before, "replayed ingest mutated the usage")
+    // before any batch: no readout
+    assert(Streams.pqUsageState(spark,
+      java.nio.file.Files.createTempDirectory("graft_pqu_e_").toString).isEmpty)
+  }
+
   test("stream_user_jump emits via event-time timeout when a user goes silent") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
