@@ -537,6 +537,21 @@ object Graft {
       .select("q_id", "rank", "id", "cos")
   }
 
+  /** Winnowing fingerprint near-dup pairs (Schleimer/Wilkerson/Aiken
+    * 2003 — the char-grain member of the dedup family, #176): per doc
+    * one codegen'd `winnow_fps` sketch pass (rolling k-gram polynomial
+    * + w-window minima over Unicode code points, ~2/(w+1) of the
+    * k-gram stream retained), df-capped candidate join on shared
+    * fingerprints, Jaccard ≥ tau acceptance over the sketches. Any
+    * shared substring of ≥ k+w−1 normalized chars is GUARANTEED to
+    * surface a shared fingerprint — the dial to set from your minimum
+    * interesting match length. One keyed shuffle; fan-out df²-bounded.
+    */
+  def winnowPairs(docs: DataFrame, idCol: String, textCol: String,
+      k: Int = 16, w: Int = 16, tau: Double = 0.5,
+      dfCap: Long = 64L): DataFrame =
+    graft.operators.Dedup.winnowPairs(docs, idCol, textCol, k, w, tau, dfCap)
+
   /** Fit per-subspace PRODUCT-QUANTIZATION codebooks (Jégou/Douze/
     * Schmid, TPAMI 2011) — Euclidean Lloyd over each of `m` subvector
     * slices, all subspaces fitted in ONE pass per round over an
@@ -669,6 +684,79 @@ object Graft {
     val wTop = Window.partitionBy("q_id").orderBy(col("adc").desc, col("id"))
     exploded
       .join(broadcast(tab), Seq("s", "code"))
+      .where(if (excludeSelf) col("id") =!= col("q_id") else lit(true))
+      .groupBy("q_id", "id")
+      .agg(sum(col("partial")).as("adc"))
+      .withColumn("rank", row_number().over(wTop))
+      .where(col("rank") <= k)
+      .select("q_id", "rank", "id", "adc")
+  }
+
+  /** The IVFADC index (Jégou et al.'s "IVF + PQ" serving layout, the
+    * architecture FAISS ships for billion-vector search): every vector
+    * carries its coarse [[ivfIndex]] cell AND its [[pqEncode]] code
+    * ids — `(id, cell, codes)`. Built in ONE corpus pass: the cell
+    * assignment rides through the PQ encode as part of the grouping
+    * key (a struct id), so the two indexes are composed without a
+    * corpus-sized self-join. Store bucketed by `cell`
+    * ([[writeIvfIndex]]-style) and [[ivfPqQuery]] probes scan
+    * exchange-free.
+    */
+  def ivfPqIndex(embeddings: DataFrame, idCol: String, vecCol: String,
+      centroids: DataFrame, centIdCol: String, centVecCol: String,
+      codebooks: DataFrame): DataFrame = {
+    val assigned = ivfIndex(embeddings, idCol, vecCol,
+        centroids, centIdCol, centVecCol)
+      .select(struct(col("id"), col("cell")).as("idc"), col("vec"))
+    pqEncode(assigned, "idc", "vec", codebooks)
+      .select(col("id").getField("id").as("id"),
+        col("id").getField("cell").as("cell"), col("codes"))
+  }
+
+  /** IVFADC top-k serving: probe the `nprobe` nearest cells per query
+    * (broadcast centroid argmax, the [[ivfQuery]] routing), then score
+    * ONLY the probed cells' vectors by table-lookup ADC (the
+    * [[pqQuery]] math) — sublinear scan over a 64×-compressed operand,
+    * never touching a raw corpus vector. Returns
+    * `(q_id, rank, id, adc)`.
+    *
+    * Scale shape: centroids, the query probe list, and the per-query
+    * partial-dot table all broadcast; the index side is ONE scan
+    * filtered to probed cells (bucketed store ⟹ exchange-free), the m
+    * ADC partials map-side-combine before the one aggregate exchange.
+    */
+  def ivfPqQuery(index: DataFrame, centroids: DataFrame,
+      centIdCol: String, centVecCol: String, codebooks: DataFrame,
+      queries: DataFrame, qIdCol: String, qVecCol: String,
+      k: Int, nprobe: Int, excludeSelf: Boolean = false): DataFrame = {
+    require(k > 0, s"k must be positive, got $k")
+    require(nprobe > 0, s"nprobe must be positive, got $nprobe")
+    val spark = index.sparkSession
+    graft.functions.CosineSimilarity.register(spark)
+    graft.functions.DotProduct.register(spark)
+    val (_, sub) = pqShape(codebooks)
+    val q = queries.select(col(qIdCol).as("q_id"),
+      col(qVecCol).cast("array<double>").as("qv"))
+    val c = centroids.select(col(centIdCol).as("cent_id"),
+      col(centVecCol).cast("array<double>").as("cv"))
+    val wProbe = Window.partitionBy("q_id")
+      .orderBy(col("ccos").desc, col("cent_id"))
+    val probes = q.crossJoin(broadcast(c))
+      .withColumn("ccos", call_function("cosine_sim", col("cv"), col("qv")))
+      .withColumn("crank", row_number().over(wProbe))
+      .where(col("crank") <= nprobe)
+      .select(col("q_id"), col("cent_id").as("cell"))
+    val tab = q.crossJoin(codebooks)
+      .select(col("q_id"), col("subspace").as("s"), col("code"),
+        call_function("dot_product",
+          slice(col("qv"), col("subspace") * sub + 1, lit(sub)),
+          col("cw")).as("partial"))
+    val wTop = Window.partitionBy("q_id").orderBy(col("adc").desc, col("id"))
+    index
+      .join(broadcast(probes), "cell")
+      .select(col("q_id"), col("id"),
+        posexplode(col("codes")).as(Seq("s", "code")))
+      .join(broadcast(tab), Seq("q_id", "s", "code"))
       .where(if (excludeSelf) col("id") =!= col("q_id") else lit(true))
       .groupBy("q_id", "id")
       .agg(sum(col("partial")).as("adc"))

@@ -427,26 +427,6 @@ object Dedup {
   private val WinnowTau = 0.5
   private val WinnowDfCap = 64L
 
-  /** Winnowed fingerprint sets per doc: normalize (the #25/#35 rule),
-    * then one codegen'd [[graft.functions.WinnowFps]] pass — hash every
-    * char K-gram with the #35 rolling polynomial (31-base mod 1e9+7 —
-    * already oracle-proven) over Unicode code points, keep the MINIMUM
-    * hash of each W-window of consecutive k-gram hashes, distinct.
-    * Map-side, no explode; the winnowed set is ~2/(W+1) of the k-gram
-    * stream (the paper's expected density), so the exploded join input
-    * is a fraction of the #26 shingle grain. (An earlier higher-order
-    * `transform`/`aggregate` formulation of the same math was ~100×
-    * slower: Catalyst interprets HOF lambdas element-by-element with
-    * boxing — never put a per-character loop in one.)
-    */
-  private def winnowedFps(spark: SparkSession, df: DataFrame): DataFrame = {
-    graft.functions.WinnowFps.register(spark)
-    df.withColumn("norm",
-        trim(regexp_replace(lower(col("text")), " +", " ")))
-      .select(col("doc_id"),
-        expr(s"winnow_fps(norm, $WinnowK, $WinnowW)").as("fps"))
-  }
-
   /** #176 — `q_dedup_winnow`: WINNOWING fingerprint near-dup
     * (Schleimer/Wilkerson/Aiken, SIGMOD 2003 — the MOSS detector).
     * Character-grain and position-robust where the #26 word-shingle
@@ -468,11 +448,26 @@ object Dedup {
     * exactly #47's: one keyed shuffle, fan-out bounded at df² per
     * fingerprint.
     */
-  def qDedupWinnow(spark: SparkSession, dir: String): DataFrame = {
-    val fps = winnowedFps(spark, Tables.documents(spark, dir))
+  def qDedupWinnow(spark: SparkSession, dir: String): DataFrame =
+    winnowPairs(Tables.documents(spark, dir), "doc_id", "text",
+      WinnowK, WinnowW, WinnowTau, WinnowDfCap)
+
+  /** The winnow pipeline over an arbitrary frame — the gate #176 binds
+    * it to the documents table at the declared dials; the
+    * [[graft.api.Graft.winnowPairs]] facade re-exports it.
+    */
+  private[graft] def winnowPairs(docs: DataFrame, idCol: String,
+      textCol: String, k: Int, w: Int, tau: Double,
+      dfCap: Long): DataFrame = {
+    val spark = docs.sparkSession
+    graft.functions.WinnowFps.register(spark)
+    val fps = docs
+      .withColumn("norm", contentNormOf(col(textCol)))
+      .select(col(idCol).as("doc_id"),
+        expr(s"winnow_fps(norm, $k, $w)").as("fps"))
     val ex = fps.select(col("doc_id"), explode(col("fps")).as("fp"))
     val rare = ex.groupBy("fp").agg(count(lit(1)).as("df"))
-      .where(col("df") <= WinnowDfCap)
+      .where(col("df") <= dfCap)
       .select("fp")
     // persisted for the same reason as #47: both sides of the candidate
     // self-join AND the per-doc count consume this frame; uncached,
@@ -493,7 +488,7 @@ object Dedup {
       .withColumn("jaccard",
         col("shared").cast("double") /
           (col("na") + col("nb") - col("shared")))
-      .where(col("jaccard") >= WinnowTau)
+      .where(col("jaccard") >= tau)
       .select("doc_a", "doc_b", "shared", "jaccard")
       .orderBy("doc_a", "doc_b")
   }

@@ -52,6 +52,11 @@ class GraftApiSpec extends SparkSpec {
       f"IVF purity $approxPurity%.3f drifted from exact $exactPurity%.3f")
   }
 
+  test("winnowPairs reproduces q_dedup_winnow") {
+    val api = Graft.winnowPairs(Tables.documents(spark, sf), "doc_id", "text")
+    same(api, SparkEntry.queries("q_dedup_winnow")(spark, sf), "winnowPairs")
+  }
+
   test("simhashPairs reproduces q_dedup_simhash") {
     val api = Graft.simhashPairs(Tables.documents(spark, sf), "doc_id", "text")
       .select("doc_a", "doc_b", "hamming")
