@@ -911,6 +911,89 @@ object Similarity {
        |WHERE rank <= $TopK ORDER BY q_id, rank""".stripMargin
   }
 
+  /** #182 — `q_ann_pq_recall`: recall@k of the PQ gate (#177) against
+    * the exact INNER-PRODUCT top-k over the same usable universe —
+    * quantization loss isolated from filter/metric differences (ADC
+    * approximates the inner product, so the baseline ranks by the
+    * inner product; #170 plays the same role for the IVF/cosine
+    * pair). Output mirrors #170: per-query integer `hits`/`expected`
+    * plus ONE total row (`q_id = -1`) so the mean recall is a single
+    * integer division — bit-identical across engines. The
+    * quantization-quality dial next to the #178 usage dial: together
+    * they say whether the codebook is both BALANCED and FAITHFUL.
+    *
+    * Scale: both branches are broadcast-query linear scans (#30's
+    * shape); the recall join is TopK×NQueries rows. Run on a query
+    * SAMPLE at corpus scale — the probe set is the dial.
+    */
+  def qAnnPqRecall(spark: SparkSession, dir: String): DataFrame = {
+    val (e, _, _) = ivfGateAssigned(spark, dir)
+    val q = e.where(col("vec_id") < NQueries)
+      .select(col("vec_id").as("q_id"), col("v").as("qv"))
+    val w = Window.partitionBy("q_id").orderBy(col("dot").desc, col("vec_id"))
+    val exact = e.crossJoin(broadcast(q))
+      .where(col("vec_id") =!= col("q_id"))
+      .withColumn("dot", call_function("dot_product", col("qv"), col("v")))
+      .withColumn("rank", row_number().over(w))
+      .where(col("rank") <= TopK)
+      .select(col("q_id"), col("vec_id"))
+    val approx = qAnnPq(spark, dir)
+      .select(col("q_id"), col("vec_id"), lit(1L).as("hit"))
+    val perQ = exact.join(approx, Seq("q_id", "vec_id"), "left")
+      .groupBy("q_id")
+      .agg(count(lit(1)).as("expected"),
+        coalesce(sum("hit"), lit(0L)).as("hits"))
+    def recallOf(d: DataFrame) = d.withColumn("recall",
+      when(col("expected") === 0, lit(null).cast("double"))
+        .otherwise(col("hits").cast("double") / col("expected")))
+      .select("q_id", "hits", "expected", "recall")
+    val total = perQ.agg(
+      coalesce(sum("hits"), lit(0L)).as("hits"),
+      coalesce(sum("expected"), lit(0L)).as("expected"))
+      .select(lit(-1L).as("q_id"), col("hits"), col("expected"))
+    recallOf(perQ).unionByName(recallOf(total)).orderBy("q_id")
+  }
+
+  val qAnnPqRecallSql: String = {
+    def fold64(a: String, b: String) =
+      s"list_reduce(list_prepend(0.0, list_transform(range(1, ${Dim + 1}), i -> $a[i] * $b[i])), (acc, x) -> acc + x)"
+    s"""WITH $pqPickedCteSql,
+       |recon AS (
+       |  SELECT vec_id, flatten(list(cw ORDER BY sub_s)) AS rv
+       |  FROM picked GROUP BY vec_id),
+       |q AS MATERIALIZED (SELECT vec_id AS q_id, v AS qv FROM e WHERE vec_id < $NQueries),
+       |approx AS (
+       |  SELECT q_id, vec_id FROM (
+       |    SELECT q.q_id, r.vec_id,
+       |      row_number() OVER (PARTITION BY q.q_id
+       |        ORDER BY ${fold64("q.qv", "r.rv")} DESC, r.vec_id) AS rank
+       |    FROM q JOIN recon r ON r.vec_id <> q.q_id)
+       |  WHERE rank <= $TopK),
+       |exact AS (
+       |  SELECT q_id, vec_id FROM (
+       |    SELECT q.q_id, e.vec_id,
+       |      row_number() OVER (PARTITION BY q.q_id
+       |        ORDER BY ${fold64("q.qv", "e.v")} DESC, e.vec_id) AS rank
+       |    FROM q JOIN e ON e.vec_id <> q.q_id)
+       |  WHERE rank <= $TopK),
+       |perq AS (
+       |  SELECT x.q_id,
+       |    CAST(coalesce(sum(CASE WHEN a.vec_id IS NOT NULL THEN 1 ELSE 0 END), 0) AS BIGINT) AS hits,
+       |    CAST(count(*) AS BIGINT) AS expected
+       |  FROM exact x LEFT JOIN approx a USING (q_id, vec_id)
+       |  GROUP BY 1)
+       |SELECT q_id, hits, expected,
+       |  CAST(hits AS DOUBLE) / nullif(expected, 0) AS recall
+       |FROM perq
+       |UNION ALL
+       |SELECT CAST(-1 AS BIGINT) AS q_id,
+       |  CAST(coalesce(sum(hits), 0) AS BIGINT) AS hits,
+       |  CAST(coalesce(sum(expected), 0) AS BIGINT) AS expected,
+       |  CAST(coalesce(sum(hits), 0) AS DOUBLE) / nullif(sum(expected), 0) AS recall
+       |FROM perq
+       |ORDER BY q_id""".stripMargin
+  }
+
   /** #178 — `q_pq_code_usage`: the codebook-health histogram —
     * `(subspace, code, n_vecs, share)` per codeword of the gate PQ
     * index, `share` one integer division by the usable-vector count.
