@@ -552,6 +552,26 @@ object Graft {
       dfCap: Long = 64L): DataFrame =
     graft.operators.Dedup.winnowPairs(docs, idCol, textCol, k, w, tau, dfCap)
 
+  /** Winnowed-fingerprint index rows `(id, shingle)` — the char-grain
+    * twin of [[shingleIndex]], with the winnowed fingerprint standing
+    * in the `shingle` column. Structurally identical on purpose: the
+    * WHOLE stored-index machinery ([[writeShingleIndex]] bucketing,
+    * [[incrementalDedupPairsIndexed]] O(batch) ingest pairing, its
+    * df-cap) applies verbatim, giving winnowing the same incremental
+    * form the word-shingle family has — dedup an arriving batch
+    * against a bucketed fingerprint store without re-pairing the
+    * store against itself.
+    */
+  def winnowIndex(docs: DataFrame, idCol: String, textCol: String,
+      k: Int = 16, w: Int = 16): DataFrame = {
+    graft.functions.WinnowFps.register(docs.sparkSession)
+    docs
+      .withColumn("norm",
+        graft.operators.Dedup.contentNormOf(col(textCol)))
+      .select(col(idCol).as("id"),
+        explode(expr(s"winnow_fps(norm, $k, $w)")).as("shingle"))
+  }
+
   /** Fit per-subspace PRODUCT-QUANTIZATION codebooks (Jégou/Douze/
     * Schmid, TPAMI 2011) — Euclidean Lloyd over each of `m` subvector
     * slices, all subspaces fitted in ONE pass per round over an

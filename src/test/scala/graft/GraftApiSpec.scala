@@ -57,6 +57,30 @@ class GraftApiSpec extends SparkSpec {
     same(api, SparkEntry.queries("q_dedup_winnow")(spark, sf), "winnowPairs")
   }
 
+  test("winnowIndex rides the incremental machinery: ingest == batch slice") {
+    // the char-grain index reuses the word-shingle store format, so
+    // incrementalDedupPairsIndexed applies verbatim — prove the #61
+    // contract holds at char grain: pairs from (stored base + arriving
+    // delta) equal the full-corpus winnowPairs rows involving a delta
+    // doc, on disjoint id ranges
+    val docs = Tables.documents(spark, sf)
+    val splitId = 400L
+    val base = docs.where(col("doc_id") < splitId)
+    val delta = docs.where(col("doc_id") >= splitId)
+    val inc = Graft.incrementalDedupPairsIndexed(
+        Graft.winnowIndex(base, "doc_id", "text"),
+        Graft.winnowIndex(delta, "doc_id", "text"),
+        tau = 0.5, dfCap = 64)
+      .select(col("id_old").as("doc_a"), col("id_new").as("doc_b"),
+        col("inter").as("shared"), col("jaccard"))
+    val full = Graft.winnowPairs(docs, "doc_id", "text")
+      .where(col("doc_b") >= splitId)
+    assert(full.count() > 0, "split left no delta-involving pairs to check")
+    assert(inc.exceptAll(full).count() == 0 &&
+      full.exceptAll(inc).count() == 0,
+      "incremental winnow ingest drifted from the batch slice")
+  }
+
   test("simhashPairs reproduces q_dedup_simhash") {
     val api = Graft.simhashPairs(Tables.documents(spark, sf), "doc_id", "text")
       .select("doc_a", "doc_b", "hamming")
