@@ -548,8 +548,10 @@ object Graft {
     * interesting match length. One keyed shuffle; fan-out df²-bounded.
     */
   def winnowPairs(docs: DataFrame, idCol: String, textCol: String,
-      k: Int = 16, w: Int = 16, tau: Double = 0.5,
-      dfCap: Long = 64L): DataFrame =
+      k: Int = graft.operators.Dedup.WinnowK,
+      w: Int = graft.operators.Dedup.WinnowW,
+      tau: Double = graft.operators.Dedup.WinnowTau,
+      dfCap: Long = graft.operators.Dedup.WinnowDfCap): DataFrame =
     graft.operators.Dedup.winnowPairs(docs, idCol, textCol, k, w, tau, dfCap)
 
   /** Winnowed-fingerprint index rows `(id, shingle)` — the char-grain
@@ -563,7 +565,8 @@ object Graft {
     * store against itself.
     */
   def winnowIndex(docs: DataFrame, idCol: String, textCol: String,
-      k: Int = 16, w: Int = 16): DataFrame = {
+      k: Int = graft.operators.Dedup.WinnowK,
+      w: Int = graft.operators.Dedup.WinnowW): DataFrame = {
     graft.functions.WinnowFps.register(docs.sparkSession)
     docs
       .withColumn("norm",
@@ -1393,17 +1396,15 @@ object Graft {
       .select(col("q_id"), col("rank"),
         col("id.doc_id").as("doc_id"), col("id.chunk_id").as("chunk_id"),
         col("cos"))
-    // …but the drop must not be SILENT (r13 ADVICE): every input q_id
-    // appears in the output — a NULL-text query comes back as ONE
-    // all-NULL row (rank NULL is the marker; real hits always rank
-    // ≥ 1), so callers joining results back per q_id can tell a
-    // boundary-filtered query from one with zero hits
-    val dropped = queries.where(col(qTextCol).isNull)
-      .select(col(qIdCol).as("q_id"))
-    val droppedRows = hits.schema.fields.filter(_.name != "q_id")
-      .foldLeft(dropped)((d, f) =>
-        d.withColumn(f.name, lit(null).cast(f.dataType)))
-    hits.unionByName(droppedRows)
+    // …but no query may vanish SILENTLY (r13 ADVICE, tightened r14):
+    // EVERY input q_id appears in the output — a query that retrieved
+    // nothing (NULL text filtered at the boundary, or zero hits from
+    // an empty/unmatched index) comes back as ONE all-NULL row (rank
+    // NULL is the marker; real hits always rank ≥ 1). The left join
+    // covers both cases with one pass; the original union handled
+    // only the null-text flavor, so a zero-hit query still vanished.
+    queries.select(col(qIdCol).as("q_id"))
+      .join(hits, Seq("q_id"), "left")
   }
 
   /** Sequence transition matrix: per (previous `stateCol` → current)

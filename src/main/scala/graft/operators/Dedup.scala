@@ -424,8 +424,8 @@ object Dedup {
     */
   private[graft] val WinnowK = 16
   private[graft] val WinnowW = 16
-  private val WinnowTau = 0.5
-  private val WinnowDfCap = 64L
+  private[graft] val WinnowTau = 0.5
+  private[graft] val WinnowDfCap = 64L
 
   /** #176 — `q_dedup_winnow`: WINNOWING fingerprint near-dup
     * (Schleimer/Wilkerson/Aiken, SIGMOD 2003 — the MOSS detector).
@@ -590,9 +590,24 @@ object Dedup {
     * [[invalidateLabelStores]] clears the registry on demand (e.g.
     * if /tmp was reaped under a very long-lived JVM).
     */
+  /** A label-store fit with its running thread visible, so a same-key
+    * RE-ENTRANT request (a fit closure transitively asking for the
+    * labels it is itself computing) fails loudly instead of parking
+    * forever on its own FutureTask (review r14: the bin-lock rewrite
+    * traded `recursive update` for an undetectable self-deadlock).
+    */
+  private final class LabelFitTask(body: () => String)
+      extends java.util.concurrent.FutureTask[String](() => body()) {
+    @volatile var runner: Thread = _
+    override def run(): Unit = {
+      runner = Thread.currentThread()
+      try super.run() finally runner = null
+    }
+  }
+
   private val labelStoreByDir =
     new java.util.concurrent.ConcurrentHashMap[
-      String, (Long, java.util.concurrent.FutureTask[String])]()
+      String, (Long, LabelFitTask)]()
 
   /** Temp store dirs awaiting JVM-exit cleanup — ONE shutdown hook
     * drains the queue (a hook per store would grow the hook list
@@ -628,9 +643,12 @@ object Dedup {
     *    in a FutureTask (cheap), and whichever caller installed it
     *    runs it afterwards while others block on `get` — a minutes-
     *    long Spark fit must not stall unrelated keys sharing the
-    *    hash bin (and a same-key compute re-entry no longer throws
-    *    `recursive update`). A failed fit is evicted so the next
-    *    caller retries instead of inheriting the poison entry.
+    *    hash bin. A same-key RE-ENTRANT request from inside the fit
+    *    itself still fails loudly (IllegalStateException via the
+    *    runner-thread check) — silently parking on one's own
+    *    FutureTask would be an undetectable deadlock. A failed fit
+    *    is evicted so the next caller retries instead of inheriting
+    *    the poison entry.
     *  - A superseded store is NOT deleted eagerly: `clusterLabels`
     *    hands out LAZY frames over `spark.read.parquet(oldPath)`, and
     *    a handle obtained before the corpus changed must stay
@@ -640,12 +658,12 @@ object Dedup {
     *    one JVM — and a refit only happens when the corpus actually
     *    changed.
     */
-  private def memoizedLabelStore(spark: SparkSession, dir: String,
+  private[graft] def memoizedLabelStore(spark: SparkSession, dir: String,
       variant: String)(fit: String => Unit): String = {
     cleanupHookOnce
     val fp = corpusFingerprint(spark, dir)
     val key = if (variant.isEmpty) dir else s"$dir:$variant"
-    val fresh = new java.util.concurrent.FutureTask[String](() => {
+    val fresh = new LabelFitTask(() => {
       val out = java.nio.file.Files
         .createTempDirectory(s"graft-cc-labels-").toString
       labelStoreCleanup.add(out)
@@ -655,6 +673,10 @@ object Dedup {
     val entry = labelStoreByDir.compute(key, (_, old) =>
       if (old != null && old._1 == fp) old else (fp, fresh))
     if (entry._2 eq fresh) fresh.run()
+    else if (entry._2.runner eq Thread.currentThread())
+      throw new IllegalStateException(
+        s"re-entrant label-store fit for $key — the fit closure " +
+          "transitively requested the labels it is computing")
     try entry._2.get()
     catch {
       case e: java.util.concurrent.ExecutionException =>

@@ -842,6 +842,11 @@ object Similarity {
     * routing for sublinear probes (the serving path's ivf+pq).
     */
   def qAnnPq(spark: SparkSession, dir: String): DataFrame = {
+    // the query side deliberately re-derives from the USABLE frame,
+    // not from pqGateEncoded's output: the vec_id < 10 predicate
+    // pushes down to the parquet scan (row-group pruned, ~free at any
+    // corpus size), whereas hanging the query set off the encoded
+    // subtree would plan the whole broadcast-encode aggregate TWICE
     val (e, _, _) = ivfGateAssigned(spark, dir)
     val q = e.where(col("vec_id") < NQueries)
       .select(col("vec_id").as("q_id"), col("v").as("qv"))
@@ -1003,14 +1008,17 @@ object Similarity {
     * reads before trusting ADC scores. Integer counts → hash gate.
     */
   def qPqCodeUsage(spark: SparkSession, dir: String): DataFrame = {
-    val (e, _, _) = ivfGateAssigned(spark, dir)
-    val tot = e.agg(count(lit(1)).as("tot"))
+    // the share denominator comes from the m×k aggregate ITSELF (every
+    // usable vector carries exactly one code per subspace, so each
+    // subspace's count-sum IS the usable total) — a window over ≤ m×k
+    // rows instead of a second corpus scan (review r14)
+    val wSub = Window.partitionBy("subspace")
     pqGateEncoded(spark, dir)
       .select(posexplode(col("codes")).as(Seq("subspace", "code")))
       .groupBy("subspace", "code")
       .agg(count(lit(1)).as("n_vecs"))
-      .crossJoin(tot)
-      .withColumn("share", col("n_vecs").cast("double") / col("tot"))
+      .withColumn("share",
+        col("n_vecs").cast("double") / sum("n_vecs").over(wSub))
       .select(col("subspace").cast("int").as("subspace"), col("code"),
         col("n_vecs"), col("share"))
       .orderBy("subspace", "code")
@@ -1018,10 +1026,11 @@ object Similarity {
 
   val qPqCodeUsageSql: String =
     s"""WITH $pqPickedCteSql,
-       |tot AS (SELECT CAST(count(*) AS BIGINT) AS tot FROM e)
-       |SELECT CAST(sub_s AS INT) AS subspace, code,
-       |  CAST(count(*) AS BIGINT) AS n_vecs,
-       |  CAST(count(*) AS DOUBLE) / tot.tot AS share
-       |FROM picked, tot
-       |GROUP BY 1, 2, tot.tot ORDER BY 1, 2""".stripMargin
+       |cnt AS (
+       |  SELECT CAST(sub_s AS INT) AS subspace, code,
+       |    CAST(count(*) AS BIGINT) AS n_vecs
+       |  FROM picked GROUP BY 1, 2)
+       |SELECT subspace, code, n_vecs,
+       |  CAST(n_vecs AS DOUBLE) / sum(n_vecs) OVER (PARTITION BY subspace) AS share
+       |FROM cnt ORDER BY 1, 2""".stripMargin
 }

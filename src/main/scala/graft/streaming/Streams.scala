@@ -1740,13 +1740,22 @@ object Streams {
     * performing renames can race a concurrent writer sharing the
     * state root).
     */
+  /** One listing + one schema read classifies the legacy subtree for
+    * BOTH call sites (review r14: the migrate path used to re-read
+    * the same parquet footer legacyFunnelFps had just read).
+    */
+  private final case class LegacyFpsProbe(
+      funnel: Option[org.apache.hadoop.fs.Path],
+      cols: Set[String],
+      exists: Boolean)
+
   private def legacyFunnelFps(
       spark: org.apache.spark.sql.SparkSession,
-      root: org.apache.hadoop.fs.Path): Option[org.apache.hadoop.fs.Path] = {
+      root: org.apache.hadoop.fs.Path): LegacyFpsProbe = {
     import org.apache.hadoop.fs.Path
     val legacy = new Path(root, "fps")
     val fs = legacy.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (!fs.exists(legacy)) return None
+    if (!fs.exists(legacy)) return LegacyFpsProbe(None, Set.empty, exists = false)
     // schema inference needs at least one COMMITTED part file — a
     // crashed write can leave only _temporary/_SUCCESS droppings, and
     // read.parquet on that throws; an empty tree carries no history
@@ -1766,11 +1775,12 @@ object Streams {
       while (it.hasNext && !found) found = clean(it.next().getPath)
       found
     }
-    if (!hasCommitted) return None
+    if (!hasCommitted) return LegacyFpsProbe(None, Set.empty, exists = true)
     val cols = spark.read.parquet(legacy.toString).schema.fieldNames.toSet
     val isFunnelSchema = cols.contains("fp") && cols.contains("min_id") &&
       !cols.contains("domain")
-    if (isFunnelSchema) Some(legacy) else None
+    LegacyFpsProbe(if (isFunnelSchema) Some(legacy) else None, cols,
+      exists = true)
   }
 
   /** The funnel-fingerprint subtree the READ path should consume:
@@ -1785,8 +1795,16 @@ object Streams {
       root: org.apache.hadoop.fs.Path): org.apache.hadoop.fs.Path = {
     import org.apache.hadoop.fs.Path
     val target = new Path(root, "funnel_fps")
+    // the write-path memo is just as valid here: "checked" means the
+    // legacy tree was migrated, absent, or classified foreign — the
+    // readout resolves straight to funnel_fps/ without re-listing
+    // (review r14: each readout paid O(LIST) + a footer read)
+    if (funnelFpsChecked.contains(root.toString)) return target
     val fs = target.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val legacy = legacyFunnelFps(spark, root)
+    val probe = legacyFunnelFps(spark, root)
+    val legacy = probe.funnel
+    if (!probe.exists || probe.cols.contains("domain"))
+      funnelFpsChecked.add(root.toString)
     if (fs.exists(target)) {
       if (legacy.isDefined)
         throw new IllegalStateException(
@@ -1804,17 +1822,16 @@ object Streams {
       root: org.apache.hadoop.fs.Path): Unit = {
     import org.apache.hadoop.fs.Path
     if (funnelFpsChecked.contains(root.toString)) return
-    val legacy = new Path(root, "fps")
-    val fs = legacy.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (!fs.exists(legacy)) { funnelFpsChecked.add(root.toString); return }
-    if (legacyFunnelFps(spark, root).isEmpty) {
+    val probe = legacyFunnelFps(spark, root)
+    if (!probe.exists) { funnelFpsChecked.add(root.toString); return }
+    if (probe.funnel.isEmpty) {
       // either still being written (not memoized: the writer may be
       // filling it in) or the domain sink's subtree (memoized)
-      val cols = try spark.read.parquet(legacy.toString)
-        .schema.fieldNames.toSet catch { case _: Exception => Set.empty[String] }
-      if (cols.contains("domain")) funnelFpsChecked.add(root.toString)
+      if (probe.cols.contains("domain")) funnelFpsChecked.add(root.toString)
       return
     }
+    val legacy = probe.funnel.get
+    val fs = legacy.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val target = new Path(root, "funnel_fps")
     if (fs.exists(target))
       throw new IllegalStateException(
@@ -2074,6 +2091,7 @@ object Streams {
       merges: Seq[(String, String)]): Unit = {
     import org.apache.hadoop.fs.Path
     val root = new Path(new Path(statePath).toUri.getPath)
+    if (batch.isEmpty) return
     graft.operators.Bpe.bpeFertilityTotals(batch, merges)
       .write.mode("overwrite")
       .parquet(new Path(root, s"bpe_fert/batch=$batchId").toString)

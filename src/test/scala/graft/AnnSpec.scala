@@ -315,5 +315,13 @@ class AnnSpec extends SparkSpec {
     assert(nullRow.count() == 1 &&
       nullRow.where(col("rank").isNull && col("cos").isNull).count() == 1,
       "a NULL-text query must surface as one rank-NULL row")
+    // …and the same accounting holds for a ZERO-HIT query (review
+    // r14: the null-text union alone let an unmatched query vanish) —
+    // an empty index retrieves nothing, yet every q_id still reports
+    val emptyHits = Graft.chunkQuery(idx.limit(0), cents, withNull,
+      "qd", "qt", k = 1, nprobe = 8)
+    assert(emptyHits.count() == 4 &&
+      emptyHits.where(col("rank").isNotNull).count() == 0,
+      "zero-hit queries must come back as rank-NULL rows, one each")
   }
 }

@@ -273,6 +273,27 @@ class DedupSpec extends SparkSpec {
     assert(real.where(col("retained_frac") =!= 1.0).count() == 0)
   }
 
+  test("label store: a re-entrant same-key fit fails loudly, never deadlocks") {
+    // a fit closure transitively requesting the labels it is itself
+    // computing must get an IllegalStateException (review r14: the
+    // lock-free rewrite would otherwise park forever on its own
+    // FutureTask — an undetectable hang)
+    val ex = intercept[IllegalStateException] {
+      Dedup.memoizedLabelStore(spark, sf, "reentrant-probe") { _ =>
+        Dedup.memoizedLabelStore(spark, sf, "reentrant-probe")(_ => ())
+        ()
+      }
+    }
+    assert(ex.getMessage.contains("re-entrant"), ex.getMessage)
+    // the poisoned entry was evicted: a sane fit for the same key
+    // succeeds afterwards
+    val out = Dedup.memoizedLabelStore(spark, sf, "reentrant-probe") { dir =>
+      java.nio.file.Files.createFile(java.nio.file.Paths.get(dir, "ok"))
+      ()
+    }
+    assert(new java.io.File(out, "ok").exists())
+  }
+
   test("winnowing sketch: the (k+w-1, k) guarantee, code-point grain, density") {
     import org.apache.spark.unsafe.types.UTF8String
     val K = Dedup.WinnowK // 16
