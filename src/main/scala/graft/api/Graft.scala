@@ -537,6 +537,24 @@ object Graft {
       .select("q_id", "rank", "id", "cos")
   }
 
+  /** Greedy k-center coreset selection (Gonzalez 1985) over an
+    * embedding column — k maximally-spread representatives with their
+    * coverage radii and nearest-center populations, the diverse-subset
+    * primitive for eval seeds / prototype sets / data pruning.
+    * Deterministic (lowest-id seed, farthest-point rounds, id
+    * tie-breaks); dirty vectors (no defined self-cosine) are excluded
+    * like every ANN fit here. k broadcast-argmax corpus scans and k
+    * single-row collects — nothing corpus-sized moves.
+    */
+  def kcenterCoreset(embeddings: DataFrame, idCol: String, vecCol: String,
+      k: Int): DataFrame = {
+    graft.functions.CosineSimilarity.register(embeddings.sparkSession)
+    val e = embeddings.select(col(idCol).as("vec_id"),
+        col(vecCol).cast("array<double>").as("v"))
+      .where(call_function("cosine_sim", col("v"), col("v")).isNotNull)
+    graft.operators.Similarity.kcenterCore(e, k)
+  }
+
   /** Winnowing fingerprint near-dup pairs (Schleimer/Wilkerson/Aiken
     * 2003 — the char-grain member of the dedup family, #176): per doc
     * one codegen'd `winnow_fps` sketch pass (rolling k-gram polynomial

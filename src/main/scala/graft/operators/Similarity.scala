@@ -916,6 +916,152 @@ object Similarity {
        |WHERE rank <= $TopK ORDER BY q_id, rank""".stripMargin
   }
 
+  /** Coreset size for the k-center gate (#184). */
+  private[graft] val CoresetK = 8
+
+  /** #184 — `q_coreset_kcenter`: GREEDY K-CENTER coreset selection
+    * (Gonzalez 1985, the 2-approximation for minimax facility
+    * placement) — the diverse-subset primitive data-pruning pipelines
+    * use to pick maximally-spread representatives (eval seeds,
+    * prototype sets, the "keep the spread, drop the bulk" side of
+    * SemDeDup #103). Deterministic: seed = lowest usable vec_id, then
+    * k−1 rounds of "pick the vector FARTHEST (cosine distance
+    * 1 − cos) from everything picked so far" (ties → lowest vec_id).
+    * Output per center: `(round, center_id, n_assigned, radius)` —
+    * `radius` is the distance at which the center was picked, i.e.
+    * the COVERAGE RADIUS of the first `round` centers (the k-center
+    * objective; non-increasing, spec-pinned), and `n_assigned` the
+    * final nearest-center population (ties → earliest round).
+    *
+    * Scale: k broadcast-argmax corpus scans (each round broadcasts ≤k
+    * centers and keeps a per-row running `least`), k single-row
+    * collects — the kmeansCentroids convention; nothing corpus-sized
+    * ever shuffles or collects. The DuckDB oracle re-derives the whole
+    * greedy trajectory from scratch through k unrolled MATERIALIZED
+    * CTE stages (the #171 BPE-fit discipline), so the gate pins the
+    * full selection, not just its shape.
+    */
+  def qCoresetKcenter(spark: SparkSession, dir: String): DataFrame = {
+    val (e0, _, _) = ivfGateAssigned(spark, dir)
+    kcenterCore(e0.select("vec_id", "v"), CoresetK)
+  }
+
+  /** The greedy loop over an arbitrary usable `(vec_id, v)` frame —
+    * the gate binds it to the embeddings table at k = [[CoresetK]];
+    * [[graft.api.Graft.kcenterCoreset]] re-exports it. The caller owns
+    * the usable filter (vectors must have a defined positive norm).
+    */
+  private[graft] def kcenterCore(e0: DataFrame, k: Int): DataFrame = {
+    require(k > 0, s"k must be positive, got $k")
+    val spark = e0.sparkSession
+    CosineSimilarity.register(spark)
+    val e = e0.persist()
+    try {
+      import spark.implicits._
+      val seedRows = e.orderBy("vec_id").limit(1).collect()
+      if (seedRows.isEmpty)
+        return Seq.empty[(Int, Long, Long, Option[Double])]
+          .toDF("round", "center_id", "n_assigned", "radius")
+      val seedRow = seedRows(0)
+      var picks = Vector[(Int, Long, Seq[Double], Option[Double])](
+        (0, seedRow.getLong(0), seedRow.getSeq[Double](1), None))
+      def vlit(v: Seq[Double]) = array(v.map(lit): _*)
+      var p = e.where(col("vec_id") =!= picks.head._2)
+        .withColumn("mind", lit(1.0) - cosine(col("v"), vlit(picks.head._3)))
+      // a corpus smaller than k simply yields fewer centers (the
+      // oracle's LIMIT-1 stages go empty the same way)
+      var r = 1
+      var exhausted = false
+      while (r < k && !exhausted) {
+        val rows = p.orderBy(col("mind").desc, col("vec_id")).limit(1).collect()
+        if (rows.isEmpty) exhausted = true
+        else {
+          val top = rows(0)
+          picks = picks :+ ((r, top.getLong(0), top.getSeq[Double](1),
+            Some(top.getDouble(2))))
+          p = p.where(col("vec_id") =!= top.getLong(0))
+            .withColumn("mind",
+              least(col("mind"), lit(1.0) - cosine(col("v"), vlit(top.getSeq[Double](1)))))
+          r += 1
+        }
+      }
+      import spark.implicits._
+      val cents = picks.map { case (r, id, v, rad) => (r, id, v, rad) }
+        .toDF("round", "center_id", "cv", "radius")
+      val assigned = e.crossJoin(broadcast(cents.select("round", "cv")))
+        .withColumn("d", lit(1.0) - cosine(col("cv"), col("v")))
+        // a vector with no defined distance to any center (facade
+        // callers may pass dim-skewed rows whose cross-dim cosine is
+        // NULL) cannot be counted in a population deterministically
+        .where(col("d").isNotNull)
+        .groupBy("vec_id")
+        .agg(min_by(col("round"), struct(col("d"), col("round"))).as("round"))
+        .groupBy("round").agg(count(lit(1)).as("n_assigned"))
+      cents.select("round", "center_id", "radius")
+        .join(assigned, Seq("round"), "left")
+        .select(col("round"), col("center_id"),
+          coalesce(col("n_assigned"), lit(0L)).as("n_assigned"), col("radius"))
+        .orderBy("round")
+    } finally { e.unpersist(); () }
+  }
+
+  /** The k unrolled greedy stages, shared with nothing — the oracle
+    * re-derives every pick: stage i keeps the running min-distance
+    * frame p_i and extracts its argmax as center c_i.
+    */
+  val qCoresetKcenterSql: String = {
+    def fold(a: String, b: String) =
+      s"list_reduce(list_prepend(0.0, list_transform(range(1, ${Dim + 1}), i -> $a[i] * $b[i])), (acc, x) -> acc + x)"
+    def cos(a: String, b: String) =
+      s"${fold(a, b)} / (sqrt(${fold(a, a)}) * sqrt(${fold(b, b)}))"
+    val stages = (1 until CoresetK).map { r =>
+      val pSrc = if (r == 1)
+        s"""p1 AS MATERIALIZED (
+           |  SELECT e.vec_id, e.v, 1 - ${cos("e.v", "c0.v")} AS mind
+           |  FROM e, c0 WHERE e.vec_id <> c0.vec_id)""".stripMargin
+      else
+        s"""p$r AS MATERIALIZED (
+           |  SELECT p.vec_id, p.v,
+           |    least(p.mind, 1 - ${cos("p.v", s"c${r - 1}.v")}) AS mind
+           |  FROM p${r - 1} p, c${r - 1} WHERE p.vec_id <> c${r - 1}.vec_id)""".stripMargin
+      s"""$pSrc,
+         |c$r AS MATERIALIZED (
+         |  SELECT vec_id, v, mind FROM p$r
+         |  ORDER BY mind DESC, vec_id LIMIT 1)""".stripMargin
+    }.mkString(",\n")
+    val centRows = (0 until CoresetK).map { r =>
+      if (r == 0)
+        s"SELECT 0 AS round, vec_id AS center_id, v AS cv, CAST(NULL AS DOUBLE) AS radius FROM c0"
+      else
+        s"SELECT $r AS round, vec_id AS center_id, v AS cv, mind AS radius FROM c$r"
+    }.mkString("\nUNION ALL\n")
+    s"""WITH e AS MATERIALIZED (
+       |  SELECT vec_id,
+       |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+       |  FROM embeddings
+       |  WHERE len(embedding) = $Dim
+       |    AND NOT EXISTS (SELECT 1 FROM unnest(embedding) AS t(x) WHERE x IS NULL)
+       |    AND ${fold("v", "v")} > 0),
+       |c0 AS MATERIALIZED (
+       |  SELECT vec_id, v FROM e ORDER BY vec_id LIMIT 1),
+       |$stages,
+       |cents AS MATERIALIZED (
+       |$centRows),
+       |assigned AS (
+       |  SELECT vec_id, round FROM (
+       |    SELECT e.vec_id, c.round,
+       |      row_number() OVER (PARTITION BY e.vec_id
+       |        ORDER BY 1 - ${cos("c.cv", "e.v")}, c.round) AS ar
+       |    FROM e CROSS JOIN cents c) WHERE ar = 1),
+       |pop AS (
+       |  SELECT round, CAST(count(*) AS BIGINT) AS n_assigned
+       |  FROM assigned GROUP BY round)
+       |SELECT c.round AS round, c.center_id, coalesce(p.n_assigned, 0) AS n_assigned,
+       |  c.radius
+       |FROM cents c LEFT JOIN pop p ON c.round = p.round
+       |ORDER BY 1""".stripMargin
+  }
+
   /** #182 — `q_ann_pq_recall`: recall@k of the PQ gate (#177) against
     * the exact INNER-PRODUCT top-k over the same usable universe —
     * quantization loss isolated from filter/metric differences (ADC

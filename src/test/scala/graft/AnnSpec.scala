@@ -264,6 +264,41 @@ class AnnSpec extends SparkSpec {
     assert(viaFacade == Set(("a", 3L, 0.75), ("b", 1L, 0.25)))
   }
 
+  test("k-center coreset: coverage radius shrinks, populations cover, greedy step checks out") {
+    import graft.api.Graft
+    val out = SparkEntry.queries("q_coreset_kcenter")(spark, sf)
+      .orderBy("round").collect()
+    assert(out.length == 8)
+    assert(out.map(_.getLong(1)).distinct.length == 8, "centers must be distinct")
+    // the k-center objective: each pick's radius is the coverage
+    // radius of the centers before it — non-increasing by construction
+    val radii = out.drop(1).map(_.getDouble(3))
+    assert(radii.zip(radii.tail).forall { case (a, b) => b <= a + 1e-12 },
+      s"coverage radius must be non-increasing: ${radii.mkString(", ")}")
+    // populations cover the usable corpus exactly once
+    val e = Tables.embeddings(spark, sf)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+    graft.functions.DotProduct.register(spark)
+    val usable = e.where(size(col("v")) === 64 &&
+      !exists(col("v"), x => x.isNull) &&
+      call_function("dot_product", col("v"), col("v")) > 0).count()
+    assert(out.map(_.getLong(2)).sum == usable,
+      "every usable vector must be assigned to exactly one center")
+    // greedy step 1 re-derived independently: the first non-seed center
+    // IS the vector farthest (1 - cos) from the seed, ties lowest id
+    graft.functions.CosineSimilarity.register(spark)
+    val seedV = e.where(col("vec_id") === out(0).getLong(1))
+      .select(col("v").as("sv"))
+    val far = e.crossJoin(broadcast(seedV))
+      .where(col("vec_id") =!= out(0).getLong(1))
+      .select(col("vec_id"),
+        (lit(1.0) - call_function("cosine_sim", col("v"), col("sv"))).as("d"))
+      .orderBy(col("d").desc, col("vec_id")).limit(1).collect()(0)
+    assert(far.getLong(0) == out(1).getLong(1) &&
+      math.abs(far.getDouble(1) - out(1).getDouble(3)) < 1e-12,
+      "round-1 pick must be the farthest point from the seed")
+  }
+
   test("chunkIndex→chunkQuery closes the RAG loop: a stored passage retrieves itself") {
     import graft.api.Graft
     // small corpus slice keeps the eager kmeans fit spec-speed

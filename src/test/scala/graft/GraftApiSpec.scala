@@ -81,6 +81,15 @@ class GraftApiSpec extends SparkSpec {
       "incremental winnow ingest drifted from the batch slice")
   }
 
+  test("kcenterCoreset reproduces q_coreset_kcenter") {
+    val api = Graft.kcenterCoreset(
+      Tables.embeddings(spark, sf)
+        .select(col("vec_id"), col("embedding").cast("array<double>").as("v")),
+      "vec_id", "v", k = 8)
+    same(api, SparkEntry.queries("q_coreset_kcenter")(spark, sf),
+      "kcenterCoreset")
+  }
+
   test("simhashPairs reproduces q_dedup_simhash") {
     val api = Graft.simhashPairs(Tables.documents(spark, sf), "doc_id", "text")
       .select("doc_a", "doc_b", "hamming")
