@@ -1044,6 +1044,85 @@ object Streams {
         .groupBy("cell").agg(sum("n").as("n_vecs"))))
   }
 
+  /** #185 — `stream_dedup_winnow`: char-grain near-dup verdicts at
+    * INGEST — each arriving batch winnow-fingerprints itself
+    * ([[graft.api.Graft.winnowIndex]], the codegen'd sketch pass) and
+    * pairs against the fingerprint store via the SAME
+    * `incrementalPairsStored` machinery the word-shingle ingest
+    * (#61) uses, so a reformatted copy of an already-stored document
+    * is flagged the moment it arrives. State layout under `statePath`
+    * (exactly-once by overwrite-by-batchId, the [[semanticDedupSink]]
+    * scheme):
+    *  - `index/batch=<id>/` — the batch's `(id, shingle)` winnow
+    *    index rows; the store side of every later ingest (base reads
+    *    `batch < id`, so a replayed batch never pairs against its own
+    *    half-written copy);
+    *  - `verdicts/batch=<id>/` — that batch's near-dup pairs
+    *    `(id_new, id_old, inter, jaccard)` against the store and
+    *    within-batch smaller ids.
+    *
+    * Per-ingest shuffles are O(batch) against the store scan; write
+    * the index with [[graft.api.Graft.writeShingleIndex]]-style
+    * bucketing when it outgrows plain parquet and the store side
+    * stops shuffling entirely (the #61 discipline, unchanged — the
+    * winnow index is format-identical by construction, #183).
+    */
+  def winnowDedupSink(docs: DataFrame, statePath: String,
+      checkpointDir: String, idCol: String = "doc_id",
+      textCol: String = "text",
+      k: Int = graft.operators.Dedup.WinnowK,
+      w: Int = graft.operators.Dedup.WinnowW,
+      tau: Double = graft.operators.Dedup.WinnowTau,
+      dfCap: Int = graft.operators.Dedup.WinnowDfCap.toInt)
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    docs.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        applyWinnowBatch(batch, batchId, statePath, idCol, textCol,
+          k, w, tau, dfCap)
+      }
+
+  /** One ingest step of [[winnowDedupSink]] (package-visible so the
+    * spec can drive replay directly). */
+  private[graft] def applyWinnowBatch(batch: DataFrame, batchId: Long,
+      statePath: String, idCol: String, textCol: String, k: Int,
+      w: Int, tau: Double, dfCap: Int): Unit = {
+    import org.apache.hadoop.fs.Path
+    val spark = batch.sparkSession
+    val root = new Path(new Path(statePath).toUri.getPath)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val indexRoot = new Path(root, "index")
+    if (batch.isEmpty) return
+    val bIdx = graft.api.Graft
+      .winnowIndex(batch.select(col(idCol), col(textCol)), idCol, textCol, k, w)
+      .localCheckpoint(true)
+    val base =
+      if (fs.exists(indexRoot))
+        spark.read.parquet(indexRoot.toString)
+          .where(col("batch") < batchId).select("id", "shingle")
+      else bIdx.limit(0)
+    val verdicts = graft.api.Graft
+      .incrementalDedupPairsIndexed(base, bIdx, tau, dfCap)
+      .localCheckpoint(true)
+    bIdx.write.mode("overwrite")
+      .parquet(new Path(indexRoot, s"batch=$batchId").toString)
+    verdicts.write.mode("overwrite")
+      .parquet(new Path(root, s"verdicts/batch=$batchId").toString)
+  }
+
+  /** Every near-dup verdict delivered so far — `(id_new, id_old,
+    * inter, jaccard)` across all completed batches. None before the
+    * first batch. */
+  def winnowVerdicts(spark: org.apache.spark.sql.SparkSession,
+      statePath: String): Option[DataFrame] = {
+    import org.apache.hadoop.fs.Path
+    val vroot = new Path(new Path(statePath).toUri.getPath, "verdicts")
+    val fs = vroot.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(vroot)) return None
+    Some(spark.read.parquet(vroot.toString)
+      .select("id_new", "id_old", "inter", "jaccard"))
+  }
+
   /** #180 — `stream_pq_usage`: the #178 PQ code-usage dial maintained
     * while vectors ARRIVE, with a FROZEN codebook (the #130/#168
     * frozen-artifact pattern: the codebook is a versioned fit

@@ -982,6 +982,52 @@ class StreamingSpec extends SparkSpec {
     assert(after == before, "replayed ingest mutated the balance")
   }
 
+  test("stream_dedup_winnow: ingested verdicts equal the batch pair surface, replay-safe") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val base = java.nio.file.Files.createTempDirectory("graft_winn_").toString
+    val docs = Tables.documents(spark, sf).select("doc_id", "text")
+    val rows = docs.orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toIndexedSeq
+    val ms = MemoryStream[(Long, String)]
+    val q = Streams.winnowDedupSink(ms.toDF().toDF("doc_id", "text"),
+      s"$base/state", s"$base/ckpt").start()
+    // id-ordered chunks: every pair's larger id arrives no earlier
+    // than its smaller id, so each batch pair surfaces exactly once
+    // (id_new = the later/larger doc — the #61 keep-first discipline)
+    val chunks = rows.grouped((rows.size + 2) / 3).toSeq
+    try {
+      chunks.foreach { c => ms.addData(c); q.processAllAvailable() }
+    } finally q.stop()
+    val got = Streams.winnowVerdicts(spark, s"$base/state").get
+      .select(col("id_old").as("doc_a"), col("id_new").as("doc_b"),
+        col("inter").as("shared"), col("jaccard"))
+    val want = graft.api.Graft.winnowPairs(docs, "doc_id", "text")
+      .select("doc_a", "doc_b", "shared", "jaccard")
+    assert(want.count() > 0, "corpus lost its planted near-dups")
+    assert(got.exceptAll(want).count() == 0 &&
+      want.exceptAll(got).count() == 0,
+      "ingested winnow verdicts drifted from the batch pair surface")
+    // replaying the LAST ingest (foreachBatch at-least-once) must be a
+    // fixpoint: both writes overwrite their own batch partition, and
+    // the base read excludes the replayed batch's own index
+    val lastId = new java.io.File(s"$base/state/index").listFiles()
+      .map(_.getName.stripPrefix("batch=").toLong).max
+    val before = got.collect().toSet
+    Streams.applyWinnowBatch(chunks.last.toDF("doc_id", "text"), lastId,
+      s"$base/state", "doc_id", "text",
+      graft.operators.Dedup.WinnowK, graft.operators.Dedup.WinnowW,
+      graft.operators.Dedup.WinnowTau,
+      graft.operators.Dedup.WinnowDfCap.toInt)
+    val after = Streams.winnowVerdicts(spark, s"$base/state").get
+      .select(col("id_old").as("doc_a"), col("id_new").as("doc_b"),
+        col("inter").as("shared"), col("jaccard")).collect().toSet
+    assert(after == before, "replayed ingest mutated the verdicts")
+    // before any batch: no readout
+    assert(Streams.winnowVerdicts(spark,
+      java.nio.file.Files.createTempDirectory("graft_winn_e_").toString).isEmpty)
+  }
+
   test("stream_pq_usage: folded partials equal the one-shot encode usage, replay-safe") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
