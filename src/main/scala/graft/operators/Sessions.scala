@@ -314,4 +314,58 @@ object Sessions {
       |  quantile_cont(p.p_ts - v.v_ts, 0.90) AS p90_us
       |FROM purchases p JOIN views v ON p.user_id = v.user_id AND p.day = v.day
       |GROUP BY p.day ORDER BY p.day""".stripMargin
+
+  /** #186 — `q_user_rate_outliers`: per-user EVENT-RATE metrics, the
+    * bot/automation screen a behavioral-log curation pass runs before
+    * training on clickstreams — `(user_id, n_events, active_minutes,
+    * min_gap_us, events_per_minute)`. `active_minutes` counts distinct
+    * ts-minute buckets (integer `div`, floor-identical cross-engine on
+    * the non-negative domain), `min_gap_us` the tightest consecutive
+    * gap in the user's (ts, event_id)-ordered timeline (NULL for
+    * single-event users — both engines' MIN ignores the lag NULL),
+    * `events_per_minute` ONE integer division. A human cannot produce
+    * a 0-gap or a triple-digit per-minute rate; the flag THRESHOLD is
+    * downstream policy, so the gate pins the metrics, not a verdict.
+    * Dirty rule: NULL user/ts rows are unattributable and excluded,
+    * stated identically in the oracle.
+    *
+    * Plan: one exchange for the per-user timeline window (gap), then
+    * the minute pre-aggregation contracts (user, minute) BEFORE the
+    * final user-grain aggregate — no Expand, no distinct-aggregate,
+    * every shuffle key user-bounded (the #9/#10 pre-agg discipline).
+    */
+  def qUserRateOutliers(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+    Tables.events(spark, dir)
+      .where(col("user_id").isNotNull && col("ts_us").isNotNull)
+      .select(col("user_id"), col("event_id"), col("ts_us"))
+      .withColumn("gap_us", col("ts_us") - lag("ts_us", 1).over(w))
+      .withColumn("m", expr("ts_us div 60000000"))
+      .groupBy("user_id", "m")
+      .agg(count(lit(1)).as("n"), min("gap_us").as("mg"))
+      .groupBy("user_id")
+      .agg(sum("n").as("n_events"),
+        count(lit(1)).as("active_minutes"),
+        min("mg").as("min_gap_us"))
+      .withColumn("events_per_minute",
+        col("n_events").cast("double") / col("active_minutes"))
+      .orderBy("user_id")
+  }
+
+  val qUserRateOutliersSql: String =
+    """WITH t AS (
+      |  SELECT user_id, event_id, epoch_us(ts) AS ts_us,
+      |    epoch_us(ts) - LAG(epoch_us(ts)) OVER (PARTITION BY user_id
+      |      ORDER BY epoch_us(ts), event_id) AS gap_us,
+      |    epoch_us(ts) // 60000000 AS m
+      |  FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL),
+      |per_min AS (
+      |  SELECT user_id, m, CAST(count(*) AS BIGINT) AS n,
+      |    min(gap_us) AS mg
+      |  FROM t GROUP BY 1, 2)
+      |SELECT user_id, CAST(sum(n) AS BIGINT) AS n_events,
+      |  CAST(count(*) AS BIGINT) AS active_minutes,
+      |  min(mg) AS min_gap_us,
+      |  CAST(sum(n) AS DOUBLE) / count(*) AS events_per_minute
+      |FROM per_min GROUP BY user_id ORDER BY user_id""".stripMargin
 }

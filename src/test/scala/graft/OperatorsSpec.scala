@@ -479,6 +479,35 @@ class OperatorsSpec extends SparkSpec {
       "NTZ branch must land in the epoch-micros range")
   }
 
+  test("rate outliers: planted bot and human score exactly; singles keep NULL gap") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_rate").toString
+    val minUs = 60000000L
+    val base = 1704067200000000L // aligned to a minute boundary
+    // user 1: a bot — 30 events inside one minute, two at the SAME
+    // microsecond (gap 0); user 2: a human — 3 events minutes apart;
+    // user 3: a single event (no gap defined)
+    val bot = (0 until 30).map(i =>
+      (100L + i, base + math.min(i, 28) * 1000L, 1L, "view", 0.0, "{}"))
+    val human = Seq(
+      (200L, base, 2L, "view", 0.0, "{}"),
+      (201L, base + 5 * minUs, 2L, "click", 0.0, "{}"),
+      (202L, base + 11 * minUs, 2L, "view", 0.0, "{}"))
+    val single = Seq((300L, base, 3L, "view", 0.0, "{}"))
+    (bot ++ human ++ single)
+      .toDF("event_id", "us", "user_id", "event_type", "value", "props")
+      .withColumn("ts", timestamp_micros(col("us"))).drop("us")
+      .select("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(dir + "/events.parquet")
+    val out = SparkEntry.queries("q_user_rate_outliers")(spark, dir)
+      .orderBy("user_id")
+      .as[(Long, Long, Long, Option[Long], Double)].collect().toSeq
+    assert(out == Seq(
+      (1L, 30L, 1L, Some(0L), 30.0), // 29 distinct ts + one 0-gap twin
+      (2L, 3L, 3L, Some(5 * minUs), 1.0),
+      (3L, 1L, 1L, None, 1.0)), s"planted rate metrics wrong: $out")
+  }
+
   test("user-jump events have no follow-up within 10 minutes") {
     // every flagged jump must be a view event; re-derive the count from
     // the raw table as an independent check
