@@ -56,32 +56,105 @@ object Bench {
     * pressured host whose timings are not trustworthy. */
   private val QuietMbS = 1000.0
 
+  /** A quiet host also means the hypervisor is not stealing cycles:
+    * the r14 official capture passed the touch-rate gate yet ran under
+    * 5.2% steal and shipped 7 false >2× flags, so the quiet probe now
+    * samples steal% over a short window too (VERDICT r14 item 3a). */
+  private val QuietStealPct = 3.0
+
+  /** One quiet-host probe: fresh-touch rate plus steal% over the probe
+    * window (~0.6 s — coarse at 10 ms jiffies, but a 5%+ storm is
+    * visible). */
+  private def probeHost(): (Double, Double) = {
+    val (b0, s0) = cpuJiffies()
+    val rate = touchRateMbS()
+    Thread.sleep(500)
+    val (b1, s1) = cpuJiffies()
+    val db = b1 - b0; val ds = s1 - s0
+    val stealPct = if (db + ds <= 0) 0.0 else 100.0 * ds / (db + ds)
+    (rate, stealPct)
+  }
+
   /** Wait (bounded) for the host to go quiet: re-probe the fresh-
-    * touch rate every `stepMs` until it clears [[QuietMbS]] or the
-    * budget runs out. Returns (lastRate, waitedMs) — the caller
-    * annotates rather than aborts on a never-quiet host (the driver
-    * cannot re-run a refused bench, so a loudly-annotated capture
-    * beats none). */
+    * touch rate AND the steal share every `stepMs` until both clear
+    * ([[QuietMbS]], [[QuietStealPct]]) or the budget runs out. Returns
+    * (lastRate, lastStealPct, waitedMs) — the caller annotates rather
+    * than aborts on a never-quiet host (the driver cannot re-run a
+    * refused bench, so a loudly-annotated capture beats none). */
   private def awaitQuietHost(maxWaitMs: Long, stepMs: Long = 10000L)
-      : (Double, Long) = {
+      : (Double, Double, Long) = {
     var waited = 0L
-    var rate = touchRateMbS()
-    while (rate < QuietMbS && waited < maxWaitMs) {
+    var (rate, stealPct) = probeHost()
+    while ((rate < QuietMbS || stealPct > QuietStealPct) && waited < maxWaitMs) {
       System.err.println(
-        f"[bench] host pressured (fresh-touch $rate%.0f MB/s < $QuietMbS%.0f) — waiting ${stepMs / 1000}%d s")
+        f"[bench] host pressured (fresh-touch $rate%.0f MB/s, steal $stealPct%.1f%%) — waiting ${stepMs / 1000}%d s")
       Thread.sleep(stepMs)
       waited += stepMs
-      rate = touchRateMbS()
+      val p = probeHost(); rate = p._1; stealPct = p._2
     }
-    (rate, waited)
+    (rate, stealPct, waited)
   }
+
+  /** Re-probe `names` in a FRESH forked JVM (the pin methodology:
+    * BASELINE_LOCAL.md's pins are minima over fresh-JVM runs, so a
+    * flag that only reproduces inside a long-lived heap is not a
+    * regression). Reconstructs the launch command from this JVM's own
+    * classpath; returns the child's per-query seconds, or empty on any
+    * failure (the caller keeps its own numbers — the re-probe can only
+    * clear flags, never hide a slow query). */
+  private def freshJvmProbe(names: Seq[String], sfDir: String,
+      cpus: String): Map[String, Double] = try {
+    val outFile = java.nio.file.Files.createTempFile("bench_reprobe", ".json")
+    val addOpens = Seq("java.lang", "java.lang.invoke", "java.lang.reflect",
+      "java.io", "java.net", "java.nio", "java.util", "java.util.concurrent",
+      "java.util.concurrent.atomic", "sun.nio.ch", "sun.nio.cs",
+      "sun.security.action", "sun.util.calendar")
+      .flatMap(p => Seq("--add-opens", s"java.base/$p=ALL-UNNAMED"))
+    val javaBin = java.nio.file.Paths.get(
+      System.getProperty("java.home"), "bin", "java").toString
+    val cmd = (Seq(javaBin) ++ addOpens ++ Seq("-Xmx8g",
+      "-Dspark.ui.enabled=false", "-Dspark.sql.session.timeZone=UTC",
+      "-cp", System.getProperty("java.class.path"), "graft.Bench")).toArray
+    val pb = new ProcessBuilder(cmd: _*)
+    pb.environment().put("SPARK_GRAFT_SF_DIR", sfDir)
+    pb.environment().put("SPARK_GRAFT_CPUS", cpus)
+    pb.environment().put("SPARK_GRAFT_REPS", "3")
+    pb.environment().put("SPARK_GRAFT_ONLY", names.mkString(","))
+    pb.environment().put("SPARK_GRAFT_BENCH_OUT", outFile.toString)
+    // the child must not recurse into its own requiet / fresh-JVM pass
+    pb.environment().put("SPARK_GRAFT_SUBPROBE", "1")
+    pb.redirectOutput(ProcessBuilder.Redirect.DISCARD)
+    pb.redirectErrorStream(false)
+    pb.redirectError(ProcessBuilder.Redirect.INHERIT)
+    val proc = pb.start()
+    // bounded: a wedged child must not hang the official capture
+    // (a Scala `return` here would throw through the enclosing catch,
+    // so the timeout path is an if/else expression instead)
+    if (!proc.waitFor(20, java.util.concurrent.TimeUnit.MINUTES)) {
+      proc.destroyForcibly()
+      System.err.println("[bench] fresh-JVM reprobe timed out")
+      Map.empty
+    } else {
+      val txt = new String(java.nio.file.Files.readAllBytes(outFile),
+        java.nio.charset.StandardCharsets.UTF_8)
+      java.nio.file.Files.deleteIfExists(outFile)
+      // query names are [\w]+ and values plain decimals, so a regex over
+      // the "queries" object is a safe parse with no JSON library
+      val qObj = """"queries":\{([^}]*)\}""".r.findFirstMatchIn(txt)
+        .map(_.group(1)).getOrElse("")
+      """"([\w]+)":([0-9.Ee+-]+)""".r.findAllMatchIn(qObj)
+        .map(m => m.group(1) -> m.group(2).toDouble).toMap
+    }
+  } catch { case e: Throwable =>
+    System.err.println(s"[bench] fresh-JVM reprobe failed: $e"); Map.empty }
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     // refuse-to-start-dirty, bounded: give a pressured host up to 2
     // minutes to clear BEFORE any timing begins, so the official
     // capture doesn't need a quiet-evidence appeal (VERDICT r13)
-    val (touchBefore, waitedStartMs) = awaitQuietHost(maxWaitMs = 120000L)
+    val (touchBefore, stealStart, waitedStartMs) =
+      awaitQuietHost(maxWaitMs = 120000L)
     val (busy0, steal0) = cpuJiffies()
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = SparkSession.builder()
@@ -182,14 +255,21 @@ object Bench {
     // plans don't speed up on a quiet host), while a host-pressure
     // storm's inflation melts away, so the OFFICIAL record no longer
     // needs the bench_evidence/ appeal. Bounded: one extra 2-rep run
-    // per flagged query, ≤ 90 s of waiting once.
+    // per flagged query, ≤ 90 s of waiting once. The pre-requiet min
+    // of every flagged query is kept in the artifact (ADVICE r14: the
+    // extra reps are a sampling asymmetry that can only move flagged
+    // queries TOWARD passing, so the adjudication must stay auditable
+    // against what the symmetric pass measured).
     var requeried = Vector.empty[String]
+    var preRequietMin = Map.empty[String, Double]
+    val isSubprobe = sys.env.contains("SPARK_GRAFT_SUBPROBE")
     val flaggedFirstPass = flagOver2x(times).map(_._1).toSet
-    if (flaggedFirstPass.nonEmpty) {
-      val (rateNow, _) = awaitQuietHost(maxWaitMs = 90000L)
+    if (flaggedFirstPass.nonEmpty && !isSubprobe) {
+      preRequietMin = times.filter(t => flaggedFirstPass.contains(t._1)).toMap
+      val (rateNow, stealNow, _) = awaitQuietHost(maxWaitMs = 90000L)
       System.err.println(
         s"[bench] requiet pass: ${flaggedFirstPass.size} queries over 2x pins " +
-          f"(fresh-touch now $rateNow%.0f MB/s)")
+          f"(fresh-touch now $rateNow%.0f MB/s, steal $stealNow%.1f%%)")
       queryFns.filter(q => flaggedFirstPass.contains(q._1)).foreach {
         case (name, fn) =>
           try {
@@ -200,6 +280,26 @@ object Bench {
             repTimes = repTimes.map { case (n, ts) =>
               if (n == name) n -> (ts ++ rs) else (n, ts) }
           } catch { case _: Throwable => spark.catalog.clearCache() }
+      }
+    }
+    // fresh-JVM re-probe (VERDICT r14 item 3b): any query STILL over
+    // 2× after the requiet pass gets one run in a fresh forked JVM —
+    // the exact methodology the pins were captured under — so the
+    // committed artifact reaches the same verdict the quiet-evidence
+    // appeal would, by itself. Inflation that persists across a fresh
+    // heap on a quiet host is a real regression and stays flagged.
+    var reprobed = Vector.empty[String]
+    val stillFlagged = flagOver2x(times).map(_._1)
+    if (stillFlagged.nonEmpty && !isSubprobe) {
+      System.err.println(
+        s"[bench] fresh-JVM reprobe: ${stillFlagged.size} queries still over 2x")
+      val probe = freshJvmProbe(stillFlagged, sfDir, cpus)
+      probe.foreach { case (name, t) =>
+        reprobed :+= name
+        times = times.map { case (n, t0) =>
+          if (n == name) n -> math.min(t0, t) else (n, t0) }
+        repTimes = repTimes.map { case (n, ts) =>
+          if (n == name) n -> (ts :+ t) else (n, ts) }
       }
     }
     def jstr(s: String): String = "\"" + s.flatMap {
@@ -228,12 +328,15 @@ object Bench {
       val db = busy1 - busy0; val ds = steal1 - steal0
       if (db + ds <= 0) 0.0 else 100.0 * ds / (db + ds)
     }
-    val host = f"""{"touch_mb_s_before":${touchBefore.round},"touch_mb_s_after":${touchAfter.round},"steal_pct":$stealPct%.1f,"quiet_wait_ms":$waitedStartMs}"""
+    val host = f"""{"touch_mb_s_before":${touchBefore.round},"touch_mb_s_after":${touchAfter.round},"steal_pct":$stealPct%.1f,"steal_pct_start":$stealStart%.1f,"quiet_wait_ms":$waitedStartMs}"""
     val over = over2x.map { case (k, v) => s"${jstr(k)}:$v" }
       .mkString("{", ",", "}")
     val requeriedJson = requeried.map(jstr).mkString("[", ",", "]")
+    val reprobedJson = reprobed.map(jstr).mkString("[", ",", "]")
+    val preRequietJson = preRequietMin.toSeq.sortBy(_._1)
+      .map { case (k, v) => s"${jstr(k)}:$v" }.mkString("{", ",", "}")
     val json =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"reps":$repsJson,"over_2x_pins":$over,"requeried":$requeriedJson,"errors":$errs,"host":$host,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"reps":$repsJson,"over_2x_pins":$over,"requeried":$requeriedJson,"pre_requiet_min":$preRequietJson,"reprobed_fresh_jvm":$reprobedJson,"errors":$errs,"host":$host,"sf":"$sfDir"}"""
     println(json)
     // Also persist to a stable file: the driver's stdout-tail capture has a
     // bounded window, and at 73+ queries the leading entries (and the

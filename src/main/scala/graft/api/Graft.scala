@@ -564,6 +564,16 @@ object Graft {
     * shared substring of ≥ k+w−1 normalized chars is GUARANTEED to
     * surface a shared fingerprint — the dial to set from your minimum
     * interesting match length. One keyed shuffle; fan-out df²-bounded.
+    *
+    * Cache contract: the returned (lazy) plan holds a `.persist()` on
+    * the exploded-fingerprint frame — both sides of the candidate
+    * self-join and the per-doc count consume it, and it is deliberately
+    * NOT unpersisted here (the query executes after this returns; an
+    * eager unpersist would void the cache and triple the work). A
+    * long-lived session issuing MANY winnowPairs calls should
+    * `spark.catalog.clearCache()` (or unpersist via its own
+    * QueryExecutionListener) after consuming each result, or the
+    * cached frames accumulate. Same contract as [[bpeTokenize]].
     */
   def winnowPairs(docs: DataFrame, idCol: String, textCol: String,
       k: Int = graft.operators.Dedup.WinnowK,
@@ -1288,6 +1298,12 @@ object Graft {
     * gated `q_bpe_tokenize` generalized. Encode runs on the word
     * DICTIONARY, never the occurrence stream (scale note in
     * [[graft.operators.Bpe.bpeTokenize]]).
+    *
+    * Cache contract: the returned plan holds a `.persist()` on the
+    * word-count frame consumed by both the fit and the encode; it is
+    * deliberately not unpersisted before the query executes. Sessions
+    * issuing many calls should `spark.catalog.clearCache()` after
+    * consuming each result — see [[winnowPairs]] for the rationale.
     */
   def bpeTokenize(docs: DataFrame, idCol: String = "doc_id",
       textCol: String = "text"): DataFrame =

@@ -327,7 +327,12 @@ object Sessions {
     * a 0-gap or a triple-digit per-minute rate; the flag THRESHOLD is
     * downstream policy, so the gate pins the metrics, not a verdict.
     * Dirty rule: NULL user/ts rows are unattributable and excluded,
-    * stated identically in the oracle.
+    * stated identically in the oracle; pre-epoch (negative `ts_us`)
+    * rows are ALSO excluded — the minute bucket uses integer
+    * division, which truncates toward zero in Spark but floors in
+    * DuckDB, so the cross-engine parity claim only holds on the
+    * non-negative domain and the filter ENFORCES that domain rather
+    * than assuming it.
     *
     * Plan: one exchange for the per-user timeline window (gap), then
     * the minute pre-aggregation contracts (user, minute) BEFORE the
@@ -337,7 +342,8 @@ object Sessions {
   def qUserRateOutliers(spark: SparkSession, dir: String): DataFrame = {
     val w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
     Tables.events(spark, dir)
-      .where(col("user_id").isNotNull && col("ts_us").isNotNull)
+      .where(col("user_id").isNotNull && col("ts_us").isNotNull &&
+        col("ts_us") >= 0)
       .select(col("user_id"), col("event_id"), col("ts_us"))
       .withColumn("gap_us", col("ts_us") - lag("ts_us", 1).over(w))
       .withColumn("m", expr("ts_us div 60000000"))
@@ -358,7 +364,8 @@ object Sessions {
       |    epoch_us(ts) - LAG(epoch_us(ts)) OVER (PARTITION BY user_id
       |      ORDER BY epoch_us(ts), event_id) AS gap_us,
       |    epoch_us(ts) // 60000000 AS m
-      |  FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL),
+      |  FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL
+      |    AND epoch_us(ts) >= 0),
       |per_min AS (
       |  SELECT user_id, m, CAST(count(*) AS BIGINT) AS n,
       |    min(gap_us) AS mg

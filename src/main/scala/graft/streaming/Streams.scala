@@ -65,6 +65,12 @@ case class AsofOut(key: Long, id: Long, ts_us: Long,
   */
 object Streams {
 
+  /** The dedup-memory horizon shared by [[dedupChunks]]'s watermark
+    * delay AND its state-timeout arithmetic — one constant so the two
+    * cannot drift (see the r14 review note inside dedupChunks).
+    */
+  private[streaming] val dedupHorizonMs: Long = 3600L * 1000
+
   /** #16 — BaseLogApp (BaseLogApp.java:33-116): validity-check + route
     * one log stream into page / start / dirty. Pure per-row projection
     * (stateless — runs at source parallelism; identical semantics to
@@ -517,7 +523,13 @@ object Streams {
   def dedupChunks(docs: DataFrame, window: Int, stride: Int,
       idCol: String = "doc_id", textCol: String = "text",
       tsCol: String = "ts"): DataFrame = {
-    val horizonMs = 3600L * 1000
+    // ONE horizon constant feeds BOTH the watermark delay and the
+    // state-timeout arithmetic — they encode the same dedup-memory
+    // contract and must never drift apart (r14 review finding: two
+    // independent "1 hour" literals could be edited separately,
+    // silently changing state-expiry semantics).
+    val horizonMs = dedupHorizonMs
+    val horizonDelay = s"$horizonMs milliseconds"
     val chunks = graft.operators.Corpus
       .chunkRows(docs, idCol, textCol, window, stride)
       // dirty-record rule at the state boundary: a null event time
@@ -526,8 +538,19 @@ object Streams {
       .where(col(tsCol).isNotNull)
       .withColumn("fp",
         md5(graft.operators.Dedup.contentNormOf(col("chunk_text"))))
-      .withWatermark(tsCol, "1 hour")
+      .withWatermark(tsCol, horizonDelay)
     val schema = chunks.schema
+    // the corpus contract requires an INTEGRAL id column; validate at
+    // plan time so an IntegerType (or any other integral) id fails
+    // loudly here — never as a ClassCastException inside the state
+    // function (r14 review finding)
+    require(Seq(org.apache.spark.sql.types.ByteType,
+        org.apache.spark.sql.types.ShortType,
+        org.apache.spark.sql.types.IntegerType,
+        org.apache.spark.sql.types.LongType)
+        .contains(schema(idCol).dataType),
+      s"dedupChunks requires an integral $idCol column, got " +
+        schema(idCol).dataType.simpleString)
     val idIdx = schema.fieldIndex(idCol)
     val chunkIdx = schema.fieldIndex("chunk_id")
     val tsIdx = schema.fieldIndex(tsCol)
@@ -562,8 +585,11 @@ object Streams {
             } else {
               state.update(expire)
               state.setTimeoutTimestamp(expire)
+              // getAs[Number].longValue: the id column is validated
+              // integral above but may be any width (Int, Short, …)
               Iterator.single(rows.minBy(r =>
-                (r.getLong(idIdx), r.getLong(chunkIdx))))
+                (r.getAs[Number](idIdx).longValue,
+                  r.getAs[Number](chunkIdx).longValue)))
             }
           }
       }
