@@ -380,9 +380,18 @@ object Graft {
     * from the fit; everything else votes with its unit direction
     * through an order-free fixed-point sum, so the fitted centroids
     * are bit-identical under any input partitioning (spec-pinned).
+    *
+    * `seedSpread` is the decorrelating key the seed draw orders by
+    * (given the id column, lowest (spread, id) wins). The default is
+    * `xxhash64` — the best spread Spark has. The gated flavors
+    * (`q_kmeans_cells`/`q_dedup_semantic`) pass a MINSTD spread
+    * instead, equally id-decorrelated but reproducible in any SQL
+    * engine, which is what lets the DuckDB oracle re-derive the whole
+    * fit (VERDICT r14 item 1).
     */
   def kmeansCentroids(embeddings: DataFrame, idCol: String, vecCol: String,
-      k: Int, iters: Int = 5): DataFrame = {
+      k: Int, iters: Int = 5,
+      seedSpread: Column => Column = xxhash64(_)): DataFrame = {
     require(k > 0, s"k must be positive, got $k")
     require(iters >= 0, s"iters must be non-negative, got $iters")
     val spark = embeddings.sparkSession
@@ -394,7 +403,7 @@ object Graft {
     try {
       var cents: Seq[(Long, Seq[Double])] = e
         .where(call_function("cosine_sim", col("vec"), col("vec")).isNotNull)
-        .orderBy(xxhash64(col("id")), col("id")).limit(k)
+        .orderBy(seedSpread(col("id")), col("id")).limit(k)
         .select(col("vec")).collect()
         .zipWithIndex
         .map { case (r, i) => (i.toLong, r.getSeq[Double](0)) }.toSeq
@@ -439,9 +448,18 @@ object Graft {
           .agg(sum((col("x") / col("nrm")).cast("decimal(8,6)")).as("s"),
             count(lit(1)).as("n"))
           .groupBy("cell")
+          // the mean leaves fixed-point as ONE double division of two
+          // exactly-representable integers (micro-unit numerator,
+          // micro-scaled count): correctly rounded by IEEE, so ANY
+          // engine reproduces the same bits — Spark's decimal-divide-
+          // then-cast has engine-specific precision/scale rules that
+          // don't. Exact while n < 2^53/1e6 ≈ 9e9 vectors per cell
+          // (inside the 1e12 ANSI bound above; the s*1e6 cast is loud
+          // past it).
           .agg(transform(array_sort(
             collect_list(struct(col("pos"),
-              (col("s") / col("n")).cast("double").as("m")))),
+              ((col("s") * lit(1000000L)).cast("long").cast("double") /
+                (col("n") * lit(1000000L)).cast("double")).as("m")))),
             s => s.getField("m")).as("cv"))
           .as[(Long, Seq[Double])].collect().toMap
         cents = cents.map { case (cid, cv) => (cid, means.getOrElse(cid, cv)) }

@@ -454,16 +454,28 @@ object Similarity {
     * semantic twins it has, and its strongest cosine — the readout a
     * curation run consumes as a drop-list.
     *
-    * Rows-only gate by design (like #27/#28/#31): DuckDB cannot
-    * reproduce the k-means fit; AnnSpec pins determinism, exact-dup
-    * recall (identical vectors always share a cell, so verbatim
-    * duplicates cannot escape), agreement with the brute-force pair
-    * set within cells, and null-safety on poisoned embeddings
-    * (zero-norm / NULL / dim-mismatch cosines are NULL, so poison
-    * vectors never enter the drop set).
+    * HASH-GATED since r15 (previously rows-only): the oracle
+    * re-derives the ENTIRE spherical k-means fit — seeds, 3 unrolled
+    * Lloyd rounds with the #75 decimal fixed-point means, final
+    * assignment — as MATERIALIZED CTE stages (the #171 BPE-fit /
+    * #184 k-center discipline), then the within-cell ≥τ pairs and the
+    * drop-list aggregate on top. Two things make the fit
+    * cross-engine-exact: the seed draw orders by the MINSTD spread
+    * ([[minstdSpread]] — same decorrelation job as xxhash64, which
+    * DuckDB lacks), and each centroid mean leaves fixed-point as ONE
+    * IEEE-correctly-rounded division of exactly-representable
+    * integers. The gate also pre-filters to dimension-complete usable
+    * vectors ([[embUsable]]): a dim-skewed vector can neither vote
+    * nor pair (cross-dim cosine is NULL) but COULD previously occupy
+    * a dead seed, which no SQL engine could reproduce without the
+    * same quirk. AnnSpec still pins determinism, exact-dup recall
+    * (identical vectors always share a cell, so verbatim duplicates
+    * cannot escape), agreement with the brute-force pair set within
+    * cells, and null-safety on poisoned embeddings.
     */
   def qDedupSemantic(spark: SparkSession, dir: String): DataFrame =
-    semanticDropList(emb(spark, dir), SemClusters, SemIters, CosineTau)
+    semanticDropList(embUsable(spark, dir), SemClusters, SemIters, CosineTau,
+      seedSpread = minstdSpread)
 
   /** #103 generalized over (k, iters, τ, maxCell) so specs can plant
     * corpora and sweep the dials without touching the gated default.
@@ -481,9 +493,11 @@ object Similarity {
     * trade). Balanced cells get salt 0 and are untouched.
     */
   def semanticDropList(e: DataFrame, k: Int, iters: Int,
-      tau: Double, maxCell: Int = Int.MaxValue): DataFrame = {
+      tau: Double, maxCell: Int = Int.MaxValue,
+      seedSpread: Column => Column = xxhash64(_)): DataFrame = {
     require(maxCell > 0, s"maxCell must be positive, got $maxCell")
-    val cents = graft.api.Graft.kmeansCentroids(e, "vec_id", "v", k, iters)
+    val cents = graft.api.Graft.kmeansCentroids(e, "vec_id", "v", k, iters,
+      seedSpread)
     val idx0 = graft.api.Graft.ivfIndex(e, "vec_id", "v",
       cents, "cent_id", "cv")
     val idx =
@@ -517,6 +531,150 @@ object Similarity {
         count(lit(1)).as("dup_of_ct"),
         max(col("cos")).cast("double").as("max_cos"))
       .orderBy("vec_id")
+  }
+
+  /** MINSTD (Park–Miller) multiplicative spread for seed draws that
+    * must reproduce cross-engine: h(id) = (id mod M)·48271 mod M,
+    * M = 2³¹−1. The same decorrelation job xxhash64 does for the #75
+    * default (a uniform draw without randomness, so seeds don't all
+    * come from one crawl slice), but one line of integer arithmetic
+    * any SQL dialect evaluates identically — which is what lets the
+    * k-means oracle re-derive the seed set. Overflow-free for every
+    * long id ((2³¹)·48271 < 2⁴⁷); ids congruent mod M fall back to
+    * the (spread, id) tiebreak the draw already carries.
+    */
+  private[graft] def minstdSpread(id: Column): Column =
+    pmod(pmod(id, lit(2147483647L)) * lit(48271L), lit(2147483647L))
+  private val minstdSpreadSql =
+    "((vec_id % 2147483647) * 48271) % 2147483647"
+
+  /** Usable AND dimension-complete embeddings — exactly the oracle's
+    * `e` CTE: length = [[Dim]], no NULL element, positive finite
+    * norm. [[emb]] plus the self-cosine dirty rule plus the length
+    * check (a short-but-clean vector has a defined self-cosine yet no
+    * defined cosine against anything full-width).
+    */
+  private def embUsable(spark: SparkSession, dir: String): DataFrame = {
+    val e = emb(spark, dir)
+    e.where(size(col("v")) === Dim &&
+      cosine(col("v"), col("v")).isNotNull)
+  }
+
+  /** The spherical k-means fit as unrolled MATERIALIZED CTE stages —
+    * shared by the #103 and #187 oracles. Emits CTEs: `e` (usable
+    * dimension-complete vectors), `c0` (MINSTD-spread seed centroids),
+    * per round i: `a_i` (argmax-cosine assignment, ties → lowest
+    * cent_id — the max_by struct order), `m_i` (per-(cell, pos)
+    * decimal(8,6) fixed-point unit-direction sums, mean as one
+    * integer-exact double division), `c_i` (new centroids, empty
+    * cells carry the previous one), and `afin` (final assignment
+    * against `c_iters`). Every cosine is the #30 ascending left fold,
+    * bit-identical to the codegen'd [[CosineSimilarity]].
+    */
+  private def kmeansFitCtesSql(k: Int, iters: Int): String = {
+    def fold(a: String, b: String) =
+      s"list_reduce(list_prepend(0.0, list_transform(range(1, ${Dim + 1}), i -> $a[i] * $b[i])), (acc, x) -> acc + x)"
+    def cos(a: String, b: String) =
+      s"${fold(a, b)} / (sqrt(${fold(a, a)}) * sqrt(${fold(b, b)}))"
+    def assignCte(name: String, cents: String) =
+      s"""$name AS MATERIALIZED (
+         |  SELECT vec_id, v, cell, nrm FROM (
+         |    SELECT vec_id, v, cell, nrm,
+         |      row_number() OVER (PARTITION BY vec_id
+         |        ORDER BY ccos DESC, cell) AS rk
+         |    FROM (
+         |      SELECT e.vec_id, e.v, c.cent_id AS cell,
+         |        sqrt(${fold("e.v", "e.v")}) AS nrm,
+         |        ${cos("c.cv", "e.v")} AS ccos
+         |      FROM e CROSS JOIN $cents c)
+         |    WHERE ccos IS NOT NULL) WHERE rk = 1)""".stripMargin
+    val rounds = (1 to iters).map { i =>
+      s"""${assignCte(s"a$i", s"c${i - 1}")},
+         |m$i AS MATERIALIZED (
+         |  SELECT cell, p.pos AS pos,
+         |    CAST(CAST(sum(CAST(a.v[p.pos + 1] / a.nrm AS DECIMAL(8,6))) * 1000000 AS BIGINT) AS DOUBLE)
+         |      / (count(*) * 1000000) AS m
+         |  FROM a$i a CROSS JOIN (SELECT CAST(r.range AS INT) AS pos FROM range(0, $Dim) r) p
+         |  GROUP BY cell, p.pos),
+         |mc$i AS MATERIALIZED (
+         |  SELECT cell, list(m ORDER BY pos) AS cv FROM m$i GROUP BY cell),
+         |c$i AS MATERIALIZED (
+         |  SELECT p.cent_id, coalesce(n.cv, p.cv) AS cv
+         |  FROM c${i - 1} p LEFT JOIN mc$i n ON n.cell = p.cent_id)""".stripMargin
+    }.mkString(",\n")
+    s"""e AS MATERIALIZED (
+       |  SELECT vec_id,
+       |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+       |  FROM embeddings
+       |  WHERE len(embedding) = $Dim
+       |    AND NOT EXISTS (SELECT 1 FROM unnest(embedding) AS t(x) WHERE x IS NULL)
+       |    AND ${fold("v", "v")} > 0 AND NOT isnan(${fold("v", "v")})),
+       |c0 AS MATERIALIZED (
+       |  SELECT CAST(row_number() OVER (ORDER BY $minstdSpreadSql, vec_id) - 1 AS BIGINT) AS cent_id,
+       |    v AS cv
+       |  FROM e QUALIFY row_number() OVER (ORDER BY $minstdSpreadSql, vec_id) <= $k),
+       |$rounds,
+       |${assignCte("afin", s"c$iters")}""".stripMargin
+  }
+
+  /** #187 — `q_kmeans_cells`: the FITTED-centroid IVF gate (VERDICT
+    * r14 item 1) — one row per (centroid, dimension) with the fitted
+    * component and the centroid's final cell population:
+    * `(cent_id, pos, comp, n_vecs)`. This pins the #75 fit ITSELF —
+    * seeds, every Lloyd round's fixed-point means, the final
+    * broadcast-argmax assignment — not just a readout over it, the
+    * way #171/#172 pin the BPE fit. Same (k, iters) as #103, so one
+    * green gate certifies the exact fit #103's drop-list builds on.
+    *
+    * Scale: the Spark side is [[graft.api.Graft.kmeansCentroids]] +
+    * [[graft.api.Graft.ivfIndex]] verbatim — per round one broadcast
+    * assignment pass and a (cell, dim)-keyed partial-agg exchange;
+    * output is k×dim rows regardless of corpus size.
+    */
+  def qKmeansCells(spark: SparkSession, dir: String): DataFrame = {
+    val e = embUsable(spark, dir)
+    val cents = graft.api.Graft.kmeansCentroids(e, "vec_id", "v",
+      SemClusters, SemIters, minstdSpread)
+    val idx = graft.api.Graft.ivfIndex(e, "vec_id", "v",
+      cents, "cent_id", "cv")
+    val counts = idx.groupBy("cell").agg(count(lit(1)).as("n_vecs"))
+    cents.select(col("cent_id"),
+        posexplode(col("cv")).as(Seq("pos", "comp")))
+      .join(counts.withColumnRenamed("cell", "cent_id"), Seq("cent_id"), "left")
+      .select(col("cent_id"), col("pos"), col("comp"),
+        coalesce(col("n_vecs"), lit(0L)).as("n_vecs"))
+      .orderBy("cent_id", "pos")
+  }
+
+  val qKmeansCellsSql: String =
+    s"""WITH ${kmeansFitCtesSql(SemClusters, SemIters)},
+       |pop AS (
+       |  SELECT cell, CAST(count(*) AS BIGINT) AS n_vecs
+       |  FROM afin GROUP BY cell)
+       |SELECT c.cent_id, p.pos, c.cv[p.pos + 1] AS comp,
+       |  coalesce(n.n_vecs, 0) AS n_vecs
+       |FROM c$SemIters c
+       |CROSS JOIN (SELECT CAST(r.range AS INT) AS pos FROM range(0, $Dim) r) p
+       |LEFT JOIN pop n ON n.cell = c.cent_id
+       |ORDER BY c.cent_id, p.pos""".stripMargin
+
+  /** #103's oracle — the shared fit CTEs, then the within-cell ≥τ
+    * pair set and the smaller-id-keeper drop aggregate.
+    */
+  val qDedupSemanticSql: String = {
+    def fold(a: String, b: String) =
+      s"list_reduce(list_prepend(0.0, list_transform(range(1, ${Dim + 1}), i -> $a[i] * $b[i])), (acc, x) -> acc + x)"
+    def cos(a: String, b: String) =
+      s"${fold(a, b)} / (sqrt(${fold(a, a)}) * sqrt(${fold(b, b)}))"
+    s"""WITH ${kmeansFitCtesSql(SemClusters, SemIters)},
+       |pairs AS (
+       |  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, b.cell AS cell,
+       |    ${cos("a.v", "b.v")} AS cos
+       |  FROM afin a JOIN afin b ON a.cell = b.cell AND a.vec_id < b.vec_id
+       |  WHERE cos >= $CosineTau)
+       |SELECT vec_b AS vec_id, cell, CAST(count(*) AS BIGINT) AS dup_of_ct,
+       |  max(cos) AS max_cos
+       |FROM pairs GROUP BY vec_b, cell ORDER BY vec_id""".stripMargin
   }
 
   /** #31's oracle — the full deterministic IVF pipeline in SQL:
