@@ -311,6 +311,117 @@ object Dedup {
       .orderBy("doc_a", "doc_b")
   }
 
+  /** #188 — `q_dedup_minhash_gated`: #27's minhash + banded-LSH
+    * pipeline, HASH-GATED (r14 verdict item 2) on the cross-engine
+    * polynomial family the #176 winnow gate proved bit-reproducible
+    * in DuckDB: base shingle hash = 31-base Horner fold over code
+    * points mod 1e9+7, slot i's draw = (aᵢ·h + bᵢ) mod p with the
+    * MINSTD constants of [[graft.functions.PolyHash.abPairs]]
+    * (embedded as literals in BOTH engines — the oracle SQL below is
+    * built from the same arrays), band bucket = the same Horner fold
+    * over each band's 4 signature slots. Identical plan shape to #27
+    * (one map-side signature pass, band-bucket join as the sole
+    * pair-producing shuffle, pairs deduplicated BEFORE signatures
+    * re-attach, exact-Jaccard verification on candidates only);
+    * the production #27 keeps seeded xxhash64 — better mixed, but
+    * with no DuckDB twin, hence rows-only. This flavor turns the LSH
+    * pipeline's whole candidate+verify surface into a hash-match.
+    */
+  def qDedupMinhashGated(spark: SparkSession, dir: String): DataFrame = {
+    val K = 64; val Bands = 16; val RowsPerBand = K / Bands
+    graft.functions.MinHashPolySig.register(spark)
+    val P = graft.functions.PolyHash.Mod1
+    val sigs = shingleSets(spark, dir)
+      .select(col("doc_id"), expr(s"minhash_poly_sig(shingles, $K)").as("sig"))
+      .where(col("sig").isNotNull)
+    // band bucket = ((s₀·31 + s₁)·31 + s₂)·31 + s₃ mod p — each slot
+    // value < p < 2^30, so every intermediate stays inside a long
+    val bandCols = (0 until Bands).map { j =>
+      (0 until RowsPerBand).foldLeft(lit(0L)) { (acc, r) =>
+        pmod(acc * lit(31L) + col("sig").getItem(j * RowsPerBand + r), lit(P))
+      }
+    }
+    val bands = sigs
+      .select(col("doc_id"), posexplode(array(bandCols: _*)).as(Seq("band", "bucket")))
+    val cand = bands.select(col("doc_id").as("doc_a"), col("band"), col("bucket"))
+      .join(bands.select(col("doc_id").as("doc_b"), col("band"), col("bucket")),
+        Seq("band", "bucket"))
+      .where(col("doc_a") < col("doc_b"))
+      .select("doc_a", "doc_b").distinct()
+      .join(sigs.select(col("doc_id").as("doc_a"), col("sig").as("sig_a")), "doc_a")
+      .join(sigs.select(col("doc_id").as("doc_b"), col("sig").as("sig_b")), "doc_b")
+      .withColumn("est_jaccard",
+        size(filter(zip_with(col("sig_a"), col("sig_b"), (x, y) => x === y),
+          b => b)).cast("double") / K)
+      .select("doc_a", "doc_b", "est_jaccard")
+    val sets = shingleSets(spark, dir)
+    cand
+      .join(sets.select(col("doc_id").as("doc_a"), col("shingles").as("sh_a"),
+        col("n_shingles").as("na")), "doc_a")
+      .join(sets.select(col("doc_id").as("doc_b"), col("shingles").as("sh_b"),
+        col("n_shingles").as("nb")), "doc_b")
+      .withColumn("inter", size(array_intersect(col("sh_a"), col("sh_b"))).cast("long"))
+      .withColumn("jaccard",
+        col("inter").cast("double") / (col("na") + col("nb") - col("inter")))
+      .where(col("jaccard") >= JaccardTau)
+      .select("doc_a", "doc_b", "est_jaccard", "jaccard")
+      .orderBy("doc_a", "doc_b")
+  }
+
+  /** #188's oracle — replays the ENTIRE pipeline: shingles, the
+    * 31-base fold, all 64 (a, b) slot minima (constants interpolated
+    * from the same [[graft.functions.PolyHash.abPairs]] arrays the
+    * Spark expression uses), band buckets, candidates, est-Jaccard,
+    * exact-Jaccard verification.
+    */
+  val qDedupMinhashGatedSql: String = {
+    val P = graft.functions.PolyHash.Mod1
+    val (a, b) = graft.functions.PolyHash.abPairs(64)
+    val constRows = (0 until 64)
+      .map(i => s"(${i}, ${a(i)}, ${b(i)})").mkString(", ")
+    s"""WITH $shingleCteSql,
+       |she AS (SELECT doc_id, unnest(shingles) AS s FROM sh),
+       |hs AS MATERIALIZED (
+       |  SELECT doc_id,
+       |    list_reduce(list_prepend(CAST(0 AS BIGINT),
+       |      list_transform(string_split(s, ''), c -> CAST(ascii(c) AS BIGINT))),
+       |      (acc, x) -> (acc * 31 + x) % $P) AS h
+       |  FROM she),
+       |consts(i, a, b) AS (VALUES $constRows),
+       |sig AS MATERIALIZED (
+       |  SELECT doc_id, list(m ORDER BY i) AS sig FROM (
+       |    SELECT doc_id, i, min((a * h + b) % $P) AS m
+       |    FROM hs CROSS JOIN consts GROUP BY 1, 2)
+       |  GROUP BY doc_id),
+       |bands AS (
+       |  SELECT doc_id, j AS band,
+       |    list_reduce(list_prepend(CAST(0 AS BIGINT), sig[4*j+1:4*j+4]),
+       |      (acc, x) -> (acc * 31 + x) % $P) AS bucket
+       |  FROM sig CROSS JOIN (SELECT CAST(r.range AS INT) AS j FROM range(0, 16) r) t),
+       |cand AS (
+       |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+       |  FROM bands a JOIN bands b
+       |    ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id),
+       |est AS (
+       |  SELECT doc_a, doc_b,
+       |    CAST(len(list_filter(range(1, 65), i -> sa.sig[i] = sb.sig[i])) AS DOUBLE) / 64
+       |      AS est_jaccard
+       |  FROM cand JOIN sig sa ON sa.doc_id = doc_a JOIN sig sb ON sb.doc_id = doc_b),
+       |cnt AS (SELECT doc_id, CAST(len(shingles) AS BIGINT) AS n FROM sh),
+       |inter AS (
+       |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, CAST(count(*) AS BIGINT) AS inter
+       |  FROM she a JOIN she b ON a.s = b.s AND a.doc_id < b.doc_id
+       |  GROUP BY 1, 2)
+       |SELECT e.doc_a, e.doc_b, e.est_jaccard,
+       |  CAST(i.inter AS DOUBLE) / (ca.n + cb.n - i.inter) AS jaccard
+       |FROM est e
+       |JOIN inter i ON i.doc_a = e.doc_a AND i.doc_b = e.doc_b
+       |JOIN cnt ca ON ca.doc_id = e.doc_a
+       |JOIN cnt cb ON cb.doc_id = e.doc_b
+       |WHERE CAST(i.inter AS DOUBLE) / (ca.n + cb.n - i.inter) >= $JaccardTau
+       |ORDER BY e.doc_a, e.doc_b""".stripMargin
+  }
+
   /** Document-frequency cap for the capped candidate join (#47): a
     * shingle occurring in more than this many documents is dropped
     * from CANDIDATE GENERATION (verification still uses full sets).
@@ -1420,6 +1531,73 @@ object Dedup {
       .withColumn("hamming", bit_count(col("sim_a").bitwiseXOR(col("sim_b"))))
       .where(col("hamming") <= hammingMax)
       .select("doc_a", "doc_b", "hamming")
+  }
+
+  /** #189 — `q_dedup_simhash_gated`: #28's simhash near-dup pipeline,
+    * HASH-GATED (r14 verdict item 2) on the cross-engine polynomial
+    * family: per-token 60-bit draw v = h₁ + 2³⁰·h₂ (two Horner folds
+    * over code points, primes 1e9+7 and 998244353 — both < 2³⁰, so
+    * the draws pack without overlap), multiplicity-weighted ±1 per
+    * bit, bit j = 1 iff its counter > 0 — computed in one map-side
+    * pass by the codegen'd [[graft.functions.SimHashPoly]]. Candidate
+    * generation and verification ride the SAME width-agnostic
+    * 7-chunk/4-subset [[hammingNearDupPairs]] machinery as #28 (the
+    * top chunk carries 4 dead bits on both sides — recall at radius 3
+    * stays perfect by pigeonhole); the DuckDB oracle verifies the
+    * result from the other direction, brute-force all-pairs
+    * bit_count(xor) over its own re-derivation of every signature —
+    * same set, different plan, which is exactly what makes the gate
+    * meaningful. The production #28 keeps xxhash64's 64 bits.
+    */
+  def qDedupSimhashGated(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.SimHashPoly.register(spark)
+    val sim = Tables.documents(spark, dir)
+      .where(expr("exists(split(text, ' '), t -> t <> '')"))
+      .select(col("doc_id"), expr("simhash_poly(text)").as("simhash"))
+    hammingNearDupPairs(sim, "doc_id", "simhash", hammingMax = 3)
+      .select(col("doc_a"), col("doc_b"), col("hamming").cast("long").as("hamming"))
+      .orderBy("doc_a", "doc_b")
+  }
+
+  /** #189's oracle — re-derives every 60-bit signature (two
+    * list_reduce folds per token, 60 bit-counters per doc), then
+    * finds pairs at Hamming ≤ 3 by brute-force all-pairs XOR — the
+    * O(n²) plan only an oracle can afford, independent of the banding
+    * the Spark side uses for recall.
+    */
+  val qDedupSimhashGatedSql: String = {
+    val P1 = graft.functions.PolyHash.Mod1
+    val P2 = graft.functions.PolyHash.Mod2
+    val S2 = graft.functions.PolyHash.Shift2
+    s"""WITH toks AS (
+       |  SELECT doc_id, list_filter(string_split(text, ' '), t -> t <> '') AS t
+       |  FROM documents),
+       |tv AS (
+       |  SELECT doc_id,
+       |    list_transform(string_split(unnest(t), ''), c -> CAST(ascii(c) AS BIGINT)) AS codes
+       |  FROM toks),
+       |hv AS MATERIALIZED (
+       |  SELECT doc_id,
+       |    list_reduce(list_prepend(CAST(0 AS BIGINT), codes),
+       |      (acc, x) -> (acc * 31 + x) % $P1)
+       |    + $S2 * list_reduce(list_prepend(CAST(0 AS BIGINT), codes),
+       |      (acc, x) -> (acc * 131 + x) % $P2) AS v
+       |  FROM tv),
+       |bitsum AS MATERIALIZED (
+       |  SELECT doc_id, j,
+       |    sum(CASE WHEN (v >> j) & 1 = 1 THEN 1 ELSE -1 END) AS s
+       |  FROM hv CROSS JOIN (SELECT CAST(r.range AS INT) AS j FROM range(0, 60) r) js
+       |  GROUP BY 1, 2),
+       |sig AS MATERIALIZED (
+       |  SELECT doc_id,
+       |    CAST(sum(CASE WHEN s > 0 THEN (CAST(1 AS BIGINT) << j) ELSE CAST(0 AS BIGINT) END)
+       |      AS BIGINT) AS sig
+       |  FROM bitsum GROUP BY doc_id)
+       |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       |  CAST(bit_count(xor(a.sig, b.sig)) AS BIGINT) AS hamming
+       |FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+       |WHERE bit_count(xor(a.sig, b.sig)) <= 3
+       |ORDER BY doc_a, doc_b""".stripMargin
   }
 
   /** Window width in tokens for #133. The published rule (Lee et al.

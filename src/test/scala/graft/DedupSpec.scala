@@ -84,6 +84,40 @@ class DedupSpec extends SparkSpec {
     assert(exact.exceptAll(lsh).count() == 0, "LSH missed a near-dup pair")
   }
 
+  test("gated minhash twin recovers exactly the exact-jaccard pairs too") {
+    // the cross-engine poly family must not cost recall on the planted
+    // corpus: same invariant as the production xxhash64 flavor
+    val lsh = SparkEntry.queries("q_dedup_minhash_gated")(spark, sf)
+      .select("doc_a", "doc_b")
+    val exact = SparkEntry.queries("q_dedup_ngram_jaccard")(spark, sf)
+      .select("doc_a", "doc_b")
+    assert(lsh.exceptAll(exact).count() == 0, "gated LSH emitted a non-near-dup pair")
+    assert(exact.exceptAll(lsh).count() == 0, "gated LSH missed a near-dup pair")
+  }
+
+  test("gated simhash twin: banded path == brute-force all-pairs") {
+    val df = SparkEntry.queries("q_dedup_simhash_gated")(spark, sf)
+    assert(df.where(col("hamming") > 3 || col("hamming") < 0).count() == 0)
+    assert(df.where(col("doc_a") >= col("doc_b")).count() == 0)
+    // the banded candidate path must equal BRUTE-FORCE all-pairs over
+    // the same signatures — the pigeonhole recall guarantee checked
+    // end-to-end on real data (all-pairs is affordable only in a spec;
+    // it is also exactly the shape the DuckDB oracle uses)
+    graft.functions.SimHashPoly.register(spark)
+    val sigs = Tables.documents(spark, sf)
+      .where(expr("exists(split(text, ' '), t -> t <> '')"))
+      .select(col("doc_id"), expr("simhash_poly(text)").as("s"))
+    val brute = sigs.select(col("doc_id").as("doc_a"), col("s").as("sa"))
+      .crossJoin(sigs.select(col("doc_id").as("doc_b"), col("s").as("sb")))
+      .where(col("doc_a") < col("doc_b"))
+      .withColumn("hamming", bit_count(col("sa").bitwiseXOR(col("sb"))).cast("long"))
+      .where(col("hamming") <= 3)
+      .select("doc_a", "doc_b", "hamming")
+    assert(brute.count() > 0, "vacuous: corpus has no radius-3 simhash pairs")
+    assert(df.exceptAll(brute).count() == 0 && brute.exceptAll(df).count() == 0,
+      "banded candidate generation diverged from brute-force all-pairs")
+  }
+
   test("jaccard output is symmetric-free and thresholded") {
     val df = SparkEntry.queries("q_dedup_ngram_jaccard")(spark, sf)
     assert(df.where(col("doc_a") >= col("doc_b")).count() == 0)

@@ -117,6 +117,62 @@ class FunctionsSpec extends SparkSpec {
     assert(fast.count() == slow.count(), "token-less docs must drop from both")
   }
 
+  // Independent re-derivation of the cross-engine poly family (#188/
+  // #189): a from-scratch fold over codePoints — NOT a call into
+  // graft.functions.PolyHash — so the expressions are pinned against a
+  // second implementation, the way minhash_sig is pinned against the
+  // explode formulation. Includes an astral-plane code point (U+1D11E)
+  // to pin the code-point (not UTF-16 unit, not byte) grain.
+  private def refFold(s: String, base: Long, mod: Long): Long = {
+    var acc = 0L
+    val it = s.codePoints().iterator()
+    while (it.hasNext) acc = (acc * base + it.next()) % mod
+    acc
+  }
+
+  test("minhash_poly_sig matches an independent per-slot fold") {
+    graft.functions.MinHashPolySig.register(spark)
+    import spark.implicits._
+    val shingles = Seq("a b c", "b c d", "汉字 x y", "𝄞 g clef", "")
+    val got = Seq(shingles).toDF("sh")
+      .select(expr("minhash_poly_sig(sh, 8)").as("sig"))
+      .collect()(0).getSeq[Long](0)
+    // MINSTD stream re-derived from scratch
+    var x = 1L
+    def next(): Long = { x = (x * 48271L) % 2147483647L; x }
+    val expected = (0 until 8).map { _ =>
+      val a = next() % 1000000006L + 1
+      val b = next() % 1000000007L
+      shingles.map(s => (a * refFold(s, 31, 1000000007L) + b) % 1000000007L).min
+    }
+    assert(got == expected, "poly minhash diverged from the re-derivation")
+    // empty set stays null (the minhash_sig convention)
+    val r = spark.sql(
+      "SELECT minhash_poly_sig(CAST(array() AS ARRAY<STRING>), 4) AS s").collect()(0)
+    assert(r.isNullAt(0))
+  }
+
+  test("simhash_poly matches an independent re-derivation") {
+    graft.functions.SimHashPoly.register(spark)
+    import spark.implicits._
+    val texts = Seq("the cat sat on the cat", "汉 字 汉  字", // double space
+      "𝄞 solo", "lone", "a", "")
+    val got = texts.toDF("text")
+      .select(expr("simhash_poly(text)").as("sig")).collect().map(_.getLong(0))
+    val expected = texts.map { t =>
+      val counters = new Array[Int](60)
+      t.split(" ").filter(_.nonEmpty).foreach { tok =>
+        val v = refFold(tok, 31, 1000000007L) +
+          1073741824L * refFold(tok, 131, 998244353L)
+        (0 until 60).foreach { j =>
+          if (((v >> j) & 1L) != 0L) counters(j) += 1 else counters(j) -= 1 }
+      }
+      (0 until 60).map(j => if (counters(j) > 0) 1L << j else 0L).sum
+    }
+    assert(got.toSeq == expected, "poly simhash diverged from the re-derivation")
+    assert(got.last == 0L, "token-less text must simhash to 0")
+  }
+
   test("registered functions resolve in plain SQL") {
     CosineSimilarity.register(spark)
     WordShingles.register(spark)
