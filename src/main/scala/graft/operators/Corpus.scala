@@ -1565,6 +1565,173 @@ object Corpus {
        |       END AS drop_reason
        |FROM v ORDER BY doc_id""".stripMargin
 
+  /** #190 — `q_training_manifest`: the END-TO-END training-set
+    * manifest (r14 verdict item 4) — the readout a run ships when the
+    * CURATED corpus is laid out for training: per (split, shard) cell,
+    * how many documents survived, how many packed sequences they
+    * fill, their token mass, how many documents straddle a pack cut,
+    * and how many tokens the mixture plan draws from the cell. One
+    * gated row set proves the pipeline COHERES end-to-end, the way
+    * #72 proved the curation half: every stage below reuses the EXACT
+    * shared definition of its standalone gated operator, so the
+    * manifest cannot drift from the stages it composes.
+    *
+    * Stage composition:
+    *   1. curation verdicts (#72/#169's [[funnelFlags]] `p5`);
+    *   2. near-dup keeper election (#43's cluster labels + #129's
+    *      quality-argmax): a clustered doc survives only as its
+    *      cluster's elected keeper — a cluster whose keeper fails the
+    *      funnel contributes nothing (the conservative composition:
+    *      curation verdicts are per-doc, never transferable);
+    *   3. leakage-free split (#107: hash31(cluster key) mod 10);
+    *   4. shard layout (#92: hash31(doc_id) mod [[NumShards]]);
+    *   5. sequence packing (#106's concat-and-chunk cumsum, windowed
+    *      per (split, shard) — a training run packs within its own
+    *      split's shard streams);
+    *   6. mixture plan (#141's sqrt-damped weights, fit over the
+    *      TRAIN survivors only): a train cell's `planned_tokens` =
+    *      Σ_source ⌊epochs_source · cell-tokens_source⌋ — the expected
+    *      token draw from that cell under the plan; eval cells are
+    *      never drawn (NULL).
+    *
+    * Scale: the corpus is scanned ONCE for flags+tokens (the funnel's
+    * fused projections); labels/keepers/epochs are cluster- or
+    * source-grain broadcasts; the only survivor-scale exchange is the
+    * (split, shard) pack window, whose partitioning the cell
+    * aggregate RIDES (split/shard ⊂ grouping key — the #106
+    * discipline); the final (split, shard, source) → (split, shard)
+    * contraction is cell-grain. The survivor frame is persisted for
+    * its two consumers (the mix fit's normalizer + the cell
+    * aggregate) — the shingleSets lifecycle.
+    */
+  def qTrainingManifest(spark: SparkSession, dir: String): DataFrame = {
+    import graft.operators.Dedup
+    val flags = funnelFlags(spark, dir)
+      .select(col("doc_id"), col("source"),
+        coalesce(Text.wsTokenCount, lit(0L)).as("n_tokens"), col("p5"))
+    val labels = Dedup.qDupClusters(spark, dir).select("doc_id", "cluster_id")
+    val keepers = Dedup.qKeeperQuality(spark, dir)
+      .select(col("cluster_id"), col("keeper_id"))
+    val surv = flags.where(col("p5"))
+      .join(broadcast(labels), Seq("doc_id"), "left")
+      .join(broadcast(keepers), Seq("cluster_id"), "left")
+      .where(col("cluster_id").isNull || col("doc_id") === col("keeper_id"))
+      .withColumn("ckey", coalesce(col("cluster_id"), col("doc_id")))
+      .withColumn("split",
+        when(pmod(hash31(col("ckey")), lit(Dedup.SplitBins)) === 0, "test")
+          .when(pmod(hash31(col("ckey")), lit(Dedup.SplitBins)) === 1, "val")
+          .otherwise("train"))
+      .withColumn("shard", pmod(hash31(col("doc_id")), lit(NumShards)))
+    val w = Window.partitionBy("split", "shard").orderBy("doc_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val b = lit(PackBudget)
+    val packed = surv
+      .withColumn("cum", sum(col("n_tokens")).over(w) - col("n_tokens"))
+      .withColumn("straddle",
+        col("n_tokens") > 0 &&
+          floor((col("cum") + col("n_tokens") - 1) / b).cast("long") >
+            floor(col("cum") / b).cast("long"))
+      .persist()
+    val epochs = mixPlan(
+        packed.where(col("split") === "train")
+          .select(col("source"), col("n_tokens")),
+        "source", "n_tokens", MixBudgetTokens)
+      .select(col("source"), col("epochs"))
+    packed.groupBy("split", "shard", "source")
+      .agg(count(lit(1)).as("docs_s"), sum("n_tokens").as("tok_s"),
+        sum(when(col("straddle"), 1L).otherwise(0L)).as("strad_s"))
+      .join(broadcast(epochs), Seq("source"), "left")
+      .withColumn("draw_s",
+        when(col("split") === "train",
+          coalesce(
+            floor(col("epochs") * col("tok_s").cast("double")).cast("long"),
+            lit(0L)))
+          .otherwise(lit(null).cast("long")))
+      .groupBy("split", "shard")
+      .agg(sum("docs_s").as("n_docs"),
+        sum("tok_s").as("sum_tokens"),
+        sum("strad_s").as("n_straddles"),
+        sum("draw_s").as("planned_tokens"))
+      .withColumn("n_packs",
+        when(col("sum_tokens") === 0, 0L)
+          .otherwise(floor((col("sum_tokens") - 1) / b).cast("long") + 1))
+      .select(col("split"), col("shard"), col("n_docs"), col("n_packs"),
+        col("sum_tokens"), col("n_straddles"), col("planned_tokens"))
+      .orderBy("split", "shard")
+  }
+
+  /** #190's oracle — composes the stage oracles verbatim: the #169
+    * verdict subquery, the #43 recursive-CC labeling, the #129 keeper
+    * election, then the #107/#92/#106/#141 integer/decimal formulas
+    * inline (each literal identical to its standalone oracle's).
+    */
+  val qTrainingManifestSql: String = {
+    import graft.operators.Dedup
+    s"""WITH verd AS (
+       |  SELECT doc_id FROM ($qCurationVerdictsSql) WHERE keep),
+       |lab AS (SELECT doc_id, cluster_id FROM (${Dedup.qDupClustersSql})),
+       |keepers AS (SELECT cluster_id, keeper_id FROM (${Dedup.qKeeperQualitySql})),
+       |dt AS (
+       |  SELECT doc_id, source, COALESCE(${Text.wsTokenCountSql}, 0) AS n
+       |  FROM documents),
+       |surv AS (
+       |  SELECT t.doc_id, t.source, t.n,
+       |    COALESCE(l.cluster_id, t.doc_id) AS ckey
+       |  FROM dt t
+       |  JOIN verd v ON v.doc_id = t.doc_id
+       |  LEFT JOIN lab l ON l.doc_id = t.doc_id
+       |  LEFT JOIN keepers k ON k.cluster_id = l.cluster_id
+       |  WHERE l.cluster_id IS NULL OR t.doc_id = k.keeper_id),
+       |a AS (
+       |  SELECT doc_id, source, n,
+       |    CASE ${hash31Sql("ckey")} % ${Dedup.SplitBins}
+       |      WHEN 0 THEN 'test' WHEN 1 THEN 'val' ELSE 'train' END AS split,
+       |    ${hash31Sql("doc_id")} % $NumShards AS shard
+       |  FROM surv),
+       |c AS MATERIALIZED (
+       |  SELECT split, shard, doc_id, source, n,
+       |    SUM(n) OVER (PARTITION BY split, shard ORDER BY doc_id
+       |      ROWS UNBOUNDED PRECEDING) - n AS cum
+       |  FROM a),
+       |ms AS (
+       |  SELECT source, CAST(count(*) AS BIGINT) AS docs,
+       |    CAST(sum(n) AS BIGINT) AS tokens,
+       |    CAST(round(sqrt(CAST(sum(n) AS DOUBLE)), 6) AS DECIMAL(18,6)) AS damped
+       |  FROM c WHERE split = 'train' GROUP BY source),
+       |mw AS (
+       |  SELECT source, tokens,
+       |    round(CAST(damped AS DOUBLE) / CAST((SELECT sum(damped) FROM ms) AS DOUBLE), 6) AS weight
+       |  FROM ms),
+       |mp AS (
+       |  SELECT source,
+       |    CASE WHEN tokens = 0 THEN NULL
+       |      ELSE round(CAST(floor($MixBudgetTokens.0 * weight) AS DOUBLE) / tokens, 6)
+       |    END AS epochs
+       |  FROM mw),
+       |cs AS (
+       |  SELECT split, shard, c.source,
+       |    CAST(count(*) AS BIGINT) AS docs_s,
+       |    CAST(sum(n) AS BIGINT) AS tok_s,
+       |    CAST(sum(CASE WHEN n > 0
+       |      AND (cum + n - 1) // $PackBudget > cum // $PackBudget
+       |      THEN 1 ELSE 0 END) AS BIGINT) AS strad_s
+       |  FROM c GROUP BY 1, 2, 3),
+       |d AS (
+       |  SELECT split, shard, docs_s, tok_s, strad_s,
+       |    CASE WHEN split = 'train'
+       |      THEN COALESCE(CAST(floor(mp.epochs * CAST(tok_s AS DOUBLE)) AS BIGINT), 0)
+       |      ELSE NULL END AS draw_s
+       |  FROM cs LEFT JOIN mp ON mp.source = cs.source)
+       |SELECT split, shard,
+       |  CAST(sum(docs_s) AS BIGINT) AS n_docs,
+       |  CAST(CASE WHEN sum(tok_s) = 0 THEN 0
+       |    ELSE (sum(tok_s) - 1) // $PackBudget + 1 END AS BIGINT) AS n_packs,
+       |  CAST(sum(tok_s) AS BIGINT) AS sum_tokens,
+       |  CAST(sum(strad_s) AS BIGINT) AS n_straddles,
+       |  CAST(sum(draw_s) AS BIGINT) AS planned_tokens
+       |FROM d GROUP BY split, shard ORDER BY split, shard""".stripMargin
+  }
+
   /** #125 — per-source TF-IDF characteristic terms: the top-10 words
     * of each source by `tf · ln(N/df)` (tf = occurrences in the
     * source, df = corpus docs containing the word, N = corpus docs) —

@@ -988,7 +988,7 @@ object Dedup {
   /** Split-bin count for #107; bins 0/1 are test/val, the rest train.
     * The SQL twin embeds the same literal.
     */
-  private val SplitBins = 10L
+  private[operators] val SplitBins = 10L
 
   /** #107 — `q_split_assign`: LEAKAGE-FREE train/val/test assignment —
     * the split is keyed on the #43 dup-CLUSTER label (singletons key

@@ -294,4 +294,38 @@ class CurationSpec extends SparkSpec {
     assert(out(6).isNullAt(out(6).fieldIndex("top_2gram_char_frac")))
     assert(!out(6).getAs[Boolean]("pass"))
   }
+
+  test("training manifest reconciles exactly with its composed stages") {
+    val m = SparkEntry.queries("q_training_manifest")(spark, sf).persist()
+    // survivor count == kept verdicts that are unclustered or their
+    // cluster's elected keeper — re-derived from the standalone gates
+    val keep = SparkEntry.queries("q_curation_verdicts")(spark, sf)
+      .where(col("keep")).select("doc_id")
+    val labels = SparkEntry.queries("q_dup_clusters")(spark, sf)
+      .select("doc_id", "cluster_id")
+    val keepers = SparkEntry.queries("q_keeper_quality")(spark, sf)
+      .select(col("cluster_id"), col("keeper_id"))
+    val expected = keep.join(labels, Seq("doc_id"), "left")
+      .join(keepers, Seq("cluster_id"), "left")
+      .where(col("cluster_id").isNull || col("doc_id") === col("keeper_id"))
+      .count()
+    assert(m.agg(sum("n_docs")).head.getLong(0) == expected,
+      "manifest doc mass drifted from verdicts x keeper election")
+    // packs are exactly the ceil of the cell's token mass over the budget
+    val badPacks = m.where(col("n_packs") =!=
+      when(col("sum_tokens") === 0, 0L)
+        .otherwise(floor((col("sum_tokens") - 1) / 512).cast("long") + 1))
+      .count()
+    assert(badPacks == 0, "n_packs is not ceil(sum_tokens / budget)")
+    // eval cells are never drawn; every train cell carries a plan
+    assert(m.where(col("split") =!= "train" &&
+      col("planned_tokens").isNotNull).count() == 0)
+    assert(m.where(col("split") === "train" &&
+      col("planned_tokens").isNull).count() == 0)
+    // non-vacuous: all three splits materialize, straddles exist
+    assert(m.select("split").distinct().count() == 3)
+    assert(m.agg(sum("n_straddles")).head.getLong(0) > 0,
+      "vacuous: no pack-cut straddles at the gate SF")
+    m.unpersist()
+  }
 }

@@ -703,4 +703,19 @@ class PlanSpec extends SparkSpec {
       .contains("chunk_text"),
       s"chunk_text leaked into the shuffle key/schema:\n$p")
   }
+
+  test("training manifest: survivor frame cached once, small sides broadcast") {
+    // the persisted survivor/pack frame serves BOTH consumers (the mix
+    // fit's normalizer and the cell aggregate) — without it the whole
+    // funnel+window chain re-executes; labels/keepers/epochs are
+    // cluster- or source-grain and must never shuffle the corpus side
+    val p = plan("q_training_manifest")
+    assert(p.contains("InMemoryTableScan"),
+      s"survivor frame must be reused via cache:\n$p")
+    assert(!p.contains("CartesianProduct"), s"manifest planned a cartesian:\n$p")
+    val broadcasts = "BroadcastHashJoin".r.findAllIn(p).size
+    assert(broadcasts >= 3,
+      s"labels/keepers/epochs must broadcast, got $broadcasts:\n$p")
+    spark.catalog.clearCache()
+  }
 }
