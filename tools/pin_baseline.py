@@ -90,6 +90,12 @@ REBASED = {
     "q_dup_clusters_incremental": ("baseline_r12",),
     "q_keeper_quality": ("baseline_r12",),
     "q_split_assign": ("baseline_r12",),
+    # round 15 (the k-means hash-gate graduation, commit 2564be7): the
+    # seed draw moved from xxhash64 to the MINSTD spread and each
+    # centroid mean now leaves fixed-point as one integer-exact double
+    # division; pre-r15 captures timed the xxhash64-seeded fit that no
+    # longer exists behind this gate
+    "q_dedup_semantic": ("probe_r15", "baseline_r15"),
 }
 
 per_query = {}   # name -> list[(seconds, source)]
