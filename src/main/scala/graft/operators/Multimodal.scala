@@ -185,10 +185,20 @@ object Multimodal {
           else (math.max(1, r.width * maxSide / m),
             math.max(1, r.height * maxSide / m))
         val outLen = tw * th * 3
-        val out = new Array[Byte](outLen)
-        if (r.payload.length > 0) {
-          var i = 0
-          while (i < outLen) { out(i) = r.payload(i % r.payload.length); i += 1 }
+        // REAL-CODEC path (r15): a valid P6 payload is resampled for
+        // real — nearest-neighbor over the decoded RGB raster to the
+        // SAME (tw, th) the metadata plan names (the byte budget the
+        // oracle checks is identical); the byte-cycle stub keeps
+        // serving non-PPM payloads only
+        val out = PpmCodec.decodeP6(r.payload) match {
+          case Some(img) => PpmCodec.resampleNearest(img, tw, th)
+          case None =>
+            val o = new Array[Byte](outLen)
+            if (r.payload.length > 0) {
+              var i = 0
+              while (i < outLen) { o(i) = r.payload(i % r.payload.length); i += 1 }
+            }
+            o
         }
         md.reset()
         val hex = md.digest(out).map(b => f"${b & 0xff}%02x").mkString
@@ -242,29 +252,46 @@ object Multimodal {
     * so the array form is one `collect_list` away for
     * `Graft.validateEmbeddings` / the ANN operators.
     */
-  def embedStage(features: Dataset[MediaFeatures],
+  def embedStage(media: Dataset[MediaRecord],
       dims: Int = 8): Dataset[MediaEmbedding] = {
     // the stub reads 2 hex chars per dimension from the 32-char md5 —
     // fail fast at plan time instead of a StringIndexOutOfBounds deep
     // inside an executor task (ADVICE r11)
     require(dims >= 1 && dims <= 16,
       s"embedStage dims must be in [1, 16] (md5 supplies 16 byte pairs), got $dims")
-    import features.sparkSession.implicits._
-    features.mapPartitions { records =>
-      records.flatMap { f =>
-        (0 until dims).iterator.map { d =>
-          val v = Integer.parseInt(f.payload_md5.substring(2 * d, 2 * d + 2), 16)
-          MediaEmbedding(f.doc_id, d, v / 255.0)
+    import media.sparkSession.implicits._
+    media.mapPartitions { records =>
+      // per-partition "encoder" lifecycle (a real vision model loads
+      // its weights once here)
+      val md = java.security.MessageDigest.getInstance("MD5")
+      records.flatMap { r =>
+        // REAL-CODEC path (r15): a valid P6 payload embeds over its
+        // actual luma plane ([[PpmCodec.embedPixels]] — `dims`
+        // horizontal band means); the md5 stub keeps serving non-PPM
+        // payloads only
+        PpmCodec.decodeP6(r.payload) match {
+          case Some(img) =>
+            PpmCodec.embedPixels(img, dims).iterator.zipWithIndex.map {
+              case (v, d) => MediaEmbedding(r.doc_id, d, v) }
+          case None =>
+            md.reset()
+            val hex = md.digest(r.payload).map(b => f"${b & 0xff}%02x").mkString
+            (0 until dims).iterator.map { d =>
+              val v = Integer.parseInt(hex.substring(2 * d, 2 * d + 2), 16)
+              MediaEmbedding(r.doc_id, d, v / 255.0)
+            }
         }
       }
     }
   }
 
   /** #154 gate query — every value reproduces in DuckDB from the md5
-    * hex digits (the #146 instr-digit table).
+    * hex digits (the #146 instr-digit table; the gate corpus's
+    * payloads are text bytes, so the stub tower is the one exercised
+    * — the pixel tower is MultimodalSpec's golden-image territory).
     */
   def qMultimodalEmbed(spark: SparkSession, dir: String): DataFrame =
-    embedStage(decodeFeatures(mediaTable(spark, dir)))
+    embedStage(mediaTable(spark, dir))
       .toDF()
       .select("doc_id", "dim", "value")
       .orderBy("doc_id", "dim")
@@ -288,10 +315,21 @@ object Multimodal {
     * floating point, so the hash is bit-stable across partitionings
     * and platforms (spec-pinned).
     */
-  /** The aHash byte math, shared by the batch stage and the streaming
-    * ingest twin so the two can never drift. Null/empty plane → 0L.
+  /** The aHash, shared by the batch stage and the streaming ingest
+    * twin so the two can never drift. Null/empty plane → 0L.
+    *
+    * REAL-CODEC path (r15): a payload that parses as a complete P6
+    * image ([[PpmCodec.decodeP6]] — strict, so document text can
+    * never false-positive) hashes over its ACTUAL decoded luma plane
+    * resampled into the 8×8 grid ([[PpmCodec.aHashPixels]]); the
+    * byte-run stub below now serves only non-PPM payloads, whose
+    * codecs this environment lacks.
     */
   private[graft] def aHash(payload: Array[Byte]): Long = {
+    PpmCodec.decodeP6(payload) match {
+      case Some(img) => return PpmCodec.aHashPixels(img)
+      case None =>
+    }
     val p = if (payload == null) Array.emptyByteArray else payload
     val n = p.length
     var phash = 0L

@@ -99,8 +99,7 @@ class AnnSpec extends SparkSpec {
     // #73 serving index instead of the brute broadcast scan — pin its
     // recall@5 against the hash-gated q_crossmodal_topk baseline
     import graft.operators.Multimodal
-    val emb = Multimodal.embedStage(
-      Multimodal.decodeFeatures(Multimodal.mediaTable(spark, sf))).toDF()
+    val emb = Multimodal.embedStage(Multimodal.mediaTable(spark, sf)).toDF()
     val vecs = emb.groupBy("doc_id")
       .agg(transform(array_sort(collect_list(struct(col("dim"), col("value")))),
         s => s.getField("value")).as("v"))

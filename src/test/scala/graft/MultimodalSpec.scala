@@ -144,8 +144,7 @@ class MultimodalSpec extends SparkSpec {
   }
 
   test("embed stage feeds validateEmbeddings: every vector valid, values in [0,1]") {
-    val emb = Multimodal.embedStage(
-      Multimodal.decodeFeatures(Multimodal.mediaTable(spark, sf))).toDF()
+    val emb = Multimodal.embedStage(Multimodal.mediaTable(spark, sf)).toDF()
     assert(emb.where(col("value") < 0 || col("value") > 1).count() == 0)
     // pivot to array form and run the embedding validator end-to-end
     val vecs = emb.groupBy("doc_id")
@@ -158,5 +157,98 @@ class MultimodalSpec extends SparkSpec {
     assert(issues.count() == 0,
       s"stub feature vectors must validate at dim 8: ${issues.collect().toSeq}")
     assert(vecs.count() == Tables.documents(spark, sf).count())
+  }
+
+  test("P6 codec: strict parse, golden aHash, exact resample, band embed") {
+    import graft.operators.PpmCodec
+    // golden image: 8x8, left half black, right half white — luma is
+    // exactly 0/255 (the BT.601 weights sum to 1000), global average
+    // 127.5, so aHash bit c = 1 iff column(c) >= 4: 0xF0 per row byte
+    val rgb = new Array[Byte](8 * 8 * 3)
+    for (y <- 0 until 8; x <- 4 until 8; ch <- 0 until 3)
+      rgb(3 * (y * 8 + x) + ch) = 0xff.toByte
+    val img = PpmCodec.Image(8, 8, rgb)
+    assert(PpmCodec.aHashPixels(img) == 0xF0F0F0F0F0F0F0F0L,
+      f"golden aHash mismatch: ${PpmCodec.aHashPixels(img)}%016x")
+    // encode -> decode is the identity
+    val decoded = PpmCodec.decodeP6(PpmCodec.encodeP6(img)).get
+    assert(decoded.width == 8 && decoded.height == 8 &&
+      decoded.rgb.sameElements(rgb))
+    // dimension invariance is REAL now: a nearest-neighbor upscale of
+    // the same image hashes identically through the resample grid
+    val up = PpmCodec.Image(16, 16, PpmCodec.resampleNearest(img, 16, 16))
+    assert(PpmCodec.aHashPixels(up) == PpmCodec.aHashPixels(img),
+      "upscaled copy must aHash identically")
+    // resample golden: [red, blue] 2x1 -> 4x1 duplicates each pixel
+    val twoPx = PpmCodec.Image(2, 1, Array[Byte](
+      0xff.toByte, 0, 0, 0, 0, 0xff.toByte))
+    assert(PpmCodec.resampleNearest(twoPx, 4, 1).sameElements(Array[Byte](
+      0xff.toByte, 0, 0, 0xff.toByte, 0, 0, 0, 0, 0xff.toByte, 0, 0, 0xff.toByte)))
+    // downscale of the upscale recovers the original raster exactly
+    assert(PpmCodec.resampleNearest(up, 8, 8).sameElements(rgb))
+    // band embed golden: top-black/bottom-white -> bands 0..3 = 0.0,
+    // bands 4..7 = 1.0 (255/255), exactly
+    val tb = new Array[Byte](8 * 8 * 3)
+    for (y <- 4 until 8; x <- 0 until 8; ch <- 0 until 3)
+      tb(3 * (y * 8 + x) + ch) = 0xff.toByte
+    assert(PpmCodec.embedPixels(PpmCodec.Image(8, 8, tb), 8).toSeq ==
+      Seq(0.0, 0.0, 0.0, 0.0, 1.0, 1.0, 1.0, 1.0))
+    // strictness: header comments parse; text and trailing bytes don't
+    val withComment = ("P6\n# a comment\n2 1\n255\n").getBytes("US-ASCII") ++
+      twoPx.rgb
+    assert(PpmCodec.decodeP6(withComment).exists(_.width == 2))
+    assert(PpmCodec.decodeP6("P6 is a ppm magic number".getBytes("UTF-8")).isEmpty)
+    assert(PpmCodec.decodeP6(PpmCodec.encodeP6(img) :+ 0.toByte).isEmpty,
+      "trailing bytes must fail the strict parse")
+    assert(PpmCodec.decodeP6(null).isEmpty && PpmCodec.decodeP6(Array[Byte]()).isEmpty)
+  }
+
+  test("PPM payloads flow through real pixel math in all three stages") {
+    import spark.implicits._
+    import graft.operators.{MediaRecord, PpmCodec}
+    val rgb = new Array[Byte](8 * 8 * 3)
+    for (y <- 0 until 8; x <- 4 until 8; ch <- 0 until 3)
+      rgb(3 * (y * 8 + x) + ch) = 0xff.toByte
+    val img = PpmCodec.Image(8, 8, rgb)
+    val up = PpmCodec.Image(448, 448, PpmCodec.resampleNearest(img, 448, 448))
+    val tb = new Array[Byte](8 * 8 * 3)
+    for (y <- 4 until 8; x <- 0 until 8; ch <- 0 until 3)
+      tb(3 * (y * 8 + x) + ch) = 0xff.toByte
+    val planted = Seq(
+      MediaRecord(1L, "ppm", 8, 8, PpmCodec.encodeP6(img)),
+      MediaRecord(2L, "ppm", 448, 448, PpmCodec.encodeP6(up)),
+      MediaRecord(3L, "ppm", 8, 8, PpmCodec.encodeP6(PpmCodec.Image(8, 8, tb))),
+      MediaRecord(4L, "txt", 8, 8, "not an image at all".getBytes("UTF-8"))
+    ).toDS()
+    // phash: the stored-at-448 copy hashes equal to the 8x8 original
+    // through REAL resampling, and both equal the golden value
+    val sig = Multimodal.phashStage(planted).toDF().collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(sig(1L) == 0xF0F0F0F0F0F0F0F0L && sig(2L) == sig(1L),
+      f"pixel aHash drifted: ${sig(1L)}%016x / ${sig(2L)}%016x")
+    assert(sig(4L) != sig(1L), "the stub path must not collide with pixels")
+    // resize: the 448x448 record caps to 224x224 and its REAL resample
+    // equals an independent direct call; the budget is the plan's
+    val rz = Multimodal.resizeStage(planted).collect()
+      .map(r => r.doc_id -> r).toMap
+    assert(rz(2L).target_w == 224 && rz(2L).target_h == 224 &&
+      rz(2L).out_bytes == 224L * 224 * 3)
+    val expect = PpmCodec.resampleNearest(up, 224, 224)
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val expectMd5 = md.digest(expect).map(b => f"${b & 0xff}%02x").mkString
+    assert(rz(2L).resized_md5 == expectMd5,
+      "resized raster is not the real nearest-neighbor resample")
+    // embed: the top-black/bottom-white image embeds to exact band
+    // means over REAL luma — 0.0 x4 then 1.0 x4
+    val emb = Multimodal.embedStage(planted).toDF()
+      .where(col("doc_id") === 3L).orderBy("dim")
+      .collect().map(_.getDouble(2)).toSeq
+    assert(emb == Seq(0.0, 0.0, 0.0, 0.0, 1.0, 1.0, 1.0, 1.0),
+      s"pixel band embedding drifted: $emb")
+    // the non-PPM record still takes the md5 stub (values in [0,1])
+    val stub = Multimodal.embedStage(planted).toDF()
+      .where(col("doc_id") === 4L).collect()
+    assert(stub.length == 8 && stub.forall(r =>
+      r.getDouble(2) >= 0.0 && r.getDouble(2) <= 1.0))
   }
 }
