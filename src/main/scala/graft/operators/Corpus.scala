@@ -1595,8 +1595,13 @@ object Corpus {
     *      never drawn (NULL).
     *
     * Scale: the corpus is scanned ONCE for flags+tokens (the funnel's
-    * fused projections); labels/keepers/epochs are cluster- or
-    * source-grain broadcasts; the only survivor-scale exchange is the
+    * fused projections); keepers/epochs are cluster- or source-grain
+    * broadcasts, and labels are DOC-grain but bounded by
+    * docs-with-a-dup (the #107 broadcast rationale — on a dup-heavy
+    * corpus this bound approaches the corpus and the labels join
+    * switches to a shuffle by dropping the hint; the hint stays
+    * because the label store must never be the shuffled side at the
+    * gate shape); the only survivor-scale exchange is the
     * (split, shard) pack window, whose partitioning the cell
     * aggregate RIDES (split/shard ⊂ grouping key — the #106
     * discipline); the final (split, shard, source) → (split, shard)

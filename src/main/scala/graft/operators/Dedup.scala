@@ -262,27 +262,41 @@ object Dedup {
     * occupancy, not corpus size.
     */
   def qDedupMinhashLsh(spark: SparkSession, dir: String): DataFrame = {
-    val K = 64; val Bands = 16; val RowsPerBand = K / Bands
     graft.functions.MinHashSig.register(spark)
-    // minhash_sig is NULL for empty shingle sets (< 3 tokens): such
-    // docs produced no exploded rows in the old formulation either
+    minhashLshPipeline(spark, dir, "minhash_sig",
+      slots => xxhash64(slots: _*))
+  }
+
+  /** The SHARED minhash + banded-LSH pipeline, parameterized by the
+    * signature function name and the band-bucket combiner so the
+    * production flavor (#27, seeded xxhash64) and the hash-gated twin
+    * (#188, cross-engine poly family) are the same plan by
+    * construction, not by transcription (review r15). Shape:
+    * signatures in ONE map-side pass ([[MinHashSig]]-class
+    * expressions are NULL for empty shingle sets — such docs produced
+    * no exploded rows in the old formulation either); the band
+    * self-join carries ONLY (doc_id, band, bucket) — a doc pair
+    * colliding in several (possibly crowded) buckets appears once per
+    * collision, so pairs deduplicate BEFORE anything per-pair is
+    * computed: signatures re-attach to the tiny surviving pair set
+    * and est_jaccard runs once per distinct pair instead of once per
+    * bucket collision (the previous shape carried both 64-long
+    * signatures through every collision row and paid an interpreted
+    * zip_with on each — 3.1 s → 0.3 s at sf0.1). Exact-Jaccard
+    * verification runs on candidates only.
+    */
+  private def minhashLshPipeline(spark: SparkSession, dir: String,
+      sigFn: String, bucketOf: Seq[Column] => Column): DataFrame = {
+    val K = 64; val Bands = 16; val RowsPerBand = K / Bands
     val sigs = shingleSets(spark, dir)
-      .select(col("doc_id"), expr(s"minhash_sig(shingles, $K)").as("sig"))
+      .select(col("doc_id"), expr(s"$sigFn(shingles, $K)").as("sig"))
       .where(col("sig").isNotNull)
     val bandCols = (0 until Bands).map { j =>
-      xxhash64((0 until RowsPerBand).map(r =>
-        col("sig").getItem(j * RowsPerBand + r)): _*)
+      bucketOf((0 until RowsPerBand).map(r =>
+        col("sig").getItem(j * RowsPerBand + r)))
     }
     val bands = sigs
       .select(col("doc_id"), posexplode(array(bandCols: _*)).as(Seq("band", "bucket")))
-    // the band self-join carries ONLY (doc_id, band, bucket) — a doc
-    // pair colliding in several (possibly crowded) buckets appears once
-    // per collision, so deduplicate pairs BEFORE anything per-pair is
-    // computed: signatures re-attach to the tiny surviving pair set,
-    // and est_jaccard runs once per distinct pair
-    // instead of once per bucket collision. (The previous shape carried
-    // both 64-long signatures through every collision row and paid an
-    // interpreted zip_with on each — 3.1 s → 0.3 s at sf0.1.)
     val cand = bands.select(col("doc_id").as("doc_a"), col("band"), col("bucket"))
       .join(bands.select(col("doc_id").as("doc_b"), col("band"), col("bucket")),
         Seq("band", "bucket"))
@@ -328,44 +342,14 @@ object Dedup {
     * pipeline's whole candidate+verify surface into a hash-match.
     */
   def qDedupMinhashGated(spark: SparkSession, dir: String): DataFrame = {
-    val K = 64; val Bands = 16; val RowsPerBand = K / Bands
     graft.functions.MinHashPolySig.register(spark)
     val P = graft.functions.PolyHash.Mod1
-    val sigs = shingleSets(spark, dir)
-      .select(col("doc_id"), expr(s"minhash_poly_sig(shingles, $K)").as("sig"))
-      .where(col("sig").isNotNull)
     // band bucket = ((s₀·31 + s₁)·31 + s₂)·31 + s₃ mod p — each slot
     // value < p < 2^30, so every intermediate stays inside a long
-    val bandCols = (0 until Bands).map { j =>
-      (0 until RowsPerBand).foldLeft(lit(0L)) { (acc, r) =>
-        pmod(acc * lit(31L) + col("sig").getItem(j * RowsPerBand + r), lit(P))
-      }
-    }
-    val bands = sigs
-      .select(col("doc_id"), posexplode(array(bandCols: _*)).as(Seq("band", "bucket")))
-    val cand = bands.select(col("doc_id").as("doc_a"), col("band"), col("bucket"))
-      .join(bands.select(col("doc_id").as("doc_b"), col("band"), col("bucket")),
-        Seq("band", "bucket"))
-      .where(col("doc_a") < col("doc_b"))
-      .select("doc_a", "doc_b").distinct()
-      .join(sigs.select(col("doc_id").as("doc_a"), col("sig").as("sig_a")), "doc_a")
-      .join(sigs.select(col("doc_id").as("doc_b"), col("sig").as("sig_b")), "doc_b")
-      .withColumn("est_jaccard",
-        size(filter(zip_with(col("sig_a"), col("sig_b"), (x, y) => x === y),
-          b => b)).cast("double") / K)
-      .select("doc_a", "doc_b", "est_jaccard")
-    val sets = shingleSets(spark, dir)
-    cand
-      .join(sets.select(col("doc_id").as("doc_a"), col("shingles").as("sh_a"),
-        col("n_shingles").as("na")), "doc_a")
-      .join(sets.select(col("doc_id").as("doc_b"), col("shingles").as("sh_b"),
-        col("n_shingles").as("nb")), "doc_b")
-      .withColumn("inter", size(array_intersect(col("sh_a"), col("sh_b"))).cast("long"))
-      .withColumn("jaccard",
-        col("inter").cast("double") / (col("na") + col("nb") - col("inter")))
-      .where(col("jaccard") >= JaccardTau)
-      .select("doc_a", "doc_b", "est_jaccard", "jaccard")
-      .orderBy("doc_a", "doc_b")
+    minhashLshPipeline(spark, dir, "minhash_poly_sig",
+      slots => slots.foldLeft(lit(0L)) { (acc, slot) =>
+        pmod(acc * lit(31L) + slot, lit(P))
+      })
   }
 
   /** #188's oracle — replays the ENTIRE pipeline: shingles, the

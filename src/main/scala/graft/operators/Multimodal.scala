@@ -190,7 +190,10 @@ object Multimodal {
         // SAME (tw, th) the metadata plan names (the byte budget the
         // oracle checks is identical); the byte-cycle stub keeps
         // serving non-PPM payloads only
-        val out = PpmCodec.decodeP6(r.payload) match {
+        // tw/th come from stored METADATA; a dirty row (0-dim
+        // metadata on a valid P6 payload) must degrade like the stub
+        // did, not crash the task (review r15)
+        val out = PpmCodec.decodeP6(r.payload).filter(_ => tw > 0 && th > 0) match {
           case Some(img) => PpmCodec.resampleNearest(img, tw, th)
           case None =>
             val o = new Array[Byte](outLen)
@@ -414,8 +417,12 @@ object Multimodal {
   /** 8-dim stub embedding reconstructed COLUMN-SIDE from an md5 hex
     * string (no UDF: conv() per hex pair, array() assembly — all
     * codegen'd), value-identical to [[embedStage]]'s row-per-dim
-    * output collected to an array. Shared by the #158 query's two
-    * encoder towers.
+    * output collected to an array FOR NON-PPM PAYLOADS (the gate
+    * corpora; since r15 a P6 payload embeds over real pixels in
+    * [[embedStage]], which this md5 reconstruction cannot see — a
+    * PPM-bearing deployment routes both #158 towers through the same
+    * real encoder, exactly as the swap-the-stub contract states).
+    * Shared by the #158 query's two encoder towers.
     */
   private def md5Vec(md5Col: Column): Column =
     array((0 until 8).map { d =>

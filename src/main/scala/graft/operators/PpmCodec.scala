@@ -153,6 +153,10 @@ object PpmCodec {
     */
   def resampleNearest(img: Image, tw: Int, th: Int): Array[Byte] = {
     require(tw > 0 && th > 0, s"resample target must be positive, got ${tw}x$th")
+    // the resize stage caps targets at maxSide; direct callers get a
+    // loud bound instead of a negative-size allocation on overflow
+    require(tw.toLong * th * 3 <= Int.MaxValue,
+      s"resample target ${tw}x$th does not fit one JVM array")
     val out = new Array[Byte](tw * th * 3)
     var y = 0
     var o = 0

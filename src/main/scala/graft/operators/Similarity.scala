@@ -102,7 +102,13 @@ object Similarity {
     // bucket values are built from Int bit flags (1 << r); past 31 the
     // shift overflows to colliding/negative buckets SILENTLY
     require(bits > 0 && bits <= 31, s"bits-per-band must be in [1, 31], got $bits")
-    val e = emb(spark, dir)
+    // USABLE vectors only (review r15): rankings/pairs run over the
+    // validated corpus — a NULL-element vector read as 0.0 here while
+    // the oracle's NULL arithmetic voided its cosines, and a
+    // NaN-poisoned one would top DuckDB's DESC sort (NaN compares
+    // greatest there). The #102 validator is the executable upstream
+    // of this contract; the gate now enforces it on both engines.
+    val e = embUsable(spark, dir)
     val buckets = e.select(col("vec_id"), col("v"),
       posexplode(array((0 until Bands).map(b => bandBucket(col("v"), b, bits)): _*))
         .as(Seq("band", "bucket")))
@@ -144,7 +150,10 @@ object Similarity {
       .mkString("\nUNION ALL\n")
     s"""WITH e AS (
        |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
-       |  FROM embeddings),
+       |  FROM embeddings
+       |  WHERE len(embedding) = $Dim
+       |    AND NOT EXISTS (SELECT 1 FROM unnest(embedding) AS t(x) WHERE x IS NULL)
+       |    AND isfinite(list_reduce(list_prepend(0.0, list_transform(range(1, ${Dim + 1}), i -> v[i] * v[i])), (acc, x) -> acc + x)) AND list_reduce(list_prepend(0.0, list_transform(range(1, ${Dim + 1}), i -> v[i] * v[i])), (acc, x) -> acc + x) > 0),
        |buckets AS (
        |$bucketRows),
        |cand AS (
@@ -164,7 +173,8 @@ object Similarity {
     * exact-answer baseline), rank per query, keep k=5.
     */
   def qAnnCosineTopk(spark: SparkSession, dir: String): DataFrame = {
-    val e = emb(spark, dir)
+    // usable vectors only — the #29 contract (review r15)
+    val e = embUsable(spark, dir)
     val q = e.where(col("vec_id") < NQueries)
       .select(col("vec_id").as("q_id"), col("v").as("qv"))
     val w = Window.partitionBy("q_id").orderBy(col("cos").desc, col("vec_id"))
@@ -180,7 +190,10 @@ object Similarity {
   val qAnnCosineTopkSql: String =
     s"""WITH e AS (
        |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
-       |  FROM embeddings),
+       |  FROM embeddings
+       |  WHERE len(embedding) = $Dim
+       |    AND NOT EXISTS (SELECT 1 FROM unnest(embedding) AS t(x) WHERE x IS NULL)
+       |    AND isfinite(list_reduce(list_prepend(0.0, list_transform(range(1, ${Dim + 1}), i -> v[i] * v[i])), (acc, x) -> acc + x)) AND list_reduce(list_prepend(0.0, list_transform(range(1, ${Dim + 1}), i -> v[i] * v[i])), (acc, x) -> acc + x) > 0),
        |q AS (SELECT vec_id AS q_id, v AS qv FROM e WHERE vec_id < $NQueries),
        |scored AS (
        |  SELECT q_id, vec_id,
@@ -304,7 +317,14 @@ object Similarity {
     val e = emb(spark, dir)
       .where(size(col("v")) === Dim &&
         !exists(col("v"), x => x.isNull) &&
-        call_function("dot_product", col("v"), col("v")) > 0)
+        // self-cosine NULL ⇔ norm 0 / NaN / ±inf — the one predicate
+        // that matches the oracles' isfinite(fold) AND fold > 0 on
+        // every input class (review r15: a dot>0 filter KEPT inf-norm
+        // vectors that DuckDB also kept, but every downstream Spark
+        // cosine went NULL while DuckDB kept ranking inf arithmetic;
+        // and NaN-norm diverged outright — DuckDB NaN compares
+        // greater than everything, so fold > 0 was TRUE there)
+        cosine(col("v"), col("v")).isNotNull)
     val cents = e.where(col("vec_id") % centroidMod(embeddingRowCount(spark, dir)) === 0)
       .select(col("vec_id").as("cent_id"), col("v").as("cv"))
     val assigned = e.crossJoin(broadcast(cents))
@@ -378,7 +398,7 @@ object Similarity {
        |  FROM embeddings
        |  WHERE len(embedding) = $Dim
        |    AND NOT EXISTS (SELECT 1 FROM unnest(embedding) AS t(x) WHERE x IS NULL)
-       |    AND ${fold("v", "v")} > 0),
+       |    AND isfinite(${fold("v", "v")}) AND ${fold("v", "v")} > 0),
        |m AS (
        |  SELECT greatest(50, CAST(n // CAST(ceil(sqrt(n)) AS BIGINT) AS BIGINT)) AS md
        |  FROM (SELECT CAST(count(*) AS BIGINT) AS n FROM embeddings)),
@@ -546,7 +566,9 @@ object Similarity {
   private[graft] def minstdSpread(id: Column): Column =
     pmod(pmod(id, lit(2147483647L)) * lit(48271L), lit(2147483647L))
   private val minstdSpreadSql =
-    "((vec_id % 2147483647) * 48271) % 2147483647"
+    // pmod-wrapped (review r15): DuckDB % keeps the dividend's sign,
+    // so a negative vec_id would reorder the seed draw vs Spark's pmod
+    "((((vec_id % 2147483647) + 2147483647) % 2147483647) * 48271) % 2147483647"
 
   /** Usable AND dimension-complete embeddings — exactly the oracle's
     * `e` CTE: length = [[Dim]], no NULL element, positive finite
@@ -557,6 +579,11 @@ object Similarity {
   private def embUsable(spark: SparkSession, dir: String): DataFrame = {
     val e = emb(spark, dir)
     e.where(size(col("v")) === Dim &&
+      // explicit no-null-element term (review r15): Spark's cosine
+      // reads a NULL slot as 0.0, so a dim-complete vector with a
+      // NULL element had a DEFINED self-cosine here while the
+      // oracle's NOT EXISTS(x IS NULL) dropped it
+      !exists(col("v"), x => x.isNull) &&
       cosine(col("v"), col("v")).isNotNull)
   }
 
@@ -608,7 +635,7 @@ object Similarity {
        |  FROM embeddings
        |  WHERE len(embedding) = $Dim
        |    AND NOT EXISTS (SELECT 1 FROM unnest(embedding) AS t(x) WHERE x IS NULL)
-       |    AND ${fold("v", "v")} > 0 AND NOT isnan(${fold("v", "v")})),
+       |    AND isfinite(${fold("v", "v")}) AND ${fold("v", "v")} > 0),
        |c0 AS MATERIALIZED (
        |  SELECT CAST(row_number() OVER (ORDER BY $minstdSpreadSql, vec_id) - 1 AS BIGINT) AS cent_id,
        |    v AS cv
@@ -696,7 +723,7 @@ object Similarity {
        |  FROM embeddings
        |  WHERE len(embedding) = $Dim
        |    AND NOT EXISTS (SELECT 1 FROM unnest(embedding) AS t(x) WHERE x IS NULL)
-       |    AND ${fold("v", "v")} > 0),
+       |    AND isfinite(${fold("v", "v")}) AND ${fold("v", "v")} > 0),
        |m AS (
        |  SELECT greatest(50, CAST(n // CAST(ceil(sqrt(n)) AS BIGINT) AS BIGINT)) AS md
        |  FROM (SELECT CAST(count(*) AS BIGINT) AS n FROM embeddings)),
@@ -710,6 +737,13 @@ object Similarity {
        |        ORDER BY ${cos("c.cv", "e.v")} DESC, c.cent_id) AS ar
        |    FROM e CROSS JOIN cents c) WHERE ar = 1),
        |q AS (SELECT vec_id AS q_id, v AS qv FROM e WHERE vec_id < $NQueries),
+       |exact AS (
+       |  SELECT q_id, vec_id FROM (
+       |    SELECT q_id, vec_id,
+       |      row_number() OVER (PARTITION BY q_id
+       |        ORDER BY ${cos("qv", "v")} DESC, vec_id) AS rank
+       |    FROM q JOIN e ON vec_id <> q_id)
+       |  WHERE rank <= $TopK),
        |probes AS (
        |  SELECT q_id, qv, cell FROM (
        |    SELECT q.q_id, q.qv, c.cent_id AS cell,
@@ -778,19 +812,11 @@ object Similarity {
     s"""WITH eraw AS (
        |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
        |  FROM embeddings),
-       |qraw AS (SELECT vec_id AS q_id, v AS qv FROM eraw WHERE vec_id < $NQueries),
-       |exact AS (
-       |  SELECT q_id, vec_id FROM (
-       |    SELECT q_id, vec_id,
-       |      row_number() OVER (PARTITION BY q_id
-       |        ORDER BY ${cos("qv", "v")} DESC, vec_id) AS rank
-       |    FROM qraw JOIN eraw ON vec_id <> q_id)
-       |  WHERE rank <= $TopK),
        |e AS (
        |  SELECT vec_id, v FROM eraw
        |  WHERE len(v) = $Dim
        |    AND NOT EXISTS (SELECT 1 FROM unnest(v) AS t(x) WHERE x IS NULL)
-       |    AND ${fold("v", "v")} > 0),
+       |    AND isfinite(${fold("v", "v")}) AND ${fold("v", "v")} > 0),
        |m AS (
        |  SELECT greatest(50, CAST(n // CAST(ceil(sqrt(n)) AS BIGINT) AS BIGINT)) AS md
        |  FROM (SELECT CAST(count(*) AS BIGINT) AS n FROM embeddings)),
@@ -804,6 +830,13 @@ object Similarity {
        |        ORDER BY ${cos("c.cv", "e.v")} DESC, c.cent_id) AS ar
        |    FROM e CROSS JOIN cents c) WHERE ar = 1),
        |q AS (SELECT vec_id AS q_id, v AS qv FROM e WHERE vec_id < $NQueries),
+       |exact AS (
+       |  SELECT q_id, vec_id FROM (
+       |    SELECT q_id, vec_id,
+       |      row_number() OVER (PARTITION BY q_id
+       |        ORDER BY ${cos("qv", "v")} DESC, vec_id) AS rank
+       |    FROM q JOIN e ON vec_id <> q_id)
+       |  WHERE rank <= $TopK),
        |probes AS (
        |  SELECT q_id, qv, cell FROM (
        |    SELECT q.q_id, q.qv, c.cent_id AS cell,
@@ -875,8 +908,9 @@ object Similarity {
         col("embedding").cast("array<double>").as("v"))
       .where(size(col("v")) === Dim &&
         !exists(col("v"), x => x.isNull) &&
-        aggregate(transform(col("v"), x => x * x),
-          lit(0.0), (acc, x) => acc + x) > 0)
+        // the ivfGateAssigned predicate (review r15): NULL self-cosine
+        // drops 0/NaN/inf norms identically to the oracle's isfinite
+        cosine(col("v"), col("v")).isNotNull)
     val q = e.where(col("vec_id") % PurityProbeMod === 0)
       .select(col("vec_id").as("q_id"), col("label").as("q_label"),
         col("v").as("qv"))
@@ -912,7 +946,7 @@ object Similarity {
        |  FROM embeddings
        |  WHERE len(embedding) = $Dim
        |    AND NOT EXISTS (SELECT 1 FROM unnest(embedding) AS t(x) WHERE x IS NULL)
-       |    AND ${fold("v[i] * v[i]")} > 0),
+       |    AND isfinite(${fold("v[i] * v[i]")}) AND ${fold("v[i] * v[i]")} > 0),
        |q AS (
        |  SELECT vec_id AS q_id, label AS q_label, v AS qv FROM e
        |  WHERE ((vec_id % $PurityProbeMod) + $PurityProbeMod) % $PurityProbeMod = 0),
@@ -1035,7 +1069,7 @@ object Similarity {
        |  FROM embeddings
        |  WHERE len(embedding) = $Dim
        |    AND NOT EXISTS (SELECT 1 FROM unnest(embedding) AS t(x) WHERE x IS NULL)
-       |    AND ${fold64("v", "v")} > 0),
+       |    AND isfinite(${fold64("v", "v")}) AND ${fold64("v", "v")} > 0),
        |m AS (
        |  SELECT greatest(50, CAST(n // CAST(ceil(sqrt(n)) AS BIGINT) AS BIGINT)) AS md
        |  FROM (SELECT CAST(count(*) AS BIGINT) AS n FROM embeddings)),
@@ -1199,7 +1233,7 @@ object Similarity {
        |  FROM embeddings
        |  WHERE len(embedding) = $Dim
        |    AND NOT EXISTS (SELECT 1 FROM unnest(embedding) AS t(x) WHERE x IS NULL)
-       |    AND ${fold("v", "v")} > 0),
+       |    AND isfinite(${fold("v", "v")}) AND ${fold("v", "v")} > 0),
        |c0 AS MATERIALIZED (
        |  SELECT vec_id, v FROM e ORDER BY vec_id LIMIT 1),
        |$stages,

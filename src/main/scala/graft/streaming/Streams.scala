@@ -541,9 +541,10 @@ object Streams {
       .withWatermark(tsCol, horizonDelay)
     val schema = chunks.schema
     // the corpus contract requires an INTEGRAL id column; validate at
-    // plan time so an IntegerType (or any other integral) id fails
-    // loudly here — never as a ClassCastException inside the state
-    // function (r14 review finding)
+    // plan time so a NON-integral id (string, decimal, …) fails
+    // loudly here — integral non-Long widths are ACCEPTED and read
+    // via Number.longValue below — never as a ClassCastException
+    // inside the state function (r14 review finding)
     require(Seq(org.apache.spark.sql.types.ByteType,
         org.apache.spark.sql.types.ShortType,
         org.apache.spark.sql.types.IntegerType,

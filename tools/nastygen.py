@@ -22,7 +22,9 @@ Corpora:
                 quantities and orphan FKs (OLAP battery passed with
                 no fixes needed).
   <out>/emb   — embeddings.parquet with a zero-norm vector, a NULL
-                embedding, and a dim-mismatched vector (caught the
+                embedding, a dim-mismatched vector, and (r15)
+                null-element / inf-element / NaN-element vectors
+                plus a negative vec_id (caught the
                 NaN-vs-NULL cosine divergence: a NaN cosine ranks
                 above every real score in a descending top-k).
 """
@@ -145,6 +147,23 @@ def gen_emb(out):
         if vid == 20: embs[i] = [0.0] * 64   # zero norm
         if vid == 21: embs[i] = None         # null embedding
         if vid == 22: embs[i] = embs[i][:32] # dim mismatch
+        # r15 classes (review): dim-complete but element-poisoned —
+        # Spark reads a NULL slot as 0.0 and folds NaN/inf to a NULL
+        # cosine, while DuckDB voids NULL arithmetic and ranks NaN
+        # GREATEST; the shared usable-vector filter must drop all
+        # three identically in every embedding consumer
+        if vid == 23:
+            e = list(embs[i]); e[3] = None; embs[i] = e    # null element
+        if vid == 24:
+            e = list(embs[i]); e[5] = float("inf"); embs[i] = e
+        if vid == 25:
+            e = list(embs[i]); e[7] = float("nan"); embs[i] = e
+    # a clean vector at a NEGATIVE id: DuckDB % keeps the dividend's
+    # sign where Spark pmod never does, so every id-keyed draw (MINSTD
+    # seed spread, probe mods) must wrap identically (r15 review)
+    ids = list(ids) + [-17]
+    embs = list(embs) + [[0.25] * 64]
+    labels = list(labels) + [3]
     pq.write_table(pa.table({
         "vec_id": pa.array(ids, pa.int64()),
         "embedding": pa.array(embs, pa.list_(pa.float32())),
