@@ -522,6 +522,49 @@ object Multimodal {
       |  CAST(ceil(ceil(octet_length(encode(text)) / 64.0) / 4.0) AS BIGINT) AS n_sampled
       |FROM documents ORDER BY doc_id""".stripMargin
 
+  /** #157's oracle (hash-gated since r15 — previously rows-only under
+    * "DuckDB cannot fold over blob bytes"; it can, via `hex(encode())`
+    * + the #146 instr-digit table at BYTE grain): re-derives every
+    * byte-run aHash — byte values from hex pairs, the (i·64)/n cell
+    * map, exact integer cross-multiplied thresholds, two's-complement
+    * bit 63 (Java's `1L << 63` is negative; the HUGEINT sum casts
+    * back to the same BIGINT) — then the #25 canonical-min window.
+    * NULL/empty payloads hash to 0 on both engines. The gate corpus
+    * exercises the byte-run (non-PPM) path; the pixel path stays
+    * golden-pinned in MultimodalSpec (DuckDB could replay it too, but
+    * the gate payloads are text).
+    */
+  val qImagePhashDedupSql: String =
+    """WITH b AS (
+      |  SELECT doc_id, hex(encode(text)) AS hx,
+      |    CAST(octet_length(encode(text)) AS BIGINT) AS n
+      |  FROM documents WHERE text IS NOT NULL),
+      |bytes AS (
+      |  SELECT doc_id, n, CAST(i AS BIGINT) AS i,
+      |    CAST((instr('0123456789ABCDEF', substr(hx, 2*i + 1, 1)) - 1) * 16
+      |       + (instr('0123456789ABCDEF', substr(hx, 2*i + 2, 1)) - 1) AS BIGINT) AS v
+      |  FROM b CROSS JOIN LATERAL (SELECT unnest(range(0, n)) AS i) t
+      |  WHERE n > 0),
+      |cells AS (
+      |  SELECT doc_id, n, (i * 64) // n AS cell,
+      |    CAST(sum(v) AS BIGINT) AS cs, CAST(count(*) AS BIGINT) AS cc
+      |  FROM bytes GROUP BY 1, 2, 3),
+      |tot AS (SELECT doc_id, n, CAST(sum(cs) AS BIGINT) AS ts FROM cells GROUP BY 1, 2),
+      |ph AS (
+      |  SELECT c.doc_id,
+      |    CAST(sum(CASE WHEN c.cs * c.n > t.ts * c.cc THEN
+      |      CASE WHEN c.cell = 63 THEN CAST(-9223372036854775808 AS HUGEINT)
+      |           ELSE CAST(CAST(1 AS BIGINT) << CAST(c.cell AS INT) AS HUGEINT) END
+      |      ELSE CAST(0 AS HUGEINT) END) AS BIGINT) AS phash
+      |  FROM cells c JOIN tot t ON c.doc_id = t.doc_id GROUP BY 1),
+      |allp AS (
+      |  SELECT d.doc_id, COALESCE(p.phash, 0) AS phash
+      |  FROM documents d LEFT JOIN ph p ON d.doc_id = p.doc_id)
+      |SELECT doc_id, phash,
+      |  min(doc_id) OVER (PARTITION BY phash) AS canonical_id,
+      |  doc_id <> min(doc_id) OVER (PARTITION BY phash) AS is_dup
+      |FROM allp ORDER BY doc_id""".stripMargin
+
   val qMultimodalMetaSql: String =
     """SELECT doc_id,
       |  (['png', 'jpeg', 'wav'])[CAST(doc_id % 3 + 1 AS INT)] AS format,

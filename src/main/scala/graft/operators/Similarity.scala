@@ -67,6 +67,7 @@ object Similarity {
   private def emb(spark: SparkSession, dir: String): DataFrame = {
     CosineSimilarity.register(spark)
     graft.functions.DotProduct.register(spark)
+    graft.functions.UsableVec.register(spark)
     Tables.embeddings(spark, dir)
       .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
   }
@@ -314,17 +315,11 @@ object Similarity {
     */
   private def ivfGateAssigned(spark: SparkSession,
       dir: String): (DataFrame, DataFrame, DataFrame) = {
-    val e = emb(spark, dir)
-      .where(size(col("v")) === Dim &&
-        !exists(col("v"), x => x.isNull) &&
-        // self-cosine NULL ⇔ norm 0 / NaN / ±inf — the one predicate
-        // that matches the oracles' isfinite(fold) AND fold > 0 on
-        // every input class (review r15: a dot>0 filter KEPT inf-norm
-        // vectors that DuckDB also kept, but every downstream Spark
-        // cosine went NULL while DuckDB kept ranking inf arithmetic;
-        // and NaN-norm diverged outright — DuckDB NaN compares
-        // greater than everything, so fold > 0 was TRUE there)
-        cosine(col("v"), col("v")).isNotNull)
+    // the shared usableVec predicate (review r15: a bare dot>0 KEPT
+    // inf-norm vectors whose downstream Spark cosines all went NULL
+    // while DuckDB kept ranking inf arithmetic, and NaN-norm diverged
+    // outright — DuckDB NaN compares greater than everything)
+    val e = emb(spark, dir).where(usableVec(col("v")))
     val cents = e.where(col("vec_id") % centroidMod(embeddingRowCount(spark, dir)) === 0)
       .select(col("vec_id").as("cent_id"), col("v").as("cv"))
     val assigned = e.crossJoin(broadcast(cents))
@@ -570,22 +565,26 @@ object Similarity {
     // so a negative vec_id would reorder the seed draw vs Spark's pmod
     "((((vec_id % 2147483647) + 2147483647) % 2147483647) * 48271) % 2147483647"
 
+  /** The usable-vector predicate every embedding gate shares (review
+    * r15) — Spark twin of the oracles' `len = Dim AND no-null AND
+    * isfinite(fold) AND fold > 0`, as the single-pass codegen'd
+    * [[graft.functions.UsableVec]] expression (the HOF `exists` +
+    * fold formulation evaluated interpreted per element and taxed the
+    * brute ANN scans). The no-null check is explicit inside the
+    * expression: a fold reads a NULL slot as 0.0, so a null-element
+    * vector can carry a finite positive self-dot.
+    */
+  private def usableVec(v: Column): Column =
+    call_function("usable_vec", v, lit(Dim))
+
   /** Usable AND dimension-complete embeddings — exactly the oracle's
     * `e` CTE: length = [[Dim]], no NULL element, positive finite
     * norm. [[emb]] plus the self-cosine dirty rule plus the length
     * check (a short-but-clean vector has a defined self-cosine yet no
     * defined cosine against anything full-width).
     */
-  private def embUsable(spark: SparkSession, dir: String): DataFrame = {
-    val e = emb(spark, dir)
-    e.where(size(col("v")) === Dim &&
-      // explicit no-null-element term (review r15): Spark's cosine
-      // reads a NULL slot as 0.0, so a dim-complete vector with a
-      // NULL element had a DEFINED self-cosine here while the
-      // oracle's NOT EXISTS(x IS NULL) dropped it
-      !exists(col("v"), x => x.isNull) &&
-      cosine(col("v"), col("v")).isNotNull)
-  }
+  private def embUsable(spark: SparkSession, dir: String): DataFrame =
+    emb(spark, dir).where(usableVec(col("v")))
 
   /** The spherical k-means fit as unrolled MATERIALIZED CTE stages —
     * shared by the #103 and #187 oracles. Emits CTEs: `e` (usable
@@ -903,14 +902,11 @@ object Similarity {
     */
   def qKnnLabelPurity(spark: SparkSession, dir: String): DataFrame = {
     CosineSimilarity.register(spark)
+    graft.functions.UsableVec.register(spark)
     val e = Tables.embeddings(spark, dir)
       .select(col("vec_id"), col("label"),
         col("embedding").cast("array<double>").as("v"))
-      .where(size(col("v")) === Dim &&
-        !exists(col("v"), x => x.isNull) &&
-        // the ivfGateAssigned predicate (review r15): NULL self-cosine
-        // drops 0/NaN/inf norms identically to the oracle's isfinite
-        cosine(col("v"), col("v")).isNotNull)
+      .where(usableVec(col("v")))
     val q = e.where(col("vec_id") % PurityProbeMod === 0)
       .select(col("vec_id").as("q_id"), col("label").as("q_label"),
         col("v").as("qv"))

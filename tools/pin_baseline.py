@@ -68,8 +68,10 @@ REBASED = {
     # post-change and belong in the pool (VERDICT r13 item 2: the
     # prefix list previously stopped at probe_r12, leaving the pin on
     # a single run)
-    "q_ann_ivf": ("probe_r12", "baseline_r13", "probe_r13",
-                  "baseline_r14", "probe_r14"),
+    # ...and re-rebased in round 15: the gate filter moved from dot>0
+    # to the full usable-vector contract (isfinite + no-null-element)
+    "q_ann_ivf": ("probe_r15d", "probe_r15e", "probe_r15f",
+                  "probe_r15g", "baseline_r15c"),
     # round 11: the repetition battery moved from the staged-HOF form
     # (r11a-c timed it, with the round-robin gate-file spread) to the
     # compiled GopherRepMeasures expression — ~3x faster and spread-free
@@ -96,6 +98,17 @@ REBASED = {
     # division; pre-r15 captures timed the xxhash64-seeded fit that no
     # longer exists behind this gate
     "q_dedup_semantic": ("probe_r15", "baseline_r15"),
+    # round 15 (the usable-vector contract, review r15): #29/#30/#170
+    # gained the shared usable filter (previously unfiltered scans)
+    # and #31's gate filter changed semantics (dot>0 -> the full
+    # isfinite contract) — pre-change captures timed scans without
+    # the contract; post-change pool starts at probe_r15d
+    "q_ann_cosine_topk": ("probe_r15d", "probe_r15e", "probe_r15f",
+                          "probe_r15g", "baseline_r15c"),
+    "q_dedup_embedding": ("probe_r15d", "probe_r15e", "probe_r15f",
+                          "probe_r15g", "baseline_r15c"),
+    "q_ann_recall": ("probe_r15d", "probe_r15e", "probe_r15f",
+                     "probe_r15g", "baseline_r15c"),
 }
 
 per_query = {}   # name -> list[(seconds, source)]
