@@ -187,6 +187,7 @@ class PlanSpec extends SparkSpec {
 
   test("candidate dedup joins shuffle on the candidate key (equi join)") {
     Seq("q_dedup_ngram_jaccard", "q_dedup_minhash_lsh", "q_dedup_simhash",
+      "q_dedup_minhash_gated", "q_dedup_simhash_gated",
       "q_dedup_embedding", "q_dedup_incremental").foreach { q =>
       val p = plan(q)
       assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
@@ -311,9 +312,11 @@ class PlanSpec extends SparkSpec {
     // minhash_sig/simhash64 replaced explode+groupBy signature builds;
     // the only aggregates left in the simhash plan are the final
     // pair-grouping, so the plan must not contain a per-token Generate
-    val p = plan("q_dedup_simhash")
-    assert(!p.contains("Generate explode"),
-      s"simhash should not explode tokens any more:\n$p")
+    Seq("q_dedup_simhash", "q_dedup_simhash_gated").foreach { q =>
+      val p = plan(q)
+      assert(!p.contains("Generate explode"),
+        s"$q should not explode tokens any more:\n$p")
+    }
   }
 
   test("parquet scans push filters down (events filtered by event_type)") {
