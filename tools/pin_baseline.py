@@ -70,8 +70,7 @@ REBASED = {
     # a single run)
     # ...and re-rebased in round 15: the gate filter moved from dot>0
     # to the full usable-vector contract (isfinite + no-null-element)
-    "q_ann_ivf": ("probe_r15d", "probe_r15e", "probe_r15f",
-                  "probe_r15g", "baseline_r15c"),
+    "q_ann_ivf": ("probe_r15", "baseline_r15c"),
     # round 11: the repetition battery moved from the staged-HOF form
     # (r11a-c timed it, with the round-robin gate-file spread) to the
     # compiled GopherRepMeasures expression — ~3x faster and spread-free
@@ -103,12 +102,9 @@ REBASED = {
     # and #31's gate filter changed semantics (dot>0 -> the full
     # isfinite contract) — pre-change captures timed scans without
     # the contract; post-change pool starts at probe_r15d
-    "q_ann_cosine_topk": ("probe_r15d", "probe_r15e", "probe_r15f",
-                          "probe_r15g", "baseline_r15c"),
-    "q_dedup_embedding": ("probe_r15d", "probe_r15e", "probe_r15f",
-                          "probe_r15g", "baseline_r15c"),
-    "q_ann_recall": ("probe_r15d", "probe_r15e", "probe_r15f",
-                     "probe_r15g", "baseline_r15c"),
+    "q_ann_cosine_topk": ("probe_r15", "baseline_r15c"),
+    "q_dedup_embedding": ("probe_r15", "baseline_r15c"),
+    "q_ann_recall": ("probe_r15", "baseline_r15c"),
 }
 
 per_query = {}   # name -> list[(seconds, source)]
