@@ -73,8 +73,98 @@ object Bpe {
     * symbol pair frequencies, applied by the shared replace rule.
     * Pure function — the spec replays it against hand-computed
     * merges and the DuckDB unrolled twin replays it in SQL.
+    *
+    * Since r15 this is the INCREMENTAL structure the original BPE
+    * implementation uses (Sennrich et al. 2016 — SCALING probe 28's
+    * named upgrade path): a pair→count map kept consistent by DELTA
+    * updates of only the words a merge touched (a pair→word-set index
+    * says which), with the (count desc, pair asc) argmax served by an
+    * ordered set instead of a full recount-and-scan per round. Each
+    * word's new segmentation still comes from the SAME [[applyMerge]]
+    * double-replace rule, so the learned table is bit-identical to
+    * the naive recount fit ([[learnMergesNaive]], kept as the spec's
+    * reference implementation and pinned equal on real and
+    * adversarial vocabularies). O((V·len + merges·touched)·log)
+    * instead of O(merges·V·len).
     */
   private[graft] def learnMerges(vocab: Seq[(String, Long)],
+      n: Int): Seq[(String, String)] = {
+    import scala.collection.mutable
+    val segs = mutable.ArrayBuffer.from(vocab.map { case (w, _) => segInit(w) })
+    val freqs = vocab.map(_._2).toArray
+    // adjacent-pair multiset of one segmentation (unweighted)
+    def pairsOf(seg: String): mutable.HashMap[(String, String), Long] = {
+      val m = mutable.HashMap.empty[(String, String), Long]
+      val syms = seg.split(" ").filter(_.nonEmpty)
+      var i = 0
+      while (i < syms.length - 1) {
+        val k = (syms(i), syms(i + 1))
+        m.update(k, m.getOrElse(k, 0L) + 1L)
+        i += 1
+      }
+      m
+    }
+    val counts = mutable.HashMap.empty[(String, String), Long]
+    val occ = mutable.HashMap.empty[(String, String), mutable.Set[Int]]
+    // the argmax order: count DESC, then pair ASC — exactly the naive
+    // fit's minBy((-c, a, b)) tie-break
+    implicit val ord: Ordering[(Long, String, String)] =
+      Ordering.Tuple3(Ordering.Long.reverse, Ordering.String, Ordering.String)
+    val sorted = mutable.TreeSet.empty[(Long, String, String)]
+    // counts + the ordered set move together; occ is maintained at the
+    // call sites (membership is about the word's CURRENT segmentation,
+    // not the sign of a delta)
+    def bump(k: (String, String), delta: Long): Unit = {
+      val old = counts.getOrElse(k, 0L)
+      val nw = old + delta
+      if (old != 0L) sorted.remove((old, k._1, k._2))
+      if (nw != 0L) { counts.update(k, nw); sorted.add((nw, k._1, k._2)) }
+      else counts.remove(k)
+    }
+    def occAdd(k: (String, String), w: Int): Unit =
+      occ.getOrElseUpdate(k, mutable.Set.empty[Int]).add(w)
+    // index build: one pass over the initial segmentations
+    var w = 0
+    while (w < segs.length) {
+      pairsOf(segs(w)).foreach { case (k, c) =>
+        bump(k, c * freqs(w)); occAdd(k, w)
+      }
+      w += 1
+    }
+    val merges = mutable.ArrayBuffer.empty[(String, String)]
+    while (merges.size < n && sorted.nonEmpty) {
+      val (_, a, b) = sorted.head
+      val best = (a, b)
+      merges += best
+      val affected = occ.getOrElse(best, mutable.Set.empty[Int]).toArray
+      affected.foreach { w =>
+        val before = pairsOf(segs(w))
+        val newSeg = applyMerge(segs(w), a, b)
+        segs(w) = newSeg
+        val after = pairsOf(newSeg)
+        (before.keySet ++ after.keySet).foreach { k =>
+          val d = after.getOrElse(k, 0L) - before.getOrElse(k, 0L)
+          if (d != 0L) bump(k, d * freqs(w))
+          if (after.contains(k)) occAdd(k, w)
+          else occ.get(k).foreach(_.remove(w))
+        }
+      }
+      // the merged pair must be fully consumed by its own merge — the
+      // double-replace fixpoint guarantees no " a b " survives
+      assert(!counts.contains(best),
+        s"merge $best left residual occurrences — applyMerge fixpoint broken")
+      occ.remove(best)
+    }
+    merges.toSeq
+  }
+
+  /** The straightforward recount-every-round fit — the REFERENCE
+    * implementation [[learnMerges]] is spec-pinned against (BpeSpec
+    * proves bit-equality on the gate vocab, a 5 k synthetic Zipf
+    * vocab, and the overlap/tie traps). Kept because the incremental
+    * structure's correctness argument IS "equal to this".
+    */
+  private[graft] def learnMergesNaive(vocab: Seq[(String, Long)],
       n: Int): Seq[(String, String)] = {
     var segs = vocab.map { case (w, f) => (segInit(w), f) }
     val merges = scala.collection.mutable.ArrayBuffer.empty[(String, String)]

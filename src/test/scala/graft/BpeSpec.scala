@@ -64,4 +64,36 @@ class BpeSpec extends SparkSpec {
       assert(r.getLong(2) >= r.getLong(1))
     }
   }
+
+  test("incremental fit == naive recount fit, bit-for-bit") {
+    // the shipped learnMerges is the delta-maintained Sennrich
+    // structure; its correctness argument IS equality with the
+    // straightforward recount fit, on adversarial and bulk vocabs
+    // (the corpus-level equality is separately enforced by the
+    // unrolled-CTE oracle gates #171/#172, which re-derive the naive
+    // fit in SQL)
+    def zipf(nWords: Int): Seq[(String, Long)] = {
+      var x = 12345L
+      def next(): Long = { x = x * 6364136223846793005L + 1442695040888963407L; x >>> 33 }
+      (0 until nWords).map { i =>
+        val len = 3 + (next() % 10).toInt
+        val w = new StringBuilder
+        (0 until len).foreach(_ => w += ('a' + (next() % 26).toInt).toChar)
+        (w.result(), 1000000L / (i + 1) + 1)
+      }.distinct
+    }
+    val cases: Seq[(Seq[(String, Long)], Int)] = Seq(
+      (Seq(("abab", 2L)), 8),                      // the overlap trap
+      (Seq(("ba", 1L), ("ab", 1L)), 4),            // tie-break
+      (Seq(("aaaa", 3L), ("aaa", 2L)), 8),         // self-pair runs
+      (Seq(("zz", 5L), ("at", 1L), ("bat", 1L), ("cat", 1L)), 8),
+      (zipf(500), 64),                             // gate-dial shape
+      (zipf(2000), 128))                           // bulk
+    cases.foreach { case (vocab, n) =>
+      val fast = Bpe.learnMerges(vocab, n)
+      val slow = Bpe.learnMergesNaive(vocab, n)
+      assert(fast == slow,
+        s"incremental fit diverged at |V|=${vocab.size}, n=$n:\n$fast\n$slow")
+    }
+  }
 }
