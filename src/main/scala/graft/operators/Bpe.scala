@@ -150,9 +150,13 @@ object Bpe {
         }
       }
       // the merged pair must be fully consumed by its own merge — the
-      // double-replace fixpoint guarantees no " a b " survives
-      assert(!counts.contains(best),
-        s"merge $best left residual occurrences — applyMerge fixpoint broken")
+      // double-replace fixpoint guarantees no " a b " survives. A plain
+      // assert is elided under -Xdisable-assertions, which would let a
+      // counts/occ inconsistency silently corrupt the merge table;
+      // this invariant must fail loudly in every build (ADVICE r15)
+      if (counts.contains(best))
+        throw new IllegalStateException(
+          s"merge $best left residual occurrences — applyMerge fixpoint broken")
       occ.remove(best)
     }
     merges.toSeq

@@ -269,11 +269,17 @@ object Corpus {
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val b = lit(budget)
     val n = coalesce(col(tokensCol).cast("long"), lit(0L))
+    // pack boundaries via INTEGRAL division (Spark's `div` =
+    // IntegralDivide), not double `/` + floor: the double quotient is
+    // only exact below 2^53, and at extreme cumulative token sums its
+    // rounding could cross a pack boundary the oracle's integer `//`
+    // does not (ADVICE r15). Operands are non-negative, so div ==
+    // floor division in both engines.
     df.withColumn("shard", pmod(hash31(col(idCol)), lit(nShards)))
       .withColumn("_graft_cum", sum(n).over(w) - n)
-      .withColumn("pack_id", floor(col("_graft_cum") / b).cast("long"))
+      .withColumn("pack_id", call_function("div", col("_graft_cum"), b))
       .withColumn("is_split", n > 0 &&
-        floor((col("_graft_cum") + n - 1) / b).cast("long") >
+        call_function("div", col("_graft_cum") + n - lit(1L), b) >
           col("pack_id"))
       .drop("_graft_cum")
   }
@@ -1632,10 +1638,12 @@ object Corpus {
     val b = lit(PackBudget)
     val packed = surv
       .withColumn("cum", sum(col("n_tokens")).over(w) - col("n_tokens"))
+      // integral `div`, not double `/` + floor — the packAssign
+      // boundary-exactness rationale (ADVICE r15)
       .withColumn("straddle",
         col("n_tokens") > 0 &&
-          floor((col("cum") + col("n_tokens") - 1) / b).cast("long") >
-            floor(col("cum") / b).cast("long"))
+          call_function("div", col("cum") + col("n_tokens") - lit(1L), b) >
+            call_function("div", col("cum"), b))
       .persist()
     val epochs = mixPlan(
         packed.where(col("split") === "train")
@@ -1659,7 +1667,8 @@ object Corpus {
         sum("draw_s").as("planned_tokens"))
       .withColumn("n_packs",
         when(col("sum_tokens") === 0, 0L)
-          .otherwise(floor((col("sum_tokens") - 1) / b).cast("long") + 1))
+          .otherwise(
+            call_function("div", col("sum_tokens") - lit(1L), b) + lit(1L)))
       .select(col("split"), col("shard"), col("n_docs"), col("n_packs"),
         col("sum_tokens"), col("n_straddles"), col("planned_tokens"))
       .orderBy("split", "shard")

@@ -80,7 +80,11 @@ class BpeSpec extends SparkSpec {
         val w = new StringBuilder
         (0 until len).foreach(_ => w += ('a' + (next() % 26).toInt).toChar)
         (w.result(), 1000000L / (i + 1) + 1)
-      }.distinct
+        // dedupe by WORD, not (word, freq): the real vocab is a
+        // groupBy-word aggregate, so a word can never appear twice
+        // with different frequencies — the synthetic must honor the
+        // unique-word contract of learnMerges' callers (ADVICE r15)
+      }.groupBy(_._1).map(_._2.head).toSeq.sortBy(w => -w._2 -> w._1)
     }
     val cases: Seq[(Seq[(String, Long)], Int)] = Seq(
       (Seq(("abab", 2L)), 8),                      // the overlap trap
