@@ -761,6 +761,43 @@ object Graft {
       .select("q_id", "rank", "id", "adc")
   }
 
+  /** The coarse assignment WITH residuals: every usable vector's
+    * [[ivfIndex]] cell plus `rvec = vec − centroid(cell)` —
+    * `(id, cell, vec, rvec)`. The residual is what IVFADC proper
+    * quantizes (Jégou/Douze/Schmid 2011 §III; FAISS IndexIVFPQ's
+    * `by_residual`): residuals concentrate around the origin with
+    * far smaller spread than raw vectors, so the same PQ bit budget
+    * buys materially finer resolution — the main reason IVFADC beats
+    * flat PQ at equal bits. One broadcast join on the ≤k-row centroid
+    * frame after the (already broadcast-shaped) assignment — the
+    * corpus never shuffles.
+    */
+  def ivfResiduals(embeddings: DataFrame, idCol: String, vecCol: String,
+      centroids: DataFrame, centIdCol: String,
+      centVecCol: String): DataFrame = {
+    val c = centroids.select(col(centIdCol).as("cell"),
+      col(centVecCol).cast("array<double>").as("_graft_cv"))
+    ivfIndex(embeddings, idCol, vecCol, centroids, centIdCol, centVecCol)
+      .join(broadcast(c), "cell")
+      .select(col("id"), col("cell"), col("vec"),
+        zip_with(col("vec"), col("_graft_cv"), (x, cc) => x - cc).as("rvec"))
+  }
+
+  /** Fit PQ codebooks on coarse RESIDUALS — the codebook an IVFADC
+    * index ([[ivfPqIndex]] with `residual = true`, the default) must
+    * be fitted with: [[ivfResiduals]] then [[pqCodebooks]] over the
+    * `rvec` column. Fitting on raw vectors and encoding residuals (or
+    * vice versa) silently wrecks recall — this wrapper exists so the
+    * two stages can't disagree about what the quantizer's input
+    * distribution is.
+    */
+  def ivfPqCodebooks(embeddings: DataFrame, idCol: String, vecCol: String,
+      centroids: DataFrame, centIdCol: String, centVecCol: String,
+      dim: Int, m: Int, k: Int, iters: Int = 5): DataFrame =
+    pqCodebooks(
+      ivfResiduals(embeddings, idCol, vecCol, centroids, centIdCol, centVecCol),
+      "id", "rvec", dim, m, k, iters)
+
   /** The IVFADC index (Jégou et al.'s "IVF + PQ" serving layout, the
     * architecture FAISS ships for billion-vector search): every vector
     * carries its coarse [[ivfIndex]] cell AND its [[pqEncode]] code
@@ -770,13 +807,28 @@ object Graft {
     * corpus-sized self-join. Store bucketed by `cell`
     * ([[writeIvfIndex]]-style) and [[ivfPqQuery]] probes scan
     * exchange-free.
+    *
+    * `residual = true` (default, the published IVFADC recipe) encodes
+    * `vec − centroid(cell)` — pass codebooks fitted by
+    * [[ivfPqCodebooks]] and serve with [[ivfPqQuery]]`(residual =
+    * true)`, which adds the per-(query, cell) `q·c` constant back into
+    * the ADC score. `residual = false` PQ-encodes the raw vector
+    * (codebooks from [[pqCodebooks]] on `vec`); full-probe serving
+    * then equals flat [[pqQuery]] exactly (spec-pinned).
     */
   def ivfPqIndex(embeddings: DataFrame, idCol: String, vecCol: String,
       centroids: DataFrame, centIdCol: String, centVecCol: String,
-      codebooks: DataFrame): DataFrame = {
-    val assigned = ivfIndex(embeddings, idCol, vecCol,
-        centroids, centIdCol, centVecCol)
-      .select(struct(col("id"), col("cell")).as("idc"), col("vec"))
+      codebooks: DataFrame, residual: Boolean = true): DataFrame = {
+    val assigned =
+      if (residual)
+        ivfResiduals(embeddings, idCol, vecCol,
+            centroids, centIdCol, centVecCol)
+          .select(struct(col("id"), col("cell")).as("idc"),
+            col("rvec").as("vec"))
+      else
+        ivfIndex(embeddings, idCol, vecCol,
+            centroids, centIdCol, centVecCol)
+          .select(struct(col("id"), col("cell")).as("idc"), col("vec"))
     pqEncode(assigned, "idc", "vec", codebooks)
       .select(col("id").getField("id").as("id"),
         col("id").getField("cell").as("cell"), col("codes"))
@@ -793,11 +845,20 @@ object Graft {
     * partial-dot table all broadcast; the index side is ONE scan
     * filtered to probed cells (bucketed store ⟹ exchange-free), the m
     * ADC partials map-side-combine before the one aggregate exchange.
+    *
+    * `residual = true` (default) serves a residual-encoded index
+    * ([[ivfPqIndex]]'s default): the score is `q·c(cell) + Σ
+    * tab(s, code)` = `q·(centroid + recon(residual))` ≈ `q·v` — the
+    * `q·c` constant rides the (already broadcast) probe list as one
+    * extra column, so the add-back costs nothing at the corpus grain.
+    * Must match the index's encoding flavor: a flag mismatch scores
+    * garbage (residual codes against raw-vector math or vice versa).
     */
   def ivfPqQuery(index: DataFrame, centroids: DataFrame,
       centIdCol: String, centVecCol: String, codebooks: DataFrame,
       queries: DataFrame, qIdCol: String, qVecCol: String,
-      k: Int, nprobe: Int, excludeSelf: Boolean = false): DataFrame = {
+      k: Int, nprobe: Int, excludeSelf: Boolean = false,
+      residual: Boolean = true): DataFrame = {
     require(k > 0, s"k must be positive, got $k")
     require(nprobe > 0, s"nprobe must be positive, got $nprobe")
     val spark = index.sparkSession
@@ -814,21 +875,31 @@ object Graft {
       .withColumn("ccos", call_function("cosine_sim", col("cv"), col("qv")))
       .withColumn("crank", row_number().over(wProbe))
       .where(col("crank") <= nprobe)
-      .select(col("q_id"), col("cent_id").as("cell"))
+      .select(col("q_id") +: col("cent_id").as("cell") +:
+        (if (residual)
+          Seq(call_function("dot_product", col("qv"), col("cv")).as("cdot"))
+        else Seq.empty): _*)
     val tab = q.crossJoin(codebooks)
       .select(col("q_id"), col("subspace").as("s"), col("code"),
         call_function("dot_product",
           slice(col("qv"), col("subspace") * sub + 1, lit(sub)),
           col("cw")).as("partial"))
     val wTop = Window.partitionBy("q_id").orderBy(col("adc").desc, col("id"))
-    index
+    val scored = index
       .join(broadcast(probes), "cell")
-      .select(col("q_id"), col("id"),
-        posexplode(col("codes")).as(Seq("s", "code")))
+      .select(col("q_id") +: col("id") +:
+        posexplode(col("codes")).as(Seq("s", "code")) +:
+        (if (residual) Seq(col("cdot")) else Seq.empty): _*)
       .join(broadcast(tab), Seq("q_id", "s", "code"))
       .where(if (excludeSelf) col("id") =!= col("q_id") else lit(true))
       .groupBy("q_id", "id")
-      .agg(sum(col("partial")).as("adc"))
+    val adc =
+      if (residual)
+        // cdot is constant within the (q_id, id) group — a vector
+        // lives in exactly one cell, so max == the constant
+        scored.agg((sum(col("partial")) + max(col("cdot"))).as("adc"))
+      else scored.agg(sum(col("partial")).as("adc"))
+    adc
       .withColumn("rank", row_number().over(wTop))
       .where(col("rank") <= k)
       .select("q_id", "rank", "id", "adc")

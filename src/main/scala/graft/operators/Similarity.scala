@@ -1367,4 +1367,226 @@ object Similarity {
        |SELECT subspace, code, n_vecs,
        |  CAST(n_vecs AS DOUBLE) / sum(n_vecs) OVER (PARTITION BY subspace) AS share
        |FROM cnt ORDER BY 1, 2""".stripMargin
+
+  // --------------------------------------------------------------------
+  // IVFADC with RESIDUAL encoding (#191): the Jégou et al. recipe
+  // proper. The gate composes the #31 cell assignment with a PQ
+  // codebook fitted on COARSE RESIDUALS (vec − centroid(cell)) — the
+  // encoding FAISS IndexIVFPQ uses by default, worth real recall at
+  // equal bits because residuals concentrate around the origin. The
+  // serving score adds the per-(query, cell) q·c constant back:
+  // adc = q·(centroid + recon(residual)). The k-means/Lloyd-fitted
+  // serving flavor lives in [[graft.api.Graft.ivfPqCodebooks]]/
+  // ivfPqIndex/ivfPqQuery (residual = true); this gate pins the same
+  // math with the deterministic seed rule so the DuckDB oracle can
+  // re-derive the whole index — codewords are the residuals of the
+  // vectors at vec_id ≡ 1 (mod the #31 centroid modulus), offset from
+  // the centroid rule's ≡ 0 because a centroid's own residual is ~0
+  // (a degenerate codeword).
+  // --------------------------------------------------------------------
+
+  /** Probed cells per query for the #191 gate — the routed (sublinear)
+    * regime, matching the PqSpec dial the raw-vs-residual comparison
+    * is measured at.
+    */
+  private[graft] val AdcNProbe = 3
+
+  /** The gate residual-IVFADC encoded frame: `(vec_id, cell, rhat)`
+    * with `rhat = centroid(cell) + recon(residual)` — the decoded
+    * approximation the ADC score folds against. Scale shape: the
+    * residual join broadcasts the ≤√n centroid frame, the codebook
+    * (seed residuals) broadcasts, and the per-(vector, subspace)
+    * argmin folds through ONE map-side-combinable aggregate — the
+    * corpus never shuffles (the [[pqGateEncoded]] shape plus one
+    * broadcast join).
+    */
+  private def ivfPqGateEncoded(spark: SparkSession, dir: String): DataFrame = {
+    val (_, cents, assigned) = ivfGateAssigned(spark, dir)
+    val md = centroidMod(embeddingRowCount(spark, dir))
+    val withRes = assigned
+      .join(broadcast(cents.select(col("cent_id").as("cell"), col("cv"))),
+        "cell")
+      .select(col("vec_id"), col("cell"), col("cv"),
+        zip_with(col("v"), col("cv"), (x, c) => x - c).as("rv"))
+    // residual codebook: the residuals of the seed set vec_id ≡ 1
+    // (mod md) — pmod on the Spark side so negative ids agree with the
+    // oracle's ((x % md) + md) % md residue
+    val seeds = withRes.where(pmod(col("vec_id"), lit(md)) === 1)
+      .select(col("vec_id").as("code"), col("rv").as("cbv"))
+    val picks = (0 until PqM).map { s =>
+      val sub = slice(col("rv"), s * PqSubDim + 1, PqSubDim)
+      val cw = slice(col("cbv"), s * PqSubDim + 1, PqSubDim)
+      val key = call_function("dot_product", cw, cw) -
+        lit(2.0) * call_function("dot_product", sub, cw)
+      min_by(cw, struct(key.as("k"), col("code").as("t"))).as(s"p$s")
+    }
+    withRes.crossJoin(broadcast(seeds))
+      .groupBy("vec_id")
+      .agg(first(col("cell")).as("cell"),
+        (first(col("cv")).as("cv") +: picks): _*)
+      // rhat = cv + concat(chosen codewords): element-wise double adds
+      // in ascending index order — stated identically in the oracle, so
+      // the downstream one-fold ADC hashes bit-identically
+      .select(col("vec_id"), col("cell"),
+        zip_with(col("cv"), concat((0 until PqM).map(s => col(s"p$s")): _*),
+          (a, b) => a + b).as("rhat"))
+  }
+
+  /** #191 — `q_ann_ivfpq_recall`: recall@k of RESIDUAL-encoded IVFADC
+    * serving (routed: [[AdcNProbe]] probed cells per query; scored:
+    * one `q·rhat` fold against the decoded centroid+residual
+    * approximation) against the exact inner-product top-k over the
+    * same usable universe — the #182 readout for the composed
+    * sublinear path, making the residual recipe's quality
+    * driver-visible (VERDICT r15 item 1). Output mirrors #170/#182:
+    * per-query integer `hits`/`expected` plus ONE total row
+    * (`q_id = -1`); `recall` is a single integer division.
+    *
+    * Scale: the encoded frame is the [[ivfPqGateEncoded]]
+    * broadcast-only composition; both serving branches are
+    * broadcast-query scans (approx reads only probed cells on a
+    * bucketed store); the recall join is TopK×NQueries rows. The
+    * production twin is [[graft.api.Graft.ivfPqQuery]] with
+    * `residual = true` over a fitted [[graft.api.Graft
+    * .ivfPqCodebooks]] — PqSpec pins that flavor's dominance over raw
+    * encoding at equal dials.
+    */
+  def qAnnIvfPqRecall(spark: SparkSession, dir: String): DataFrame = {
+    val (e, cents, _) = ivfGateAssigned(spark, dir)
+    val q = e.where(col("vec_id") < NQueries)
+      .select(col("vec_id").as("q_id"), col("v").as("qv"))
+    val wProbe = Window.partitionBy("q_id")
+      .orderBy(col("ccos").desc, col("cent_id"))
+    val probes = q.crossJoin(broadcast(cents))
+      .withColumn("ccos", cosine(col("cv"), col("qv")))
+      .withColumn("crank", row_number().over(wProbe))
+      .where(col("crank") <= AdcNProbe)
+      .select(col("q_id"), col("qv"), col("cent_id").as("cell"))
+    val wAdc = Window.partitionBy("q_id").orderBy(col("adc").desc, col("vec_id"))
+    val approx = ivfPqGateEncoded(spark, dir)
+      .join(broadcast(probes), "cell")
+      .where(col("vec_id") =!= col("q_id"))
+      .withColumn("adc", call_function("dot_product", col("qv"), col("rhat")))
+      .withColumn("rank", row_number().over(wAdc))
+      .where(col("rank") <= TopK)
+      .select(col("q_id"), col("vec_id"), lit(1L).as("hit"))
+    val wDot = Window.partitionBy("q_id").orderBy(col("dot").desc, col("vec_id"))
+    val exact = e.crossJoin(broadcast(q))
+      .where(col("vec_id") =!= col("q_id"))
+      .withColumn("dot", call_function("dot_product", col("qv"), col("v")))
+      .withColumn("rank", row_number().over(wDot))
+      .where(col("rank") <= TopK)
+      .select(col("q_id"), col("vec_id"))
+    val perQ = exact.join(approx, Seq("q_id", "vec_id"), "left")
+      .groupBy("q_id")
+      .agg(count(lit(1)).as("expected"),
+        coalesce(sum("hit"), lit(0L)).as("hits"))
+    def recallOf(d: DataFrame) = d.withColumn("recall",
+      when(col("expected") === 0, lit(null).cast("double"))
+        .otherwise(col("hits").cast("double") / col("expected")))
+      .select("q_id", "hits", "expected", "recall")
+    val total = perQ.agg(
+      coalesce(sum("hits"), lit(0L)).as("hits"),
+      coalesce(sum("expected"), lit(0L)).as("expected"))
+      .select(lit(-1L).as("q_id"), col("hits"), col("expected"))
+    recallOf(perQ).unionByName(recallOf(total)).orderBy("q_id")
+  }
+
+  /** #191's oracle: the #31 usable/centroid/assignment stack, the
+    * residual frame, the seed-residual codebook, the per-(vector,
+    * subspace) argmin, then rhat = cv + flattened picks and ONE
+    * ascending fold per (query, candidate) — every float op stated in
+    * the same order as the Spark plan's.
+    */
+  val qAnnIvfPqRecallSql: String = {
+    def fold8(a: String, b: String) =
+      s"list_reduce(list_prepend(0.0, list_transform(range(1, ${PqSubDim + 1}), i -> $a[i] * $b[i])), (acc, x) -> acc + x)"
+    def fold64(a: String, b: String) =
+      s"list_reduce(list_prepend(0.0, list_transform(range(1, ${Dim + 1}), i -> $a[i] * $b[i])), (acc, x) -> acc + x)"
+    def cos(a: String, b: String) =
+      s"${fold64(a, b)} / (sqrt(${fold64(a, a)}) * sqrt(${fold64(b, b)}))"
+    s"""WITH e AS MATERIALIZED (
+       |  SELECT vec_id,
+       |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+       |  FROM embeddings
+       |  WHERE len(embedding) = $Dim
+       |    AND NOT EXISTS (SELECT 1 FROM unnest(embedding) AS t(x) WHERE x IS NULL)
+       |    AND isfinite(${fold64("v", "v")}) AND ${fold64("v", "v")} > 0),
+       |m AS (
+       |  SELECT greatest(50, CAST(n // CAST(ceil(sqrt(n)) AS BIGINT) AS BIGINT)) AS md
+       |  FROM (SELECT CAST(count(*) AS BIGINT) AS n FROM embeddings)),
+       |cents AS MATERIALIZED (
+       |  SELECT vec_id AS cent_id, v AS cv FROM e, m
+       |  WHERE ((vec_id % md) + md) % md = 0),
+       |assigned AS MATERIALIZED (
+       |  SELECT vec_id, v, cell, cv FROM (
+       |    SELECT e.vec_id, e.v, c.cent_id AS cell, c.cv,
+       |      row_number() OVER (PARTITION BY e.vec_id
+       |        ORDER BY ${cos("c.cv", "e.v")} DESC, c.cent_id) AS ar
+       |    FROM e CROSS JOIN cents c) WHERE ar = 1),
+       |wres AS MATERIALIZED (
+       |  SELECT vec_id, cell, cv,
+       |    list_transform(range(1, ${Dim + 1}), i -> v[i] - cv[i]) AS rv
+       |  FROM assigned),
+       |seeds AS MATERIALIZED (
+       |  SELECT vec_id AS code, rv AS cbv FROM wres, m
+       |  WHERE ((vec_id % md) + md) % md = 1),
+       |grid AS (
+       |  SELECT w.vec_id, s.code, ss.s AS sub_s,
+       |    w.rv[ss.s * $PqSubDim + 1 : ss.s * $PqSubDim + $PqSubDim] AS sv,
+       |    s.cbv[ss.s * $PqSubDim + 1 : ss.s * $PqSubDim + $PqSubDim] AS cw
+       |  FROM wres w CROSS JOIN seeds s
+       |  CROSS JOIN (SELECT unnest(range(0, $PqM)) AS s) ss),
+       |picked AS MATERIALIZED (
+       |  SELECT vec_id, sub_s, cw FROM (
+       |    SELECT vec_id, sub_s, code, cw,
+       |      row_number() OVER (PARTITION BY vec_id, sub_s
+       |        ORDER BY ${fold8("cw", "cw")} - 2 * ${fold8("sv", "cw")}, code) AS pr
+       |    FROM grid) WHERE pr = 1),
+       |hat AS MATERIALIZED (
+       |  SELECT w.vec_id, w.cell,
+       |    list_transform(range(1, ${Dim + 1}),
+       |      i -> w.cv[i] + r.rrec[i]) AS rhat
+       |  FROM wres w JOIN (
+       |    SELECT vec_id, flatten(list(cw ORDER BY sub_s)) AS rrec
+       |    FROM picked GROUP BY vec_id) r USING (vec_id)),
+       |q AS MATERIALIZED (
+       |  SELECT vec_id AS q_id, v AS qv FROM e WHERE vec_id < $NQueries),
+       |probes AS (
+       |  SELECT q_id, qv, cell FROM (
+       |    SELECT q.q_id, q.qv, c.cent_id AS cell,
+       |      row_number() OVER (PARTITION BY q.q_id
+       |        ORDER BY ${cos("c.cv", "q.qv")} DESC, c.cent_id) AS crank
+       |    FROM q CROSS JOIN cents c) WHERE crank <= $AdcNProbe),
+       |approx AS (
+       |  SELECT q_id, vec_id FROM (
+       |    SELECT p.q_id, h.vec_id,
+       |      row_number() OVER (PARTITION BY p.q_id
+       |        ORDER BY ${fold64("p.qv", "h.rhat")} DESC, h.vec_id) AS rank
+       |    FROM probes p JOIN hat h ON h.cell = p.cell AND h.vec_id <> p.q_id)
+       |  WHERE rank <= $TopK),
+       |exact AS (
+       |  SELECT q_id, vec_id FROM (
+       |    SELECT q.q_id, e.vec_id,
+       |      row_number() OVER (PARTITION BY q.q_id
+       |        ORDER BY ${fold64("q.qv", "e.v")} DESC, e.vec_id) AS rank
+       |    FROM q JOIN e ON e.vec_id <> q.q_id)
+       |  WHERE rank <= $TopK),
+       |perq AS (
+       |  SELECT x.q_id,
+       |    CAST(coalesce(sum(CASE WHEN a.vec_id IS NOT NULL THEN 1 ELSE 0 END), 0) AS BIGINT) AS hits,
+       |    CAST(count(*) AS BIGINT) AS expected
+       |  FROM exact x LEFT JOIN approx a USING (q_id, vec_id)
+       |  GROUP BY 1)
+       |SELECT q_id, hits, expected,
+       |  CAST(hits AS DOUBLE) / nullif(expected, 0) AS recall
+       |FROM perq
+       |UNION ALL
+       |SELECT CAST(-1 AS BIGINT) AS q_id,
+       |  CAST(coalesce(sum(hits), 0) AS BIGINT) AS hits,
+       |  CAST(coalesce(sum(expected), 0) AS BIGINT) AS expected,
+       |  CAST(coalesce(sum(hits), 0) AS DOUBLE) / nullif(sum(expected), 0) AS recall
+       |FROM perq
+       |ORDER BY q_id""".stripMargin
+  }
 }

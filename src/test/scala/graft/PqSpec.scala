@@ -105,12 +105,15 @@ class PqSpec extends SparkSpec {
       s"true-NN-in-candidates fell to ${t1in20.toDouble / top1.count()}")
   }
 
-  test("ivfpq: full-probe equals plain PQ; routed probes hold a recall floor") {
+  test("ivfpq raw flavor: full-probe equals plain PQ; routed probes hold a recall floor") {
     graft.functions.DotProduct.register(spark)
     val nCells = 8
     val cents = Graft.kmeansCentroids(embTable, "vec_id", "v", nCells, 2)
+    // residual = false: raw-vector encoding is the ONLY flavor where
+    // full-probe IVFADC must equal flat PQ exactly (same codes, no
+    // cell-dependent term) — the composition-correctness pin
     val index = Graft.ivfPqIndex(embTable, "vec_id", "v",
-      cents, "cent_id", "cv", books).persist()
+      cents, "cent_id", "cv", books, residual = false).persist()
     // the composed index carries both layers for every usable vector
     val codes = Graft.pqEncode(embTable, "vec_id", "v", books)
     assert(index.count() == codes.count(), "composition lost vectors")
@@ -120,7 +123,8 @@ class PqSpec extends SparkSpec {
     // probing EVERY cell must reproduce plain PQ serving exactly: the
     // candidate set is the whole corpus and ADC sums the same partials
     val full = Graft.ivfPqQuery(index, cents, "cent_id", "cv", books,
-      queries, "qid", "qv", k = 5, nprobe = nCells, excludeSelf = true)
+      queries, "qid", "qv", k = 5, nprobe = nCells, excludeSelf = true,
+      residual = false)
     val plain = Graft.pqQuery(codes, books, queries, "qid", "qv",
       k = 5, excludeSelf = true)
     val mism = full.select(col("q_id"), col("rank"), col("id").as("fid"))
@@ -134,7 +138,8 @@ class PqSpec extends SparkSpec {
     // this corpus; the cell routing and the quantizer both lose a
     // little — the product of the two dials)
     val served20 = Graft.ivfPqQuery(index, cents, "cent_id", "cv", books,
-      queries, "qid", "qv", k = 20, nprobe = 3, excludeSelf = true)
+      queries, "qid", "qv", k = 20, nprobe = 3, excludeSelf = true,
+      residual = false)
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("q_id").orderBy(col("dot").desc, col("vec_id"))
     val top1 = embTable.crossJoin(
@@ -191,5 +196,94 @@ class PqSpec extends SparkSpec {
     assert(plan.contains("BroadcastHashJoin"), s"ADC join must broadcast:\n$plan")
     assert(!plan.contains("SortMergeJoin") && !plan.contains("ShuffledHashJoin"),
       s"corpus-sized join crept into PQ serving:\n$plan")
+  }
+
+  test("ivfpq residual encoding: ADC = q·(c + recon(r)); recall beats raw at equal bits") {
+    // the Jégou et al. IVFADC recipe proper (VERDICT r15 item 1):
+    // PQ-quantize the coarse residual vec − centroid(cell), not the raw
+    // vector — residuals concentrate around the origin, so the same bit
+    // budget buys finer resolution; serving adds the per-(query, cell)
+    // q·c constant back into the ADC score
+    graft.functions.DotProduct.register(spark)
+    val nCells = 8
+    val cents = Graft.kmeansCentroids(embTable, "vec_id", "v", nCells, 2)
+    val rbooks = Graft.ivfPqCodebooks(embTable, "vec_id", "v",
+      cents, "cent_id", "cv", Dim, M, K, iters = 3).persist()
+    val rindex = Graft.ivfPqIndex(embTable, "vec_id", "v",
+      cents, "cent_id", "cv", rbooks).persist()
+    val q10 = embTable.where(col("vec_id") < 10)
+      .select(col("vec_id").as("qid"), col("v").as("qv"))
+    // ADC exactness at full probe: the lookup-sum plus the q·c add-back
+    // must equal the inner product against centroid + reconstructed
+    // residual (float re-association tolerance)
+    val served = Graft.ivfPqQuery(rindex, cents, "cent_id", "cv", rbooks,
+      q10, "qid", "qv", k = 5, nprobe = nCells, excludeSelf = true)
+    val recon = rindex
+      .select(col("id"), col("cell"), posexplode(col("codes")).as(Seq("s", "code")))
+      .join(rbooks.select(col("subspace").as("s"), col("code"), col("cw")),
+        Seq("s", "code"))
+      .groupBy("id", "cell")
+      .agg(flatten(transform(array_sort(collect_list(struct(col("s"), col("cw")))),
+        t => t.getField("cw"))).as("rrec"))
+      .join(cents.select(col("cent_id").as("cell"), col("cv")), Seq("cell"))
+      .select(col("id"),
+        zip_with(col("cv"), col("rrec"), (a, b) => a + b).as("rv"))
+    val maxErr = served
+      .join(recon, Seq("id"))
+      .join(q10.select(col("qid").as("q_id"), col("qv")), Seq("q_id"))
+      .select(abs(col("adc") -
+        call_function("dot_product", col("qv"), col("rv"))).as("err"))
+      .agg(max("err")).head.getDouble(0)
+    assert(maxErr < 1e-9, s"residual ADC drifted from q·(c + recon(r)) by $maxErr")
+    // recall at EQUAL dials vs the raw-encoding flavor (same centroids,
+    // same m/k/iters, same nprobe): true-NN-in-top-20. Measured on the
+    // gate corpus (deterministic fit, deterministic corpus):
+    //   nprobe=3, 10 queries: residual 0.70 vs raw 0.50
+    //   full probe, 50 queries: residual 0.90 vs raw 0.82
+    // (i.i.d.-random vectors are the weakest case for residual gains —
+    // real clustered embeddings sit higher). Floors leave noise margin
+    // but pin the ordering: the residual flavor must never fall back to
+    // the raw flavor's 0.5 regime.
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("q_id").orderBy(col("dot").desc, col("vec_id"))
+    def top1(q: org.apache.spark.sql.DataFrame) =
+      embTable.crossJoin(broadcast(q))
+        .where(col("vec_id") =!= col("q_id"))
+        .withColumn("dot", call_function("dot_product", col("qv"), col("v")))
+        .withColumn("r", row_number().over(w)).where(col("r") === 1)
+        .select(col("q_id"), col("vec_id").as("id"))
+    val t1 = top1(q10.select(col("qid").as("q_id"), col("qv")))
+    val res20 = Graft.ivfPqQuery(rindex, cents, "cent_id", "cv", rbooks,
+      q10, "qid", "qv", k = 20, nprobe = 3, excludeSelf = true)
+    val hit = t1.join(res20.select("q_id", "id"), Seq("q_id", "id")).count()
+    assert(hit.toDouble / t1.count() >= 0.6,
+      s"residual IVFADC true-NN-in-candidates fell to ${hit.toDouble / t1.count()}" +
+        " — below the raw flavor's historical 0.5/0.7 regime")
+    // full-probe comparison isolates quantizer quality (routing
+    // identical): residual must dominate raw on the 50-query set
+    val q50 = embTable.where(col("vec_id") < 50)
+      .select(col("vec_id").as("qid"), col("v").as("qv"))
+    val t1b = top1(q50.select(col("qid").as("q_id"), col("qv"))).persist()
+    val rawIdx = Graft.ivfPqIndex(embTable, "vec_id", "v",
+      cents, "cent_id", "cv", books, residual = false)
+    def fullHits(idx: org.apache.spark.sql.DataFrame,
+        bk: org.apache.spark.sql.DataFrame, res: Boolean): Long = {
+      val s = Graft.ivfPqQuery(idx, cents, "cent_id", "cv", bk,
+        q50, "qid", "qv", k = 20, nprobe = nCells,
+        excludeSelf = true, residual = res)
+      t1b.join(s.select("q_id", "id"), Seq("q_id", "id")).count()
+    }
+    val hRes = fullHits(rindex, rbooks, res = true)
+    val hRaw = fullHits(rawIdx, books, res = false)
+    assert(hRes >= hRaw,
+      s"residual encoding lost to raw at equal bits: $hRes < $hRaw of ${t1b.count()}")
+    assert(hRes.toDouble / t1b.count() >= 0.8,
+      s"residual full-probe candidate recall fell to ${hRes.toDouble / t1b.count()}")
+    // serving plan: unchanged scale shape — probes/codebook/centroids
+    // broadcast, index side never shuffle-joins
+    val plan = res20.queryExecution.executedPlan.toString
+    assert(!plan.contains("SortMergeJoin") && !plan.contains("ShuffledHashJoin"),
+      s"corpus-sized join crept into residual IVFADC serving:\n$plan")
+    rindex.unpersist(); rbooks.unpersist(); t1b.unpersist()
   }
 }
