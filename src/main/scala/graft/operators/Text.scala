@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.Tables
 
@@ -68,6 +69,139 @@ object Text {
        |  CAST(stop_ct AS DOUBLE) / n_tokens AS stop_ratio,
        |  CASE WHEN CAST(stop_ct AS DOUBLE) / n_tokens >= 0.04 THEN 'en' ELSE 'unknown' END AS lang_pred
        |FROM t ORDER BY doc_id""".stripMargin
+
+  /** Profile length for the #192 Cavnar–Trenkle langid: the top-N
+    * ranked character 3-grams kept per language and per document. CT's
+    * paper uses 300 over 1-5-grams on kilobyte documents; 40 3-grams
+    * fits the short-document test corpus while keeping the
+    * out-of-place penalty (= N, the paper's "maximum distance")
+    * meaningful. At scale this dial RISES with document length — the
+    * profiles stay langs×N rows (broadcast) regardless.
+    */
+  private[graft] val LangProfileN = 40
+
+  /** #192 — `q_text_langid_ngram`: Cavnar–Trenkle n-gram-profile
+    * language ID (Cavnar & Trenkle 1994, "N-Gram-Based Text
+    * Categorization" — the public algorithm behind textcat/langid
+    * tools), replacing the #32 stopword-ratio heuristic's blind spots:
+    * short docs with no stopwords, and non-Latin scripts the stopword
+    * list cannot see at all. Per-language profiles are SELF-TRAINED
+    * from the corpus's own `lang`-labeled slice (the #126 frozen-model
+    * discipline): rank each language's character 3-grams by frequency,
+    * keep the top [[LangProfileN]]; a document is scored against every
+    * language by the paper's OUT-OF-PLACE distance — for each 3-gram
+    * of the doc's own top-N profile, |doc rank − language rank|, with
+    * the maximum penalty N when the language profile lacks the gram —
+    * and classified as the argmin (ties → lexicographically first
+    * language; gram-less docs → 'unknown', the dirty rule). 3-grams
+    * are code-point poly hashes ([[graft.functions.CharNgramHashes]],
+    * the #176 cross-engine family), so CJK text profiles exactly like
+    * Latin text and both engines agree to the bit. All-integer output
+    * → full hash gate.
+    *
+    * Scale: the gram explode is map-side codegen; the two frequency
+    * aggregates are (doc, gram)- and (lang, gram)-keyed contractions;
+    * profiles and the language list broadcast (langs × N rows); the
+    * doc-grain distance aggregate fans out docs × N × #langs rows —
+    * linear in corpus size with a tiny constant. The rank windows ride
+    * the contracted frames, never raw text.
+    */
+  def qTextLangidNgram(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.CharNgramHashes.register(spark)
+    val docs = Tables.documents(spark, dir)
+      .withColumn("norm", Dedup.contentNormOf(col("text")))
+    val grams = docs
+      .select(col("doc_id"), col("lang"),
+        explode(expr("char_ngram_hashes(norm, 3)")).as("g"))
+    val langCnt = grams.where(col("lang").isNotNull)
+      .groupBy("lang", "g").agg(count(lit(1)).as("c"))
+    val wLang = Window.partitionBy("lang").orderBy(col("c").desc, col("g"))
+    val profiles = langCnt
+      .withColumn("r_lang", row_number().over(wLang))
+      .where(col("r_lang") <= LangProfileN)
+      .select(col("lang").as("cand"), col("g"), col("r_lang"))
+    val langs = profiles.select("cand").distinct()
+    val docCnt = grams.groupBy("doc_id", "g").agg(count(lit(1)).as("c"))
+    val wDoc = Window.partitionBy("doc_id").orderBy(col("c").desc, col("g"))
+    val docProf = docCnt
+      .withColumn("r_doc", row_number().over(wDoc))
+      .where(col("r_doc") <= LangProfileN)
+      .select("doc_id", "g", "r_doc")
+    val dist = docProf
+      .crossJoin(broadcast(langs))
+      .join(broadcast(profiles), Seq("cand", "g"), "left")
+      .groupBy("doc_id", "cand")
+      .agg(sum(coalesce(abs(col("r_doc") - col("r_lang")),
+        lit(LangProfileN))).as("oop"))
+    val best = dist
+      .groupBy("doc_id")
+      .agg(min_by(struct(col("cand"), col("oop")),
+        struct(col("oop"), col("cand"))).as("b"))
+      .select(col("doc_id"), col("b.cand").as("lang_pred"),
+        col("b.oop").as("oop_dist"))
+    docs.select("doc_id", "lang")
+      .join(best, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("lang"),
+        coalesce(col("lang_pred"), lit("unknown")).as("lang_pred"),
+        col("oop_dist"))
+      .orderBy("doc_id")
+  }
+
+  /** #192's oracle: the #176 code-point Horner fold re-derives the
+    * gram hashes, then the fit, the doc profiles, the out-of-place
+    * distances, and the argmin — every stage integer.
+    */
+  val qTextLangidNgramSql: String =
+    s"""WITH t AS (
+       |  SELECT doc_id, lang,
+       |    trim(regexp_replace(lower(text), ' +', ' ', 'g')) AS norm
+       |  FROM documents),
+       |cstream AS (
+       |  SELECT doc_id, lang,
+       |    list_transform(string_split(norm, ''), c -> CAST(ascii(c) AS BIGINT)) AS cs
+       |  FROM t),
+       |gh AS (
+       |  SELECT doc_id, lang,
+       |    CASE WHEN len(cs) >= 3 THEN
+       |      list_transform(range(1, len(cs) - 1),
+       |        i -> list_reduce(
+       |          list_prepend(CAST(0 AS BIGINT), cs[i:i+2]),
+       |          (acc, x) -> (acc * 31 + x) % 1000000007))
+       |    ELSE CAST([] AS BIGINT[]) END AS gh
+       |  FROM cstream),
+       |ex AS (SELECT doc_id, lang, unnest(gh) AS g FROM gh),
+       |lc AS (
+       |  SELECT lang, g, CAST(count(*) AS BIGINT) AS c
+       |  FROM ex WHERE lang IS NOT NULL GROUP BY 1, 2),
+       |prof AS MATERIALIZED (
+       |  SELECT lang AS cand, g, r_lang FROM (
+       |    SELECT lang, g,
+       |      row_number() OVER (PARTITION BY lang ORDER BY c DESC, g) AS r_lang
+       |    FROM lc) WHERE r_lang <= $LangProfileN),
+       |langs AS (SELECT DISTINCT cand FROM prof),
+       |dc AS (
+       |  SELECT doc_id, g, CAST(count(*) AS BIGINT) AS c
+       |  FROM ex GROUP BY 1, 2),
+       |dp AS MATERIALIZED (
+       |  SELECT doc_id, g, r_doc FROM (
+       |    SELECT doc_id, g,
+       |      row_number() OVER (PARTITION BY doc_id ORDER BY c DESC, g) AS r_doc
+       |    FROM dc) WHERE r_doc <= $LangProfileN),
+       |dist AS (
+       |  SELECT dp.doc_id, l.cand,
+       |    CAST(sum(coalesce(abs(dp.r_doc - p.r_lang), $LangProfileN)) AS BIGINT) AS oop
+       |  FROM dp CROSS JOIN langs l
+       |  LEFT JOIN prof p ON p.cand = l.cand AND p.g = dp.g
+       |  GROUP BY 1, 2),
+       |best AS (
+       |  SELECT doc_id, cand AS lang_pred, oop AS oop_dist FROM (
+       |    SELECT doc_id, cand, oop,
+       |      row_number() OVER (PARTITION BY doc_id ORDER BY oop, cand) AS br
+       |    FROM dist) WHERE br = 1)
+       |SELECT d.doc_id, d.lang,
+       |  coalesce(b.lang_pred, 'unknown') AS lang_pred, b.oop_dist
+       |FROM documents d LEFT JOIN best b USING (doc_id)
+       |ORDER BY d.doc_id""".stripMargin
 
   /** #33 — quality score: token count, mean word length, punctuation
     * ratio, stopword ratio combined into a bounded [0,1] score.

@@ -170,6 +170,63 @@ class CurationSpec extends SparkSpec {
     dir
   }
 
+  test("n-gram langid: planted languages classify where the stopword heuristic fails") {
+    import spark.implicits._
+    // training slices: real, distinct character distributions per
+    // language — the self-trained Cavnar–Trenkle profiles must pull
+    // the short probes to the right language even though the probes
+    // carry none of the English stopword list, and zh is invisible to
+    // a Latin stopword heuristic entirely
+    val en = Seq(
+      "the quick brown fox jumps over the lazy dog while the children watch",
+      "a library of good books is the heart of every school in the town",
+      "the weather this morning is cold and the wind blows from the north",
+      "reading and writing are the skills every student wants to master")
+    val fr = Seq(
+      "le renard brun saute par dessus le chien paresseux pendant que les enfants regardent",
+      "une bibliothèque de bons livres est le coeur de chaque école de la ville",
+      "le temps ce matin est froid et le vent souffle du nord vers la mer",
+      "la lecture et l'écriture sont des compétences que chaque étudiant veut maîtriser")
+    val zh = Seq(
+      "敏捷的棕色狐狸跳过懒惰的狗孩子们在旁边观看",
+      "一座好书图书馆是镇上每所学校的心脏所在",
+      "今天早上天气寒冷北风吹向大海的方向",
+      "阅读和写作是每个学生都想掌握的技能")
+    val probes = Seq(
+      // short, stopword-free English: #32's heuristic calls this
+      // 'unknown' (stop_ratio 0 < 0.04); the gram profiles must not
+      (100L, "children reading good books", "en"),
+      (101L, "le vent froid du nord", "fr"),
+      (102L, "学生喜欢阅读好书", "zh"),
+      // gram-less doc: the dirty rule — 'unknown' in both operators
+      (103L, "", "en"))
+    val train =
+      en.zipWithIndex.map { case (t, i) => (i.toLong, t, "en") } ++
+      fr.zipWithIndex.map { case (t, i) => (10L + i, t, "fr") } ++
+      zh.zipWithIndex.map { case (t, i) => (20L + i, t, "zh") }
+    val dir = writeDocsLang(
+      (train.map { case (id, t, l) => (id, t, l, "s") } ++
+        probes.map { case (id, t, l) => (id, t, l, "s") }))
+    val rows = SparkEntry.queries("q_text_langid_ngram")(spark, dir)
+      .select("doc_id", "lang", "lang_pred")
+      .as[(Long, String, String)].collect()
+    val byId = rows.map(r => r._1 -> r).toMap
+    // every doc with text — training and probes alike — classifies as
+    // its planted language
+    rows.filter(_._1 != 103L).foreach { case (id, lang, predLang) =>
+      assert(predLang == lang,
+        s"doc $id planted $lang but n-gram langid said $predLang")
+    }
+    assert(byId(103L)._3 == "unknown", "gram-less doc must be 'unknown'")
+    // and the probes are exactly where the stopword heuristic fails:
+    // no stopwords → 'unknown' for the en probe, and zh is never 'zh'
+    val heur = SparkEntry.queries("q_text_langid")(spark, dir)
+      .select("doc_id", "lang_pred").as[(Long, String)].collect().toMap
+    assert(heur(100L) == "unknown",
+      "the planted en probe was supposed to defeat the stopword heuristic")
+    assert(heur(102L) != "zh", "the stopword heuristic cannot see zh")
+  }
+
   test("source overlap: twins count into the right cells, diagonal always present") {
     import spark.implicits._
     // srcA: 3 docs, one content-twin pair with srcB, one internal pair
