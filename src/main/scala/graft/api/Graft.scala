@@ -1811,6 +1811,18 @@ object Graft {
   def gopherRules(df: DataFrame, idCol: String, textCol: String): DataFrame =
     graft.operators.Text.gopherRules(df, idCol, textCol)
 
+  /** The word-blocklist battery (#193, the C4 §2.2 LDNOOBW page
+    * filter) on any frame with an id + text column: per row, how many
+    * lowercased alphanumeric tokens match the list (`n_blocked`) and
+    * the verdict (`blocked`; NULL text → NULL — the dirty rule). Pass
+    * the real policy list via `words` — the default is the gate's
+    * tiny spam-register stand-in. Pure map-side projection: the list
+    * compiles into the codegen'd filter, nothing broadcasts.
+    */
+  def blocklistRules(df: DataFrame, idCol: String, textCol: String,
+      words: Seq[String] = graft.operators.Text.BlockWords): DataFrame =
+    graft.operators.Text.blocklistRules(df, idCol, textCol, words)
+
   /** Cross-document LINE dedup (#134, the C4/CCNet/RefinedWeb rule)
     * on any frame with an id + text column: per row, trimmed-line
     * counts, lines whose content occurs in ≥2 distinct rows, and the

@@ -1434,9 +1434,11 @@ object Corpus {
     * EXACT shared definition of its standalone operator):
     *
     *   0 all → 1 lang = en → 2 quality_score ≥ τ (#33's score) →
-    *   3 not repetitive (#71) → 4 exact-dedup canonical among stage-3
-    *   survivors (#25's fingerprint) → 5 not in / not contaminated by
-    *   the benchmark slice (#58).
+    *   3 not repetitive (#71) → 4 no blocklisted word (#193's battery
+    *   — the C4 §2.2 cleaning step, stateless like 1-3) → 5
+    *   exact-dedup canonical among stage-4 survivors (#25's
+    *   fingerprint) → 6 not in / not contaminated by the benchmark
+    *   slice (#58).
     *
     * Scale shape — this is ONE corpus scan, not six: quality,
     * repetition, and the fingerprint are map-side projections fused
@@ -1451,7 +1453,7 @@ object Corpus {
   /** The funnel's PER-DOC flag stage, shared by #72's counts and
     * #169's verdict table (one definition of every gate, so the
     * dashboard and the per-doc readout cannot disagree): cumulative
-    * stage passes p1..p5 (NULL-free — a NULL quality score fails its
+    * stage passes p1..p6 (NULL-free — a NULL quality score fails its
     * gate in both engines), the bench-slice marker, and the
     * contamination verdict.
     */
@@ -1462,7 +1464,7 @@ object Corpus {
         "doc_id", "text", n = 3, minOverlap = ContaminationK)
       .where(col("contaminated"))
       .select(col("id").as("doc_id"), col("contaminated"))
-    Text.withRepetition(Text.withQuality(docs))
+    Text.withBlocklist(Text.withRepetition(Text.withQuality(docs)), "text")
       .withColumn("fp", Dedup.contentFp)
       .join(broadcast(contam), Seq("doc_id"), "left")
       .withColumn("is_bench", isBench)
@@ -1471,10 +1473,11 @@ object Corpus {
         col("quality_score") >= FunnelQualityTau, lit(false)))
       .withColumn("p3", col("p2") &&
         coalesce(!col("is_repetitive"), lit(false)))
+      .withColumn("p4", col("p3") && coalesce(col("bl_pass"), lit(false)))
       .withColumn("keep_id",
-        min(when(col("p3"), col("doc_id"))).over(Window.partitionBy("fp")))
-      .withColumn("p4", col("p3") && col("doc_id") === col("keep_id"))
-      .withColumn("p5", col("p4") && !col("is_bench") &&
+        min(when(col("p4"), col("doc_id"))).over(Window.partitionBy("fp")))
+      .withColumn("p5", col("p4") && col("doc_id") === col("keep_id"))
+      .withColumn("p6", col("p5") && !col("is_bench") &&
         coalesce(col("contaminated"), lit(false)) === false)
   }
 
@@ -1486,15 +1489,17 @@ object Corpus {
         sum(col("p2").cast("long")).as("c2"),
         sum(col("p3").cast("long")).as("c3"),
         sum(col("p4").cast("long")).as("c4"),
-        sum(col("p5").cast("long")).as("c5"))
+        sum(col("p5").cast("long")).as("c5"),
+        sum(col("p6").cast("long")).as("c6"))
       .selectExpr(
-        """stack(6,
+        """stack(7,
           |  CAST(0 AS BIGINT), 'all',            c0,
           |  CAST(1 AS BIGINT), 'lang_en',        c1,
           |  CAST(2 AS BIGINT), 'quality',        c2,
           |  CAST(3 AS BIGINT), 'repetition',     c3,
-          |  CAST(4 AS BIGINT), 'exact_dedup',    c4,
-          |  CAST(5 AS BIGINT), 'decontaminated', c5
+          |  CAST(4 AS BIGINT), 'blocklist',      c4,
+          |  CAST(5 AS BIGINT), 'exact_dedup',    c5,
+          |  CAST(6 AS BIGINT), 'decontaminated', c6
           |) AS (stage, stage_name, survivors)""".stripMargin)
       .orderBy("stage")
   }
@@ -1520,13 +1525,15 @@ object Corpus {
   def qCurationVerdicts(spark: SparkSession, dir: String): DataFrame =
     funnelFlags(spark, dir)
       .select(col("doc_id"),
-        col("p5").as("keep"),
-        when(col("p5"), lit(null).cast("long"))
+        col("p6").as("keep"),
+        when(col("p6"), lit(null).cast("long"))
           .when(!col("p1"), 1L).when(!col("p2"), 2L).when(!col("p3"), 3L)
-          .when(!col("p4"), 4L).otherwise(5L).as("drop_stage"),
-        when(col("p5"), lit(null).cast("string"))
+          .when(!col("p4"), 4L).when(!col("p5"), 5L).otherwise(6L)
+          .as("drop_stage"),
+        when(col("p6"), lit(null).cast("string"))
           .when(!col("p1"), "lang").when(!col("p2"), "quality")
-          .when(!col("p3"), "repetition").when(!col("p4"), "exact_dup")
+          .when(!col("p3"), "repetition").when(!col("p4"), "blocklist")
+          .when(!col("p5"), "exact_dup")
           .when(col("is_bench"), "benchmark").otherwise("contaminated")
           .as("drop_reason"))
       .orderBy("doc_id")
@@ -1538,35 +1545,40 @@ object Corpus {
     s"""WITH q AS (SELECT doc_id, quality_score FROM (${Text.qTextQualitySql})),
        |r AS (SELECT doc_id, is_repetitive FROM (${Text.qIntradocRepetitionSql})),
        |c AS (SELECT doc_id FROM ($qContaminationSql) WHERE contaminated),
-       |d AS (SELECT doc_id, lang, ${Dedup.contentFpSql} AS fp FROM documents),
+       |d AS (SELECT doc_id, lang, ${Dedup.contentFpSql} AS fp,
+       |        ${Text.blocklistNSqlOf("text")} AS nb
+       |      FROM documents),
        |f AS (
-       |  SELECT d.doc_id, d.fp,
+       |  SELECT d.doc_id, d.fp, d.nb,
        |    coalesce(d.lang = 'en', false) AS p1,
        |    coalesce(d.lang = 'en', false)
        |      AND coalesce(q.quality_score >= $FunnelQualityTau, false) AS p2
        |  FROM d JOIN q ON d.doc_id = q.doc_id),
        |g AS (
        |  SELECT f.doc_id, f.fp, f.p1, f.p2,
-       |    f.p2 AND coalesce(NOT r.is_repetitive, false) AS p3
+       |    f.p2 AND coalesce(NOT r.is_repetitive, false) AS p3,
+       |    f.p2 AND coalesce(NOT r.is_repetitive, false)
+       |      AND coalesce(f.nb = 0, false) AS p4
        |  FROM f JOIN r ON f.doc_id = r.doc_id),
        |k AS (
-       |  SELECT doc_id, p1, p2, p3,
-       |    p3 AND doc_id = min(CASE WHEN p3 THEN doc_id END)
-       |      OVER (PARTITION BY fp) AS p4
+       |  SELECT doc_id, p1, p2, p3, p4,
+       |    p4 AND doc_id = min(CASE WHEN p4 THEN doc_id END)
+       |      OVER (PARTITION BY fp) AS p5
        |  FROM g),
        |v AS (
-       |  SELECT k.doc_id, k.p1, k.p2, k.p3, k.p4,
+       |  SELECT k.doc_id, k.p1, k.p2, k.p3, k.p4, k.p5,
        |    ((k.doc_id % 97) + 97) % 97 = 0 AS is_bench,
        |    c.doc_id IS NOT NULL AS contam
        |  FROM k LEFT JOIN c ON k.doc_id = c.doc_id)
        |SELECT doc_id,
-       |  (p4 AND NOT is_bench AND NOT contam) AS keep,
-       |  CAST(CASE WHEN p4 AND NOT is_bench AND NOT contam THEN NULL
+       |  (p5 AND NOT is_bench AND NOT contam) AS keep,
+       |  CAST(CASE WHEN p5 AND NOT is_bench AND NOT contam THEN NULL
        |       WHEN NOT p1 THEN 1 WHEN NOT p2 THEN 2 WHEN NOT p3 THEN 3
-       |       WHEN NOT p4 THEN 4 ELSE 5 END AS BIGINT) AS drop_stage,
-       |  CASE WHEN p4 AND NOT is_bench AND NOT contam THEN NULL
+       |       WHEN NOT p4 THEN 4 WHEN NOT p5 THEN 5 ELSE 6 END AS BIGINT) AS drop_stage,
+       |  CASE WHEN p5 AND NOT is_bench AND NOT contam THEN NULL
        |       WHEN NOT p1 THEN 'lang' WHEN NOT p2 THEN 'quality'
-       |       WHEN NOT p3 THEN 'repetition' WHEN NOT p4 THEN 'exact_dup'
+       |       WHEN NOT p3 THEN 'repetition' WHEN NOT p4 THEN 'blocklist'
+       |       WHEN NOT p5 THEN 'exact_dup'
        |       WHEN is_bench THEN 'benchmark' ELSE 'contaminated'
        |       END AS drop_reason
        |FROM v ORDER BY doc_id""".stripMargin
@@ -1583,7 +1595,8 @@ object Corpus {
     * manifest cannot drift from the stages it composes.
     *
     * Stage composition:
-    *   1. curation verdicts (#72/#169's [[funnelFlags]] `p5`);
+    *   1. curation verdicts (#72/#169's [[funnelFlags]] `p6`, incl.
+    *      the #193 blocklist stage);
     *   2. near-dup keeper election (#43's cluster labels + #129's
     *      quality-argmax): a clustered doc survives only as its
     *      cluster's elected keeper — a cluster whose keeper fails the
@@ -1619,11 +1632,11 @@ object Corpus {
     import graft.operators.Dedup
     val flags = funnelFlags(spark, dir)
       .select(col("doc_id"), col("source"),
-        coalesce(Text.wsTokenCount, lit(0L)).as("n_tokens"), col("p5"))
+        coalesce(Text.wsTokenCount, lit(0L)).as("n_tokens"), col("p6"))
     val labels = Dedup.qDupClusters(spark, dir).select("doc_id", "cluster_id")
     val keepers = Dedup.qKeeperQuality(spark, dir)
       .select(col("cluster_id"), col("keeper_id"))
-    val surv = flags.where(col("p5"))
+    val surv = flags.where(col("p6"))
       .join(broadcast(labels), Seq("doc_id"), "left")
       .join(broadcast(keepers), Seq("cluster_id"), "left")
       .where(col("cluster_id").isNull || col("doc_id") === col("keeper_id"))
@@ -1860,25 +1873,29 @@ object Corpus {
     s"""WITH q AS (SELECT doc_id, quality_score FROM (${Text.qTextQualitySql})),
        |r AS (SELECT doc_id, is_repetitive FROM (${Text.qIntradocRepetitionSql})),
        |c AS (SELECT doc_id FROM ($qContaminationSql) WHERE contaminated),
-       |d AS (SELECT doc_id, lang, ${Dedup.contentFpSql} AS fp FROM documents),
-       |s1 AS (SELECT d.doc_id, d.fp FROM d WHERE lang = 'en'),
-       |s2 AS (SELECT s1.doc_id, s1.fp FROM s1 JOIN q ON s1.doc_id = q.doc_id
+       |d AS (SELECT doc_id, lang, ${Dedup.contentFpSql} AS fp,
+       |        ${Text.blocklistNSqlOf("text")} AS nb
+       |      FROM documents),
+       |s1 AS (SELECT d.doc_id, d.fp, d.nb FROM d WHERE lang = 'en'),
+       |s2 AS (SELECT s1.doc_id, s1.fp, s1.nb FROM s1 JOIN q ON s1.doc_id = q.doc_id
        |       WHERE q.quality_score >= $FunnelQualityTau),
-       |s3 AS (SELECT s2.doc_id, s2.fp FROM s2 JOIN r ON s2.doc_id = r.doc_id
+       |s3 AS (SELECT s2.doc_id, s2.fp, s2.nb FROM s2 JOIN r ON s2.doc_id = r.doc_id
        |       WHERE NOT r.is_repetitive),
-       |s4 AS (SELECT doc_id FROM (
-       |         SELECT doc_id, min(doc_id) OVER (PARTITION BY fp) AS mn FROM s3)
+       |s4 AS (SELECT doc_id, fp FROM s3 WHERE nb = 0),
+       |s5 AS (SELECT doc_id FROM (
+       |         SELECT doc_id, min(doc_id) OVER (PARTITION BY fp) AS mn FROM s4)
        |       WHERE doc_id = mn),
-       |s5 AS (SELECT s4.doc_id FROM s4 LEFT JOIN c ON s4.doc_id = c.doc_id
-       |       WHERE ((s4.doc_id % 97) + 97) % 97 <> 0 AND c.doc_id IS NULL)
+       |s6 AS (SELECT s5.doc_id FROM s5 LEFT JOIN c ON s5.doc_id = c.doc_id
+       |       WHERE ((s5.doc_id % 97) + 97) % 97 <> 0 AND c.doc_id IS NULL)
        |SELECT * FROM (
        |  SELECT CAST(0 AS BIGINT) AS stage, 'all' AS stage_name,
        |    (SELECT count(*) FROM documents) AS survivors
        |  UNION ALL SELECT 1, 'lang_en',        (SELECT count(*) FROM s1)
        |  UNION ALL SELECT 2, 'quality',        (SELECT count(*) FROM s2)
        |  UNION ALL SELECT 3, 'repetition',     (SELECT count(*) FROM s3)
-       |  UNION ALL SELECT 4, 'exact_dedup',    (SELECT count(*) FROM s4)
-       |  UNION ALL SELECT 5, 'decontaminated', (SELECT count(*) FROM s5)
+       |  UNION ALL SELECT 4, 'blocklist',      (SELECT count(*) FROM s4)
+       |  UNION ALL SELECT 5, 'exact_dedup',    (SELECT count(*) FROM s5)
+       |  UNION ALL SELECT 6, 'decontaminated', (SELECT count(*) FROM s6)
        |) ORDER BY stage""".stripMargin
 
   /** #121 — `q_corpus_diff`: what changed between two corpus

@@ -736,6 +736,102 @@ object Text {
        |  (n_kept_lines >= $C4MinKeptLines AND NOT has_brace AND NOT has_lorem) AS keep
        |FROM c ORDER BY doc_id""".stripMargin
 
+  /** #193 — the word blocklist (C4's cleaning step: Raffel et al.
+    * 2020 §2.2 drop any page containing a word from the public "List
+    * of Dirty, Naughty, Obscene or Otherwise Bad Words"). The list is
+    * DEPLOYMENT POLICY — the real LDNOOBW list is swapped in per
+    * corpus via [[blocklistRules]]' parameter; the gate default is a
+    * tiny spam-register stand-in (the category's classic spam-filter
+    * tokens) so the repo carries the mechanism, not the vocabulary.
+    * Matching is the paper's word grain: lowercased alphanumeric
+    * tokens (split on `[^a-z0-9]+` — punctuation-robust, identical in
+    * both engines' ASCII regex), term ∈ list, multiplicity counted.
+    */
+  private[graft] val BlockWords = Seq("casino", "jackpot", "viagra", "xxx")
+  private val blockSqlList = BlockWords.map(w => s"'$w'").mkString(", ")
+
+  /** The #193 blocked-word count over a text expression — the SQL twin
+    * of [[withBlocklist]]'s `_bl_n_blocked`, shared by the #193 oracles
+    * and the #72/#169 funnel oracles so the stage cannot drift. */
+  private[operators] def blocklistNSqlOf(t: String): String =
+    s"len(list_filter(regexp_split_to_array(lower($t), '[^a-z0-9]+'), t -> t IN ($blockSqlList)))"
+
+  /** Column-preserving #193 core (internal `_bl_n_blocked`, verdict
+    * `bl_pass`) — shared by the gated queries, the #72/#169 funnel
+    * stage, and the streaming funnel fold, so the stage definition
+    * cannot drift. NULL text → NULL count → NULL pass (the
+    * NULL-fails-its-gate convention downstream coalesces).
+    */
+  private[graft] def withBlocklist(df: DataFrame, textCol: String,
+      words: Seq[String] = BlockWords): DataFrame =
+    df.withColumn("_bl_n_blocked",
+        size(filter(split(lower(col(textCol)), "[^a-z0-9]+"),
+          t => t.isin(words: _*))).cast("long"))
+      .withColumn("bl_pass", col("_bl_n_blocked") === 0L)
+
+  /** The #193 battery on any id + text frame — the
+    * [[graft.api.Graft]] facade form: `(id, n_blocked, blocked)`,
+    * with the word list a parameter (production swaps in LDNOOBW).
+    */
+  private[graft] def blocklistRules(df: DataFrame, idCol: String,
+      textCol: String, words: Seq[String] = BlockWords): DataFrame =
+    withBlocklist(df, textCol, words)
+      .select(col(idCol), col("_bl_n_blocked").as("n_blocked"),
+        when(col("_bl_n_blocked").isNull, lit(null).cast("boolean"))
+          .otherwise(col("_bl_n_blocked") > 0L).as("blocked"))
+
+  /** #193 — `q_blocklist_rules`: the per-doc blocklist verdict table
+    * (`doc_id, source, n_blocked, blocked`) — the audit grain next to
+    * #137/#138's batteries. Pure map-side projection (broadcast-free:
+    * the list is a literal in the codegen'd filter), zero shuffles
+    * beyond the presentation sort; at 100 TB this runs at scan speed,
+    * which is why C4 can afford it on every page.
+    */
+  def qBlocklistRules(spark: SparkSession, dir: String): DataFrame =
+    withBlocklist(Tables.documents(spark, dir), "text")
+      .select(col("doc_id"), col("source"),
+        col("_bl_n_blocked").as("n_blocked"),
+        when(col("_bl_n_blocked").isNull, lit(null).cast("boolean"))
+          .otherwise(col("_bl_n_blocked") > 0L).as("blocked"))
+      .orderBy("doc_id")
+
+  val qBlocklistRulesSql: String =
+    s"""WITH b AS (
+       |  SELECT doc_id, source, ${blocklistNSqlOf("text")} AS nb
+       |  FROM documents)
+       |SELECT doc_id, source, CAST(nb AS BIGINT) AS n_blocked,
+       |  nb > 0 AS blocked
+       |FROM b ORDER BY doc_id""".stripMargin
+
+  /** #193's per-source rate readout — `(source, n_docs, n_blocked_docs,
+    * block_rate)`, the dashboard a curation run reads before deciding
+    * whether a source's block rate is noise or a reason to drop the
+    * source entirely (the C4 paper reports exactly this kind of
+    * removal accounting). One source-grain contraction; the rate is a
+    * single integer division (bit-identical across engines). NULL-text
+    * docs count as blocked=false here (they cannot match a word) but
+    * are visible in `n_docs` — the per-doc gate keeps their NULL.
+    */
+  def qBlocklistRate(spark: SparkSession, dir: String): DataFrame =
+    withBlocklist(Tables.documents(spark, dir), "text")
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("_bl_n_blocked") > 0L, 1L).otherwise(0L))
+          .as("n_blocked_docs"))
+      .withColumn("block_rate",
+        col("n_blocked_docs").cast("double") / col("n_docs"))
+      .orderBy("source")
+
+  val qBlocklistRateSql: String =
+    s"""WITH b AS (
+       |  SELECT source, ${blocklistNSqlOf("text")} AS nb
+       |  FROM documents)
+       |SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+       |  CAST(coalesce(sum(CASE WHEN nb > 0 THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_blocked_docs,
+       |  CAST(coalesce(sum(CASE WHEN nb > 0 THEN 1 ELSE 0 END), 0) AS DOUBLE)
+       |    / count(*) AS block_rate
+       |FROM b GROUP BY source ORDER BY source""".stripMargin
+
   /** The Gopher rule battery's stopword list (Rae et al. 2021 list the
     * eight; a doc must contain at least two DISTINCT of them).
     */

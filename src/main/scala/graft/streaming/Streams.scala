@@ -1774,28 +1774,29 @@ object Streams {
     * funnel maintained while the corpus ARRIVES. Per batch, four
     * replay-safe stores (all overwrite-by-batchId):
     *
-    *  - `counts/batch=<id>` — the stage 0-3 predicate sums. Stages
-    *    1-3 (lang, quality, repetition) are STATELESS per-doc rules
-    *    sharing #33/#71's exact projections, so per-batch integer
-    *    partials are additive (the #128 histogram rule).
-    *  - `funnel_fps/batch=<id>` — the stage-3 survivors' (fp, cnt,
+    *  - `counts/batch=<id>` — the stage 0-4 predicate sums. Stages
+    *    1-4 (lang, quality, repetition, #193 blocklist) are STATELESS
+    *    per-doc rules sharing #33/#71/#193's exact projections, so
+    *    per-batch integer partials are additive (the #128 histogram
+    *    rule).
+    *  - `funnel_fps/batch=<id>` — the stage-4 survivors' (fp, cnt,
     *    min_id) contraction (named distinctly from [[domainStatsSink]]'s
     *    `fps` subtree, whose rows carry an extra `domain` column —
     *    pointing both sinks at one statePath must not silently merge
     *    two different schemas into one partition tree, ADVICE r11);
-    *    stage 4 (exact-dedup canonical) folds exactly:
+    *    stage 5 (exact-dedup canonical) folds exactly:
     *    canonical = globally-smallest surviving id per fingerprint,
-    *    and min() survives any batch split, so c4 = |distinct fps|.
+    *    and min() survives any batch split, so c5 = |distinct fps|.
     *  - `bench/batch=<id>` — the arriving benchmark slice's distinct
     *    shingle hashes (#58's pmod-97 slice and 3-gram vocabulary).
     *  - `verdicts/batch=<id>` — contamination verdicts for the
-    *    arriving non-benchmark stage-3 survivors, judged against the
+    *    arriving non-benchmark stage-4 survivors, judged against the
     *    vocabulary accumulated AT `batch <= id` (what makes old-batch
     *    replay a fixpoint rather than a verdict rewrite).
     *
     * Verdicts are PROVISIONAL in the #61/#142 sense: a benchmark doc
     * arriving AFTER a survivor cannot retro-contaminate it, so the
-    * swept stage-5 count is ≥ the one-shot #72's (equality when the
+    * swept stage-6 count is ≥ the one-shot #72's (equality when the
     * benchmark slice arrives no later than the docs it contaminates —
     * in particular, single-batch delivery equals #72 exactly,
     * spec-pinned). Per-batch cost: the batch's own map-side
@@ -1963,25 +1964,30 @@ object Streams {
     val root = new Path(new Path(statePath).toUri.getPath)
     migrateLegacyFunnelFps(spark, root)
     val isBench = pmod(col("doc_id"), lit(97L)) === 0
-    val scored = graft.operators.Text.withRepetition(
-        graft.operators.Text.withQuality(
-          batch.select(col(idCol).as("doc_id"), col(textCol).as("text"),
-            col(langCol).as("lang"))))
+    val scored = graft.operators.Text.withBlocklist(
+        graft.operators.Text.withRepetition(
+          graft.operators.Text.withQuality(
+            batch.select(col(idCol).as("doc_id"), col(textCol).as("text"),
+              col(langCol).as("lang")))), "text")
       .withColumn("fp", graft.operators.Dedup.contentFp)
       .withColumn("p1", col("lang") === "en")
       .withColumn("p2", col("p1") &&
         col("quality_score") >= graft.operators.Corpus.FunnelQualityTau)
       .withColumn("p3", col("p2") && !col("is_repetitive"))
+      // the #193 blocklist stage — stateless like 1-3, so its partial
+      // stays batch-additive
+      .withColumn("p4", col("p3") && col("bl_pass"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
       scored.agg(
           count(lit(1)).as("c0"),
           coalesce(sum(col("p1").cast("long")), lit(0L)).as("c1"),
           coalesce(sum(col("p2").cast("long")), lit(0L)).as("c2"),
-          coalesce(sum(col("p3").cast("long")), lit(0L)).as("c3"))
+          coalesce(sum(col("p3").cast("long")), lit(0L)).as("c3"),
+          coalesce(sum(col("p4").cast("long")), lit(0L)).as("c4"))
         .write.mode("overwrite")
         .parquet(new Path(root, s"counts/batch=$batchId").toString)
-      scored.where(col("p3"))
+      scored.where(col("p4"))
         .groupBy("fp").agg(
           count(lit(1)).as("cnt"), min("doc_id").as("min_id"))
         .write.mode("overwrite")
@@ -1997,7 +2003,7 @@ object Streams {
         .parquet(new Path(root, "bench").toString)
         .where(col("batch") <= batchId)
         .agg(collect_set(col("lk")).as("_vocab"))
-      scored.where(col("p3") && !isBench)
+      scored.where(col("p4") && !isBench)
         .crossJoin(broadcast(vocab))
         .select(col("doc_id"),
           (size(array_intersect(
@@ -2009,7 +2015,7 @@ object Streams {
     } finally scored.unpersist()
   }
 
-  /** The funnel readout after the last completed batch — six rows,
+  /** The funnel readout after the last completed batch — seven rows,
     * column-for-column the batch `q_curation_funnel` schema. None
     * before the first batch.
     */
@@ -2020,11 +2026,20 @@ object Streams {
     val croot = new Path(root, "counts")
     val fs = croot.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(croot)) return None
-    val c = spark.read.parquet(croot.toString)
+    val raw = spark.read.parquet(croot.toString)
+    // a counts store written BEFORE the #193 blocklist stage lacks c4;
+    // silently treating it as 0 would report an empty blocklist stage
+    // over history that was never screened — fail loudly instead (the
+    // funnel_fps-migration discipline: replay the source to upgrade)
+    require(raw.columns.contains("c4"),
+      s"$croot predates the blocklist funnel stage (no c4 column) — " +
+        "replay the stream into a fresh statePath to upgrade")
+    val c = raw
       .agg(coalesce(sum("c0"), lit(0L)).as("c0"),
         coalesce(sum("c1"), lit(0L)).as("c1"),
         coalesce(sum("c2"), lit(0L)).as("c2"),
-        coalesce(sum("c3"), lit(0L)).as("c3"))
+        coalesce(sum("c3"), lit(0L)).as("c3"),
+        coalesce(sum("c4"), lit(0L)).as("c4"))
     // read path: legacy funnel-schema fps/ is consumed IN PLACE (no
     // rename — this is a readout; only applyCurationFunnelBatch,
     // the write path, migrates)
@@ -2042,21 +2057,22 @@ object Streams {
           lit(false).as("contaminated"))
       else spark.read.parquet(vroot.toString)
         .select("doc_id", "contaminated")
-    val c45 = canon
+    val c56 = canon
       .join(verdicts, canon("gmin") === verdicts("doc_id"), "left")
-      .agg(count(lit(1)).as("c4"),
+      .agg(count(lit(1)).as("c5"),
         coalesce(sum((pmod(col("gmin"), lit(97L)) =!= 0 &&
           !coalesce(col("contaminated"), lit(false))).cast("long")),
-          lit(0L)).as("c5"))
-    Some(c.crossJoin(c45)
+          lit(0L)).as("c6"))
+    Some(c.crossJoin(c56)
       .selectExpr(
-        """stack(6,
+        """stack(7,
           |  CAST(0 AS BIGINT), 'all',            c0,
           |  CAST(1 AS BIGINT), 'lang_en',        c1,
           |  CAST(2 AS BIGINT), 'quality',        c2,
           |  CAST(3 AS BIGINT), 'repetition',     c3,
-          |  CAST(4 AS BIGINT), 'exact_dedup',    c4,
-          |  CAST(5 AS BIGINT), 'decontaminated', c5
+          |  CAST(4 AS BIGINT), 'blocklist',      c4,
+          |  CAST(5 AS BIGINT), 'exact_dedup',    c5,
+          |  CAST(6 AS BIGINT), 'decontaminated', c6
           |) AS (stage, stage_name, survivors)""".stripMargin)
       .orderBy("stage"))
   }

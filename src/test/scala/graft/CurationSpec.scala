@@ -352,6 +352,54 @@ class CurationSpec extends SparkSpec {
     assert(!out(6).getAs[Boolean]("pass"))
   }
 
+  test("blocklist battery and funnel stage fire exactly on planted docs") {
+    import spark.implicits._
+    // a clean English page (passes lang/quality/repetition), its twin
+    // with one blocklisted word (in varied case + punctuation — the
+    // word-boundary rule must still see it), one whose blocked word is
+    // only a SUBSTRING (must NOT fire — C4 matches words, not infixes),
+    // and a null-text doc (NULL verdict)
+    val goodText = ("the cat and the dog play in the park and the sun is " +
+      "warm and the day is long and the children are happy here today") // q >= tau
+    val dir = java.nio.file.Files.createTempDirectory("graft_cur_").toString
+    Seq(
+      (1L, Option(goodText), "en", "s"),
+      (2L, Option(goodText + " visit our CASINO, now!"), "en", "s"),
+      (3L, Option(goodText + " the casinos word is only a substring"), "en", "s"),
+      (4L, Option.empty[String], "en", "s"))
+      .map { case (id, t, lang, src) =>
+        (id, t.orNull, lang, src, t.map(_.length.toLong).getOrElse(0L)) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val rules = SparkEntry.queries("q_blocklist_rules")(spark, dir)
+      .select("doc_id", "n_blocked", "blocked")
+      .collect().map(r => r.getLong(0) ->
+        (if (r.isNullAt(1)) null else r.getLong(1),
+          if (r.isNullAt(2)) null else r.getBoolean(2))).toMap
+    assert(rules(1L) == (0L, false), s"clean doc flagged: ${rules(1L)}")
+    assert(rules(2L) == (1L, true), s"planted CASINO missed: ${rules(2L)}")
+    assert(rules(3L) == (0L, false),
+      s"substring 'casinos' must not fire the word rule: ${rules(3L)}")
+    assert(rules(4L) == (null, null), "null text must verdict NULL")
+    // the rate readout folds the same verdicts (null text -> not blocked)
+    val rate = SparkEntry.queries("q_blocklist_rate")(spark, dir).collect()
+    assert(rate.length == 1 && rate(0).getLong(1) == 4 &&
+      rate(0).getLong(2) == 1 && rate(0).getDouble(3) == 0.25)
+    // funnel wiring: the blocked doc reaches stage 4 and dies EXACTLY
+    // there; the funnel dashboard's blocklist row loses exactly it
+    val verd = SparkEntry.queries("q_curation_verdicts")(spark, dir)
+      .collect().map(r => r.getLong(0) ->
+        (r.getBoolean(1), if (r.isNullAt(2)) -1L else r.getLong(2),
+          if (r.isNullAt(3)) "" else r.getString(3))).toMap
+    assert(verd(2L)._2 == 4L && verd(2L)._3 == "blocklist",
+      s"blocked doc should die at the blocklist stage: ${verd(2L)}")
+    assert(verd(1L)._1, "the clean twin must survive the whole funnel")
+    val funnel = SparkEntry.queries("q_curation_funnel")(spark, dir)
+      .collect().map(r => r.getString(1) -> r.getLong(2)).toMap
+    assert(funnel("repetition") - funnel("blocklist") == 1,
+      s"exactly the planted doc must fall at the blocklist stage: $funnel")
+  }
+
   test("training manifest reconciles exactly with its composed stages") {
     val m = SparkEntry.queries("q_training_manifest")(spark, sf).persist()
     // survivor count == kept verdicts that are unclustered or their

@@ -578,7 +578,7 @@ class OperatorsSpec extends SparkSpec {
     assert(verdicts.count() == funnel(0L))
     // survivors at stage k == docs still alive past gate k: the
     // dashboard is exactly the verdict table's contraction
-    (1L to 5L).foreach { k =>
+    (1L to 6L).foreach { k =>
       val alive = verdicts.where(
         col("keep") || col("drop_stage") > k).count()
       assert(alive == funnel(k),
@@ -596,7 +596,8 @@ class OperatorsSpec extends SparkSpec {
       .select("drop_stage", "drop_reason").distinct().collect()
       .map(r => r.getLong(0) -> r.getString(1)).toSet
     val legal = Set(1L -> "lang", 2L -> "quality", 3L -> "repetition",
-      4L -> "exact_dup", 5L -> "benchmark", 5L -> "contaminated")
+      4L -> "blocklist", 5L -> "exact_dup",
+      6L -> "benchmark", 6L -> "contaminated")
     assert(pairs.subsetOf(legal), s"illegal stage/reason pairs: $pairs")
   }
 

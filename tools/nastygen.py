@@ -79,7 +79,12 @@ COPY (
     (14::BIGINT, 'u1 u2 u3 u4 u5 x1 x2 x3 x4 x5 x6 x7 x8 x9 x10 w1 w2 w3 w4 w5',
       'en', 'src5', 60::BIGINT),
     (15::BIGINT, 'a1 a2 a3 x1 x2 x3 x4 x5 x6 x7 x8 x9 x10 b1 b2 b3',
-      'en', 'src5', 48::BIGINT)
+      'en', 'src5', 48::BIGINT),
+    -- blocklist battery (q_blocklist_rules / funnel stage 4): a word
+    -- hit in mixed case behind punctuation, and a substring-only near
+    -- miss that must NOT fire the word-grain rule
+    (17::BIGINT, 'visit our CASINO, win the jackpot today', 'en', 'src6', 39::BIGINT),
+    (18::BIGINT, 'the casinos and jackpots words are plurals only', 'en', 'src6', 47::BIGINT)
   ) t(doc_id, text, lang, source, n_chars)
 ) TO '{d}/documents.parquet' (FORMAT PARQUET)""")
 
