@@ -1641,6 +1641,22 @@ object Corpus {
       .join(broadcast(keepers), Seq("cluster_id"), "left")
       .where(col("cluster_id").isNull || col("doc_id") === col("keeper_id"))
       .withColumn("ckey", coalesce(col("cluster_id"), col("doc_id")))
+    manifestTail(surv.select("doc_id", "source", "n_tokens", "ckey"))
+  }
+
+  /** The manifest's layout/packing/mixture tail over a SURVIVOR frame
+    * `(doc_id, source, n_tokens, ckey)` — everything downstream of
+    * survivorship: #107 split, #92 shard, #106 pack window, #141 mix
+    * fit, and the cell aggregate. ONE definition shared by the batch
+    * gate (#190) and the streaming fold ([[graft.streaming.Streams
+    * .trainingManifestState]]), so the two cannot disagree about the
+    * layout math; the streaming side differs only in WHERE the
+    * survivors come from (the at-ingest stores). Deterministic in the
+    * survivor SET — packing orders by doc_id within (split, shard),
+    * never by arrival.
+    */
+  private[graft] def manifestTail(surv0: DataFrame): DataFrame = {
+    val surv = surv0
       .withColumn("split",
         when(pmod(hash31(col("ckey")), lit(Dedup.SplitBins)) === 0, "test")
           .when(pmod(hash31(col("ckey")), lit(Dedup.SplitBins)) === 1, "val")

@@ -28,7 +28,7 @@ object Dedup {
   /** Jaccard threshold for "near-duplicate" (the test corpus has a
     * clean gap: planted near-dups sit at ≥0.97, background pairs <0.3).
     */
-  private val JaccardTau = 0.8
+  private[graft] val JaccardTau = 0.8
 
   /** Content-identity fingerprint shared by #25, #52, and #121 — the
     * one definition of "the same document"; its SQL twin must change
@@ -414,7 +414,7 @@ object Dedup {
     * cap exists for corpora with boilerplate shingles, where an
     * ultra-common shingle alone contributes df² candidate pairs.
     */
-  private val DfCap = 64
+  private[graft] val DfCap = 64
 
   /** #47 — `q_dedup_ngram_jaccard_capped`: #26 with the standard
     * web-scale guard, as its own oracle-checked operator. Shingles

@@ -2077,6 +2077,162 @@ object Streams {
       .orderBy("stage"))
   }
 
+  /** #194 — `stream_training_manifest` / `trainingManifestSink`: the
+    * #190 end-to-end training manifest maintained while the corpus
+    * ARRIVES — the last composition that had no ingest twin (VERDICT
+    * r15 item 4). Per non-empty batch, three existing maintenance
+    * steps run VERBATIM on one statePath (the shared-code-path
+    * discipline — the manifest cannot drift from the stages it
+    * composes):
+    *
+    *  1. [[applyKeeperQualityBatch]] — the #83 cluster fold plus the
+    *     #136 per-cluster quality keeper election, at the #43/#129
+    *     gate dials (3-gram shingles, τ = 0.8, df ≤ 64);
+    *  2. [[applyCurationFunnelBatch]] — the #150 funnel stores
+    *     (stage counts, the stage-4 fingerprint contraction whose
+    *     global min is the exact-dedup canonical, the benchmark
+    *     vocabulary, and the provisional contamination verdicts);
+    *  3. `manifest_docs/batch=<id>` — the batch's OWN per-doc manifest
+    *     projection: `(doc_id, source, n_tokens, fp)` for stage-4
+    *     passers outside the benchmark slice (the only rows that can
+    *     ever survive; everything else is reconstructible from the
+    *     funnel stores). Four thin columns — the corpus text is
+    *     retained once, by the cluster store, not again here.
+    *
+    * [[trainingManifestState]] then reassembles survivorship from the
+    * stores (canonical-by-fp via the funnel fps, minus contaminated,
+    * keeper-elected via the cluster state) and applies the SHARED
+    * [[graft.operators.Corpus.manifestTail]] — split/shard/pack/mix
+    * are deterministic in the survivor SET (packing orders by doc_id,
+    * never arrival), so the fold equals the one-shot #190 on the
+    * delivered corpus wherever the survivor sets agree: exactly on
+    * single-batch delivery, and under multi-batch delivery with the
+    * #150 provisional-contamination caveat (a benchmark doc arriving
+    * AFTER a survivor cannot retro-contaminate it — bench-first
+    * delivery restores exact equality, spec-pinned). Replay is a
+    * fixpoint: every store is overwrite-by-batchId.
+    *
+    * A doc re-ingested bit-identically collapses in the readout's
+    * distinct; same-id different-content re-crawls are #121's job
+    * (the [[keeperQualitySink]] convention).
+    */
+  def trainingManifestSink(docs: DataFrame, statePath: String,
+      checkpointDir: String, idCol: String = "doc_id",
+      textCol: String = "text", langCol: String = "lang",
+      sourceCol: String = "source")
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] = {
+    require(idCol != "batch",
+      "trainingManifestSink stores state under batch=<id> partitions; " +
+        "an id column named 'batch' would collide with partition " +
+        "discovery — rename it first")
+    docs.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        applyTrainingManifestBatch(batch, batchId, statePath, idCol,
+          textCol, langCol, sourceCol)
+      }
+  }
+
+  /** One maintenance step of [[trainingManifestSink]] (package-visible
+    * so the spec can drive replay directly).
+    */
+  private[graft] def applyTrainingManifestBatch(batch: DataFrame,
+      batchId: Long, statePath: String, idCol: String, textCol: String,
+      langCol: String, sourceCol: String): Unit = {
+    import org.apache.hadoop.fs.Path
+    val spark = batch.sparkSession
+    val root = new Path(new Path(statePath).toUri.getPath)
+    val b = batch.select(col(idCol).as("doc_id"), col(textCol).as("text"),
+      col(langCol).as("lang"), col(sourceCol).as("source")).persist()
+    try {
+      if (b.isEmpty) return
+      applyKeeperQualityBatch(b.select("doc_id", "text"), batchId,
+        statePath, "doc_id", "text", n = 3,
+        tau = graft.operators.Dedup.JaccardTau,
+        dfCap = graft.operators.Dedup.DfCap)
+      applyCurationFunnelBatch(b, batchId, statePath, "doc_id", "text",
+        "lang")
+      val scored = graft.operators.Text.withBlocklist(
+          graft.operators.Text.withRepetition(
+            graft.operators.Text.withQuality(b)), "text")
+        .withColumn("p1", col("lang") === "en")
+        .withColumn("p2", col("p1") &&
+          col("quality_score") >= graft.operators.Corpus.FunnelQualityTau)
+        .withColumn("p3", col("p2") && !col("is_repetitive"))
+        .withColumn("p4", col("p3") && col("bl_pass"))
+      scored.where(col("p4") && pmod(col("doc_id"), lit(97L)) =!= 0)
+        .select(col("doc_id"), col("source"),
+          coalesce(graft.operators.Text.wsTokenCount, lit(0L))
+            .as("n_tokens"),
+          graft.operators.Dedup.contentFp.as("fp"))
+        .write.mode("overwrite")
+        .parquet(new Path(root, s"manifest_docs/batch=$batchId").toString)
+    } finally b.unpersist()
+  }
+
+  /** The manifest readout after the last completed batch — the #190
+    * schema `(split, shard, n_docs, n_packs, sum_tokens, n_straddles,
+    * planned_tokens)` over everything delivered so far. None before
+    * the first non-empty batch. Survivorship is reassembled from the
+    * stores the sink maintains; the layout/packing/mixture tail is
+    * the SHARED batch code.
+    */
+  def trainingManifestState(spark: org.apache.spark.sql.SparkSession,
+      statePath: String): Option[DataFrame] = {
+    import org.apache.hadoop.fs.Path
+    val root = new Path(new Path(statePath).toUri.getPath)
+    val mroot = new Path(root, "manifest_docs")
+    val fs = mroot.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(mroot)) return None
+    // bit-identical re-ingest collapses here (the doc projection is
+    // content-derived, so the replayed row is equal); same-id
+    // different-content re-crawls are out of contract (#121)
+    val docs = spark.read.parquet(mroot.toString)
+      .select("doc_id", "source", "n_tokens", "fp").distinct()
+    // exact-dedup canonical: global min surviving id per fingerprint,
+    // from the funnel's stage-4 contraction — computed over ALL
+    // stage-4 passers (benchmark docs included, exactly like the
+    // batch keep_id window; a bench canonical correctly kills its
+    // non-bench twins)
+    val fproot = resolveFunnelFps(spark, root)
+    val canon = spark.read.parquet(fproot.toString)
+      .groupBy("fp").agg(min("min_id").as("gmin"))
+    // provisional contamination verdicts (the #150 caveat)
+    val vroot = new Path(root, "verdicts")
+    val contam =
+      if (!fs.exists(vroot))
+        spark.range(0).select(col("id").as("doc_id"))
+      else spark.read.parquet(vroot.toString)
+        .where(col("contaminated")).select("doc_id").distinct()
+    val labels = latestLabels(spark, fs, new Path(root, "labels"))
+      .map(_.select(col("id").as("doc_id"),
+        col("component_id").as("cluster_id")))
+      .getOrElse(spark.range(0).select(col("id").as("doc_id"),
+        col("id").as("cluster_id")))
+    val keepers = keeperState(spark, statePath)
+      .map(_.select(col("cluster_id"), col("keeper_id")))
+      .getOrElse(spark.range(0).select(col("id").as("cluster_id"),
+        col("id").as("keeper_id")))
+    val surv = docs
+      .join(canon, Seq("fp"))
+      .where(col("doc_id") === col("gmin"))
+      .join(contam.withColumn("_contam", lit(true)), Seq("doc_id"), "left")
+      .where(coalesce(col("_contam"), lit(false)) === false)
+      .join(labels, Seq("doc_id"), "left")
+      .join(keepers, Seq("cluster_id"), "left")
+      .where(col("cluster_id").isNull || col("doc_id") === col("keeper_id"))
+      .withColumn("ckey", coalesce(col("cluster_id"), col("doc_id")))
+    // materialize BEFORE the shared tail: manifestTail persists its
+    // pack frame, and a lazy survivor plan here would (a) re-read
+    // state files a later replay may have overwritten and (b) let
+    // CacheManager plan-match a PREVIOUS readout's cache whose file
+    // listing is stale — a checkpointed RDD is unique per call, so
+    // each readout sees exactly the store as of now
+    Some(graft.operators.Corpus.manifestTail(
+      surv.select("doc_id", "source", "n_tokens", "ckey")
+        .localCheckpoint(true)))
+  }
+
   /** #155 — `stream_mix_plan` / `mixPlanSink`: the #141 source-mixture
     * plan maintained while the corpus ARRIVES. Per batch, ONE
     * stratum-grain integer partial — (stratum, docs, tokens) — lands

@@ -599,7 +599,8 @@ class StreamingSpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSeq
     assert(got1 == want, s"single-batch fold != batch funnel:\n$got1\n$want")
 
-    // 3-batch delivery: stages 0-4 are exact under any split; stage 5
+    // 3-batch delivery: stages 0-5 are exact under any split (0-4
+    // stateless-additive, 5 a global min over fps); stage 6
     // is provisional (>= the one-shot count) — and replay is a fixpoint
     val base3 = java.nio.file.Files.createTempDirectory("graft_fun3_").toString
     val ms3 = MemoryStream[(Long, String, String)]
@@ -612,10 +613,10 @@ class StreamingSpec extends SparkSpec {
     } finally q3.stop()
     val got3 = Streams.curationFunnelState(spark, s"$base3/state").get
       .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSeq
-    assert(got3.take(5) == want.take(5),
-      s"stages 0-4 must fold exactly under any split:\n$got3\n$want")
-    assert(got3(5)._3 >= want(5)._3,
-      s"stage 5 is provisional: fold ${got3(5)._3} < one-shot ${want(5)._3}")
+    assert(got3.take(6) == want.take(6),
+      s"stages 0-5 must fold exactly under any split:\n$got3\n$want")
+    assert(got3(6)._3 >= want(6)._3,
+      s"stage 6 is provisional: fold ${got3(6)._3} < one-shot ${want(6)._3}")
     val before = got3.toSet
     Seq(0 -> chunks.head, (chunks.size - 1) -> chunks.last).foreach {
       case (id, chunk) =>
@@ -628,6 +629,65 @@ class StreamingSpec extends SparkSpec {
     }
     // no state before any batch
     assert(Streams.curationFunnelState(spark, s"$base3/none").isEmpty)
+  }
+
+  test("stream_training_manifest: fold equals batch #190; replay is a fixpoint") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val rows = Tables.documents(spark, sfTiny)
+      .select("doc_id", "text", "lang", "source")
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getString(3)))
+      .toIndexedSeq
+    val want = SparkEntry.queries("q_training_manifest")(spark, sfTiny)
+      .collect().map(_.toSeq).toSeq
+    assert(want.nonEmpty)
+
+    // single-batch delivery: the fold equals the one-shot manifest
+    // EXACTLY (survivor sets agree: contamination sees the benchmark
+    // with everything it contaminates, clusters/keepers see the whole
+    // corpus, and the layout tail is the shared batch code)
+    val base1 = java.nio.file.Files.createTempDirectory("graft_man1_").toString
+    val ms1 = MemoryStream[(Long, String, String, String)]
+    val q1 = Streams.trainingManifestSink(
+      ms1.toDF().toDF("doc_id", "text", "lang", "source"),
+      s"$base1/state", s"$base1/ckpt").start()
+    try { ms1.addData(rows); q1.processAllAvailable() } finally q1.stop()
+    val got1 = Streams.trainingManifestState(spark, s"$base1/state").get
+      .collect().map(_.toSeq).toSeq
+    assert(got1 == want, s"single-batch fold != batch manifest:\n$got1\n$want")
+
+    // bench-first 3-batch delivery: the benchmark slice arrives in
+    // batch 0 before anything it could contaminate, so the provisional
+    // caveat is moot and the fold is exact under the split
+    val bench = rows.filter(_._1 % 97 == 0)
+    val rest = rows.filterNot(_._1 % 97 == 0)
+    val chunks = bench +: rest.grouped((rest.size + 1) / 2).toSeq
+    val base3 = java.nio.file.Files.createTempDirectory("graft_man3_").toString
+    val ms3 = MemoryStream[(Long, String, String, String)]
+    val q3 = Streams.trainingManifestSink(
+      ms3.toDF().toDF("doc_id", "text", "lang", "source"),
+      s"$base3/state", s"$base3/ckpt").start()
+    try {
+      chunks.foreach { c => ms3.addData(c); q3.processAllAvailable() }
+    } finally q3.stop()
+    val got3 = Streams.trainingManifestState(spark, s"$base3/state").get
+      .collect().map(_.toSeq).toSeq
+    assert(got3 == want,
+      s"bench-first multi-batch fold != batch manifest:\n$got3\n$want")
+    // replay (at-least-once foreachBatch) is a fixpoint — first and
+    // last batch
+    Seq(0 -> chunks.head, (chunks.size - 1) -> chunks.last).foreach {
+      case (id, chunk) =>
+        Streams.applyTrainingManifestBatch(
+          chunk.toDF("doc_id", "text", "lang", "source"), id.toLong,
+          s"$base3/state", "doc_id", "text", "lang", "source")
+        val after = Streams.trainingManifestState(spark, s"$base3/state").get
+          .collect().map(_.toSeq).toSeq
+        assert(after == want, s"replaying batch $id mutated the manifest")
+    }
+    // no state before any batch
+    assert(Streams.trainingManifestState(spark, s"$base3/none").isEmpty)
   }
 
   test("stream_token_fertility: folded partials equal the batch dashboard") {
