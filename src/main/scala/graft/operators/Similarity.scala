@@ -1477,7 +1477,9 @@ object Similarity {
       .withColumn("rank", row_number().over(wDot))
       .where(col("rank") <= TopK)
       .select(col("q_id"), col("vec_id"))
-    val perQ = exact.join(approx, Seq("q_id", "vec_id"), "left")
+    // the recall join is TopK×NQueries rows — broadcast it so the
+    // whole gate plan stays shuffle-join-free (PlanSpec pins it)
+    val perQ = exact.join(broadcast(approx), Seq("q_id", "vec_id"), "left")
       .groupBy("q_id")
       .agg(count(lit(1)).as("expected"),
         coalesce(sum("hit"), lit(0L)).as("hits"))

@@ -721,4 +721,42 @@ class PlanSpec extends SparkSpec {
       s"labels/keepers/epochs must broadcast, got $broadcasts:\n$p")
     spark.catalog.clearCache()
   }
+
+  test("blocklist battery is pure map work: no join, no extra exchange") {
+    // #193 — the C4 word gate must run at scan speed: the word list is
+    // a literal inside the codegen'd filter, so there is nothing to
+    // join or broadcast; the only exchanges are the rate readout's
+    // source contraction / the per-doc gate's presentation sort
+    Seq("q_blocklist_rules", "q_blocklist_rate").foreach { q =>
+      val p = plan(q)
+      assert(!p.contains("Join"), s"$q planned a join:\n$p")
+      val exchanges = "Exchange".r.findAllIn(p).size
+      assert(exchanges <= 2, s"$q over-exchanged ($exchanges):\n$p")
+    }
+  }
+
+  test("n-gram langid: profiles broadcast; no corpus-sized cartesian") {
+    // #192 — the language profiles and the language list are langs×N
+    // rows and MUST broadcast into the distance fan-out; the gram
+    // explode is map-side codegen; the per-doc/per-lang aggregates are
+    // the only corpus-grain exchanges
+    val p = plan("q_text_langid_ngram")
+    assert(p.contains("BroadcastHashJoin"),
+      s"lang profiles must broadcast-join the doc profiles:\n$p")
+    assert(!p.contains("CartesianProduct"),
+      s"langid planned a real cartesian:\n$p")
+    assert(p.contains("char_ngram_hashes"),
+      s"gram extraction must be the codegen'd expression:\n$p")
+  }
+
+  test("residual IVFADC recall: broadcast-only composition, corpus never shuffle-joins") {
+    // #191 — centroids, seed codebook, probe list and partial tables
+    // are all ≤√n-scale and broadcast; the corpus-side joins must
+    // never be shuffle joins (the encode is one aggregate exchange)
+    val p = plan("q_ann_ivfpq_recall")
+    assert(!p.contains("SortMergeJoin") && !p.contains("ShuffledHashJoin"),
+      s"corpus-sized join crept into the IVFADC gate:\n$p")
+    assert(!p.contains("CartesianProduct"),
+      s"IVFADC gate planned a real cartesian:\n$p")
+  }
 }
