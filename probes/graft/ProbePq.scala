@@ -67,8 +67,12 @@ object ProbePq {
     // 3. routed vs flat serving over the ×N encoded corpus
     val cents = Graft.kmeansCentroids(big, "vec_id", "v", 32, 2)
       .localCheckpoint(true)
+    // residual = false: `books` is fitted on RAW vectors, and this
+    // probe's flat leg reuses the index's codes through pqQuery — the
+    // raw flavor is the one where both legs share a quantizer (the
+    // residual flavor's cost curve is ProbeScale256's job)
     val index = Graft.ivfPqIndex(big, "vec_id", "v",
-      cents, "cent_id", "cv", books).localCheckpoint(true)
+      cents, "cent_id", "cv", books, residual = false).localCheckpoint(true)
     val codes = index.select("id", "codes").localCheckpoint(true)
     val queries = base.where(col("vec_id") < 10)
       .select(col("vec_id").as("qid"), col("v").as("qv"))
@@ -78,7 +82,8 @@ object ProbePq {
         .agg(count(lit(1))).head)
     val routed = time("ivfPqQuery nprobe=3/32")(
       Graft.ivfPqQuery(index, cents, "cent_id", "cv", books,
-        queries, "qid", "qv", 20, nprobe = 3, excludeSelf = true)
+        queries, "qid", "qv", 20, nprobe = 3, excludeSelf = true,
+        residual = false)
         .agg(count(lit(1))).head)
     println(f"SUMMARY fit x1=$f1 ms xN=$fN ms (${fN.toDouble / f1}%.1fx for ${scale}x mass)")
     println(f"SUMMARY encode x1=$e1 ms xN=$eN ms (${eN.toDouble / e1}%.1fx)")

@@ -97,14 +97,17 @@ object ProbeScale64 {
     val cents = Graft.kmeansCentroids(e64, "vec_id", "v", k = 32)
       .localCheckpoint(true)
     val codes = Graft.pqEncode(e64, "vec_id", "v", books).localCheckpoint(true)
+    // residual = false on both legs: `books` is raw-fitted, and the
+    // probe compares routed vs flat over ONE quantizer (probe 30 /
+    // ProbeScale256 prices the residual flavor at ×256)
     val ivfpq = Graft.ivfPqIndex(e64, "vec_id", "v",
-      cents, "cent_id", "cv", books).localCheckpoint(true)
+      cents, "cent_id", "cv", books, residual = false).localCheckpoint(true)
     val queries = emb.where(col("vec_id") < 64).localCheckpoint(true)
     time("pq flat top-20 x64")(noop(
       Graft.pqQuery(codes, books, queries, "vec_id", "v", 20)))
     time("ivfpq routed 3/32 x64")(noop(
       Graft.ivfPqQuery(ivfpq, cents, "cent_id", "cv", books,
-        queries, "vec_id", "v", 20, 3)))
+        queries, "vec_id", "v", 20, 3, residual = false)))
 
     // ---- 4. BPE fit at x64 corpus mass ------------------------------
     time("bpe fit+encode x1")(noop(Graft.bpeTokenize(docs)))

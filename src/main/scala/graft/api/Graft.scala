@@ -815,6 +815,14 @@ object Graft {
     * the ADC score. `residual = false` PQ-encodes the raw vector
     * (codebooks from [[pqCodebooks]] on `vec`); full-probe serving
     * then equals flat [[pqQuery]] exactly (spec-pinned).
+    *
+    * The index CARRIES its encoding flavor as a literal `residual`
+    * column (one boolean, constant — parquet dictionary-encodes it to
+    * nothing), and [[ivfPqQuery]] refuses an index whose marker
+    * disagrees with its own flag: decoding residual codes with
+    * raw-vector math (or vice versa) scores garbage SILENTLY, so the
+    * flavor must live on the index, not in two free-floating booleans
+    * (self-review r16 — two probes had drifted exactly this way).
     */
   def ivfPqIndex(embeddings: DataFrame, idCol: String, vecCol: String,
       centroids: DataFrame, centIdCol: String, centVecCol: String,
@@ -831,7 +839,8 @@ object Graft {
           .select(struct(col("id"), col("cell")).as("idc"), col("vec"))
     pqEncode(assigned, "idc", "vec", codebooks)
       .select(col("id").getField("id").as("id"),
-        col("id").getField("cell").as("cell"), col("codes"))
+        col("id").getField("cell").as("cell"), col("codes"),
+        lit(residual).as("residual"))
   }
 
   /** IVFADC top-k serving: probe the `nprobe` nearest cells per query
@@ -861,6 +870,19 @@ object Graft {
       residual: Boolean = true): DataFrame = {
     require(k > 0, s"k must be positive, got $k")
     require(nprobe > 0, s"nprobe must be positive, got $nprobe")
+    // flavor agreement: an [[ivfPqIndex]]-built index carries its
+    // encoding as a marker column — a mismatch would not error, it
+    // would serve garbage scores (wrong math for the stored codes).
+    // One-row read; hand-built index frames without the marker skip
+    // the check (the caller owns the agreement then).
+    if (index.columns.contains("residual")) {
+      index.select("residual").head(1).foreach { r =>
+        require(r.getBoolean(0) == residual,
+          s"ivfPqQuery(residual = $residual) over an index encoded with " +
+            s"residual = ${r.getBoolean(0)} — the ADC math would score " +
+            "garbage; match the index's flavor")
+      }
+    }
     val spark = index.sparkSession
     graft.functions.CosineSimilarity.register(spark)
     graft.functions.DotProduct.register(spark)

@@ -1654,8 +1654,17 @@ object Corpus {
     * survivors come from (the at-ingest stores). Deterministic in the
     * survivor SET — packing orders by doc_id within (split, shard),
     * never by arrival.
+    *
+    * `materialize = true` returns the (cell-grain, tiny) result as an
+    * eagerly-computed checkpoint and UNPERSISTS the internal pack
+    * frame before returning — the long-lived-caller form: the
+    * streaming readout runs once per monitoring sweep, and leaving
+    * one persisted corpus-scale frame per sweep in CacheManager would
+    * accumulate forever (self-review r16). The lazy default keeps the
+    * one-shot batch gate's cache-reuse plan (PlanSpec-pinned).
     */
-  private[graft] def manifestTail(surv0: DataFrame): DataFrame = {
+  private[graft] def manifestTail(surv0: DataFrame,
+      materialize: Boolean = false): DataFrame = {
     val surv = surv0
       .withColumn("split",
         when(pmod(hash31(col("ckey")), lit(Dedup.SplitBins)) === 0, "test")
@@ -1679,7 +1688,7 @@ object Corpus {
           .select(col("source"), col("n_tokens")),
         "source", "n_tokens", MixBudgetTokens)
       .select(col("source"), col("epochs"))
-    packed.groupBy("split", "shard", "source")
+    val out = packed.groupBy("split", "shard", "source")
       .agg(count(lit(1)).as("docs_s"), sum("n_tokens").as("tok_s"),
         sum(when(col("straddle"), 1L).otherwise(0L)).as("strad_s"))
       .join(broadcast(epochs), Seq("source"), "left")
@@ -1701,6 +1710,11 @@ object Corpus {
       .select(col("split"), col("shard"), col("n_docs"), col("n_packs"),
         col("sum_tokens"), col("n_straddles"), col("planned_tokens"))
       .orderBy("split", "shard")
+    if (materialize) {
+      val m = out.localCheckpoint(true)
+      packed.unpersist()
+      m
+    } else out
   }
 
   /** #190's oracle — composes the stage oracles verbatim: the #169

@@ -110,9 +110,16 @@ object Text {
     graft.functions.CharNgramHashes.register(spark)
     val docs = Tables.documents(spark, dir)
       .withColumn("norm", Dedup.contentNormOf(col("text")))
+    // persisted: BOTH frequency aggregates (the language-profile fit
+    // and the doc profiles) consume this frame — uncached, the corpus
+    // text would be normalized, hashed, and exploded twice (the #47
+    // shingle-frame lifecycle; deliberately not unpersisted here — the
+    // query executes after this method returns, and the oracle twin
+    // MATERIALIZEs the same `ex` CTE)
     val grams = docs
       .select(col("doc_id"), col("lang"),
         explode(expr("char_ngram_hashes(norm, 3)")).as("g"))
+      .persist()
     val langCnt = grams.where(col("lang").isNotNull)
       .groupBy("lang", "g").agg(count(lit(1)).as("c"))
     val wLang = Window.partitionBy("lang").orderBy(col("c").desc, col("g"))

@@ -2026,14 +2026,24 @@ object Streams {
     val croot = new Path(root, "counts")
     val fs = croot.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(croot)) return None
-    val raw = spark.read.parquet(croot.toString)
-    // a counts store written BEFORE the #193 blocklist stage lacks c4;
-    // silently treating it as 0 would report an empty blocklist stage
-    // over history that was never screened — fail loudly instead (the
-    // funnel_fps-migration discipline: replay the source to upgrade)
+    // mergeSchema: a store RESUMED across the blocklist upgrade holds
+    // old c0-c3 batches NEXT TO new c0-c4 ones, and a single-file
+    // schema pick could mask the legacy half entirely
+    val raw = spark.read.option("mergeSchema", "true")
+      .parquet(croot.toString)
+    // a counts store written (wholly or partly) BEFORE the #193
+    // blocklist stage lacks c4 rows; silently treating them as 0 (or
+    // letting sum skip their NULLs) would report an unscreened history
+    // as screened AND mix stage-3 with stage-4 fps survivors — fail
+    // loudly instead (the funnel_fps-migration discipline: replay the
+    // stream into a fresh statePath to upgrade)
     require(raw.columns.contains("c4"),
       s"$croot predates the blocklist funnel stage (no c4 column) — " +
         "replay the stream into a fresh statePath to upgrade")
+    require(raw.where(col("c4").isNull).isEmpty,
+      s"$croot holds pre-blocklist batches (NULL c4) next to upgraded " +
+        "ones — the mixed history would miscount stages 4-6; replay " +
+        "the stream into a fresh statePath")
     val c = raw
       .agg(coalesce(sum("c0"), lit(0L)).as("c0"),
         coalesce(sum("c1"), lit(0L)).as("c1"),
@@ -2227,10 +2237,13 @@ object Streams {
     // state files a later replay may have overwritten and (b) let
     // CacheManager plan-match a PREVIOUS readout's cache whose file
     // listing is stale — a checkpointed RDD is unique per call, so
-    // each readout sees exactly the store as of now
+    // each readout sees exactly the store as of now. materialize =
+    // true: the tail unpersists its internal pack frame after
+    // computing the (tiny) cell result, so repeated readouts in a
+    // long-running monitor don't accumulate dead cached frames
     Some(graft.operators.Corpus.manifestTail(
       surv.select("doc_id", "source", "n_tokens", "ckey")
-        .localCheckpoint(true)))
+        .localCheckpoint(true), materialize = true))
   }
 
   /** #155 — `stream_mix_plan` / `mixPlanSink`: the #141 source-mixture

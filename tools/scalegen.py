@@ -54,6 +54,10 @@ for t, keys in SHIFTS.items():
                 sel.append(f"{col} + {c * SH} AS {col}")
             elif t == "documents" and col == "text" and c > 0:
                 sel.append(f"text || ' copysuffix{c}' AS text")
+            elif t == "documents" and col == "n_chars" and c > 0:
+                # keep the stored char count consistent with the
+                # suffixed text (q_domain_stats sums this column)
+                sel.append(f"length(text || ' copysuffix{c}') AS n_chars")
             elif t == "embeddings" and col == "embedding" and c > 0:
                 sel.append(
                     "list_concat([CAST(embedding[1] + %s AS FLOAT)], embedding[2:]) AS embedding"
