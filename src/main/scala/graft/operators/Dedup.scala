@@ -261,10 +261,27 @@ object Dedup {
     * pair-producing shuffle; its fan-out is bounded by bucket
     * occupancy, not corpus size.
     */
-  def qDedupMinhashLsh(spark: SparkSession, dir: String): DataFrame = {
+  def qDedupMinhashLsh(spark: SparkSession, dir: String): DataFrame =
+    minhashLshWithBands(spark, dir, bands = 16, rowsPerBand = 4)
+
+  /** #27 generalized over the BANDING dial — the occupancy/recall
+    * trade stated on [[qDedupMinhashLsh]], exposed the way #29 exposes
+    * its bits-per-band ([[Similarity.dedupEmbeddingWithBits]]) and #31
+    * its nprobe: collision probability per band is s^rowsPerBand (s =
+    * true Jaccard), so at corpus scale you RAISE rowsPerBand (fewer,
+    * more selective buckets — probe 31 measured the 16/4 default's
+    * bucket occupancy growing 14× at ×10 real mass) and set bands for
+    * the recall target near τ; K = bands × rowsPerBand minhash slots.
+    * Verification is exact either way — the dial moves candidate
+    * recall and join fan-out, never correctness of survivors.
+    */
+  private[graft] def minhashLshWithBands(spark: SparkSession, dir: String,
+      bands: Int, rowsPerBand: Int): DataFrame = {
+    require(bands > 0 && rowsPerBand > 0,
+      s"banding dials must be positive, got bands=$bands rows=$rowsPerBand")
     graft.functions.MinHashSig.register(spark)
     minhashLshPipeline(spark, dir, "minhash_sig",
-      slots => xxhash64(slots: _*))
+      slots => xxhash64(slots: _*), bands, rowsPerBand)
   }
 
   /** The SHARED minhash + banded-LSH pipeline, parameterized by the
@@ -286,8 +303,10 @@ object Dedup {
     * verification runs on candidates only.
     */
   private def minhashLshPipeline(spark: SparkSession, dir: String,
-      sigFn: String, bucketOf: Seq[Column] => Column): DataFrame = {
-    val K = 64; val Bands = 16; val RowsPerBand = K / Bands
+      sigFn: String, bucketOf: Seq[Column] => Column,
+      nBands: Int = 16, nRowsPerBand: Int = 4): DataFrame = {
+    val K = nBands * nRowsPerBand
+    val Bands = nBands; val RowsPerBand = nRowsPerBand
     val sigs = shingleSets(spark, dir)
       .select(col("doc_id"), expr(s"$sigFn(shingles, $K)").as("sig"))
       .where(col("sig").isNotNull)

@@ -84,6 +84,25 @@ class DedupSpec extends SparkSpec {
     assert(exact.exceptAll(lsh).count() == 0, "LSH missed a near-dup pair")
   }
 
+  test("minhash banding dial: any (bands, rows) setting verifies exactly") {
+    // the occupancy/recall dial (probe 31: 16x4 buckets grow 14x at
+    // x10 mass — at scale rowsPerBand RISES): whatever the dial,
+    // exact-Jaccard verification makes every emitted pair a true
+    // near-dup, and on this corpus's >=0.97-jaccard planted dups even
+    // the selective 8x8 setting (per-band collision s^8) keeps recall
+    val exact = SparkEntry.queries("q_dedup_ngram_jaccard")(spark, sf)
+      .select("doc_a", "doc_b")
+    Seq((8, 8), (32, 2)).foreach { case (bands, rows) =>
+      val dialed = operators.Dedup
+        .minhashLshWithBands(spark, sf, bands, rows)
+        .select("doc_a", "doc_b")
+      assert(dialed.exceptAll(exact).count() == 0,
+        s"$bands x $rows emitted a non-near-dup pair")
+      assert(exact.exceptAll(dialed).count() == 0,
+        s"$bands x $rows missed a planted >=0.97 near-dup")
+    }
+  }
+
   test("gated minhash twin recovers exactly the exact-jaccard pairs too") {
     // the cross-engine poly family must not cost recall on the planted
     // corpus: same invariant as the production xxhash64 flavor
