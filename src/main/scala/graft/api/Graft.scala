@@ -1925,6 +1925,56 @@ object Graft {
       textCol: String): DataFrame =
     graft.operators.Corpus.dsirScore(df, model, idCol, textCol)
 
+  /** The discriminative QUALITY CLASSIFIER (#195, the GPT-3 §2.1 /
+    * LLaMA CCNet-stage recipe: keep crawl pages a linear probe scores
+    * reference-like) on any frame with an id + text column, toward a
+    * caller-chosen curated slice (`isRef` — any boolean Column over
+    * the frame, the [[dsirWeights]] convention): per row `(doc_id,
+    * score, keep)` with keep = score ≥ `threshold`. The probe is a
+    * least-squares fit over hashed-unigram frequencies by full-batch
+    * GD in cross-engine fixed point — deterministic under any
+    * partitioning, re-derivable in any SQL engine (the #75/#171 fit
+    * discipline; `q_quality_classifier` IS its hash gate). Fit cost:
+    * `iters` × (broadcast-model join + two bucket contractions) over
+    * the frame — fit on a labeled SAMPLE (the published recipes use
+    * ~10⁵ docs), then score the corpus via the frozen split below.
+    */
+  def qualityClassifier(df: DataFrame, idCol: String, textCol: String,
+      isRef: Column, threshold: Double = 0.5,
+      dims: Int = graft.operators.Text.ClsDims,
+      iters: Int = graft.operators.Text.ClsIters,
+      lr: Double = graft.operators.Text.ClsLr): DataFrame =
+    graft.operators.Text.classifierQuality(df, idCol, textCol, isRef,
+      threshold, dims, iters, lr)
+
+  /** The frozen half of [[qualityClassifier]]: the dims+1-row `(i, w)`
+    * linear-probe model, fit on `df`'s labeled rows. Persist or
+    * snapshot it to score later ingest against a FROZEN model (the
+    * [[dsirModel]] deployment — re-fit on a cadence); only these
+    * dims+1 doubles ever reach the driver.
+    */
+  def qualityClassifierModel(df: DataFrame, idCol: String,
+      textCol: String, isRef: Column,
+      dims: Int = graft.operators.Text.ClsDims,
+      iters: Int = graft.operators.Text.ClsIters,
+      lr: Double = graft.operators.Text.ClsLr): DataFrame =
+    graft.operators.Text.classifierModel(df, idCol, textCol, isRef,
+      dims, iters, lr)
+
+  /** The stateless half of [[qualityClassifier]]: score any id + text
+    * frame against a (possibly frozen) [[qualityClassifierModel]] —
+    * one map-side hash pass plus one (doc, bucket) contraction against
+    * the broadcast model, so it runs at ingest inside any foreachBatch
+    * without state machinery. A row's score depends only on its own
+    * text and the model, so micro-batch boundaries cannot change it:
+    * `qualityClassifier(df, …)` ≡ score(df, model(df, …)) + threshold.
+    */
+  def qualityClassifierScore(df: DataFrame, model: DataFrame,
+      idCol: String, textCol: String,
+      dims: Int = graft.operators.Text.ClsDims): DataFrame =
+    graft.operators.Text.classifierScoreWith(df, idCol, textCol, model,
+      dims)
+
   /** The pairwise filter-agreement matrix (#151) over any frame with
     * id + text + language columns: for each pair of the four shipped
     * batteries (C4 page rules, Gopher quality, Gopher repetition, LM

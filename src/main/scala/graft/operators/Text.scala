@@ -839,6 +839,257 @@ object Text {
        |    / count(*) AS block_rate
        |FROM b GROUP BY source ORDER BY source""".stripMargin
 
+  // --------------------------------------------------------------------
+  // #195: discriminative QUALITY CLASSIFIER (the GPT-3 §2.1 / LLaMA
+  // recipe: train a linear classifier to distinguish a curated
+  // reference slice from the crawl, keep crawl pages the classifier
+  // scores reference-like). The model is a least-squares linear probe
+  // over hashed-unigram frequencies fit by full-batch gradient
+  // descent — deliberately NOT logistic: every operation is +,×,÷ on
+  // values both engines compute bit-identically (no exp/σ, whose last
+  // ulp differs across libms), and every cross-row sum goes through
+  // the k-means fixed-point discipline (floor-quantize summands to
+  // micro⁶ integers, exact order-free addition, leave fixed point by
+  // ONE IEEE division of exactly-representable integers) — so the
+  // ENTIRE fit, like #75/#171, is re-derivable in DuckDB and
+  // hash-gated, not just spec-pinned.
+  // --------------------------------------------------------------------
+
+  /** Hashed-unigram feature buckets (index [[ClsDims]] is the bias).
+    * 256 keeps the oracle's unrolled GD affordable at gate SF;
+    * production fits raise it (the fit cost is iters × (one join +
+    * two aggregates) over the SAMPLE it fits on — the published
+    * recipe fits on ~100 k docs, never the corpus).
+    */
+  private[graft] val ClsDims = 256
+  private[graft] val ClsIters = 4
+  /** 0.5 — exactly representable, so the driver-side (and oracle-side)
+    * `w − lr·g` update is the identical IEEE op in both engines. */
+  private[graft] val ClsLr = 0.5
+
+  /** The shared feature frame `(doc_id, i, x)`: x = token count /
+    * doc token count for bucket i = poly_hash(token) mod [[ClsDims]]
+    * (lowercased whitespace tokens — the quality-battery grain), plus
+    * one bias row (i = [[ClsDims]], x = 1) per document — so every
+    * document scores (an empty/NULL-text doc scores the fitted
+    * prior). One map-side hash pass (codegen'd [[graft.functions
+    * .PolyHashStr]]) and one (doc, bucket) contraction.
+    */
+  private[graft] def classifierFeatures(df: DataFrame, idCol: String,
+      textCol: String, dims: Int = ClsDims): DataFrame = {
+    graft.functions.PolyHashStr.register(df.sparkSession)
+    val toks = df.select(col(idCol).as("doc_id"),
+      explode(filter(split(lower(col(textCol)), " "), t => t =!= "")).as("t"))
+    val nt = toks.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    toks
+      .select(col("doc_id"),
+        pmod(call_function("poly_hash", col("t")), lit(dims.toLong))
+          .cast("int").as("i"))
+      .groupBy("doc_id", "i").agg(count(lit(1)).as("c"))
+      .join(nt, "doc_id")
+      .select(col("doc_id"), col("i"),
+        (col("c").cast("double") / col("n").cast("double")).as("x"))
+      .unionByName(df.select(col(idCol).as("doc_id"),
+        lit(dims).as("i"), lit(1.0).as("x")))
+  }
+
+  /** One fixed-point score/gradient contraction: Σ floor(a·b × 10⁶)
+    * exactly, then ONE double division of two exactly-representable
+    * integers (micro⁶ numerator, scaled denominator) — correctly
+    * rounded by IEEE, so ANY engine reproduces the same bits. floor
+    * (not a decimal cast) because the product and the ×10⁶ scale are
+    * the same two IEEE ops in every engine, so floor agrees BIT-FOR-
+    * BIT with no half-boundary class — a double→decimal cast rounds
+    * the exact expansion in Spark but a scaled double in DuckDB,
+    * which at 9 dp disagreed ~1e-7/summand (54 hits at sf0.1's token
+    * mass). 10⁶ also keeps every numerator ≤2⁵³ at a 10⁵-doc fit
+    * sample, so the long→double cast stays exact.
+    */
+  private def fxSum(prod: Column, denom: Column): Column =
+    sum(floor(prod * lit(1000000.0)).cast("long")).cast("double") / denom
+
+  /** Full-batch GD fit of the linear probe: w₀ = 0; per round, scores
+    * = feature⋈broadcast(w) fixed-point sums, residual = score − y,
+    * gradient per bucket the same contraction ÷ n, update w ← w −
+    * lr·g on the DRIVER (dims+1 doubles — the [[graft.api.Graft
+    * .kmeansCentroids]] convention: only the model ever reaches the
+    * driver). Deterministic under any partitioning; the oracle unrolls
+    * the same rounds as CTEs.
+    */
+  private[graft] def classifierFit(feat: DataFrame, lab: DataFrame,
+      dims: Int, iters: Int, lr: Double): Array[Double] = {
+    val spark = feat.sparkSession
+    import spark.implicits._
+    val f = feat.persist()
+    try {
+      val n = lab.count()
+      require(n > 0, "classifier fit needs at least one labeled doc")
+      var w = Array.fill(dims + 1)(0.0)
+      for (_ <- 0 until iters) {
+        val wDf = w.zipWithIndex.map { case (v, i) => (i, v) }.toSeq
+          .toDF("i", "w")
+        val scores = f.join(broadcast(wDf), "i")
+          .groupBy("doc_id")
+          .agg(fxSum(col("x") * col("w"),
+            lit(1000000.0)).as("sc"))
+        val resid = lab.join(scores, Seq("doc_id"))
+          .select(col("doc_id"), (col("sc") - col("y")).as("r"))
+        val grads = f.join(resid, Seq("doc_id"))
+          .groupBy("i")
+          .agg(fxSum(col("x") * col("r"),
+            lit(n * 1000000L).cast("double")).as("g"))
+          .as[(Int, Double)].collect().toMap
+        w = w.zipWithIndex.map { case (v, i) => v - lr * grads.getOrElse(i, 0.0) }
+      }
+      w
+    } finally { f.unpersist(); () }
+  }
+
+  /** Score any id+text frame against fitted weights `(i, w)` — the
+    * FROZEN-MODEL form (#126/#146's discipline): pure map work plus
+    * one (doc, bucket) contraction against a broadcast dims+1-row
+    * model, so it runs at ingest inside any foreachBatch without
+    * state machinery (the model IS the state, fit offline and
+    * refreshed like the #130 LM store).
+    */
+  private[graft] def classifierScoreWith(df: DataFrame, idCol: String,
+      textCol: String, weights: DataFrame, dims: Int = ClsDims): DataFrame =
+    classifierFeatures(df, idCol, textCol, dims)
+      .join(broadcast(weights.select(col("i"), col("w"))), "i")
+      .groupBy("doc_id")
+      .agg(fxSum(col("x") * col("w"),
+        lit(1000000.0)).as("score"))
+
+  /** The frozen half of the classifier as a frame: fit the probe on
+    * `df` against caller-chosen reference labels (`isRef` — any
+    * boolean Column over the frame, the [[graft.operators.Corpus
+    * .dsirModel]] calling convention) and return the dims+1-row
+    * `(i, w)` model. Persist it to score later ingest against a
+    * FROZEN model; re-fit on a cadence.
+    */
+  private[graft] def classifierModel(df: DataFrame, idCol: String,
+      textCol: String, isRef: Column, dims: Int = ClsDims,
+      iters: Int = ClsIters, lr: Double = ClsLr): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val lab = df.select(col(idCol).as("doc_id"),
+      when(coalesce(isRef, lit(false)), lit(1.0)).otherwise(lit(0.0)).as("y"))
+    val w = classifierFit(classifierFeatures(df, idCol, textCol, dims),
+      lab, dims, iters, lr)
+    w.zipWithIndex.map { case (v, i) => (i, v) }.toSeq.toDF("i", "w")
+  }
+
+  /** Fit + score + keep in one call (the [[graft.operators.Corpus
+    * .dsirWeights]] shape): `(doc_id, score, keep)` with keep =
+    * score ≥ `threshold`. `classifierQuality(df, …) ≡
+    * classifierScoreWith(df, …, classifierModel(df, …))` — a row's
+    * score depends only on its own text and the model, so the split
+    * is micro-batch-safe.
+    */
+  private[graft] def classifierQuality(df: DataFrame, idCol: String,
+      textCol: String, isRef: Column, threshold: Double = 0.5,
+      dims: Int = ClsDims, iters: Int = ClsIters,
+      lr: Double = ClsLr): DataFrame =
+    classifierScoreWith(df, idCol, textCol,
+      classifierModel(df, idCol, textCol, isRef, dims, iters, lr), dims)
+      .select(col("doc_id"), col("score"),
+        (col("score") >= threshold).as("keep"))
+
+  /** #195 — `q_quality_classifier`: the classifier fit + corpus
+    * scoring as one gated query, self-trained (the #192/#126
+    * discipline) on a deterministic REFERENCE rule: sources with
+    * poly_hash(source) ≡ 0 (mod 4) play the curated slice (a quarter
+    * of sources; production passes real labels through the facade).
+    * Output per doc: `(doc_id, is_ref, score, keep)` with keep =
+    * score ≥ 0.5 — the GPT-3 keep rule minus its Pareto jitter
+    * (randomness has no cross-engine twin; the threshold is the
+    * deterministic core). On the synthetic corpus the vocabularies
+    * coincide, so the fit learns ≈the base rate (the gate pins the
+    * MATH); the CurationSpec planted corpus proves real separation.
+    *
+    * Scale: the fit is iters × (broadcast-model join + two
+    * contractions) over the labeled SAMPLE; scoring is one hash pass
+    * + one (doc, bucket) contraction per corpus — the #139-class
+    * map-heavy shape. Nothing model-sized ever shuffles; only the
+    * dims+1 weights reach the driver.
+    */
+  def qQualityClassifier(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.PolyHashStr.register(spark)
+    val docs = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("source"), col("text"))
+    val isRef = pmod(call_function("poly_hash", col("source")), lit(4L)) === 0
+    val lab = docs.select(col("doc_id"),
+      when(coalesce(isRef, lit(false)), lit(1.0)).otherwise(lit(0.0)).as("y"))
+    val feat = classifierFeatures(docs, "doc_id", "text")
+    val w = classifierFit(feat, lab, ClsDims, ClsIters, ClsLr)
+    import spark.implicits._
+    val wDf = w.zipWithIndex.map { case (v, i) => (i, v) }.toSeq.toDF("i", "w")
+    val scores = classifierScoreWith(docs, "doc_id", "text", wDf)
+    lab.select(col("doc_id"), (col("y") === 1.0).as("is_ref"))
+      .join(scores, Seq("doc_id"))
+      .select(col("doc_id"), col("is_ref"), col("score"),
+        (col("score") >= 0.5).as("keep"))
+      .orderBy("doc_id")
+  }
+
+  /** #195's oracle — the whole fit unrolled: features, labels, w₀ = 0,
+    * [[ClsIters]] GD rounds as MATERIALIZED CTE stages (the #171/#187
+    * discipline), final scores. Every fixed-point contraction is the
+    * same floor-to-micro⁶ / exact-sum / one-division sequence
+    * the Spark side computes.
+    */
+  val qQualityClassifierSql: String = {
+    val P = graft.functions.PolyHash.Mod1
+    val D = ClsDims
+    def fold(e: String) =
+      s"list_reduce(list_prepend(CAST(0 AS BIGINT), list_transform(string_split($e, ''), c -> CAST(ascii(c) AS BIGINT))), (acc, x) -> (acc * 31 + x) % $P)"
+    def sumdec(prod: String) =
+      s"CAST(sum(CAST(floor(($prod) * 1000000) AS BIGINT)) AS DOUBLE)"
+    val iterCtes = (1 to ClsIters).map { t =>
+      s"""s$t AS MATERIALIZED (
+         |  SELECT f.doc_id, ${sumdec("f.x * w.w")} / 1000000.0 AS sc
+         |  FROM feat f JOIN w${t - 1} w USING (i) GROUP BY f.doc_id),
+         |r$t AS MATERIALIZED (
+         |  SELECT l.doc_id, s.sc - l.y AS r FROM lab l JOIN s$t s USING (doc_id)),
+         |g$t AS MATERIALIZED (
+         |  SELECT f.i, ${sumdec("f.x * r.r")}
+         |    / CAST((SELECT n FROM nn) * 1000000 AS DOUBLE) AS g
+         |  FROM feat f JOIN r$t r USING (doc_id) GROUP BY f.i),
+         |w$t AS MATERIALIZED (
+         |  SELECT w.i, w.w - 0.5 * coalesce(g.g, 0.0) AS w
+         |  FROM w${t - 1} w LEFT JOIN g$t g USING (i))""".stripMargin
+    }.mkString(",\n")
+    s"""WITH tok AS (
+       |  SELECT doc_id,
+       |    unnest(list_filter(string_split(lower(text), ' '), t -> t <> '')) AS t
+       |  FROM documents),
+       |nt AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n FROM tok GROUP BY 1),
+       |cf AS (
+       |  SELECT doc_id, CAST(${fold("t")} % $D AS INT) AS i,
+       |    CAST(count(*) AS BIGINT) AS c
+       |  FROM tok GROUP BY 1, 2),
+       |feat AS MATERIALIZED (
+       |  SELECT cf.doc_id, cf.i, CAST(cf.c AS DOUBLE) / nt.n AS x
+       |  FROM cf JOIN nt USING (doc_id)
+       |  UNION ALL
+       |  SELECT doc_id, $D AS i, 1.0 AS x FROM documents),
+       |lab AS MATERIALIZED (
+       |  SELECT doc_id,
+       |    CASE WHEN ${fold("source")} % 4 = 0 THEN 1.0 ELSE 0.0 END AS y
+       |  FROM documents),
+       |nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM documents),
+       |w0 AS MATERIALIZED (
+       |  SELECT CAST(r.range AS INT) AS i, 0.0 AS w FROM range(0, ${D + 1}) r),
+       |$iterCtes,
+       |sfin AS (
+       |  SELECT f.doc_id, ${sumdec("f.x * w.w")} / 1000000.0 AS score
+       |  FROM feat f JOIN w$ClsIters w USING (i) GROUP BY f.doc_id)
+       |SELECT l.doc_id, l.y = 1.0 AS is_ref, s.score AS score,
+       |  s.score >= 0.5 AS keep
+       |FROM lab l JOIN sfin s USING (doc_id)
+       |ORDER BY l.doc_id""".stripMargin
+  }
+
   /** The Gopher rule battery's stopword list (Rae et al. 2021 list the
     * eight; a doc must contain at least two DISTINCT of them).
     */

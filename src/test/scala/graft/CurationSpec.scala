@@ -433,4 +433,66 @@ class CurationSpec extends SparkSpec {
       "vacuous: no pack-cut straddles at the gate SF")
     m.unpersist()
   }
+
+  test("quality classifier: planted vocabularies separate; frozen split exact") {
+    import spark.implicits._
+    import graft.api.Graft
+    // Two disjoint vocabularies: the curated slice (source 'wiki')
+    // writes in A, the crawl mostly in B — EXCEPT doc 13, a crawl page
+    // written in the reference vocabulary. The GPT-3 §2.1 point is
+    // exactly that page: the probe must score it reference-like even
+    // though its LABEL during the fit said crawl.
+    val refText = Seq(
+      "theory of prime numbers and proofs",
+      "history of ancient rome and carthage",
+      "theory of numbers and ancient proofs",
+      "prime numbers theory with proofs of rome")
+    val crawlText = Seq(
+      "click here buy cheap pills now",
+      "winner click now cheap casino bonus",
+      "buy now cheap bonus pills here",
+      "casino winner bonus click buy pills")
+    val docs = (refText.zipWithIndex.map { case (t, i) =>
+        (i.toLong, t, "wiki")
+      } ++ crawlText.zipWithIndex.map { case (t, i) =>
+        (10L + i, t, "crawl")
+      } :+ ((15L, "theory of prime numbers and ancient history", "crawl"))
+      :+ ((16L, "", "crawl")))
+      .toDF("doc_id", "text", "source")
+    // 16 GD rounds put the planted clusters at ~0.45 vs ~0.11 — the
+    // fit is bit-deterministic, so a threshold between them is a
+    // stable keep rule (production tunes the threshold to its fit,
+    // exactly as GPT-3 tuned its Pareto parameter).
+    val out = Graft.qualityClassifier(docs, "doc_id", "text",
+        col("source") === "wiki", threshold = 0.3, iters = 16)
+      .as[(Long, Double, Boolean)].collect().sortBy(_._1)
+    val byId = out.map(r => r._1 -> r).toMap
+    assert(out.length == 10, "every doc (incl. the empty one) must score")
+    // the curated slice scores reference-like, the crawl vocabulary not
+    refText.indices.foreach { i =>
+      assert(byId(i.toLong)._3, s"ref doc $i not kept: ${byId(i.toLong)}") }
+    (10L to 13L).foreach { id =>
+      assert(!byId(id)._3, s"crawl doc $id kept: ${byId(id)}") }
+    // the reference-like CRAWL page is recovered — the recipe's point
+    assert(byId(15L)._3,
+      s"reference-like crawl page must score above threshold: ${byId(15L)}")
+    assert(byId(15L)._2 > byId(10L)._2 + 0.25,
+      "planted separation margin collapsed")
+    // the empty doc scores the fitted prior (bias only, through the
+    // micro⁶ fixed-point contraction), not NULL/NaN
+    val bias = Graft.qualityClassifierModel(docs, "doc_id", "text",
+        col("source") === "wiki", iters = 16)
+      .where(col("i") === graft.operators.Text.ClsDims)
+      .select("w").as[Double].head()
+    assert(math.abs(byId(16L)._2 - bias) < 1e-6,
+      "empty doc must score the bias (at fixed-point resolution)")
+    // frozen split: fit-then-score equals the one-call form BIT-exactly
+    // (micro-batch safety — the model is the only cross-row state)
+    val model = Graft.qualityClassifierModel(docs, "doc_id", "text",
+      col("source") === "wiki", iters = 16)
+    val frozen = Graft.qualityClassifierScore(docs, model, "doc_id", "text")
+      .as[(Long, Double)].collect().sortBy(_._1)
+    assert(frozen.map(_._2).toSeq == out.map(_._2).toSeq,
+      "frozen-model scores drifted from the one-call fit")
+  }
 }

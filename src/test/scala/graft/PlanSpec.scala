@@ -759,4 +759,19 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"),
       s"IVFADC gate planned a real cartesian:\n$p")
   }
+
+  test("quality classifier: model broadcasts, features hash via codegen") {
+    // #195 — the SERVED plan (fit already folded into the weight
+    // literals by the time the gate frame exists): the dims+1-row
+    // model must broadcast into the (doc, bucket) contraction, token
+    // hashing must be the codegen'd poly_hash scalar, and no corpus-
+    // sized frame may cartesian
+    val p = plan("q_quality_classifier")
+    assert(p.contains("BroadcastHashJoin"),
+      s"the weights model must broadcast-join the features:\n$p")
+    assert(p.toLowerCase.contains("poly_hash"),
+      s"token hashing must be the codegen'd poly_hash expression:\n$p")
+    assert(!p.contains("CartesianProduct"),
+      s"classifier planned a real cartesian:\n$p")
+  }
 }
