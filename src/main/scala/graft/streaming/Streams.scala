@@ -1462,6 +1462,64 @@ object Streams {
     else Some(spark.read.parquet(sroot.toString).drop("batch"))
   }
 
+  /** #196 — discriminative quality-classifier scoring AT INGEST
+    * (#195's streaming twin): each arriving micro-batch scored against
+    * a FROZEN [[graft.api.Graft.qualityClassifierModel]] (fit offline
+    * on a labeled sample, re-fit on a cadence — the [[qualityLmSink]]
+    * deployment), scores landing replay-safely under
+    * `scores/batch=<id>`. A doc's score depends only on its own text
+    * and the broadcast dims+1-row model ([[graft.api.Graft
+    * .qualityClassifierScore]] is literally the batch function), so
+    * micro-batch boundaries cannot change any score and replay is a
+    * pure overwrite.
+    */
+  def qualityClassifierSink(docs: DataFrame, model: DataFrame,
+      statePath: String, checkpointDir: String, idCol: String = "doc_id",
+      textCol: String = "text")
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] = {
+    require(idCol != "batch",
+      "qualityClassifierSink stores scores under batch=<id> partitions; " +
+        "an id column named 'batch' would collide with partition " +
+        "discovery — rename it first")
+    docs.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        applyQualityClassifierBatch(batch, batchId, model, statePath,
+          idCol, textCol)
+      }
+  }
+
+  /** One scoring step of [[qualityClassifierSink]] (package-visible so
+    * the spec can drive replay directly).
+    */
+  private[graft] def applyQualityClassifierBatch(batch: DataFrame,
+      batchId: Long, model: DataFrame, statePath: String, idCol: String,
+      textCol: String): Unit = {
+    import org.apache.hadoop.fs.Path
+    val root = new Path(new Path(statePath).toUri.getPath)
+    // Persist: the feature frame references the micro-batch three times
+    // (token explode, per-doc token count, the bias-row union), and
+    // foreachBatch re-executes the batch per reference
+    val b = batch.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try
+      graft.api.Graft.qualityClassifierScore(b, model, idCol, textCol)
+        .write.mode("overwrite")
+        .parquet(new Path(root, s"scores/batch=$batchId").toString)
+    finally b.unpersist()
+  }
+
+  /** All scores emitted so far by a [[qualityClassifierSink]] (None
+    * before the first completed batch).
+    */
+  def qualityClassifierScores(spark: org.apache.spark.sql.SparkSession,
+      statePath: String): Option[DataFrame] = {
+    import org.apache.hadoop.fs.Path
+    val sroot = new Path(new Path(statePath).toUri.getPath, "scores")
+    val fs = sroot.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(sroot)) None
+    else Some(spark.read.parquet(sroot.toString).drop("batch"))
+  }
+
   /** All drop verdicts emitted so far by a [[semanticDedupSink]]. */
   def semanticDedupVerdicts(spark: org.apache.spark.sql.SparkSession,
       statePath: String): Option[DataFrame] = {

@@ -888,6 +888,51 @@ class StreamingSpec extends SparkSpec {
     model.unpersist()
   }
 
+  test("stream_quality_classifier: frozen-probe scores equal the batch scorer") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val base = java.nio.file.Files.createTempDirectory("graft_qcls_").toString
+    val docs = Tables.documents(spark, sfTiny)
+    // probe fit FROZEN on the even-id labeled slice (sources hashing
+    // ≡ 0 mod 4 play the curated side — the #195 gate rule); the
+    // odd-id "ingest" half is scored against it
+    graft.functions.PolyHashStr.register(spark)
+    val seed = docs.where(pmod(col("doc_id"), lit(2)) === 0)
+    val model = graft.api.Graft.qualityClassifierModel(seed, "doc_id",
+      "text", pmod(call_function("poly_hash", col("source")), lit(4L)) === 0)
+      .persist()
+    model.count()
+    val ingest = docs.where(pmod(col("doc_id"), lit(2)) === 1)
+    val expected = graft.api.Graft.qualityClassifierScore(
+      ingest, model, "doc_id", "text").collect().toSet
+    assert(expected.nonEmpty)
+    val rows = ingest.orderBy("doc_id").select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toIndexedSeq
+    val ms = MemoryStream[(Long, String)]
+    val stream = ms.toDF().toDF("doc_id", "text")
+    val q = Streams.qualityClassifierSink(stream, model, s"$base/state",
+      s"$base/ckpt").start()
+    try {
+      rows.grouped((rows.size + 2) / 3).foreach { chunk =>
+        ms.addData(chunk); q.processAllAvailable()
+      }
+    } finally q.stop()
+    val got = Streams.qualityClassifierScores(spark, s"$base/state").get
+    assert(got.collect().toSet == expected,
+      "streamed frozen-probe scores != the batch scorer on the same model")
+    // replaying the LAST batch must be a fixpoint (pure overwrite)
+    val lastId = new java.io.File(s"$base/state/scores").listFiles()
+      .map(_.getName.stripPrefix("batch=").toLong).max
+    Streams.applyQualityClassifierBatch(
+      rows.grouped((rows.size + 2) / 3).toSeq.last.toDF("doc_id", "text"),
+      lastId, model, s"$base/state", "doc_id", "text")
+    assert(Streams.qualityClassifierScores(spark, s"$base/state").get
+      .collect().toSet == expected, "replayed batch mutated the scores")
+    // no scores before any batch
+    assert(Streams.qualityClassifierScores(spark, s"$base/none").isEmpty)
+    model.unpersist()
+  }
+
   test("stream_corpus_drift: summed micro-batch histograms equal the batch readout") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
