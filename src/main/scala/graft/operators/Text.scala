@@ -920,9 +920,12 @@ object Text {
       dims: Int, iters: Int, lr: Double): Array[Double] = {
     val spark = feat.sparkSession
     import spark.implicits._
+    // both frames serve every GD round (features 2×, labels 2× + the
+    // count) — persist them for the loop's lifetime
     val f = feat.persist()
+    val l = lab.persist()
     try {
-      val n = lab.count()
+      val n = l.count()
       require(n > 0, "classifier fit needs at least one labeled doc")
       var w = Array.fill(dims + 1)(0.0)
       for (_ <- 0 until iters) {
@@ -932,7 +935,7 @@ object Text {
           .groupBy("doc_id")
           .agg(fxSum(col("x") * col("w"),
             lit(1000000.0)).as("sc"))
-        val resid = lab.join(scores, Seq("doc_id"))
+        val resid = l.join(scores, Seq("doc_id"))
           .select(col("doc_id"), (col("sc") - col("y")).as("r"))
         val grads = f.join(resid, Seq("doc_id"))
           .groupBy("i")
@@ -942,7 +945,7 @@ object Text {
         w = w.zipWithIndex.map { case (v, i) => v - lr * grads.getOrElse(i, 0.0) }
       }
       w
-    } finally { f.unpersist(); () }
+    } finally { f.unpersist(); l.unpersist(); () }
   }
 
   /** Score any id+text frame against fitted weights `(i, w)` — the
