@@ -917,12 +917,17 @@ object Text {
     * the same rounds as CTEs.
     */
   private[graft] def classifierFit(feat: DataFrame, lab: DataFrame,
-      dims: Int, iters: Int, lr: Double): Array[Double] = {
+      dims: Int, iters: Int, lr: Double,
+      sharedFeat: Boolean = false): Array[Double] = {
     val spark = feat.sparkSession
     import spark.implicits._
     // both frames serve every GD round (features 2×, labels 2× + the
-    // count) — persist them for the loop's lifetime
-    val f = feat.persist()
+    // count) — persist them for the loop's lifetime. `sharedFeat`
+    // means the CALLER holds the feature persist beyond the fit
+    // (the gate query scores from the same frame, mirroring the
+    // oracle's MATERIALIZED feat CTE) — unpersist is not refcounted,
+    // so the fit must not drop it
+    val f = if (sharedFeat) feat else feat.persist()
     val l = lab.persist()
     try {
       val n = l.count()
@@ -945,8 +950,17 @@ object Text {
         w = w.zipWithIndex.map { case (v, i) => v - lr * grads.getOrElse(i, 0.0) }
       }
       w
-    } finally { f.unpersist(); l.unpersist(); () }
+    } finally { if (!sharedFeat) { f.unpersist(); () }; l.unpersist(); () }
   }
+
+  /** The (doc, bucket) score contraction over an ALREADY-BUILT feature
+    * frame — the shared tail of [[classifierScoreWith]] and the gate
+    * query's feature-frame reuse.
+    */
+  private def scoreFeat(feat: DataFrame, weights: DataFrame): DataFrame =
+    feat.join(broadcast(weights.select(col("i"), col("w"))), "i")
+      .groupBy("doc_id")
+      .agg(fxSum(col("x") * col("w"), lit(1000000.0)).as("score"))
 
   /** Score any id+text frame against fitted weights `(i, w)` — the
     * FROZEN-MODEL form (#126/#146's discipline): pure map work plus
@@ -957,11 +971,7 @@ object Text {
     */
   private[graft] def classifierScoreWith(df: DataFrame, idCol: String,
       textCol: String, weights: DataFrame, dims: Int = ClsDims): DataFrame =
-    classifierFeatures(df, idCol, textCol, dims)
-      .join(broadcast(weights.select(col("i"), col("w"))), "i")
-      .groupBy("doc_id")
-      .agg(fxSum(col("x") * col("w"),
-        lit(1000000.0)).as("score"))
+    scoreFeat(classifierFeatures(df, idCol, textCol, dims), weights)
 
   /** The frozen half of the classifier as a frame: fit the probe on
     * `df` against caller-chosen reference labels (`isRef` — any
@@ -1023,11 +1033,15 @@ object Text {
     val isRef = pmod(call_function("poly_hash", col("source")), lit(4L)) === 0
     val lab = docs.select(col("doc_id"),
       when(coalesce(isRef, lit(false)), lit(1.0)).otherwise(lit(0.0)).as("y"))
-    val feat = classifierFeatures(docs, "doc_id", "text")
-    val w = classifierFit(feat, lab, ClsDims, ClsIters, ClsLr)
+    // one feature build serves the fit AND the final scoring — the
+    // oracle MATERIALIZEs the same feat CTE for both (the #47 gate
+    // lifecycle: persist, no unpersist on the lazy returned frame)
+    val feat = classifierFeatures(docs, "doc_id", "text").persist()
+    val w = classifierFit(feat, lab, ClsDims, ClsIters, ClsLr,
+      sharedFeat = true)
     import spark.implicits._
     val wDf = w.zipWithIndex.map { case (v, i) => (i, v) }.toSeq.toDF("i", "w")
-    val scores = classifierScoreWith(docs, "doc_id", "text", wDf)
+    val scores = scoreFeat(feat, wDf)
     lab.select(col("doc_id"), (col("y") === 1.0).as("is_ref"))
       .join(scores, Seq("doc_id"))
       .select(col("doc_id"), col("is_ref"), col("score"),

@@ -764,14 +764,20 @@ class PlanSpec extends SparkSpec {
     // #195 — the SERVED plan (fit already folded into the weight
     // literals by the time the gate frame exists): the dims+1-row
     // model must broadcast into the (doc, bucket) contraction, token
-    // hashing must be the codegen'd poly_hash scalar, and no corpus-
-    // sized frame may cartesian
+    // hashing must be the codegen'd poly_hash scalar, no corpus-sized
+    // frame may cartesian, and the feature frame built for the fit
+    // must be REUSED for the final scoring (the oracle MATERIALIZEs
+    // the same feat CTE) — without the cache the whole explode +
+    // two-aggregate chain re-executes
     val p = plan("q_quality_classifier")
     assert(p.contains("BroadcastHashJoin"),
       s"the weights model must broadcast-join the features:\n$p")
     assert(p.toLowerCase.contains("poly_hash"),
       s"token hashing must be the codegen'd poly_hash expression:\n$p")
+    assert(p.contains("InMemoryTableScan"),
+      s"the fit's feature frame must be reused via cache:\n$p")
     assert(!p.contains("CartesianProduct"),
       s"classifier planned a real cartesian:\n$p")
+    spark.catalog.clearCache()
   }
 }
