@@ -495,4 +495,24 @@ class CurationSpec extends SparkSpec {
     assert(frozen.map(_._2).toSeq == out.map(_._2).toSeq,
       "frozen-model scores drifted from the one-call fit")
   }
+
+  test("quality classifier fit is partition-invariant (fixed-point order-free)") {
+    // the hash-gate's load-bearing claim: every cross-row sum in the
+    // GD fit floor-quantizes to exact integers, so the fitted weights
+    // cannot depend on partitioning or aggregation order (the
+    // kmeansCentroids discipline)
+    import spark.implicits._
+    graft.functions.PolyHashStr.register(spark)
+    val docs = Tables.documents(spark, sfTiny)
+      .select(col("doc_id"), col("source"), col("text"))
+    val isRef = pmod(call_function("poly_hash", col("source")), lit(4L)) === 0
+    val a = graft.api.Graft.qualityClassifierModel(
+      docs.repartition(3), "doc_id", "text", isRef)
+      .as[(Int, Double)].collect().sortBy(_._1).toSeq
+    val b = graft.api.Graft.qualityClassifierModel(
+      docs.repartition(17), "doc_id", "text", isRef)
+      .as[(Int, Double)].collect().sortBy(_._1).toSeq
+    assert(a == b, "fitted weights drifted under a different partitioning")
+    assert(a.exists(_._2 != 0.0), "vacuous: the fit never moved off w0")
+  }
 }
