@@ -1049,13 +1049,15 @@ object Text {
       .orderBy("doc_id")
   }
 
-  /** #195's oracle — the whole fit unrolled: features, labels, w₀ = 0,
-    * [[ClsIters]] GD rounds as MATERIALIZED CTE stages (the #171/#187
-    * discipline), final scores. Every fixed-point contraction is the
-    * same floor-to-micro⁶ / exact-sum / one-division sequence
-    * the Spark side computes.
+  /** The shared oracle CTE chain for the #195 family — the whole fit
+    * unrolled: features, labels, w₀ = 0, [[ClsIters]] GD rounds as
+    * MATERIALIZED CTE stages (the #171/#187 discipline), final
+    * per-doc scores in `sfin`. Every fixed-point contraction is the
+    * same floor-to-micro⁶ / exact-sum / one-division sequence the
+    * Spark side computes. Tails append further CTEs/SELECTs (#195
+    * reads `sfin` per doc; #197 aggregates it per source).
     */
-  val qQualityClassifierSql: String = {
+  private val clsCoreCtes: String = {
     val P = graft.functions.PolyHash.Mod1
     val D = ClsDims
     def fold(e: String) =
@@ -1098,14 +1100,78 @@ object Text {
        |w0 AS MATERIALIZED (
        |  SELECT CAST(r.range AS INT) AS i, 0.0 AS w FROM range(0, ${D + 1}) r),
        |$iterCtes,
-       |sfin AS (
+       |sfin AS MATERIALIZED (
        |  SELECT f.doc_id, ${sumdec("f.x * w.w")} / 1000000.0 AS score
-       |  FROM feat f JOIN w$ClsIters w USING (i) GROUP BY f.doc_id)
+       |  FROM feat f JOIN w$ClsIters w USING (i) GROUP BY f.doc_id)""".stripMargin
+  }
+
+  /** #195's oracle — [[clsCoreCtes]] + the per-doc verdict tail. */
+  val qQualityClassifierSql: String =
+    s"""$clsCoreCtes
        |SELECT l.doc_id, l.y = 1.0 AS is_ref, s.score AS score,
        |  s.score >= 0.5 AS keep
        |FROM lab l JOIN sfin s USING (doc_id)
        |ORDER BY l.doc_id""".stripMargin
+
+  /** #197 — `q_classifier_calibration`: the per-source THRESHOLD
+    * dashboard an operator reads before setting the #195 keep rule
+    * (the #98 calibration-family shape — GPT-3 tuned its Pareto
+    * parameter against exactly this kind of readout): per source,
+    * doc count, docs the 0.5 rule keeps, the keep rate, and the mean
+    * classifier score. The mean re-enters fixed point (floor(score ×
+    * 10⁶) summands — scores are NOT dyadic, so a raw double sum would
+    * be order-dependent; the floored integers sum exactly and agree
+    * bit-for-bit cross-engine) and leaves by one IEEE division;
+    * keep_rate is two exact integers through one division. Shares the
+    * fit verbatim with #195 (same persisted feature frame, same GD
+    * rounds; the oracle reuses [[clsCoreCtes]]'s `sfin` scores).
+    *
+    * Scale: everything #195 costs plus ONE source-grain contraction —
+    * the readout is strictly cheaper than the per-doc verdicts it
+    * summarizes.
+    */
+  def qClassifierCalibration(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.PolyHashStr.register(spark)
+    val docs = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("source"), col("text"))
+    val isRef = pmod(call_function("poly_hash", col("source")), lit(4L)) === 0
+    val lab = docs.select(col("doc_id"),
+      when(coalesce(isRef, lit(false)), lit(1.0)).otherwise(lit(0.0)).as("y"))
+    val feat = classifierFeatures(docs, "doc_id", "text").persist()
+    val w = classifierFit(feat, lab, ClsDims, ClsIters, ClsLr,
+      sharedFeat = true)
+    import spark.implicits._
+    val wDf = w.zipWithIndex.map { case (v, i) => (i, v) }.toSeq.toDF("i", "w")
+    docs.select(col("doc_id"), col("source"))
+      .join(scoreFeat(feat, wDf), Seq("doc_id"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("score") >= 0.5, 1L).otherwise(0L)).as("n_keep"),
+        (sum(floor(col("score") * lit(1000000.0)).cast("long"))
+          .cast("double")
+          / (count(lit(1)) * lit(1000000L)).cast("double")).as("mean_score"))
+      .select(col("source"), col("n_docs"), col("n_keep"),
+        (col("n_keep").cast("double") / col("n_docs").cast("double"))
+          .as("keep_rate"),
+        col("mean_score"))
+      .orderBy("source")
   }
+
+  /** #197's oracle — [[clsCoreCtes]] + the per-source aggregate tail
+    * (the same floor-to-micro⁶ mean and exact-integer keep rate).
+    */
+  val qClassifierCalibrationSql: String =
+    s"""$clsCoreCtes
+       |SELECT d.source, CAST(count(*) AS BIGINT) AS n_docs,
+       |  CAST(sum(CASE WHEN s.score >= 0.5 THEN 1 ELSE 0 END) AS BIGINT)
+       |    AS n_keep,
+       |  CAST(sum(CASE WHEN s.score >= 0.5 THEN 1 ELSE 0 END) AS DOUBLE)
+       |    / count(*) AS keep_rate,
+       |  CAST(sum(CAST(floor(s.score * 1000000) AS BIGINT)) AS DOUBLE)
+       |    / CAST(count(*) * 1000000 AS DOUBLE) AS mean_score
+       |FROM documents d JOIN sfin s USING (doc_id)
+       |GROUP BY d.source
+       |ORDER BY d.source""".stripMargin
 
   /** The Gopher rule battery's stopword list (Rae et al. 2021 list the
     * eight; a doc must contain at least two DISTINCT of them).

@@ -496,6 +496,30 @@ class CurationSpec extends SparkSpec {
       "frozen-model scores drifted from the one-call fit")
   }
 
+  test("classifier calibration reconciles with the per-doc verdicts") {
+    // #197 is a pure summary of #195: per source, n_docs/n_keep must
+    // equal the per-doc gate's keep column grouped by source, and the
+    // fixed-point mean must equal the recomputed floor-mean
+    import spark.implicits._
+    val perDoc = SparkEntry.queries("q_quality_classifier")(spark, sfTiny)
+      .join(Tables.documents(spark, sfTiny).select("doc_id", "source"),
+        Seq("doc_id"))
+    val expect = perDoc.groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("keep"), 1L).otherwise(0L)).as("n_keep"),
+        (sum(floor(col("score") * lit(1000000.0)).cast("long"))
+          .cast("double")
+          / (count(lit(1)) * lit(1000000L)).cast("double")).as("mean_score"))
+      .as[(String, Long, Long, Double)].collect().sortBy(_._1).toSeq
+    val got = SparkEntry.queries("q_classifier_calibration")(spark, sfTiny)
+      .select("source", "n_docs", "n_keep", "mean_score")
+      .as[(String, Long, Long, Double)].collect().sortBy(_._1).toSeq
+    assert(got == expect,
+      "calibration drifted from the per-doc verdicts it summarizes")
+    assert(got.map(_._2).sum == perDoc.count(),
+      "calibration lost or duplicated documents")
+  }
+
   test("quality classifier fit is partition-invariant (fixed-point order-free)") {
     // the hash-gate's load-bearing claim: every cross-row sum in the
     // GD fit floor-quantizes to exact integers, so the fitted weights

@@ -769,15 +769,17 @@ class PlanSpec extends SparkSpec {
     // must be REUSED for the final scoring (the oracle MATERIALIZEs
     // the same feat CTE) — without the cache the whole explode +
     // two-aggregate chain re-executes
-    val p = plan("q_quality_classifier")
-    assert(p.contains("BroadcastHashJoin"),
-      s"the weights model must broadcast-join the features:\n$p")
-    assert(p.toLowerCase.contains("poly_hash"),
-      s"token hashing must be the codegen'd poly_hash expression:\n$p")
-    assert(p.contains("InMemoryTableScan"),
-      s"the fit's feature frame must be reused via cache:\n$p")
-    assert(!p.contains("CartesianProduct"),
-      s"classifier planned a real cartesian:\n$p")
-    spark.catalog.clearCache()
+    Seq("q_quality_classifier", "q_classifier_calibration").foreach { q =>
+      val p = plan(q)
+      assert(p.contains("BroadcastHashJoin"),
+        s"$q: the weights model must broadcast-join the features:\n$p")
+      assert(p.toLowerCase.contains("poly_hash"),
+        s"$q: token hashing must be the codegen'd poly_hash expression:\n$p")
+      assert(p.contains("InMemoryTableScan"),
+        s"$q: the fit's feature frame must be reused via cache:\n$p")
+      assert(!p.contains("CartesianProduct"),
+        s"$q planned a real cartesian:\n$p")
+      spark.catalog.clearCache()
+    }
   }
 }
