@@ -32,7 +32,7 @@ case class CharNgramHashes(left: Expression, right: Expression)
       case (StringType, IntegerType) => TypeCheckResult.TypeCheckSuccess
       case (a, b) => TypeCheckResult.TypeCheckFailure(
         s"char_ngram_hashes expects (string, int), got " +
-          s"(${a.simpleString(10)}, ${b.simpleString(10)})")
+          s"(${a.catalogString}, ${b.catalogString})")
     }
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def prettyName: String = "char_ngram_hashes"

@@ -38,7 +38,7 @@ case class GopherRepMeasures(child: Expression) extends UnaryExpression {
     child.dataType match {
       case StringType => TypeCheckResult.TypeCheckSuccess
       case t => TypeCheckResult.TypeCheckFailure(
-        s"gopher_rep_measures expects string, got ${t.simpleString(10)}")
+        s"gopher_rep_measures expects string, got ${t.catalogString}")
     }
   override def dataType: DataType = GopherRepMeasures.schema
   override def prettyName: String = "gopher_rep_measures"

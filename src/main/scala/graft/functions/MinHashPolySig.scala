@@ -30,7 +30,7 @@ case class MinHashPolySig(left: Expression, right: Expression)
       case (ArrayType(StringType, _), IntegerType) => TypeCheckResult.TypeCheckSuccess
       case (l, r) => TypeCheckResult.TypeCheckFailure(
         s"minhash_poly_sig expects (array<string>, int), got " +
-          s"(${l.simpleString(10)}, ${r.simpleString(10)})")
+          s"(${l.catalogString}, ${r.catalogString})")
     }
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def nullable: Boolean = true

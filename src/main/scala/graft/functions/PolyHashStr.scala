@@ -22,7 +22,7 @@ case class PolyHashStr(child: Expression) extends UnaryExpression {
     child.dataType match {
       case StringType => TypeCheckResult.TypeCheckSuccess
       case a => TypeCheckResult.TypeCheckFailure(
-        s"poly_hash expects a string, got ${a.simpleString(10)}")
+        s"poly_hash expects a string, got ${a.catalogString}")
     }
   override def dataType: DataType = LongType
   override def prettyName: String = "poly_hash"

@@ -25,7 +25,7 @@ case class SimHash64(child: Expression) extends UnaryExpression {
   override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
     case StringType => TypeCheckResult.TypeCheckSuccess
     case t => TypeCheckResult.TypeCheckFailure(
-      s"simhash64 expects string, got ${t.simpleString(10)}")
+      s"simhash64 expects string, got ${t.catalogString}")
   }
   override def dataType: DataType = LongType
   override def prettyName: String = "simhash64"

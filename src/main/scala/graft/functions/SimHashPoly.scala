@@ -33,7 +33,7 @@ case class SimHashPoly(child: Expression) extends UnaryExpression {
   override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
     case StringType => TypeCheckResult.TypeCheckSuccess
     case t => TypeCheckResult.TypeCheckFailure(
-      s"simhash_poly expects string, got ${t.simpleString(10)}")
+      s"simhash_poly expects string, got ${t.catalogString}")
   }
   override def dataType: DataType = LongType
   override def prettyName: String = "simhash_poly"

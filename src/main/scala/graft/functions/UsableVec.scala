@@ -25,7 +25,7 @@ case class UsableVec(left: Expression, right: Expression)
         TypeCheckResult.TypeCheckSuccess
       case (l, r) => TypeCheckResult.TypeCheckFailure(
         s"usable_vec expects (array<double>, int), got " +
-          s"(${l.simpleString(10)}, ${r.simpleString(10)})")
+          s"(${l.catalogString}, ${r.catalogString})")
     }
   override def dataType: DataType = BooleanType
   override def prettyName: String = "usable_vec"

@@ -39,7 +39,7 @@ case class WinnowFps(first: Expression, second: Expression, third: Expression)
         TypeCheckResult.TypeCheckSuccess
       case (a, b, c) => TypeCheckResult.TypeCheckFailure(
         s"winnow_fps expects (string, int, int), got " +
-          s"(${a.simpleString(10)}, ${b.simpleString(10)}, ${c.simpleString(10)})")
+          s"(${a.catalogString}, ${b.catalogString}, ${c.catalogString})")
     }
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def prettyName: String = "winnow_fps"

@@ -32,7 +32,7 @@ case class WordShingles(left: Expression, right: Expression)
     (left.dataType, right.dataType) match {
       case (StringType, IntegerType) => TypeCheckResult.TypeCheckSuccess
       case (l, r) => TypeCheckResult.TypeCheckFailure(
-        s"word_shingles expects (string, int), got (${l.simpleString(10)}, ${r.simpleString(10)})")
+        s"word_shingles expects (string, int), got (${l.catalogString}, ${r.catalogString})")
     }
   override def dataType: DataType = ArrayType(StringType, containsNull = false)
   override def prettyName: String = "word_shingles"

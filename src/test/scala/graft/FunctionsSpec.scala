@@ -173,6 +173,35 @@ class FunctionsSpec extends SparkSpec {
     assert(got.last == 0L, "token-less text must simhash to 0")
   }
 
+  test("poly_hash matches an independent code-point fold, null-safe") {
+    graft.functions.PolyHashStr.register(spark)
+    import spark.implicits._
+    val texts = Seq("the cat", "汉字", "𝄞 clef", "a", " ", "")
+    val got = texts.toDF("t")
+      .select(expr("poly_hash(t)").as("h")).collect().map(_.getLong(0))
+    val expected = texts.map(refFold(_, 31, 1000000007L))
+    assert(got.toSeq == expected, "poly_hash diverged from the re-derivation")
+    assert(got.forall(_ >= 0L), "poly_hash must be non-negative")
+    assert(got.last == 0L, "empty string folds to 0")
+    // NULL in, NULL out; non-string input refuses at analysis
+    val r = spark.sql("SELECT poly_hash(CAST(NULL AS STRING)) AS h").collect()(0)
+    assert(r.isNullAt(0))
+    intercept[org.apache.spark.sql.AnalysisException] {
+      spark.sql("SELECT poly_hash(42)").collect()
+    }
+    // the whole expression family must refuse wrong types at ANALYSIS
+    // (this test caught a latent String.apply in every error branch:
+    // `simpleString(10)` indexes the type name — catalogString now)
+    graft.functions.SimHash64.register(spark)
+    graft.functions.WordShingles.register(spark)
+    intercept[org.apache.spark.sql.AnalysisException] {
+      spark.sql("SELECT simhash64(42)").collect()
+    }
+    intercept[org.apache.spark.sql.AnalysisException] {
+      spark.sql("SELECT word_shingles(42, 'x')").collect()
+    }
+  }
+
   test("registered functions resolve in plain SQL") {
     CosineSimilarity.register(spark)
     WordShingles.register(spark)
