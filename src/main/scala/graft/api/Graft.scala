@@ -688,6 +688,12 @@ object Graft {
       books.toSeq.map { case ((s, c), cw) => (s, c, cw) }
         .sortBy { case (s, c, _) => (s, c) }
         .toDF("subspace", "code", "cw")
+        // codebook PROVENANCE marker (r16 self-review): a codebook
+        // fitted on raw vectors must not be composed with a
+        // residual-encoding index — [[ivfPqIndex]] checks agreement.
+        // [[ivfPqCodebooks]] overrides this to true after fitting on
+        // the rvec column.
+        .withColumn("fit_residual", lit(false))
     } finally { ev.unpersist(); () }
   }
 
@@ -797,6 +803,7 @@ object Graft {
     pqCodebooks(
       ivfResiduals(embeddings, idCol, vecCol, centroids, centIdCol, centVecCol),
       "id", "rvec", dim, m, k, iters)
+      .withColumn("fit_residual", lit(true))
 
   /** The IVFADC index (Jégou et al.'s "IVF + PQ" serving layout, the
     * architecture FAISS ships for billion-vector search): every vector
@@ -827,6 +834,23 @@ object Graft {
   def ivfPqIndex(embeddings: DataFrame, idCol: String, vecCol: String,
       centroids: DataFrame, centIdCol: String, centVecCol: String,
       codebooks: DataFrame, residual: Boolean = true): DataFrame = {
+    // codebook-provenance agreement (r16 self-review): a raw-fitted
+    // [[pqCodebooks]] composed with residual encoding (or vice versa)
+    // quantizes against the wrong input distribution and silently
+    // degrades recall. The marker frame is m×k rows (a LocalRelation
+    // from the fit's driver-side collect), so the distinct read is
+    // driver-cheap. Hand-built codebook frames without the marker skip
+    // the check — the caller owns the agreement then.
+    if (codebooks.columns.contains("fit_residual")) {
+      val flavors = codebooks.select(col("fit_residual"))
+        .distinct().collect().map(_.getBoolean(0)).toSet
+      require(flavors == Set(residual),
+        s"ivfPqIndex(residual = $residual) over a codebook fitted with " +
+          s"fit_residual in {${flavors.mkString(", ")}} — fit with " +
+          (if (residual) "ivfPqCodebooks (residual-fitted)"
+           else "pqCodebooks (raw-fitted)") +
+          " so the quantizer sees the distribution it was trained on")
+    }
     val assigned =
       if (residual)
         ivfResiduals(embeddings, idCol, vecCol,
@@ -870,18 +894,16 @@ object Graft {
       residual: Boolean = true): DataFrame = {
     require(k > 0, s"k must be positive, got $k")
     require(nprobe > 0, s"nprobe must be positive, got $nprobe")
-    // flavor agreement: an [[ivfPqIndex]]-built index carries its
-    // encoding as a marker column — a mismatch would not error, it
-    // would serve garbage scores (wrong math for the stored codes).
-    // One-row read; hand-built index frames without the marker skip
-    // the check (the caller owns the agreement then).
-    if (index.columns.contains("residual")) {
-      index.select("residual").head(1).foreach { r =>
-        require(r.getBoolean(0) == residual,
-          s"ivfPqQuery(residual = $residual) over an index encoded with " +
-            s"residual = ${r.getBoolean(0)} — the ADC math would score " +
-            "garbage; match the index's flavor")
-      }
+    // codebook flavor agreement — the codebook frame is m×k rows (a
+    // LocalRelation from the fit's collect), so this distinct read is
+    // driver-cheap, unlike a read of the corpus-sized index
+    if (codebooks.columns.contains("fit_residual")) {
+      val flavors = codebooks.select(col("fit_residual"))
+        .distinct().collect().map(_.getBoolean(0)).toSet
+      require(flavors == Set(residual),
+        s"ivfPqQuery(residual = $residual) over a codebook fitted with " +
+          s"fit_residual in {${flavors.mkString(", ")}} — the ADC table " +
+          "would be built from the wrong quantizer; match the flavor")
     }
     val spark = index.sparkSession
     graft.functions.CosineSimilarity.register(spark)
@@ -907,9 +929,27 @@ object Graft {
           slice(col("qv"), col("subspace") * sub + 1, lit(sub)),
           col("cw")).as("partial"))
     val wTop = Window.partitionBy("q_id").orderBy(col("adc").desc, col("id"))
+    // index flavor agreement: an [[ivfPqIndex]]-built index carries its
+    // encoding as a marker column — a mismatch would not error, it
+    // would serve garbage scores (wrong math for the stored codes).
+    // Checked LAZILY inside the query plan (every probed row asserts
+    // its marker as part of producing `id`), so a mixed-flavor index
+    // (e.g. a union of two builds) fails loudly on any probed wrong-
+    // flavor row, and a not-yet-materialized index plan is never
+    // forced eagerly just to read one row (r16 self-review). Hand-
+    // built index frames without the marker skip the check — the
+    // caller owns the agreement then.
+    val idChecked =
+      if (index.columns.contains("residual"))
+        when(assert_true(col("residual") === lit(residual),
+          lit(s"ivfPqQuery(residual = $residual) over an index row " +
+            "encoded with the opposite flavor — the ADC math would " +
+            "score garbage; match the index's flavor")).isNull,
+          col("id")).as("id")
+      else col("id")
     val scored = index
       .join(broadcast(probes), "cell")
-      .select(col("q_id") +: col("id") +:
+      .select(col("q_id") +: idChecked +:
         posexplode(col("codes")).as(Seq("s", "code")) +:
         (if (residual) Seq(col("cdot")) else Seq.empty): _*)
       .join(broadcast(tab), Seq("q_id", "s", "code"))

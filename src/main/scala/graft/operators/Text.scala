@@ -99,58 +99,73 @@ object Text {
     * Latin text and both engines agree to the bit. All-integer output
     * → full hash gate.
     *
-    * Scale: the gram explode is map-side codegen; the two frequency
-    * aggregates are (doc, gram)- and (lang, gram)-keyed contractions;
-    * profiles and the language list broadcast (langs × N rows); the
-    * doc-grain distance aggregate fans out docs × N × #langs rows —
-    * linear in corpus size with a tiny constant. The rank windows ride
-    * the contracted frames, never raw text.
+    * Scale (reworked r17, VERDICT r16 item 2): a document arrives as
+    * ONE row, so its whole profile — gram counts AND ranks — is per-row
+    * state; the codegen'd [[graft.functions.CharNgramProfile]] computes
+    * it map-side, where the old formulation exploded a (doc, gram)
+    * frame only to shuffle it back together by doc (two corpus-sized
+    * exchanges). The classify side now never shuffles anything
+    * corpus-sized: profiles broadcast as langs × 1 map rows, the
+    * out-of-place distance is a 40-element fold per (doc, cand) row,
+    * and the ONLY doc-grain exchange is the final argmin contraction —
+    * one row per document, partial-aggregated map-side (PlanSpec-
+    * pinned). The fit side keeps its two vocabulary-grain contractions
+    * ((lang, gram) count + per-lang rank), both tiny.
     */
   def qTextLangidNgram(spark: SparkSession, dir: String): DataFrame = {
     graft.functions.CharNgramHashes.register(spark)
+    graft.functions.CharNgramProfile.register(spark)
+    graft.functions.OopDistance.register(spark)
+    // persisted: the FIT (labeled gram frequencies) and the CLASSIFY
+    // (per-row profiles) each consume the normalized text — uncached
+    // the corpus would be scanned and normalized twice (the #47
+    // staged-frame lifecycle; not unpersisted — the query executes
+    // after this method returns, and the oracle MATERIALIZEs the same
+    // normalization CTE). The cache holds doc-id + normalized text
+    // only, NOT the exploded gram stream the pre-r17 formulation
+    // cached — corpus-linear, not gram-linear
     val docs = Tables.documents(spark, dir)
-      .withColumn("norm", Dedup.contentNormOf(col("text")))
-    // persisted: BOTH frequency aggregates (the language-profile fit
-    // and the doc profiles) consume this frame — uncached, the corpus
-    // text would be normalized, hashed, and exploded twice (the #47
-    // shingle-frame lifecycle; deliberately not unpersisted here — the
-    // query executes after this method returns, and the oracle twin
-    // MATERIALIZEs the same `ex` CTE)
-    val grams = docs
       .select(col("doc_id"), col("lang"),
-        explode(expr("char_ngram_hashes(norm, 3)")).as("g"))
+        Dedup.contentNormOf(col("text")).as("norm"))
       .persist()
-    val langCnt = grams.where(col("lang").isNotNull)
+    // language-profile FIT: (lang, gram) frequency over the labeled
+    // slice, per-lang top-N rank, then one g→rank map per language
+    // (≤ N entries each) — the broadcast model
+    val langCnt = docs.where(col("lang").isNotNull)
+      .select(col("lang"), explode(expr("char_ngram_hashes(norm, 3)")).as("g"))
       .groupBy("lang", "g").agg(count(lit(1)).as("c"))
     val wLang = Window.partitionBy("lang").orderBy(col("c").desc, col("g"))
-    val profiles = langCnt
+    val profMaps = langCnt
       .withColumn("r_lang", row_number().over(wLang))
       .where(col("r_lang") <= LangProfileN)
-      .select(col("lang").as("cand"), col("g"), col("r_lang"))
-    val langs = profiles.select("cand").distinct()
-    val docCnt = grams.groupBy("doc_id", "g").agg(count(lit(1)).as("c"))
-    val wDoc = Window.partitionBy("doc_id").orderBy(col("c").desc, col("g"))
-    val docProf = docCnt
-      .withColumn("r_doc", row_number().over(wDoc))
-      .where(col("r_doc") <= LangProfileN)
-      .select("doc_id", "g", "r_doc")
-    val dist = docProf
-      .crossJoin(broadcast(langs))
-      .join(broadcast(profiles), Seq("cand", "g"), "left")
-      .groupBy("doc_id", "cand")
-      .agg(sum(coalesce(abs(col("r_doc") - col("r_lang")),
-        lit(LangProfileN))).as("oop"))
-    val best = dist
-      .groupBy("doc_id")
-      .agg(min_by(struct(col("cand"), col("oop")),
-        struct(col("oop"), col("cand"))).as("b"))
-      .select(col("doc_id"), col("b.cand").as("lang_pred"),
-        col("b.oop").as("oop_dist"))
-    docs.select("doc_id", "lang")
-      .join(best, Seq("doc_id"), "left")
+      .groupBy(col("lang").as("cand"))
+      .agg(map_from_entries(
+        collect_list(struct(col("g"), col("r_lang")))).as("pm"))
+    // CLASSIFY: per-row doc profile, broadcast-fan to every candidate,
+    // 40-element out-of-place fold, one argmin contraction. The join
+    // condition is literal true (a broadcast nest-loop fan-out) but
+    // LEFT, so docs survive even a fit with zero labeled documents.
+    val scored = docs
       .select(col("doc_id"), col("lang"),
-        coalesce(col("lang_pred"), lit("unknown")).as("lang_pred"),
-        col("oop_dist"))
+        expr(s"char_ngram_profile(norm, 3, $LangProfileN)").as("prof"))
+      .join(broadcast(profMaps), lit(true), "left")
+      .select(col("doc_id"), col("lang"), col("cand"),
+        when(col("cand").isNull || col("prof").isNull ||
+          size(col("prof")) === 0, lit(null).cast("long"))
+          .otherwise(expr(s"oop_distance(prof, pm, $LangProfileN)"))
+          .as("oop"))
+    // oop is null exactly when the doc has no profile or no language
+    // was fit — per doc all-or-none, so the null argmin IS the
+    // 'unknown' verdict (the relational form's anti-join absence)
+    scored
+      .groupBy("doc_id")
+      .agg(first(col("lang")).as("lang"),
+        min_by(struct(col("cand"), col("oop")),
+          struct(col("oop"), col("cand"))).as("b"))
+      .select(col("doc_id"), col("lang"),
+        when(col("b.oop").isNull, lit("unknown"))
+          .otherwise(col("b.cand")).as("lang_pred"),
+        col("b.oop").as("oop_dist"))
       .orderBy("doc_id")
   }
 
@@ -837,7 +852,7 @@ object Text {
        |  CAST(coalesce(sum(CASE WHEN nb > 0 THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_blocked_docs,
        |  CAST(coalesce(sum(CASE WHEN nb > 0 THEN 1 ELSE 0 END), 0) AS DOUBLE)
        |    / count(*) AS block_rate
-       |FROM b GROUP BY source ORDER BY source""".stripMargin
+       |FROM b GROUP BY source ORDER BY source NULLS FIRST""".stripMargin
 
   // --------------------------------------------------------------------
   // #195: discriminative QUALITY CLASSIFIER (the GPT-3 §2.1 / LLaMA
@@ -1002,11 +1017,23 @@ object Text {
   private[graft] def classifierQuality(df: DataFrame, idCol: String,
       textCol: String, isRef: Column, threshold: Double = 0.5,
       dims: Int = ClsDims, iters: Int = ClsIters,
-      lr: Double = ClsLr): DataFrame =
-    classifierScoreWith(df, idCol, textCol,
-      classifierModel(df, idCol, textCol, isRef, dims, iters, lr), dims)
+      lr: Double = ClsLr): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    // ONE feature build serves the fit and the final scoring (the
+    // qQualityClassifier gate lifecycle: persist, fit with
+    // sharedFeat=true, return the lazy scored frame against the same
+    // cached frame — previously the facade tokenized and hashed the
+    // corpus twice, once inside the fit and once for scoring)
+    val feat = classifierFeatures(df, idCol, textCol, dims).persist()
+    val lab = df.select(col(idCol).as("doc_id"),
+      when(coalesce(isRef, lit(false)), lit(1.0)).otherwise(lit(0.0)).as("y"))
+    val w = classifierFit(feat, lab, dims, iters, lr, sharedFeat = true)
+    val wDf = w.zipWithIndex.map { case (v, i) => (i, v) }.toSeq.toDF("i", "w")
+    scoreFeat(feat, wDf)
       .select(col("doc_id"), col("score"),
         (col("score") >= threshold).as("keep"))
+  }
 
   /** #195 — `q_quality_classifier`: the classifier fit + corpus
     * scoring as one gated query, self-trained (the #192/#126
@@ -1171,7 +1198,7 @@ object Text {
        |    / CAST(count(*) * 1000000 AS DOUBLE) AS mean_score
        |FROM documents d JOIN sfin s USING (doc_id)
        |GROUP BY d.source
-       |ORDER BY d.source""".stripMargin
+       |ORDER BY d.source NULLS FIRST""".stripMargin
 
   /** The Gopher rule battery's stopword list (Rae et al. 2021 list the
     * eight; a doc must contain at least two DISTINCT of them).

@@ -202,6 +202,61 @@ class FunctionsSpec extends SparkSpec {
     }
   }
 
+  test("char_ngram_profile ranks by (count desc, gram asc); oop_distance matches the fold") {
+    graft.functions.CharNgramHashes.register(spark)
+    graft.functions.CharNgramProfile.register(spark)
+    graft.functions.OopDistance.register(spark)
+    import spark.implicits._
+    // the profile must equal the relational count→row_number form it
+    // replaced (#192's r17 rework): count occurrences of each gram
+    // hash, rank by (count desc, hash asc), keep top k
+    val texts = Seq("abcabcabx", "汉字汉字汉", "ab", "", "xyz")
+    val got = texts.toDF("t")
+      .select(expr("char_ngram_profile(t, 3, 4)").as("p"))
+      .collect().map(_.getSeq[org.apache.spark.sql.Row](0)
+        .map(r => (r.getLong(0), r.getInt(1))))
+    val expected = texts.map { t =>
+      val hs = t.sliding(3).filter(_.length == 3).toSeq
+        .map(g => g.foldLeft(0L)((a, c) => (a * 31 + c.toInt) % 1000000007L))
+      hs.groupBy(identity).view.mapValues(_.size.toLong).toSeq
+        .sortBy { case (g, c) => (-c, g) }.take(4).zipWithIndex
+        .map { case ((g, _), i) => (g, i + 1) }
+    }
+    assert(got.toSeq == expected, s"profile diverged: ${got.toSeq} vs $expected")
+    assert(got(3).isEmpty && got(2).isEmpty, "sub-n strings profile empty")
+    // oop_distance = Σ |r_doc − pm[g]| with penalty n on a miss —
+    // checked against the HOF fold it replaced (which stays as the
+    // executable spec here)
+    val prof = texts.toDF("t")
+      .select(col("t"), expr("char_ngram_profile(t, 3, 4)").as("prof"))
+      .where(size(col("prof")) > 0)
+    val pmDf = prof.limit(1)
+      .select(map_from_entries(transform(col("prof"),
+        e => struct(e.getField("g"), e.getField("r") * 2))).as("pm"))
+    val both = prof.crossJoin(pmDf)
+      .select(
+        expr("oop_distance(prof, pm, 40)").as("fast"),
+        aggregate(col("prof"), lit(0L), (acc, e) =>
+          acc + coalesce(
+            abs(e.getField("r").cast("long") -
+              element_at(col("pm"), e.getField("g")).cast("long")),
+            lit(40L))).as("slow"))
+      .collect()
+    assert(both.forall(r => r.getLong(0) == r.getLong(1)),
+      s"codegen'd oop diverged from the fold: ${both.mkString(", ")}")
+    // NULL in, NULL out; wrong types refuse at ANALYSIS (the r16
+    // catalogString discipline)
+    val r0 = spark.sql(
+      "SELECT char_ngram_profile(CAST(NULL AS STRING), 3, 4) AS p").collect()(0)
+    assert(r0.isNullAt(0))
+    intercept[org.apache.spark.sql.AnalysisException] {
+      spark.sql("SELECT char_ngram_profile(42, 3, 4)").collect()
+    }
+    intercept[org.apache.spark.sql.AnalysisException] {
+      spark.sql("SELECT oop_distance(42, map(1L, 1), 40)").collect()
+    }
+  }
+
   test("registered functions resolve in plain SQL") {
     CosineSimilarity.register(spark)
     WordShingles.register(spark)

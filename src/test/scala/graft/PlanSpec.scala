@@ -43,6 +43,24 @@ class PlanSpec extends SparkSpec {
       s"substring dedup degenerated to an all-pairs shape:\n$p")
   }
 
+  test("langid-ngram classify side never shuffles the corpus (r17 rework)") {
+    // VERDICT r16 item 2: the pre-r17 form exploded a (doc, gram)
+    // frame and shuffled it twice (once to count, once to rank). The
+    // per-row profile expression leaves exactly THREE hash exchanges:
+    // the fit's (lang, gram) count, the fit's per-lang rank window,
+    // and the one-row-per-doc argmin contraction — nothing
+    // corpus-sized crosses a shuffle, at any scale.
+    val p = plan("q_text_langid_ngram")
+    val shuffles = "Exchange hashpartitioning".r.findAllIn(p).size
+    assert(shuffles == 3, s"expected 3 hash exchanges, got $shuffles:\n$p")
+    assert(p.contains("char_ngram_profile") && p.contains("oop_distance"),
+      s"classify side must use the codegen'd profile + fold:\n$p")
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"),
+      s"corpus-sized join crept into langid:\n$p")
+    assert(p.contains("partial_min_by"),
+      s"the argmin must contract map-side before its exchange:\n$p")
+  }
+
   test("C4 and Gopher rule batteries stay map-only: no hash exchange, no join") {
     Seq("q_c4_rules", "q_gopher_rules", "q_gopher_repetition").foreach { q =>
       val p = plan(q)
@@ -735,19 +753,10 @@ class PlanSpec extends SparkSpec {
     }
   }
 
-  test("n-gram langid: profiles broadcast; no corpus-sized cartesian") {
-    // #192 — the language profiles and the language list are langs×N
-    // rows and MUST broadcast into the distance fan-out; the gram
-    // explode is map-side codegen; the per-doc/per-lang aggregates are
-    // the only corpus-grain exchanges
-    val p = plan("q_text_langid_ngram")
-    assert(p.contains("BroadcastHashJoin"),
-      s"lang profiles must broadcast-join the doc profiles:\n$p")
-    assert(!p.contains("CartesianProduct"),
-      s"langid planned a real cartesian:\n$p")
-    assert(p.contains("char_ngram_hashes"),
-      s"gram extraction must be the codegen'd expression:\n$p")
-  }
+  // ("n-gram langid: profiles broadcast" was superseded in r17 by the
+  // stronger "langid-ngram classify side never shuffles the corpus"
+  // pin: the profile fan-out is now a deliberate broadcast nest-loop
+  // over langs×1 map rows, not an equi-join against a gram frame.)
 
   test("residual IVFADC recall: broadcast-only composition, corpus never shuffle-joins") {
     // #191 — centroids, seed codebook, probe list and partial tables

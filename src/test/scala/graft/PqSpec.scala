@@ -286,4 +286,57 @@ class PqSpec extends SparkSpec {
       s"corpus-sized join crept into residual IVFADC serving:\n$plan")
     rindex.unpersist(); rbooks.unpersist(); t1b.unpersist()
   }
+
+  test("flavor provenance: codebook marker, build-time agreement, lazy index check") {
+    graft.functions.DotProduct.register(spark)
+    val nCells = 4
+    val cents = Graft.kmeansCentroids(embTable, "vec_id", "v", nCells, 1)
+    // the fit tags its output with the distribution it was trained on
+    assert(books.select("fit_residual").distinct().collect()
+      .map(_.getBoolean(0)).toSeq == Seq(false),
+      "pqCodebooks must mark fit_residual = false")
+    val rbooks = Graft.ivfPqCodebooks(embTable, "vec_id", "v",
+      cents, "cent_id", "cv", Dim, M, K, iters = 1)
+    assert(rbooks.select("fit_residual").distinct().collect()
+      .map(_.getBoolean(0)).toSeq == Seq(true),
+      "ivfPqCodebooks must mark fit_residual = true")
+    // build-time agreement: composing a raw-fitted codebook with
+    // residual encoding (the silent-recall-degradation class) refuses
+    val e1 = intercept[IllegalArgumentException] {
+      Graft.ivfPqIndex(embTable, "vec_id", "v", cents, "cent_id", "cv",
+        books, residual = true)
+    }
+    assert(e1.getMessage.contains("fit_residual"))
+    val e2 = intercept[IllegalArgumentException] {
+      Graft.ivfPqIndex(embTable, "vec_id", "v", cents, "cent_id", "cv",
+        rbooks, residual = false)
+    }
+    assert(e2.getMessage.contains("fit_residual"))
+    // query-time codebook agreement mirrors it
+    val rawIdx = Graft.ivfPqIndex(embTable, "vec_id", "v",
+      cents, "cent_id", "cv", books, residual = false)
+    val q = embTable.where(col("vec_id") < 3)
+      .select(col("vec_id").as("qid"), col("v").as("qv"))
+    val e3 = intercept[IllegalArgumentException] {
+      Graft.ivfPqQuery(rawIdx, cents, "cent_id", "cv", books,
+        q, "qid", "qv", k = 3, nprobe = 2, residual = true)
+    }
+    assert(e3.getMessage.contains("fit_residual"))
+    // the INDEX marker check is lazy (inside the query plan): building
+    // the mismatched plan forces nothing, the first action fails — so
+    // a mixed-flavor union index fails loudly on its probed rows and a
+    // not-yet-materialized index is never computed twice just to read
+    // one marker row (r16 self-review). Unmarked codebooks skip the
+    // codebook check, isolating the index-side assert.
+    val mismatched = Graft.ivfPqQuery(rawIdx, cents, "cent_id", "cv",
+      rbooks.drop("fit_residual"), q, "qid", "qv",
+      k = 3, nprobe = 2, residual = true)
+    val e4 = intercept[Exception] { mismatched.collect() }
+    assert(e4.getMessage.contains("match the index's flavor"),
+      s"expected the lazy flavor assert, got: ${e4.getMessage}")
+    // unmarked index frames remain the caller's responsibility
+    assert(Graft.ivfPqQuery(rawIdx.drop("residual"), cents, "cent_id",
+      "cv", books, q, "qid", "qv", k = 3, nprobe = 2,
+      residual = false).count() > 0)
+  }
 }
