@@ -1084,11 +1084,26 @@ object Text {
     * Spark side computes. Tails append further CTEs/SELECTs (#195
     * reads `sfin` per doc; #197 aggregates it per source).
     */
-  private val clsCoreCtes: String = {
+  /** The DuckDB Horner fold of [[graft.functions.PolyHashStr]] —
+    * shared by the #195 family's CTEs and the holdout tail.
+    */
+  private def clsFoldSql(e: String): String = {
     val P = graft.functions.PolyHash.Mod1
+    s"list_reduce(list_prepend(CAST(0 AS BIGINT), list_transform(string_split($e, ''), c -> CAST(ascii(c) AS BIGINT))), (acc, x) -> (acc * 31 + x) % $P)"
+  }
+
+  /** [[clsCoreCtes]] parameterized by the TRAINING slice: `labWhere`
+    * (SQL `WHERE ...` or empty) restricts which documents carry labels
+    * and count toward the gradient denominator — the GD rounds join
+    * features against `lab`, so the filter restricts the whole fit
+    * while `sfin` still scores every document (#198 reads the held-out
+    * slice from it). The label CASE is null-source-safe: DuckDB's
+    * Horner fold of NULL folds the empty list to 0 (list_prepend
+    * un-NULLs it) where Spark's poly_hash is null — guarded with an
+    * IS NOT NULL conjunct so both engines label a NULL source 0.0.
+    */
+  private def clsCtes(labWhere: String = ""): String = {
     val D = ClsDims
-    def fold(e: String) =
-      s"list_reduce(list_prepend(CAST(0 AS BIGINT), list_transform(string_split($e, ''), c -> CAST(ascii(c) AS BIGINT))), (acc, x) -> (acc * 31 + x) % $P)"
     def sumdec(prod: String) =
       s"CAST(sum(CAST(floor(($prod) * 1000000) AS BIGINT)) AS DOUBLE)"
     val iterCtes = (1 to ClsIters).map { t =>
@@ -1111,7 +1126,7 @@ object Text {
        |  FROM documents),
        |nt AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n FROM tok GROUP BY 1),
        |cf AS (
-       |  SELECT doc_id, CAST(${fold("t")} % $D AS INT) AS i,
+       |  SELECT doc_id, CAST(${clsFoldSql("t")} % $D AS INT) AS i,
        |    CAST(count(*) AS BIGINT) AS c
        |  FROM tok GROUP BY 1, 2),
        |feat AS MATERIALIZED (
@@ -1121,9 +1136,10 @@ object Text {
        |  SELECT doc_id, $D AS i, 1.0 AS x FROM documents),
        |lab AS MATERIALIZED (
        |  SELECT doc_id,
-       |    CASE WHEN ${fold("source")} % 4 = 0 THEN 1.0 ELSE 0.0 END AS y
-       |  FROM documents),
-       |nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM documents),
+       |    CASE WHEN source IS NOT NULL AND ${clsFoldSql("source")} % 4 = 0
+       |      THEN 1.0 ELSE 0.0 END AS y
+       |  FROM documents $labWhere),
+       |nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM documents $labWhere),
        |w0 AS MATERIALIZED (
        |  SELECT CAST(r.range AS INT) AS i, 0.0 AS w FROM range(0, ${D + 1}) r),
        |$iterCtes,
@@ -1131,6 +1147,8 @@ object Text {
        |  SELECT f.doc_id, ${sumdec("f.x * w.w")} / 1000000.0 AS score
        |  FROM feat f JOIN w$ClsIters w USING (i) GROUP BY f.doc_id)""".stripMargin
   }
+
+  private val clsCoreCtes: String = clsCtes()
 
   /** #195's oracle — [[clsCoreCtes]] + the per-doc verdict tail. */
   val qQualityClassifierSql: String =
@@ -1198,6 +1216,87 @@ object Text {
        |    / CAST(count(*) * 1000000 AS DOUBLE) AS mean_score
        |FROM documents d JOIN sfin s USING (doc_id)
        |GROUP BY d.source
+       |ORDER BY d.source NULLS FIRST""".stripMargin
+
+  /** #198 — `q_classifier_holdout`: the #195 classifier evaluated on
+    * UNSEEN data — fit on the deterministic train slice (doc_id % 5 ≠
+    * 0, four fifths of the corpus), score the held-out fifth with the
+    * frozen model, read out per source: docs, kept docs, keep rate,
+    * fixed-point mean score, and the source's reference label. Because
+    * the #195 label is a function of the source, per-source keep_rate
+    * on held-out data IS the gate's selection behavior: recall for
+    * reference sources, false-positive rate for the rest — the
+    * quantified readout VERDICT r16 item 6 asked for (CurationSpec
+    * proves precision/recall floors on a planted separable corpus,
+    * where the synthetic gate corpus only pins the math).
+    *
+    * The split is `poly_hash(CAST(doc_id AS STRING)) % 5` — a raw
+    * `doc_id % 5` would ride the corpus's round-robin id assignment
+    * and hold out whole sources (measured: 4 of 20 at gate SF), which
+    * evaluates nothing; the string poly hash decorrelates the split
+    * from every id-assignment pattern, costs one tiny per-doc hash,
+    * and both engines fold it bit-identically. NULL ids fall out of
+    * both slices identically. The
+    * fit reuses the one persisted feature frame (built over the whole
+    * corpus — the fit's GD rounds restrict to train rows by joining
+    * the train-only labels, and the held-out slice scores from the
+    * same frame; the oracle MATERIALIZEs the same feat CTE with a
+    * train-filtered lab).
+    *
+    * Scale: exactly #195's shape — the split adds one codegen'd filter
+    * per side; nothing new shuffles.
+    */
+  def qClassifierHoldout(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.PolyHashStr.register(spark)
+    val docs = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("source"), col("text"))
+    val isRef = pmod(call_function("poly_hash", col("source")), lit(4L)) === 0
+    val split = pmod(call_function("poly_hash",
+      col("doc_id").cast("string")), lit(5L))
+    val lab = docs.where(split =!= 0)
+      .select(col("doc_id"),
+        when(coalesce(isRef, lit(false)), lit(1.0)).otherwise(lit(0.0)).as("y"))
+    val feat = classifierFeatures(docs, "doc_id", "text").persist()
+    val w = classifierFit(feat, lab, ClsDims, ClsIters, ClsLr,
+      sharedFeat = true)
+    import spark.implicits._
+    val wDf = w.zipWithIndex.map { case (v, i) => (i, v) }.toSeq.toDF("i", "w")
+    docs.where(split === 0)
+      .select(col("doc_id"), col("source"), isRef.as("is_ref"))
+      .join(scoreFeat(feat, wDf), Seq("doc_id"))
+      .groupBy("source", "is_ref")
+      .agg(count(lit(1)).as("n_holdout"),
+        sum(when(col("score") >= 0.5, 1L).otherwise(0L)).as("n_keep"),
+        (sum(floor(col("score") * lit(1000000.0)).cast("long"))
+          .cast("double")
+          / (count(lit(1)) * lit(1000000L)).cast("double")).as("mean_score"))
+      .select(col("source"), col("is_ref"), col("n_holdout"), col("n_keep"),
+        (col("n_keep").cast("double") / col("n_holdout").cast("double"))
+          .as("keep_rate"),
+        col("mean_score"))
+      .orderBy(col("source").asc_nulls_first)
+  }
+
+  /** #198's oracle — [[clsCtes]] with the train-slice filter + the
+    * held-out per-source tail (the #197 fixed-point aggregate over the
+    * complementary slice). The is_ref readout is null-source-safe on
+    * both sides (NULL source → NULL is_ref).
+    */
+  val qClassifierHoldoutSql: String =
+    s"""${clsCtes(s"WHERE ${clsFoldSql("CAST(doc_id AS VARCHAR)")} % 5 <> 0")}
+       |SELECT d.source,
+       |  CASE WHEN d.source IS NULL THEN CAST(NULL AS BOOLEAN)
+       |    ELSE ${clsFoldSql("d.source")} % 4 = 0 END AS is_ref,
+       |  CAST(count(*) AS BIGINT) AS n_holdout,
+       |  CAST(sum(CASE WHEN s.score >= 0.5 THEN 1 ELSE 0 END) AS BIGINT)
+       |    AS n_keep,
+       |  CAST(sum(CASE WHEN s.score >= 0.5 THEN 1 ELSE 0 END) AS DOUBLE)
+       |    / count(*) AS keep_rate,
+       |  CAST(sum(CAST(floor(s.score * 1000000) AS BIGINT)) AS DOUBLE)
+       |    / CAST(count(*) * 1000000 AS DOUBLE) AS mean_score
+       |FROM documents d JOIN sfin s USING (doc_id)
+       |WHERE ${clsFoldSql("CAST(d.doc_id AS VARCHAR)")} % 5 = 0
+       |GROUP BY 1, 2
        |ORDER BY d.source NULLS FIRST""".stripMargin
 
   /** The Gopher rule battery's stopword list (Rae et al. 2021 list the

@@ -520,6 +520,74 @@ class CurationSpec extends SparkSpec {
       "calibration lost or duplicated documents")
   }
 
+  test("classifier holdout: planted vocabularies generalize to unseen docs; gate reconciles") {
+    // #198's load-bearing claim: the fit's selection behavior holds on
+    // documents the GD never saw. Planted disjoint vocabularies, split
+    // by the gate's own hash rule, fit on train only, score the
+    // held-out slice — precision and recall at the threshold must be
+    // perfect on a separable corpus (the synthetic gate corpus only
+    // pins the math; THIS pins the generalization).
+    import spark.implicits._
+    import graft.api.Graft
+    graft.functions.PolyHashStr.register(spark)
+    val refWords = Seq("theory", "prime", "numbers", "proofs",
+      "rome", "history", "ancient", "carthage")
+    val crawlWords = Seq("click", "buy", "cheap", "pills",
+      "casino", "winner", "bonus", "now")
+    def mk(words: Seq[String], i: Int): String =
+      (0 until 5).map(j => words((i + j) % words.length)).mkString(" ")
+    val docs = ((0 until 25).map(i =>
+        (i.toLong, mk(refWords, i), s"wiki${i % 2}")) ++
+      (0 until 25).map(i =>
+        (100L + i, mk(crawlWords, i), s"crawl${i % 2}")))
+      .toDF("doc_id", "text", "source")
+      .persist()
+    val split = pmod(call_function("poly_hash",
+      col("doc_id").cast("string")), lit(5L))
+    val train = docs.where(split =!= 0)
+    val holdout = docs.where(split === 0)
+    val (nHoldRef, nHoldCrawl) = (
+      holdout.where(col("source").startsWith("wiki")).count(),
+      holdout.where(col("source").startsWith("crawl")).count())
+    assert(nHoldRef > 0 && nHoldCrawl > 0,
+      s"degenerate split: $nHoldRef ref / $nHoldCrawl crawl held out")
+    val model = Graft.qualityClassifierModel(train, "doc_id", "text",
+      col("source").startsWith("wiki"), iters = 16)
+    val scored = Graft.qualityClassifierScore(holdout, model,
+        "doc_id", "text")
+      .join(holdout.select(col("doc_id"),
+        col("source").startsWith("wiki").as("is_ref")), Seq("doc_id"))
+      // 0.5 — the gate's own threshold: the planted clusters sit at
+      // ~0.70 (ref) vs ~0.31 (crawl) on the held-out slice, so the
+      // 0/1-label midpoint separates with ±0.19 margin
+      .select(col("is_ref"), (col("score") >= 0.5).as("keep"))
+      .as[(Boolean, Boolean)].collect()
+    val tp = scored.count(r => r._1 && r._2)
+    val fp = scored.count(r => !r._1 && r._2)
+    val fn = scored.count(r => r._1 && !r._2)
+    assert(fp == 0 && fn == 0,
+      s"held-out separation failed: tp=$tp fp=$fp fn=$fn of ${scored.length}")
+    assert(tp.toLong == nHoldRef, "some held-out ref doc never scored")
+    docs.unpersist()
+    // the GATE readout reconciles with its own split and label rules
+    // (the hash gate pins the scores; this pins the bookkeeping)
+    val gate = SparkEntry.queries("q_classifier_holdout")(spark, sfTiny)
+      .as[(String, Boolean, Long, Long, Double, Double)].collect()
+    val allDocs = Tables.documents(spark, sfTiny)
+    val expHold = allDocs.where(pmod(call_function("poly_hash",
+      col("doc_id").cast("string")), lit(5L)) === 0).count()
+    assert(gate.map(_._3).sum == expHold,
+      "holdout readout lost or duplicated held-out documents")
+    gate.foreach { case (src, isRef, n, nKeep, rate, _) =>
+      assert(nKeep >= 0 && nKeep <= n && math.abs(rate - nKeep.toDouble / n) < 1e-12,
+        s"$src bookkeeping broken: $nKeep/$n rate=$rate")
+      val expRef = allDocs.where(col("source") === src)
+        .select(pmod(call_function("poly_hash", col("source")), lit(4L)) === 0)
+        .head().getBoolean(0)
+      assert(isRef == expRef, s"$src is_ref drifted from the #195 label rule")
+    }
+  }
+
   test("quality classifier fit is partition-invariant (fixed-point order-free)") {
     // the hash-gate's load-bearing claim: every cross-row sum in the
     // GD fit floor-quantizes to exact integers, so the fitted weights
