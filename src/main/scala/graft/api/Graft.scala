@@ -621,6 +621,71 @@ object Graft {
         explode(expr(s"winnow_fps(norm, $k, $w)")).as("shingle"))
   }
 
+  /** SIZE the minhash-LSH banding dial from corpus size and target
+    * Jaccard τ — the standard S-curve algebra (Leskovec/Rajaraman/
+    * Ullman, MMDS ch. 3; the (b=450, r=20) dial of Lee et al. 2022's
+    * corpus-scale dedup falls out of the same two inequalities), so
+    * the dial the r16 verdict flagged as "exists but manual" has a
+    * derivation (VERDICT r16 item 3). With `r` rows per band, a pair
+    * at similarity s collides in one band with probability s^r and
+    * becomes a candidate with probability 1 − (1 − s^r)^b.
+    *
+    * Two constraints pick (bands, rowsPerBand):
+    *  1. OCCUPANCY — a clearly-below-τ pair (s ≤ `sBackground`,
+    *     default τ/2) should produce ≤ `maxCollisionsPerDoc` expected
+    *     candidates per document: sBackground^r · n ≤ max, i.e.
+    *     r ≥ ln(n / max) / ln(1 / sBackground). This is the term that
+    *     GROWS with corpus size — probe 31 measured the fixed 16×4
+    *     default's bucket occupancy growing 14× at ×10 mass precisely
+    *     because r=4 admits s=0.5 pairs at 6.25% per band.
+    *  2. RECALL — a pair AT τ must become a candidate with probability
+    *     ≥ `recall`: 1 − (1 − τ^r)^b ≥ recall, i.e.
+    *     b ≥ ln(1 − recall) / ln(1 − τ^r) at the r chosen above.
+    *
+    * K = b·r minhash slots is the price: one K-long signature per doc
+    * (map-side, one pass) and K/r bucket rows per doc into the
+    * band-bucket join. The `maxK` guard refuses silently-unaffordable
+    * dials — relax `recall`, raise `tau`, or accept the larger K
+    * explicitly. Verification stays exact either way: the dial moves
+    * candidate recall and join fan-out, never survivor correctness.
+    *
+    * At the gate corpus (n=5×10³, τ=0.8) this returns (21, 10); at
+    * n=10⁸ it returns (249, 21) — K=5229, the Lee-et-al. cost class,
+    * which is what honest 90% recall at τ=0.8 costs at that scale.
+    *
+    * What the dial does and does NOT govern (probe 34, docs/
+    * SCALING.md): the occupancy inequality controls MODERATE-
+    * similarity collision mass — on a boilerplate-templated corpus
+    * (every unrelated pair at s ≈ 0.4) the default 16×4 emitted 36%
+    * of all n² pairs as candidates while this rule's dial cut them
+    * 21×. It cannot reduce TRUE near-dup cluster mass: an s ≈ 1 pair
+    * collides in every band at any r, so collision rows scale as
+    * b × (true pairs) — for dup-cluster-heavy corpora prefer the
+    * incremental/df-capped dedup path over more bands.
+    */
+  def minhashBanding(n: Long, tau: Double, recall: Double = 0.9,
+      sBackground: Double = -1.0, maxCollisionsPerDoc: Double = 1.0,
+      maxK: Int = 1 << 14): (Int, Int) = {
+    require(n > 0, s"corpus size must be positive, got $n")
+    require(tau > 0 && tau < 1, s"tau must be in (0, 1), got $tau")
+    require(recall > 0 && recall < 1, s"recall must be in (0, 1), got $recall")
+    require(maxCollisionsPerDoc > 0, "maxCollisionsPerDoc must be positive")
+    val s0 = if (sBackground > 0) sBackground else tau / 2
+    require(s0 < tau, s"sBackground ($s0) must sit below tau ($tau) — " +
+      "it is the similarity the dial treats as noise")
+    val r = math.max(2, math.ceil(
+      math.log(n.toDouble / maxCollisionsPerDoc) / math.log(1.0 / s0)).toInt)
+    val pBand = math.pow(tau, r)
+    val b = math.max(1, math.ceil(
+      math.log1p(-recall) / math.log1p(-pBand)).toInt)
+    require(b.toLong * r <= maxK,
+      s"minhashBanding(n=$n, tau=$tau, recall=$recall) needs K=b*r=" +
+        s"${b.toLong * r} > maxK=$maxK minhash slots — relax recall, " +
+        "raise tau/sBackground, or pass a larger maxK (the cost is one " +
+        "K-long signature per document)")
+    (b, r)
+  }
+
   /** Fit per-subspace PRODUCT-QUANTIZATION codebooks (Jégou/Douze/
     * Schmid, TPAMI 2011) — Euclidean Lloyd over each of `m` subvector
     * slices, all subspaces fitted in ONE pass per round over an

@@ -272,6 +272,10 @@ object Dedup {
     * more selective buckets — probe 31 measured the 16/4 default's
     * bucket occupancy growing 14× at ×10 real mass) and set bands for
     * the recall target near τ; K = bands × rowsPerBand minhash slots.
+    * [[graft.api.Graft.minhashBanding]] derives the dial from corpus
+    * size and τ (r17; probe 34 measures both regimes — the rule cuts
+    * moderate-similarity templated mass 21× but cannot reduce true
+    * near-dup cluster mass, which costs bands × pairs at any r).
     * Verification is exact either way — the dial moves candidate
     * recall and join fan-out, never correctness of survivors.
     */

@@ -103,6 +103,47 @@ class DedupSpec extends SparkSpec {
     }
   }
 
+  test("minhash banding RULE: S-curve algebra holds; the derived dial recovers the pairs") {
+    import graft.api.Graft
+    // pinned outputs of the two-inequality derivation (VERDICT r16
+    // item 3): gate corpus size and the Lee-et-al.-2022 scale
+    assert(Graft.minhashBanding(5000L, 0.8) == (21, 10),
+      "gate-SF dial drifted from the pinned derivation")
+    assert(Graft.minhashBanding(100000000L, 0.8) == (249, 21),
+      "corpus-scale dial drifted from the pinned derivation")
+    // the returned dial must SATISFY both constraints for a spread of
+    // (n, tau, recall) — the algebra, not just two memorized points
+    for (n <- Seq(1000L, 1000000L, 1000000000L); tau <- Seq(0.5, 0.8, 0.9);
+         rc <- Seq(0.9, 0.99)) {
+      // maxK unguarded here: the loop tests the ALGEBRA (at n=10⁹,
+      // τ=0.5, 90% recall the honest answer is K≈1.1M slots — LSH's
+      // real cost at low τ, which the guard exists to surface)
+      val (b, r) = Graft.minhashBanding(n, tau, rc, maxK = Int.MaxValue)
+      val s0 = tau / 2
+      assert(math.pow(s0, r) * n <= 1.0 + 1e-9,
+        s"occupancy bound violated at n=$n tau=$tau: s0^$r * n = ${math.pow(s0, r) * n}")
+      assert(1.0 - math.pow(1.0 - math.pow(tau, r), b) >= rc - 1e-9,
+        s"recall bound violated at n=$n tau=$tau rc=$rc with (b=$b, r=$r)")
+    }
+    // unaffordable dials refuse loudly instead of silently truncating
+    val e = intercept[IllegalArgumentException] {
+      Graft.minhashBanding(100000000L, 0.8, recall = 0.99, maxK = 64)
+    }
+    assert(e.getMessage.contains("maxK"))
+    // the derived gate-SF dial runs: exact verification, full recall on
+    // the planted >=0.97 near-dups (a third dial point next to the
+    // 8x8 / 32x2 rows above — this one is the rule's own output)
+    val (b, r) = Graft.minhashBanding(500L, 0.8)
+    val dialed = operators.Dedup.minhashLshWithBands(spark, sf, b, r)
+      .select("doc_a", "doc_b")
+    val exact = SparkEntry.queries("q_dedup_ngram_jaccard")(spark, sf)
+      .select("doc_a", "doc_b")
+    assert(dialed.exceptAll(exact).count() == 0,
+      s"rule dial ${b}x$r emitted a non-near-dup pair")
+    assert(exact.exceptAll(dialed).count() == 0,
+      s"rule dial ${b}x$r missed a planted near-dup")
+  }
+
   test("gated minhash twin recovers exactly the exact-jaccard pairs too") {
     // the cross-engine poly family must not cost recall on the planted
     // corpus: same invariant as the production xxhash64 flavor
