@@ -690,6 +690,109 @@ class StreamingSpec extends SparkSpec {
     assert(Streams.trainingManifestState(spark, s"$base3/none").isEmpty)
   }
 
+  test("stream_training_manifest: kill-mid-batch + restart from checkpoint converges") {
+    // VERDICT r16 item 4 — the chaos case the replay-fixpoint rows
+    // don't cover: an incarnation dies AFTER some of the batch's
+    // sub-stores were written but BEFORE the checkpoint commit (the
+    // manifest batch writes keeper-quality, funnel, and manifest_docs
+    // state in sequence — a crash between sub-steps leaves them
+    // inconsistent). The restarted incarnation re-delivers the same
+    // batch id; every sub-store write is a batch=<id> overwrite, so
+    // the re-run must repair the torn state and the final fold must
+    // equal the one-shot batch manifest.
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val rows = Tables.documents(spark, sfTiny)
+      .select("doc_id", "text", "lang", "source")
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getString(3)))
+      .toIndexedSeq
+    val want = SparkEntry.queries("q_training_manifest")(spark, sfTiny)
+      .collect().map(_.toSeq).toSeq
+    // bench-first 3-chunk split (the provisional-contamination caveat
+    // is moot, so the fold must be EXACT despite the chaos)
+    val bench = rows.filter(_._1 % 97 == 0)
+    val rest = rows.filterNot(_._1 % 97 == 0)
+    val chunks = bench +: rest.grouped((rest.size + 1) / 2).toSeq
+    val base = java.nio.file.Files.createTempDirectory("graft_mankill_").toString
+    val ms = MemoryStream[(Long, String, String, String)]
+    def start() = Streams.trainingManifestSink(
+      ms.toDF().toDF("doc_id", "text", "lang", "source"),
+      s"$base/state", s"$base/ckpt").start()
+    // incarnation A commits batch 0, then dies
+    val qa = start()
+    try { ms.addData(chunks(0)); qa.processAllAvailable() } finally qa.stop()
+    // chunk 1 is enqueued but NOT committed; the dying incarnation got
+    // through two of batch 1's three sub-store writes (keeper-quality
+    // and funnel) and never reached manifest_docs or the checkpoint
+    ms.addData(chunks(1))
+    val tornDf = chunks(1).toDF("doc_id", "text", "lang", "source")
+    Streams.applyKeeperQualityBatch(tornDf.select("doc_id", "text"), 1L,
+      s"$base/state", "doc_id", "text", n = 3,
+      tau = graft.operators.Dedup.JaccardTau,
+      dfCap = graft.operators.Dedup.DfCap)
+    Streams.applyCurationFunnelBatch(tornDf, 1L, s"$base/state",
+      "doc_id", "text", "lang")
+    // incarnation B restarts from the checkpoint: batch 1 re-delivers
+    // (at-least-once), its overwrites repair the torn state; chunk 2
+    // then arrives normally
+    val qb = start()
+    try {
+      qb.processAllAvailable()
+      ms.addData(chunks(2)); qb.processAllAvailable()
+    } finally qb.stop()
+    val got = Streams.trainingManifestState(spark, s"$base/state").get
+      .collect().map(_.toSeq).toSeq
+    assert(got == want,
+      s"post-crash fold != batch manifest:\n$got\n$want")
+  }
+
+  test("stream_quality_classifier: kill-mid-batch + restart from checkpoint converges") {
+    // same chaos case for the frozen-model scorer: the dying
+    // incarnation left a PARTIAL scores/batch=1 partition (half the
+    // batch's rows — what a torn multi-file write looks like to the
+    // reader); the restarted incarnation re-scores the whole batch as
+    // the same id, the overwrite replaces the partial partition, and
+    // the final score set equals the batch scorer over all rows.
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    graft.functions.PolyHashStr.register(spark)
+    val docs = Tables.documents(spark, sfTiny)
+      .select(col("doc_id"), col("source"), col("text"))
+    val isRef = pmod(call_function("poly_hash", col("source")), lit(4L)) === 0
+    val model = graft.api.Graft.qualityClassifierModel(
+      docs, "doc_id", "text", isRef).localCheckpoint(true)
+    val want = graft.api.Graft.qualityClassifierScore(docs, model,
+      "doc_id", "text").collect().map(_.toSeq).toSet
+    val rows = docs.select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toIndexedSeq
+    val chunks = rows.grouped((rows.size + 2) / 3).toSeq
+    val base = java.nio.file.Files.createTempDirectory("graft_clskill_").toString
+    val ms = MemoryStream[(Long, String)]
+    def start() = Streams.qualityClassifierSink(
+      ms.toDF().toDF("doc_id", "text"), model,
+      s"$base/state", s"$base/ckpt").start()
+    val qa = start()
+    try { ms.addData(chunks(0)); qa.processAllAvailable() } finally qa.stop()
+    // torn write: only HALF of chunk 1 landed as batch 1 before death
+    ms.addData(chunks(1))
+    Streams.applyQualityClassifierBatch(
+      chunks(1).take(chunks(1).size / 2).toDF("doc_id", "text"), 1L,
+      model, s"$base/state", "doc_id", "text")
+    val torn = Streams.qualityClassifierScores(spark, s"$base/state").get
+    assert(torn.count() < rows.size, "precondition: state must be torn")
+    // restart repairs batch 1 and carries on with chunk 2
+    val qb = start()
+    try {
+      qb.processAllAvailable()
+      ms.addData(chunks(2)); qb.processAllAvailable()
+    } finally qb.stop()
+    val got = Streams.qualityClassifierScores(spark, s"$base/state").get
+      .collect().map(_.toSeq).toSet
+    assert(got == want,
+      "post-crash folded scores != the batch scorer over all rows")
+  }
+
   test("stream_token_fertility: folded partials equal the batch dashboard") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
