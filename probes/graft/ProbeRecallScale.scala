@@ -5,26 +5,34 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 // disposable probe main: SCALING probe 33 — residual-IVFADC recall at
-// ×64/×256-class mass on a NON-degenerate corpus (VERDICT r16 item 1:
-// probe 30 priced COST at ×256 but its clone-ladder corpus put every
-// query's nearest neighbor a quantization-invisible 1e-3 away, so its
-// recall numbers measured nothing). Corpus here: a deterministic
-// hash-generated Gaussian-ish MIXTURE — `nClusters` centers in [0,1]^64,
-// every vector = its cluster's center + per-component noise — so
-// nearest neighbors are genuine same-cluster vectors at realistic
-// distances and IVF cells have real structure to learn.
+// mass on a NON-degenerate corpus (VERDICT r16 item 1: probe 30 priced
+// COST at ×256 but its clone-ladder corpus put every query's nearest
+// neighbor a quantization-invisible 1e-3 away, so its recall numbers
+// measured only quantizer noise).
 //
-// Measured per (N, cells, nprobe, flavor ∈ {raw, residual}):
-// true-top-1-in-top-20 recall over 64 queries, mean scan fraction
-// (probed cell mass / corpus), and serve wall.
-// args: [Ns=131072,524288] [cells=32,64,128] [nprobes=1,3,8]
+// Corpus: a deterministic hash-generated MIXTURE — `nClusters` centers
+// in [0,1]^64, every vector = center + 0.25-spread noise — so IVF
+// cells have real structure AND every query competes against hundreds
+// of near-equidistant same-cluster siblings. Each of the nq query
+// vectors additionally gets ONE planted twin at 0.4× the sibling
+// noise scale: a genuine, resolvable-if-the-quantizer-works unique
+// nearest neighbor (brute-force-verified), not a clone.
+//
+// Measured per (N, m, cells, nprobe, flavor ∈ {raw, residual}):
+// true-top-1-in-top-20 recall over nq queries, mean scan fraction,
+// serve wall. m ∈ {8, 16} prices the PQ-resolution dial the first
+// run of this probe showed binding (recall ≈ k/cluster_size at m=8:
+// the quantizer could not rank WITHIN clusters at all).
+// args: [Ns=131072,524288] [ms=8,16] [cells=64,256,724] [nprobes=1,3,8]
 object ProbeRecallScale {
   def main(args: Array[String]): Unit = {
     val ns = args.headOption.getOrElse("131072,524288")
       .split(",").map(_.trim.toLong).toSeq
-    val cellsDials = (if (args.length > 1) args(1) else "32,64,128")
+    val mDials = (if (args.length > 1) args(1) else "8,16")
       .split(",").map(_.trim.toInt).toSeq
-    val nprobes = (if (args.length > 2) args(2) else "1,3,8")
+    val cellsDials = (if (args.length > 2) args(2) else "64,256,724")
+      .split(",").map(_.trim.toInt).toSeq
+    val nprobes = (if (args.length > 3) args(3) else "1,3,8")
       .split(",").map(_.trim.toInt).toSeq
     val spark = SparkSession.builder().master("local[32]")
       .config("spark.sql.shuffle.partitions", 32)
@@ -36,24 +44,35 @@ object ProbeRecallScale {
     graft.functions.CosineSimilarity.register(spark)
     import graft.api.Graft
 
-    val Dim = 64; val M = 8; val K = 64
+    val Dim = 64; val K = 64
     val nClusters = 256
     val nq = 64
 
-    // deterministic synthetic mixture: u(id, c, salt) ∈ [0, 1) from
-    // xxhash64 — center spread 1.0, noise spread 0.25, so same-cluster
-    // vectors are near but NOT clones (component-wise noise distance
-    // ~0.1 rms vs ~0.29 between random centers)
     def u(idCol: org.apache.spark.sql.Column, c: org.apache.spark.sql.Column,
         salt: Int) =
       (pmod(xxhash64(idCol, c, lit(salt)), lit(1000000L)).cast("double")
         / 1000000.0)
-    def mixture(n: Long): DataFrame =
-      spark.range(n).select(col("id").as("vec_id"),
+    // base mixture + planted twins: twin of query q gets vec_id
+    // 2_000_000_000 + q and q's vector slightly perturbed AND scaled
+    // 1.05× — the serving stack maximizes the INNER PRODUCT, so a
+    // twin must out-dot the query's same-cluster siblings (an
+    // unscaled perturbed twin is the euclidean NN but loses the dot
+    // race to bigger-norm siblings ~80% of the time; the 5% norm bump
+    // gives a ~0.9 dot margin vs the siblings' ~0.29 sd — a genuine,
+    // resolvable-if-the-quantizer-works MIPS winner, not a clone)
+    def mixture(n: Long): DataFrame = {
+      val base = spark.range(n).select(col("id").as("vec_id"),
         transform(sequence(lit(0), lit(Dim - 1)), c =>
           u(pmod(col("id"), lit(nClusters.toLong)), c, 1) +
             lit(0.25) * (u(col("id"), c, 2) - lit(0.5))).as("v"))
-        .repartition(32).localCheckpoint(true)
+      val twins = spark.range(nq).select(
+        (col("id") + lit(2000000000L)).as("vec_id"),
+        transform(sequence(lit(0), lit(Dim - 1)), c =>
+          (u(pmod(col("id"), lit(nClusters.toLong)), c, 1) +
+            lit(0.25) * (u(col("id"), c, 2) - lit(0.5)) +
+            lit(0.04) * (u(col("id"), c, 3) - lit(0.5))) * lit(1.05)).as("v"))
+      base.unionByName(twins).repartition(32).localCheckpoint(true)
+    }
 
     def time[T](body: => T): (T, Double) = {
       val t0 = System.nanoTime()
@@ -63,10 +82,9 @@ object ProbeRecallScale {
 
     for (n <- ns) {
       val emb = mixture(n)
-      println(s"== corpus n=$n (${emb.count()} vectors, $nClusters clusters) ==")
+      println(s"== corpus n=$n+$nq twins ($nClusters clusters) ==")
       val queries = emb.where(col("vec_id") < nq)
         .select(col("vec_id").as("qid"), col("v").as("qv")).localCheckpoint(true)
-      // exact ground truth: brute top-1 per query (excluding self)
       val w = Window.partitionBy("q_id").orderBy(col("dot").desc, col("vec_id"))
       val top1 = emb.crossJoin(broadcast(
           queries.select(col("qid").as("q_id"), col("qv"))))
@@ -75,23 +93,23 @@ object ProbeRecallScale {
         .withColumn("r", row_number().over(w)).where(col("r") === 1)
         .select(col("q_id"), col("vec_id").as("id")).localCheckpoint(true)
       val nTruth = top1.count()
+      val planted = top1.where(col("id") === col("q_id") + 2000000000L).count()
+      println(s"   ground truth: $planted/$nTruth queries' true NN is the planted twin")
 
-      for (cells <- cellsDials) {
+      for (m <- mDials; cells <- cellsDials) {
         val cents = Graft.kmeansCentroids(emb, "vec_id", "v", cells, 2)
           .localCheckpoint(true)
-        // cell mass for scan-fraction accounting
         val cellMass = Graft.ivfIndex(emb, "vec_id", "v", cents, "cent_id", "cv")
-          .groupBy("cell").agg(count(lit(1)).as("m")).localCheckpoint(true)
-        val rawBooks = Graft.pqCodebooks(emb, "vec_id", "v", Dim, M, K, 2)
+          .groupBy("cell").agg(count(lit(1)).as("cm")).localCheckpoint(true)
+        val rawBooks = Graft.pqCodebooks(emb, "vec_id", "v", Dim, m, K, 2)
           .localCheckpoint(true)
         val resBooks = Graft.ivfPqCodebooks(emb, "vec_id", "v",
-          cents, "cent_id", "cv", Dim, M, K, 2).localCheckpoint(true)
+          cents, "cent_id", "cv", Dim, m, K, 2).localCheckpoint(true)
         val rawIdx = Graft.ivfPqIndex(emb, "vec_id", "v", cents, "cent_id",
           "cv", rawBooks, residual = false).localCheckpoint(true)
         val resIdx = Graft.ivfPqIndex(emb, "vec_id", "v", cents, "cent_id",
           "cv", resBooks, residual = true).localCheckpoint(true)
         for (nprobe <- nprobes) {
-          // scan fraction: per query, probed-cell mass / n, averaged
           val probes = queries.crossJoin(broadcast(cents))
             .withColumn("c", call_function("cosine_sim", col("cv"), col("qv")))
             .withColumn("r", row_number().over(Window.partitionBy("qid")
@@ -99,7 +117,7 @@ object ProbeRecallScale {
             .where(col("r") <= nprobe)
             .select(col("qid"), col("cent_id").as("cell"))
           val frac = probes.join(cellMass, "cell")
-            .groupBy("qid").agg(sum("m").as("pm"))
+            .groupBy("qid").agg(sum("cm").as("pm"))
             .agg(avg(col("pm").cast("double") / n)).head().getDouble(0)
           def hits(idx: DataFrame, books: DataFrame, res: Boolean): (Long, Double) =
             time {
@@ -110,7 +128,7 @@ object ProbeRecallScale {
             }
           val (hRaw, tRaw) = hits(rawIdx, rawBooks, res = false)
           val (hRes, tRes) = hits(resIdx, resBooks, res = true)
-          println(f"n=$n%7d cells=$cells%4d nprobe=$nprobe%2d " +
+          println(f"n=$n%7d m=$m%3d cells=$cells%4d nprobe=$nprobe%2d " +
             f"scan=${frac * 100}%5.1f%% " +
             f"raw=${hRaw.toDouble / nTruth}%5.3f (${tRaw}%5.1f s)  " +
             f"residual=${hRes.toDouble / nTruth}%5.3f (${tRes}%5.1f s)")

@@ -29,8 +29,19 @@ object Olap {
       .agg(
         sum(dQty).cast("double").as("sum_qty"),
         sum(dPrice).cast("double").as("sum_base_price"),
-        sum(dPrice * (one - dDisc)).cast("double").as("sum_disc_price"),
-        sum(dPrice * (one - dDisc) * (one + dTax)).cast("double").as("sum_charge"),
+        // the two multi-factor sums quantize to CENTS before the
+        // double cast (r17, found by the ×10 sf1-class crosscheck): at
+        // scale 6 a whole-table charge sum's integer numerator crosses
+        // 2^53 around ~$2.8×10¹⁰ total, and DuckDB's decimal→double
+        // cast double-rounds there (double(N)/double(10^s), two
+        // roundings) while Spark's BigDecimal cast rounds once — a
+        // 1-ulp divergence. Cents keep the numerator exact to ~$9×10¹³
+        // (≈ sf10⁴) and both engines round the same exact decimal the
+        // same way. The sum itself stays exact decimal arithmetic.
+        round(sum(dPrice * (one - dDisc)), 2).cast("double")
+          .as("sum_disc_price"),
+        round(sum(dPrice * (one - dDisc) * (one + dTax)), 2).cast("double")
+          .as("sum_charge"),
         (sum(dQty).cast("double") / count(lit(1))).as("avg_qty"),
         (sum(dPrice).cast("double") / count(lit(1))).as("avg_price"),
         (sum(dDisc).cast("double") / count(lit(1))).as("avg_disc"),
@@ -1084,8 +1095,8 @@ object Olap {
     """SELECT l_returnflag, l_linestatus,
       |  CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty,
       |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS sum_base_price,
-      |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(4,2)) - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE) AS sum_disc_price,
-      |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(4,2)) - CAST(l_discount AS DECIMAL(4,2))) * (CAST(1 AS DECIMAL(4,2)) + CAST(l_tax AS DECIMAL(4,2)))) AS DOUBLE) AS sum_charge,
+      |  CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(4,2)) - CAST(l_discount AS DECIMAL(4,2)))), 2) AS DOUBLE) AS sum_disc_price,
+      |  CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(4,2)) - CAST(l_discount AS DECIMAL(4,2))) * (CAST(1 AS DECIMAL(4,2)) + CAST(l_tax AS DECIMAL(4,2)))), 2) AS DOUBLE) AS sum_charge,
       |  CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) / COUNT(*) AS avg_qty,
       |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) / COUNT(*) AS avg_price,
       |  CAST(SUM(CAST(l_discount AS DECIMAL(4,2))) AS DOUBLE) / COUNT(*) AS avg_disc,
