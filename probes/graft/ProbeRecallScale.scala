@@ -97,6 +97,11 @@ object ProbeRecallScale {
       println(s"   ground truth: $planted/$nTruth queries' true NN is the planted twin")
 
       for (m <- mDials; cells <- cellsDials) {
+        // persist (not localCheckpoint) the per-combo frames: the
+        // combo loop must RELEASE them deterministically at its end —
+        // the first run of this probe OOMed at 524k×724 cells because
+        // checkpointed index blocks from earlier combos were still
+        // awaiting async GC-driven cleanup
         val cents = Graft.kmeansCentroids(emb, "vec_id", "v", cells, 2)
           .localCheckpoint(true)
         val cellMass = Graft.ivfIndex(emb, "vec_id", "v", cents, "cent_id", "cv")
@@ -106,9 +111,11 @@ object ProbeRecallScale {
         val resBooks = Graft.ivfPqCodebooks(emb, "vec_id", "v",
           cents, "cent_id", "cv", Dim, m, K, 2).localCheckpoint(true)
         val rawIdx = Graft.ivfPqIndex(emb, "vec_id", "v", cents, "cent_id",
-          "cv", rawBooks, residual = false).localCheckpoint(true)
+          "cv", rawBooks, residual = false)
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         val resIdx = Graft.ivfPqIndex(emb, "vec_id", "v", cents, "cent_id",
-          "cv", resBooks, residual = true).localCheckpoint(true)
+          "cv", resBooks, residual = true)
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         for (nprobe <- nprobes) {
           val probes = queries.crossJoin(broadcast(cents))
             .withColumn("c", call_function("cosine_sim", col("cv"), col("qv")))
@@ -133,6 +140,7 @@ object ProbeRecallScale {
             f"raw=${hRaw.toDouble / nTruth}%5.3f (${tRaw}%5.1f s)  " +
             f"residual=${hRes.toDouble / nTruth}%5.3f (${tRes}%5.1f s)")
         }
+        rawIdx.unpersist(true); resIdx.unpersist(true)
         spark.catalog.clearCache()
       }
     }

@@ -621,6 +621,39 @@ object Graft {
         explode(expr(s"winnow_fps(norm, $k, $w)")).as("shingle"))
   }
 
+  /** MinHash + banded-LSH near-duplicate pairs over ANY id+text frame
+    * — the frame form of the #27 gate query, so the
+    * [[minhashBanding]] sizing rule has an API to feed: word-3-gram
+    * shingles (codegen'd [[graft.functions.WordShingles]]), one
+    * map-side K=bands×rowsPerBand signature pass (codegen'd
+    * [[graft.functions.MinHashSig]], seeded xxhash64), the band-bucket
+    * self-join as the sole pair-producing shuffle, pairs deduplicated
+    * BEFORE signatures re-attach, and EXACT-Jaccard verification on
+    * candidates only. Returns `(doc_a, doc_b, est_jaccard, jaccard)`
+    * with jaccard ≥ `tau`.
+    *
+    * Defaults are the gate dial (16×4); size the dial for your corpus
+    * with `minhashBanding(n, tau)` — and note its two-regime caveat
+    * (probe 34): the dial controls moderate-similarity fan-out, not
+    * true-dup cluster mass.
+    */
+  def minhashPairs(docs: DataFrame, idCol: String, textCol: String,
+      bands: Int = 16, rowsPerBand: Int = 4,
+      tau: Double = graft.operators.Dedup.JaccardTau): DataFrame = {
+    require(bands > 0 && rowsPerBand > 0,
+      s"banding dials must be positive, got bands=$bands rows=$rowsPerBand")
+    val spark = docs.sparkSession
+    graft.functions.WordShingles.register(spark)
+    graft.functions.MinHashSig.register(spark)
+    val sets = docs
+      .select(col(idCol).as("doc_id"), col(textCol).as("_mh_text"))
+      .select(col("doc_id"), expr("word_shingles(_mh_text, 3)").as("shingles"))
+      .withColumn("n_shingles", size(col("shingles")).cast("long"))
+      .persist()
+    graft.operators.Dedup.minhashLshPipelineFrame(sets, "minhash_sig",
+      slots => xxhash64(slots: _*), bands, rowsPerBand, tau)
+  }
+
   /** SIZE the minhash-LSH banding dial from corpus size and target
     * Jaccard τ — the standard S-curve algebra (Leskovec/Rajaraman/
     * Ullman, MMDS ch. 3; the (b=450, r=20) dial of Lee et al. 2022's

@@ -308,10 +308,24 @@ object Dedup {
     */
   private def minhashLshPipeline(spark: SparkSession, dir: String,
       sigFn: String, bucketOf: Seq[Column] => Column,
-      nBands: Int = 16, nRowsPerBand: Int = 4): DataFrame = {
+      nBands: Int = 16, nRowsPerBand: Int = 4): DataFrame =
+    minhashLshPipelineFrame(shingleSets(spark, dir), sigFn, bucketOf,
+      nBands, nRowsPerBand, JaccardTau)
+
+  /** The #27 pipeline over an ALREADY-SHINGLED frame `(doc_id,
+    * shingles, n_shingles)` — the frame-based core the dir-bound gate
+    * queries and the [[graft.api.Graft.minhashPairs]] facade share
+    * (r17: the [[graft.api.Graft.minhashBanding]] sizing rule needs a
+    * frame API to be usable on anything but the gate tables). The
+    * caller owns persisting the shingle frame (every consumer
+    * references it 2–3 times).
+    */
+  private[graft] def minhashLshPipelineFrame(sets: DataFrame,
+      sigFn: String, bucketOf: Seq[Column] => Column,
+      nBands: Int, nRowsPerBand: Int, tau: Double): DataFrame = {
     val K = nBands * nRowsPerBand
     val Bands = nBands; val RowsPerBand = nRowsPerBand
-    val sigs = shingleSets(spark, dir)
+    val sigs = sets
       .select(col("doc_id"), expr(s"$sigFn(shingles, $K)").as("sig"))
       .where(col("sig").isNotNull)
     val bandCols = (0 until Bands).map { j =>
@@ -334,7 +348,6 @@ object Dedup {
         size(filter(zip_with(col("sig_a"), col("sig_b"), (x, y) => x === y),
           b => b)).cast("double") / K)
       .select("doc_a", "doc_b", "est_jaccard")
-    val sets = shingleSets(spark, dir)
     cand
       .join(sets.select(col("doc_id").as("doc_a"), col("shingles").as("sh_a"),
         col("n_shingles").as("na")), "doc_a")
@@ -343,7 +356,7 @@ object Dedup {
       .withColumn("inter", size(array_intersect(col("sh_a"), col("sh_b"))).cast("long"))
       .withColumn("jaccard",
         col("inter").cast("double") / (col("na") + col("nb") - col("inter")))
-      .where(col("jaccard") >= JaccardTau)
+      .where(col("jaccard") >= tau)
       .select("doc_a", "doc_b", "est_jaccard", "jaccard")
       .orderBy("doc_a", "doc_b")
   }

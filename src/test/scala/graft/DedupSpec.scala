@@ -144,6 +144,23 @@ class DedupSpec extends SparkSpec {
       s"rule dial ${b}x$r missed a planted near-dup")
   }
 
+  test("minhashPairs frame facade == the dir-bound gate query at the same dial") {
+    // the facade and the gate share minhashLshPipelineFrame by
+    // construction; this pins the wiring (shingle grain, flavor,
+    // verification threshold) so they cannot drift
+    import graft.api.Graft
+    val docs = Tables.documents(spark, sf).select("doc_id", "text")
+    val viaFacade = Graft.minhashPairs(docs, "doc_id", "text")
+      .collect().map(_.toSeq).toSeq
+    val viaGate = SparkEntry.queries("q_dedup_minhash_lsh")(spark, sf)
+      .collect().map(_.toSeq).toSeq
+    assert(viaFacade == viaGate, "facade drifted from the gate pipeline")
+    // the rule's dial feeds straight in
+    val (b, r) = Graft.minhashBanding(500L, 0.8)
+    assert(Graft.minhashPairs(docs, "doc_id", "text", b, r).count() ==
+      viaGate.size.toLong, "rule-dialed facade lost planted pairs")
+  }
+
   test("gated minhash twin recovers exactly the exact-jaccard pairs too") {
     // the cross-engine poly family must not cost recall on the planted
     // corpus: same invariant as the production xxhash64 flavor
