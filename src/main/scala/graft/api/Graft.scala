@@ -1065,6 +1065,79 @@ object Graft {
       .select("q_id", "rank", "id", "adc")
   }
 
+  /** Exact re-rank of an ANN candidate shortlist: re-score every
+    * `(q_id, id)` candidate by the TRUE inner product against the
+    * full-precision corpus vector and keep the top-k per query —
+    * the standard second stage behind any quantized first stage
+    * (FAISS's refine/`k_factor` idiom). ADC scores rank by
+    * `q·recon(v)`, and the reconstruction error is what caps recall:
+    * past the point where the PQ cell size exceeds the margin between
+    * true neighbors, MORE candidates stop helping (noise out-ranks
+    * the true NN inside the approximate top-k — measured in SCALING
+    * probe 33, where recall fell as nprobe rose). Re-ranking a
+    * shortlist of R ≫ k candidates converts that regime back into
+    * "recall = P(true NN reaches the shortlist)", which the routing
+    * dials control.
+    *
+    * `candidates` needs `q_id` and `id` columns (the [[pqQuery]]/
+    * [[ivfPqQuery]] output shape). Returns `(q_id, rank, id, dot)`,
+    * ties → lowest id.
+    *
+    * Scale shape: the candidate×query frame is (queries × R) rows —
+    * it BROADCASTS into one pass over the corpus store (no corpus
+    * shuffle, no index rebuild); the exact dot runs only on corpus
+    * rows that survive the broadcast join, i.e. ≤ queries × R rows'
+    * worth of vector reads, and the final top-k is a window over the
+    * same tiny frame. The added cost is one corpus scan's worth of
+    * I/O — on an id-bucketed store the join prunes to the candidate
+    * buckets and even that scan is partial.
+    */
+  def rerankExact(candidates: DataFrame, embeddings: DataFrame,
+      idCol: String, vecCol: String, queries: DataFrame, qIdCol: String,
+      qVecCol: String, k: Int): DataFrame = {
+    require(k > 0, s"k must be positive, got $k")
+    val spark = candidates.sparkSession
+    graft.functions.DotProduct.register(spark)
+    val q = queries.select(col(qIdCol).as("q_id"),
+      col(qVecCol).cast("array<double>").as("qv"))
+    val cand = candidates.select(col("q_id"), col("id")).join(q, "q_id")
+    val corpus = embeddings.select(col(idCol).as("id"),
+      col(vecCol).cast("array<double>").as("_graft_rv"))
+    val wTop = Window.partitionBy("q_id").orderBy(col("dot").desc, col("id"))
+    corpus.join(broadcast(cand), "id")
+      .withColumn("dot",
+        call_function("dot_product", col("qv"), col("_graft_rv")))
+      .withColumn("rank", row_number().over(wTop))
+      .where(col("rank") <= k)
+      .select("q_id", "rank", "id", "dot")
+  }
+
+  /** IVFADC serving with an exact re-rank tail: [[ivfPqQuery]] pulls
+    * an ADC shortlist of `shortlist ≥ k` candidates per query, then
+    * [[rerankExact]] re-scores the shortlist against the raw vectors
+    * and keeps the true top-k of it. Returns `(q_id, rank, id, dot)`.
+    *
+    * Dial guidance (probe 33): `shortlist` buys back the recall the
+    * PQ resolution (m) gives up — at m where ADC noise binds, raising
+    * `shortlist` is far cheaper than raising m (the index stays
+    * 64×-compressed; the rerank reads `queries × shortlist` raw
+    * vectors), so size m for memory and `shortlist`/`nprobe` for
+    * recall. `shortlist` ≈ 4–10× k is the usual range.
+    */
+  def ivfPqQueryRerank(index: DataFrame, centroids: DataFrame,
+      centIdCol: String, centVecCol: String, codebooks: DataFrame,
+      queries: DataFrame, qIdCol: String, qVecCol: String,
+      embeddings: DataFrame, idCol: String, vecCol: String,
+      k: Int, nprobe: Int, shortlist: Int, excludeSelf: Boolean = false,
+      residual: Boolean = true): DataFrame = {
+    require(shortlist >= k,
+      s"shortlist ($shortlist) must be >= k ($k) — the rerank can only " +
+        "reorder what the ADC stage surfaced")
+    val sl = ivfPqQuery(index, centroids, centIdCol, centVecCol, codebooks,
+      queries, qIdCol, qVecCol, shortlist, nprobe, excludeSelf, residual)
+    rerankExact(sl, embeddings, idCol, vecCol, queries, qIdCol, qVecCol, k)
+  }
+
   /** (m, subDim) of a fitted codebook frame — driver metadata reads
     * over the m×k-row codebook only (the k-bounded convention).
     */

@@ -1591,4 +1591,210 @@ object Similarity {
        |FROM perq
        |ORDER BY q_id""".stripMargin
   }
+
+  /** The #199 ADC shortlist size: 4× [[TopK]] — the "shortlist buys
+    * back quantizer resolution" dial at its usual low end.
+    */
+  private[graft] val RerankShort = 20
+
+  /** #199 — `q_ann_rerank`: recall@k of the IVFADC + EXACT-RERANK
+    * serving pipeline against the ADC-only path, side by side. The
+    * first stage is exactly #191's routed residual-ADC scan, but it
+    * keeps a [[RerankShort]]-deep shortlist instead of top-k; the
+    * second stage re-scores the shortlist by the TRUE inner product
+    * (one broadcast join back to the raw vectors — [[graft.api.Graft
+    * .rerankExact]] is the production twin) and takes the top-k of
+    * that. Output per query: integer `hits_adc` / `hits_rerank` /
+    * `expected` plus the two single-division recalls, and ONE total
+    * row (`q_id = -1`).
+    *
+    * Why this is a first-class gate and not a bench note: ADC recall
+    * is capped by reconstruction error — probe 33 measured recall
+    * FALLING as nprobe rose, because each extra probed cell adds
+    * noise-ranked competitors. The rerank converts that regime into
+    * "did the true neighbor reach the shortlist at all", which the
+    * routing dials control, at the cost of `queries × shortlist` raw
+    * vector reads. `recall_rerank ≥ recall_adc` row-by-row is pinned
+    * in AnnSpec (the rerank can only fix ADC mistakes inside the
+    * shortlist, never introduce new ones: the ADC top-k IS a subset
+    * of the shortlist it reorders).
+    *
+    * Scale: the shortlist frame is NQueries × [[RerankShort]] rows —
+    * it broadcasts into one corpus-store pass for the exact re-score;
+    * everything else is #191's broadcast-only composition. The recall
+    * joins are TopK×NQueries rows, broadcast.
+    */
+  def qAnnRerankRecall(spark: SparkSession, dir: String): DataFrame = {
+    val (e, cents, _) = ivfGateAssigned(spark, dir)
+    val q = e.where(col("vec_id") < NQueries)
+      .select(col("vec_id").as("q_id"), col("v").as("qv"))
+    val wProbe = Window.partitionBy("q_id")
+      .orderBy(col("ccos").desc, col("cent_id"))
+    val probes = q.crossJoin(broadcast(cents))
+      .withColumn("ccos", cosine(col("cv"), col("qv")))
+      .withColumn("crank", row_number().over(wProbe))
+      .where(col("crank") <= AdcNProbe)
+      .select(col("q_id"), col("qv"), col("cent_id").as("cell"))
+    val wAdc = Window.partitionBy("q_id").orderBy(col("adc").desc, col("vec_id"))
+    val short = ivfPqGateEncoded(spark, dir)
+      .join(broadcast(probes), "cell")
+      .where(col("vec_id") =!= col("q_id"))
+      .withColumn("adc", call_function("dot_product", col("qv"), col("rhat")))
+      .withColumn("rank", row_number().over(wAdc))
+      .where(col("rank") <= RerankShort)
+      .select(col("q_id"), col("vec_id"), col("rank"))
+    val adcTop = short.where(col("rank") <= TopK)
+      .select(col("q_id"), col("vec_id"), lit(1L).as("hit_adc"))
+    // the exact re-score: ONE corpus pass with the broadcast shortlist
+    // (the rerankExact shape), stated inline so every float op and
+    // tie-break matches the oracle's fold order
+    val wRer = Window.partitionBy("q_id").orderBy(col("dot").desc, col("vec_id"))
+    val rer = e.select(col("vec_id"), col("v"))
+      .join(broadcast(short.join(q, "q_id")
+        .select(col("q_id"), col("qv"), col("vec_id"))), "vec_id")
+      .withColumn("dot", call_function("dot_product", col("qv"), col("v")))
+      .withColumn("rrank", row_number().over(wRer))
+      .where(col("rrank") <= TopK)
+      .select(col("q_id"), col("vec_id"), lit(1L).as("hit_rer"))
+    val wDot = Window.partitionBy("q_id").orderBy(col("dot").desc, col("vec_id"))
+    val exact = e.crossJoin(broadcast(q))
+      .where(col("vec_id") =!= col("q_id"))
+      .withColumn("dot", call_function("dot_product", col("qv"), col("v")))
+      .withColumn("rank", row_number().over(wDot))
+      .where(col("rank") <= TopK)
+      .select(col("q_id"), col("vec_id"))
+    val perQ = exact.join(broadcast(adcTop), Seq("q_id", "vec_id"), "left")
+      .join(broadcast(rer), Seq("q_id", "vec_id"), "left")
+      .groupBy("q_id")
+      .agg(count(lit(1)).as("expected"),
+        coalesce(sum("hit_adc"), lit(0L)).as("hits_adc"),
+        coalesce(sum("hit_rer"), lit(0L)).as("hits_rerank"))
+    def shape(d: DataFrame) = d
+      .withColumn("recall_adc",
+        when(col("expected") === 0, lit(null).cast("double"))
+          .otherwise(col("hits_adc").cast("double") / col("expected")))
+      .withColumn("recall_rerank",
+        when(col("expected") === 0, lit(null).cast("double"))
+          .otherwise(col("hits_rerank").cast("double") / col("expected")))
+      .select("q_id", "hits_adc", "hits_rerank", "expected",
+        "recall_adc", "recall_rerank")
+    val total = perQ.agg(
+      coalesce(sum("hits_adc"), lit(0L)).as("hits_adc"),
+      coalesce(sum("hits_rerank"), lit(0L)).as("hits_rerank"),
+      coalesce(sum("expected"), lit(0L)).as("expected"))
+      .select(lit(-1L).as("q_id"), col("expected"),
+        col("hits_adc"), col("hits_rerank"))
+    shape(perQ).unionByName(shape(total)).orderBy("q_id")
+  }
+
+  /** #199's oracle: the #191 CTE chain (usable/centroid/assignment,
+    * residual seed codebook, per-(vector, subspace) argmin, rhat)
+    * with the ADC rank kept to [[RerankShort]] depth, then the exact
+    * re-score of the shortlist joined back to `e` — every float op
+    * stated in the same fold order as the Spark plan's.
+    */
+  val qAnnRerankRecallSql: String = {
+    def fold8(a: String, b: String) =
+      s"list_reduce(list_prepend(0.0, list_transform(range(1, ${PqSubDim + 1}), i -> $a[i] * $b[i])), (acc, x) -> acc + x)"
+    def fold64(a: String, b: String) =
+      s"list_reduce(list_prepend(0.0, list_transform(range(1, ${Dim + 1}), i -> $a[i] * $b[i])), (acc, x) -> acc + x)"
+    def cos(a: String, b: String) =
+      s"${fold64(a, b)} / (sqrt(${fold64(a, a)}) * sqrt(${fold64(b, b)}))"
+    s"""WITH e AS MATERIALIZED (
+       |  SELECT vec_id,
+       |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+       |  FROM embeddings
+       |  WHERE len(embedding) = $Dim
+       |    AND NOT EXISTS (SELECT 1 FROM unnest(embedding) AS t(x) WHERE x IS NULL)
+       |    AND isfinite(${fold64("v", "v")}) AND ${fold64("v", "v")} > 0),
+       |m AS (
+       |  SELECT greatest(50, CAST(n // CAST(ceil(sqrt(n)) AS BIGINT) AS BIGINT)) AS md
+       |  FROM (SELECT CAST(count(*) AS BIGINT) AS n FROM embeddings)),
+       |cents AS MATERIALIZED (
+       |  SELECT vec_id AS cent_id, v AS cv FROM e, m
+       |  WHERE ((vec_id % md) + md) % md = 0),
+       |assigned AS MATERIALIZED (
+       |  SELECT vec_id, v, cell, cv FROM (
+       |    SELECT e.vec_id, e.v, c.cent_id AS cell, c.cv,
+       |      row_number() OVER (PARTITION BY e.vec_id
+       |        ORDER BY ${cos("c.cv", "e.v")} DESC, c.cent_id) AS ar
+       |    FROM e CROSS JOIN cents c) WHERE ar = 1),
+       |wres AS MATERIALIZED (
+       |  SELECT vec_id, cell, cv,
+       |    list_transform(range(1, ${Dim + 1}), i -> v[i] - cv[i]) AS rv
+       |  FROM assigned),
+       |seeds AS MATERIALIZED (
+       |  SELECT vec_id AS code, rv AS cbv FROM wres, m
+       |  WHERE ((vec_id % md) + md) % md = 1),
+       |grid AS (
+       |  SELECT w.vec_id, s.code, ss.s AS sub_s,
+       |    w.rv[ss.s * $PqSubDim + 1 : ss.s * $PqSubDim + $PqSubDim] AS sv,
+       |    s.cbv[ss.s * $PqSubDim + 1 : ss.s * $PqSubDim + $PqSubDim] AS cw
+       |  FROM wres w CROSS JOIN seeds s
+       |  CROSS JOIN (SELECT unnest(range(0, $PqM)) AS s) ss),
+       |picked AS MATERIALIZED (
+       |  SELECT vec_id, sub_s, cw FROM (
+       |    SELECT vec_id, sub_s, code, cw,
+       |      row_number() OVER (PARTITION BY vec_id, sub_s
+       |        ORDER BY ${fold8("cw", "cw")} - 2 * ${fold8("sv", "cw")}, code) AS pr
+       |    FROM grid) WHERE pr = 1),
+       |hat AS MATERIALIZED (
+       |  SELECT w.vec_id, w.cell,
+       |    list_transform(range(1, ${Dim + 1}),
+       |      i -> w.cv[i] + r.rrec[i]) AS rhat
+       |  FROM wres w JOIN (
+       |    SELECT vec_id, flatten(list(cw ORDER BY sub_s)) AS rrec
+       |    FROM picked GROUP BY vec_id) r USING (vec_id)),
+       |q AS MATERIALIZED (
+       |  SELECT vec_id AS q_id, v AS qv FROM e WHERE vec_id < $NQueries),
+       |probes AS (
+       |  SELECT q_id, qv, cell FROM (
+       |    SELECT q.q_id, q.qv, c.cent_id AS cell,
+       |      row_number() OVER (PARTITION BY q.q_id
+       |        ORDER BY ${cos("c.cv", "q.qv")} DESC, c.cent_id) AS crank
+       |    FROM q CROSS JOIN cents c) WHERE crank <= $AdcNProbe),
+       |short AS MATERIALIZED (
+       |  SELECT q_id, vec_id, rank FROM (
+       |    SELECT p.q_id, h.vec_id,
+       |      row_number() OVER (PARTITION BY p.q_id
+       |        ORDER BY ${fold64("p.qv", "h.rhat")} DESC, h.vec_id) AS rank
+       |    FROM probes p JOIN hat h ON h.cell = p.cell AND h.vec_id <> p.q_id)
+       |  WHERE rank <= $RerankShort),
+       |adctop AS (SELECT q_id, vec_id FROM short WHERE rank <= $TopK),
+       |rer AS (
+       |  SELECT q_id, vec_id FROM (
+       |    SELECT s.q_id, s.vec_id,
+       |      row_number() OVER (PARTITION BY s.q_id
+       |        ORDER BY ${fold64("q.qv", "e.v")} DESC, s.vec_id) AS rrank
+       |    FROM short s JOIN q USING (q_id) JOIN e ON e.vec_id = s.vec_id)
+       |  WHERE rrank <= $TopK),
+       |exact AS (
+       |  SELECT q_id, vec_id FROM (
+       |    SELECT q.q_id, e.vec_id,
+       |      row_number() OVER (PARTITION BY q.q_id
+       |        ORDER BY ${fold64("q.qv", "e.v")} DESC, e.vec_id) AS rank
+       |    FROM q JOIN e ON e.vec_id <> q.q_id)
+       |  WHERE rank <= $TopK),
+       |perq AS (
+       |  SELECT x.q_id,
+       |    CAST(coalesce(sum(CASE WHEN a.vec_id IS NOT NULL THEN 1 ELSE 0 END), 0) AS BIGINT) AS hits_adc,
+       |    CAST(coalesce(sum(CASE WHEN r.vec_id IS NOT NULL THEN 1 ELSE 0 END), 0) AS BIGINT) AS hits_rerank,
+       |    CAST(count(*) AS BIGINT) AS expected
+       |  FROM exact x LEFT JOIN adctop a USING (q_id, vec_id)
+       |    LEFT JOIN rer r USING (q_id, vec_id)
+       |  GROUP BY 1)
+       |SELECT q_id, hits_adc, hits_rerank, expected,
+       |  CAST(hits_adc AS DOUBLE) / nullif(expected, 0) AS recall_adc,
+       |  CAST(hits_rerank AS DOUBLE) / nullif(expected, 0) AS recall_rerank
+       |FROM perq
+       |UNION ALL
+       |SELECT CAST(-1 AS BIGINT) AS q_id,
+       |  CAST(coalesce(sum(hits_adc), 0) AS BIGINT) AS hits_adc,
+       |  CAST(coalesce(sum(hits_rerank), 0) AS BIGINT) AS hits_rerank,
+       |  CAST(coalesce(sum(expected), 0) AS BIGINT) AS expected,
+       |  CAST(coalesce(sum(hits_adc), 0) AS DOUBLE) / nullif(sum(expected), 0) AS recall_adc,
+       |  CAST(coalesce(sum(hits_rerank), 0) AS DOUBLE) / nullif(sum(expected), 0) AS recall_rerank
+       |FROM perq
+       |ORDER BY q_id""".stripMargin
+  }
 }
