@@ -34,6 +34,9 @@ object ProbeRecallScale {
       .split(",").map(_.trim.toInt).toSeq
     val nprobes = (if (args.length > 3) args(3) else "1,3,8")
       .split(",").map(_.trim.toInt).toSeq
+    // optional 5th arg: exact-rerank shortlist depth (0 = off) — the
+    // #199 tail served behind the residual flavor at each dial
+    val shortlist = if (args.length > 4) args(4).toInt else 0
     val spark = SparkSession.builder().master("local[32]")
       .config("spark.sql.shuffle.partitions", 32)
       .config("spark.sql.session.timeZone", "UTC")
@@ -135,10 +138,20 @@ object ProbeRecallScale {
             }
           val (hRaw, tRaw) = hits(rawIdx, rawBooks, res = false)
           val (hRes, tRes) = hits(resIdx, resBooks, res = true)
+          val rrTxt = if (shortlist > 0) {
+            val (hRr, tRr) = time {
+              val s = Graft.ivfPqQueryRerank(resIdx, cents, "cent_id",
+                "cv", resBooks, queries, "qid", "qv", emb, "vec_id", "v",
+                k = 20, nprobe = nprobe, shortlist = shortlist,
+                excludeSelf = true, residual = true)
+              top1.join(s.select("q_id", "id"), Seq("q_id", "id")).count()
+            }
+            f"  rerank@$shortlist=${hRr.toDouble / nTruth}%5.3f (${tRr}%5.1f s)"
+          } else ""
           println(f"n=$n%7d m=$m%3d cells=$cells%4d nprobe=$nprobe%2d " +
             f"scan=${frac * 100}%5.1f%% " +
             f"raw=${hRaw.toDouble / nTruth}%5.3f (${tRaw}%5.1f s)  " +
-            f"residual=${hRes.toDouble / nTruth}%5.3f (${tRes}%5.1f s)")
+            f"residual=${hRes.toDouble / nTruth}%5.3f (${tRes}%5.1f s)" + rrTxt)
         }
         rawIdx.unpersist(true); resIdx.unpersist(true)
         spark.catalog.clearCache()

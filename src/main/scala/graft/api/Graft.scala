@@ -1138,6 +1138,113 @@ object Graft {
     rerankExact(sl, embeddings, idCol, vecCol, queries, qIdCol, qVecCol, k)
   }
 
+  /** Per-dimension quantization bounds for the SQ8 scalar quantizer
+    * (the FAISS IndexScalarQuantizer QT_8bit recipe): `(d, lo, hi)`
+    * over the usable vectors — one map-side-combinable contraction to
+    * `dim` rows (each partition emits at most dim partial min/max
+    * pairs, so the exchange is dim-bounded regardless of corpus
+    * size). min/max are exact and order-free: the fit is bit-
+    * deterministic under any partitioning, no seed rule needed —
+    * the whole reason SQ is the simplest member of the quantizer
+    * ladder (flat → SQ8 → PQ → IVFPQ).
+    */
+  def sqBounds(embeddings: DataFrame, idCol: String, vecCol: String,
+      dim: Int): DataFrame =
+    sqUsable(embeddings, idCol, vecCol, dim)
+      .select(posexplode(col("vec")).as(Seq("d", "x")))
+      .groupBy("d").agg(min("x").as("lo"), max("x").as("hi"))
+
+  /** The SQ usable rule is STRICTER than [[usablePqVectors]]: one
+    * ±inf element would set that dimension's bound to ±inf and poison
+    * every vector's reconstruction in that dimension (span = inf ⟹
+    * recon = NaN corpus-wide), so non-finite elements exclude the
+    * whole vector from both the fit and the encode — the
+    * validateEmbeddings quarantine is where such rows surface.
+    */
+  private def sqUsable(embeddings: DataFrame, idCol: String,
+      vecCol: String, dim: Int): DataFrame =
+    usablePqVectors(embeddings, idCol, vecCol, dim)
+      .where(!exists(col("vec"), x => abs(x) > lit(Double.MaxValue)))
+
+  /** The dim-row bounds frame as ONE broadcastable row of `(lo[],
+    * span[])` arrays, index-aligned with the vector dimensions.
+    */
+  private def sqBoundArrays(bounds: DataFrame): DataFrame =
+    bounds.agg(
+      transform(array_sort(collect_list(struct(col("d"), col("lo")))),
+        t => t.getField("lo")).as("_graft_lo"),
+      transform(array_sort(collect_list(struct(col("d"),
+          (col("hi") - col("lo")).as("span")))),
+        t => t.getField("span")).as("_graft_span"))
+
+  /** SQ8 encode: every usable vector becomes `dim` SIGNED BYTES —
+    * `code_d = clamp(floor((v_d − lo_d) / span_d × 256), 0, 255) −
+    * 128` stored as tinyint (the −128 shift makes the 0..255 level
+    * fit parquet's signed int8, so the stored index is literally
+    * dim bytes per vector: 8× smaller than float64, 4× smaller than
+    * float32 — SQ's entire value is scan I/O, not compute). A
+    * constant dimension (span = 0) encodes level 0 and reconstructs
+    * at `lo`. Returns `(id, codes: array<tinyint>)`.
+    *
+    * Scale shape: ONE corpus pass with the 1-row bounds arrays
+    * broadcast; per-element integer math inside whole-stage codegen;
+    * nothing shuffles.
+    */
+  def sqEncode(embeddings: DataFrame, idCol: String, vecCol: String,
+      bounds: DataFrame, dim: Int): DataFrame =
+    sqUsable(embeddings, idCol, vecCol, dim)
+      .crossJoin(broadcast(sqBoundArrays(bounds)))
+      .select(col("id"),
+        zip_with(col("vec"),
+          zip_with(col("_graft_lo"), col("_graft_span"),
+            (l, s) => struct(l.as("lo"), s.as("span"))),
+          (x, b) => (when(b.getField("span") === 0d, lit(0.0))
+            .otherwise(least(lit(255.0), greatest(lit(0.0),
+              floor((x - b.getField("lo")) / b.getField("span") *
+                lit(256.0)))))
+            - lit(128.0)).cast("byte")).as("codes"))
+
+  /** SQ8 top-k serving: reconstruct `v̂_d = lo_d + (code_d + 128 +
+    * 0.5) × span_d / 256` per code row (query-independent — computed
+    * once per corpus row, not per pair) and rank by the codegen'd
+    * `q·v̂`. Returns `(q_id, rank, id, score)`, ties → lowest id.
+    *
+    * Scale shape: one pass over the BYTE-sized code store with the
+    * query set broadcast — same compute shape as the flat scan, at
+    * ⅛ the scan I/O; SQ is the in-cell scorer to compose with
+    * [[ivfIndex]] routing when sublinearity is needed, exactly like
+    * [[pqQuery]]. Against PQ at the same corpus: 64 bytes/vector vs
+    * m=8's 8 bytes — SQ spends 8× the memory to keep per-dimension
+    * resolution, which is why its recall sits near the flat scan's
+    * while PQ's needs an exact re-rank tail ([[rerankExact]]).
+    */
+  def sqQuery(codes: DataFrame, bounds: DataFrame, queries: DataFrame,
+      qIdCol: String, qVecCol: String, k: Int,
+      excludeSelf: Boolean = false): DataFrame = {
+    require(k > 0, s"k must be positive, got $k")
+    val spark = codes.sparkSession
+    graft.functions.DotProduct.register(spark)
+    val q = queries.select(col(qIdCol).as("q_id"),
+      col(qVecCol).cast("array<double>").as("qv"))
+    val wTop = Window.partitionBy("q_id").orderBy(col("score").desc, col("id"))
+    codes.crossJoin(broadcast(sqBoundArrays(bounds)))
+      .select(col("id"),
+        zip_with(
+          zip_with(col("_graft_lo"), col("_graft_span"),
+            (l, s) => struct(l.as("lo"), s.as("span"))),
+          col("codes"),
+          (b, c) => b.getField("lo") +
+            (c.cast("double") + lit(128.0) + lit(0.5)) *
+              b.getField("span") / lit(256.0)).as("recon"))
+      .crossJoin(broadcast(q))
+      .where(if (excludeSelf) col("id") =!= col("q_id") else lit(true))
+      .withColumn("score",
+        call_function("dot_product", col("qv"), col("recon")))
+      .withColumn("rank", row_number().over(wTop))
+      .where(col("rank") <= k)
+      .select("q_id", "rank", "id", "score")
+  }
+
   /** (m, subDim) of a fitted codebook frame — driver metadata reads
     * over the m×k-row codebook only (the k-bounded convention).
     */

@@ -1104,6 +1104,106 @@ object Similarity {
        |WHERE rank <= $TopK ORDER BY q_id, rank""".stripMargin
   }
 
+  /** #200 — `q_ann_sq`: top-k serving under the SQ8 SCALAR quantizer
+    * (FAISS IndexScalarQuantizer QT_8bit) — per-dimension exact
+    * min/max bounds, each element quantized to one of 256 levels
+    * (`floor((v_d − lo_d)/span_d × 256)` clamped to [0, 255]), scored
+    * by `q·v̂` against the mid-level reconstruction `v̂_d = lo_d +
+    * (level + ½)·span_d/256`. Output `(q_id, rank, vec_id, score)`,
+    * the #177 shape. The production twin is [[graft.api.Graft
+    * .sqBounds]]/[[graft.api.Graft.sqEncode]]/[[graft.api.Graft
+    * .sqQuery]] (codes stored as literal int8 — dim BYTES per vector).
+    *
+    * Why SQ is in the ladder between flat and PQ: at 64 dims it
+    * spends 64 bytes/vector (vs m=8 PQ's 8) to keep PER-DIMENSION
+    * resolution, so its recall sits near the flat scan's (PqSpec pins
+    * SQ ≥ PQ on the gate corpus) while still cutting scan I/O 8×
+    * against float64 — the right first stop when memory allows it,
+    * before PQ + rerank. Unlike PQ there is NO trained codebook: the
+    * bounds are exact order-free min/max, so the fit is bit-
+    * deterministic under any partitioning with no seed rule.
+    *
+    * Scale: the bounds contraction is dim-bounded (map-side partial
+    * min/max); encode/serve are one corpus pass each with the 1-row
+    * bounds and the query set broadcast; compose with [[graft.api
+    * .Graft.ivfIndex]] routing for sublinearity exactly like pqQuery.
+    */
+  def qAnnSq(spark: SparkSession, dir: String): DataFrame = {
+    val (e, _, _) = ivfGateAssigned(spark, dir)
+    val q = e.where(col("vec_id") < NQueries)
+      .select(col("vec_id").as("q_id"), col("v").as("qv"))
+    val bArr = e.select(posexplode(col("v")).as(Seq("d", "x")))
+      .groupBy("d").agg(min("x").as("lo"), max("x").as("hi"))
+      .agg(
+        transform(array_sort(collect_list(struct(col("d"), col("lo")))),
+          t => t.getField("lo")).as("lo"),
+        transform(array_sort(collect_list(struct(col("d"),
+            (col("hi") - col("lo")).as("sp")))),
+          t => t.getField("sp")).as("span"))
+    val w = Window.partitionBy("q_id").orderBy(col("score").desc, col("vec_id"))
+    e.crossJoin(broadcast(bArr))
+      .select(col("vec_id"),
+        zip_with(col("v"),
+          zip_with(col("lo"), col("span"),
+            (l, s) => struct(l.as("lo"), s.as("sp"))),
+          (x, b) => when(b.getField("sp") === 0d, b.getField("lo"))
+            .otherwise(b.getField("lo") +
+              (least(lit(255.0), greatest(lit(0.0),
+                floor((x - b.getField("lo")) / b.getField("sp") *
+                  lit(256.0)))) + lit(0.5)) *
+                b.getField("sp") / lit(256.0))).as("recon"))
+      .crossJoin(broadcast(q))
+      .where(col("vec_id") =!= col("q_id"))
+      .withColumn("score",
+        call_function("dot_product", col("qv"), col("recon")))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .where(col("rank") <= TopK)
+      .select("q_id", "rank", "vec_id", "score")
+      .orderBy("q_id", "rank")
+  }
+
+  /** #200's oracle: the shared usable frame, the per-dimension
+    * min/max bounds, the clamped-floor level pick and mid-level
+    * reconstruction stated in the same op order as the Spark plan,
+    * one ascending dot fold.
+    */
+  val qAnnSqSql: String = {
+    def fold64(a: String, b: String) =
+      s"list_reduce(list_prepend(0.0, list_transform(range(1, ${Dim + 1}), i -> $a[i] * $b[i])), (acc, x) -> acc + x)"
+    s"""WITH e AS MATERIALIZED (
+       |  SELECT vec_id,
+       |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+       |  FROM embeddings
+       |  WHERE len(embedding) = $Dim
+       |    AND NOT EXISTS (SELECT 1 FROM unnest(embedding) AS t(x) WHERE x IS NULL)
+       |    AND isfinite(${fold64("v", "v")}) AND ${fold64("v", "v")} > 0),
+       |bd AS (
+       |  SELECT i, min(v[i]) AS lo, max(v[i]) AS hi
+       |  FROM e CROSS JOIN (SELECT unnest(range(1, ${Dim + 1})) AS i)
+       |  GROUP BY i),
+       |b AS (
+       |  SELECT list(lo ORDER BY i) AS lo,
+       |    list(hi - lo ORDER BY i) AS span
+       |  FROM bd),
+       |recon AS MATERIALIZED (
+       |  SELECT vec_id, list_transform(range(1, ${Dim + 1}), i ->
+       |    CASE WHEN b.span[i] = 0 THEN b.lo[i]
+       |         ELSE b.lo[i] +
+       |           (least(255.0, greatest(0.0,
+       |              floor((e.v[i] - b.lo[i]) / b.span[i] * 256.0))) + 0.5)
+       |           * b.span[i] / 256.0 END) AS rv
+       |  FROM e CROSS JOIN b),
+       |q AS (SELECT vec_id AS q_id, v AS qv FROM e WHERE vec_id < $NQueries),
+       |ranked AS (
+       |  SELECT q_id, vec_id, score,
+       |    row_number() OVER (PARTITION BY q_id ORDER BY score DESC, vec_id) AS rank
+       |  FROM (
+       |    SELECT q.q_id, r.vec_id, ${fold64("q.qv", "r.rv")} AS score
+       |    FROM q JOIN recon r ON r.vec_id <> q.q_id))
+       |SELECT q_id, CAST(rank AS BIGINT) AS rank, vec_id, score FROM ranked
+       |WHERE rank <= $TopK ORDER BY q_id, rank""".stripMargin
+  }
+
   /** Coreset size for the k-center gate (#184). */
   private[graft] val CoresetK = 8
 
@@ -1615,7 +1715,7 @@ object Similarity {
     * "did the true neighbor reach the shortlist at all", which the
     * routing dials control, at the cost of `queries × shortlist` raw
     * vector reads. `recall_rerank ≥ recall_adc` row-by-row is pinned
-    * in AnnSpec (the rerank can only fix ADC mistakes inside the
+    * in PqSpec (the rerank can only fix ADC mistakes inside the
     * shortlist, never introduce new ones: the ADC top-k IS a subset
     * of the shortlist it reorders).
     *

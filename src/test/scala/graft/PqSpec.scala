@@ -403,6 +403,89 @@ class PqSpec extends SparkSpec {
     rindex.unpersist(); rbooks.unpersist()
   }
 
+  test("sq8: byte codes in range, order-free fit, error bound, recall >= pq at equal corpus") {
+    graft.functions.DotProduct.register(spark)
+    val bounds = Graft.sqBounds(embTable, "vec_id", "v", Dim)
+    // the fit is exact min/max — bit-identical under any partitioning,
+    // no seed rule involved
+    val again = Graft.sqBounds(embTable.repartition(7), "vec_id", "v", Dim)
+    assert(bounds.exceptAll(again).count() == 0 &&
+      again.exceptAll(bounds).count() == 0, "sq fit drifted under repartition")
+    assert(bounds.count() == Dim)
+    val codes = Graft.sqEncode(embTable, "vec_id", "v", bounds, Dim).persist()
+    assert(codes.count() == embTable.count(),
+      "every usable vector must encode")
+    assert(codes.where(size(col("codes")) =!= Dim).count() == 0,
+      "codes must be dim-wide")
+    // the stored grain is literal int8: the schema carries ByteType
+    assert(codes.schema("codes").dataType ==
+      org.apache.spark.sql.types.ArrayType(
+        org.apache.spark.sql.types.ByteType, false) ||
+      codes.schema("codes").dataType.simpleString == "array<tinyint>",
+      s"codes must store bytes, got ${codes.schema("codes").dataType}")
+    // a non-finite element excludes the WHOLE vector from fit and
+    // encode (one inf would poison that dimension's span corpus-wide)
+    val poisoned = embTable.unionByName(spark.range(1).select(
+      lit(99999L).as("vec_id"),
+      transform(sequence(lit(0), lit(Dim - 1)),
+        _ => lit(Double.PositiveInfinity)).as("v")))
+    val pb = Graft.sqBounds(poisoned, "vec_id", "v", Dim)
+    assert(pb.exceptAll(bounds).count() == 0 &&
+      bounds.exceptAll(pb).count() == 0,
+      "an inf vector must not move the bounds")
+    assert(Graft.sqEncode(poisoned, "vec_id", "v", pb, Dim)
+      .where(col("id") === 99999L).count() == 0,
+      "an inf vector must not encode")
+    // serving: |q·recon − q·v| ≤ Σ|q_d|·span_d/512 (mid-level recon is
+    // within half a level of the true value, per dimension)
+    val q10 = embTable.where(col("vec_id") < 10)
+      .select(col("vec_id").as("qid"), col("v").as("qv"))
+    val served = Graft.sqQuery(codes, bounds, q10, "qid", "qv",
+      k = embTable.count().toInt, excludeSelf = true)
+    val spanArr = bounds.agg(
+      transform(array_sort(collect_list(struct(col("d"),
+          (col("hi") - col("lo")).as("sp")))),
+        t => t.getField("sp")).as("span"))
+    val viol = served
+      .join(embTable.select(col("vec_id").as("id"), col("v")), "id")
+      .join(q10.select(col("qid").as("q_id"), col("qv")), "q_id")
+      .crossJoin(broadcast(spanArr))
+      .withColumn("truth", call_function("dot_product", col("qv"), col("v")))
+      .withColumn("bound", aggregate(
+        zip_with(col("qv"), col("span"), (a, b) => abs(a) * b),
+        lit(0.0), (acc, x) => acc + x) / lit(512.0) + lit(1e-9))
+      .where(abs(col("score") - col("truth")) > col("bound")).count()
+    assert(viol == 0, s"$viol served scores broke the half-level error bound")
+    // the quantizer ladder: SQ8 spends 64 bytes/vector to PQ m=8's 8 —
+    // its true-top-1-in-top-20 recall must dominate flat PQ's on the
+    // same corpus (equal corpus, equal queries, both full scans)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("q_id").orderBy(col("dot").desc, col("vec_id"))
+    val t1 = embTable.crossJoin(broadcast(
+        q10.select(col("qid").as("q_id"), col("qv"))))
+      .where(col("vec_id") =!= col("q_id"))
+      .withColumn("dot", call_function("dot_product", col("qv"), col("v")))
+      .withColumn("r", row_number().over(w)).where(col("r") === 1)
+      .select(col("q_id"), col("vec_id").as("id")).persist()
+    val sq20 = Graft.sqQuery(codes, bounds, q10, "qid", "qv",
+      k = 20, excludeSelf = true)
+    val pqCodes = Graft.pqEncode(embTable, "vec_id", "v", books)
+    val pq20 = Graft.pqQuery(pqCodes, books, q10, "qid", "qv",
+      k = 20, excludeSelf = true)
+    val hSq = t1.join(sq20.select("q_id", "id"), Seq("q_id", "id")).count()
+    val hPq = t1.join(pq20.select("q_id", "id"), Seq("q_id", "id")).count()
+    assert(hSq >= hPq,
+      s"SQ8 recall ($hSq) fell below flat PQ's ($hPq) at 8x the bits")
+    assert(hSq >= 9, s"SQ8 true-NN-in-top-20 fell to $hSq/10 — near-flat " +
+      "resolution is the flavor's contract")
+    // serving plan: bounds and queries broadcast; the code store never
+    // shuffle-joins
+    val plan = sq20.queryExecution.executedPlan.toString
+    assert(!plan.contains("SortMergeJoin") && !plan.contains("ShuffledHashJoin"),
+      s"corpus-sized join crept into SQ serving:\n$plan")
+    codes.unpersist(); t1.unpersist()
+  }
+
   test("q_ann_rerank gate: recall_rerank dominates recall_adc row-wise") {
     val rows = graft.operators.Similarity.qAnnRerankRecall(spark, sf)
       .collect()
