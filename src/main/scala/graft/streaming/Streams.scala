@@ -1219,6 +1219,83 @@ object Streams {
       .orderBy("subspace", "code"))
   }
 
+  /** #201 — streaming SQ8 clip-rate maintenance: the drift monitor a
+    * frozen scalar quantizer needs in production. [[graft.api.Graft
+    * .sqBounds]] is fitted once offline; as the distribution drifts
+    * past the stale bounds, arriving elements saturate at level 0 or
+    * 255 — the clip rate per dimension is the earliest, cheapest
+    * signal that the bounds (and every stored code) need a refit.
+    * Per micro-batch: encode against the FROZEN bounds (the #196
+    * frozen-artifact discipline — poisoned ingest simply produces no
+    * code row, per the encode's usable rule), contract to `dim` rows
+    * of integer boundary-level counts, land them additively under
+    * `clip/batch=<id>` (overwrite ⟹ replay-safe; foreachBatch is
+    * at-least-once). [[sqClipState]] folds the partials into the
+    * per-dimension readout.
+    *
+    * At the FIT corpus the boundary levels are legitimately occupied
+    * (each dimension's min maps to level 0, its max clamps to 255 by
+    * construction), so the baseline clip rate is small but nonzero —
+    * the alarm condition is the RATE RISING, not being > 0.
+    *
+    * Scale shape: per-batch cost is one pass over the batch with the
+    * 1-row bounds arrays broadcast plus a dim-bounded contraction;
+    * state grows by dim rows per batch and folds map-side on read.
+    */
+  def sqClipSink(vectors: DataFrame, bounds: DataFrame,
+      statePath: String, checkpointDir: String,
+      idCol: String = "vec_id", vecCol: String = "v")
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    vectors.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        applySqClipBatch(batch, batchId, bounds, statePath, idCol, vecCol)
+      }
+
+  /** One maintenance step of [[sqClipSink]] (package-visible so the
+    * spec can drive replay directly). */
+  private[graft] def applySqClipBatch(batch: DataFrame, batchId: Long,
+      bounds: DataFrame, statePath: String, idCol: String,
+      vecCol: String): Unit = {
+    import org.apache.hadoop.fs.Path
+    val root = new Path(new Path(statePath).toUri.getPath)
+    if (batch.isEmpty) return
+    val dim = bounds.count().toInt
+    graft.api.Graft.sqEncode(batch.select(col(idCol), col(vecCol)),
+        idCol, vecCol, bounds, dim)
+      .select(posexplode(col("codes")).as(Seq("d", "code")))
+      .groupBy("d").agg(
+        count(lit(1)).as("n"),
+        sum(when(col("code") === lit(-128), 1L).otherwise(0L)).as("n_lo"),
+        sum(when(col("code") === lit(127), 1L).otherwise(0L)).as("n_hi"))
+      .write.mode("overwrite")
+      .parquet(new Path(root, s"clip/batch=$batchId").toString)
+  }
+
+  /** The clip readout after the last completed batch: per dimension
+    * `(d, n_vecs, n_lo, n_hi, lo_rate, hi_rate, clip_rate)` — integer
+    * sums folded across batches, rates by one IEEE division each
+    * (bit-identical to the one-shot encode aggregate; spec-pinned).
+    * None before the first batch.
+    */
+  def sqClipState(spark: org.apache.spark.sql.SparkSession,
+      statePath: String): Option[DataFrame] = {
+    import org.apache.hadoop.fs.Path
+    val croot = new Path(new Path(statePath).toUri.getPath, "clip")
+    val fs = croot.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(croot)) return None
+    Some(spark.read.parquet(croot.toString)
+      .groupBy("d").agg(sum("n").as("n_vecs"),
+        sum("n_lo").as("n_lo"), sum("n_hi").as("n_hi"))
+      .select(col("d").cast("int").as("d"), col("n_vecs"),
+        col("n_lo"), col("n_hi"),
+        (col("n_lo").cast("double") / col("n_vecs")).as("lo_rate"),
+        (col("n_hi").cast("double") / col("n_vecs")).as("hi_rate"),
+        ((col("n_lo") + col("n_hi")).cast("double") / col("n_vecs"))
+          .as("clip_rate"))
+      .orderBy("d"))
+  }
+
   /** One ingest step of [[semanticDedupSink]] (package-visible so the
     * spec can drive replay directly).
     */

@@ -1299,6 +1299,83 @@ class StreamingSpec extends SparkSpec {
       java.nio.file.Files.createTempDirectory("graft_pqu_e_").toString).isEmpty)
   }
 
+  test("stream_sq_clip: folded clip partials equal the one-shot encode; drift raises hi_rate; replay-safe") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val base = java.nio.file.Files.createTempDirectory("graft_sqc_").toString
+    val emb = Tables.embeddings(spark, sf)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+    // the FROZEN artifact: exact per-dimension bounds fitted once
+    val bounds = graft.api.Graft.sqBounds(emb, "vec_id", "v", 64)
+      .localCheckpoint(true)
+    val rows = emb.orderBy("vec_id").collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1))).toIndexedSeq
+    val ms = MemoryStream[(Long, Seq[Option[Double]])]
+    val q = Streams.sqClipSink(ms.toDF().toDF("vec_id", "v"), bounds,
+      s"$base/state", s"$base/ckpt").start()
+    // poisoned ingest (null vector, dim skew, null element) produces
+    // no code row — the encode's usable rule
+    val poison = Seq(
+      (901L, null.asInstanceOf[Seq[Option[Double]]]),
+      (902L, Seq(Option(1.0), Option(2.0))),
+      (903L, Seq.fill[Option[Double]](64)(Option(1.0)).updated(3, None)))
+    val chunks = rows
+      .map { case (id, v) => (id, v.map(Option(_))) }
+      .grouped((rows.size + 2) / 3).toSeq
+    try {
+      chunks.zipWithIndex.foreach { case (c, i) =>
+        ms.addData(if (i == 0) c ++ poison else c)
+        q.processAllAvailable()
+      }
+    } finally q.stop()
+    val got = Streams.sqClipState(spark, s"$base/state").get
+    // frozen bounds ⟹ the encode is a pure per-vector function ⟹
+    // integer boundary counts are additive under any batch split
+    val enc = graft.api.Graft.sqEncode(emb, "vec_id", "v", bounds, 64)
+    val want = enc.select(posexplode(col("codes")).as(Seq("d", "code")))
+      .groupBy("d").agg(count(lit(1)).as("n_vecs"),
+        sum(when(col("code") === lit(-128), 1L).otherwise(0L)).as("n_lo"),
+        sum(when(col("code") === lit(127), 1L).otherwise(0L)).as("n_hi"))
+      .select(col("d").cast("int").as("d"), col("n_vecs"),
+        col("n_lo"), col("n_hi"),
+        (col("n_lo").cast("double") / col("n_vecs")).as("lo_rate"),
+        (col("n_hi").cast("double") / col("n_vecs")).as("hi_rate"),
+        ((col("n_lo") + col("n_hi")).cast("double") / col("n_vecs"))
+          .as("clip_rate"))
+    assert(got.count() == 64)
+    assert(got.exceptAll(want).count() == 0 &&
+      want.exceptAll(got).count() == 0,
+      "maintained clip readout != the one-shot encode aggregate")
+    // at the fit corpus the boundary levels are occupied (min → level
+    // 0, max clamps to 255 by construction) but the rate is small
+    val worstClip = got.agg(max("clip_rate")).head.getDouble(0)
+    assert(worstClip < 0.2,
+      s"fit-corpus clip rate $worstClip — the baseline should be small")
+    // DRIFT: a batch shifted past every dimension's hi must clip high
+    // on (essentially) every element — the alarm the sink exists for
+    val driftBase = java.nio.file.Files.createTempDirectory("graft_sqc_d_").toString
+    val shifted = emb.limit(50).select(col("vec_id"),
+      transform(col("v"), x => x + lit(1e6)).as("v"))
+    Streams.applySqClipBatch(shifted, 0L, bounds,
+      s"$driftBase/state", "vec_id", "v")
+    val drifted = Streams.sqClipState(spark, s"$driftBase/state").get
+    val minHi = drifted.agg(min("hi_rate")).head.getDouble(0)
+    assert(minHi == 1.0,
+      s"a +1e6 shift must clip every element high, got min hi_rate $minHi")
+    // replaying the LAST ingest must be a fixpoint (overwrite by batch)
+    val lastId = new java.io.File(s"$base/state/clip").listFiles()
+      .map(_.getName.stripPrefix("batch=").toLong).max
+    val before = got.collect().toSet
+    Streams.applySqClipBatch(chunks.last.toDF("vec_id", "v"), lastId,
+      bounds, s"$base/state", "vec_id", "v")
+    val after = Streams.sqClipState(spark, s"$base/state").get
+      .collect().toSet
+    assert(after == before, "replayed ingest mutated the clip state")
+    // before any batch: no readout
+    assert(Streams.sqClipState(spark,
+      java.nio.file.Files.createTempDirectory("graft_sqc_e_").toString).isEmpty)
+  }
+
   test("stream_user_jump emits via event-time timeout when a user goes silent") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
