@@ -928,6 +928,18 @@ object Graft {
     * raw-vector math (or vice versa) scores garbage SILENTLY, so the
     * flavor must live on the index, not in two free-floating booleans
     * (self-review r16 — two probes had drifted exactly this way).
+    *
+    * Dial guidance (SCALING probe 33, planted-NN corpus at ×64/×256):
+    * `m` is THE recall dial — m=8 vs m=16 moved recall .08-.23 →
+    * .30-.80 at EVERY routing dial, and no (cells, nprobe) choice
+    * rescues an under-resolved quantizer. Cells ≈ √n helps the
+    * residual flavor TWICE: per-query cost stays flat (probe 30) and
+    * the residual spread shrinks with cell size, i.e. a finer
+    * effective quantizer at the same m (+.14 recall going 64 → 724
+    * cells at ×256/m=16, while the scan fraction fell 12×) — raw
+    * encoding gets no such gain, which is why residual's margin
+    * widens as cells rise. Size m by the memory budget and buy
+    * recall back with [[ivfPqQueryRerank]]'s shortlist, not with m.
     */
   def ivfPqIndex(embeddings: DataFrame, idCol: String, vecCol: String,
       centroids: DataFrame, centIdCol: String, centVecCol: String,
@@ -984,6 +996,14 @@ object Graft {
     * extra column, so the add-back costs nothing at the corpus grain.
     * Must match the index's encoding flavor: a flag mismatch scores
     * garbage (residual codes against raw-vector math or vice versa).
+    *
+    * nprobe guidance (SCALING probe 33): size nprobe for CELL-HIT
+    * probability only — past the point where the true neighbor's
+    * cell is probed, MORE probes actively hurt (recall fell as
+    * nprobe rose at every measured dial: each extra cell adds
+    * candidates whose reconstruction noise out-ranks true neighbors
+    * inside the approximate top-k). When ADC noise binds, the fix is
+    * [[ivfPqQueryRerank]]'s exact tail, never a wider probe.
     */
   def ivfPqQuery(index: DataFrame, centroids: DataFrame,
       centIdCol: String, centVecCol: String, codebooks: DataFrame,
