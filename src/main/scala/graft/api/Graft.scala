@@ -1265,6 +1265,63 @@ object Graft {
       .select("q_id", "rank", "id", "score")
   }
 
+  /** The Count-Min Sketch bucket for one (depth-row, term) pair: the
+    * depth index salts the shared [[graft.functions.PolyHashStr]]
+    * polynomial (cross-engine replayable, unlike xxhash64), so the
+    * `depth` hash rows are distinct functions of the term.
+    */
+  private def cmsBucket(d: Column, term: Column, width: Int): Column =
+    pmod(call_function("poly_hash",
+      concat(d.cast("string"), lit("|"), term)), lit(width.toLong))
+
+  /** COUNT-MIN SKETCH build (Cormode/Muthukrishnan 2005): fold a
+    * term stream into `depth × width` integer counters —
+    * `(d, bucket, n)`. The bounded-memory frequency primitive for
+    * when the term dictionary is itself corpus-sized (the #38/#90
+    * exact shapes): state is `depth × width` longs TOTAL, regardless
+    * of corpus size or cardinality.
+    *
+    * Properties the spec pins: estimates NEVER underestimate
+    * (collisions only add); overestimate ≤ εN w.h.p. (ε = e/width);
+    * counters are pure ADDITIVE contractions — merge-order-free,
+    * partition-invariant, and additive under any corpus split
+    * (`sketch(a ∪ b) = sketch(a) + sketch(b)` bucket-wise), which is
+    * the distributed-fold/streaming property for free.
+    *
+    * Scale shape: one pass over the depth-replicated term stream,
+    * map-side combine contracts each partition to ≤ depth×width
+    * partial rows before the single exchange.
+    */
+  def cmsSketch(terms: DataFrame, termCol: String, depth: Int,
+      width: Int): DataFrame = {
+    require(depth > 0 && width > 0, s"bad CMS dials: $depth x $width")
+    graft.functions.PolyHashStr.register(terms.sparkSession)
+    terms.select(col(termCol).as("_graft_t"),
+        explode(sequence(lit(0), lit(depth - 1))).as("d"))
+      .where(col("_graft_t").isNotNull)
+      .select(col("d"), cmsBucket(col("d"), col("_graft_t"), width).as("bucket"))
+      .groupBy("d", "bucket").agg(count(lit(1)).as("n"))
+  }
+
+  /** CMS point estimates: each queried term's count estimate is the
+    * MIN of its `depth` bucket counters — `(term, n_cms)`; a term
+    * whose buckets were never touched reads 0, not null. The sketch
+    * frame is depth×width rows and BROADCASTS; the query side scans
+    * once. `depth`/`width` must match the build dials (the bucket
+    * function is re-derived from them).
+    */
+  def cmsEstimate(sketch: DataFrame, terms: DataFrame, termCol: String,
+      depth: Int, width: Int): DataFrame = {
+    graft.functions.PolyHashStr.register(terms.sparkSession)
+    terms.select(col(termCol).as("term"))
+      .where(col("term").isNotNull)
+      .select(col("term"), explode(sequence(lit(0), lit(depth - 1))).as("d"))
+      .withColumn("bucket", cmsBucket(col("d"), col("term"), width))
+      .join(broadcast(sketch), Seq("d", "bucket"), "left")
+      .groupBy("term")
+      .agg(min(coalesce(col("n"), lit(0L))).as("n_cms"))
+  }
+
   /** (m, subDim) of a fitted codebook frame — driver metadata reads
     * over the m×k-row codebook only (the k-bounded convention).
     */

@@ -2144,4 +2144,104 @@ object Corpus {
        |  END AS len_l1_drift
        |FROM t GROUP BY source ORDER BY source""".stripMargin
   }
+
+  /** #202 dials: 4 hash rows × 16 counters — width deliberately
+    * BELOW the gate corpus's vocabulary (31 distinct words in the
+    * synthetic text) so collisions provably occur (pigeonhole) and
+    * the overestimate column shows real sketch behavior, not a
+    * collision-free identity. Production widths are millions; the
+    * ε = e/width algebra is width-independent.
+    */
+  private[graft] val CmsDepth = 4
+  private[graft] val CmsWidth = 16
+  private[graft] val CmsTopN = 50
+
+  /** #202 — `q_term_counts_cms`: COUNT-MIN SKETCH term frequencies
+    * vs exact, side by side — the bounded-memory frequency primitive
+    * (Cormode/Muthukrishnan 2005) for when the full term dictionary
+    * (#38/#90's shape) is itself corpus-sized: depth×width INTEGER
+    * counters estimate any term's occurrence count as the MIN of its
+    * depth bucket counters, never underestimating (every counter ≥
+    * the true count — collisions only ADD), with overestimate ≤ εN
+    * at high probability (ε = e/width). Output: the top-[[CmsTopN]]
+    * exact terms as `(word, n_exact, n_cms, overestimate)` —
+    * all integers, so the gate hash-matches cross-engine (unlike the
+    * HLL sketches, CMS is exactly replayable: the hash rows are
+    * [[graft.functions.PolyHashStr]] salted by depth index, the same
+    * Horner fold every hash-gated twin replays in DuckDB).
+    *
+    * Why CMS and not Space-Saving/Misra-Gries: those keep SMALLER
+    * state but their counters depend on arrival ORDER — a
+    * partition-order-dependent result can't pass this repo's
+    * invariance discipline (or any cross-engine gate). CMS counters
+    * are pure additive contractions: merge-order-free, additive
+    * under any corpus split (the streaming/fold property for free).
+    *
+    * Scale: the sketch is ONE contraction of the depth-replicated
+    * token stream to depth×width rows (map-side combine does the
+    * heavy lifting; the exchange carries ≤ depth×width rows per
+    * partition); estimates broadcast the tiny sketch frame. The
+    * exact side exists for the gate's comparison; at 100 TB only
+    * the sketch runs.
+    */
+  def qTermCountsCms(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.PolyHashStr.register(spark)
+    val words = Tables.documents(spark, dir)
+      .select(explode(split(col("text"), " ")).as("word"))
+      .filter(length(col("word")) > 0)
+    val exact = words.groupBy("word").agg(count(lit(1)).as("n_exact"))
+    val top = exact.orderBy(col("n_exact").desc, col("word")).limit(CmsTopN)
+    def bucket(d: Column, w: Column): Column =
+      pmod(call_function("poly_hash",
+        concat(d.cast("string"), lit("|"), w)), lit(CmsWidth.toLong))
+    val sketch = words
+      .select(col("word"),
+        explode(sequence(lit(0), lit(CmsDepth - 1))).as("d"))
+      .select(col("d"), bucket(col("d"), col("word")).as("bucket"))
+      .groupBy("d", "bucket").agg(count(lit(1)).as("n"))
+    top
+      .select(col("word"), col("n_exact"),
+        explode(sequence(lit(0), lit(CmsDepth - 1))).as("d"))
+      .withColumn("bucket", bucket(col("d"), col("word")))
+      .join(broadcast(sketch), Seq("d", "bucket"))
+      .groupBy("word", "n_exact").agg(min("n").as("n_cms"))
+      .withColumn("overestimate", col("n_cms") - col("n_exact"))
+      .orderBy(col("n_exact").desc, col("word"))
+  }
+
+  /** #202's oracle: the depth-salted Horner hash, the depth×width
+    * counter contraction, and the min-over-depth estimate stated in
+    * DuckDB — integer end to end.
+    */
+  val qTermCountsCmsSql: String = {
+    def ph(e: String) =
+      s"list_reduce(list_prepend(CAST(0 AS BIGINT), list_transform(string_split($e, ''), c -> CAST(ascii(c) AS BIGINT))), (acc, x) -> (acc * 31 + x) % 1000000007)"
+    def bucket(d: String, w: String) =
+      s"((${ph(s"concat(CAST($d AS VARCHAR), '|', $w)")} % $CmsWidth) + $CmsWidth) % $CmsWidth"
+    s"""WITH w AS MATERIALIZED (
+       |  SELECT w AS word FROM (
+       |    SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+       |  WHERE length(w) > 0),
+       |exact AS (
+       |  SELECT word, CAST(count(*) AS BIGINT) AS n_exact
+       |  FROM w GROUP BY 1),
+       |top AS (
+       |  SELECT word, n_exact FROM exact
+       |  ORDER BY n_exact DESC, word LIMIT $CmsTopN),
+       |sk AS MATERIALIZED (
+       |  SELECT d, ${bucket("d", "word")} AS bucket,
+       |    CAST(count(*) AS BIGINT) AS n
+       |  FROM w CROSS JOIN (SELECT unnest(range(0, $CmsDepth)) AS d)
+       |  GROUP BY 1, 2),
+       |est AS (
+       |  SELECT t.word, t.n_exact, s.n
+       |  FROM top t
+       |  CROSS JOIN (SELECT unnest(range(0, $CmsDepth)) AS d) dd
+       |  JOIN sk s ON s.d = dd.d
+       |    AND s.bucket = ${bucket("dd.d", "t.word")})
+       |SELECT word, n_exact, min(n) AS n_cms,
+       |  min(n) - n_exact AS overestimate
+       |FROM est GROUP BY word, n_exact
+       |ORDER BY n_exact DESC, word""".stripMargin
+  }
 }

@@ -757,4 +757,64 @@ class GraftApiSpec extends SparkSpec {
     assert(blocks == mass,
       s"block chunking must conserve token mass: $blocks != $mass")
   }
+
+  test("cms: never underestimates, conserves mass, merges additively, exact when wide") {
+    val words = Tables.documents(spark, sf)
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("word"))
+      .filter(length(col("word")) > 0).persist()
+    val exact = words.groupBy("word").agg(count(lit(1)).as("n_exact"))
+      .persist()
+    // the GATE dials: width 16 sits BELOW the corpus vocabulary, so
+    // collisions provably occur (pigeonhole) — the sketch regime, not
+    // a collision-free identity
+    val sk = Graft.cmsSketch(words, "word", 4, 16).persist()
+    // state is bounded by the dials, not the vocabulary
+    assert(sk.count() <= 4L * 16L)
+    // the CMS theorem: collisions only ADD, so no estimate ever
+    // falls below the true count — checked for EVERY vocabulary term
+    val j = Graft.cmsEstimate(sk, exact, "word", 4, 16)
+      .join(exact, col("term") === col("word")).persist()
+    assert(j.where(col("n_cms") < col("n_exact")).count() == 0,
+      "a CMS estimate underestimated — the min-of-counters theorem broke")
+    // mass conservation: every depth row's counters sum to N occurrences
+    val n = words.count()
+    val sums = sk.groupBy("d").agg(sum("n").as("s")).collect()
+    assert(sums.length == 4 && sums.forall(_.getLong(1) == n),
+      "each hash row must hold every occurrence exactly once")
+    // the e/width error shape at the collision dial: ε = e/16 ≈ 0.17,
+    // so every overestimate must sit far under εN (near-uniform terms
+    // put ~N/16 in a bucket; the min over 4 rows lands well below)
+    val maxOver = j.agg(max(col("n_cms") - col("n_exact"))).head.getLong(0)
+    assert(maxOver <= n / 5,
+      s"max overestimate $maxOver broke the e/width regime (N=$n)")
+    // width 1 saturates: every term's every bucket holds ALL N
+    // occurrences — the collision-handling identity, exact by theorem
+    val sat = Graft.cmsEstimate(Graft.cmsSketch(words, "word", 2, 1),
+      exact, "word", 2, 1)
+    assert(sat.where(col("n_cms") =!= n).count() == 0,
+      "a width-1 sketch must read N for every term")
+    // additive merge: sketch(a union b) = sketch(a) + sketch(b)
+    // bucket-wise — the distributed-fold/streaming property
+    val a = words.where(pmod(col("doc_id"), lit(2L)) === 0)
+    val b = words.where(pmod(col("doc_id"), lit(2L)) === 1)
+    val summed = Graft.cmsSketch(a, "word", 4, 16)
+      .unionByName(Graft.cmsSketch(b, "word", 4, 16))
+      .groupBy("d", "bucket").agg(sum("n").as("n"))
+    assert(summed.exceptAll(sk).count() == 0 &&
+      sk.exceptAll(summed).count() == 0,
+      "CMS must merge additively under any corpus split")
+    // partition invariance
+    val shuffled = Graft.cmsSketch(words.repartition(7), "word", 4, 16)
+    assert(shuffled.exceptAll(sk).count() == 0 &&
+      sk.exceptAll(shuffled).count() == 0,
+      "the sketch must be bit-identical under any input partitioning")
+    // a collision-free width reads back the exact counts
+    val wide = 1 << 21
+    val skW = Graft.cmsSketch(words, "word", 2, wide)
+    val wrong = Graft.cmsEstimate(skW, exact, "word", 2, wide)
+      .join(exact, col("term") === col("word"))
+      .where(col("n_cms") =!= col("n_exact")).count()
+    assert(wrong == 0, s"$wrong terms misread at collision-free width")
+    words.unpersist(); exact.unpersist(); sk.unpersist(); j.unpersist()
+  }
 }
