@@ -1120,7 +1120,12 @@ object Graft {
     graft.functions.DotProduct.register(spark)
     val q = queries.select(col(qIdCol).as("q_id"),
       col(qVecCol).cast("array<double>").as("qv"))
-    val cand = candidates.select(col("q_id"), col("id")).join(q, "q_id")
+    // dedup defensively: a unioned/concatenated shortlist with repeated
+    // (q_id, id) rows would otherwise occupy several of the k result
+    // slots with copies of one candidate; the frame is queries × R
+    // rows, so the distinct costs nothing
+    val cand = candidates.select(col("q_id"), col("id")).distinct()
+      .join(q, "q_id")
     val corpus = embeddings.select(col(idCol).as("id"),
       col(vecCol).cast("array<double>").as("_graft_rv"))
     val wTop = Window.partitionBy("q_id").orderBy(col("dot").desc, col("id"))
@@ -1301,6 +1306,11 @@ object Graft {
       .where(col("_graft_t").isNotNull)
       .select(col("d"), cmsBucket(col("d"), col("_graft_t"), width).as("bucket"))
       .groupBy("d", "bucket").agg(count(lit(1)).as("n"))
+      // dial provenance (the PQ fit_residual discipline): estimates
+      // against a sketch built at DIFFERENT dials would silently read
+      // the wrong buckets — the marker lets cmsEstimate refuse
+      .withColumn("cms_depth", lit(depth))
+      .withColumn("cms_width", lit(width))
   }
 
   /** CMS point estimates: each queried term's count estimate is the
@@ -1313,6 +1323,20 @@ object Graft {
   def cmsEstimate(sketch: DataFrame, terms: DataFrame, termCol: String,
       depth: Int, width: Int): DataFrame = {
     graft.functions.PolyHashStr.register(terms.sparkSession)
+    // dial agreement with the build (markers present on any
+    // cmsSketch-built frame; the sketch is depth×width rows, so the
+    // distinct read is driver-cheap). Hand-built frames without the
+    // markers skip the check — the caller owns the agreement then.
+    if (sketch.columns.contains("cms_depth")) {
+      val dials = sketch.select(col("cms_depth"), col("cms_width"))
+        .distinct().collect()
+      require(dials.length == 1 && dials(0).getInt(0) == depth &&
+        dials(0).getInt(1) == width,
+        s"cmsEstimate(depth = $depth, width = $width) over a sketch " +
+          s"built at ${dials.map(r => s"${r.getInt(0)}x${r.getInt(1)}")
+            .mkString(", ")} — the bucket function would read the " +
+          "wrong counters; match the build dials")
+    }
     terms.select(col(termCol).as("term"))
       .where(col("term").isNotNull)
       .select(col("term"), explode(sequence(lit(0), lit(depth - 1))).as("d"))

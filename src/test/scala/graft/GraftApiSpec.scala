@@ -794,15 +794,29 @@ class GraftApiSpec extends SparkSpec {
     assert(sat.where(col("n_cms") =!= n).count() == 0,
       "a width-1 sketch must read N for every term")
     // additive merge: sketch(a union b) = sketch(a) + sketch(b)
-    // bucket-wise — the distributed-fold/streaming property
+    // bucket-wise — the distributed-fold/streaming property (the dial
+    // markers ride the groupBy: constant within a build)
     val a = words.where(pmod(col("doc_id"), lit(2L)) === 0)
     val b = words.where(pmod(col("doc_id"), lit(2L)) === 1)
     val summed = Graft.cmsSketch(a, "word", 4, 16)
       .unionByName(Graft.cmsSketch(b, "word", 4, 16))
-      .groupBy("d", "bucket").agg(sum("n").as("n"))
+      .groupBy("d", "bucket", "cms_depth", "cms_width")
+      .agg(sum("n").as("n"))
+      .select("d", "bucket", "n", "cms_depth", "cms_width")
     assert(summed.exceptAll(sk).count() == 0 &&
       sk.exceptAll(summed).count() == 0,
       "CMS must merge additively under any corpus split")
+    // dial provenance: estimating at the wrong (depth, width) would
+    // silently read the wrong buckets — the marker refuses (the PQ
+    // fit_residual discipline)
+    val e1 = intercept[IllegalArgumentException] {
+      Graft.cmsEstimate(sk, exact, "word", 4, 32)
+    }
+    assert(e1.getMessage.contains("match the build dials"))
+    val e2 = intercept[IllegalArgumentException] {
+      Graft.cmsEstimate(sk, exact, "word", 8, 16)
+    }
+    assert(e2.getMessage.contains("match the build dials"))
     // partition invariance
     val shuffled = Graft.cmsSketch(words.repartition(7), "word", 4, 16)
     assert(shuffled.exceptAll(sk).count() == 0 &&

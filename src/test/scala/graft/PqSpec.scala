@@ -400,6 +400,18 @@ class PqSpec extends SparkSpec {
         k = 10, nprobe = 3, shortlist = 5)
     }
     assert(bad.getMessage.contains("shortlist"))
+    // 5. a shortlist with repeated (q_id, id) rows (e.g. a unioned
+    // candidate set) must score each candidate ONCE — duplicates may
+    // not occupy several of the k result slots
+    val sl = Graft.ivfPqQuery(rindex, cents, "cent_id", "cv", rbooks,
+      q10, "qid", "qv", k = 20, nprobe = 3, excludeSelf = true)
+    val once = Graft.rerankExact(sl, embTable, "vec_id", "v",
+      q10, "qid", "qv", k = 5)
+    val duped = Graft.rerankExact(sl.unionByName(sl), embTable,
+      "vec_id", "v", q10, "qid", "qv", k = 5)
+    assert(once.exceptAll(duped).count() == 0 &&
+      duped.exceptAll(once).count() == 0,
+      "duplicate shortlist rows changed the rerank result")
     rindex.unpersist(); rbooks.unpersist()
   }
 
