@@ -1296,6 +1296,71 @@ object Streams {
       .orderBy("d"))
   }
 
+  /** #203 — streaming Count-Min-Sketch maintenance: the #202
+    * frequency sketch folded at ingest. CMS counters are pure
+    * additive contractions (`sketch(a ∪ b) = sketch(a) + sketch(b)`
+    * bucket-wise — the GraftApiSpec theorem), so the micro-batch fold
+    * is EXACT, not approximate-on-top-of-approximate: the maintained
+    * sketch is bit-identical to a one-shot [[graft.api.Graft
+    * .cmsSketch]] over everything ingested. Per batch: tokenize
+    * (whitespace, the #202 grain), sketch the batch at the FROZEN
+    * dials, land the depth×width partial under `cms/batch=<id>`
+    * (overwrite ⟹ replay-safe). [[cmsState]] folds partials on read
+    * and serves estimates via [[graft.api.Graft.cmsEstimate]].
+    *
+    * This is the corpus-scale term-frequency store an ingest pipeline
+    * actually keeps: state is depth×width longs per batch regardless
+    * of vocabulary (the exact dictionary the batch #38/#90 shapes
+    * materialize would grow with the crawl), and any term's running
+    * count is answerable at any point without replaying text.
+    *
+    * Scale shape: per-batch one pass over the batch text + a
+    * dim-bounded contraction; the fold on read is map-side over
+    * ≤ batches × depth × width tiny rows.
+    */
+  def cmsSink(docs: DataFrame, depth: Int, width: Int,
+      statePath: String, checkpointDir: String,
+      textCol: String = "text")
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    docs.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        applyCmsBatch(batch, batchId, depth, width, statePath, textCol)
+      }
+
+  /** One maintenance step of [[cmsSink]] (package-visible so the spec
+    * can drive replay directly). */
+  private[graft] def applyCmsBatch(batch: DataFrame, batchId: Long,
+      depth: Int, width: Int, statePath: String, textCol: String): Unit = {
+    import org.apache.hadoop.fs.Path
+    val root = new Path(new Path(statePath).toUri.getPath)
+    if (batch.isEmpty) return
+    val words = batch
+      .select(explode(split(col(textCol), " ")).as("word"))
+      .filter(length(col("word")) > 0)
+    graft.api.Graft.cmsSketch(words, "word", depth, width)
+      .write.mode("overwrite")
+      .parquet(new Path(root, s"cms/batch=$batchId").toString)
+  }
+
+  /** The folded sketch after the last completed batch — the
+    * [[graft.api.Graft.cmsSketch]] schema incl. the dial markers
+    * (constant across batches: every partial was built at the frozen
+    * dials), directly servable by [[graft.api.Graft.cmsEstimate]].
+    * None before the first batch.
+    */
+  def cmsState(spark: org.apache.spark.sql.SparkSession,
+      statePath: String): Option[DataFrame] = {
+    import org.apache.hadoop.fs.Path
+    val croot = new Path(new Path(statePath).toUri.getPath, "cms")
+    val fs = croot.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(croot)) return None
+    Some(spark.read.parquet(croot.toString)
+      .groupBy("d", "bucket", "cms_depth", "cms_width")
+      .agg(sum("n").as("n"))
+      .select("d", "bucket", "n", "cms_depth", "cms_width"))
+  }
+
   /** One ingest step of [[semanticDedupSink]] (package-visible so the
     * spec can drive replay directly).
     */

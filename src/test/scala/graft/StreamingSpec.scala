@@ -1376,6 +1376,59 @@ class StreamingSpec extends SparkSpec {
       java.nio.file.Files.createTempDirectory("graft_sqc_e_").toString).isEmpty)
   }
 
+  test("stream_term_counts_cms: folded sketch is bit-identical to the one-shot build, replay-safe") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val base = java.nio.file.Files.createTempDirectory("graft_cms_").toString
+    val docs = Tables.documents(spark, sf).select("doc_id", "text")
+    val rows = docs.orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toIndexedSeq
+    val ms = MemoryStream[(Long, String)]
+    val q = Streams.cmsSink(ms.toDF().toDF("doc_id", "text"),
+      depth = 4, width = 16, s"$base/state", s"$base/ckpt").start()
+    // poisoned ingest: null text tokenizes to nothing, a whitespace-
+    // only doc contributes no words
+    val poison = Seq((901L, null.asInstanceOf[String]), (902L, "   "))
+    val chunks = rows.grouped((rows.size + 2) / 3).toSeq
+    try {
+      chunks.zipWithIndex.foreach { case (c, i) =>
+        ms.addData(if (i == 0) c ++ poison else c)
+        q.processAllAvailable()
+      }
+    } finally q.stop()
+    val got = Streams.cmsState(spark, s"$base/state").get.persist()
+    // CMS counters are additive contractions, so the micro-batch fold
+    // is EXACT: bit-identical to the one-shot sketch over everything
+    val words = docs.select(explode(split(col("text"), " ")).as("word"))
+      .filter(length(col("word")) > 0)
+    val want = graft.api.Graft.cmsSketch(words, "word", 4, 16)
+    assert(got.count() > 0)
+    assert(got.exceptAll(want).count() == 0 &&
+      want.exceptAll(got).count() == 0,
+      "maintained sketch != the one-shot build")
+    // the folded state serves estimates directly (markers intact) and
+    // agrees with estimates off the one-shot sketch
+    val exact = words.groupBy("word").agg(count(lit(1)).as("n_exact"))
+    val estGot = graft.api.Graft.cmsEstimate(got, exact, "word", 4, 16)
+    val estWant = graft.api.Graft.cmsEstimate(want, exact, "word", 4, 16)
+    assert(estGot.exceptAll(estWant).count() == 0 &&
+      estWant.exceptAll(estGot).count() == 0,
+      "estimates off the maintained state drifted")
+    // replaying the LAST ingest must be a fixpoint (overwrite by batch)
+    val lastId = new java.io.File(s"$base/state/cms").listFiles()
+      .map(_.getName.stripPrefix("batch=").toLong).max
+    val before = got.collect().toSet
+    Streams.applyCmsBatch(chunks.last.toDF("doc_id", "text"), lastId,
+      4, 16, s"$base/state", "text")
+    val after = Streams.cmsState(spark, s"$base/state").get
+      .collect().toSet
+    assert(after == before, "replayed ingest mutated the sketch")
+    got.unpersist()
+    // before any batch: no readout
+    assert(Streams.cmsState(spark,
+      java.nio.file.Files.createTempDirectory("graft_cms_e_").toString).isEmpty)
+  }
+
   test("stream_user_jump emits via event-time timeout when a user goes silent") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
