@@ -1142,12 +1142,18 @@ object Graft {
     * [[rerankExact]] re-scores the shortlist against the raw vectors
     * and keeps the true top-k of it. Returns `(q_id, rank, id, dot)`.
     *
-    * Dial guidance (probe 33): `shortlist` buys back the recall the
-    * PQ resolution (m) gives up — at m where ADC noise binds, raising
-    * `shortlist` is far cheaper than raising m (the index stays
-    * 64×-compressed; the rerank reads `queries × shortlist` raw
-    * vectors), so size m for memory and `shortlist`/`nprobe` for
-    * recall. `shortlist` ≈ 4–10× k is the usual range.
+    * Dial guidance (probes 33/35): `shortlist` buys back the recall
+    * the PQ resolution (m) gives up — raising it is far cheaper than
+    * raising m (the index stays compressed; the rerank reads only
+    * `queries × shortlist` raw vectors). The two dials FACTORIZE:
+    * recall = cell-hit(nprobe) × P(true NN in the shortlist | cell
+    * probed). Probe 35 measured the second factor's knee at
+    * `shortlist` ≈ 10-20 % of expected cluster occupancy
+    * (corpus / centers) — constant recall at constant
+    * shortlist/occupancy across a 4× density change — and a hard
+    * ceiling from the first: once the recall-vs-shortlist sweep goes
+    * flat, the binding dial is nprobe, never a deeper shortlist.
+    * Size by occupancy, not by k.
     */
   def ivfPqQueryRerank(index: DataFrame, centroids: DataFrame,
       centIdCol: String, centVecCol: String, codebooks: DataFrame,
