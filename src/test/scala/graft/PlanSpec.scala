@@ -791,4 +791,50 @@ class PlanSpec extends SparkSpec {
       spark.catalog.clearCache()
     }
   }
+
+  test("cms gate: two exchanges total, sketch broadcasts, hashing is codegen'd") {
+    // #202 — the exact side contracts once on the word and the sketch
+    // side once on (d, bucket); the estimate join must BROADCAST the
+    // depth×width sketch (never shuffle the top-terms frame against
+    // it), and the depth-salted hashing must be the codegen'd
+    // poly_hash scalar. Two hash exchanges is the whole query.
+    val p = plan("q_term_counts_cms")
+    val shuffles = "Exchange hashpartitioning".r.findAllIn(p).size
+    assert(shuffles == 2, s"expected 2 hash exchanges, got $shuffles:\n$p")
+    assert(p.contains("BroadcastHashJoin"),
+      s"the sketch must broadcast into the estimate join:\n$p")
+    assert(p.toLowerCase.contains("poly_hash"),
+      s"bucket hashing must be the codegen'd poly_hash expression:\n$p")
+    assert(!p.contains("SortMergeJoin") && !p.contains("ShuffledHashJoin") &&
+      !p.contains("CartesianProduct"),
+      s"corpus-sized join crept into the CMS gate:\n$p")
+  }
+
+  test("sq gate: dim-bounded bounds contraction, broadcast serving, codegen'd dot") {
+    // #200 — the per-dimension min/max is the only corpus-grain
+    // contraction (plus its 1-row array fold): two hash exchanges;
+    // the query set rides a broadcast cross (the intended
+    // BroadcastNestedLoopJoin, 10 rows), scoring via the codegen'd
+    // dot_product, and nothing corpus-sized ever shuffle-joins.
+    val p = plan("q_ann_sq")
+    val shuffles = "Exchange hashpartitioning".r.findAllIn(p).size
+    assert(shuffles == 2, s"expected 2 hash exchanges, got $shuffles:\n$p")
+    assert(p.toLowerCase.contains("dot_product"),
+      s"SQ scoring must be the codegen'd dot fold:\n$p")
+    assert(!p.contains("SortMergeJoin") && !p.contains("ShuffledHashJoin") &&
+      !p.contains("CartesianProduct"),
+      s"corpus-sized join crept into the SQ gate:\n$p")
+  }
+
+  test("rerank gate: broadcast-only composition, corpus never shuffle-joins") {
+    // #199 — the #191 broadcast discipline extended through the exact
+    // tail: shortlist, probe list, centroid and partial tables all
+    // broadcast; the corpus side is scans + aggregate exchanges only.
+    val p = plan("q_ann_rerank")
+    assert(!p.contains("SortMergeJoin") && !p.contains("ShuffledHashJoin") &&
+      !p.contains("CartesianProduct"),
+      s"corpus-sized join crept into the rerank gate:\n$p")
+    assert(p.toLowerCase.contains("dot_product"),
+      s"the exact tail must score via the codegen'd dot fold:\n$p")
+  }
 }
