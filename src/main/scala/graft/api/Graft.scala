@@ -636,6 +636,16 @@ object Graft {
     * with `minhashBanding(n, tau)` — and note its two-regime caveat
     * (probe 34): the dial controls moderate-similarity fan-out, not
     * true-dup cluster mass.
+    *
+    * Cache contract: the returned (lazy) plan holds a `.persist()` on
+    * the shingle-set frame — the signature pass and the exact-Jaccard
+    * verification both consume it, and it is deliberately NOT
+    * unpersisted here (the query executes after this returns). A
+    * long-lived session issuing MANY minhashPairs calls should
+    * `spark.catalog.clearCache()` (or unpersist via its own
+    * QueryExecutionListener) after consuming each result, or the
+    * cached frames accumulate. Same contract as [[winnowPairs]] /
+    * [[bpeTokenize]].
     */
   def minhashPairs(docs: DataFrame, idCol: String, textCol: String,
       bands: Int = 16, rowsPerBand: Int = 4,
@@ -666,9 +676,14 @@ object Graft {
     * Two constraints pick (bands, rowsPerBand):
     *  1. OCCUPANCY — a clearly-below-τ pair (s ≤ `sBackground`,
     *     default τ/2) should produce ≤ `maxCollisionsPerDoc` expected
-    *     candidates per document: sBackground^r · n ≤ max, i.e.
-    *     r ≥ ln(n / max) / ln(1 / sBackground). This is the term that
-    *     GROWS with corpus size — probe 31 measured the fixed 16×4
+    *     candidates per document ACROSS ALL BANDS (a pair is a
+    *     candidate if any band collides — union bound):
+    *     b · sBackground^r · n ≤ max. Solved iteratively with
+    *     constraint 2 (b depends on r): start r at the single-band
+    *     solution ln(n/max)/ln(1/sBackground) and deepen until the
+    *     union holds — converges since each +1 in r scales the
+    *     product by ~sBackground/τ < 1. This is the term that GROWS
+    *     with corpus size — probe 31 measured the fixed 16×4
     *     default's bucket occupancy growing 14× at ×10 mass precisely
     *     because r=4 admits s=0.5 pairs at 6.25% per band.
     *  2. RECALL — a pair AT τ must become a candidate with probability
@@ -682,9 +697,14 @@ object Graft {
     * explicitly. Verification stays exact either way: the dial moves
     * candidate recall and join fan-out, never survivor correctness.
     *
-    * At the gate corpus (n=5×10³, τ=0.8) this returns (21, 10); at
-    * n=10⁸ it returns (249, 21) — K=5229, the Lee-et-al. cost class,
-    * which is what honest 90% recall at τ=0.8 costs at that scale.
+    * At the gate corpus (n=5×10³, τ=0.8) this returns (52, 14); at
+    * n=10⁸ the STRICT default (≤1 expected background candidate per
+    * doc) prices out at (1190, 28) — K=33320, above the default maxK
+    * guard, which is the point: that IS what ≤10⁸ total background
+    * candidates at 90% recall costs. Relaxing maxCollisionsPerDoc to
+    * 100 gives (311, 22), K=6842 — the Lee-et-al. (450×20) cost
+    * class, bought by accepting ~10¹⁰ background candidates that the
+    * exact verification then discards.
     *
     * What the dial does and does NOT govern (probe 34, docs/
     * SCALING.md): the occupancy inequality controls MODERATE-
@@ -706,11 +726,23 @@ object Graft {
     val s0 = if (sBackground > 0) sBackground else tau / 2
     require(s0 < tau, s"sBackground ($s0) must sit below tau ($tau) — " +
       "it is the similarity the dial treats as noise")
-    val r = math.max(2, math.ceil(
+    def bFor(r: Int): Int = math.max(1, math.ceil(
+      math.log1p(-recall) / math.log1p(-math.pow(tau, r))).toInt)
+    // a pair becomes a candidate if ANY of the b bands collides, so
+    // the occupancy constraint must hold for the UNION over bands:
+    // expected background candidates per doc ≤ b·s0^r·n (union bound).
+    // Start r at the single-band solution and deepen until the bands
+    // are accounted for — converges because each +1 in r scales the
+    // product by ~s0/tau < 1 (b grows like tau^-r, the per-band mass
+    // falls like s0^r). (Post-review r17 fix: the first form of this
+    // rule bounded ONE band's collisions and silently delivered
+    // b-times the promised candidate budget.)
+    var r = math.max(2, math.ceil(
       math.log(n.toDouble / maxCollisionsPerDoc) / math.log(1.0 / s0)).toInt)
-    val pBand = math.pow(tau, r)
-    val b = math.max(1, math.ceil(
-      math.log1p(-recall) / math.log1p(-pBand)).toInt)
+    var b = bFor(r)
+    while (b.toDouble * math.pow(s0, r) * n > maxCollisionsPerDoc) {
+      r += 1; b = bFor(r)
+    }
     require(b.toLong * r <= maxK,
       s"minhashBanding(n=$n, tau=$tau, recall=$recall) needs K=b*r=" +
         s"${b.toLong * r} > maxK=$maxK minhash slots — relax recall, " +
@@ -1336,8 +1368,12 @@ object Graft {
     if (sketch.columns.contains("cms_depth")) {
       val dials = sketch.select(col("cms_depth"), col("cms_width"))
         .distinct().collect()
-      require(dials.length == 1 && dials(0).getInt(0) == depth &&
-        dials(0).getInt(1) == width,
+      // an EMPTY sketch (every ingested doc tokenized to nothing) has
+      // the markers but no rows — valid CMS state whose every
+      // estimate correctly reads 0 below; only a PRESENT disagreeing
+      // dial is a misuse (r17 review)
+      require(dials.length <= 1 && dials.forall(r =>
+        r.getInt(0) == depth && r.getInt(1) == width),
         s"cmsEstimate(depth = $depth, width = $width) over a sketch " +
           s"built at ${dials.map(r => s"${r.getInt(0)}x${r.getInt(1)}")
             .mkString(", ")} — the bucket function would read the " +

@@ -1245,12 +1245,19 @@ object Streams {
   def sqClipSink(vectors: DataFrame, bounds: DataFrame,
       statePath: String, checkpointDir: String,
       idCol: String = "vec_id", vecCol: String = "v")
-      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] = {
+    // materialize the frozen artifact ONCE at sink construction: the
+    // caller may pass a lazy sqBounds(corpus) plan, and without this
+    // every micro-batch would re-run the corpus-wide min/max fit (plus
+    // a count job for dim) — the r17 review's per-batch-recompute
+    // finding. localCheckpoint is eager; dim rows, driver-trivial.
+    val frozen = bounds.localCheckpoint(true)
     vectors.writeStream
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        applySqClipBatch(batch, batchId, bounds, statePath, idCol, vecCol)
+        applySqClipBatch(batch, batchId, frozen, statePath, idCol, vecCol)
       }
+  }
 
   /** One maintenance step of [[sqClipSink]] (package-visible so the
     * spec can drive replay directly). */

@@ -107,23 +107,42 @@ class DedupSpec extends SparkSpec {
     import graft.api.Graft
     // pinned outputs of the two-inequality derivation (VERDICT r16
     // item 3): gate corpus size and the Lee-et-al.-2022 scale
-    assert(Graft.minhashBanding(5000L, 0.8) == (21, 10),
+    assert(Graft.minhashBanding(5000L, 0.8) == (52, 14),
       "gate-SF dial drifted from the pinned derivation")
-    assert(Graft.minhashBanding(100000000L, 0.8) == (249, 21),
+    // the strict default at n=10⁸ prices out above the default maxK —
+    // by design: K=33320 IS the cost of ≤1 background candidate per
+    // doc at 90% recall; relaxing the candidate budget to 100/doc
+    // lands in the published corpus-scale cost class
+    assert(Graft.minhashBanding(100000000L, 0.8,
+      maxCollisionsPerDoc = 100.0) == (311, 22),
       "corpus-scale dial drifted from the pinned derivation")
     // the returned dial must SATISFY both constraints for a spread of
     // (n, tau, recall) — the algebra, not just two memorized points
     for (n <- Seq(1000L, 1000000L, 1000000000L); tau <- Seq(0.5, 0.8, 0.9);
          rc <- Seq(0.9, 0.99)) {
-      // maxK unguarded here: the loop tests the ALGEBRA (at n=10⁹,
-      // τ=0.5, 90% recall the honest answer is K≈1.1M slots — LSH's
-      // real cost at low τ, which the guard exists to surface)
-      val (b, r) = Graft.minhashBanding(n, tau, rc, maxK = Int.MaxValue)
-      val s0 = tau / 2
-      assert(math.pow(s0, r) * n <= 1.0 + 1e-9,
-        s"occupancy bound violated at n=$n tau=$tau: s0^$r * n = ${math.pow(s0, r) * n}")
-      assert(1.0 - math.pow(1.0 - math.pow(tau, r), b) >= rc - 1e-9,
-        s"recall bound violated at n=$n tau=$tau rc=$rc with (b=$b, r=$r)")
+      // maxK at its Int ceiling: the loop tests the ALGEBRA. At low τ
+      // × huge n the UNION-bound answer can honestly exceed even 2³¹
+      // slots (τ=0.5, n=10⁹, ≤1 candidate/doc needs K ~ 10¹¹) — LSH
+      // is infeasible at that dial and the guard's loud refusal IS
+      // the correct output; every affordable dial must satisfy both
+      // inequalities
+      try {
+        val (b, r) = Graft.minhashBanding(n, tau, rc, maxK = Int.MaxValue)
+        val s0 = tau / 2
+        // the UNION-bound occupancy: candidates per doc across ALL
+        // bands (post-review r17 — the first rule form bounded one
+        // band and delivered b× the promised budget)
+        assert(b * math.pow(s0, r) * n <= 1.0 + 1e-9,
+          s"occupancy bound violated at n=$n tau=$tau: b*s0^$r * n = ${b * math.pow(s0, r) * n}")
+        assert(1.0 - math.pow(1.0 - math.pow(tau, r), b) >= rc - 1e-9,
+          s"recall bound violated at n=$n tau=$tau rc=$rc with (b=$b, r=$r)")
+      } catch {
+        case e: IllegalArgumentException =>
+          assert(e.getMessage.contains("maxK"),
+            s"unexpected refusal at n=$n tau=$tau rc=$rc: ${e.getMessage}")
+          assert(tau <= 0.5 && n >= 1000000000L,
+            s"an affordable dial (n=$n tau=$tau rc=$rc) refused: ${e.getMessage}")
+      }
     }
     // unaffordable dials refuse loudly instead of silently truncating
     val e = intercept[IllegalArgumentException] {

@@ -817,6 +817,13 @@ class GraftApiSpec extends SparkSpec {
       Graft.cmsEstimate(sk, exact, "word", 8, 16)
     }
     assert(e2.getMessage.contains("match the build dials"))
+    // an EMPTY marked sketch (every doc tokenized to nothing) is valid
+    // CMS state, not a dial mismatch: every estimate reads 0
+    val emptySk = Graft.cmsSketch(
+      words.where(lit(false)), "word", 4, 16)
+    val zeros = Graft.cmsEstimate(emptySk, exact, "word", 4, 16)
+    assert(zeros.where(col("n_cms") =!= 0L).count() == 0,
+      "an empty sketch must estimate 0 for every term")
     // partition invariance
     val shuffled = Graft.cmsSketch(words.repartition(7), "word", 4, 16)
     assert(shuffled.exceptAll(sk).count() == 0 &&
