@@ -2329,6 +2329,21 @@ object Graft {
       budget: Long): DataFrame =
     graft.operators.Corpus.mixPlan(df, stratumCol, tokensCol, budget)
 
+  /** TEMPERATURE-based source sampling (#204): the α-general form of
+    * [[mixPlan]] — sampling weight ∝ tokens^α, α ∈ (0, 1]; α = 1 is
+    * natural sampling, smaller α flattens toward uniform (mBERT's
+    * exponent smoothing; XLM-R/mT5 use α ≈ 0.3). Adds `nat_share`
+    * and `boost` (= weight / nat_share, the up/down-sampling
+    * multiplier a data card reports) to the #141 plan columns.
+    * α ∈ {0.25, 0.5, 1.0} compute through correctly-rounded forms
+    * (sqrt compositions / identity — bit-reproducible anywhere);
+    * other α use `pow`, deterministic per engine but last-ulp
+    * engine-specific.
+    */
+  def mixAlpha(df: DataFrame, stratumCol: String, tokensCol: String,
+      alpha: Double, budget: Long): DataFrame =
+    graft.operators.Corpus.mixAlpha(df, stratumCol, tokensCol, alpha, budget)
+
   /** The Gopher REPETITION battery (#144, Rae et al. 2021 Table A1's
     * repetition column) on any frame with an id + text column: the
     * thirteen within-row repetition measures (duplicate line/paragraph

@@ -834,6 +834,115 @@ object Corpus {
         .agg(count(lit(1)).as("docs"), sum(tokensCol).as("tokens")),
       stratumCol, budget)
 
+  /** The #204 gate temperature: α = ¼, chosen because x^¼ =
+    * sqrt(sqrt(x)) — a composition of IEEE-CORRECTLY-ROUNDED ops, so
+    * the damped sizes are bit-identical in both engines (libm `pow`
+    * is not correctly rounded and may differ in the last ulp; the
+    * published α = 0.3 is the facade's business, not the gate's).
+    */
+  private[graft] val MixAlphaGate = 0.25
+
+  /** The α-general #204 tail over a (stratum, docs, tokens) totals
+    * frame: damped size = tokens^α. α ∈ {0.25, 0.5, 1.0} route
+    * through exactly-reproducible forms (sqrt compositions /
+    * identity); any other α uses `pow` — deterministic per engine,
+    * but a cross-engine oracle should stick to the exact dials.
+    */
+  private[graft] def mixAlphaFromTotals(totals: DataFrame,
+      stratumCol: String, alpha: Double, budget: Long): DataFrame = {
+    val t = col("tokens").cast("double")
+    val dampedExpr =
+      if (alpha == 0.25) sqrt(sqrt(t))
+      else if (alpha == 0.5) sqrt(t)
+      else if (alpha == 1.0) t
+      else pow(t, lit(alpha))
+    val byStratum = totals
+      .withColumn("damped", round(dampedExpr, 6).cast("decimal(18,6)"))
+      .localCheckpoint(true)
+    byStratum
+      .crossJoin(broadcast(byStratum.agg(sum("damped").as("dtot"),
+        sum("tokens").as("ttot"))))
+      .select(col(stratumCol), col("docs"), col("tokens"),
+        round(col("tokens").cast("double") / col("ttot").cast("double"), 6)
+          .as("nat_share"),
+        round(col("damped").cast("double") / col("dtot").cast("double"), 6)
+          .as("weight"))
+      .withColumn("planned_tokens",
+        floor(lit(budget.toDouble) * col("weight")).cast("long"))
+      .withColumn("epochs",
+        when(col("tokens") === 0, lit(null).cast("double"))
+          .otherwise(round(
+            col("planned_tokens").cast("double") / col("tokens"), 6)))
+      // nat_share can ROUND to exactly 0 for a vanishingly small
+      // source (tokens ≥ 1 but < totalTokens/2e6): guard it too, or
+      // boost divides by the rounded zero
+      .withColumn("boost",
+        when(col("tokens") === 0 || col("nat_share") === 0.0,
+          lit(null).cast("double"))
+          .otherwise(round(col("weight") / col("nat_share"), 6)))
+  }
+
+  private[graft] def mixAlpha(df: DataFrame, stratumCol: String,
+      tokensCol: String, alpha: Double, budget: Long): DataFrame = {
+    require(alpha > 0 && alpha <= 1.0,
+      s"alpha must be in (0, 1], got $alpha — 1 is natural sampling, " +
+        "smaller flattens toward uniform")
+    mixAlphaFromTotals(
+      df.groupBy(stratumCol)
+        .agg(count(lit(1)).as("docs"), sum(tokensCol).as("tokens")),
+      stratumCol, alpha, budget)
+  }
+
+  /** #204 — `q_mix_alpha`: TEMPERATURE-BASED source sampling (the
+    * multilingual-LM recipe — mBERT's exponent-smoothed sampling,
+    * XLM-R/mT5's α ≈ 0.3: p_i ∝ n_i^α with α < 1 flattens the source
+    * distribution, upsampling small high-quality sources without
+    * drowning them) — the α-GENERAL form of #141's fixed α = ½ plan.
+    * Per source: token totals, the NATURAL share, the α-damped
+    * sampling weight, the planned draw under the budget, the implied
+    * epochs, and `boost` = weight / nat_share — the up/down-sampling
+    * multiplier a data card reports (boost > 1 ⟺ the source is
+    * smaller than the corpus average under the temperature).
+    *
+    * Gate dial α = ¼ ([[MixAlphaGate]]): computed as sqrt∘sqrt, a
+    * correctly-rounded-op composition that is bit-identical
+    * cross-engine where libm `pow` is not. Fixed-point discipline is
+    * #141's verbatim: damped sizes round once to 6 dp and fix as
+    * DECIMAL, normalizers are exact sums (decimal for damped, long
+    * for tokens), every ratio is one division of bit-identical
+    * values. Scale: one source-grain contraction, then ~|sources|
+    * rows — trivially flat at any corpus size.
+    */
+  def qMixAlpha(spark: SparkSession, dir: String): DataFrame =
+    mixAlpha(
+      Tables.documents(spark, dir)
+        .select(col("source"), Text.wsTokenCount.as("n_tokens")),
+      "source", "n_tokens", MixAlphaGate, MixBudgetTokens)
+      .orderBy("source")
+
+  val qMixAlphaSql: String =
+    s"""WITH t AS (
+       |  SELECT source, ${Text.wsTokenCountSql} AS n_tokens FROM documents),
+       |s AS (
+       |  SELECT source, CAST(count(*) AS BIGINT) AS docs,
+       |    CAST(sum(n_tokens) AS BIGINT) AS tokens,
+       |    CAST(round(sqrt(sqrt(CAST(sum(n_tokens) AS DOUBLE))), 6) AS DECIMAL(18,6)) AS damped
+       |  FROM t GROUP BY source),
+       |w AS (
+       |  SELECT source, docs, tokens,
+       |    round(CAST(tokens AS DOUBLE) / CAST((SELECT sum(tokens) FROM s) AS DOUBLE), 6) AS nat_share,
+       |    round(CAST(damped AS DOUBLE) / CAST((SELECT sum(damped) FROM s) AS DOUBLE), 6) AS weight
+       |  FROM s)
+       |SELECT source, docs, tokens, nat_share, weight,
+       |  CAST(floor($MixBudgetTokens.0 * weight) AS BIGINT) AS planned_tokens,
+       |  CASE WHEN tokens = 0 THEN NULL
+       |    ELSE round(CAST(floor($MixBudgetTokens.0 * weight) AS DOUBLE) / tokens, 6)
+       |  END AS epochs,
+       |  CASE WHEN tokens = 0 OR nat_share = 0 THEN NULL
+       |    ELSE round(weight / nat_share, 6)
+       |  END AS boost
+       |FROM w ORDER BY source""".stripMargin
+
   def qMixPlan(spark: SparkSession, dir: String): DataFrame =
     mixPlan(
       Tables.documents(spark, dir)

@@ -758,6 +758,52 @@ class GraftApiSpec extends SparkSpec {
       s"block chunking must conserve token mass: $blocks != $mass")
   }
 
+  test("mixAlpha: facade == gate at the gate dial; alpha=1 is natural; flattening is monotone") {
+    val toks = Tables.documents(spark, sf)
+      .select(col("source"),
+        graft.operators.Text.wsTokenCount.as("n_tokens")).persist()
+    // facade at the gate dial reproduces the gated query
+    val api = Graft.mixAlpha(toks, "source", "n_tokens", 0.25, 1L << 20)
+    same(api.orderBy("source"),
+      SparkEntry.queries("q_mix_alpha")(spark, sf), "mixAlpha")
+    // alpha = 1 is natural sampling: weight == nat_share and boost == 1
+    // for every source with tokens (both are round(t/T, 6) of the same
+    // integers)
+    val nat = Graft.mixAlpha(toks, "source", "n_tokens", 1.0, 1L << 20)
+    assert(nat.where(col("tokens") > 0 &&
+      (col("weight") =!= col("nat_share") || col("boost") =!= 1.0))
+      .count() == 0, "alpha = 1 must reproduce natural sampling")
+    // alpha = 0.5 agrees with the fixed #141 plan on the shared columns
+    val viaAlpha = Graft.mixAlpha(toks, "source", "n_tokens", 0.5, 1L << 20)
+      .select("source", "docs", "tokens", "weight", "planned_tokens", "epochs")
+    val viaPlan = Graft.mixPlan(toks, "source", "n_tokens", 1L << 20)
+    assert(viaAlpha.exceptAll(viaPlan).count() == 0 &&
+      viaPlan.exceptAll(viaAlpha).count() == 0,
+      "mixAlpha(0.5) drifted from the fixed sqrt plan")
+    // monotone flattening: lowering alpha never LOWERS the smallest
+    // source's weight and never RAISES the largest's (the temperature
+    // theorem — weights cross at the geometric middle)
+    def wOf(d: org.apache.spark.sql.DataFrame, asc: Boolean) = {
+      val o = if (asc) d.orderBy(col("tokens").asc, col("source"))
+              else d.orderBy(col("tokens").desc, col("source"))
+      val r = o.select("weight").head(); r.getDouble(0)
+    }
+    val cold = Graft.mixAlpha(toks, "source", "n_tokens", 0.25, 1L << 20)
+    assert(wOf(cold, asc = true) >= wOf(viaPlanFull(toks), asc = true) - 1e-9,
+      "lower alpha must not shrink the smallest source's weight")
+    assert(wOf(cold, asc = false) <= wOf(viaPlanFull(toks), asc = false) + 1e-9,
+      "lower alpha must not grow the largest source's weight")
+    // dial validation
+    val bad = intercept[IllegalArgumentException] {
+      Graft.mixAlpha(toks, "source", "n_tokens", 1.5, 1L << 20)
+    }
+    assert(bad.getMessage.contains("alpha"))
+    toks.unpersist()
+  }
+
+  private def viaPlanFull(toks: org.apache.spark.sql.DataFrame) =
+    Graft.mixAlpha(toks, "source", "n_tokens", 0.5, 1L << 20)
+
   test("cms: never underestimates, conserves mass, merges additively, exact when wide") {
     val words = Tables.documents(spark, sf)
       .select(col("doc_id"), explode(split(col("text"), " ")).as("word"))
