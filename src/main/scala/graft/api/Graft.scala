@@ -1202,7 +1202,12 @@ object Graft {
   }
 
   /** Per-dimension quantization bounds for the SQ8 scalar quantizer
-    * (the FAISS IndexScalarQuantizer QT_8bit recipe): `(d, lo, hi)`
+    * (QT_8bit-STYLE, not bit-compatible with FAISS: this variant uses
+    * 256 floor-levels with a clamp at 255 — `floor((x−lo)/span·256)`
+    * — while FAISS's Codec8bit scales by 255 (`code = floor(255·x)`,
+    * `recon = (code+0.5)/255`), so codes and reconstructions are
+    * internally consistent here but do not round-trip FAISS
+    * artifacts): `(d, lo, hi)`
     * over the usable vectors — one map-side-combinable contraction to
     * `dim` rows (each partition emits at most dim partial min/max
     * pairs, so the exchange is dim-bounded regardless of corpus

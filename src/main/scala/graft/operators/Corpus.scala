@@ -856,8 +856,14 @@ object Corpus {
       else if (alpha == 0.5) sqrt(t)
       else if (alpha == 1.0) t
       else pow(t, lit(alpha))
+    // decimal(38,6), NOT (18,6): with α = 1 the damped size IS the
+    // token count, and a source above ~1e12 tokens (realistic at the
+    // 100 TB grain) would overflow an (18,6) cast to NULL under
+    // non-ANSI mode — silently nulling dtot and every weight
+    // downstream (r17 ADVICE). 32 integer digits cover any corpus;
+    // sums stay exact either way.
     val byStratum = totals
-      .withColumn("damped", round(dampedExpr, 6).cast("decimal(18,6)"))
+      .withColumn("damped", round(dampedExpr, 6).cast("decimal(38,6)"))
       .localCheckpoint(true)
     byStratum
       .crossJoin(broadcast(byStratum.agg(sum("damped").as("dtot"),

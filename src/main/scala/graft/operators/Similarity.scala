@@ -1105,7 +1105,9 @@ object Similarity {
   }
 
   /** #200 — `q_ann_sq`: top-k serving under the SQ8 SCALAR quantizer
-    * (FAISS IndexScalarQuantizer QT_8bit) — per-dimension exact
+    * (QT_8bit-style; NOT bit-compatible with FAISS, whose Codec8bit
+    * scales by 255 where this variant floors over 256 levels with a
+    * clamp at 255) — per-dimension exact
     * min/max bounds, each element quantized to one of 256 levels
     * (`floor((v_d − lo_d)/span_d × 256)` clamped to [0, 255]), scored
     * by `q·v̂` against the mid-level reconstruction `v̂_d = lo_d +

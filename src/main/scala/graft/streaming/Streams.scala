@@ -1250,24 +1250,33 @@ object Streams {
     // caller may pass a lazy sqBounds(corpus) plan, and without this
     // every micro-batch would re-run the corpus-wide min/max fit (plus
     // a count job for dim) — the r17 review's per-batch-recompute
-    // finding. localCheckpoint is eager; dim rows, driver-trivial.
-    val frozen = bounds.localCheckpoint(true)
+    // finding. Collected to a LocalRelation, NOT localCheckpoint: a
+    // localCheckpoint block is non-reliable executor-memory state
+    // (lost on executor failure/decommission, incompatible with
+    // dynamic allocation), so a long-running clip stream holding one
+    // for its whole lifetime dies permanently on any executor loss
+    // (r17 ADVICE). The artifact is dim rows — driver-trivial.
+    val boundRows = bounds.collect()
+    val frozen = bounds.sparkSession.createDataFrame(
+      java.util.Arrays.asList(boundRows: _*), bounds.schema)
+    val dim = boundRows.length
     vectors.writeStream
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        applySqClipBatch(batch, batchId, frozen, statePath, idCol, vecCol)
+        applySqClipBatch(batch, batchId, frozen, dim, statePath, idCol, vecCol)
       }
   }
 
   /** One maintenance step of [[sqClipSink]] (package-visible so the
     * spec can drive replay directly). */
   private[graft] def applySqClipBatch(batch: DataFrame, batchId: Long,
-      bounds: DataFrame, statePath: String, idCol: String,
+      bounds: DataFrame, dim: Int, statePath: String, idCol: String,
       vecCol: String): Unit = {
     import org.apache.hadoop.fs.Path
     val root = new Path(new Path(statePath).toUri.getPath)
-    if (batch.isEmpty) return
-    val dim = bounds.count().toInt
+    // no isEmpty probe (a take(1) job per micro-batch of pure ingest
+    // overhead — r17 ADVICE): an empty batch writes an empty partial,
+    // which the additive fold in [[sqClipState]] absorbs for free
     graft.api.Graft.sqEncode(batch.select(col(idCol), col(vecCol)),
         idCol, vecCol, bounds, dim)
       .select(posexplode(col("codes")).as(Seq("d", "code")))
@@ -1341,7 +1350,9 @@ object Streams {
       depth: Int, width: Int, statePath: String, textCol: String): Unit = {
     import org.apache.hadoop.fs.Path
     val root = new Path(new Path(statePath).toUri.getPath)
-    if (batch.isEmpty) return
+    // no isEmpty probe (r17 ADVICE): an empty batch writes an empty
+    // marker-bearing partial; [[cmsState]]'s additive fold and
+    // cmsEstimate's empty-sketch rule both absorb it
     val words = batch
       .select(explode(split(col(textCol), " ")).as("word"))
       .filter(length(col("word")) > 0)

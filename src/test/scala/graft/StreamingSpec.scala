@@ -1356,7 +1356,7 @@ class StreamingSpec extends SparkSpec {
     val driftBase = java.nio.file.Files.createTempDirectory("graft_sqc_d_").toString
     val shifted = emb.limit(50).select(col("vec_id"),
       transform(col("v"), x => x + lit(1e6)).as("v"))
-    Streams.applySqClipBatch(shifted, 0L, bounds,
+    Streams.applySqClipBatch(shifted, 0L, bounds, 64,
       s"$driftBase/state", "vec_id", "v")
     val drifted = Streams.sqClipState(spark, s"$driftBase/state").get
     val minHi = drifted.agg(min("hi_rate")).head.getDouble(0)
@@ -1367,7 +1367,7 @@ class StreamingSpec extends SparkSpec {
       .map(_.getName.stripPrefix("batch=").toLong).max
     val before = got.collect().toSet
     Streams.applySqClipBatch(chunks.last.toDF("vec_id", "v"), lastId,
-      bounds, s"$base/state", "vec_id", "v")
+      bounds, 64, s"$base/state", "vec_id", "v")
     val after = Streams.sqClipState(spark, s"$base/state").get
       .collect().toSet
     assert(after == before, "replayed ingest mutated the clip state")
