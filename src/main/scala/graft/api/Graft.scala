@@ -565,7 +565,18 @@ object Graft {
     * single-row collects — nothing corpus-sized moves.
     */
   def kcenterCoreset(embeddings: DataFrame, idCol: String, vecCol: String,
-      k: Int): DataFrame = {
+      k: Int, maxK: Int = 512): DataFrame = {
+    // loud cap (the minhashBanding/maxCell convention, r17 verdict):
+    // the greedy loop is INHERENTLY k driver rounds, each embedding
+    // one center as a dim-wide literal — a k in the thousands means a
+    // k×dim literal tower and k full corpus passes. That cost is the
+    // algorithm, not a plan flaw; it must be accepted explicitly.
+    require(k <= maxK,
+      s"kcenterCoreset(k = $k) exceeds maxK = $maxK — greedy k-center " +
+        "is k sequential corpus passes with k×dim centers embedded as " +
+        "plan literals; for thousands of representatives use " +
+        "kmeansCentroids (one pass per Lloyd round, any k) or pass a " +
+        "larger maxK to accept the cost explicitly")
     graft.functions.CosineSimilarity.register(embeddings.sparkSession)
     val e = embeddings.select(col(idCol).as("vec_id"),
         col(vecCol).cast("array<double>").as("v"))
@@ -1322,6 +1333,41 @@ object Graft {
     pmod(call_function("poly_hash",
       concat(d.cast("string"), lit("|"), term)), lit(width.toLong))
 
+  /** SIZE the Count-Min dials from the accuracy contract — the
+    * published (ε, δ) → (depth, width) rule (Cormode/Muthukrishnan
+    * 2005): `width = ⌈e/ε⌉` makes every point estimate overshoot by
+    * at most εN (N = total ingested count) with per-row probability
+    * ≥ 1 − 1/e, and `depth = ⌈ln(1/δ)⌉` independent rows drive the
+    * failure probability down to δ (the estimate is the min over
+    * rows, so ALL rows must overshoot for the bound to break).
+    *
+    * `maxBytes` is the loud-cap guard (the [[minhashBanding]] maxK
+    * convention, r17 verdict item 4): counters are longs, so the
+    * sketch costs depth × width × 8 bytes — an ε of 10⁻⁸ prices at
+    * ~2.2 GB × depth, past any sane broadcast. The refusal names the
+    * price; relax ε (the linear dial — δ only costs log) or accept a
+    * bigger sketch explicitly. At the default 64 MB cap the tightest
+    * ε at δ = 10⁻³ (depth 7) is ≈ 2.3 × 10⁻⁶ — plenty for
+    * heavy-hitter work at any corpus size, since the bound scales
+    * with N anyway.
+    */
+  def cmsDials(eps: Double, delta: Double,
+      maxBytes: Long = 64L << 20): (Int, Int) = {
+    require(eps > 0 && eps < 1, s"eps must be in (0, 1), got $eps")
+    require(delta > 0 && delta < 1, s"delta must be in (0, 1), got $delta")
+    require(maxBytes > 0, s"maxBytes must be positive, got $maxBytes")
+    val width = math.ceil(math.E / eps).toLong
+    val depth = math.max(1L, math.ceil(math.log(1.0 / delta)).toLong)
+    val bytes = depth * width * 8
+    require(bytes <= maxBytes,
+      s"cmsDials(eps = $eps, delta = $delta) needs a ${depth}x$width " +
+        s"sketch = $bytes bytes > maxBytes = $maxBytes — relax eps " +
+        "(width = ceil(e/eps) is the linear dial; delta only costs " +
+        "log) or pass a larger maxBytes to accept the sketch size " +
+        "explicitly")
+    (depth.toInt, width.toInt)
+  }
+
   /** COUNT-MIN SKETCH build (Cormode/Muthukrishnan 2005): fold a
     * term stream into `depth × width` integer counters —
     * `(d, bucket, n)`. The bounded-memory frequency primitive for
@@ -1359,12 +1405,18 @@ object Graft {
   /** CMS point estimates: each queried term's count estimate is the
     * MIN of its `depth` bucket counters — `(term, n_cms)`; a term
     * whose buckets were never touched reads 0, not null. The sketch
-    * frame is depth×width rows and BROADCASTS; the query side scans
-    * once. `depth`/`width` must match the build dials (the bucket
-    * function is re-derived from them).
+    * frame is depth×width rows and BROADCASTS when that fits — above
+    * `maxBroadcastCounters` (default 2²⁴ ≈ 128 MB of longs; a
+    * corpus-vocabulary width ≈ e/ε can legitimately exceed any
+    * broadcast budget, r17 verdict item 4) the join falls through to
+    * a plain shuffle join, which at that sketch size is the right
+    * plan, not a failure. The query side scans once either way.
+    * `depth`/`width` must match the build dials (the bucket function
+    * is re-derived from them); size them with [[cmsDials]].
     */
   def cmsEstimate(sketch: DataFrame, terms: DataFrame, termCol: String,
-      depth: Int, width: Int): DataFrame = {
+      depth: Int, width: Int,
+      maxBroadcastCounters: Long = 1L << 24): DataFrame = {
     graft.functions.PolyHashStr.register(terms.sparkSession)
     // dial agreement with the build (markers present on any
     // cmsSketch-built frame; the sketch is depth×width rows, so the
@@ -1384,11 +1436,14 @@ object Graft {
             .mkString(", ")} — the bucket function would read the " +
           "wrong counters; match the build dials")
     }
+    val sketchSide =
+      if (depth.toLong * width <= maxBroadcastCounters) broadcast(sketch)
+      else sketch
     terms.select(col(termCol).as("term"))
       .where(col("term").isNotNull)
       .select(col("term"), explode(sequence(lit(0), lit(depth - 1))).as("d"))
       .withColumn("bucket", cmsBucket(col("d"), col("term"), width))
-      .join(broadcast(sketch), Seq("d", "bucket"), "left")
+      .join(sketchSide, Seq("d", "bucket"), "left")
       .groupBy("term")
       .agg(min(coalesce(col("n"), lit(0L))).as("n_cms"))
   }

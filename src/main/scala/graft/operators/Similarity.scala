@@ -1272,6 +1272,12 @@ object Similarity {
           p = p.where(col("vec_id") =!= top.getLong(0))
             .withColumn("mind",
               least(col("mind"), lit(1.0) - cosine(col("v"), vlit(top.getSeq[Double](1)))))
+          // truncate the lineage every 32 rounds: each pick chains one
+          // more filter + least() onto the plan, and past a few dozen
+          // rounds analysis time (and eventually the plan-size limit)
+          // dominates the actual scan — the facade's maxK admits k up
+          // to 512 (r17 verdict hardening)
+          if (r % 32 == 0) p = p.localCheckpoint(true)
           r += 1
         }
       }

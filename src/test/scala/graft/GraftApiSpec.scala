@@ -884,4 +884,93 @@ class GraftApiSpec extends SparkSpec {
     assert(wrong == 0, s"$wrong terms misread at collision-free width")
     words.unpersist(); exact.unpersist(); sk.unpersist(); j.unpersist()
   }
+
+  test("cmsDials: (eps, delta) -> (depth, width) math, loud size cap, shuffle fallback") {
+    // the published rule: width = ceil(e/eps), depth = ceil(ln(1/delta))
+    assert(Graft.cmsDials(0.001, 0.01) == (5, 2719),
+      "ceil(ln 100) = 5 rows x ceil(e/0.001) = 2719 buckets")
+    assert(Graft.cmsDials(0.5, 0.5) == (1, 6))
+    // the loud cap (the minhashBanding convention): eps = 1e-8 prices
+    // at ~2.2 GB x depth — far past the default 64 MB, refuse with the
+    // relaxation hint rather than silently building an unbroadcastable
+    // sketch
+    val bad = intercept[IllegalArgumentException] {
+      Graft.cmsDials(1e-8, 0.001)
+    }
+    assert(bad.getMessage.contains("maxBytes") &&
+      bad.getMessage.contains("relax eps"))
+    // a dials-sized sketch delivers the (eps, delta) contract at a
+    // vocabulary scale where the per-term probabilistic bound has
+    // mass (the gate corpus has ~31 distinct terms — too few for a
+    // delta-fraction claim): 5000 synthetic terms, 10 planted heavy
+    // hitters at 250x the light mass. Deterministic hash + fixed
+    // corpus make the violator count a constant, not a flake.
+    val exact = spark.range(0, 5000)
+      .select(concat(lit("t"), col("id")).as("word"),
+        when(col("id") < 10, 1000L).otherwise(4L).as("n_exact"))
+      .persist()
+    val words = exact.select(explode(
+      array_repeat(col("word"), col("n_exact").cast("int"))).as("word"))
+      .persist()
+    val (depth, width) = Graft.cmsDials(0.01, 0.01)
+    val sk = Graft.cmsSketch(words, "word", depth, width).persist()
+    val n = words.count()
+    val vocab = exact.count()
+    val overs = Graft.cmsEstimate(sk, exact, "word", depth, width)
+      .join(exact, col("term") === col("word"))
+      .where(col("n_cms") - col("n_exact") > lit((0.01 * n).toLong))
+      .count()
+    assert(overs <= math.ceil(0.01 * vocab).toLong,
+      s"$overs of $vocab terms broke the eps*N bound at " +
+        "cmsDials(0.01, 0.01) — more than the delta fraction allows")
+    // past maxBroadcastCounters the estimate falls through to a plain
+    // join — same answers, and the FORCED broadcast hint is gone (the
+    // planner may still elect broadcast for a small sketch on its own,
+    // which is fine — the guard exists so a corpus-vocabulary-sized
+    // sketch is never FORCED past the executors' memory). Differential
+    // check with auto-broadcast off: the hinted plan still broadcasts,
+    // the guarded plan must not.
+    val viaShuffle = Graft.cmsEstimate(sk, exact, "word", depth, width,
+      maxBroadcastCounters = 0L)
+    val viaBroadcast = Graft.cmsEstimate(sk, exact, "word", depth, width)
+    assert(viaShuffle.exceptAll(viaBroadcast).count() == 0 &&
+      viaBroadcast.exceptAll(viaShuffle).count() == 0,
+      "the shuffle fallback changed the estimates")
+    val thresh = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val guarded = Graft.cmsEstimate(sk, exact, "word", depth, width,
+        maxBroadcastCounters = 0L).queryExecution.executedPlan.toString
+      assert(!guarded.contains("BroadcastHashJoin"),
+        s"guarded estimate still FORCED a broadcast:\n$guarded")
+      val hinted = Graft.cmsEstimate(sk, exact, "word", depth, width)
+        .queryExecution.executedPlan.toString
+      assert(hinted.contains("BroadcastHashJoin"),
+        "the under-threshold path lost its broadcast hint")
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", thresh)
+    words.unpersist(); exact.unpersist(); sk.unpersist()
+  }
+
+  test("kcenterCoreset: loud maxK cap; greedy picks are prefix-stable past the checkpoint cadence") {
+    val e = Tables.embeddings(spark, sf)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+    // the refusal: greedy k-center is k sequential corpus passes with
+    // k x dim literal centers — thousands of reps must be an explicit
+    // choice (or kmeansCentroids), never a silent day-long plan
+    val bad = intercept[IllegalArgumentException] {
+      Graft.kcenterCoreset(e, "vec_id", "v", k = 513)
+    }
+    assert(bad.getMessage.contains("maxK") &&
+      bad.getMessage.contains("kmeansCentroids"))
+    // k = 33 crosses the lineage-checkpoint cadence (every 32 rounds);
+    // greedy selection is prefix-stable, so rounds 0..7 must equal the
+    // gate-sized k = 8 run exactly — the checkpoint may not perturb
+    // the trajectory
+    val k33 = Graft.kcenterCoreset(e, "vec_id", "v", k = 33)
+      .select("round", "center_id", "radius").where(col("round") < 8)
+    val k8 = Graft.kcenterCoreset(e, "vec_id", "v", k = 8)
+      .select("round", "center_id", "radius")
+    assert(k33.exceptAll(k8).count() == 0 && k8.exceptAll(k33).count() == 0,
+      "the checkpoint cadence perturbed the greedy trajectory")
+  }
 }
