@@ -1232,6 +1232,11 @@ object Graft {
     sqUsable(embeddings, idCol, vecCol, dim)
       .select(posexplode(col("vec")).as(Seq("d", "x")))
       .groupBy("d").agg(min("x").as("lo"), max("x").as("hi"))
+      // fit provenance (the PQ fit_residual discipline): raw-fitted
+      // bounds composed with residual encoding (or vice versa) clamp
+      // against the wrong input distribution — [[ivfSqIndex]]/
+      // [[ivfSqQuery]] check the marker and refuse a flavor mismatch
+      .withColumn("fit_residual", lit(false))
 
   /** The SQ usable rule is STRICTER than [[usablePqVectors]]: one
     * ±inf element would set that dimension's bound to ±inf and poison
@@ -1319,6 +1324,171 @@ object Graft {
       .where(if (excludeSelf) col("id") =!= col("q_id") else lit(true))
       .withColumn("score",
         call_function("dot_product", col("qv"), col("recon")))
+      .withColumn("rank", row_number().over(wTop))
+      .where(col("rank") <= k)
+      .select("q_id", "rank", "id", "score")
+  }
+
+  /** SQ8 bounds fitted on coarse RESIDUALS — the bounds an IVF×SQ
+    * index ([[ivfSqIndex]] with `residual = true`, the default) must
+    * be fitted with: [[ivfResiduals]] then [[sqBounds]] over the
+    * `rvec` column, marked `fit_residual = true` so the index/query
+    * stages can refuse a flavor mix-up. Residuals concentrate around
+    * the origin with far smaller per-dimension spread than raw
+    * vectors (the same effect that makes IVFADC beat flat PQ at equal
+    * bits — Jégou/Douze/Schmid 2011 §III), so the 256 levels of the
+    * scalar quantizer land on a tighter span: a finer effective
+    * quantizer from the same byte budget. Still exact order-free
+    * min/max — bit-deterministic under any partitioning.
+    */
+  def ivfSqBounds(embeddings: DataFrame, idCol: String, vecCol: String,
+      centroids: DataFrame, centIdCol: String, centVecCol: String,
+      dim: Int): DataFrame =
+    sqBounds(
+      ivfResiduals(embeddings, idCol, vecCol, centroids, centIdCol,
+        centVecCol).select(col("id"), col("rvec")),
+      "id", "rvec", dim)
+      .withColumn("fit_residual", lit(true))
+
+  /** The IVF×SQ8 index — the best-recall-per-byte serving point of
+    * the quantizer ladder (probe 33: flat SQ8 recall 1.000 at 7.54×
+    * compression; this rung adds [[ivfIndex]] routing for
+    * sublinearity, the composition [[sqQuery]]'s own docs promise):
+    * every vector carries its coarse cell AND its `dim` signed-byte
+    * SQ codes — `(id, cell, codes, residual)`. Built in ONE corpus
+    * pass exactly like [[ivfPqIndex]]: the cell assignment rides
+    * through the SQ encode as part of a struct id, so the two indexes
+    * compose without a corpus-sized self-join. Store bucketed by
+    * `cell` ([[writeIvfIndex]]-style) and [[ivfSqQuery]] probes scan
+    * exchange-free.
+    *
+    * `residual = true` (default) encodes `vec − centroid(cell)` —
+    * pass bounds fitted by [[ivfSqBounds]]; `residual = false`
+    * SQ-encodes the raw vector (bounds from [[sqBounds]]); full-probe
+    * serving then equals flat [[sqQuery]] exactly (spec-pinned). The
+    * index carries its flavor as a constant marker column and both
+    * stages refuse a mismatch — decoding residual codes with
+    * raw-vector math scores garbage SILENTLY (the ivfPqIndex r16
+    * lesson).
+    */
+  def ivfSqIndex(embeddings: DataFrame, idCol: String, vecCol: String,
+      centroids: DataFrame, centIdCol: String, centVecCol: String,
+      bounds: DataFrame, dim: Int, residual: Boolean = true): DataFrame = {
+    // bounds-provenance agreement: the bounds frame is dim rows, so
+    // the distinct read is driver-cheap. Hand-built bounds without
+    // the marker skip the check — the caller owns the agreement then.
+    if (bounds.columns.contains("fit_residual")) {
+      val flavors = bounds.select(col("fit_residual"))
+        .distinct().collect().map(_.getBoolean(0)).toSet
+      require(flavors == Set(residual),
+        s"ivfSqIndex(residual = $residual) over bounds fitted with " +
+          s"fit_residual in {${flavors.mkString(", ")}} — fit with " +
+          (if (residual) "ivfSqBounds (residual-fitted)"
+           else "sqBounds (raw-fitted)") +
+          " so the quantizer clamps the distribution it was fitted on")
+    }
+    val assigned =
+      if (residual)
+        ivfResiduals(embeddings, idCol, vecCol,
+            centroids, centIdCol, centVecCol)
+          .select(struct(col("id"), col("cell")).as("idc"),
+            col("rvec").as("vec"))
+      else
+        ivfIndex(embeddings, idCol, vecCol,
+            centroids, centIdCol, centVecCol)
+          .select(struct(col("id"), col("cell")).as("idc"), col("vec"))
+    sqEncode(assigned, "idc", "vec", bounds, dim)
+      .select(col("id").getField("id").as("id"),
+        col("id").getField("cell").as("cell"), col("codes"),
+        lit(residual).as("residual"))
+  }
+
+  /** IVF×SQ8 top-k serving: probe the `nprobe` nearest cells per
+    * query (broadcast centroid argmax, the [[ivfQuery]] routing),
+    * then score ONLY the probed cells' vectors by `q·v̂` against the
+    * SQ8 mid-level reconstruction — sublinear scan over an
+    * 8×-compressed operand (vs float64) that keeps PER-DIMENSION
+    * resolution, which is why SQ needs no rerank tail where PQ does
+    * (probe 33). Returns `(q_id, rank, id, score)`.
+    *
+    * `residual = true` (default) serves a residual-encoded index:
+    * `v̂ = centroid(cell) + recon(residual codes)` — the centroid
+    * array rides the (already broadcast) probe list, and the score is
+    * ONE dot fold over `cv + recon` (bit-identical to the gate/oracle
+    * composition, spec-pinned). Must match the index's flavor; the
+    * marker check rides the query plan lazily like [[ivfPqQuery]]'s.
+    *
+    * Scale shape: centroids, the probe list (with its cv arrays —
+    * queries × nprobe rows), the 1-row bounds arrays, and the query
+    * set all broadcast; the index side is ONE scan filtered to probed
+    * cells (bucketed store ⟹ exchange-free); per-element integer
+    * reconstruction inside whole-stage codegen; nothing corpus-sized
+    * shuffles. nprobe sizing per probe 33: size for cell-hit
+    * probability — SQ's reconstruction noise is half a level per
+    * dimension, so unlike PQ the wider probe does not poison the
+    * top-k with out-ranking noise.
+    */
+  def ivfSqQuery(index: DataFrame, centroids: DataFrame,
+      centIdCol: String, centVecCol: String, bounds: DataFrame,
+      queries: DataFrame, qIdCol: String, qVecCol: String,
+      k: Int, nprobe: Int, excludeSelf: Boolean = false,
+      residual: Boolean = true): DataFrame = {
+    require(k > 0, s"k must be positive, got $k")
+    require(nprobe > 0, s"nprobe must be positive, got $nprobe")
+    if (bounds.columns.contains("fit_residual")) {
+      val flavors = bounds.select(col("fit_residual"))
+        .distinct().collect().map(_.getBoolean(0)).toSet
+      require(flavors == Set(residual),
+        s"ivfSqQuery(residual = $residual) over bounds fitted with " +
+          s"fit_residual in {${flavors.mkString(", ")}} — the " +
+          "reconstruction would decode against the wrong distribution; " +
+          "match the fit flavor")
+    }
+    val spark = index.sparkSession
+    graft.functions.CosineSimilarity.register(spark)
+    graft.functions.DotProduct.register(spark)
+    val q = queries.select(col(qIdCol).as("q_id"),
+      col(qVecCol).cast("array<double>").as("qv"))
+    val c = centroids.select(col(centIdCol).as("cent_id"),
+      col(centVecCol).cast("array<double>").as("cv"))
+    val wProbe = Window.partitionBy("q_id")
+      .orderBy(col("ccos").desc, col("cent_id"))
+    val probes = q.crossJoin(broadcast(c))
+      .withColumn("ccos", call_function("cosine_sim", col("cv"), col("qv")))
+      .withColumn("crank", row_number().over(wProbe))
+      .where(col("crank") <= nprobe)
+      .select(col("q_id") +: col("qv") +: col("cent_id").as("cell") +:
+        (if (residual) Seq(col("cv")) else Seq.empty): _*)
+    // index flavor agreement, checked LAZILY inside the plan (the
+    // ivfPqQuery discipline): every probed row asserts its marker as
+    // part of producing `id`, so a mixed-flavor union fails loudly on
+    // any probed wrong-flavor row without forcing the index eagerly.
+    val idChecked =
+      if (index.columns.contains("residual"))
+        when(assert_true(col("residual") === lit(residual),
+          lit(s"ivfSqQuery(residual = $residual) over an index row " +
+            "encoded with the opposite flavor — the reconstruction " +
+            "would decode garbage; match the index's flavor")).isNull,
+          col("id")).as("id")
+      else col("id")
+    val wTop = Window.partitionBy("q_id").orderBy(col("score").desc, col("id"))
+    val recon = zip_with(
+      zip_with(col("_graft_lo"), col("_graft_span"),
+        (l, s) => struct(l.as("lo"), s.as("span"))),
+      col("codes"),
+      (b, cd) => b.getField("lo") +
+        (cd.cast("double") + lit(128.0) + lit(0.5)) *
+          b.getField("span") / lit(256.0))
+    val vhat =
+      if (residual) zip_with(col("cv"), recon, (a, b) => a + b)
+      else recon
+    index
+      .join(broadcast(probes), "cell")
+      .crossJoin(broadcast(sqBoundArrays(bounds)))
+      .where(if (excludeSelf) col("id") =!= col("q_id") else lit(true))
+      .select(col("q_id"), idChecked, col("qv"), vhat.as("vhat"))
+      .withColumn("score",
+        call_function("dot_product", col("qv"), col("vhat")))
       .withColumn("rank", row_number().over(wTop))
       .where(col("rank") <= k)
       .select("q_id", "rank", "id", "score")

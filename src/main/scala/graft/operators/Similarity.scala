@@ -1206,6 +1206,156 @@ object Similarity {
        |WHERE rank <= $TopK ORDER BY q_id, rank""".stripMargin
   }
 
+  /** #205 — `q_ann_ivf_sq`: the IVF × SQ8 composed rung — the
+    * quantizer ladder's best-recall-per-byte SERVING point (probe 33
+    * measured flat SQ8 at recall 1.000 and 7.54× compression; this
+    * gate adds the IVF routing that makes the scan sublinear, the
+    * composition the SQ docs promise and FAISS ships as
+    * IndexIVFScalarQuantizer). Each usable vector's RESIDUAL against
+    * its cell centroid (`r = v − c(cell)`; residual spans are far
+    * tighter than raw, so the 256 levels quantize finer — the IVFADC
+    * argument applied to SQ) is quantized by per-dimension exact
+    * min/max bounds over ALL residuals; each query probes its top-2
+    * centroid cells and ranks only those cells' vectors by ONE dot
+    * fold `q·(c + recon(r))`. Output `(q_id, rank, vec_id, score)`,
+    * the #200 shape. Production twin: [[graft.api.Graft.ivfSqBounds]]
+    * / [[graft.api.Graft.ivfSqIndex]] / [[graft.api.Graft
+    * .ivfSqQuery]] (codes stored as literal int8, cell-bucketed;
+    * PqSpec pins gate ≡ API bit-equality and the flavor refusals).
+    *
+    * HASH-GATED: every stage is exact arithmetic — the deterministic
+    * mod-rule centroids, the argmax assignment, the residual
+    * subtraction, order-free min/max bounds, the clamped-floor level
+    * pick, the mid-level reconstruction, one ascending dot fold — so
+    * the DuckDB oracle replays the ENTIRE index build + serve
+    * bit-for-bit (the #103 whole-pipeline-as-CTEs discipline).
+    *
+    * Scale: assignment is the shared broadcast argmax (no corpus
+    * shuffle); the bounds fit is one dim-bounded contraction; serving
+    * scans only probed cells with queries + bounds broadcast. At
+    * 100 TB the same shape runs off a stored cell-bucketed
+    * [[graft.api.Graft.ivfSqIndex]] table — scan I/O is dim BYTES per
+    * vector (8× less than float64) on ~nprobe/cells of the corpus.
+    */
+  def qAnnIvfSq(spark: SparkSession, dir: String): DataFrame = {
+    val (e, cents, assigned) = ivfGateAssigned(spark, dir)
+    val withCv = assigned
+      .join(broadcast(cents.select(col("cent_id").as("cell"), col("cv"))),
+        "cell")
+      .withColumn("r", zip_with(col("v"), col("cv"), (x, c) => x - c))
+    val bArr = withCv.select(posexplode(col("r")).as(Seq("d", "x")))
+      .groupBy("d").agg(min("x").as("lo"), max("x").as("hi"))
+      .agg(
+        transform(array_sort(collect_list(struct(col("d"), col("lo")))),
+          t => t.getField("lo")).as("lo"),
+        transform(array_sort(collect_list(struct(col("d"),
+            (col("hi") - col("lo")).as("sp")))),
+          t => t.getField("sp")).as("span"))
+    // v̂ = c + recon(r), one array — so the score below is ONE
+    // ascending fold over (c[i] + recon[i]), the oracle's op order
+    val recon = withCv.crossJoin(broadcast(bArr))
+      .select(col("vec_id"), col("cell"),
+        zip_with(
+          zip_with(col("r"),
+            zip_with(col("lo"), col("span"),
+              (l, s) => struct(l.as("lo"), s.as("sp"))),
+            (x, b) => struct(x.as("x"), b.getField("lo").as("lo"),
+              b.getField("sp").as("sp"))),
+          col("cv"),
+          (z, c) => c + (when(z.getField("sp") === 0d, z.getField("lo"))
+            .otherwise(z.getField("lo") +
+              (least(lit(255.0), greatest(lit(0.0),
+                floor((z.getField("x") - z.getField("lo")) /
+                  z.getField("sp") * lit(256.0)))) + lit(0.5)) *
+                z.getField("sp") / lit(256.0)))).as("vhat"))
+    val q = e.where(col("vec_id") < NQueries)
+      .select(col("vec_id").as("q_id"), col("v").as("qv"))
+    val wProbe = Window.partitionBy("q_id")
+      .orderBy(col("ccos").desc, col("cent_id"))
+    val probes = q.crossJoin(broadcast(cents))
+      .withColumn("ccos", cosine(col("cv"), col("qv")))
+      .withColumn("crank", row_number().over(wProbe))
+      .where(col("crank") <= 2)
+      .select(col("q_id"), col("qv"), col("cent_id").as("cell"))
+    val wTop = Window.partitionBy("q_id").orderBy(col("score").desc, col("vec_id"))
+    probes.join(recon, "cell")
+      .where(col("vec_id") =!= col("q_id"))
+      .withColumn("score",
+        call_function("dot_product", col("qv"), col("vhat")))
+      .withColumn("rank", row_number().over(wTop).cast("long"))
+      .where(col("rank") <= TopK)
+      .select("q_id", "rank", "vec_id", "score")
+      .orderBy("q_id", "rank")
+  }
+
+  /** #205's oracle: the shared usable/centroid/assignment CTEs (the
+    * #31 stages), residuals, per-dimension min/max over residuals,
+    * clamped-floor levels + mid-level reconstruction ADDED BACK onto
+    * the centroid, top-2 probes, one ascending fold — every float op
+    * in the same order as the Spark plan.
+    */
+  val qAnnIvfSqSql: String = {
+    def fold(a: String, b: String) =
+      s"list_reduce(list_prepend(0.0, list_transform(range(1, ${Dim + 1}), i -> $a[i] * $b[i])), (acc, x) -> acc + x)"
+    def cos(a: String, b: String) =
+      s"${fold(a, b)} / (sqrt(${fold(a, a)}) * sqrt(${fold(b, b)}))"
+    s"""WITH e AS (
+       |  SELECT vec_id,
+       |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+       |  FROM embeddings
+       |  WHERE len(embedding) = $Dim
+       |    AND NOT EXISTS (SELECT 1 FROM unnest(embedding) AS t(x) WHERE x IS NULL)
+       |    AND isfinite(${fold("v", "v")}) AND ${fold("v", "v")} > 0),
+       |m AS (
+       |  SELECT greatest(50, CAST(n // CAST(ceil(sqrt(n)) AS BIGINT) AS BIGINT)) AS md
+       |  FROM (SELECT CAST(count(*) AS BIGINT) AS n FROM embeddings)),
+       |cents AS (
+       |  SELECT vec_id AS cent_id, v AS cv FROM e, m
+       |  WHERE ((vec_id % md) + md) % md = 0),
+       |assigned AS MATERIALIZED (
+       |  SELECT vec_id, v, cell FROM (
+       |    SELECT e.vec_id, e.v, c.cent_id AS cell,
+       |      row_number() OVER (PARTITION BY e.vec_id
+       |        ORDER BY ${cos("c.cv", "e.v")} DESC, c.cent_id) AS ar
+       |    FROM e CROSS JOIN cents c) WHERE ar = 1),
+       |resid AS MATERIALIZED (
+       |  SELECT a.vec_id, a.cell, c.cv,
+       |    list_transform(range(1, ${Dim + 1}), i -> a.v[i] - c.cv[i]) AS r
+       |  FROM assigned a JOIN cents c ON c.cent_id = a.cell),
+       |bd AS (
+       |  SELECT i, min(r[i]) AS lo, max(r[i]) AS hi
+       |  FROM resid CROSS JOIN (SELECT unnest(range(1, ${Dim + 1})) AS i)
+       |  GROUP BY i),
+       |b AS (
+       |  SELECT list(lo ORDER BY i) AS lo,
+       |    list(hi - lo ORDER BY i) AS span
+       |  FROM bd),
+       |recon AS MATERIALIZED (
+       |  SELECT vec_id, cell, list_transform(range(1, ${Dim + 1}), i ->
+       |    cv[i] + CASE WHEN b.span[i] = 0 THEN b.lo[i]
+       |         ELSE b.lo[i] +
+       |           (least(255.0, greatest(0.0,
+       |              floor((resid.r[i] - b.lo[i]) / b.span[i] * 256.0))) + 0.5)
+       |           * b.span[i] / 256.0 END) AS vhat
+       |  FROM resid CROSS JOIN b),
+       |q AS (SELECT vec_id AS q_id, v AS qv FROM e WHERE vec_id < $NQueries),
+       |probes AS (
+       |  SELECT q_id, qv, cell FROM (
+       |    SELECT q.q_id, q.qv, c.cent_id AS cell,
+       |      row_number() OVER (PARTITION BY q.q_id
+       |        ORDER BY ${cos("c.cv", "q.qv")} DESC, c.cent_id) AS crank
+       |    FROM q CROSS JOIN cents c) WHERE crank <= 2),
+       |ranked AS (
+       |  SELECT q_id, vec_id, score,
+       |    row_number() OVER (PARTITION BY q_id ORDER BY score DESC, vec_id) AS rank
+       |  FROM (
+       |    SELECT p.q_id, r.vec_id, ${fold("p.qv", "r.vhat")} AS score
+       |    FROM probes p JOIN recon r USING (cell)
+       |    WHERE r.vec_id <> p.q_id))
+       |SELECT q_id, CAST(rank AS BIGINT) AS rank, vec_id, score FROM ranked
+       |WHERE rank <= $TopK ORDER BY q_id, rank""".stripMargin
+  }
+
   /** Coreset size for the k-center gate (#184). */
   private[graft] val CoresetK = 8
 

@@ -498,6 +498,153 @@ class PqSpec extends SparkSpec {
     codes.unpersist(); t1.unpersist()
   }
 
+  test("ivf x sq8: flavor refusals, full-probe == flat, planted-NN recall, gate == api") {
+    import spark.implicits._
+    graft.functions.DotProduct.register(spark)
+    // planted-NN corpus: 8 well-separated block clusters of 40 points
+    // (deterministic LCG jitter at 0.05), built as anchor/twin PAIRS —
+    // each odd id sits 0.002 off its even anchor, ~25x closer than any
+    // other cluster mate. The margin is the probe-33 design at spec
+    // scale: ABOVE residual-SQ8 quantization noise (residual span
+    // ~0.05 -> half-level ~1e-4) but NEAR raw-bounds noise (span ~1.05
+    // -> half-level ~2e-3), so the test can see routing failures AND
+    // the residual rung's resolution advantage
+    val pts = (0 until 8).flatMap { c =>
+      (0 until 40).map { j =>
+        val id = (c * 40 + j).toLong
+        val anchor = (c * 40 + (j & ~1)).toLong
+        val v = Seq.tabulate(Dim) { d =>
+          val base = if (d / 8 == c) 1.0 else 0.0
+          val u = (((anchor * Dim + d) * 1103515245L + 12345L) % 1000L)
+            .toDouble / 1000.0
+          val twin =
+            if (j % 2 == 1)
+              0.002 * ((((id * Dim + d) * 48271L + 7L) % 1000L)
+                .toDouble / 1000.0)
+            else 0.0
+          base + 0.05 * u + twin
+        }
+        (id, v)
+      }
+    }.toDF("vec_id", "v").persist()
+    // ideal block centroids: one per planted cluster, so routing is
+    // exact by construction and the test isolates the SQ rung (a
+    // fitted kmeansCentroids(k=8) draws 8 hash-random seeds, which
+    // split/merge a cluster ~3 times in 4 — routing quality has its
+    // own specs; mixing it in here would blur whose failure a red is)
+    val cents = (0 until 8).map { c =>
+      (c.toLong, Seq.tabulate(Dim)(d => if (d / 8 == c) 1.0 else 0.0))
+    }.toDF("cent_id", "cv").persist()
+    val rawB = Graft.sqBounds(pts, "vec_id", "v", Dim).persist()
+    val resB = Graft.ivfSqBounds(pts, "vec_id", "v",
+      cents, "cent_id", "cv", Dim).persist()
+    // 1. flavor refusals (the fit_residual discipline): raw bounds
+    // into a residual build/serve — and vice versa — fail loudly
+    val e1 = intercept[IllegalArgumentException] {
+      Graft.ivfSqIndex(pts, "vec_id", "v", cents, "cent_id", "cv",
+        rawB, Dim, residual = true)
+    }
+    assert(e1.getMessage.contains("fit_residual"))
+    val e2 = intercept[IllegalArgumentException] {
+      Graft.ivfSqIndex(pts, "vec_id", "v", cents, "cent_id", "cv",
+        resB, Dim, residual = false)
+    }
+    assert(e2.getMessage.contains("fit_residual"))
+    val rIdx = Graft.ivfSqIndex(pts, "vec_id", "v", cents, "cent_id", "cv",
+      resB, Dim, residual = true).persist()
+    val q20 = pts.where(col("vec_id") % 16 === 0)
+      .select(col("vec_id").as("qid"), col("v").as("qv")).persist()
+    val e3 = intercept[IllegalArgumentException] {
+      Graft.ivfSqQuery(rIdx, cents, "cent_id", "cv", rawB,
+        q20, "qid", "qv", k = 1, nprobe = 1)
+    }
+    assert(e3.getMessage.contains("fit_residual"))
+    // the index marker is checked lazily inside the plan (unmarked
+    // bounds skip the eager check; the wrong-flavor index row must
+    // still refuse on action, not score garbage)
+    val rawIdx = Graft.ivfSqIndex(pts, "vec_id", "v", cents, "cent_id",
+      "cv", rawB, Dim, residual = false).persist()
+    val lazyBad = intercept[Throwable] {
+      Graft.ivfSqQuery(rawIdx, cents, "cent_id", "cv",
+        resB.drop("fit_residual"), q20, "qid", "qv",
+        k = 1, nprobe = 1, residual = true).collect()
+    }
+    assert(lazyBad.getMessage != null &&
+      lazyBad.getMessage.contains("opposite flavor"))
+    // 2. full-probe raw flavor == flat sqQuery exactly (the ivfPqIndex
+    // residual=false twin contract, spec-pinned there too)
+    val flatCodes = Graft.sqEncode(pts, "vec_id", "v", rawB, Dim)
+    val flat = Graft.sqQuery(flatCodes, rawB, q20, "qid", "qv",
+      k = 5, excludeSelf = true)
+    val fullProbe = Graft.ivfSqQuery(rawIdx, cents, "cent_id", "cv", rawB,
+      q20, "qid", "qv", k = 5, nprobe = 8, excludeSelf = true,
+      residual = false)
+    assert(fullProbe.exceptAll(flat).count() == 0 &&
+      flat.exceptAll(fullProbe).count() == 0,
+      "full-probe raw IVFxSQ must equal the flat SQ scan exactly")
+    // 3. planted-NN recall at the sublinear dial (nprobe=1 of 8): the
+    // true top-1 must survive routing + residual quantization, and the
+    // composed rung may not fall below the flat SQ scan's recall —
+    // residual spans are TIGHTER than raw, that is the rung's point
+    val wTop = org.apache.spark.sql.expressions.Window
+      .partitionBy("q_id").orderBy(col("dot").desc, col("vec_id"))
+    val truth = pts.crossJoin(broadcast(
+        q20.select(col("qid").as("q_id"), col("qv"))))
+      .where(col("vec_id") =!= col("q_id"))
+      .withColumn("dot", call_function("dot_product", col("qv"), col("v")))
+      .withColumn("r", row_number().over(wTop)).where(col("r") === 1)
+      .select(col("q_id"), col("vec_id").as("id")).persist()
+    val nq = q20.count()
+    val ivfTop1 = Graft.ivfSqQuery(rIdx, cents, "cent_id", "cv", resB,
+      q20, "qid", "qv", k = 1, nprobe = 1, excludeSelf = true)
+    val flatTop1 = Graft.sqQuery(flatCodes, rawB, q20, "qid", "qv",
+      k = 1, excludeSelf = true)
+    val hitsIvf = truth.join(ivfTop1.select("q_id", "id"),
+      Seq("q_id", "id")).count()
+    val hitsFlat = truth.join(flatTop1.select("q_id", "id"),
+      Seq("q_id", "id")).count()
+    assert(hitsIvf >= hitsFlat,
+      s"IVFxSQ recall ($hitsIvf/$nq) fell below flat SQ ($hitsFlat/$nq) " +
+        "— residual quantization must not be coarser than raw")
+    assert(hitsIvf >= (nq * 9) / 10,
+      s"IVFxSQ planted-NN recall $hitsIvf/$nq below the 0.9 floor")
+    // 4. serving plan: centroids/probes/bounds/queries broadcast; the
+    // code store never shuffle-joins
+    val plan = ivfTop1.queryExecution.executedPlan.toString
+    assert(!plan.contains("SortMergeJoin") && !plan.contains("ShuffledHashJoin"),
+      s"corpus-sized join crept into IVFxSQ serving:\n$plan")
+    // 5. gate == api: the gated q_ann_ivf_sq must equal ivfSqQuery
+    // over an ivfSqIndex built with the gate's deterministic mod-rule
+    // centroids — facade and gate cannot drift (GraftApiSpec's same()
+    // contract, pinned here where the fixtures live)
+    graft.functions.UsableVec.register(spark)
+    val emb = embTable
+      .where(call_function("usable_vec", col("v"), lit(Dim)))
+      .persist()
+    val n = spark.read.parquet(s"$sf/embeddings.parquet").count()
+    val mod = math.max(50L,
+      n / math.max(1L, math.ceil(math.sqrt(n.toDouble)).toLong))
+    val gateCents = emb.where(col("vec_id") % mod === 0)
+      .select(col("vec_id").as("cent_id"), col("v").as("cv"))
+    val gb = Graft.ivfSqBounds(emb, "vec_id", "v",
+      gateCents, "cent_id", "cv", Dim)
+    val gIdx = Graft.ivfSqIndex(emb, "vec_id", "v",
+      gateCents, "cent_id", "cv", gb, Dim)
+    val api = Graft.ivfSqQuery(gIdx, gateCents, "cent_id", "cv", gb,
+      emb.where(col("vec_id") < 10)
+        .select(col("vec_id").as("qid"), col("v").as("qv")),
+      "qid", "qv", k = 5, nprobe = 2, excludeSelf = true)
+      .select(col("q_id"), col("rank").cast("long").as("rank"),
+        col("id").as("vec_id"), col("score"))
+    val gate = graft.operators.Similarity.qAnnIvfSq(spark, sf)
+    assert(api.exceptAll(gate).count() == 0 &&
+      gate.exceptAll(api).count() == 0,
+      "ivfSqQuery drifted from the gated q_ann_ivf_sq")
+    pts.unpersist(); cents.unpersist(); rawB.unpersist(); resB.unpersist()
+    rIdx.unpersist(); rawIdx.unpersist(); q20.unpersist(); truth.unpersist()
+    emb.unpersist()
+  }
+
   test("q_ann_rerank gate: recall_rerank dominates recall_adc row-wise") {
     val rows = graft.operators.Similarity.qAnnRerankRecall(spark, sf)
       .collect()
