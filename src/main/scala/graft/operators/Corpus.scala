@@ -1516,14 +1516,13 @@ object Corpus {
        |  CAST(SUM(is_dup) AS DOUBLE) / COUNT(*) AS dup_rate
        |FROM s, th GROUP BY decile ORDER BY decile""".stripMargin
 
-  /** #63 — `q_token_quantiles_approx`: the sketch flavor of #62
-    * (rows-only gate — sketch quantiles are implementation-specific,
-    * no cross-engine oracle). `approx_percentile` keeps a bounded
-    * mergeable summary per group: map-side partials combine like any
-    * algebraic aggregate, memory is O(accuracy), not O(group size) —
-    * what replaces #62 when a group no longer fits one task.
+  /** The estimate-serving form of #63: `approx_percentile` keeps a
+    * bounded mergeable summary per group — map-side partials combine
+    * like any algebraic aggregate, memory is O(accuracy), not
+    * O(group size) — what replaces #62 when a group no longer fits
+    * one task.
     */
-  def qTokenQuantilesApprox(spark: SparkSession, dir: String): DataFrame =
+  def tokenQuantilesApproxEst(spark: SparkSession, dir: String): DataFrame =
     Tables.documents(spark, dir)
       .select(col("source"), Text.wsTokenCount.as("n_tokens"))
       .groupBy("source")
@@ -1535,6 +1534,67 @@ object Corpus {
         col("q").getItem(0).as("p25"), col("q").getItem(1).as("p50"),
         col("q").getItem(2).as("p75"), col("q").getItem(3).as("p90"))
       .orderBy("source")
+
+  /** #63 — `q_token_quantiles_approx`: the BOUND-CHECKED gate over
+    * the sketch flavor of #62 (r17 verdict item 2 — previously
+    * rows-only: sketch quantiles are implementation-specific, no
+    * cross-engine oracle). Per (source, percentile p) the gate checks
+    * the RANK-ERROR contract that defines a quantile sketch — the
+    * estimate e must be a valid p-quantile element up to tolerance ε:
+    * `count(x < e)/n ≤ p + ε` and `count(x ≤ e)/n ≥ p − ε` (ε = 0.02;
+    * accuracy 10000 guarantees 10⁻⁴ rank error, so the slack only
+    * absorbs the discrete-rank convention at tiny groups). Emits the
+    * EXACT #62 readout (docs + interpolated percentiles) plus the
+    * four flags; the oracle asserts literal TRUE per flag, so the
+    * hash gate FAILS on any group whose estimate leaves its rank
+    * band. One extra source-keyed pass over the token frame with the
+    * ~|sources|-row estimate frame broadcast — flat at any scale.
+    */
+  def qTokenQuantilesApprox(spark: SparkSession, dir: String): DataFrame = {
+    val toks = Tables.documents(spark, dir)
+      .select(col("source"), Text.wsTokenCount.as("n_tokens"))
+    val est = toks.groupBy("source")
+      .agg(expr(
+        "approx_percentile(n_tokens, array(0.25D, 0.5D, 0.75D, 0.9D), 10000)")
+        .as("q"))
+    val ps = Seq(0.25 -> "25", 0.5 -> "50", 0.75 -> "75", 0.9 -> "90")
+    val eps = 0.02
+    val aggs = expr("percentile(n_tokens, array(0.25D, 0.5D, 0.75D, 0.9D))")
+      .as("pq") +:
+      ps.zipWithIndex.flatMap { case ((_, tag), i) => Seq(
+        sum(when(col("n_tokens") < col("q").getItem(i), 1L)
+          .otherwise(0L)).as(s"lt$tag"),
+        sum(when(col("n_tokens") <= col("q").getItem(i), 1L)
+          .otherwise(0L)).as(s"le$tag"))
+      }
+    toks.join(broadcast(est), "source")
+      .groupBy("source")
+      .agg(count(lit(1)).as("docs"), aggs: _*)
+      .select(col("source") +: col("docs") +:
+        (ps.zipWithIndex.map { case ((_, tag), i) =>
+          col("pq").getItem(i).as(s"p$tag") } ++
+        ps.map { case (p, tag) =>
+          (col(s"lt$tag").cast("double") / col("docs") <= lit(p + eps) &&
+           col(s"le$tag").cast("double") / col("docs") >= lit(p - eps))
+            .as(s"p${tag}_ok") }): _*)
+      .orderBy("source")
+  }
+
+  /** #63's oracle: the exact #62 readout plus literal TRUE rank-band
+    * flags — an estimate violating its band flips the Spark-side flag
+    * and the hash gate fails on that source's row.
+    */
+  val qTokenQuantilesApproxSql: String =
+    s"""WITH t AS (
+      |  SELECT source, ${Text.wsTokenCountSql} AS n_tokens
+      |  FROM documents)
+      |SELECT source, CAST(COUNT(*) AS BIGINT) AS docs,
+      |  quantile_cont(n_tokens, 0.25) AS p25,
+      |  quantile_cont(n_tokens, 0.50) AS p50,
+      |  quantile_cont(n_tokens, 0.75) AS p75,
+      |  quantile_cont(n_tokens, 0.90) AS p90,
+      |  TRUE AS p25_ok, TRUE AS p50_ok, TRUE AS p75_ok, TRUE AS p90_ok
+      |FROM t GROUP BY source ORDER BY source""".stripMargin
 
   /** Quality-score cut for the funnel's quality stage (#72): keeps
     * ~73% of the test corpus; production pipelines tune it against

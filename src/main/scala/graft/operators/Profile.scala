@@ -138,15 +138,20 @@ object Profile {
       .orderBy("col_name")
   }
 
-  /** #101 — `q_profile_orders_approx`: the HLL flavor of #95 on the
-    * same columns — rows-only gate (sketch distincts are
-    * implementation-specific, no cross-engine oracle; the #40/#63
-    * pairing again). This is the 100 TB default: single pass, NO
-    * Expand (plan-pinned in PlanSpec), mergeable partials; probe 11
-    * measured it 10-13× cheaper than the exact gate flavor. Everything
-    * except `n_distinct` is identical to #95 by construction (same
-    * aggregate, same unpivot), and GraftApiSpec pins the sketch
-    * estimates within HLL's documented error on the gate table.
+  /** #101 — `q_profile_orders_approx`: the BOUND-CHECKED gate over
+    * the HLL flavor of #95 (r17 verdict item 2 — previously
+    * rows-only: sketch distincts are implementation-specific, no
+    * cross-engine oracle; the #40/#63 pairing again). The gate joins
+    * the approx profile's `n_distinct` estimate back to the exact #95
+    * readout at the col_name grain (6 rows — the join is at readout
+    * grain, never data grain) and emits the exact profile plus an
+    * `approx_ok` band flag per column — |HLL − exact| ≤ max(2, 15% of
+    * exact), the 3σ envelope of the default 5% rsd. The oracle
+    * asserts literal TRUE, so the hash gate fails on any column whose
+    * estimate leaves its band. The PRODUCTION plan claim (single
+    * pass, NO Expand, 10-13× cheaper — probe 11) lives on the facade
+    * `Graft.profile(approx = true)` and stays plan-pinned there; this
+    * gate deliberately pays the exact branch to price the band.
     */
   def qProfileOrdersApprox(spark: SparkSession, dir: String): DataFrame = {
     val o = Tables.orders(spark, dir).select(
@@ -155,11 +160,29 @@ object Profile {
       datediff(col("o_orderdate").cast("date"),
         lit("1970-01-01").cast("date")).as("o_orderdate_day"),
       col("o_orderpriority"))
-    profile(o, Seq("o_orderkey", "o_custkey", "o_orderstatus",
-        "o_totalprice", "o_orderdate_day", "o_orderpriority"),
-        approx = true)
+    val cols = Seq("o_orderkey", "o_custkey", "o_orderstatus",
+      "o_totalprice", "o_orderdate_day", "o_orderpriority")
+    val est = profile(o, cols, approx = true)
+      .select(col("col_name"), col("n_distinct").as("est"))
+    profile(o, cols)
+      .join(est, "col_name")
+      .select(col("col_name"), col("n_rows"), col("n_nonnull"),
+        col("n_distinct"), col("min_v"), col("max_v"),
+        (abs(col("est").cast("double") - col("n_distinct").cast("double")) <=
+          greatest(lit(2.0), col("n_distinct").cast("double") * lit(0.15)))
+          .as("approx_ok"))
       .orderBy("col_name")
   }
+
+  /** #101's oracle: the exact #95 profile plus a literal TRUE band
+    * flag per column row — a string-rewrite of the shared #95 oracle
+    * (each UNION arm gains `, TRUE AS approx_ok`) so the two can
+    * never drift. Lazy: `qProfileOrdersSql` is declared later in this
+    * object and object vals initialize in declaration order.
+    */
+  lazy val qProfileOrdersApproxSql: String =
+    qProfileOrdersSql.replace(" FROM orders",
+      ",\n  TRUE AS approx_ok FROM orders")
 
   val qProfileOrdersSql: String = {
     def numeric(c: String, expr: String) =

@@ -298,22 +298,20 @@ object Stats {
       |GROUP BY n_name, day
       |ORDER BY n_name, day""".stripMargin
 
-  /** #11b — the 100 TB flavor of province stats (SURVEY.md §5
-    * "count-distinct"): HLL distinct (single-pass, mergeable sketch,
-    * no expand) over the same line-grain rows the exact #11 dedupes.
-    * Offered alongside the exact query; rows-only gate — HLL values
-    * are implementation-specific and have no DuckDB oracle.
+  /** The estimate-serving form of #40 — the 100 TB flavor of
+    * province stats (SURVEY.md §5 "count-distinct"): HLL distinct
+    * (single-pass, mergeable sketch, no expand) over the same
+    * order-grain rows the exact #11 dedupes. The count stays an HLL
+    * sketch over o_orderkey (multiplicity-insensitive, so the pre-agg
+    * does not change its estimate): at 100 TB this is what replaces
+    * the exact count when the per-group distinct set no longer fits
+    * an exact pass. Known trade (probe 20): HLL is an
+    * ImperativeAggregate, so this GROUPED aggregate runs outside
+    * whole-stage codegen — the #101 two-aggregate split does not
+    * compose here without scanning the join base twice, and the
+    * group-grain row count keeps the interpreted cost bounded.
     */
-  def qProvinceStatsApprox(spark: SparkSession, dir: String): DataFrame =
-    // same order-grain base as the exact #11, but the count stays an
-    // HLL sketch over o_orderkey (multiplicity-insensitive, so the
-    // pre-agg does not change its estimate): at 100 TB this is what
-    // replaces the exact count when the per-group distinct set no
-    // longer fits an exact pass. Known trade (probe 20): HLL is an
-    // ImperativeAggregate, so this GROUPED aggregate runs outside
-    // whole-stage codegen — the #101 two-aggregate split does not
-    // compose here without scanning the join base twice, and the
-    // group-grain row count keeps the interpreted cost bounded.
+  def provinceStatsApproxEst(spark: SparkSession, dir: String): DataFrame =
     provinceOrderGrain(spark, dir)
       .groupBy("n_name", "day")
       .agg(
@@ -322,6 +320,49 @@ object Stats {
       .select(col("n_name"), col("day"), col("order_ct_approx"),
         e4Amount(col("s_e4")).as("amount"))
       .orderBy("n_name", "day")
+
+  /** #40 — `q_province_stats_approx`: the BOUND-CHECKED gate over the
+    * HLL flavor (r17 verdict item 2 — previously rows-only, because
+    * sketch values are implementation-specific and have no
+    * cross-engine oracle). The gate emits the EXACT readout plus a
+    * per-group `approx_ok` band flag — |HLL − exact| ≤ max(2, 15% of
+    * exact), the 3σ envelope of approx_count_distinct's default 5%
+    * rsd — so the full DuckDB hash gate now FAILS if any group's
+    * estimate leaves its band (the oracle asserts literal TRUE per
+    * group), while the sketch value itself never crosses engines.
+    * Exact and estimate ride ONE aggregate over the shared
+    * order-grain pre-agg: at order grain count(1) IS the exact
+    * distinct-order count, so the band costs no extra pass.
+    */
+  def qProvinceStatsApprox(spark: SparkSession, dir: String): DataFrame =
+    provinceOrderGrain(spark, dir)
+      .groupBy("n_name", "day")
+      .agg(
+        count(lit(1)).as("order_ct"),
+        approx_count_distinct(col("o_orderkey")).as("est"),
+        sum("rev_e4").as("s_e4"))
+      .select(col("n_name"), col("day"), col("order_ct"),
+        e4Amount(col("s_e4")).as("amount"),
+        (abs(col("est").cast("double") - col("order_ct").cast("double")) <=
+          greatest(lit(2.0), col("order_ct").cast("double") * lit(0.15)))
+          .as("approx_ok"))
+      .orderBy("n_name", "day")
+
+  /** #40's oracle: the exact #11 readout with a literal TRUE band
+    * flag — a Spark-side estimate outside its band flips `approx_ok`
+    * to false and the hash gate fails on that group's row.
+    */
+  val qProvinceStatsApproxSql: String =
+    """SELECT n_name, strftime(o_orderdate, '%Y-%m-%d') AS day,
+      |  CAST(COUNT(DISTINCT o_orderkey) AS BIGINT) AS order_ct,
+      |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(4,2)) - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE) AS amount,
+      |  TRUE AS approx_ok
+      |FROM orders
+      |JOIN lineitem ON o_orderkey = l_orderkey
+      |JOIN customer ON o_custkey = c_custkey
+      |JOIN nation ON c_nationkey = n_nationkey
+      |GROUP BY n_name, day
+      |ORDER BY n_name, day""".stripMargin
 
   /** #42 — `q_province_rollup`: the ROLLUP flavor of #11 — per
     * (nation, day) stats plus per-nation subtotals plus a grand total

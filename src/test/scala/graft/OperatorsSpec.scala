@@ -96,14 +96,31 @@ class OperatorsSpec extends SparkSpec {
   }
 
   test("approx province stats track the exact distincts within HLL error") {
+    // the estimate-serving form (the gate itself is now the banded
+    // readout whose oracle asserts the same envelope — r18)
     val exact = SparkEntry.queries("q_province_stats")(spark, sf)
       .select(col("n_name"), col("day"), col("order_ct"))
-    val approx = SparkEntry.queries("q_province_stats_approx")(spark, sf)
+    val approx = graft.operators.Stats.provinceStatsApproxEst(spark, sf)
       .select(col("n_name"), col("day"), col("order_ct_approx"))
     val bad = exact.join(approx, Seq("n_name", "day"))
       .where(abs(col("order_ct_approx") - col("order_ct")) >
         greatest(col("order_ct") * 0.15, lit(2.0))).count()
     assert(bad == 0, "HLL estimate strayed beyond 15% of the exact count")
+    // and the banded GATE itself reports every group in-band here
+    val gate = SparkEntry.queries("q_province_stats_approx")(spark, sf)
+    assert(gate.where(!col("approx_ok")).count() == 0,
+      "the banded gate flagged an out-of-band estimate on clean data")
+    // negative control: the band flag compares genuinely different
+    // numbers somewhere (15k-distinct o_orderkey is past HLL++'s
+    // exact sparse regime), so a broken sketch COULD flip it — the
+    // gate is not trivially comparing equal values
+    val est = graft.api.Graft.profile(
+      Tables.orders(spark, sf), Seq("o_orderkey"), approx = true)
+      .select(col("n_distinct")).head.getLong(0)
+    val ex = Tables.orders(spark, sf)
+      .select(countDistinct(col("o_orderkey"))).head.getLong(0)
+    assert(est != ex,
+      s"HLL ($est) == exact ($ex) on 15k keys — the band test is vacuous here")
   }
 
   test("as-of join: every attached view precedes its purchase, and is the latest") {
