@@ -2521,6 +2521,38 @@ object Streams {
     Some(graft.operators.Corpus.mixPlanFromTotals(totals, stratumCol, budget))
   }
 
+  /** #206 — `stream_mix_alpha`: the α-GENERAL mixture plan over the
+    * SAME ingest fold as #155 (r17 verdict item 3). [[mixPlanSink]]'s
+    * per-batch partials are pure source-grain integer totals
+    * `(stratum, docs, tokens)` — they encode NO temperature — so one
+    * maintained state serves BOTH the fixed-α=½ plan
+    * ([[mixPlanState]]) and any α a sweep asks for: the temperature
+    * dial applies at READ time via the shared [[graft.operators
+    * .Corpus.mixAlphaFromTotals]] tail, never at ingest — exactly the
+    * batch #141/#204 pairing, and the reason re-planning at a new α
+    * costs one |strata|-row readout, not a corpus replay. The fold
+    * equals the one-shot [[graft.api.Graft.mixAlpha]] EXACTLY under
+    * any batch boundaries (nothing in the plan depends on arrival
+    * order; integer sums are order-free). None before the first
+    * batch.
+    */
+  def mixAlphaState(spark: org.apache.spark.sql.SparkSession,
+      statePath: String, alpha: Double, budget: Long,
+      stratumCol: String = "source"): Option[DataFrame] = {
+    require(alpha > 0 && alpha <= 1.0,
+      s"alpha must be in (0, 1], got $alpha — 1 is natural sampling, " +
+        "smaller flattens toward uniform")
+    import org.apache.hadoop.fs.Path
+    val mroot = new Path(new Path(statePath).toUri.getPath, "mix")
+    val fs = mroot.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(mroot)) return None
+    val totals = spark.read.parquet(mroot.toString)
+      .groupBy(col("stratum").as(stratumCol))
+      .agg(sum("docs").as("docs"), sum("tokens").as("tokens"))
+    Some(graft.operators.Corpus.mixAlphaFromTotals(totals, stratumCol,
+      alpha, budget))
+  }
+
   /** #156 — `stream_token_fertility` / `tokenFertilitySink`: the #148
     * tokenizer-fertility dashboard maintained at ingest. Per batch,
     * one (lang, source) integer partial (docs, chars, bytes, ws/bpe

@@ -900,6 +900,57 @@ class StreamingSpec extends SparkSpec {
     assert(Streams.mixPlanState(spark, s"$base/none", budget).isEmpty)
   }
 
+  test("stream_mix_alpha: alpha-general readout over the shared fold equals the batch plan") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val base = java.nio.file.Files.createTempDirectory("graft_mixa_").toString
+    val budget = 1L << 20
+    val rows = Tables.documents(spark, sfTiny)
+      .select(col("doc_id"), col("source"),
+        graft.operators.Text.wsTokenCount.as("n_tokens"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+      .toIndexedSeq
+    val ms = MemoryStream[(Long, String, Long)]
+    val q = Streams.mixPlanSink(
+      ms.toDF().toDF("doc_id", "source", "n_tokens"),
+      s"$base/state", s"$base/ckpt").start()
+    val chunks = rows.grouped((rows.size + 2) / 3).toSeq
+    try {
+      chunks.foreach { c => ms.addData(c); q.processAllAvailable() }
+    } finally q.stop()
+    // ONE maintained state serves every temperature: the alpha dial
+    // applies at read time over the same (docs, tokens) partials
+    for (alpha <- Seq(0.25, 0.5, 1.0)) {
+      val want = graft.api.Graft.mixAlpha(
+        rows.toDF("doc_id", "source", "n_tokens"),
+        "source", "n_tokens", alpha, budget).collect().toSet
+      assert(want.nonEmpty)
+      val got = Streams.mixAlphaState(spark, s"$base/state", alpha, budget)
+        .get.collect().toSet
+      assert(got == want,
+        s"folded alpha=$alpha plan != the one-shot plan on the same corpus")
+    }
+    // replay fixpoint: re-landing an old and the last batch must not
+    // move any alpha readout
+    val want25 = graft.api.Graft.mixAlpha(
+      rows.toDF("doc_id", "source", "n_tokens"),
+      "source", "n_tokens", 0.25, budget).collect().toSet
+    Seq(0 -> chunks.head, (chunks.size - 1) -> chunks.last).foreach {
+      case (id, chunk) =>
+        Streams.applyMixPlanBatch(chunk.toDF("doc_id", "source", "n_tokens"),
+          id.toLong, s"$base/state", "source", "n_tokens")
+        assert(Streams.mixAlphaState(spark, s"$base/state", 0.25, budget)
+          .get.collect().toSet == want25,
+          s"replaying batch $id mutated the alpha plan")
+    }
+    // the alpha dial is validated at read time; no state before ingest
+    val bad = intercept[IllegalArgumentException] {
+      Streams.mixAlphaState(spark, s"$base/state", 1.5, budget)
+    }
+    assert(bad.getMessage.contains("alpha"))
+    assert(Streams.mixAlphaState(spark, s"$base/none", 0.25, budget).isEmpty)
+  }
+
   test("stream_dsir: frozen-model weights equal the batch scorer") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
