@@ -1219,6 +1219,90 @@ object Streams {
       .orderBy("subspace", "code"))
   }
 
+  /** #207 — `stream_dim_freshness` / `dimEnrichSink`: fact enrichment
+    * that FOLLOWS the dim store with micro-batch granularity — the
+    * reference's cache-invalidation contract re-expressed (gmall
+    * DimSinkFunction.java:29-37 deletes the Redis-cached dim row on a
+    * CDC dim UPDATE via DimUtil.delRedisDimInfo, DimUtil.java:39-43,
+    * precisely so that facts arriving AFTER the update enrich with
+    * the NEW dim row, never a stale cache hit).
+    *
+    * WHY A PER-BATCH RE-READ AND NOT A STREAM-STATIC JOIN: a static
+    * DataFrame on the static side of a stream-static join resolves
+    * its parquet FILE LISTING once, when the streaming query starts —
+    * a dim snapshot upserted mid-stream is silently invisible to it
+    * (and a rewritten file can fail the scan outright). Stream-static
+    * is the right tool for genuinely frozen dims (#49's `part` table);
+    * for a LIVE dim maintained by [[graft.sinks.Sinks.dimUpsertSink]]
+    * or [[graft.sinks.Sinks.cdcApplySink]], the freshness contract
+    * maps to reading the store INSIDE foreachBatch —
+    * `spark.read.parquet` there resolves a fresh snapshot per
+    * micro-batch, so batch N+1's facts see every dim upsert committed
+    * before it, exactly like the reference's invalidated cache forces
+    * a re-fetch. (Per-batch listing cost is O(dim files) on the
+    * driver — dims are small by definition; a 100 TB FACT table is
+    * the streaming side and is never re-listed.)
+    *
+    * Reads either dim-store flavor: a [[graft.sinks.Sinks.cdcApply]]
+    * bucketed table (detected by its `_graft_buckets` marker; the
+    * `bucket` routing column is dropped) or a plain
+    * [[graft.sinks.Sinks.upsert]] snapshot. Facts LEFT-join the dim
+    * (broadcast — the dim side is the small side by contract) on
+    * `factKey = dimKey`; enriched rows land replay-safely under
+    * `enriched/batch=<id>` (overwrite ⟹ at-least-once replay is a
+    * fixpoint at the then-current dim — a replay re-enriches at the
+    * LATEST snapshot, it does not resurrect the stale dim).
+    * [[dimEnrichedState]] unions the landed batches.
+    */
+  def dimEnrichSink(facts: DataFrame, dimPath: String, statePath: String,
+      checkpointDir: String, factKey: String, dimKey: String)
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    facts.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        applyDimEnrichBatch(batch, batchId, dimPath, statePath,
+          factKey, dimKey)
+      }
+
+  /** One enrichment step of [[dimEnrichSink]] (package-visible so the
+    * spec can drive replay directly). */
+  private[graft] def applyDimEnrichBatch(batch: DataFrame, batchId: Long,
+      dimPath: String, statePath: String, factKey: String,
+      dimKey: String): Unit = {
+    import org.apache.hadoop.fs.Path
+    val spark = batch.sparkSession
+    val root = new Path(new Path(statePath).toUri.getPath)
+    val droot = new Path(new Path(dimPath).toUri.getPath)
+    val fs = droot.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    require(fs.exists(droot),
+      s"dimEnrichSink: no dim store at $dimPath — land at least one dim " +
+        "batch first (the enriched schema is dim-derived, so an absent " +
+        "store cannot default to null columns)")
+    // FRESH snapshot per micro-batch — the whole point (see scaladoc)
+    val dim0 = spark.read.parquet(droot.toString)
+    val dim =
+      if (fs.exists(new Path(droot, "_graft_buckets"))) dim0.drop("bucket")
+      else dim0
+    batch.join(
+        broadcast(dim.withColumnRenamed(dimKey, factKey)), Seq(factKey),
+        "left")
+      .write.mode("overwrite")
+      .parquet(new Path(root, s"enriched/batch=$batchId").toString)
+  }
+
+  /** Everything enriched so far, batch column included — each row
+    * carries the dim values AS OF its own micro-batch (the freshness
+    * contract made visible). None before the first batch.
+    */
+  def dimEnrichedState(spark: org.apache.spark.sql.SparkSession,
+      statePath: String): Option[DataFrame] = {
+    import org.apache.hadoop.fs.Path
+    val eroot = new Path(new Path(statePath).toUri.getPath, "enriched")
+    val fs = eroot.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(eroot)) return None
+    Some(spark.read.parquet(eroot.toString))
+  }
+
   /** #201 — streaming SQ8 clip-rate maintenance: the drift monitor a
     * frozen scalar quantizer needs in production. [[graft.api.Graft
     * .sqBounds]] is fitted once offline; as the distribution drifts

@@ -1712,6 +1712,68 @@ class StreamingSpec extends SparkSpec {
     assert(inWindow > 0, "sentinel doc's words missing from its hour window")
   }
 
+  test("stream_dim_freshness: mid-stream dim upserts reach later batches; replays never resurrect the stale dim") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val base = java.nio.file.Files.createTempDirectory("graft_dimf_").toString
+    // the dim store maintained by the CDC apply sink (the reference's
+    // BaseDBApp -> dim table path); facts enrich per micro-batch
+    val dimMs = MemoryStream[(Long, Long, String, String)]
+    val dimQ = graft.sinks.Sinks.cdcApplySink(
+      dimMs.toDF().toDF("sku_id", "ver", "op", "sku_name"),
+      s"$base/dim", s"$base/dimckpt", Seq("sku_id"), "ver", "op",
+      numBuckets = 4).start()
+    val factMs = MemoryStream[(Long, Long)]
+    val factQ = Streams.dimEnrichSink(
+      factMs.toDF().toDF("order_id", "sku_id"),
+      s"$base/dim", s"$base/state", s"$base/factckpt",
+      "sku_id", "sku_id").start()
+    try {
+      dimMs.addData(Seq((1L, 1L, "insert", "old_name"),
+        (2L, 1L, "insert", "other")))
+      dimQ.processAllAvailable()
+      factMs.addData(Seq((100L, 1L))); factQ.processAllAvailable()
+      // the cache-invalidation moment (DimSinkFunction.java:29-37):
+      // sku 1 updates BETWEEN fact micro-batches
+      dimMs.addData(Seq((1L, 2L, "update", "new_name")))
+      dimQ.processAllAvailable()
+      factMs.addData(Seq((101L, 1L), (102L, 2L)))
+      factQ.processAllAvailable()
+    } finally { dimQ.stop(); factQ.stop() }
+    def state() = Streams.dimEnrichedState(spark, s"$base/state").get
+      .select("order_id", "sku_name")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    // fact 100 (before the update) carries the OLD name; 101 (after)
+    // the NEW one — enrichment follows the store per micro-batch,
+    // which is exactly the reference's invalidated-cache re-fetch
+    assert(state() == Map(100L -> "old_name", 101L -> "new_name",
+      102L -> "other"), s"enrichment did not follow the dim store: ${state()}")
+    // a STALE dim replay (the ver=1 batch re-applied) cannot regress
+    // the snapshot — the version rule absorbs it...
+    graft.sinks.Sinks.cdcApply(Seq((1L, 1L, "insert", "old_name"))
+      .toDF("sku_id", "ver", "op", "sku_name"),
+      s"$base/dim", Seq("sku_id"), "ver", "op", 4)
+    Streams.applyDimEnrichBatch(Seq((103L, 1L)).toDF("order_id", "sku_id"),
+      2L, s"$base/dim", s"$base/state", "sku_id", "sku_id")
+    assert(state()(103L) == "new_name",
+      "a replayed stale dim batch resurrected the old dim row")
+    // ...and a FACT replay re-enriches at the LATEST snapshot (the
+    // overwrite-by-batch fixpoint is at the current dim, by design —
+    // landed rows are not a cache)
+    Streams.applyDimEnrichBatch(Seq((100L, 1L)).toDF("order_id", "sku_id"),
+      0L, s"$base/dim", s"$base/state", "sku_id", "sku_id")
+    assert(state()(100L) == "new_name",
+      "a replayed fact batch kept a stale enrichment")
+    // no dim store yet -> loud refusal (the enriched schema is
+    // dim-derived; it cannot default)
+    val bad = intercept[IllegalArgumentException] {
+      Streams.applyDimEnrichBatch(Seq((1L, 1L)).toDF("order_id", "sku_id"),
+        0L, s"$base/nodim", s"$base/state2", "sku_id", "sku_id")
+    }
+    assert(bad.getMessage.contains("dim store"))
+    assert(Streams.dimEnrichedState(spark, s"$base/none").isEmpty)
+  }
+
   test("stream_product_stats enriches via stream-static broadcast and sums exactly") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
