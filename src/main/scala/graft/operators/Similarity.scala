@@ -1356,6 +1356,80 @@ object Similarity {
        |WHERE rank <= $TopK ORDER BY q_id, rank""".stripMargin
   }
 
+  /** #208 — `q_ann_ivf_sq_recall`: recall@k of the IVF × SQ8 rung
+    * (#205) against the exact brute-force baseline (#30) — the
+    * quality dial every other ladder rung carries (#170 IVF, #182 PQ,
+    * #191 IVFPQ, #199 rerank), closing the symmetry. Per query
+    * integer (hits, expected) + ONE total row (q_id = −1), recalls by
+    * single integer division (the #148 ratio rule). On the gate
+    * corpus the readout shows the rung's contract: SQ8's half-level
+    * reconstruction noise costs no recall vs the raw-vector IVF scan
+    * at the same routing (AnnSpec pins #208 total ≥ #170 total), so
+    * the only recall loss is routing — exactly the probe-36 finding
+    * at mass.
+    *
+    * Scale: the two branches are the #30/#205 shapes unchanged; the
+    * recall join is TopK×NQueries rows. At 100 TB this runs on a
+    * query SAMPLE — the probe-set size is the dial, never the corpus.
+    */
+  def qAnnIvfSqRecall(spark: SparkSession, dir: String): DataFrame = {
+    val exact = qAnnCosineTopk(spark, dir).select(col("q_id"), col("vec_id"))
+    val approx = qAnnIvfSq(spark, dir)
+      .select(col("q_id"), col("vec_id"), lit(1L).as("hit"))
+    val perQ = exact.join(approx, Seq("q_id", "vec_id"), "left")
+      .groupBy("q_id")
+      .agg(count(lit(1)).as("expected"),
+        coalesce(sum("hit"), lit(0L)).as("hits"))
+    def recallOf(d: DataFrame) = d.withColumn("recall",
+      when(col("expected") === 0, lit(null).cast("double"))
+        .otherwise(col("hits").cast("double") / col("expected")))
+      .select("q_id", "hits", "expected", "recall")
+    val total = perQ.agg(
+      coalesce(sum("hits"), lit(0L)).as("hits"),
+      coalesce(sum("expected"), lit(0L)).as("expected"))
+      .select(lit(-1L).as("q_id"), col("hits"), col("expected"))
+    recallOf(perQ).unionByName(recallOf(total)).orderBy("q_id")
+  }
+
+  /** SQL twin of #208: the #205 chain verbatim (through `ranked`),
+    * the #30 exact branch, then the integer recall join + total row
+    * (the #170/#182 tail). */
+  val qAnnIvfSqRecallSql: String = {
+    def fold(a: String, b: String) =
+      s"list_reduce(list_prepend(0.0, list_transform(range(1, ${Dim + 1}), i -> $a[i] * $b[i])), (acc, x) -> acc + x)"
+    def cos(a: String, b: String) =
+      s"${fold(a, b)} / (sqrt(${fold(a, a)}) * sqrt(${fold(b, b)}))"
+    val ivfSqChain = qAnnIvfSqSql
+      .stripPrefix("WITH ")
+      .split("\\nSELECT q_id, CAST\\(rank AS BIGINT\\)")(0)
+    s"""WITH $ivfSqChain,
+       |approx AS (
+       |  SELECT q_id, vec_id FROM ranked WHERE rank <= $TopK),
+       |exact AS (
+       |  SELECT q_id, vec_id FROM (
+       |    SELECT q_id, vec_id,
+       |      row_number() OVER (PARTITION BY q_id
+       |        ORDER BY ${cos("qv", "v")} DESC, vec_id) AS rank
+       |    FROM q JOIN e ON vec_id <> q_id)
+       |  WHERE rank <= $TopK),
+       |perq AS (
+       |  SELECT x.q_id,
+       |    CAST(coalesce(sum(CASE WHEN a.vec_id IS NOT NULL THEN 1 ELSE 0 END), 0) AS BIGINT) AS hits,
+       |    CAST(count(*) AS BIGINT) AS expected
+       |  FROM exact x LEFT JOIN approx a USING (q_id, vec_id)
+       |  GROUP BY 1)
+       |SELECT q_id, hits, expected,
+       |  CAST(hits AS DOUBLE) / nullif(expected, 0) AS recall
+       |FROM perq
+       |UNION ALL
+       |SELECT CAST(-1 AS BIGINT) AS q_id,
+       |  CAST(coalesce(sum(hits), 0) AS BIGINT) AS hits,
+       |  CAST(coalesce(sum(expected), 0) AS BIGINT) AS expected,
+       |  CAST(coalesce(sum(hits), 0) AS DOUBLE) / nullif(sum(expected), 0) AS recall
+       |FROM perq
+       |ORDER BY q_id""".stripMargin
+  }
+
   /** Coreset size for the k-center gate (#184). */
   private[graft] val CoresetK = 8
 

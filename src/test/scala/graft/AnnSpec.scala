@@ -62,6 +62,29 @@ class AnnSpec extends SparkSpec {
     got.unpersist()
   }
 
+  test("q_ann_ivf_sq_recall (#208): consistent with manual intersect; SQ8 costs no recall vs raw IVF at equal routing") {
+    val got = SparkEntry.queries("q_ann_ivf_sq_recall")(spark, sf).cache()
+    assert(got.where(col("q_id") >= 0).count() == 10, "one row per probe query")
+    val brute = SparkEntry.queries("q_ann_cosine_topk")(spark, sf)
+      .select("q_id", "vec_id")
+    val ivfSq = SparkEntry.queries("q_ann_ivf_sq")(spark, sf)
+      .select("q_id", "vec_id")
+    val wantHits = ivfSq.intersect(brute).count()
+    val totalRow = got.where(col("q_id") === -1).collect()
+    assert(totalRow.length == 1 && totalRow(0).getLong(1) == wantHits,
+      s"total hits ${totalRow(0).getLong(1)} != manual intersect $wantHits")
+    // the rung's contract: SQ8's half-level reconstruction noise must
+    // not cost recall against the raw-vector IVF scan at the SAME
+    // routing (#170, also nprobe=2 on the same cells) — if this ever
+    // regresses, the quantizer (not the routing) broke
+    val ivfTotal = SparkEntry.queries("q_ann_recall")(spark, sf)
+      .where(col("q_id") === -1).collect()(0).getLong(1)
+    assert(totalRow(0).getLong(1) >= ivfTotal,
+      s"IVFxSQ hits ${totalRow(0).getLong(1)} < raw IVF's $ivfTotal at " +
+        "equal routing — SQ8 reconstruction noise became the binding dial")
+    got.unpersist()
+  }
+
   test("IVF recall rises monotonically with nprobe and reaches 100% at all cells") {
     val brute = SparkEntry.queries("q_ann_cosine_topk")(spark, sf)
       .select("q_id", "vec_id").cache()
