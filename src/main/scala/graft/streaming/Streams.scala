@@ -1303,6 +1303,81 @@ object Streams {
     Some(spark.read.parquet(eroot.toString))
   }
 
+  /** #209 — `stream_ivf_sq_ingest` / `ivfSqIndexSink`: the #205
+    * IVF × SQ8 index MAINTAINED AT INGEST — the missing production
+    * step between "fit offline" and "serve": vectors arriving on a
+    * stream are cell-assigned and SQ8-encoded against FROZEN
+    * artifacts (centroids + bounds — fit offline on a seed corpus,
+    * re-fit on a cadence, the #130/#196 frozen-model rule; both are
+    * collected to LocalRelations at sink construction per the r18
+    * clip-sink resilience fix) and appended cell-carrying under
+    * `index/batch=<id>` (overwrite ⟹ at-least-once replay is a
+    * fixpoint). Because the frozen artifacts make encode a PURE
+    * per-row function, the maintained index is bit-identical to a
+    * one-shot [[graft.api.Graft.ivfSqIndex]] over everything ingested
+    * — batch boundaries cannot change any code (StreamingSpec pins
+    * fold ≡ one-shot AND served top-k over the state ≡ served over
+    * the one-shot index). Append-only corpus semantics (the ANN-index
+    * contract); deletes go through a tombstone join at serve time or
+    * a periodic rebuild, like every production IVF deployment.
+    *
+    * The drift companion is [[sqClipSink]] (#201): rising clip rates
+    * against the SAME frozen bounds are the signal to re-fit and
+    * rebuild. Scale shape: per batch ONE pass over the batch with the
+    * ≤k-row centroid and 1-row bounds arrays broadcast; state grows
+    * by |batch| rows per batch, readable as a whole or compacted into
+    * a cell-bucketed store ([[graft.api.Graft.writeIvfIndex]]) on a
+    * cadence.
+    */
+  def ivfSqIndexSink(vectors: DataFrame, centroids: DataFrame,
+      bounds: DataFrame, statePath: String, checkpointDir: String,
+      dim: Int, idCol: String = "vec_id", vecCol: String = "v",
+      centIdCol: String = "cent_id", centVecCol: String = "cv",
+      residual: Boolean = true)
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] = {
+    def freeze(df: DataFrame) = df.sparkSession.createDataFrame(
+      java.util.Arrays.asList(df.collect(): _*), df.schema)
+    val frozenCents = freeze(
+      centroids.select(col(centIdCol), col(centVecCol)))
+    val frozenBounds = freeze(bounds)
+    vectors.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        applyIvfSqBatch(batch, batchId, frozenCents, frozenBounds,
+          statePath, dim, idCol, vecCol, centIdCol, centVecCol, residual)
+      }
+  }
+
+  /** One ingest step of [[ivfSqIndexSink]] (package-visible so the
+    * spec can drive replay directly). */
+  private[graft] def applyIvfSqBatch(batch: DataFrame, batchId: Long,
+      centroids: DataFrame, bounds: DataFrame, statePath: String,
+      dim: Int, idCol: String, vecCol: String, centIdCol: String,
+      centVecCol: String, residual: Boolean): Unit = {
+    import org.apache.hadoop.fs.Path
+    val root = new Path(new Path(statePath).toUri.getPath)
+    graft.api.Graft.ivfSqIndex(batch.select(col(idCol), col(vecCol)),
+        idCol, vecCol, centroids, centIdCol, centVecCol, bounds, dim,
+        residual)
+      .write.mode("overwrite")
+      .parquet(new Path(root, s"index/batch=$batchId").toString)
+  }
+
+  /** The maintained index after the last completed batch — the
+    * [[graft.api.Graft.ivfSqIndex]] schema `(id, cell, codes,
+    * residual)` plus the batch column, directly servable by
+    * [[graft.api.Graft.ivfSqQuery]]. None before the first batch.
+    */
+  def ivfSqIndexState(spark: org.apache.spark.sql.SparkSession,
+      statePath: String): Option[DataFrame] = {
+    import org.apache.hadoop.fs.Path
+    val iroot = new Path(new Path(statePath).toUri.getPath, "index")
+    val fs = iroot.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(iroot)) return None
+    Some(spark.read.parquet(iroot.toString)
+      .select("id", "cell", "codes", "residual"))
+  }
+
   /** #201 — streaming SQ8 clip-rate maintenance: the drift monitor a
     * frozen scalar quantizer needs in production. [[graft.api.Graft
     * .sqBounds]] is fitted once offline; as the distribution drifts

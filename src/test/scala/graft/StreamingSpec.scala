@@ -1287,6 +1287,76 @@ class StreamingSpec extends SparkSpec {
       java.nio.file.Files.createTempDirectory("graft_winn_e_").toString).isEmpty)
   }
 
+  test("stream_ivf_sq_ingest: maintained index == one-shot ivfSqIndex; served top-k identical; replay-safe") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val base = java.nio.file.Files.createTempDirectory("graft_ivfsq_").toString
+    graft.functions.UsableVec.register(spark)
+    val emb = Tables.embeddings(spark, sf)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+      .where(call_function("usable_vec", col("v"), lit(64)))
+    // FROZEN artifacts fitted once offline (the #130/#196 rule):
+    // centroids + residual bounds
+    val cents = graft.api.Graft.kmeansCentroids(emb, "vec_id", "v",
+      k = 8, iters = 2).localCheckpoint(true)
+    val bounds = graft.api.Graft.ivfSqBounds(emb, "vec_id", "v",
+      cents, "cent_id", "cv", 64).localCheckpoint(true)
+    val rows = emb.orderBy("vec_id").collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1))).toIndexedSeq
+    val ms = MemoryStream[(Long, Seq[Double])]
+    val q = Streams.ivfSqIndexSink(ms.toDF().toDF("vec_id", "v"),
+      cents, bounds, s"$base/state", s"$base/ckpt", dim = 64).start()
+    val chunks = rows.grouped((rows.size + 2) / 3).toSeq
+    try {
+      chunks.foreach { c => ms.addData(c); q.processAllAvailable() }
+    } finally q.stop()
+    // frozen artifacts make the encode a pure per-row function, so the
+    // maintained index is BIT-IDENTICAL to the one-shot build
+    val got = Streams.ivfSqIndexState(spark, s"$base/state").get.persist()
+    val want = graft.api.Graft.ivfSqIndex(emb, "vec_id", "v",
+      cents, "cent_id", "cv", bounds, 64).persist()
+    assert(got.count() == rows.size)
+    assert(got.exceptAll(want).count() == 0 && want.exceptAll(got).count() == 0,
+      "maintained IVFxSQ index != the one-shot build")
+    // ...and SERVING off the maintained state equals serving off the
+    // one-shot index (the state is directly ivfSqQuery-servable)
+    val q10 = emb.where(col("vec_id") < 10)
+      .select(col("vec_id").as("qid"), col("v").as("qv"))
+    def serve(ix: org.apache.spark.sql.DataFrame) =
+      graft.api.Graft.ivfSqQuery(ix, cents, "cent_id", "cv", bounds,
+        q10, "qid", "qv", k = 5, nprobe = 2, excludeSelf = true)
+    val sGot = serve(got)
+    val sWant = serve(want)
+    assert(sGot.exceptAll(sWant).count() == 0 &&
+      sWant.exceptAll(sGot).count() == 0,
+      "serving off the maintained state drifted from the one-shot index")
+    // replay fixpoint: re-landing an old and the last batch
+    val frozenC = cents
+    Seq(0 -> chunks.head, (chunks.size - 1) -> chunks.last).foreach {
+      case (id, chunk) =>
+        Streams.applyIvfSqBatch(chunk.toDF("vec_id", "v"), id.toLong,
+          frozenC, bounds, s"$base/state", 64, "vec_id", "v",
+          "cent_id", "cv", residual = true)
+        val after = Streams.ivfSqIndexState(spark, s"$base/state").get
+        assert(after.exceptAll(want).count() == 0 &&
+          want.exceptAll(after).count() == 0,
+          s"replaying batch $id mutated the index")
+    }
+    // flavor discipline holds at ingest too: raw bounds into the
+    // residual sink refuse per batch
+    val bad = intercept[IllegalArgumentException] {
+      Streams.applyIvfSqBatch(chunks.head.toDF("vec_id", "v"), 99L,
+        frozenC, graft.api.Graft.sqBounds(emb, "vec_id", "v", 64),
+        s"$base/state2", 64, "vec_id", "v", "cent_id", "cv",
+        residual = true)
+    }
+    assert(bad.getMessage.contains("fit_residual"))
+    // before any batch: no readout
+    assert(Streams.ivfSqIndexState(spark,
+      java.nio.file.Files.createTempDirectory("graft_ivfsq_e_").toString).isEmpty)
+    got.unpersist(); want.unpersist()
+  }
+
   test("stream_pq_usage: folded partials equal the one-shot encode usage, replay-safe") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
