@@ -82,10 +82,8 @@ REBASED = {
     # toucher pays the one fit per JVM) — pre-r12 captures timed
     # implementations that no longer exist, in both directions
     "q_province_stats": ("baseline_r12",),
-    "q_province_stats_approx": ("baseline_r12",),
     "q_province_rollup": ("baseline_r12",),
     "q_cube_stats": ("baseline_r12",),
-    "q_profile_orders_approx": ("baseline_r12",),
     "q_dup_clusters": ("baseline_r12",),
     "q_dup_cluster_histogram": ("baseline_r12",),
     "q_dup_clusters_incremental": ("baseline_r12",),
@@ -105,6 +103,15 @@ REBASED = {
     "q_ann_cosine_topk": ("probe_r15", "baseline_r15c"),
     "q_dedup_embedding": ("probe_r15", "baseline_r15c"),
     "q_ann_recall": ("probe_r15", "baseline_r15c"),
+    # round 18 (r17 verdict item 2): the three sketch gates became
+    # BOUND-CHECKED — they now compute exact + estimate + band flags
+    # (province adds an HLL aggregate to the shared pre-agg; quantiles
+    # add a rank-check second pass; profile deliberately pays the
+    # exact Expand branch to price the band) — every pre-r18 capture
+    # timed estimate-only forms that no longer exist
+    "q_province_stats_approx": ("baseline_r18", "probe_r18"),
+    "q_token_quantiles_approx": ("baseline_r18", "probe_r18"),
+    "q_profile_orders_approx": ("baseline_r18", "probe_r18"),
 }
 
 per_query = {}   # name -> list[(seconds, source)]
