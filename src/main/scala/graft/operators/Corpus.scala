@@ -1596,6 +1596,52 @@ object Corpus {
       |  TRUE AS p25_ok, TRUE AS p50_ok, TRUE AS p75_ok, TRUE AS p90_ok
       |FROM t GROUP BY source ORDER BY source""".stripMargin
 
+  /** The #62 readout re-derived from an ADDITIVE token-count
+    * HISTOGRAM `(source, n_tokens, n)` — the tail the streaming fold
+    * ([[graft.streaming.Streams.tokenQuantilesState]]) applies to its
+    * summed per-batch partials. Token counts are small integers, so
+    * the exact distribution is a COUNTABLE histogram (≤ |sources| ×
+    * |distinct counts| rows — thousands, not corpus-sized) and exact
+    * integer-additive under any batch split: unlike a KLL/GK sketch
+    * fold, the maintained quantiles are EXACTLY the batch #62 ones.
+    * Interpolation replays Spark's `percentile` semantics verbatim:
+    * position = p·(n−1); `(higher−pos)·v_lo + (pos−lower)·v_hi`
+    * with v at 0-indexed ranks floor/ceil(pos) — same ops, same
+    * order, so the fold is bit-identical to the one-shot aggregate.
+    */
+  private[graft] def tokenQuantilesFromHist(hist: DataFrame): DataFrame = {
+    val wCum = Window.partitionBy("source").orderBy("n_tokens")
+    val wAll = Window.partitionBy("source")
+    val cum = hist
+      .withColumn("cum", sum("n").over(wCum))
+      .withColumn("tot", sum("n").over(wAll))
+    val ps = Seq(0.25 -> "25", 0.5 -> "50", 0.75 -> "75", 0.9 -> "90")
+    def pos(p: Double) = lit(p) * (col("tot") - 1).cast("double")
+    val aggs = ps.flatMap { case (p, tag) =>
+      val lower = floor(pos(p)).cast("long")
+      val upper = ceil(pos(p)).cast("long")
+      Seq(
+        min(when(col("cum") >= lower + 1, col("n_tokens"))).as(s"lo$tag"),
+        min(when(col("cum") >= upper + 1, col("n_tokens"))).as(s"hi$tag"))
+    }
+    cum.groupBy("source")
+      .agg(max("tot").as("docs"), aggs: _*)
+      .select(col("source") +: col("docs") +:
+        ps.map { case (p, tag) =>
+          val position = lit(p) * (col("docs") - 1).cast("double")
+          val lower = floor(position).cast("long")
+          val upper = ceil(position).cast("long")
+          when(upper === lower, col(s"lo$tag").cast("double"))
+            .otherwise(
+              (upper.cast("double") - position) *
+                col(s"lo$tag").cast("double") +
+              (position - lower.cast("double")) *
+                col(s"hi$tag").cast("double"))
+            .as(s"p$tag")
+        }: _*)
+      .orderBy("source")
+  }
+
   /** Quality-score cut for the funnel's quality stage (#72): keeps
     * ~73% of the test corpus; production pipelines tune it against
     * their classifier calibration.

@@ -2712,6 +2712,64 @@ object Streams {
       alpha, budget))
   }
 
+  /** #210 — `stream_token_quantiles` / `tokenQuantilesSink`: the
+    * EXACT #62 per-source token-length quantiles maintained at ingest
+    * — closing the quantile family's streaming side the way #155/#206
+    * closed the mixture's. The trick that keeps it exact where a
+    * streaming percentile is normally a sketch (#63's KLL shape):
+    * token counts are SMALL INTEGERS, so the full distribution is a
+    * countable histogram — per batch ONE `(source, n_tokens, n)`
+    * integer contraction lands replay-safely under `hist/batch=<id>`,
+    * partials sum under ANY batch split, and [[graft.operators.Corpus
+    * .tokenQuantilesFromHist]] replays Spark's `percentile`
+    * interpolation verbatim over the summed histogram — the readout
+    * is BIT-IDENTICAL to the one-shot batch #62, no sketch error, no
+    * provisional caveat. State per batch is ≤ |sources| × |distinct
+    * counts| rows (thousands), regardless of corpus size.
+    *
+    * This is the general additive-histogram recipe: any quantile over
+    * a BOUNDED-CARDINALITY integer measure (token counts, line
+    * counts, byte buckets) can be maintained exactly this way; only
+    * genuinely continuous measures need the #63 sketch.
+    */
+  def tokenQuantilesSink(docs: DataFrame, statePath: String,
+      checkpointDir: String)
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    docs.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        applyTokenQuantilesBatch(batch, batchId, statePath)
+      }
+
+  /** One partial step of [[tokenQuantilesSink]] (package-visible so
+    * the spec can drive replay directly). */
+  private[graft] def applyTokenQuantilesBatch(batch: DataFrame,
+      batchId: Long, statePath: String): Unit = {
+    import org.apache.hadoop.fs.Path
+    val root = new Path(new Path(statePath).toUri.getPath)
+    batch
+      .select(col("source"), graft.operators.Text.wsTokenCount.as("n_tokens"))
+      .groupBy("source", "n_tokens")
+      .agg(count(lit(1)).as("n"))
+      .write.mode("overwrite")
+      .parquet(new Path(root, s"hist/batch=$batchId").toString)
+  }
+
+  /** The per-source quantile dashboard over everything delivered —
+    * EXACTLY the batch `q_token_quantiles` on the union of all
+    * micro-batches. None before the first batch.
+    */
+  def tokenQuantilesState(spark: org.apache.spark.sql.SparkSession,
+      statePath: String): Option[DataFrame] = {
+    import org.apache.hadoop.fs.Path
+    val hroot = new Path(new Path(statePath).toUri.getPath, "hist")
+    val fs = hroot.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(hroot)) return None
+    Some(graft.operators.Corpus.tokenQuantilesFromHist(
+      spark.read.parquet(hroot.toString)
+        .groupBy("source", "n_tokens").agg(sum("n").as("n"))))
+  }
+
   /** #156 — `stream_token_fertility` / `tokenFertilitySink`: the #148
     * tokenizer-fertility dashboard maintained at ingest. Per batch,
     * one (lang, source) integer partial (docs, chars, bytes, ws/bpe

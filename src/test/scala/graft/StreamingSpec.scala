@@ -951,6 +951,43 @@ class StreamingSpec extends SparkSpec {
     assert(Streams.mixAlphaState(spark, s"$base/none", 0.25, budget).isEmpty)
   }
 
+  test("stream_token_quantiles: additive-histogram fold equals the batch percentiles bit-exactly") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val base = java.nio.file.Files.createTempDirectory("graft_tq_").toString
+    val rows = Tables.documents(spark, sfTiny)
+      .select(col("doc_id"), col("source"), col("text"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+      .toIndexedSeq
+    val want = SparkEntry.queries("q_token_quantiles")(spark, sfTiny)
+      .collect().toSet
+    assert(want.nonEmpty)
+    val ms = MemoryStream[(Long, String, String)]
+    val q = Streams.tokenQuantilesSink(
+      ms.toDF().toDF("doc_id", "source", "text"),
+      s"$base/state", s"$base/ckpt").start()
+    val chunks = rows.grouped((rows.size + 2) / 3).toSeq
+    try {
+      chunks.foreach { c => ms.addData(c); q.processAllAvailable() }
+    } finally q.stop()
+    // exact, not sketch-approximate: the histogram partials are
+    // integer-additive and the interpolation replays Spark's
+    // percentile verbatim — collect().toSet equality, no tolerance
+    val got = Streams.tokenQuantilesState(spark, s"$base/state").get
+      .collect().toSet
+    assert(got == want,
+      "folded quantiles != the one-shot batch q_token_quantiles")
+    // replay fixpoint: old and last batch
+    Seq(0 -> chunks.head, (chunks.size - 1) -> chunks.last).foreach {
+      case (id, chunk) =>
+        Streams.applyTokenQuantilesBatch(
+          chunk.toDF("doc_id", "source", "text"), id.toLong, s"$base/state")
+        assert(Streams.tokenQuantilesState(spark, s"$base/state").get
+          .collect().toSet == want, s"replaying batch $id moved a quantile")
+    }
+    assert(Streams.tokenQuantilesState(spark, s"$base/none").isEmpty)
+  }
+
   test("stream_dsir: frozen-model weights equal the batch scorer") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
