@@ -1394,6 +1394,99 @@ class StreamingSpec extends SparkSpec {
     got.unpersist(); want.unpersist()
   }
 
+  test("stream_ivf_sq_ingest: kill-mid-batch + restart from checkpoint converges") {
+    // the chaos case for the maintained ANN index: the dying
+    // incarnation left a PARTIAL index/batch=1 partition (half the
+    // batch's code rows — a torn multi-file write); the restarted
+    // incarnation re-encodes the whole batch as the same id, the
+    // overwrite replaces the partial partition, and BOTH the folded
+    // index and a served top-k equal the one-shot build over all rows.
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    graft.functions.UsableVec.register(spark)
+    val base = java.nio.file.Files.createTempDirectory("graft_ivfsqk_").toString
+    val emb = Tables.embeddings(spark, sfTiny)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+      .where(call_function("usable_vec", col("v"), lit(64)))
+    val cents = graft.api.Graft.kmeansCentroids(emb, "vec_id", "v",
+      k = 8, iters = 2).localCheckpoint(true)
+    val bounds = graft.api.Graft.ivfSqBounds(emb, "vec_id", "v",
+      cents, "cent_id", "cv", 64).localCheckpoint(true)
+    val want = graft.api.Graft.ivfSqIndex(emb, "vec_id", "v",
+      cents, "cent_id", "cv", bounds, 64).persist()
+    val rows = emb.orderBy("vec_id").collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1))).toIndexedSeq
+    val chunks = rows.grouped((rows.size + 2) / 3).toSeq
+    val ms = MemoryStream[(Long, Seq[Double])]
+    def start() = Streams.ivfSqIndexSink(ms.toDF().toDF("vec_id", "v"),
+      cents, bounds, s"$base/state", s"$base/ckpt", dim = 64).start()
+    val qa = start()
+    try { ms.addData(chunks(0)); qa.processAllAvailable() } finally qa.stop()
+    // torn write: only HALF of chunk 1 landed as batch 1 before death
+    ms.addData(chunks(1))
+    Streams.applyIvfSqBatch(
+      chunks(1).take(chunks(1).size / 2).toDF("vec_id", "v"), 1L,
+      cents, bounds, s"$base/state", 64, "vec_id", "v",
+      "cent_id", "cv", residual = true)
+    val torn = Streams.ivfSqIndexState(spark, s"$base/state").get
+    assert(torn.count() < rows.size, "precondition: state must be torn")
+    // restart repairs batch 1 and carries on with chunk 2
+    val qb = start()
+    try {
+      qb.processAllAvailable()
+      ms.addData(chunks(2)); qb.processAllAvailable()
+    } finally qb.stop()
+    val got = Streams.ivfSqIndexState(spark, s"$base/state").get.persist()
+    assert(got.exceptAll(want).count() == 0 && want.exceptAll(got).count() == 0,
+      "post-crash folded index != the one-shot build")
+    val q10 = emb.where(col("vec_id") < 10)
+      .select(col("vec_id").as("qid"), col("v").as("qv"))
+    def serve(ix: org.apache.spark.sql.DataFrame) =
+      graft.api.Graft.ivfSqQuery(ix, cents, "cent_id", "cv", bounds,
+        q10, "qid", "qv", k = 5, nprobe = 2, excludeSelf = true)
+    assert(serve(got).exceptAll(serve(want)).count() == 0 &&
+      serve(want).exceptAll(serve(got)).count() == 0,
+      "post-crash serving drifted from the one-shot index")
+    got.unpersist(); want.unpersist()
+  }
+
+  test("stream_dim_freshness: kill-mid-batch + restart re-enriches the torn batch at the current dim") {
+    // chaos for the enrichment sink: the dying incarnation landed a
+    // PARTIAL enriched/batch=1 (half the facts); the dim then moves
+    // on BEFORE the restart. The re-delivered batch overwrites the
+    // torn partition and — by the freshness contract — re-enriches at
+    // the dim AS OF the re-run, not as of the crash.
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val base = java.nio.file.Files.createTempDirectory("graft_dimfk_").toString
+    graft.sinks.Sinks.upsert(
+      Seq((1L, 1L, "old")).toDF("sku_id", "ver", "sku_name"),
+      s"$base/dim", Seq("sku_id"), "ver")
+    val ms = MemoryStream[(Long, Long)]
+    def start() = Streams.dimEnrichSink(ms.toDF().toDF("order_id", "sku_id"),
+      s"$base/dim", s"$base/state", s"$base/ckpt", "sku_id", "sku_id").start()
+    val qa = start()
+    try { ms.addData(Seq((100L, 1L))); qa.processAllAvailable() } finally qa.stop()
+    // batch 1 enqueued; the dying incarnation landed only its first row
+    ms.addData(Seq((101L, 1L), (102L, 1L)))
+    Streams.applyDimEnrichBatch(Seq((101L, 1L)).toDF("order_id", "sku_id"),
+      1L, s"$base/dim", s"$base/state", "sku_id", "sku_id")
+    // the dim moves on between crash and restart
+    graft.sinks.Sinks.upsert(
+      Seq((1L, 2L, "new")).toDF("sku_id", "ver", "sku_name"),
+      s"$base/dim", Seq("sku_id"), "ver")
+    val qb = start()
+    try { qb.processAllAvailable() } finally qb.stop()
+    val got = Streams.dimEnrichedState(spark, s"$base/state").get
+      .select("order_id", "sku_name")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    // 100 keeps its pre-update enrichment (its batch committed before
+    // the change); BOTH rows of the torn batch re-enrich at the NEW
+    // dim — including 101, whose torn copy saw the old one
+    assert(got == Map(100L -> "old", 101L -> "new", 102L -> "new"),
+      s"post-crash enrichment wrong: $got")
+  }
+
   test("stream_pq_usage: folded partials equal the one-shot encode usage, replay-safe") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
