@@ -145,8 +145,11 @@ object Profile {
     * the approx profile's `n_distinct` estimate back to the exact #95
     * readout at the col_name grain (6 rows — the join is at readout
     * grain, never data grain) and emits the exact profile plus an
-    * `approx_ok` band flag per column — |HLL − exact| ≤ max(2, 15% of
-    * exact), the 3σ envelope of the default 5% rsd. The oracle
+    * `approx_ok` band flag per column — |HLL − exact| ≤ max(16, 15% of
+    * exact), the measured two-regime envelope of Spark's HLL++ at
+    * the default 5% rsd (see qProvinceStatsApprox: asymptotic
+    * relative ≤ 3×rsd, small-n absolute floor from the
+    * linear-counting/bias-table regime). The oracle
     * asserts literal TRUE, so the hash gate fails on any column whose
     * estimate leaves its band. The PRODUCTION plan claim (single
     * pass, NO Expand, 10-13× cheaper — probe 11) lives on the facade
@@ -169,7 +172,7 @@ object Profile {
       .select(col("col_name"), col("n_rows"), col("n_nonnull"),
         col("n_distinct"), col("min_v"), col("max_v"),
         (abs(col("est").cast("double") - col("n_distinct").cast("double")) <=
-          greatest(lit(2.0), col("n_distinct").cast("double") * lit(0.15)))
+          greatest(lit(16.0), col("n_distinct").cast("double") * lit(0.15)))
           .as("approx_ok"))
       .orderBy("col_name")
   }

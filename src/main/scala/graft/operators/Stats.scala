@@ -325,11 +325,20 @@ object Stats {
     * HLL flavor (r17 verdict item 2 — previously rows-only, because
     * sketch values are implementation-specific and have no
     * cross-engine oracle). The gate emits the EXACT readout plus a
-    * per-group `approx_ok` band flag — |HLL − exact| ≤ max(2, 15% of
-    * exact), the 3σ envelope of approx_count_distinct's default 5%
-    * rsd — so the full DuckDB hash gate now FAILS if any group's
-    * estimate leaves its band (the oracle asserts literal TRUE per
-    * group), while the sketch value itself never crosses engines.
+    * per-group `approx_ok` band flag — |HLL − exact| ≤ max(16, 15%
+    * of exact) — so the full DuckDB hash gate now FAILS if any
+    * group's estimate leaves its band (the oracle asserts literal
+    * TRUE per group), while the sketch value itself never crosses
+    * engines. The envelope is sized from MEASURED two-regime
+    * behavior of Spark's HLL++ at the default 5% rsd (m = 512
+    * registers): asymptotically the relative error stays ≤ 3×rsd
+    * (worst measured 6.7% at n = 1.5 k, 1.3% at 1.5 M), but in the
+    * small-n linear-counting/bias-table regime the ABSOLUTE error
+    * dominates — worst measured delta 9 at n = 110 and 4-6 at
+    * n = 20-40 on the ×10 corpus (≫ the textbook LC σ of 0.6-3.5;
+    * the bias-correction handoff is the likely culprit) — so the
+    * floor is ~2× the worst observed absolute miss, and a genuinely
+    * broken sketch (orders-of-magnitude off) still fails loudly.
     * Exact and estimate ride ONE aggregate over the shared
     * order-grain pre-agg: at order grain count(1) IS the exact
     * distinct-order count, so the band costs no extra pass.
@@ -344,7 +353,7 @@ object Stats {
       .select(col("n_name"), col("day"), col("order_ct"),
         e4Amount(col("s_e4")).as("amount"),
         (abs(col("est").cast("double") - col("order_ct").cast("double")) <=
-          greatest(lit(2.0), col("order_ct").cast("double") * lit(0.15)))
+          greatest(lit(16.0), col("order_ct").cast("double") * lit(0.15)))
           .as("approx_ok"))
       .orderBy("n_name", "day")
 
