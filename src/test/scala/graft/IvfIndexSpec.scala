@@ -127,6 +127,41 @@ class IvfIndexSpec extends SparkSpec {
     }
   }
 
+  test("ivf x sq8 compaction: state -> bucketed store -> serve is identity") {
+    // the #209 scaladoc's compaction cadence, proven end-to-end: byte
+    // codes (array<tinyint>) survive the writeIvfIndex parquet
+    // round-trip and the stored table serves bit-identically. The
+    // ivfQuery exchange differential does not apply here — ivfSqQuery
+    // broadcasts the probe list, so the corpus side needs no
+    // distribution either way; bucketing buys scan pruning on a real
+    // cluster, not a removed exchange.
+    spark.sql("DROP TABLE IF EXISTS ivf_sq_idx")
+    try {
+      graft.functions.UsableVec.register(spark)
+      val usable = emb.where(call_function("usable_vec", col("v"), lit(64)))
+      val bounds = Graft.ivfSqBounds(usable, "vec_id", "v",
+        cents, "cent_id", "cv", 64)
+      val idx = Graft.ivfSqIndex(usable, "vec_id", "v", cents, "cent_id",
+        "cv", bounds, 64)
+      Graft.writeIvfIndex(idx, "ivf_sq_idx", buckets = 8, overwrite = true)
+      val q10 = usable.where(col("vec_id") < 10)
+        .select(col("vec_id").as("qid"), col("v").as("qv"))
+      def serve(ix: org.apache.spark.sql.DataFrame) =
+        Graft.ivfSqQuery(ix, cents, "cent_id", "cv", bounds,
+          q10, "qid", "qv", k = 5, nprobe = 2, excludeSelf = true)
+      val inMem = serve(idx)
+      val fromDisk = serve(spark.table("ivf_sq_idx"))
+      assert(fromDisk.exceptAll(inMem).count() == 0 &&
+        inMem.exceptAll(fromDisk).count() == 0,
+        "bucketed round-trip changed the served SQ results")
+      // the stored grain really is bytes: the table schema carries the
+      // tinyint array, not a widened int
+      val dt = spark.table("ivf_sq_idx").schema("codes").dataType
+      assert(dt.simpleString == "array<tinyint>",
+        s"stored codes widened to ${dt.simpleString}")
+    } finally spark.sql("DROP TABLE IF EXISTS ivf_sq_idx")
+  }
+
   test("kmeansCentroids: fit is identical under any input partitioning") {
     // the mean recompute sums unit-direction components in fixed-point
     // (compact-long decimal — probe 12), so the fitted centroids — and
