@@ -1457,8 +1457,7 @@ object Graft {
       .withColumn("ccos", call_function("cosine_sim", col("cv"), col("qv")))
       .withColumn("crank", row_number().over(wProbe))
       .where(col("crank") <= nprobe)
-      .select(col("q_id") +: col("qv") +: col("cent_id").as("cell") +:
-        (if (residual) Seq(col("cv")) else Seq.empty): _*)
+      .select(col("q_id"), col("qv"), col("cent_id").as("cell"))
     // index flavor agreement, checked LAZILY inside the plan (the
     // ivfPqQuery discipline): every probed row asserts its marker as
     // part of producing `id`, so a mixed-flavor union fails loudly on
@@ -1479,14 +1478,26 @@ object Graft {
       (b, cd) => b.getField("lo") +
         (cd.cast("double") + lit(128.0) + lit(0.5)) *
           b.getField("span") / lit(256.0))
-    val vhat =
-      if (residual) zip_with(col("cv"), recon, (a, b) => a + b)
-      else recon
-    index
+    // v̂ is QUERY-INDEPENDENT — reconstructed once per index row in a
+    // projection BELOW the probe join (the sqQuery/gate-recon-CTE
+    // discipline; for the residual flavor the cell centroid arrives
+    // via the ≤k-row broadcast), so a cell probed by many queries
+    // never re-pays the per-element decode per (row, query) pair.
+    val reconed =
+      if (residual)
+        index
+          .join(broadcast(c.select(col("cent_id").as("cell"), col("cv"))),
+            "cell")
+          .crossJoin(broadcast(sqBoundArrays(bounds)))
+          .select(col("cell"), idChecked,
+            zip_with(col("cv"), recon, (a, b) => a + b).as("vhat"))
+      else
+        index
+          .crossJoin(broadcast(sqBoundArrays(bounds)))
+          .select(col("cell"), idChecked, recon.as("vhat"))
+    reconed
       .join(broadcast(probes), "cell")
-      .crossJoin(broadcast(sqBoundArrays(bounds)))
       .where(if (excludeSelf) col("id") =!= col("q_id") else lit(true))
-      .select(col("q_id"), idChecked, col("qv"), vhat.as("vhat"))
       .withColumn("score",
         call_function("dot_product", col("qv"), col("vhat")))
       .withColumn("rank", row_number().over(wTop))
