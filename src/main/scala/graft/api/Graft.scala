@@ -1539,6 +1539,12 @@ object Graft {
     require(maxBytes > 0, s"maxBytes must be positive, got $maxBytes")
     val width = math.ceil(math.E / eps).toLong
     val depth = math.max(1L, math.ceil(math.log(1.0 / delta)).toLong)
+    // a caller who RAISES maxBytes past ~17 GB could otherwise sail
+    // through the byte cap into an Int wraparound below (r18 review):
+    // the loud-cap function must never return garbage dials
+    require(width <= Int.MaxValue,
+      s"cmsDials(eps = $eps) needs width = $width buckets > Int.MaxValue " +
+        "— no single sketch should be this wide; relax eps")
     val bytes = depth * width * 8
     require(bytes <= maxBytes,
       s"cmsDials(eps = $eps, delta = $delta) needs a ${depth}x$width " +

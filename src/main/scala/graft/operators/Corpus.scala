@@ -1516,6 +1516,19 @@ object Corpus {
        |  CAST(SUM(is_dup) AS DOUBLE) / COUNT(*) AS dup_rate
        |FROM s, th GROUP BY decile ORDER BY decile""".stripMargin
 
+  /** The ONE approx_percentile aggregate both #63 forms derive from —
+    * `(source, docs, q: array)` — so the estimate-serving readout and
+    * the banded gate can never drift onto different sketch dials
+    * (post-r18-review: the gate previously rebuilt this subplan
+    * inline, leaving the Est form an unused divergence risk).
+    */
+  private def tokenQuantilesEstArr(toks: DataFrame): DataFrame =
+    toks.groupBy("source")
+      .agg(
+        count(lit(1)).as("docs"),
+        expr("approx_percentile(n_tokens, array(0.25D, 0.5D, 0.75D, 0.9D), 10000)")
+          .as("q"))
+
   /** The estimate-serving form of #63: `approx_percentile` keeps a
     * bounded mergeable summary per group — map-side partials combine
     * like any algebraic aggregate, memory is O(accuracy), not
@@ -1523,13 +1536,9 @@ object Corpus {
     * one task.
     */
   def tokenQuantilesApproxEst(spark: SparkSession, dir: String): DataFrame =
-    Tables.documents(spark, dir)
-      .select(col("source"), Text.wsTokenCount.as("n_tokens"))
-      .groupBy("source")
-      .agg(
-        count(lit(1)).as("docs"),
-        expr("approx_percentile(n_tokens, array(0.25D, 0.5D, 0.75D, 0.9D), 10000)")
-          .as("q"))
+    tokenQuantilesEstArr(
+      Tables.documents(spark, dir)
+        .select(col("source"), Text.wsTokenCount.as("n_tokens")))
       .select(col("source"), col("docs"),
         col("q").getItem(0).as("p25"), col("q").getItem(1).as("p50"),
         col("q").getItem(2).as("p75"), col("q").getItem(3).as("p90"))
@@ -1553,10 +1562,8 @@ object Corpus {
   def qTokenQuantilesApprox(spark: SparkSession, dir: String): DataFrame = {
     val toks = Tables.documents(spark, dir)
       .select(col("source"), Text.wsTokenCount.as("n_tokens"))
-    val est = toks.groupBy("source")
-      .agg(expr(
-        "approx_percentile(n_tokens, array(0.25D, 0.5D, 0.75D, 0.9D), 10000)")
-        .as("q"))
+    val est = tokenQuantilesEstArr(toks)
+      .select(col("source").as("_graft_src"), col("q"))
     val ps = Seq(0.25 -> "25", 0.5 -> "50", 0.75 -> "75", 0.9 -> "90")
     val eps = 0.02
     val aggs = expr("percentile(n_tokens, array(0.25D, 0.5D, 0.75D, 0.9D))")
@@ -1567,7 +1574,12 @@ object Corpus {
         sum(when(col("n_tokens") <= col("q").getItem(i), 1L)
           .otherwise(0L)).as(s"le$tag"))
       }
-    toks.join(broadcast(est), "source")
+    // NULL-SAFE join: a NULL-source group exists on both engines
+    // (SQL GROUP BY keeps the null group), and a plain equi-join
+    // would silently drop its rows here while the DuckDB oracle kept
+    // the group — a hash mismatch on legal dirty data (r18 review)
+    toks.join(broadcast(est), col("source") <=> col("_graft_src"))
+      .drop("_graft_src")
       .groupBy("source")
       .agg(count(lit(1)).as("docs"), aggs: _*)
       .select(col("source") +: col("docs") +:

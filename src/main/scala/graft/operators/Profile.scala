@@ -183,9 +183,19 @@ object Profile {
     * never drift. Lazy: `qProfileOrdersSql` is declared later in this
     * object and object vals initialize in declaration order.
     */
-  lazy val qProfileOrdersApproxSql: String =
-    qProfileOrdersSql.replace(" FROM orders",
+  lazy val qProfileOrdersApproxSql: String = {
+    val flagged = qProfileOrdersSql.replace(" FROM orders",
       ",\n  TRUE AS approx_ok FROM orders")
+    // the rewrite must hit each UNION arm's tail exactly once: a
+    // future " FROM orders" inside a subquery would inject the flag
+    // mid-expression and silently break the oracle (r18 review)
+    val arms = flagged.split("TRUE AS approx_ok", -1).length - 1
+    require(arms == 6,
+      s"qProfileOrdersApproxSql rewrite produced $arms approx_ok " +
+        "columns for 6 UNION arms — qProfileOrdersSql's shape changed; " +
+        "update the rewrite")
+    flagged
+  }
 
   val qProfileOrdersSql: String = {
     def numeric(c: String, expr: String) =

@@ -1303,6 +1303,18 @@ object Streams {
     Some(spark.read.parquet(eroot.toString))
   }
 
+  /** Collect a small FROZEN artifact (bounds, centroids, codebooks —
+    * dim/k-bounded frames fitted offline) to a LocalRelation at sink
+    * construction: eager like localCheckpoint but living in the
+    * DRIVER's plan, not in non-reliable executor-memory blocks — a
+    * long-running stream holding a localCheckpoint dies permanently
+    * on any executor loss (the r17 ADVICE finding; shared by
+    * [[sqClipSink]] and [[ivfSqIndexSink]]).
+    */
+  private def freezeLocal(df: DataFrame): DataFrame =
+    df.sparkSession.createDataFrame(
+      java.util.Arrays.asList(df.collect(): _*), df.schema)
+
   /** #209 — `stream_ivf_sq_ingest` / `ivfSqIndexSink`: the #205
     * IVF × SQ8 index MAINTAINED AT INGEST — the missing production
     * step between "fit offline" and "serve": vectors arriving on a
@@ -1335,11 +1347,9 @@ object Streams {
       centIdCol: String = "cent_id", centVecCol: String = "cv",
       residual: Boolean = true)
       : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] = {
-    def freeze(df: DataFrame) = df.sparkSession.createDataFrame(
-      java.util.Arrays.asList(df.collect(): _*), df.schema)
-    val frozenCents = freeze(
+    val frozenCents = freezeLocal(
       centroids.select(col(centIdCol), col(centVecCol)))
-    val frozenBounds = freeze(bounds)
+    val frozenBounds = freezeLocal(bounds)
     vectors.writeStream
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
@@ -1363,10 +1373,12 @@ object Streams {
       .parquet(new Path(root, s"index/batch=$batchId").toString)
   }
 
-  /** The maintained index after the last completed batch — the
-    * [[graft.api.Graft.ivfSqIndex]] schema `(id, cell, codes,
-    * residual)` plus the batch column, directly servable by
-    * [[graft.api.Graft.ivfSqQuery]]. None before the first batch.
+  /** The maintained index after the last completed batch — exactly
+    * the [[graft.api.Graft.ivfSqIndex]] schema `(id, cell, codes,
+    * residual)` (the batch partition column is dropped so the state
+    * is bit-comparable to — and directly servable like — a one-shot
+    * build; read the `index/` tree directly if a compaction cadence
+    * wants per-batch slices). None before the first batch.
     */
   def ivfSqIndexState(spark: org.apache.spark.sql.SparkSession,
       statePath: String): Option[DataFrame] = {
@@ -1415,10 +1427,10 @@ object Streams {
     // dynamic allocation), so a long-running clip stream holding one
     // for its whole lifetime dies permanently on any executor loss
     // (r17 ADVICE). The artifact is dim rows — driver-trivial.
-    val boundRows = bounds.collect()
-    val frozen = bounds.sparkSession.createDataFrame(
-      java.util.Arrays.asList(boundRows: _*), bounds.schema)
-    val dim = boundRows.length
+    val frozen = freezeLocal(bounds)
+    // dim = the frozen artifact's row count; collect() on a
+    // LocalRelation is a driver-local array read, no job
+    val dim = frozen.collect().length
     vectors.writeStream
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>

@@ -123,6 +123,33 @@ class OperatorsSpec extends SparkSpec {
       s"HLL ($est) == exact ($ex) on 15k keys — the band test is vacuous here")
   }
 
+  test("banded quantile gate keeps the NULL-source group (null-safe estimate join)") {
+    // r18 review: the gate's estimate join must be null-safe — SQL
+    // GROUP BY keeps a NULL-source group on both engines, and a plain
+    // equi-join would silently drop its rows here while the DuckDB
+    // oracle kept the group (hash mismatch on legal dirty data).
+    // Plant a corpus with null sources and assert the gate emits the
+    // same group set as the exact #62 twin, including the null group,
+    // with its rank flags computed.
+    val dir = java.nio.file.Files.createTempDirectory("graft_nullsrc_").toString
+    Tables.documents(spark, sfTiny)
+      .withColumn("source",
+        when(col("doc_id") % 7 === 0, lit(null: String))
+          .otherwise(col("source")))
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val approx = SparkEntry.queries("q_token_quantiles_approx")(spark, dir)
+    val exact = SparkEntry.queries("q_token_quantiles")(spark, dir)
+    assert(approx.where(col("source").isNull).count() == 1,
+      "the NULL-source group vanished from the banded gate")
+    assert(approx.count() == exact.count(),
+      "gate and exact twin disagree on the group set")
+    val nullRow = approx.where(col("source").isNull).collect()(0)
+    Seq("p25_ok", "p50_ok", "p75_ok", "p90_ok").foreach { c =>
+      assert(nullRow.getAs[Boolean](c),
+        s"$c not computed in-band for the null-source group")
+    }
+  }
+
   test("as-of join: every attached view precedes its purchase, and is the latest") {
     val df = SparkEntry.queries("q_asof_join")(spark, sf)
     // inclusive bound: v_ts <= p_ts, never after
