@@ -1620,11 +1620,22 @@ object Corpus {
     * position = p·(n−1); `(higher−pos)·v_lo + (pos−lower)·v_hi`
     * with v at 0-indexed ranks floor/ceil(pos) — same ops, same
     * order, so the fold is bit-identical to the one-shot aggregate.
+    * NULL rule replayed too (r18 ADVICE): `percentile` EXCLUDES null
+    * measures from the rank order while #62's `count(1)` still counts
+    * their rows as docs — so the rank window here runs over non-null
+    * histogram rows only (a null-text row would otherwise sort first
+    * and offset every real rank), position interpolates over the
+    * non-null mass, and the null mass joins back into `docs` alone.
+    * An all-null source keeps its docs row with null percentiles,
+    * exactly like the batch aggregate.
     */
   private[graft] def tokenQuantilesFromHist(hist: DataFrame): DataFrame = {
+    val nulls = hist.where(col("n_tokens").isNull)
+      .groupBy(col("source").as("_graft_nsrc"))
+      .agg(sum("n").as("_graft_nulls"))
     val wCum = Window.partitionBy("source").orderBy("n_tokens")
     val wAll = Window.partitionBy("source")
-    val cum = hist
+    val cum = hist.where(col("n_tokens").isNotNull)
       .withColumn("cum", sum("n").over(wCum))
       .withColumn("tot", sum("n").over(wAll))
     val ps = Seq(0.25 -> "25", 0.5 -> "50", 0.75 -> "75", 0.9 -> "90")
@@ -1637,10 +1648,16 @@ object Corpus {
         min(when(col("cum") >= upper + 1, col("n_tokens"))).as(s"hi$tag"))
     }
     cum.groupBy("source")
-      .agg(max("tot").as("docs"), aggs: _*)
-      .select(col("source") +: col("docs") +:
+      .agg(max("tot").as("vals"), aggs: _*)
+      // null-safe FULL join: a null-SOURCE group must still pair with
+      // its own null-token mass, and an all-null source exists only
+      // on the nulls side
+      .join(nulls, col("source") <=> col("_graft_nsrc"), "full")
+      .select(coalesce(col("source"), col("_graft_nsrc")).as("source") +:
+        (coalesce(col("vals"), lit(0L)) +
+          coalesce(col("_graft_nulls"), lit(0L))).as("docs") +:
         ps.map { case (p, tag) =>
-          val position = lit(p) * (col("docs") - 1).cast("double")
+          val position = lit(p) * (col("vals") - 1).cast("double")
           val lower = floor(position).cast("long")
           val upper = ceil(position).cast("long")
           when(upper === lower, col(s"lo$tag").cast("double"))

@@ -1253,22 +1253,36 @@ object Streams {
     * fixpoint at the then-current dim — a replay re-enriches at the
     * LATEST snapshot, it does not resurrect the stale dim).
     * [[dimEnrichedState]] unions the landed batches.
+    *
+    * BROADCAST GUARD (r18 verdict item 3, the cmsDials loud-cap
+    * convention): "the dim side is small by contract" is enforced,
+    * not assumed — the on-disk dim snapshot is measured per batch and
+    * a dim past `maxDimBytes` (default 512 MB — the collect+broadcast
+    * budget) REFUSES loudly, naming the measured size, instead of
+    * OOMing the driver mid-stream. The escape hatch is explicit:
+    * `broadcastDim = false` takes a plain (shuffle) left join that
+    * never collects or broadcasts — same enriched rows, fact-side
+    * exchange per batch as the price, and the dim read is lazy (a
+    * swap-window read failure still aborts the batch pre-commit, so
+    * the checkpoint never advances past a bad snapshot).
     */
   def dimEnrichSink(facts: DataFrame, dimPath: String, statePath: String,
-      checkpointDir: String, factKey: String, dimKey: String)
+      checkpointDir: String, factKey: String, dimKey: String,
+      maxDimBytes: Long = 512L << 20, broadcastDim: Boolean = true)
       : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
     facts.writeStream
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         applyDimEnrichBatch(batch, batchId, dimPath, statePath,
-          factKey, dimKey)
+          factKey, dimKey, maxDimBytes, broadcastDim)
       }
 
   /** One enrichment step of [[dimEnrichSink]] (package-visible so the
     * spec can drive replay directly). */
   private[graft] def applyDimEnrichBatch(batch: DataFrame, batchId: Long,
       dimPath: String, statePath: String, factKey: String,
-      dimKey: String): Unit = {
+      dimKey: String, maxDimBytes: Long = 512L << 20,
+      broadcastDim: Boolean = true): Unit = {
     import org.apache.hadoop.fs.Path
     val spark = batch.sparkSession
     val root = new Path(new Path(statePath).toUri.getPath)
@@ -1278,15 +1292,70 @@ object Streams {
       s"dimEnrichSink: no dim store at $dimPath — land at least one dim " +
         "batch first (the enriched schema is dim-derived, so an absent " +
         "store cannot default to null columns)")
-    // FRESH snapshot per micro-batch — the whole point (see scaladoc)
-    val dim0 = spark.read.parquet(droot.toString)
-    val dim =
+    // FRESH snapshot per micro-batch — the whole point (see scaladoc).
+    // EAGER + RETRIED (r18 ADVICE): the dim maintainers rewrite this
+    // directory in place while we read it. upsert/dimUpsertSink go
+    // through Sinks.withSwap, whose contract is never-torn-but-
+    // briefly-MISSING — a listing/scan hitting the rename window
+    // throws, and the retry below covers it. Collecting the (small-by-
+    // contract — it broadcasts anyway) dim to a LocalRelation pins ONE
+    // consistent snapshot for the whole batch and surfaces any read
+    // failure BEFORE the enriched write starts, so the batch fails
+    // with the checkpoint UNADVANCED and the foreachBatch replay
+    // re-enriches at a good snapshot — a torn/empty enrichment is
+    // never silently committed. cdcApply-flavor dims commit per
+    // BUCKET: a read during an apply can legally see some buckets old
+    // and some new (each bucket internally consistent; a replay
+    // converges it) — serialize the apply and the enrichment when
+    // cross-bucket point-in-time consistency matters.
+    def rawDim(): DataFrame = {
+      val dim0 = spark.read.parquet(droot.toString)
       if (fs.exists(new Path(droot, "_graft_buckets"))) dim0.drop("bucket")
       else dim0
-    batch.join(
-        broadcast(dim.withColumnRenamed(dimKey, factKey)), Seq(factKey),
-        "left")
-      .write.mode("overwrite")
+    }
+    val joined =
+      if (broadcastDim) {
+        // loud cap BEFORE the collect: measure the snapshot on disk
+        // (data files only — markers and _SUCCESS skipped)
+        var bytes = 0L
+        val it = fs.listFiles(droot, /*recursive=*/ true)
+        while (it.hasNext) {
+          val f = it.next()
+          val n = f.getPath.getName
+          if (!n.startsWith("_") && !n.startsWith(".")) bytes += f.getLen
+        }
+        require(bytes <= maxDimBytes,
+          s"dimEnrichSink: dim snapshot at $dimPath is $bytes bytes on " +
+            s"disk > maxDimBytes = $maxDimBytes — collecting and " +
+            "broadcasting it every micro-batch would sit on the driver " +
+            "heap; raise maxDimBytes to accept the cost explicitly, or " +
+            "pass broadcastDim = false for the plain shuffle-join path " +
+            "(same enriched rows, fact-side exchange per batch)")
+        def readDim(): DataFrame = {
+          val d = rawDim()
+          spark.createDataFrame(
+            java.util.Arrays.asList(d.collect(): _*), d.schema)
+        }
+        var attempt = 0
+        var dim: DataFrame = null
+        while (dim == null) {
+          try dim = readDim()
+          catch {
+            case scala.util.control.NonFatal(_) if attempt < 3 =>
+              attempt += 1
+              Thread.sleep(100L * attempt)
+          }
+        }
+        batch.join(
+          broadcast(dim.withColumnRenamed(dimKey, factKey)), Seq(factKey),
+          "left")
+      } else
+        // the explicit big-dim path: lazy read, no collect, no
+        // broadcast hint — Spark plans the exchange; a swap-window
+        // read failure aborts the batch before the write commits
+        batch.join(rawDim().withColumnRenamed(dimKey, factKey),
+          Seq(factKey), "left")
+    joined.write.mode("overwrite")
       .parquet(new Path(root, s"enriched/batch=$batchId").toString)
   }
 

@@ -988,6 +988,38 @@ class StreamingSpec extends SparkSpec {
     assert(Streams.tokenQuantilesState(spark, s"$base/none").isEmpty)
   }
 
+  test("stream_token_quantiles: null text follows percentile's null rule") {
+    import spark.implicits._
+    val base = java.nio.file.Files.createTempDirectory("graft_tqn_").toString
+    // null TEXT rows (null n_tokens — excluded from the rank order,
+    // counted as docs), an ALL-null source (docs row, null
+    // percentiles), and a null SOURCE group (its own GROUP BY key on
+    // both engines) — the legal dirty shapes r18's ADVICE flagged
+    val rows: Seq[(Long, String, String)] = Seq(
+      (1L, "a", "x y z"), (2L, "a", null), (3L, "a", "x"),
+      (4L, "a", "x y"), (5L, "b", null), (6L, "b", null),
+      (7L, null, "p q"), (8L, null, null))
+    val df = rows.toDF("doc_id", "source", "text")
+    val want = df
+      .select(col("source"), graft.operators.Text.wsTokenCount.as("n_tokens"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("docs"),
+        expr("percentile(n_tokens, array(0.25D, 0.5D, 0.75D, 0.9D))").as("q"))
+      .select(col("source"), col("docs"),
+        col("q").getItem(0).as("p25"), col("q").getItem(1).as("p50"),
+        col("q").getItem(2).as("p75"), col("q").getItem(3).as("p90"))
+      .collect().toSet
+    assert(want.size == 3)
+    Seq(rows.take(3), rows.drop(3)).zipWithIndex.foreach { case (c, id) =>
+      Streams.applyTokenQuantilesBatch(
+        c.toDF("doc_id", "source", "text"), id.toLong, s"$base/state")
+    }
+    val got = Streams.tokenQuantilesState(spark, s"$base/state").get
+      .collect().toSet
+    assert(got == want,
+      "folded quantiles diverge from batch percentile on null text/source")
+  }
+
   test("stream_dsir: frozen-model weights equal the batch scorer") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
@@ -1485,6 +1517,38 @@ class StreamingSpec extends SparkSpec {
     // dim — including 101, whose torn copy saw the old one
     assert(got == Map(100L -> "old", 101L -> "new", 102L -> "new"),
       s"post-crash enrichment wrong: $got")
+  }
+
+  test("stream_dim_freshness: broadcast guard refuses a dim past maxDimBytes; plain-join fallback enriches identically") {
+    import spark.implicits._
+    val base = java.nio.file.Files.createTempDirectory("graft_dimbg_").toString
+    graft.sinks.Sinks.upsert(
+      Seq((1L, 1L, "alpha"), (2L, 1L, "beta")).toDF("sku_id", "ver", "sku_name"),
+      s"$base/dim", Seq("sku_id"), "ver")
+    val facts = Seq((100L, 1L), (101L, 2L), (102L, 3L))
+      .toDF("order_id", "sku_id")
+    // the refusal: a 1-byte cap trips on any real snapshot, names the
+    // measured size and the escape hatch, and lands NOTHING
+    val refusal = intercept[IllegalArgumentException] {
+      Streams.applyDimEnrichBatch(facts, 0L, s"$base/dim", s"$base/stateA",
+        "sku_id", "sku_id", maxDimBytes = 1L)
+    }
+    assert(refusal.getMessage.contains("maxDimBytes"))
+    assert(refusal.getMessage.contains("broadcastDim"))
+    assert(Streams.dimEnrichedState(spark, s"$base/stateA").isEmpty,
+      "a refused batch must not land enriched rows")
+    // the fallback: broadcastDim = false under the same tiny cap
+    // (cap only guards the collect+broadcast path) == the default path
+    Streams.applyDimEnrichBatch(facts, 0L, s"$base/dim", s"$base/stateB",
+      "sku_id", "sku_id")
+    Streams.applyDimEnrichBatch(facts, 0L, s"$base/dim", s"$base/stateC",
+      "sku_id", "sku_id", maxDimBytes = 1L, broadcastDim = false)
+    val want = Streams.dimEnrichedState(spark, s"$base/stateB").get
+      .collect().toSet
+    val gotPlain = Streams.dimEnrichedState(spark, s"$base/stateC").get
+      .collect().toSet
+    assert(want.nonEmpty && gotPlain == want,
+      "plain-join fallback diverged from the broadcast path")
   }
 
   test("stream_pq_usage: folded partials equal the one-shot encode usage, replay-safe") {
