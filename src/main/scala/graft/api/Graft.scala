@@ -1374,12 +1374,20 @@ object Graft {
   def ivfSqIndex(embeddings: DataFrame, idCol: String, vecCol: String,
       centroids: DataFrame, centIdCol: String, centVecCol: String,
       bounds: DataFrame, dim: Int, residual: Boolean = true): DataFrame = {
-    // bounds-provenance agreement: the bounds frame is dim rows, so
-    // the distinct read is driver-cheap. Hand-built bounds without
-    // the marker skip the check — the caller owns the agreement then.
+    // the bounds FRAME is dim rows but its PLAN is the corpus-wide
+    // min/max fit — so collect it ONCE to a LocalRelation here and
+    // share that one evaluation between the provenance check and the
+    // encode plan (r18 ADVICE: checking via its own distinct().collect()
+    // and then re-running the fit inside sqBoundArrays paid the fit up
+    // to 3x per build+serve)
+    val boundsRows = bounds.collect()
+    val boundsLocal = bounds.sparkSession.createDataFrame(
+      java.util.Arrays.asList(boundsRows: _*), bounds.schema)
+    // bounds-provenance agreement; hand-built bounds without the
+    // marker skip the check — the caller owns the agreement then
     if (bounds.columns.contains("fit_residual")) {
-      val flavors = bounds.select(col("fit_residual"))
-        .distinct().collect().map(_.getBoolean(0)).toSet
+      val i = bounds.schema.fieldIndex("fit_residual")
+      val flavors = boundsRows.map(_.getBoolean(i)).toSet
       require(flavors == Set(residual),
         s"ivfSqIndex(residual = $residual) over bounds fitted with " +
           s"fit_residual in {${flavors.mkString(", ")}} — fit with " +
@@ -1397,7 +1405,7 @@ object Graft {
         ivfIndex(embeddings, idCol, vecCol,
             centroids, centIdCol, centVecCol)
           .select(struct(col("id"), col("cell")).as("idc"), col("vec"))
-    sqEncode(assigned, "idc", "vec", bounds, dim)
+    sqEncode(assigned, "idc", "vec", boundsLocal, dim)
       .select(col("id").getField("id").as("id"),
         col("id").getField("cell").as("cell"), col("codes"),
         lit(residual).as("residual"))
@@ -1420,10 +1428,18 @@ object Graft {
     *
     * Scale shape: centroids, the probe list (with its cv arrays —
     * queries × nprobe rows), the 1-row bounds arrays, and the query
-    * set all broadcast; the index side is ONE scan filtered to probed
-    * cells (bucketed store ⟹ exchange-free); per-element integer
-    * reconstruction inside whole-stage codegen; nothing corpus-sized
-    * shuffles. nprobe sizing per probe 33: size for cell-hit
+    * set all broadcast; the index side is ONE scan with a broadcast
+    * SEMI-join on the probed-cell set BELOW the decode, so only
+    * probed-cell rows pay the per-element reconstruction, and on a
+    * cell-partitioned store dynamic partition pruning lifts the
+    * semi-join to file-level pruning (an unpartitioned store still
+    * reads all cells' bytes — the decode, not the read, is what the
+    * semi-join always prunes); per-element integer reconstruction
+    * inside whole-stage codegen; nothing corpus-sized shuffles.
+    * Bounds are collected once at construction (dim rows — but their
+    * PLAN may be the corpus-wide fit, so callers get exactly one fit
+    * evaluation per serve; persist the fit output to amortize across
+    * serves). nprobe sizing per probe 33: size for cell-hit
     * probability — SQ's reconstruction noise is half a level per
     * dimension, so unlike PQ the wider probe does not poison the
     * top-k with out-ranking noise.
@@ -1435,9 +1451,15 @@ object Graft {
       residual: Boolean = true): DataFrame = {
     require(k > 0, s"k must be positive, got $k")
     require(nprobe > 0, s"nprobe must be positive, got $nprobe")
+    // one evaluation of the (possibly corpus-fit) bounds plan, shared
+    // by the provenance check and the serve plan's sqBoundArrays —
+    // the ivfSqIndex discipline (r18 ADVICE)
+    val boundsRows = bounds.collect()
+    val boundsLocal = bounds.sparkSession.createDataFrame(
+      java.util.Arrays.asList(boundsRows: _*), bounds.schema)
     if (bounds.columns.contains("fit_residual")) {
-      val flavors = bounds.select(col("fit_residual"))
-        .distinct().collect().map(_.getBoolean(0)).toSet
+      val i = bounds.schema.fieldIndex("fit_residual")
+      val flavors = boundsRows.map(_.getBoolean(i)).toSet
       require(flavors == Set(residual),
         s"ivfSqQuery(residual = $residual) over bounds fitted with " +
           s"fit_residual in {${flavors.mkString(", ")}} — the " +
@@ -1483,17 +1505,27 @@ object Graft {
     // discipline; for the residual flavor the cell centroid arrives
     // via the ≤k-row broadcast), so a cell probed by many queries
     // never re-pays the per-element decode per (row, query) pair.
+    // The broadcast SEMI-join on the probed-cell set runs BELOW the
+    // decode (r18 ADVICE: the projection previously reconstructed
+    // every index row, probed or not): only probed-cell rows pay the
+    // per-element decode and the flavor assert, and on a
+    // cell-partitioned store dynamic partition pruning turns the
+    // semi-join into file-level pruning — that is where the
+    // ~nprobe/cells scan-I/O scaling is realized.
+    val probedCells = probes.select("cell").distinct()
+    val indexProbed =
+      index.join(broadcast(probedCells), Seq("cell"), "left_semi")
     val reconed =
       if (residual)
-        index
+        indexProbed
           .join(broadcast(c.select(col("cent_id").as("cell"), col("cv"))),
             "cell")
-          .crossJoin(broadcast(sqBoundArrays(bounds)))
+          .crossJoin(broadcast(sqBoundArrays(boundsLocal)))
           .select(col("cell"), idChecked,
             zip_with(col("cv"), recon, (a, b) => a + b).as("vhat"))
       else
-        index
-          .crossJoin(broadcast(sqBoundArrays(bounds)))
+        indexProbed
+          .crossJoin(broadcast(sqBoundArrays(boundsLocal)))
           .select(col("cell"), idChecked, recon.as("vhat"))
     reconed
       .join(broadcast(probes), "cell")

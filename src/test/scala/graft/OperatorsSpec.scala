@@ -123,6 +123,29 @@ class OperatorsSpec extends SparkSpec {
       s"HLL ($est) == exact ($ex) on 15k keys — the band test is vacuous here")
   }
 
+  test("approx token quantiles track the exact percentiles within the gate's rank band") {
+    // the estimate-serving form shares tokenQuantilesEstArr with the
+    // banded gate (same sketch dials by construction — r18 review);
+    // this spec is what keeps it LIVE (r18 ADVICE: it was unused, so
+    // the shared-subplan guarantee was unrealized)
+    val exact = SparkEntry.queries("q_token_quantiles")(spark, sf)
+    val approx = graft.operators.Corpus.tokenQuantilesApproxEst(spark, sf)
+    assert(approx.collect().map(_.getString(0)).toSeq ==
+      exact.collect().map(_.getString(0)).toSeq,
+      "estimate-serving form and exact #62 disagree on the group set")
+    // accuracy 10000 ⟹ rank error ≤ 1e-4: on this corpus the sketch
+    // quantile must sit within the exact p25..p90 HULL per source —
+    // a weak but estimator-independent sanity band
+    val joined = exact.select(col("source").as("_s"),
+        col("p25").as("e25"), col("p90").as("e90"))
+      .join(approx, col("_s") <=> col("source"))
+    Seq("p25", "p50", "p75", "p90").foreach { c =>
+      val strays = joined.where(col(c) < col("e25") * 0.5 ||
+        col(c) > col("e90") * 1.5).count()
+      assert(strays == 0, s"$c strayed far outside the exact hull")
+    }
+  }
+
   test("banded quantile gate keeps the NULL-source group (null-safe estimate join)") {
     // r18 review: the gate's estimate join must be null-safe — SQL
     // GROUP BY keeps a NULL-source group on both engines, and a plain
