@@ -388,12 +388,37 @@ object Graft {
     * instead, equally id-decorrelated but reproducible in any SQL
     * engine, which is what lets the DuckDB oracle re-derive the whole
     * fit (VERDICT r14 item 1).
+    *
+    * `seedMode = "kcenter"` (r18 verdict item 1) replaces the hash
+    * draw with the DETERMINISTIC greedy farthest-point picks of
+    * [[kcenterCoreset]]: k sequential corpus passes instead of one,
+    * but the seeds COVER every well-separated cluster by construction
+    * — a hash draw at k ≈ #true-clusters leaves ~1/e of clusters
+    * seedless (the coupon-collector gap; 3 Lloyd rounds do not
+    * recover them), and on tight mixtures that poisons the GLOBAL
+    * residual bounds an IVF×SQ fit hands [[ivfSqBounds]]
+    * (docs/SCALING.md probe 36/37: hash-seeded span contraction ×1.1
+    * vs kcenter's — measured — ×10+; recall floors re-measured
+    * there). Greedy k-center is order-free given the id tie-break,
+    * so fit determinism under repartitioning is preserved
+    * (spec-pinned). Costs k driver rounds — the same [[kcenterCoreset]]
+    * maxK=512 loud cap applies; past it, oversegment with the hash
+    * draw instead (more cells ⟹ every true cluster eventually splits
+    * off) or raise the cap through [[kcenterCoreset]] directly.
     */
   def kmeansCentroids(embeddings: DataFrame, idCol: String, vecCol: String,
       k: Int, iters: Int = 5,
-      seedSpread: Column => Column = xxhash64(_)): DataFrame = {
+      seedSpread: Column => Column = xxhash64(_),
+      seedMode: String = "spread"): DataFrame = {
     require(k > 0, s"k must be positive, got $k")
     require(iters >= 0, s"iters must be non-negative, got $iters")
+    require(seedMode == "spread" || seedMode == "kcenter",
+      s"seedMode must be 'spread' or 'kcenter', got '$seedMode'")
+    require(seedMode != "kcenter" || k <= 512,
+      s"kmeansCentroids(seedMode = kcenter, k = $k) exceeds the greedy " +
+        "picker's maxK = 512 — k-center seeding is k sequential corpus " +
+        "passes (the kcenterCoreset cap rationale); for thousands of " +
+        "cells use the hash draw and oversegment instead")
     val spark = embeddings.sparkSession
     graft.functions.CosineSimilarity.register(spark)
     import spark.implicits._
@@ -401,12 +426,18 @@ object Graft {
       col(vecCol).cast("array<double>").as("vec"))
       .persist()
     try {
-      var cents: Seq[(Long, Seq[Double])] = e
+      val usable = e
         .where(call_function("cosine_sim", col("vec"), col("vec")).isNotNull)
-        .orderBy(seedSpread(col("id")), col("id")).limit(k)
-        .select(col("vec")).collect()
-        .zipWithIndex
-        .map { case (r, i) => (i.toLong, r.getSeq[Double](0)) }.toSeq
+      var cents: Seq[(Long, Seq[Double])] =
+        if (seedMode == "kcenter")
+          graft.operators.Similarity.kcenterPicks(
+            usable.select(col("id").as("vec_id"), col("vec").as("v")), k)
+            .map { case (r, _, v, _) => (r.toLong, v) }
+        else usable
+          .orderBy(seedSpread(col("id")), col("id")).limit(k)
+          .select(col("vec")).collect()
+          .zipWithIndex
+          .map { case (r, i) => (i.toLong, r.getSeq[Double](0)) }.toSeq
       for (_ <- 0 until iters) {
         val cDf = cents.toDF("cent_id", "cv")
         val assigned = e.crossJoin(broadcast(cDf))

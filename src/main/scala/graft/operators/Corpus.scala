@@ -1313,8 +1313,13 @@ object Corpus {
   }
 
   val qDomainStatsSql: String =
+    // `source IS NULL OR ...`: a NULL source is NOT blocklisted — the
+    // Spark side's left_anti join keeps null keys (null never equals a
+    // blocklist entry), while bare SQL `NOT IN` evaluates NULL on a
+    // null source and silently drops the whole group (r19: the
+    // null-source nasty corpus caught exactly this divergence)
     s"""WITH ${Text.qualityCtesSql(
-         s"documents WHERE source NOT IN ($DomainBlocklistSql)")},
+         s"documents WHERE (source IS NULL OR source NOT IN ($DomainBlocklistSql))")},
        |f AS (
        |  SELECT doc_id, source, n_tokens, quality_score,
        |    ${Dedup.contentFpSql} AS fp
@@ -1567,7 +1572,7 @@ object Corpus {
     val ps = Seq(0.25 -> "25", 0.5 -> "50", 0.75 -> "75", 0.9 -> "90")
     val eps = 0.02
     val aggs = expr("percentile(n_tokens, array(0.25D, 0.5D, 0.75D, 0.9D))")
-      .as("pq") +:
+      .as("pq") +: count(col("n_tokens")).as("vals") +:
       ps.zipWithIndex.flatMap { case ((_, tag), i) => Seq(
         sum(when(col("n_tokens") < col("q").getItem(i), 1L)
           .otherwise(0L)).as(s"lt$tag"),
@@ -1586,8 +1591,14 @@ object Corpus {
         (ps.zipWithIndex.map { case ((_, tag), i) =>
           col("pq").getItem(i).as(s"p$tag") } ++
         ps.map { case (p, tag) =>
-          (col(s"lt$tag").cast("double") / col("docs") <= lit(p + eps) &&
-           col(s"le$tag").cast("double") / col("docs") >= lit(p - eps))
+          // rank contract over the NON-NULL count: percentile and
+          // approx_percentile both EXCLUDE null measures from the
+          // rank order, so a null-text row may count in `docs` but
+          // must not deflate the band ratios (r19: the null-source
+          // nasty corpus flipped these flags on a group carrying one
+          // null-token row)
+          (col(s"lt$tag").cast("double") / col("vals") <= lit(p + eps) &&
+           col(s"le$tag").cast("double") / col("vals") >= lit(p - eps))
             .as(s"p${tag}_ok") }): _*)
       .orderBy("source")
   }

@@ -70,7 +70,11 @@ object Multimodal {
 
   /** documents → media table: deterministic typed metadata + payload
     * bytes. Formats/dimensions derive from doc_id so the DuckDB oracle
-    * reproduces them exactly.
+    * reproduces them exactly. The table carries EVERY record — a NULL
+    * payload (null source text here; a failed fetch in production)
+    * keeps its row so lineage and the phash null→0 contract survive;
+    * the DECODE-family stages quarantine it at their input (see
+    * [[decodeFeatures]]).
     */
   def mediaTable(spark: SparkSession, dir: String): Dataset[MediaRecord] = {
     import spark.implicits._
@@ -93,10 +97,20 @@ object Multimodal {
     * instead, so the plumbing — typed schema, per-partition decoder
     * lifecycle, iterator batch shape — is real and tested while the
     * codec call is the only fake.
+    *
+    * A NULL payload is an UNDECODABLE record — quarantined at the
+    * stage input (the validateEmbeddings convention; r19: the
+    * null-source nasty corpus showed the decode family NPE-ing on it
+    * — a codec cannot decode absent bytes, and fabricating empty
+    * features would be worse). Same rule in [[frameSample]],
+    * [[resizeStage]], [[embedStage]]; every consuming oracle filters
+    * `text IS NOT NULL` in lockstep. [[phashStage]] deliberately does
+    * NOT quarantine — its contract hashes a null/empty plane to 0 so
+    * the dedup readout covers every record.
     */
   def decodeFeatures(media: Dataset[MediaRecord]): Dataset[MediaFeatures] = {
     import media.sparkSession.implicits._
-    media.mapPartitions { records =>
+    media.where(col("payload").isNotNull).mapPartitions { records =>
       // Per-partition decoder instantiation (a real codec context would
       // be created once here, not per record).
       val md = java.security.MessageDigest.getInstance("MD5")
@@ -133,7 +147,7 @@ object Multimodal {
   def frameSample(media: Dataset[MediaRecord],
       frameBytes: Int = 64, every: Int = 4): Dataset[FrameStats] = {
     import media.sparkSession.implicits._
-    media.mapPartitions { records =>
+    media.where(col("payload").isNotNull).mapPartitions { records =>
       records.map { r =>
         val nFrames = (r.payload.length + frameBytes - 1) / frameBytes
         var sampled = 0L
@@ -176,7 +190,7 @@ object Multimodal {
   def resizeStage(media: Dataset[MediaRecord],
       maxSide: Int = 224): Dataset[ResizedMedia] = {
     import media.sparkSession.implicits._
-    media.mapPartitions { records =>
+    media.where(col("payload").isNotNull).mapPartitions { records =>
       val md = java.security.MessageDigest.getInstance("MD5")
       records.map { r =>
         val m = math.max(r.width, r.height)
@@ -228,7 +242,7 @@ object Multimodal {
       |  SELECT doc_id,
       |    CAST(32 * (doc_id % 16 + 1) AS INT) AS width,
       |    CAST(32 * (doc_id % 9 + 1) AS INT) AS height
-      |  FROM documents),
+      |  FROM documents WHERE text IS NOT NULL),
       |t AS (
       |  SELECT doc_id, width, height,
       |    greatest(width, height) AS mx
@@ -263,7 +277,7 @@ object Multimodal {
     require(dims >= 1 && dims <= 16,
       s"embedStage dims must be in [1, 16] (md5 supplies 16 byte pairs), got $dims")
     import media.sparkSession.implicits._
-    media.mapPartitions { records =>
+    media.where(col("payload").isNotNull).mapPartitions { records =>
       // per-partition "encoder" lifecycle (a real vision model loads
       // its weights once here)
       val md = java.security.MessageDigest.getInstance("MD5")
@@ -465,7 +479,9 @@ object Multimodal {
     val media = decodeFeatures(mediaTable(spark, dir)).toDF()
       .select(col("doc_id"), md5Vec(col("payload_md5")).as("v"))
     val q = Tables.documents(spark, dir)
-      .where(col("doc_id") < 10)
+      // null text = no query vector (the tower cannot embed absent
+      // bytes) — mirrors the media tower's decode quarantine
+      .where(col("doc_id") < 10 && col("text").isNotNull)
       .select(col("doc_id").as("q_id"), md5Vec(md5(col("text").cast("binary"))).as("qv"))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("q_id").orderBy(col("cos").desc, col("doc_id"))
@@ -490,7 +506,7 @@ object Multimodal {
       |    list_transform(range(0, 8), d ->
       |      ((instr('0123456789abcdef', substr(md5(text), 2*d + 1, 1)) - 1) * 16
       |       + (instr('0123456789abcdef', substr(md5(text), 2*d + 2, 1)) - 1)) / 255.0) AS v
-      |  FROM documents),
+      |  FROM documents WHERE text IS NOT NULL),
       |q AS (SELECT doc_id AS q_id, v AS qv FROM vecs WHERE doc_id < 10),
       |scored AS (
       |  SELECT q_id, doc_id,
@@ -514,13 +530,14 @@ object Multimodal {
       |   + (instr('0123456789abcdef', substr(md5(text), 2*d + 2, 1)) - 1)) / 255.0
       |    AS value
       |FROM documents, (SELECT unnest(range(8)) AS d) AS ds
+      |WHERE text IS NOT NULL
       |ORDER BY doc_id, dim""".stripMargin
 
   val qMultimodalFramesSql: String =
     """SELECT doc_id,
       |  CAST(ceil(octet_length(encode(text)) / 64.0) AS BIGINT) AS n_frames,
       |  CAST(ceil(ceil(octet_length(encode(text)) / 64.0) / 4.0) AS BIGINT) AS n_sampled
-      |FROM documents ORDER BY doc_id""".stripMargin
+      |FROM documents WHERE text IS NOT NULL ORDER BY doc_id""".stripMargin
 
   /** #157's oracle (hash-gated since r15 — previously rows-only under
     * "DuckDB cannot fold over blob bytes"; it can, via `hex(encode())`
@@ -572,5 +589,5 @@ object Multimodal {
       |  CAST(32 * (doc_id % 9 + 1) AS INT) AS height,
       |  CAST(octet_length(encode(text)) AS BIGINT) AS payload_len,
       |  md5(text) AS payload_md5
-      |FROM documents ORDER BY doc_id""".stripMargin
+      |FROM documents WHERE text IS NOT NULL ORDER BY doc_id""".stripMargin
 }

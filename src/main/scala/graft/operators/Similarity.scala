@@ -1465,6 +1465,49 @@ object Similarity {
     * [[graft.api.Graft.kcenterCoreset]] re-exports it. The caller owns
     * the usable filter (vectors must have a defined positive norm).
     */
+  /** The greedy farthest-point pick loop shared by [[kcenterCore]]
+    * and the [[graft.api.Graft.kmeansCentroids]] `seedMode = kcenter`
+    * seeding (r18 verdict item 1): deterministic given the vec_id
+    * tie-break — same input set → same picks under any partitioning.
+    * `e` is `(vec_id, v)`, usable rows only; the CALLER persists it
+    * (every round scans it). Returns (round, id, vector, radius).
+    */
+  private[graft] def kcenterPicks(e: DataFrame,
+      k: Int): Vector[(Int, Long, Seq[Double], Option[Double])] = {
+    val seedRows = e.orderBy("vec_id").limit(1).collect()
+    if (seedRows.isEmpty) return Vector.empty
+    val seedRow = seedRows(0)
+    var picks = Vector[(Int, Long, Seq[Double], Option[Double])](
+      (0, seedRow.getLong(0), seedRow.getSeq[Double](1), None))
+    def vlit(v: Seq[Double]) = array(v.map(lit): _*)
+    var p = e.where(col("vec_id") =!= picks.head._2)
+      .withColumn("mind", lit(1.0) - cosine(col("v"), vlit(picks.head._3)))
+    // a corpus smaller than k simply yields fewer centers (the
+    // oracle's LIMIT-1 stages go empty the same way)
+    var r = 1
+    var exhausted = false
+    while (r < k && !exhausted) {
+      val rows = p.orderBy(col("mind").desc, col("vec_id")).limit(1).collect()
+      if (rows.isEmpty) exhausted = true
+      else {
+        val top = rows(0)
+        picks = picks :+ ((r, top.getLong(0), top.getSeq[Double](1),
+          Some(top.getDouble(2))))
+        p = p.where(col("vec_id") =!= top.getLong(0))
+          .withColumn("mind",
+            least(col("mind"), lit(1.0) - cosine(col("v"), vlit(top.getSeq[Double](1)))))
+        // truncate the lineage every 32 rounds: each pick chains one
+        // more filter + least() onto the plan, and past a few dozen
+        // rounds analysis time (and eventually the plan-size limit)
+        // dominates the actual scan — the facade's maxK admits k up
+        // to 512 (r17 verdict hardening)
+        if (r % 32 == 0) p = p.localCheckpoint(true)
+        r += 1
+      }
+    }
+    picks
+  }
+
   private[graft] def kcenterCore(e0: DataFrame, k: Int): DataFrame = {
     require(k > 0, s"k must be positive, got $k")
     val spark = e0.sparkSession
@@ -1472,40 +1515,10 @@ object Similarity {
     val e = e0.persist()
     try {
       import spark.implicits._
-      val seedRows = e.orderBy("vec_id").limit(1).collect()
-      if (seedRows.isEmpty)
+      val picks = kcenterPicks(e, k)
+      if (picks.isEmpty)
         return Seq.empty[(Int, Long, Long, Option[Double])]
           .toDF("round", "center_id", "n_assigned", "radius")
-      val seedRow = seedRows(0)
-      var picks = Vector[(Int, Long, Seq[Double], Option[Double])](
-        (0, seedRow.getLong(0), seedRow.getSeq[Double](1), None))
-      def vlit(v: Seq[Double]) = array(v.map(lit): _*)
-      var p = e.where(col("vec_id") =!= picks.head._2)
-        .withColumn("mind", lit(1.0) - cosine(col("v"), vlit(picks.head._3)))
-      // a corpus smaller than k simply yields fewer centers (the
-      // oracle's LIMIT-1 stages go empty the same way)
-      var r = 1
-      var exhausted = false
-      while (r < k && !exhausted) {
-        val rows = p.orderBy(col("mind").desc, col("vec_id")).limit(1).collect()
-        if (rows.isEmpty) exhausted = true
-        else {
-          val top = rows(0)
-          picks = picks :+ ((r, top.getLong(0), top.getSeq[Double](1),
-            Some(top.getDouble(2))))
-          p = p.where(col("vec_id") =!= top.getLong(0))
-            .withColumn("mind",
-              least(col("mind"), lit(1.0) - cosine(col("v"), vlit(top.getSeq[Double](1)))))
-          // truncate the lineage every 32 rounds: each pick chains one
-          // more filter + least() onto the plan, and past a few dozen
-          // rounds analysis time (and eventually the plan-size limit)
-          // dominates the actual scan — the facade's maxK admits k up
-          // to 512 (r17 verdict hardening)
-          if (r % 32 == 0) p = p.localCheckpoint(true)
-          r += 1
-        }
-      }
-      import spark.implicits._
       val cents = picks.map { case (r, id, v, rad) => (r, id, v, rad) }
         .toDF("round", "center_id", "cv", "radius")
       val assigned = e.crossJoin(broadcast(cents.select("round", "cv")))

@@ -409,13 +409,17 @@ object Text {
       .orderBy("doc_id")
 
   val qDocFingerprintSql: String =
+    // null text → NULL fingerprint on BOTH engines (like md5): Spark's
+    // aggregate() propagates the null, but DuckDB's list_prepend(0,
+    // NULL) yields [0] and would fold to 0 — made explicit here (r19
+    // null-source nasty corpus)
     """WITH t AS (
       |  SELECT doc_id, trim(regexp_replace(lower(text), ' +', ' ', 'g')) AS norm FROM documents)
       |SELECT doc_id, md5(norm) AS fp_md5,
-      |  list_reduce(
+      |  CASE WHEN norm IS NULL THEN NULL ELSE list_reduce(
       |    list_prepend(CAST(0 AS BIGINT),
       |      list_transform(string_split(norm, ''), c -> CAST(ascii(c) AS BIGINT))),
-      |    (acc, x) -> (acc * 31 + x) % 1000000007) AS rolling_hash
+      |    (acc, x) -> (acc * 31 + x) % 1000000007) END AS rolling_hash
       |FROM t ORDER BY doc_id""".stripMargin
 
   /** Repetition flag threshold (#71): duplicate-3-gram fraction above
@@ -445,8 +449,12 @@ object Text {
     graft.functions.WordShingles.register(df.sparkSession)
     df
       .withColumn("n_grams", greatest(wsTokenCount - 2, lit(0L)))
+      // null text has 0 distinct 3-grams, consistent with its n_grams
+      // = 0 (greatest already absorbs the null there); without the
+      // coalesce the column is NULL while the oracle's CASE emits 0
+      // (r19 null-source nasty corpus)
       .withColumn("n_distinct",
-        size(expr("word_shingles(text, 3)")).cast("long"))
+        coalesce(size(expr("word_shingles(text, 3)")).cast("long"), lit(0L)))
       .withColumn("dup_fraction",
         when(col("n_grams") === 0, lit(0.0))
           .otherwise(lit(1.0) -
@@ -1792,7 +1800,7 @@ object Text {
        |  LEFT JOIN ls ON t.doc_id = ls.doc_id
        |  LEFT JOIN ps ON t.doc_id = ps.doc_id),
        |f AS (
-       |  SELECT m.doc_id, m.dup_line_frac, m.dup_line_char_frac,
+       |  SELECT m.doc_id, m.n_chars, m.dup_line_frac, m.dup_line_char_frac,
        |    m.dup_para_frac, m.dup_para_char_frac,
        |$topSel,
        |$dupSel
@@ -1803,7 +1811,7 @@ object Text {
        |  dup_para_char_frac,
        |${topNs.map(n => s"  top_${n}gram_char_frac").mkString(",\n")},
        |${dupNs.map(n => s"  dup_${n}gram_char_frac").mkString(",\n")},
-       |  ($passTerms) AS pass
+       |  CASE WHEN n_chars IS NULL THEN NULL ELSE ($passTerms) END AS pass
        |FROM f ORDER BY doc_id""".stripMargin
   }
 }

@@ -88,6 +88,45 @@ class IvfIndexSpec extends SparkSpec {
       s"recall@5 with nprobe=3/10 fitted cells too low: $hits/$total")
   }
 
+  test("kcenter seeding: deterministic under repartitioning, covers every planted cluster, loud cap") {
+    import spark.implicits._
+    // a tight 8-cluster mixture at k = #clusters: the regime where the
+    // hash draw leaves ~1/e of clusters seedless (probe 36/37) and the
+    // greedy farthest-point seeds cover all of them by construction
+    def u(id: Long, c: Int, salt: Int): Double = {
+      val h = java.lang.Long.hashCode((id * 1315423911L) ^ (c * 2654435761L) ^ salt)
+      ((h & 0x7fffffff) % 1000000) / 1000000.0
+    }
+    val pts = (0 until 400).map { i =>
+      val cl = (i % 8).toLong
+      (i.toLong, (0 until 16).map(c => u(cl, c, 1) + 0.005 * (u(i.toLong, c, 2) - 0.5)).toSeq)
+    }
+    val df1 = pts.toDF("vec_id", "v").repartition(7)
+    val df2 = pts.toDF("vec_id", "v").repartition(13, col("vec_id"))
+    val c1 = Graft.kmeansCentroids(df1, "vec_id", "v", k = 8, iters = 2,
+      seedMode = "kcenter")
+    val c2 = Graft.kmeansCentroids(df2, "vec_id", "v", k = 8, iters = 2,
+      seedMode = "kcenter")
+    assert(c1.exceptAll(c2).count() == 0 && c2.exceptAll(c1).count() == 0,
+      "kcenter-seeded fit must be bit-identical under repartitioning")
+    // coverage: the 8 planted bases route to 8 DISTINCT cells — the
+    // property the hash draw cannot promise at k = #clusters
+    val bases = (0 until 8).map { cl =>
+      (cl.toLong, (0 until 16).map(c => u(cl.toLong, c, 1)).toSeq)
+    }.toDF("vec_id", "v")
+    val cells = Graft.ivfIndex(bases, "vec_id", "v", c1, "cent_id", "cv")
+      .select("cell").distinct().count()
+    assert(cells == 8,
+      s"kcenter seeding left planted clusters sharing cells ($cells/8)")
+    // the loud cap names the cost and the alternative
+    val bad = intercept[IllegalArgumentException] {
+      Graft.kmeansCentroids(df1, "vec_id", "v", k = 600, iters = 1,
+        seedMode = "kcenter")
+    }
+    assert(bad.getMessage.contains("maxK") &&
+      bad.getMessage.contains("oversegment"))
+  }
+
   test("bucketed round-trip: equal results, one fewer exchange to probe") {
     spark.sql("DROP TABLE IF EXISTS ivf_idx")
     spark.sql("DROP TABLE IF EXISTS ivf_idx_plain")

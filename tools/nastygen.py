@@ -84,7 +84,20 @@ COPY (
     -- hit in mixed case behind punctuation, and a substring-only near
     -- miss that must NOT fire the word-grain rule
     (17::BIGINT, 'visit our CASINO, win the jackpot today', 'en', 'src6', 39::BIGINT),
-    (18::BIGINT, 'the casinos and jackpots words are plurals only', 'en', 'src6', 47::BIGINT)
+    (18::BIGINT, 'the casinos and jackpots words are plurals only', 'en', 'src6', 47::BIGINT),
+    -- NULL-source battery (r18 verdict item 8: the r18 null-group
+    -- join bug was caught by a HAND-planted corpus — the standard
+    -- nasty corpora previously had no NULL sources, so the whole
+    -- (source, ...)-grouped family went untested against the legal
+    -- dirty shape by default). SQL GROUP BY keeps the NULL group on
+    -- both engines; a plain Spark equi-join on the grouping column
+    -- silently drops it (use <=>). Includes a null-source doc with
+    -- NULL text (null n_tokens inside the null group) and a
+    -- null-LANG row for the (lang, source) grids.
+    (19::BIGINT, 'null source doc with ordinary tokens', 'en', NULL, 36::BIGINT),
+    (20::BIGINT, NULL, 'en', NULL, 0::BIGINT),
+    (21::BIGINT, 'second null source doc for quantile interpolation', 'en', NULL, 49::BIGINT),
+    (22::BIGINT, 'null lang row keeps its own group too', NULL, 'src7', 37::BIGINT)
   ) t(doc_id, text, lang, source, n_chars)
 ) TO '{d}/documents.parquet' (FORMAT PARQUET)""")
 
