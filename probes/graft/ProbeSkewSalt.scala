@@ -13,13 +13,14 @@ import org.apache.spark.sql.functions._
 //          stream-static stand-in) / saltedJoin salts in {8, 32}
 //   agg:   direct countDistinct per key / distinctPerKeySalted {8,32}
 // Readout = wall seconds per flavor + result checksum equality.
-// args: [nFact=20000000] [nDim=1000000] [hotShares=0.25,0.05]
+// args: [nFact=20000000] [nDim=1000000] [hotShares=0.25,0.05] [userCard=5000000]
 object ProbeSkewSalt {
   def main(args: Array[String]): Unit = {
     val nFact = args.headOption.map(_.toLong).getOrElse(20000000L)
     val nDim = args.lift(1).map(_.toLong).getOrElse(1000000L)
     val hotShares = args.lift(2).getOrElse("0.25,0.05")
       .split(",").map(_.trim.toDouble).toSeq
+    val userCard = args.lift(3).map(_.toLong).getOrElse(5000000L)
     val spark = SparkSession.builder().master("local[32]")
       .config("spark.sql.shuffle.partitions", 32)
       .config("spark.sql.session.timeZone", "UTC")
@@ -47,9 +48,9 @@ object ProbeSkewSalt {
           .otherwise(pmod(xxhash64(col("id"), lit(3)), lit(nDim)))
           .as("key"),
         col("id").as("row_id"),
-        pmod(xxhash64(col("id"), lit(4)), lit(5000000L)).as("user_id"))
+        pmod(xxhash64(col("id"), lit(4)), lit(userCard)).as("user_id"))
         .repartition(32).localCheckpoint(true)
-      println(s"== nFact=$nFact nDim=$nDim hotShare=$hot " +
+      println(s"== nFact=$nFact nDim=$nDim hotShare=$hot userCard=$userCard " +
         s"(hot key carries ${(nFact * hot).toLong} rows) ==")
 
       def joinSum(df: DataFrame): Long =

@@ -1292,6 +1292,33 @@ object Graft {
           (col("hi") - col("lo")).as("span")))),
         t => t.getField("span")).as("_graft_span"))
 
+  /** The k×dim PER-CELL bounds frame as k broadcastable rows of
+    * `(cell, lo[], span[])` — the [[ivfSqBoundsPerCell]] layout's
+    * join side.
+    */
+  private def sqBoundArraysPerCell(bounds: DataFrame): DataFrame =
+    bounds.groupBy("cell").agg(
+      transform(array_sort(collect_list(struct(col("d"), col("lo")))),
+        t => t.getField("lo")).as("_graft_lo"),
+      transform(array_sort(collect_list(struct(col("d"),
+          (col("hi") - col("lo")).as("span")))),
+        t => t.getField("span")).as("_graft_span"))
+
+  /** The SQ8 level pick as a column over (`vec`, `_graft_lo`,
+    * `_graft_span`) — shared verbatim by the global-bounds
+    * [[sqEncode]] and the per-cell encode inside [[ivfSqIndex]], so
+    * the two layouts cannot drift on the clamp/floor/shift math.
+    */
+  private def sqCodesCol: Column =
+    zip_with(col("vec"),
+      zip_with(col("_graft_lo"), col("_graft_span"),
+        (l, s) => struct(l.as("lo"), s.as("span"))),
+      (x, b) => (when(b.getField("span") === 0d, lit(0.0))
+        .otherwise(least(lit(255.0), greatest(lit(0.0),
+          floor((x - b.getField("lo")) / b.getField("span") *
+            lit(256.0)))))
+        - lit(128.0)).cast("byte"))
+
   /** SQ8 encode: every usable vector becomes `dim` SIGNED BYTES —
     * `code_d = clamp(floor((v_d − lo_d) / span_d × 256), 0, 255) −
     * 128` stored as tinyint (the −128 shift makes the 0..255 level
@@ -1309,15 +1336,7 @@ object Graft {
       bounds: DataFrame, dim: Int): DataFrame =
     sqUsable(embeddings, idCol, vecCol, dim)
       .crossJoin(broadcast(sqBoundArrays(bounds)))
-      .select(col("id"),
-        zip_with(col("vec"),
-          zip_with(col("_graft_lo"), col("_graft_span"),
-            (l, s) => struct(l.as("lo"), s.as("span"))),
-          (x, b) => (when(b.getField("span") === 0d, lit(0.0))
-            .otherwise(least(lit(255.0), greatest(lit(0.0),
-              floor((x - b.getField("lo")) / b.getField("span") *
-                lit(256.0)))))
-            - lit(128.0)).cast("byte")).as("codes"))
+      .select(col("id"), sqCodesCol.as("codes"))
 
   /** SQ8 top-k serving: reconstruct `v̂_d = lo_d + (code_d + 128 +
     * 0.5) × span_d / 256` per code row (query-independent — computed
@@ -1381,6 +1400,41 @@ object Graft {
       "id", "rvec", dim)
       .withColumn("fit_residual", lit(true))
 
+  /** PER-CELL SQ8 bounds over coarse residuals — `(cell, d, lo, hi,
+    * fit_residual)`, k×dim rows: every cell gets its OWN quantizer
+    * window, so the step size is that cell's residual spread instead
+    * of the corpus-wide min/max. Probe 37 is why this layout exists:
+    * under a real (even perfectly-seeded) spherical fit the GLOBAL
+    * residual span never contracts (×1.2 vs the planted fit's ×18) —
+    * the spherical centroid is unit-normalized, so every cell's
+    * residuals sit at a norm-dependent per-cell OFFSET and the global
+    * window must cover all offsets — while the per-cell spans are
+    * uniformly at noise scale (probe 37: p99 cell span 0.034 vs 0.83
+    * global, ×24 finer steps from the same byte budget). FAISS ships
+    * the same idea as IndexIVFScalarQuantizer's per-list trained
+    * quantizer. Same exact order-free min/max — bit-deterministic
+    * under any partitioning; the bounds frame is k×dim rows (still
+    * broadcastable for any practical k). Feed to [[ivfSqIndex]] /
+    * [[ivfSqQuery]], which detect the `cell` column and join bounds
+    * by cell; the flavor is residual-only (a raw per-cell window
+    * would re-center nothing and is refused).
+    */
+  def ivfSqBoundsPerCell(embeddings: DataFrame, idCol: String,
+      vecCol: String, centroids: DataFrame, centIdCol: String,
+      centVecCol: String, dim: Int): DataFrame =
+    ivfResiduals(embeddings, idCol, vecCol, centroids, centIdCol,
+        centVecCol)
+      .select(col("cell"), col("rvec").as("vec"))
+      // the sqUsable strict rule at cell grain: one ±inf element
+      // would poison its own CELL's window (not the corpus's, but
+      // the same NaN-recon failure)
+      .where(size(col("vec")) === dim &&
+        !exists(col("vec"), x => x.isNull || isnan(x)) &&
+        !exists(col("vec"), x => abs(x) > lit(Double.MaxValue)))
+      .select(col("cell"), posexplode(col("vec")).as(Seq("d", "x")))
+      .groupBy("cell", "d").agg(min("x").as("lo"), max("x").as("hi"))
+      .withColumn("fit_residual", lit(true))
+
   /** The IVF×SQ8 index — the best-recall-per-byte serving point of
     * the quantizer ladder (probe 33: flat SQ8 recall 1.000 at 7.54×
     * compression; this rung adds [[ivfIndex]] routing for
@@ -1405,6 +1459,11 @@ object Graft {
   def ivfSqIndex(embeddings: DataFrame, idCol: String, vecCol: String,
       centroids: DataFrame, centIdCol: String, centVecCol: String,
       bounds: DataFrame, dim: Int, residual: Boolean = true): DataFrame = {
+    val perCell = bounds.columns.contains("cell")
+    require(!perCell || residual,
+      "ivfSqIndex(residual = false) over PER-CELL bounds — the per-cell " +
+        "window exists to absorb each cell's residual offset; raw " +
+        "vectors share one distribution, fit sqBounds instead")
     // the bounds FRAME is dim rows but its PLAN is the corpus-wide
     // min/max fit — so collect it ONCE to a LocalRelation here and
     // share that one evaluation between the provenance check and the
@@ -1436,7 +1495,26 @@ object Graft {
         ivfIndex(embeddings, idCol, vecCol,
             centroids, centIdCol, centVecCol)
           .select(struct(col("id"), col("cell")).as("idc"), col("vec"))
-    sqEncode(assigned, "idc", "vec", boundsLocal, dim)
+    val coded =
+      if (perCell)
+        // the per-cell window rides a k-row broadcast join on the
+        // row's own cell; level math is the SHARED sqCodesCol. LEFT
+        // join + loud assert: a vector routing to a cell the frozen
+        // fit never saw (possible under ivfSqIndexSink's frozen
+        // artifacts) must fail the batch, not silently vanish
+        sqUsable(assigned, "idc", "vec", dim)
+          .join(broadcast(sqBoundArraysPerCell(boundsLocal)
+              .withColumnRenamed("cell", "_graft_bcell")),
+            col("id").getField("cell") === col("_graft_bcell"), "left")
+          .select(col("id"),
+            when(assert_true(col("_graft_bcell").isNotNull,
+              lit("ivfSqIndex: a vector routed to a cell with no " +
+                "per-cell bounds row — the (frozen) fit never saw " +
+                "this cell; re-fit ivfSqBoundsPerCell or fall back " +
+                "to global ivfSqBounds")).isNull,
+              sqCodesCol).as("codes"))
+      else sqEncode(assigned, "idc", "vec", boundsLocal, dim)
+    coded
       .select(col("id").getField("id").as("id"),
         col("id").getField("cell").as("cell"), col("codes"),
         lit(residual).as("residual"))
@@ -1482,6 +1560,10 @@ object Graft {
       residual: Boolean = true): DataFrame = {
     require(k > 0, s"k must be positive, got $k")
     require(nprobe > 0, s"nprobe must be positive, got $nprobe")
+    val perCell = bounds.columns.contains("cell")
+    require(!perCell || residual,
+      "ivfSqQuery(residual = false) over PER-CELL bounds — no raw " +
+        "per-cell flavor exists (see ivfSqBoundsPerCell); match the fit")
     // one evaluation of the (possibly corpus-fit) bounds plan, shared
     // by the provenance check and the serve plan's sqBoundArrays —
     // the ivfSqIndex discipline (r18 ADVICE)
@@ -1546,17 +1628,23 @@ object Graft {
     val probedCells = probes.select("cell").distinct()
     val indexProbed =
       index.join(broadcast(probedCells), Seq("cell"), "left_semi")
+    // per-cell bounds ride a k-row broadcast join on the row's cell
+    // (inner: a probed row whose cell the fit never saw could not
+    // have been ENCODED either — the index side refuses at build);
+    // global bounds stay the 1-row cross join
+    def withBounds(df: DataFrame): DataFrame =
+      if (perCell)
+        df.join(broadcast(sqBoundArraysPerCell(boundsLocal)), "cell")
+      else df.crossJoin(broadcast(sqBoundArrays(boundsLocal)))
     val reconed =
       if (residual)
-        indexProbed
+        withBounds(indexProbed
           .join(broadcast(c.select(col("cent_id").as("cell"), col("cv"))),
-            "cell")
-          .crossJoin(broadcast(sqBoundArrays(boundsLocal)))
+            "cell"))
           .select(col("cell"), idChecked,
             zip_with(col("cv"), recon, (a, b) => a + b).as("vhat"))
       else
-        indexProbed
-          .crossJoin(broadcast(sqBoundArrays(boundsLocal)))
+        withBounds(indexProbed)
           .select(col("cell"), idChecked, recon.as("vhat"))
     reconed
       .join(broadcast(probes), "cell")
@@ -2417,6 +2505,16 @@ object Graft {
     * every dim row of its key exactly once (spec-pinned against the
     * plain join). Cost: the dim shuffles `salts`× — size `salts` to
     * the observed skew, not higher.
+    *
+    * MEASURED (probe 38, r19 — bench_evidence/probe38_skew_salt.log,
+    * 80M rows / 32 cores): at a hot key 16× the average task the
+    * plain shuffle join degrades 10× (80.6 s vs salted-32's 7.9 s)
+    * and even AQE's skew split recovers only a third (26.3 s — it
+    * splits the materialized partition after the fact; the salt
+    * spreads rows before the shuffle). Dial rule: `salts` ≈ the hot
+    * key's row count over the average task's (hot_rows /
+    * (n / shuffle partitions)); below ~8× the skew does not bind —
+    * plain wins and AQE's split overhead makes it strictly worse.
     *
     * Reach for this only where AQE's skew-join split can't help:
     * stream-static joins (no runtime re-plan), downstream operators

@@ -1356,6 +1356,144 @@ object Similarity {
        |WHERE rank <= $TopK ORDER BY q_id, rank""".stripMargin
   }
 
+  /** #211 — `q_ann_ivf_sq_cell`: the IVF × SQ8 rung with PER-CELL
+    * quantizer windows — #205 with the bounds fitted per cell
+    * (`(cell, d) → min/max` over that cell's residuals) instead of
+    * corpus-wide. Probe 37 is the justification: under any REAL
+    * spherical fit the global residual window never contracts (the
+    * unit-normalized centroid leaves a norm-dependent per-cell
+    * offset in every residual — ×1.2 vs the planted fit's ×18, even
+    * with perfect-coverage k-center seeding), while per-cell spans
+    * sit uniformly at noise scale (p99 0.034 vs 0.83 global) — so
+    * the per-cell window buys ×20-class finer quantizer steps from
+    * the SAME byte budget. FAISS ships this layout as
+    * IndexIVFScalarQuantizer's per-list trained quantizer.
+    * Production twin: [[graft.api.Graft.ivfSqBoundsPerCell]] +
+    * [[graft.api.Graft.ivfSqIndex]]/[[graft.api.Graft.ivfSqQuery]]
+    * (which detect the `cell` column in the bounds frame; PqSpec
+    * pins gate ≡ API bit-equality and the raw-flavor refusal).
+    *
+    * HASH-GATED like #205: exact arithmetic end-to-end, so the
+    * oracle replays build + serve bit-for-bit with the bounds CTE at
+    * (cell, dim) grain. Scale: identical to #205 — the only delta is
+    * the bounds frame at k×dim rows (still a broadcast) joined by
+    * cell instead of a 1-row cross join.
+    */
+  def qAnnIvfSqCell(spark: SparkSession, dir: String): DataFrame = {
+    val (e, cents, assigned) = ivfGateAssigned(spark, dir)
+    val withCv = assigned
+      .join(broadcast(cents.select(col("cent_id").as("cell"), col("cv"))),
+        "cell")
+      .withColumn("r", zip_with(col("v"), col("cv"), (x, c) => x - c))
+    val bArr = withCv.select(col("cell"), posexplode(col("r")).as(Seq("d", "x")))
+      .groupBy("cell", "d").agg(min("x").as("lo"), max("x").as("hi"))
+      .groupBy("cell").agg(
+        transform(array_sort(collect_list(struct(col("d"), col("lo")))),
+          t => t.getField("lo")).as("lo"),
+        transform(array_sort(collect_list(struct(col("d"),
+            (col("hi") - col("lo")).as("sp")))),
+          t => t.getField("sp")).as("span"))
+    val recon = withCv.join(broadcast(bArr), "cell")
+      .select(col("vec_id"), col("cell"),
+        zip_with(
+          zip_with(col("r"),
+            zip_with(col("lo"), col("span"),
+              (l, s) => struct(l.as("lo"), s.as("sp"))),
+            (x, b) => struct(x.as("x"), b.getField("lo").as("lo"),
+              b.getField("sp").as("sp"))),
+          col("cv"),
+          (z, c) => c + (when(z.getField("sp") === 0d, z.getField("lo"))
+            .otherwise(z.getField("lo") +
+              (least(lit(255.0), greatest(lit(0.0),
+                floor((z.getField("x") - z.getField("lo")) /
+                  z.getField("sp") * lit(256.0)))) + lit(0.5)) *
+                z.getField("sp") / lit(256.0)))).as("vhat"))
+    val q = e.where(col("vec_id") < NQueries)
+      .select(col("vec_id").as("q_id"), col("v").as("qv"))
+    val wProbe = Window.partitionBy("q_id")
+      .orderBy(col("ccos").desc, col("cent_id"))
+    val probes = q.crossJoin(broadcast(cents))
+      .withColumn("ccos", cosine(col("cv"), col("qv")))
+      .withColumn("crank", row_number().over(wProbe))
+      .where(col("crank") <= 2)
+      .select(col("q_id"), col("qv"), col("cent_id").as("cell"))
+    val wTop = Window.partitionBy("q_id").orderBy(col("score").desc, col("vec_id"))
+    probes.join(recon, "cell")
+      .where(col("vec_id") =!= col("q_id"))
+      .withColumn("score",
+        call_function("dot_product", col("qv"), col("vhat")))
+      .withColumn("rank", row_number().over(wTop).cast("long"))
+      .where(col("rank") <= TopK)
+      .select("q_id", "rank", "vec_id", "score")
+      .orderBy("q_id", "rank")
+  }
+
+  /** #211's oracle: the #205 CTE chain with the bounds stage at
+    * (cell, dim) grain and the reconstruction joining its row's cell
+    * window — every float op in the same order as the Spark plan.
+    */
+  val qAnnIvfSqCellSql: String = {
+    def fold(a: String, b: String) =
+      s"list_reduce(list_prepend(0.0, list_transform(range(1, ${Dim + 1}), i -> $a[i] * $b[i])), (acc, x) -> acc + x)"
+    def cos(a: String, b: String) =
+      s"${fold(a, b)} / (sqrt(${fold(a, a)}) * sqrt(${fold(b, b)}))"
+    s"""WITH e AS (
+       |  SELECT vec_id,
+       |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+       |  FROM embeddings
+       |  WHERE len(embedding) = $Dim
+       |    AND NOT EXISTS (SELECT 1 FROM unnest(embedding) AS t(x) WHERE x IS NULL)
+       |    AND isfinite(${fold("v", "v")}) AND ${fold("v", "v")} > 0),
+       |m AS (
+       |  SELECT greatest(50, CAST(n // CAST(ceil(sqrt(n)) AS BIGINT) AS BIGINT)) AS md
+       |  FROM (SELECT CAST(count(*) AS BIGINT) AS n FROM embeddings)),
+       |cents AS (
+       |  SELECT vec_id AS cent_id, v AS cv FROM e, m
+       |  WHERE ((vec_id % md) + md) % md = 0),
+       |assigned AS MATERIALIZED (
+       |  SELECT vec_id, v, cell FROM (
+       |    SELECT e.vec_id, e.v, c.cent_id AS cell,
+       |      row_number() OVER (PARTITION BY e.vec_id
+       |        ORDER BY ${cos("c.cv", "e.v")} DESC, c.cent_id) AS ar
+       |    FROM e CROSS JOIN cents c) WHERE ar = 1),
+       |resid AS MATERIALIZED (
+       |  SELECT a.vec_id, a.cell, c.cv,
+       |    list_transform(range(1, ${Dim + 1}), i -> a.v[i] - c.cv[i]) AS r
+       |  FROM assigned a JOIN cents c ON c.cent_id = a.cell),
+       |bd AS (
+       |  SELECT cell, i, min(r[i]) AS lo, max(r[i]) AS hi
+       |  FROM resid CROSS JOIN (SELECT unnest(range(1, ${Dim + 1})) AS i)
+       |  GROUP BY cell, i),
+       |b AS (
+       |  SELECT cell, list(lo ORDER BY i) AS lo,
+       |    list(hi - lo ORDER BY i) AS span
+       |  FROM bd GROUP BY cell),
+       |recon AS MATERIALIZED (
+       |  SELECT vec_id, resid.cell, list_transform(range(1, ${Dim + 1}), i ->
+       |    cv[i] + CASE WHEN b.span[i] = 0 THEN b.lo[i]
+       |         ELSE b.lo[i] +
+       |           (least(255.0, greatest(0.0,
+       |              floor((resid.r[i] - b.lo[i]) / b.span[i] * 256.0))) + 0.5)
+       |           * b.span[i] / 256.0 END) AS vhat
+       |  FROM resid JOIN b ON b.cell = resid.cell),
+       |q AS (SELECT vec_id AS q_id, v AS qv FROM e WHERE vec_id < $NQueries),
+       |probes AS (
+       |  SELECT q_id, qv, cell FROM (
+       |    SELECT q.q_id, q.qv, c.cent_id AS cell,
+       |      row_number() OVER (PARTITION BY q.q_id
+       |        ORDER BY ${cos("c.cv", "q.qv")} DESC, c.cent_id) AS crank
+       |    FROM q CROSS JOIN cents c) WHERE crank <= 2),
+       |ranked AS (
+       |  SELECT q_id, vec_id, score,
+       |    row_number() OVER (PARTITION BY q_id ORDER BY score DESC, vec_id) AS rank
+       |  FROM (
+       |    SELECT p.q_id, r.vec_id, ${fold("p.qv", "r.vhat")} AS score
+       |    FROM probes p JOIN recon r USING (cell)
+       |    WHERE r.vec_id <> p.q_id))
+       |SELECT q_id, CAST(rank AS BIGINT) AS rank, vec_id, score FROM ranked
+       |WHERE rank <= $TopK ORDER BY q_id, rank""".stripMargin
+  }
+
   /** #208 — `q_ann_ivf_sq_recall`: recall@k of the IVF × SQ8 rung
     * (#205) against the exact brute-force baseline (#30) — the
     * quality dial every other ladder rung carries (#170 IVF, #182 PQ,

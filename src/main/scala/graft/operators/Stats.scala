@@ -472,14 +472,26 @@ object Stats {
       |ORDER BY gid, r_name, n_name""".stripMargin
 
   /** Salted exact count-distinct — the documented skew remedy
-    * (SURVEY.md §5) as a reusable operator. A single hot key (one
-    * event_type, one sku) funnels its whole distinct set through one
-    * task under plain `count(distinct)`; salting by `hash(id) % n`
+    * (SURVEY.md §5) as a reusable operator. Salting by `hash(id) % n`
     * splits each key's id space into n DISJOINT shards, counts exact
-    * distincts per (key, shard) — n-way parallel, each holding 1/n of
-    * the key's set — and sums the shard counts, which is exact because
-    * the shards partition the id space. Two map-side-combinable
-    * shuffles, no Expand, works for any skew ratio by raising n.
+    * distincts per (key, shard), and sums the shard counts — exact
+    * because the shards partition the id space.
+    *
+    * MEASURED CAVEAT (probe 38, r19 — bench_evidence/
+    * probe38_skew_salt.log): on Spark this remedy never beat the
+    * built-in `count(distinct)` at any planted dial (80M rows, hot
+    * key up to 50% of the corpus, distinct cardinality up to 60M —
+    * direct 11.4 s vs salted 15–28 s), because Spark's planner
+    * ALREADY rewrites a distinct aggregate into two phases whose
+    * first shuffles on (key, value) — the value itself is the salt —
+    * leaving the hot reducer a cheap count over pre-deduplicated
+    * rows. Reach for this operator only where that rewrite is
+    * unavailable: inside `flatMapGroupsWithState` keyed state, an
+    * engine without the rewrite, or when the per-(key, shard) counts
+    * themselves are the wanted output. The JOIN-side story is the
+    * opposite — see [[graft.api.Graft.saltedJoin]], measured 10×
+    * over the plain shuffle join and 3.3× over AQE's skew split at a
+    * 16×-average hot task.
     */
   def distinctPerKeySalted(df: DataFrame, keyCol: String, idCol: String,
       salts: Int): DataFrame =

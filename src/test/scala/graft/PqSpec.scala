@@ -645,6 +645,129 @@ class PqSpec extends SparkSpec {
     emb.unpersist()
   }
 
+  test("ivf x sq8 PER-CELL bounds: raw refusal, unseen-cell assert, beats global under per-cell offsets, gate == api") {
+    import spark.implicits._
+    graft.functions.DotProduct.register(spark)
+    // the planted anchor/twin corpus of the global-bounds spec
+    val pts = (0 until 8).flatMap { c =>
+      (0 until 40).map { j =>
+        val id = (c * 40 + j).toLong
+        val anchor = (c * 40 + (j & ~1)).toLong
+        val v = Seq.tabulate(Dim) { d =>
+          val base = if (d / 8 == c) 1.0 else 0.0
+          val u = (((anchor * Dim + d) * 1103515245L + 12345L) % 1000L)
+            .toDouble / 1000.0
+          val twin =
+            if (j % 2 == 1)
+              0.002 * ((((id * Dim + d) * 48271L + 7L) % 1000L)
+                .toDouble / 1000.0)
+            else 0.0
+          base + 0.05 * u + twin
+        }
+        (id, v)
+      }
+    }.toDF("vec_id", "v").persist()
+    // PER-CELL-OFFSET centroids — the probe-37 mechanism reproduced
+    // at spec scale: each cell's centroid is the true block direction
+    // at a DIFFERENT scale (the spherical fit's unit-norm bias), so
+    // each cell's residuals sit at their own offset. Routing is
+    // UNCHANGED (cosine is scale-invariant); only the bounds layout
+    // can differ: global min/max must cover every cell's offset
+    // (span ~0.5, half-level ~1e-3, at the 0.002 twin margin) while
+    // per-cell windows stay at jitter scale (span ~0.05).
+    val cents = (0 until 8).map { c =>
+      (c.toLong, Seq.tabulate(Dim)(d =>
+        if (d / 8 == c) 0.5 + 0.1 * c else 0.0))
+    }.toDF("cent_id", "cv").persist()
+    val cellB = Graft.ivfSqBoundsPerCell(pts, "vec_id", "v",
+      cents, "cent_id", "cv", Dim).persist()
+    assert(cellB.select("cell").distinct().count() == 8 &&
+      cellB.count() == 8L * Dim, "per-cell bounds are k x dim rows")
+    val globalB = Graft.ivfSqBounds(pts, "vec_id", "v",
+      cents, "cent_id", "cv", Dim).persist()
+    // 1. the raw flavor is refused (no per-cell raw layout exists)
+    val e1 = intercept[IllegalArgumentException] {
+      Graft.ivfSqIndex(pts, "vec_id", "v", cents, "cent_id", "cv",
+        cellB, Dim, residual = false)
+    }
+    assert(e1.getMessage.contains("PER-CELL"))
+    val idxCell = Graft.ivfSqIndex(pts, "vec_id", "v", cents, "cent_id",
+      "cv", cellB, Dim).persist()
+    val q20 = pts.where(col("vec_id") % 16 === 0)
+      .select(col("vec_id").as("qid"), col("v").as("qv")).persist()
+    val e2 = intercept[IllegalArgumentException] {
+      Graft.ivfSqQuery(idxCell, cents, "cent_id", "cv", cellB,
+        q20, "qid", "qv", k = 1, nprobe = 1, residual = false)
+    }
+    assert(e2.getMessage.contains("PER-CELL"))
+    // 2. unseen-cell loud assert: a frozen fit missing a cell must
+    // fail the encode, never silently drop the vector
+    val bad = intercept[Throwable] {
+      Graft.ivfSqIndex(pts, "vec_id", "v", cents, "cent_id", "cv",
+        cellB.where(col("cell") =!= 7L), Dim).collect()
+    }
+    assert(bad.getMessage != null &&
+      bad.getMessage.contains("no per-cell bounds row"))
+    // 3. under per-cell offsets the per-cell window must beat the
+    // global one on the twin margins — and never fall below it
+    val wTop = org.apache.spark.sql.expressions.Window
+      .partitionBy("q_id").orderBy(col("dot").desc, col("vec_id"))
+    val truth = pts.crossJoin(broadcast(
+        q20.select(col("qid").as("q_id"), col("qv"))))
+      .where(col("vec_id") =!= col("q_id"))
+      .withColumn("dot", call_function("dot_product", col("qv"), col("v")))
+      .withColumn("r", row_number().over(wTop)).where(col("r") === 1)
+      .select(col("q_id"), col("vec_id").as("id")).persist()
+    val nq = q20.count()
+    val idxGlobal = Graft.ivfSqIndex(pts, "vec_id", "v", cents, "cent_id",
+      "cv", globalB, Dim).persist()
+    def recallOf(idx: org.apache.spark.sql.DataFrame,
+        b: org.apache.spark.sql.DataFrame): Long = {
+      val top = Graft.ivfSqQuery(idx, cents, "cent_id", "cv", b,
+        q20, "qid", "qv", k = 1, nprobe = 1, excludeSelf = true)
+      truth.join(top.select("q_id", "id"), Seq("q_id", "id")).count()
+    }
+    val hitsCell = recallOf(idxCell, cellB)
+    val hitsGlobal = recallOf(idxGlobal, globalB)
+    assert(hitsCell >= hitsGlobal,
+      s"per-cell recall ($hitsCell/$nq) below global ($hitsGlobal/$nq)")
+    assert(hitsCell >= (nq * 9) / 10,
+      s"per-cell planted-NN recall $hitsCell/$nq below the 0.9 floor")
+    // 4. serving plan stays broadcast-only
+    val top1 = Graft.ivfSqQuery(idxCell, cents, "cent_id", "cv", cellB,
+      q20, "qid", "qv", k = 1, nprobe = 1, excludeSelf = true)
+    val plan = top1.queryExecution.executedPlan.toString
+    assert(!plan.contains("SortMergeJoin") && !plan.contains("ShuffledHashJoin"),
+      s"corpus-sized join crept into per-cell IVFxSQ serving:\n$plan")
+    // 5. gate == api on the gate corpus (the #205 drift pin, per-cell)
+    graft.functions.UsableVec.register(spark)
+    val emb = embTable
+      .where(call_function("usable_vec", col("v"), lit(Dim)))
+      .persist()
+    val n = spark.read.parquet(s"$sf/embeddings.parquet").count()
+    val mod = math.max(50L,
+      n / math.max(1L, math.ceil(math.sqrt(n.toDouble)).toLong))
+    val gateCents = emb.where(col("vec_id") % mod === 0)
+      .select(col("vec_id").as("cent_id"), col("v").as("cv"))
+    val gb = Graft.ivfSqBoundsPerCell(emb, "vec_id", "v",
+      gateCents, "cent_id", "cv", Dim)
+    val gIdx = Graft.ivfSqIndex(emb, "vec_id", "v",
+      gateCents, "cent_id", "cv", gb, Dim)
+    val api = Graft.ivfSqQuery(gIdx, gateCents, "cent_id", "cv", gb,
+      emb.where(col("vec_id") < 10)
+        .select(col("vec_id").as("qid"), col("v").as("qv")),
+      "qid", "qv", k = 5, nprobe = 2, excludeSelf = true)
+      .select(col("q_id"), col("rank").cast("long").as("rank"),
+        col("id").as("vec_id"), col("score"))
+    val gate = graft.operators.Similarity.qAnnIvfSqCell(spark, sf)
+    assert(api.exceptAll(gate).count() == 0 &&
+      gate.exceptAll(api).count() == 0,
+      "per-cell ivfSqQuery drifted from the gated q_ann_ivf_sq_cell")
+    pts.unpersist(); cents.unpersist(); cellB.unpersist()
+    globalB.unpersist(); idxCell.unpersist(); idxGlobal.unpersist()
+    q20.unpersist(); truth.unpersist(); emb.unpersist()
+  }
+
   test("q_ann_rerank gate: recall_rerank dominates recall_adc row-wise") {
     val rows = graft.operators.Similarity.qAnnRerankRecall(spark, sf)
       .collect()
