@@ -428,11 +428,25 @@ object Graft {
     try {
       val usable = e
         .where(call_function("cosine_sim", col("vec"), col("vec")).isNotNull)
+      // kcenterPicks reads ids as longs for its deterministic
+      // tie-break (r19 review: the spread draw accepts any id type,
+      // so the kcenter flavor must refuse non-integral ids loudly
+      // rather than ClassCastException inside the first collect);
+      // null ids cannot tie-break deterministically and are excluded
+      // from SEEDING only — they still vote in the Lloyd rounds
       var cents: Seq[(Long, Seq[Double])] =
-        if (seedMode == "kcenter")
+        if (seedMode == "kcenter") {
+          val idType = embeddings.schema(idCol).dataType.typeName
+          require(Seq("byte", "short", "integer", "long").contains(idType),
+            s"seedMode = kcenter needs an integral id column for its " +
+              s"deterministic farthest-point tie-break; '$idCol' is " +
+              s"$idType — use seedMode = spread")
           graft.operators.Similarity.kcenterPicks(
-            usable.select(col("id").as("vec_id"), col("vec").as("v")), k)
+            usable.where(col("id").isNotNull)
+              .select(col("id").cast("long").as("vec_id"),
+                col("vec").as("v")), k)
             .map { case (r, _, v, _) => (r.toLong, v) }
+        }
         else usable
           .orderBy(seedSpread(col("id")), col("id")).limit(k)
           .select(col("vec")).collect()
@@ -1628,24 +1642,37 @@ object Graft {
     val probedCells = probes.select("cell").distinct()
     val indexProbed =
       index.join(broadcast(probedCells), Seq("cell"), "left_semi")
-    // per-cell bounds ride a k-row broadcast join on the row's cell
-    // (inner: a probed row whose cell the fit never saw could not
-    // have been ENCODED either — the index side refuses at build);
-    // global bounds stay the 1-row cross join
+    // per-cell bounds ride a k-row broadcast join on the row's cell;
+    // LEFT + loud assert (r19 review): serving with a RE-FITTED
+    // bounds frame that lacks a probed cell (same flavor marker, so
+    // the provenance check passes) must refuse, not silently drop
+    // every row of that cell from the ranking — the build side's
+    // unseen-cell rule, mirrored. Global bounds stay the 1-row
+    // cross join
     def withBounds(df: DataFrame): DataFrame =
       if (perCell)
-        df.join(broadcast(sqBoundArraysPerCell(boundsLocal)), "cell")
+        df.join(broadcast(sqBoundArraysPerCell(boundsLocal)),
+          Seq("cell"), "left")
       else df.crossJoin(broadcast(sqBoundArrays(boundsLocal)))
+    def guarded(v: Column): Column =
+      if (perCell)
+        when(assert_true(col("_graft_lo").isNotNull,
+          lit("ivfSqQuery: a probed index row's cell has no per-cell " +
+            "bounds row — serve-time bounds must cover every indexed " +
+            "cell (serve with the build's fit, or re-fit covering all " +
+            "cells); refusing rather than silently dropping the cell"))
+          .isNull, v)
+      else v
     val reconed =
       if (residual)
         withBounds(indexProbed
           .join(broadcast(c.select(col("cent_id").as("cell"), col("cv"))),
             "cell"))
           .select(col("cell"), idChecked,
-            zip_with(col("cv"), recon, (a, b) => a + b).as("vhat"))
+            guarded(zip_with(col("cv"), recon, (a, b) => a + b)).as("vhat"))
       else
         withBounds(indexProbed)
-          .select(col("cell"), idChecked, recon.as("vhat"))
+          .select(col("cell"), idChecked, guarded(recon).as("vhat"))
     reconed
       .join(broadcast(probes), "cell")
       .where(if (excludeSelf) col("id") =!= col("q_id") else lit(true))

@@ -1202,7 +1202,13 @@ object Corpus {
     // within a itself iff ca >= 2. Diagonal structs survive even at
     // zero mass — every source owns ≥1 fingerprint, so the (a, a)
     // cell aggregates into existence without a second pass.
+    // a NULL fingerprint (null text — a failed fetch) carries no
+    // content identity: it must not pair "twins" (groupBy would
+    // otherwise gather every null-text doc into one pseudo-cluster —
+    // r19 nasty corpus, while the oracle's fp self-join drops null
+    // keys). Null-fp docs still count in the totals denominator.
     val perFp = counts
+      .where(col("fp").isNotNull)
       .groupBy("fp")
       .agg(collect_list(struct(col("source"), col("c"))).as("ss"))
     val pairs = perFp
@@ -1304,8 +1310,11 @@ object Corpus {
         count(lit(1)).as("n_docs"),
         sum("n_tokens").as("n_tokens"),
         sum("is_dup").as("dup_docs"),
-        sum((col("quality_score") > DomainQualityTau).cast("long"))
-          .as("quality_pass"))
+        // when/otherwise, not a bare cast-sum: an all-null-score group
+        // (every text null) must count 0 passes like the oracle's
+        // CASE, not sum nulls to NULL (r19 nasty corpus)
+        sum(when(col("quality_score") > DomainQualityTau, 1L)
+          .otherwise(0L)).as("quality_pass"))
       .withColumn("dup_rate", col("dup_docs").cast("double") / col("n_docs"))
       .withColumn("quality_pass_rate",
         col("quality_pass").cast("double") / col("n_docs"))
@@ -1596,9 +1605,13 @@ object Corpus {
           // rank order, so a null-text row may count in `docs` but
           // must not deflate the band ratios (r19: the null-source
           // nasty corpus flipped these flags on a group carrying one
-          // null-token row)
-          (col(s"lt$tag").cast("double") / col("vals") <= lit(p + eps) &&
-           col(s"le$tag").cast("double") / col("vals") >= lit(p - eps))
+          // null-token row). A source with NO non-null measure has no
+          // estimate to check — the contract holds vacuously (TRUE on
+          // both engines; 0/0 would read NaN → a false hash-fail on
+          // legal all-null-text sources, r19 review)
+          when(col("vals") === 0, lit(true)).otherwise(
+            col(s"lt$tag").cast("double") / col("vals") <= lit(p + eps) &&
+            col(s"le$tag").cast("double") / col("vals") >= lit(p - eps))
             .as(s"p${tag}_ok") }): _*)
       .orderBy("source")
   }

@@ -280,11 +280,10 @@ object Dedup {
     * facade pays #27 alone.
     */
   def qDedupMinhashLsh(spark: SparkSession, dir: String): DataFrame = {
-    val ex = shingleExploded(spark, dir)
-      .select(col("doc_id"), xxhash64(col("shingle")).as("shingle"))
-    val cnt = shingleSets(spark, dir)
-      .select(col("doc_id"), col("n_shingles").as("n"))
-    val exact = jaccardPairs(ex, cnt)
+    // the exact side IS #26 — called, not transcribed (r19 review:
+    // a copy would let a #26 change silently leave this gate
+    // certifying against a stale truth definition)
+    val exact = qDedupNgramJaccard(spark, dir)
       .select(col("doc_a"), col("doc_b"), col("jaccard").as("_ex_j"))
     val lsh = minhashLshWithBands(spark, dir, bands = 16, rowsPerBand = 4)
       .select(col("doc_a"), col("doc_b"), col("jaccard").as("_lsh_j"))

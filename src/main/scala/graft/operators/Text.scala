@@ -372,11 +372,14 @@ object Text {
       |      AS bpet
       |  FROM documents),
       |g AS (
+      |  -- coalesce(sum, 0): the Spark side's totals are streaming-
+      |  -- additive partials (0 for an all-null-text group, never
+      |  -- NULL); SQL's sum over all-NULL is NULL (r19 nasty corpus)
       |  SELECT lang, source, CAST(count(*) AS BIGINT) AS docs,
-      |    CAST(sum(chars) AS BIGINT) AS chars,
-      |    CAST(sum(bytes) AS BIGINT) AS bytes,
-      |    CAST(sum(wst) AS BIGINT) AS ws_tokens,
-      |    CAST(sum(bpet) AS BIGINT) AS bpe_tokens
+      |    CAST(coalesce(sum(chars), 0) AS BIGINT) AS chars,
+      |    CAST(coalesce(sum(bytes), 0) AS BIGINT) AS bytes,
+      |    CAST(coalesce(sum(wst), 0) AS BIGINT) AS ws_tokens,
+      |    CAST(coalesce(sum(bpet), 0) AS BIGINT) AS bpe_tokens
       |  FROM t GROUP BY 1, 2)
       |SELECT lang, source, docs, chars, bytes, ws_tokens, bpe_tokens,
       |  CAST(bpe_tokens AS DOUBLE) / nullif(ws_tokens, 0) AS fertility,

@@ -1257,8 +1257,10 @@ object Streams {
     * BROADCAST GUARD (r18 verdict item 3, the cmsDials loud-cap
     * convention): "the dim side is small by contract" is enforced,
     * not assumed — the on-disk dim snapshot is measured per batch and
-    * a dim past `maxDimBytes` (default 512 MB — the collect+broadcast
-    * budget) REFUSES loudly, naming the measured size, instead of
+    * a dim past `maxDimBytes` (default 64 MB of ON-DISK parquet — the
+    * cmsDials broadcast-budget convention; the collected heap copy
+    * decodes ~5-10× larger) REFUSES loudly, naming the measured size
+    * and the decode ratio, instead of
     * OOMing the driver mid-stream. The escape hatch is explicit:
     * `broadcastDim = false` takes a plain (shuffle) left join that
     * never collects or broadcasts — same enriched rows, fact-side
@@ -1268,7 +1270,7 @@ object Streams {
     */
   def dimEnrichSink(facts: DataFrame, dimPath: String, statePath: String,
       checkpointDir: String, factKey: String, dimKey: String,
-      maxDimBytes: Long = 512L << 20, broadcastDim: Boolean = true)
+      maxDimBytes: Long = 64L << 20, broadcastDim: Boolean = true)
       : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
     facts.writeStream
       .option("checkpointLocation", checkpointDir)
@@ -1281,7 +1283,7 @@ object Streams {
     * spec can drive replay directly). */
   private[graft] def applyDimEnrichBatch(batch: DataFrame, batchId: Long,
       dimPath: String, statePath: String, factKey: String,
-      dimKey: String, maxDimBytes: Long = 512L << 20,
+      dimKey: String, maxDimBytes: Long = 64L << 20,
       broadcastDim: Boolean = true): Unit = {
     import org.apache.hadoop.fs.Path
     val spark = batch.sparkSession
@@ -1315,23 +1317,36 @@ object Streams {
     }
     val joined =
       if (broadcastDim) {
-        // loud cap BEFORE the collect: measure the snapshot on disk
-        // (data files only — markers and _SUCCESS skipped)
-        var bytes = 0L
-        val it = fs.listFiles(droot, /*recursive=*/ true)
-        while (it.hasNext) {
-          val f = it.next()
-          val n = f.getPath.getName
-          if (!n.startsWith("_") && !n.startsWith(".")) bytes += f.getLen
-        }
-        require(bytes <= maxDimBytes,
-          s"dimEnrichSink: dim snapshot at $dimPath is $bytes bytes on " +
-            s"disk > maxDimBytes = $maxDimBytes — collecting and " +
-            "broadcasting it every micro-batch would sit on the driver " +
-            "heap; raise maxDimBytes to accept the cost explicitly, or " +
-            "pass broadcastDim = false for the plain shuffle-join path " +
-            "(same enriched rows, fact-side exchange per batch)")
+        // the size measurement AND the collect both race the swap
+        // window, so BOTH live inside the retry (r19 review: the
+        // listing previously ran outside it — the exact race the
+        // retry claims to cover); the retry is scoped to the
+        // TRANSIENT read failures the swap produces (missing dir /
+        // vanished files mid-scan), never deterministic errors like
+        // schema drift, which must surface immediately
         def readDim(): DataFrame = {
+          // loud cap BEFORE the collect: measure the snapshot's
+          // on-disk bytes (data files only — markers/_SUCCESS
+          // skipped). The cap is COMPRESSED parquet bytes; the
+          // driver-heap Row collection typically decodes 5-10×
+          // larger, which is why the default cap is 64 MB (the
+          // cmsDials broadcast-budget convention), not a heap-sized
+          // number — size maxDimBytes against heap/decode-ratio,
+          // not against the heap alone
+          var bytes = 0L
+          val it = fs.listFiles(droot, /*recursive=*/ true)
+          while (it.hasNext) {
+            val f = it.next()
+            val n = f.getPath.getName
+            if (!n.startsWith("_") && !n.startsWith(".")) bytes += f.getLen
+          }
+          require(bytes <= maxDimBytes,
+            s"dimEnrichSink: dim snapshot at $dimPath is $bytes bytes " +
+              s"on disk > maxDimBytes = $maxDimBytes (on-disk parquet; " +
+              "the collected+broadcast heap copy decodes ~5-10x larger) " +
+              "— raise maxDimBytes to accept the cost explicitly, or " +
+              "pass broadcastDim = false for the plain shuffle-join " +
+              "path (same enriched rows, fact-side exchange per batch)")
           val d = rawDim()
           spark.createDataFrame(
             java.util.Arrays.asList(d.collect(): _*), d.schema)
@@ -1341,7 +1356,10 @@ object Streams {
         while (dim == null) {
           try dim = readDim()
           catch {
-            case scala.util.control.NonFatal(_) if attempt < 3 =>
+            case e @ (_: java.io.FileNotFoundException |
+                      _: java.io.IOException |
+                      _: org.apache.spark.SparkException)
+                if attempt < 3 =>
               attempt += 1
               Thread.sleep(100L * attempt)
           }

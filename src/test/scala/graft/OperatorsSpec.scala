@@ -159,6 +159,12 @@ class OperatorsSpec extends SparkSpec {
       .withColumn("source",
         when(col("doc_id") % 7 === 0, lit(null: String))
           .otherwise(col("source")))
+      // an ALL-null-text source (every fetch failed): the rank-band
+      // contract holds VACUOUSLY — flags TRUE on both engines, never
+      // the NaN 0/0 ratio that would flip them (r19 review)
+      .withColumn("text",
+        when(col("source") === "src9", lit(null: String))
+          .otherwise(col("text")))
       .write.mode("overwrite").parquet(s"$dir/documents.parquet")
     val approx = SparkEntry.queries("q_token_quantiles_approx")(spark, dir)
     val exact = SparkEntry.queries("q_token_quantiles")(spark, dir)
@@ -170,6 +176,13 @@ class OperatorsSpec extends SparkSpec {
     Seq("p25_ok", "p50_ok", "p75_ok", "p90_ok").foreach { c =>
       assert(nullRow.getAs[Boolean](c),
         s"$c not computed in-band for the null-source group")
+    }
+    val vac = approx.where(col("source") === "src9").collect()
+    assert(vac.length == 1 && vac(0).isNullAt(vac(0).fieldIndex("p50")),
+      "all-null-text source should keep its docs row with null quantiles")
+    Seq("p25_ok", "p50_ok", "p75_ok", "p90_ok").foreach { c =>
+      assert(vac(0).getAs[Boolean](c),
+        s"$c must hold vacuously for an all-null-text source, not NaN-flip")
     }
   }
 

@@ -1423,6 +1423,24 @@ class StreamingSpec extends SparkSpec {
     // before any batch: no readout
     assert(Streams.ivfSqIndexState(spark,
       java.nio.file.Files.createTempDirectory("graft_ivfsq_e_").toString).isEmpty)
+    // PER-CELL bounds (#211) flow through the SAME sink unchanged:
+    // frozen k x dim bounds freeze to a LocalRelation like the global
+    // ones, the encode detects the cell column, and the maintained
+    // index still equals the one-shot per-cell build bit-exactly
+    val cellBounds = graft.api.Graft.ivfSqBoundsPerCell(emb, "vec_id",
+      "v", cents, "cent_id", "cv", 64).localCheckpoint(true)
+    Seq(0 -> chunks.head, 1 -> chunks.drop(1).flatten).foreach {
+      case (id, chunk) =>
+        Streams.applyIvfSqBatch(chunk.toIndexedSeq.toDF("vec_id", "v"),
+          id.toLong, frozenC, cellBounds, s"$base/stateCell", 64,
+          "vec_id", "v", "cent_id", "cv", residual = true)
+    }
+    val gotCell = Streams.ivfSqIndexState(spark, s"$base/stateCell").get
+    val wantCell = graft.api.Graft.ivfSqIndex(emb, "vec_id", "v",
+      cents, "cent_id", "cv", cellBounds, 64)
+    assert(gotCell.exceptAll(wantCell).count() == 0 &&
+      wantCell.exceptAll(gotCell).count() == 0,
+      "maintained PER-CELL IVFxSQ index != the one-shot per-cell build")
     got.unpersist(); want.unpersist()
   }
 

@@ -97,7 +97,12 @@ COPY (
     (19::BIGINT, 'null source doc with ordinary tokens', 'en', NULL, 36::BIGINT),
     (20::BIGINT, NULL, 'en', NULL, 0::BIGINT),
     (21::BIGINT, 'second null source doc for quantile interpolation', 'en', NULL, 49::BIGINT),
-    (22::BIGINT, 'null lang row keeps its own group too', NULL, 'src7', 37::BIGINT)
+    (22::BIGINT, 'null lang row keeps its own group too', NULL, 'src7', 37::BIGINT),
+    -- an ALL-null-text source (every fetch failed): quantile/band
+    -- contracts must hold VACUOUSLY (r19 review — 0/0 band ratios
+    -- read NaN and flipped flags the oracle asserts TRUE)
+    (23::BIGINT, NULL, 'en', 'src8', 0::BIGINT),
+    (24::BIGINT, NULL, 'en', 'src8', 0::BIGINT)
   ) t(doc_id, text, lang, source, n_chars)
 ) TO '{d}/documents.parquet' (FORMAT PARQUET)""")
 
