@@ -20,11 +20,12 @@ import org.apache.spark.sql.functions._
 //     planted row sits at 0.984 @ np1)
 // Done criteria (the verdict's): kcenter span contraction >= x10 (vs
 // x1.1 hash) and np1 recall >= the planted row's.
-// args: [n=131072] [k=256]
+// args: [n=131072] [k=256] [twinOff=0.005]
 object ProbeKcenterSeed {
   def main(args: Array[String]): Unit = {
     val n = args.headOption.map(_.toLong).getOrElse(131072L)
     val k = args.lift(1).map(_.toInt).getOrElse(256)
+    val twinOffArg = args.lift(2).map(_.toDouble).getOrElse(0.005)
     val spark = SparkSession.builder().master("local[32]")
       .config("spark.sql.shuffle.partitions", 32)
       .config("spark.sql.session.timeZone", "UTC")
@@ -38,7 +39,7 @@ object ProbeKcenterSeed {
     val nClusters = k
     val nq = 64
     val jitter = 0.01
-    val twinOff = 0.005
+    val twinOff = twinOffArg
 
     def u(idCol: org.apache.spark.sql.Column, c: org.apache.spark.sql.Column,
         salt: Int) =
@@ -112,9 +113,25 @@ object ProbeKcenterSeed {
         np -> h.toDouble / nTruth
       }
       idx.unpersist(true)
+      // the #211 flavor on the SAME fit: per-cell windows
+      val bCell = Graft.ivfSqBoundsPerCell(emb, "vec_id", "v",
+        cents, "cent_id", "cv", Dim).localCheckpoint(true)
+      val idxCell = Graft.ivfSqIndex(emb, "vec_id", "v", cents, "cent_id",
+        "cv", bCell, Dim).persist(
+          org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      idxCell.count()
+      val recallsCell = Seq(1, 4).map { np =>
+        val s = Graft.ivfSqQuery(idxCell, cents, "cent_id", "cv", bCell,
+          queries, "qid", "qv", k = 20, nprobe = np, excludeSelf = true)
+        val h = top1.join(s.select("q_id", "id"), Seq("q_id", "id")).count()
+        np -> h.toDouble / nTruth
+      }
+      idxCell.unpersist(true)
       println(f"$tag%-8s span mean=$m%8.5f (x${rawMean / m}%6.1f) " +
         f"max=$mx%8.5f (x${rawMax / mx}%6.1f)  " +
-        recalls.map { case (np, r) => f"recall@np$np=$r%5.3f" }.mkString("  "))
+        recalls.map { case (np, r) => f"recall@np$np=$r%5.3f" }.mkString("  ") +
+        "  PER-CELL " +
+        recallsCell.map { case (np, r) => f"recall@np$np=$r%5.3f" }.mkString("  "))
     }
 
     fitRow("planted", planted)
