@@ -282,25 +282,53 @@ object Bench {
           } catch { case _: Throwable => spark.catalog.clearCache() }
       }
     }
-    // fresh-JVM re-probe (VERDICT r14 item 3b): any query STILL over
-    // 2× after the requiet pass gets one run in a fresh forked JVM —
-    // the exact methodology the pins were captured under — so the
-    // committed artifact reaches the same verdict the quiet-evidence
-    // appeal would, by itself. Inflation that persists across a fresh
-    // heap on a quiet host is a real regression and stays flagged.
+    // fresh-JVM re-probe (VERDICT r14 item 3b, hardened r20 per
+    // VERDICT r19 item 2): any query STILL over 2× after the requiet
+    // pass gets runs in a fresh forked JVM — the exact methodology
+    // the pins were captured under — so the committed artifact
+    // reaches the same verdict the quiet-evidence appeal would, by
+    // itself. The r19 stamp shipped 3 false flags because its single
+    // reprobe ran inside the SAME 18%-steal storm that inflated the
+    // main pass; the reprobe is therefore now QUIET-GATED and LOOPED:
+    // each attempt first waits (bounded) for the host to clear, runs
+    // the child, and records the host state bracketing it in the
+    // artifact's `quiet_reprobe` map — a reader sees in-file whether
+    // each surviving flag was adjudicated on a quiet host. Inflation
+    // that persists across a fresh heap on a QUIET host is a real
+    // regression and stays flagged; a never-quiet host leaves flags
+    // annotated with the pressured telemetry that explains them.
     var reprobed = Vector.empty[String]
-    val stillFlagged = flagOver2x(times).map(_._1)
-    if (stillFlagged.nonEmpty && !isSubprobe) {
+    // name -> (best fresh-JVM sec, touch MB/s, steal % at that probe)
+    var quietReprobe = Map.empty[String, (Double, Double, Double)]
+    var reprobeAttempt = 0
+    while (flagOver2x(times).nonEmpty && !isSubprobe && reprobeAttempt < 3) {
+      reprobeAttempt += 1
+      val stillFlagged = flagOver2x(times).map(_._1)
+      val (rateAt, stealAt, _) = awaitQuietHost(maxWaitMs = 180000L)
       System.err.println(
-        s"[bench] fresh-JVM reprobe: ${stillFlagged.size} queries still over 2x")
+        s"[bench] fresh-JVM reprobe #$reprobeAttempt: ${stillFlagged.size} " +
+          f"queries still over 2x (fresh-touch $rateAt%.0f MB/s, steal $stealAt%.1f%%)")
       val probe = freshJvmProbe(stillFlagged, sfDir, cpus)
+      // the storm may land mid-child: re-measure after, and attribute
+      // the WORSE of the bracketing probes to this attempt's numbers
+      val (rateAfter, stealAfter) = probeHost()
+      val rate = math.min(rateAt, rateAfter)
+      val steal = math.max(stealAt, stealAfter)
       probe.foreach { case (name, t) =>
-        reprobed :+= name
+        if (!reprobed.contains(name)) reprobed :+= name
+        quietReprobe += name -> (quietReprobe.get(name) match {
+          case Some((t0, r0, s0)) if t0 <= t => (t0, r0, s0)
+          case _ => (t, rate, steal)
+        })
         times = times.map { case (n, t0) =>
           if (n == name) n -> math.min(t0, t) else (n, t0) }
         repTimes = repTimes.map { case (n, ts) =>
           if (n == name) n -> (ts :+ t) else (n, ts) }
       }
+      // only a QUIET attempt is adjudication-grade; a pressured one
+      // (child failed to find a window too) earns another attempt
+      if (probe.isEmpty || rate < QuietMbS || steal > QuietStealPct) ()
+      else reprobeAttempt = 3
     }
     def jstr(s: String): String = "\"" + s.flatMap {
       case '"' => "\\\""; case '\\' => "\\\\"; case '\n' => "\\n"
@@ -333,10 +361,21 @@ object Bench {
       .mkString("{", ",", "}")
     val requeriedJson = requeried.map(jstr).mkString("[", ",", "]")
     val reprobedJson = reprobed.map(jstr).mkString("[", ",", "]")
+    // per-flagged-query fresh-JVM adjudication evidence, in-file: the
+    // best child-JVM time plus the host state bracketing that probe —
+    // a surviving over_2x_pins entry whose quiet_reprobe row shows
+    // quiet-host telemetry is a REAL regression; one showing
+    // pressured telemetry is a host artifact the capture could not
+    // out-wait (VERDICT r19 item 2's self-contained-stamp contract)
+    val quietReprobeJson = quietReprobe.toSeq.sortBy(_._1).map {
+      case (k, (t, r, s)) =>
+        s"${jstr(k)}:" +
+          f"""{"sec":$t,"touch_mb_s":${r.round},"steal_pct":$s%.1f}"""
+    }.mkString("{", ",", "}")
     val preRequietJson = preRequietMin.toSeq.sortBy(_._1)
       .map { case (k, v) => s"${jstr(k)}:$v" }.mkString("{", ",", "}")
     val json =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"reps":$repsJson,"over_2x_pins":$over,"requeried":$requeriedJson,"pre_requiet_min":$preRequietJson,"reprobed_fresh_jvm":$reprobedJson,"errors":$errs,"host":$host,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"reps":$repsJson,"over_2x_pins":$over,"requeried":$requeriedJson,"pre_requiet_min":$preRequietJson,"reprobed_fresh_jvm":$reprobedJson,"quiet_reprobe":$quietReprobeJson,"errors":$errs,"host":$host,"sf":"$sfDir"}"""
     println(json)
     // Also persist to a stable file: the driver's stdout-tail capture has a
     // bounded window, and at 73+ queries the leading entries (and the

@@ -402,9 +402,28 @@ object Graft {
     * there). Greedy k-center is order-free given the id tie-break,
     * so fit determinism under repartitioning is preserved
     * (spec-pinned). Costs k driver rounds — the same [[kcenterCoreset]]
-    * maxK=512 loud cap applies; past it, oversegment with the hash
-    * draw instead (more cells ⟹ every true cluster eventually splits
-    * off) or raise the cap through [[kcenterCoreset]] directly.
+    * maxK=512 loud cap applies; past it, use `seedMode = "parallel"`.
+    *
+    * `seedMode = "parallel"` (r19 verdict item 1) is k-means‖
+    * (Bahmani, Moseley, Vattani, Kumar, Vassilvitskii — "Scalable
+    * k-means++", VLDB 2012): 5 distributed oversampling rounds, each
+    * drawing ~2k candidates with probability ∝ their distance to the
+    * current candidate set, then the O(k log n) weighted candidates
+    * re-clustered greedily ON THE DRIVER to the final k seeds. This
+    * is the only seeding shape that works at the k ≈ √n a 100 TB IVF
+    * wants: the corpus is scanned a CONSTANT number of times (5
+    * sampling passes, each paying only the round's NEW candidates via
+    * a carried min-distance column, plus 1 weighting pass) instead of
+    * kcenter's k sequential passes, and nothing corpus-sized ever
+    * moves — per round an expected-2k-row candidate frame collects,
+    * bounded by a loud cap. Fully deterministic under any input
+    * partitioning: the sampling threshold is a seeded xxhash64 draw
+    * (the #56 integer-threshold trick) against a potential φ summed
+    * in exact order-free fixed point (decimal micro-units, the Lloyd
+    * mean's own discipline), candidate weights are exact counts, and
+    * the driver phase breaks every tie by candidate id (spec-pinned
+    * like the other two modes). Needs an integral id column (the
+    * draw/tie-break key), like kcenter.
     */
   def kmeansCentroids(embeddings: DataFrame, idCol: String, vecCol: String,
       k: Int, iters: Int = 5,
@@ -412,13 +431,13 @@ object Graft {
       seedMode: String = "spread"): DataFrame = {
     require(k > 0, s"k must be positive, got $k")
     require(iters >= 0, s"iters must be non-negative, got $iters")
-    require(seedMode == "spread" || seedMode == "kcenter",
-      s"seedMode must be 'spread' or 'kcenter', got '$seedMode'")
+    require(Seq("spread", "kcenter", "parallel").contains(seedMode),
+      s"seedMode must be 'spread', 'kcenter' or 'parallel', got '$seedMode'")
     require(seedMode != "kcenter" || k <= 512,
       s"kmeansCentroids(seedMode = kcenter, k = $k) exceeds the greedy " +
         "picker's maxK = 512 — k-center seeding is k sequential corpus " +
         "passes (the kcenterCoreset cap rationale); for thousands of " +
-        "cells use the hash draw and oversegment instead")
+        "cells use seedMode = parallel (k-means||, constant passes)")
     val spark = embeddings.sparkSession
     graft.functions.CosineSimilarity.register(spark)
     import spark.implicits._
@@ -435,17 +454,19 @@ object Graft {
       // null ids cannot tie-break deterministically and are excluded
       // from SEEDING only — they still vote in the Lloyd rounds
       var cents: Seq[(Long, Seq[Double])] =
-        if (seedMode == "kcenter") {
+        if (seedMode == "kcenter" || seedMode == "parallel") {
           val idType = embeddings.schema(idCol).dataType.typeName
           require(Seq("byte", "short", "integer", "long").contains(idType),
-            s"seedMode = kcenter needs an integral id column for its " +
-              s"deterministic farthest-point tie-break; '$idCol' is " +
+            s"seedMode = $seedMode needs an integral id column for its " +
+              s"deterministic draw/tie-break; '$idCol' is " +
               s"$idType — use seedMode = spread")
-          graft.operators.Similarity.kcenterPicks(
-            usable.where(col("id").isNotNull)
-              .select(col("id").cast("long").as("vec_id"),
-                col("vec").as("v")), k)
-            .map { case (r, _, v, _) => (r.toLong, v) }
+          val seedable = usable.where(col("id").isNotNull)
+            .select(col("id").cast("long").as("id"), col("vec"))
+          if (seedMode == "kcenter")
+            graft.operators.Similarity.kcenterPicks(
+              seedable.select(col("id").as("vec_id"), col("vec").as("v")), k)
+              .map { case (r, _, v, _) => (r.toLong, v) }
+          else kmeansParallelSeeds(seedable, k)
         }
         else usable
           .orderBy(seedSpread(col("id")), col("id")).limit(k)
@@ -511,6 +532,170 @@ object Graft {
       }
       cents.toDF("cent_id", "cv")
     } finally { e.unpersist(); () }
+  }
+
+  /** Candidate ceiling for [[kmeansParallelSeeds]] — candidates
+    * collect to the driver (dim-wide rows) and the local re-cluster
+    * is O(k·|C|·dim); 2^17 rows ≈ k = 13k at the paper's 5×2k
+    * oversample, a few hundred MB decoded at dim 128. */
+  private val MaxParallelSeedCands: Int = 1 << 17
+
+  /** k-means‖ seed selection (Bahmani et al., VLDB 2012) over a
+    * usable `(id: long, vec)` frame — the constant-pass seeding
+    * behind [[kmeansCentroids]] `seedMode = "parallel"`; returns the
+    * k seeds indexed 0..k−1 in pick order.
+    *
+    * Shape: 1 lowest-id seed, then `rounds` = 5 sampling passes. Each
+    * pass keeps point x with probability min(1, 2k·d(x,C)/φ) where
+    * d = 1 − cos to the nearest current candidate and φ = Σd — the
+    * paper's ℓ = 2k oversampling. d is carried forward in a persisted
+    * `dmin` column so a pass pays only the round's NEW candidates
+    * (crossJoin vs an expected-2k-row broadcast, then a min per id —
+    * the corpus never shuffles); φ is summed in exact decimal
+    * micro-units so it is identical under any partitioning, and the
+    * Bernoulli draw is `pmod(xxhash64(id, round), 2^40) < p·2^40` —
+    * deterministic, engine-free, id-keyed (the #56 trick). After the
+    * rounds, one weighting pass counts each candidate's nearest-
+    * neighbor population (broadcast argmax, lowest-cand-id ties), and
+    * the weighted candidates — O(k log n) rows, loud-capped at
+    * [[MaxParallelSeedCands]] — are re-clustered ON THE DRIVER by
+    * deterministic greedy weighted k-means++: next seed = argmax
+    * w·dmin (the standard derandomization of the D²-weighted draw),
+    * ties to the lowest candidate id; exhausted weights fall back to
+    * plain farthest-point so near-k coverage survives even degenerate
+    * weighting. Everything is a pure function of the input SET — the
+    * fit stays bit-identical under repartitioning (spec-pinned).
+    */
+  private def kmeansParallelSeeds(e: DataFrame, k: Int)
+      : Seq[(Long, Seq[Double])] = {
+    val spark = e.sparkSession
+    import spark.implicits._
+    val rounds = 5
+    val ell = 2.0 * k
+    val seedRows = e.orderBy("id").limit(1).collect()
+    if (seedRows.isEmpty) return Seq.empty
+    val seed = (seedRows(0).getLong(0), seedRows(0).getSeq[Double](1))
+    var cands = Vector(seed)
+    // rows whose distance to the seed is undefined (cross-dim) cannot
+    // vote in seeding — the kcenter null-exclusion rule; they still
+    // vote in the Lloyd rounds
+    var p = e.where(col("id") =!= seed._1)
+      .withColumn("dmin", lit(1.0) - call_function("cosine_sim",
+        col("vec"), array(seed._2.map(lit): _*)))
+      .where(col("dmin").isNotNull)
+      .persist()
+    try {
+      var r = 1
+      while (r <= rounds) {
+        // φ in exact order-free fixed point (the Lloyd-mean decimal
+        // discipline): micro-round each dmin, sum exactly
+        val phiRow = p.agg(sum(col("dmin").cast("decimal(18,6)"))).head()
+        val phi =
+          if (phiRow.isNullAt(0)) 0.0 else phiRow.getDecimal(0).doubleValue()
+        if (phi <= 0) r = rounds + 1 // everything coincides with a candidate
+        else {
+          val prob =
+            least(lit(1.0), lit(ell) * col("dmin") / lit(phi))
+          val newRows = p
+            .where(pmod(xxhash64(col("id"), lit(r)), lit(1L << 40))
+              .cast("double") < prob * lit((1L << 40).toDouble))
+            .select("id", "vec")
+            .limit(MaxParallelSeedCands + 1).collect()
+          require(cands.length + newRows.length <= MaxParallelSeedCands,
+            s"kmeansCentroids(seedMode = parallel, k = $k): the " +
+              s"oversample passed ${MaxParallelSeedCands} candidates — " +
+              "they collect to the driver and the local re-cluster is " +
+              "O(k*|C|*dim); fit fewer cells per call (shard the corpus " +
+              "and merge fits) or oversegment with seedMode = spread")
+          if (newRows.nonEmpty) {
+            val nc = newRows.map(row =>
+              (row.getLong(0), row.getSeq[Double](1))).toVector
+            cands ++= nc
+            if (r < rounds) {
+              // pay only the NEW candidates: dmin' = min(dmin, d-to-new)
+              val p2 = p.crossJoin(broadcast(nc.toDF("cand_id", "cv")))
+                .withColumn("d", lit(1.0) - call_function("cosine_sim",
+                  col("cv"), col("vec")))
+                .groupBy("id")
+                .agg(first(col("vec")).as("vec"),
+                  least(min(col("d")), first(col("dmin"))).as("dmin"))
+                .persist()
+              p2.count()
+              p.unpersist()
+              p = p2
+            }
+          }
+          r += 1
+        }
+      }
+    } finally { p.unpersist(); () }
+    if (cands.length <= k)
+      return cands.sortBy(_._1).zipWithIndex
+        .map { case ((_, v), i) => (i.toLong, v) }
+    // weighting pass: each corpus point votes for its nearest
+    // candidate (broadcast argmax — one scan, no corpus shuffle past
+    // the ≤|C|-row count contraction)
+    val wMap = e.crossJoin(broadcast(cands.toDF("cand_id", "cv")))
+      .withColumn("c",
+        call_function("cosine_sim", col("cv"), col("vec")))
+      .where(col("c").isNotNull)
+      .groupBy("id")
+      .agg(max_by(col("cand_id"),
+        struct(col("c"), (-col("cand_id")).as("tb"))).as("cand_id"))
+      .groupBy("cand_id").agg(count(lit(1)).as("w"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // driver phase: deterministic greedy weighted k-means++ over the
+    // id-sorted candidates — O(k·|C|·dim), pure local arithmetic
+    val sorted = cands.sortBy(_._1)
+    val n = sorted.length
+    val unit = sorted.map { case (_, v) =>
+      val a = v.toArray
+      val nrm = math.sqrt(a.map(x => x * x).sum)
+      a.map(_ / nrm)
+    }.toArray
+    val w = sorted.map(c => wMap.getOrElse(c._1, 0L).toDouble).toArray
+    val dmin = Array.fill(n)(2.0)
+    val chosen = Array.fill(n)(false)
+    var out = Vector.empty[(Long, Seq[Double])]
+    // first pick: the heaviest candidate (first-in-id-order ties)
+    var best = 0
+    var i = 1
+    while (i < n) { if (w(i) > w(best)) best = i; i += 1 }
+    while (out.length < k && best >= 0) {
+      chosen(best) = true
+      out :+= ((out.length.toLong, sorted(best)._2))
+      val c = unit(best)
+      i = 0
+      while (i < n) {
+        // cross-dim candidate pairs have no defined distance — the
+        // update skips them, mirroring cosine_sim's null rule
+        if (!chosen(i) && unit(i).length == c.length) {
+          var s = 0.0; var j = 0
+          while (j < c.length) { s += unit(i)(j) * c(j); j += 1 }
+          if (1.0 - s < dmin(i)) dmin(i) = 1.0 - s
+        }
+        i += 1
+      }
+      best = -1
+      var bs = 0.0
+      i = 0
+      while (i < n) {
+        if (!chosen(i) && w(i) * dmin(i) > bs) { best = i; bs = w(i) * dmin(i) }
+        i += 1
+      }
+      if (best < 0) {
+        // all remaining weighted scores are 0 (weightless or
+        // coincident candidates) — fall back to plain farthest-point
+        // so coverage degrades to k-center, not to a truncated fit
+        var bd = 1e-12
+        i = 0
+        while (i < n) {
+          if (!chosen(i) && dmin(i) > bd) { best = i; bd = dmin(i) }
+          i += 1
+        }
+      }
+    }
+    out
   }
 
   /** Writes an [[ivfIndex]] frame as a parquet table BUCKETED by cell —
@@ -1449,6 +1634,36 @@ object Graft {
       .groupBy("cell", "d").agg(min("x").as("lo"), max("x").as("hi"))
       .withColumn("fit_residual", lit(true))
 
+  /** Default cap on bounds rows collected to the driver by
+    * [[ivfSqIndex]]/[[ivfSqQuery]] — 1 M rows ≈ k = 8192 cells at
+    * dim = 128, a few hundred MB decoded. See [[collectBoundsLocal]].
+    */
+  val MaxBoundsRows: Int = 1 << 20
+
+  /** ONE evaluation of a bounds-fit plan into a driver LocalRelation,
+    * with a LOUD row cap BEFORE the driver holds the decoded Rows:
+    * global bounds are dim rows, but per-cell bounds are k×dim and k
+    * is uncapped on this path (the 512 ceiling guards kcenter seeding
+    * only) — at the k ≈ √n a 100 TB IVF wants, an unguarded collect
+    * is the same driver-heap hazard dimEnrichSink caps with
+    * maxDimBytes (r19 ADVICE; Row decode runs 5-10× the parquet
+    * bytes). `limit(cap + 1)` keeps the check one pass: under the cap
+    * the limited result IS the full frame.
+    */
+  private def collectBoundsLocal(bounds: DataFrame, caller: String,
+      maxRows: Int): (Array[org.apache.spark.sql.Row], DataFrame) = {
+    require(maxRows > 0, s"$caller: maxBoundsRows must be positive")
+    val rows = bounds.limit(maxRows + 1).collect()
+    require(rows.length <= maxRows,
+      s"$caller: the bounds frame holds more than maxBoundsRows = " +
+        s"$maxRows rows (per-cell bounds are k×dim rows; the driver " +
+        "Row decode runs 5-10x the parquet bytes) — refit with fewer " +
+        "cells, or pass a larger maxBoundsRows to accept the driver " +
+        "copy explicitly")
+    (rows, bounds.sparkSession.createDataFrame(
+      java.util.Arrays.asList(rows: _*), bounds.schema))
+  }
+
   /** The IVF×SQ8 index — the best-recall-per-byte serving point of
     * the quantizer ladder (probe 33: flat SQ8 recall 1.000 at 7.54×
     * compression; this rung adds [[ivfIndex]] routing for
@@ -1472,21 +1687,22 @@ object Graft {
     */
   def ivfSqIndex(embeddings: DataFrame, idCol: String, vecCol: String,
       centroids: DataFrame, centIdCol: String, centVecCol: String,
-      bounds: DataFrame, dim: Int, residual: Boolean = true): DataFrame = {
+      bounds: DataFrame, dim: Int, residual: Boolean = true,
+      maxBoundsRows: Int = MaxBoundsRows): DataFrame = {
     val perCell = bounds.columns.contains("cell")
     require(!perCell || residual,
       "ivfSqIndex(residual = false) over PER-CELL bounds — the per-cell " +
         "window exists to absorb each cell's residual offset; raw " +
         "vectors share one distribution, fit sqBounds instead")
-    // the bounds FRAME is dim rows but its PLAN is the corpus-wide
-    // min/max fit — so collect it ONCE to a LocalRelation here and
-    // share that one evaluation between the provenance check and the
-    // encode plan (r18 ADVICE: checking via its own distinct().collect()
-    // and then re-running the fit inside sqBoundArrays paid the fit up
-    // to 3x per build+serve)
-    val boundsRows = bounds.collect()
-    val boundsLocal = bounds.sparkSession.createDataFrame(
-      java.util.Arrays.asList(boundsRows: _*), bounds.schema)
+    // the bounds FRAME is dim (global) or k×dim (per-cell) rows but
+    // its PLAN is the corpus-wide min/max fit — so collect it ONCE to
+    // a LocalRelation here and share that one evaluation between the
+    // provenance check and the encode plan (r18 ADVICE: checking via
+    // its own distinct().collect() and then re-running the fit inside
+    // sqBoundArrays paid the fit up to 3x per build+serve). The
+    // collect is row-capped (r19 ADVICE) — see collectBoundsLocal.
+    val (boundsRows, boundsLocal) =
+      collectBoundsLocal(bounds, "ivfSqIndex", maxBoundsRows)
     // bounds-provenance agreement; hand-built bounds without the
     // marker skip the check — the caller owns the agreement then
     if (bounds.columns.contains("fit_residual")) {
@@ -1571,19 +1787,19 @@ object Graft {
       centIdCol: String, centVecCol: String, bounds: DataFrame,
       queries: DataFrame, qIdCol: String, qVecCol: String,
       k: Int, nprobe: Int, excludeSelf: Boolean = false,
-      residual: Boolean = true): DataFrame = {
+      residual: Boolean = true,
+      maxBoundsRows: Int = MaxBoundsRows): DataFrame = {
     require(k > 0, s"k must be positive, got $k")
     require(nprobe > 0, s"nprobe must be positive, got $nprobe")
     val perCell = bounds.columns.contains("cell")
     require(!perCell || residual,
       "ivfSqQuery(residual = false) over PER-CELL bounds — no raw " +
         "per-cell flavor exists (see ivfSqBoundsPerCell); match the fit")
-    // one evaluation of the (possibly corpus-fit) bounds plan, shared
-    // by the provenance check and the serve plan's sqBoundArrays —
-    // the ivfSqIndex discipline (r18 ADVICE)
-    val boundsRows = bounds.collect()
-    val boundsLocal = bounds.sparkSession.createDataFrame(
-      java.util.Arrays.asList(boundsRows: _*), bounds.schema)
+    // one row-capped evaluation of the (possibly corpus-fit) bounds
+    // plan, shared by the provenance check and the serve plan's
+    // sqBoundArrays — the ivfSqIndex discipline (r18 + r19 ADVICE)
+    val (boundsRows, boundsLocal) =
+      collectBoundsLocal(bounds, "ivfSqQuery", maxBoundsRows)
     if (bounds.columns.contains("fit_residual")) {
       val i = bounds.schema.fieldIndex("fit_residual")
       val flavors = boundsRows.map(_.getBoolean(i)).toSet

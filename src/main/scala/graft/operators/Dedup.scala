@@ -1596,7 +1596,7 @@ object Dedup {
       |  TRUE AS sig_ok
       |FROM documents
       |WHERE len(list_filter(string_split(text, ' '), t -> t <> '')) > 0
-      |GROUP BY source ORDER BY source""".stripMargin
+      |GROUP BY source ORDER BY source NULLS FIRST""".stripMargin
 
   /** Banded candidate generation + exact verification for 64-bit
     * signature near-dup at Hamming radius ≤ `hammingMax` — the #28

@@ -1356,10 +1356,28 @@ object Streams {
         while (dim == null) {
           try dim = readDim()
           catch {
+            // the retryable class is the swap-window race ONLY: a
+            // direct FileNotFoundException/IOException from the
+            // snapshot listing, or a SparkException whose CAUSE CHAIN
+            // carries a vanished part file (executor-side reads wrap
+            // it). Other SparkExceptions — corrupt footer, codegen
+            // failure — are deterministic and propagate immediately
+            // instead of burning 3 retries + sleeps (r19 ADVICE)
             case e @ (_: java.io.FileNotFoundException |
-                      _: java.io.IOException |
-                      _: org.apache.spark.SparkException)
+                      _: java.io.IOException)
                 if attempt < 3 =>
+              attempt += 1
+              Thread.sleep(100L * attempt)
+            case e: org.apache.spark.SparkException
+                if attempt < 3 && {
+                  var c: Throwable = e.getCause
+                  var vanished = false
+                  while (c != null && !vanished) {
+                    vanished = c.isInstanceOf[java.io.FileNotFoundException]
+                    c = c.getCause
+                  }
+                  vanished
+                } =>
               attempt += 1
               Thread.sleep(100L * attempt)
           }

@@ -124,7 +124,54 @@ class IvfIndexSpec extends SparkSpec {
         seedMode = "kcenter")
     }
     assert(bad.getMessage.contains("maxK") &&
-      bad.getMessage.contains("oversegment"))
+      bad.getMessage.contains("parallel"))
+  }
+
+  test("parallel (k-means||) seeding: deterministic under repartitioning, covers planted clusters, no 512 cap") {
+    import spark.implicits._
+    // the kcenter spec's tight 8-cluster mixture — the regime where a
+    // hash draw leaves ~1/e of clusters seedless and coverage-aware
+    // seeding must find all of them
+    def u(id: Long, c: Int, salt: Int): Double = {
+      val h = java.lang.Long.hashCode((id * 1315423911L) ^ (c * 2654435761L) ^ salt)
+      ((h & 0x7fffffff) % 1000000) / 1000000.0
+    }
+    val pts = (0 until 400).map { i =>
+      val cl = (i % 8).toLong
+      (i.toLong, (0 until 16).map(c => u(cl, c, 1) + 0.005 * (u(i.toLong, c, 2) - 0.5)).toSeq)
+    }
+    val df1 = pts.toDF("vec_id", "v").repartition(7)
+    val df2 = pts.toDF("vec_id", "v").repartition(13, col("vec_id"))
+    val c1 = Graft.kmeansCentroids(df1, "vec_id", "v", k = 8, iters = 2,
+      seedMode = "parallel")
+    val c2 = Graft.kmeansCentroids(df2, "vec_id", "v", k = 8, iters = 2,
+      seedMode = "parallel")
+    assert(c1.exceptAll(c2).count() == 0 && c2.exceptAll(c1).count() == 0,
+      "parallel-seeded fit must be bit-identical under repartitioning")
+    assert(c1.count() == 8, "k-means|| must deliver k seeds here")
+    // coverage: the 8 planted bases route to 8 DISTINCT cells — the
+    // k-means|| oversample + weighted re-cluster promise at k = #clusters
+    val bases = (0 until 8).map { cl =>
+      (cl.toLong, (0 until 16).map(c => u(cl.toLong, c, 1)).toSeq)
+    }.toDF("vec_id", "v")
+    val cells = Graft.ivfIndex(bases, "vec_id", "v", c1, "cent_id", "cv")
+      .select("cell").distinct().count()
+    assert(cells == 8,
+      s"parallel seeding left planted clusters sharing cells ($cells/8)")
+    // NO k ceiling: past kcenter's 512 cap the mode must fit, not
+    // refuse — a corpus smaller than k simply yields one seed per
+    // usable point (every point becomes a candidate)
+    val big = Graft.kmeansCentroids(df1, "vec_id", "v", k = 600, iters = 0,
+      seedMode = "parallel")
+    assert(big.count() == 400,
+      "k > corpus: every usable point should seed its own cell")
+    // integral-id refusal mirrors kcenter (the draw/tie-break key)
+    val strIds = pts.map { case (i, v) => (s"d$i", v) }.toDF("vec_id", "v")
+    val bad = intercept[IllegalArgumentException] {
+      Graft.kmeansCentroids(strIds, "vec_id", "v", k = 4, iters = 1,
+        seedMode = "parallel")
+    }
+    assert(bad.getMessage.contains("integral"))
   }
 
   test("bucketed round-trip: equal results, one fewer exchange to probe") {
