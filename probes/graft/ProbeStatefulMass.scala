@@ -1,0 +1,136 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+// disposable probe main: probe 43 — r19 verdict item 3. Probe 39
+// witnessed the ADDITIVE folds (cms/mixAlpha/ivfSqIngest) exact at
+// x10 mass; the state-GROWING maintenance sinks — dupClusterSink
+// (labels contract via mergeComponents), winnowDedupSink (fingerprint
+// store + verdicts), trainingManifestSink (keeper/funnel/manifest
+// sub-stores) — had only gate-SF fixpoint specs, and state-growth
+// bugs hide BELOW gate SF. This drives each sink over the x10
+// scalegen corpus (50k docs) in uneven chunks with a MID-STREAM
+// replay (at-least-once re-delivery of a completed batch while later
+// batches still follow), asserting final state == the one-shot batch
+// computation EXACTLY, and prints state-size-vs-ingest numbers per
+// chunk for SCALING.md.
+// args: [dir=/tmp/sfx10] [chunks=4]
+object ProbeStatefulMass {
+  def main(args: Array[String]): Unit = {
+    val dir = args.headOption.getOrElse("/tmp/sfx10")
+    val nChunks = args.lift(1).map(_.toInt).getOrElse(4)
+    val spark = SparkSession.builder().master("local[32]")
+      .config("spark.sql.shuffle.partitions", 32)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    import graft.streaming.Streams
+    val base = java.nio.file.Files.createTempDirectory("graft_smass_").toString
+    val docs = Tables.documents(spark, dir)
+      .select("doc_id", "text", "lang", "source").localCheckpoint(true)
+    val nDocs = docs.count()
+    println(s"== probe 43: stateful sinks at x10 mass ($nDocs docs, " +
+      s"$nChunks chunks + mid-stream replay of chunk 1) ==")
+
+    // id-ordered chunks: every pair's larger id arrives no earlier
+    // than its smaller id (the winnow/dedup ingest spec discipline —
+    // id_new is the later doc), and the manifest's benchmark slice
+    // (doc_id % 97 == 0) is routed to chunk 0 so the contamination
+    // stage sees the benchmark before anything it could contaminate
+    val bounds = docs.select(col("doc_id"))
+      .orderBy("doc_id")
+      .select(percentile_approx(col("doc_id"),
+        array((1 until nChunks).map(i => lit(i.toDouble / nChunks)): _*),
+        lit(100000)).as("qs")).head.getSeq[Long](0)
+    def chunkOf(i: Int): DataFrame = {
+      val lo = if (i == 0) Long.MinValue else bounds(i - 1)
+      val hi = if (i == nChunks - 1) Long.MaxValue else bounds(i)
+      val inRange = col("doc_id") > lit(lo) && col("doc_id") <= lit(hi) &&
+        !(col("doc_id") % 97 === 0)
+      docs.where(if (i == 0) inRange || (col("doc_id") % 97 === 0)
+                 else inRange)
+    }
+
+    // ---- dupClusterSink at mass -------------------------------------
+    var t0 = System.nanoTime()
+    (0 until nChunks).foreach { i =>
+      val t = System.nanoTime()
+      Streams.applyDupClusterBatch(chunkOf(i), i.toLong,
+        s"$base/dup", "doc_id", "text", 3, 0.8, Int.MaxValue)
+      if (i == 1) // mid-stream at-least-once re-delivery
+        Streams.applyDupClusterBatch(chunkOf(1), 1L,
+          s"$base/dup", "doc_id", "text", 3, 0.8, Int.MaxValue)
+      val labels = Streams.dupClusterState(spark, s"$base/dup").get.count()
+      println(f"dup:    chunk $i ingested  labels=$labels%7d  " +
+        f"wall=${(System.nanoTime() - t) / 1e9}%6.1f s")
+    }
+    val gotDup = Streams.dupClusterState(spark, s"$base/dup").get
+    val wantDup = graft.api.Graft.connectedComponents(
+      graft.api.Graft.ngramJaccardPairs(docs, "doc_id", "text"),
+      "id_a", "id_b")
+    val dupExtra = gotDup.exceptAll(wantDup).count()
+    val dupMissing = wantDup.exceptAll(gotDup).count()
+    println(f"dup:    state==oneshot ${dupExtra == 0 && dupMissing == 0}  " +
+      f"labels=${gotDup.count()}  extra=$dupExtra missing=$dupMissing  " +
+      f"wall=${(System.nanoTime() - t0) / 1e9}%6.1f s")
+    require(dupExtra == 0 && dupMissing == 0,
+      "dupClusterSink labeling diverged from batch CC at mass")
+
+    // ---- winnowDedupSink at mass ------------------------------------
+    t0 = System.nanoTime()
+    import graft.operators.Dedup.{WinnowK, WinnowW, WinnowTau, WinnowDfCap}
+    (0 until nChunks).foreach { i =>
+      val t = System.nanoTime()
+      Streams.applyWinnowBatch(chunkOf(i), i.toLong, s"$base/win",
+        "doc_id", "text", WinnowK, WinnowW, WinnowTau, WinnowDfCap.toInt)
+      if (i == 1)
+        Streams.applyWinnowBatch(chunkOf(1), 1L, s"$base/win",
+          "doc_id", "text", WinnowK, WinnowW, WinnowTau, WinnowDfCap.toInt)
+      val idx = spark.read.parquet(s"$base/win/index").count()
+      val v = Streams.winnowVerdicts(spark, s"$base/win").get.count()
+      println(f"winnow: chunk $i ingested  index_rows=$idx%9d " +
+        f"verdicts=$v%7d  wall=${(System.nanoTime() - t) / 1e9}%6.1f s")
+    }
+    val gotWin = Streams.winnowVerdicts(spark, s"$base/win").get
+      .select(col("id_old").as("doc_a"), col("id_new").as("doc_b"),
+        col("inter").as("shared"), col("jaccard"))
+    val wantWin = graft.api.Graft.winnowPairs(docs, "doc_id", "text")
+      .select("doc_a", "doc_b", "shared", "jaccard")
+    val winExtra = gotWin.exceptAll(wantWin).count()
+    val winMissing = wantWin.exceptAll(gotWin).count()
+    println(f"winnow: state==oneshot ${winExtra == 0 && winMissing == 0}  " +
+      f"verdicts=${gotWin.count()}  extra=$winExtra missing=$winMissing  " +
+      f"wall=${(System.nanoTime() - t0) / 1e9}%6.1f s")
+    require(winExtra == 0 && winMissing == 0,
+      "winnowDedupSink verdicts diverged from batch winnowPairs at mass")
+    spark.catalog.clearCache()
+
+    // ---- trainingManifestSink at mass -------------------------------
+    t0 = System.nanoTime()
+    (0 until nChunks).foreach { i =>
+      val t = System.nanoTime()
+      Streams.applyTrainingManifestBatch(chunkOf(i), i.toLong,
+        s"$base/man", "doc_id", "text", "lang", "source")
+      if (i == 1)
+        Streams.applyTrainingManifestBatch(chunkOf(1), 1L,
+          s"$base/man", "doc_id", "text", "lang", "source")
+      val m = Streams.trainingManifestState(spark, s"$base/man").get.count()
+      println(f"manifest: chunk $i ingested  manifest_rows=$m%5d  " +
+        f"wall=${(System.nanoTime() - t) / 1e9}%6.1f s")
+    }
+    val gotMan = Streams.trainingManifestState(spark, s"$base/man").get
+      .collect().map(_.toSeq).toSeq
+    val wantMan = SparkEntry.queries("q_training_manifest")(spark, dir)
+      .collect().map(_.toSeq).toSeq
+    println(f"manifest: state==oneshot ${gotMan == wantMan}  " +
+      f"rows=${gotMan.size}  wall=${(System.nanoTime() - t0) / 1e9}%6.1f s")
+    require(gotMan == wantMan,
+      "trainingManifestSink fold diverged from batch #190 at mass")
+    println(s"ALL STATEFUL SINKS EXACT AT x10 MASS (dir=$dir, " +
+      s"chunks=$nChunks + mid-stream replay)")
+    spark.stop()
+  }
+}

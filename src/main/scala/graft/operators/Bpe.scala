@@ -214,14 +214,26 @@ object Bpe {
   def learnFromCorpus(spark: SparkSession, dir: String): Seq[(String, String)] =
     learnFromWords(Tables.documents(spark, dir))
 
-  /** The fit over any frame with a `text` column. */
-  def learnFromWords(docs: DataFrame): Seq[(String, String)] = {
-    val vocab = docs.where(col("text").isNotNull)
+  /** The fit over any frame with a `text` column. `vocab`/`merges`
+    * are the production dials (r19 verdict item 4): the fit's pair
+    * statistics are weighted by EXACT word frequencies, so the only
+    * bias the vocab cap can introduce is the tail mass below rank
+    * `vocab` — on the gate corpora the cap is vacuous (31 distinct
+    * words), and probe 42 measures the bias on a rich Zipf
+    * vocabulary (bench_evidence/probe42_bpe_vocab_bias.log). The cap
+    * exists because the dictionary collects to the driver loop
+    * (probe 28 priced that loop to V=50k/M=2000); past tens of
+    * millions of distinct words, pre-filter the dictionary by a
+    * frequency floor instead of a rank cap.
+    */
+  def learnFromWords(docs: DataFrame, vocab: Int = Vocab,
+      merges: Int = Merges): Seq[(String, String)] = {
+    val voc = docs.where(col("text").isNotNull)
       .select(explode(alphaWords(col("text"))).as("w"))
       .groupBy("w").agg(count(lit(1)).as("freq"))
-      .orderBy(col("freq").desc, col("w")).limit(Vocab)
+      .orderBy(col("freq").desc, col("w")).limit(vocab)
       .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
-    learnMerges(vocab, Merges)
+    learnMerges(voc, merges)
   }
 
   /** Greedy rank-order BPE token count of one word column, as a pure
@@ -263,7 +275,8 @@ object Bpe {
     * corpus-sized is ever encoded or re-shuffled.
     */
   def bpeTokenize(docs: DataFrame, idCol: String = "doc_id",
-      textCol: String = "text"): DataFrame = {
+      textCol: String = "text", vocab: Int = Vocab,
+      nMerges: Int = Merges): DataFrame = {
     val base = docs.where(col(textCol).isNotNull)
     val dw = base
       .select(col(idCol).as("doc_id"), explode(alphaWords(col(textCol))).as("w"))
@@ -272,9 +285,9 @@ object Bpe {
       // reps clearCache() between runs so each timing refills it
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val dict = dw.groupBy("w").agg(sum("cnt").as("freq"))
-    val vocab = dict.orderBy(col("freq").desc, col("w")).limit(Vocab)
+    val voc = dict.orderBy(col("freq").desc, col("w")).limit(vocab)
       .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
-    val merges = learnMerges(vocab, Merges)
+    val merges = learnMerges(voc, nMerges)
     val dictTok = dict.select(col("w"),
       encodeCount(col("w"), merges).cast("long").as("tok"))
     val perDoc = dw.join(dictTok, "w")

@@ -51,6 +51,38 @@ class BpeSpec extends SparkSpec {
       (4L, 0L, 0L, -1.0)), s"got ${got.toSeq}")
   }
 
+  test("vocab/merges dials: defaults pin the gate fit; a binding cap only drops tail pair mass") {
+    // r19 verdict item 4: the production dials must not move the
+    // gated #171/#172 definitions — dialing vocab at or above the
+    // corpus' distinct-word count is a NO-OP (the gate corpora sit at
+    // 31 words, far under the 512 default, so the gate fit already
+    // IS full-corpus pair statistics; probe 42 measures the cap's
+    // bias where it binds).
+    val docs = Tables.documents(spark, sf).select("doc_id", "text")
+    val fitDefault = graft.operators.Bpe.learnFromWords(docs)
+    assert(fitDefault == graft.operators.Bpe.learnFromWords(docs,
+      vocab = 512, merges = 64), "explicit defaults drifted")
+    assert(fitDefault == graft.operators.Bpe.learnFromWords(docs,
+      vocab = 100000), "an above-dictionary vocab cap must be a no-op")
+    // a BINDING cap fits on a subset of the pair statistics — on a
+    // planted corpus where the tail flips the top pair, the dial must
+    // actually bind (guards against the cap being applied after the
+    // pair count instead of before)
+    val planted = Seq(
+      (1L, "xy xy xy"), (2L, "ab"), (3L, "ab"), (4L, "ab"), (5L, "ab"))
+      .toDF("doc_id", "text")
+    // full stats: ab freq 4 > xy freq 3 → (a,b) first
+    assert(graft.operators.Bpe.learnFromWords(planted, merges = 1) ==
+      Seq(("a", "b")))
+    // vocab = 1 keeps only the top word BY FREQ (ab, freq 4)
+    assert(graft.operators.Bpe.learnFromWords(planted, vocab = 1,
+      merges = 1) == Seq(("a", "b")))
+    // vocab = 2 adds xy — table unchanged in rank-1 but the window is
+    // the top-2 words, not the corpus
+    assert(graft.operators.Bpe.learnFromWords(planted, vocab = 2,
+      merges = 2) == Seq(("a", "b"), ("x", "y")))
+  }
+
   test("q_bpe_tokenize: deterministic, fertility within subword bounds") {
     val a = SparkEntry.queries("q_bpe_tokenize")(spark, sfTiny).collect()
     val b = SparkEntry.queries("q_bpe_tokenize")(spark, sfTiny).collect()

@@ -194,6 +194,32 @@ class DedupSpec extends SparkSpec {
       viaGate.size.toLong, "rule-dialed facade lost planted pairs")
   }
 
+  test("minhashPairs est_jaccard carries the K=64 binomial error bound") {
+    // r19 verdict item 8: the serving facade's est_jaccard is
+    // engine-local (xxhash64 signatures the DuckDB oracle cannot
+    // reproduce), so its ERROR must be spec-stated instead of
+    // oracle-gated. est = matches/K with matches ~ Binomial(K, J)
+    // (each of the K = bands*rowsPerBand = 64 minhash coordinates
+    // collides with probability exactly J — Broder 1997); for the
+    // emitted pairs (J >= 0.8) the binomial sd is
+    // sqrt(J(1-J)/64) <= 0.05, so a 5-sigma band of 0.25 holds with
+    // per-pair failure probability < 2e-4 by Hoeffding (deterministic
+    // here anyway: fixed corpus + fixed seeds), and the mean |err|
+    // sits near E|Binomial - mean|/K <= sd ~ 0.04.
+    import graft.api.Graft
+    val docs = Tables.documents(spark, sf).select("doc_id", "text")
+    val errs = Graft.minhashPairs(docs, "doc_id", "text")
+      .select(abs(col("est_jaccard") - col("jaccard")).as("err"))
+      .agg(max("err"), avg("err"), count(lit(1))).head
+    assert(errs.getLong(2) > 0, "vacuous: no pairs emitted")
+    assert(errs.getDouble(0) <= 0.25,
+      f"max |est-exact| ${errs.getDouble(0)}%.3f breaches the 5-sigma " +
+        "K=64 binomial band (0.25)")
+    assert(errs.getDouble(1) <= 0.08,
+      f"mean |est-exact| ${errs.getDouble(1)}%.3f is far above the " +
+        "K=64 binomial sd (~0.05) — the estimator is biased, not noisy")
+  }
+
   test("gated minhash twin recovers exactly the exact-jaccard pairs too") {
     // the cross-engine poly family must not cost recall on the planted
     // corpus: same invariant as the production xxhash64 flavor
