@@ -18,7 +18,18 @@ import org.apache.spark.sql.functions._
 // the subspace with the smallest log-eigenvalue sum).
 // Ship-the-rung rule: only on a measured win; a banked "rotation
 // does not bind either" is the probe-36 negative-result discipline.
-// args: [Ns=131072] [ms=8,16] [cells=724] [nprobes=1,3,8]
+//
+// corpusMode (arg 5, r19 verdict item 7): "axis" is the original
+// mixture — per-dim independent noise, so the data is AXIS-ALIGNED
+// and a PQ subspace split along raw dims is already near-optimal
+// (probe 40's m=16 inversion may be an artifact of that). "rotgauss"
+// generalizes: per-dim noise scale ramps 0.25x..1.75x (eigenvalue
+// spread for the balanced allocation to exploit) and the WHOLE
+// corpus then passes through one fixed deterministic global rotation
+// (QR of a hash matrix) — non-axis-aligned, correlated noise, the
+// regime OPQ was designed for. MIPS truth is computed after the
+// rotation, so recall numbers stay apples-to-apples.
+// args: [Ns=131072] [ms=8,16] [cells=724] [nprobes=1,3,8] [corpusMode=axis]
 object ProbeOpqRotation {
   def main(args: Array[String]): Unit = {
     val ns = args.headOption.getOrElse("131072")
@@ -44,22 +55,47 @@ object ProbeOpqRotation {
     val nClusters = 256
     val nq = 64
 
+    val corpusMode = args.lift(4).getOrElse("axis")
+    require(corpusMode == "axis" || corpusMode == "rotgauss",
+      s"corpusMode must be axis|rotgauss, got $corpusMode")
+
     def u(idCol: org.apache.spark.sql.Column, c: org.apache.spark.sql.Column,
         salt: Int) =
       (pmod(xxhash64(idCol, c, lit(salt)), lit(1000000L)).cast("double")
         / 1000000.0)
+    // per-dim noise scale: flat 0.25 in axis mode; a 0.25x..1.75x ramp
+    // in rotgauss mode (anisotropy the rotation then smears across
+    // all raw dims)
+    def nscale(c: org.apache.spark.sql.Column) =
+      if (corpusMode == "axis") lit(0.25)
+      else lit(0.25) * (lit(0.25) +
+        lit(1.5) * c.cast("double") / lit(Dim.toDouble))
+    // one fixed deterministic global rotation: QR of a hash matrix
+    lazy val globalQ: Array[Array[Double]] = {
+      val a = Array.tabulate(Dim, Dim) { (i, j) =>
+        var h = i.toLong * 6364136223846793005L +
+          j.toLong * 1442695040888963407L + 987654321L
+        h ^= (h >>> 33); h *= -49064778989728563L; h ^= (h >>> 33)
+        ((h >>> 11).toDouble / (1L << 53).toDouble) - 0.5
+      }
+      new org.apache.commons.math3.linear.QRDecomposition(
+        new org.apache.commons.math3.linear.Array2DRowRealMatrix(a))
+        .getQ.getData
+    }
     def mixture(n: Long): DataFrame = {
       val base = spark.range(n).select(col("id").as("vec_id"),
         transform(sequence(lit(0), lit(Dim - 1)), c =>
           u(pmod(col("id"), lit(nClusters.toLong)), c, 1) +
-            lit(0.25) * (u(col("id"), c, 2) - lit(0.5))).as("v"))
+            nscale(c) * (u(col("id"), c, 2) - lit(0.5))).as("v"))
       val twins = spark.range(nq).select(
         (col("id") + lit(2000000000L)).as("vec_id"),
         transform(sequence(lit(0), lit(Dim - 1)), c =>
           (u(pmod(col("id"), lit(nClusters.toLong)), c, 1) +
-            lit(0.25) * (u(col("id"), c, 2) - lit(0.5)) +
+            nscale(c) * (u(col("id"), c, 2) - lit(0.5)) +
             lit(0.04) * (u(col("id"), c, 3) - lit(0.5))) * lit(1.05)).as("v"))
-      base.unionByName(twins).repartition(32).localCheckpoint(true)
+      val raw = base.unionByName(twins)
+      val out = if (corpusMode == "rotgauss") rotate(raw, globalQ) else raw
+      out.repartition(32).localCheckpoint(true)
     }
 
     /** Deterministic parametric-OPQ rotation for m subspaces: PCA

@@ -35,33 +35,41 @@ object ProbeStatefulMass {
     println(s"== probe 43: stateful sinks at x10 mass ($nDocs docs, " +
       s"$nChunks chunks + mid-stream replay of chunk 1) ==")
 
-    // id-ordered chunks: every pair's larger id arrives no earlier
-    // than its smaller id (the winnow/dedup ingest spec discipline —
-    // id_new is the later doc), and the manifest's benchmark slice
-    // (doc_id % 97 == 0) is routed to chunk 0 so the contamination
-    // stage sees the benchmark before anything it could contaminate
+    // two chunkings, one per spec discipline: winnow/dup take PURE
+    // id-range chunks (every pair's larger id arrives no earlier than
+    // its smaller id — id_new is the later doc, so verdict
+    // orientation matches the one-shot doc_a < doc_b surface); the
+    // manifest additionally reroutes its benchmark slice
+    // (doc_id % 97 == 0) to chunk 0 so the contamination stage sees
+    // the benchmark before anything it could contaminate (the
+    // bench-first gate-SF spec discipline). The first probe run used
+    // bench-first chunks for ALL sinks and the winnow comparison
+    // "diverged" with extra ≈ missing ≈ half the verdicts — pure
+    // orientation flips from benchmark docs arriving before smaller
+    // ids, not a state bug.
     val bounds = docs.select(col("doc_id"))
-      .orderBy("doc_id")
       .select(percentile_approx(col("doc_id"),
         array((1 until nChunks).map(i => lit(i.toDouble / nChunks)): _*),
         lit(100000)).as("qs")).head.getSeq[Long](0)
-    def chunkOf(i: Int): DataFrame = {
+    def idChunkOf(i: Int): DataFrame = {
       val lo = if (i == 0) Long.MinValue else bounds(i - 1)
       val hi = if (i == nChunks - 1) Long.MaxValue else bounds(i)
-      val inRange = col("doc_id") > lit(lo) && col("doc_id") <= lit(hi) &&
-        !(col("doc_id") % 97 === 0)
-      docs.where(if (i == 0) inRange || (col("doc_id") % 97 === 0)
-                 else inRange)
+      docs.where(col("doc_id") > lit(lo) && col("doc_id") <= lit(hi))
+    }
+    def benchFirstChunkOf(i: Int): DataFrame = {
+      val inRange = idChunkOf(i).where(!(col("doc_id") % 97 === 0))
+      if (i == 0) inRange.unionByName(docs.where(col("doc_id") % 97 === 0))
+      else inRange
     }
 
     // ---- dupClusterSink at mass -------------------------------------
     var t0 = System.nanoTime()
     (0 until nChunks).foreach { i =>
       val t = System.nanoTime()
-      Streams.applyDupClusterBatch(chunkOf(i), i.toLong,
+      Streams.applyDupClusterBatch(idChunkOf(i), i.toLong,
         s"$base/dup", "doc_id", "text", 3, 0.8, Int.MaxValue)
       if (i == 1) // mid-stream at-least-once re-delivery
-        Streams.applyDupClusterBatch(chunkOf(1), 1L,
+        Streams.applyDupClusterBatch(idChunkOf(1), 1L,
           s"$base/dup", "doc_id", "text", 3, 0.8, Int.MaxValue)
       val labels = Streams.dupClusterState(spark, s"$base/dup").get.count()
       println(f"dup:    chunk $i ingested  labels=$labels%7d  " +
@@ -84,10 +92,10 @@ object ProbeStatefulMass {
     import graft.operators.Dedup.{WinnowK, WinnowW, WinnowTau, WinnowDfCap}
     (0 until nChunks).foreach { i =>
       val t = System.nanoTime()
-      Streams.applyWinnowBatch(chunkOf(i), i.toLong, s"$base/win",
+      Streams.applyWinnowBatch(idChunkOf(i), i.toLong, s"$base/win",
         "doc_id", "text", WinnowK, WinnowW, WinnowTau, WinnowDfCap.toInt)
       if (i == 1)
-        Streams.applyWinnowBatch(chunkOf(1), 1L, s"$base/win",
+        Streams.applyWinnowBatch(idChunkOf(1), 1L, s"$base/win",
           "doc_id", "text", WinnowK, WinnowW, WinnowTau, WinnowDfCap.toInt)
       val idx = spark.read.parquet(s"$base/win/index").count()
       val v = Streams.winnowVerdicts(spark, s"$base/win").get.count()
@@ -112,10 +120,10 @@ object ProbeStatefulMass {
     t0 = System.nanoTime()
     (0 until nChunks).foreach { i =>
       val t = System.nanoTime()
-      Streams.applyTrainingManifestBatch(chunkOf(i), i.toLong,
+      Streams.applyTrainingManifestBatch(benchFirstChunkOf(i), i.toLong,
         s"$base/man", "doc_id", "text", "lang", "source")
       if (i == 1)
-        Streams.applyTrainingManifestBatch(chunkOf(1), 1L,
+        Streams.applyTrainingManifestBatch(benchFirstChunkOf(1), 1L,
           s"$base/man", "doc_id", "text", "lang", "source")
       val m = Streams.trainingManifestState(spark, s"$base/man").get.count()
       println(f"manifest: chunk $i ingested  manifest_rows=$m%5d  " +

@@ -369,11 +369,18 @@ object Graft {
     * rounds, no tolerance test.
     *
     * Scale shape per round — nothing corpus-sized crosses the wire:
-    * assignment is the [[ivfIndex]] broadcast + map-side `max_by`;
-    * the mean recompute pos-explodes to (cell, dim) keys whose partial
+    * assignment is ONE map-side projection (the centroid list rides
+    * as a single array literal; each row argmaxes (cosine, −cent_id)
+    * structs via zip_with + array_max inside whole-stage codegen —
+    * r20 closed the gap where a crossJoin + groupBy(id) shape
+    * re-shuffled all n rows per round); the mean recompute
+    * pos-explodes to (cell, dim) keys whose partial
     * aggregation collapses BEFORE the exchange, so shuffle volume is
     * partitions × k × dim regardless of corpus size; only k×dim
-    * doubles ever reach the driver (the MLlib fit pattern). Empty
+    * doubles ever reach the driver (the MLlib fit pattern). Ids are
+    * one-vote-one-row (the unique-id contract shared with
+    * [[bpeTokenize]]'s packAssign rule); NULL-id rows collapse to one
+    * vote, mirroring the oracle replay's PARTITION BY. Empty
     * cells keep their previous centroid. Vectors with no defined
     * cosine against any centroid (zero-norm / NULL / NaN-element /
     * dim-mismatched — CosineSimilarity's dirty rule) are excluded
@@ -475,23 +482,47 @@ object Graft {
           .map { case (r, i) => (i.toLong, r.getSeq[Double](0)) }.toSeq
       for (_ <- 0 until iters) {
         val cDf = cents.toDF("cent_id", "cv")
-        val assigned = e.crossJoin(broadcast(cDf))
+        // broadcast-argmax assignment as ONE map-side projection: the
+        // centroid list rides as a single pair of array literals and
+        // every row picks its cell INSIDE the projection via
+        // zip_with + array_max over (ccos, -cent_id) structs — the
+        // exact max_by ordering the previous shape used — so NOTHING
+        // corpus-sized shuffles. (The historical crossJoin +
+        // groupBy(id) form re-shuffled all n (id, vec, cell) rows per
+        // Lloyd round: invisible at gate SF, the dominant exchange at
+        // corpus scale — r20.) A NULL cosine (zero-norm / NULL /
+        // NaN-element / dim-skew vector — CosineSimilarity's
+        // dirty-embedding rule) means the row has no usable
+        // direction: the filter inside the array drops that centroid,
+        // an all-null row yields array_max(empty) = NULL cell, and
+        // the where drops it — and conversely a finite cosine proves
+        // every element finite and the norm positive, so the mean
+        // below needs no further guards
+        val best = array_max(filter(
+          zip_with(typedLit(cents.map(_._2)), typedLit(cents.map(_._1)),
+            (cv, cid) => struct(
+              call_function("cosine_sim", cv, col("vec")).as("c"),
+              (-cid).as("t"))),
+          s => s.getField("c").isNotNull))
+        val perRow = e.where(col("id").isNotNull)
+          .withColumn("cell", -best.getField("t"))
+          .where(col("cell").isNotNull)
+          .select("vec", "cell")
+        // null-id rows keep the historical ONE-VOTE-PER-GROUP
+        // collapse (the oracle replay's PARTITION BY vec_id groups
+        // NULLs together); no test corpus carries one, so this branch
+        // prunes to an empty scan of the cached frame
+        val nullVotes = e.where(col("id").isNull)
+          .crossJoin(broadcast(cDf))
           .withColumn("ccos",
             call_function("cosine_sim", col("cv"), col("vec")))
-          // a NULL cosine (zero-norm / NULL / NaN-element / dim-skew
-          // vector — CosineSimilarity's dirty-embedding rule) means the
-          // row has no usable direction: it cannot vote for a centroid,
-          // and letting it through would hand max_by an all-null
-          // ordering (arbitrary cell) and the mean a non-finite
-          // component (an ANSI cast error). One filter closes both
-          // holes — and conversely a finite cosine proves every element
-          // finite and the norm positive, so the mean below needs no
-          // further guards
           .where(col("ccos").isNotNull)
           .groupBy("id")
           .agg(first(col("vec")).as("vec"),
             max_by(col("cent_id"),
               struct(col("ccos"), (-col("cent_id")).as("tie"))).as("cell"))
+          .select("vec", "cell")
+        val assigned = perRow.unionByName(nullVotes)
         val means = assigned
           // spherical k-means proper: each vector votes with its unit
           // DIRECTION — assignment is cosine (scale-invariant), so one
@@ -612,13 +643,17 @@ object Graft {
               (row.getLong(0), row.getSeq[Double](1))).toVector
             cands ++= nc
             if (r < rounds) {
-              // pay only the NEW candidates: dmin' = min(dmin, d-to-new)
-              val p2 = p.crossJoin(broadcast(nc.toDF("cand_id", "cv")))
-                .withColumn("d", lit(1.0) - call_function("cosine_sim",
-                  col("cv"), col("vec")))
-                .groupBy("id")
-                .agg(first(col("vec")).as("vec"),
-                  least(min(col("d")), first(col("dmin"))).as("dmin"))
+              // pay only the NEW candidates: dmin' = min(dmin,
+              // d-to-new), computed INSIDE one projection over a
+              // single array literal of the round's candidates — the
+              // map-side shape the Lloyd assignment uses; nothing
+              // corpus-sized shuffles
+              val dNew = lit(1.0) - array_max(filter(
+                transform(typedLit(nc.map(_._2)),
+                  cv => call_function("cosine_sim", cv, col("vec"))),
+                c => c.isNotNull))
+              val p2 = p
+                .withColumn("dmin", least(col("dmin"), dNew))
                 .persist()
               p2.count()
               p.unpersist()
@@ -633,15 +668,18 @@ object Graft {
       return cands.sortBy(_._1).zipWithIndex
         .map { case ((_, v), i) => (i.toLong, v) }
     // weighting pass: each corpus point votes for its nearest
-    // candidate (broadcast argmax — one scan, no corpus shuffle past
-    // the ≤|C|-row count contraction)
-    val wMap = e.crossJoin(broadcast(cands.toDF("cand_id", "cv")))
-      .withColumn("c",
-        call_function("cosine_sim", col("cv"), col("vec")))
-      .where(col("c").isNotNull)
-      .groupBy("id")
-      .agg(max_by(col("cand_id"),
-        struct(col("c"), (-col("cand_id")).as("tb"))).as("cand_id"))
+    // candidate (map-side argmax inside one projection over the
+    // candidate array literal — ties to the lowest candidate id —
+    // then a count contraction to ≤|C| rows; the corpus never
+    // shuffles, only partial counts do)
+    val bestCand = array_max(filter(
+      zip_with(typedLit(cands.map(_._2)), typedLit(cands.map(_._1)),
+        (cv, cid) => struct(
+          call_function("cosine_sim", cv, col("vec")).as("c"),
+          (-cid).as("t"))),
+      s => s.getField("c").isNotNull))
+    val wMap = e.select((-bestCand.getField("t")).as("cand_id"))
+      .where(col("cand_id").isNotNull)
       .groupBy("cand_id").agg(count(lit(1)).as("w"))
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     // driver phase: deterministic greedy weighted k-means++ over the
