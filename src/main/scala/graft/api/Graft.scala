@@ -326,29 +326,106 @@ object Graft {
     graft.operators.Dedup.incrementalPairsStored(baseIndex, deltaIndex,
       tau = 0.0, dfCap, containment = true)
 
+  /** Centroid ceiling for [[ivfIndex]]'s collected argmax literal —
+    * 2^17 rows ≈ 134 MB at dim 128, the k ≈ √n of a 10-billion-vector
+    * corpus; past it, shard the corpus and merge per-shard indexes. */
+  val MaxBroadcastCentroids: Int = 1 << 17
+
   /** Build an IVF (inverted-file) ANN index: every vector assigned to
     * its nearest centroid by cosine (ties → lowest centroid id;
     * centroid ids must be numeric). Returns `(id, cell, vec)` —
     * the stored form queries probe ([[ivfQuery]]) so the corpus is
     * assigned ONCE, not per query batch. Assignment never shuffles
-    * the corpus: centroids broadcast, the per-row nearest-cell pick
-    * folds through a map-side-combinable `max_by` aggregate.
+    * the corpus: the k-bounded centroid frame collects ONCE (loud
+    * [[MaxBroadcastCentroids]] cap; it broadcast whole before anyway)
+    * into a single array literal, and each row argmaxes
+    * (cosine, −cent_id) structs via zip_with + array_max INSIDE the
+    * projection — whole-stage codegen, zero exchanges. (r20: the
+    * previous crossJoin + groupBy(id) shape claimed map-side
+    * combinability, but ids are unique so the partial aggregation
+    * contracted nothing and every index build re-shuffled all n
+    * (id, vec, cell) rows.) Every input row gets an index row —
+    * including null-id rows, which the old groupBy silently merged.
     */
   def ivfIndex(embeddings: DataFrame, idCol: String, vecCol: String,
-      centroids: DataFrame, centIdCol: String,
-      centVecCol: String): DataFrame = {
+      centroids: DataFrame, centIdCol: String, centVecCol: String,
+      maxCentroids: Int = MaxBroadcastCentroids): DataFrame =
+    ivfAssigned(embeddings, idCol, vecCol, centroids, centIdCol,
+      centVecCol, maxCentroids, "ivfIndex", withResidual = false)
+
+  /** The shared assignment core of [[ivfIndex]]/[[ivfResiduals]]:
+    * collect the k-bounded centroid frame once (loud cap), then ONE
+    * map-side projection where each row argmaxes
+    * (cosine, −cent_id, index) structs over the centroid literal —
+    * max_by's exact ordering (ids negated-as-long, order-preserving
+    * for any numeric id type; the emitted cell casts back to the
+    * caller's cent_id type). The struct array is deliberately
+    * UNFILTERED: array_max and max_by share the nulls-first struct
+    * ordering, so a dirty vector (every cosine NULL) still lands in
+    * the lowest-cent_id cell exactly like the historical max_by —
+    * the index carries EVERY row (spec-pinned); dirty rows rank out
+    * at scoring, never at build. Every row votes for itself,
+    * null-id rows included (the historical groupBy(id) silently
+    * MERGED them into one index row; ids are unique by contract).
+    * The winning centroid's array INDEX rides the struct, so the
+    * residual computes in the SAME projection — no centroid re-join
+    * (which, besides costing a join, tripped Spark's constraint
+    * machinery on the higher-order-function join key: probe 41's
+    * k = 4096 `ATTRIBUTE_NOT_FOUND` crash).
+    */
+  private def ivfAssigned(embeddings: DataFrame, idCol: String,
+      vecCol: String, centroids: DataFrame, centIdCol: String,
+      centVecCol: String, maxCentroids: Int, caller: String,
+      withResidual: Boolean): DataFrame = {
+    require(maxCentroids > 0, s"$caller: maxCentroids must be positive")
     graft.functions.CosineSimilarity.register(embeddings.sparkSession)
     val e = embeddings.select(col(idCol).as("id"),
       col(vecCol).cast("array<double>").as("vec"))
     val c = centroids.select(col(centIdCol).as("cent_id"),
       col(centVecCol).cast("array<double>").as("cv"))
-    e.crossJoin(broadcast(c))
-      .withColumn("ccos", call_function("cosine_sim", col("cv"), col("vec")))
-      .groupBy("id")
-      .agg(first(col("vec")).as("vec"),
-        max_by(col("cent_id"),
-          struct(col("ccos"), (-col("cent_id")).as("tie"))).as("cell"))
-      .select("id", "cell", "vec")
+    val centRows = c.limit(maxCentroids + 1).collect()
+    require(centRows.length <= maxCentroids,
+      s"$caller: more than maxCentroids = $maxCentroids centroids — " +
+        "the argmax literal is k×dim doubles shipped with every task " +
+        "binary; shard the corpus and merge per-shard indexes, or pass " +
+        "a larger maxCentroids to accept the plan size explicitly")
+    val centIdType = c.schema("cent_id").dataType
+    val resCols = if (withResidual) Seq("rvec") else Nil
+    // no centroids → no index (the historical empty-crossJoin shape)
+    if (centRows.isEmpty)
+      return e.where(lit(false))
+        .select(Seq(col("id"), lit(null).cast(centIdType).as("cell"),
+          col("vec")) ++ resCols.map(col("vec").as(_)): _*)
+    val vecsLit = typedLit(centRows.map(_.getSeq[Double](1)).toSeq)
+    val idsLit = typedLit(centRows.map(r =>
+      row2long(r, 0, caller, "centroid id")).toSeq)
+    val best = array_max(transform(
+      sequence(lit(0), lit(centRows.length - 1)), i =>
+        struct(call_function("cosine_sim",
+            element_at(vecsLit, i + lit(1)), col("vec")).as("c"),
+          (-element_at(idsLit, i + lit(1))).as("t"),
+          i.as("i"))))
+    e.withColumn("_graft_best", best)
+      .select(Seq(col("id"),
+        (-col("_graft_best").getField("t")).cast(centIdType).as("cell"),
+        col("vec")) ++ (if (withResidual)
+          Seq(zip_with(col("vec"),
+            element_at(vecsLit, col("_graft_best").getField("i") + lit(1)),
+            (x, cc) => x - cc).as("rvec"))
+        else Nil): _*)
+  }
+
+  /** Numeric Row field → Long for argmax tie-break literals, loud on
+    * anything else (the "ids must be numeric" contract). */
+  private def row2long(r: org.apache.spark.sql.Row, i: Int,
+      caller: String, what: String): Long = r.get(i) match {
+    case l: java.lang.Long => l
+    case n: java.lang.Integer => n.toLong
+    case n: java.lang.Short => n.toLong
+    case n: java.lang.Byte => n.toLong
+    case other => throw new IllegalArgumentException(
+      s"$caller: $what must be an integral numeric, got " +
+        s"${if (other == null) "NULL" else other.getClass.getSimpleName}")
   }
 
   /** Deterministic spherical k-means (Lloyd) over an embedding column —
@@ -377,10 +454,9 @@ object Graft {
     * pos-explodes to (cell, dim) keys whose partial
     * aggregation collapses BEFORE the exchange, so shuffle volume is
     * partitions × k × dim regardless of corpus size; only k×dim
-    * doubles ever reach the driver (the MLlib fit pattern). Ids are
-    * one-vote-one-row (the unique-id contract shared with
-    * [[bpeTokenize]]'s packAssign rule); NULL-id rows collapse to one
-    * vote, mirroring the oracle replay's PARTITION BY. Empty
+    * doubles ever reach the driver (the MLlib fit pattern). Every
+    * row votes once (the unique-id contract shared with
+    * [[bpeTokenize]]'s packAssign rule). Empty
     * cells keep their previous centroid. Vectors with no defined
     * cosine against any centroid (zero-norm / NULL / NaN-element /
     * dim-mismatched — CosineSimilarity's dirty rule) are excluded
@@ -504,25 +580,18 @@ object Graft {
               call_function("cosine_sim", cv, col("vec")).as("c"),
               (-cid).as("t"))),
           s => s.getField("c").isNotNull))
-        val perRow = e.where(col("id").isNotNull)
+        // every row votes for itself, null-id rows included: ids are
+        // unique by contract, and the historical groupBy(id) shape
+        // collapsed multi-null-id rows to one NONDETERMINISTIC
+        // first() vote — per-row voting is the deterministic reading
+        // and indistinguishable on any corpus honoring the contract.
+        // (No union with a grouped null-id branch: Spark's Union
+        // constraint rewrite chokes on the zip_with expression inside
+        // the IsNotNull constraint — probe 41's k = 4096 crash.)
+        val assigned = e
           .withColumn("cell", -best.getField("t"))
           .where(col("cell").isNotNull)
           .select("vec", "cell")
-        // null-id rows keep the historical ONE-VOTE-PER-GROUP
-        // collapse (the oracle replay's PARTITION BY vec_id groups
-        // NULLs together); no test corpus carries one, so this branch
-        // prunes to an empty scan of the cached frame
-        val nullVotes = e.where(col("id").isNull)
-          .crossJoin(broadcast(cDf))
-          .withColumn("ccos",
-            call_function("cosine_sim", col("cv"), col("vec")))
-          .where(col("ccos").isNotNull)
-          .groupBy("id")
-          .agg(first(col("vec")).as("vec"),
-            max_by(col("cent_id"),
-              struct(col("ccos"), (-col("cent_id")).as("tie"))).as("cell"))
-          .select("vec", "cell")
-        val assigned = perRow.unionByName(nullVotes)
         val means = assigned
           // spherical k-means proper: each vector votes with its unit
           // DIRECTION — assignment is cosine (scale-invariant), so one
@@ -1183,20 +1252,16 @@ object Graft {
     * `by_residual`): residuals concentrate around the origin with
     * far smaller spread than raw vectors, so the same PQ bit budget
     * buys materially finer resolution — the main reason IVFADC beats
-    * flat PQ at equal bits. One broadcast join on the ≤k-row centroid
-    * frame after the (already broadcast-shaped) assignment — the
-    * corpus never shuffles.
+    * flat PQ at equal bits. The residual computes in the SAME
+    * map-side projection as the assignment (the winning centroid
+    * rides its array index — see [[ivfAssigned]]): zero joins, zero
+    * exchanges, the corpus never shuffles.
     */
   def ivfResiduals(embeddings: DataFrame, idCol: String, vecCol: String,
-      centroids: DataFrame, centIdCol: String,
-      centVecCol: String): DataFrame = {
-    val c = centroids.select(col(centIdCol).as("cell"),
-      col(centVecCol).cast("array<double>").as("_graft_cv"))
-    ivfIndex(embeddings, idCol, vecCol, centroids, centIdCol, centVecCol)
-      .join(broadcast(c), "cell")
-      .select(col("id"), col("cell"), col("vec"),
-        zip_with(col("vec"), col("_graft_cv"), (x, cc) => x - cc).as("rvec"))
-  }
+      centroids: DataFrame, centIdCol: String, centVecCol: String,
+      maxCentroids: Int = MaxBroadcastCentroids): DataFrame =
+    ivfAssigned(embeddings, idCol, vecCol, centroids, centIdCol,
+      centVecCol, maxCentroids, "ivfResiduals", withResidual = true)
 
   /** Fit PQ codebooks on coarse RESIDUALS — the codebook an IVFADC
     * index ([[ivfPqIndex]] with `residual = true`, the default) must
