@@ -88,15 +88,33 @@ object ProbeStatefulMass {
       "dupClusterSink labeling diverged from batch CC at mass")
 
     // ---- winnowDedupSink at mass ------------------------------------
+    // The df-cap is evaluated AS-OF-INGEST in the incremental path
+    // (store-so-far + batch) but GLOBALLY in the one-shot, so fold ==
+    // one-shot holds exactly iff no fingerprint crosses the cap
+    // mid-history. At gate SF no fp reaches 64; at x10 many do (run 2
+    // of this probe measured ~half the 250 k verdicts differing in
+    // shared/jaccard under the default cap — pair SETS nearly equal,
+    // the numbers computed over different capped universes). So: the
+    // EXACTNESS witness runs with the cap lifted above the corpus'
+    // max df (the contract's premise restored), and the default-cap
+    // run reports the as-of-ingest drift as a measured number.
     t0 = System.nanoTime()
     import graft.operators.Dedup.{WinnowK, WinnowW, WinnowTau, WinnowDfCap}
+    val dfStats = graft.api.Graft.winnowIndex(docs, "doc_id", "text")
+      .groupBy("shingle").agg(count(lit(1)).as("df"))
+      .agg(max("df"), expr("percentile(df, 0.99D)")).head
+    val (maxDf, p99Df) = (dfStats.getLong(0), dfStats.getDouble(1))
+    println(f"winnow: corpus fp df max=$maxDf p99=$p99Df%.0f " +
+      f"(default cap $WinnowDfCap — " +
+      f"${if (maxDf > WinnowDfCap) "CROSSES" else "under"} cap at x10)")
+    val capW = (maxDf + 1).toInt
     (0 until nChunks).foreach { i =>
       val t = System.nanoTime()
       Streams.applyWinnowBatch(idChunkOf(i), i.toLong, s"$base/win",
-        "doc_id", "text", WinnowK, WinnowW, WinnowTau, WinnowDfCap.toInt)
+        "doc_id", "text", WinnowK, WinnowW, WinnowTau, capW)
       if (i == 1)
         Streams.applyWinnowBatch(idChunkOf(1), 1L, s"$base/win",
-          "doc_id", "text", WinnowK, WinnowW, WinnowTau, WinnowDfCap.toInt)
+          "doc_id", "text", WinnowK, WinnowW, WinnowTau, capW)
       val idx = spark.read.parquet(s"$base/win/index").count()
       val v = Streams.winnowVerdicts(spark, s"$base/win").get.count()
       println(f"winnow: chunk $i ingested  index_rows=$idx%9d " +
@@ -105,15 +123,39 @@ object ProbeStatefulMass {
     val gotWin = Streams.winnowVerdicts(spark, s"$base/win").get
       .select(col("id_old").as("doc_a"), col("id_new").as("doc_b"),
         col("inter").as("shared"), col("jaccard"))
-    val wantWin = graft.api.Graft.winnowPairs(docs, "doc_id", "text")
+    val wantWin = graft.api.Graft.winnowPairs(docs, "doc_id", "text",
+        dfCap = capW.toLong)
       .select("doc_a", "doc_b", "shared", "jaccard")
     val winExtra = gotWin.exceptAll(wantWin).count()
     val winMissing = wantWin.exceptAll(gotWin).count()
-    println(f"winnow: state==oneshot ${winExtra == 0 && winMissing == 0}  " +
-      f"verdicts=${gotWin.count()}  extra=$winExtra missing=$winMissing  " +
+    println(f"winnow: state==oneshot ${winExtra == 0 && winMissing == 0} " +
+      f"(cap $capW > max df)  verdicts=${gotWin.count()}  " +
+      f"extra=$winExtra missing=$winMissing  " +
       f"wall=${(System.nanoTime() - t0) / 1e9}%6.1f s")
     require(winExtra == 0 && winMissing == 0,
-      "winnowDedupSink verdicts diverged from batch winnowPairs at mass")
+      "winnowDedupSink verdicts diverged from batch winnowPairs at mass " +
+        "with the df-cap above max df — a REAL state bug, not cap drift")
+    spark.catalog.clearCache()
+    // default-cap drift readout (as-of-ingest semantics, measured)
+    (0 until nChunks).foreach { i =>
+      Streams.applyWinnowBatch(idChunkOf(i), i.toLong, s"$base/winc",
+        "doc_id", "text", WinnowK, WinnowW, WinnowTau, WinnowDfCap.toInt)
+    }
+    val gotC = Streams.winnowVerdicts(spark, s"$base/winc").get
+      .select(col("id_old").as("doc_a"), col("id_new").as("doc_b"),
+        col("inter").as("shared"), col("jaccard")).persist()
+    val wantC = graft.api.Graft.winnowPairs(docs, "doc_id", "text")
+      .select("doc_a", "doc_b", "shared", "jaccard").persist()
+    val pairsOnlyGot = gotC.select("doc_a", "doc_b")
+    val pairsOnlyWant = wantC.select("doc_a", "doc_b")
+    println(f"winnow: DEFAULT-cap drift at x10 — verdicts " +
+      f"fold=${gotC.count()} oneshot=${wantC.count()}  " +
+      f"pair-set extra=${pairsOnlyGot.exceptAll(pairsOnlyWant).count()} " +
+      f"missing=${pairsOnlyWant.exceptAll(pairsOnlyGot).count()}  " +
+      f"full-row extra=${gotC.exceptAll(wantC).count()} " +
+      f"(rows differing only in shared/jaccard = the as-of-ingest cap " +
+      "universe; see winnowDedupSink scaladoc)")
+    gotC.unpersist(); wantC.unpersist()
     spark.catalog.clearCache()
 
     // ---- trainingManifestSink at mass -------------------------------

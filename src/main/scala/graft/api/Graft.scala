@@ -1180,27 +1180,46 @@ object Graft {
     * the STORED form of a PQ index, m small ints per vector instead
     * of dim doubles (~64× smaller at dim 64 / m 8; byte-packable at
     * k ≤ 256), which is what lets the serving tier hold the whole
-    * corpus in memory. One broadcast join (the codebook is m×k rows)
-    * and one map-side-combinable aggregate chain — the corpus never
-    * joins anything its own size.
+    * corpus in memory. The m×k codebook collects ONCE (it broadcast
+    * whole before anyway) and every row assigns all m codes INSIDE
+    * one projection — per subspace an argmin over that subspace's
+    * codeword literal with min_by's (key, code) ordering — so the
+    * encode is ZERO exchanges (r20: the previous explode +
+    * groupBy(id, s) + groupBy(id) chain claimed map-side
+    * combinability, but the keys are unique, so it re-shuffled the
+    * corpus twice at m× multiplicity).
     */
   def pqEncode(embeddings: DataFrame, idCol: String, vecCol: String,
       codebooks: DataFrame): DataFrame = {
     val spark = embeddings.sparkSession
     graft.functions.DotProduct.register(spark)
     val (m, sub) = pqShape(codebooks)
-    val cb = codebooks.select(col("subspace").as("s"), col("code"), col("cw"))
-    val e0 = usablePqVectors(embeddings, idCol, vecCol, m * sub)
-    explodeSubvectors(e0, m, sub)
-      .join(broadcast(cb), "s")
-      .withColumn("key",
-        call_function("dot_product", col("cw"), col("cw")) -
-          lit(2.0) * call_function("dot_product", col("sv"), col("cw")))
-      .groupBy("id", "s")
-      .agg(min_by(col("code"), struct(col("key"), col("code"))).as("code"))
-      .groupBy("id")
-      .agg(transform(array_sort(collect_list(struct(col("s"), col("code")))),
-        t => t.getField("code")).as("codes"))
+    val cbRows = codebooks.select(col("subspace").cast("int").as("s"),
+      col("code"), col("cw").cast("array<double>").as("cw")).collect()
+    val codeType = codebooks.schema("code").dataType
+    val bySub = (0 until m).map { s =>
+      cbRows.filter(_.getInt(0) == s)
+        .map(r => (row2long(r, 1, "pqEncode", "code id"),
+          r.getSeq[Double](2)))
+        .sortBy(_._1).toSeq
+    }
+    require(bySub.forall(_.nonEmpty),
+      "pqEncode: a subspace has no codewords — fit pqCodebooks over " +
+        "the full subspace range first")
+    val cwLit = typedLit(bySub.map(_.map(_._2)))
+    val codeLit = typedLit(bySub.map(_.map(_._1)))
+    val codes = transform(sequence(lit(0), lit(m - 1)), s => {
+      val sv = slice(col("vec"), s * lit(sub) + lit(1), lit(sub))
+      array_min(zip_with(
+        element_at(cwLit, s + lit(1)), element_at(codeLit, s + lit(1)),
+        (cw, code) => struct(
+          (call_function("dot_product", cw, cw) -
+            lit(2.0) * call_function("dot_product", sv, cw)).as("k"),
+          code.as("t")))).getField("t")
+    })
+    usablePqVectors(embeddings, idCol, vecCol, m * sub)
+      .select(col("id"), codes
+        .cast(org.apache.spark.sql.types.ArrayType(codeType)).as("codes"))
   }
 
   /** PQ top-k serving by ASYMMETRIC distance computation: queries stay

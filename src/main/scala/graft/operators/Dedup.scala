@@ -1278,6 +1278,14 @@ object Dedup {
     * skipped uncapped — candidate join, denominators); everything
     * retained across steps (delta, over-cap set, candidate pairs) is
     * O(batch), not O(corpus).
+    *
+    * `dfCap` is AS-OF-INGEST: measured against (base + delta) at each
+    * call, while the one-shot batch queries cap on global df. Results
+    * across an ingest history equal the one-shot run exactly iff no
+    * shingle crosses the cap mid-history (probe 43 witnesses this at
+    * ×10 mass); under a binding cap, earlier verdicts stand as
+    * computed against their then-smaller capped universe — see the
+    * winnowDedupSink scaladoc for the measured drift.
     */
   private[graft] def incrementalPairsStored(base: DataFrame,
       delta0: DataFrame, tau: Double, dfCap: Int,

@@ -307,11 +307,16 @@ object Similarity {
     * diverge). The centroid mod still derives from the RAW store
     * cardinality (parquet footers), matching the oracle's count(*).
     *
-    * Assignment never shuffles the corpus: the ~√n centroid cosines
-    * evaluate inline per row and max_by picks the cell inside a
-    * map-side-combinable aggregate (ties → lowest cent_id via the
-    * negated id in the ordering struct). The corpus vector rides
-    * along as first() — constant within its group.
+    * Plan shape: the ~√n centroid cosines evaluate inline per row
+    * (broadcast cross join) and max_by picks the cell (ties → lowest
+    * cent_id via the negated id in the ordering struct). The
+    * groupBy(vec_id) argmax DOES exchange the corpus rows once — ids
+    * are unique, so partial aggregation contracts nothing (r20
+    * honesty pass). This is the GATE-replay shape, kept join-formed
+    * so it mirrors the oracle CTEs stage for stage; the SERVING path
+    * — [[graft.api.Graft.ivfIndex]]/`ivfResiduals` — assigns with a
+    * zero-exchange map-side argmax over the collected centroid
+    * literal, and is what a corpus-scale deployment runs.
     */
   private def ivfGateAssigned(spark: SparkSession,
       dir: String): (DataFrame, DataFrame, DataFrame) = {
@@ -996,8 +1001,11 @@ object Similarity {
     * codegen'd dot folds, stated identically in the oracle. Returns
     * `(vec_id, v, recon, codes)` where `recon` is the concatenated
     * chosen codewords (the decoded quantization) and `codes` the PqM
-    * code ids. One broadcast cross join + one map-side-combinable
-    * aggregate — the corpus never shuffles.
+    * code ids. One broadcast cross join + one per-vector argmin
+    * aggregate; like [[ivfGateAssigned]] the groupBy(vec_id)
+    * exchanges the corpus rows once (unique keys — the gate-replay
+    * shape mirroring the oracle CTEs); the SERVING encode
+    * ([[graft.api.Graft.pqEncode]]) is the production path.
     */
   private def pqGateEncoded(spark: SparkSession, dir: String): DataFrame = {
     val (e, cents, _) = ivfGateAssigned(spark, dir)
@@ -1879,9 +1887,10 @@ object Similarity {
     * approximation the ADC score folds against. Scale shape: the
     * residual join broadcasts the ≤√n centroid frame, the codebook
     * (seed residuals) broadcasts, and the per-(vector, subspace)
-    * argmin folds through ONE map-side-combinable aggregate — the
-    * corpus never shuffles (the [[pqGateEncoded]] shape plus one
-    * broadcast join).
+    * argmin folds through ONE per-vector aggregate (which, unique
+    * keys, exchanges the corpus rows once — the [[pqGateEncoded]]
+    * gate-replay caveat; the serving twin is
+    * [[graft.api.Graft.ivfPqIndex]]).
     */
   private def ivfPqGateEncoded(spark: SparkSession, dir: String): DataFrame = {
     val (_, cents, assigned) = ivfGateAssigned(spark, dir)

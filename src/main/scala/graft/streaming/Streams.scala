@@ -1093,6 +1093,22 @@ object Streams {
     * bucketing when it outgrows plain parquet and the store side
     * stops shuffling entirely (the #61 discipline, unchanged — the
     * winnow index is format-identical by construction, #183).
+    *
+    * DF-CAP CONTRACT (probe 43, r20): `dfCap` is evaluated
+    * AS-OF-INGEST — against the store-so-far plus the arriving batch
+    * — while the one-shot batch `winnowPairs` caps on GLOBAL df.
+    * Fold == one-shot therefore holds exactly iff no fingerprint
+    * crosses the cap mid-history (witnessed exact at ×10 mass with
+    * the cap above the corpus max df,
+    * bench_evidence/probe43_stateful_mass_x10.log); under a BINDING
+    * cap, verdicts delivered before a fingerprint crossed it stand
+    * as computed then (at ×10 with the default cap, pair SETS stay
+    * near-identical but ~half the shared/jaccard values reflect the
+    * earlier, smaller capped universe — measured in the same log).
+    * Verdicts are facts about ingest time, never retroactively
+    * re-scored; re-run the batch query for a point-in-time global
+    * view. The same contract applies to every
+    * `incrementalPairsStored` consumer (#61/#124/#133 ingest twins).
     */
   def winnowDedupSink(docs: DataFrame, statePath: String,
       checkpointDir: String, idCol: String = "doc_id",
