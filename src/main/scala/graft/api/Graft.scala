@@ -495,11 +495,12 @@ object Graft {
     * re-clustered greedily ON THE DRIVER to the final k seeds. This
     * is the only seeding shape that works at the k ≈ √n a 100 TB IVF
     * wants: the corpus is scanned a CONSTANT number of times (5
-    * sampling passes, each paying only the round's NEW candidates via
-    * a carried min-distance column, plus 1 weighting pass) instead of
-    * kcenter's k sequential passes, and nothing corpus-sized ever
-    * moves — per round an expected-2k-row candidate frame collects,
-    * bounded by a loud cap. Fully deterministic under any input
+    * exchange-free sampling passes, each paying only the round's NEW
+    * candidates via a carried min-distance column, plus 1 weighting
+    * pass whose broadcast-join argmax exchanges n NARROW (id,
+    * cand_id) rows once) instead of kcenter's k sequential passes;
+    * per round an expected-2k-row candidate frame collects, bounded
+    * by a loud cap. Fully deterministic under any input
     * partitioning: the sampling threshold is a seeded xxhash64 draw
     * (the #56 integer-threshold trick) against a potential φ summed
     * in exact order-free fixed point (decimal micro-units, the Lloyd
@@ -737,18 +738,23 @@ object Graft {
       return cands.sortBy(_._1).zipWithIndex
         .map { case ((_, v), i) => (i.toLong, v) }
     // weighting pass: each corpus point votes for its nearest
-    // candidate (map-side argmax inside one projection over the
-    // candidate array literal — ties to the lowest candidate id —
-    // then a count contraction to ≤|C| rows; the corpus never
-    // shuffles, only partial counts do)
-    val bestCand = array_max(filter(
-      zip_with(typedLit(cands.map(_._2)), typedLit(cands.map(_._1)),
-        (cv, cid) => struct(
-          call_function("cosine_sim", cv, col("vec")).as("c"),
-          (-cid).as("t"))),
-      s => s.getField("c").isNotNull))
-    val wMap = e.select((-bestCand.getField("t")).as("cand_id"))
-      .where(col("cand_id").isNotNull)
+    // candidate (ties to the lowest candidate id), then a count
+    // contraction to ≤|C| rows. This pass deliberately uses the
+    // broadcast-join + groupBy(id) argmax, NOT the array-literal
+    // projection the sampling rounds use: the full candidate set is
+    // O(k log n) rows (~41k at k = 4096), and a task-binary literal
+    // that size java-deserializes into EVERY task's heap — 32
+    // concurrent boxed copies OOMed the k = 4096 probe — while a
+    // broadcast frame ships once per executor. Cost: ONE corpus
+    // exchange per fit (seeding only, amortized over the whole fit;
+    // the per-round sampling stays exchange-free).
+    val wMap = e.crossJoin(broadcast(cands.toDF("cand_id", "cv")))
+      .withColumn("c",
+        call_function("cosine_sim", col("cv"), col("vec")))
+      .where(col("c").isNotNull)
+      .groupBy("id")
+      .agg(max_by(col("cand_id"),
+        struct(col("c"), (-col("cand_id")).as("tb"))).as("cand_id"))
       .groupBy("cand_id").agg(count(lit(1)).as("w"))
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     // driver phase: deterministic greedy weighted k-means++ over the
