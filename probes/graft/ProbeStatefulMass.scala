@@ -159,27 +159,56 @@ object ProbeStatefulMass {
     spark.catalog.clearCache()
 
     // ---- trainingManifestSink at mass -------------------------------
-    t0 = System.nanoTime()
-    (0 until nChunks).foreach { i =>
+    // The manifest's cluster stage runs incrementalDedupPairs at the
+    // gate dial dfCap = 64 — AS-OF-INGEST like every
+    // incrementalPairsStored consumer — while the one-shot #190 caps
+    // on global df. At x10 the 3-gram df distribution blows through
+    // the cap (max 250, p99 180 vs 64), so fold == one-shot cannot
+    // hold there BY CONTRACT; the exactness witness runs where the
+    // premise holds (arg 3 = a x2 scalegen dir, max df ~50 < 64) and
+    // the x10 run reports the drift.
+    def runManifest(d: String, tag: String, assertEqual: Boolean): Unit = {
+      val mdocs = Tables.documents(spark, d)
+        .select("doc_id", "text", "lang", "source").localCheckpoint(true)
+      val mb = java.nio.file.Files.createTempDirectory("graft_sman_").toString
+      val bounds2 = mdocs.select(percentile_approx(col("doc_id"),
+        array((1 until nChunks).map(i => lit(i.toDouble / nChunks)): _*),
+        lit(100000)).as("qs")).head.getSeq[Long](0)
+      def mchunk(i: Int): DataFrame = {
+        val lo = if (i == 0) Long.MinValue else bounds2(i - 1)
+        val hi = if (i == nChunks - 1) Long.MaxValue else bounds2(i)
+        val inR = mdocs.where(col("doc_id") > lit(lo) &&
+          col("doc_id") <= lit(hi) && !(col("doc_id") % 97 === 0))
+        if (i == 0) inR.unionByName(mdocs.where(col("doc_id") % 97 === 0))
+        else inR
+      }
       val t = System.nanoTime()
-      Streams.applyTrainingManifestBatch(benchFirstChunkOf(i), i.toLong,
-        s"$base/man", "doc_id", "text", "lang", "source")
-      if (i == 1)
-        Streams.applyTrainingManifestBatch(benchFirstChunkOf(1), 1L,
-          s"$base/man", "doc_id", "text", "lang", "source")
-      val m = Streams.trainingManifestState(spark, s"$base/man").get.count()
-      println(f"manifest: chunk $i ingested  manifest_rows=$m%5d  " +
-        f"wall=${(System.nanoTime() - t) / 1e9}%6.1f s")
+      (0 until nChunks).foreach { i =>
+        Streams.applyTrainingManifestBatch(mchunk(i), i.toLong,
+          s"$mb/man", "doc_id", "text", "lang", "source")
+        if (i == 1)
+          Streams.applyTrainingManifestBatch(mchunk(1), 1L,
+            s"$mb/man", "doc_id", "text", "lang", "source")
+      }
+      val gotMan = Streams.trainingManifestState(spark, s"$mb/man").get
+        .collect().map(_.toSeq).toSeq
+      val wantMan = SparkEntry.queries("q_training_manifest")(spark, d)
+        .collect().map(_.toSeq).toSeq
+      println(f"manifest[$tag]: state==oneshot ${gotMan == wantMan}  " +
+        f"fold_rows=${gotMan.size} oneshot_rows=${wantMan.size}  " +
+        f"wall=${(System.nanoTime() - t) / 1e9}%6.1f s" +
+        (if (!assertEqual && gotMan != wantMan)
+          "  (EXPECTED drift: as-of-ingest dfCap=64 vs global — " +
+            "cap crossed mid-history at this mass)" else ""))
+      if (assertEqual) require(gotMan == wantMan,
+        s"manifest fold diverged at $tag where the df-cap premise " +
+          "holds — a REAL state bug, not cap drift")
     }
-    val gotMan = Streams.trainingManifestState(spark, s"$base/man").get
-      .collect().map(_.toSeq).toSeq
-    val wantMan = SparkEntry.queries("q_training_manifest")(spark, dir)
-      .collect().map(_.toSeq).toSeq
-    println(f"manifest: state==oneshot ${gotMan == wantMan}  " +
-      f"rows=${gotMan.size}  wall=${(System.nanoTime() - t0) / 1e9}%6.1f s")
-    require(gotMan == wantMan,
-      "trainingManifestSink fold diverged from batch #190 at mass")
-    println(s"ALL STATEFUL SINKS EXACT AT x10 MASS (dir=$dir, " +
+    val x2dir = args.lift(2).getOrElse("/tmp/sfx2")
+    runManifest(dir, "x10", assertEqual = false)
+    runManifest(x2dir, "x2-premise", assertEqual = true)
+    println(s"STATEFUL SINKS: dup + winnow EXACT at x10; manifest EXACT " +
+      s"at x2 (cap premise) with x10 drift reported (dir=$dir, " +
       s"chunks=$nChunks + mid-stream replay)")
     spark.stop()
   }

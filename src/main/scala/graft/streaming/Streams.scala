@@ -1107,8 +1107,13 @@ object Streams {
     * earlier, smaller capped universe — measured in the same log).
     * Verdicts are facts about ingest time, never retroactively
     * re-scored; re-run the batch query for a point-in-time global
-    * view. The same contract applies to every
-    * `incrementalPairsStored` consumer (#61/#124/#133 ingest twins).
+    * view. The same contract applies to every df-capped incremental
+    * pairing consumer: the `incrementalPairsStored` ingest twins
+    * (#61/#124/#133) and — through their cluster stage at the gate
+    * dial dfCap = 64 — [[dupClusterSink]]/[[keeperQualitySink]]/
+    * [[trainingManifestSink]] (probe 43 measured the manifest drift
+    * at ×10, where 3-gram dfs reach 250; at ≤×2 mass the cap never
+    * binds and the fold is witnessed exact).
     */
   def winnowDedupSink(docs: DataFrame, statePath: String,
       checkpointDir: String, idCol: String = "doc_id",
