@@ -738,25 +738,75 @@ object Graft {
       return cands.sortBy(_._1).zipWithIndex
         .map { case ((_, v), i) => (i.toLong, v) }
     // weighting pass: each corpus point votes for its nearest
-    // candidate (ties to the lowest candidate id), then a count
-    // contraction to ≤|C| rows. This pass deliberately uses the
-    // broadcast-join + groupBy(id) argmax, NOT the array-literal
-    // projection the sampling rounds use: the full candidate set is
-    // O(k log n) rows (~41k at k = 4096), and a task-binary literal
-    // that size java-deserializes into EVERY task's heap — 32
-    // concurrent boxed copies OOMed the k = 4096 probe — while a
-    // broadcast frame ships once per executor. Cost: ONE corpus
-    // exchange per fit (seeding only, amortized over the whole fit;
-    // the per-round sampling stays exchange-free).
-    val wMap = e.crossJoin(broadcast(cands.toDF("cand_id", "cv")))
-      .withColumn("c",
-        call_function("cosine_sim", col("cv"), col("vec")))
-      .where(col("c").isNotNull)
-      .groupBy("id")
-      .agg(max_by(col("cand_id"),
-        struct(col("c"), (-col("cand_id")).as("tb"))).as("cand_id"))
-      .groupBy("cand_id").agg(count(lit(1)).as("w"))
-      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // candidate (max cosine, ties to the lowest candidate id), then
+    // a count contraction to ≤|C| rows. BOTH declarative shapes fail
+    // at the k ≈ 4096 oversample scale, each in its own way (probe
+    // 41's two k = 4096 failures): the array-literal projection
+    // java-deserializes the O(k log n) candidate set into EVERY
+    // task's heap (32 boxed ~41k×64 copies → OOM), and the
+    // crossJoin + groupBy(id) max_by is a SORT aggregate (struct agg
+    // buffer — not hash-aggregable) over the n×|C| expanded rows →
+    // terabytes of spill. So this pass is the library's one
+    // mapPartitions: a TorrentBroadcast of the candidate array (ONE
+    // copy per executor) and a plain per-row scala argmax — exactly
+    // MLlib's k-means|| shape. Votes are a pure function of
+    // (row, broadcast), so fit determinism under any partitioning is
+    // preserved (spec-pinned); null elements read as 0.0 and
+    // dim-mismatched candidates score nothing, mirroring
+    // cosine_sim's rules. One narrow hash-aggregated count exchange;
+    // nothing corpus-sized moves.
+    val wMap = {
+      import org.apache.spark.sql.Encoders
+      val spark2 = e.sparkSession
+      val bcC = spark2.sparkContext.broadcast(cands.toArray.map {
+        case (cid, v) =>
+          val a = v.toArray
+          var n2 = 0.0
+          var j = 0
+          while (j < a.length) { n2 += a(j) * a(j); j += 1 }
+          (cid, a, math.sqrt(n2))
+      })
+      val votes = e
+        .select(col("id"),
+          transform(col("vec"), x => coalesce(x, lit(0.0))).as("vec"))
+        .as(Encoders.product[(Long, Seq[Double])])
+        .mapPartitions { it =>
+          val cs = bcC.value
+          it.flatMap { case (_, v0) =>
+            val v = v0.toArray
+            var vn2 = 0.0
+            var j = 0
+            while (j < v.length) { vn2 += v(j) * v(j); j += 1 }
+            val vn = math.sqrt(vn2)
+            if (vn == 0.0 || !java.lang.Double.isFinite(vn)) None
+            else {
+              var bestC = Double.NegativeInfinity
+              var bestId = Long.MinValue
+              var found = false
+              var ci = 0
+              while (ci < cs.length) {
+                val (cid, cv, cn) = cs(ci)
+                if (cv.length == v.length && cn > 0.0) {
+                  var d = 0.0
+                  j = 0
+                  while (j < v.length) { d += v(j) * cv(j); j += 1 }
+                  val c = d / (vn * cn)
+                  if (java.lang.Double.isFinite(c) &&
+                    (!found || c > bestC || (c == bestC && cid < bestId))) {
+                    found = true; bestC = c; bestId = cid
+                  }
+                }
+                ci += 1
+              }
+              if (found) Some(bestId) else None
+            }
+          }
+        }(Encoders.scalaLong)
+      try votes.toDF("cand_id")
+        .groupBy("cand_id").agg(count(lit(1)).as("w"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      finally bcC.destroy()
+    }
     // driver phase: deterministic greedy weighted k-means++ over the
     // id-sorted candidates — O(k·|C|·dim), pure local arithmetic
     val sorted = cands.sortBy(_._1)
