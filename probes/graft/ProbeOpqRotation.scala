@@ -63,13 +63,6 @@ object ProbeOpqRotation {
         salt: Int) =
       (pmod(xxhash64(idCol, c, lit(salt)), lit(1000000L)).cast("double")
         / 1000000.0)
-    // per-dim noise scale: flat 0.25 in axis mode; a 0.25x..1.75x ramp
-    // in rotgauss mode (anisotropy the rotation then smears across
-    // all raw dims)
-    def nscale(c: org.apache.spark.sql.Column) =
-      if (corpusMode == "axis") lit(0.25)
-      else lit(0.25) * (lit(0.25) +
-        lit(1.5) * c.cast("double") / lit(Dim.toDouble))
     // one fixed deterministic global rotation: QR of a hash matrix
     lazy val globalQ: Array[Array[Double]] = {
       val a = Array.tabulate(Dim, Dim) { (i, j) =>
@@ -83,19 +76,33 @@ object ProbeOpqRotation {
         .getQ.getData
     }
     def mixture(n: Long): DataFrame = {
+      // per-dim noise scale: flat 0.25 in axis mode; a 0.25x..1.75x
+      // ramp in rotgauss mode (anisotropy the rotation then smears
+      // across all raw dims). The vectors build as EXPLICIT per-dim
+      // expression arrays, not transform() lambdas: a rotgauss-shaped
+      // lambda inside a Union child trips Catalyst's constraint
+      // rewrite (key not found: id#N — the probe-41 bug family);
+      // values are identical (lit(d) hashes like the sequence
+      // element did).
+      def nsc(d: Int): Double =
+        if (corpusMode == "axis") 0.25
+        else 0.25 * (0.25 + 1.5 * d / Dim.toDouble)
       val base = spark.range(n).select(col("id").as("vec_id"),
-        transform(sequence(lit(0), lit(Dim - 1)), c =>
-          u(pmod(col("id"), lit(nClusters.toLong)), c, 1) +
-            nscale(c) * (u(col("id"), c, 2) - lit(0.5))).as("v"))
+        array((0 until Dim).map { d =>
+          u(pmod(col("id"), lit(nClusters.toLong)), lit(d), 1) +
+            lit(nsc(d)) * (u(col("id"), lit(d), 2) - lit(0.5))
+        }: _*).as("v"))
       val twins = spark.range(nq).select(
         (col("id") + lit(2000000000L)).as("vec_id"),
-        transform(sequence(lit(0), lit(Dim - 1)), c =>
-          (u(pmod(col("id"), lit(nClusters.toLong)), c, 1) +
-            nscale(c) * (u(col("id"), c, 2) - lit(0.5)) +
-            lit(0.04) * (u(col("id"), c, 3) - lit(0.5))) * lit(1.05)).as("v"))
-      val raw = base.unionByName(twins)
-      val out = if (corpusMode == "rotgauss") rotate(raw, globalQ) else raw
-      out.repartition(32).localCheckpoint(true)
+        array((0 until Dim).map { d =>
+          (u(pmod(col("id"), lit(nClusters.toLong)), lit(d), 1) +
+            lit(nsc(d)) * (u(col("id"), lit(d), 2) - lit(0.5)) +
+            lit(0.04) * (u(col("id"), lit(d), 3) - lit(0.5))) * lit(1.05)
+        }: _*).as("v"))
+      val raw = base.unionByName(twins).repartition(32).localCheckpoint(true)
+      if (corpusMode == "rotgauss")
+        rotate(raw, globalQ).repartition(32).localCheckpoint(true)
+      else raw
     }
 
     /** Deterministic parametric-OPQ rotation for m subspaces: PCA
