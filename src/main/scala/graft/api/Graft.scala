@@ -326,10 +326,16 @@ object Graft {
     graft.operators.Dedup.incrementalPairsStored(baseIndex, deltaIndex,
       tau = 0.0, dfCap, containment = true)
 
-  /** Centroid ceiling for [[ivfIndex]]'s collected argmax literal —
-    * 2^17 rows ≈ 134 MB at dim 128, the k ≈ √n of a 10-billion-vector
-    * corpus; past it, shard the corpus and merge per-shard indexes. */
-  val MaxBroadcastCentroids: Int = 1 << 17
+  /** Centroid ceiling for [[ivfIndex]]'s collected argmax literal.
+    * The literal ships inside the task binary and JAVA-DESERIALIZES
+    * INTO EVERY TASK'S HEAP as boxed nested arrays (probe 41 measured
+    * the cliff: ~41k×64 doubles OOMed 32 concurrent tasks at 8 GB,
+    * while 4096×64 served comfortably) — so the default stops at
+    * 2^14 = 16384 rows (~8 MB raw at dim 64, proven headroom), NOT at
+    * what the wire could carry. Past it, shard the corpus and merge
+    * per-shard indexes, or raise maxCentroids explicitly with
+    * per-task heap sized for k×dim boxed copies. */
+  val MaxBroadcastCentroids: Int = 1 << 14
 
   /** Build an IVF (inverted-file) ANN index: every vector assigned to
     * its nearest centroid by cosine (ties → lowest centroid id;
