@@ -9,6 +9,33 @@ class PlanSpec extends SparkSpec {
   private def plan(name: String): String =
     SparkEntry.queries(name)(spark, sf).queryExecution.executedPlan.toString
 
+  test("ANN index builds are exchange-free: ivfIndex / ivfResiduals / pqEncode (r20)") {
+    // the r20 honesty pass: these three previously groupBy'd unique
+    // ids (contracting nothing — the corpus re-shuffled per build,
+    // pqEncode twice); they now assign inside ONE map-side projection
+    // over a collected artifact literal. This pin keeps them that way.
+    import graft.api.Graft
+    import org.apache.spark.sql.functions.col
+    val emb = Tables.embeddings(spark, sf)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+    val cents = emb.where(col("vec_id") % 47 === 0)
+      .select(col("vec_id").as("cent_id"), col("v").as("cv"))
+    val idxPlan = Graft.ivfIndex(emb, "vec_id", "v", cents, "cent_id", "cv")
+      .queryExecution.executedPlan.toString
+    assert(!idxPlan.contains("Exchange") && !idxPlan.contains("Join"),
+      s"ivfIndex must be a pure scan->project:\n$idxPlan")
+    val resPlan = Graft.ivfResiduals(emb, "vec_id", "v", cents,
+        "cent_id", "cv")
+      .queryExecution.executedPlan.toString
+    assert(!resPlan.contains("Exchange") && !resPlan.contains("Join"),
+      s"ivfResiduals must be a pure scan->project (residual inline):\n$resPlan")
+    val books = Graft.pqCodebooks(emb, "vec_id", "v", 64, 8, 4, 1)
+    val encPlan = Graft.pqEncode(emb, "vec_id", "v", books)
+      .queryExecution.executedPlan.toString
+    assert(!encPlan.contains("Exchange") && !encPlan.contains("Join"),
+      s"pqEncode must be a pure scan->project:\n$encPlan")
+  }
+
   test("order enrichment broadcasts all six dimension joins") {
     val p = plan("q_order_enriched")
     val broadcasts = "BroadcastHashJoin".r.findAllIn(p).size
