@@ -316,8 +316,19 @@ object Bench {
       val steal = math.max(stealAt, stealAfter)
       probe.foreach { case (name, t) =>
         if (!reprobed.contains(name)) reprobed :+= name
+        // keep the BEST child time (that is what adjudicates) but the
+        // QUIET attempt's host telemetry whenever any attempt was
+        // quiet — a pressured attempt that happened to record the
+        // lowest time must not stamp its host state over a quiet
+        // adjudication, or the artifact's documented reading ("quiet
+        // telemetry ⇒ real regression") inverts (ADVICE r20)
+        val attemptQuiet = rate >= QuietMbS && steal <= QuietStealPct
         quietReprobe += name -> (quietReprobe.get(name) match {
-          case Some((t0, r0, s0)) if t0 <= t => (t0, r0, s0)
+          case Some((t0, r0, s0)) =>
+            val best = math.min(t0, t)
+            val wasQuiet = r0 >= QuietMbS && s0 <= QuietStealPct
+            if (attemptQuiet || !wasQuiet) (best, rate, steal)
+            else (best, r0, s0)
           case _ => (t, rate, steal)
         })
         times = times.map { case (n, t0) =>

@@ -188,7 +188,7 @@ object Multimodal {
     * batch shape are real and oracle-checked.
     */
   def resizeStage(media: Dataset[MediaRecord],
-      maxSide: Int = 224): Dataset[ResizedMedia] = {
+      maxSide: Int = DefaultMaxSide): Dataset[ResizedMedia] = {
     import media.sparkSession.implicits._
     media.where(col("payload").isNotNull).mapPartitions { records =>
       val md = java.security.MessageDigest.getInstance("MD5")
@@ -225,17 +225,58 @@ object Multimodal {
     }
   }
 
-  /** #153 gate query — the resize plan (dims + byte budget) is fully
-    * oracle-checkable from the metadata; `resized_md5` is the stub
-    * resample's determinism witness, spec-verified (DuckDB cannot run
-    * the byte cycle).
+  /** #153 gate query — the resize PLAN (dims + byte budget), computed
+    * declaratively from the metadata alone. The gate's output never
+    * depended on the payload bytes — every emitted column is integer
+    * arithmetic over (width, height) — yet before r21 the query ran
+    * the full [[resizeStage]] typed decode (per-row object
+    * deserialization, P6 decode, a tw·th·3-byte resample buffer and
+    * an md5 per record) only to DROP `resized_md5` in the select:
+    * Spark cannot prune through `mapPartitions`, so ~150 KB/row of
+    * dead allocation rode the gate (guide §1.2 "don't compute things
+    * you throw away" / §8 "plan from metadata, move bytes once"). Now
+    * the plan columns come from [[resizeTargetW]]/[[resizeTargetH]]
+    * (whole-stage codegen, no object boundary); the BYTE-producing
+    * path — decode + resample + digest — remains [[resizeStage]],
+    * which production runs exactly when it writes resized bytes, and
+    * MultimodalSpec pins stage == plan on the same corpus so the two
+    * formulations cannot drift.
     */
-  def qMultimodalResize(spark: SparkSession, dir: String): DataFrame =
-    resizeStage(mediaTable(spark, dir))
-      .toDF()
-      .select("doc_id", "width", "height", "target_w", "target_h",
-        "out_bytes")
+  def qMultimodalResize(spark: SparkSession, dir: String): DataFrame = {
+    val m = mediaTable(spark, dir).toDF()
+      .where(col("payload").isNotNull)
+    m.select(col("doc_id"), col("width"), col("height"),
+        resizeTargetW(col("width"), col("height")).as("target_w"),
+        resizeTargetH(col("width"), col("height")).as("target_h"))
+      .withColumn("out_bytes",
+        col("target_w").cast("long") * col("target_h").cast("long") * lit(3L))
       .orderBy("doc_id")
+  }
+
+  /** The longest-side cap shared by [[resizeStage]] and the #153
+    * declarative plan columns. */
+  private[graft] val DefaultMaxSide = 224
+
+  /** [[resizeStage]]'s integer target math as codegen'd columns:
+    * `when(max(w,h) ≤ cap, side).otherwise(greatest(1, side·cap div
+    * max))` — Spark's `div` and the JVM's `/` both truncate toward
+    * zero, and the division is only reached when max(w,h) > cap > 0,
+    * so the two formulations agree on every input including the
+    * degenerate non-positive dims a negative doc_id manufactures
+    * (those take the ≤-cap branch in both).
+    */
+  private def resizeTarget(side: Column, w: Column, h: Column,
+      maxSide: Int): Column = {
+    val mx = greatest(w, h)
+    when(mx <= maxSide, side)
+      .otherwise(greatest(lit(1),
+        call_function("div", side * lit(maxSide), mx)))
+      .cast("int")
+  }
+  private[graft] def resizeTargetW(w: Column, h: Column,
+      maxSide: Int = DefaultMaxSide): Column = resizeTarget(w, w, h, maxSide)
+  private[graft] def resizeTargetH(w: Column, h: Column,
+      maxSide: Int = DefaultMaxSide): Column = resizeTarget(h, w, h, maxSide)
 
   val qMultimodalResizeSql: String =
     """WITH m AS (

@@ -8,12 +8,16 @@ import graft.Tables
   * every curation run starts from — row/non-null/distinct counts and
   * numeric min/max, ONE pass over the table.
   *
-  * Scale notes: the exact flavor plans Spark's multi-distinct Expand
-  * (input ×k for k profiled columns) — the right gate semantics, and
-  * fine while the table fits a ×k scan. The approx flavor swaps every
+  * Scale notes: the exact flavor runs one codegen'd declarative pass
+  * (count/min/max) plus one narrow two-phase distinct aggregate per
+  * column (r21 — previously Spark's multi-distinct Expand, input
+  * ×(k+1) with wide tuple-keyed partials; the split shuffles only
+  * each column's distinct values). The approx flavor swaps every
   * `count(distinct)` for an HLL sketch: single pass, NO Expand,
   * mergeable partials — the 100 TB default (the #11/#40 and #62/#63
-  * exact/approx pairing again). Min/max go through `try_cast(…AS
+  * exact/approx pairing again). Streaming/nondeterministic frames
+  * keep the single mixed-aggregate pass (multi-scan splits would be
+  * inconsistent there — see below). Min/max go through `try_cast(…AS
   * DOUBLE)`: exact for integers below 2⁵³ and dates-as-day-numbers;
   * NON-NUMERIC strings profile as null min/max (count/distinct still
   * meaningful), while digit-string columns DO get a numeric range —
@@ -68,7 +72,7 @@ object Profile {
     // by an EXTERNAL writer is undetectable here — snapshot it first.)
     val nondet = !df.isStreaming && df.queryExecution.analyzed.exists(
       p => p.expressions.exists(e => e.exists(!_.deterministic)))
-    val one = if (!approx || df.isStreaming || nondet) {
+    val one = if (df.isStreaming || nondet) {
       val aggs = cols.zipWithIndex.flatMap { case (c, i) =>
         Seq(
           count(col(q(c))).as(s"_nn$i"),
@@ -78,6 +82,36 @@ object Profile {
           max(expr(s"try_cast(${q(c)} AS DOUBLE)")).as(s"_mx$i"))
       }
       df.agg(count(lit(1)).as("_rows"), aggs: _*)
+    } else if (!approx) {
+      // The exact flavor splits like the approx one (r21): one
+      // codegen'd declarative pass for count/min/max plus one NARROW
+      // two-phase distinct aggregate per column, instead of the
+      // multi-distinct Expand. The Expand plan multiplies the input
+      // ×(k+1) and its first aggregate groups on the FULL k-column
+      // tuple — for a table with a unique key column that is one hash
+      // group per input row carrying 3k+1 aggregate buffers, and the
+      // exchange ships those wide partials (measured at sf0.1: 150k
+      // orders → 1.05M expanded rows × 26 columns). Split, each
+      // distinct pass deduplicates map-side on its own column and
+      // exchanges single-column rows (guide §2.3 "shuffle fewer
+      // bytes"), and the k+1 scans each read one pruned parquet
+      // column — the same total bytes as the one wide scan. The
+      // joins of k+1 single-row frames are free. Consistency across
+      // the multi-scan split matches the approx contract above:
+      // deterministic batch frames only (streaming/nondet keep the
+      // single mixed pass), `snapshot = true` for live tables.
+      val declAggs = cols.zipWithIndex.flatMap { case (c, i) =>
+        Seq(
+          count(col(q(c))).as(s"_nn$i"),
+          min(expr(s"try_cast(${q(c)} AS DOUBLE)")).as(s"_mn$i"),
+          max(expr(s"try_cast(${q(c)} AS DOUBLE)")).as(s"_mx$i"))
+      }
+      val src = if (snapshot) df.localCheckpoint(true) else df
+      cols.zipWithIndex.foldLeft(
+        src.agg(count(lit(1)).as("_rows"), declAggs: _*)) {
+        case (acc, (c, i)) =>
+          acc.crossJoin(src.agg(countDistinct(col(q(c))).as(s"_nd$i")))
+      }
     } else {
       // The approx flavor runs TWO single-row aggregates over the same
       // pruned scan instead of one wide mixed aggregate: HLL is an

@@ -396,20 +396,27 @@ object Text {
 
   /** #35 — document fingerprinting: md5 of the normalized text plus a
     * 31-polynomial rolling hash mod 1e9+7 over the character stream
-    * (a left fold, same order both engines).
+    * (a left fold, same order both engines). The fold is the
+    * codegen'd [[graft.functions.PolyHashStr]] scalar (r21 — the same
+    * `(acc·31 + cp) % 1e9+7` recurrence the #195 family already
+    * hash-gates against the identical DuckDB lambda): the previous
+    * `aggregate(transform(split(norm, "")))` HOF chain allocated one
+    * single-char String + one boxed Long PER CHARACTER, interpreted —
+    * exactly the allocation profile this VM's memory-oversubscribed
+    * host amplifies 10-100× (the VERDICT r20 "q_doc_fingerprint quiet
+    * drift" finding; the codegen'd loop walks the UTF8String's code
+    * points with zero per-char allocation).
     */
-  def qDocFingerprint(spark: SparkSession, dir: String): DataFrame =
+  def qDocFingerprint(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.PolyHashStr.register(spark)
     Tables.documents(spark, dir)
       .withColumn("norm",
         trim(regexp_replace(lower(col("text")), " +", " ")))
       .withColumn("fp_md5", md5(col("norm")))
-      .withColumn("rolling_hash",
-        aggregate(
-          transform(split(col("norm"), ""), c => ascii(c).cast("long")),
-          lit(0L),
-          (acc, x) => (acc * 31 + x) % 1000000007L))
+      .withColumn("rolling_hash", call_function("poly_hash", col("norm")))
       .select("doc_id", "fp_md5", "rolling_hash")
       .orderBy("doc_id")
+  }
 
   val qDocFingerprintSql: String =
     // null text → NULL fingerprint on BOTH engines (like md5): Spark's
@@ -934,59 +941,142 @@ object Text {
   private def fxSum(prod: Column, denom: Column): Column =
     sum(floor(prod * lit(1000000.0)).cast("long")).cast("double") / denom
 
-  /** Full-batch GD fit of the linear probe: w₀ = 0; per round, scores
-    * = feature⋈broadcast(w) fixed-point sums, residual = score − y,
-    * gradient per bucket the same contraction ÷ n, update w ← w −
-    * lr·g on the DRIVER (dims+1 doubles — the [[graft.api.Graft
-    * .kmeansCentroids]] convention: only the model ever reaches the
-    * driver). Deterministic under any partitioning; the oracle unrolls
-    * the same rounds as CTEs.
+  /** [[classifierFeatures]]' rows collected to ONE array per score
+    * grain: `(doc_id, fv: array<struct<i,x>>)` — element-for-element
+    * the flat frame's rows under `groupBy(doc_id)` (the grouping every
+    * fxSum contraction keyed on), including the corner semantics: a
+    * null-id group keeps one collected row (the flat frame's null
+    * score group), token rows of a null-id doc are dropped (the flat
+    * build's inner `nt` join), and a duplicated id contributes one
+    * merged count set plus one bias entry PER input row (the flat
+    * build's per-row bias union). CurationSpec pins this equality on
+    * a planted null/dup/empty corpus.
+    *
+    * This is the r21 fit/score shape: with the per-doc grain
+    * materialized ONCE, each GD round and the final scoring become
+    * map-side array folds against driver-held weights instead of a
+    * broadcast join + per-doc shuffle contraction per round (guide
+    * §2.3/§2.4 — the contraction's exchange was paid 6× per fit).
+    * Built directly (not via [[classifierFeatures]] + collect): the
+    * flat build tokenizes the corpus TWICE (the `nt` totals branch
+    * and the counts branch each re-run the explode); here one explode
+    * feeds a (doc, bucket) count, the per-doc total folds from the
+    * collected counts, and the bias entries append per input row —
+    * and the doc-grain join of the two groupBys reuses the exchange
+    * (both hash-partitioned on doc_id).
     */
-  private[graft] def classifierFit(feat: DataFrame, lab: DataFrame,
-      dims: Int, iters: Int, lr: Double,
-      sharedFeat: Boolean = false): Array[Double] = {
-    val spark = feat.sparkSession
+  private[graft] def classifierFeatureVecs(df: DataFrame, idCol: String,
+      textCol: String, dims: Int = ClsDims): DataFrame = {
+    graft.functions.PolyHashStr.register(df.sparkSession)
+    val emptyFv = array().cast("array<struct<i:int,x:double>>")
+    val perDoc = df
+      .select(col(idCol).as("doc_id"),
+        explode(filter(split(lower(col(textCol)), " "), t => t =!= "")).as("t"))
+      .select(col("doc_id"),
+        pmod(call_function("poly_hash", col("t")), lit(dims.toLong))
+          .cast("int").as("i"))
+      .groupBy("doc_id", "i").agg(count(lit(1)).as("c"))
+      .groupBy("doc_id")
+      .agg(collect_list(struct(col("i"), col("c"))).as("cs"),
+        sum(col("c")).as("n"))
+    df.select(col(idCol).as("doc_id"))
+      .groupBy("doc_id").agg(count(lit(1)).as("nb"))
+      .join(perDoc, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        concat(
+          coalesce(transform(col("cs"), s =>
+            struct(s.getField("i").as("i"),
+              (s.getField("c").cast("double") / col("n").cast("double"))
+                .as("x"))), emptyFv),
+          transform(sequence(lit(1L), col("nb")), _ =>
+            struct(lit(dims).as("i"), lit(1.0).as("x")))).as("fv"))
+  }
+
+  /** Map-side fixed-point score of a collected feature vector against
+    * driver-held weights: Σ floor((x·wᵢ)·10⁶) as LONG over the array
+    * (long addition is associative/commutative, so any fold order —
+    * array, hash-aggregate, oracle CTE — produces the identical sum),
+    * then the single [[fxSum]] division. The summand expression is
+    * bit-identical to fxSum's `floor((x·w)·10⁶)`: the weight arrives
+    * via `element_at` on a dims+1 array literal (257 doubles — far
+    * under any broadcast-literal hazard) instead of a broadcast-join
+    * column, but the three IEEE ops are the same three ops.
+    */
+  private def scoreVecExpr(fvCol: Column, w: Array[Double]): Column = {
+    val wl = typedLit(w.toSeq)
+    aggregate(fvCol, lit(0L), (acc, s) =>
+      acc + floor(s.getField("x") * element_at(wl, s.getField("i") + lit(1))
+        * lit(1000000.0)).cast("long"))
+      .cast("double") / lit(1000000.0)
+  }
+
+  /** Full-batch GD fit of the linear probe over the COLLECTED feature
+    * frame ([[classifierFeatureVecs]], caller-persisted): w₀ = 0; per
+    * round ONE job — join the labels (the same inner `doc_id` join the
+    * flat fit's residual step performed, so null-id/dup-id semantics
+    * are unchanged), score each doc by the map-side array fold,
+    * explode the per-bucket fixed-point gradient summands and contract
+    * them map-side-combinably onto dims+1 keys, update w ← w − lr·g on
+    * the DRIVER (dims+1 doubles — the [[graft.api.Graft
+    * .kmeansCentroids]] convention: only the model ever reaches the
+    * driver). Replaces the pre-r21 per-round shape (weights broadcast
+    * join + per-doc shuffle contraction + resid join + per-bucket
+    * shuffle contraction); every long summand is the identical
+    * floor((·)·10⁶) the oracle CTEs compute, so the w trajectory is
+    * bit-for-bit the flat fit's. Deterministic under any partitioning.
+    */
+  private[graft] def classifierFit(featV: DataFrame, lab: DataFrame,
+      dims: Int, iters: Int, lr: Double): Array[Double] = {
+    val spark = featV.sparkSession
     import spark.implicits._
-    // both frames serve every GD round (features 2×, labels 2× + the
-    // count) — persist them for the loop's lifetime. `sharedFeat`
-    // means the CALLER holds the feature persist beyond the fit
-    // (the gate query scores from the same frame, mirroring the
-    // oracle's MATERIALIZED feat CTE) — unpersist is not refcounted,
-    // so the fit must not drop it
-    val f = if (sharedFeat) feat else feat.persist()
+    // labels serve the count and the round loop's join — persist both
+    // the label frame and the PRE-JOINED (featV ⋈ lab) frame for the
+    // loop's lifetime: the inner doc_id join is identical every round
+    // (w only changes the projection), so paying it once instead of
+    // per round removes a join + broadcast build + label re-scan from
+    // each GD job (probe: ~0.44 s → ~0.31 s per round). Unpersisted
+    // on exit — the fit's caches are loop-internal.
     val l = lab.persist()
+    val fl = featV.join(l, Seq("doc_id")).persist()
     try {
+      // n counts LABEL rows (null-id rows included — they carry no
+      // gradient, the pre-joined frame drops them, but they are part
+      // of the oracle's denominator), so it must come from l, not fl
       val n = l.count()
       require(n > 0, "classifier fit needs at least one labeled doc")
       var w = Array.fill(dims + 1)(0.0)
       for (_ <- 0 until iters) {
-        val wDf = w.zipWithIndex.map { case (v, i) => (i, v) }.toSeq
-          .toDF("i", "w")
-        val scores = f.join(broadcast(wDf), "i")
-          .groupBy("doc_id")
-          .agg(fxSum(col("x") * col("w"),
-            lit(1000000.0)).as("sc"))
-        val resid = l.join(scores, Seq("doc_id"))
-          .select(col("doc_id"), (col("sc") - col("y")).as("r"))
-        val grads = f.join(resid, Seq("doc_id"))
-          .groupBy("i")
-          .agg(fxSum(col("x") * col("r"),
-            lit(n * 1000000L).cast("double")).as("g"))
-          .as[(Int, Double)].collect().toMap
-        w = w.zipWithIndex.map { case (v, i) => v - lr * grads.getOrElse(i, 0.0) }
+        val grads = fl
+          .select(col("fv"),
+            (scoreVecExpr(col("fv"), w) - col("y")).as("r"))
+          .select(explode(transform(col("fv"), s =>
+            struct(s.getField("i").as("i"),
+              floor(s.getField("x") * col("r") * lit(1000000.0))
+                .cast("long").as("v")))).as("g"))
+          .groupBy(col("g.i").as("i")).agg(sum(col("g.v")).as("s"))
+          .as[(Int, Long)].collect().toMap
+        w = w.zipWithIndex.map { case (v, i) =>
+          v - lr * (grads.getOrElse(i, 0L).toDouble / (n * 1000000L).toDouble) }
       }
       w
-    } finally { if (!sharedFeat) { f.unpersist(); () }; l.unpersist(); () }
+    } finally { fl.unpersist(); l.unpersist(); () }
   }
 
   /** The (doc, bucket) score contraction over an ALREADY-BUILT feature
-    * frame — the shared tail of [[classifierScoreWith]] and the gate
-    * query's feature-frame reuse.
+    * frame — the shared tail of [[classifierScoreWith]] (streaming
+    * frozen-model scoring, where the weights arrive as a frame).
     */
   private def scoreFeat(feat: DataFrame, weights: DataFrame): DataFrame =
     feat.join(broadcast(weights.select(col("i"), col("w"))), "i")
       .groupBy("doc_id")
       .agg(fxSum(col("x") * col("w"), lit(1000000.0)).as("score"))
+
+  /** [[scoreFeat]]'s twin over the collected frame: one map-side
+    * projection, no join, no contraction exchange — identical rows
+    * (the groupBy(doc_id) grain was materialized at collect time).
+    */
+  private def scoreFeatVec(featV: DataFrame, w: Array[Double]): DataFrame =
+    featV.select(col("doc_id"), scoreVecExpr(col("fv"), w).as("score"))
 
   /** Score any id+text frame against fitted weights `(i, w)` — the
     * FROZEN-MODEL form (#126/#146's discipline): pure map work plus
@@ -1013,9 +1103,11 @@ object Text {
     import spark.implicits._
     val lab = df.select(col(idCol).as("doc_id"),
       when(coalesce(isRef, lit(false)), lit(1.0)).otherwise(lit(0.0)).as("y"))
-    val w = classifierFit(classifierFeatures(df, idCol, textCol, dims),
-      lab, dims, iters, lr)
-    w.zipWithIndex.map { case (v, i) => (i, v) }.toSeq.toDF("i", "w")
+    val fv = classifierFeatureVecs(df, idCol, textCol, dims).persist()
+    try {
+      val w = classifierFit(fv, lab, dims, iters, lr)
+      w.zipWithIndex.map { case (v, i) => (i, v) }.toSeq.toDF("i", "w")
+    } finally { fv.unpersist(); () }
   }
 
   /** Fit + score + keep in one call (the [[graft.operators.Corpus
@@ -1029,19 +1121,15 @@ object Text {
       textCol: String, isRef: Column, threshold: Double = 0.5,
       dims: Int = ClsDims, iters: Int = ClsIters,
       lr: Double = ClsLr): DataFrame = {
-    val spark = df.sparkSession
-    import spark.implicits._
     // ONE feature build serves the fit and the final scoring (the
-    // qQualityClassifier gate lifecycle: persist, fit with
-    // sharedFeat=true, return the lazy scored frame against the same
-    // cached frame — previously the facade tokenized and hashed the
-    // corpus twice, once inside the fit and once for scoring)
-    val feat = classifierFeatures(df, idCol, textCol, dims).persist()
+    // qQualityClassifier gate lifecycle: persist the collected frame,
+    // fit, return the lazy scored frame against the same cached frame
+    // — the facade tokenizes and hashes the corpus exactly once)
+    val featV = classifierFeatureVecs(df, idCol, textCol, dims).persist()
     val lab = df.select(col(idCol).as("doc_id"),
       when(coalesce(isRef, lit(false)), lit(1.0)).otherwise(lit(0.0)).as("y"))
-    val w = classifierFit(feat, lab, dims, iters, lr, sharedFeat = true)
-    val wDf = w.zipWithIndex.map { case (v, i) => (i, v) }.toSeq.toDF("i", "w")
-    scoreFeat(feat, wDf)
+    val w = classifierFit(featV, lab, dims, iters, lr)
+    scoreFeatVec(featV, w)
       .select(col("doc_id"), col("score"),
         (col("score") >= threshold).as("keep"))
   }
@@ -1074,12 +1162,9 @@ object Text {
     // one feature build serves the fit AND the final scoring — the
     // oracle MATERIALIZEs the same feat CTE for both (the #47 gate
     // lifecycle: persist, no unpersist on the lazy returned frame)
-    val feat = classifierFeatures(docs, "doc_id", "text").persist()
-    val w = classifierFit(feat, lab, ClsDims, ClsIters, ClsLr,
-      sharedFeat = true)
-    import spark.implicits._
-    val wDf = w.zipWithIndex.map { case (v, i) => (i, v) }.toSeq.toDF("i", "w")
-    val scores = scoreFeat(feat, wDf)
+    val featV = classifierFeatureVecs(docs, "doc_id", "text").persist()
+    val w = classifierFit(featV, lab, ClsDims, ClsIters, ClsLr)
+    val scores = scoreFeatVec(featV, w)
     lab.select(col("doc_id"), (col("y") === 1.0).as("is_ref"))
       .join(scores, Seq("doc_id"))
       .select(col("doc_id"), col("is_ref"), col("score"),
@@ -1193,13 +1278,10 @@ object Text {
     val isRef = pmod(call_function("poly_hash", col("source")), lit(4L)) === 0
     val lab = docs.select(col("doc_id"),
       when(coalesce(isRef, lit(false)), lit(1.0)).otherwise(lit(0.0)).as("y"))
-    val feat = classifierFeatures(docs, "doc_id", "text").persist()
-    val w = classifierFit(feat, lab, ClsDims, ClsIters, ClsLr,
-      sharedFeat = true)
-    import spark.implicits._
-    val wDf = w.zipWithIndex.map { case (v, i) => (i, v) }.toSeq.toDF("i", "w")
+    val featV = classifierFeatureVecs(docs, "doc_id", "text").persist()
+    val w = classifierFit(featV, lab, ClsDims, ClsIters, ClsLr)
     docs.select(col("doc_id"), col("source"))
-      .join(scoreFeat(feat, wDf), Seq("doc_id"))
+      .join(scoreFeatVec(featV, w), Seq("doc_id"))
       .groupBy("source")
       .agg(count(lit(1)).as("n_docs"),
         sum(when(col("score") >= 0.5, 1L).otherwise(0L)).as("n_keep"),
@@ -1267,14 +1349,11 @@ object Text {
     val lab = docs.where(split =!= 0)
       .select(col("doc_id"),
         when(coalesce(isRef, lit(false)), lit(1.0)).otherwise(lit(0.0)).as("y"))
-    val feat = classifierFeatures(docs, "doc_id", "text").persist()
-    val w = classifierFit(feat, lab, ClsDims, ClsIters, ClsLr,
-      sharedFeat = true)
-    import spark.implicits._
-    val wDf = w.zipWithIndex.map { case (v, i) => (i, v) }.toSeq.toDF("i", "w")
+    val featV = classifierFeatureVecs(docs, "doc_id", "text").persist()
+    val w = classifierFit(featV, lab, ClsDims, ClsIters, ClsLr)
     docs.where(split === 0)
       .select(col("doc_id"), col("source"), isRef.as("is_ref"))
-      .join(scoreFeat(feat, wDf), Seq("doc_id"))
+      .join(scoreFeatVec(featV, w), Seq("doc_id"))
       .groupBy("source", "is_ref")
       .agg(count(lit(1)).as("n_holdout"),
         sum(when(col("score") >= 0.5, 1L).otherwise(0L)).as("n_keep"),

@@ -496,6 +496,37 @@ class CurationSpec extends SparkSpec {
       "frozen-model scores drifted from the one-call fit")
   }
 
+  test("collected feature vectors equal the flat feature frame (r21 corners)") {
+    // the r21 fit/score shape folds per-doc arrays instead of joining
+    // the flat (doc, bucket, x) frame; this pins the two builds
+    // element-for-element — including the corners the scaladoc
+    // promises: null ids (bias-only null group, token rows dropped),
+    // a DUPLICATED id (merged counts, one bias per input row), null
+    // and empty text (bias only)
+    import graft.operators.Text
+    import spark.implicits._
+    val docs = Seq(
+      (java.lang.Long.valueOf(1L), "alpha beta alpha"),
+      (java.lang.Long.valueOf(2L), ""),
+      (java.lang.Long.valueOf(3L), null: String),
+      (null: java.lang.Long, "gamma delta"),
+      (null: java.lang.Long, "epsilon"),
+      (java.lang.Long.valueOf(7L), "zeta eta"),
+      (java.lang.Long.valueOf(7L), "zeta theta")
+    ).toDF("doc_id", "text")
+    val flat = Text.classifierFeatures(docs, "doc_id", "text")
+      .groupBy("doc_id")
+      .agg(collect_list(struct(col("i"), col("x"))).as("fv"))
+      .select(col("doc_id"), explode(col("fv")).as("e"))
+      .select(col("doc_id"), col("e.i"), col("e.x"))
+    val vec = Text.classifierFeatureVecs(docs, "doc_id", "text")
+      .select(col("doc_id"), explode(col("fv")).as("e"))
+      .select(col("doc_id"), col("e.i"), col("e.x"))
+    assert(flat.exceptAll(vec).count() == 0 &&
+      vec.exceptAll(flat).count() == 0,
+      "collected feature vectors diverged from the flat feature frame")
+  }
+
   test("classifier calibration reconciles with the per-doc verdicts") {
     // #197 is a pure summary of #195: per source, n_docs/n_keep must
     // equal the per-doc gate's keep column grouped by source, and the

@@ -81,6 +81,15 @@ class MultimodalSpec extends SparkSpec {
       val again = Multimodal.resizeStage(media.repartition(7)).toDF()
         .select("doc_id", "resized_md5")
       assert(r.select("doc_id", "resized_md5").exceptAll(again).count() == 0)
+      // the #153 gate's declarative plan columns equal the decode
+      // stage's JVM math row-for-row (r21: the gate computes the plan
+      // from metadata alone; this pins the two formulations together)
+      val planCols = Multimodal.qMultimodalResize(spark, sf)
+      val stageCols = r.select("doc_id", "width", "height",
+        "target_w", "target_h", "out_bytes")
+      assert(planCols.exceptAll(stageCols).count() == 0 &&
+        stageCols.exceptAll(planCols).count() == 0,
+        "declarative resize plan diverged from resizeStage's math")
     } finally r.unpersist()
   }
 

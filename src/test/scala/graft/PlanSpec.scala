@@ -36,6 +36,20 @@ class PlanSpec extends SparkSpec {
       s"pqEncode must be a pure scan->project:\n$encPlan")
   }
 
+  test("resize gate is declarative: no object boundary, no decode (r21)") {
+    // #153 — the gate emits the metadata-only resize plan; before r21
+    // it ran the full typed decode stage (MapPartitions over
+    // MediaRecord objects, a tw·th·3 resample buffer + md5 per row)
+    // and dropped the digest column — ~150 KB/row of dead allocation
+    // Spark could not prune through the object boundary. The plan must
+    // stay scan -> project -> sort, whole-stage codegen throughout.
+    val p = plan("q_multimodal_resize")
+    assert(!p.contains("MapPartitions") && !p.contains("DeserializeToObject"),
+      s"resize gate reverted to the typed decode path:\n$p")
+    assert(!"Exchange hashpartitioning".r.findFirstIn(p).isDefined,
+      s"resize gate should have no hash exchange (only the sort range):\n$p")
+  }
+
   test("order enrichment broadcasts all six dimension joins") {
     val p = plan("q_order_enriched")
     val broadcasts = "BroadcastHashJoin".r.findAllIn(p).size
@@ -478,17 +492,27 @@ class PlanSpec extends SparkSpec {
       s"the corpus must not shuffle-join a per-source bounds frame:\n$p")
   }
 
-  test("approx profile plans a single pass with no Expand") {
-    // the exact flavor's multi-distinct Expand (input ×k) is the
-    // documented gate trade; the HLL flavor must NOT pay it
+  test("profile plans split passes with no Expand (exact r21, approx r11)") {
+    // the exact flavor previously paid the multi-distinct Expand
+    // (input ×(k+1), wide tuple-keyed partials); since r21 it splits
+    // into one declarative pass + k narrow per-column distinct
+    // aggregates — no Expand anywhere in the batch deterministic
+    // paths. The streaming/nondet fallback keeps the mixed single
+    // pass and IS allowed to Expand.
     val o = Tables.orders(spark, sf)
     val cols = Seq("o_orderkey", "o_custkey", "o_totalprice")
     val pExact = graft.api.Graft.profile(o, cols)
       .queryExecution.executedPlan.toString
     val pApprox = graft.api.Graft.profile(o, cols, approx = true)
       .queryExecution.executedPlan.toString
-    assert(pExact.contains("Expand"), s"exact profile should multi-distinct:\n$pExact")
+    assert(!pExact.contains("Expand"), s"exact profile must not Expand (r21 split):\n$pExact")
     assert(!pApprox.contains("Expand"), s"approx profile must not Expand:\n$pApprox")
+    // the fallback single-pass shape (nondet source) still multi-distincts
+    val nd = o.withColumn("r", org.apache.spark.sql.functions.rand(7))
+    val pNd = graft.api.Graft.profile(nd, cols)
+      .queryExecution.executedPlan.toString
+    assert(pNd.contains("Expand"),
+      s"nondet fallback must stay a single mixed pass:\n$pNd")
   }
 
   test("mixture sample broadcasts the rates config, corpus stays map-only") {
@@ -802,23 +826,26 @@ class PlanSpec extends SparkSpec {
       s"IVFADC gate planned a real cartesian:\n$p")
   }
 
-  test("quality classifier: model broadcasts, features hash via codegen") {
-    // #195 — the SERVED plan (fit already folded into the weight
-    // literals by the time the gate frame exists): the dims+1-row
-    // model must broadcast into the (doc, bucket) contraction, token
-    // hashing must be the codegen'd poly_hash scalar, no corpus-sized
-    // frame may cartesian, and the feature frame built for the fit
-    // must be REUSED for the final scoring (the oracle MATERIALIZEs
-    // the same feat CTE) — without the cache the whole explode +
-    // two-aggregate chain re-executes
+  test("quality classifier: scoring is a map-side fold over the cached vectors (r21)") {
+    // #195/#197 — the SERVED plan after the r21 collected-vector
+    // rework: the fitted weights ride as a dims+1 array LITERAL into
+    // a map-side fold over the persisted per-doc feature vectors (no
+    // weights join, no per-doc contraction exchange), the cached
+    // feature frame built for the fit must be REUSED for the final
+    // scoring (the oracle MATERIALIZEs the same feat CTE), the
+    // readout tail joins are broadcast (never a corpus shuffle), and
+    // nothing may cartesian. Token hashing stays the codegen'd
+    // poly_hash scalar (visible in the label/feature subtrees).
     Seq("q_quality_classifier", "q_classifier_calibration").foreach { q =>
       val p = plan(q)
+      assert(p.contains("InMemoryTableScan"),
+        s"$q: the fit's feature-vector frame must be reused via cache:\n$p")
       assert(p.contains("BroadcastHashJoin"),
-        s"$q: the weights model must broadcast-join the features:\n$p")
+        s"$q: the readout tail must broadcast-join the scores:\n$p")
+      assert(!p.contains("SortMergeJoin"),
+        s"$q: no corpus-sized shuffle join belongs in the served plan:\n$p")
       assert(p.toLowerCase.contains("poly_hash"),
         s"$q: token hashing must be the codegen'd poly_hash expression:\n$p")
-      assert(p.contains("InMemoryTableScan"),
-        s"$q: the fit's feature frame must be reused via cache:\n$p")
       assert(!p.contains("CartesianProduct"),
         s"$q planned a real cartesian:\n$p")
       spark.catalog.clearCache()
