@@ -434,7 +434,7 @@ object Similarity {
       .where(col("crank") <= NProbe)
       .select(col("q_id"), col("qv"), col("cent_id").as("cell"))
     val wTop = Window.partitionBy("q_id").orderBy(col("cos").desc, col("vec_id"))
-    probes.join(assigned, "cell")
+    assigned.join(broadcast(probes), "cell")
       .where(col("vec_id") =!= col("q_id"))
       .withColumn("cos", cosine(col("qv"), col("v")))
       .withColumn("rank", row_number().over(wTop))
@@ -788,7 +788,7 @@ object Similarity {
     val exact = qAnnCosineTopk(spark, dir).select(col("q_id"), col("vec_id"))
     val approx = annIvfWithProbes(spark, dir, nprobe = 2)
       .select(col("q_id"), col("vec_id"), lit(1L).as("hit"))
-    val perQ = exact.join(approx, Seq("q_id", "vec_id"), "left")
+    val perQ = exact.join(broadcast(approx), Seq("q_id", "vec_id"), "left")
       .groupBy("q_id")
       .agg(count(lit(1)).as("expected"),
         coalesce(sum("hit"), lit(0L)).as("hits"))
@@ -1286,7 +1286,7 @@ object Similarity {
       .where(col("crank") <= 2)
       .select(col("q_id"), col("qv"), col("cent_id").as("cell"))
     val wTop = Window.partitionBy("q_id").orderBy(col("score").desc, col("vec_id"))
-    probes.join(recon, "cell")
+    recon.join(broadcast(probes), "cell")
       .where(col("vec_id") =!= col("q_id"))
       .withColumn("score",
         call_function("dot_product", col("qv"), col("vhat")))
@@ -1426,7 +1426,7 @@ object Similarity {
       .where(col("crank") <= 2)
       .select(col("q_id"), col("qv"), col("cent_id").as("cell"))
     val wTop = Window.partitionBy("q_id").orderBy(col("score").desc, col("vec_id"))
-    probes.join(recon, "cell")
+    recon.join(broadcast(probes), "cell")
       .where(col("vec_id") =!= col("q_id"))
       .withColumn("score",
         call_function("dot_product", col("qv"), col("vhat")))
@@ -1522,7 +1522,7 @@ object Similarity {
     val exact = qAnnCosineTopk(spark, dir).select(col("q_id"), col("vec_id"))
     val approx = qAnnIvfSq(spark, dir)
       .select(col("q_id"), col("vec_id"), lit(1L).as("hit"))
-    val perQ = exact.join(approx, Seq("q_id", "vec_id"), "left")
+    val perQ = exact.join(broadcast(approx), Seq("q_id", "vec_id"), "left")
       .groupBy("q_id")
       .agg(count(lit(1)).as("expected"),
         coalesce(sum("hit"), lit(0L)).as("hits"))
@@ -1677,7 +1677,7 @@ object Similarity {
         .agg(min_by(col("round"), struct(col("d"), col("round"))).as("round"))
         .groupBy("round").agg(count(lit(1)).as("n_assigned"))
       cents.select("round", "center_id", "radius")
-        .join(assigned, Seq("round"), "left")
+        .join(broadcast(assigned), Seq("round"), "left")
         .select(col("round"), col("center_id"),
           coalesce(col("n_assigned"), lit(0L)).as("n_assigned"), col("radius"))
         .orderBy("round")
@@ -1769,7 +1769,7 @@ object Similarity {
       .select(col("q_id"), col("vec_id"))
     val approx = qAnnPq(spark, dir)
       .select(col("q_id"), col("vec_id"), lit(1L).as("hit"))
-    val perQ = exact.join(approx, Seq("q_id", "vec_id"), "left")
+    val perQ = exact.join(broadcast(approx), Seq("q_id", "vec_id"), "left")
       .groupBy("q_id")
       .agg(count(lit(1)).as("expected"),
         coalesce(sum("hit"), lit(0L)).as("hits"))

@@ -815,6 +815,24 @@ class PlanSpec extends SparkSpec {
   // pin: the profile fan-out is now a deliberate broadcast nest-loop
   // over langs×1 map rows, not an equi-join against a gram frame.)
 
+  test("IVF probe and recall joins broadcast the query-bounded side (r21)") {
+    // #31/#170/#182/#205/#208/#211/#184 — the probe list is
+    // NQueries × nprobe rows and every recall/population frame is
+    // TopK × NQueries (or k) rows; before r21 these joins planned as
+    // SortMergeJoins from unknown post-window stats, shuffling the
+    // corpus-scale store by cell to meet a 20-row probe frame. The
+    // query-bounded side must broadcast (guide §3.1); the corpus
+    // never shuffle-joins in this family.
+    Seq("q_ann_ivf", "q_ann_recall", "q_ann_ivf_sq", "q_ann_ivf_sq_cell",
+      "q_ann_ivf_sq_recall", "q_ann_pq_recall", "q_coreset_kcenter")
+      .foreach { q =>
+        val p = plan(q)
+        assert(!p.contains("SortMergeJoin") && !p.contains("ShuffledHashJoin"),
+          s"$q: corpus-sized shuffle join crept back in:\n$p")
+        spark.catalog.clearCache()
+      }
+  }
+
   test("residual IVFADC recall: broadcast-only composition, corpus never shuffle-joins") {
     // #191 — centroids, seed codebook, probe list and partial tables
     // are all ≤√n-scale and broadcast; the corpus-side joins must
