@@ -121,6 +121,25 @@ REBASED = {
     # that no longer exist behind these gates
     "q_dedup_minhash_lsh": ("baseline_r19", "probe_r19"),
     "q_dedup_simhash": ("baseline_r19", "probe_r19"),
+    # round 21 (optimization round 1): implementations changed in both
+    # directions vs their capture pools —
+    #  - resize gate computes the metadata plan declaratively (the
+    #    typed decode no longer runs in the gate): old pins timed dead
+    #    work that no longer exists (2.35 -> ~0.4);
+    #  - profile exact flavor split off the multi-distinct Expand;
+    #  - the classifier family fits/scores over collected per-doc
+    #    vectors (map-side GD rounds) — its old pins were additionally
+    #    measured UNREACHABLE at the r20 HEAD (quiet fresh-JVM 3.9 s
+    #    vs a 1.45 pin), so they were stale-optimistic in any case;
+    #  - doc_fingerprint's rolling hash moved from the interpreted
+    #    per-char HOF chain to the codegen'd poly_hash scalar.
+    "q_multimodal_resize": ("baseline_r21", "probe_r21"),
+    "q_profile_orders": ("baseline_r21", "probe_r21"),
+    "q_profile_orders_approx": ("baseline_r21", "probe_r21"),
+    "q_quality_classifier": ("baseline_r21", "probe_r21"),
+    "q_classifier_calibration": ("baseline_r21", "probe_r21"),
+    "q_classifier_holdout": ("baseline_r21", "probe_r21"),
+    "q_doc_fingerprint": ("baseline_r21", "probe_r21"),
 }
 
 per_query = {}   # name -> list[(seconds, source)]
