@@ -2486,6 +2486,17 @@ object Graft {
     * explodes exponentially. Old round RDDs are freed by the
     * ContextCleaner once unreferenced — the MLlib/GraphFrames
     * iterative pattern.
+    *
+    * Each round is ONE Spark job: the exact did-any-label-change count
+    * rides the checkpoint's materialization via `observe` (a
+    * CollectMetrics accumulator filled by the same tasks that write
+    * the cached partitions), instead of a second `isEmpty` action over
+    * the freshly-cached round output. At production batch sizes both
+    * actions are trivial next to the join; at small/incremental batch
+    * sizes the per-job fixed overhead IS the cost of the fixpoint, and
+    * this halves it. The convergence test is unchanged in kind — an
+    * exact per-row flag count, type-generic, never a numeric summary
+    * of the labels.
     */
   private def minLabelComponents(e: DataFrame, maxRounds: Int): DataFrame = {
     val sym = e.unionAll(e.select(col("dst").as("src"), col("src").as("dst")))
@@ -2499,16 +2510,18 @@ object Graft {
       while (changed && rounds < maxRounds) {
         val nbrMin = sym.join(labels, sym("dst") === labels("v"))
           .groupBy("src").agg(min("label").as("nbr_label"))
-        // the change flag rides the round's own projection and is checked
+        // the change flag rides the round's own projection and is counted
         // exactly — type-generic, unlike the decimal label-sum shortcut
         // this replaces (NULL→0 for string ids, which silently reported
         // convergence after one round on under-propagated labels)
+        val obs = org.apache.spark.sql.Observation(s"cc_round_$rounds")
         val next = labels.join(nbrMin, labels("v") === nbrMin("src"), "left")
           .select(labels("v"),
             least(col("label"), coalesce(col("nbr_label"), col("label"))).as("label"),
             coalesce(col("nbr_label") < col("label"), lit(false)).as("chg"))
-          .localCheckpoint(true)
-        changed = !next.where(col("chg")).isEmpty
+          .observe(obs, count(when(col("chg"), true)).as("n_chg"))
+          .localCheckpoint(true) // the action that completes obs
+        changed = obs.get("n_chg").asInstanceOf[Long] > 0L
         labels = next.select("v", "label")
         rounds += 1
       }
@@ -2553,13 +2566,17 @@ object Graft {
         .distinct()
       // small-star over the canonical orientation (all neighbors < u)
       val minS = large.groupBy("u").agg(min("v").as("m"))
+      // the round's edge count rides the checkpoint job via observe
+      // (same fusion as the minlabel loop: one job per round, not two)
+      val obs = org.apache.spark.sql.Observation(s"cc_star_round_$rounds")
       val small = large.join(minS, "u")
         .select(col("v").as("u"), col("m").as("v"))
         .unionAll(minS.select(col("u"), col("m").as("v")))
         .where(col("u") =!= col("v"))
         .distinct()
+        .observe(obs, count(lit(1)).as("n_edges"))
         .localCheckpoint(true)
-      val nNew = small.count()
+      val nNew = obs.get("n_edges").asInstanceOf[Long]
       // fixpoint = the edge set is stable under a full large+small pass
       converged = nNew == n && small.exceptAll(edges).isEmpty
       edges = small
