@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
-import graft.functions.{CosineSimilarity, DotProduct, MinHashSig, SimHash64, WordShingles}
+import graft.functions.{CosineSimilarity, DotProduct, MinHashSig, SimHash64, WordShingleHashes, WordShingles}
 
 /** Library entry point for `spark.sql.extensions=graft.GraftExtensions`:
   * installs graft's custom Catalyst expressions into every session built
@@ -21,6 +21,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("word_shingles"),
       new ExpressionInfo(classOf[WordShingles].getName, "word_shingles"),
       (exprs: Seq[Expression]) => WordShingles.build(exprs)))
+    ext.injectFunction((
+      FunctionIdentifier("word_shingle_hashes"),
+      new ExpressionInfo(classOf[WordShingleHashes].getName, "word_shingle_hashes"),
+      (exprs: Seq[Expression]) => WordShingleHashes.build(exprs)))
     ext.injectFunction((
       FunctionIdentifier("dot_product"),
       new ExpressionInfo(classOf[DotProduct].getName, "dot_product"),

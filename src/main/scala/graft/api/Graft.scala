@@ -263,11 +263,13 @@ object Graft {
     */
   def shingleIndex(docs: DataFrame, idCol: String, textCol: String,
       n: Int = 3): DataFrame = {
-    graft.functions.WordShingles.register(docs.sparkSession)
+    // fused shingle+hash generator (r21): same longs as
+    // explode(word_shingles) -> xxhash64, one codegen'd pass, no
+    // per-shingle string column through the generator
+    graft.functions.WordShingleHashes.register(docs.sparkSession)
     docs
       .select(col(idCol).as("id"),
-        explode(expr(s"word_shingles($textCol, $n)")).as("shingle"))
-      .select(col("id"), xxhash64(col("shingle")).as("shingle"))
+        explode(expr(s"word_shingle_hashes($textCol, $n)")).as("shingle"))
   }
 
   /** Writes a [[shingleIndex]] frame as a parquet table BUCKETED by

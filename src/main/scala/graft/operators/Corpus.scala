@@ -553,14 +553,13 @@ object Corpus {
     */
   private[graft] def contaminated(corpus: DataFrame, benchmark: DataFrame,
       idCol: String, textCol: String, n: Int, minOverlap: Long): DataFrame = {
-    graft.functions.WordShingles.register(corpus.sparkSession)
+    graft.functions.WordShingleHashes.register(corpus.sparkSession)
     val sh = corpus
       .select(col(idCol).as("id"),
-        explode(expr(s"word_shingles($textCol, $n)")).as("shingle"))
-      .select(col("id"), xxhash64(col("shingle")).as("shingle"))
+        explode(expr(s"word_shingle_hashes($textCol, $n)")).as("shingle"))
     val vocab = benchmark
-      .select(explode(expr(s"word_shingles($textCol, $n)")).as("shingle"))
-      .select(xxhash64(col("shingle")).as("shingle")).distinct()
+      .select(explode(expr(s"word_shingle_hashes($textCol, $n)")).as("shingle"))
+      .distinct()
     sh.join(broadcast(vocab), Seq("shingle"))
       // word_shingles dedupes within a doc, so count(*) IS the distinct
       // overlap count
@@ -617,18 +616,17 @@ object Corpus {
         s"session caps ($maxItems/$maxBits); raise " +
         "spark.sql.optimizer.runtime.bloomFilter.maxNumItems / .maxNumBits " +
         "on the SparkSession before sizing for a web-scale benchmark")
-    graft.functions.WordShingles.register(spark)
+    graft.functions.WordShingleHashes.register(spark)
     graft.functions.BloomFunctions.register(spark)
     val sh = corpus
       .select(col(idCol).as("id"),
-        explode(expr(s"word_shingles($textCol, $n)")).as("shingle"))
-      .select(col("id"), xxhash64(col("shingle")).as("shingle"))
+        explode(expr(s"word_shingle_hashes($textCol, $n)")).as("shingle"))
     // materialized once (localCheckpoint, the connectedComponents
     // discipline): the bloom build is an eager action over this frame
     // and the confirm join reads it again after return
     val vocab = benchmark
-      .select(explode(expr(s"word_shingles($textCol, $n)")).as("shingle"))
-      .select(xxhash64(col("shingle")).as("shingle")).distinct()
+      .select(explode(expr(s"word_shingle_hashes($textCol, $n)")).as("shingle"))
+      .distinct()
       .localCheckpoint(true)
     val sketch = vocab
       .agg(expr(s"bloom_agg(shingle, ${estItems}L, ${numBits}L)")).head()

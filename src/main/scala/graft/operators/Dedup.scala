@@ -1200,11 +1200,10 @@ object Dedup {
   private[graft] def incrementalJaccard(docs: DataFrame, idCol: String,
       textCol: String, deltaCol: String, n: Int, tau: Double,
       dfCap: Int): DataFrame = {
-    graft.functions.WordShingles.register(docs.sparkSession)
+    graft.functions.WordShingleHashes.register(docs.sparkSession)
     val ex0 = docs
       .select(col(idCol).as("id"), col(deltaCol).as("is_delta"),
-        explode(expr(s"word_shingles($textCol, $n)")).as("shingle"))
-      .select(col("id"), col("is_delta"), xxhash64(col("shingle")).as("shingle"))
+        explode(expr(s"word_shingle_hashes($textCol, $n)")).as("shingle"))
     incrementalPairsFromExploded(ex0, tau, dfCap)
   }
 
@@ -1471,12 +1470,11 @@ object Dedup {
     * over base+delta — each per its own contract).
     */
   def qDupClustersIncremental(spark: SparkSession, dir: String): DataFrame = {
-    graft.functions.WordShingles.register(spark)
+    graft.functions.WordShingleHashes.register(spark)
     val ex0 = Tables.documents(spark, dir)
       .select(col("doc_id").as("id"),
         (pmod(col("doc_id"), lit(DeltaMod)) === DeltaRes).as("is_delta"),
-        explode(expr("word_shingles(text, 3)")).as("shingle"))
-      .select(col("id"), col("is_delta"), xxhash64(col("shingle")).as("shingle"))
+        explode(expr("word_shingle_hashes(text, 3)")).as("shingle"))
       .persist()
     // the base labeling is the "arrives already clustered" premise of
     // this operator — a real deployment reads it from the persisted

@@ -182,20 +182,22 @@ object Streams {
   def contaminationCheck(docs: DataFrame, benchmark: DataFrame,
       idCol: String, textCol: String, n: Int = 3,
       minOverlap: Long = graft.operators.Corpus.ContaminationK): DataFrame = {
-    graft.functions.WordShingles.register(docs.sparkSession)
+    graft.functions.WordShingleHashes.register(docs.sparkSession)
     // persisted: the static side of a stream-static join re-executes
     // every micro-batch — without the cache a long-running ingest
     // stream would re-shingle and re-aggregate the whole benchmark per
     // batch, dominating small batches
     val vocab = benchmark
-      .select(explode(expr(s"word_shingles($textCol, $n)")).as("s"))
-      .agg(collect_set(xxhash64(col("s"))).as("_vocab"))
+      .select(explode(expr(s"word_shingle_hashes($textCol, $n)")).as("s"))
+      .agg(collect_set(col("s")).as("_vocab"))
       .persist()
     docs
       .crossJoin(broadcast(vocab))
+      // fused shingle+hash (r21): the per-row transform(...,xxhash64)
+      // HOF ran INTERPRETED on every streamed doc; same longs, codegen
       .withColumn("n_overlap",
         size(array_intersect(
-          expr(s"transform(word_shingles($textCol, $n), s -> xxhash64(s))"),
+          expr(s"word_shingle_hashes($textCol, $n)"),
           col("_vocab"))).cast("long"))
       .where(col("n_overlap") >= 1)
       .select(col(idCol).as("id"), col("n_overlap"),
@@ -2475,7 +2477,7 @@ object Streams {
       langCol: String): Unit = {
     import org.apache.hadoop.fs.Path
     val spark = batch.sparkSession
-    graft.functions.WordShingles.register(spark)
+    graft.functions.WordShingleHashes.register(spark)
     val root = new Path(new Path(statePath).toUri.getPath)
     migrateLegacyFunnelFps(spark, root)
     val isBench = pmod(col("doc_id"), lit(97L)) === 0
@@ -2508,8 +2510,8 @@ object Streams {
         .write.mode("overwrite")
         .parquet(new Path(root, s"funnel_fps/batch=$batchId").toString)
       scored.where(isBench)
-        .select(explode(expr("word_shingles(text, 3)")).as("s"))
-        .select(xxhash64(col("s")).as("lk")).distinct()
+        .select(explode(expr("word_shingle_hashes(text, 3)")).as("lk"))
+        .distinct()
         .write.mode("overwrite")
         .parquet(new Path(root, s"bench/batch=$batchId").toString)
       // vocabulary accumulated UP TO AND INCLUDING this batch (the
@@ -2522,7 +2524,7 @@ object Streams {
         .crossJoin(broadcast(vocab))
         .select(col("doc_id"),
           (size(array_intersect(
-            expr("transform(word_shingles(text, 3), s -> xxhash64(s))"),
+            expr("word_shingle_hashes(text, 3)"),
             col("_vocab"))).cast("long") >=
             graft.operators.Corpus.ContaminationK).as("contaminated"))
         .write.mode("overwrite")

@@ -38,6 +38,30 @@ class FunctionsSpec extends SparkSpec {
     assert(rows(5) == List("x x x"), "duplicate shingles deduped")
   }
 
+  test("word_shingle_hashes == xxhash64 over word_shingles, element for element") {
+    WordShingles.register(spark)
+    graft.functions.WordShingleHashes.register(spark)
+    // real docs AND a planted edge corpus (empty / short / multi-space /
+    // duplicate shingles / CJK / punctuation) — the fused generator must
+    // emit the exact longs the unfused explode->xxhash64 pipeline does,
+    // in the same first-occurrence order
+    import spark.implicits._
+    val planted = Seq("", "one", "one two", "a b c", "a  b   c",
+      "x x x x", "中文 字 符 测试 字 符", "a,b c. d! e? a,b c. d!",
+      "répé té és répé té és zz").toDF("text")
+    val real = Tables.documents(spark, sf).select(col("text"))
+    Seq(planted, real).foreach { df =>
+      val cmp = df
+        .withColumn("fused", expr("word_shingle_hashes(text, 3)"))
+        .withColumn("unfused",
+          expr("transform(word_shingles(text, 3), s -> xxhash64(s))"))
+      assert(cmp.where(col("fused") =!= col("unfused")).count() == 0,
+        "fused shingle hashes diverge from xxhash64(word_shingles)")
+      // null-safety: both null out together
+      assert(cmp.where(col("fused").isNull =!= col("unfused").isNull).count() == 0)
+    }
+  }
+
   test("cosine_sim agrees with the built-in fold formulation") {
     CosineSimilarity.register(spark)
     val e = Tables.embeddings(spark, sf)
