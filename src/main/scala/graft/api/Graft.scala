@@ -339,6 +339,37 @@ object Graft {
     * per-task heap sized for k×dim boxed copies. */
   val MaxBroadcastCentroids: Int = 1 << 14
 
+  /** The dim basis [[MaxBroadcastCentroids]]'s probe-41 numbers were
+    * measured at. The per-task-heap hazard a collected argmax literal
+    * carries scales with rows × dim ELEMENTS, not rows (ADVICE r20: a
+    * row cap alone admits 8-16× the measured OOM mass at embedding
+    * dims 512-1024), so [[requireLiteralElems]] budgets
+    * `maxRows × 64` elements — at dim 64 exactly the historical row
+    * cap, at dim 1024 a 16×-smaller row count refusing at the SAME
+    * heap mass. Probe 41's cliff: ~2.6M boxed doubles per task (41k
+    * rows × 64, 32 tasks, 8 GB heap); 262k comfortable. Raising the
+    * row dial raises the element budget proportionally — the explicit
+    * escape stays, now scaled honestly. */
+  private[graft] val LiteralBasisDim: Int = 64
+
+  /** Loud elements guard for every collected k-bounded literal that
+    * java-deserializes into each task's heap (see
+    * [[MaxBroadcastCentroids]] / [[LiteralBasisDim]]). */
+  private[graft] def requireLiteralElems(rows: Int, dim: Int,
+      maxRows: Int, caller: String): Unit = {
+    val budget = maxRows.toLong * LiteralBasisDim
+    require(rows.toLong * dim.toLong <= budget,
+      s"$caller: the collected literal would carry ${rows}x$dim = " +
+        s"${rows.toLong * dim} elements — past the $budget-element " +
+        s"per-task budget ($maxRows rows at the dim-$LiteralBasisDim " +
+        "probe-41 basis; the literal deserializes into EVERY task's " +
+        "heap as boxed doubles, and the measured OOM cliff is ~2.6M " +
+        "elements at 32 tasks x 8 GB). Shard the corpus and merge " +
+        "per-shard fits/indexes, reduce k or the embedding dim, or " +
+        "raise the row dial explicitly with per-task heap sized for " +
+        "rows x dim boxed copies")
+  }
+
   /** Build an IVF (inverted-file) ANN index: every vector assigned to
     * its nearest centroid by cosine (ties → lowest centroid id;
     * centroid ids must be numeric). Returns `(id, cell, vec)` —
@@ -404,6 +435,12 @@ object Graft {
       return e.where(lit(false))
         .select(Seq(col("id"), lit(null).cast(centIdType).as("cell"),
           col("vec")) ++ resCols.map(col("vec").as(_)): _*)
+    // the heap hazard is rows × dim, not rows: budget the ELEMENT mass
+    // (dim derived from the collected frame — ADVICE r20)
+    requireLiteralElems(centRows.length,
+      centRows.iterator.map(r =>
+        Option(r.getSeq[Double](1)).map(_.length).getOrElse(0)).max,
+      maxCentroids, caller)
     val vecsLit = typedLit(centRows.map(_.getSeq[Double](1)).toSeq)
     val idsLit = typedLit(centRows.map(r =>
       row2long(r, 0, caller, "centroid id")).toSeq)
@@ -565,6 +602,16 @@ object Graft {
           .select(col("vec")).collect()
           .zipWithIndex
           .map { case (r, i) => (i.toLong, r.getSeq[Double](0)) }.toSeq
+      // the Lloyd-round assignment embeds all k centroids as a task
+      // literal — the probe-41 per-task-heap hazard — and k is
+      // UNCAPPED for spread/parallel seeding (ADVICE r20: a fit that
+      // previously worked through the broadcast join would OOM
+      // mid-job here with no loud error). Budget the element mass
+      // before the first round, not after the first executor dies.
+      if (cents.nonEmpty)
+        requireLiteralElems(cents.length,
+          cents.iterator.map(_._2.length).max,
+          MaxBroadcastCentroids, "kmeansCentroids")
       for (_ <- 0 until iters) {
         val cDf = cents.toDF("cent_id", "cv")
         // broadcast-argmax assignment as ONE map-side projection: the

@@ -32,6 +32,44 @@ class IvfIndexSpec extends SparkSpec {
       "index-then-serve diverged from the gated single-pass q_ann_ivf")
   }
 
+  test("literal element budget: rows x dim guarded, dim derived at call time") {
+    // ADVICE r20: the per-task-heap hazard of the collected argmax
+    // literal scales with rows x dim, and the row cap alone admitted
+    // 8-16x the probe-41-measured OOM mass at realistic embedding
+    // dims. The budget is maxRows x 64 elements (the dim-64 basis the
+    // probe measured), so raising the row dial still scales the escape.
+    // helper arithmetic, both sides of the line
+    Graft.requireLiteralElems(16384, 64, 16384, "t") // exactly at budget
+    Graft.requireLiteralElems(1024, 1024, 16384, "t") // 1M = at budget
+    val over = intercept[IllegalArgumentException] {
+      Graft.requireLiteralElems(16384, 65, 16384, "t")
+    }
+    assert(over.getMessage.contains("element"), over.getMessage)
+    // end-to-end: a high-dim centroid frame refuses BEFORE building
+    // the plan even though its ROW count is inside maxCentroids
+    import spark.implicits._
+    val wide = Seq.tabulate(3)(i =>
+      (i.toLong, Seq.fill(100)(i.toDouble + 0.5))).toDF("cent_id", "cv")
+    val e = intercept[IllegalArgumentException] {
+      Graft.ivfIndex(emb, "vec_id", "v", wide, "cent_id", "cv",
+        maxCentroids = 4) // 3 rows pass the row cap; 300 > 4*64 = 256
+    }
+    assert(e.getMessage.contains("ivfIndex") &&
+      e.getMessage.contains("element"), e.getMessage)
+    // kmeansCentroids guards the Lloyd literal the same way: k inside
+    // any row dial but k x dim past the budget must refuse loudly
+    // before the first round (previously an executor OOM mid-job)
+    val n = 4
+    val bigDim = (Graft.MaxBroadcastCentroids.toLong * 64 / n + 1).toInt
+    val fat = Seq.tabulate(n)(i =>
+      (i.toLong, Seq.fill(bigDim)(i.toDouble + 0.25))).toDF("id", "v")
+    val k = intercept[IllegalArgumentException] {
+      Graft.kmeansCentroids(fat, "id", "v", k = n, iters = 1)
+    }
+    assert(k.getMessage.contains("kmeansCentroids") &&
+      k.getMessage.contains("element"), k.getMessage)
+  }
+
   test("serving path tolerates dirty vectors; no dead vector heads a top-k") {
     // zero-norm / null / dim-mismatched vectors (failed upstream
     // embedding jobs) must neither crash the fit-index-serve pipeline
