@@ -397,8 +397,11 @@ object Graft {
     * map-side projection where each row argmaxes
     * (cosine, −cent_id, index) structs over the centroid literal —
     * max_by's exact ordering (ids negated-as-long, order-preserving
-    * for any numeric id type; the emitted cell casts back to the
-    * caller's cent_id type). The struct array is deliberately
+    * for any INTEGRAL id type — the [[row2long]] contract; floating/
+    * decimal centroid ids refuse loudly rather than silently reorder,
+    * and a Long.MinValue id would overflow the negation, as it did in
+    * the historical max_by shape — ADVICE r20. The emitted cell casts
+    * back to the caller's cent_id type). The struct array is deliberately
     * UNFILTERED: array_max and max_by share the nulls-first struct
     * ordering, so a dirty vector (every cosine NULL) still lands in
     * the lowest-cent_id cell exactly like the historical max_by —
