@@ -341,10 +341,7 @@ object Bench {
       if (probe.isEmpty || rate < QuietMbS || steal > QuietStealPct) ()
       else reprobeAttempt = 3
     }
-    def jstr(s: String): String = "\"" + s.flatMap {
-      case '"' => "\\\""; case '\\' => "\\\\"; case '\n' => "\\n"
-      case c if c < ' ' => f"\\u${c.toInt}%04x"; case c => c.toString
-    } + "\""
+    import Bench.jstr
     val qs = times.map { case (k, v) => s"${jstr(k)}:$v" }.mkString("{", ",", "}")
     val repsJson = repTimes.map { case (k, vs) =>
       s"${jstr(k)}:${vs.map(v => f"$v%.3f").mkString("[", ",", "]")}"
@@ -387,11 +384,20 @@ object Bench {
       .map { case (k, v) => s"${jstr(k)}:$v" }.mkString("{", ",", "}")
     val json =
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"reps":$repsJson,"over_2x_pins":$over,"requeried":$requeriedJson,"pre_requiet_min":$preRequietJson,"reprobed_fresh_jvm":$reprobedJson,"quiet_reprobe":$quietReprobeJson,"errors":$errs,"host":$host,"sf":"$sfDir"}"""
-    println(json)
-    // Also persist to a stable file: the driver's stdout-tail capture has a
-    // bounded window, and at 73+ queries the leading entries (and the
-    // "metric":"total" line) fell out of it in round 8 (VERDICT r8 item 2).
-    // The file survives regardless of how much log preamble precedes it.
+    // The OFFICIAL stdout line is the COMPACT form (r21 verdict item
+    // 2): the driver's stdout-tail capture has a bounded window, and
+    // r20's full line — ~8 KB of per-rep arrays — was truncated in it,
+    // which cost r21 its whole per-query round-over-round comparison.
+    // Minima + flags + errors + host only, seconds at 1 ms precision
+    // (BenchLineSpec pins the 160-query line under 4 KB); every
+    // adjudication field and the full-precision per-rep record lives
+    // in the stable file below, same format as before.
+    println(Bench.officialLine(total, times, over2x, errors, host, sfDir))
+    // Also persist the FULL record to a stable file: the driver's
+    // stdout-tail capture has a bounded window, and at 73+ queries the
+    // leading entries (and the "metric":"total" line) fell out of it in
+    // round 8 (VERDICT r8 item 2). The file survives regardless of how
+    // much log preamble precedes it.
     try {
       val out = java.nio.file.Paths.get(
         sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "target/bench.json"))
@@ -400,5 +406,40 @@ object Bench {
         (json + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
     } catch { case e: Throwable => System.err.println(s"[bench] file write failed: $e") }
     spark.stop()
+  }
+
+  private[graft] def jstr(s: String): String = "\"" + s.flatMap {
+    case '"' => "\\\""; case '\\' => "\\\\"; case '\n' => "\\n"
+    case c if c < ' ' => f"\\u${c.toInt}%04x"; case c => c.toString
+  } + "\""
+
+  /** Seconds at 1 ms precision with trailing zeros stripped — the
+    * official line's number format (full precision stays in the file). */
+  private[graft] def num3(v: Double): String = {
+    val s = BigDecimal(v).setScale(3, BigDecimal.RoundingMode.HALF_UP)
+      .bigDecimal.stripTrailingZeros.toPlainString
+    if (s == "-0") "0" else s
+  }
+
+  /** The compact OFFICIAL stdout line: same contract fields
+    * (metric/value/unit/queries/sf) plus the self-adjudication flags,
+    * errors and host telemetry — and nothing per-rep, so the line
+    * stays well inside any stdout-tail capture window (spec-pinned
+    * < 4096 bytes at 160 queries). */
+  private[graft] def officialLine(total: Double, times: Seq[(String, Double)],
+      over2x: Seq[(String, Double)], errors: Seq[(String, String)],
+      hostJson: String, sfDir: String): String = {
+    val qs = times.map { case (k, v) => s"${jstr(k)}:${num3(v)}" }
+      .mkString("{", ",", "}")
+    // flags and errors appear ONLY when non-empty: the normal green
+    // capture stays minimal, and a reader knows absent == none (the
+    // stable file always carries both keys)
+    val over = if (over2x.isEmpty) "" else over2x
+      .map { case (k, v) => s"${jstr(k)}:$v" }
+      .mkString(""","over_2x_pins":{""", ",", "}")
+    val errs = if (errors.isEmpty) "" else errors
+      .map { case (k, v) => s"${jstr(k)}:${jstr(v.take(80))}" }
+      .mkString(""","errors":{""", ",", "}")
+    s"""{"metric":"total","value":${num3(total)},"unit":"sec","queries":$qs$over$errs,"host":$hostJson,"sf":"$sfDir"}"""
   }
 }

@@ -2410,11 +2410,34 @@ object Graft {
     require(algorithm == "minlabel" || algorithm == "star",
       s"unknown connectedComponents algorithm '$algorithm' " +
         "(expected \"minlabel\" or \"star\")")
+    // the edge count rides the checkpoint's own materialization — a
+    // free exact row count that drives the small-graph round shape
+    val cntObs = org.apache.spark.sql.Observation(
+      s"cc_edge_count_${java.util.UUID.randomUUID()}")
     val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
+      .observe(cntObs, count(lit(1)).as("n_edges"))
       .localCheckpoint(true)
+    val nEdges = cntObs.get("n_edges").asInstanceOf[Long]
+    // Small-graph dial: below the threshold every fixpoint round runs
+    // over SINGLE-PARTITION frames — SinglePartition satisfies the
+    // join/aggregate distribution requirements, so each round plans
+    // with ZERO Exchange and executes as one task instead of paying
+    // 2-3 shuffles × shuffle.partitions tasks of per-round fixed cost
+    // for an O(batch) frame (the incremental-maintenance case:
+    // mergeComponents contracts whole merged clusters to single
+    // vertices, so its CC input is batch-sized by construction). The
+    // threshold is a conf, not a constant tuned to this host: one
+    // round is a hash join + two aggregates over ≤2·threshold rows in
+    // one thread (~16 B/edge — a few MB in memory), and the default
+    // breaks even far below where single-threaded round work would
+    // rival the measured ~200 ms/round 32-partition floor
+    // (bench_evidence/probe44_cc_round_fuse.log); raise it on hosts
+    // with slower scheduling, lower it if batches carry wide ids.
+    val small = nEdges <= edges.sparkSession.conf
+      .get("spark.graft.cc.smallGraphEdges", "500000").toLong
     val labels =
-      if (algorithm == "minlabel") minLabelComponents(e, maxRounds)
-      else starComponents(e, maxRounds)
+      if (algorithm == "minlabel") minLabelComponents(e, maxRounds, small)
+      else starComponents(e, maxRounds, small)
     labels
       .withColumn("component_size", count(lit(1)).over(Window.partitionBy("label")))
       .select(col("v").as("id"), col("label").as("component_id"),
@@ -2550,13 +2573,22 @@ object Graft {
     * exact per-row flag count, type-generic, never a numeric summary
     * of the labels.
     */
-  private def minLabelComponents(e: DataFrame, maxRounds: Int): DataFrame = {
-    val sym = e.unionAll(e.select(col("dst").as("src"), col("src").as("dst")))
+  private def minLabelComponents(e: DataFrame, maxRounds: Int,
+      small: Boolean = false): DataFrame = {
+    // small-graph shape: collapse every round input to ONE partition —
+    // coalesce is narrow (no shuffle), SinglePartition satisfies the
+    // join/agg clustering requirements, so each round is one
+    // exchange-free stage. `one` is applied after each checkpoint too:
+    // a checkpointed frame that lost its SinglePartition reporting
+    // would otherwise re-grow an Exchange mid-loop (coalesce(1) on an
+    // already-single frame is a free narrow no-op).
+    def one(df: DataFrame): DataFrame = if (small) df.coalesce(1) else df
+    val sym = one(e.unionAll(e.select(col("dst").as("src"), col("src").as("dst"))))
       .persist()
     try {
-      var labels = sym.select(col("src").as("v")).distinct()
+      var labels = one(sym.select(col("src").as("v")).distinct()
         .select(col("v"), col("v").as("label"))
-        .localCheckpoint(true)
+        .localCheckpoint(true))
       var changed = true
       var rounds = 0
       while (changed && rounds < maxRounds) {
@@ -2574,7 +2606,7 @@ object Graft {
           .observe(obs, count(when(col("chg"), true)).as("n_chg"))
           .localCheckpoint(true) // the action that completes obs
         changed = obs.get("n_chg").asInstanceOf[Long] > 0L
-        labels = next.select("v", "label")
+        labels = one(next.select("v", "label"))
         rounds += 1
       }
       if (changed) throw new IllegalStateException(
@@ -2592,24 +2624,28 @@ object Graft {
     * rounds; the fixpoint is a union of stars centered at component
     * minima (SoCC 2014, Thm 2).
     */
-  private def starComponents(e0: DataFrame, maxRounds: Int): DataFrame = {
-    val verts = e0.select(col("src").as("id"))
-      .unionAll(e0.select(col("dst").as("id")))
+  private def starComponents(e0: DataFrame, maxRounds: Int,
+      small: Boolean = false): DataFrame = {
+    // same small-graph single-partition round shape as minlabel
+    def one(df: DataFrame): DataFrame = if (small) df.coalesce(1) else df
+    val verts = one(e0.select(col("src").as("id"))
+      .unionAll(e0.select(col("dst").as("id"))))
       .distinct()
     // per-round localCheckpoint for the same reason as minlabel, with
     // higher stakes: each round references the previous edge set ~8×
     // (two symmetrizing unions, two self-aggregate joins), so an
     // un-truncated plan grows 8^rounds
-    var edges = e0.where(col("src") =!= col("dst"))
+    var edges = one(one(e0).where(col("src") =!= col("dst"))
       .select(greatest(col("src"), col("dst")).as("u"),
         least(col("src"), col("dst")).as("v"))
-      .distinct().localCheckpoint(true)
+      .distinct().localCheckpoint(true))
     var n = edges.count()
     var converged = false
     var rounds = 0
     while (!converged && rounds < maxRounds) {
-      // large-star over the SYMMETRIC neighborhood
-      val symN = edges.unionAll(edges.select(col("v").as("u"), col("u").as("v")))
+      // large-star over the SYMMETRIC neighborhood (the union doubles
+      // the partition count, so re-collapse it in small-graph mode)
+      val symN = one(edges.unionAll(edges.select(col("v").as("u"), col("u").as("v"))))
       val minN = symN.groupBy("u").agg(min("v").as("mn"))
         .select(col("u").as("c"), least(col("mn"), col("u")).as("m"))
       val large = symN.join(minN, symN("u") === minN("c"))
@@ -2621,17 +2657,17 @@ object Graft {
       // the round's edge count rides the checkpoint job via observe
       // (same fusion as the minlabel loop: one job per round, not two)
       val obs = org.apache.spark.sql.Observation(s"cc_star_round_$rounds")
-      val small = large.join(minS, "u")
+      val smallStars = one(large.join(minS, "u")
         .select(col("v").as("u"), col("m").as("v"))
-        .unionAll(minS.select(col("u"), col("m").as("v")))
+        .unionAll(minS.select(col("u"), col("m").as("v"))))
         .where(col("u") =!= col("v"))
         .distinct()
         .observe(obs, count(lit(1)).as("n_edges"))
         .localCheckpoint(true)
       val nNew = obs.get("n_edges").asInstanceOf[Long]
       // fixpoint = the edge set is stable under a full large+small pass
-      converged = nNew == n && small.exceptAll(edges).isEmpty
-      edges = small
+      converged = nNew == n && smallStars.exceptAll(edges).isEmpty
+      edges = one(smallStars)
       n = nNew
       rounds += 1
     }

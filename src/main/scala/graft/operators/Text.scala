@@ -996,19 +996,15 @@ object Text {
     * driver-held weights: Σ floor((x·wᵢ)·10⁶) as LONG over the array
     * (long addition is associative/commutative, so any fold order —
     * array, hash-aggregate, oracle CTE — produces the identical sum),
-    * then the single [[fxSum]] division. The summand expression is
-    * bit-identical to fxSum's `floor((x·w)·10⁶)`: the weight arrives
-    * via `element_at` on a dims+1 array literal (257 doubles — far
-    * under any broadcast-literal hazard) instead of a broadcast-join
-    * column, but the three IEEE ops are the same three ops.
+    * then the single [[fxSum]] division. Since r22 the fold is the
+    * codegen'd [[graft.functions.SparseFxDot]] kernel instead of an
+    * interpreted `aggregate` HOF (Catalyst does not codegen lambda
+    * bodies — r21 verdict item 1); the weights still ride as a dims+1
+    * array literal and the summands are the identical three IEEE ops,
+    * spec-pinned bit-equal to the HOF formulation.
     */
-  private def scoreVecExpr(fvCol: Column, w: Array[Double]): Column = {
-    val wl = typedLit(w.toSeq)
-    aggregate(fvCol, lit(0L), (acc, s) =>
-      acc + floor(s.getField("x") * element_at(wl, s.getField("i") + lit(1))
-        * lit(1000000.0)).cast("long"))
-      .cast("double") / lit(1000000.0)
-  }
+  private def scoreVecExpr(fvCol: Column, w: Array[Double]): Column =
+    call_function("fx_dot", fvCol, typedLit(w.toSeq))
 
   /** Full-batch GD fit of the linear probe over the COLLECTED feature
     * frame ([[classifierFeatureVecs]], caller-persisted): w₀ = 0; per
@@ -1028,7 +1024,7 @@ object Text {
   private[graft] def classifierFit(featV: DataFrame, lab: DataFrame,
       dims: Int, iters: Int, lr: Double): Array[Double] = {
     val spark = featV.sparkSession
-    import spark.implicits._
+    graft.functions.ClassifierFx.register(spark)
     // labels serve the count and the round loop's join — persist both
     // the label frame and the PRE-JOINED (featV ⋈ lab) frame for the
     // loop's lifetime: the inner doc_id join is identical every round
@@ -1046,17 +1042,21 @@ object Text {
       require(n > 0, "classifier fit needs at least one labeled doc")
       var w = Array.fill(dims + 1)(0.0)
       for (_ <- 0 until iters) {
+        // the round's whole gradient as ONE map-side-combinable
+        // aggregate ([[graft.functions.FxGradAgg]]): score + residual
+        // + indexed accumulation fused per row, partials merge as
+        // long[dims+1] adds — replaces the interpreted
+        // explode(transform(…)) + groupBy(i) pipeline, which allocated
+        // one struct row per (doc, bucket) and hash-aggregated them
+        // (r21 verdict item 1). Summands are the identical
+        // floor((·)·10⁶) longs, so the trajectory is bit-preserved
+        // (spec-pinned equal to the exploded formulation).
         val grads = fl
-          .select(col("fv"),
-            (scoreVecExpr(col("fv"), w) - col("y")).as("r"))
-          .select(explode(transform(col("fv"), s =>
-            struct(s.getField("i").as("i"),
-              floor(s.getField("x") * col("r") * lit(1000000.0))
-                .cast("long").as("v")))).as("g"))
-          .groupBy(col("g.i").as("i")).agg(sum(col("g.v")).as("s"))
-          .as[(Int, Long)].collect().toMap
+          .select(call_function("fx_grad", col("fv"), col("y"),
+            typedLit(w.toSeq)).as("g"))
+          .collect()(0).getSeq[Long](0)
         w = w.zipWithIndex.map { case (v, i) =>
-          v - lr * (grads.getOrElse(i, 0L).toDouble / (n * 1000000L).toDouble) }
+          v - lr * (grads(i).toDouble / (n * 1000000L).toDouble) }
       }
       w
     } finally { fl.unpersist(); l.unpersist(); () }
@@ -1075,8 +1075,10 @@ object Text {
     * projection, no join, no contraction exchange — identical rows
     * (the groupBy(doc_id) grain was materialized at collect time).
     */
-  private def scoreFeatVec(featV: DataFrame, w: Array[Double]): DataFrame =
+  private def scoreFeatVec(featV: DataFrame, w: Array[Double]): DataFrame = {
+    graft.functions.ClassifierFx.register(featV.sparkSession)
     featV.select(col("doc_id"), scoreVecExpr(col("fv"), w).as("score"))
+  }
 
   /** Score any id+text frame against fitted weights `(i, w)` — the
     * FROZEN-MODEL form (#126/#146's discipline): pure map work plus

@@ -345,6 +345,35 @@ class GraftApiSpec extends SparkSpec {
       "mergeComponents(no-op)")
   }
 
+  test("CC small-graph dial: single-partition rounds label identically (r22)") {
+    import spark.implicits._
+    // a graph rich enough to need several propagation rounds, plus an
+    // isolated pair; run with the dial forced OFF (threshold -1 keeps
+    // the 32-partition round shape) and at its default (these edges
+    // are far below it → single-partition rounds) — labels, sizes and
+    // convergence must be identical, for BOTH algorithms
+    val rnd = new scala.util.Random(7)
+    val edges = (Seq.fill(400)((rnd.nextInt(150).toLong, rnd.nextInt(150).toLong))
+      .filter { case (a, b) => a != b } ++ Seq((900L, 901L))).toDF("s", "d")
+    def run(alg: String) = Graft.connectedComponents(edges, "s", "d",
+      algorithm = alg)
+    val conf = spark.conf
+    conf.set("spark.graft.cc.smallGraphEdges", "-1")
+    val (bigMin, bigStar) = try (run("minlabel").collect().toSet,
+      run("star").collect().toSet)
+    finally conf.unset("spark.graft.cc.smallGraphEdges")
+    val smallMin = run("minlabel")
+    val smallStar = run("star")
+    assert(smallMin.collect().toSet == bigMin, "minlabel small-dial diverged")
+    assert(smallStar.collect().toSet == bigStar, "star small-dial diverged")
+    // structural pin: the small path's output IS single-partition —
+    // the whole fixpoint ran without a round exchange
+    assert(smallMin.rdd.getNumPartitions == 1,
+      "small-graph minlabel output should be single-partition")
+    assert(smallStar.rdd.getNumPartitions == 1,
+      "small-graph star output should be single-partition")
+  }
+
   test("cjkWords aggregated reproduces q_keyword_stats_cjk") {
     val api = Graft.cjkWords(Tables.documents(spark, sf), "text", Seq("source"))
       .groupBy("word", "source").agg(count(lit(1)).as("ct"))
