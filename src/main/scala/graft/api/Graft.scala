@@ -354,20 +354,25 @@ object Graft {
 
   /** Loud elements guard for every collected k-bounded literal that
     * java-deserializes into each task's heap (see
-    * [[MaxBroadcastCentroids]] / [[LiteralBasisDim]]). */
-  private[graft] def requireLiteralElems(rows: Int, dim: Int,
-      maxRows: Int, caller: String): Unit = {
+    * [[MaxBroadcastCentroids]] / [[LiteralBasisDim]]). Budgets the
+    * SUMMED element count across collected rows (ADVICE r21: rows ×
+    * max-dim let one anomalously wide or dim-mismatched row inflate
+    * the product and refuse a fit whose true heap mass was in budget —
+    * in tension with the documented dirty-rows-rank-out-at-scoring
+    * tolerance). `remediation` is the caller's OWN escape hatch, so a
+    * dial-less API never tells its user to raise a dial it does not
+    * have (ADVICE r21). */
+  private[graft] def requireLiteralElems(elems: Long, rows: Int,
+      maxRows: Int, caller: String, remediation: String): Unit = {
     val budget = maxRows.toLong * LiteralBasisDim
-    require(rows.toLong * dim.toLong <= budget,
-      s"$caller: the collected literal would carry ${rows}x$dim = " +
-        s"${rows.toLong * dim} elements — past the $budget-element " +
+    require(elems <= budget,
+      s"$caller: the collected literal would carry $elems vector " +
+        s"elements across $rows rows — past the $budget-element " +
         s"per-task budget ($maxRows rows at the dim-$LiteralBasisDim " +
         "probe-41 basis; the literal deserializes into EVERY task's " +
         "heap as boxed doubles, and the measured OOM cliff is ~2.6M " +
         "elements at 32 tasks x 8 GB). Shard the corpus and merge " +
-        "per-shard fits/indexes, reduce k or the embedding dim, or " +
-        "raise the row dial explicitly with per-task heap sized for " +
-        "rows x dim boxed copies")
+        s"per-shard fits/indexes, reduce k or the embedding dim, or $remediation")
   }
 
   /** Build an IVF (inverted-file) ANN index: every vector assigned to
@@ -438,12 +443,17 @@ object Graft {
       return e.where(lit(false))
         .select(Seq(col("id"), lit(null).cast(centIdType).as("cell"),
           col("vec")) ++ resCols.map(col("vec").as(_)): _*)
-    // the heap hazard is rows × dim, not rows: budget the ELEMENT mass
-    // (dim derived from the collected frame — ADVICE r20)
-    requireLiteralElems(centRows.length,
+    // the heap hazard is the literal's total element mass: budget the
+    // SUM of per-row vector lengths (ADVICE r21 — a single dirty wide
+    // row must not inflate a rows × max-dim product past the budget
+    // when the true mass is fine; dirty rows rank out at scoring,
+    // never at build)
+    requireLiteralElems(
       centRows.iterator.map(r =>
-        Option(r.getSeq[Double](1)).map(_.length).getOrElse(0)).max,
-      maxCentroids, caller)
+        Option(r.getSeq[Double](1)).map(_.length.toLong).getOrElse(0L)).sum,
+      centRows.length, maxCentroids, caller,
+      "pass a larger maxCentroids explicitly with per-task heap sized " +
+        "for the summed boxed-element mass")
     val vecsLit = typedLit(centRows.map(_.getSeq[Double](1)).toSeq)
     val idsLit = typedLit(centRows.map(r =>
       row2long(r, 0, caller, "centroid id")).toSeq)
@@ -612,9 +622,15 @@ object Graft {
       // mid-job here with no loud error). Budget the element mass
       // before the first round, not after the first executor dies.
       if (cents.nonEmpty)
-        requireLiteralElems(cents.length,
-          cents.iterator.map(_._2.length).max,
-          MaxBroadcastCentroids, "kmeansCentroids")
+        requireLiteralElems(
+          cents.iterator.map(_._2.length.toLong).sum, cents.length,
+          MaxBroadcastCentroids, "kmeansCentroids",
+          // this API exposes no row dial — say so instead of pointing
+          // at one that does not exist (ADVICE r21): the limit is
+          // fixed here; oversized fits go through sharded fit-and-merge
+          "note this limit is FIXED for kmeansCentroids (no dial): " +
+            "fit per shard and merge, or fit through ivfIndex-style " +
+            "pre-clustering")
       for (_ <- 0 until iters) {
         val cDf = cents.toDF("cent_id", "cv")
         // broadcast-argmax assignment as ONE map-side projection: the
@@ -2418,31 +2434,142 @@ object Graft {
       .observe(cntObs, count(lit(1)).as("n_edges"))
       .localCheckpoint(true)
     val nEdges = cntObs.get("n_edges").asInstanceOf[Long]
-    // Small-graph dial: below the threshold every fixpoint round runs
-    // over SINGLE-PARTITION frames — SinglePartition satisfies the
-    // join/aggregate distribution requirements, so each round plans
-    // with ZERO Exchange and executes as one task instead of paying
-    // 2-3 shuffles × shuffle.partitions tasks of per-round fixed cost
-    // for an O(batch) frame (the incremental-maintenance case:
-    // mergeComponents contracts whole merged clusters to single
-    // vertices, so its CC input is batch-sized by construction). The
-    // threshold is a conf, not a constant tuned to this host: one
-    // round is a hash join + two aggregates over ≤2·threshold rows in
-    // one thread (~16 B/edge — a few MB in memory), and the default
-    // breaks even far below where single-threaded round work would
-    // rival the measured ~200 ms/round 32-partition floor
+    // Small-graph dial: below the threshold the fixpoint does not run
+    // as per-round Spark jobs at all — the whole component search runs
+    // as ONE single-task union-find pass ([[smallGraphLabels]]), so an
+    // O(batch) graph (the incremental-maintenance case: mergeComponents
+    // contracts whole merged clusters to single vertices) pays one job
+    // instead of (2 actions + a checkpoint + broadcast builds) × rounds
+    // of per-job fixed cost — measured 12 jobs ≈ 0.95 s for a 142-edge
+    // graph even with fused convergence and single-partition rounds
+    // (bench_evidence/probe45_merge_phases r22). Output is pinned
+    // identical to both round-loop algorithms (GraftApiSpec): labels
+    // are component minima under the SAME ordering Spark's min
+    // aggregate uses. The threshold is a conf, not a constant tuned to
+    // this host: one task does an O(E α(E)) union-find over ≤threshold
+    // edges (~16 B/edge — a few MB in memory), and the default breaks
+    // even far below where that single-threaded pass would rival the
+    // measured ~200 ms/round 32-partition floor
     // (bench_evidence/probe44_cc_round_fuse.log); raise it on hosts
-    // with slower scheduling, lower it if batches carry wide ids.
+    // with slower scheduling, lower it if batches carry wide ids. Id
+    // types without a reproduced ordering (anything beyond integral /
+    // floating / string / boolean) fall back to the round loop over
+    // single-partition frames — still exchange-free, just per-round.
     val small = nEdges <= edges.sparkSession.conf
       .get("spark.graft.cc.smallGraphEdges", "500000").toLong
+    val idType = e.schema("src").dataType
     val labels =
-      if (algorithm == "minlabel") minLabelComponents(e, maxRounds, small)
+      if (small && smallGraphOrdering(idType).isDefined)
+        smallGraphLabels(e, idType)
+      else if (algorithm == "minlabel") minLabelComponents(e, maxRounds, small)
       else starComponents(e, maxRounds, small)
     labels
       .withColumn("component_size", count(lit(1)).over(Window.partitionBy("label")))
       .select(col("v").as("id"), col("label").as("component_id"),
         col("component_size"))
   }
+
+  /** The ordering [[smallGraphLabels]] labels minima under — it must
+    * REPRODUCE Spark's own `min` aggregate ordering on EXTERNAL values
+    * for the id type, or the single-task labels would diverge from the
+    * round loop's. Natural Comparable order matches Spark for
+    * integral/floating/boolean/decimal types; strings compare as
+    * UTF8String (unsigned UTF-8 bytes ≡ code-point order), NOT
+    * java.lang.String (UTF-16 code units — diverges beyond the BMP).
+    * None ⇒ no reproduced ordering ⇒ the caller keeps the round loop.
+    */
+  private def smallGraphOrdering(
+      dt: org.apache.spark.sql.types.DataType): Option[Ordering[Any]] = {
+    import org.apache.spark.sql.types._
+    dt match {
+      case StringType => Some(new Ordering[Any] {
+        def compare(a: Any, b: Any): Int =
+          org.apache.spark.unsafe.types.UTF8String
+            .fromString(a.asInstanceOf[String])
+            .compareTo(org.apache.spark.unsafe.types.UTF8String
+              .fromString(b.asInstanceOf[String]))
+      })
+      case ByteType | ShortType | IntegerType | LongType | FloatType |
+          DoubleType | BooleanType | _: DecimalType => Some(new Ordering[Any] {
+        def compare(a: Any, b: Any): Int =
+          a.asInstanceOf[Comparable[Any]].compareTo(b)
+      })
+      case _ => None
+    }
+  }
+
+  /** Single-task connected components over a measured-small edge set:
+    * one `mapPartitions` union-find pass (path-halving, union by the
+    * id ordering so every root IS its component's minimum) emitting
+    * `(v, label)` — the exact rows either round-loop algorithm
+    * produces, without one Spark job per propagation round. Dirty-edge
+    * semantics match the loops: a null endpoint never unions (null
+    * never equals anything in the join / is filtered by the star
+    * orientation), so a null vertex labels itself; self-loops register
+    * the vertex and union nothing. LAZY, unlike the loops — the caller
+    * decides when to materialize; there is no convergence round-count
+    * to enforce because union-find has no rounds.
+    */
+  private def smallGraphLabels(e: DataFrame,
+      idType: org.apache.spark.sql.types.DataType): DataFrame = {
+    val ord = smallGraphOrdering(idType).get
+    val outSchema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("v", idType, nullable = true),
+      org.apache.spark.sql.types.StructField("label", idType, nullable = true)))
+    e.coalesce(1).mapPartitions { rows =>
+      val parent = new java.util.HashMap[Any, Any]()
+      def find(x: Any): Any = {
+        var r = x
+        var p = parent.get(r)
+        while (p != null && !p.equals(r)) { // walk to root
+          val gp = parent.get(p)
+          if (gp != null) parent.put(r, gp) // path halving
+          r = p
+          p = parent.get(r)
+        }
+        r
+      }
+      def see(x: Any): Unit =
+        if (parent.get(x) == null) parent.put(x, x)
+      rows.foreach { row =>
+        val a = if (row.isNullAt(0)) null else row.get(0)
+        val b = if (row.isNullAt(1)) null else row.get(1)
+        // HashMap cannot hold a null key: track null vertices aside
+        if (a == null || b == null) {
+          if (a != null) see(a)
+          if (b != null) see(b)
+          if (a == null || b == null) parent.put(NullVertex, NullVertex)
+        } else {
+          see(a); see(b)
+          val ra = find(a); val rb = find(b)
+          if (!ra.equals(rb)) {
+            // union by ordering: the smaller id stays root, so the
+            // final root of every component is its minimum
+            if (ord.compare(ra, rb) <= 0) parent.put(rb, ra)
+            else parent.put(ra, rb)
+          }
+        }
+      }
+      val out = scala.collection.mutable.ArrayBuffer.empty[
+        org.apache.spark.sql.Row]
+      val it = parent.keySet().iterator()
+      while (it.hasNext) {
+        val v = it.next()
+        if (v.asInstanceOf[AnyRef] eq NullVertex)
+          out += org.apache.spark.sql.Row(null, null)
+        else out += org.apache.spark.sql.Row(v, find(v))
+      }
+      out.iterator
+    }(org.apache.spark.sql.Encoders.row(outSchema))
+  }
+
+  /** Sentinel standing in for a null vertex id inside
+    * [[smallGraphLabels]]' HashMap (which rejects null keys). A null
+    * endpoint never unions, so it needs no find/union — only a
+    * presence mark that emits the loops' `(null, null)` row. Case
+    * object: serializable with singleton identity preserved across
+    * the task-closure round-trip (the `eq` check relies on it). */
+  private case object NullVertex
 
   /** Incremental connected-components maintenance: fold a batch of NEW
     * edges into an EXISTING labeling without re-running CC over the
@@ -2520,12 +2647,17 @@ object Graft {
       .select(col("id").as("component_id"), col("new_label"))
     val mNew = cc.join(broadcast(oldLabelIds), Seq("id"), "left_anti")
       .select(col("id"), col("new_label").as("component_id"))
+    // ONE broadcast subtree for both mOld consumers (size fold below,
+    // relabel join at the end): identical child plans let ReuseExchange
+    // build the batch-sized broadcast once instead of once per use
+    // (r22 — the merge tail's cost is per-job fixed overhead, probe45)
+    val mOldNl = mOld.withColumnRenamed("new_label", "nl")
     // incremental sizes: each changed component = Σ sizes of the old
     // clusters merged into it + its count of new vertices
     val sizeOld = touched.select(col("component_id"), col("component_size"))
       .distinct()
-      .join(broadcast(mOld), Seq("component_id"))
-      .groupBy("new_label").agg(sum("component_size").as("s_old"))
+      .join(broadcast(mOldNl), Seq("component_id"))
+      .groupBy(col("nl").as("new_label")).agg(sum("component_size").as("s_old"))
     val sizeNew = mNew.groupBy(col("component_id").as("new_label"))
       .agg(count(lit(1)).as("s_new"))
     val newSizes = sizeOld.join(sizeNew, Seq("new_label"), "full_outer")
@@ -2535,8 +2667,7 @@ object Graft {
     // relabel: map-side broadcast joins against the O(batch) mappings;
     // rows of untouched components pass through with label + size kept
     val relabeledOld = lab
-      .join(broadcast(mOld.withColumnRenamed("new_label", "nl")),
-        Seq("component_id"), "left")
+      .join(broadcast(mOldNl), Seq("component_id"), "left")
       .select(col("id"),
         coalesce(col("nl"), col("component_id")).as("component_id"),
         col("component_size"))

@@ -1026,7 +1026,17 @@ object Dedup {
   def qKeeperQuality(spark: SparkSession, dir: String,
       labels: DataFrame): DataFrame = {
     val clusters = labels.select("doc_id", "cluster_id", "cluster_size")
-    val quality = Text.withQuality(Tables.documents(spark, dir))
+    // score ONLY cluster members: the election's inner join discards
+    // every unclustered doc anyway, but the quality projection sat
+    // BELOW the join, so the whole corpus paid the text measures for
+    // rows the join then dropped (r22, guide §1.2 — don't compute
+    // things you throw away). The semi-join restricts the scan to the
+    // docs-with-a-dup bound BEFORE scoring; broadcast for the same
+    // reason the #107 labels join hints it (labels are dup-bounded
+    // and must never be the shuffled side at the gate shape).
+    val quality = Text.withQuality(
+        Tables.documents(spark, dir)
+          .join(broadcast(clusters.select("doc_id")), Seq("doc_id"), "left_semi"))
       .select(col("doc_id"), col("quality_score"))
     clusters.join(quality, "doc_id")
       .groupBy("cluster_id")

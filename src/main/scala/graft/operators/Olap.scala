@@ -402,9 +402,18 @@ object Olap {
     * ship year. The nation dim plays two roles — joined twice under
     * different aliases, both broadcast (role-playing dims cost two
     * broadcasts, never two shuffles). The corpus-scale work is the
-    * same two exchanges as every order-grain query: orders⋈customer
-    * on c_custkey, then ⋈lineitem on the order key; supplier and both
-    * nation roles ride along map-side.
+    * same two exchanges as every order-grain query: lineitem⋈orders
+    * on the order key, then ⋈customer on c_custkey; supplier and both
+    * nation roles ride along map-side. LINEITEM IS THE STREAM SIDE
+    * (r22): the r21 shape put the fact table on the right of the
+    * order-key join, and at sf0.1 the planner's size estimate put the
+    * 5-column lineitem under the broadcast threshold — the driver
+    * then built a 600 k-row HashedRelation serially, the measured
+    * cause of q7's 3× pin inflation AND its inverse core scaling
+    * (0.60 at 8-vs-32 cores: the build does not parallelize). With
+    * the fact table leftmost the planner builds the narrow orders /
+    * customer sides at gate SF and degrades to the intended two
+    * sort-merge exchanges at 100 TB.
     */
   def q7NationVolume(spark: SparkSession, dir: String): DataFrame = {
     val n1 = Tables.nation(spark, dir)
@@ -416,8 +425,8 @@ object Olap {
     val o = Tables.orders(spark, dir).select("o_orderkey", "o_custkey")
     val l = Tables.lineitem(spark, dir)
       .select("l_orderkey", "l_suppkey", "l_extendedprice", "l_discount", "l_shipdate")
-    o.join(c, col("o_custkey") === col("c_custkey"))
-      .join(l, col("l_orderkey") === col("o_orderkey"))
+    l.join(o, col("l_orderkey") === col("o_orderkey"))
+      .join(c, col("o_custkey") === col("c_custkey"))
       .join(broadcast(s), col("l_suppkey") === col("s_suppkey"))
       .join(broadcast(n1), col("s_nationkey") === col("nk1"))
       .join(broadcast(n2), col("c_nationkey") === col("nk2"))

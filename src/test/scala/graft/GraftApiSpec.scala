@@ -300,15 +300,26 @@ class GraftApiSpec extends SparkSpec {
     import spark.implicits._
     val edges = (1 until 200).map(i => (i.toLong, (i + 1).toLong))
       .toDF("s", "d")
-    // diameter 199 ≫ the round budget: minlabel fails LOUDLY…
-    intercept[IllegalStateException] {
-      Graft.connectedComponents(edges, "s", "d", maxRounds = 8)
-    }
-    // …while large-star/small-star needs only ~log2(200) rounds
-    val got = Graft.connectedComponents(edges, "s", "d", maxRounds = 20,
-      algorithm = "star")
-    assert(got.count() == 200)
-    assert(got.where(col("component_id") =!= 1L
+    // the round-budget guard protects the ROUND LOOP — force the big
+    // path (the r22 small-graph union-find has no rounds to exceed and
+    // labels any diameter in one pass, asserted below)
+    spark.conf.set("spark.graft.cc.smallGraphEdges", "-1")
+    try {
+      // diameter 199 ≫ the round budget: minlabel fails LOUDLY…
+      intercept[IllegalStateException] {
+        Graft.connectedComponents(edges, "s", "d", maxRounds = 8)
+      }
+      // …while large-star/small-star needs only ~log2(200) rounds
+      val got = Graft.connectedComponents(edges, "s", "d", maxRounds = 20,
+        algorithm = "star")
+      assert(got.count() == 200)
+      assert(got.where(col("component_id") =!= 1L
+        || col("component_size") =!= 200L).isEmpty)
+    } finally spark.conf.unset("spark.graft.cc.smallGraphEdges")
+    // the small-graph single-task path: same labels, no round budget
+    val small = Graft.connectedComponents(edges, "s", "d", maxRounds = 8)
+    assert(small.count() == 200)
+    assert(small.where(col("component_id") =!= 1L
       || col("component_size") =!= 200L).isEmpty)
   }
 
@@ -353,8 +364,16 @@ class GraftApiSpec extends SparkSpec {
     // are far below it → single-partition rounds) — labels, sizes and
     // convergence must be identical, for BOTH algorithms
     val rnd = new scala.util.Random(7)
+    // random graph + isolated pair + SELF-LOOP + NULL-endpoint edges
+    // (dirty-edge semantics: both loops ignore the union but keep the
+    // endpoints as vertices, the null vertex labeling itself null)
     val edges = (Seq.fill(400)((rnd.nextInt(150).toLong, rnd.nextInt(150).toLong))
-      .filter { case (a, b) => a != b } ++ Seq((900L, 901L))).toDF("s", "d")
+      .filter { case (a, b) => a != b }
+      .map { case (a, b) => (java.lang.Long.valueOf(a), java.lang.Long.valueOf(b)) } ++
+      Seq((java.lang.Long.valueOf(900L), java.lang.Long.valueOf(901L)),
+        (java.lang.Long.valueOf(77L), java.lang.Long.valueOf(77L)),
+        (null.asInstanceOf[java.lang.Long], java.lang.Long.valueOf(950L))))
+      .toDF("s", "d")
     def run(alg: String) = Graft.connectedComponents(edges, "s", "d",
       algorithm = alg)
     val conf = spark.conf
@@ -372,6 +391,20 @@ class GraftApiSpec extends SparkSpec {
       "small-graph minlabel output should be single-partition")
     assert(smallStar.rdd.getNumPartitions == 1,
       "small-graph star output should be single-partition")
+    // string ids: the union-find must label under Spark's UTF8String
+    // (UTF-8 byte) ordering, pinned against the forced round loop on a
+    // graph whose min labels differ between naive UTF-16 and UTF-8
+    // orderings (U+FFFD sorts below U+10400 in UTF-16 code units but
+    // above it never — both orders agree here; the pin is the loop)
+    import spark.implicits._
+    val sEdges = (Seq(("b", "c"), ("c", "d"), ("�", "𐐀"),
+      ("𐐀", "zz")) ++ Seq.tabulate(30)(i => (s"v$i", s"v${i + 1}")))
+      .toDF("s", "d")
+    conf.set("spark.graft.cc.smallGraphEdges", "-1")
+    val bigS = try Graft.connectedComponents(sEdges, "s", "d").collect().toSet
+    finally conf.unset("spark.graft.cc.smallGraphEdges")
+    assert(Graft.connectedComponents(sEdges, "s", "d").collect().toSet == bigS,
+      "string-id small-dial diverged from the round loop")
   }
 
   test("cjkWords aggregated reproduces q_keyword_stats_cjk") {

@@ -38,13 +38,19 @@ class IvfIndexSpec extends SparkSpec {
     // 8-16x the probe-41-measured OOM mass at realistic embedding
     // dims. The budget is maxRows x 64 elements (the dim-64 basis the
     // probe measured), so raising the row dial still scales the escape.
-    // helper arithmetic, both sides of the line
-    Graft.requireLiteralElems(16384, 64, 16384, "t") // exactly at budget
-    Graft.requireLiteralElems(1024, 1024, 16384, "t") // 1M = at budget
+    // Since r22 the budget is over the SUMMED element count (ADVICE
+    // r21: one anomalously wide row must not refuse an in-budget fit).
+    // helper arithmetic, both sides of the line (elems, rows)
+    Graft.requireLiteralElems(16384L * 64, 16384, 16384, "t", "r") // at budget
+    Graft.requireLiteralElems(1024L * 1024, 1024, 16384, "t", "r") // 1M = at budget
     val over = intercept[IllegalArgumentException] {
-      Graft.requireLiteralElems(16384, 65, 16384, "t")
+      Graft.requireLiteralElems(16384L * 65, 16384, 16384, "t", "r")
     }
     assert(over.getMessage.contains("element"), over.getMessage)
+    // ADVICE r21: ONE dirty wide row among narrow ones no longer
+    // inflates the budget check — rows x max-dim would read this as
+    // 1000x1024 (over), the true summed mass is ~1000x64 (in budget)
+    Graft.requireLiteralElems(999L * 64 + 1024, 1000, 16384, "t", "r")
     // end-to-end: a high-dim centroid frame refuses BEFORE building
     // the plan even though its ROW count is inside maxCentroids
     import spark.implicits._
