@@ -84,11 +84,16 @@ REBASED = {
     "q_province_stats": ("baseline_r12",),
     "q_province_rollup": ("baseline_r12",),
     "q_cube_stats": ("baseline_r12",),
-    "q_dup_clusters": ("baseline_r12",),
-    "q_dup_cluster_histogram": ("baseline_r12",),
-    "q_dup_clusters_incremental": ("baseline_r12",),
-    "q_keeper_quality": ("baseline_r12",),
-    "q_split_assign": ("baseline_r12",),
+    # (r22 extends the dup-cluster-family pools forward: the r12
+    # exclusion of pre-memoization captures still applies, and r22's
+    # captures time the shipped small-graph union-find + member-only
+    # keeper scoring — strictly-not-slower paths, so they may win the
+    # min but can never strand an unreachable pin)
+    "q_dup_clusters": ("baseline_r12", "baseline_r22", "probe_r22"),
+    "q_dup_cluster_histogram": ("baseline_r12", "baseline_r22", "probe_r22"),
+    "q_dup_clusters_incremental": ("baseline_r12", "baseline_r22", "probe_r22"),
+    "q_keeper_quality": ("baseline_r12", "baseline_r22", "probe_r22"),
+    "q_split_assign": ("baseline_r12", "baseline_r22", "probe_r22"),
     # round 15 (the k-means hash-gate graduation, commit 2564be7): the
     # seed draw moved from xxhash64 to the MINSTD spread and each
     # centroid mean now leaves fixed-point as one integer-exact double
@@ -136,10 +141,25 @@ REBASED = {
     "q_multimodal_resize": ("baseline_r21", "probe_r21"),
     "q_profile_orders": ("baseline_r21", "probe_r21"),
     "q_profile_orders_approx": ("baseline_r21", "probe_r21"),
-    "q_quality_classifier": ("baseline_r21", "probe_r21"),
-    "q_classifier_calibration": ("baseline_r21", "probe_r21"),
-    "q_classifier_holdout": ("baseline_r21", "probe_r21"),
     "q_doc_fingerprint": ("baseline_r21", "probe_r21"),
+    # (r22 extends the classifier pools forward: the r21 exclusion of
+    # the stale-optimistic pre-r21 captures still applies, and the r22
+    # captures time the shipped fx_dot/fx_grad kernels — strictly
+    # faster, so they simply win the min)
+    "q_quality_classifier": ("baseline_r21", "probe_r21", "baseline_r22", "probe_r22"),
+    "q_classifier_calibration": ("baseline_r21", "probe_r21", "baseline_r22", "probe_r22"),
+    "q_classifier_holdout": ("baseline_r21", "probe_r21", "baseline_r22", "probe_r22"),
+    # round 22 (optimization round 2): NO new REBASED entries. Every
+    # r22 change strictly removes work (codegen'd classifier kernels,
+    # single-task small-graph CC, q7's fact table off the build side,
+    # keeper scoring restricted to cluster members), so every pre-r22
+    # pin remains REACHABLE at this HEAD and the r22 captures
+    # (baseline_r22a + probe_r22*) lower the affected minima through
+    # the normal pool-minimum rule — rebasing would only thin the
+    # pools and RAISE pins the 2x gate then measures against (the
+    # pin-churn hazard VERDICT r21 item 5 flagged). Rebase again only
+    # when a change makes a query's old, FASTER implementation
+    # unreachable.
 }
 
 per_query = {}   # name -> list[(seconds, source)]
