@@ -431,15 +431,14 @@ object Bench {
       hostJson: String, sfDir: String): String = {
     val qs = times.map { case (k, v) => s"${jstr(k)}:${num3(v)}" }
       .mkString("{", ",", "}")
-    // flags and errors appear ONLY when non-empty: the normal green
-    // capture stays minimal, and a reader knows absent == none (the
-    // stable file always carries both keys)
-    val over = if (over2x.isEmpty) "" else over2x
-      .map { case (k, v) => s"${jstr(k)}:$v" }
-      .mkString(""","over_2x_pins":{""", ",", "}")
-    val errs = if (errors.isEmpty) "" else errors
-      .map { case (k, v) => s"${jstr(k)}:${jstr(v.take(80))}" }
-      .mkString(""","errors":{""", ",", "}")
-    s"""{"metric":"total","value":${num3(total)},"unit":"sec","queries":$qs$over$errs,"host":$hostJson,"sf":"$sfDir"}"""
+    // both adjudication keys are ALWAYS present (a driver-side parser
+    // may index them unconditionally); what the compact line drops is
+    // only the bulky per-rep/requiet/reprobe record, which stays in
+    // the stable file
+    val over = over2x.map { case (k, v) => s"${jstr(k)}:$v" }
+      .mkString("{", ",", "}")
+    val errs = errors.map { case (k, v) => s"${jstr(k)}:${jstr(v.take(80))}" }
+      .mkString("{", ",", "}")
+    s"""{"metric":"total","value":${num3(total)},"unit":"sec","queries":$qs,"over_2x_pins":$over,"errors":$errs,"host":$hostJson,"sf":"$sfDir"}"""
   }
 }

@@ -31,9 +31,10 @@ class BenchLineSpec extends AnyFunSuite {
     assert(line.contains("\"metric\":\"total\"") && line.contains("\"value\":")
       && line.contains("\"unit\":\"sec\"") && line.contains("\"queries\":{")
       && line.contains("\"sf\":\"/root/testdata/sf0.1\""))
-    // empty flag/error maps are OMITTED from the line (minimality);
-    // non-empty ones appear
-    assert(!line.contains("over_2x_pins") && !line.contains("errors"))
+    // the adjudication keys are ALWAYS present (a driver-side parser
+    // may index them unconditionally), empty or not
+    assert(line.contains(""""over_2x_pins":{}""") &&
+      line.contains(""""errors":{}"""))
     val flagged = Bench.officialLine(1.0, times.take(3),
       Seq("q_a" -> 2.5), Seq("q_b" -> "boom"), host, "sf")
     assert(flagged.contains(""""over_2x_pins":{"q_a":2.5}""") &&
